@@ -1,0 +1,57 @@
+"""Query registry: the engine's public query surface.
+
+Every implemented operator from SURVEY.md §2 registers here as a named
+query: a ``(spark, sf_dir) -> DataFrame`` callable plus (where
+SQL-expressible) an equivalent ANSI-SQL oracle string that DuckDB runs
+over the same parquet tables.  ``__spark_entry__.py`` re-exports this
+registry to the driver.
+
+Determinism contract (the driver hash-compares values order-insensitively
+but bit-exactly): every floating-point aggregate is computed as an exact
+DECIMAL sum cast back to DOUBLE on BOTH sides, so partition/summation
+order cannot perturb low bits; every top-k has a total-order tiebreak;
+column names are aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class Query:
+    fn: QueryFn
+    oracle: str | None  # ANSI SQL for DuckDB; None → rows-only check
+    doc: str = ""
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn], QueryFn]:
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        REGISTRY[name] = Query(fn=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""))
+        return fn
+
+    return deco
+
+
+def load_all() -> dict[str, Query]:
+    """Import every query module (side effect: fills REGISTRY)."""
+    from mongo2mysql_spark.queries import (  # noqa: F401
+        dedup,
+        etl,
+        relational,
+        similarity,
+        streaming,
+        text,
+    )
+
+    return REGISTRY

@@ -1,0 +1,75 @@
+"""Parquet-directory source — the test-harness stand-in for MongoDB.
+
+The reference enumerates collections and full-scans each one
+(Porter.php:344-349, 138-150 — SURVEY.md §2 A1/A2).  Here a "database"
+is a directory of ``<table>.parquet`` files; enumeration is a listdir
+and a scan is ``spark.read.parquet`` (columnar, with Catalyst filter
+pushdown and column pruning — the scan only materializes what the query
+plan needs, unlike the reference's full-document cursor).
+
+Scale note: at 100 TB each table would be a partitioned parquet dataset
+(many files); ``spark.read.parquet(dir)`` handles that shape unchanged,
+and partition-pruning/predicate-pushdown keep scans proportional to the
+query, not the dataset.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# The harness star schema + extension tables (TESTDATA.md / FIXTURES.md §A).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+
+def list_collections(sf_dir: str) -> list[str]:
+    """Source enumeration (reference parity: A1, Porter.php:344-349)."""
+    return sorted(
+        f[: -len(".parquet")] for f in os.listdir(sf_dir) if f.endswith(".parquet")
+    )
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str, limit: int | None = None) -> DataFrame:
+    """Full collection scan (A2) with optional source-pushed limit (A3,
+    Porter.php:141-144 — Catalyst plants a LocalLimit above the scan).
+
+    Parquet TIMESTAMP(NANOS) columns (e.g. ``events.ts``) are illegal
+    for Spark's vectorized reader; we read them as nano longs
+    (``legacy.parquet.nanosAsLong``) and truncate to microsecond
+    timestamps — the same truncation DuckDB applies, so oracle
+    comparisons agree.  This is a scan-level rewrite (pure column expr),
+    scale-free.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # integer div: ns longs exceed double's exact range, so no `/ 1000`
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if limit is not None:
+        df = df.limit(limit)
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
+    """Register each table as a temp view so operators can use spark.sql."""
+    for n in names:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
