@@ -1,0 +1,116 @@
+"""CLI mirroring the reference's option surface (SURVEY.md §2 A18,
+cli.php:18-26): host, dbname, port, username, password, mdbname,
+limit, dataonly, skip — plus engine-side additions for the harness
+(--source-dir parquet input, --output-dir parquet staging sink).
+
+Usage:
+    python -m mongo2mysql_spark.cli --source-dir /root/testdata/sf0.001 \
+        --output-dir /tmp/out [--limit N] [--skip t1,t2] [--dataonly]
+
+With --mongo-uri/--dbname/--host the same pipeline reads the MongoDB
+connector and writes MySQL over JDBC (cluster deployment; the
+container has neither service, so those paths are gated).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from mongo2mysql_spark.operators.guards import parse_skip_list
+from mongo2mysql_spark.porter import PorterConfig, SparkPorter
+from mongo2mysql_spark.session import build_session
+from mongo2mysql_spark.sources.parquet import list_collections, load_table
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="mongo2mysql-spark",
+        description="Export MongoDB-shaped collections to relational tables (Spark).",
+    )
+    # reference options (cli.php:18-26)
+    p.add_argument("--dbname", help="destination MySQL database name")
+    p.add_argument("--host", default="127.0.0.1", help="destination MySQL host")
+    p.add_argument("--port", type=int, default=3306)
+    p.add_argument("--username", "-u", default="root")
+    p.add_argument("--password", "-p", default="")
+    p.add_argument("--mdbname", help="source MongoDB database name")
+    p.add_argument("--limit", "-l", type=int, default=None,
+                   help="max rows per collection (debugging)")
+    p.add_argument("--dataonly", action="store_true",
+                   help="no DDL; truncate existing tables and skip rows "
+                        "routed to absent tables")
+    p.add_argument("--skip", default=None, help="CSV of destination tables to skip")
+    # engine additions
+    p.add_argument("--mongo-uri", default=None, help="mongodb:// connection uri")
+    p.add_argument("--source-dir", default=None,
+                   help="directory of <collection>.parquet files (test harness source)")
+    p.add_argument("--output-dir", default=None,
+                   help="write destination tables as parquet under this dir")
+    p.add_argument("--collections", default=None, help="CSV subset of collections")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    spark = build_session(app_name="mongo2mysql-spark-cli")
+    try:
+        cfg = PorterConfig(
+            skip=parse_skip_list(args.skip),
+            dataonly=args.dataonly,
+            limit=args.limit,
+        )
+        porter = SparkPorter(spark, cfg)
+
+        if args.source_dir:
+            names = (
+                args.collections.split(",") if args.collections
+                else list_collections(args.source_dir)
+            )
+            collections = {n: load_table(spark, args.source_dir, n) for n in names}
+        elif args.mongo_uri and args.mdbname:
+            from mongo2mysql_spark.sources.mongodb import list_collections as mongo_ls
+            from mongo2mysql_spark.sources.mongodb import read_collection
+
+            names = (
+                args.collections.split(",") if args.collections
+                else mongo_ls(args.mongo_uri, args.mdbname)
+            )
+            collections = {
+                n: read_collection(spark, args.mongo_uri, args.mdbname, n) for n in names
+            }
+        else:
+            print("error: need --source-dir or (--mongo-uri and --mdbname)", file=sys.stderr)
+            return 2
+
+        sink = None
+        if args.output_dir:
+            out_dir = args.output_dir
+
+            def sink(table, df, _out=out_dir):
+                df.write.mode("overwrite").parquet(f"{_out}/{table}.parquet")
+
+        elif args.dbname:  # pragma: no cover - needs MySQL
+            url = f"jdbc:mysql://{args.host}:{args.port}/{args.dbname}"
+            props = {"user": args.username, "password": args.password}
+            from mongo2mysql_spark.sources.jdbc import write_append
+
+            def sink(table, df, _url=url, _props=props):
+                write_append(df, _url, table, _props, truncate=args.dataonly)
+
+        exports = porter.run(collections, sink=sink)
+        for name, export in exports.items():
+            for t in export.tables:
+                print(f"{name} -> {t}")
+            for stmt in export.ddl:
+                print(stmt.replace(chr(10), " "))
+        return 0
+    except Exception as exc:
+        print(f"error: {exc}", file=sys.stderr)  # cli.php:36-41 error path
+        return 1
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,141 @@
+"""Pipeline orchestration (SURVEY.md §2 A18, §3): the Spark-native
+equivalent of ``Porter::run()`` / ``exportCollection``.
+
+Per collection, the reference's per-row loop (route → flatten → filters
+→ array spill → _num → schema-ensure → REPLACE insert,
+Porter.php:131-235) becomes a set-oriented two-pass plan:
+
+  read → _table routing column → flatten (+ spill children)
+       → skip/dataonly/wide guards → _num window
+  Pass 1 (schema): one aggregation per table → widening lattice → DDL
+  Pass 2 (data):  per-table JDBC upsert (or parquet staging)
+
+``run_to_frames`` returns the transformed DataFrames + DDL without a
+sink (what the tests and the rows-only harness query exercise);
+``run`` additionally writes through the configured sink.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mongo2mysql_spark.operators.flatten import flatten
+from mongo2mysql_spark.operators.guards import (
+    WIDE_ROW_LIMIT,
+    filter_missing_destination,
+    filter_skip_list,
+    table_too_wide,
+)
+from mongo2mysql_spark.operators.routing import DEFAULT_KLUDGE_RULES, add_table_column
+from mongo2mysql_spark.operators.sequence import add_num
+from mongo2mysql_spark.operators.spill import child_table_name, spill_child
+from mongo2mysql_spark.plans.ddl import evolve_schema_sql
+from mongo2mysql_spark.plans.infer import infer_table_schema
+
+
+@dataclass
+class PorterConfig:
+    id_col: str = "_id"
+    key_col: str = "_key"
+    skip: set[str] = field(default_factory=set)
+    dataonly: bool = False
+    existing_tables: set[str] = field(default_factory=set)  # for dataonly
+    limit: int | None = None
+    wide_row_limit: int = WIDE_ROW_LIMIT
+    kludge_rules: tuple = DEFAULT_KLUDGE_RULES
+    ts_seconds: bool = True
+
+
+@dataclass
+class CollectionExport:
+    """All destination tables derived from one collection."""
+
+    tables: dict[str, DataFrame] = field(default_factory=dict)
+    schemas: dict[str, dict[str, str]] = field(default_factory=dict)
+    ddl: list[str] = field(default_factory=list)
+    skipped_wide: list[str] = field(default_factory=list)
+
+
+class SparkPorter:
+    def __init__(self, spark: SparkSession, config: PorterConfig | None = None):
+        self.spark = spark
+        self.config = config or PorterConfig()
+
+    # ---------------------------------------------------------------- export
+
+    def export_collection(self, df: DataFrame, collection_name: str) -> CollectionExport:
+        cfg = self.config
+        out = CollectionExport()
+        if cfg.limit is not None:
+            df = df.limit(cfg.limit)
+
+        flat = flatten(df, ts_seconds=cfg.ts_seconds)
+        parent = add_table_column(flat.parent, cfg.key_col, collection_name,
+                                  kludge_rules=cfg.kludge_rules)
+        parent = filter_skip_list(parent, cfg.skip)
+        if cfg.dataonly:
+            parent = filter_missing_destination(parent, cfg.existing_tables)
+
+        # wide-row guard: per-table with fixed schemas (Porter.php:190-194).
+        # NOTE reference quirk preserved in spirit: child spills of skipped
+        # parents still execute (Porter.php:182-188 runs before the guard),
+        # so children derive from the UNGUARDED frame below.
+        if table_too_wide(df.schema, cfg.wide_row_limit):
+            out.skipped_wide.append(collection_name)
+            parent = parent.filter(F.lit(False))
+
+        # stable order/parent key: `_id` for Mongo-shaped input
+        # (Porter.php:116-117); first column for plain relational frames
+        id_col = cfg.id_col if cfg.id_col in flat.parent.columns else df.columns[0]
+        parent = add_num(parent, ["_table"], [id_col])
+
+        for spill in flat.spills:
+            child = spill_child(df, spill, id_col=id_col)
+            child = add_num(child, [], ["_parentid", "_index"])
+            name = child_table_name(collection_name, spill.flat_name)
+            if cfg.dataonly and name not in cfg.existing_tables:
+                continue
+            if name in cfg.skip:
+                continue
+            out.tables[name] = child
+
+        # per-destination-table parent frames (routing split)
+        table_names = [r["_table"] for r in parent.select("_table").distinct().collect()]
+        for t in sorted(table_names):
+            out.tables[t] = parent.filter(F.col("_table") == t).drop("_table")
+
+        # Pass 1: schema inference + DDL (once per table — the reference's
+        # per-row ensureRowStructure collapsed into one aggregation each)
+        for t, tdf in out.tables.items():
+            schema = infer_table_schema(tdf, strict=False)
+            out.schemas[t] = schema
+            pk = ("_parentid", "_index") if "__" in t else ((id_col,) if id_col in tdf.columns else ())
+            if not cfg.dataonly:
+                out.ddl.extend(evolve_schema_sql(t, None, schema, pk))
+        return out
+
+    # ------------------------------------------------------------------- run
+
+    def run_to_frames(self, collections: dict[str, DataFrame]) -> dict[str, CollectionExport]:
+        return {name: self.export_collection(df, name) for name, df in collections.items()}
+
+    def run(
+        self,
+        collections: dict[str, DataFrame],
+        sink=None,
+        ddl_executor=None,
+    ) -> dict[str, CollectionExport]:
+        """Full pipeline.  ``sink(table_name, df)`` writes one table
+        (e.g. a partial of sources.jdbc.write_upsert or a parquet
+        writer); ``ddl_executor(statements)`` applies the schema pass."""
+        exports = self.run_to_frames(collections)
+        for export in exports.values():
+            if ddl_executor and export.ddl:
+                ddl_executor(export.ddl)
+            if sink:
+                for t, tdf in export.tables.items():
+                    sink(t, tdf)
+        return exports

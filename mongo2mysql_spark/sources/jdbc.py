@@ -1,0 +1,121 @@
+"""MySQL sink: upsert / truncate / append (SURVEY.md §2 A15/A16).
+
+The reference inserts one row at a time with REPLACE semantics
+(delete+insert on PK conflict, Porter.php:207/266) — idempotent per
+``_id`` across reruns.  Spark's JDBC writer has no native upsert, so:
+
+- ``write_upsert``: ``df.foreachPartition`` issuing batched
+  ``REPLACE INTO`` (or ``INSERT ... ON DUPLICATE KEY UPDATE``) over a
+  DBAPI connection factory.  REPLACE-on-PK makes Spark task *retries*
+  idempotent too — the same guarantee the reference gets, which is what
+  makes a side-effecting sink safe under speculative execution.
+- ``write_append`` / ``write_overwrite``: the stock Spark JDBC writer
+  (``truncate`` option for --dataonly's truncate-then-load,
+  Porter.php:174-178) — used for fresh loads where append suffices.
+
+Scale levers: ``repartition(n)`` before writing bounds the connection
+count to n; ``batch_size`` amortizes round-trips (vs. the reference's
+one INSERT per row — its README's own bottleneck, README.md:63-64).
+
+No MySQL server or JDBC driver exists in the test container, so tests
+exercise ``write_upsert`` against sqlite3 (same REPLACE INTO syntax)
+and statement generation is unit-tested as strings.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import DataFrame
+
+
+def upsert_sql(table: str, columns: list[str], mode: str = "replace",
+               paramstyle: str = "qmark") -> str:
+    """One parameterized upsert statement."""
+    ph = "?" if paramstyle == "qmark" else "%s"
+    collist = ", ".join(f"`{c}`" for c in columns)
+    params = ", ".join([ph] * len(columns))
+    if mode == "replace":
+        return f"REPLACE INTO `{table}` ({collist}) VALUES ({params})"
+    if mode == "upsert":
+        assignments = ", ".join(f"`{c}`=VALUES(`{c}`)" for c in columns)
+        return (
+            f"INSERT INTO `{table}` ({collist}) VALUES ({params}) "
+            f"ON DUPLICATE KEY UPDATE {assignments}"
+        )
+    if mode == "append":
+        return f"INSERT INTO `{table}` ({collist}) VALUES ({params})"
+    raise ValueError(f"unknown mode: {mode}")
+
+
+def write_upsert(
+    df: DataFrame,
+    table: str,
+    connection_factory: Callable[[], object],
+    mode: str = "replace",
+    batch_size: int = 1000,
+    paramstyle: str = "qmark",
+    max_connections: int | None = None,
+) -> None:
+    """Distributed batched upsert via foreachPartition.
+
+    ``connection_factory`` must be picklable (module-level function or
+    functools.partial over picklables); each partition opens one
+    connection and writes ``batch_size``-row executemany batches.
+    """
+    columns = list(df.columns)
+    sql = upsert_sql(table, columns, mode=mode, paramstyle=paramstyle)
+    if max_connections is not None:
+        df = df.coalesce(max_connections)
+
+    def _write_partition(rows: Iterator) -> None:
+        conn = connection_factory()
+        try:
+            cur = conn.cursor()
+            batch = []
+            for row in rows:
+                batch.append(tuple(row))
+                if len(batch) >= batch_size:
+                    cur.executemany(sql, batch)
+                    conn.commit()
+                    batch = []
+            if batch:
+                cur.executemany(sql, batch)
+                conn.commit()
+        finally:
+            conn.close()
+
+    df.foreachPartition(_write_partition)
+
+
+def write_append(df: DataFrame, url: str, table: str, properties: dict[str, str],
+                 truncate: bool = False, batch_size: int = 10000,
+                 num_partitions: int | None = None) -> None:  # pragma: no cover - needs JDBC jar
+    """Stock Spark JDBC writer (fresh load / --dataonly truncate path)."""
+    writer = (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batch_size))
+    )
+    for k, v in properties.items():
+        writer = writer.option(k, v)
+    if num_partitions:
+        writer = writer.option("numPartitions", str(num_partitions))
+    if truncate:
+        writer = writer.option("truncate", "true").mode("overwrite")
+    else:
+        writer = writer.mode("append")
+    writer.save()
+
+
+def execute_ddl(statements: list[str], connection_factory: Callable[[], object]) -> None:
+    """Run the schema-pass DDL over one connection (A14)."""
+    conn = connection_factory()
+    try:
+        cur = conn.cursor()
+        for stmt in statements:
+            cur.execute(stmt)
+        conn.commit()
+    finally:
+        conn.close()

@@ -1,0 +1,52 @@
+"""CLI smoke: argparse surface parity with cli.php + one end-to-end
+subprocess run (parquet source → parquet sink)."""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+import tempfile
+from pathlib import Path
+
+import pytest
+
+from mongo2mysql_spark.cli import build_parser
+
+
+def test_parser_reference_options():
+    # the 9 reference options (cli.php:18-26)
+    args = build_parser().parse_args(
+        ["--dbname", "db", "--host", "h", "--port", "3307", "-u", "u", "-p", "s",
+         "--mdbname", "m", "--limit", "5", "--dataonly", "--skip", "a,b"]
+    )
+    assert (args.dbname, args.host, args.port) == ("db", "h", 3307)
+    assert (args.username, args.password, args.mdbname) == ("u", "s", "m")
+    assert (args.limit, args.dataonly, args.skip) == (5, True, "a,b")
+
+
+def test_parser_requires_source(capsys):
+    from mongo2mysql_spark import cli
+
+    # error path (cli.php:36-41): bad config → nonzero exit, message on stderr
+    rc = None
+    argv = ["--dbname", "x"]  # no source at all
+    # run main but it will build a spark session; to keep this cheap, only
+    # check the parser-level default wiring here
+    args = build_parser().parse_args(argv)
+    assert args.source_dir is None and args.mongo_uri is None
+
+
+@pytest.mark.slow
+def test_cli_end_to_end_subprocess():
+    with tempfile.TemporaryDirectory() as tmp:
+        proc = subprocess.run(
+            [sys.executable, "-m", "mongo2mysql_spark.cli",
+             "--source-dir", "/root/testdata/sf0.001",
+             "--collections", "region,nation",
+             "--output-dir", tmp, "--limit", "10"],
+            capture_output=True, text=True, timeout=300,
+            cwd=str(Path(__file__).resolve().parent.parent),
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        assert "region -> region" in proc.stdout
+        assert (Path(tmp) / "region.parquet").exists()
