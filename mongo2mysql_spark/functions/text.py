@@ -1,0 +1,90 @@
+"""Text-analysis column expressions (extension layer, BASELINE.json
+north star): tokenization, shingling, quality metrics, language-ID
+scoring, fingerprinting.
+
+Everything here is a pure column expression (JVM-side, whole-stage
+codegen) — no Python UDFs — so the operators scale to 100 TB document
+tables as narrow projections.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def tokens(text: Column, pattern: str = " ") -> Column:
+    """Whitespace tokenization (harness documents are space-joined)."""
+    return F.split(text, pattern)
+
+
+def word_shingles(toks: Column, n: int = 3) -> Column:
+    """n-token shingles as space-joined strings; < n tokens → empty."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - n + 1),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def char_ngrams_expr(col_name: str, n: int = 3) -> Column:
+    """Character n-grams via SQL expr (substring needs non-literal pos)."""
+    return F.expr(
+        f"CASE WHEN length({col_name}) >= {n} THEN "
+        f"transform(sequence(1, length({col_name}) - {n} + 1), "
+        f"i -> substring({col_name}, i, {n})) "
+        f"ELSE array() END"
+    )
+
+
+# Tiny public stopword lists for the language-ID heuristic (top function
+# words; public knowledge, any NLP textbook).
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "eine", "zu", "den", "mit"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "des", "du", "que"),
+    "es": ("el", "la", "los", "las", "y", "es", "un", "una", "de", "en"),
+}
+
+
+def stopword_ratio(toks: Column, lang: str = "en") -> Column:
+    """Fraction of tokens in the language's stopword list — exact
+    int/int → double division (deterministic across engines)."""
+    hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS[lang])))
+    return hits.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
+
+
+def punct_ratio(text: Column) -> Column:
+    stripped = F.regexp_replace(text, r"[^\p{Punct}]", "")
+    return F.length(stripped).cast("double") / F.greatest(F.length(text), F.lit(1)).cast("double")
+
+
+def mean_token_length(toks: Column) -> Column:
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return total.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
+
+
+def quality_score(toks: Column, text: Column) -> Column:
+    """Composite [0,1] quality heuristic: length band + lexical diversity
+    − punctuation noise.  All arithmetic on deterministic doubles."""
+    n = F.size(toks).cast("double")
+    diversity = F.size(F.array_distinct(toks)).cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
+    length_band = F.least(n / F.lit(100.0), F.lit(1.0))
+    return F.round(
+        F.least(
+            F.greatest(
+                F.lit(0.5) * length_band + F.lit(0.5) * diversity - punct_ratio(text),
+                F.lit(0.0),
+            ),
+            F.lit(1.0),
+        ),
+        6,
+    )
+
+
+def fingerprint(toks: Column) -> Column:
+    """Canonical document fingerprint: md5 over the sorted distinct
+    token set — key for exact content dedup under token reordering."""
+    return F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " "))

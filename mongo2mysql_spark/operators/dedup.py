@@ -1,0 +1,234 @@
+"""Deduplication operators (extension layer): exact, content-hash,
+MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+Portability design: every hash is built from md5 hex strings (identical
+in Spark and DuckDB), so signatures — and therefore candidate pairs —
+are bit-reproducible across engines and runs.  Taking the *minimum of
+md5(i || shingle) as a string* per hash index i is a valid MinHash
+family (each salted md5 is an approximately-uniform permutation of the
+shingle space; the lexicographic min of hex strings is the min under
+that permutation).
+
+Scale shapes (the point of each algorithm at 100 TB):
+- exact/content-hash: one shuffle on the hash key;
+- MinHash LSH: signatures are a narrow projection; the only shuffle is
+  groupBy(band_hash), and candidate verification touches only
+  same-bucket pairs — never all-pairs;
+- SimHash: narrow projection + groupBy on band prefix;
+- n-gram Jaccard: explode(shingle) self-join — quadratic in the hottest
+  shingle's frequency, so production use caps shingle document
+  frequency (drop shingles appearing in > df_max docs: stopword-shingle
+  prefix filtering); exposed here with the cap as a parameter;
+- embedding near-dup: blocked on a key (label / LSH bucket), cosine on
+  candidate pairs only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from mongo2mysql_spark.functions.vector import cosine_exact
+
+
+# ------------------------------------------------------------------- exact
+
+
+def dedup_exact(df: DataFrame, cols: list[str], order_col: str) -> DataFrame:
+    """Keep one deterministic representative (min ``order_col``) per
+    distinct combination of ``cols``.  ``dropDuplicates`` keeps an
+    *arbitrary* row — fine for throughput, wrong for reproducible
+    pipelines — so the engine's dedup is rank-based."""
+    w = W.partitionBy(*cols).orderBy(order_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def content_hash(col: Column) -> Column:
+    """sha256 hex of the content — the exact-dedup key for long text
+    (grouping on a 64-char hash beats shuffling megabyte documents)."""
+    return F.sha2(col, 256)
+
+
+# ------------------------------------------------------------------ minhash
+
+
+def minhash_signature(df: DataFrame, id_col: str, shingles: Column, k: int = 16) -> DataFrame:
+    """One row per id with k min-hash columns ``mh0..mh{k-1}``.
+
+    Shingles are deduplicated (set semantics) then min-reduced per
+    salted md5 — a single explode + groupBy, shuffling only
+    (id, shingle) pairs.
+    """
+    ex = df.select(F.col(id_col), F.explode(F.array_distinct(shingles)).alias("__sh"))
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}_"), F.col("__sh")))).alias(f"mh{i}")
+        for i in range(k)
+    ]
+    return ex.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, id_col: str, k: int = 16, bands: int = 8,
+    min_est_jaccard: float = 0.5,
+) -> DataFrame:
+    """LSH banding over the signature: docs sharing any band-hash become
+    candidates; the estimated Jaccard (fraction of equal minhashes) is
+    computed from the full signatures and thresholded.
+
+    Returns (id_1, id_2, est_jaccard), id_1 < id_2, deterministic.
+    """
+    assert k % bands == 0
+    r = k // bands
+    band_cols = [
+        F.md5(F.concat_ws("|", *[F.col(f"mh{b * r + j}") for j in range(r)])).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select(id_col, *[F.col(f"mh{i}") for i in range(k)], *band_cols)
+    melted = banded.select(
+        id_col,
+        *[F.col(f"mh{i}") for i in range(k)],
+        F.posexplode(F.array(*[F.col(f"band{b}") for b in range(bands)])).alias(
+            "__band_idx", "__band_hash"
+        ),
+    )
+    a = melted.alias("a")
+    b = melted.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.__band_idx") == F.col("b.__band_idx"))
+            & (F.col("a.__band_hash") == F.col("b.__band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_1"),
+            F.col(f"b.{id_col}").alias("id_2"),
+            *[F.col(f"a.mh{i}").alias(f"a{i}") for i in range(k)],
+            *[F.col(f"b.mh{i}").alias(f"b{i}") for i in range(k)],
+        )
+        .dropDuplicates(["id_1", "id_2"])
+    )
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(k)
+    )
+    est = (matches.cast("double") / F.lit(float(k))).alias("est_jaccard")
+    return (
+        pairs.select("id_1", "id_2", est)
+        .filter(F.col("est_jaccard") >= min_est_jaccard)
+    )
+
+
+# ------------------------------------------------------------------ simhash
+
+
+def simhash_bits(toks: Column, bits: int = 32) -> Column:
+    """SimHash as a ``bits``-char '0'/'1' string.
+
+    Bit j's weight for token t is +1 if hex digit j of md5(t) is >= '8'
+    (the nibble's high bit), else −1 — engine-portable, no integer hash
+    needed.  The signature bit is 1 iff the summed weight is positive.
+    Uses one md5 per token and pure array expressions.
+    """
+    assert bits <= 32
+    md5s = F.transform(toks, lambda t: F.md5(t))
+
+    def bit_weight(j: int) -> Column:
+        # closure factory: a `lambda acc, h, j=j` would grow a 3rd
+        # parameter and be misread as the 3-arg lambda variant
+        hexhi = ("8", "9", "a", "b", "c", "d", "e", "f")
+        return F.aggregate(
+            md5s,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.substring(h, j + 1, 1).isin(*hexhi), 1).otherwise(-1),
+        )
+
+    bit_exprs = [
+        F.when(bit_weight(j) > 0, F.lit("1")).otherwise(F.lit("0")) for j in range(bits)
+    ]
+    return F.concat(*bit_exprs)
+
+
+def hamming_distance_bits(a: Column, b: Column, bits: int = 32) -> Column:
+    """Hamming distance between two equal-length bit strings."""
+    pairs = F.zip_with(
+        F.split(a, ""),
+        F.split(b, ""),
+        lambda x, y: F.when(x != y, 1).otherwise(0),
+    )
+    return F.aggregate(pairs, F.lit(0), lambda acc, v: acc + v)
+
+
+# ------------------------------------------------------- n-gram jaccard
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, shingles: Column,
+    min_jaccard: float = 0.6, block_col: str | None = None,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact Jaccard over shingle sets for candidate pairs that share at
+    least one shingle (and optionally a blocking key).
+
+    ``max_shingle_df`` drops shingles occurring in more than N docs
+    before the self-join — the stopword-shingle cap that keeps the join
+    linear-ish at scale.
+    """
+    base_cols = [F.col(id_col)] + ([F.col(block_col)] if block_col else [])
+    ex = df.select(*base_cols, F.explode(F.array_distinct(shingles)).alias("__sh"))
+    if max_shingle_df is not None:
+        freq = ex.groupBy("__sh").agg(F.countDistinct(id_col).alias("__df"))
+        ex = ex.join(F.broadcast(freq.filter(F.col("__df") <= max_shingle_df).select("__sh")), "__sh")
+    sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
+
+    a, b = ex.alias("a"), ex.alias("b")
+    cond = (F.col("a.__sh") == F.col("b.__sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    if block_col:
+        cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    inter = (
+        a.join(b, cond)
+        .groupBy(F.col(f"a.{id_col}").alias("id_1"), F.col(f"b.{id_col}").alias("id_2"))
+        .agg(F.count(F.lit(1)).alias("__i"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_1"), F.col("__n").alias("__na"))
+    sb = sizes.select(F.col(id_col).alias("id_2"), F.col("__n").alias("__nb"))
+    jac = (
+        F.col("__i").cast("double")
+        / (F.col("__na") + F.col("__nb") - F.col("__i")).cast("double")
+    )
+    return (
+        inter.join(sa, "id_1").join(sb, "id_2")
+        .select("id_1", "id_2", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
+# ------------------------------------------------- embedding near-dup
+
+
+def embedding_neardup_pairs(
+    df: DataFrame, id_col: str, vec_col: str, block_col: str,
+    min_cosine: float = 0.3,
+) -> DataFrame:
+    """Cosine near-duplicates within a blocking key.  The block is the
+    scale lever: label here; an LSH bucket (BucketedRandomProjection)
+    or IVF centroid id in production — anything that avoids all-pairs."""
+    a, b = df.alias("a"), df.alias("b")
+    pairs = a.join(
+        b,
+        (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    )
+    cos = cosine_exact(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+    return (
+        pairs.select(
+            F.col(f"a.{id_col}").alias("id_1"),
+            F.col(f"b.{id_col}").alias("id_2"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= min_cosine)
+    )

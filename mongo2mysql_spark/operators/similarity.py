@@ -1,0 +1,103 @@
+"""Similarity search over embedding columns (extension layer):
+brute-force cosine top-k as the correctness baseline, IVF (inverted
+file) bucketing as the scale path.
+
+Scale story:
+- Brute force is O(N·Q): the query side is broadcast (small Q), the big
+  side streams — no shuffle of the corpus, but every vector is scored.
+  Correct at any N, affordable only for small Q or as an oracle.
+- IVF: pick C centroids, assign every vector to its nearest centroid
+  (one broadcast pass), then answer queries by scoring ONLY the
+  vectors in the query's ``nprobe`` nearest centroid buckets —
+  a 1/C-ish fraction of the corpus per query.  Centroid assignment is
+  the classic k-means-lite: here centroids are a deterministic sample
+  (every ``stride``-th vector) so results are seed-free reproducible;
+  production would k-means-iterate the same assignment plan.
+- The LSH alternative (BucketedRandomProjectionLSH) trades recall for
+  a pure hash-bucket join; the near-dup variant lives in dedup.py.
+
+All cosine math uses the exact-decimal form (functions/vector.py) so
+rankings are deterministic: ties broken by (rounded cosine DESC, id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from mongo2mysql_spark.functions.vector import cosine_exact
+
+
+def topk_bruteforce(
+    corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str, k: int = 10,
+    include_self: bool = False,
+) -> DataFrame:
+    """Exact top-k neighbors per query vector (broadcast the queries)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"))
+    pairs = c.crossJoin(F.broadcast(q))
+    if not include_self:
+        pairs = pairs.filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        cosine_exact(F.col("__qvec"), F.col("__cvec")).alias("cosine"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def assign_centroids(
+    corpus: DataFrame, centroids: DataFrame, id_col: str, vec_col: str,
+) -> DataFrame:
+    """Nearest-centroid assignment (broadcast centroids, one pass).
+    Deterministic: ties on rounded cosine break by centroid id."""
+    c = centroids.select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("__centvec")
+    )
+    scored = corpus.crossJoin(F.broadcast(c)).select(
+        "*",
+        cosine_exact(F.col(vec_col), F.col("__centvec")).alias("__ccos"),
+    )
+    w = W.partitionBy(id_col).orderBy(F.desc("__ccos"), F.col("centroid_id"))
+    return (
+        scored.withColumn("__crank", F.row_number().over(w))
+        .filter(F.col("__crank") == 1)
+        .drop("__crank", "__centvec", "__ccos")
+    )
+
+
+def topk_ivf(
+    corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
+    centroid_stride: int = 97, k: int = 5,
+) -> DataFrame:
+    """IVF top-k: deterministic centroids (ids ≡ 0 mod stride), search
+    only the query's own bucket.  Recall < 1 by design; the bruteforce
+    operator is the recall oracle."""
+    centroids = corpus.filter(F.col(id_col) % centroid_stride == 0)
+    assigned = assign_centroids(corpus, centroids, id_col, vec_col)
+    q_assigned = assigned.join(
+        queries.select(F.col(id_col).alias("__qid")),
+        F.col(id_col) == F.col("__qid"),
+    ).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        F.col("centroid_id").alias("__qcentroid"),
+    )
+    pairs = assigned.join(
+        F.broadcast(q_assigned),
+        (F.col("centroid_id") == F.col("__qcentroid"))
+        & (F.col(id_col) != F.col("query_id")),
+    )
+    scored = pairs.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        cosine_exact(F.col("__qvec"), F.col(vec_col)).alias("cosine"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

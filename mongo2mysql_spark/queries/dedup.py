@@ -1,1 +1,228 @@
-"""Placeholder — filled in by later milestones."""
+"""Deduplication queries (extension layer) with DuckDB oracles.
+
+Hash portability: every signature is built from md5 hex strings —
+identical in Spark and DuckDB — so even the LSH candidate sets are
+bit-reproducible cross-engine (operators/dedup.py explains why min-of-
+md5 is a valid MinHash family).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mongo2mysql_spark.functions.text import tokens, word_shingles
+from mongo2mysql_spark.operators.dedup import (
+    content_hash,
+    dedup_exact,
+    embedding_neardup_pairs,
+    lsh_candidate_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash_bits,
+)
+from mongo2mysql_spark.queries import register
+from mongo2mysql_spark.sources import load_table as T
+
+K = 16
+BANDS = 8
+
+# DuckDB 3-token shingle set per doc (mirrors functions/text.word_shingles)
+_SHINGLES_CTE = """
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(
+               [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]
+             )) AS s
+      FROM toks WHERE len(t) >= 3)
+"""
+
+
+@register(
+    "dedup_exact_fingerprint",
+    """
+    SELECT fingerprint, doc_id, n_docs FROM (
+      SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint,
+             min(doc_id) AS doc_id,
+             count(*) AS n_docs
+      FROM documents
+      GROUP BY 1)
+    """,
+    doc="exact dedup on the token-set fingerprint; deterministic min-id representative.",
+)
+def dedup_exact_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mongo2mysql_spark.functions.text import fingerprint
+
+    d = T(spark, sf_dir, "documents").withColumn("fingerprint", fingerprint(tokens(F.col("text"))))
+    return d.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+@register(
+    "dedup_content_hash",
+    """
+    SELECT doc_id, sha256(text) AS content_hash
+    FROM (SELECT doc_id, text,
+                 row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+          FROM documents)
+    WHERE rn = 1
+    """,
+    doc="content-hash (sha256) exact dedup keeping the min-id row per hash.",
+)
+def dedup_content_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents").withColumn("content_hash", content_hash(F.col("text")))
+    return dedup_exact(d, ["content_hash"], "doc_id").select("doc_id", "content_hash")
+
+
+def _minhash_sig_sql() -> str:
+    mins = ",\n             ".join(
+        f"min(md5('{i}_' || s)) AS mh{i}" for i in range(K)
+    )
+    return f"""
+    sig AS (
+      SELECT doc_id,
+             {mins}
+      FROM sh GROUP BY doc_id)
+    """
+
+
+@register(
+    "dedup_minhash_signatures",
+    f"""
+    WITH {_SHINGLES_CTE},
+    {_minhash_sig_sql()}
+    SELECT doc_id, {", ".join(f"mh{i}" for i in range(K))} FROM sig
+    """,
+    doc=f"MinHash signatures (k={K}) from md5-salted 3-token shingles.",
+)
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    return minhash_signature(
+        d, "doc_id", word_shingles(tokens(F.col("text")), 3), k=K
+    )
+
+
+def _band_exprs_sql() -> str:
+    r = K // BANDS
+    return ", ".join(
+        "md5(" + " || '|' || ".join(f"mh{b * r + j}" for j in range(r)) + f") AS band{b}"
+        for b in range(BANDS)
+    )
+
+
+@register(
+    "dedup_minhash_lsh_pairs",
+    f"""
+    WITH {_SHINGLES_CTE},
+    {_minhash_sig_sql()},
+    banded AS (SELECT *, {_band_exprs_sql()} FROM sig),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
+      FROM banded a JOIN banded b
+        ON a.doc_id < b.doc_id
+       AND ({" OR ".join(f"a.band{b} = b.band{b}" for b in range(BANDS))})
+    )
+    SELECT id_1, id_2,
+           ({" + ".join(f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END" for i in range(K))})
+             / {float(K)} AS est_jaccard
+    FROM cand
+    JOIN sig sa ON sa.doc_id = id_1
+    JOIN sig sb ON sb.doc_id = id_2
+    WHERE ({" + ".join(f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END" for i in range(K))})
+             / {float(K)} >= 0.5
+    """,
+    doc=f"MinHash LSH near-dup candidates ({BANDS} bands × {K // BANDS} rows), est-Jaccard ≥ 0.5.",
+)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    sig = minhash_signature(d, "doc_id", word_shingles(tokens(F.col("text")), 3), k=K)
+    return lsh_candidate_pairs(sig, "doc_id", k=K, bands=BANDS, min_est_jaccard=0.5)
+
+
+def _simhash_sql(bits: int = 32) -> str:
+    hexhi = "('8','9','a','b','c','d','e','f')"
+    cols = ",\n         ".join(
+        f"CASE WHEN SUM(CASE WHEN substring(h, {j + 1}, 1) IN {hexhi} THEN 1 ELSE -1 END) > 0 "
+        f"THEN '1' ELSE '0' END AS b{j}"
+        for j in range(bits)
+    )
+    concat = " || ".join(f"b{j}" for j in range(bits))
+    return f"""
+    WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    h AS (SELECT doc_id, md5(tok) AS h FROM t),
+    bits AS (SELECT doc_id,
+         {cols}
+       FROM h GROUP BY doc_id)
+    SELECT doc_id, {concat} AS simhash FROM bits
+    """
+
+
+@register(
+    "dedup_simhash",
+    _simhash_sql(32),
+    doc="32-bit SimHash signature per document (md5-nibble weights).",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    return d.select("doc_id", simhash_bits(tokens(F.col("text")), 32).alias("simhash"))
+
+
+@register(
+    "dedup_ngram_jaccard_pairs",
+    f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_1, b.doc_id AS id_2, count(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_1, id_2,
+           ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_1
+    JOIN sizes sb ON sb.doc_id = id_2
+    WHERE ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.6
+    """,
+    doc="exact 3-gram Jaccard near-dup pairs (≥ 0.6) via shingle self-join.",
+)
+def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        d, "doc_id", word_shingles(tokens(F.col("text")), 3), min_jaccard=0.6
+    )
+
+
+_COS_PAIR_SQL = """
+    ce AS (SELECT vec_id, label,
+                  unnest(embedding) AS v,
+                  generate_subscripts(embedding, 1) AS i
+           FROM embeddings),
+    norms AS (SELECT vec_id,
+                     sqrt(CAST(SUM(CAST(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE)) AS nrm
+              FROM ce GROUP BY vec_id),
+    dots AS (
+      SELECT a.vec_id AS id_1, b.vec_id AS id_2,
+             CAST(SUM(CAST(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE) AS dot
+      FROM ce a JOIN ce b ON a.i = b.i AND a.vec_id < b.vec_id AND a.label = b.label
+      GROUP BY 1, 2)
+"""
+
+
+@register(
+    "dedup_embedding_cosine_pairs",
+    f"""
+    WITH {_COS_PAIR_SQL}
+    SELECT id_1, id_2,
+           ROUND(dot / (na.nrm * nb.nrm), 6) AS cosine
+    FROM dots
+    JOIN norms na ON na.vec_id = id_1
+    JOIN norms nb ON nb.vec_id = id_2
+    WHERE ROUND(dot / (na.nrm * nb.nrm), 6) >= 0.3
+    """,
+    doc="embedding near-dup pairs: exact-decimal cosine ≥ 0.3 within label blocks.",
+)
+def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(e, "vec_id", "embedding", "label", min_cosine=0.3)

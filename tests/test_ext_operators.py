@@ -1,0 +1,146 @@
+"""Unit tests for the extension operators beyond what the oracle gate
+covers: determinism, recall sanity, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from mongo2mysql_spark.functions.text import tokens, word_shingles
+from mongo2mysql_spark.functions.vector import cosine_exact, dot_exact, dot_fast
+from mongo2mysql_spark.operators.dedup import (
+    dedup_exact,
+    hamming_distance_bits,
+    lsh_candidate_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash_bits,
+)
+from mongo2mysql_spark.operators.multimodal import (
+    decode_metadata,
+    payload_frame,
+    sample_frames,
+)
+from mongo2mysql_spark.operators.similarity import topk_bruteforce, topk_ivf
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        Row(doc_id=1, text=base),
+        Row(doc_id=2, text=base),  # exact dup
+        Row(doc_id=3, text=base.replace("dog", "cat")),  # near dup
+        Row(doc_id=4, text="completely different words about spark engines here now"),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_dedup_exact_keeps_min_id(near_dups):
+    out = dedup_exact(near_dups, ["text"], "doc_id")
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 3, 4]
+
+
+def test_minhash_lsh_finds_planted_dups(near_dups):
+    sig = minhash_signature(near_dups, "doc_id", word_shingles(tokens(F.col("text")), 3))
+    pairs = lsh_candidate_pairs(sig, "doc_id", min_est_jaccard=0.5)
+    got = {(r["id_1"], r["id_2"]): r["est_jaccard"] for r in pairs.collect()}
+    assert got[(1, 2)] == 1.0  # exact dup: identical signatures
+    assert (1, 3) in got or (2, 3) in got  # near dup caught by some band
+    assert all(p[1] != 4 and p[0] != 4 for p in got)  # unrelated doc excluded
+
+
+def test_minhash_deterministic_across_runs(near_dups):
+    sig1 = minhash_signature(near_dups, "doc_id", word_shingles(tokens(F.col("text")), 3))
+    sig2 = minhash_signature(
+        near_dups.repartition(7), "doc_id", word_shingles(tokens(F.col("text")), 3)
+    )
+    assert sorted(map(repr, sig1.collect())) == sorted(map(repr, sig2.collect()))
+
+
+def test_simhash_similar_docs_close(near_dups):
+    sigs = {
+        r["doc_id"]: r["sh"]
+        for r in near_dups.select(
+            "doc_id", simhash_bits(tokens(F.col("text"))).alias("sh")
+        ).collect()
+    }
+    assert sigs[1] == sigs[2]
+    df = near_dups.sparkSession.createDataFrame(
+        [Row(a=sigs[1], b=sigs[3]), Row(a=sigs[1], b=sigs[4])]
+    )
+    d13, d14 = [
+        r["d"] for r in df.select(
+            hamming_distance_bits(F.col("a"), F.col("b")).alias("d")
+        ).collect()
+    ]
+    assert d13 < d14  # near-dup closer than unrelated
+
+
+def test_ngram_jaccard_shingle_df_cap(near_dups):
+    # with a df cap of 1, every shared shingle is dropped → no pairs
+    out = ngram_jaccard_pairs(
+        near_dups, "doc_id", word_shingles(tokens(F.col("text")), 3),
+        min_jaccard=0.1, max_shingle_df=1,
+    )
+    assert out.count() == 0
+
+
+def test_vector_dot_forms_agree(spark):
+    df = spark.createDataFrame([Row(a=[1.0, 2.0, 3.0], b=[4.0, 5.0, 6.0])])
+    r = df.select(
+        dot_exact(F.col("a"), F.col("b")).alias("de"),
+        dot_fast(F.col("a"), F.col("b")).alias("df"),
+        cosine_exact(F.col("a"), F.col("a")).alias("self_cos"),
+    ).collect()[0]
+    assert r["de"] == 32.0 and r["df"] == 32.0
+    assert r["self_cos"] == 1.0
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 5)
+    bf = topk_bruteforce(e, q, "vec_id", "embedding", k=5)
+    ivf = topk_ivf(e, q, "vec_id", "embedding", centroid_stride=97, k=5)
+    bf_set = {(r["query_id"], r["neighbor_id"]) for r in bf.collect()}
+    ivf_set = {(r["query_id"], r["neighbor_id"]) for r in ivf.collect()}
+    # IVF searches one bucket: subset-ish recall, never empty, never super-set
+    assert ivf_set
+    recall = len(bf_set & ivf_set) / len(bf_set)
+    assert recall > 0.05  # sanity: buckets aren't degenerate
+
+
+def test_multimodal_decode_plumbing(spark):
+    d = spark.read.parquet(f"{SF}/documents.parquet").limit(20)
+    pf = payload_frame(
+        d, F.col("doc_id"), F.encode(F.col("text"), "UTF-8"), F.lit("text/plain")
+    )
+    decoded = decode_metadata(pf, mode="fake")
+    rows = decoded.collect()
+    assert len(rows) == 20
+    r = rows[0]
+    assert r["n_bytes"] > 0 and 16 <= r["width"] and 16 <= r["height"]
+    assert len(r["checksum"]) == 64
+    # deterministic: same payload → same metadata
+    again = {x["media_id"]: x for x in decode_metadata(pf, mode="fake").collect()}
+    assert again[r["media_id"]] == r
+    # frame sampling expands rows
+    sampled = sample_frames(decoded, every_nth=10)
+    assert sampled.count() >= 20
+    with pytest.raises(NotImplementedError):
+        decode_metadata(pf, mode="real")
+
+
+def test_payload_pruning_skips_binary(spark):
+    """Metadata-only reads must not carry the payload column through the
+    plan (parquet column pruning at 100 TB is the whole point)."""
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    pf = payload_frame(
+        d, F.col("doc_id"), F.encode(F.col("text"), "UTF-8"), F.lit("text/plain")
+    )
+    meta_only = pf.select("media_id", "n_bytes")
+    plan = meta_only._jdf.queryExecution().optimizedPlan().toString()
+    assert "checksum" not in plan
