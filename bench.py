@@ -1,0 +1,106 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric", "value" (total sec), "unit", "queries", "sf"}.
+
+Each query is materialized through the noop sink — full computation,
+no driver-side collect overhead distorting the timing.  An ETL
+throughput figure (rows/s through the porter pipeline, the reference's
+only published number — ~2,200 rows/s, BASELINE.md) is included as an
+extra key.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from mongo2mysql_spark.queries import load_all  # noqa: E402
+from mongo2mysql_spark.session import build_session  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: one per operator family, weighted toward the heavy ones.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_regional_revenue",
+    "parent_child_reassembly",
+    "window_running_total",
+    "events_sessionize",
+    "etl_child_spill_tokens",
+    "etl_route_key",
+    "dedup_minhash_lsh_pairs",
+    "dedup_ngram_jaccard_pairs",
+    "dedup_simhash",
+    "ann_topk_bruteforce",
+    "ann_topk_ivf",
+    "text_term_frequency",
+    "text_langid_ngram",
+    "streaming_tumbling_window",
+]
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def etl_rows_per_sec(spark, sf_dir: str) -> tuple[float, int]:
+    """Porter pipeline over the three biggest tables → rows/s (compare:
+    reference ≈ 2,200 rows/s, BASELINE.md)."""
+    from mongo2mysql_spark.porter import PorterConfig, SparkPorter
+    from mongo2mysql_spark.sources.parquet import load_table
+
+    collections = {
+        n: load_table(spark, sf_dir, n) for n in ("lineitem", "orders", "events")
+    }
+    n_rows = sum(df.count() for df in collections.values())
+    t0 = time.time()
+    exports = SparkPorter(spark, PorterConfig()).run_to_frames(collections)
+    for export in exports.values():
+        for tdf in export.tables.values():
+            materialize(tdf)
+    dt = time.time() - t0
+    return (n_rows / dt if dt > 0 else float("inf"), n_rows)
+
+
+def main() -> None:
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "32g")
+    spark = build_session(app_name="mongo2mysql_spark-bench")
+    registry = load_all()
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+
+    # warm up codegen/scan paths so q1 doesn't absorb session startup
+    materialize(registry["q1_pricing_summary"].fn(spark, SF_DIR))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry[name].fn
+        t0 = time.time()
+        materialize(fn(spark, SF_DIR))
+        timings[name] = round(time.time() - t0, 3)
+
+    rps, n_rows = etl_rows_per_sec(spark, SF_DIR)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "etl_rows_per_sec": round(rps, 1),
+                "etl_rows": n_rows,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

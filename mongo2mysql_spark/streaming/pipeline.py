@@ -1,0 +1,120 @@
+"""Structured Streaming layer (SURVEY.md §2 'Streaming' — absent in the
+reference, engine extension per SURVEY §7 Step 7).
+
+The batch ETL transforms (routing A10, flatten A8) are stateless
+projections, so they lift to streams unchanged — the same column
+expressions are applied to a ``readStream`` frame.  Stateful pieces use
+the engine's streaming-native forms: watermarks for late data, tumbling
+/ sliding / session windows, ``foreachBatch`` reusing the batch JDBC
+upsert sink for exactly-once-per-epoch delivery.
+
+Test harness: the parquet fixtures drive a stream via
+``processAllAvailable`` into a memory sink, which makes streaming
+results oracle-checkable against batch SQL (the windowed agg of a
+bounded stream equals the batch windowed agg).
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_MEM_COUNTER = itertools.count()
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events table as a file stream (ns-timestamp handling identical to
+    the batch source: read ns longs, truncate to µs)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(path).schema
+    # file streams need a directory source; glob-filter to the one table
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def tumbling_counts(stream: DataFrame, width: str = "1 hour",
+                    watermark: str = "2 hours") -> DataFrame:
+    """Tumbling-window counts with a watermark bounding state retention
+    (late rows beyond the watermark are dropped at 100 TB/day rates the
+    watermark is what keeps state finite)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum(F.col("value").cast("decimal(30,10)")), 4).cast("double").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sliding_counts(stream: DataFrame, width: str = "1 hour", slide: str = "30 minutes",
+                   watermark: str = "2 hours") -> DataFrame:
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+
+
+def session_windows(stream: DataFrame, gap: str = "30 minutes",
+                    watermark: str = "2 hours") -> DataFrame:
+    """Session windows per user (gap-based).  ``session_window.start``
+    equals the batch sessionization's min(ts) per session."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("session_start"), "user_id", "n_events")
+    )
+
+
+def streaming_route(stream: DataFrame, key_col: str, collection: str) -> DataFrame:
+    """The batch routing operator applied to a stream — stateless, so
+    identical semantics (demonstrates the ETL lift)."""
+    from mongo2mysql_spark.operators.routing import add_table_column
+
+    return add_table_column(stream, key_col, collection)
+
+
+def run_to_memory(agg: DataFrame, mode: str = "complete") -> DataFrame:
+    """Drive a bounded stream to completion synchronously; return the
+    materialized result as a batch DataFrame."""
+    name = f"__stream_out_{next(_MEM_COUNTER)}"
+    q = (
+        agg.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    spark = agg.sparkSession
+    return spark.table(name)
+
+
+def foreach_batch_upsert(stream: DataFrame, table: str, connection_factory,
+                         mode: str = "replace", batch_size: int = 1000):
+    """Streaming sink reusing the batch JDBC upsert (A15): REPLACE-on-PK
+    makes epoch replays idempotent — exactly-once effective delivery."""
+    from mongo2mysql_spark.sources.jdbc import write_upsert
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        write_upsert(batch_df, table, connection_factory, mode=mode, batch_size=batch_size)
+
+    return stream.writeStream.foreachBatch(handle)
