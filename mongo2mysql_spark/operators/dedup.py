@@ -134,23 +134,25 @@ def simhash_bits(toks: Column, bits: int = 32) -> Column:
     Uses one md5 per token and pure array expressions.
     """
     assert bits <= 32
+    hexhi = ("8", "9", "a", "b", "c", "d", "e", "f")
     md5s = F.transform(toks, lambda t: F.md5(t))
-
-    def bit_weight(j: int) -> Column:
-        # closure factory: a `lambda acc, h, j=j` would grow a 3rd
-        # parameter and be misread as the 3-arg lambda variant
-        hexhi = ("8", "9", "a", "b", "c", "d", "e", "f")
-        return F.aggregate(
-            md5s,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.substring(h, j + 1, 1).isin(*hexhi), 1).otherwise(-1),
-        )
-
-    bit_exprs = [
-        F.when(bit_weight(j) > 0, F.lit("1")).otherwise(F.lit("0")) for j in range(bits)
-    ]
-    return F.concat(*bit_exprs)
+    # ONE fold over the token md5s with an array<int> accumulator (the
+    # per-bit weight vector) instead of `bits` separate folds — each
+    # token's md5 is computed once and updates all 32 weights in a
+    # single pass (the naive per-bit form recomputes the transform 32×).
+    weights = F.aggregate(
+        md5s,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.sequence(F.lit(1), F.lit(bits)),
+            lambda a, j: a + F.when(F.substring(h, j, F.lit(1)).isin(*hexhi), 1).otherwise(-1),
+        ),
+    )
+    return F.array_join(
+        F.transform(weights, lambda w: F.when(w > 0, F.lit("1")).otherwise(F.lit("0"))),
+        "",
+    )
 
 
 def hamming_distance_bits(a: Column, b: Column, bits: int = 32) -> Column:

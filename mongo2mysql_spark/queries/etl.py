@@ -276,3 +276,22 @@ def etl_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "table_name string, n_rows long, n_cols int, n_schema_cols int"
     )
+
+
+@register(
+    "etl_dynamic_json_flatten",
+    """
+    SELECT event_id, event_type,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS props_k
+    FROM events
+    """,
+    doc=(
+        "dynamic-schema payload path (SURVEY §7 Step 2): JSON string column → "
+        "sampled schema inference → from_json → flattened columns."
+    ),
+)
+def etl_dynamic_json_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mongo2mysql_spark.operators.dynamic import parse_json_column
+
+    e = Tb(spark, sf_dir, "events").select("event_id", "event_type", "props")
+    return parse_json_column(e, "props")

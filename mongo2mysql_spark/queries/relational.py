@@ -745,3 +745,144 @@ def scalar_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("engagement")
         .alias("event_class"),
     )
+
+
+@register(
+    "window_lead_ntile",
+    """
+    SELECT o_custkey, o_orderkey,
+           lead(o_orderkey) OVER w AS next_orderkey,
+           CAST(ntile(4) OVER w AS INTEGER) AS spend_quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    doc="lead() and ntile() window functions.",
+)
+def window_lead_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+        F.ntile(4).over(w).alias("spend_quartile"),
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    f"""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n, {sql_dsum('o_totalprice')} AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    doc="explicit GROUPING SETS (via spark.sql — same Catalyst path as the API).",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    T(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(30,10))), 4) AS DOUBLE) AS total
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
+    "having_filter",
+    f"""
+    SELECT o_custkey, COUNT(*) AS n_orders, {sql_dsum('o_totalprice')} AS spend
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 12
+    """,
+    doc="post-aggregation filter (HAVING).",
+)
+def having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("spend"),
+        )
+        .filter(F.col("n_orders") >= 12)
+    )
+
+
+@register(
+    "join_full_outer",
+    """
+    SELECT n_nationkey, cn, sn
+    FROM (SELECT c_nationkey AS ck, COUNT(*) AS cn FROM customer GROUP BY 1) c
+    FULL OUTER JOIN (SELECT s_nationkey AS sk, COUNT(*) AS sn FROM supplier GROUP BY 1) s
+      ON c.ck = s.sk
+    JOIN nation ON n_nationkey = COALESCE(c.ck, s.sk)
+    """,
+    doc="full outer join of two aggregates, reconciled against the dimension.",
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = T(spark, sf_dir, "customer").groupBy(F.col("c_nationkey").alias("ck")).agg(
+        F.count(F.lit(1)).alias("cn")
+    )
+    s = T(spark, sf_dir, "supplier").groupBy(F.col("s_nationkey").alias("sk")).agg(
+        F.count(F.lit(1)).alias("sn")
+    )
+    n = T(spark, sf_dir, "nation")
+    return (
+        c.join(s, c.ck == s.sk, "full_outer")
+        .join(F.broadcast(n), n.n_nationkey == F.coalesce(c.ck, s.sk))
+        .select("n_nationkey", "cn", "sn")
+    )
+
+
+@register(
+    "union_schema_drift",
+    """
+    SELECT o_orderkey, o_totalprice, o_orderpriority FROM (
+      SELECT o_orderkey, o_totalprice, o_orderpriority
+      FROM orders WHERE o_orderstatus = 'F'
+      UNION ALL BY NAME
+      SELECT o_orderkey, NULL AS o_totalprice, o_orderpriority
+      FROM orders WHERE o_orderstatus = 'O')
+    """,
+    doc=(
+        "unionByName(allowMissingColumns=True): the schema-drift union used "
+        "when folding collections whose inferred schemas differ (SURVEY §1.3)."
+    ),
+)
+def union_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    b = o.filter(F.col("o_orderstatus") == "O").select("o_orderkey", "o_orderpriority")
+    return a.unionByName(b, allowMissingColumns=True)
+
+
+@register(
+    "subquery_min_per_group",
+    """
+    SELECT p_brand, p_partkey, p_retailprice
+    FROM part p
+    WHERE p_retailprice = (SELECT MIN(p2.p_retailprice) FROM part p2
+                           WHERE p2.p_brand = p.p_brand)
+    """,
+    doc="correlated scalar subquery (cheapest part per brand).",
+)
+def subquery_min_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = T(spark, sf_dir, "part")
+    mins = p.groupBy(F.col("p_brand").alias("mb")).agg(
+        F.min("p_retailprice").alias("min_price")
+    )
+    return (
+        p.join(
+            F.broadcast(mins),
+            (p.p_brand == F.col("mb")) & (p.p_retailprice == F.col("min_price")),
+        )
+        .select("p_brand", "p_partkey", "p_retailprice")
+    )

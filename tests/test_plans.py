@@ -1,0 +1,112 @@
+"""Physical-plan audits: the properties the 100 TB scale story depends
+on, asserted on the actual optimized/executed plans (SURVEY.md §4).
+
+These are regression guards: if a refactor turns a broadcast join into
+a cartesian product or breaks parquet pushdown, correctness tests stay
+green but these fail.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mongo2mysql_spark.queries import load_all
+from tests.conftest import SF_DIR
+
+REGISTRY = load_all()
+
+
+def physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_plan(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_q1_filter_pushed_to_parquet(spark):
+    df = REGISTRY["q1_pricing_summary"].fn(spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_q1_column_pruning(spark):
+    df = REGISTRY["q1_pricing_summary"].fn(spark, SF_DIR)
+    plan = physical_plan(df)
+    # scan must read only the 7 needed columns, not all 11
+    readschema = next(line for line in plan.splitlines() if "ReadSchema" in line)
+    assert "l_orderkey" not in readschema and "l_suppkey" not in readschema
+    assert "l_quantity" in readschema
+
+
+def test_q1_partial_aggregation(spark):
+    """Map-side combine: two HashAggregate levels around the shuffle."""
+    df = REGISTRY["q1_pricing_summary"].fn(spark, SF_DIR)
+    plan = physical_plan(df)
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_q5_broadcasts_dimensions(spark):
+    df = REGISTRY["q5_regional_revenue"].fn(spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_semi_anti_join_strategies(spark):
+    semi = REGISTRY["join_semi_customers_with_urgent_orders"].fn(spark, SF_DIR)
+    anti = REGISTRY["join_anti_parts_never_ordered"].fn(spark, SF_DIR)
+    assert "LeftSemi" in physical_plan(semi)
+    assert "LeftAnti" in physical_plan(anti)
+
+
+def test_sort_limit_is_take_ordered(spark):
+    """Global top-N must not global-sort: TakeOrderedAndProject."""
+    df = REGISTRY["sort_limit_orders"].fn(spark, SF_DIR)
+    assert "TakeOrderedAndProject" in physical_plan(df)
+
+
+def test_flatten_has_no_shuffle(spark):
+    df = REGISTRY["etl_flatten_nested"].fn(spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "Exchange" not in plan  # narrow projection end-to-end
+
+
+def test_routing_is_single_projection(spark):
+    from mongo2mysql_spark.operators.routing import add_table_column
+    from mongo2mysql_spark.sources.parquet import load_table
+
+    df = add_table_column(
+        load_table(spark, SF_DIR, "events").withColumn("_key", F.lit("tag:1:topics")),
+        "_key",
+        "events",
+    )
+    plan = optimized_plan(df)
+    assert "Join" not in plan and "Aggregate" not in plan
+
+
+def test_bruteforce_broadcasts_queries(spark):
+    df = REGISTRY["ann_topk_bruteforce"].fn(spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_whole_stage_codegen_active(spark):
+    df = REGISTRY["q1_pricing_summary"].fn(spark, SF_DIR)
+    df.collect()  # AQE finalizes the plan only on execution
+    # executedPlan renders whole-stage-codegen stages as `*(n)` markers
+    plan = physical_plan(df)
+    assert "*(1)" in plan and "*(2)" in plan
+
+
+def test_minhash_single_shuffle_for_signatures(spark):
+    from mongo2mysql_spark.functions.text import tokens, word_shingles
+    from mongo2mysql_spark.operators.dedup import minhash_signature
+    from mongo2mysql_spark.sources.parquet import load_table
+
+    d = load_table(spark, SF_DIR, "documents")
+    sig = minhash_signature(d, "doc_id", word_shingles(tokens(F.col("text")), 3))
+    plan = physical_plan(sig)
+    # one exchange for the groupBy(doc_id) — no extra shuffles
+    assert plan.count("Exchange hashpartitioning") == 1
