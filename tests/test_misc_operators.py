@@ -1,0 +1,83 @@
+"""Tests for skew helpers, file sources, and the dynamic JSON path."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from mongo2mysql_spark.operators.dynamic import infer_json_schema, parse_json_column
+from mongo2mysql_spark.operators.skew import salted_agg, salted_join
+from mongo2mysql_spark.sources.files import read_csv, read_jsonl, write_csv, write_jsonl
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_salted_agg_matches_plain(spark):
+    df = spark.read.parquet(f"{SF}/lineitem.parquet")
+    plain = {
+        (r["l_returnflag"],): (r["n"], r["s"])
+        for r in df.groupBy("l_returnflag")
+        .agg(F.count("l_orderkey").alias("n"), F.sum("l_orderkey").alias("s"))
+        .collect()
+    }
+    salted = {
+        (r["l_returnflag"],): (r["n"], r["s"])
+        for r in salted_agg(
+            df, ["l_returnflag"], {"n": ("l_orderkey", "count"), "s": ("l_orderkey", "sum")},
+            salt_buckets=16,
+        ).collect()
+    }
+    assert plain == salted
+
+
+def test_salted_join_matches_plain(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select("l_orderkey", "l_quantity")
+    o = spark.read.parquet(f"{SF}/orders.parquet").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"
+    )
+    plain = li.join(o, "l_orderkey").count()
+    salted = salted_join(li, o, "l_orderkey", salt_buckets=4).count()
+    assert plain == salted
+
+
+def test_csv_jsonl_round_trip(spark):
+    df = spark.read.parquet(f"{SF}/region.parquet")
+    with tempfile.TemporaryDirectory() as tmp:
+        write_csv(df, f"{tmp}/r_csv")
+        write_jsonl(df, f"{tmp}/r_json")
+        c = read_csv(spark, f"{tmp}/r_csv", schema="r_regionkey int, r_name string")
+        j = read_jsonl(spark, f"{tmp}/r_json", schema="r_regionkey int, r_name string")
+        base = sorted(map(repr, df.collect()))
+        assert sorted(map(repr, c.collect())) == base
+        assert sorted(map(repr, j.collect())) == base
+
+
+def test_infer_json_schema_and_parse(spark):
+    df = spark.createDataFrame(
+        [
+            Row(id=1, payload='{"a": 1, "b": {"c": "x"}, "tags": [1, 2]}'),
+            Row(id=2, payload='{"a": 2.5, "b": {"c": "y"}}'),
+            Row(id=3, payload=None),
+        ]
+    )
+    schema = infer_json_schema(df, "payload")
+    names = {f.name for f in schema.fields}
+    assert names == {"a", "b", "tags"}
+    out = parse_json_column(df, "payload")
+    assert "payload_a" in out.columns and "payload_b" in out.columns
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["payload_a"] == 1.0  # widened int+double → double across sample
+    assert rows[2]["payload_b"]["c"] == "y"
+    assert rows[3]["payload_a"] is None  # null payload survives as nulls
+
+
+def test_parse_json_unsampled_field_absent(spark):
+    """Documented divergence window: a field first seen after the sample
+    horizon is not in the schema."""
+    rows = [Row(id=i, payload='{"a": 1}') for i in range(10)]
+    rows.append(Row(id=99, payload='{"a": 1, "late_field": 5}'))
+    df = spark.createDataFrame(rows)
+    out = parse_json_column(df, "payload", sample=5)
+    assert "payload_late_field" not in out.columns
