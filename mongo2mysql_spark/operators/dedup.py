@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from mongo2mysql_spark.functions.vector import cosine_exact
+
 
 
 # ------------------------------------------------------------------- exact
@@ -219,13 +219,22 @@ def embedding_neardup_pairs(
     """Cosine near-duplicates within a blocking key.  The block is the
     scale lever: label here; an LSH bucket (BucketedRandomProjection)
     or IVF centroid id in production — anything that avoids all-pairs."""
-    a, b = df.alias("a"), df.alias("b")
+    from mongo2mysql_spark.functions.vector import dot_seq, norm_seq
+
+    # precompute the norm once per vector; the pair expression then only
+    # folds the dot product (halves the decimal work per pair)
+    with_norm = df.withColumn("__norm", norm_seq(F.col(vec_col)))
+    a, b = with_norm.alias("a"), with_norm.alias("b")
     pairs = a.join(
         b,
         (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
         & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
     )
-    cos = cosine_exact(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+    cos = F.round(
+        dot_seq(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+        / (F.col("a.__norm") * F.col("b.__norm")),
+        6,
+    )
     return (
         pairs.select(
             F.col(f"a.{id_col}").alias("id_1"),

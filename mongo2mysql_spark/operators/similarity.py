@@ -16,34 +16,53 @@ Scale story:
 - The LSH alternative (BucketedRandomProjectionLSH) trades recall for
   a pure hash-bucket join; the near-dup variant lives in dedup.py.
 
-All cosine math uses the exact-decimal form (functions/vector.py) so
+All cosine math is the sequential double fold (functions/vector.py) so
 rankings are deterministic: ties broken by (rounded cosine DESC, id).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from mongo2mysql_spark.functions.vector import cosine_exact
+from mongo2mysql_spark.functions.vector import dot_seq, norm_seq
+
+
+def _pair_cosine(dot: Column, norm_a: Column, norm_b: Column, scale: int = 6) -> Column:
+    return F.round(dot / (norm_a * norm_b), scale)
 
 
 def topk_bruteforce(
     corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str, k: int = 10,
     include_self: bool = False,
 ) -> DataFrame:
-    """Exact top-k neighbors per query vector (broadcast the queries)."""
+    """Exact top-k neighbors per query vector (broadcast the queries).
+
+    Norms are precomputed ONCE per vector (a projection) instead of
+    inside the pair expression — at N vectors × Q queries that removes
+    2·N·Q redundant 64-element decimal folds.
+    """
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        norm_seq(F.col(vec_col)).alias("__qnorm"),
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        norm_seq(F.col(vec_col)).alias("__cnorm"),
+    )
     pairs = c.crossJoin(F.broadcast(q))
     if not include_self:
         pairs = pairs.filter(F.col("neighbor_id") != F.col("query_id"))
     scored = pairs.select(
         "query_id",
         "neighbor_id",
-        cosine_exact(F.col("__qvec"), F.col("__cvec")).alias("cosine"),
+        _pair_cosine(
+            dot_seq(F.col("__qvec"), F.col("__cvec")),
+            F.col("__qnorm"),
+            F.col("__cnorm"),
+        ).alias("cosine"),
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
     return (
@@ -58,17 +77,24 @@ def assign_centroids(
     """Nearest-centroid assignment (broadcast centroids, one pass).
     Deterministic: ties on rounded cosine break by centroid id."""
     c = centroids.select(
-        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("__centvec")
+        F.col(id_col).alias("centroid_id"),
+        F.col(vec_col).alias("__centvec"),
+        norm_seq(F.col(vec_col)).alias("__centnorm"),
     )
-    scored = corpus.crossJoin(F.broadcast(c)).select(
+    with_norm = corpus.withColumn("__vnorm", norm_seq(F.col(vec_col)))
+    scored = with_norm.crossJoin(F.broadcast(c)).select(
         "*",
-        cosine_exact(F.col(vec_col), F.col("__centvec")).alias("__ccos"),
+        _pair_cosine(
+            dot_seq(F.col(vec_col), F.col("__centvec")),
+            F.col("__vnorm"),
+            F.col("__centnorm"),
+        ).alias("__ccos"),
     )
     w = W.partitionBy(id_col).orderBy(F.desc("__ccos"), F.col("centroid_id"))
     return (
         scored.withColumn("__crank", F.row_number().over(w))
         .filter(F.col("__crank") == 1)
-        .drop("__crank", "__centvec", "__ccos")
+        .drop("__crank", "__centvec", "__centnorm", "__vnorm", "__ccos")
     )
 
 
@@ -87,9 +113,10 @@ def topk_ivf(
     ).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qvec"),
+        norm_seq(F.col(vec_col)).alias("__qnorm"),
         F.col("centroid_id").alias("__qcentroid"),
     )
-    pairs = assigned.join(
+    pairs = assigned.withColumn("__nnorm", norm_seq(F.col(vec_col))).join(
         F.broadcast(q_assigned),
         (F.col("centroid_id") == F.col("__qcentroid"))
         & (F.col(id_col) != F.col("query_id")),
@@ -97,7 +124,11 @@ def topk_ivf(
     scored = pairs.select(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
-        cosine_exact(F.col("__qvec"), F.col(vec_col)).alias("cosine"),
+        _pair_cosine(
+            dot_seq(F.col("__qvec"), F.col(vec_col)),
+            F.col("__qnorm"),
+            F.col("__nnorm"),
+        ).alias("cosine"),
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

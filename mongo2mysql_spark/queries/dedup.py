@@ -194,32 +194,21 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_COS_PAIR_SQL = """
-    ce AS (SELECT vec_id, label,
-                  unnest(embedding) AS v,
-                  generate_subscripts(embedding, 1) AS i
-           FROM embeddings),
-    norms AS (SELECT vec_id,
-                     sqrt(CAST(SUM(CAST(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE)) AS nrm
-              FROM ce GROUP BY vec_id),
-    dots AS (
-      SELECT a.vec_id AS id_1, b.vec_id AS id_2,
-             CAST(SUM(CAST(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE) AS dot
-      FROM ce a JOIN ce b ON a.i = b.i AND a.vec_id < b.vec_id AND a.label = b.label
-      GROUP BY 1, 2)
-"""
+def _cos_sql(a: str, b: str) -> str:
+    from mongo2mysql_spark.functions.vector import sql_dot, sql_norm
+
+    return f"ROUND({sql_dot(a, b)} / ({sql_norm(a)} * {sql_norm(b)}), 6)"
 
 
 @register(
     "dedup_embedding_cosine_pairs",
     f"""
-    WITH {_COS_PAIR_SQL}
-    SELECT id_1, id_2,
-           ROUND(dot / (na.nrm * nb.nrm), 6) AS cosine
-    FROM dots
-    JOIN norms na ON na.vec_id = id_1
-    JOIN norms nb ON nb.vec_id = id_2
-    WHERE ROUND(dot / (na.nrm * nb.nrm), 6) >= 0.3
+    WITH scored AS (
+      SELECT a.vec_id AS id_1, b.vec_id AS id_2,
+             {_cos_sql('a.embedding', 'b.embedding')} AS cosine
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id)
+    SELECT id_1, id_2, cosine FROM scored WHERE cosine >= 0.3
     """,
     doc="embedding near-dup pairs: exact-decimal cosine ≥ 0.3 within label blocks.",
 )
