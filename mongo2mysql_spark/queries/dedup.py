@@ -77,14 +77,19 @@ def dedup_content_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_sig_sql() -> str:
+    from mongo2mysql_spark.operators.dedup import MINHASH_A, MINHASH_B, MINHASH_P
+
+    base = "CAST('0x' || substr(md5(s), 1, 12) AS BIGINT)"
     mins = ",\n             ".join(
-        f"min(md5('{i}_' || s)) AS mh{i}" for i in range(K)
+        f"min(({MINHASH_A[i]} * h + {MINHASH_B[i]}) % {MINHASH_P}) AS mh{i}"
+        for i in range(K)
     )
     return f"""
+    hashed AS (SELECT doc_id, {base} AS h FROM sh),
     sig AS (
       SELECT doc_id,
              {mins}
-      FROM sh GROUP BY doc_id)
+      FROM hashed GROUP BY doc_id)
     """
 
 
@@ -107,7 +112,9 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _band_exprs_sql() -> str:
     r = K // BANDS
     return ", ".join(
-        "md5(" + " || '|' || ".join(f"mh{b * r + j}" for j in range(r)) + f") AS band{b}"
+        "md5("
+        + " || '|' || ".join(f"CAST(mh{b * r + j} AS VARCHAR)" for j in range(r))
+        + f") AS band{b}"
         for b in range(BANDS)
     )
 
