@@ -942,3 +942,46 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("order_count"))
     )
+
+
+@register(
+    "asof_join_error_purchase",
+    """
+    WITH errors AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'error'),
+    purchases AS (
+      SELECT user_id, ts,
+             MAX(event_id) AS purchase_event_id,
+             MAX(value) AS purchase_value
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, ts)
+    SELECT e.user_id, e.event_id, CAST(e.ts AS TIMESTAMP) AS ts,
+           p.purchase_event_id, p.purchase_value
+    FROM errors e
+    ASOF LEFT JOIN purchases p
+      ON e.user_id = p.user_id AND e.ts >= p.ts
+    """,
+    doc=(
+        "as-of join (operator Spark lacks natively): each error event gets "
+        "the user's most recent prior purchase — union-sort-window technique, "
+        "one shuffle, no inequality cross-join; oracle is DuckDB's native "
+        "ASOF JOIN."
+    ),
+)
+def asof_join_error_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mongo2mysql_spark.operators.asof import asof_join_backward
+
+    e = T(spark, sf_dir, "events")
+    errors = e.filter(F.col("event_type") == "error").select("user_id", "event_id", "ts")
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("purchase_event_id"),
+            F.max("value").alias("purchase_value"),
+        )
+    )
+    return asof_join_backward(
+        errors, purchases, "user_id", "ts", "ts",
+        ["purchase_event_id", "purchase_value"],
+    )

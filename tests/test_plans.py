@@ -110,3 +110,12 @@ def test_minhash_single_shuffle_for_signatures(spark):
     plan = physical_plan(sig)
     # one exchange for the groupBy(doc_id) — no extra shuffles
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_asof_join_is_not_nested_loop(spark):
+    """The as-of join must plan as shuffle+window (linear), never as an
+    inequality BroadcastNestedLoopJoin (quadratic)."""
+    df = REGISTRY["asof_join_error_purchase"].fn(spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "Window" in plan
