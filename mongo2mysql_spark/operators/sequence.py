@@ -26,17 +26,30 @@ def add_num(
     order_cols: list[str] | None = None,
     out_col: str = "_num",
 ) -> DataFrame:
-    w = W.partitionBy(*(partition_cols or [])).orderBy(*(order_cols or ["_id"]))
+    """Per-group 1-based sequence.  With no partition columns a plain
+    window would be a global no-partition window (single reducer on the
+    whole table) — that case is routed to the two-phase scheme instead,
+    so callers can never accidentally produce a `WindowExec: No
+    Partition Defined` plan."""
+    if not partition_cols:
+        return add_num_two_phase(df, order_cols or ["_id"], out_col=out_col)
+    w = W.partitionBy(*partition_cols).orderBy(*(order_cols or ["_id"]))
     return df.withColumn(out_col, F.row_number().over(w))
 
 
-def add_num_two_phase(df: DataFrame, order_col: str, out_col: str = "_num") -> DataFrame:
-    """Skew-proof global sequence: sort partitions by range, count per
-    partition, broadcast cumulative offsets, add partition-local rank.
-    No single-reducer window; survives a table with 10^12 rows."""
+def add_num_two_phase(
+    df: DataFrame, order_cols: list[str] | str, out_col: str = "_num"
+) -> DataFrame:
+    """Skew-proof global sequence: range-partition on the order key(s),
+    count per partition (one tiny job: one row per partition), broadcast
+    cumulative offsets, add partition-local rank.  No single-reducer
+    window; survives a table with 10^12 rows.  ``order_cols`` must be a
+    unique key for the result to be deterministic."""
     from pyspark.sql.functions import spark_partition_id
 
-    ranged = df.repartitionByRange(F.col(order_col))
+    if isinstance(order_cols, str):
+        order_cols = [order_cols]
+    ranged = df.repartitionByRange(*[F.col(c) for c in order_cols])
     with_pid = ranged.withColumn("__pid", spark_partition_id())
     counts = (
         with_pid.groupBy("__pid").count().orderBy("__pid").collect()
@@ -49,9 +62,9 @@ def add_num_two_phase(df: DataFrame, order_col: str, out_col: str = "_num") -> D
     offset_map = F.create_map(
         *[x for pid, off in offsets.items() for x in (F.lit(pid), F.lit(off))]
     )
-    w = W.partitionBy("__pid").orderBy(order_col)
+    w = W.partitionBy("__pid").orderBy(*order_cols)
     return (
         with_pid.withColumn("__local", F.row_number().over(w))
-        .withColumn(out_col, offset_map[F.col("__pid")] + F.col("__local"))
+        .withColumn(out_col, (offset_map[F.col("__pid")] + F.col("__local")).cast("int"))
         .drop("__pid", "__local")
     )

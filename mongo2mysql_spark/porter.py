@@ -30,10 +30,10 @@ from mongo2mysql_spark.operators.guards import (
     table_too_wide,
 )
 from mongo2mysql_spark.operators.routing import DEFAULT_KLUDGE_RULES, add_table_column
-from mongo2mysql_spark.operators.sequence import add_num
+from mongo2mysql_spark.operators.sequence import add_num, add_num_two_phase
 from mongo2mysql_spark.operators.spill import child_table_name, spill_child
 from mongo2mysql_spark.plans.ddl import evolve_schema_sql
-from mongo2mysql_spark.plans.infer import infer_table_schema
+from mongo2mysql_spark.plans.infer import infer_table_schema, infer_table_schemas_grouped
 
 
 @dataclass
@@ -57,6 +57,14 @@ class CollectionExport:
     schemas: dict[str, dict[str, str]] = field(default_factory=dict)
     ddl: list[str] = field(default_factory=list)
     skipped_wide: list[str] = field(default_factory=list)
+    _cached: DataFrame | None = None  # routed parent held persisted for the split
+
+    def unpersist(self) -> None:
+        """Release the cached routed-parent frame (call once the
+        per-table frames have been written/consumed)."""
+        if self._cached is not None:
+            self._cached.unpersist()
+            self._cached = None
 
 
 class SparkPorter:
@@ -80,21 +88,26 @@ class SparkPorter:
             parent = filter_missing_destination(parent, cfg.existing_tables)
 
         # wide-row guard: per-table with fixed schemas (Porter.php:190-194).
-        # NOTE reference quirk preserved in spirit: child spills of skipped
-        # parents still execute (Porter.php:182-188 runs before the guard),
-        # so children derive from the UNGUARDED frame below.
-        if table_too_wide(df.schema, cfg.wide_row_limit):
+        # A skipped-wide parent emits NO destination table and NO DDL —
+        # the reference skips the row before ensureRowStructure, so it
+        # never creates structure for skipped data.  Reference quirk
+        # preserved: child spills of skipped parents still execute
+        # (Porter.php:182-188 runs before the guard), so children derive
+        # from the UNGUARDED frame below.
+        parent_skipped = table_too_wide(df.schema, cfg.wide_row_limit)
+        if parent_skipped:
             out.skipped_wide.append(collection_name)
-            parent = parent.filter(F.lit(False))
 
         # stable order/parent key: `_id` for Mongo-shaped input
         # (Porter.php:116-117); first column for plain relational frames
         id_col = cfg.id_col if cfg.id_col in flat.parent.columns else df.columns[0]
-        parent = add_num(parent, ["_table"], [id_col])
 
         for spill in flat.spills:
             child = spill_child(df, spill, id_col=id_col)
-            child = add_num(child, [], ["_parentid", "_index"])
+            # per-child-table counter (Porter.php:260): two-phase global
+            # sequence — never a no-partition window (children are the
+            # exploded-array rows, the largest frames in the pipeline)
+            child = add_num_two_phase(child, ["_parentid", "_index"])
             name = child_table_name(collection_name, spill.flat_name)
             if cfg.dataonly and name not in cfg.existing_tables:
                 continue
@@ -102,18 +115,39 @@ class SparkPorter:
                 continue
             out.tables[name] = child
 
-        # per-destination-table parent frames (routing split)
-        table_names = [r["_table"] for r in parent.select("_table").distinct().collect()]
-        for t in sorted(table_names):
-            out.tables[t] = parent.filter(F.col("_table") == t).drop("_table")
-
-        # Pass 1: schema inference + DDL (once per table — the reference's
-        # per-row ensureRowStructure collapsed into one aggregation each)
+        # Schema inference for child tables: one aggregation each (child
+        # frames are distinct plans; cardinality = number of spill fields).
         for t, tdf in out.tables.items():
-            schema = infer_table_schema(tdf, strict=False)
-            out.schemas[t] = schema
-            pk = ("_parentid", "_index") if "__" in t else ((id_col,) if id_col in tdf.columns else ())
-            if not cfg.dataonly:
+            out.schemas[t] = infer_table_schema(tdf, strict=False)
+
+        if not parent_skipped:
+            # Routing split: ONE scan for N destination tables.  The routed
+            # parent is persisted, the distinct-table collect and the single
+            # grouped schema aggregation run against the cache, and each
+            # per-table filter below is a narrow cache read.  (At cluster
+            # scale the equivalent is a partitionBy("_table") staging write;
+            # see SURVEY §3.)
+            parent = add_num(parent, ["_table"], [id_col])
+            parent = parent.persist()
+            out._cached = parent
+            table_names = [
+                r["_table"] for r in parent.select("_table").distinct().collect()
+            ]
+            parent_schemas = infer_table_schemas_grouped(parent, "_table", strict=False)
+            for t in sorted(table_names):
+                out.tables[t] = parent.filter(F.col("_table") == t).drop("_table")
+                out.schemas[t] = parent_schemas.get(t, {})
+
+        # DDL pass (once per table — the reference's per-row
+        # ensureRowStructure collapsed into one statement batch)
+        if not cfg.dataonly:
+            for t in out.tables:
+                schema = out.schemas[t]
+                pk = (
+                    ("_parentid", "_index")
+                    if "__" in t
+                    else ((id_col,) if id_col in schema else ())
+                )
                 out.ddl.extend(evolve_schema_sql(t, None, schema, pk))
         return out
 
@@ -138,4 +172,5 @@ class SparkPorter:
             if sink:
                 for t, tdf in export.tables.items():
                     sink(t, tdf)
+            export.unpersist()
         return exports

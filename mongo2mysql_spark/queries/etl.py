@@ -17,7 +17,7 @@ from pyspark.sql import types as T
 
 from mongo2mysql_spark.operators.flatten import SpillField, flatten
 from mongo2mysql_spark.operators.routing import add_table_column
-from mongo2mysql_spark.operators.sequence import add_num
+from mongo2mysql_spark.operators.sequence import add_num, add_num_two_phase
 from mongo2mysql_spark.operators.spill import spill_child
 from mongo2mysql_spark.plans.infer import infer_table_schema
 from mongo2mysql_spark.queries import register
@@ -77,7 +77,8 @@ def etl_child_spill_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     spill = SpillField("token", "token", T.ArrayType(T.StringType()), "array")
     child = spill_child(d, spill)
-    return add_num(child, [], ["_parentid", "_index"])
+    # two-phase global sequence: no single-reducer no-partition window
+    return add_num_two_phase(child, ["_parentid", "_index"])
 
 
 # ------------------------------------------------------------------- routing
@@ -273,6 +274,7 @@ def etl_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         (t, tdf.count(), len(tdf.columns), len(exp.schemas.get(t, {})))
         for t, tdf in sorted(exp.tables.items())
     ]
+    exp.unpersist()
     return spark.createDataFrame(
         rows, "table_name string, n_rows long, n_cols int, n_schema_cols int"
     )

@@ -280,8 +280,35 @@ def test_porter_skip_and_wide(spark, docs):
     wide_schema = T.StructType(
         [T.StructField("_id", T.StringType())]
         + [T.StructField(f"c{i}", T.LongType()) for i in range(501)]
+        + [T.StructField("tags", T.ArrayType(T.StringType()))]
     )
-    wide = spark.createDataFrame([], wide_schema)
-    assert flat_column_count(wide_schema) == 502
+    wide = spark.createDataFrame([("a", *range(501), ["x", "y"])], wide_schema)
+    assert flat_column_count(wide_schema) == 502  # array spills, not counted
     exp2 = SparkPorter(spark, PorterConfig()).run_to_frames({"wide": wide})["wide"]
     assert exp2.skipped_wide == ["wide"]
+    # skipped-wide parent emits NO destination table and NO DDL
+    # (Porter.php:190-194 skips before ensureRowStructure) ...
+    assert "wide" not in exp2.tables
+    assert not any("`wide`" in s for s in exp2.ddl)
+    # ... but child spills still run (Porter.php:182-188 quirk)
+    assert exp2.tables["wide__tags"].count() == 2
+    assert any("`wide__tags`" in s for s in exp2.ddl)
+
+
+def test_porter_single_scan_split(spark, docs):
+    """The routing split must not re-scan the parent per destination
+    table: the routed parent is persisted and per-table schemas come
+    from ONE grouped aggregation."""
+    from mongo2mysql_spark.plans.infer import infer_table_schema, infer_table_schemas_grouped
+
+    exp = SparkPorter(spark, PorterConfig()).run_to_frames({"docs": docs})["docs"]
+    assert exp._cached is not None
+    assert exp._cached.storageLevel.useMemory  # persisted → split reads cache
+    # grouped inference == per-table inference, table by table
+    parents = [t for t in exp.tables if "__" not in t]
+    grouped = infer_table_schemas_grouped(exp._cached, "_table", strict=False)
+    for t in parents:
+        assert exp.schemas[t] == grouped[t]
+        assert grouped[t] == infer_table_schema(exp.tables[t], strict=False)
+    exp.unpersist()
+    assert exp._cached is None
