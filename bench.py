@@ -29,7 +29,7 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_regional_revenue",
     "parent_child_reassembly",
-    "window_running_total",
+    "window_functions_orders",
     "events_sessionize",
     "etl_child_spill_tokens",
     "etl_route_key",

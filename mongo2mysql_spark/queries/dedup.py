@@ -40,40 +40,49 @@ _SHINGLES_CTE = """
 
 
 @register(
-    "dedup_exact_fingerprint",
+    "dedup_exact_hashes",
     """
-    SELECT fingerprint, doc_id, n_docs FROM (
+    SELECT 'token_set' AS method, fingerprint AS hash, doc_id, n_docs FROM (
       SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint,
              min(doc_id) AS doc_id,
              count(*) AS n_docs
       FROM documents
       GROUP BY 1)
+    UNION ALL
+    SELECT 'sha256' AS method, content_hash AS hash, doc_id, n_docs FROM (
+      SELECT sha256(text) AS content_hash,
+             min(doc_id) AS doc_id,
+             count(*) AS n_docs
+      FROM documents
+      GROUP BY 1)
     """,
-    doc="exact dedup on the token-set fingerprint; deterministic min-id representative.",
+    doc=(
+        "exact dedup, both hash bases in one result: token-set fingerprint "
+        "(order/duplication-insensitive) and raw sha256 content hash, each "
+        "with the deterministic min-id representative and group size.  The "
+        "sha256 branch goes through the rank-based dedup_exact operator."
+    ),
 )
-def dedup_exact_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_exact_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mongo2mysql_spark.functions.text import fingerprint
 
-    d = T(spark, sf_dir, "documents").withColumn("fingerprint", fingerprint(tokens(F.col("text"))))
-    return d.groupBy("fingerprint").agg(
-        F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_docs")
+    d = T(spark, sf_dir, "documents")
+    fp = (
+        d.withColumn("fingerprint", fingerprint(tokens(F.col("text"))))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_docs"))
+        .select(F.lit("token_set").alias("method"), F.col("fingerprint").alias("hash"),
+                "doc_id", "n_docs")
     )
-
-
-@register(
-    "dedup_content_hash",
-    """
-    SELECT doc_id, sha256(text) AS content_hash
-    FROM (SELECT doc_id, text,
-                 row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
-          FROM documents)
-    WHERE rn = 1
-    """,
-    doc="content-hash (sha256) exact dedup keeping the min-id row per hash.",
-)
-def dedup_content_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = T(spark, sf_dir, "documents").withColumn("content_hash", content_hash(F.col("text")))
-    return dedup_exact(d, ["content_hash"], "doc_id").select("doc_id", "content_hash")
+    hashed = d.withColumn("content_hash", content_hash(F.col("text")))
+    counts = hashed.groupBy("content_hash").agg(F.count(F.lit(1)).alias("n_docs"))
+    ch = (
+        dedup_exact(hashed, ["content_hash"], "doc_id")
+        .join(counts, "content_hash")
+        .select(F.lit("sha256").alias("method"), F.col("content_hash").alias("hash"),
+                "doc_id", "n_docs")
+    )
+    return fp.unionByName(ch)
 
 
 def _minhash_sig_sql() -> str:

@@ -144,38 +144,34 @@ def _synth_keys(e: DataFrame) -> DataFrame:
     + r"""
     SELECT CASE WHEN k3 IS NULL OR regexp_matches(k3, '^[0-9]*(\.[0-9]+)?$')
                 THEN 'events' ELSE k3 END AS _table,
-           COUNT(*) AS n
+           COUNT(*) AS n,
+           CASE WHEN k3 IS NULL OR regexp_matches(k3, '^[0-9]*(\.[0-9]+)?$')
+                THEN 'events' ELSE k3 END NOT IN ('settings', 'user') AS kept
     FROM cleaned
     GROUP BY 1
     """,
-    doc="A10 routing: _key → _table expression chain + key histogram ($allKeys).",
+    doc=(
+        "A10 routing + A5 skip-list in one result: _key → _table expression "
+        "chain, per-table key histogram ($allKeys), and the skip-list verdict "
+        "(kept=false rows are what filter_skip_list drops)."
+    ),
 )
 def etl_route_key(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _synth_keys(Tb(spark, sf_dir, "events"))
-    routed = add_table_column(e, "_key", "events")
-    return routed.groupBy("_table").agg(F.count(F.lit(1)).alias("n"))
-
-
-@register(
-    "etl_skiplist_filter",
-    _ROUTE_SQL
-    + r"""
-    SELECT CASE WHEN k3 IS NULL OR regexp_matches(k3, '^[0-9]*(\.[0-9]+)?$')
-                THEN 'events' ELSE k3 END AS _table,
-           COUNT(*) AS n
-    FROM cleaned
-    GROUP BY 1
-    HAVING _table NOT IN ('settings', 'user')
-    """,
-    doc="A5 skip-list filter over routed tables.",
-)
-def etl_skiplist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mongo2mysql_spark.operators.guards import filter_skip_list
 
     e = _synth_keys(Tb(spark, sf_dir, "events"))
     routed = add_table_column(e, "_key", "events")
-    kept = filter_skip_list(routed, {"settings", "user"})
-    return kept.groupBy("_table").agg(F.count(F.lit(1)).alias("n"))
+    hist = routed.groupBy("_table").agg(F.count(F.lit(1)).alias("n"))
+    kept = (
+        filter_skip_list(routed, {"settings", "user"})
+        .select("_table")
+        .distinct()
+        .withColumn("kept", F.lit(True))
+    )
+    return (
+        hist.join(F.broadcast(kept), "_table", "left")
+        .withColumn("kept", F.coalesce(F.col("kept"), F.lit(False)))
+    )
 
 
 # ---------------------------------------------------------------------- _num

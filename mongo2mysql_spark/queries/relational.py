@@ -131,40 +131,27 @@ def agg_stats_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "agg_rollup_orders",
+    "agg_multilevel_grouping",
     f"""
     SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS INTEGER) AS gid,
            COUNT(*) AS n_orders,
            {sql_dsum('o_totalprice')} AS total_price
     FROM orders
-    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
-    doc="hierarchical subtotals via ROLLUP (status → status+priority → grand total).",
+    doc=(
+        "multi-level aggregation: CUBE = every grouping set (ROLLUP's sets are "
+        "a subset; all three surface forms lower to the same Expand operator), "
+        "with grouping_id disambiguating NULL group keys from NULL data."
+    ),
 )
-def agg_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+def agg_multilevel_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = T(spark, sf_dir, "orders")
-    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping_id().alias("gid"),
         F.count(F.lit(1)).alias("n_orders"),
         dsum(F.col("o_totalprice")).alias("total_price"),
-    )
-
-
-@register(
-    "agg_cube_lineitem",
-    f"""
-    SELECT l_returnflag, l_linestatus,
-           COUNT(*) AS n_rows,
-           {sql_dsum('l_quantity')} AS sum_qty
-    FROM lineitem
-    GROUP BY CUBE (l_returnflag, l_linestatus)
-    """,
-    doc="all grouping-set combinations via CUBE.",
-)
-def agg_cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = T(spark, sf_dir, "lineitem")
-    return li.cube("l_returnflag", "l_linestatus").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        dsum(F.col("l_quantity")).alias("sum_qty"),
     )
 
 
@@ -203,8 +190,12 @@ def pivot_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
            {sql_dsum('o_totalprice')} AS bucket_total
     FROM orders
     GROUP BY 1
+    HAVING COUNT(*) >= 5
     """,
-    doc="numeric bucketization + histogram (GROUP BY computed key).",
+    doc=(
+        "numeric bucketization + histogram (GROUP BY computed key) with a "
+        "post-aggregation HAVING filter (sparse tail buckets dropped)."
+    ),
 )
 def agg_histogram_price_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = T(spark, sf_dir, "orders")
@@ -215,6 +206,7 @@ def agg_histogram_price_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
             dsum(F.col("o_totalprice")).alias("bucket_total"),
         )
+        .filter(F.col("n_orders") >= 5)
     )
 
 
@@ -317,6 +309,37 @@ def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q4 shape: EXISTS semi-join + grouped count.",
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
     "join_left_orders_customer",
     """
     SELECT o_orderkey, o_custkey, c_name, c_mktsegment
@@ -334,35 +357,40 @@ def join_left_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "join_semi_customers_with_urgent_orders",
+    "join_semi_anti_existence",
     """
-    SELECT c_custkey, c_name
+    SELECT 'semi' AS side, c_custkey AS key, c_name AS name
     FROM customer c
     WHERE EXISTS (SELECT 1 FROM orders o
                   WHERE o.o_custkey = c.c_custkey
                     AND o.o_orderpriority = '1-URGENT')
-    """,
-    doc="left-semi join (EXISTS): no duplication of the probe side.",
-)
-def join_semi_customers_with_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = T(spark, sf_dir, "customer")
-    o = T(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
-
-
-@register(
-    "join_anti_parts_never_ordered",
-    """
-    SELECT p_partkey, p_name
+    UNION ALL
+    SELECT 'anti' AS side, p_partkey AS key, p_name AS name
     FROM part p
     WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
     """,
-    doc="left-anti join (NOT EXISTS).",
+    doc=(
+        "existence joins, both polarities in one result: left-semi (EXISTS — "
+        "customers with urgent orders) and left-anti (NOT EXISTS — parts never "
+        "ordered), tagged by side."
+    ),
 )
-def join_anti_parts_never_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+def join_semi_anti_existence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    semi = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select(F.lit("semi").alias("side"), F.col("c_custkey").alias("key"),
+                F.col("c_name").alias("name"))
+    )
     p = T(spark, sf_dir, "part")
     li = T(spark, sf_dir, "lineitem")
-    return p.join(li, p.p_partkey == li.l_partkey, "left_anti").select("p_partkey", "p_name")
+    anti = (
+        p.join(li, p.p_partkey == li.l_partkey, "left_anti")
+        .select(F.lit("anti").alias("side"), F.col("p_partkey").alias("key"),
+                F.col("p_name").alias("name"))
+    )
+    return semi.unionByName(anti)
 
 
 @register(
@@ -399,81 +427,50 @@ def parent_child_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "window_rank_customers",
-    """
-    SELECT c_nationkey, c_custkey, c_acctbal,
-           CAST(rank()       OVER w AS INTEGER) AS bal_rank,
-           CAST(dense_rank() OVER w AS INTEGER) AS bal_dense_rank,
-           CAST(row_number() OVER (PARTITION BY c_nationkey
-                                   ORDER BY c_acctbal DESC, c_custkey) AS INTEGER) AS rn
-    FROM customer
-    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC)
-    """,
-    doc="ranking window functions per group.",
-)
-def window_rank_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = T(spark, sf_dir, "customer")
-    w = W.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"))
-    wt = W.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.col("c_custkey"))
-    return c.select(
-        "c_nationkey",
-        "c_custkey",
-        "c_acctbal",
-        F.rank().over(w).alias("bal_rank"),
-        F.dense_rank().over(w).alias("bal_dense_rank"),
-        F.row_number().over(wt).alias("rn"),
-    )
-
-
-@register(
-    "window_running_total",
+    "window_functions_orders",
     """
     SELECT o_custkey, o_orderkey,
+           CAST(row_number() OVER w AS INTEGER) AS seq,
            CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(30,10)))
                 OVER (PARTITION BY o_custkey
                       ORDER BY o_orderdate, o_orderkey
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
-                AS DOUBLE) AS running_spend
-    FROM orders
-    """,
-    doc="running total per customer (frame: unbounded preceding → current).",
-)
-def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = T(spark, sf_dir, "orders")
-    w = (
-        W.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    return o.select(
-        "o_custkey",
-        "o_orderkey",
-        F.round(F.sum(F.col("o_totalprice").cast("decimal(30,10)")).over(w), 4)
-        .cast("double")
-        .alias("running_spend"),
-    )
-
-
-@register(
-    "window_lag_order_gap",
-    """
-    SELECT o_custkey, o_orderkey,
+                AS DOUBLE) AS running_spend,
            CAST(datediff('day',
-                lag(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey
-                                                     ORDER BY o_orderdate, o_orderkey),
-                CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since_prev
+                lag(CAST(o_orderdate AS DATE)) OVER w,
+                CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since_prev,
+           lead(o_orderkey) OVER w AS next_orderkey,
+           CAST(ntile(4) OVER w AS INTEGER) AS order_quartile,
+           CAST(rank()       OVER ws AS INTEGER) AS spend_rank,
+           CAST(dense_rank() OVER ws AS INTEGER) AS spend_dense_rank
     FROM orders
+    WINDOW w  AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+           ws AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC)
     """,
-    doc="lag() + date arithmetic: days between consecutive orders per customer.",
+    doc=(
+        "window-function surface in one pass over orders: row_number, running "
+        "decimal sum (unbounded-preceding frame), lag + date arithmetic, lead, "
+        "ntile, rank, dense_rank — two window specs, one shuffle on o_custkey."
+    ),
 )
-def window_lag_order_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+def window_functions_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = T(spark, sf_dir, "orders")
     w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    ws = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"))
     d = F.col("o_orderdate").cast("date")
     return o.select(
         "o_custkey",
         "o_orderkey",
+        F.row_number().over(w).alias("seq"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(30,10)")).over(wf), 4)
+        .cast("double")
+        .alias("running_spend"),
         F.datediff(d, F.lag(d).over(w)).alias("days_since_prev"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+        F.ntile(4).over(w).alias("order_quartile"),
+        F.rank().over(ws).alias("spend_rank"),
+        F.dense_rank().over(ws).alias("spend_dense_rank"),
     )
 
 
@@ -568,114 +565,97 @@ def sort_limit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "set_union_nation_keys",
+    "set_ops_nation_keys",
     """
-    SELECT c_nationkey AS nationkey FROM customer
-    UNION
-    SELECT s_nationkey FROM supplier
+    SELECT 'union' AS op, nationkey FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      UNION SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT 'intersect' AS op, nationkey FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      INTERSECT SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT 'except' AS op, nationkey FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      EXCEPT SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT 'distinct' AS op, nationkey FROM (
+      SELECT DISTINCT c_nationkey AS nationkey FROM customer)
     """,
-    doc="UNION (distinct) of two key sets.",
+    doc=(
+        "set-operation surface in one result, tagged by op: UNION (distinct), "
+        "INTERSECT, EXCEPT, and plain DISTINCT over the customer/supplier "
+        "nation-key sets."
+    ),
 )
-def set_union_nation_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+def set_ops_nation_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = T(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = T(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    return c.union(s).distinct()
 
+    def tag(df: DataFrame, op: str) -> DataFrame:
+        return df.select(F.lit(op).alias("op"), "nationkey")
 
-@register(
-    "set_intersect_nation_keys",
-    """
-    SELECT c_nationkey AS nationkey FROM customer
-    INTERSECT
-    SELECT s_nationkey FROM supplier
-    """,
-    doc="INTERSECT of customer vs supplier nations.",
-)
-def set_intersect_nation_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = T(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    s = T(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    return c.intersect(s)
-
-
-@register(
-    "set_except_nation_keys",
-    """
-    SELECT c_nationkey AS nationkey FROM customer
-    EXCEPT
-    SELECT s_nationkey FROM supplier
-    """,
-    doc="EXCEPT: nations with customers but no suppliers.",
-)
-def set_except_nation_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = T(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    s = T(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    return c.subtract(s)  # EXCEPT (set semantics), not EXCEPT ALL
-
-
-@register(
-    "distinct_order_dims",
-    "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
-    doc="DISTINCT over two columns.",
-)
-def distinct_order_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return T(spark, sf_dir, "orders").select("o_orderstatus", "o_orderpriority").distinct()
+    return (
+        tag(c.union(s).distinct(), "union")
+        .unionByName(tag(c.intersect(s), "intersect"))
+        .unionByName(tag(c.subtract(s), "except"))  # EXCEPT (set), not EXCEPT ALL
+        .unionByName(tag(c.distinct(), "distinct"))
+    )
 
 
 # ----------------------------------------------------------- scalar functions
 
 
 @register(
-    "scalar_string_part",
+    "scalar_string_date_math",
     r"""
-    SELECT p_partkey,
-           upper(p_name) AS name_upper,
-           CAST(length(p_name) AS INTEGER) AS name_len,
-           CAST(regexp_extract(p_brand, '(\d+)', 1) AS INTEGER) AS brand_num,
-           string_split(p_name, ' ')[1] AS first_token,
-           substring(p_type, 1, 3) AS type_prefix,
-           concat_ws('|', p_brand, p_type) AS brand_type,
-           regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
-           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded
-    FROM part
-    """,
-    doc="string scalar functions: case, length, regex extract/replace, split, pad.",
-)
-def scalar_string_part(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = T(spark, sf_dir, "part")
-    return p.select(
-        "p_partkey",
-        F.upper("p_name").alias("name_upper"),
-        F.length("p_name").alias("name_len"),
-        F.regexp_extract("p_brand", r"(\d+)", 1).cast("int").alias("brand_num"),
-        F.element_at(F.split("p_name", " "), 1).alias("first_token"),
-        F.substring("p_type", 1, 3).alias("type_prefix"),
-        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
-        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
-        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
-    )
-
-
-@register(
-    "scalar_date_orders",
-    """
     SELECT o_orderkey,
+           upper(o_orderpriority) AS prio_upper,
+           CAST(length(o_orderpriority) AS INTEGER) AS prio_len,
+           CAST(regexp_extract(o_orderpriority, '(\d+)', 1) AS INTEGER) AS prio_num,
+           string_split(o_orderpriority, '-')[2] AS prio_word,
+           substring(o_orderstatus, 1, 1) AS status_prefix,
+           concat_ws('|', o_orderstatus, o_orderpriority) AS status_prio,
+           regexp_replace(o_orderpriority, '[AEIOU]', '_', 'g') AS devoweled,
+           lpad(CAST(o_custkey AS VARCHAR), 8, '0') AS cust_padded,
            CAST(year(o_orderdate) AS INTEGER) AS order_year,
            CAST(month(o_orderdate) AS INTEGER) AS order_month,
            CAST(quarter(o_orderdate) AS INTEGER) AS order_quarter,
            CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
            CAST(o_orderdate AS DATE) + 30 AS due_date,
            CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since_epoch_start,
-           strftime(o_orderdate, '%Y-%m') AS ym
+           strftime(o_orderdate, '%Y-%m') AS ym,
+           CAST(ROUND(CAST(o_totalprice * 1.07 AS DECIMAL(30,10)), 2) AS DOUBLE) AS taxed_price,
+           CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
+           CAST(ceil(o_totalprice) AS BIGINT) AS price_ceil,
+           abs(o_totalprice - 100000) AS price_dev,
+           sqrt(o_totalprice) AS price_sqrt,
+           o_orderkey % 7 AS key_mod
     FROM orders
     WHERE o_orderkey % 10 = 0
     """,
-    doc="date/time scalar functions: extract, trunc, add, diff, format.",
+    doc=(
+        "scalar-function surface in one pass over orders — strings (case, "
+        "length, regex extract/replace, split, substring, concat, pad), "
+        "dates (extract, trunc, add, diff, format), math (decimal-domain "
+        "round, floor/ceil, abs, sqrt, modulo).  All whole-stage-codegen "
+        "expressions; round goes through DECIMAL because round(double) is "
+        "engine-dependent at half-way binary values."
+    ),
 )
-def scalar_date_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+def scalar_string_date_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
     d = F.col("o_orderdate")
     return o.select(
         "o_orderkey",
+        F.upper("o_orderpriority").alias("prio_upper"),
+        F.length("o_orderpriority").alias("prio_len"),
+        F.regexp_extract("o_orderpriority", r"(\d+)", 1).cast("int").alias("prio_num"),
+        F.element_at(F.split("o_orderpriority", "-"), 2).alias("prio_word"),
+        F.substring("o_orderstatus", 1, 1).alias("status_prefix"),
+        F.concat_ws("|", "o_orderstatus", "o_orderpriority").alias("status_prio"),
+        F.regexp_replace("o_orderpriority", "[AEIOU]", "_").alias("devoweled"),
+        F.lpad(F.col("o_custkey").cast("string"), 8, "0").alias("cust_padded"),
         F.year(d).alias("order_year"),
         F.month(d).alias("order_month"),
         F.quarter(d).alias("order_quarter"),
@@ -685,39 +665,14 @@ def scalar_date_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "days_since_epoch_start"
         ),
         F.date_format(d, "yyyy-MM").alias("ym"),
-    )
-
-
-@register(
-    "scalar_math_lineitem",
-    """
-    SELECT l_orderkey, l_linenumber,
-           CAST(ROUND(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10)), 2) AS DOUBLE) AS net_price,
-           CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
-           CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
-           abs(l_discount - 0.05) AS disc_dev,
-           sqrt(l_quantity) AS qty_sqrt,
-           CAST(l_quantity AS BIGINT) % 7 AS qty_mod
-    FROM lineitem
-    WHERE l_orderkey % 50 = 0
-    """,
-    doc="math scalar functions: round, floor/ceil, abs, sqrt, modulo.",
-)
-def scalar_math_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = T(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 50 == 0)
-    return li.select(
-        "l_orderkey",
-        "l_linenumber",
-        # round via decimal: round(double,2) is engine-dependent at half-way
-        # binary values; decimal-domain rounding is exact and portable
-        F.round((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(30,10)"), 2)
+        F.round((F.col("o_totalprice") * 1.07).cast("decimal(30,10)"), 2)
         .cast("double")
-        .alias("net_price"),
-        F.floor("l_extendedprice").alias("price_floor"),
-        F.ceil("l_extendedprice").alias("price_ceil"),
-        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
-        F.sqrt("l_quantity").alias("qty_sqrt"),
-        (F.col("l_quantity").cast("long") % 7).alias("qty_mod"),
+        .alias("taxed_price"),
+        F.floor("o_totalprice").alias("price_floor"),
+        F.ceil("o_totalprice").alias("price_ceil"),
+        F.abs(F.col("o_totalprice") - 100000).alias("price_dev"),
+        F.sqrt("o_totalprice").alias("price_sqrt"),
+        (F.col("o_orderkey") % 7).alias("key_mod"),
     )
 
 
@@ -744,73 +699,6 @@ def scalar_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("event_type") == "error", "failure")
         .otherwise("engagement")
         .alias("event_class"),
-    )
-
-
-@register(
-    "window_lead_ntile",
-    """
-    SELECT o_custkey, o_orderkey,
-           lead(o_orderkey) OVER w AS next_orderkey,
-           CAST(ntile(4) OVER w AS INTEGER) AS spend_quartile
-    FROM orders
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-    """,
-    doc="lead() and ntile() window functions.",
-)
-def window_lead_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = T(spark, sf_dir, "orders")
-    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    return o.select(
-        "o_custkey",
-        "o_orderkey",
-        F.lead("o_orderkey").over(w).alias("next_orderkey"),
-        F.ntile(4).over(w).alias("spend_quartile"),
-    )
-
-
-@register(
-    "agg_grouping_sets",
-    f"""
-    SELECT o_orderstatus, o_orderpriority,
-           COUNT(*) AS n, {sql_dsum('o_totalprice')} AS total
-    FROM orders
-    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-    """,
-    doc="explicit GROUPING SETS (via spark.sql — same Catalyst path as the API).",
-)
-def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    T(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
-    return spark.sql(
-        f"""
-        SELECT o_orderstatus, o_orderpriority,
-               COUNT(*) AS n,
-               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(30,10))), 4) AS DOUBLE) AS total
-        FROM orders_gs
-        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-        """
-    )
-
-
-@register(
-    "having_filter",
-    f"""
-    SELECT o_custkey, COUNT(*) AS n_orders, {sql_dsum('o_totalprice')} AS spend
-    FROM orders
-    GROUP BY o_custkey
-    HAVING COUNT(*) >= 12
-    """,
-    doc="post-aggregation filter (HAVING).",
-)
-def having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = T(spark, sf_dir, "orders")
-    return (
-        o.groupBy("o_custkey")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            dsum(F.col("o_totalprice")).alias("spend"),
-        )
-        .filter(F.col("n_orders") >= 12)
     )
 
 
@@ -910,37 +798,6 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("l_extendedprice", 0.5).alias("p50"),
         F.percentile("l_extendedprice", 0.9).alias("p90"),
         F.median("l_quantity").alias("med_qty"),
-    )
-
-
-@register(
-    "q4_order_priority",
-    """
-    SELECT o_orderpriority, COUNT(*) AS order_count
-    FROM orders o
-    WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
-      AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
-      AND EXISTS (SELECT 1 FROM lineitem l
-                  WHERE l.l_orderkey = o.o_orderkey
-                    AND l.l_shipdate > o.o_orderdate)
-    GROUP BY o_orderpriority
-    """,
-    doc="TPC-H Q4 shape: EXISTS semi-join + grouped count.",
-)
-def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = T(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
-    )
-    li = T(spark, sf_dir, "lineitem")
-    return (
-        o.join(
-            li,
-            (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
-            "left_semi",
-        )
-        .groupBy("o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("order_count"))
     )
 
 

@@ -19,18 +19,28 @@ from mongo2mysql_spark.sources import load_table as T
 
 
 @register(
-    "text_token_stats",
+    "text_token_quality",
     """
     SELECT doc_id,
            CAST(len(t) AS INTEGER) AS n_tokens,
            CAST(len(list_distinct(t)) AS INTEGER) AS n_unique,
            CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t) AS mean_token_len,
-           CAST(length(text) AS INTEGER) AS n_chars_actual
+           CAST(length(text) AS INTEGER) AS n_chars_actual,
+           ROUND(LEAST(GREATEST(
+             0.5 * LEAST(len(t) / 100.0, 1.0)
+             + 0.5 * (CAST(len(list_distinct(t)) AS DOUBLE) / GREATEST(len(t), 1))
+             - (CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)
+                / GREATEST(length(text), 1)),
+             0.0), 1.0), 6) AS quality
     FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)
     """,
-    doc="per-document token counting: counts, distinct, mean token length.",
+    doc=(
+        "per-document token statistics + quality score in one pass: token/"
+        "distinct counts, mean token length, and the length-band + lexical-"
+        "diversity − punctuation-noise quality heuristic."
+    ),
 )
-def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def text_token_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = T(spark, sf_dir, "documents")
     t = tokens(F.col("text"))
     return d.select(
@@ -39,6 +49,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct(t)).alias("n_unique"),
         mean_token_length(t).alias("mean_token_len"),
         F.length("text").alias("n_chars_actual"),
+        quality_score(t, F.col("text")).alias("quality"),
     )
 
 
@@ -63,26 +74,6 @@ def text_term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "token")
         .limit(50)
     )
-
-
-@register(
-    "text_quality_score",
-    """
-    SELECT doc_id,
-           ROUND(LEAST(GREATEST(
-             0.5 * LEAST(len(t) / 100.0, 1.0)
-             + 0.5 * (CAST(len(list_distinct(t)) AS DOUBLE) / GREATEST(len(t), 1))
-             - (CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)
-                / GREATEST(length(text), 1)),
-             0.0), 1.0), 6) AS quality
-    FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)
-    """,
-    doc="quality scoring: length band + lexical diversity − punctuation noise.",
-)
-def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = T(spark, sf_dir, "documents")
-    t = tokens(F.col("text"))
-    return d.select("doc_id", quality_score(t, F.col("text")).alias("quality"))
 
 
 def _langid_sql() -> str:

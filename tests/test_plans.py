@@ -55,10 +55,9 @@ def test_q5_broadcasts_dimensions(spark):
 
 
 def test_semi_anti_join_strategies(spark):
-    semi = REGISTRY["join_semi_customers_with_urgent_orders"].fn(spark, SF_DIR)
-    anti = REGISTRY["join_anti_parts_never_ordered"].fn(spark, SF_DIR)
-    assert "LeftSemi" in physical_plan(semi)
-    assert "LeftAnti" in physical_plan(anti)
+    plan = physical_plan(REGISTRY["join_semi_anti_existence"].fn(spark, SF_DIR))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
 
 
 def test_sort_limit_is_take_ordered(spark):
