@@ -240,11 +240,29 @@ def etl_schema_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "etl_pipeline_e2e",
-    None,  # rows-only: the oracle would be the whole chain re-stated
+    """
+    WITH buckets AS (
+      SELECT doc_id % 5 AS b, len(string_split(text, ' ')) AS nt FROM documents)
+    SELECT 'docs' AS table_name, COUNT(*) AS n_rows,
+           CAST(7 AS INTEGER) AS n_cols, CAST(7 AS INTEGER) AS n_schema_cols
+    FROM buckets WHERE b IN (3, 4)
+    UNION ALL
+    SELECT 'docs__tags', CAST(SUM(LEAST(nt, 3)) AS BIGINT), 4, 4 FROM buckets
+    UNION ALL
+    SELECT 'settings', COUNT(*), 7, 7 FROM buckets WHERE b = 1
+    UNION ALL
+    SELECT 'tag_topics', COUNT(*), 7, 7 FROM buckets WHERE b = 0
+    UNION ALL
+    SELECT 'user', COUNT(*), 7, 7 FROM buckets WHERE b = 2
+    """,
     doc=(
         "A18 end-to-end porter pipeline on a synthesized nested collection: "
         "route → flatten → spill → guards → _num → schema/DDL; returns a "
-        "per-destination-table summary."
+        "per-destination-table summary.  Oracle restates the routing "
+        "(doc_id%5 → tag_topics/settings/user/docs), the tags-array spill "
+        "cardinality (min(3, token count) child rows per doc), and the "
+        "flatten/schema width contract (7 parent cols incl _id/_key/_num, "
+        "4 child cols) as direct SQL over the same source rows."
     ),
 )
 def etl_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -211,16 +211,37 @@ def agg_histogram_price_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "agg_approx_distinct",
-    None,  # HLL sketch differs engine-to-engine → rows-only check
-    doc="approx_count_distinct (HyperLogLog++) — the 100 TB path for cardinality.",
+    "agg_approx_sketches",
+    None,  # sketch internals differ engine-to-engine → rows-only check;
+    # the within_tol_* columns carry the accuracy contract and are
+    # asserted in tests/test_misc_operators.py
+    doc=(
+        "approximate aggregation sketches — the 100 TB path where exact "
+        "distinct/percentile would shuffle every value: approx_count_distinct "
+        "(HyperLogLog++) and percentile_approx (KLL-style), each next to its "
+        "exact counterpart with a relative-error verdict column (HLL ±5%, "
+        "percentile rank error ≤ 1/10000)."
+    ),
 )
-def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = T(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+    agg = li.agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
         F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_p50"),
+        F.percentile("l_extendedprice", 0.5).alias("exact_p50"),
+        F.percentile_approx("l_extendedprice", 0.9, 10000).alias("approx_p90"),
+        F.percentile("l_extendedprice", 0.9).alias("exact_p90"),
+    )
+    rel = lambda a, e: F.abs(F.col(a) - F.col(e)) / F.col(e)  # noqa: E731
+    return agg.select(
+        "*",
+        (rel("approx_orders", "exact_orders") <= 0.05).alias("within_tol_orders"),
+        (rel("approx_parts", "exact_parts") <= 0.05).alias("within_tol_parts"),
+        (rel("approx_p50", "exact_p50") <= 0.01).alias("within_tol_p50"),
+        (rel("approx_p90", "exact_p90") <= 0.01).alias("within_tol_p90"),
     )
 
 
@@ -789,7 +810,7 @@ def subquery_min_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc=(
         "exact percentiles (sort-based linear interpolation — deterministic "
         "and engine-identical); approx_percentile is the 100 TB path and is "
-        "covered rows-only by agg_approx_distinct's family."
+        "covered (with a relative-error verdict) by agg_approx_sketches."
     ),
 )
 def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -81,3 +81,15 @@ def test_parse_json_unsampled_field_absent(spark):
     df = spark.createDataFrame(rows)
     out = parse_json_column(df, "payload", sample=5)
     assert "payload_late_field" not in out.columns
+
+
+def test_approx_sketch_tolerances(spark):
+    """The approx sketches (HLL distinct, approx percentile) must land
+    within their documented relative error of the exact values — the
+    accuracy contract behind the rows-only registry entry."""
+    from mongo2mysql_spark.queries import load_all
+    from tests.conftest import SF_DIR
+
+    row = load_all()["agg_approx_sketches"].fn(spark, SF_DIR).collect()[0]
+    assert row["within_tol_orders"] and row["within_tol_parts"]
+    assert row["within_tol_p50"] and row["within_tol_p90"]
