@@ -101,24 +101,33 @@ def lsh_candidate_pairs(
     computed from the full signatures and thresholded.
 
     Returns (id_1, id_2, est_jaccard), id_1 < id_2, deterministic.
+
+    The signature frame is persisted (MEMORY_AND_DISK): it feeds the
+    band melt AND both sides of the post-dedup signature rejoin, and
+    without the persist Spark re-derives the full shingle+md5 pipeline
+    once per reference.  Signatures are k longs + id per doc — the
+    natural thing to keep resident (or to stage to parquet between the
+    signature and banding phases of a production pipeline).
     """
     assert k % bands == 0
     r = k // bands
-    band_cols = [
-        F.md5(F.concat_ws("|", *[F.col(f"mh{b * r + j}") for j in range(r)])).alias(f"band{b}")
+    sig = sig.persist()
+    # Melt ONLY (id, band_idx, band_hash) into the band self-join — the
+    # band shuffle rows are 3 columns wide, not 3+k.  Full signatures
+    # rejoin AFTER candidate-pair dedup, so the k minhash columns cross
+    # the wire once per doc (signature join) instead of bands× per doc
+    # (melt) plus 2k× per candidate (pair dedup).
+    band_exprs = [
+        F.md5(F.concat_ws("|", *[F.col(f"mh{b * r + j}") for j in range(r)]))
         for b in range(bands)
     ]
-    banded = sig.select(id_col, *[F.col(f"mh{i}") for i in range(k)], *band_cols)
-    melted = banded.select(
+    melted = sig.select(
         id_col,
-        *[F.col(f"mh{i}") for i in range(k)],
-        F.posexplode(F.array(*[F.col(f"band{b}") for b in range(bands)])).alias(
-            "__band_idx", "__band_hash"
-        ),
+        F.posexplode(F.array(*band_exprs)).alias("__band_idx", "__band_hash"),
     )
     a = melted.alias("a")
     b = melted.alias("b")
-    pairs = (
+    cand = (
         a.join(
             b,
             (F.col("a.__band_idx") == F.col("b.__band_idx"))
@@ -128,11 +137,12 @@ def lsh_candidate_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_1"),
             F.col(f"b.{id_col}").alias("id_2"),
-            *[F.col(f"a.mh{i}").alias(f"a{i}") for i in range(k)],
-            *[F.col(f"b.mh{i}").alias(f"b{i}") for i in range(k)],
         )
         .dropDuplicates(["id_1", "id_2"])
     )
+    sa = sig.select(F.col(id_col).alias("id_1"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(k)])
+    sb = sig.select(F.col(id_col).alias("id_2"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(k)])
+    pairs = cand.join(sa, "id_1").join(sb, "id_2")
     matches = sum(
         F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(k)
     )

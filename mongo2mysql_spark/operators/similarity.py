@@ -73,9 +73,14 @@ def topk_bruteforce(
 
 def assign_centroids(
     corpus: DataFrame, centroids: DataFrame, id_col: str, vec_col: str,
+    nprobe: int = 1,
 ) -> DataFrame:
     """Nearest-centroid assignment (broadcast centroids, one pass).
-    Deterministic: ties on rounded cosine break by centroid id."""
+    Deterministic: ties on rounded cosine break by centroid id.
+    ``nprobe`` > 1 keeps the n nearest centroids per vector (one row
+    each, ranked by ``_probe``) — used on the query side to widen the
+    searched bucket set; corpus vectors are always assigned with
+    nprobe=1 (each lives in exactly one inverted list)."""
     c = centroids.select(
         F.col(id_col).alias("centroid_id"),
         F.col(vec_col).alias("__centvec"),
@@ -91,33 +96,40 @@ def assign_centroids(
         ).alias("__ccos"),
     )
     w = W.partitionBy(id_col).orderBy(F.desc("__ccos"), F.col("centroid_id"))
-    return (
-        scored.withColumn("__crank", F.row_number().over(w))
-        .filter(F.col("__crank") == 1)
-        .drop("__crank", "__centvec", "__centnorm", "__vnorm", "__ccos")
+    out = (
+        scored.withColumn("_probe", F.row_number().over(w))
+        .filter(F.col("_probe") <= nprobe)
+        .drop("__centvec", "__centnorm", "__vnorm", "__ccos")
     )
+    return out.drop("_probe") if nprobe == 1 else out
 
 
 def topk_ivf(
     corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
-    centroid_stride: int = 97, k: int = 5,
+    centroid_stride: int = 97, k: int = 5, nprobe: int = 1,
 ) -> DataFrame:
-    """IVF top-k: deterministic centroids (ids ≡ 0 mod stride), search
-    only the query's own bucket.  Recall < 1 by design; the bruteforce
-    operator is the recall oracle."""
+    """IVF top-k: deterministic centroids (ids ≡ 0 mod stride); each
+    corpus vector lives in exactly one inverted list, each query probes
+    its ``nprobe`` nearest centroid buckets (the standard IVF recall
+    lever: cost grows ~linearly with nprobe, recall monotonically).
+    Recall < 1 by design; the bruteforce operator is the recall oracle."""
     centroids = corpus.filter(F.col(id_col) % centroid_stride == 0)
     assigned = assign_centroids(corpus, centroids, id_col, vec_col)
-    q_assigned = assigned.join(
-        queries.select(F.col(id_col).alias("__qid")),
-        F.col(id_col) == F.col("__qid"),
-    ).select(
+    q_probes = assign_centroids(
+        queries, centroids, id_col, vec_col, nprobe=nprobe
+    )
+    if nprobe == 1:
+        q_probes = q_probes.withColumn("_probe", F.lit(1))
+    q_probes = q_probes.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qvec"),
         norm_seq(F.col(vec_col)).alias("__qnorm"),
         F.col("centroid_id").alias("__qcentroid"),
     )
+    # a corpus vector appears in exactly one bucket and a query's probe
+    # buckets are distinct, so no candidate pair can duplicate
     pairs = assigned.withColumn("__nnorm", norm_seq(F.col(vec_col))).join(
-        F.broadcast(q_assigned),
+        F.broadcast(q_probes),
         (F.col("centroid_id") == F.col("__qcentroid"))
         & (F.col(id_col) != F.col("query_id")),
     )

@@ -18,6 +18,7 @@ from mongo2mysql_spark.sources import load_table as T
 
 N_QUERIES = 5
 STRIDE = 97
+NPROBE = 2
 
 
 def _cos(a: str, b: str) -> str:
@@ -58,15 +59,16 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT e.vec_id, c.centroid_id,
              {_cos('e.embedding', 'c.cv')} AS ccos
       FROM embeddings e CROSS JOIN cent c),
-    assigned AS (
-      SELECT vec_id, centroid_id
-      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
-                                         ORDER BY ccos DESC, centroid_id) AS rn
-            FROM assign_scored)
-      WHERE rn = 1),
-    queries AS (SELECT a.vec_id AS query_id, a.centroid_id, e.embedding AS qv
-                FROM assigned a JOIN embeddings e ON e.vec_id = a.vec_id
-                WHERE a.vec_id < {N_QUERIES}),
+    ranked AS (
+      SELECT vec_id, centroid_id,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY ccos DESC, centroid_id) AS rn
+      FROM assign_scored),
+    assigned AS (SELECT vec_id, centroid_id FROM ranked WHERE rn = 1),
+    probes AS (SELECT vec_id AS query_id, centroid_id
+               FROM ranked WHERE rn <= {NPROBE} AND vec_id < {N_QUERIES}),
+    queries AS (SELECT p.query_id, p.centroid_id, e.embedding AS qv
+                FROM probes p JOIN embeddings e ON e.vec_id = p.query_id),
     scored AS (
       SELECT q.query_id, a.vec_id AS neighbor_id,
              {_cos('q.qv', 'e.embedding')} AS cosine
@@ -80,16 +82,17 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE rank <= 5
     """,
     doc=(
-        "IVF ANN: deterministic stride centroids, nearest-centroid assignment, "
-        "search only the query's bucket — the 1/C-cost scale path."
+        "IVF ANN: deterministic stride centroids, corpus vectors in one "
+        f"inverted list each, queries probe their {NPROBE} nearest buckets "
+        "(nprobe recall lever) — the 1/C-cost scale path."
     ),
 )
 def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = T(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < N_QUERIES)
-    return topk_ivf(e, q, "vec_id", "embedding", centroid_stride=STRIDE, k=5).select(
-        "query_id", "neighbor_id", "cosine", "rank"
-    )
+    return topk_ivf(
+        e, q, "vec_id", "embedding", centroid_stride=STRIDE, k=5, nprobe=NPROBE
+    ).select("query_id", "neighbor_id", "cosine", "rank")
 
 
 @register(

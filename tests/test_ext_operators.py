@@ -144,3 +144,33 @@ def test_payload_pruning_skips_binary(spark):
     meta_only = pf.select("media_id", "n_bytes")
     plan = meta_only._jdf.queryExecution().optimizedPlan().toString()
     assert "checksum" not in plan
+
+
+def test_ivf_nprobe_recall_lever(spark):
+    """IVF recall@k must improve monotonically with nprobe (the standard
+    IVF accuracy/cost lever), measured against the bruteforce oracle.
+    At sf0.001/stride97: recall .52 -> .68 -> .76 for nprobe 1/2/3."""
+    from mongo2mysql_spark.operators.similarity import topk_bruteforce, topk_ivf
+    from mongo2mysql_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    bf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in topk_bruteforce(e, q, "vec_id", "embedding", k=5).collect()
+    }
+
+    def recall(nprobe: int) -> float:
+        ivf = {
+            (r["query_id"], r["neighbor_id"])
+            for r in topk_ivf(
+                e, q, "vec_id", "embedding", centroid_stride=97, k=5, nprobe=nprobe
+            ).collect()
+        }
+        return len(ivf & bf) / len(bf)
+
+    r1, r2, r3 = recall(1), recall(2), recall(3)
+    assert r2 > r1  # widening the probe set strictly helps here
+    assert r3 >= r2
+    assert r3 >= 0.7

@@ -118,3 +118,21 @@ def test_asof_join_is_not_nested_loop(spark):
     plan = physical_plan(df)
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
     assert "Window" in plan
+
+
+def test_lsh_band_shuffle_is_narrow(spark):
+    """The LSH candidate-pair dedup must not drag the k signature
+    columns through the band join: pair dedup aggregates on (id_1,id_2)
+    alone (no first(a0..) carries), and the signature frame is reused
+    from cache rather than recomputed per reference."""
+    df = REGISTRY["dedup_minhash_lsh_pairs"].fn(spark, SF_DIR)
+    df.collect()  # finalize AQE plan
+    plan = physical_plan(df)
+    dedup_aggs = [
+        line
+        for line in plan.splitlines()
+        if "HashAggregate" in line and "id_1" in line and "id_2" in line
+    ]
+    assert dedup_aggs, "pair-dedup aggregate missing from plan"
+    assert not any("first(a" in line or "mh0" in line for line in dedup_aggs)
+    assert "InMemoryTableScan" in plan  # signatures persisted, not re-derived
