@@ -39,7 +39,22 @@ def asof_join_backward(
     greatest ``right_ts`` ≤ its ``left_ts`` (per key), or nulls.
 
     Output: all left columns + ``value_cols`` from the matched right row.
+
+    ``value_cols`` must be disjoint from the left columns: the union
+    aligns shared names, so a left row would otherwise carry its OWN
+    values into the ignorenulls carry-forward (silent corruption) and
+    the output would emit duplicate column names.  Enforced here rather
+    than implied.
     """
+    overlap = set(value_cols) & set(left.columns)
+    if overlap:
+        raise ValueError(
+            f"asof_join_backward: value_cols {sorted(overlap)} collide with "
+            "left columns; rename the right-side value columns first"
+        )
+    reserved = {"__ts", "__is_r"} & (set(left.columns) | set(value_cols))
+    if reserved:
+        raise ValueError(f"asof_join_backward: reserved column names in use: {sorted(reserved)}")
     l_tagged = left.withColumn("__ts", F.col(left_ts)).withColumn("__is_r", F.lit(0))
     r_tagged = (
         right.select(

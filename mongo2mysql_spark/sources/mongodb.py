@@ -17,6 +17,26 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 
+def reader_options(
+    uri: str,
+    database: str,
+    collection: str,
+    sample_size: int = 1000,
+    pipeline: str | None = None,
+) -> dict[str, str]:
+    """Connector options for one collection read (pure, unit-testable:
+    the connector jar itself is absent in the test container)."""
+    opts = {
+        "connection.uri": uri,
+        "database": database,
+        "collection": collection,
+        "sampleSize": str(sample_size),
+    }
+    if pipeline:
+        opts["aggregation.pipeline"] = pipeline
+    return opts
+
+
 def read_collection(
     spark: SparkSession,
     uri: str,
@@ -28,15 +48,9 @@ def read_collection(
     """Read one collection. ``pipeline`` is an optional Mongo aggregation
     JSON pushed server-side (the reference's vestigial pushed predicate,
     Porter.php:139 — SURVEY.md §2 A4)."""
-    reader = (
-        spark.read.format("mongodb")
-        .option("connection.uri", uri)
-        .option("database", database)
-        .option("collection", collection)
-        .option("sampleSize", str(sample_size))
+    reader = spark.read.format("mongodb").options(
+        **reader_options(uri, database, collection, sample_size, pipeline)
     )
-    if pipeline:
-        reader = reader.option("aggregation.pipeline", pipeline)
     try:
         return reader.load()
     except Exception as exc:  # pragma: no cover - depends on classpath

@@ -312,3 +312,38 @@ def test_porter_single_scan_split(spark, docs):
         assert grouped[t] == infer_table_schema(exp.tables[t], strict=False)
     exp.unpersist()
     assert exp._cached is None
+
+
+def test_evolve_ddl_edge_cases():
+    """Schema-evolution statement coverage beyond the happy path
+    (Porter.php:87-123 semantics, batched): widen-on-rerun, never-narrow,
+    no-op reruns, text PK prefix lengths."""
+    # rerun over existing table: widen varchar, add new col, int -> double
+    stmts = evolve_schema_sql(
+        "docs",
+        {"s": "varchar(50)", "n": "int", "keep": "double"},
+        {"s": "varchar(255)", "n": "double", "keep": "double", "extra": "text"},
+        ("_id",),
+    )
+    assert stmts == [
+        "ALTER TABLE `docs` ADD COLUMN `extra` text",
+        "ALTER TABLE `docs` MODIFY COLUMN `s` varchar(255)",
+        "ALTER TABLE `docs` MODIFY COLUMN `n` double",
+    ]
+    # identical schemas: rerun emits NO statements (idempotent schema pass)
+    assert evolve_schema_sql("docs", {"s": "text"}, {"s": "text"}, ("_id",)) == []
+    # narrower re-observation never narrows the destination type
+    assert evolve_schema_sql("docs", {"s": "text"}, {"s": "varchar(50)"}) == []
+    assert evolve_schema_sql("docs", {"n": "double"}, {"n": "int"}) == []
+    # text primary key gets the MySQL index prefix length
+    sql = create_table_sql("t", {"_id": "text", "v": "int"}, ("_id",))
+    assert "PRIMARY KEY (`_id`(191))" in sql
+    # composite child-table PK ordering preserved
+    sql = create_table_sql(
+        "p__c", {"_parentid": "varchar(24)", "_index": "int", "v": "text"},
+        ("_parentid", "_index"),
+    )
+    assert "PRIMARY KEY (`_parentid`, `_index`)" in sql
+    # PK column absent from schema is a hard error, not silent bad DDL
+    with pytest.raises(ValueError):
+        create_table_sql("t", {"v": "int"}, ("_id",))

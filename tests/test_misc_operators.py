@@ -93,3 +93,45 @@ def test_approx_sketch_tolerances(spark):
     row = load_all()["agg_approx_sketches"].fn(spark, SF_DIR).collect()[0]
     assert row["within_tol_orders"] and row["within_tol_parts"]
     assert row["within_tol_p50"] and row["within_tol_p90"]
+
+
+def test_asof_rejects_colliding_value_cols(spark):
+    """value_cols sharing a name with a left column would silently
+    corrupt the ignorenulls carry-forward — must raise instead."""
+    import pytest as _pytest
+
+    from mongo2mysql_spark.operators.asof import asof_join_backward
+
+    left = spark.createDataFrame([(1, 10, 5.0)], "k int, ts int, v double")
+    right = spark.createDataFrame([(1, 9, 7.0)], "k int, ts int, v double")
+    with _pytest.raises(ValueError, match="collide"):
+        asof_join_backward(left, right, "k", "ts", "ts", ["v"])
+    renamed = right.withColumnRenamed("v", "r_v")
+    out = asof_join_backward(left, renamed, "k", "ts", "ts", ["r_v"]).collect()
+    assert out[0]["r_v"] == 7.0  # prior right row carried, not left's own v
+
+
+def test_mongodb_reader_options():
+    from mongo2mysql_spark.sources.mongodb import reader_options
+
+    opts = reader_options("mongodb://h:27017", "nodebb", "objects", 500,
+                          pipeline='[{"$match": {"x": 1}}]')
+    assert opts == {
+        "connection.uri": "mongodb://h:27017",
+        "database": "nodebb",
+        "collection": "objects",
+        "sampleSize": "500",
+        "aggregation.pipeline": '[{"$match": {"x": 1}}]',
+    }
+    assert "aggregation.pipeline" not in reader_options("u", "d", "c")
+
+
+def test_mongodb_reader_gated_without_connector(spark):
+    """No connector jar in the container: the read must fail with the
+    actionable classpath message, not a raw Spark error."""
+    import pytest as _pytest
+
+    from mongo2mysql_spark.sources.mongodb import read_collection
+
+    with _pytest.raises(RuntimeError, match="mongo-spark-connector"):
+        read_collection(spark, "mongodb://h:27017", "db", "coll")
