@@ -38,33 +38,62 @@ def add_num(
 
 
 def add_num_two_phase(
-    df: DataFrame, order_cols: list[str] | str, out_col: str = "_num"
+    df: DataFrame,
+    order_cols: list[str] | str,
+    out_col: str = "_num",
+    partition_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Skew-proof global sequence: range-partition on the order key(s),
-    count per partition (one tiny job: one row per partition), broadcast
-    cumulative offsets, add partition-local rank.  No single-reducer
-    window; survives a table with 10^12 rows.  ``order_cols`` must be a
-    unique key for the result to be deterministic."""
+    """Skew-proof sequence: range-partition on (partition_cols +
+    order_cols), count per (spark partition × group) — one tiny job,
+    #partitions × #groups rows — broadcast cumulative offsets, add
+    partition-local rank.  No single-reducer window; survives a table
+    (or a group: a routing key with ONE value degenerates a windowed
+    ``partitionBy`` into a global window) with 10^12 rows.
+
+    ``order_cols`` must be a unique key within each group for the result
+    to be deterministic; ``partition_cols`` values must be non-null
+    (the porter's ``_table`` always is)."""
     from pyspark.sql.functions import spark_partition_id
 
     if isinstance(order_cols, str):
         order_cols = [order_cols]
-    ranged = df.repartitionByRange(*[F.col(c) for c in order_cols])
-    with_pid = ranged.withColumn("__pid", spark_partition_id())
-    counts = (
-        with_pid.groupBy("__pid").count().orderBy("__pid").collect()
-    )  # tiny: one row per partition
-    offsets = {}
-    acc = 0
-    for row in counts:
-        offsets[row["__pid"]] = acc
-        acc += row["count"]
-    offset_map = F.create_map(
-        *[x for pid, off in offsets.items() for x in (F.lit(pid), F.lit(off))]
+    partition_cols = partition_cols or []
+    range_cols = [F.col(c) for c in (*partition_cols, *order_cols)]
+    with_pid = df.repartitionByRange(*range_cols).withColumn(
+        "__pid", spark_partition_id()
     )
-    w = W.partitionBy("__pid").orderBy(*order_cols)
+    counts = (
+        with_pid.groupBy("__pid", *partition_cols).count().collect()
+    )  # tiny: one row per (spark partition, group)
+    sep = "\x1f"  # unit separator: cannot appear in cleaned table names
+
+    def _gkey(row) -> str:
+        return sep.join(str(row[c]) for c in partition_cols)
+
+    offsets: dict[tuple, int] = {}
+    acc: dict[str, int] = {}
+    for row in sorted(counts, key=lambda r: (_gkey(r), r["__pid"])):
+        g = _gkey(row)
+        offsets[(row["__pid"], g)] = acc.get(g, 0)
+        acc[g] = acc.get(g, 0) + row["count"]
+    # key shape must mirror concat_ws below: no trailing sep when
+    # there are no partition columns
+    offset_map = F.create_map(
+        *[
+            x
+            for (pid, g), off in offsets.items()
+            for x in (
+                F.lit(sep.join([str(pid), g]) if partition_cols else str(pid)),
+                F.lit(off),
+            )
+        ]
+    )
+    key_expr = F.concat_ws(
+        sep, F.col("__pid").cast("string"), *[F.col(c).cast("string") for c in partition_cols]
+    )
+    w = W.partitionBy("__pid", *partition_cols).orderBy(*order_cols)
     return (
         with_pid.withColumn("__local", F.row_number().over(w))
-        .withColumn(out_col, (offset_map[F.col("__pid")] + F.col("__local")).cast("int"))
+        .withColumn(out_col, (offset_map[key_expr] + F.col("__local")).cast("int"))
         .drop("__pid", "__local")
     )

@@ -127,7 +127,13 @@ class SparkPorter:
             # per-table filter below is a narrow cache read.  (At cluster
             # scale the equivalent is a partitionBy("_table") staging write;
             # see SURVEY §3.)
-            parent = add_num(parent, ["_table"], [id_col])
+            #
+            # Per-table _num via grouped two-phase, NOT a window
+            # partitioned by _table: a collection whose rows all route to
+            # one table (every flat relational frame) would turn that
+            # window into a single-reducer global sort of the whole
+            # collection.
+            parent = add_num_two_phase(parent, [id_col], partition_cols=["_table"])
             parent = parent.persist()
             out._cached = parent
             table_names = [

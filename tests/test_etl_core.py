@@ -347,3 +347,18 @@ def test_evolve_ddl_edge_cases():
     # PK column absent from schema is a hard error, not silent bad DDL
     with pytest.raises(ValueError):
         create_table_sql("t", {"v": "int"}, ("_id",))
+
+
+def test_num_two_phase_grouped(spark):
+    """Grouped two-phase sequence: contiguous 1-based per group, exactly
+    the windowed per-table counter, without any no-partition window."""
+    df = spark.createDataFrame(
+        [Row(_id=f"{i:04d}", _table="t1" if i % 3 else "t2") for i in range(500)]
+    )
+    got = add_num_two_phase(df, ["_id"], partition_cols=["_table"])
+    want = add_num(df, ["_table"], ["_id"])
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # degenerate single-group case (the constant-_table trap)
+    one = spark.createDataFrame([Row(_id=f"{i:04d}", _table="only") for i in range(100)])
+    nums = sorted(r["_num"] for r in add_num_two_phase(one, ["_id"], partition_cols=["_table"]).collect())
+    assert nums == list(range(1, 101))

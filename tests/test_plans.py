@@ -104,6 +104,8 @@ def test_minhash_single_shuffle_for_signatures(spark):
     from mongo2mysql_spark.operators.dedup import minhash_signature
     from mongo2mysql_spark.sources.parquet import load_table
 
+    spark.catalog.clearCache()  # else an earlier LSH run's persisted
+    # signature frame serves this plan from cache (no exchange at all)
     d = load_table(spark, SF_DIR, "documents")
     sig = minhash_signature(d, "doc_id", word_shingles(tokens(F.col("text")), 3))
     plan = physical_plan(sig)
