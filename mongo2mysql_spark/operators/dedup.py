@@ -214,19 +214,27 @@ def ngram_jaccard_pairs(
     base_cols = [F.col(id_col)] + ([F.col(block_col)] if block_col else [])
     distinct_sh = F.array_distinct(shingles)
     ex = df.select(*base_cols, F.explode(distinct_sh).alias("__sh"))
+    # Per-shingle document frequency via a window on __sh: ONE shuffle
+    # that the self-join below (also keyed on __sh) reuses — no separate
+    # aggregate+join pass, no broadcast of the (huge at scale) shingle
+    # vocabulary.
+    ex = ex.withColumn("__df", F.count(F.lit(1)).over(W.partitionBy("__sh")))
     # Set sizes come from a SEPARATE branch of the base table — one
     # size() per document — and broadcast-join onto the pair table.
     # (Computing the size alongside the explode looks cheaper but
     # Catalyst collapses the projections and re-derives the whole
     # shingle array per exploded row — a measured 35× regression.)
     if max_shingle_df is not None:
-        freq = ex.groupBy("__sh").agg(F.countDistinct(id_col).alias("__df"))
-        ex = ex.join(
-            F.broadcast(freq.filter(F.col("__df") <= max_shingle_df).select("__sh")), "__sh"
-        )
+        ex = ex.filter(F.col("__df") <= max_shingle_df)
         sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
     else:
         sizes = df.select(F.col(id_col), F.size(distinct_sh).alias("__n"))
+
+    # Shingles in exactly ONE document cannot contribute a pair: keep
+    # them out of the self-join entirely (they already count in sizes).
+    # Most shingles are unique in real corpora, so this prunes the
+    # quadratic stage's input massively WITHOUT changing any result.
+    ex = ex.filter(F.col("__df") >= 2).drop("__df")
 
     a, b = ex.alias("a"), ex.alias("b")
     cond = (F.col("a.__sh") == F.col("b.__sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
