@@ -167,16 +167,23 @@ class SparkPorter:
         collections: dict[str, DataFrame],
         sink=None,
         ddl_executor=None,
+        reporter=None,
     ) -> dict[str, CollectionExport]:
         """Full pipeline.  ``sink(table_name, df)`` writes one table
         (e.g. a partial of sources.jdbc.write_upsert or a parquet
-        writer); ``ddl_executor(statements)`` applies the schema pass."""
+        writer); ``ddl_executor(statements)`` applies the schema pass;
+        ``reporter`` (telemetry.ProgressReporter) emits per-table row
+        throughput collected DURING the sink action (A17)."""
         exports = self.run_to_frames(collections)
         for export in exports.values():
             if ddl_executor and export.ddl:
                 ddl_executor(export.ddl)
             if sink:
                 for t, tdf in export.tables.items():
+                    if reporter is not None:
+                        tdf = reporter.wrap(t, tdf)
                     sink(t, tdf)
+                    if reporter is not None:
+                        reporter.finish(t)
             export.unpersist()
         return exports

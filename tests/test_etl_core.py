@@ -362,3 +362,26 @@ def test_num_two_phase_grouped(spark):
     one = spark.createDataFrame([Row(_id=f"{i:04d}", _table="only") for i in range(100)])
     nums = sorted(r["_num"] for r in add_num_two_phase(one, ["_id"], partition_cols=["_table"]).collect())
     assert nums == list(range(1, 101))
+
+
+def test_porter_progress_reporter(spark, docs):
+    """A17 telemetry: per-table row counts ride the sink action itself
+    (Observation accumulators), no extra scan; counts match the tables."""
+    from mongo2mysql_spark.telemetry import ProgressReporter
+
+    lines = []
+    reporter = ProgressReporter(emit=lines.append)
+    written = {}
+
+    def sink(table, df):
+        written[table] = df.count()  # the "action" (a real sink would write)
+
+    exports = SparkPorter(spark, PorterConfig()).run(
+        {"docs": docs}, sink=sink, reporter=reporter
+    )
+    assert set(reporter.finished) == set(exports["docs"].tables)
+    for t, progress in reporter.finished.items():
+        assert progress.rows == written[t]
+        assert progress.rows_per_sec > 0
+    assert reporter.total_rows == sum(written.values())
+    assert any(" rows/s)" in line for line in lines)

@@ -174,3 +174,31 @@ def test_ivf_nprobe_recall_lever(spark):
     assert r2 > r1  # widening the probe set strictly helps here
     assert r3 >= r2
     assert r3 >= 0.7
+
+
+def test_bruteforce_arrow_matches_expression_path(spark):
+    """The numpy/Arrow matmul fast path must produce the same top-k as
+    the bit-exact expression-fold baseline (cosines rounded to 6
+    decimals on both sides, same tiebreak)."""
+    from mongo2mysql_spark.operators.similarity import (
+        topk_bruteforce,
+        topk_bruteforce_arrow,
+    )
+    from mongo2mysql_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    base = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in topk_bruteforce(e, q, "vec_id", "embedding", k=10).collect()
+    }
+    fast = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in topk_bruteforce_arrow(e, q, "vec_id", "embedding", k=10).collect()
+    }
+    assert set(base) == set(fast)
+    for key, (nid, cos) in base.items():
+        fnid, fcos = fast[key]
+        assert fnid == nid
+        assert abs(fcos - cos) <= 1e-6
