@@ -48,6 +48,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output-dir", default=None,
                    help="write destination tables as parquet under this dir")
     p.add_argument("--collections", default=None, help="CSV subset of collections")
+    p.add_argument("--progress", action="store_true",
+                   help="print per-table row/throughput lines (A17; counts "
+                        "ride the sink action, no extra scan)")
     return p
 
 
@@ -98,7 +101,12 @@ def main(argv: list[str] | None = None) -> int:
             def sink(table, df, _url=url, _props=props):
                 write_append(df, _url, table, _props, truncate=args.dataonly)
 
-        exports = porter.run(collections, sink=sink)
+        reporter = None
+        if args.progress and sink is not None:
+            from mongo2mysql_spark.telemetry import ProgressReporter
+
+            reporter = ProgressReporter()
+        exports = porter.run(collections, sink=sink, reporter=reporter)
         for name, export in exports.items():
             for t in export.tables:
                 print(f"{name} -> {t}")

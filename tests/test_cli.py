@@ -43,10 +43,12 @@ def test_cli_end_to_end_subprocess():
             [sys.executable, "-m", "mongo2mysql_spark.cli",
              "--source-dir", "/root/testdata/sf0.001",
              "--collections", "region,nation",
-             "--output-dir", tmp, "--limit", "10"],
+             "--output-dir", tmp, "--limit", "10", "--progress"],
             capture_output=True, text=True, timeout=300,
             cwd=str(Path(__file__).resolve().parent.parent),
         )
         assert proc.returncode == 0, proc.stderr[-2000:]
         assert "region -> region" in proc.stdout
         assert (Path(tmp) / "region.parquet").exists()
+        # --progress: A17 per-table throughput lines rode the sink writes
+        assert " * region: 5 rows" in proc.stdout
