@@ -27,10 +27,18 @@ def parse_skip_list(csv: str | None) -> set[str]:
     return {s.strip() for s in csv.split(",") if s.strip()}
 
 
+def skip_list_predicate(skip: set[str], table_col: str = "_table") -> Column:
+    """The keep-this-row predicate behind the skip-list filter (exposed
+    so callers can attach it as a verdict column without a second pass)."""
+    if not skip:
+        return F.lit(True)
+    return ~F.col(table_col).isin(*sorted(skip))
+
+
 def filter_skip_list(df: DataFrame, skip: set[str], table_col: str = "_table") -> DataFrame:
     if not skip:
         return df
-    return df.filter(~F.col(table_col).isin(*sorted(skip)))
+    return df.filter(skip_list_predicate(skip, table_col))
 
 
 def filter_missing_destination(

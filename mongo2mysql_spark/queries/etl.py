@@ -157,20 +157,17 @@ def _synth_keys(e: DataFrame) -> DataFrame:
     ),
 )
 def etl_route_key(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from mongo2mysql_spark.operators.guards import filter_skip_list
+    from mongo2mysql_spark.operators.guards import skip_list_predicate
 
     e = _synth_keys(Tb(spark, sf_dir, "events"))
     routed = add_table_column(e, "_key", "events")
-    hist = routed.groupBy("_table").agg(F.count(F.lit(1)).alias("n"))
-    kept = (
-        filter_skip_list(routed, {"settings", "user"})
-        .select("_table")
-        .distinct()
-        .withColumn("kept", F.lit(True))
-    )
+    # the skip-list verdict depends only on _table, so the guard's own
+    # predicate rides the aggregated histogram as a verdict column —
+    # ONE scan of the source, no second pass / self-join for the kept set
     return (
-        hist.join(F.broadcast(kept), "_table", "left")
-        .withColumn("kept", F.coalesce(F.col("kept"), F.lit(False)))
+        routed.groupBy("_table")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("kept", skip_list_predicate({"settings", "user"}))
     )
 
 
