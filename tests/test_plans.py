@@ -138,3 +138,37 @@ def test_lsh_band_shuffle_is_narrow(spark):
     assert dedup_aggs, "pair-dedup aggregate missing from plan"
     assert not any("first(a" in line or "mh0" in line for line in dedup_aggs)
     assert "InMemoryTableScan" in plan  # signatures persisted, not re-derived
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Co-located join lever: after bucketed staging on the join key,
+    the orders<->lineitem equi-join plans with ZERO Exchange (the
+    shuffle was paid once at staging time)."""
+    from mongo2mysql_spark.plans.bucketing import read_staged, stage_bucketed
+    from mongo2mysql_spark.sources.parquet import load_table
+
+    # (warehouse dir is a static conf; managed tables land in the
+    # session default and are dropped — files included — in finally)
+    o = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_totalprice")
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+    stage_bucketed(o, "b_orders", ["o_orderkey"], 4, sort_cols=["o_orderkey"])
+    stage_bucketed(li, "b_lineitem", ["l_orderkey"], 4, sort_cols=["l_orderkey"])
+    try:
+        # disable broadcast: at test scale AQE would broadcast the dim,
+        # hiding the co-located SortMergeJoin this lever exists for
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        joined = read_staged(spark, "b_orders").join(
+            read_staged(spark, "b_lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        plan = physical_plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # both sides arrive co-located
+        # sanity: result matches the plain (shuffled) join
+        assert joined.count() == o.join(li, o.o_orderkey == li.l_orderkey).count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
