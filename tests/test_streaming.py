@@ -74,3 +74,27 @@ def test_foreach_batch_upsert_sqlite(spark):
         conn.close()
         assert sum(rows.values()) == 1000  # sf0.001 events rows
         assert set(rows) == {"click", "signup", "purchase", "error", "view"}
+
+
+def test_stateful_first_n_per_key(spark):
+    """Custom stateful operator (applyInPandasWithState): at most N rows
+    admitted per key; on a bounded single-batch stream this equals the
+    batch row_number()<=N per key."""
+    from pyspark.sql import Window as W
+
+    from mongo2mysql_spark.sources import load_table
+    from mongo2mysql_spark.streaming.pipeline import run_to_memory, stream_events
+    from mongo2mysql_spark.streaming.stateful import streaming_first_n_per_key
+    from tests.conftest import SF_DIR
+
+    stream = stream_events(spark, SF_DIR).select("user_id", "ts", "event_id")
+    got = run_to_memory(
+        streaming_first_n_per_key(stream, ["user_id"], ["ts", "event_id"], 3),
+        mode="append",
+    )
+    batch = load_table(spark, SF_DIR, "events").select("user_id", "ts", "event_id")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    want = batch.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3).drop("rn")
+    got_rows = sorted(map(tuple, got.collect()))
+    want_rows = sorted(map(tuple, want.collect()))
+    assert got_rows == want_rows
