@@ -505,16 +505,19 @@ def window_functions_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM part)
     WHERE rn <= 3
     """,
-    doc="top-k per group via row_number (deterministic tiebreak on key).",
+    doc=(
+        "top-k per group (deterministic tiebreak on key) via the salted "
+        "two-phase operator: ~25 brands would otherwise mean ~25 reducers "
+        "sorting the whole table at scale; results equal the plain window."
+    ),
 )
 def topk_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mongo2mysql_spark.operators.skew import salted_topk_per_group
+
     p = T(spark, sf_dir, "part")
-    w = W.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.col("p_partkey"))
-    return (
-        p.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
-        .select("p_brand", "p_partkey", "p_retailprice")
-    )
+    return salted_topk_per_group(
+        p, ["p_brand"], [F.desc("p_retailprice"), F.col("p_partkey")], k=3
+    ).select("p_brand", "p_partkey", "p_retailprice")
 
 
 @register(

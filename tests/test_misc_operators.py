@@ -135,3 +135,36 @@ def test_mongodb_reader_gated_without_connector(spark):
 
     with _pytest.raises(RuntimeError, match="mongo-spark-connector"):
         read_collection(spark, "mongodb://h:27017", "db", "coll")
+
+
+def test_salted_topk_matches_plain_window(spark):
+    """Two-phase salted top-k == plain window top-k, for several k and
+    salt counts (the group top-k is a subset of its salt-bucket top-ks)."""
+    from pyspark.sql import Window as W
+
+    from mongo2mysql_spark.operators.skew import salted_topk_per_group
+    from mongo2mysql_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    p = load_table(spark, SF_DIR, "part")
+    order = [F.desc("p_retailprice"), F.col("p_partkey")]
+    for k, s in ((1, 4), (3, 16), (10, 2)):
+        got = sorted(
+            map(
+                tuple,
+                salted_topk_per_group(p, ["p_brand"], order, k=k, salt_buckets=s)
+                .select("p_brand", "p_partkey", "rank")
+                .collect(),
+            )
+        )
+        w = W.partitionBy("p_brand").orderBy(*order)
+        want = sorted(
+            map(
+                tuple,
+                p.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select("p_brand", "p_partkey", "rank")
+                .collect(),
+            )
+        )
+        assert got == want, (k, s)
