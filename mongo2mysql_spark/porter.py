@@ -30,7 +30,7 @@ from mongo2mysql_spark.operators.guards import (
     table_too_wide,
 )
 from mongo2mysql_spark.operators.routing import DEFAULT_KLUDGE_RULES, add_table_column
-from mongo2mysql_spark.operators.sequence import add_num, add_num_two_phase
+from mongo2mysql_spark.operators.sequence import add_num_two_phase
 from mongo2mysql_spark.operators.spill import child_table_name, spill_child
 from mongo2mysql_spark.plans.ddl import evolve_schema_sql
 from mongo2mysql_spark.plans.infer import infer_table_schema, infer_table_schemas_grouped

@@ -17,7 +17,7 @@ from pyspark.sql import types as T
 
 from mongo2mysql_spark.operators.flatten import SpillField, flatten
 from mongo2mysql_spark.operators.routing import add_table_column
-from mongo2mysql_spark.operators.sequence import add_num, add_num_two_phase
+from mongo2mysql_spark.operators.sequence import add_num_two_phase
 from mongo2mysql_spark.operators.spill import spill_child
 from mongo2mysql_spark.plans.infer import infer_table_schema
 from mongo2mysql_spark.queries import register
@@ -185,11 +185,17 @@ def etl_route_key(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM lineitem)
     WHERE _num <= 100
     """,
-    doc="A11 synthetic _num: per-destination-table 1-based contiguous sequence.",
+    doc=(
+        "A11 synthetic _num: per-destination-table 1-based contiguous "
+        "sequence via the grouped two-phase operator (3 routing groups "
+        "would make a windowed partitionBy 3 reducers at scale)."
+    ),
 )
 def etl_num_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = Tb(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_returnflag")
-    out = add_num(li, ["l_returnflag"], ["l_orderkey", "l_linenumber"])
+    out = add_num_two_phase(
+        li, ["l_orderkey", "l_linenumber"], partition_cols=["l_returnflag"]
+    )
     return out.filter(F.col("_num") <= 100)
 
 
