@@ -1,0 +1,88 @@
+"""Hypertable rollup: multi-granularity time-bucket aggregates from ONE
+scan (TimescaleDB continuous-aggregate shape, re-expressed for Spark).
+
+The naive form — one ``groupBy(date_trunc(g, ts))`` per granularity —
+scans the raw table once per level and shuffles the full row count each
+time.  The hypertable form aggregates the finest level from raw, then
+derives every coarser level *from the previous level's partials*:
+
+    raw ──groupBy hour──> hourly ──groupBy day──> daily ──> weekly
+
+This works because the chosen aggregates are algebraic (COUNT re-sums,
+SUM re-sums; the decimal accumulator stays exact under re-aggregation)
+and because coarser ``date_trunc`` is a congruence of finer buckets
+(``date_trunc('day', date_trunc('hour', ts)) == date_trunc('day', ts)``).
+At 100 TB the raw shuffle happens once (to hour cardinality, ~10^5 rows
+per year per group) and every further level shuffles only partials.
+Non-reaggregable metrics (exact COUNT DISTINCT) don't fit this shape —
+they need a sketch (HLL) or a per-level pass; deliberately excluded.
+
+The reference has no time-series surface; this is extension surface
+(the brief's "hypertable rollup" family).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mongo2mysql_spark.functions.scalar import DEC
+
+# fine -> coarse truncation chain; each level must be a congruence of
+# the previous (every coarser bucket is a union of finer buckets)
+SUPPORTED_CHAINS = ("hour", "day", "week", "month", "quarter", "year")
+
+
+def hypertable_rollup(
+    df: DataFrame,
+    ts_col: str,
+    group_cols: list[str],
+    value: Column,
+    levels: tuple[str, ...] = ("hour", "day", "week"),
+) -> DataFrame:
+    """Tagged union of per-level aggregates ``(granularity, bucket,
+    *group_cols, n_rows, sum_val)``, each coarser level re-aggregated
+    from the finer level's partials.
+
+    ``value`` is summed through DECIMAL(30,10) (exact, associative) so
+    the result is partition-order independent and re-aggregation is
+    bit-identical to a direct per-level sum.
+    """
+    order = {g: i for i, g in enumerate(SUPPORTED_CHAINS)}
+    if any(g not in order for g in levels):
+        raise ValueError(f"unsupported granularity in {levels}")
+    if list(levels) != sorted(levels, key=order.__getitem__):
+        raise ValueError("levels must be ordered fine -> coarse")
+
+    finest = df.groupBy(
+        F.date_trunc(levels[0], F.col(ts_col)).alias("bucket"), *group_cols
+    ).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(value.cast(DEC)).alias("__s"),
+    )
+    # the finest partial feeds every union leg: persist it so the raw
+    # table is scanned once, not once per granularity (it is small —
+    # one row per (bucket x group), hour cardinality)
+    finest = finest.persist()
+
+    partials = {levels[0]: finest}
+    for lvl in levels[1:]:
+        prev = partials[list(partials)[-1]]
+        partials[lvl] = prev.groupBy(
+            F.date_trunc(lvl, F.col("bucket")).alias("bucket"), *group_cols
+        ).agg(F.sum("__n").alias("__n"), F.sum("__s").alias("__s"))
+
+    legs = [
+        p.select(
+            F.lit(lvl).alias("granularity"),
+            "bucket",
+            *group_cols,
+            F.col("__n").alias("n_rows"),
+            F.round(F.col("__s"), 4).cast("double").alias("sum_val"),
+        )
+        for lvl, p in partials.items()
+    ]
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out

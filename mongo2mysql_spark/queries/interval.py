@@ -1,0 +1,123 @@
+"""Interval/time-bucket query surface: bucketed range join and
+hypertable rollup (extension operators — the brief's "operator Spark
+lacks" family, alongside the as-of join).
+
+Both queries are DuckDB-oracle-paired: DuckDB states the semantics
+naively (inequality join; one aggregate per granularity) while the
+Spark side uses the scale-shaped plan (bucket equi-join; hierarchical
+partial re-aggregation) — the comparison proves the optimized plans
+compute the naive semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mongo2mysql_spark.functions.scalar import dsum, sql_dsum
+from mongo2mysql_spark.operators.rangejoin import range_join_bucketed
+from mongo2mysql_spark.operators.rollup import hypertable_rollup
+from mongo2mysql_spark.queries import register
+from mongo2mysql_spark.sources import load_table as T
+
+# Deterministic synthetic promo calendar: 60 overlapping windows over
+# the orders date span (1995-2001), start every 37 days, length 10-59
+# days.  Generated identically on both engines (pure integer algebra).
+N_PROMOS = 60
+PROMO_EPOCH = "1995-01-01"
+
+
+def _promos(spark: SparkSession) -> DataFrame:
+    i = F.col("id")
+    return spark.range(N_PROMOS).select(
+        i.alias("promo_id"),
+        (i * 37).alias("start_day"),
+        (i * 37 + 10 + (i * 7) % 50).alias("end_day"),
+    )
+
+
+@register(
+    "range_join_promo_revenue",
+    f"""
+    WITH promos AS (
+      SELECT i AS promo_id, i*37 AS start_day, i*37 + 10 + (i*7) % 50 AS end_day
+      FROM range({N_PROMOS}) t(i)
+    )
+    SELECT promo_id, start_day, end_day,
+           COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice')} AS revenue
+    FROM promos JOIN orders
+      ON datediff('day', DATE '{PROMO_EPOCH}', CAST(o_orderdate AS DATE))
+         BETWEEN start_day AND end_day
+    GROUP BY 1, 2, 3
+    """,
+    doc=(
+        "range join (point-in-interval): orders attributed to overlapping "
+        "promo windows.  Spark plans the naive inequality join as a "
+        "nested loop (O(n*m)); operators/rangejoin.py buckets the day "
+        "domain and equi-joins on bucket id — shuffle-partitionable on "
+        "both sides, exact-predicate re-check after.  The DuckDB oracle "
+        "states the naive BETWEEN join."
+    ),
+)
+def range_join_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = T(spark, sf_dir, "orders").select(
+        "o_totalprice",
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit(PROMO_EPOCH).cast("date")
+        ).alias("day_num"),
+    )
+    joined = range_join_bucketed(
+        orders,
+        _promos(spark),
+        point_col="day_num",
+        start_col="start_day",
+        end_col="end_day",
+        bucket_width=32,  # ~median promo length: ~2 bucket rows per promo
+    )
+    return joined.groupBy("promo_id", "start_day", "end_day").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(F.col("o_totalprice")).alias("revenue"),
+    )
+
+
+@register(
+    "events_hypertable_rollup",
+    """
+    WITH hourly AS (
+      SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket, event_type,
+             COUNT(*) AS n, SUM(CAST(value AS DECIMAL(30,10))) AS s
+      FROM events GROUP BY 1, 2
+    ), daily AS (
+      SELECT date_trunc('day', bucket) AS bucket, event_type,
+             CAST(SUM(n) AS BIGINT) AS n, SUM(s) AS s
+      FROM hourly GROUP BY 1, 2
+    ), weekly AS (
+      SELECT date_trunc('week', bucket) AS bucket, event_type,
+             CAST(SUM(n) AS BIGINT) AS n, SUM(s) AS s
+      FROM daily GROUP BY 1, 2
+    )
+    SELECT 'hour' AS granularity, CAST(bucket AS TIMESTAMP) AS bucket, event_type,
+           n AS n_rows, CAST(ROUND(s, 4) AS DOUBLE) AS sum_val FROM hourly
+    UNION ALL
+    SELECT 'day', CAST(bucket AS TIMESTAMP), event_type, n, CAST(ROUND(s, 4) AS DOUBLE) FROM daily
+    UNION ALL
+    SELECT 'week', CAST(bucket AS TIMESTAMP), event_type, n, CAST(ROUND(s, 4) AS DOUBLE) FROM weekly
+    """,
+    doc=(
+        "hypertable rollup (continuous-aggregate shape): hour/day/week "
+        "event_type aggregates where each coarser level re-aggregates the "
+        "finer level's partials — the raw table is scanned and shuffled "
+        "ONCE (to hour cardinality); day and week shuffle only partials.  "
+        "The oracle states the same hierarchy in SQL CTEs."
+    ),
+)
+def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "events")
+    return hypertable_rollup(
+        e,
+        ts_col="ts",
+        group_cols=["event_type"],
+        value=F.col("value"),
+        levels=("hour", "day", "week"),
+    )

@@ -361,20 +361,55 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "join_left_orders_customer",
+    "join_outer_coverage",
     """
-    SELECT o_orderkey, o_custkey, c_name, c_mktsegment
+    SELECT 'left' AS side, o_orderkey AS key, o_custkey AS v1,
+           CAST(NULL AS BIGINT) AS v2, c_name AS label
     FROM orders LEFT JOIN customer ON o_custkey = c_custkey
     WHERE o_orderkey % 100 = 0
+    UNION ALL
+    SELECT 'full' AS side, CAST(n_nationkey AS BIGINT) AS key, cn AS v1,
+           sn AS v2, n_name AS label
+    FROM (SELECT c_nationkey AS ck, COUNT(*) AS cn FROM customer GROUP BY 1) c
+    FULL OUTER JOIN (SELECT s_nationkey AS sk, COUNT(*) AS sn FROM supplier GROUP BY 1) s
+      ON c.ck = s.sk
+    JOIN nation ON n_nationkey = COALESCE(c.ck, s.sk)
     """,
-    doc="left outer join preserving unmatched fact rows.",
+    doc=(
+        "outer-join polarities in one result, tagged by side: left outer "
+        "(fact rows preserved without a dimension match) and full outer "
+        "(two aggregates reconciled against the broadcast dimension)."
+    ),
 )
-def join_left_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+def join_outer_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
-    c = T(spark, sf_dir, "customer")
-    return o.join(c, o.o_custkey == c.c_custkey, "left").select(
-        "o_orderkey", "o_custkey", "c_name", "c_mktsegment"
+    cust = T(spark, sf_dir, "customer")
+    left = o.join(cust, o.o_custkey == cust.c_custkey, "left").select(
+        F.lit("left").alias("side"),
+        F.col("o_orderkey").alias("key"),
+        F.col("o_custkey").alias("v1"),
+        F.lit(None).cast("long").alias("v2"),
+        F.col("c_name").alias("label"),
     )
+    c = cust.groupBy(F.col("c_nationkey").alias("ck")).agg(
+        F.count(F.lit(1)).alias("cn")
+    )
+    s = T(spark, sf_dir, "supplier").groupBy(F.col("s_nationkey").alias("sk")).agg(
+        F.count(F.lit(1)).alias("sn")
+    )
+    n = T(spark, sf_dir, "nation")
+    full = (
+        c.join(s, c.ck == s.sk, "full_outer")
+        .join(F.broadcast(n), n.n_nationkey == F.coalesce(c.ck, s.sk))
+        .select(
+            F.lit("full").alias("side"),
+            F.col("n_nationkey").cast("long").alias("key"),
+            F.col("cn").alias("v1"),
+            F.col("sn").alias("v2"),
+            F.col("n_name").alias("label"),
+        )
+    )
+    return left.unionByName(full)
 
 
 @register(
@@ -591,25 +626,32 @@ def sort_limit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "set_ops_nation_keys",
     """
-    SELECT 'union' AS op, nationkey FROM (
+    SELECT 'union' AS op, nationkey, CAST(NULL AS DOUBLE) AS bal FROM (
       SELECT c_nationkey AS nationkey FROM customer
       UNION SELECT s_nationkey FROM supplier)
     UNION ALL
-    SELECT 'intersect' AS op, nationkey FROM (
+    SELECT 'intersect' AS op, nationkey, CAST(NULL AS DOUBLE) AS bal FROM (
       SELECT c_nationkey AS nationkey FROM customer
       INTERSECT SELECT s_nationkey FROM supplier)
     UNION ALL
-    SELECT 'except' AS op, nationkey FROM (
+    SELECT 'except' AS op, nationkey, CAST(NULL AS DOUBLE) AS bal FROM (
       SELECT c_nationkey AS nationkey FROM customer
       EXCEPT SELECT s_nationkey FROM supplier)
     UNION ALL
-    SELECT 'distinct' AS op, nationkey FROM (
+    SELECT 'distinct' AS op, nationkey, CAST(NULL AS DOUBLE) AS bal FROM (
       SELECT DISTINCT c_nationkey AS nationkey FROM customer)
+    UNION ALL
+    SELECT 'drift' AS op, nationkey, bal FROM (
+      SELECT c_nationkey AS nationkey, c_acctbal AS bal FROM customer
+      UNION ALL BY NAME
+      SELECT s_nationkey AS nationkey FROM supplier)
     """,
     doc=(
         "set-operation surface in one result, tagged by op: UNION (distinct), "
-        "INTERSECT, EXCEPT, and plain DISTINCT over the customer/supplier "
-        "nation-key sets."
+        "INTERSECT, EXCEPT, plain DISTINCT, and the schema-drift union "
+        "(unionByName(allowMissingColumns=True) — the union used when folding "
+        "collections whose inferred schemas differ, SURVEY §1.3: the supplier "
+        "side lacks `bal`, which arrives NULL)."
     ),
 )
 def set_ops_nation_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -617,13 +659,24 @@ def set_ops_nation_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = T(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
 
     def tag(df: DataFrame, op: str) -> DataFrame:
-        return df.select(F.lit(op).alias("op"), "nationkey")
+        return df.select(
+            F.lit(op).alias("op"),
+            "nationkey",
+            F.lit(None).cast("double").alias("bal"),
+        )
 
+    drift = (
+        T(spark, sf_dir, "customer")
+        .select(F.col("c_nationkey").alias("nationkey"), F.col("c_acctbal").alias("bal"))
+        .unionByName(s, allowMissingColumns=True)
+        .select(F.lit("drift").alias("op"), "nationkey", "bal")
+    )
     return (
         tag(c.union(s).distinct(), "union")
         .unionByName(tag(c.intersect(s), "intersect"))
         .unionByName(tag(c.subtract(s), "except"))  # EXCEPT (set), not EXCEPT ALL
         .unionByName(tag(c.distinct(), "distinct"))
+        .unionByName(drift)
     )
 
 
@@ -724,56 +777,6 @@ def scalar_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("engagement")
         .alias("event_class"),
     )
-
-
-@register(
-    "join_full_outer",
-    """
-    SELECT n_nationkey, cn, sn
-    FROM (SELECT c_nationkey AS ck, COUNT(*) AS cn FROM customer GROUP BY 1) c
-    FULL OUTER JOIN (SELECT s_nationkey AS sk, COUNT(*) AS sn FROM supplier GROUP BY 1) s
-      ON c.ck = s.sk
-    JOIN nation ON n_nationkey = COALESCE(c.ck, s.sk)
-    """,
-    doc="full outer join of two aggregates, reconciled against the dimension.",
-)
-def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = T(spark, sf_dir, "customer").groupBy(F.col("c_nationkey").alias("ck")).agg(
-        F.count(F.lit(1)).alias("cn")
-    )
-    s = T(spark, sf_dir, "supplier").groupBy(F.col("s_nationkey").alias("sk")).agg(
-        F.count(F.lit(1)).alias("sn")
-    )
-    n = T(spark, sf_dir, "nation")
-    return (
-        c.join(s, c.ck == s.sk, "full_outer")
-        .join(F.broadcast(n), n.n_nationkey == F.coalesce(c.ck, s.sk))
-        .select("n_nationkey", "cn", "sn")
-    )
-
-
-@register(
-    "union_schema_drift",
-    """
-    SELECT o_orderkey, o_totalprice, o_orderpriority FROM (
-      SELECT o_orderkey, o_totalprice, o_orderpriority
-      FROM orders WHERE o_orderstatus = 'F'
-      UNION ALL BY NAME
-      SELECT o_orderkey, NULL AS o_totalprice, o_orderpriority
-      FROM orders WHERE o_orderstatus = 'O')
-    """,
-    doc=(
-        "unionByName(allowMissingColumns=True): the schema-drift union used "
-        "when folding collections whose inferred schemas differ (SURVEY §1.3)."
-    ),
-)
-def union_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = T(spark, sf_dir, "orders")
-    a = o.filter(F.col("o_orderstatus") == "F").select(
-        "o_orderkey", "o_totalprice", "o_orderpriority"
-    )
-    b = o.filter(F.col("o_orderstatus") == "O").select("o_orderkey", "o_orderpriority")
-    return a.unionByName(b, allowMissingColumns=True)
 
 
 @register(

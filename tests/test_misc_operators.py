@@ -168,3 +168,93 @@ def test_salted_topk_matches_plain_window(spark):
             )
         )
         assert got == want, (k, s)
+
+
+def test_range_join_matches_naive_inequality(spark):
+    """Bucket equi-join == naive BETWEEN join, across bucket widths
+    (narrower / near / wider than the interval lengths)."""
+    from mongo2mysql_spark.operators.rangejoin import range_join_bucketed
+
+    pts = spark.range(200).select(
+        F.col("id").alias("pid"), ((F.col("id") * 37) % 1000).alias("x")
+    )
+    ivl = spark.range(30).select(
+        F.col("id").alias("iid"),
+        ((F.col("id") * 29) % 900).alias("lo"),
+        (((F.col("id") * 29) % 900) + (F.col("id") * 13) % 120).alias("hi"),
+    )
+    naive = {
+        (r["pid"], r["iid"])
+        for r in pts.join(
+            ivl, (F.col("x") >= F.col("lo")) & (F.col("x") <= F.col("hi"))
+        ).collect()
+    }
+    assert naive  # non-vacuous
+    for width in (1, 50, 5000):
+        got = {
+            (r["pid"], r["iid"])
+            for r in range_join_bucketed(pts, ivl, "x", "lo", "hi", width).collect()
+        }
+        assert got == naive, f"bucket_width={width}"
+
+
+def test_range_join_input_contracts(spark):
+    from mongo2mysql_spark.operators.rangejoin import range_join_bucketed
+
+    pts = spark.range(5).select(F.col("id").alias("x"))
+    ivl = spark.range(5).select(F.col("id").alias("x"), (F.col("id") + 2).alias("hi"))
+    try:
+        range_join_bucketed(pts, ivl, "x", "x", "hi", 10)
+        raise AssertionError("overlapping columns must be rejected")
+    except ValueError as e:
+        assert "disjoint" in str(e)
+    ivl2 = spark.range(5).select(F.col("id").alias("lo"), (F.col("id") + 2).alias("hi"))
+    try:
+        range_join_bucketed(pts, ivl2, "x", "lo", "hi", 0)
+        raise AssertionError("bucket_width=0 must be rejected")
+    except ValueError as e:
+        assert "positive" in str(e)
+
+
+def test_hypertable_rollup_matches_direct_per_level(spark):
+    """Hierarchical re-aggregation must equal one direct groupBy per
+    granularity (algebraic-aggregate congruence)."""
+    from mongo2mysql_spark.functions.scalar import DEC
+    from mongo2mysql_spark.operators.rollup import hypertable_rollup
+    from mongo2mysql_spark.sources import load_table
+
+    e = load_table(spark, SF, "events")
+    rolled = hypertable_rollup(
+        e, "ts", ["event_type"], F.col("value"), levels=("hour", "day", "week")
+    )
+    got = {
+        (r["granularity"], r["bucket"], r["event_type"]): (r["n_rows"], r["sum_val"])
+        for r in rolled.collect()
+    }
+    for lvl in ("hour", "day", "week"):
+        direct = {
+            (lvl, r["bucket"], r["event_type"]): (r["n"], r["s"])
+            for r in e.groupBy(
+                F.date_trunc(lvl, F.col("ts")).alias("bucket"), "event_type"
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum(F.col("value").cast(DEC)), 4).cast("double").alias("s"),
+            )
+            .collect()
+        }
+        sub = {k: v for k, v in got.items() if k[0] == lvl}
+        assert sub == direct, lvl
+
+
+def test_hypertable_rollup_rejects_bad_levels(spark):
+    from mongo2mysql_spark.operators.rollup import hypertable_rollup
+    from mongo2mysql_spark.sources import load_table
+
+    e = load_table(spark, SF, "events")
+    for levels in (("day", "hour"), ("hour", "fortnight")):
+        try:
+            hypertable_rollup(e, "ts", [], F.col("value"), levels=levels)
+            raise AssertionError(f"levels={levels} must be rejected")
+        except ValueError:
+            pass

@@ -172,3 +172,30 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_range_join_is_equi_join_not_nested_loop(spark):
+    """The range join must plan as an equi-join on the bucket id even
+    with broadcast disabled (both sides big at scale) — never a
+    BroadcastNestedLoopJoin/CartesianProduct on the BETWEEN predicate."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = REGISTRY["range_join_promo_revenue"].fn(spark, SF_DIR)
+        plan = physical_plan(df)
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_hypertable_rollup_scans_raw_once(spark):
+    """Coarser levels must reuse the cached finest partial: exactly one
+    events parquet scan in the plan, and cached InMemory legs."""
+    df = REGISTRY["events_hypertable_rollup"].fn(spark, SF_DIR)
+    plan = physical_plan(df)
+    # every union leg (hour, day, week) must read the cached hourly
+    # partial — so the raw scan executes once, even though the plan
+    # STRING prints the InMemoryRelation's definition under each leg
+    assert plan.count("InMemoryTableScan") == 3
