@@ -1,3 +1,3 @@
-from mongo2mysql_spark.sources.parquet import TABLES, load_table, load_tables, register_views
+from mongo2mysql_spark.sources.parquet import TABLES, fan_out, load_table, load_tables, register_views
 
-__all__ = ["TABLES", "load_table", "load_tables", "register_views"]
+__all__ = ["TABLES", "fan_out", "load_table", "load_tables", "register_views"]

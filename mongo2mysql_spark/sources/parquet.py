@@ -65,6 +65,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str, limit: int | None = 
     return df
 
 
+def fan_out(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:
+    """Spread a narrow source across all cores before CPU-heavy per-row
+    derivation (shingle md5s, vector folds).
+
+    Parquet splits at row-group granularity, so a small table arriving
+    as one file/row group runs its ENTIRE pre-shuffle pipeline — the
+    expensive scan+explode+hash stage — as a single task no matter how
+    many cores exist.  This helper is *gated*: it is a no-op whenever
+    the scan already supplies >= target partitions, which at 100 TB
+    (thousands of splits) is always — the round-robin exchange only
+    fires for sources narrower than the cluster, where its cost (one
+    shuffle of the small input) buys full-width parallelism for every
+    downstream stage.
+    """
+    target = min_parallelism or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:  # metadata only: no job runs
+        return df
+    return df.repartition(target)
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
     return {n: load_table(spark, sf_dir, n) for n in names}
 
