@@ -38,6 +38,8 @@ HEADLINE = [
     "dedup_simhash",
     "ann_topk_bruteforce",
     "ann_topk_ivf",
+    "range_join_promo_revenue",
+    "events_hypertable_rollup",
     "text_term_frequency",
     "text_langid_ngram",
     "streaming_tumbling_window",

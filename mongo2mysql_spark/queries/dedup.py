@@ -22,7 +22,7 @@ from mongo2mysql_spark.operators.dedup import (
     simhash_bits,
 )
 from mongo2mysql_spark.queries import register
-from mongo2mysql_spark.sources import fan_out, load_table as T
+from mongo2mysql_spark.sources import load_table as T
 
 K = 16
 BANDS = 8
@@ -66,7 +66,7 @@ _SHINGLES_CTE = """
 def dedup_exact_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mongo2mysql_spark.functions.text import fingerprint
 
-    d = fan_out(T(spark, sf_dir, "documents"))
+    d = T(spark, sf_dir, "documents", fanout=True)
     fp = (
         d.withColumn("fingerprint", fingerprint(tokens(F.col("text"))))
         .groupBy("fingerprint")
@@ -112,7 +112,7 @@ def _minhash_sig_sql() -> str:
     doc=f"MinHash signatures (k={K}) from md5-salted 3-token shingles.",
 )
 def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = fan_out(T(spark, sf_dir, "documents"))
+    d = T(spark, sf_dir, "documents", fanout=True)
     return minhash_signature(
         d, "doc_id", word_shingles(tokens(F.col("text")), 3), k=K
     )
@@ -152,7 +152,7 @@ def _band_exprs_sql() -> str:
     doc=f"MinHash LSH near-dup candidates ({BANDS} bands × {K // BANDS} rows), est-Jaccard ≥ 0.5.",
 )
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = fan_out(T(spark, sf_dir, "documents"))
+    d = T(spark, sf_dir, "documents", fanout=True)
     sig = minhash_signature(d, "doc_id", word_shingles(tokens(F.col("text")), 3), k=K)
     return lsh_candidate_pairs(sig, "doc_id", k=K, bands=BANDS, min_est_jaccard=0.5)
 
@@ -181,7 +181,7 @@ def _simhash_sql(bits: int = 32) -> str:
     doc="32-bit SimHash signature per document (md5-nibble weights).",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = fan_out(T(spark, sf_dir, "documents"))
+    d = T(spark, sf_dir, "documents", fanout=True)
     return d.select("doc_id", simhash_bits(tokens(F.col("text")), 32).alias("simhash"))
 
 
@@ -204,7 +204,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="exact 3-gram Jaccard near-dup pairs (≥ 0.6) via shingle self-join.",
 )
 def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = fan_out(T(spark, sf_dir, "documents"))
+    d = T(spark, sf_dir, "documents", fanout=True)
     return ngram_jaccard_pairs(
         d, "doc_id", word_shingles(tokens(F.col("text")), 3), min_jaccard=0.6
     )
@@ -229,5 +229,5 @@ def _cos_sql(a: str, b: str) -> str:
     doc="embedding near-dup pairs: exact-decimal cosine ≥ 0.3 within label blocks.",
 )
 def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = fan_out(T(spark, sf_dir, "embeddings"))
+    e = T(spark, sf_dir, "embeddings", fanout=True)
     return embedding_neardup_pairs(e, "vec_id", "embedding", "label", min_cosine=0.3)

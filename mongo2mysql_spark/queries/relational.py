@@ -30,6 +30,14 @@ from mongo2mysql_spark.functions.scalar import davg, dmul, dsum, sql_davg, sql_d
 from mongo2mysql_spark.queries import register
 from mongo2mysql_spark.sources import load_table as T
 
+
+def Tf(spark, sf_dir, name):
+    """Fan-out fact scan (sources/parquet.fan_out): a no-op whenever the
+    scan supplies >= core-count partitions (always at real scale); when a
+    local single-row-group file would pin the whole pre-shuffle pipeline
+    to one task, it round-robins the rows across the cores first."""
+    return T(spark, sf_dir, name, fanout=True)
+
 # ---------------------------------------------------------------- aggregation
 
 
@@ -52,7 +60,7 @@ from mongo2mysql_spark.sources import load_table as T
     doc="TPC-H Q1 shape: scan-filter-aggregate, 8 aggregates over 2 group keys.",
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = T(spark, sf_dir, "lineitem")
+    li = Tf(spark, sf_dir, "lineitem")
     disc_price = dmul(F.col("l_extendedprice"), 1 - F.col("l_discount"))
     charge = dmul(disc_price, 1 + F.col("l_tax"))
     return (
@@ -85,7 +93,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="TPC-H Q6 shape: highly selective filter + global aggregate (no group keys).",
 )
 def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = T(spark, sf_dir, "lineitem")
+    li = Tf(spark, sf_dir, "lineitem")
     return (
         li.filter(
             (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -118,7 +126,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="count / distinct-count / min / max / integer sum over one group key.",
 )
 def agg_stats_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = T(spark, sf_dir, "lineitem")
+    li = Tf(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("l_orderkey").alias("n_orders"),
@@ -147,7 +155,7 @@ def agg_stats_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def agg_multilevel_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = T(spark, sf_dir, "orders")
+    o = Tf(spark, sf_dir, "orders")
     return o.cube("o_orderstatus", "o_orderpriority").agg(
         F.grouping_id().alias("gid"),
         F.count(F.lit(1)).alias("n_orders"),
@@ -168,7 +176,7 @@ def agg_multilevel_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="pivot (wide conditional aggregation) with an explicit value list.",
 )
 def pivot_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = T(spark, sf_dir, "orders")
+    o = Tf(spark, sf_dir, "orders")
     p = (
         o.groupBy("o_orderpriority")
         .pivot("o_orderstatus", ["F", "O", "P"])
@@ -198,7 +206,7 @@ def pivot_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def agg_histogram_price_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = T(spark, sf_dir, "orders")
+    o = Tf(spark, sf_dir, "orders")
     return (
         o.withColumn("bucket", F.floor(F.col("o_totalprice") / 50000).cast("long"))
         .groupBy("bucket")
@@ -224,7 +232,7 @@ def agg_histogram_price_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = T(spark, sf_dir, "lineitem")
+    li = Tf(spark, sf_dir, "lineitem")
     agg = li.agg(
         F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
         F.countDistinct("l_orderkey").alias("exact_orders"),
@@ -269,10 +277,10 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = T(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    o = T(spark, sf_dir, "orders").filter(
+    o = Tf(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
     )
-    li = T(spark, sf_dir, "lineitem").filter(
+    li = Tf(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
     )
     return (
@@ -308,11 +316,11 @@ def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = T(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     n = T(spark, sf_dir, "nation")
     c = T(spark, sf_dir, "customer")
-    o = T(spark, sf_dir, "orders").filter(
+    o = Tf(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
     )
-    li = T(spark, sf_dir, "lineitem")
+    li = Tf(spark, sf_dir, "lineitem")
     s = T(spark, sf_dir, "supplier")
     return (
         c.join(F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
@@ -344,11 +352,11 @@ def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="TPC-H Q4 shape: EXISTS semi-join + grouped count.",
 )
 def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = T(spark, sf_dir, "orders").filter(
+    o = Tf(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
     )
-    li = T(spark, sf_dir, "lineitem")
+    li = Tf(spark, sf_dir, "lineitem")
     return (
         o.join(
             li,
@@ -440,7 +448,7 @@ def join_semi_anti_existence(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("c_name").alias("name"))
     )
     p = T(spark, sf_dir, "part")
-    li = T(spark, sf_dir, "lineitem")
+    li = Tf(spark, sf_dir, "lineitem")
     anti = (
         p.join(li, p.p_partkey == li.l_partkey, "left_anti")
         .select(F.lit("anti").alias("side"), F.col("p_partkey").alias("key"),
@@ -466,8 +474,8 @@ def join_semi_anti_existence(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def parent_child_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = T(spark, sf_dir, "orders")
-    li = T(spark, sf_dir, "lineitem")
+    o = Tf(spark, sf_dir, "orders")
+    li = Tf(spark, sf_dir, "lineitem")
     return (
         o.join(li, o.o_orderkey == li.l_orderkey)
         .groupBy("o_orderkey", "o_orderstatus")
@@ -820,7 +828,7 @@ def subquery_min_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = T(spark, sf_dir, "lineitem")
+    li = Tf(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.percentile("l_extendedprice", 0.5).alias("p50"),
         F.percentile("l_extendedprice", 0.9).alias("p90"),

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from mongo2mysql_spark.functions.vector import norm_seq, sql_dot, sql_norm
 from mongo2mysql_spark.operators.similarity import topk_bruteforce, topk_ivf
 from mongo2mysql_spark.queries import register
-from mongo2mysql_spark.sources import fan_out, load_table as T
+from mongo2mysql_spark.sources import load_table as T
 
 N_QUERIES = 5
 STRIDE = 97
@@ -43,7 +43,7 @@ def _cos(a: str, b: str) -> str:
     doc="exact cosine top-10 per query vector (broadcast queries, corpus streams).",
 )
 def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = fan_out(T(spark, sf_dir, "embeddings"))
+    e = T(spark, sf_dir, "embeddings", fanout=True)
     q = e.filter(F.col("vec_id") < N_QUERIES)
     return topk_bruteforce(e, q, "vec_id", "embedding", k=10).select(
         "query_id", "neighbor_id", "cosine", "rank"
@@ -88,7 +88,7 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = fan_out(T(spark, sf_dir, "embeddings"))
+    e = T(spark, sf_dir, "embeddings", fanout=True)
     q = e.filter(F.col("vec_id") < N_QUERIES)
     return topk_ivf(
         e, q, "vec_id", "embedding", centroid_stride=STRIDE, k=5, nprobe=NPROBE
@@ -108,7 +108,7 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="array-function surface over embeddings: size, L2 norm, element access.",
 )
 def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = fan_out(T(spark, sf_dir, "embeddings"))
+    e = T(spark, sf_dir, "embeddings", fanout=True)
     emb = F.col("embedding")
     return e.select(
         "vec_id",

@@ -15,7 +15,7 @@ from mongo2mysql_spark.functions.text import (
 )
 from mongo2mysql_spark.operators.multimodal import decode_metadata, payload_frame
 from mongo2mysql_spark.queries import register
-from mongo2mysql_spark.sources import fan_out, load_table as T
+from mongo2mysql_spark.sources import load_table as T
 
 
 @register(
@@ -41,7 +41,7 @@ from mongo2mysql_spark.sources import fan_out, load_table as T
     ),
 )
 def text_token_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = fan_out(T(spark, sf_dir, "documents"))
+    d = T(spark, sf_dir, "documents", fanout=True)
     t = tokens(F.col("text"))
     return d.select(
         "doc_id",
@@ -66,7 +66,7 @@ def text_token_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="global term frequency (top 50, deterministic tiebreak).",
 )
 def text_term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = fan_out(T(spark, sf_dir, "documents"))
+    d = T(spark, sf_dir, "documents", fanout=True)
     return (
         d.select(F.explode(tokens(F.col("text"))).alias("token"))
         .groupBy("token")
@@ -107,7 +107,7 @@ def _langid_sql() -> str:
     ),
 )
 def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = fan_out(T(spark, sf_dir, "documents"))
+    d = T(spark, sf_dir, "documents", fanout=True)
     t = tokens(F.col("text"))
     def hits(lang: str):
         words = STOPWORDS[lang]
@@ -143,7 +143,7 @@ def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="document fingerprint: md5 over the sorted distinct token set.",
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = fan_out(T(spark, sf_dir, "documents"))
+    d = T(spark, sf_dir, "documents", fanout=True)
     return d.select("doc_id", fingerprint(tokens(F.col("text"))).alias("fp"))
 
 
@@ -166,7 +166,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def mm_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = fan_out(T(spark, sf_dir, "documents"))
+    d = T(spark, sf_dir, "documents", fanout=True)
     pf = payload_frame(
         d, F.col("doc_id"), F.encode(F.col("text"), "UTF-8"), F.lit("text/plain")
     )
@@ -189,7 +189,7 @@ def mm_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = fan_out(T(spark, sf_dir, "documents"))
+    d = T(spark, sf_dir, "documents", fanout=True)
     pf = payload_frame(
         d, F.col("doc_id"), F.encode(F.col("text"), "UTF-8"), F.lit("text/plain")
     )

@@ -44,7 +44,13 @@ def list_collections(sf_dir: str) -> list[str]:
     )
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str, limit: int | None = None) -> DataFrame:
+def load_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    limit: int | None = None,
+    fanout: bool = False,
+) -> DataFrame:
     """Full collection scan (A2) with optional source-pushed limit (A3,
     Porter.php:141-144 — Catalyst plants a LocalLimit above the scan).
 
@@ -56,31 +62,65 @@ def load_table(spark: SparkSession, sf_dir: str, name: str, limit: int | None = 
     scale-free.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # integer div: ns longs exceed double's exact range, so no `/ 1000`
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     if limit is not None:
         df = df.limit(limit)
+    if fanout:
+        df = fan_out(df, source_path=path)
     return df
 
 
-def fan_out(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:
+def _source_bytes(path: str) -> int:
+    if os.path.isdir(path):
+        return sum(
+            os.path.getsize(os.path.join(path, f))
+            for f in os.listdir(path)
+            if not f.startswith((".", "_"))
+        )
+    return os.path.getsize(path)
+
+
+def _max_partition_bytes(spark: SparkSession) -> int:
+    raw = str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
+    digits = "".join(ch for ch in raw if ch.isdigit())
+    scale = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}.get(
+        raw.rstrip("b").strip()[-1:].lower(), 1
+    )
+    return int(digits) * scale
+
+
+def fan_out(
+    df: DataFrame, source_path: str | None = None, min_parallelism: int | None = None
+) -> DataFrame:
     """Spread a narrow source across all cores before CPU-heavy per-row
-    derivation (shingle md5s, vector folds).
+    derivation (shingle md5s, vector folds, wide aggregates).
 
     Parquet splits at row-group granularity, so a small table arriving
     as one file/row group runs its ENTIRE pre-shuffle pipeline — the
     expensive scan+explode+hash stage — as a single task no matter how
     many cores exist.  This helper is *gated*: it is a no-op whenever
-    the scan already supplies >= target partitions, which at 100 TB
+    the scan will supply >= target partitions, which at 100 TB
     (thousands of splits) is always — the round-robin exchange only
     fires for sources narrower than the cluster, where its cost (one
     shuffle of the small input) buys full-width parallelism for every
     downstream stage.
+
+    The gate is an ``os.stat`` estimate (source bytes / maxPartitionBytes)
+    when ``source_path`` is given — deliberately NOT ``df.rdd
+    .getNumPartitions()``, whose DataFrame->RDD conversion costs real
+    driver time on every query construction.
     """
-    target = min_parallelism or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:  # metadata only: no job runs
+    spark = df.sparkSession
+    target = min_parallelism or spark.sparkContext.defaultParallelism
+    if source_path is not None:
+        est_splits = max(1, -(-_source_bytes(source_path) // _max_partition_bytes(spark)))
+        if est_splits >= target:
+            return df
+    elif df.rdd.getNumPartitions() >= target:  # fallback: exact but slower
         return df
     return df.repartition(target)
 
