@@ -36,6 +36,8 @@ HEADLINE = [
     "dedup_minhash_lsh_pairs",
     "dedup_ngram_jaccard_pairs",
     "dedup_simhash",
+    "dedup_connected_components",
+    "sample_split_stratified",
     "ann_topk_bruteforce",
     "ann_topk_ivf",
     "range_join_promo_revenue",

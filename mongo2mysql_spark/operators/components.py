@@ -1,0 +1,111 @@
+"""Connected components over a near-duplicate pair list (extension layer).
+
+The dedup pipeline's final step: candidate PAIRS (from MinHash LSH
+banding, n-gram Jaccard, or embedding cosine — operators/dedup.py) must
+become CLUSTERS, i.e. the transitive closure of the pair relation,
+before one representative per cluster can be kept.  A pair list alone
+under-deduplicates: if A~B and B~C but A!~C, keeping "one of each pair"
+retains two of {A,B,C}.
+
+Algorithm: alternating large-star / small-star (Kiveris, Lattanzi,
+Mirrokni, Rastogi, Vassilvitskii — "Connected Components in MapReduce
+and Beyond", ACM SoCC 2014).  Each round is two groupBy+join passes
+over the edge list, and the edge set converges to one star per
+component rooted at the component's minimum node id in O(log^2 n)
+rounds — crucially bounded by graph SIZE, not graph DIAMETER.  Naive
+label propagation needs diameter-many rounds, and at 100 TB a chain of
+pairwise near-duplicates (common with templated/boilerplate text) makes
+the diameter unbounded.
+
+Scale shape: every round is {symmetrize -> groupBy(min) -> join} —
+shuffles keyed on node id, no collect of neighbor lists (high-degree
+nodes never materialize their neighborhood in one task's memory, unlike
+collect_list formulations).  Per-round results are localCheckpoint'ed:
+the iteration would otherwise nest each round's plan inside the next
+(exponential lineage); on a real cluster use a reliable checkpoint dir
+instead.  Convergence detection costs one count + one subtract per
+round — the standard price of a fixed-point loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect every neighbor v > u to m(u) = min(N(u) + {u})."""
+    sym = edges.select("a", "b").union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    m = sym.groupBy("a").agg(F.min("b").alias("__mn"))
+    m = m.select("a", F.least("a", "__mn").alias("__m"))
+    return (
+        sym.join(m, "a")
+        .filter(F.col("b") > F.col("a"))
+        .select(F.col("b").alias("a"), F.col("__m").alias("b"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient each edge large->small, then connect every smaller
+    neighbor (and u itself) to m(u) = min of u's smaller neighbors."""
+    oriented = edges.select(
+        F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+    ).filter(F.col("a") != F.col("b"))
+    m = oriented.groupBy("a").agg(F.min("b").alias("__m"))
+    neighbors = (
+        oriented.join(m, "a")
+        .select(F.col("b").alias("a"), F.col("__m").alias("b"))
+    )
+    self_edges = m.select("a", F.col("__m").alias("b"))
+    return (
+        neighbors.union(self_edges)
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def connected_components(
+    edges: DataFrame, src: str = "id_1", dst: str = "id_2", max_rounds: int = 30
+) -> DataFrame:
+    """Transitive closure of an undirected pair list.
+
+    Returns one row per node appearing in ``edges``:
+    ``(id, component)`` where ``component`` is the smallest node id
+    reachable from ``id`` — a deterministic canonical cluster label.
+    Nodes with no edges are absent (callers left-join and coalesce to
+    the node's own id, which is what the registered query does).
+    """
+    # Lazy checkpoints: lineage truncation happens at the count() that
+    # follows, so each round costs one materializing job, not two.
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    prev_cnt = e.count()
+    if prev_cnt == 0:
+        return e.select(F.col("a").alias("id"), F.col("b").alias("component"))
+    for _ in range(max_rounds):
+        nxt = _small_star(_large_star(e)).localCheckpoint(eager=False)
+        cnt = nxt.count()
+        # Fixed point: identical edge sets.  Count equality plus an
+        # empty one-sided set difference <=> set equality.
+        if cnt == prev_cnt and nxt.subtract(e).isEmpty():
+            e = nxt
+            break
+        e, prev_cnt = nxt, cnt
+    else:
+        raise RuntimeError(f"connected_components: no fixed point in {max_rounds} rounds")
+    # At the fixed point the edge set is a union of stars (member ->
+    # component min).  Roots appear only on the b side.
+    members = e.groupBy("a").agg(F.min("b").alias("component")).select(
+        F.col("a").alias("id"), "component"
+    )
+    roots = (
+        e.select(F.col("b").alias("id"))
+        .subtract(e.select(F.col("a").alias("id")))
+        .select("id", F.col("id").alias("component"))
+    )
+    return members.union(roots)

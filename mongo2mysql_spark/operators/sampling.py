@@ -1,0 +1,72 @@
+"""Deterministic hash-based splits and samples (extension layer).
+
+A training-data pipeline needs train/val/test assignment and
+down-sampling that are (a) reproducible run-to-run, (b) stable under
+repartitioning, and (c) leakage-free (a document's split never depends
+on which partition or executor saw it).  Spark's ``df.sample`` /
+``randomSplit`` are none of these — they seed per-partition RNGs, so a
+repartition reshuffles the sample.
+
+The portable primitive: bucket a record's KEY by the first two hex
+chars of a salted md5 (256 buckets) and compare hex strings
+lexicographically.  md5 hex is identical in Spark and DuckDB, hex
+strings order identically, so every assignment is bit-reproducible
+cross-engine — the oracle checks the actual split logic, not a
+statistical proxy.
+
+Scale shape: pure per-row expressions (one md5 per key per salt) —
+narrow, no shuffle, whole-stage codegen.  Changing the salt re-rolls
+every assignment independently (use one salt per experiment).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+BUCKETS = 256  # two hex chars
+
+
+def _hex_bucket(key: Column, salt: str) -> Column:
+    """First two hex chars of md5('<salt>|<key>') — 256 equal buckets."""
+    return F.substring(F.md5(F.concat_ws("|", F.lit(salt), key.cast("string"))), 1, 2)
+
+
+def _threshold(frac: float) -> str:
+    """Hex threshold t such that (bucket < t) covers round(256*frac) buckets."""
+    return format(max(0, min(BUCKETS, round(BUCKETS * frac))), "02x")
+
+
+def hash_split(key: Column, train: float = 0.8, val: float = 0.1,
+               salt: str = "split") -> Column:
+    """'train' / 'val' / 'test' label from the key's salted hash bucket."""
+    b = _hex_bucket(key, salt)
+    return (
+        F.when(b < F.lit(_threshold(train)), "train")
+        .when(b < F.lit(_threshold(train + val)), "val")
+        .otherwise("test")
+    )
+
+
+def hash_sample_flag(key: Column, rate: float = 0.1, salt: str = "sample") -> Column:
+    """1 if the key falls in the deterministic ``rate`` sample, else 0."""
+    return F.when(_hex_bucket(key, salt) < F.lit(_threshold(rate)), 1).otherwise(0)
+
+
+def sql_hex_bucket(key_sql: str, salt: str) -> str:
+    """DuckDB mirror of ``_hex_bucket`` (same md5, same hex compare)."""
+    return f"substr(md5('{salt}' || '|' || CAST({key_sql} AS VARCHAR)), 1, 2)"
+
+
+def sql_hash_split(key_sql: str, train: float = 0.8, val: float = 0.1,
+                   salt: str = "split") -> str:
+    b = sql_hex_bucket(key_sql, salt)
+    return (
+        f"CASE WHEN {b} < '{_threshold(train)}' THEN 'train' "
+        f"WHEN {b} < '{_threshold(train + val)}' THEN 'val' "
+        f"ELSE 'test' END"
+    )
+
+
+def sql_hash_sample_flag(key_sql: str, rate: float = 0.1, salt: str = "sample") -> str:
+    return f"CASE WHEN {sql_hex_bucket(key_sql, salt)} < '{_threshold(rate)}' THEN 1 ELSE 0 END"

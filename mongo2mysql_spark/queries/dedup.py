@@ -102,22 +102,6 @@ def _minhash_sig_sql() -> str:
     """
 
 
-@register(
-    "dedup_minhash_signatures",
-    f"""
-    WITH {_SHINGLES_CTE},
-    {_minhash_sig_sql()}
-    SELECT doc_id, {", ".join(f"mh{i}" for i in range(K))} FROM sig
-    """,
-    doc=f"MinHash signatures (k={K}) from md5-salted 3-token shingles.",
-)
-def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = T(spark, sf_dir, "documents", fanout=True)
-    return minhash_signature(
-        d, "doc_id", word_shingles(tokens(F.col("text")), 3), k=K
-    )
-
-
 def _band_exprs_sql() -> str:
     r = K // BANDS
     return ", ".join(
@@ -128,26 +112,38 @@ def _band_exprs_sql() -> str:
     )
 
 
-@register(
-    "dedup_minhash_lsh_pairs",
-    f"""
-    WITH {_SHINGLES_CTE},
-    {_minhash_sig_sql()},
+def _lsh_pairs_cte() -> str:
+    """CTE chain ``banded, cand, pairs`` (requires ``sh`` and ``sig`` in
+    scope); ``pairs`` is (id_1, id_2, est_jaccard >= 0.5).  The MinHash
+    signature itself has no standalone registry entry: ``pairs`` is a
+    deterministic function of the full signatures (est_jaccard compares
+    all k minhashes), so a pairs hash-match verifies them transitively."""
+    matches = " + ".join(f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END" for i in range(K))
+    return f"""
     banded AS (SELECT *, {_band_exprs_sql()} FROM sig),
     cand AS (
       SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
       FROM banded a JOIN banded b
         ON a.doc_id < b.doc_id
        AND ({" OR ".join(f"a.band{b} = b.band{b}" for b in range(BANDS))})
+    ),
+    pairs AS (
+      SELECT id_1, id_2, ({matches}) / {float(K)} AS est_jaccard
+      FROM cand
+      JOIN sig sa ON sa.doc_id = id_1
+      JOIN sig sb ON sb.doc_id = id_2
+      WHERE ({matches}) / {float(K)} >= 0.5
     )
-    SELECT id_1, id_2,
-           ({" + ".join(f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END" for i in range(K))})
-             / {float(K)} AS est_jaccard
-    FROM cand
-    JOIN sig sa ON sa.doc_id = id_1
-    JOIN sig sb ON sb.doc_id = id_2
-    WHERE ({" + ".join(f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END" for i in range(K))})
-             / {float(K)} >= 0.5
+    """
+
+
+@register(
+    "dedup_minhash_lsh_pairs",
+    f"""
+    WITH {_SHINGLES_CTE},
+    {_minhash_sig_sql()},
+    {_lsh_pairs_cte()}
+    SELECT id_1, id_2, est_jaccard FROM pairs
     """,
     doc=f"MinHash LSH near-dup candidates ({BANDS} bands × {K // BANDS} rows), est-Jaccard ≥ 0.5.",
 )
@@ -231,3 +227,58 @@ def _cos_sql(a: str, b: str) -> str:
 def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = T(spark, sf_dir, "embeddings", fanout=True)
     return embedding_neardup_pairs(e, "vec_id", "embedding", "label", min_cosine=0.3)
+
+
+@register(
+    "dedup_connected_components",
+    f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    {_minhash_sig_sql()},
+    {_lsh_pairs_cte()},
+    edges AS (
+      SELECT id_1 AS a, id_2 AS b FROM pairs
+      UNION
+      SELECT id_2, id_1 FROM pairs),
+    reach(id, r) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id),
+    comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+    labeled AS (
+      SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component_id
+      FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
+    SELECT doc_id, component_id,
+           count(*) OVER (PARTITION BY component_id) AS cluster_size,
+           CAST(CASE WHEN doc_id = component_id THEN 1 ELSE 0 END AS INTEGER)
+             AS is_representative
+    FROM labeled
+    """,
+    doc=(
+        "near-dup cluster resolution: transitive closure of the LSH pair "
+        "list via alternating large-star/small-star (operators/components), "
+        "every document labeled with its cluster's min doc_id.  The oracle "
+        "states the same closure as a recursive CTE."
+    ),
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from mongo2mysql_spark.operators.components import connected_components
+
+    d = T(spark, sf_dir, "documents", fanout=True)
+    sig = minhash_signature(d, "doc_id", word_shingles(tokens(F.col("text")), 3), k=K)
+    pairs = lsh_candidate_pairs(sig, "doc_id", k=K, bands=BANDS, min_est_jaccard=0.5)
+    comp = connected_components(pairs, "id_1", "id_2")
+    return (
+        d.join(comp, d.doc_id == comp.id, "left")
+        .select(
+            "doc_id", F.coalesce("component", F.col("doc_id")).alias("component_id")
+        )
+        .withColumn(
+            "cluster_size", F.count(F.lit(1)).over(W.partitionBy("component_id"))
+        )
+        .withColumn(
+            "is_representative",
+            (F.col("doc_id") == F.col("component_id")).cast("int"),
+        )
+    )

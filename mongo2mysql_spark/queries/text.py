@@ -7,7 +7,6 @@ from pyspark.sql import functions as F
 
 from mongo2mysql_spark.functions.text import (
     STOPWORDS,
-    fingerprint,
     mean_token_length,
     quality_score,
     stopword_ratio,
@@ -133,18 +132,10 @@ def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "text_fingerprint",
-    """
-    SELECT doc_id,
-           md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
-    FROM documents
-    """,
-    doc="document fingerprint: md5 over the sorted distinct token set.",
-)
-def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = T(spark, sf_dir, "documents", fanout=True)
-    return d.select("doc_id", fingerprint(tokens(F.col("text"))).alias("fp"))
+# Document fingerprinting (md5 over the sorted distinct token set,
+# functions/text.fingerprint) has no standalone registry entry: the
+# identical expression is hash-verified per-document inside
+# dedup_exact_hashes' token_set branch (queries/dedup.py).
 
 
 # ------------------------------------------------------------------ multimodal

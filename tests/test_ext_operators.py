@@ -202,3 +202,91 @@ def test_bruteforce_arrow_matches_expression_path(spark):
         fnid, fcos = fast[key]
         assert fnid == nid
         assert abs(fcos - cos) <= 1e-6
+
+
+# ------------------------------------------------- connected components
+
+
+def _union_find_components(n_nodes, edges):
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min node id in component
+    comp = {}
+    for a, b in edges:
+        for x in (a, b):
+            r = find(x)
+            comp.setdefault(r, min(comp.get(r, r), r))
+    return {x: find(x) for e in edges for x in e}
+
+
+@pytest.mark.parametrize(
+    "edges",
+    [
+        # long chain: label propagation would need 63 rounds; the
+        # alternating star algorithm must converge in O(log^2 n)
+        [(i, i + 1) for i in range(63)],
+        # two cliques + a bridge + an isolated pair
+        [(a, b) for a in range(5) for b in range(a + 1, 5)]
+        + [(a, b) for a in range(10, 15) for b in range(a + 1, 15)]
+        + [(4, 10), (20, 21)],
+        # duplicate + reversed edges and self-loop noise
+        [(1, 2), (2, 1), (2, 2), (2, 3), (5, 4)],
+    ],
+)
+def test_connected_components_vs_union_find(spark, edges):
+    from mongo2mysql_spark.operators.components import connected_components
+
+    df = spark.createDataFrame(edges, "id_1: long, id_2: long")
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(df, "id_1", "id_2").collect()
+    }
+    nodes = {x for e in edges for x in e if e[0] != e[1]}
+    expected = _union_find_components(
+        max(nodes) + 1, [e for e in edges if e[0] != e[1]]
+    )
+    assert got == {x: expected[x] for x in nodes}
+
+
+def test_connected_components_empty(spark):
+    from mongo2mysql_spark.operators.components import connected_components
+
+    df = spark.createDataFrame([], "id_1: long, id_2: long")
+    assert connected_components(df, "id_1", "id_2").count() == 0
+
+
+# ------------------------------------------------------- hash sampling
+
+
+def test_hash_split_deterministic_and_partition_stable(spark):
+    from mongo2mysql_spark.operators.sampling import hash_sample_flag, hash_split
+
+    df = spark.range(0, 2000).select(F.col("id"))
+    one = df.select("id", hash_split(F.col("id")).alias("s")).collect()
+    # same assignment after an arbitrary repartition (leakage-freedom)
+    two = (
+        df.repartition(7)
+        .select("id", hash_split(F.col("id")).alias("s"))
+        .collect()
+    )
+    assert {r["id"]: r["s"] for r in one} == {r["id"]: r["s"] for r in two}
+    counts = {}
+    for r in one:
+        counts[r["s"]] = counts.get(r["s"], 0) + 1
+    assert set(counts) == {"train", "val", "test"}
+    # 256-bucket quantization: train=204/256, val=26/256, test=26/256
+    assert abs(counts["train"] / 2000 - 204 / 256) < 0.03
+    assert abs(counts["val"] / 2000 - 26 / 256) < 0.02
+    # sample flag is independent of the split salt
+    flagged = df.select(hash_sample_flag(F.col("id")).alias("f")).agg(F.sum("f")).first()[0]
+    assert abs(flagged / 2000 - 25 / 256) < 0.02
