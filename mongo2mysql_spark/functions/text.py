@@ -88,3 +88,28 @@ def fingerprint(toks: Column) -> Column:
     """Canonical document fingerprint: md5 over the sorted distinct
     token set — key for exact content dedup under token reordering."""
     return F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " "))
+
+
+# PII scrub patterns: anchored, lookahead-free regexes (portable across
+# Java regex and RE2-class engines).  Order matters — URLs before bare
+# hostnames, emails before digit runs.
+PII_PATTERNS = (
+    (r"https?://[^\s]+", "<URL>"),
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    # requires a separator char inside, so bare digit runs fall to <NUM>
+    (r"\+?\d[\d().-]*[\s().-][\d\s().-]{4,}\d", "<PHONE>"),
+    (r"\b\d{6,}\b", "<NUM>"),
+)
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace URLs, emails, phone-shaped and long digit runs with typed
+    placeholders — the standard scrub pass before training-corpus
+    release.  Recall-leaning by design: separator-joined numeric
+    sequences redact as <PHONE> even when they are merely number lists —
+    the right trade for corpus scrubbing.  Chained ``regexp_replace``
+    stays JVM-side (whole-stage codegen); no UDF."""
+    out = text
+    for pattern, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, token)
+    return out

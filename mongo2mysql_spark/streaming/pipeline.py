@@ -82,6 +82,20 @@ def session_windows(stream: DataFrame, gap: str = "30 minutes",
     )
 
 
+def streaming_dedup(stream: DataFrame, keys: list[str], ts_col: str = "ts",
+                    watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup: keep the first arrival per key.
+
+    The streaming analogue of ``operators/dedup.dedup_exact``.  Plain
+    ``dropDuplicates`` on a stream keeps ALL keys ever seen in state —
+    unbounded growth at ingest rates.  ``dropDuplicatesWithinWatermark``
+    bounds state to the late-data horizon: a duplicate arriving within
+    ``watermark`` of the first sighting is dropped, later state is
+    evicted — the only dedup contract that stays finite at 100 TB/day.
+    """
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def streaming_route(stream: DataFrame, key_col: str, collection: str) -> DataFrame:
     """The batch routing operator applied to a stream — stateless, so
     identical semantics (demonstrates the ETL lift)."""

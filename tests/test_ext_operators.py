@@ -290,3 +290,22 @@ def test_hash_split_deterministic_and_partition_stable(spark):
     # sample flag is independent of the split salt
     flagged = df.select(hash_sample_flag(F.col("id")).alias("f")).agg(F.sum("f")).first()[0]
     assert abs(flagged / 2000 - 25 / 256) < 0.02
+
+
+def test_redact_pii(spark):
+    from mongo2mysql_spark.functions.text import redact_pii
+
+    rows = [
+        ("a", "mail me at jo.doe+x@example.co.uk today"),
+        ("b", "see https://example.com/a?b=1 and http://x.io"),
+        ("c", "call +1 (555) 123-4567 or 5551234567 now"),
+        ("d", "id 123456789 but keep 12345 and v2"),
+        ("e", "clean text stays clean"),
+    ]
+    df = spark.createDataFrame(rows, "k: string, t: string")
+    got = {r["k"]: r["s"] for r in df.select("k", redact_pii(F.col("t")).alias("s")).collect()}
+    assert got["a"] == "mail me at <EMAIL> today"
+    assert got["b"] == "see <URL> and <URL>"
+    assert got["c"] == "call <PHONE> or <NUM> now"
+    assert got["d"] == "id <NUM> but keep 12345 and v2"
+    assert got["e"] == "clean text stays clean"

@@ -14,6 +14,7 @@ from mongo2mysql_spark.streaming.pipeline import (
     foreach_batch_upsert,
     run_to_memory,
     stream_events,
+    streaming_dedup,
     streaming_route,
     tumbling_counts,
 )
@@ -98,3 +99,18 @@ def test_stateful_first_n_per_key(spark):
     got_rows = sorted(map(tuple, got.collect()))
     want_rows = sorted(map(tuple, want.collect()))
     assert got_rows == want_rows
+
+
+def test_streaming_dedup_matches_batch_distinct(spark):
+    """dropDuplicatesWithinWatermark over a bounded replay keeps exactly
+    one row per key — same cardinality as the batch distinct."""
+    from mongo2mysql_spark.sources.parquet import load_table
+
+    stream = stream_events(spark, SF)
+    deduped = streaming_dedup(stream, ["user_id", "event_type"], watermark="1 hour")
+    got = run_to_memory(deduped, mode="append")
+    batch = load_table(spark, SF, "events")
+    expected = batch.select("user_id", "event_type").distinct().count()
+    assert got.count() == expected
+    # every surviving (key) pair is unique
+    assert got.select("user_id", "event_type").distinct().count() == expected
