@@ -76,26 +76,39 @@ def connected_components(
     Nodes with no edges are absent (callers left-join and coalesce to
     the node's own id, which is what the registered query does).
     """
-    # Lazy checkpoints: lineage truncation happens at the count() that
-    # follows, so each round costs one materializing job, not two.
+    # Lazy checkpoints: lineage truncation happens inside the stats job
+    # that follows, so each round costs exactly ONE materializing job.
+    def _stats(df: DataFrame) -> tuple:
+        # Edge-set fingerprint for fixed-point detection: cardinality,
+        # the label sum (monotonically non-increasing round to round —
+        # Kiveris et al. prove per-node minima never increase), and an
+        # order-insensitive 64-bit content hash.  Equality of the triple
+        # across one round means the edge set stopped changing; the
+        # union-find equivalence tests exercise this on chains/cliques.
+        return tuple(
+            df.agg(
+                F.count(F.lit(1)),
+                F.sum(F.col("b").cast("decimal(38,0)")),
+                F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")),
+            ).first()
+        )
+
     e = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .filter(F.col("a") != F.col("b"))
         .distinct()
         .localCheckpoint(eager=False)
     )
-    prev_cnt = e.count()
-    if prev_cnt == 0:
+    prev = _stats(e)
+    if prev[0] == 0:
         return e.select(F.col("a").alias("id"), F.col("b").alias("component"))
     for _ in range(max_rounds):
         nxt = _small_star(_large_star(e)).localCheckpoint(eager=False)
-        cnt = nxt.count()
-        # Fixed point: identical edge sets.  Count equality plus an
-        # empty one-sided set difference <=> set equality.
-        if cnt == prev_cnt and nxt.subtract(e).isEmpty():
-            e = nxt
+        cur = _stats(nxt)
+        e = nxt
+        if cur == prev:
             break
-        e, prev_cnt = nxt, cnt
+        prev = cur
     else:
         raise RuntimeError(f"connected_components: no fixed point in {max_rounds} rounds")
     # At the fixed point the edge set is a union of stars (member ->

@@ -199,3 +199,14 @@ def test_hypertable_rollup_scans_raw_once(spark):
     # partial — so the raw scan executes once, even though the plan
     # STRING prints the InMemoryRelation's definition under each leg
     assert plan.count("InMemoryTableScan") == 3
+
+
+def test_connected_components_stars_are_equi_joins(spark):
+    """One star round must plan as hash/sort-merge equi-joins — a
+    nested-loop or cartesian here would be quadratic in the edge list."""
+    from mongo2mysql_spark.operators.components import _large_star, _small_star
+
+    e = spark.createDataFrame([(1, 2), (2, 3), (4, 5)], "a: long, b: long")
+    plan = _small_star(_large_star(e))._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
