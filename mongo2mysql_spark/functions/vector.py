@@ -87,3 +87,50 @@ def cosine_exact(a: Column, b: Column, scale: int = 6) -> Column:
 def dot_fast(a: Column, b: Column) -> Column:
     """Alias of ``dot_seq`` kept for callers reading 'fast'."""
     return dot_seq(a, b)
+
+
+# ------------------------------------------------------------ quantization
+
+
+def quantize_embedding(vec: Column, bits: int = 8) -> Column:
+    """Symmetric per-vector int8 quantization: struct(codes, scale).
+
+    ``codes[i] = round(v[i] / scale)`` with ``scale = max(|v|) / 127``
+    — the layout every large-scale ANN store uses to cut embedding
+    bytes 4× (float32 -> int8) before index build.  Pure array
+    expressions; scale is kept per-vector so outliers in one vector
+    don't crush another's resolution.  ``bits`` ≤ 8 narrows the code
+    range (e.g. 4-bit -> ±7) without changing the layout.
+    """
+    qmax = float(2 ** (bits - 1) - 1)
+    absmax = F.aggregate(
+        vec, F.lit(0.0), lambda acc, v: F.greatest(acc, F.abs(v.cast("double")))
+    )
+    scale = F.when(absmax > 0, absmax / F.lit(qmax)).otherwise(F.lit(1.0))
+    codes = F.transform(
+        vec, lambda v: F.round(v.cast("double") / scale).cast("tinyint")
+    )
+    return F.struct(codes.alias("codes"), scale.alias("scale"))
+
+
+def dequantize_embedding(q: Column) -> Column:
+    """Inverse of ``quantize_embedding``: array<double> reconstruction."""
+    scale = q.getField("scale")
+    return F.transform(q.getField("codes"), lambda c: c.cast("double") * scale)
+
+
+def dot_quantized(qa: Column, qb: Column) -> Column:
+    """Dot product directly on int8 codes: integer multiply-accumulate
+    (exact in int64 — 127²·dim << 2⁶³) times the two scales.  At scale
+    this is the cheap pre-ranking pass; exact re-scoring on float
+    vectors touches only the top candidates."""
+    acc = F.aggregate(
+        F.zip_with(
+            qa.getField("codes"),
+            qb.getField("codes"),
+            lambda x, y: x.cast("long") * y.cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return acc.cast("double") * qa.getField("scale") * qb.getField("scale")

@@ -309,3 +309,48 @@ def test_redact_pii(spark):
     assert got["c"] == "call <PHONE> or <NUM> now"
     assert got["d"] == "id <NUM> but keep 12345 and v2"
     assert got["e"] == "clean text stays clean"
+
+
+def test_embedding_quantization_roundtrip(spark):
+    from mongo2mysql_spark.functions.vector import (
+        cosine_exact,
+        dequantize_embedding,
+        dot_quantized,
+        dot_seq,
+        quantize_embedding,
+    )
+    from mongo2mysql_spark.sources.parquet import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings").limit(200)
+    q = e.select("vec_id", "embedding", quantize_embedding(F.col("embedding")).alias("q"))
+    # reconstruction error bounded by scale/2 per element
+    err = q.select(
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                dequantize_embedding(F.col("q")),
+                lambda x, y: F.abs(x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda a, v: F.greatest(a, v),
+        ).alias("maxerr"),
+        (F.col("q.scale") / 2 + F.lit(1e-12)).alias("bound"),
+    )
+    assert err.filter(F.col("maxerr") > F.col("bound")).count() == 0
+    # quantized dot tracks the float dot within quantization error
+    a = q.alias("a")
+    b = q.alias("b")
+    pairs = (
+        a.join(b, F.col("a.vec_id") + 1 == F.col("b.vec_id"))
+        .select(
+            dot_seq(F.col("a.embedding"), F.col("b.embedding")).alias("exact"),
+            dot_quantized(F.col("a.q"), F.col("b.q")).alias("approx"),
+        )
+    )
+    bad = pairs.filter(
+        F.abs(F.col("exact") - F.col("approx"))
+        > 0.05 * F.greatest(F.abs(F.col("exact")), F.lit(1.0))
+    )
+    assert bad.count() == 0
+    # tinyint codes really are 1 byte wide in the schema
+    assert dict(q.select("q.codes").dtypes)["codes"] == "array<tinyint>"
