@@ -52,7 +52,13 @@ def add_num_two_phase(
 
     ``order_cols`` must be a unique key within each group for the result
     to be deterministic; ``partition_cols`` values must be non-null
-    (the porter's ``_table`` always is)."""
+    (the porter's ``_table`` always is).
+
+    Fully LAZY: the per-(partition × group) counts stay a tiny
+    DataFrame — cumulative offsets via a window over it, broadcast-
+    joined back — rather than a driver collect.  No job runs at plan
+    time, and because both branches share the same range Exchange,
+    Spark's ReusedExchange computes the shuffle once per action."""
     from pyspark.sql.functions import spark_partition_id
 
     if isinstance(order_cols, str):
@@ -62,38 +68,26 @@ def add_num_two_phase(
     with_pid = df.repartitionByRange(*range_cols).withColumn(
         "__pid", spark_partition_id()
     )
-    counts = (
-        with_pid.groupBy("__pid", *partition_cols).count().collect()
-    )  # tiny: one row per (spark partition, group)
-    sep = "\x1f"  # unit separator: cannot appear in cleaned table names
-
-    def _gkey(row) -> str:
-        return sep.join(str(row[c]) for c in partition_cols)
-
-    offsets: dict[tuple, int] = {}
-    acc: dict[str, int] = {}
-    for row in sorted(counts, key=lambda r: (_gkey(r), r["__pid"])):
-        g = _gkey(row)
-        offsets[(row["__pid"], g)] = acc.get(g, 0)
-        acc[g] = acc.get(g, 0) + row["count"]
-    # key shape must mirror concat_ws below: no trailing sep when
-    # there are no partition columns
-    offset_map = F.create_map(
-        *[
-            x
-            for (pid, g), off in offsets.items()
-            for x in (
-                F.lit(sep.join([str(pid), g]) if partition_cols else str(pid)),
-                F.lit(off),
-            )
-        ]
+    counts = with_pid.groupBy("__pid", *partition_cols).count()
+    # Cumulative offset per group in __pid order.  The counts frame is
+    # one row per (spark partition × group) — window cost is nil; the
+    # lit(0) partition key keeps the no-group case off the
+    # `WindowExec: No Partition Defined` single-reducer path warning
+    # while being exactly as tiny.
+    w_off = (
+        W.partitionBy(F.lit(0), *partition_cols)
+        .orderBy("__pid")
+        .rowsBetween(W.unboundedPreceding, -1)
     )
-    key_expr = F.concat_ws(
-        sep, F.col("__pid").cast("string"), *[F.col(c).cast("string") for c in partition_cols]
-    )
+    offsets = counts.withColumn(
+        "__offset", F.coalesce(F.sum("count").over(w_off), F.lit(0))
+    ).drop("count")
     w = W.partitionBy("__pid", *partition_cols).orderBy(*order_cols)
     return (
-        with_pid.withColumn("__local", F.row_number().over(w))
-        .withColumn(out_col, (offset_map[key_expr] + F.col("__local")).cast("int"))
-        .drop("__pid", "__local")
+        with_pid.join(F.broadcast(offsets), ["__pid", *partition_cols])
+        .withColumn("__local", F.row_number().over(w))
+        .withColumn(out_col, (F.col("__offset") + F.col("__local")).cast("int"))
+        # the equi-join moves its keys to the front — restore the
+        # caller's column order (callers treat this as a withColumn)
+        .select(*df.columns, out_col)
     )

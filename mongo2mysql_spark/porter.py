@@ -136,13 +136,14 @@ class SparkPorter:
             parent = add_num_two_phase(parent, [id_col], partition_cols=["_table"])
             parent = parent.persist()
             out._cached = parent
-            table_names = [
-                r["_table"] for r in parent.select("_table").distinct().collect()
-            ]
+            # The grouped inference doubles as the distinct-table pass:
+            # its groupBy("_table") output keys ARE the destination-table
+            # list, so ONE cache-materializing job replaces the former
+            # distinct().collect() + inference pair.
             parent_schemas = infer_table_schemas_grouped(parent, "_table", strict=False)
-            for t in sorted(table_names):
+            for t in sorted(parent_schemas):
                 out.tables[t] = parent.filter(F.col("_table") == t).drop("_table")
-                out.schemas[t] = parent_schemas.get(t, {})
+                out.schemas[t] = parent_schemas[t]
 
         # DDL pass (once per table — the reference's per-row
         # ensureRowStructure collapsed into one statement batch)

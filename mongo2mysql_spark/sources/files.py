@@ -41,3 +41,18 @@ def write_csv(df: DataFrame, path: str, header: bool = True, mode: str = "overwr
 
 def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
+
+
+def read_orc(
+    spark: SparkSession, path: str, schema: T.StructType | str | None = None, **options,
+) -> DataFrame:
+    """ORC collections (self-describing like parquet: predicate pushdown
+    and column pruning come from the built-in vectorized reader)."""
+    reader = spark.read.options(**options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).orc(path)

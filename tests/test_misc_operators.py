@@ -9,7 +9,14 @@ from pyspark.sql import functions as F
 
 from mongo2mysql_spark.operators.dynamic import infer_json_schema, parse_json_column
 from mongo2mysql_spark.operators.skew import salted_agg, salted_join
-from mongo2mysql_spark.sources.files import read_csv, read_jsonl, write_csv, write_jsonl
+from mongo2mysql_spark.sources.files import (
+    read_csv,
+    read_jsonl,
+    read_orc,
+    write_csv,
+    write_jsonl,
+    write_orc,
+)
 
 SF = "/root/testdata/sf0.001"
 
@@ -49,9 +56,12 @@ def test_csv_jsonl_round_trip(spark):
         write_jsonl(df, f"{tmp}/r_json")
         c = read_csv(spark, f"{tmp}/r_csv", schema="r_regionkey int, r_name string")
         j = read_jsonl(spark, f"{tmp}/r_json", schema="r_regionkey int, r_name string")
+        write_orc(df, f"{tmp}/r_orc")
+        o = read_orc(spark, f"{tmp}/r_orc")
         base = sorted(map(repr, df.collect()))
         assert sorted(map(repr, c.collect())) == base
         assert sorted(map(repr, j.collect())) == base
+        assert sorted(map(repr, o.select("r_regionkey", "r_name").collect())) == base
 
 
 def test_infer_json_schema_and_parse(spark):
