@@ -44,7 +44,8 @@ HEADLINE = [
     "events_hypertable_rollup",
     "text_term_frequency",
     "text_langid_ngram",
-    "streaming_tumbling_window",
+    "streaming_windowed_counts",
+    "streaming_stream_join",
 ]
 
 

@@ -69,19 +69,31 @@ def add_num_two_phase(
         "__pid", spark_partition_id()
     )
     counts = with_pid.groupBy("__pid", *partition_cols).count()
-    # Cumulative offset per group in __pid order.  The counts frame is
-    # one row per (spark partition × group) — window cost is nil; the
-    # lit(0) partition key keeps the no-group case off the
-    # `WindowExec: No Partition Defined` single-reducer path warning
-    # while being exactly as tiny.
-    w_off = (
-        W.partitionBy(F.lit(0), *partition_cols)
-        .orderBy("__pid")
-        .rowsBetween(W.unboundedPreceding, -1)
+    # Cumulative offset per group in __pid order, WITHOUT a window: a
+    # lit-partitioned window constant-folds back to `WindowExec: No
+    # Partition Defined`, and an ordered window over the counts frame
+    # would be a needless single-reducer plan shape even though the
+    # frame is tiny.  Instead pack each group's (pid, count) rows into
+    # one sorted array and run a linear prefix scan with `aggregate`
+    # (pure whole-stage-codegen expression work on #groups rows).
+    packed = counts.groupBy(*partition_cols).agg(
+        F.sort_array(F.collect_list(F.struct("__pid", "count"))).alias("__pc")
     )
-    offsets = counts.withColumn(
-        "__offset", F.coalesce(F.sum("count").over(w_off), F.lit(0))
-    ).drop("count")
+    prefix = F.expr(
+        """
+        aggregate(
+          __pc,
+          struct(cast(array() as array<struct<__pid:int,__offset:bigint>>) as arr,
+                 0L as tot),
+          (acc, x) -> struct(
+              array_append(acc.arr, struct(x.__pid as __pid, acc.tot as __offset)) as arr,
+              acc.tot + x.count as tot),
+          acc -> acc.arr)
+        """
+    )
+    offsets = packed.select(
+        *partition_cols, F.explode(prefix).alias("__o")
+    ).select(*partition_cols, "__o.__pid", "__o.__offset")
     w = W.partitionBy("__pid", *partition_cols).orderBy(*order_cols)
     return (
         with_pid.join(F.broadcast(offsets), ["__pid", *partition_cols])

@@ -762,32 +762,6 @@ def scalar_string_date_math(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "scalar_json_events",
-    """
-    SELECT event_id, event_type,
-           CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k,
-           CASE WHEN event_type IN ('purchase', 'signup') THEN 'conversion'
-                WHEN event_type = 'error' THEN 'failure'
-                ELSE 'engagement' END AS event_class
-    FROM events
-    WHERE event_id % 5 = 0
-    """,
-    doc="JSON extraction (get_json_object) + CASE WHEN routing.",
-)
-def scalar_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = T(spark, sf_dir, "events").filter(F.col("event_id") % 5 == 0)
-    return e.select(
-        "event_id",
-        "event_type",
-        F.get_json_object("props", "$.k").cast("long").alias("prop_k"),
-        F.when(F.col("event_type").isin("purchase", "signup"), "conversion")
-        .when(F.col("event_type") == "error", "failure")
-        .otherwise("engagement")
-        .alias("event_class"),
-    )
-
-
-@register(
     "subquery_min_per_group",
     """
     SELECT p_brand, p_partkey, p_retailprice

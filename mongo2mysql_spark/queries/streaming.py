@@ -1,11 +1,13 @@
 """Streaming queries: bounded streams driven to completion against the
 parquet fixtures, oracle-checked against batch SQL (a windowed agg of a
-bounded stream must equal the batch windowed agg).
+bounded stream must equal the batch windowed agg; a stream-stream join
+of bounded streams must equal the batch join).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from mongo2mysql_spark.queries import register
 from mongo2mysql_spark.streaming.pipeline import (
@@ -13,39 +15,57 @@ from mongo2mysql_spark.streaming.pipeline import (
     session_windows,
     sliding_counts,
     stream_events,
+    stream_static_enrich,
+    stream_stream_interval_join,
     tumbling_counts,
 )
 
 
 @register(
-    "streaming_tumbling_window",
+    "streaming_windowed_counts",
     """
-    SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP) AS window_start,
+    SELECT 'tumbling1h' AS kind,
+           CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP) AS window_start,
            event_type,
            COUNT(*) AS n,
            CAST(ROUND(SUM(CAST(value AS DECIMAL(30,10))), 4) AS DOUBLE) AS total_value
     FROM events
-    GROUP BY 1, 2
-    """,
-    doc="tumbling 1h windowed counts over a stream (watermarked), == batch agg.",
-)
-def streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return run_to_memory(tumbling_counts(stream_events(spark, sf_dir)))
-
-
-@register(
-    "streaming_sliding_window",
-    """
-    SELECT CAST(ws AS TIMESTAMP) AS window_start, COUNT(*) AS n
+    GROUP BY 2, 3
+    UNION ALL
+    SELECT 'sliding1h30m' AS kind,
+           CAST(ws AS TIMESTAMP) AS window_start,
+           CAST(NULL AS VARCHAR) AS event_type,
+           COUNT(*) AS n,
+           CAST(NULL AS DOUBLE) AS total_value
     FROM (
       SELECT time_bucket(INTERVAL '30 minutes', ts) - o * INTERVAL '30 minutes' AS ws
       FROM events, unnest([0, 1]) AS t(o))
-    GROUP BY 1
+    GROUP BY 2
     """,
-    doc="sliding 1h/30min windows: each event lands in exactly 2 windows.",
+    doc=(
+        "tumbling (1h, per event_type) and sliding (1h/30min — each event "
+        "lands in exactly 2 windows) watermarked window aggs over a stream, "
+        "tagged and unioned; each branch must equal its batch windowed agg."
+    ),
 )
-def streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return run_to_memory(sliding_counts(stream_events(spark, sf_dir)))
+def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tum = run_to_memory(tumbling_counts(stream_events(spark, sf_dir)))
+    sli = run_to_memory(sliding_counts(stream_events(spark, sf_dir)))
+    return tum.select(
+        F.lit("tumbling1h").alias("kind"),
+        "window_start",
+        "event_type",
+        "n",
+        "total_value",
+    ).unionByName(
+        sli.select(
+            F.lit("sliding1h30m").alias("kind"),
+            "window_start",
+            F.lit(None).cast("string").alias("event_type"),
+            "n",
+            F.lit(None).cast("double").alias("total_value"),
+        )
+    )
 
 
 @register(
@@ -73,3 +93,88 @@ def streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(session_windows(stream_events(spark, sf_dir)))
+
+
+@register(
+    "streaming_enrich_join",
+    """
+    SELECT CAST(time_bucket(INTERVAL '6 hours', e.ts) AS TIMESTAMP) AS window_start,
+           c.c_mktsegment,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(e.props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY 1, 2
+    """,
+    doc=(
+        "stream-static enrichment: events stream broadcast-joined to the "
+        "customer dimension inside each micro-batch (stateless), JSON prop "
+        "extraction (get_json_object), then a watermarked tumbling agg per "
+        "market segment; equals the batch join + windowed agg."
+    ),
+)
+def streaming_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mongo2mysql_spark.sources.parquet import load_table
+
+    ev = stream_events(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = stream_static_enrich(ev, cust, "user_id", ["c_mktsegment"]).withColumn(
+        "prop_k", F.get_json_object("props", "$.k").cast("long")
+    )
+    agg = (
+        enriched.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "6 hours").alias("w"), "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("prop_k").alias("k_sum"))
+        .select(F.col("w.start").alias("window_start"), "c_mktsegment", "n", "k_sum")
+    )
+    return run_to_memory(agg)
+
+
+@register(
+    "streaming_stream_join",
+    """
+    SELECT v.vid AS view_id, p.pid AS purchase_id, v.user_id
+    FROM (SELECT user_id, ts AS v_ts, event_id AS vid
+          FROM events WHERE event_type = 'view') v
+    JOIN (SELECT user_id, ts AS p_ts, event_id AS pid
+          FROM events WHERE event_type = 'purchase') p
+    ON v.user_id = p.user_id
+       AND p.p_ts >= v.v_ts AND p.p_ts <= v.v_ts + INTERVAL 1 HOUR
+    """,
+    doc=(
+        "stream-stream interval join: purchases within 1 hour of a view by "
+        "the same user, both sides watermarked so join state is evicted "
+        "once the opposite watermark passes the interval bound; equals the "
+        "batch interval join."
+    ),
+)
+def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+    )
+    purchases = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+    )
+    joined = stream_stream_interval_join(
+        views,
+        purchases,
+        "v_user = p_user AND p_ts >= v_ts AND p_ts <= v_ts + interval 1 hour",
+        "v_ts",
+        "p_ts",
+    )
+    return run_to_memory(joined, mode="append").select(
+        "view_id", "purchase_id", F.col("v_user").alias("user_id")
+    )

@@ -96,6 +96,40 @@ def streaming_dedup(stream: DataFrame, keys: list[str], ts_col: str = "ts",
     return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def stream_static_enrich(
+    stream: DataFrame, dim: DataFrame, on: str, dim_cols: list[str],
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-static equi-join: enrich a stream with a slowly-changing
+    dimension.  Planned as a broadcast hash join inside every
+    micro-batch — completely stateless (no watermark, no join state),
+    and the static side is re-resolved each epoch so dimension updates
+    between batches are picked up.  At scale, ``dim.persist()`` before
+    passing it in keeps per-epoch re-reads off the source."""
+    small = dim.select(on, *dim_cols)
+    return stream.join(F.broadcast(small), on, how)
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    condition: str,
+    left_ts: str,
+    right_ts: str,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join under a time-interval condition (e.g.
+    purchase within 1 hour of a view).  Both sides are watermarked so
+    the join state store is bounded: a buffered left row is evicted once
+    the right watermark passes its interval upper bound — the only
+    stream-stream join contract whose state stays finite at ingest
+    scale.  Column names must be disjoint (``condition`` is a raw SQL
+    expression over both sides)."""
+    l_wm = left.withWatermark(left_ts, watermark)
+    r_wm = right.withWatermark(right_ts, watermark)
+    return l_wm.join(r_wm, F.expr(condition), "inner")
+
+
 def streaming_route(stream: DataFrame, key_col: str, collection: str) -> DataFrame:
     """The batch routing operator applied to a stream — stateless, so
     identical semantics (demonstrates the ETL lift)."""

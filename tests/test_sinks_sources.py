@@ -1,0 +1,126 @@
+"""Sink/source coverage beyond the sqlite happy path (SURVEY.md §2
+A1/A14/A15/A16): mongodb reader option construction (the connector jar
+is absent in this container, so the option dict is the testable seam),
+DDL execution over a live DBAPI connection, and upsert batching /
+connection-bounding behavior."""
+
+from __future__ import annotations
+
+import os
+import sqlite3
+import tempfile
+
+import pytest
+from pyspark.sql import Row
+
+from mongo2mysql_spark.plans.ddl import create_table_sql, evolve_schema_sql
+from mongo2mysql_spark.sources.jdbc import execute_ddl, upsert_sql, write_upsert
+from mongo2mysql_spark.sources.mongodb import reader_options
+
+
+def test_mongodb_reader_options():
+    """Option dict parity with the reference's cursor read
+    (Porter.php:140-150): uri/db/collection always present, schema
+    sampling bounded, optional aggregation pipeline pushed server-side
+    (the vestigial pushed predicate, Porter.php:139)."""
+    opts = reader_options("mongodb://h:27017", "forum", "users")
+    assert opts == {
+        "connection.uri": "mongodb://h:27017",
+        "database": "forum",
+        "collection": "users",
+        "sampleSize": "1000",
+    }
+    # pushed aggregation pipeline + custom sample horizon
+    opts = reader_options(
+        "mongodb://h:27017", "forum", "posts",
+        sample_size=50,
+        pipeline='[{"$match": {"deleted": false}}]',
+    )
+    assert opts["aggregation.pipeline"] == '[{"$match": {"deleted": false}}]'
+    assert opts["sampleSize"] == "50"
+
+
+def test_execute_ddl_on_live_connection():
+    """The schema-pass statements run verbatim over one DBAPI
+    connection (sqlite accepts MySQL backtick quoting)."""
+    with tempfile.TemporaryDirectory() as tmp:
+        db = os.path.join(tmp, "t.db")
+
+        def factory():
+            return sqlite3.connect(db)
+
+        create = create_table_sql(
+            "docs", {"_id": "varchar(24)", "x": "int"}, ("_id",)
+        )
+        execute_ddl([create], factory)
+        # evolution rerun: new column arrives -> ADD COLUMN executes
+        stmts = evolve_schema_sql(
+            "docs",
+            {"_id": "varchar(24)", "x": "int"},
+            {"_id": "varchar(24)", "x": "int", "y": "varchar(50)"},
+        )
+        assert stmts == ["ALTER TABLE `docs` ADD COLUMN `y` varchar(50)"]
+        execute_ddl(stmts, factory)
+        conn = factory()
+        cols = [r[1] for r in conn.execute("PRAGMA table_info(docs)")]
+        conn.close()
+        assert cols == ["_id", "x", "y"]
+
+
+def test_evolution_never_touches_primary_key():
+    """Reference parity: the PK is fixed at creation (Porter.php:115-120
+    sets `_id` / (`_parentid`,`_index`) once); reruns must never emit
+    PK-altering DDL even when the PK column's type observation widens."""
+    stmts = evolve_schema_sql(
+        "docs",
+        {"_id": "varchar(24)", "v": "int"},
+        {"_id": "varchar(50)", "v": "int"},
+        ("_id",),
+    )
+    assert stmts == ["ALTER TABLE `docs` MODIFY COLUMN `_id` varchar(50)"]
+    assert not any("PRIMARY KEY" in s or "DROP" in s for s in stmts)
+
+
+def test_upsert_batching_and_connection_bound(spark):
+    """write_upsert honors batch_size (multiple executemany flushes) and
+    max_connections (coalesce bounds concurrent sink connections — the
+    scale lever vs. the reference's one-row-one-roundtrip loop)."""
+    with tempfile.TemporaryDirectory() as tmp:
+        db = os.path.join(tmp, "t.db")
+        conn = sqlite3.connect(db)
+        conn.execute("CREATE TABLE t (_id TEXT PRIMARY KEY, v INT)")
+        conn.commit()
+        conn.close()
+
+        import functools
+
+        factory = functools.partial(sqlite3.connect, db)
+        df = spark.createDataFrame(
+            [Row(_id=f"{i:03d}", v=i) for i in range(100)]
+        ).repartition(8)
+        # sqlite cannot take concurrent writers: the connection bound is
+        # load-bearing for the test, exactly as it would be for a real
+        # MySQL max_connections limit
+        write_upsert(df, "t", factory, batch_size=7, max_connections=1)
+        conn = sqlite3.connect(db)
+        n, vsum = conn.execute("SELECT COUNT(*), SUM(v) FROM t").fetchone()
+        assert (n, vsum) == (100, 4950)
+        # rerun with updated values: REPLACE keeps it idempotent per _id
+        df2 = spark.createDataFrame([Row(_id=f"{i:03d}", v=i + 1) for i in range(100)])
+        write_upsert(df2, "t", factory, batch_size=7, max_connections=1)
+        n2, vsum2 = conn.execute("SELECT COUNT(*), SUM(v) FROM t").fetchone()
+        conn.close()
+        assert (n2, vsum2) == (100, 5050)
+
+
+def test_upsert_sql_paramstyles():
+    """Statement generation across DBAPI paramstyles (sqlite qmark vs
+    MySQL format) and all three modes."""
+    assert upsert_sql("t", ["a"], mode="append") == "INSERT INTO `t` (`a`) VALUES (?)"
+    assert (
+        upsert_sql("t", ["a", "b"], mode="upsert", paramstyle="format")
+        == "INSERT INTO `t` (`a`, `b`) VALUES (%s, %s) "
+        "ON DUPLICATE KEY UPDATE `a`=VALUES(`a`), `b`=VALUES(`b`)"
+    )
+    with pytest.raises(ValueError):
+        upsert_sql("t", ["a"], mode="merge")

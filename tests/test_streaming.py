@@ -14,6 +14,8 @@ from mongo2mysql_spark.streaming.pipeline import (
     foreach_batch_upsert,
     run_to_memory,
     stream_events,
+    stream_static_enrich,
+    stream_stream_interval_join,
     streaming_dedup,
     streaming_route,
     tumbling_counts,
@@ -99,6 +101,61 @@ def test_stateful_first_n_per_key(spark):
     got_rows = sorted(map(tuple, got.collect()))
     want_rows = sorted(map(tuple, want.collect()))
     assert got_rows == want_rows
+
+
+def test_stream_static_enrich_matches_batch_join(spark):
+    """Stream-static enrichment equals the batch broadcast join, and the
+    streaming plan carries NO state (stateless per-batch join)."""
+    from mongo2mysql_spark.sources.parquet import load_table
+
+    cust = load_table(spark, SF, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = stream_static_enrich(stream_events(spark, SF), cust, "user_id", ["c_mktsegment"])
+    got = run_to_memory(
+        enriched.groupBy("c_mktsegment").count(), mode="complete"
+    ).collect()
+    batch = (
+        load_table(spark, SF, "events")
+        .join(F.broadcast(cust), "user_id")
+        .groupBy("c_mktsegment")
+        .count()
+        .collect()
+    )
+    assert sorted(map(repr, got)) == sorted(map(repr, batch))
+
+
+def test_stream_stream_interval_join_matches_batch(spark):
+    """Bounded stream-stream interval join equals the batch interval
+    join, and both inputs are watermarked (state eviction wired)."""
+    from mongo2mysql_spark.sources.parquet import load_table
+
+    def split(df, etype, ucol, tcol, icol):
+        return df.filter(F.col("event_type") == etype).select(
+            F.col("user_id").alias(ucol),
+            F.col("ts").alias(tcol),
+            F.col("event_id").alias(icol),
+        )
+
+    cond = "v_user = p_user AND p_ts >= v_ts AND p_ts <= v_ts + interval 1 hour"
+    stream = stream_stream_interval_join(
+        split(stream_events(spark, SF), "view", "v_user", "v_ts", "vid"),
+        split(stream_events(spark, SF), "purchase", "p_user", "p_ts", "pid"),
+        cond,
+        "v_ts",
+        "p_ts",
+    )
+    assert (
+        stream._jdf.queryExecution().analyzed().toString().lower().count("watermark") >= 2
+    )
+    got = run_to_memory(stream, mode="append").select("vid", "pid")
+    ev = load_table(spark, SF, "events")
+    want = (
+        split(ev, "view", "v_user", "v_ts", "vid")
+        .join(split(ev, "purchase", "p_user", "p_ts", "pid"), F.expr(cond))
+        .select("vid", "pid")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
 
 
 def test_streaming_dedup_matches_batch_distinct(spark):
