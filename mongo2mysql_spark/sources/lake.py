@@ -1,0 +1,128 @@
+"""Lake-layout write path: partitioned, sorted, size-bounded parquet
+(SURVEY.md §2 'Scans/sources/sinks' — the 100 TB write-side concerns the
+reference never had: it wrote one MySQL row at a time, Porter.php:207).
+
+Three levers a large-scale pipeline needs from its staging writes:
+
+- **Partition layout** (`write_partitioned`): hive-style
+  ``partitionBy`` directories so downstream reads get partition
+  PRUNING (a filter on the partition column skips whole directories
+  at plan time — visible as ``PartitionFilters`` in the scan node).
+  The frame is shuffled onto its partition columns first so each
+  directory is written by few tasks (without this, every task writes
+  a file into every directory: tasks × partitions small files).
+- **File sizing**: ``maxRecordsPerFile`` bounds the large end; the
+  pre-shuffle bounds the small end.  Target ~128 MB files: big enough
+  to amortize footer/open costs, small enough to split scans evenly.
+- **Row-group stats ordering** (``sort_cols``): sorting within files
+  clusters values so parquet min/max row-group statistics become
+  selective — reads with range predicates on the sort key skip row
+  groups ("poor man's z-order" for one dimension).
+- **Compaction** (`compact_parquet`): streaming/incremental appends
+  accumulate small files; periodic rewrite to ~target-size files keeps
+  scan task counts sane.  One coalesce-free repartition = one shuffle
+  of the data being compacted.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    sort_cols: list[str] | None = None,
+    max_records_per_file: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Hive-partitioned parquet write with small-file-safe task layout.
+
+    ``repartition(*partition_cols)`` co-locates each output directory's
+    rows on few tasks; ``sortWithinPartitions`` then orders rows inside
+    each task so every file covers a narrow range of ``sort_cols``
+    (selective parquet min/max stats).  AQE may coalesce the shuffle's
+    small partitions, further reducing file count."""
+    out = df.repartition(*[F.col(c) for c in partition_cols])
+    if sort_cols:
+        out = out.sortWithinPartitions(*partition_cols, *sort_cols)
+    writer = out.write.mode(mode)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    writer.partitionBy(*partition_cols).parquet(path)
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    num_files: int | None = None,
+    max_records_per_file: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Globally range-clustered parquet: ``repartitionByRange`` assigns
+    each task a contiguous slice of ``cluster_cols``, and the in-task
+    sort orders rows inside it — every output file covers a narrow,
+    non-overlapping value range, so parquet min/max stats prune files
+    AND row groups for range predicates on the cluster key (the
+    single-dimension equivalent of z-ordering).  One shuffle; the range
+    boundaries come from Spark's reservoir sample of the input."""
+    parts = [F.col(c) for c in cluster_cols]
+    out = (
+        df.repartitionByRange(num_files, *parts)
+        if num_files
+        else df.repartitionByRange(*parts)
+    )
+    out = out.sortWithinPartitions(*cluster_cols)
+    writer = out.write.mode(mode)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    writer.parquet(path)
+
+
+def parquet_files(path: str) -> list[str]:
+    """Data files under a parquet root (recursive, excludes _SUCCESS)."""
+    found = []
+    for root, _dirs, names in os.walk(path):
+        for n in names:
+            if n.endswith(".parquet"):
+                found.append(os.path.join(root, n))
+    return sorted(found)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    partition_cols: list[str] | None = None,
+) -> int:
+    """Rewrite a parquet dataset into ~target-size files; returns the
+    new file count.  Reads the current on-disk size (compressed — the
+    right sizing basis for scan planning), computes the target file
+    count, and rewrites via one shuffle.  Partitioned datasets keep
+    their layout: compaction re-shuffles onto the partition columns so
+    each directory collapses to few files.
+
+    The rewrite goes through a staging directory then an atomic-ish
+    rename, so a failed compaction never destroys the input."""
+    files = parquet_files(path)
+    total = sum(os.path.getsize(f) for f in files)
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    staging = path.rstrip("/") + ".__compact_staging__"
+    if partition_cols:
+        write_partitioned(df, staging, partition_cols)
+    else:
+        df.repartition(n_files).write.mode("overwrite").parquet(staging)
+    backup = path.rstrip("/") + ".__compact_backup__"
+    os.rename(path, backup)
+    os.rename(staging, path)
+    import shutil
+
+    shutil.rmtree(backup)
+    return len(parquet_files(path))

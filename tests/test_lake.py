@@ -1,0 +1,117 @@
+"""Lake write-path behavior: partition pruning reaches the scan,
+file sizing is honored, compaction preserves data."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from mongo2mysql_spark.sources.lake import (
+    compact_parquet,
+    parquet_files,
+    write_partitioned,
+)
+from mongo2mysql_spark.sources.parquet import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_partitioned_write_prunes_on_read(spark):
+    """A filter on the partition column must hit PartitionFilters (whole
+    directories skipped at plan time), not a post-scan Filter only."""
+    orders = load_table(spark, SF, "orders")
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "orders_by_status")
+        write_partitioned(
+            orders, path, ["o_orderstatus"], sort_cols=["o_orderdate"]
+        )
+        back = spark.read.parquet(path).filter(F.col("o_orderstatus") == "F")
+        plan = back._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "o_orderstatus" in plan.split(
+            "PartitionFilters"
+        )[1].split("]")[0]
+        want = orders.filter(F.col("o_orderstatus") == "F").count()
+        assert back.count() == want
+        # hive layout on disk: one directory per status value
+        dirs = {d for d in os.listdir(path) if d.startswith("o_orderstatus=")}
+        n_statuses = orders.select("o_orderstatus").distinct().count()
+        assert len(dirs) == n_statuses
+
+
+def test_max_records_per_file(spark):
+    orders = load_table(spark, SF, "orders")  # 1500 rows at sf0.001
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "sized")
+        write_partitioned(orders, path, ["o_orderstatus"], max_records_per_file=200)
+        import pyarrow.parquet as pq
+
+        for f in parquet_files(path):
+            assert pq.ParquetFile(f).metadata.num_rows <= 200
+
+
+def test_compaction_reduces_files_and_preserves_rows(spark):
+    orders = load_table(spark, SF, "orders")
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "frag")
+        # simulate a fragmented incremental landing zone: 64 tiny files
+        orders.repartition(64).write.parquet(path)
+        assert len(parquet_files(path)) >= 32
+        before = sorted(map(repr, spark.read.parquet(path).collect()))
+        n_after = compact_parquet(spark, path, target_file_bytes=64 * 1024 * 1024)
+        assert n_after < 8
+        assert n_after == len(parquet_files(path))
+        after = sorted(map(repr, spark.read.parquet(path).collect()))
+        assert after == before
+
+
+def test_compaction_keeps_partition_layout(spark):
+    orders = load_table(spark, SF, "orders")
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "part_frag")
+        # fragmented partitioned landing: every task writes to every dir
+        orders.repartition(16).write.partitionBy("o_orderstatus").parquet(path)
+        frag = len(parquet_files(path))
+        compact_parquet(
+            spark, path, target_file_bytes=64 * 1024 * 1024,
+            partition_cols=["o_orderstatus"],
+        )
+        assert len(parquet_files(path)) < frag
+        dirs = {d for d in os.listdir(path) if d.startswith("o_orderstatus=")}
+        assert len(dirs) == orders.select("o_orderstatus").distinct().count()
+        # pruning still works after compaction
+        back = spark.read.parquet(path).filter(F.col("o_orderstatus") == "F")
+        assert "PartitionFilters" in back._jdf.queryExecution().executedPlan().toString()
+
+
+def test_clustered_write_narrows_file_ranges(spark):
+    """write_clustered (repartitionByRange + in-task sort) must produce
+    files whose min/max span a narrow non-overlapping slice of the
+    cluster key (what makes parquet stats selective for range reads)."""
+    from mongo2mysql_spark.sources.lake import write_clustered
+
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_extendedprice")
+    with tempfile.TemporaryDirectory() as tmp:
+        sorted_path = os.path.join(tmp, "sorted")
+        write_clustered(li, sorted_path, ["l_extendedprice"], num_files=4)
+        import pyarrow.parquet as pq
+
+        files = parquet_files(sorted_path)
+        assert len(files) >= 3
+        global_min = li.agg(F.min("l_extendedprice")).collect()[0][0]
+        global_max = li.agg(F.max("l_extendedprice")).collect()[0][0]
+        spans = []
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            col_idx = [md.schema.column(i).name for i in range(md.num_columns)].index(
+                "l_extendedprice"
+            )
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(col_idx).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            spans.append((max(maxs) - min(mins)) / (global_max - global_min))
+        # average file covers well under the full value range
+        assert sum(spans) / len(spans) < 0.6
