@@ -89,6 +89,67 @@ def decode_metadata(df: DataFrame, mode: str = "fake") -> DataFrame:
     return df.mapInPandas(run, schema=DECODED_SCHEMA)
 
 
+RESIZED_SCHEMA = "media_id long, out_width int, out_height int, resized binary"
+
+
+def resize_images(df: DataFrame, max_side: int = 256, mode: str = "fake") -> DataFrame:
+    """Resize stage as ``mapInPandas``: aspect-preserving downscale to
+    ``max_side``.  ``df`` must be a decoded frame joined back to its
+    payload (needs width/height + payload).  The ``fake`` kernel
+    computes the real output geometry (the testable contract) and
+    passes the payload through truncated — ``real`` is the
+    PIL.Image.thumbnail seam."""
+    if mode == "real":  # pragma: no cover - cluster-image integration point
+        raise NotImplementedError("real resize needs PIL on the image")
+
+    def run(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            out = pdf[["media_id"]].copy()
+            ow, oh, data = [], [], []
+            for w, h, payload in zip(pdf["width"], pdf["height"], pdf["payload"]):
+                scale = min(1.0, max_side / max(int(w), int(h)))
+                ow.append(max(1, int(int(w) * scale)))
+                oh.append(max(1, int(int(h) * scale)))
+                # stand-in for re-encoded pixels: bounded payload slice
+                data.append(bytes(payload)[: max_side])
+            out["out_width"] = ow
+            out["out_height"] = oh
+            out["resized"] = data
+            yield out
+
+    return df.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+def extract_features(df: DataFrame, dim: int = 16, mode: str = "fake") -> DataFrame:
+    """Feature-extraction stage: payload -> float embedding (the CLIP/
+    wav2vec seam).  The ``fake`` kernel derives a deterministic unit
+    vector from the payload's sha256 — downstream ANN/dedup plumbing
+    (array<float> column, cosine math) is exercised for real."""
+    if mode == "real":  # pragma: no cover - cluster-image integration point
+        raise NotImplementedError("real feature extraction needs a model runtime")
+
+    def run(batches: Iterator) -> Iterator:
+        import hashlib
+        import math as m
+        import struct
+
+        for pdf in batches:
+            out = pdf[["media_id"]].copy()
+            vecs = []
+            for payload in pdf["payload"]:
+                h = hashlib.sha256(bytes(payload)).digest()
+                raw = [
+                    struct.unpack(">H", h[(2 * i) % 30 : (2 * i) % 30 + 2])[0] / 65535.0 - 0.5
+                    for i in range(dim)
+                ]
+                norm = m.sqrt(sum(x * x for x in raw)) or 1.0
+                vecs.append([x / norm for x in raw])
+            out["features"] = vecs
+            yield out
+
+    return df.mapInPandas(run, schema="media_id long, features array<float>")
+
+
 def sample_frames(df: DataFrame, every_nth: int = 10) -> DataFrame:
     """Frame-sampling plan for video payloads: one output row per
     sampled frame index — pure expression (sequence + explode), the

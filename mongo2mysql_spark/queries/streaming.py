@@ -49,8 +49,8 @@ from mongo2mysql_spark.streaming.pipeline import (
     ),
 )
 def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tum = run_to_memory(tumbling_counts(stream_events(spark, sf_dir)))
-    sli = run_to_memory(sliding_counts(stream_events(spark, sf_dir)))
+    tum = run_to_memory(tumbling_counts(stream_events(spark, sf_dir)), shuffle_partitions=8)
+    sli = run_to_memory(sliding_counts(stream_events(spark, sf_dir)), shuffle_partitions=8)
     return tum.select(
         F.lit("tumbling1h").alias("kind"),
         "window_start",
@@ -92,7 +92,7 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return run_to_memory(session_windows(stream_events(spark, sf_dir)))
+    return run_to_memory(session_windows(stream_events(spark, sf_dir)), shuffle_partitions=8)
 
 
 @register(
@@ -128,7 +128,7 @@ def streaming_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.sum("prop_k").alias("k_sum"))
         .select(F.col("w.start").alias("window_start"), "c_mktsegment", "n", "k_sum")
     )
-    return run_to_memory(agg)
+    return run_to_memory(agg, shuffle_partitions=8)
 
 
 @register(
@@ -175,6 +175,6 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v_ts",
         "p_ts",
     )
-    return run_to_memory(joined, mode="append").select(
+    return run_to_memory(joined, mode="append", shuffle_partitions=8).select(
         "view_id", "purchase_id", F.col("v_user").alias("user_id")
     )

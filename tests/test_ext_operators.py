@@ -134,6 +134,39 @@ def test_multimodal_decode_plumbing(spark):
         decode_metadata(pf, mode="real")
 
 
+def test_multimodal_resize_and_features(spark):
+    """Resize + feature-extract stages: real geometry/vector contracts
+    over the fake decode seam."""
+    from mongo2mysql_spark.operators.multimodal import extract_features, resize_images
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").limit(20)
+    pf = payload_frame(
+        d, F.col("doc_id"), F.encode(F.col("text"), "UTF-8"), F.lit("text/plain")
+    )
+    decoded = decode_metadata(pf, mode="fake").join(
+        pf.select("media_id", "payload"), "media_id"
+    )
+    resized = resize_images(decoded, max_side=64).collect()
+    assert len(resized) == 20
+    for r in resized:
+        assert 1 <= max(r["out_width"], r["out_height"]) <= 64
+        assert len(r["resized"]) <= 64
+    feats = extract_features(pf, dim=16).collect()
+    assert len(feats) == 20
+    import math
+
+    for r in feats:
+        assert len(r["features"]) == 16
+        assert abs(math.sqrt(sum(x * x for x in r["features"])) - 1.0) < 1e-3
+    # deterministic across runs
+    again = {r["media_id"]: r["features"] for r in extract_features(pf, dim=16).collect()}
+    assert all(again[r["media_id"]] == r["features"] for r in feats)
+    with pytest.raises(NotImplementedError):
+        resize_images(decoded, mode="real")
+    with pytest.raises(NotImplementedError):
+        extract_features(pf, mode="real")
+
+
 def test_payload_pruning_skips_binary(spark):
     """Metadata-only reads must not carry the payload column through the
     plan (parquet column pruning at 100 TB is the whole point)."""
