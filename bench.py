@@ -44,6 +44,7 @@ HEADLINE = [
     "events_hypertable_rollup",
     "text_term_frequency",
     "text_langid_ngram",
+    "corpus_clean_pipeline",
     "streaming_windowed_counts",
     "streaming_stream_join",
 ]

@@ -84,6 +84,29 @@ def quality_score(toks: Column, text: Column) -> Column:
     )
 
 
+def lang_guess(toks: Column) -> Column:
+    """Language-ID argmax: the language with the most stopword hits,
+    ties broken alphabetically (deterministic).  Implemented as an
+    array-of-structs sort so the whole argmax stays one codegen
+    expression."""
+
+    def hits(lang: str) -> Column:
+        words = STOPWORDS[lang]
+        return F.size(F.filter(toks, lambda x: x.isin(*words)))
+
+    return F.element_at(
+        F.array_sort(
+            F.array(
+                *[
+                    F.struct((-hits(lang)).alias("a"), F.lit(lang).alias("l"))
+                    for lang in sorted(STOPWORDS)
+                ]
+            )
+        ),
+        1,
+    ).getField("l")
+
+
 def fingerprint(toks: Column) -> Column:
     """Canonical document fingerprint: md5 over the sorted distinct
     token set — key for exact content dedup under token reordering."""

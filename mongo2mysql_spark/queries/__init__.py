@@ -55,6 +55,7 @@ def load_all() -> dict[str, Query]:
     from mongo2mysql_spark.queries import (  # noqa: F401
         similarity,
         text,
+        corpus,
         sampling,
         interval,
         streaming,

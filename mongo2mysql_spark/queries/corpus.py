@@ -1,0 +1,87 @@
+"""Composed corpus-cleaning pipeline (extension layer): the flagship
+end-to-end training-data preparation flow, as ONE declarative plan —
+
+    score (quality + language-ID) -> filter -> exact near-order dedup
+    -> deterministic train/val/test split
+
+Every stage is an operator the engine already ships (functions/text,
+operators/dedup, operators/sampling); the point of this query is that
+they COMPOSE into a single Catalyst plan: one scan of ``documents``,
+narrow expression stages, exactly one shuffle (the dedup's
+partitionBy(fingerprint) window), and per-row split hashing — the whole
+corpus cleaning pass at 100 TB is scan + 1 shuffle.  The DuckDB oracle
+restates the full chain, so the driver hash-verifies the pipeline's
+per-document output, not per-stage summaries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mongo2mysql_spark.functions.text import (
+    fingerprint,
+    lang_guess,
+    quality_score,
+    tokens,
+)
+from mongo2mysql_spark.operators.dedup import dedup_exact
+from mongo2mysql_spark.operators.sampling import hash_split, sql_hash_split
+from mongo2mysql_spark.queries import register
+from mongo2mysql_spark.queries.text import sql_lang_guess, sql_quality
+from mongo2mysql_spark.sources import load_table as T
+
+MIN_QUALITY = 0.3
+MIN_TOKENS = 20
+
+
+@register(
+    "corpus_clean_pipeline",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+    scored AS (
+      SELECT doc_id,
+             CAST(len(t) AS INTEGER) AS n_tokens,
+             {sql_quality()} AS quality,
+             {sql_lang_guess()} AS lang_guess,
+             md5(array_to_string(list_sort(list_distinct(t)), ' ')) AS fp
+      FROM toks),
+    kept AS (
+      SELECT * FROM scored
+      WHERE quality >= {MIN_QUALITY} AND n_tokens >= {MIN_TOKENS}),
+    dedup AS (
+      SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      FROM kept)
+    SELECT doc_id, lang_guess, quality, n_tokens,
+           {sql_hash_split("doc_id")} AS split
+    FROM dedup WHERE rn = 1
+    """,
+    doc=(
+        "end-to-end corpus cleaning: quality + language scoring, "
+        "low-quality/short filter, exact content dedup (token-set "
+        "fingerprint, min-doc_id representative), deterministic 80/10/10 "
+        "split — one scan, one shuffle, per-document hash-verified."
+    ),
+)
+def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents", fanout=True)
+    t = tokens(F.col("text"))
+    scored = d.select(
+        "doc_id",
+        F.size(t).alias("n_tokens"),
+        quality_score(t, F.col("text")).alias("quality"),
+        lang_guess(t).alias("lang_guess"),
+        fingerprint(t).alias("fp"),
+    )
+    kept = scored.filter(
+        (F.col("quality") >= MIN_QUALITY) & (F.col("n_tokens") >= MIN_TOKENS)
+    )
+    representatives = dedup_exact(kept, ["fp"], "doc_id")
+    return representatives.select(
+        "doc_id",
+        "lang_guess",
+        "quality",
+        "n_tokens",
+        hash_split(F.col("doc_id")).alias("split"),
+    )

@@ -612,16 +612,10 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------------- sort/limit/set
 
 
-@register(
-    "sort_limit_orders",
-    """
-    SELECT o_orderkey, o_totalprice, o_orderdate
-    FROM orders
-    ORDER BY o_totalprice DESC, o_orderkey
-    LIMIT 20
-    """,
-    doc="global top-N: Spark plans TakeOrderedAndProject (no full sort).",
-)
+# Not a registry entry (slot ceded to corpus_clean_pipeline): global
+# top-N semantics stay covered by topk_parts_per_brand's ordered output
+# and the TakeOrderedAndProject plan assertion in tests/test_plans.py,
+# which drives this function directly.
 def sort_limit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = T(spark, sf_dir, "orders")
     return (

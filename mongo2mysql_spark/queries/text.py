@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from mongo2mysql_spark.functions.text import (
     STOPWORDS,
+    lang_guess,
     mean_token_length,
     quality_score,
     stopword_ratio,
@@ -17,20 +18,39 @@ from mongo2mysql_spark.queries import register
 from mongo2mysql_spark.sources import load_table as T
 
 
+def sql_quality(t: str = "t", text: str = "text") -> str:
+    """DuckDB mirror of functions/text.quality_score (shared by the
+    standalone quality query and the corpus pipeline oracle)."""
+    return f"""ROUND(LEAST(GREATEST(
+             0.5 * LEAST(len({t}) / 100.0, 1.0)
+             + 0.5 * (CAST(len(list_distinct({t})) AS DOUBLE) / GREATEST(len({t}), 1))
+             - (CAST(length(regexp_replace({text}, '[^[:punct:]]', '', 'g')) AS DOUBLE)
+                / GREATEST(length({text}), 1)),
+             0.0), 1.0), 6)"""
+
+
+def _sql_lang_hits(lang: str, t: str = "t") -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"len(list_filter({t}, x -> list_contains([{words}], x)))"
+
+
+def sql_lang_guess(t: str = "t") -> str:
+    """DuckDB mirror of functions/text.lang_guess."""
+    structs = ", ".join(
+        f"{{'a': -{_sql_lang_hits(lang, t)}, 'l': '{lang}'}}" for lang in sorted(STOPWORDS)
+    )
+    return f"list_sort([{structs}])[1].l"
+
+
 @register(
     "text_token_quality",
-    """
+    f"""
     SELECT doc_id,
            CAST(len(t) AS INTEGER) AS n_tokens,
            CAST(len(list_distinct(t)) AS INTEGER) AS n_unique,
            CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t) AS mean_token_len,
            CAST(length(text) AS INTEGER) AS n_chars_actual,
-           ROUND(LEAST(GREATEST(
-             0.5 * LEAST(len(t) / 100.0, 1.0)
-             + 0.5 * (CAST(len(list_distinct(t)) AS DOUBLE) / GREATEST(len(t), 1))
-             - (CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)
-                / GREATEST(length(text), 1)),
-             0.0), 1.0), 6) AS quality
+           {sql_quality()} AS quality
     FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)
     """,
     doc=(
@@ -76,22 +96,14 @@ def text_term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _langid_sql() -> str:
-    structs = ", ".join(
-        "{'a': -len(list_filter(t, x -> list_contains(["
-        + ", ".join(f"'{w}'" for w in STOPWORDS[lang])
-        + f"], x))), 'l': '{lang}'}}"
-        for lang in sorted(STOPWORDS)
-    )
     ratios = ",\n           ".join(
-        f"CAST(len(list_filter(t, x -> list_contains(["
-        + ", ".join(f"'{w}'" for w in STOPWORDS[lang])
-        + f"], x))) AS DOUBLE) / GREATEST(len(t), 1) AS ratio_{lang}"
+        f"CAST({_sql_lang_hits(lang)} AS DOUBLE) / GREATEST(len(t), 1) AS ratio_{lang}"
         for lang in sorted(STOPWORDS)
     )
     return f"""
     SELECT doc_id, lang,
            {ratios},
-           list_sort([{structs}])[1].l AS lang_guess
+           {sql_lang_guess()} AS lang_guess
     FROM (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents)
     """
 
@@ -108,27 +120,11 @@ def _langid_sql() -> str:
 def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = T(spark, sf_dir, "documents", fanout=True)
     t = tokens(F.col("text"))
-    def hits(lang: str):
-        words = STOPWORDS[lang]
-        return F.size(F.filter(t, lambda x: x.isin(*words)))
-
-    hit_counts = {lang: hits(lang) for lang in sorted(STOPWORDS)}
-    guess = F.element_at(
-        F.array_sort(
-            F.array(
-                *[
-                    F.struct((-hit_counts[lang]).alias("a"), F.lit(lang).alias("l"))
-                    for lang in sorted(STOPWORDS)
-                ]
-            )
-        ),
-        1,
-    ).getField("l")
     return d.select(
         "doc_id",
         "lang",
         *[stopword_ratio(t, lang).alias(f"ratio_{lang}") for lang in sorted(STOPWORDS)],
-        guess.alias("lang_guess"),
+        lang_guess(t).alias("lang_guess"),
     )
 
 

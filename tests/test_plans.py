@@ -62,7 +62,9 @@ def test_semi_anti_join_strategies(spark):
 
 def test_sort_limit_is_take_ordered(spark):
     """Global top-N must not global-sort: TakeOrderedAndProject."""
-    df = REGISTRY["sort_limit_orders"].fn(spark, SF_DIR)
+    from mongo2mysql_spark.queries.relational import sort_limit_orders
+
+    df = sort_limit_orders(spark, SF_DIR)
     assert "TakeOrderedAndProject" in physical_plan(df)
 
 
