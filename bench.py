@@ -45,6 +45,7 @@ HEADLINE = [
     "text_term_frequency",
     "text_langid_ngram",
     "corpus_clean_pipeline",
+    "corpus_pack_sequences",
     "streaming_windowed_counts",
     "streaming_stream_join",
 ]

@@ -1,0 +1,76 @@
+"""Sequence packing for LLM training batches (extension layer,
+BASELINE.json north star).
+
+Training runs consume fixed-length token sequences, not variable-length
+documents: the standard preparation step concatenates the cleaned
+corpus in a stable order and slices the token stream into sequences of
+exactly ``seq_len`` tokens (documents crossing a boundary are split;
+GPT-style "packed" pretraining batches).  The per-document output of
+this operator is the document's span in sequence space — which
+sequences it lands in and at what offset — which is exactly what a
+downstream tokenizer/writer needs to materialize shards, and is also
+the auditable answer to "where did this document go?".
+
+Spark shape: token positions are a GLOBAL exclusive prefix sum of
+per-document token counts.  A naive window (``Window.orderBy`` with no
+partition) is a single-reducer sort of the whole corpus — the exact
+plan shape this engine bans (see operators/sequence.py).  The
+implementation rides `add_running_total_two_phase`: range partition on
+the order key, per-partition sums, broadcast prefix offsets,
+partition-local running sum — two small shuffles, no global window, no
+driver collect; survives 10^12 documents.
+
+Everything is integer arithmetic (floor-div/mod on BIGINT), so the
+result is bit-exact across engines — the DuckDB oracle states the same
+cumsum with a window, which is fine at oracle scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mongo2mysql_spark.operators.sequence import add_running_total_two_phase
+
+
+def pack_sequences(
+    df: DataFrame,
+    n_tokens_col: str,
+    order_cols: list[str] | str,
+    seq_len: int,
+    out_prefix: str = "",
+) -> DataFrame:
+    """Assign every document its span in the packed token stream.
+
+    Adds four columns (``out_prefix``-prefixed):
+
+    - ``first_seq``  — index (0-based) of the sequence where the
+      document starts,
+    - ``first_offset`` — token offset inside that sequence,
+    - ``last_seq``   — index of the sequence where it ends,
+    - ``n_seqs``     — number of sequences it touches.
+
+    A zero-token document occupies no tokens; it is reported at its
+    boundary position with ``n_seqs = 1`` (span of its insertion
+    point).  ``order_cols`` must be a unique total order (e.g. doc_id)
+    for determinism.
+    """
+    p = out_prefix
+    cum = "__cum_before"
+    out = add_running_total_two_phase(
+        df, n_tokens_col, order_cols, out_col=cum, exclusive=True
+    )
+    n = F.greatest(F.col(n_tokens_col).cast("long"), F.lit(1).cast("long"))
+    # integer floor-div throughout (`div`), never a double division —
+    # bit-exact at any corpus size
+    return (
+        out.withColumn("__last_end", F.col(cum) + n - F.lit(1).cast("long"))
+        .withColumn(p + "first_seq", F.expr(f"{cum} div {seq_len}"))
+        .withColumn(p + "first_offset", F.col(cum) % seq_len)
+        .withColumn(p + "last_seq", F.expr(f"__last_end div {seq_len}"))
+        .withColumn(
+            p + "n_seqs",
+            (F.col(p + "last_seq") - F.col(p + "first_seq") + 1).cast("int"),
+        )
+        .drop(cum, "__last_end")
+    )

@@ -37,6 +37,38 @@ def add_num(
     return df.withColumn(out_col, F.row_number().over(w))
 
 
+def _prefix_offsets(per_pid: DataFrame, partition_cols: list[str], val_col: str) -> DataFrame:
+    """Cumulative offset per group in ``__pid`` order, WITHOUT a window:
+    a lit-partitioned window constant-folds back to `WindowExec: No
+    Partition Defined`, and an ordered window over the tiny per-pid
+    frame would be a needless single-reducer plan shape.  Instead pack
+    each group's (pid, value) rows into one sorted array and run a
+    linear prefix scan with ``aggregate`` (pure whole-stage-codegen
+    expression work on #groups rows).  Returns
+    ``partition_cols + (__pid, __offset)`` where ``__offset`` is the
+    sum of ``val_col`` over all earlier pids of the same group."""
+    packed = per_pid.groupBy(*partition_cols).agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("__pid"), F.col(val_col).alias("__v")))
+        ).alias("__pc")
+    )
+    prefix = F.expr(
+        """
+        aggregate(
+          __pc,
+          struct(cast(array() as array<struct<__pid:int,__offset:bigint>>) as arr,
+                 0L as tot),
+          (acc, x) -> struct(
+              array_append(acc.arr, struct(x.__pid as __pid, acc.tot as __offset)) as arr,
+              acc.tot + x.__v as tot),
+          acc -> acc.arr)
+        """
+    )
+    return packed.select(*partition_cols, F.explode(prefix).alias("__o")).select(
+        *partition_cols, "__o.__pid", "__o.__offset"
+    )
+
+
 def add_num_two_phase(
     df: DataFrame,
     order_cols: list[str] | str,
@@ -55,10 +87,11 @@ def add_num_two_phase(
     (the porter's ``_table`` always is).
 
     Fully LAZY: the per-(partition × group) counts stay a tiny
-    DataFrame — cumulative offsets via a window over it, broadcast-
-    joined back — rather than a driver collect.  No job runs at plan
-    time, and because both branches share the same range Exchange,
-    Spark's ReusedExchange computes the shuffle once per action."""
+    DataFrame — cumulative offsets via the `_prefix_offsets` scan,
+    broadcast-joined back — rather than a driver collect.  No job runs
+    at plan time, and because both branches share the same range
+    Exchange, Spark's ReusedExchange computes the shuffle once per
+    action."""
     from pyspark.sql.functions import spark_partition_id
 
     if isinstance(order_cols, str):
@@ -69,31 +102,7 @@ def add_num_two_phase(
         "__pid", spark_partition_id()
     )
     counts = with_pid.groupBy("__pid", *partition_cols).count()
-    # Cumulative offset per group in __pid order, WITHOUT a window: a
-    # lit-partitioned window constant-folds back to `WindowExec: No
-    # Partition Defined`, and an ordered window over the counts frame
-    # would be a needless single-reducer plan shape even though the
-    # frame is tiny.  Instead pack each group's (pid, count) rows into
-    # one sorted array and run a linear prefix scan with `aggregate`
-    # (pure whole-stage-codegen expression work on #groups rows).
-    packed = counts.groupBy(*partition_cols).agg(
-        F.sort_array(F.collect_list(F.struct("__pid", "count"))).alias("__pc")
-    )
-    prefix = F.expr(
-        """
-        aggregate(
-          __pc,
-          struct(cast(array() as array<struct<__pid:int,__offset:bigint>>) as arr,
-                 0L as tot),
-          (acc, x) -> struct(
-              array_append(acc.arr, struct(x.__pid as __pid, acc.tot as __offset)) as arr,
-              acc.tot + x.count as tot),
-          acc -> acc.arr)
-        """
-    )
-    offsets = packed.select(
-        *partition_cols, F.explode(prefix).alias("__o")
-    ).select(*partition_cols, "__o.__pid", "__o.__offset")
+    offsets = _prefix_offsets(counts, partition_cols, "count")
     w = W.partitionBy("__pid", *partition_cols).orderBy(*order_cols)
     return (
         with_pid.join(F.broadcast(offsets), ["__pid", *partition_cols])
@@ -101,5 +110,54 @@ def add_num_two_phase(
         .withColumn(out_col, (F.col("__offset") + F.col("__local")).cast("int"))
         # the equi-join moves its keys to the front — restore the
         # caller's column order (callers treat this as a withColumn)
+        .select(*df.columns, out_col)
+    )
+
+
+def add_running_total_two_phase(
+    df: DataFrame,
+    value_col: str,
+    order_cols: list[str] | str,
+    out_col: str = "_cum",
+    partition_cols: list[str] | None = None,
+    exclusive: bool = False,
+) -> DataFrame:
+    """Skew-proof global (or per-group) prefix sum of ``value_col`` in
+    ``order_cols`` order — the same two-phase shape as
+    `add_num_two_phase` (range partition → per-partition sums →
+    broadcast offsets → partition-local running sum), generalized from
+    counting rows to summing a value.  This is the scale substrate for
+    any "position in a global accumulation" operator: sequence packing
+    (token budgets), size-bounded file assignment, quota admission.
+
+    ``exclusive=True`` returns the sum over STRICTLY earlier rows
+    (0 for the first row) — what packing needs; ``False`` includes the
+    current row.  ``value_col`` must be non-negative for packing-style
+    uses but the operator itself only needs it non-null."""
+    from pyspark.sql.functions import spark_partition_id
+
+    if isinstance(order_cols, str):
+        order_cols = [order_cols]
+    partition_cols = partition_cols or []
+    range_cols = [F.col(c) for c in (*partition_cols, *order_cols)]
+    with_pid = df.repartitionByRange(*range_cols).withColumn(
+        "__pid", spark_partition_id()
+    )
+    sums = with_pid.groupBy("__pid", *partition_cols).agg(
+        F.sum(F.col(value_col).cast("long")).alias("__s")
+    )
+    offsets = _prefix_offsets(sums, partition_cols, "__s")
+    hi = -1 if exclusive else 0
+    w = (
+        W.partitionBy("__pid", *partition_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(W.unboundedPreceding, hi)
+    )
+    local = F.coalesce(
+        F.sum(F.col(value_col).cast("long")).over(w), F.lit(0).cast("long")
+    )
+    return (
+        with_pid.join(F.broadcast(offsets), ["__pid", *partition_cols])
+        .withColumn(out_col, (F.col("__offset") + local).cast("long"))
         .select(*df.columns, out_col)
     )

@@ -85,3 +85,47 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         hash_split(F.col("doc_id")).alias("split"),
     )
+
+
+SEQ_LEN = 2048
+
+
+@register(
+    "corpus_pack_sequences",
+    f"""
+    WITH t AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents),
+    c AS (
+      SELECT doc_id, n_tok,
+             CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS cum_before
+      FROM t)
+    SELECT doc_id,
+           CAST(n_tok AS INTEGER) AS n_tokens,
+           cum_before // {SEQ_LEN} AS first_seq,
+           cum_before % {SEQ_LEN} AS first_offset,
+           (cum_before + GREATEST(n_tok, 1) - 1) // {SEQ_LEN} AS last_seq,
+           CAST((cum_before + GREATEST(n_tok, 1) - 1) // {SEQ_LEN}
+                - cum_before // {SEQ_LEN} + 1 AS INTEGER) AS n_seqs
+    FROM c
+    """,
+    doc=(
+        "GPT-style sequence packing: concatenate the corpus in doc_id "
+        "order and slice the token stream into training sequences of "
+        f"exactly {SEQ_LEN} tokens; per document, the sequence span it "
+        "lands in (first_seq/first_offset/last_seq/n_seqs).  The global "
+        "exclusive prefix sum rides the two-phase scheme "
+        "(operators/sequence.add_running_total_two_phase) — never a "
+        "no-partition window; the oracle states the same cumsum as a "
+        "window, fine at oracle scale.  All-integer arithmetic: "
+        "bit-exact cross-engine."
+    ),
+)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mongo2mysql_spark.operators.packing import pack_sequences
+
+    d = T(spark, sf_dir, "documents", fanout=True)
+    counted = d.select("doc_id", F.size(tokens(F.col("text"))).alias("n_tokens"))
+    return pack_sequences(counted, "n_tokens", "doc_id", SEQ_LEN)

@@ -24,53 +24,6 @@ from mongo2mysql_spark.streaming.pipeline import (
 @register(
     "streaming_windowed_counts",
     """
-    SELECT 'tumbling1h' AS kind,
-           CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP) AS window_start,
-           event_type,
-           COUNT(*) AS n,
-           CAST(ROUND(SUM(CAST(value AS DECIMAL(30,10))), 4) AS DOUBLE) AS total_value
-    FROM events
-    GROUP BY 2, 3
-    UNION ALL
-    SELECT 'sliding1h30m' AS kind,
-           CAST(ws AS TIMESTAMP) AS window_start,
-           CAST(NULL AS VARCHAR) AS event_type,
-           COUNT(*) AS n,
-           CAST(NULL AS DOUBLE) AS total_value
-    FROM (
-      SELECT time_bucket(INTERVAL '30 minutes', ts) - o * INTERVAL '30 minutes' AS ws
-      FROM events, unnest([0, 1]) AS t(o))
-    GROUP BY 2
-    """,
-    doc=(
-        "tumbling (1h, per event_type) and sliding (1h/30min — each event "
-        "lands in exactly 2 windows) watermarked window aggs over a stream, "
-        "tagged and unioned; each branch must equal its batch windowed agg."
-    ),
-)
-def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tum = run_to_memory(tumbling_counts(stream_events(spark, sf_dir)), shuffle_partitions=8)
-    sli = run_to_memory(sliding_counts(stream_events(spark, sf_dir)), shuffle_partitions=8)
-    return tum.select(
-        F.lit("tumbling1h").alias("kind"),
-        "window_start",
-        "event_type",
-        "n",
-        "total_value",
-    ).unionByName(
-        sli.select(
-            F.lit("sliding1h30m").alias("kind"),
-            "window_start",
-            F.lit(None).cast("string").alias("event_type"),
-            "n",
-            F.lit(None).cast("double").alias("total_value"),
-        )
-    )
-
-
-@register(
-    "streaming_session_window",
-    """
     WITH flagged AS (
       SELECT user_id, ts,
              CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
@@ -82,17 +35,73 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
       FROM flagged)
-    SELECT CAST(MIN(ts) AS TIMESTAMP) AS session_start, user_id, COUNT(*) AS n_events
+    SELECT 'tumbling1h' AS kind,
+           CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP) AS window_start,
+           event_type AS key,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(30,10))), 4) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 2, 3
+    UNION ALL
+    SELECT 'sliding1h30m' AS kind,
+           CAST(ws AS TIMESTAMP) AS window_start,
+           CAST(NULL AS VARCHAR) AS key,
+           COUNT(*) AS n,
+           CAST(NULL AS DOUBLE) AS total_value
+    FROM (
+      SELECT time_bucket(INTERVAL '30 minutes', ts) - o * INTERVAL '30 minutes' AS ws
+      FROM events, unnest([0, 1]) AS t(o))
+    GROUP BY 2
+    UNION ALL
+    SELECT 'session30m' AS kind,
+           CAST(MIN(ts) AS TIMESTAMP) AS window_start,
+           CAST(user_id AS VARCHAR) AS key,
+           COUNT(*) AS n,
+           CAST(NULL AS DOUBLE) AS total_value
     FROM sessions
     GROUP BY user_id, sid
     """,
     doc=(
-        "gap-based session windows (session_window, 30 min) — oracle is the "
-        "batch lag+cumsum sessionization; starts and counts must agree."
+        "the three streaming window shapes, tagged and unioned: tumbling "
+        "(1h, per event_type), sliding (1h/30min — each event lands in "
+        "exactly 2 windows), and gap-based session windows "
+        "(session_window, 30 min gap, per user).  Each branch is a "
+        "watermarked windowed agg over a bounded stream and must equal "
+        "its batch restatement (the session oracle is the classic "
+        "lag+cumsum sessionization)."
     ),
 )
-def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return run_to_memory(session_windows(stream_events(spark, sf_dir)), shuffle_partitions=8)
+def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tum = run_to_memory(tumbling_counts(stream_events(spark, sf_dir)), shuffle_partitions=8)
+    sli = run_to_memory(sliding_counts(stream_events(spark, sf_dir)), shuffle_partitions=8)
+    ses = run_to_memory(session_windows(stream_events(spark, sf_dir)), shuffle_partitions=8)
+    return (
+        tum.select(
+            F.lit("tumbling1h").alias("kind"),
+            "window_start",
+            F.col("event_type").alias("key"),
+            "n",
+            "total_value",
+        )
+        .unionByName(
+            sli.select(
+                F.lit("sliding1h30m").alias("kind"),
+                "window_start",
+                F.lit(None).cast("string").alias("key"),
+                "n",
+                F.lit(None).cast("double").alias("total_value"),
+            )
+        )
+        .unionByName(
+            ses.select(
+                F.lit("session30m").alias("kind"),
+                F.col("session_start").alias("window_start"),
+                F.col("user_id").cast("string").alias("key"),
+                F.col("n_events").alias("n"),
+                F.lit(None).cast("double").alias("total_value"),
+            )
+        )
+    )
 
 
 @register(

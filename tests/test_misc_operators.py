@@ -268,3 +268,70 @@ def test_hypertable_rollup_rejects_bad_levels(spark):
             raise AssertionError(f"levels={levels} must be rejected")
         except ValueError:
             pass
+
+
+def test_running_total_two_phase_matches_window(spark):
+    """Two-phase global/per-group prefix sum ≡ the plain window cumsum
+    (which is only safe at test scale), inclusive and exclusive."""
+    from pyspark.sql import Window as W
+
+    from mongo2mysql_spark.operators.sequence import add_running_total_two_phase
+
+    df = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_orderkey", "o_custkey", (F.col("o_orderkey") % 7).alias("v")
+    )
+    for exclusive in (False, True):
+        hi = -1 if exclusive else 0
+        w = W.orderBy("o_orderkey").rowsBetween(W.unboundedPreceding, hi)
+        want = {
+            r["o_orderkey"]: r["c"]
+            for r in df.withColumn(
+                "c", F.coalesce(F.sum("v").over(w), F.lit(0)).cast("long")
+            ).collect()
+        }
+        got = {
+            r["o_orderkey"]: r["_cum"]
+            for r in add_running_total_two_phase(
+                df, "v", "o_orderkey", exclusive=exclusive
+            ).collect()
+        }
+        assert got == want, f"exclusive={exclusive}"
+    # per-group: partitioned prefix sum restarts per key
+    grp = (F.col("o_custkey") % 5).alias("g")
+    gdf = df.select("o_orderkey", grp, "v")
+    wg = W.partitionBy("g").orderBy("o_orderkey").rowsBetween(W.unboundedPreceding, 0)
+    want = {
+        (r["g"], r["o_orderkey"]): r["c"]
+        for r in gdf.withColumn("c", F.sum("v").over(wg).cast("long")).collect()
+    }
+    got = {
+        (r["g"], r["o_orderkey"]): r["_cum"]
+        for r in add_running_total_two_phase(
+            gdf, "v", "o_orderkey", partition_cols=["g"]
+        ).collect()
+    }
+    assert got == want
+
+
+def test_pack_sequences_invariants(spark):
+    """Packing is a partition of the concatenated token stream: spans
+    are contiguous, within-budget, and adjacent docs abut exactly."""
+    from mongo2mysql_spark.operators.packing import pack_sequences
+
+    L = 64
+    rows = [(i, (i * 37) % 150) for i in range(1, 301)] + [(301, 0)]  # incl. empty doc
+    df = spark.createDataFrame(rows, "doc_id int, n_tokens int")
+    out = pack_sequences(df, "n_tokens", "doc_id", L).orderBy("doc_id").collect()
+
+    cum = 0
+    for r in out:
+        n = max(r["n_tokens"], 1)
+        assert r["first_seq"] == cum // L, r
+        assert r["first_offset"] == cum % L, r
+        assert r["last_seq"] == (cum + n - 1) // L, r
+        assert r["n_seqs"] == r["last_seq"] - r["first_seq"] + 1, r
+        # a doc spanning s sequences has enough tokens to cross s-1 boundaries
+        assert r["n_seqs"] <= (n + L - 1) // L + 1, r
+        cum += r["n_tokens"]
+    total_seqs = out[-1]["last_seq"] + 1
+    assert total_seqs == (cum + L - 1) // L or cum % L == 0
