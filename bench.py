@@ -43,7 +43,8 @@ HEADLINE = [
     "range_join_promo_revenue",
     "events_hypertable_rollup",
     "text_term_frequency",
-    "text_langid_ngram",
+    "text_token_quality",
+    "text_bm25_search",
     "corpus_clean_pipeline",
     "corpus_pack_sequences",
     "streaming_windowed_counts",

@@ -5,6 +5,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mongo2mysql_spark.functions.scalar import sql_dsum
 from mongo2mysql_spark.functions.text import (
     STOPWORDS,
     lang_guess,
@@ -42,21 +43,35 @@ def sql_lang_guess(t: str = "t") -> str:
     return f"list_sort([{structs}])[1].l"
 
 
-@register(
-    "text_token_quality",
-    f"""
-    SELECT doc_id,
+def _profile_sql() -> str:
+    ratios = ",\n           ".join(
+        f"CAST({_sql_lang_hits(lang)} AS DOUBLE) / GREATEST(len(t), 1) AS ratio_{lang}"
+        for lang in sorted(STOPWORDS)
+    )
+    return f"""
+    SELECT doc_id, lang,
            CAST(len(t) AS INTEGER) AS n_tokens,
            CAST(len(list_distinct(t)) AS INTEGER) AS n_unique,
            CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t) AS mean_token_len,
            CAST(length(text) AS INTEGER) AS n_chars_actual,
-           {sql_quality()} AS quality
-    FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)
-    """,
+           {sql_quality()} AS quality,
+           {ratios},
+           {sql_lang_guess()} AS lang_guess
+    FROM (SELECT doc_id, lang, text, string_split(text, ' ') AS t FROM documents)
+    """
+
+
+@register(
+    "text_token_quality",
+    _profile_sql(),
     doc=(
-        "per-document token statistics + quality score in one pass: token/"
-        "distinct counts, mean token length, and the length-band + lexical-"
-        "diversity − punctuation-noise quality heuristic."
+        "per-document text profile in ONE corpus pass: token/distinct "
+        "counts, mean token length, the length-band + lexical-diversity − "
+        "punctuation-noise quality heuristic, per-language stopword-hit "
+        "ratios, and the language-ID argmax (deterministic count-desc, "
+        "lang-asc tiebreak; actual lang kept for accuracy eyeballing).  "
+        "All narrow expressions — a single scan serves token counting, "
+        "quality scoring, and language-ID at 100 TB."
     ),
 )
 def text_token_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -64,11 +79,14 @@ def text_token_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = tokens(F.col("text"))
     return d.select(
         "doc_id",
+        "lang",
         F.size(t).alias("n_tokens"),
         F.size(F.array_distinct(t)).alias("n_unique"),
         mean_token_length(t).alias("mean_token_len"),
         F.length("text").alias("n_chars_actual"),
         quality_score(t, F.col("text")).alias("quality"),
+        *[stopword_ratio(t, lang).alias(f"ratio_{lang}") for lang in sorted(STOPWORDS)],
+        lang_guess(t).alias("lang_guess"),
     )
 
 
@@ -95,36 +113,101 @@ def text_term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _langid_sql() -> str:
-    ratios = ",\n           ".join(
-        f"CAST({_sql_lang_hits(lang)} AS DOUBLE) / GREATEST(len(t), 1) AS ratio_{lang}"
-        for lang in sorted(STOPWORDS)
-    )
-    return f"""
-    SELECT doc_id, lang,
-           {ratios},
-           {sql_lang_guess()} AS lang_guess
-    FROM (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents)
-    """
+# ------------------------------------------------------------------ search
+
+QUERY_TERMS = ("spark", "hash", "join")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
 
 
 @register(
-    "text_langid_ngram",
-    _langid_sql(),
+    "text_bm25_search",
+    f"""
+    WITH base AS (
+      SELECT doc_id,
+             CAST(len(t) AS BIGINT) AS dl,
+             list_filter(t, x -> list_contains(['spark', 'hash', 'join'], x)) AS qt
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+    tf AS (
+      SELECT doc_id, dl, token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, dl, unnest(qt) AS token FROM base)
+      GROUP BY 1, 2, 3),
+    dfreq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(dl) AS BIGINT) AS total_tok FROM base),
+    scored AS (
+      SELECT tf.doc_id,
+             ((CAST(stats.n_docs AS DOUBLE) - CAST(dfreq.df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+              / (CAST(dfreq.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+             * (CAST(tf.tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+             / (CAST(tf.tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+                * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)
+                   * (CAST(tf.dl AS DOUBLE)
+                      / (CAST(stats.total_tok AS DOUBLE) / CAST(stats.n_docs AS DOUBLE))))) AS s
+      FROM tf CROSS JOIN stats JOIN dfreq ON tf.token = dfreq.token)
+    SELECT doc_id,
+           {sql_dsum('s')} AS bm25,
+           CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 20
+    """,
     doc=(
-        "language-ID heuristic: per-language stopword-hit ratios, argmax with "
-        "deterministic (count desc, lang asc) tiebreak; actual lang column kept "
-        "for accuracy eyeballing."
+        "keyword search: BM25 top-20 documents for the query "
+        f"{' '.join(QUERY_TERMS)!r} (k1={_BM25_K1}, b={_BM25_B}).  The idf "
+        "factor is the RATIONAL core (N-df+0.5)/(df+0.5) — per-term "
+        "monotone in the classic log idf but log-free, so the whole score "
+        "is built from IEEE-exact +,-,*,/ and is bit-identical across "
+        "engines; per-term scores are decimal-summed per document "
+        "(order-free) and ranked on the exact value with doc_id tiebreak.  "
+        "Production rankers can swap in log idf — ranking-only use does "
+        "not need cross-engine parity.  Scale shape: query-term filter "
+        "BEFORE the explode (narrow), tf+df from one exploded pass, "
+        "corpus stats from a column-pruned second scan, dims broadcast, "
+        "top-k as TakeOrderedAndProject."
     ),
 )
-def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mongo2mysql_spark.functions.scalar import dsum
+
     d = T(spark, sf_dir, "documents", fanout=True)
     t = tokens(F.col("text"))
-    return d.select(
+    base = d.select(
         "doc_id",
-        "lang",
-        *[stopword_ratio(t, lang).alias(f"ratio_{lang}") for lang in sorted(STOPWORDS)],
-        lang_guess(t).alias("lang_guess"),
+        F.size(t).cast("long").alias("dl"),
+        F.filter(t, lambda x: x.isin(*QUERY_TERMS)).alias("qt"),
+    )
+    tf = (
+        base.select("doc_id", "dl", F.explode("qt").alias("token"))
+        .groupBy("doc_id", "dl", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_tok")
+    )
+    tf_d = F.col("tf").cast("double")
+    idf = (
+        F.col("n_docs").cast("double") - F.col("df").cast("double") + F.lit(0.5)
+    ) / (F.col("df").cast("double") + F.lit(0.5))
+    avgdl = F.col("total_tok").cast("double") / F.col("n_docs").cast("double")
+    s = (
+        idf
+        * (tf_d * F.lit(2.2))
+        / (
+            tf_d
+            + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * (F.col("dl").cast("double") / avgdl))
+        )
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("s", s)
+        .groupBy("doc_id")
+        .agg(dsum(F.col("s")).alias("bm25"), F.count(F.lit(1)).alias("n_terms_hit"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(20)
     )
 
 

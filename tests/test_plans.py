@@ -212,3 +212,25 @@ def test_connected_components_stars_are_equi_joins(spark):
     plan = _small_star(_large_star(e))._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bm25_topk_plan_shape(spark):
+    """BM25 search must broadcast both small sides (df + stats) and
+    take its top-20 as TakeOrderedAndProject, never a global sort."""
+    df = REGISTRY["text_bm25_search"].fn(spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("SortMergeJoin") == 0
+
+
+def test_pack_sequences_no_global_window(spark):
+    """Sequence packing must never plan a no-partition window (the
+    single-reducer shape the two-phase prefix sum exists to avoid)."""
+    df = REGISTRY["corpus_pack_sequences"].fn(spark, SF_DIR)
+    plan = physical_plan(df)
+    # every Window operator must carry a partition spec
+    for line in plan.splitlines():
+        if "Window " in line or line.strip().startswith("Window"):
+            assert "__pid" in line, line
