@@ -85,6 +85,66 @@ def write_clustered(
     writer.parquet(path)
 
 
+def add_zorder_key(
+    df: DataFrame, cols: list[str], bits: int = 16, out_col: str = "_z"
+) -> DataFrame:
+    """Morton (z-order) key over N numeric columns: each value is
+    scaled into ``bits`` buckets of its observed [min, max] range (one
+    tiny stats job, the same price Delta's OPTIMIZE ZORDER pays), then
+    the per-dimension bucket bits are interleaved into one long.
+    Sorting by the key clusters rows that are close in EVERY dimension
+    — the multi-column generalization of `write_clustered`'s range
+    layout.  The whole key is one codegen expression (shift/mask/add
+    terms, no UDF).  Nulls sort first (scaled bucket 0)."""
+    if not (1 <= len(cols) * bits <= 63):
+        raise ValueError(f"bits×dims must fit a long, got {len(cols)}×{bits}")
+    mins = [F.min(F.col(c).cast("double")).alias(f"__mn_{i}") for i, c in enumerate(cols)]
+    maxs = [F.max(F.col(c).cast("double")).alias(f"__mx_{i}") for i, c in enumerate(cols)]
+    row = df.agg(*mins, *maxs).first()
+    top = (1 << bits) - 1
+    scaled = []
+    for i, c in enumerate(cols):
+        mn, mx = row[f"__mn_{i}"], row[f"__mx_{i}"]
+        span = (mx - mn) if (mn is not None and mx is not None and mx > mn) else 1.0
+        s = (F.coalesce(F.col(c).cast("double"), F.lit(mn or 0.0)) - F.lit(mn or 0.0)) / F.lit(
+            span
+        ) * F.lit(float(top))
+        scaled.append(F.least(F.greatest(s.cast("long"), F.lit(0)), F.lit(top)))
+    nd = len(cols)
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, s in enumerate(scaled):
+            z = z + F.shiftleft(F.shiftright(s, i).bitwiseAND(F.lit(1)), i * nd + j)
+    return df.withColumn(out_col, z)
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_cols: list[str],
+    num_files: int | None = None,
+    bits: int = 16,
+    max_records_per_file: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order-clustered parquet: range-partition + in-task sort on the
+    Morton key, so every output file covers a small hyper-rectangle of
+    the z-ordered column space — parquet min/max stats prune files and
+    row groups for predicates on ANY of the z-order columns, not just a
+    single leading sort key.  One stats job + one shuffle."""
+    keyed = add_zorder_key(df, zorder_cols, bits=bits)
+    out = (
+        keyed.repartitionByRange(num_files, F.col("_z"))
+        if num_files
+        else keyed.repartitionByRange(F.col("_z"))
+    )
+    out = out.sortWithinPartitions("_z").drop("_z")
+    writer = out.write.mode(mode)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    writer.parquet(path)
+
+
 def parquet_files(path: str) -> list[str]:
     """Data files under a parquet root (recursive, excludes _SUCCESS)."""
     found = []

@@ -115,3 +115,52 @@ def test_clustered_write_narrows_file_ranges(spark):
             spans.append((max(maxs) - min(mins)) / (global_max - global_min))
         # average file covers well under the full value range
         assert sum(spans) / len(spans) < 0.6
+
+
+def test_zorder_write_bounds_both_dims(spark):
+    """Z-ordered files must cover a narrow slice of BOTH z-order columns
+    (multi-dim data skipping), where single-dim range clustering leaves
+    the second column's per-file span at ~the full range."""
+    import pyarrow.parquet as pq
+
+    from mongo2mysql_spark.sources.lake import write_clustered, write_zordered
+
+    li = load_table(spark, "/root/testdata/sf0.01", "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+
+    def span_frac(path: str, col: str) -> float:
+        lo, hi = li.agg(F.min(col), F.max(col)).collect()[0]
+        fracs = []
+        for f in parquet_files(path):
+            md = pq.ParquetFile(f).metadata
+            idx = [md.schema.column(i).name for i in range(md.num_columns)].index(col)
+            stats = [md.row_group(rg).column(idx).statistics for rg in range(md.num_row_groups)]
+            fracs.append((max(s.max for s in stats) - min(s.min for s in stats)) / (hi - lo))
+        return sum(fracs) / len(fracs)
+
+    with tempfile.TemporaryDirectory() as tmp:
+        zpath = os.path.join(tmp, "zorder")
+        write_zordered(li, zpath, ["l_orderkey", "l_partkey"], num_files=16)
+        assert len(parquet_files(zpath)) >= 8
+        # each file covers a bounded rectangle: ~1/4 of each dim for 16 files
+        assert span_frac(zpath, "l_orderkey") < 0.5
+        assert span_frac(zpath, "l_partkey") < 0.5
+        # round trip preserves the data
+        assert spark.read.parquet(zpath).count() == li.count()
+
+        cpath = os.path.join(tmp, "range1d")
+        write_clustered(li, cpath, ["l_orderkey"], num_files=16)
+        assert span_frac(cpath, "l_orderkey") < 0.15  # sharper on its one dim
+        assert span_frac(cpath, "l_partkey") > 0.8    # blind on the other
+
+
+def test_zorder_key_rejects_overflow(spark):
+    from mongo2mysql_spark.sources.lake import add_zorder_key
+
+    li = load_table(spark, SF, "lineitem")
+    try:
+        add_zorder_key(li, ["l_orderkey"] * 5, bits=16)
+        raise AssertionError("5×16 bits must be rejected")
+    except ValueError:
+        pass
