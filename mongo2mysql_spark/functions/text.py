@@ -107,6 +107,15 @@ def lang_guess(toks: Column) -> Column:
     ).getField("l")
 
 
+def dup_token_fraction(toks: Column) -> Column:
+    """Fraction of tokens that are repeats of an earlier token —
+    1 − distinct/total, the cheapest of the Gopher-style repetition
+    signals (high values flag boilerplate/spam).  Pure array
+    expression: narrow, no shuffle."""
+    n = F.greatest(F.size(toks), F.lit(1)).cast("double")
+    return F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / n
+
+
 def fingerprint(toks: Column) -> Column:
     """Canonical document fingerprint: md5 over the sorted distinct
     token set — key for exact content dedup under token reordering."""

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mongo2mysql_spark.functions.text import (
+    dup_token_fraction,
     fingerprint,
     lang_guess,
     quality_score,
@@ -33,6 +34,7 @@ from mongo2mysql_spark.sources import load_table as T
 
 MIN_QUALITY = 0.3
 MIN_TOKENS = 20
+MAX_DUP_FRACTION = 0.65  # Gopher-style repetition cut
 
 
 @register(
@@ -45,21 +47,25 @@ MIN_TOKENS = 20
              CAST(len(t) AS INTEGER) AS n_tokens,
              {sql_quality()} AS quality,
              {sql_lang_guess()} AS lang_guess,
+             1.0 - (CAST(len(list_distinct(t)) AS DOUBLE)
+                    / CAST(GREATEST(len(t), 1) AS DOUBLE)) AS dup_frac,
              md5(array_to_string(list_sort(list_distinct(t)), ' ')) AS fp
       FROM toks),
     kept AS (
       SELECT * FROM scored
-      WHERE quality >= {MIN_QUALITY} AND n_tokens >= {MIN_TOKENS}),
+      WHERE quality >= {MIN_QUALITY} AND n_tokens >= {MIN_TOKENS}
+        AND dup_frac <= {MAX_DUP_FRACTION}),
     dedup AS (
       SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
       FROM kept)
-    SELECT doc_id, lang_guess, quality, n_tokens,
+    SELECT doc_id, lang_guess, quality, n_tokens, dup_frac,
            {sql_hash_split("doc_id")} AS split
     FROM dedup WHERE rn = 1
     """,
     doc=(
         "end-to-end corpus cleaning: quality + language scoring, "
-        "low-quality/short filter, exact content dedup (token-set "
+        "low-quality/short/repetitive filter (incl. Gopher-style "
+        "duplicate-token fraction), exact content dedup (token-set "
         "fingerprint, min-doc_id representative), deterministic 80/10/10 "
         "split — one scan, one shuffle, per-document hash-verified."
     ),
@@ -72,10 +78,13 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(t).alias("n_tokens"),
         quality_score(t, F.col("text")).alias("quality"),
         lang_guess(t).alias("lang_guess"),
+        dup_token_fraction(t).alias("dup_frac"),
         fingerprint(t).alias("fp"),
     )
     kept = scored.filter(
-        (F.col("quality") >= MIN_QUALITY) & (F.col("n_tokens") >= MIN_TOKENS)
+        (F.col("quality") >= MIN_QUALITY)
+        & (F.col("n_tokens") >= MIN_TOKENS)
+        & (F.col("dup_frac") <= MAX_DUP_FRACTION)
     )
     representatives = dedup_exact(kept, ["fp"], "doc_id")
     return representatives.select(
@@ -83,6 +92,7 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang_guess",
         "quality",
         "n_tokens",
+        "dup_frac",
         hash_split(F.col("doc_id")).alias("split"),
     )
 

@@ -387,3 +387,33 @@ def test_embedding_quantization_roundtrip(spark):
     assert bad.count() == 0
     # tinyint codes really are 1 byte wide in the schema
     assert dict(q.select("q.codes").dtypes)["codes"] == "array<tinyint>"
+
+
+def test_top_ngram_fraction_matches_python(spark):
+    """Per-doc most-frequent bigram (count + fraction, deterministic
+    tiebreak) must match a pure-Python recount of the same corpus."""
+    from collections import Counter
+
+    from mongo2mysql_spark.functions.text import tokens
+    from mongo2mysql_spark.operators.repetition import top_ngram_fraction
+
+    d = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .withColumn("toks", tokens(F.col("text")))
+    )
+    got = {
+        r["doc_id"]: (r["top_gram"], r["top_gram_count"], r["ngram_total"])
+        for r in top_ngram_fraction(d, "doc_id", "toks", n=2).collect()
+    }
+    rows = d.select("doc_id", "text").collect()
+    assert got, "no output"
+    for r in rows:
+        toks = r["text"].split(" ")
+        grams = [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
+        if not grams:
+            assert r["doc_id"] not in got
+            continue
+        cnt = Counter(grams)
+        best = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        assert got[r["doc_id"]] == (best[0], best[1], len(grams)), r["doc_id"]
