@@ -335,3 +335,56 @@ def test_pack_sequences_invariants(spark):
         cum += r["n_tokens"]
     total_seqs = out[-1]["last_seq"] + 1
     assert total_seqs == (cum + L - 1) // L or cum % L == 0
+
+
+def test_asof_forward_and_nearest_match_bruteforce(spark):
+    """All three as-of directions must agree with a per-row brute-force
+    scan of the right side (inclusive match, nearest ties backward)."""
+    import random
+
+    from mongo2mysql_spark.operators.asof import (
+        asof_join_backward,
+        asof_join_forward,
+        asof_join_nearest,
+    )
+
+    rng = random.Random(7)
+    lrows = [(i, rng.randrange(3), float(rng.randrange(100))) for i in range(200)]
+    rrows = []
+    seen = set()
+    for j in range(120):
+        k, ts = rng.randrange(3), float(rng.randrange(100))
+        if (k, ts) not in seen:  # right unique per (key, ts)
+            seen.add((k, ts))
+            rrows.append((k, ts, f"v{j}"))
+    left = spark.createDataFrame(lrows, "lid int, k int, lts double")
+    right = spark.createDataFrame(rrows, "k int, rts double, val string")
+
+    def brute(direction):
+        out = {}
+        for lid, k, lts in lrows:
+            cands = [(rts, v) for (rk, rts, v) in rrows if rk == k]
+            if direction == "backward":
+                c = [(rts, v) for rts, v in cands if rts <= lts]
+                out[lid] = max(c)[1] if c else None
+            elif direction == "forward":
+                c = [(rts, v) for rts, v in cands if rts >= lts]
+                out[lid] = min(c)[1] if c else None
+            else:
+                if not cands:
+                    out[lid] = None
+                    continue
+                best = min(cands, key=lambda rv: (abs(rv[0] - lts), rv[0] > lts))
+                out[lid] = best[1]
+        return out
+
+    for direction, fn in (
+        ("backward", asof_join_backward),
+        ("forward", asof_join_forward),
+        ("nearest", asof_join_nearest),
+    ):
+        got = {
+            r["lid"]: r["val"]
+            for r in fn(left, right, "k", "lts", "rts", ["val"]).collect()
+        }
+        assert got == brute(direction), direction
