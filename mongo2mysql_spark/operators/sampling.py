@@ -53,6 +53,41 @@ def hash_sample_flag(key: Column, rate: float = 0.1, salt: str = "sample") -> Co
     return F.when(_hex_bucket(key, salt) < F.lit(_threshold(rate)), 1).otherwise(0)
 
 
+def weighted_mixture_flag(
+    key: Column,
+    domain: Column,
+    rates: dict[str, float],
+    default: float = 0.0,
+    salt: str = "mix",
+) -> Column:
+    """Data-mixing sampler: keep each row with ITS DOMAIN'S rate —
+    the standard way a training run reweights sources (e.g. upsample
+    books, downsample crawl).  Same salted-md5 bucket primitive, so the
+    mixture is reproducible, repartition-stable, and leakage-free; the
+    per-domain threshold is one chained ``when`` expression (narrow,
+    codegen)."""
+    b = _hex_bucket(key, salt)
+    thr = F.lit(_threshold(default))
+    for dom, rate in sorted(rates.items()):
+        thr = F.when(domain == F.lit(dom), F.lit(_threshold(rate))).otherwise(thr)
+    return F.when(b < thr, 1).otherwise(0)
+
+
+def sql_weighted_mixture_flag(
+    key_sql: str,
+    domain_sql: str,
+    rates: dict[str, float],
+    default: float = 0.0,
+    salt: str = "mix",
+) -> str:
+    """DuckDB mirror of ``weighted_mixture_flag`` (same chained CASE)."""
+    b = sql_hex_bucket(key_sql, salt)
+    case = f"'{_threshold(default)}'"
+    for dom, rate in sorted(rates.items()):
+        case = f"CASE WHEN {domain_sql} = '{dom}' THEN '{_threshold(rate)}' ELSE {case} END"
+    return f"CASE WHEN {b} < {case} THEN 1 ELSE 0 END"
+
+
 def sql_hex_bucket(key_sql: str, salt: str) -> str:
     """DuckDB mirror of ``_hex_bucket`` (same md5, same hex compare)."""
     return f"substr(md5('{salt}' || '|' || CAST({key_sql} AS VARCHAR)), 1, 2)"

@@ -388,3 +388,26 @@ def test_asof_forward_and_nearest_match_bruteforce(spark):
             for r in fn(left, right, "k", "lts", "rts", ["val"]).collect()
         }
         assert got == brute(direction), direction
+
+
+def test_weighted_mixture_flag_matches_python(spark):
+    """Per-domain keep decisions must equal a pure-Python recount of the
+    same salted-md5 buckets, and survive repartitioning unchanged."""
+    import hashlib
+
+    from mongo2mysql_spark.operators.sampling import weighted_mixture_flag
+
+    rates = {"en": 1.0, "de": 0.5, "es": 0.25, "fr": 0.1}
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "lang")
+    out = d.select(
+        "doc_id", "lang",
+        weighted_mixture_flag(F.col("doc_id"), F.col("lang"), rates, 0.05).alias("m"),
+    )
+    got = {r["doc_id"]: r["m"] for r in out.collect()}
+    got_repart = {r["doc_id"]: r["m"] for r in out.repartition(13).collect()}
+    assert got == got_repart
+    for r in d.collect():
+        rate = rates.get(r["lang"], 0.05)
+        b = hashlib.md5(f"mix|{r['doc_id']}".encode()).hexdigest()[:2]
+        want = 1 if b < format(round(256 * rate), "02x") else 0
+        assert got[r["doc_id"]] == want, (r["doc_id"], r["lang"])
