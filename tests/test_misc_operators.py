@@ -411,3 +411,34 @@ def test_weighted_mixture_flag_matches_python(spark):
         b = hashlib.md5(f"mix|{r['doc_id']}".encode()).hexdigest()[:2]
         want = 1 if b < format(round(256 * rate), "02x") else 0
         assert got[r["doc_id"]] == want, (r["doc_id"], r["lang"])
+
+
+def test_pack_sequences_properties(spark):
+    """Property check over randomized corpora: packing is the exact
+    arithmetic image of the concatenated token stream — spans abut,
+    nothing is lost, every sequence index is covered."""
+    import random
+
+    from mongo2mysql_spark.operators.packing import pack_sequences
+
+    rng = random.Random(11)
+    for trial in range(3):
+        L = rng.choice([16, 64, 257])
+        rows = [(i, rng.choice([0, 1, L - 1, L, L + 1, rng.randrange(3 * L)]))
+                for i in range(rng.randrange(1, 120))]
+        df = spark.createDataFrame(rows, "doc_id int, n_tokens int")
+        out = pack_sequences(df, "n_tokens", "doc_id", L).orderBy("doc_id").collect()
+        cum = 0
+        prev_last = 0
+        for r in out:
+            assert r["first_seq"] * L + r["first_offset"] == cum, (trial, r)
+            assert r["first_seq"] >= prev_last - 1 or cum == 0
+            n = max(r["n_tokens"], 1)
+            assert r["last_seq"] == (cum + n - 1) // L, (trial, r)
+            prev_last = r["last_seq"]
+            cum += r["n_tokens"]
+        # sequence indices are contiguous from 0 to the last one
+        covered = set()
+        for r in out:
+            covered.update(range(r["first_seq"], r["last_seq"] + 1))
+        assert covered == set(range(max(covered) + 1)) if covered else True
