@@ -155,6 +155,55 @@ def parquet_files(path: str) -> list[str]:
     return sorted(found)
 
 
+def merge_into_partitioned(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    partition_col: str,
+) -> list[str]:
+    """Partition-scoped MERGE (REPLACE-on-key upsert) into a
+    hive-partitioned parquet dataset, without a table format:
+
+    1. the update batch's distinct partition values — a tiny collect
+       (CDC batches touch few partitions);
+    2. read ONLY those partitions of the base (partition pruning — the
+       scan never sees untouched directories);
+    3. anti-join the base slice on ``key_cols`` (drop rows being
+       replaced), union the updates, rewrite JUST those directories via
+       staging + directory swap — untouched partitions' files are never
+       read, rewritten, or moved.
+
+    Returns the list of partition values rewritten.  Cost is
+    proportional to the touched partitions, not the table — the lake
+    analogue of the JDBC sink's REPLACE idempotence (A15): re-merging
+    the same batch is a no-op in content terms.
+
+    Contract: ``key_cols`` must be partition-stable (a key never moves
+    between partition values — the norm for date/tenant-partitioned
+    CDC); updates must carry ``partition_col``.
+    """
+    touched = [r[0] for r in updates.select(partition_col).distinct().collect()]
+    if not touched:
+        return []
+    base = spark.read.parquet(path).filter(F.col(partition_col).isin(touched))
+    merged = base.join(
+        updates.select(*key_cols).distinct(), key_cols, "left_anti"
+    ).unionByName(updates.select(*base.columns))
+    staging = path.rstrip("/") + ".__merge_staging__"
+    write_partitioned(merged, staging, [partition_col])
+    import shutil
+
+    for v in touched:
+        sub = f"{partition_col}={v}"
+        src, dst = os.path.join(staging, sub), os.path.join(path, sub)
+        if os.path.exists(dst):
+            shutil.rmtree(dst)
+        os.rename(src, dst)
+    shutil.rmtree(staging)
+    return sorted(str(v) for v in touched)
+
+
 def compact_parquet(
     spark: SparkSession,
     path: str,

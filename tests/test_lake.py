@@ -164,3 +164,44 @@ def test_zorder_key_rejects_overflow(spark):
         raise AssertionError("5×16 bits must be rejected")
     except ValueError:
         pass
+
+
+def test_merge_into_partitioned_touches_only_affected_dirs(spark):
+    """CDC merge must replace-by-key inside touched partitions, append
+    new keys, and leave every untouched partition's files byte-for-byte
+    alone (same inodes — never read or rewritten)."""
+    from mongo2mysql_spark.sources.lake import merge_into_partitioned
+
+    orders = load_table(spark, SF, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "orders")
+        write_partitioned(orders, path, ["o_orderstatus"])
+        before = {f: os.stat(f).st_ino for f in parquet_files(path)}
+        n0 = spark.read.parquet(path).count()
+
+        # updates: bump price of 5 existing 'F' orders, add 2 new keys
+        some = [r["o_orderkey"] for r in orders.filter(F.col("o_orderstatus") == "F")
+                .orderBy("o_orderkey").limit(5).collect()]
+        upd = spark.createDataFrame(
+            [(k, 999.5, "F") for k in some] + [(10**9 + i, 1.5, "F") for i in range(2)],
+            "o_orderkey bigint, o_totalprice double, o_orderstatus string",
+        )
+        touched = merge_into_partitioned(spark, path, upd, ["o_orderkey"], "o_orderstatus")
+        assert touched == ["F"]
+
+        back = spark.read.parquet(path)
+        assert back.count() == n0 + 2
+        got = {r["o_orderkey"]: r["o_totalprice"]
+               for r in back.filter(F.col("o_orderkey").isin(some + [10**9, 10**9 + 1])).collect()}
+        assert all(got[k] == 999.5 for k in some)
+        assert got[10**9] == 1.5 and got[10**9 + 1] == 1.5
+        # untouched partitions: identical files, same inodes
+        after = {f: os.stat(f).st_ino for f in parquet_files(path)}
+        for f, ino in before.items():
+            if "o_orderstatus=F" not in f:
+                assert after.get(f) == ino, f
+        # idempotence: re-merging the same batch changes nothing
+        merge_into_partitioned(spark, path, upd, ["o_orderkey"], "o_orderstatus")
+        assert spark.read.parquet(path).count() == n0 + 2
