@@ -122,6 +122,40 @@ def fingerprint(toks: Column) -> Column:
     return F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " "))
 
 
+def shingle_hashes(toks: Column, n: int = 5) -> Column:
+    """Integer hash per n-token shingle (the rolling-hash stream over
+    the document): 48-bit md5-prefix integers, portable — DuckDB mirrors
+    each as CAST('0x' || substr(md5(s),1,12) AS BIGINT).  One md5 per
+    shingle; pure array expression."""
+    return F.transform(
+        word_shingles(toks, n),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("long"),
+    )
+
+
+def winnow_fingerprints(toks: Column, k: int = 5, w: int = 4) -> Column:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003 — the MOSS algorithm): slide a window of ``w``
+    consecutive k-gram hashes over the rolling-hash stream and keep each
+    window's minimum.  Guarantees every match of length >= w+k-1 shares
+    a fingerprint, with ~2/(w+1) of hashes selected — position-robust
+    (unlike the sorted-token-set `fingerprint`) and sublinear in output.
+
+    Documents with fewer than ``w`` shingles contribute one fingerprint
+    (the global min); empty documents yield an empty array.  Returned
+    sorted distinct, so the array is itself a deterministic set key.
+    Pure array expression — narrow, codegen'd, no shuffle."""
+    hashes = shingle_hashes(toks, k)
+    n = F.size(hashes)
+    mins = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - w + 1, F.lit(1))),
+        lambda i: F.array_min(F.slice(hashes, i, w)),
+    )
+    return F.when(n > 0, F.array_sort(F.array_distinct(mins))).otherwise(
+        F.array().cast("array<long>")
+    )
+
+
 # PII scrub patterns: anchored, lookahead-free regexes (portable across
 # Java regex and RE2-class engines).  Order matters — URLs before bare
 # hostnames, emails before digit runs.
