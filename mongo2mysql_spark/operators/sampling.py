@@ -88,6 +88,31 @@ def sql_weighted_mixture_flag(
     return f"CASE WHEN {b} < {case} THEN 1 ELSE 0 END"
 
 
+def shuffle_shard(key: Column, n_shards: int, salt: str = "shuffle") -> tuple[Column, Column]:
+    """Deterministic global corpus shuffle: ``(shard, shuffle_rank)``.
+
+    The final step of every training-data pipeline — shuffle the corpus
+    and write a fixed number of shards — without a global sort: a 48-bit
+    salted-md5 rank gives each record a reproducible random position;
+    ``shard = rank % n_shards`` spreads records uniformly; ordering
+    within a shard by rank completes the permutation.  One narrow
+    projection + one shuffle keyed on shard, at any scale.  Same salt →
+    same permutation, run-to-run and engine-to-engine (DuckDB mirror:
+    `sql_shuffle_shard`)."""
+    h = F.md5(F.concat_ws("|", F.lit(salt), key.cast("string")))
+    rank = F.conv(F.substring(h, 1, 12), 16, 10).cast("long")
+    return (rank % n_shards).cast("int"), rank
+
+
+def sql_shuffle_shard(key_sql: str, n_shards: int, salt: str = "shuffle") -> tuple[str, str]:
+    """DuckDB mirror of ``shuffle_shard`` (same md5-prefix integer)."""
+    rank = (
+        f"CAST('0x' || substr(md5('{salt}' || '|' || CAST({key_sql} AS VARCHAR)), 1, 12) "
+        f"AS BIGINT)"
+    )
+    return f"CAST({rank} % {n_shards} AS INTEGER)", rank
+
+
 def sql_hex_bucket(key_sql: str, salt: str) -> str:
     """DuckDB mirror of ``_hex_bucket`` (same md5, same hex compare)."""
     return f"substr(md5('{salt}' || '|' || CAST({key_sql} AS VARCHAR)), 1, 2)"

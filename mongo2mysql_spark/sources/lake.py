@@ -57,6 +57,37 @@ def write_partitioned(
     writer.partitionBy(*partition_cols).parquet(path)
 
 
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    n_shards: int,
+    salt: str = "shuffle",
+    mode: str = "overwrite",
+) -> None:
+    """Globally-shuffled fixed-shard training corpus write — the last
+    stage of a data pipeline before the trainer reads it.
+
+    Each record gets a deterministic random position from
+    `operators/sampling.shuffle_shard` (salted-md5 rank; no RNG, no
+    global sort): ``shard = rank % n_shards`` directories, rows inside
+    each shard file ordered by rank.  Same salt → byte-identical shards
+    run-to-run, so a resumed/repeated build reproduces the exact
+    training order.  The ``shuffle_rank`` column is kept in the output
+    for mid-shard resume.  Cost at any scale: one narrow projection +
+    one shuffle keyed on shard."""
+    from mongo2mysql_spark.operators.sampling import shuffle_shard
+
+    shard, rank = shuffle_shard(F.col(key_col), n_shards, salt)
+    out = (
+        df.withColumn("shard", shard)
+        .withColumn("shuffle_rank", rank)
+        .repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "shuffle_rank")
+    )
+    out.write.mode(mode).partitionBy("shard").parquet(path)
+
+
 def write_clustered(
     df: DataFrame,
     path: str,

@@ -205,3 +205,54 @@ def test_merge_into_partitioned_touches_only_affected_dirs(spark):
         # idempotence: re-merging the same batch changes nothing
         merge_into_partitioned(spark, path, upd, ["o_orderkey"], "o_orderstatus")
         assert spark.read.parquet(path).count() == n0 + 2
+
+
+def test_training_shards_shuffle(spark):
+    """write_training_shards: deterministic permutation, uniform shards,
+    rank-ordered rows inside every file, DuckDB-mirrored assignment."""
+    import duckdb
+
+    from mongo2mysql_spark.operators.sampling import shuffle_shard, sql_shuffle_shard
+    from mongo2mysql_spark.sources.lake import write_training_shards
+
+    docs = load_table(spark, SF, "documents")
+    n = docs.count()
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "shards")
+        write_training_shards(docs, path, "doc_id", n_shards=8, salt="s1")
+        back = spark.read.parquet(path)
+        assert back.count() == n
+        assert {d for d in os.listdir(path) if d.startswith("shard=")} == {
+            f"shard={i}" for i in range(8)
+        }
+        # balance: no shard holds more than 2x the mean
+        counts = [r["c"] for r in back.groupBy("shard").agg(F.count("*").alias("c")).collect()]
+        assert max(counts) < 2 * (n / 8)
+        # every file is internally ordered by shuffle_rank (training
+        # readers stream files sequentially)
+        import pyarrow.parquet as pq
+
+        for f in parquet_files(path):
+            ranks = pq.read_table(f, columns=["shuffle_rank"])["shuffle_rank"].to_pylist()
+            assert ranks == sorted(ranks)
+        # same salt → identical assignment even from a repartitioned input
+        shard2, rank2 = shuffle_shard(F.col("doc_id"), 8, "s1")
+        again = docs.repartition(13).select("doc_id", shard2.alias("s"), rank2.alias("r"))
+        merged = back.select("doc_id", "shard", "shuffle_rank").join(
+            again, "doc_id"
+        )
+        assert merged.filter(
+            (F.col("shard") != F.col("s")) | (F.col("shuffle_rank") != F.col("r"))
+        ).count() == 0
+        # cross-engine mirror
+        s_sql, r_sql = sql_shuffle_shard("doc_id", 8, "s1")
+        con = duckdb.connect()
+        duck = con.sql(
+            f"SELECT doc_id, {s_sql} AS s, {r_sql} AS r "
+            f"FROM read_parquet('{SF}/documents.parquet') ORDER BY doc_id"
+        ).fetchall()
+        ours = {
+            r["doc_id"]: (r["shard"], r["shuffle_rank"])
+            for r in back.select("doc_id", "shard", "shuffle_rank").collect()
+        }
+        assert all(ours[d] == (s, r) for d, s, r in duck)
