@@ -18,6 +18,24 @@ def tokens(text: Column, pattern: str = " ") -> Column:
     return F.split(text, pattern)
 
 
+# GPT-2-style pretokenizer regex, restricted to the syntax shared by
+# Java regex (Spark) and RE2 (DuckDB): contraction suffixes, then
+# optional-leading-space letter runs / digit runs / punctuation runs,
+# then whitespace runs.  The upstream GPT-2 pattern's trailing
+# `\s+(?!\S)` arm is lookahead (unsupported by RE2) and only affects
+# how trailing whitespace groups — dropped for cross-engine parity.
+BPE_SPLIT_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_tokens(text: Column) -> Column:
+    """BPE-ish pretokenization (GPT-2 split regex): the token stream a
+    byte-pair encoder would merge within.  Counting these approximates
+    LLM token cost far better than whitespace words (punctuation and
+    digit runs become their own tokens).  Pure `regexp_extract_all`
+    expression — JVM-side, narrow, no UDF."""
+    return F.regexp_extract_all(text, F.lit(BPE_SPLIT_PATTERN), 0)
+
+
 def word_shingles(toks: Column, n: int = 3) -> Column:
     """n-token shingles as space-joined strings; < n tokens → empty."""
     return F.when(

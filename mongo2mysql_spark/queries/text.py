@@ -7,7 +7,9 @@ from pyspark.sql import functions as F
 
 from mongo2mysql_spark.functions.scalar import sql_dsum
 from mongo2mysql_spark.functions.text import (
+    BPE_SPLIT_PATTERN,
     STOPWORDS,
+    bpe_tokens,
     lang_guess,
     mean_token_length,
     quality_score,
@@ -48,9 +50,14 @@ def _profile_sql() -> str:
         f"CAST({_sql_lang_hits(lang)} AS DOUBLE) / GREATEST(len(t), 1) AS ratio_{lang}"
         for lang in sorted(STOPWORDS)
     )
+    # RE2 mirrors the Java pattern verbatim (BPE_SPLIT_PATTERN is
+    # written in the shared subset; DuckDB single-quoted strings keep
+    # backslashes literal).
+    bpe = BPE_SPLIT_PATTERN.replace("'", "''")
     return f"""
     SELECT doc_id, lang,
            CAST(len(t) AS INTEGER) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '{bpe}')) AS INTEGER) AS n_bpe_tokens,
            CAST(len(list_distinct(t)) AS INTEGER) AS n_unique,
            CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t) AS mean_token_len,
            CAST(length(text) AS INTEGER) AS n_chars_actual,
@@ -66,7 +73,8 @@ def _profile_sql() -> str:
     _profile_sql(),
     doc=(
         "per-document text profile in ONE corpus pass: token/distinct "
-        "counts, mean token length, the length-band + lexical-diversity − "
+        "counts, BPE-ish token count (GPT-2 split regex — the LLM token-"
+        "cost estimator), mean token length, the length-band + lexical-diversity − "
         "punctuation-noise quality heuristic, per-language stopword-hit "
         "ratios, and the language-ID argmax (deterministic count-desc, "
         "lang-asc tiebreak; actual lang kept for accuracy eyeballing).  "
@@ -81,6 +89,7 @@ def text_token_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         F.size(t).alias("n_tokens"),
+        F.size(bpe_tokens(F.col("text"))).alias("n_bpe_tokens"),
         F.size(F.array_distinct(t)).alias("n_unique"),
         mean_token_length(t).alias("mean_token_len"),
         F.length("text").alias("n_chars_actual"),

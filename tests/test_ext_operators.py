@@ -344,6 +344,28 @@ def test_redact_pii(spark):
     assert got["e"] == "clean text stays clean"
 
 
+def test_bpe_tokens_lossless_and_shapes(spark):
+    from mongo2mysql_spark.functions.text import bpe_tokens
+
+    rows = [
+        ("a", "it's 2026: fast-join costs 12.5%"),
+        ("b", "hello   world"),  # internal whitespace run is one token
+        ("c", "we'll we've don't"),
+        ("d", ""),
+        ("e", "x"),
+    ]
+    df = spark.createDataFrame(rows, "k: string, t: string")
+    got = {r["k"]: list(r["s"]) for r in df.select("k", bpe_tokens(F.col("t")).alias("s")).collect()}
+    assert got["a"] == ["it", "'s", " 2026", ":", " fast", "-", "join", " costs", " 12", ".", "5", "%"]
+    assert got["b"] == ["hello", "   ", "world"]
+    assert got["c"] == ["we", "'ll", " we", "'ve", " don", "'t"]
+    assert got["d"] == []
+    assert got["e"] == ["x"]
+    # losslessness: concatenating the tokens reconstructs the input
+    for k, t in rows:
+        assert "".join(got[k]) == t
+
+
 def test_embedding_quantization_roundtrip(spark):
     from mongo2mysql_spark.functions.vector import (
         cosine_exact,
