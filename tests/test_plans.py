@@ -234,3 +234,54 @@ def test_pack_sequences_no_global_window(spark):
     for line in plan.splitlines():
         if "Window " in line or line.strip().startswith("Window"):
             assert "__pid" in line, line
+
+
+def _window_lines_missing_partition(plan: str) -> list[str]:
+    """Window plan lines print as ``Window [exprs], [partSpec], [orderSpec]``
+    with empty specs omitted.  Three groups → partitioned (fine).  Two
+    groups → the trailing group is either a partition spec (fine) or an
+    order spec — only orderings carry ASC/DESC, and an ordered window
+    with no partition is the single-reducer shape.  One group → fully
+    global (also single-reducer)."""
+    bad = []
+    for line in plan.splitlines():
+        if "windowspecdefinition" not in line:
+            continue
+        groups = line.split("], [")
+        if len(groups) >= 3:
+            continue
+        if len(groups) == 1 or " ASC" in groups[1] or " DESC" in groups[1]:
+            bad.append(line)
+    return bad
+
+
+# Queries whose plan legitimately contains a broadcast nested-loop join:
+# a deliberate crossJoin against a broadcast single-row/tiny frame
+# (corpus stats, query vectors, the IVF centroid table).
+_BNLJ_OK = {
+    "text_bm25_search",
+    "dedup_ngram_jaccard_pairs",
+    "ann_topk_bruteforce",
+    "ann_topk_ivf",
+}
+
+
+def test_registry_sweep_no_cartesian_no_global_window(spark):
+    """Every registered query must plan without a CartesianProduct and
+    without an unpartitioned (single-reducer) Window — the two plan
+    shapes that silently work at sf0.01 and melt down at 100 TB.
+    Broadcast nested-loop joins are allowed only on the allowlisted
+    queries that intentionally cross-join a broadcast scalar frame."""
+    problems = []
+    for name, q in sorted(REGISTRY.items()):
+        if name.startswith("streaming_"):
+            continue  # executing a stream per sweep entry is covered by test_streaming
+        plan = physical_plan(q.fn(spark, SF_DIR))
+        if "CartesianProduct" in plan:
+            problems.append(f"{name}: CartesianProduct")
+        if "BroadcastNestedLoopJoin" in plan and name not in _BNLJ_OK:
+            problems.append(f"{name}: BroadcastNestedLoopJoin (not allowlisted)")
+        bad = _window_lines_missing_partition(plan)
+        if bad:
+            problems.append(f"{name}: unpartitioned Window: {bad[0].strip()[:120]}")
+    assert not problems, "\n".join(problems)
