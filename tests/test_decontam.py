@@ -167,3 +167,45 @@ def test_contamination_profile_duckdb_oracle(spark):
     out = contamination_profile(docs, bench, n=N)
     con = duck_connection(SF)
     assert compare(out, con, DECONTAM_ORACLE) == []
+
+
+def test_bpe_pattern_parity_spark_vs_duckdb(spark):
+    """The profile oracle depends on BPE_SPLIT_PATTERN meaning the same
+    thing to Java regex and RE2.  Fuzz the shared-subset claim: seeded
+    random strings over letters (incl. accented/CJK), digits,
+    punctuation, apostrophe-contractions, and whitespace runs must
+    tokenize identically in both engines."""
+    import random
+
+    import duckdb
+
+    from mongo2mysql_spark.functions.text import BPE_SPLIT_PATTERN, bpe_tokens
+
+    rng = random.Random(20260813)
+    alphabets = [
+        "abcdefgh", "ABC", "äöüßéñ", "漢字かな", "0123456789",
+        ".,;:!?%-()[]", "'", " ", "  \t", "\n",
+    ]
+    pieces = ["'s", "'t", "'re", "'ll", "don't", "it's", "we've"]
+    strings = []
+    for _ in range(300):
+        n = rng.randint(0, 12)
+        s = "".join(
+            rng.choice(pieces)
+            if rng.random() < 0.2
+            else "".join(rng.choice(rng.choice(alphabets)) for _ in range(rng.randint(1, 6)))
+            for _ in range(n)
+        )
+        strings.append(s)
+
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(strings)], "i: int, s: string")
+    got = {
+        r["i"]: list(r["t"])
+        for r in df.select("i", bpe_tokens(F.col("s")).alias("t")).collect()
+    }
+    con = duckdb.connect()
+    for i, s in enumerate(strings):
+        want = con.execute(
+            "SELECT regexp_extract_all(?, ?)", [s, BPE_SPLIT_PATTERN]
+        ).fetchone()[0]
+        assert got[i] == want, f"{s!r}: spark={got[i]} duckdb={want}"
