@@ -84,20 +84,22 @@ def main() -> None:
     # warm up codegen/scan paths so q1 doesn't absorb session startup
     materialize(registry["q1_pricing_summary"].fn(spark, SF_DIR))
 
+    # best of 2, INTERLEAVED: the box is shared, and co-tenant bursts
+    # last minutes — two back-to-back runs of one query both land inside
+    # a burst, but two full passes separate each query's samples by a
+    # whole pass, so the per-query min survives all but pass-length
+    # bursts.  Same total cost as back-to-back best-of-2.
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = registry[name].fn
-        # best of 2: the box is shared, so a single run can absorb a
-        # co-tenant burst; the min is the engine's actual cost
-        best = float("inf")
-        for _ in range(2):
+    for _pass in range(2):
+        for name in HEADLINE:
+            fn = registry[name].fn
             t0 = time.time()
             materialize(fn(spark, SF_DIR))
-            best = min(best, time.time() - t0)
+            dt = time.time() - t0
+            timings[name] = round(min(timings.get(name, float("inf")), dt), 3)
             # drop per-query persisted frames (e.g. LSH signatures) so
             # later queries aren't squeezed by earlier caches
             spark.catalog.clearCache()
-        timings[name] = round(best, 3)
 
     rps, n_rows = etl_rows_per_sec(spark, SF_DIR)
 
