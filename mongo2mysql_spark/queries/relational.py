@@ -228,11 +228,28 @@ def agg_histogram_price_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "distinct/percentile would shuffle every value: approx_count_distinct "
         "(HyperLogLog++) and percentile_approx (KLL-style), each next to its "
         "exact counterpart with a relative-error verdict column (HLL ±5%, "
-        "percentile rank error ≤ 1/10000)."
+        "percentile rank error ≤ 1/10000).  Also exercises the MERGEABLE "
+        "sketch path (DataSketches hll_sketch_agg per ship-month partition "
+        "→ hll_union_agg → estimate): at scale, per-partition sketch "
+        "partials persist alongside the data and roll up without ever "
+        "rescanning raw rows — the distinct-count analogue of the "
+        "hypertable rollup."
     ),
 )
 def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = Tf(spark, sf_dir, "lineitem")
+    # mergeable partials: one HLL sketch per ship-month, merged with
+    # hll_union_agg — numerically identical to sketching the whole
+    # column at once (the mergeability test asserts exact equality)
+    merged = (
+        li.groupBy(F.date_trunc("month", "l_shipdate").alias("__m"))
+        .agg(F.hll_sketch_agg("l_orderkey").alias("__sk"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("__sk")).alias(
+                "approx_orders_merged"
+            )
+        )
+    )
     agg = li.agg(
         F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
         F.countDistinct("l_orderkey").alias("exact_orders"),
@@ -244,12 +261,15 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("l_extendedprice", 0.9).alias("exact_p90"),
     )
     rel = lambda a, e: F.abs(F.col(a) - F.col(e)) / F.col(e)  # noqa: E731
-    return agg.select(
+    return agg.crossJoin(F.broadcast(merged)).select(
         "*",
         (rel("approx_orders", "exact_orders") <= 0.05).alias("within_tol_orders"),
         (rel("approx_parts", "exact_parts") <= 0.05).alias("within_tol_parts"),
         (rel("approx_p50", "exact_p50") <= 0.01).alias("within_tol_p50"),
         (rel("approx_p90", "exact_p90") <= 0.01).alias("within_tol_p90"),
+        (rel("approx_orders_merged", "exact_orders") <= 0.05).alias(
+            "within_tol_merged"
+        ),
     )
 
 

@@ -103,6 +103,30 @@ def test_approx_sketch_tolerances(spark):
     row = load_all()["agg_approx_sketches"].fn(spark, SF_DIR).collect()[0]
     assert row["within_tol_orders"] and row["within_tol_parts"]
     assert row["within_tol_p50"] and row["within_tol_p90"]
+    assert row["within_tol_merged"]
+
+
+def test_hll_sketch_partials_merge_exactly(spark):
+    """The mergeable-sketch contract: unioning per-group HLL partials
+    must equal sketching the whole column in one pass — this is what
+    lets 100 TB distinct-count rollups reuse persisted per-partition
+    sketches instead of rescanning raw data."""
+    from pyspark.sql import functions as F
+
+    from mongo2mysql_spark.sources.parquet import load_table
+    from tests.conftest import SF_DIR
+
+    o = load_table(spark, SF_DIR, "orders")
+    whole = o.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey")).alias("est")
+    ).first()["est"]
+    merged = (
+        o.groupBy("o_orderpriority")
+        .agg(F.hll_sketch_agg("o_custkey").alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .first()["est"]
+    )
+    assert merged == whole
 
 
 def test_asof_rejects_colliding_value_cols(spark):

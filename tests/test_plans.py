@@ -263,6 +263,7 @@ _BNLJ_OK = {
     "dedup_ngram_jaccard_pairs",
     "ann_topk_bruteforce",
     "ann_topk_ivf",
+    "agg_approx_sketches",  # single-row merged-sketch frame cross-joined in
 }
 
 
