@@ -51,6 +51,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--progress", action="store_true",
                    help="print per-table row/throughput lines (A17; counts "
                         "ride the sink action, no extra scan)")
+    p.add_argument("--stream", action="store_true",
+                   help="replay each collection as a bounded file stream and "
+                        "run the batch pipeline per micro-batch (foreachBatch; "
+                        "availableNow trigger). Requires --source-dir and "
+                        "--output-dir; output parquet accumulates per table.")
     return p
 
 
@@ -64,6 +69,35 @@ def main(argv: list[str] | None = None) -> int:
             limit=args.limit,
         )
         porter = SparkPorter(spark, cfg)
+
+        if args.stream:
+            if not (args.source_dir and args.output_dir):
+                print("error: --stream needs --source-dir and --output-dir", file=sys.stderr)
+                return 2
+            import os as _os
+
+            from mongo2mysql_spark.streaming.pipeline import stream_collection_export
+
+            names = (
+                args.collections.split(",") if args.collections
+                else list_collections(args.source_dir)
+            )
+            out_dir = args.output_dir
+            written: set[str] = set()
+
+            def stream_sink(table, df, _out=out_dir, _seen=written):
+                # first batch overwrites stale output, later batches append
+                mode = "append" if table in _seen else "overwrite"
+                _seen.add(table)
+                df.write.mode(mode).parquet(f"{_out}/{table}.parquet")
+
+            for n in names:
+                stream_collection_export(
+                    spark, _os.path.join(args.source_dir, f"{n}.parquet"),
+                    n, porter, stream_sink,
+                )
+                print(f"{n} [streamed]")
+            return 0
 
         if args.source_dir:
             names = (

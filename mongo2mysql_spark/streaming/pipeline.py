@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import itertools
 import os
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -181,3 +182,54 @@ def foreach_batch_upsert(stream: DataFrame, table: str, connection_factory,
         write_upsert(batch_df, table, connection_factory, mode=mode, batch_size=batch_size)
 
     return stream.writeStream.foreachBatch(handle)
+
+
+def stream_collection_export(
+    spark: SparkSession,
+    source_path: str,
+    name: str,
+    porter,
+    sink,
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Streaming-mode export of one collection (SURVEY.md §7 step 7):
+    replay the collection's parquet files as a bounded stream and run
+    the UNCHANGED batch porter inside ``foreachBatch`` — route/flatten/
+    spill/guards are stateless projections, so each micro-batch gets
+    identical semantics, and the schema pass re-runs per batch (schema
+    evolution BETWEEN micro-batches, the streaming analogue of the
+    reference's per-row ensureRowStructure).
+
+    ``sink(table_name, df)`` must append (or upsert) — per-table output
+    accumulates across batches.  Quirk mirrored from the reference:
+    ``_num`` restarts per micro-batch exactly as Porter.php:509 resets
+    counters per run; REPLACE-style sinks keep epoch replays idempotent.
+
+    ``availableNow`` processes the whole backlog in rate-limited batches
+    and terminates — on a live directory, drop it and the same query
+    runs continuously.
+    """
+    schema = spark.read.parquet(source_path).schema
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        export = porter.export_collection(batch_df, name)
+        for t, tdf in export.tables.items():
+            sink(t, tdf)
+        export.unpersist()
+
+    # the file stream source wants a directory or a GLOB — an exact
+    # file path trips its basePath-must-be-a-directory check, so a
+    # single-file collection streams via a self-matching glob
+    stream_path = source_path if os.path.isdir(source_path) else source_path + "*"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(stream_path)
+    )
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix=f"m2m_stream_{name}_"))
+        .start()
+    )
+    q.awaitTermination()

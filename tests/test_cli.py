@@ -52,3 +52,30 @@ def test_cli_end_to_end_subprocess():
         assert (Path(tmp) / "region.parquet").exists()
         # --progress: A17 per-table throughput lines rode the sink writes
         assert " * region: 5 rows" in proc.stdout
+
+
+@pytest.mark.slow
+def test_cli_stream_mode_matches_batch(spark):
+    """--stream replays collections as bounded streams through the batch
+    porter via foreachBatch; a single-file collection is one micro-batch,
+    so output must equal the batch run exactly."""
+    from mongo2mysql_spark.cli import main
+
+    with tempfile.TemporaryDirectory() as s_out, tempfile.TemporaryDirectory() as b_out:
+        rc = main(["--source-dir", "/root/testdata/sf0.001",
+                   "--collections", "region,nation", "--stream",
+                   "--output-dir", s_out])
+        assert rc == 0
+        rc = main(["--source-dir", "/root/testdata/sf0.001",
+                   "--collections", "region,nation",
+                   "--output-dir", b_out])
+        assert rc == 0
+        for t in ("region", "nation"):
+            streamed = spark.read.parquet(f"{s_out}/{t}.parquet")
+            batch = spark.read.parquet(f"{b_out}/{t}.parquet")
+            assert sorted(streamed.columns) == sorted(batch.columns)
+            cols = sorted(streamed.columns)
+            assert (
+                streamed.select(cols).exceptAll(batch.select(cols)).count() == 0
+                and batch.select(cols).exceptAll(streamed.select(cols)).count() == 0
+            )
