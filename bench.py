@@ -89,34 +89,50 @@ def main() -> None:
     # a burst, but two full passes separate each query's samples by a
     # whole pass, so the per-query min survives all but pass-length
     # bursts.  Same total cost as back-to-back best-of-2.
+    # One broken query must never zero out the round's perf signal:
+    # failures are recorded per-query and the headline sums the rest.
     timings: dict[str, float] = {}
+    failures: dict[str, str] = {}
     for _pass in range(2):
         for name in HEADLINE:
+            if name in failures:
+                continue
             fn = registry[name].fn
             t0 = time.time()
-            materialize(fn(spark, SF_DIR))
+            try:
+                materialize(fn(spark, SF_DIR))
+            except Exception as exc:  # noqa: BLE001
+                failures[name] = f"{type(exc).__name__}: {exc}"[:500]
+                timings.pop(name, None)
+                print(f"bench: {name} FAILED: {failures[name]}", file=sys.stderr)
+                continue
             dt = time.time() - t0
             timings[name] = round(min(timings.get(name, float("inf")), dt), 3)
             # drop per-query persisted frames (e.g. LSH signatures) so
             # later queries aren't squeezed by earlier caches
             spark.catalog.clearCache()
 
-    rps, n_rows = etl_rows_per_sec(spark, SF_DIR)
+    try:
+        rps, n_rows = etl_rows_per_sec(spark, SF_DIR)
+    except Exception as exc:  # noqa: BLE001
+        failures["etl_rows_per_sec"] = f"{type(exc).__name__}: {exc}"[:500]
+        print(f"bench: etl_rows_per_sec FAILED: {failures['etl_rows_per_sec']}",
+              file=sys.stderr)
+        rps, n_rows = 0.0, 0
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "etl_rows_per_sec": round(rps, 1),
-                "etl_rows": n_rows,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_query_wall_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "etl_rows_per_sec": round(rps, 1),
+        "etl_rows": n_rows,
+    }
+    if failures:
+        out["failures"] = failures
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -61,6 +61,11 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+    from pyspark.sql import SparkSession
+
+    # build_session() is getOrCreate(): an in-process caller (pytest) may
+    # already own the session — only stop what main() itself created.
+    owns_session = SparkSession.getActiveSession() is None
     spark = build_session(app_name="mongo2mysql-spark-cli")
     try:
         cfg = PorterConfig(
@@ -151,7 +156,8 @@ def main(argv: list[str] | None = None) -> int:
         print(f"error: {exc}", file=sys.stderr)  # cli.php:36-41 error path
         return 1
     finally:
-        spark.stop()
+        if owns_session:
+            spark.stop()
 
 
 if __name__ == "__main__":

@@ -64,9 +64,17 @@ def load_table(
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # integer div: ns longs exceed double's exact range, so no `/ 1000`
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # integer div: ns longs exceed double's exact range, so no `/ 1000`
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # µs-no-timezone parquet reads as TIMESTAMP_NTZ, which
+            # unix_millis/withWatermark reject; the session timezone is
+            # pinned UTC (session.py) and the DuckDB oracle compares
+            # UTC-naive, so this cast is value-preserving.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     if limit is not None:
         df = df.limit(limit)
     if fanout:

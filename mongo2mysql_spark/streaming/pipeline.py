@@ -38,8 +38,14 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # same normalization as the batch source (sources/parquet.py):
+        # UTC-pinned session makes the NTZ->TIMESTAMP cast value-preserving,
+        # and withWatermark requires TIMESTAMP.
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 

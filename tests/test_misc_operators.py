@@ -466,3 +466,39 @@ def test_pack_sequences_properties(spark):
         for r in out:
             covered.update(range(r["first_seq"], r["last_seq"] + 1))
         assert covered == set(range(max(covered) + 1)) if covered else True
+
+
+def test_sessionize_gap_boundary(spark, tmp_path):
+    """Events exactly 1,800,000 ms apart stay in ONE session (the gap
+    rule is strict `>`); 1,800,001 ms starts a new one.  Written as a
+    real events.parquet so the registered query's full path (source
+    normalization included) is what's under test."""
+    from datetime import datetime, timezone
+
+    from mongo2mysql_spark.queries.relational import events_sessionize
+
+    t0 = datetime(2024, 1, 1, tzinfo=timezone.utc)
+
+    def at(ms):
+        return datetime.fromtimestamp(t0.timestamp() + ms / 1000.0, tz=timezone.utc)
+
+    rows = [
+        # user 1: e2 exactly 30 min after e1 (same session); e3 is
+        # 30 min + 1 ms after e2 (new session)
+        (1, at(0), 1, "view", 1.0, "{}"),
+        (2, at(1_800_000), 1, "view", 1.0, "{}"),
+        (3, at(3_600_001), 1, "view", 1.0, "{}"),
+        # user 2: single event
+        (4, at(500), 2, "click", 2.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    out = {
+        (r["user_id"], r["session_id"]): r["n_events"]
+        for r in events_sessionize(spark, str(tmp_path)).collect()
+    }
+    assert out == {(1, 1): 2, (1, 2): 1, (2, 1): 1}
