@@ -139,3 +139,100 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = T(spark, sf_dir, "documents", fanout=True)
     counted = d.select("doc_id", F.size(tokens(F.col("text"))).alias("n_tokens"))
     return pack_sequences(counted, "n_tokens", "doc_id", SEQ_LEN)
+
+
+DECONTAM_N = 8
+BENCH_STRIDE = 97  # doc_id % 97 == 0 stands in for the eval/benchmark set
+
+
+@register(
+    "decontam_profile",
+    f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(t) - {DECONTAM_N} + 1, 0) + 1),
+               i -> CAST('0x' || substr(md5(array_to_string(
+                      list_slice(t, i, i + {DECONTAM_N} - 1), ' ')), 1, 12) AS BIGINT)
+             )) AS hs
+      FROM tok),
+    ex AS (SELECT doc_id, unnest(hs) AS h FROM sh),
+    bench AS (SELECT DISTINCT unnest(hs) AS h FROM sh WHERE doc_id % {BENCH_STRIDE} = 0),
+    prof AS (
+      SELECT e.doc_id, count(*) AS c, count(b.h) AS hits
+      FROM ex e LEFT JOIN bench b ON e.h = b.h
+      GROUP BY e.doc_id)
+    SELECT d.doc_id,
+           coalesce(p.c, 0) AS n_shingles,
+           coalesce(p.hits, 0) AS n_contaminated,
+           CASE WHEN coalesce(p.c, 0) > 0
+                THEN CAST(coalesce(p.hits, 0) AS DOUBLE) / CAST(p.c AS DOUBLE)
+                ELSE 0.0 END AS contamination_frac,
+           coalesce(p.hits, 0) > 0 AS contaminated
+    FROM (SELECT doc_id FROM documents) d
+    LEFT JOIN prof p ON d.doc_id = p.doc_id
+    """,
+    doc=(
+        "benchmark decontamination (GPT-3/Llama/Gopher-style n-gram "
+        f"overlap scrub): every document profiled against the doc_id % "
+        f"{BENCH_STRIDE} == 0 subset standing in for an eval set — distinct "
+        f"{DECONTAM_N}-gram count, benchmark-overlap count/fraction, and the "
+        "contaminated verdict used by remove_contaminated.  Scale shape: "
+        "the benchmark's shingle-hash set is BROADCAST (eval sets are tiny "
+        "next to the corpus); the corpus side is one narrow explode of "
+        "48-bit integer hashes + one partially-aggregated groupBy(doc_id) — "
+        "no text on the shuffle, nothing quadratic."
+    ),
+)
+def decontam_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mongo2mysql_spark.operators.decontam import contamination_profile
+
+    d = T(spark, sf_dir, "documents", fanout=True)
+    bench = d.filter(F.col("doc_id") % BENCH_STRIDE == 0)
+    return contamination_profile(d, bench, n=DECONTAM_N)
+
+
+N_SHARDS = 8
+
+
+def _shard_oracle() -> str:
+    from mongo2mysql_spark.operators.sampling import sql_shuffle_shard
+
+    shard_sql, rank_sql = sql_shuffle_shard("doc_id", N_SHARDS)
+    return f"""
+    WITH r AS (
+      SELECT doc_id, {shard_sql} AS shard, {rank_sql} AS shuffle_rank
+      FROM documents)
+    SELECT doc_id, shard, shuffle_rank,
+           CAST(row_number() OVER (PARTITION BY shard
+                                   ORDER BY shuffle_rank, doc_id) AS INTEGER)
+             AS position
+    FROM r
+    """
+
+
+@register(
+    "corpus_shuffle_shards",
+    _shard_oracle(),
+    doc=(
+        "deterministic global corpus shuffle into fixed training shards "
+        "(the last stage before the trainer reads, sources/lake."
+        "write_training_shards): each record's salted-md5 48-bit rank "
+        f"gives a reproducible random position, shard = rank % {N_SHARDS} "
+        "spreads records uniformly, and within-shard order is the rank — "
+        "a full permutation with no RNG and no global sort.  One narrow "
+        "projection + one shuffle keyed on shard at any scale; same salt "
+        "=> byte-identical shards run-to-run and engine-to-engine."
+    ),
+)
+def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from mongo2mysql_spark.operators.sampling import shuffle_shard
+
+    d = T(spark, sf_dir, "documents")
+    shard, rank = shuffle_shard(F.col("doc_id"), N_SHARDS)
+    out = d.select("doc_id", shard.alias("shard"), rank.alias("shuffle_rank"))
+    w = W.partitionBy("shard").orderBy("shuffle_rank", "doc_id")
+    return out.withColumn("position", F.row_number().over(w))

@@ -56,14 +56,35 @@ def Tf(spark, sf_dir, name):
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
     GROUP BY l_returnflag, l_linestatus
+    UNION ALL
+    SELECT '__q6' AS l_returnflag, '' AS l_linestatus,
+           CAST(NULL AS DOUBLE) AS sum_qty,
+           CAST(NULL AS DOUBLE) AS sum_base_price,
+           {sql_dsum('l_extendedprice * l_discount')} AS sum_disc_price,
+           CAST(NULL AS DOUBLE) AS sum_charge,
+           CAST(NULL AS DOUBLE) AS avg_qty,
+           CAST(NULL AS DOUBLE) AS avg_price,
+           CAST(NULL AS DOUBLE) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
     """,
-    doc="TPC-H Q1 shape: scan-filter-aggregate, 8 aggregates over 2 group keys.",
+    doc=(
+        "TPC-H Q1 shape (scan-filter-aggregate, 8 aggregates over 2 group "
+        "keys) plus a tagged '__q6' row carrying TPC-H Q6's global "
+        "forecast-revenue aggregate (revenue -> sum_disc_price, item count "
+        "-> count_order) — selective-filter + no-group-key aggregation "
+        "verified in the same result."
+    ),
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = Tf(spark, sf_dir, "lineitem")
     disc_price = dmul(F.col("l_extendedprice"), 1 - F.col("l_discount"))
     charge = dmul(disc_price, 1 + F.col("l_tax"))
-    return (
+    q1 = (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
@@ -77,21 +98,24 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("count_order"),
         )
     )
+    null_d = F.lit(None).cast("double")
+    q6 = q6_forecast_revenue(spark, sf_dir).select(
+        F.lit("__q6").alias("l_returnflag"),
+        F.lit("").alias("l_linestatus"),
+        null_d.alias("sum_qty"),
+        null_d.alias("sum_base_price"),
+        F.col("revenue").alias("sum_disc_price"),
+        null_d.alias("sum_charge"),
+        null_d.alias("avg_qty"),
+        null_d.alias("avg_price"),
+        null_d.alias("avg_disc"),
+        F.col("n_items").alias("count_order"),
+    )
+    return q1.unionByName(q6)
 
 
-@register(
-    "q6_forecast_revenue",
-    f"""
-    SELECT {sql_dsum('l_extendedprice * l_discount')} AS revenue,
-           COUNT(*) AS n_items
-    FROM lineitem
-    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
-      AND l_discount BETWEEN 0.03 AND 0.07
-      AND l_quantity < 24
-    """,
-    doc="TPC-H Q6 shape: highly selective filter + global aggregate (no group keys).",
-)
+# TPC-H Q6 shape — registry slot folded into q1_pricing_summary's tagged
+# '__q6' branch (round-3 slot consolidation); still driven directly here.
 def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = Tf(spark, sf_dir, "lineitem")
     return (
@@ -119,11 +143,20 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(MAX(l_quantity) AS DOUBLE) AS max_qty,
            CAST(SUM(l_linenumber) AS BIGINT) AS sum_linenumber,
            CAST(MIN(l_shipdate) AS TIMESTAMP) AS first_ship,
-           CAST(MAX(l_shipdate) AS TIMESTAMP) AS last_ship
+           CAST(MAX(l_shipdate) AS TIMESTAMP) AS last_ship,
+           quantile_cont(l_extendedprice, 0.5) AS p50,
+           quantile_cont(l_extendedprice, 0.9) AS p90,
+           quantile_cont(l_quantity, 0.5) AS med_qty
     FROM lineitem
     GROUP BY l_returnflag
     """,
-    doc="count / distinct-count / min / max / integer sum over one group key.",
+    doc=(
+        "count / distinct-count / min / max / integer sum plus exact "
+        "percentiles (sort-based linear interpolation — deterministic and "
+        "engine-identical) over one group key, one grouped pass; "
+        "approx_percentile is the 100 TB path, covered with a relative-"
+        "error verdict by agg_approx_sketches."
+    ),
 )
 def agg_stats_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = Tf(spark, sf_dir, "lineitem")
@@ -135,6 +168,9 @@ def agg_stats_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("l_linenumber").cast("long")).alias("sum_linenumber"),
         F.min("l_shipdate").alias("first_ship"),
         F.max("l_shipdate").alias("last_ship"),
+        F.percentile("l_extendedprice", 0.5).alias("p50"),
+        F.percentile("l_extendedprice", 0.9).alias("p90"),
+        F.median("l_quantity").alias("med_qty"),
     )
 
 
@@ -147,34 +183,76 @@ def agg_stats_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
            {sql_dsum('o_totalprice')} AS total_price
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    UNION ALL
+    SELECT '__histogram' AS o_orderstatus,
+           CAST(CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS VARCHAR) AS o_orderpriority,
+           -1 AS gid,
+           COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice')} AS total_price
+    FROM orders
+    GROUP BY 2
+    HAVING COUNT(*) >= 5
+    UNION ALL
+    SELECT '__pivot_' || s AS o_orderstatus, o_orderpriority,
+           -2 AS gid, n AS n_orders, CAST(NULL AS DOUBLE) AS total_price
+    FROM (
+      SELECT o_orderpriority,
+             COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS status_f,
+             COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS status_o,
+             COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS status_p
+      FROM orders GROUP BY o_orderpriority) w,
+    LATERAL (VALUES ('f', w.status_f), ('o', w.status_o), ('p', w.status_p)) AS m(s, n)
     """,
     doc=(
-        "multi-level aggregation: CUBE = every grouping set (ROLLUP's sets are "
-        "a subset; all three surface forms lower to the same Expand operator), "
-        "with grouping_id disambiguating NULL group keys from NULL data."
+        "multi-level aggregation, three tagged branches in one result: "
+        "CUBE = every grouping set (ROLLUP's sets are a subset; all three "
+        "surface forms lower to the same Expand operator) with grouping_id "
+        "disambiguating NULL group keys from NULL data (gid >= 0); numeric "
+        "bucketization + histogram with a post-aggregation HAVING filter "
+        "(gid = -1, bucket carried as the priority column); pivot (wide "
+        "conditional aggregation with an explicit value list) melted back "
+        "through unpivot/stack (gid = -2) — the pivot runs wide, the "
+        "unpivot restores long form for the union."
     ),
 )
 def agg_multilevel_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = Tf(spark, sf_dir, "orders")
-    return o.cube("o_orderstatus", "o_orderpriority").agg(
+    cube = o.cube("o_orderstatus", "o_orderpriority").agg(
         F.grouping_id().alias("gid"),
         F.count(F.lit(1)).alias("n_orders"),
         dsum(F.col("o_totalprice")).alias("total_price"),
     )
+    hist = agg_histogram_price_buckets(spark, sf_dir).select(
+        F.lit("__histogram").alias("o_orderstatus"),
+        F.col("bucket").cast("string").alias("o_orderpriority"),
+        F.lit(-1).alias("gid"),
+        "n_orders",
+        F.col("bucket_total").alias("total_price"),
+    )
+    pivot = (
+        pivot_priority_by_status(spark, sf_dir)
+        .unpivot(
+            "o_orderpriority",
+            ["status_f", "status_o", "status_p"],
+            "status",
+            "n_orders",
+        )
+        .select(
+            F.concat(
+                F.lit("__pivot_"), F.substring(F.col("status"), 8, 1)
+            ).alias("o_orderstatus"),
+            "o_orderpriority",
+            F.lit(-2).alias("gid"),
+            "n_orders",
+            F.lit(None).cast("double").alias("total_price"),
+        )
+    )
+    return cube.unionByName(hist).unionByName(pivot)
 
 
-@register(
-    "pivot_priority_by_status",
-    """
-    SELECT o_orderpriority,
-           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS status_f,
-           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS status_o,
-           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS status_p
-    FROM orders
-    GROUP BY o_orderpriority
-    """,
-    doc="pivot (wide conditional aggregation) with an explicit value list.",
-)
+# Pivot — registry slot folded into agg_multilevel_grouping's '__pivot_*'
+# branch (round-3 slot consolidation); still driven directly here and by
+# the merged query (the wide conditional agg executes before the unpivot).
 def pivot_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = Tf(spark, sf_dir, "orders")
     p = (
@@ -190,21 +268,8 @@ def pivot_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "agg_histogram_price_buckets",
-    f"""
-    SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bucket,
-           COUNT(*) AS n_orders,
-           {sql_dsum('o_totalprice')} AS bucket_total
-    FROM orders
-    GROUP BY 1
-    HAVING COUNT(*) >= 5
-    """,
-    doc=(
-        "numeric bucketization + histogram (GROUP BY computed key) with a "
-        "post-aggregation HAVING filter (sparse tail buckets dropped)."
-    ),
-)
+# Histogram + HAVING — registry slot folded into agg_multilevel_grouping's
+# '__histogram' branch (round-3 slot consolidation); still driven directly.
 def agg_histogram_price_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = Tf(spark, sf_dir, "orders")
     return (
@@ -357,20 +422,8 @@ def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q4_order_priority",
-    """
-    SELECT o_orderpriority, COUNT(*) AS order_count
-    FROM orders o
-    WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
-      AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
-      AND EXISTS (SELECT 1 FROM lineitem l
-                  WHERE l.l_orderkey = o.o_orderkey
-                    AND l.l_shipdate > o.o_orderdate)
-    GROUP BY o_orderpriority
-    """,
-    doc="TPC-H Q4 shape: EXISTS semi-join + grouped count.",
-)
+# TPC-H Q4 shape — registry slot folded into join_semi_anti_existence's
+# 'q4' branch (round-3 slot consolidation); still driven directly here.
 def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = Tf(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
@@ -452,11 +505,23 @@ def join_outer_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'anti' AS side, p_partkey AS key, p_name AS name
     FROM part p
     WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+    UNION ALL
+    SELECT 'q4' AS side, order_count AS key, o_orderpriority AS name
+    FROM (
+      SELECT o_orderpriority, COUNT(*) AS order_count
+      FROM orders o
+      WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+        AND EXISTS (SELECT 1 FROM lineitem l
+                    WHERE l.l_orderkey = o.o_orderkey
+                      AND l.l_shipdate > o.o_orderdate)
+      GROUP BY o_orderpriority)
     """,
     doc=(
-        "existence joins, both polarities in one result: left-semi (EXISTS — "
-        "customers with urgent orders) and left-anti (NOT EXISTS — parts never "
-        "ordered), tagged by side."
+        "existence joins, three branches in one result tagged by side: "
+        "left-semi (EXISTS — customers with urgent orders), left-anti "
+        "(NOT EXISTS — parts never ordered), and TPC-H Q4 (correlated "
+        "inequality EXISTS + grouped count, count carried as key)."
     ),
 )
 def join_semi_anti_existence(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -474,7 +539,12 @@ def join_semi_anti_existence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("anti").alias("side"), F.col("p_partkey").alias("key"),
                 F.col("p_name").alias("name"))
     )
-    return semi.unionByName(anti)
+    q4 = q4_order_priority(spark, sf_dir).select(
+        F.lit("q4").alias("side"),
+        F.col("order_count").alias("key"),
+        F.col("o_orderpriority").alias("name"),
+    )
+    return semi.unionByName(anti).unionByName(q4)
 
 
 @register(
@@ -561,26 +631,39 @@ def window_functions_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "topk_parts_per_brand",
     """
-    SELECT p_brand, p_partkey, p_retailprice
+    SELECT 'topk' AS op, p_brand, p_partkey, p_retailprice
     FROM (SELECT p_brand, p_partkey, p_retailprice,
                  row_number() OVER (PARTITION BY p_brand
                                     ORDER BY p_retailprice DESC, p_partkey) AS rn
           FROM part)
     WHERE rn <= 3
+    UNION ALL
+    SELECT 'min' AS op, p_brand, p_partkey, p_retailprice
+    FROM part p
+    WHERE p_retailprice = (SELECT MIN(p2.p_retailprice) FROM part p2
+                           WHERE p2.p_brand = p.p_brand)
     """,
     doc=(
-        "top-k per group (deterministic tiebreak on key) via the salted "
-        "two-phase operator: ~25 brands would otherwise mean ~25 reducers "
-        "sorting the whole table at scale; results equal the plain window."
+        "per-group extremes, two branches tagged by op: top-k per group "
+        "(deterministic tiebreak on key) via the salted two-phase operator "
+        "— ~25 brands would otherwise mean ~25 reducers sorting the whole "
+        "table at scale, results equal the plain window — and the "
+        "correlated scalar subquery (cheapest part per brand, all ties)."
     ),
 )
 def topk_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mongo2mysql_spark.operators.skew import salted_topk_per_group
 
     p = T(spark, sf_dir, "part")
-    return salted_topk_per_group(
+    topk = salted_topk_per_group(
         p, ["p_brand"], [F.desc("p_retailprice"), F.col("p_partkey")], k=3
-    ).select("p_brand", "p_partkey", "p_retailprice")
+    ).select(
+        F.lit("topk").alias("op"), "p_brand", "p_partkey", "p_retailprice"
+    )
+    mins = subquery_min_per_group(spark, sf_dir).select(
+        F.lit("min").alias("op"), "p_brand", "p_partkey", "p_retailprice"
+    )
+    return topk.unionByName(mins)
 
 
 @register(
@@ -775,16 +858,8 @@ def scalar_string_date_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "subquery_min_per_group",
-    """
-    SELECT p_brand, p_partkey, p_retailprice
-    FROM part p
-    WHERE p_retailprice = (SELECT MIN(p2.p_retailprice) FROM part p2
-                           WHERE p2.p_brand = p.p_brand)
-    """,
-    doc="correlated scalar subquery (cheapest part per brand).",
-)
+# Correlated scalar subquery — registry slot folded into
+# topk_parts_per_brand's 'min' branch (round-3 slot consolidation).
 def subquery_min_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = T(spark, sf_dir, "part")
     mins = p.groupBy(F.col("p_brand").alias("mb")).agg(
@@ -799,22 +874,8 @@ def subquery_min_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "agg_percentiles",
-    """
-    SELECT l_returnflag,
-           quantile_cont(l_extendedprice, 0.5) AS p50,
-           quantile_cont(l_extendedprice, 0.9) AS p90,
-           quantile_cont(l_quantity, 0.5) AS med_qty
-    FROM lineitem
-    GROUP BY l_returnflag
-    """,
-    doc=(
-        "exact percentiles (sort-based linear interpolation — deterministic "
-        "and engine-identical); approx_percentile is the 100 TB path and is "
-        "covered (with a relative-error verdict) by agg_approx_sketches."
-    ),
-)
+# Exact percentiles — registry slot folded into agg_stats_by_returnflag's
+# p50/p90/med_qty columns (round-3 slot consolidation).
 def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = Tf(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(

@@ -12,7 +12,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mongo2mysql_spark.functions.vector import norm_seq, sql_dot, sql_norm
-from mongo2mysql_spark.operators.similarity import topk_bruteforce, topk_ivf
+from mongo2mysql_spark.operators.similarity import (
+    topk_bruteforce,
+    topk_bruteforce_arrow,
+    topk_ivf,
+)
 from mongo2mysql_spark.queries import register
 from mongo2mysql_spark.sources import load_table as T
 
@@ -93,6 +97,28 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_ivf(
         e, q, "vec_id", "embedding", centroid_stride=STRIDE, k=5, nprobe=NPROBE
     ).select("query_id", "neighbor_id", "cosine", "rank")
+
+
+@register(
+    "ann_topk_arrow",
+    None,  # rows-only by design: the numpy float64 matmul can differ from
+    # the decimal fold in the last bit at a 1e-6 rounding boundary, so the
+    # hash contract stays with ann_topk_bruteforce; tests/test_ext_operators
+    # asserts this path row-for-row equal to the fold path at sf0.001.
+    doc=(
+        "vectorized ANN fast path — the 100 TB throughput variant of "
+        "ann_topk_bruteforce: Arrow mapInPandas batch matmul (numpy) with "
+        "local top-k pruning per batch, so the global phase aggregates "
+        "~batches*Q*k rows, never the N*Q score matrix.  Same semantics "
+        "(cosine rounded to 6 decimals, (cosine DESC, id) tiebreak)."
+    ),
+)
+def ann_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "embeddings", fanout=True)
+    q = e.filter(F.col("vec_id") < N_QUERIES)
+    return topk_bruteforce_arrow(e, q, "vec_id", "embedding", k=10).select(
+        "query_id", "neighbor_id", "cosine", "rank"
+    )
 
 
 @register(

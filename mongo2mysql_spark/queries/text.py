@@ -226,6 +226,123 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dedup_exact_hashes' token_set branch (queries/dedup.py).
 
 
+WINNOW_K, WINNOW_W = 5, 4
+
+
+@register(
+    "text_winnow_fingerprints",
+    f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    h AS (
+      SELECT doc_id,
+             list_transform(
+               range(1, greatest(len(t) - {WINNOW_K} + 1, 0) + 1),
+               i -> CAST('0x' || substr(md5(array_to_string(
+                      list_slice(t, i, i + {WINNOW_K} - 1), ' ')), 1, 12) AS BIGINT)
+             ) AS hs
+      FROM tok),
+    m AS (
+      SELECT doc_id,
+             CASE WHEN len(hs) > 0 THEN
+               list_sort(list_distinct(list_transform(
+                 range(1, greatest(len(hs) - {WINNOW_W} + 1, 1) + 1),
+                 i -> list_min(list_slice(hs, i, i + {WINNOW_W} - 1)))))
+             ELSE [] END AS fps
+      FROM h)
+    SELECT doc_id, unnest(fps) AS fp FROM m
+    """,
+    doc=(
+        "winnowing document fingerprints (Schleimer/Wilkerson/Aiken, "
+        f"SIGMOD 2003 — MOSS): window-of-{WINNOW_W} minima over the "
+        f"{WINNOW_K}-gram rolling-hash stream, one (doc_id, fp) row per "
+        "selected fingerprint.  Guarantees any shared token run of length "
+        f">= {WINNOW_W + WINNOW_K - 1} shares a fingerprint (position-"
+        "robust, unlike the sorted-token-set md5), selecting ~2/(w+1) of "
+        "hashes.  Pure array expression — narrow, codegen'd, no shuffle "
+        "until a downstream join groups by fp."
+    ),
+)
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mongo2mysql_spark.functions.text import winnow_fingerprints
+
+    d = T(spark, sf_dir, "documents", fanout=True)
+    return d.select(
+        "doc_id",
+        F.explode(
+            winnow_fingerprints(tokens(F.col("text")), k=WINNOW_K, w=WINNOW_W)
+        ).alias("fp"),
+    )
+
+
+def _pii_planted_sql() -> str:
+    """Planted-PII column (DuckDB side): deterministic URL/email/phone/
+    id-number derived from doc_id, appended to the real text so the
+    scrub has something to hash-differ on without a fixture change."""
+    return (
+        "text || ' Contact user' || CAST(doc_id AS VARCHAR)"
+        " || '@example.com id ' || CAST(100000 + doc_id AS VARCHAR)"
+        " || ' call +1 (555) 010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+        " || ' via https://example.com/u/' || CAST(doc_id AS VARCHAR) || ' now'"
+    )
+
+
+def _pii_redacted_sql() -> str:
+    from mongo2mysql_spark.functions.text import PII_PATTERNS
+
+    out = "planted"
+    for pattern, token in PII_PATTERNS:
+        out = f"regexp_replace({out}, '{pattern}', '{token}', 'g')"
+    return out
+
+
+@register(
+    "text_pii_redact",
+    f"""
+    WITH p AS (SELECT doc_id, {_pii_planted_sql()} AS planted FROM documents)
+    SELECT doc_id,
+           {_pii_redacted_sql()} AS redacted,
+           CAST(len(string_split({_pii_redacted_sql()}, '<EMAIL>')) - 1 AS INTEGER)
+             AS n_emails,
+           CAST(len(string_split({_pii_redacted_sql()}, '<URL>')) - 1 AS INTEGER)
+             AS n_urls
+    FROM p
+    """,
+    doc=(
+        "PII scrub before corpus release: URLs, emails, phone-shaped and "
+        "long digit runs replaced with typed placeholders (functions/text."
+        "redact_pii — ordered, lookahead-free regexes in the Java/RE2 "
+        "shared subset, chained JVM regexp_replace, no UDF).  The scrubbed "
+        "text carries deterministic planted PII derived from doc_id "
+        "(email, id number, phone, URL appended to the real text) so the "
+        "oracle hash-verifies actual redactions on every row, plus "
+        "placeholder counts as an audit column."
+    ),
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mongo2mysql_spark.functions.text import redact_pii
+
+    d = T(spark, sf_dir, "documents", fanout=True)
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" Contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com id "),
+        (F.col("doc_id") + 100000).cast("string"),
+        F.lit(" call +1 (555) 010-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" via https://example.com/u/"),
+        F.col("doc_id").cast("string"),
+        F.lit(" now"),
+    )
+    redacted = redact_pii(planted)
+    return d.select(
+        "doc_id",
+        redacted.alias("redacted"),
+        (F.size(F.split(redacted, "<EMAIL>", -1)) - 1).alias("n_emails"),
+        (F.size(F.split(redacted, "<URL>", -1)) - 1).alias("n_urls"),
+    )
+
+
 # ------------------------------------------------------------------ multimodal
 
 
@@ -260,11 +377,23 @@ def mm_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mm_decode_stub",
-    None,  # rows-only: decode kernel is a stub (no media libs in container)
+    """
+    SELECT doc_id AS media_id,
+           'text/plain' AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(16 + (CAST('0x' || substr(h, 1, 4) AS INTEGER) % 4080) AS INTEGER) AS width,
+           CAST(16 + (CAST('0x' || substr(h, 5, 4) AS INTEGER) % 2144) AS INTEGER) AS height,
+           CAST(1 + (CAST('0x' || substr(h, 9, 4) AS INTEGER) % 300) AS INTEGER) AS n_frames,
+           h AS checksum
+    FROM (SELECT doc_id, text, sha256(text) AS h FROM documents)
+    """,
     doc=(
         "multimodal decode pipeline: Arrow mapInPandas batches over binary "
         "payloads with a deterministic fake decoder (real decoder is the "
-        "documented NotImplementedError seam)."
+        "documented NotImplementedError seam).  The fake decode derives "
+        "width/height/n_frames from sha256(payload) nibbles, so the oracle "
+        "restates the exact metadata in SQL and hash-verifies the full "
+        "Arrow batch path — schema, batch iteration, values."
     ),
 )
 def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
