@@ -40,6 +40,11 @@ HEADLINE = [
     "sample_split_stratified",
     "ann_topk_bruteforce",
     "ann_topk_ivf",
+    "ann_topk_arrow",
+    "decontam_profile",
+    "text_winnow_fingerprints",
+    "text_pii_redact",
+    "corpus_shuffle_shards",
     "range_join_promo_revenue",
     "events_hypertable_rollup",
     "text_term_frequency",

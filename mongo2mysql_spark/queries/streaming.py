@@ -187,3 +187,39 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(joined, mode="append", shuffle_partitions=8).select(
         "view_id", "purchase_id", F.col("v_user").alias("user_id")
     )
+
+
+QUOTA_N = 5
+
+
+@register(
+    "streaming_stateful_quota",
+    f"""
+    SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+    FROM (SELECT user_id, ts, event_id,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS rn
+          FROM events)
+    WHERE rn <= {QUOTA_N}
+    """,
+    doc=(
+        "custom stateful streaming operator (applyInPandasWithState, "
+        "streaming/stateful.streaming_first_n_per_key): admit at most "
+        f"{QUOTA_N} events per user — per-key admission quota / rate "
+        "limit / take-first-N selection, one counter of state per key in "
+        "the state store (RocksDB on a cluster, sharded by key).  On the "
+        "bounded single-batch fixture replay this equals batch "
+        "row_number() <= N with the same (ts, event_id) order, which the "
+        "oracle states in SQL — so the Arrow state seam is hash-verified, "
+        "not just smoke-run."
+    ),
+)
+def streaming_stateful_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mongo2mysql_spark.streaming.stateful import streaming_first_n_per_key
+
+    stream = stream_events(spark, sf_dir).select("user_id", "ts", "event_id")
+    return run_to_memory(
+        streaming_first_n_per_key(stream, ["user_id"], ["ts", "event_id"], QUOTA_N),
+        mode="append",
+        shuffle_partitions=8,
+    )

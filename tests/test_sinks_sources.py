@@ -124,3 +124,67 @@ def test_upsert_sql_paramstyles():
     )
     with pytest.raises(ValueError):
         upsert_sql("t", ["a"], mode="merge")
+
+
+def test_widen_on_rerun_monotone():
+    """Rerun evolution sequence (A13/A14): types only ever widen; a later
+    rerun observing NARROWER values must emit no DDL at all (the live
+    table's type already covers them — Porter.php:405-429 widening is a
+    join, so evolve is monotone and idempotent)."""
+    # run 1: table absent -> CREATE
+    run1 = evolve_schema_sql("docs", None, {"_id": "varchar(24)", "v": "int"}, ("_id",))
+    assert len(run1) == 1 and run1[0].startswith("CREATE TABLE IF NOT EXISTS `docs`")
+    # run 2: v widened int -> double, new column arrives
+    run2 = evolve_schema_sql(
+        "docs",
+        {"_id": "varchar(24)", "v": "int"},
+        {"_id": "varchar(24)", "v": "double", "note": "varchar(100)"},
+    )
+    assert set(run2) == {
+        "ALTER TABLE `docs` ADD COLUMN `note` varchar(100)",
+        "ALTER TABLE `docs` MODIFY COLUMN `v` double",
+    }
+    # run 3: this batch's values are narrower (v ints, short notes) ->
+    # widen(double,int)=double, widen(varchar(100),varchar(50))=varchar(100):
+    # nothing to do
+    run3 = evolve_schema_sql(
+        "docs",
+        {"_id": "varchar(24)", "v": "double", "note": "varchar(100)"},
+        {"_id": "varchar(24)", "v": "int", "note": "varchar(50)"},
+    )
+    assert run3 == []
+    # run 4: text always wins (terminal lattice top), and only v moves
+    run4 = evolve_schema_sql(
+        "docs",
+        {"_id": "varchar(24)", "v": "double", "note": "varchar(100)"},
+        {"_id": "varchar(24)", "v": "text", "note": "varchar(100)"},
+    )
+    assert run4 == ["ALTER TABLE `docs` MODIFY COLUMN `v` text"]
+
+
+def test_child_table_composite_pk_and_text_prefix():
+    """Child tables get the reference's (`_parentid`, `_index`) composite
+    PK (Porter.php:115-120); MySQL text PK columns need a prefix length
+    (191 keeps the index under utf8mb4's 767-byte cap)."""
+    ddl = create_table_sql(
+        "docs_items",
+        {"_parentid": "varchar(24)", "_index": "int", "val": "double"},
+        ("_parentid", "_index"),
+    )
+    assert "PRIMARY KEY (`_parentid`, `_index`)" in ddl
+    text_pk = create_table_sql("kv", {"k": "text", "v": "int"}, ("k",))
+    assert "PRIMARY KEY (`k`(191))" in text_pk
+    with pytest.raises(ValueError):
+        create_table_sql("bad", {"v": "int"}, ("_id",))
+
+
+def test_mongodb_pipeline_and_sampling_options():
+    """Aggregation pipeline + sample-size knobs reach the connector
+    option dict unchanged (pushdown seam, Porter.php:139)."""
+    opts = reader_options(
+        "mongodb://h:27017", "forum", "posts",
+        sample_size=50,
+        pipeline='[{"$match": {"archived": false}}]',
+    )
+    assert opts["sampleSize"] == "50"
+    assert opts["aggregation.pipeline"] == '[{"$match": {"archived": false}}]'
