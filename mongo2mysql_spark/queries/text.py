@@ -263,14 +263,19 @@ WINNOW_K, WINNOW_W = 5, 4
     ),
 )
 def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from mongo2mysql_spark.functions.text import winnow_fingerprints
+    from mongo2mysql_spark.functions.text import shingle_hashes, winnow_mins
 
     d = T(spark, sf_dir, "documents", fanout=True)
-    return d.select(
-        "doc_id",
-        F.explode(
-            winnow_fingerprints(tokens(F.col("text")), k=WINNOW_K, w=WINNOW_W)
-        ).alias("fp"),
+    # staged: tokens and the shingle-hash array each materialize as a
+    # projection, so the window-min lambda slices a BOUND column instead
+    # of re-deriving the whole md5 array per window (see winnow_mins)
+    return (
+        d.select("doc_id", tokens(F.col("text")).alias("__t"))
+        .select("doc_id", shingle_hashes(F.col("__t"), WINNOW_K).alias("__hs"))
+        .select(
+            "doc_id",
+            F.explode(winnow_mins(F.col("__hs"), WINNOW_W)).alias("fp"),
+        )
     )
 
 
