@@ -502,3 +502,50 @@ def test_sessionize_gap_boundary(spark, tmp_path):
         for r in events_sessionize(spark, str(tmp_path)).collect()
     }
     assert out == {(1, 1): 2, (1, 2): 1, (2, 1): 1}
+
+
+def test_events_ts_normalized_for_both_parquet_shapes(spark, tmp_path):
+    """The driver has shipped events.ts as BOTH ns-int64 and
+    microsecond TIMESTAMP_NTZ across rounds; load_table and
+    stream_events must normalize either shape to TIMESTAMP with
+    identical values (UTC session makes the NTZ cast value-preserving)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mongo2mysql_spark.sources.parquet import load_table
+    from mongo2mysql_spark.streaming.pipeline import stream_events, run_to_memory
+
+    base_us = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in µs
+    us_values = [base_us, base_us + 1_500_000]
+
+    def table(ts_array):
+        return pa.table(
+            {
+                "event_id": pa.array([1, 2], pa.int64()),
+                "ts": ts_array,
+                "user_id": pa.array([7, 7], pa.int64()),
+                "event_type": pa.array(["view", "view"]),
+                "value": pa.array([1.0, 2.0], pa.float64()),
+                "props": pa.array(["{}", "{}"]),
+            }
+        )
+
+    shapes = {
+        "ntz": pa.array(us_values, pa.timestamp("us")),  # no timezone -> NTZ
+        "ns_int64": pa.array([v * 1000 for v in us_values], pa.int64()),
+    }
+    expected = None
+    for name, arr in shapes.items():
+        d = tmp_path / name
+        d.mkdir()
+        pq.write_table(table(arr), d / "events.parquet")
+        df = load_table(spark, str(d), "events")
+        assert dict(df.dtypes)["ts"] == "timestamp", name
+        got = sorted((r["event_id"], r["ts"].isoformat()) for r in df.collect())
+        expected = expected or got
+        assert got == expected, name  # both shapes decode to identical instants
+        sdf = run_to_memory(
+            stream_events(spark, str(d)).select("event_id", "ts"), mode="append"
+        )
+        sgot = sorted((r["event_id"], r["ts"].isoformat()) for r in sdf.collect())
+        assert sgot == expected, name
