@@ -80,6 +80,33 @@ def etl_rows_per_sec(spark, sf_dir: str) -> tuple[float, int]:
     return (n_rows / dt if dt > 0 else float("inf"), n_rows)
 
 
+def ivf_recall(spark, sf_dir: str, k: int = 5) -> dict[str, float]:
+    """Recall@k of the IVF bucketed path vs exact brute force across the
+    nprobe lever (cost ~linear in nprobe, recall should be monotone) —
+    the accuracy/cost trade the 100 TB deployment tunes."""
+    from pyspark.sql import functions as F
+
+    from mongo2mysql_spark.operators.similarity import topk_bruteforce, topk_ivf
+    from mongo2mysql_spark.sources.parquet import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    bf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in topk_bruteforce(e, q, "vec_id", "embedding", k=k).collect()
+    }
+    out = {}
+    for nprobe in (1, 2, 4):
+        ivf = {
+            (r["query_id"], r["neighbor_id"])
+            for r in topk_ivf(
+                e, q, "vec_id", "embedding", centroid_stride=97, k=k, nprobe=nprobe
+            ).collect()
+        }
+        out[f"nprobe{nprobe}"] = round(len(ivf & bf) / len(bf), 4)
+    return out
+
+
 def main() -> None:
     os.environ.setdefault("SPARK_DRIVER_MEMORY", "32g")
     spark = build_session(app_name="mongo2mysql_spark-bench")
@@ -125,6 +152,12 @@ def main() -> None:
               file=sys.stderr)
         rps, n_rows = 0.0, 0
 
+    try:
+        recall = ivf_recall(spark, SF_DIR)
+    except Exception as exc:  # noqa: BLE001
+        failures["ivf_recall"] = f"{type(exc).__name__}: {exc}"[:500]
+        recall = {}
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_query_wall_time",
@@ -134,6 +167,7 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "etl_rows_per_sec": round(rps, 1),
         "etl_rows": n_rows,
+        "ivf_recall_at_5": recall,
     }
     if failures:
         out["failures"] = failures

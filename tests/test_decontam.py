@@ -209,3 +209,51 @@ def test_bpe_pattern_parity_spark_vs_duckdb(spark):
             "SELECT regexp_extract_all(?, ?)", [s, BPE_SPLIT_PATTERN]
         ).fetchone()[0]
         assert got[i] == want, f"{s!r}: spark={got[i]} duckdb={want}"
+
+
+def test_pii_pattern_parity_spark_vs_duckdb(spark):
+    """text_pii_redact's oracle chains the SAME regexes through DuckDB
+    regexp_replace, so the patterns must mean the same thing to Java
+    regex and RE2.  Fuzz the shared-subset claim over seeded strings
+    mixing real PII shapes, near-misses, and noise."""
+    import random
+
+    import duckdb
+
+    from mongo2mysql_spark.functions.text import PII_PATTERNS, redact_pii
+
+    rng = random.Random(20260814)
+    pieces = [
+        "visit https://a.example.com/x?q=1 now",
+        "http://bare.host/path,trailing",
+        "mail a.b-c+d@sub.domain.org today",
+        "not-an-email @domain.com",
+        "call +1 (555) 010-4242 or",
+        "numbers 12345 123456 1234567,",
+        "dashed 555-010-4242 555.010.4242",
+        "ip 10.0.0.1 port 8080;",
+        "plain words only here",
+        "unicode naïve café 漢字",
+        "parens (123) 456 7890 end",
+        "short 1-2 3-4",
+    ]
+    strings = [
+        " ".join(rng.choice(pieces) for _ in range(rng.randint(1, 6)))
+        for _ in range(200)
+    ]
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(strings)], "i: int, s: string"
+    )
+    got = {
+        r["i"]: r["red"]
+        for r in df.select("i", redact_pii(F.col("s")).alias("red")).collect()
+    }
+    con = duckdb.connect()
+    expr = "?"
+    params_tail = []
+    for pattern, token in PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pattern}', '{token}', 'g')"
+    for i, s in enumerate(strings):
+        want = con.execute(f"SELECT {expr}", [s]).fetchone()[0]
+        assert got[i] == want, f"{s!r}:\n spark={got[i]!r}\n duck ={want!r}"
