@@ -286,3 +286,17 @@ def test_registry_sweep_no_cartesian_no_global_window(spark):
         if bad:
             problems.append(f"{name}: unpartitioned Window: {bad[0].strip()[:120]}")
     assert not problems, "\n".join(problems)
+
+
+def test_winnow_staging_survives_optimizer(spark):
+    """text_winnow_fingerprints stages tokens and the shingle-hash array
+    as their own projections so the window-min lambda slices a bound
+    column.  If CollapseProject ever re-inlines them (alias vanishing
+    from the optimized plan), the md5 array is rebuilt once per window —
+    an O(n^2)-per-document regression measured at 17x wall time."""
+    from mongo2mysql_spark.queries.text import text_winnow_fingerprints
+
+    df = text_winnow_fingerprints(spark, SF_DIR)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "__hs" in optimized, "hash-array staging collapsed into the consumer"
+    assert "__t" in optimized, "token staging collapsed into the consumer"
