@@ -439,3 +439,56 @@ def test_top_ngram_fraction_matches_python(spark):
         cnt = Counter(grams)
         best = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
         assert got[r["doc_id"]] == (best[0], best[1], len(grams)), r["doc_id"]
+
+
+# ------------------------------------------------------------------ k-means
+
+
+def test_kmeans_inertia_non_increasing_and_deterministic(spark):
+    """Lloyd iteration over the fixture embeddings: per-round inertia
+    (mean 1-cosine to the assigned centroid) never increases, the fit
+    is reproducible run-to-run, and k-means centroids beat the raw
+    stride init they start from."""
+    from mongo2mysql_spark.operators.kmeans import kmeans_assign, kmeans_fit
+    from mongo2mysql_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    cents, hist = kmeans_fit(e, "vec_id", "embedding", init_stride=97, max_iter=4)
+    assert len(hist) >= 2
+    assert all(b <= a + 1e-9 for a, b in zip(hist, hist[1:])), hist
+    assert hist[-1] < hist[0]  # improved over the stride init
+
+    cents2, hist2 = kmeans_fit(e, "vec_id", "embedding", init_stride=97, max_iter=4)
+    assert hist == hist2
+    c1 = sorted((r["centroid_id"], tuple(r["embedding"])) for r in cents.collect())
+    c2 = sorted((r["centroid_id"], tuple(r["embedding"])) for r in cents2.collect())
+    assert c1 == c2
+
+
+def test_kmeans_assignment_is_nearest_centroid(spark):
+    """Every vector's assigned centroid is its true nearest (rounded
+    cosine, centroid-id tiebreak) among the fitted centroids."""
+    import math
+
+    from mongo2mysql_spark.operators.kmeans import kmeans_assign, kmeans_fit
+    from mongo2mysql_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    e = load_table(spark, SF_DIR, "embeddings").limit(60)
+    cents, _ = kmeans_fit(e, "vec_id", "embedding", init_stride=20, max_iter=2)
+    got = {
+        r["vec_id"]: r["centroid_id"]
+        for r in kmeans_assign(e, cents, "vec_id", "embedding").collect()
+    }
+    cent_rows = [(r["centroid_id"], list(r["embedding"])) for r in cents.collect()]
+    for r in e.collect():
+        v = list(r["embedding"])
+        nv = math.sqrt(sum(x * x for x in v))
+
+        def cos(c):
+            dot = sum(x * y for x, y in zip(v, c))
+            return round(dot / (nv * math.sqrt(sum(y * y for y in c))), 6)
+
+        best = min(((-cos(c), cid) for cid, c in cent_rows))[1]
+        assert got[r["vec_id"]] == best
