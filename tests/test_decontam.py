@@ -257,3 +257,31 @@ def test_pii_pattern_parity_spark_vs_duckdb(spark):
     for i, s in enumerate(strings):
         want = con.execute(f"SELECT {expr}", [s]).fetchone()[0]
         assert got[i] == want, f"{s!r}:\n spark={got[i]!r}\n duck ={want!r}"
+
+
+def test_winnow_property_fuzz_vs_python_reference(spark):
+    """Hypothesis-style seeded fuzz (fixed corpus, one Spark job): the
+    staged winnow pipeline equals the pure-Python reference on random
+    token lists across the k/w boundary regimes (empty, < k, < w+k-1,
+    repeated tokens, long)."""
+    import random
+
+    from pyspark.sql import Row
+
+    from mongo2mysql_spark.functions.text import winnow_fingerprints
+
+    rng = random.Random(20260815)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for i in range(120):
+        n = rng.choice([0, 1, 3, 4, 5, 7, 8, 9, 20, rng.randint(0, 60)])
+        rows.append(Row(doc_id=i, text=" ".join(rng.choice(vocab) for _ in range(n))))
+    out = {
+        r["doc_id"]: list(r["fp"])
+        for r in spark.createDataFrame(rows)
+        .select("doc_id", winnow_fingerprints(F.split("text", " "), k=5, w=4).alias("fp"))
+        .collect()
+    }
+    for row in rows:
+        toks = row.text.split(" ") if row.text else [""]
+        assert out[row.doc_id] == _winnow_ref(toks, 5, 4), (row.doc_id, row.text)
