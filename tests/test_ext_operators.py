@@ -526,3 +526,91 @@ def test_ivf_with_kmeans_centroids(spark):
     km_recall = recall(km)
     assert km_recall >= stride_recall - 0.2  # same bucketing family
     assert 0.0 < km_recall <= 1.0
+
+
+# ------------------------------------------------------------------ chunking
+
+
+def _chunk_ref(toks, chunk_tokens, overlap):
+    step = chunk_tokens - overlap
+    if not toks or toks == [""]:
+        return []
+    out, start = [], 0
+    while True:
+        out.append(toks[start : start + chunk_tokens])
+        start += step
+        if start > max(len(toks) - overlap - 1, 0):
+            break
+    return out
+
+
+def test_chunking_matches_reference_and_covers_all_tokens(spark):
+    import random
+
+    from pyspark.sql import Row
+
+    from mongo2mysql_spark.operators.chunking import chunk_documents
+
+    rng = random.Random(20260816)
+    rows = [
+        Row(doc_id=i, text=" ".join(f"t{j}" for j in range(n)))
+        for i, n in enumerate(
+            [0, 1, 15, 16, 17, 63, 64, 65, 80, 112, 113, 200]
+            + [rng.randint(0, 300) for _ in range(20)]
+        )
+    ]
+    got = {}
+    for r in (
+        chunk_documents(spark.createDataFrame(rows), chunk_tokens=64, overlap=16)
+        .collect()
+    ):
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["chunk_text"], r["n_chunk_tokens"], r["start_token"])
+        )
+    for row in rows:
+        toks = row.text.split(" ") if row.text else [""]
+        want = _chunk_ref(toks, 64, 16)
+        chunks = sorted(got.get(row.doc_id, []))
+        assert len(chunks) == len(want), (row.doc_id, len(chunks), len(want))
+        covered = set()
+        for (idx, text, n, start), w in zip(chunks, want):
+            assert text.split(" ") == w if text else w == [""] or w == []
+            assert n == len(w)
+            covered.update(range(start, start + n))
+        if want:
+            # every token position is inside at least one chunk
+            assert covered == set(range(1, len(toks) + 1)), row.doc_id
+            # consecutive chunks overlap by exactly `overlap` (except a
+            # short tail, which is allowed to overlap more)
+            for (i1, _, n1, s1), (i2, _, n2, s2) in zip(chunks, chunks[1:]):
+                assert s2 - s1 == 48
+
+
+def test_chunking_duckdb_component_oracle(spark):
+    """Cross-engine restatement: generate_series start positions +
+    list_slice chunks in DuckDB must equal the operator on the real
+    corpus (same contract style as the decontam component oracle)."""
+    import duckdb
+
+    from mongo2mysql_spark.operators.chunking import chunk_documents
+    from mongo2mysql_spark.sources import load_table
+    from tests.oracle_utils import compare, duck_connection
+
+    docs = load_table(spark, SF, "documents")
+    out = chunk_documents(docs, chunk_tokens=40, overlap=8)
+    con = duck_connection(SF)
+    oracle = """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+    s AS (SELECT doc_id, tok, len(tok) AS n FROM t),
+    starts AS (
+      SELECT doc_id, tok,
+             unnest(range(1, greatest(n - 8, 1) + 1, 32)) AS start_token,
+             generate_subscripts(range(1, greatest(n - 8, 1) + 1, 32), 1) - 1 AS chunk_idx
+      FROM s WHERE n > 0 AND NOT (n = 1 AND tok[1] = ''))
+    SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+           array_to_string(list_slice(tok, start_token, start_token + 39), ' ') AS chunk_text,
+           CAST(len(list_slice(tok, start_token, start_token + 39)) AS INTEGER) AS n_chunk_tokens,
+           CAST(start_token AS INTEGER) AS start_token
+    FROM starts
+    """
+    assert compare(out, con, oracle) == []
