@@ -92,6 +92,37 @@ def minhash_signature(df: DataFrame, id_col: str, shingles: Column, k: int = 16)
     return ex.groupBy(id_col).agg(*aggs)
 
 
+def _band_melt(sig: DataFrame, id_col: str, k: int, bands: int) -> DataFrame:
+    """(id, band_idx, band_hash) — 3 narrow columns into the band join."""
+    r = k // bands
+    band_exprs = [
+        F.md5(F.concat_ws("|", *[F.col(f"mh{b * r + j}") for j in range(r)]))
+        for b in range(bands)
+    ]
+    return sig.select(
+        id_col,
+        F.posexplode(F.array(*band_exprs)).alias("__band_idx", "__band_hash"),
+    )
+
+
+def _est_jaccard_pairs(
+    cand: DataFrame, sig: DataFrame, id_col: str, k: int, min_est_jaccard: float
+) -> DataFrame:
+    """Rejoin full signatures to deduplicated candidate pairs and
+    threshold on estimated Jaccard (fraction of equal minhashes)."""
+    sa = sig.select(F.col(id_col).alias("id_1"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(k)])
+    sb = sig.select(F.col(id_col).alias("id_2"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(k)])
+    pairs = cand.join(sa, "id_1").join(sb, "id_2")
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(k)
+    )
+    est = (matches.cast("double") / F.lit(float(k))).alias("est_jaccard")
+    return (
+        pairs.select("id_1", "id_2", est)
+        .filter(F.col("est_jaccard") >= min_est_jaccard)
+    )
+
+
 def lsh_candidate_pairs(
     sig: DataFrame, id_col: str, k: int = 16, bands: int = 8,
     min_est_jaccard: float = 0.5,
@@ -110,21 +141,13 @@ def lsh_candidate_pairs(
     signature and banding phases of a production pipeline).
     """
     assert k % bands == 0
-    r = k // bands
     sig = sig.persist()
     # Melt ONLY (id, band_idx, band_hash) into the band self-join — the
     # band shuffle rows are 3 columns wide, not 3+k.  Full signatures
     # rejoin AFTER candidate-pair dedup, so the k minhash columns cross
     # the wire once per doc (signature join) instead of bands× per doc
     # (melt) plus 2k× per candidate (pair dedup).
-    band_exprs = [
-        F.md5(F.concat_ws("|", *[F.col(f"mh{b * r + j}") for j in range(r)]))
-        for b in range(bands)
-    ]
-    melted = sig.select(
-        id_col,
-        F.posexplode(F.array(*band_exprs)).alias("__band_idx", "__band_hash"),
-    )
+    melted = _band_melt(sig, id_col, k, bands)
     a = melted.alias("a")
     b = melted.alias("b")
     cand = (
@@ -140,17 +163,61 @@ def lsh_candidate_pairs(
         )
         .dropDuplicates(["id_1", "id_2"])
     )
-    sa = sig.select(F.col(id_col).alias("id_1"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(k)])
-    sb = sig.select(F.col(id_col).alias("id_2"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(k)])
-    pairs = cand.join(sa, "id_1").join(sb, "id_2")
-    matches = sum(
-        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(k)
+    return _est_jaccard_pairs(cand, sig, id_col, k, min_est_jaccard)
+
+
+def lsh_incremental_pairs(
+    corpus_sig: DataFrame,
+    new_sig: DataFrame,
+    id_col: str,
+    k: int = 16,
+    bands: int = 8,
+    min_est_jaccard: float = 0.5,
+) -> DataFrame:
+    """Incremental near-dup detection: candidate pairs touching the NEW
+    batch only — (new x corpus) plus (new x new) — never re-pairing
+    corpus x corpus.
+
+    The daily-ingest shape of every production dedup pipeline: the
+    corpus signature store persists between runs (k longs + id per
+    document — `minhash_signature` output staged to parquet), each
+    ingest computes signatures for its batch alone and band-joins
+    against the store.  Per-ingest cost is proportional to the BATCH,
+    not the corpus: the corpus side of the band join is a narrow
+    3-column melt that never self-joins, and at 100 TB the band-hash
+    join is an equi-join Spark shuffles (or bucket-joins, if the store
+    is written bucketed by band hash) as usual.
+
+    Ids must be disjoint between the two frames (enforced by the
+    caller's id allocation).  Pair ids are normalized (id_1 < id_2) so
+    output composes with `connected_components` and the batch-mode
+    `lsh_candidate_pairs` results: running this incrementally over a
+    partition of the corpus and unioning yields exactly the full-run
+    pair set (asserted in tests).
+    """
+    assert k % bands == 0
+    new_sig = new_sig.persist()
+    union_sig = corpus_sig.unionByName(new_sig).persist()
+    melt_new = _band_melt(new_sig, id_col, k, bands)
+    melt_all = _band_melt(union_sig, id_col, k, bands)
+    n = melt_new.alias("n")
+    o = melt_all.alias("o")
+    # new side vs (corpus + new): catches new-corpus AND new-new pairs;
+    # the a<b normalization dedups the new-new pairs seen from both ends
+    cand = (
+        n.join(
+            o,
+            (F.col("n.__band_idx") == F.col("o.__band_idx"))
+            & (F.col("n.__band_hash") == F.col("o.__band_hash"))
+            & (F.col(f"n.{id_col}") != F.col(f"o.{id_col}")),
+        )
+        .select(
+            F.least(F.col(f"n.{id_col}"), F.col(f"o.{id_col}")).alias("id_1"),
+            F.greatest(F.col(f"n.{id_col}"), F.col(f"o.{id_col}")).alias("id_2"),
+        )
+        .dropDuplicates(["id_1", "id_2"])
     )
-    est = (matches.cast("double") / F.lit(float(k))).alias("est_jaccard")
-    return (
-        pairs.select("id_1", "id_2", est)
-        .filter(F.col("est_jaccard") >= min_est_jaccard)
-    )
+    return _est_jaccard_pairs(cand, union_sig, id_col, k, min_est_jaccard)
 
 
 # ------------------------------------------------------------------ simhash

@@ -614,3 +614,42 @@ def test_chunking_duckdb_component_oracle(spark):
     FROM starts
     """
     assert compare(out, con, oracle) == []
+
+
+def test_incremental_lsh_equals_full_run(spark):
+    """Partition the corpus into 'yesterday' and 'today'; incremental
+    pairs (today vs store + today vs today) unioned with yesterday's
+    full-run pairs must equal the full-run pairs over everything —
+    the invariant that makes signature-store ingest sound."""
+    from mongo2mysql_spark.functions.text import tokens, word_shingles
+    from mongo2mysql_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        lsh_incremental_pairs,
+        minhash_signature,
+    )
+    from mongo2mysql_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    sig = minhash_signature(
+        docs, "doc_id", word_shingles(tokens(F.col("text")), 3), k=16
+    ).persist()
+    old_sig = sig.filter(F.col("doc_id") % 3 != 0)
+    new_sig = sig.filter(F.col("doc_id") % 3 == 0)
+
+    full = {
+        (r["id_1"], r["id_2"], r["est_jaccard"])
+        for r in lsh_candidate_pairs(sig, "doc_id", min_est_jaccard=0.5).collect()
+    }
+    old_only = {
+        (r["id_1"], r["id_2"], r["est_jaccard"])
+        for r in lsh_candidate_pairs(old_sig, "doc_id", min_est_jaccard=0.5).collect()
+    }
+    incr = {
+        (r["id_1"], r["id_2"], r["est_jaccard"])
+        for r in lsh_incremental_pairs(
+            old_sig, new_sig, "doc_id", min_est_jaccard=0.5
+        ).collect()
+    }
+    assert old_only | incr == full
+    assert old_only & incr == set()  # incremental never re-reports store pairs
