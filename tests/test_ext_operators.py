@@ -653,3 +653,45 @@ def test_incremental_lsh_equals_full_run(spark):
     }
     assert old_only | incr == full
     assert old_only & incr == set()  # incremental never re-reports store pairs
+
+
+def test_chunk_embed_search_pipeline_composes(spark):
+    """The full retrieval-prep pipeline in one plan: documents ->
+    overlapping chunks -> (fake) feature extraction per chunk ->
+    brute-force cosine top-k over chunk embeddings.  Asserts the
+    operator family's schemas compose without adapters and results are
+    deterministic across runs."""
+    from mongo2mysql_spark.operators.chunking import chunk_documents
+    from mongo2mysql_spark.operators.multimodal import extract_features, payload_frame
+    from mongo2mysql_spark.operators.similarity import topk_bruteforce
+    from mongo2mysql_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").limit(40)
+    chunks = chunk_documents(docs, chunk_tokens=32, overlap=8)
+    # stable global chunk id: doc_id * 1000 + chunk_idx
+    keyed = chunks.select(
+        (F.col("doc_id") * 1000 + F.col("chunk_idx")).alias("chunk_id"),
+        "chunk_text",
+    )
+    payloads = payload_frame(
+        keyed, F.col("chunk_id"), F.encode(F.col("chunk_text"), "UTF-8"),
+        F.lit("text/plain"),
+    )
+    embedded = extract_features(payloads, dim=16).select(
+        F.col("media_id").alias("chunk_id"), F.col("features")
+    )
+    queries = embedded.filter(F.col("chunk_id") % 7000 == 0)
+    assert queries.count() > 0
+
+    def run():
+        return sorted(
+            (r["query_id"], r["rank"], r["neighbor_id"], r["cosine"])
+            for r in topk_bruteforce(
+                embedded, queries, "chunk_id", "features", k=3
+            ).collect()
+        )
+
+    first = run()
+    assert len(first) > 0
+    assert first == run()  # deterministic end-to-end
