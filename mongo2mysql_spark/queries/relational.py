@@ -285,9 +285,24 @@ def agg_histogram_price_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_approx_sketches",
-    None,  # sketch internals differ engine-to-engine → rows-only check;
-    # the within_tol_* columns carry the accuracy contract and are
-    # asserted in tests/test_misc_operators.py
+    """
+    SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           quantile_cont(l_extendedprice, 0.5) AS exact_p50,
+           quantile_cont(l_extendedprice, 0.9) AS exact_p90,
+           TRUE AS within_tol_orders,
+           TRUE AS within_tol_parts,
+           TRUE AS within_tol_p50,
+           TRUE AS within_tol_p90,
+           TRUE AS within_tol_merged
+    FROM lineitem
+    """,
+    # Sketch ESTIMATES are engine-specific (HLL++/KLL internals), so the
+    # raw approx values cannot cross-check against DuckDB.  The oracle
+    # instead restates the exact aggregates (genuinely cross-engine) and
+    # states the tolerance verdicts as TRUE literals — an ASSERTION the
+    # hash compare enforces: the row only matches when every Spark-side
+    # sketch landed inside its documented error bound.
     doc=(
         "approximate aggregation sketches — the 100 TB path where exact "
         "distinct/percentile would shuffle every value: approx_count_distinct "
@@ -327,7 +342,10 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rel = lambda a, e: F.abs(F.col(a) - F.col(e)) / F.col(e)  # noqa: E731
     return agg.crossJoin(F.broadcast(merged)).select(
-        "*",
+        "exact_orders",
+        "exact_parts",
+        "exact_p50",
+        "exact_p90",
         (rel("approx_orders", "exact_orders") <= 0.05).alias("within_tol_orders"),
         (rel("approx_parts", "exact_parts") <= 0.05).alias("within_tol_parts"),
         (rel("approx_p50", "exact_p50") <= 0.01).alias("within_tol_p50"),
