@@ -549,3 +549,98 @@ def test_events_ts_normalized_for_both_parquet_shapes(spark, tmp_path):
         )
         sgot = sorted((r["event_id"], r["ts"].isoformat()) for r in sdf.collect())
         assert sgot == expected, name
+
+
+def test_resample_interpolate_and_locf(spark):
+    """Resample/gap-fill vs a hand-computed grid: observed buckets keep
+    exact averages, interior gaps interpolate linearly, the trailing
+    edge falls back to locf, and single-observation keys emit one row."""
+    from datetime import datetime, timezone
+
+    from mongo2mysql_spark.operators.resample import resample_interpolate
+
+    def ts(h):
+        return datetime(2024, 1, 1, h, tzinfo=timezone.utc)
+
+    rows = [
+        # key 1: obs at hours 0 (v=10, two obs averaging 10) and 3 (v=40)
+        (1, ts(0), 8.0), (1, ts(0), 12.0), (1, ts(3), 40.0),
+        # key 2: single observation
+        (2, ts(5), 7.0),
+    ]
+    df = spark.createDataFrame(rows, "key long, ts timestamp, v double")
+    out = {
+        (r["key"], r["bucket_start"].hour): (r["value"], r["n_obs"], r["filled"])
+        for r in resample_interpolate(df, "key", "ts", "v", 3600).collect()
+    }
+    assert out[(1, 0)] == (10.0, 2, False)
+    assert out[(1, 1)] == (20.0, 0, True)   # 10 + (40-10)*1/3
+    assert out[(1, 2)] == (30.0, 0, True)
+    assert out[(1, 3)] == (40.0, 1, False)
+    assert out[(2, 5)] == (7.0, 1, False)
+    assert len(out) == 5
+
+    locf = {
+        (r["key"], r["bucket_start"].hour): r["value"]
+        for r in resample_interpolate(df, "key", "ts", "v", 3600, method="locf").collect()
+    }
+    assert locf[(1, 1)] == 10.0 and locf[(1, 2)] == 10.0
+
+
+def test_resample_matches_python_reference_on_events(spark):
+    """Cross-check on the real events table (purchase values per user,
+    6h buckets) against a pure-Python reference."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from mongo2mysql_spark.operators.resample import resample_interpolate
+    from mongo2mysql_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events").filter(
+        (F.col("event_type") == "purchase") & (F.col("user_id") < 40)
+    )
+    got = {
+        (r["key"], int(r["bucket_start"].timestamp())): (
+            round(r["value"], 6), r["n_obs"], r["filled"]
+        )
+        for r in resample_interpolate(ev, "user_id", "ts", "value", 21600).collect()
+    }
+    rows = ev.select("user_id", "ts", "value").collect()
+    obs = defaultdict(list)
+    for r in rows:
+        obs[(r["user_id"], int(r["ts"].timestamp()) // 21600)].append(r["value"])
+    want = {}
+    by_key = defaultdict(list)
+    for (u, b), vs in obs.items():
+        by_key[u].append(b)
+    for u, buckets in by_key.items():
+        lo, hi = min(buckets), max(buckets)
+        observed = sorted(set(buckets))
+        for b in range(lo, hi + 1):
+            if (u, b) in obs:
+                vs = obs[(u, b)]
+                avg = float(round(sum(Decimal(str(v)) for v in vs) / len(vs), 6))
+                want[(u, b * 21600)] = (round(avg, 6), len(vs), False)
+            else:
+                prev = max(x for x in observed if x < b)
+                nxts = [x for x in observed if x > b]
+                pv = want[(u, prev * 21600)][0]
+                if nxts:
+                    nb = min(nxts)
+                    nv_vs = obs[(u, nb)]
+                    nv = float(round(sum(Decimal(str(v)) for v in nv_vs) / len(nv_vs), 6))
+                    val = float(
+                        round(
+                            Decimal(str(pv))
+                            + (Decimal(str(nv)) - Decimal(str(pv)))
+                            * (b - prev) / (nb - prev),
+                            6,
+                        )
+                    )
+                else:
+                    val = pv
+                want[(u, b * 21600)] = (round(val, 6), 0, True)
+    assert set(got) == set(want)
+    mism = {k: (got[k], want[k]) for k in want if got[k] != want[k]}
+    assert not mism, list(mism.items())[:3]
