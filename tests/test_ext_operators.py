@@ -695,3 +695,41 @@ def test_chunk_embed_search_pipeline_composes(spark):
     first = run()
     assert len(first) > 0
     assert first == run()  # deterministic end-to-end
+
+
+def test_lsh_recall_vs_exact_jaccard_ground_truth(spark):
+    """Quality evaluation, not just determinism: MinHash-LSH candidates
+    must recover a high fraction of the TRUE high-similarity pairs
+    (exact 3-gram Jaccard >= 0.7 as ground truth) at a reasonable
+    per-pair precision proxy (est_jaccard within 0.25 of exact)."""
+    from mongo2mysql_spark.functions.text import tokens, word_shingles
+    from mongo2mysql_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signature,
+        ngram_jaccard_pairs,
+    )
+    from mongo2mysql_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    exact = {
+        (r["id_1"], r["id_2"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", word_shingles(tokens(F.col("text")), 3), min_jaccard=0.7
+        ).collect()
+    }
+    assert exact, "fixture must contain planted near-dups"
+    sig = minhash_signature(
+        docs, "doc_id", word_shingles(tokens(F.col("text")), 3), k=16
+    )
+    lsh = {
+        (r["id_1"], r["id_2"]): r["est_jaccard"]
+        for r in lsh_candidate_pairs(sig, "doc_id", min_est_jaccard=0.3).collect()
+    }
+    hit = set(exact) & set(lsh)
+    recall = len(hit) / len(exact)
+    assert recall >= 0.9, (recall, len(exact))
+    # estimate quality on recovered pairs
+    errs = [abs(lsh[p] - exact[p]) for p in hit]
+    assert sum(errs) / len(errs) <= 0.15
+    assert max(errs) <= 0.35
