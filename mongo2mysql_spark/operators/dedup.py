@@ -53,6 +53,23 @@ def content_hash(col: Column) -> Column:
     return F.sha2(col, 256)
 
 
+def dedup_exact_incremental(
+    new_df: DataFrame, store_keys: DataFrame, cols: list[str], order_col: str
+) -> DataFrame:
+    """Per-ingest exact dedup against a persisted key store: drop new
+    rows whose dedup key already exists in the store, then dedup the
+    batch internally (rank-based, same representative rule as
+    `dedup_exact`).  The store is just the distinct ``cols`` of
+    everything previously admitted — at 100 TB a parquet table of
+    64-char hashes, a left-anti equi-join away.  Survivors' keys are
+    what the caller appends back to the store; running this per
+    partition of a corpus and unioning admits exactly the same rows as
+    one full-corpus `dedup_exact` pass when earlier partitions carry
+    the smaller ``order_col`` values (asserted in tests)."""
+    fresh = new_df.join(store_keys.select(*cols), cols, "left_anti")
+    return dedup_exact(fresh, cols, order_col)
+
+
 # ------------------------------------------------------------------ minhash
 
 

@@ -733,3 +733,31 @@ def test_lsh_recall_vs_exact_jaccard_ground_truth(spark):
     errs = [abs(lsh[p] - exact[p]) for p in hit]
     assert sum(errs) / len(errs) <= 0.15
     assert max(errs) <= 0.35
+
+
+def test_incremental_exact_dedup_equals_full_run(spark):
+    """Admit the corpus in two id-ordered ingests through the key-store
+    path; admitted rows must equal one full-corpus dedup_exact pass."""
+    from mongo2mysql_spark.functions.text import fingerprint, tokens
+    from mongo2mysql_spark.operators.dedup import (
+        dedup_exact,
+        dedup_exact_incremental,
+    )
+    from mongo2mysql_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", fingerprint(tokens(F.col("text"))).alias("fp")
+    )
+    full = {r["doc_id"] for r in dedup_exact(docs, ["fp"], "doc_id").collect()}
+
+    first = docs.filter(F.col("doc_id") < 250)
+    second = docs.filter(F.col("doc_id") >= 250)
+    empty_store = first.select("fp").limit(0)
+    admitted1 = dedup_exact_incremental(first, empty_store, ["fp"], "doc_id")
+    store = admitted1.select("fp")
+    admitted2 = dedup_exact_incremental(second, store, ["fp"], "doc_id")
+    incremental = {r["doc_id"] for r in admitted1.collect()} | {
+        r["doc_id"] for r in admitted2.collect()
+    }
+    assert incremental == full
