@@ -171,3 +171,67 @@ def test_streaming_dedup_matches_batch_distinct(spark):
     assert got.count() == expected
     # every surviving (key) pair is unique
     assert got.select("user_id", "event_type").distinct().count() == expected
+
+
+def test_checkpoint_recovery_exactly_once(spark, tmp_path):
+    """Restart semantics: a checkpointed stream picks up only NEW files
+    after a stop/restart, and the REPLACE-keyed sink makes the final
+    state equal the batch computation with no double counting — even
+    across a third restart with no new data."""
+    import sqlite3
+
+    from mongo2mysql_spark.sources.jdbc import upsert_sql
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    db = str(tmp_path / "t.db")
+    conn = sqlite3.connect(db)
+    conn.execute("CREATE TABLE counts (k TEXT PRIMARY KEY, n INT)")
+    conn.commit()
+    conn.close()
+
+    schema = "k string, v long"
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / name))
+
+    def run_stream():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(str(src))
+        )
+        agg = stream.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+        sql = upsert_sql("counts", ["k", "n"])
+
+        def sink(batch_df, _epoch, _db=db, _sql=sql):
+            rows = [tuple(r) for r in batch_df.collect()]
+            c = sqlite3.connect(_db)
+            c.executemany(_sql, rows)
+            c.commit()
+            c.close()
+
+        q = (
+            agg.writeStream.outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(sink)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    write_batch("b1", [("a", 1), ("a", 2), ("b", 3)])
+    run_stream()
+    write_batch("b2", [("a", 4), ("c", 5)])
+    run_stream()  # restart from checkpoint: must see ONLY b2 as new
+    run_stream()  # restart with nothing new: must change nothing
+
+    conn = sqlite3.connect(db)
+    got = dict(conn.execute("SELECT k, n FROM counts").fetchall())
+    conn.close()
+    assert got == {"a": 3, "b": 1, "c": 1}
