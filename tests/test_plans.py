@@ -300,3 +300,24 @@ def test_winnow_staging_survives_optimizer(spark):
     optimized = df._jdf.queryExecution().optimizedPlan().toString()
     assert "__hs" in optimized, "hash-array staging collapsed into the consumer"
     assert "__t" in optimized, "token staging collapsed into the consumer"
+
+
+def test_registry_schema_stable_across_scale_factors(spark):
+    """Every registered query must produce the SAME schema at sf0.001
+    and sf0.01 — a schema that drifts with data scale (pivot value
+    discovery, inferred JSON fields, type widening differences) would
+    pass local tests and break the driver gate.  Plan-only: no query
+    executes."""
+    problems = []
+    for name, q in sorted(REGISTRY.items()):
+        if name.startswith("streaming_"):
+            continue
+        try:
+            s1 = q.fn(spark, "/root/testdata/sf0.001").schema
+            s2 = q.fn(spark, "/root/testdata/sf0.01").schema
+        except Exception as exc:  # noqa: BLE001
+            problems.append(f"{name}: build error {str(exc)[:100]}")
+            continue
+        if s1 != s2:
+            problems.append(f"{name}: sf0.001={s1.simpleString()[:120]} vs sf0.01={s2.simpleString()[:120]}")
+    assert not problems, "\n".join(problems)
