@@ -761,3 +761,83 @@ def test_incremental_exact_dedup_equals_full_run(spark):
         r["doc_id"] for r in admitted2.collect()
     }
     assert incremental == full
+
+
+# --------------------------------------------------------------------- bpe
+
+
+def _bpe_ref(word_counts, n_merges, min_pair_count=2):
+    """Pure-Python Sennrich BPE reference (count desc, pair-lex asc)."""
+    from collections import Counter
+
+    state = {tuple(list(w) + ["</w>"]): n for w, n in word_counts.items()}
+    merges = []
+    for _ in range(n_merges):
+        pairs = Counter()
+        for sym, n in state.items():
+            for a, b in zip(sym, sym[1:]):
+                pairs[(a, b)] += n
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], f"{kv[0][0]} {kv[0][1]}"))
+        (a, b), c = best
+        if c < min_pair_count:
+            break
+        merges.append((a, b, c))
+        new_state = {}
+        for sym, n in state.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            new_state[tuple(out)] = new_state.get(tuple(out), 0) + n
+        state = new_state
+    return merges
+
+
+def test_bpe_learn_matches_python_reference(spark):
+    """Merge sequence parity with the classic Sennrich reference on the
+    textbook corpus AND on a random seeded corpus."""
+    import random
+
+    from mongo2mysql_spark.operators.bpe import learn_merges, word_freq_table
+
+    corpora = [
+        {"low": 5, "lower": 2, "newest": 6, "widest": 3},
+    ]
+    rng = random.Random(20260817)
+    vocab = ["".join(rng.choice("abcdef") for _ in range(rng.randint(1, 6))) for _ in range(40)]
+    corpora.append({w: rng.randint(1, 20) for w in set(vocab)})
+
+    for wc in corpora:
+        text = " ".join(w for w, n in sorted(wc.items()) for _ in range(n))
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        got = learn_merges(word_freq_table(df), n_merges=12)
+        want = _bpe_ref(wc, 12)
+        assert got == want, (got, want)
+
+
+def test_bpe_apply_consistent_with_training_fuse(spark):
+    """Encoding the training text with the learned merges yields symbol
+    streams whose concatenation restores the original words exactly
+    (lossless), and every emitted symbol is either a learned merge
+    product or a single character / terminal."""
+    from mongo2mysql_spark.operators.bpe import (
+        apply_merges,
+        learn_merges,
+        word_freq_table,
+    )
+
+    text = "low low low low low lower lower newest newest newest newest newest newest widest widest widest"
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    merges = learn_merges(word_freq_table(df), n_merges=8)
+    syms = apply_merges(df, merges).first()["bpe_symbols"]
+    rejoined = "".join(syms).replace("</w>", " ").strip()
+    assert rejoined == text
+    products = {a + b for a, b, _ in merges}
+    for s in syms:
+        assert s in products or len(s.replace("</w>", "")) <= 1, s
