@@ -644,3 +644,54 @@ def test_resample_matches_python_reference_on_events(spark):
     assert set(got) == set(want)
     mism = {k: (got[k], want[k]) for k in want if got[k] != want[k]}
     assert not mism, list(mism.items())[:3]
+
+
+def test_countmin_guarantees_and_merge(spark):
+    """Count-min invariants on the real events table: estimates never
+    undercount, error stays within the (e/width)*N bound for every key,
+    per-half sketch partials merge to exactly the full sketch, and
+    heavy_hitters returns a superset of the true heavy keys."""
+    import math
+
+    from mongo2mysql_spark.operators.sketches import (
+        countmin_build,
+        countmin_estimate,
+        countmin_merge,
+        heavy_hitters,
+    )
+    from mongo2mysql_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events")
+    key = F.col("user_id")
+    n = ev.count()
+    exact = {r["user_id"]: r["cnt"] for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+
+    sk = countmin_build(ev, key, depth=4, width=256)
+    assert sk.count() <= 4 * 256
+    est = {
+        r["key"]: r["est"]
+        for r in countmin_estimate(
+            ev.select(key.alias("key")).distinct(), sk, F.col("key"),
+            depth=4, width=256,
+        ).collect()
+    }
+    bound = math.e / 256 * n
+    for k, true in exact.items():
+        assert est[k] >= true, (k, est[k], true)
+        assert est[k] <= true + bound, (k, est[k], true, bound)
+
+    # mergeability: half-sketches add to the full sketch exactly
+    h1 = countmin_build(ev.filter(key % 2 == 0), key, depth=4, width=256)
+    h2 = countmin_build(ev.filter(key % 2 == 1), key, depth=4, width=256)
+    merged = {
+        (r["d"], r["bucket"]): r["c"] for r in countmin_merge(h1, h2).collect()
+    }
+    full = {(r["d"], r["bucket"]): r["c"] for r in sk.collect()}
+    assert merged == full
+
+    # heavy hitters: superset of true phi-heavy keys
+    phi = 0.02
+    true_heavy = {k for k, c in exact.items() if c >= phi * n}
+    got_heavy = {r["key"] for r in heavy_hitters(ev, key, phi=phi, width=256).collect()}
+    assert true_heavy <= got_heavy
