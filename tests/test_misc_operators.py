@@ -695,3 +695,36 @@ def test_countmin_guarantees_and_merge(spark):
     true_heavy = {k for k, c in exact.items() if c >= phi * n}
     got_heavy = {r["key"] for r in heavy_hitters(ev, key, phi=phi, width=256).collect()}
     assert true_heavy <= got_heavy
+
+
+def test_targeted_salted_join_matches_plain(spark):
+    """Sketch-detected hot keys drive targeted salting; the result must
+    equal the plain inner join row-for-row, and only hot-key rows of
+    the small side replicate."""
+    from mongo2mysql_spark.operators.sketches import heavy_hitters
+    from mongo2mysql_spark.operators.skew import salted_join_targeted
+    from mongo2mysql_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events")
+    cust = load_table(spark, SF_DIR, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    hot = heavy_hitters(ev, F.col("user_id"), phi=0.01, width=256).select(
+        F.col("key").alias("user_id")
+    )
+    assert hot.count() > 0
+
+    plain = (
+        ev.join(cust, "user_id")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    salted = (
+        salted_join_targeted(ev, cust, "user_id", hot, salt_buckets=4)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    p = {(r["user_id"], r["n"]) for r in plain.collect()}
+    s = {(r["user_id"], r["n"]) for r in salted.collect()}
+    assert p == s
