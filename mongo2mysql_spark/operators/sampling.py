@@ -113,6 +113,27 @@ def sql_shuffle_shard(key_sql: str, n_shards: int, salt: str = "shuffle") -> tup
     return f"CAST({rank} % {n_shards} AS INTEGER)", rank
 
 
+def stratified_fixed_n(
+    df, strata_cols: list[str], key_col: str, n: int, salt: str = "fixedn"
+):
+    """Exactly min(n, stratum size) rows per stratum, deterministically:
+    rank every row by its salted md5 (a reproducible random order) and
+    keep the first ``n`` per stratum — the standard way to build
+    balanced eval slices (n docs per language/source) without RNG.
+    Repartition-stable and engine-portable like every sampler here;
+    rides the two-phase salted top-k so a giant stratum never sorts on
+    one reducer.  Output keeps input columns (rank dropped)."""
+    from pyspark.sql import functions as F
+
+    from mongo2mysql_spark.operators.skew import salted_topk_per_group
+
+    order = F.md5(F.concat_ws("|", F.lit(salt), F.col(key_col).cast("string")))
+    return salted_topk_per_group(
+        df.withColumn("__ord", order), strata_cols,
+        [F.col("__ord"), F.col(key_col)], n,
+    ).drop("__ord", "rank")
+
+
 def sql_hex_bucket(key_sql: str, salt: str) -> str:
     """DuckDB mirror of ``_hex_bucket`` (same md5, same hex compare)."""
     return f"substr(md5('{salt}' || '|' || CAST({key_sql} AS VARCHAR)), 1, 2)"

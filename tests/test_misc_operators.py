@@ -728,3 +728,41 @@ def test_targeted_salted_join_matches_plain(spark):
     p = {(r["user_id"], r["n"]) for r in plain.collect()}
     s = {(r["user_id"], r["n"]) for r in salted.collect()}
     assert p == s
+
+
+def test_stratified_fixed_n_deterministic_and_exact(spark):
+    """Exactly min(n, stratum size) rows per stratum, identical across
+    runs and repartitionings, and the selection matches the salted-md5
+    order computed in Python."""
+    import hashlib
+
+    from mongo2mysql_spark.operators.sampling import stratified_fixed_n
+    from mongo2mysql_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    out = stratified_fixed_n(docs, ["lang"], "doc_id", 7)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["lang"], set()).add(r["doc_id"])
+
+    sizes = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for lang, n in sizes.items():
+        assert len(got[lang]) == min(7, n), lang
+
+    # python reference of the same salted order
+    rows = docs.select("lang", "doc_id").collect()
+    by_lang = {}
+    for r in rows:
+        h = hashlib.md5(f"fixedn|{r['doc_id']}".encode()).hexdigest()
+        by_lang.setdefault(r["lang"], []).append((h, r["doc_id"]))
+    for lang, pairs in by_lang.items():
+        want = {d for _, d in sorted(pairs)[:7]}
+        assert got[lang] == want, lang
+
+    # repartition-stable
+    got2 = {
+        (r["lang"], r["doc_id"])
+        for r in stratified_fixed_n(docs.repartition(17), ["lang"], "doc_id", 7).collect()
+    }
+    assert got2 == {(l, d) for l, ds in got.items() for d in ds}
