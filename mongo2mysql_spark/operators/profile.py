@@ -1,0 +1,117 @@
+"""One-pass table profiler — data-quality stats per column (extension
+layer; no reference analogue — the closest reference behavior is the
+schema type-guess pass, Porter.php:358-396, which this generalizes from
+"what type is it" to "what does the data look like").
+
+A 100 TB ingest pipeline fronts every training run with a profile:
+null fractions (broken joins / missing extractions), distinct counts
+(key-ness, enum-ness), value ranges (outliers, unit mistakes), string
+lengths (truncation, blob-in-varchar).  The profile must cost ONE scan
+regardless of column count — Spark's ``df.summary()`` computes numeric
+stats only and ``approxQuantile`` is per-column; this operator builds a
+single ``agg`` with every per-column expression so Catalyst fuses the
+whole profile into one whole-stage-codegen pass with a single
+single-row aggregate output, then unpivots that row into the long-form
+(one row per column) report.
+
+Distinct counts default to HyperLogLog++ (``approx_count_distinct``,
+mergeable partials, fixed memory — the only option at scale);
+``exact_distinct=True`` swaps in exact ``count_distinct`` for
+oracle-verified tests (N independent shuffles — fine at test scale,
+documented as the non-scale path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_NUMERIC = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType,
+)
+
+
+def _is_numeric(dt: T.DataType) -> bool:
+    return isinstance(dt, _NUMERIC)
+
+
+def _is_orderable(dt: T.DataType) -> bool:
+    return _is_numeric(dt) or isinstance(
+        dt, (T.StringType, T.DateType, T.TimestampType, T.TimestampNTZType, T.BooleanType)
+    )
+
+
+def profile_table(df: DataFrame, exact_distinct: bool = False) -> DataFrame:
+    """Long-form profile: one row per column of ``df``.
+
+    Columns: ``column, dtype, n_rows, n_nonnull, null_frac,
+    n_distinct, min_value, max_value, mean_value, avg_len`` — min/max
+    cast to string so heterogeneous column types fit one report schema;
+    ``mean_value`` only for numeric columns, ``avg_len`` only for
+    strings/binary/arrays (NULL otherwise).
+    """
+    aggs: list = [F.count(F.lit(1)).alias("__n")]
+    for f in df.schema.fields:
+        c, dt = f.name, f.dataType
+        col = F.col(f"`{c}`")
+        aggs.append(F.count(col).alias(f"__cnt__{c}"))
+        distinct = (
+            F.count_distinct(col) if exact_distinct else F.approx_count_distinct(col)
+        )
+        # distinct over non-orderable types (maps) is unsupported; report NULL
+        aggs.append(
+            (distinct if not isinstance(dt, T.MapType) else F.lit(None).cast("long")).alias(
+                f"__dst__{c}"
+            )
+        )
+        if _is_orderable(dt):
+            aggs.append(F.min(col).cast("string").alias(f"__min__{c}"))
+            aggs.append(F.max(col).cast("string").alias(f"__max__{c}"))
+        else:
+            aggs.append(F.lit(None).cast("string").alias(f"__min__{c}"))
+            aggs.append(F.lit(None).cast("string").alias(f"__max__{c}"))
+        if _is_numeric(dt):
+            # exact decimal mean cast back to double: partition-order-proof
+            # (same determinism contract as the query registry)
+            aggs.append(
+                (
+                    F.sum(col.cast("decimal(38,8)")) / F.count(col)
+                ).cast("double").alias(f"__mean__{c}")
+            )
+        else:
+            aggs.append(F.lit(None).cast("double").alias(f"__mean__{c}"))
+        if isinstance(dt, (T.StringType, T.BinaryType)):
+            aggs.append(F.avg(F.length(col)).cast("double").alias(f"__len__{c}"))
+        elif isinstance(dt, T.ArrayType):
+            aggs.append(F.avg(F.size(col)).cast("double").alias(f"__len__{c}"))
+        else:
+            aggs.append(F.lit(None).cast("double").alias(f"__len__{c}"))
+
+    one = df.agg(*aggs)
+
+    # unpivot the single wide row into the long-form report (the row is
+    # one aggregate output — this reshape is metadata-cheap)
+    reports = []
+    for f in df.schema.fields:
+        c = f.name
+        reports.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.lit(f.dataType.simpleString()).alias("dtype"),
+                F.col("__n").alias("n_rows"),
+                F.col(f"`__cnt__{c}`").alias("n_nonnull"),
+                F.round(
+                    (F.col("__n") - F.col(f"`__cnt__{c}`"))
+                    / F.greatest(F.col("__n"), F.lit(1)),
+                    6,
+                ).alias("null_frac"),
+                F.col(f"`__dst__{c}`").cast("long").alias("n_distinct"),
+                F.col(f"`__min__{c}`").alias("min_value"),
+                F.col(f"`__max__{c}`").alias("max_value"),
+                F.round(F.col(f"`__mean__{c}`"), 6).alias("mean_value"),
+                F.round(F.col(f"`__len__{c}`"), 6).alias("avg_len"),
+            )
+        )
+    return one.select(F.explode(F.array(*reports)).alias("r")).select("r.*")

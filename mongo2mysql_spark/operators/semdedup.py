@@ -1,0 +1,99 @@
+"""Semantic deduplication (SemDeDup-style) over embedding columns —
+extension layer (SURVEY.md §2 EXT; no reference analogue, the reference
+is a 559-LoC ETL porter with no vector surface).
+
+``operators/dedup.embedding_neardup_pairs`` finds cosine near-dups
+*within a caller-supplied blocking key* (label in the tests).  Real
+corpora have no such label — the SemDeDup recipe (Abbas et al. 2023,
+arXiv:2303.09540) *learns* the blocks: k-means-cluster the embeddings,
+then compare pairs only within a cluster, keeping one representative
+per semantically-identical group.
+
+This module is that composition, entirely from existing pieces:
+
+1. ``kmeans_fit`` (deterministic stride init, Lloyd iteration) learns
+   ``~N/stride`` centroids;
+2. ``kmeans_assign`` gives every vector exactly one cluster — the
+   blocking key;
+3. ``embedding_neardup_pairs`` runs the within-cluster pairwise cosine
+   (quadratic only in cluster size, never in corpus size);
+4. ``connected_components`` (large-star/small-star, diameter-free)
+   closes the pair graph transitively;
+5. the keeper per component is the smallest id — deterministic, same
+   contract as ``dedup_exact``.
+
+Scale shape: steps 1-2 are the k-means plan (broadcast centroids, one
+narrow corpus pass per iteration, posexplode mean update — nothing
+quadratic); step 3's cost is sum(cluster_size²), bounded by choosing
+the centroid count so the expected cluster size is small (stride ~=
+sqrt(N) gives ~sqrt(N)-sized clusters); steps 4-5 are O(E log² N)
+rounds.  The corpus is never collected and no all-pairs join exists.
+At 100 TB the only knob that changes is ``init_stride`` (denser
+centroids → smaller clusters → less pairwise work) and fitting k-means
+on a hash-sample (see kmeans_fit docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mongo2mysql_spark.operators.components import connected_components
+from mongo2mysql_spark.operators.dedup import embedding_neardup_pairs
+from mongo2mysql_spark.operators.kmeans import kmeans_assign, kmeans_fit
+
+
+def semantic_dedup_pairs(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    min_cosine: float = 0.9,
+    init_stride: int = 97,
+    kmeans_iters: int = 4,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Within-cluster cosine near-dup pairs ``(id_1, id_2, cosine)``.
+
+    ``centroids`` short-circuits the fit (reuse across corpus versions
+    or fit on a sample); otherwise k-means runs here.
+    """
+    if centroids is None:
+        centroids, _ = kmeans_fit(
+            corpus, id_col, vec_col, init_stride=init_stride, max_iter=kmeans_iters
+        )
+    assigned = kmeans_assign(corpus, centroids, id_col, vec_col)
+    return embedding_neardup_pairs(
+        assigned, id_col, vec_col, block_col="centroid_id", min_cosine=min_cosine
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    min_cosine: float = 0.9,
+    init_stride: int = 97,
+    kmeans_iters: int = 4,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Per-id keep verdict: ``(id, group_id, is_kept)``.
+
+    ``group_id`` is the smallest id in the vector's semantic-duplicate
+    component (its own id when it has no near-dups); ``is_kept`` marks
+    the one representative per group.  ``corpus.filter(is_kept)`` is the
+    deduplicated corpus; the dropped fraction is SemDeDup's headline
+    metric.
+    """
+    pairs = semantic_dedup_pairs(
+        corpus, id_col, vec_col, min_cosine, init_stride, kmeans_iters, centroids
+    )
+    comp = connected_components(pairs, "id_1", "id_2")
+    ids = corpus.select(F.col(id_col).alias("id"))
+    return (
+        ids.join(comp, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("component"), F.col("id")).alias("group_id"),
+        )
+        .withColumn("is_kept", F.col("id") == F.col("group_id"))
+    )

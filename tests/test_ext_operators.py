@@ -841,3 +841,93 @@ def test_bpe_apply_consistent_with_training_fuse(spark):
     products = {a + b for a, b, _ in merges}
     for s in syms:
         assert s in products or len(s.replace("</w>", "")) <= 1, s
+
+
+# ------------------------------------------------------------ semantic dedup
+
+
+def test_semantic_dedup_planted_duplicates_and_graph(spark):
+    """SemDeDup composition on the fixture embeddings with planted
+    duplicates: (1) every planted copy groups with its source and the
+    source (smaller id) is the keeper; (2) the group labels equal a
+    Python union-find closure of the emitted pair list; (3) sampled pair
+    cosines match a Python recomputation on the raw vectors."""
+    from pyspark.sql import functions as F
+
+    from mongo2mysql_spark.operators.semdedup import (
+        semantic_dedup,
+        semantic_dedup_pairs,
+    )
+    from mongo2mysql_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    e = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    planted = e.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    corpus = e.union(planted)
+
+    kwargs = dict(min_cosine=0.95, init_stride=97, kmeans_iters=2)
+    pairs = semantic_dedup_pairs(corpus, "vec_id", "embedding", **kwargs).collect()
+    verdict = {
+        r["id"]: (r["group_id"], r["is_kept"])
+        for r in semantic_dedup(corpus, "vec_id", "embedding", **kwargs).collect()
+    }
+    assert len(verdict) == corpus.count()
+
+    # (1) planted copies: identical vector -> same cluster, cosine 1.0
+    for r in planted.collect():
+        src = r["vec_id"] - 100000
+        assert verdict[r["vec_id"]][0] == verdict[src][0]
+        assert not verdict[r["vec_id"]][1]  # copy is dropped
+    # keeper is exactly the min id of each group, once per group
+    groups: dict[int, list[int]] = {}
+    for vid, (gid, kept) in verdict.items():
+        groups.setdefault(gid, []).append(vid)
+        assert kept == (vid == gid)
+    for gid, members in groups.items():
+        assert gid == min(members)
+
+    # (2) union-find over the pair list reproduces the group labels
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for p in pairs:
+        a, b = find(p["id_1"]), find(p["id_2"])
+        if a != b:
+            parent[max(a, b)] = min(a, b)
+    for vid, (gid, _) in verdict.items():
+        expect = find(vid) if vid in parent else vid
+        assert gid == expect, (vid, gid, expect)
+
+    # (3) cosine spot-check in Python
+    import math
+
+    vecs = {r["vec_id"]: list(r["embedding"]) for r in corpus.collect()}
+    for p in pairs[:20]:
+        a, b = vecs[p["id_1"]], vecs[p["id_2"]]
+        dot = sum(x * y for x, y in zip(a, b))
+        cos = dot / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        )
+        assert abs(cos - p["cosine"]) < 1e-4, p
+        assert p["cosine"] >= 0.95
+
+
+def test_semantic_dedup_threshold_above_one_keeps_everything(spark):
+    from mongo2mysql_spark.operators.semdedup import semantic_dedup
+    from mongo2mysql_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    e = load_table(spark, SF_DIR, "embeddings").limit(100)
+    out = semantic_dedup(
+        e, "vec_id", "embedding", min_cosine=1.01, init_stride=30, kmeans_iters=1
+    )
+    assert out.filter("NOT is_kept").count() == 0
+    assert out.filter("id != group_id").count() == 0

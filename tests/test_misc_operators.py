@@ -766,3 +766,77 @@ def test_stratified_fixed_n_deterministic_and_exact(spark):
         for r in stratified_fixed_n(docs.repartition(17), ["lang"], "doc_id", 7).collect()
     }
     assert got2 == {(l, d) for l, ds in got.items() for d in ds}
+
+
+def test_profile_table_matches_duckdb_and_single_scan(spark):
+    """One-pass profiler vs a DuckDB restatement on the orders table
+    (exact-distinct mode so both engines compute the same number), plus
+    a plan assertion that the whole profile is ONE scan + ONE aggregate."""
+    import os
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from mongo2mysql_spark.operators.profile import profile_table
+    from mongo2mysql_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    orders = load_table(spark, SF_DIR, "orders")
+    prof = profile_table(orders, exact_distinct=True)
+    got = {r["column"]: r.asDict() for r in prof.collect()}
+    assert set(got) == set(orders.columns)
+
+    con = duckdb.connect()
+    path = os.path.join(SF_DIR, "orders.parquet")
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM read_parquet('{path}')")
+    for col in ("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"):
+        want = con.sql(
+            f"""SELECT count(*) n, count({col}) nn, count(DISTINCT {col}) nd,
+                       CAST(min({col}) AS VARCHAR) mn, CAST(max({col}) AS VARCHAR) mx
+                FROM orders"""
+        ).fetchone()
+        g = got[col]
+        assert g["n_rows"] == want[0] and g["n_nonnull"] == want[1]
+        assert g["n_distinct"] == want[2]
+        assert g["min_value"] == want[3] and g["max_value"] == want[4], (col, g, want)
+        assert g["null_frac"] == round((want[0] - want[1]) / want[0], 6)
+    # numeric mean matches DuckDB's exact decimal average
+    mean = con.sql("SELECT round(avg(o_totalprice), 6) FROM orders").fetchone()[0]
+    assert abs(got["o_totalprice"]["mean_value"] - float(mean)) < 1e-6
+    # string length profile
+    want_len = con.sql(
+        "SELECT round(avg(length(o_orderpriority)), 6) FROM orders"
+    ).fetchone()[0]
+    assert abs(got["o_orderpriority"]["avg_len"] - float(want_len)) < 1e-6
+
+    # scale shape: approx mode plans one scan and one aggregate pair
+    plan = profile_table(orders)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan
+    assert "HashAggregate" in plan or "SortAggregate" in plan or "ObjectHashAggregate" in plan
+
+
+def test_profile_table_null_and_array_columns(spark):
+    """Null fractions and array-length profiling on a synthetic frame
+    with planted nulls; approx-distinct lands within its rsd bound."""
+    from pyspark.sql import functions as F
+
+    from mongo2mysql_spark.operators.profile import profile_table
+
+    df = (
+        spark.range(1000)
+        .select(
+            F.col("id"),
+            F.when(F.col("id") % 4 != 0, F.col("id").cast("string")).alias("s"),
+            F.when(F.col("id") % 2 == 0, F.array(F.col("id"), F.col("id") + 1)).alias(
+                "arr"
+            ),
+        )
+    )
+    got = {r["column"]: r.asDict() for r in profile_table(df).collect()}
+    assert got["s"]["null_frac"] == 0.25
+    assert got["arr"]["null_frac"] == 0.5
+    assert got["arr"]["avg_len"] == 2.0
+    assert got["arr"]["min_value"] is None  # arrays: no ordered min in report
+    # HLL++ default rsd is 5%; 1000 distinct ids must land well inside
+    assert abs(got["id"]["n_distinct"] - 1000) <= 100
+    assert got["id"]["null_frac"] == 0.0
