@@ -931,3 +931,76 @@ def test_semantic_dedup_threshold_above_one_keeps_everything(spark):
     )
     assert out.filter("NOT is_kept").count() == 0
     assert out.filter("id != group_id").count() == 0
+
+
+# ---------------------------------------------- end-to-end training export
+
+
+def test_training_export_pipeline_composes(spark, tmp_path):
+    """The full training-data export path composes in one run: clean
+    (quality/length/repetition filter + exact dedup + split) -> BPE
+    tokenize with a learned vocabulary -> pack into fixed-length
+    sequences -> shuffled shard write.  Verifies end-to-end conservation
+    (every kept train doc lands in exactly one shard row), packing
+    contiguity over the BPE token counts, and byte-reproducibility of
+    the shard write."""
+    from pyspark.sql import functions as F
+
+    from mongo2mysql_spark.operators.bpe import (
+        apply_merges,
+        learn_merges,
+        word_freq_table,
+    )
+    from mongo2mysql_spark.operators.packing import pack_sequences
+    from mongo2mysql_spark.queries import load_all
+    from mongo2mysql_spark.sources import load_table
+    from mongo2mysql_spark.sources.lake import parquet_files, write_training_shards
+    from tests.conftest import SF_DIR
+
+    # stage 1: clean — the registered pipeline (filters + dedup + split)
+    kept = load_all()["corpus_clean_pipeline"].fn(spark, SF_DIR)
+    train_ids = kept.filter("split = 'train'").select("doc_id")
+    docs = load_table(spark, SF_DIR, "documents").join(train_ids, "doc_id")
+    n_train = docs.count()
+    assert 0 < n_train < 500
+
+    # stage 2: learn a small BPE vocabulary on the training slice, encode
+    merges = learn_merges(word_freq_table(docs.limit(50)), n_merges=8)
+    assert len(merges) == 8
+    encoded = apply_merges(docs, merges).select(
+        "doc_id", F.size("bpe_symbols").alias("n_bpe")
+    )
+
+    # stage 3: pack the BPE token stream into 512-token sequences
+    packed = pack_sequences(encoded, "n_bpe", "doc_id", seq_len=512)
+    rows = sorted(
+        (r["doc_id"], r["n_bpe"], r["first_seq"], r["first_offset"], r["last_seq"])
+        for r in packed.collect()
+    )
+    assert len(rows) == n_train
+    cum = 0
+    for doc_id, n_bpe, first_seq, first_offset, last_seq in rows:
+        assert first_seq == cum // 512 and first_offset == cum % 512, doc_id
+        assert last_seq == (cum + max(n_bpe, 1) - 1) // 512
+        cum += n_bpe
+
+    # stage 4: shard write, twice — identical bytes (reproducible order)
+    out1, out2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    for out in (out1, out2):
+        write_training_shards(
+            packed.select("doc_id", "n_bpe", "first_seq"), out, "doc_id", n_shards=4
+        )
+    back = spark.read.parquet(out1)
+    assert back.count() == n_train
+    assert back.select("doc_id").distinct().count() == n_train
+    assert back.select("shard").distinct().count() == 4
+
+    def digest(path):
+        import hashlib
+
+        h = hashlib.sha256()
+        for f in sorted(parquet_files(path)):
+            h.update(open(f, "rb").read())
+        return h.hexdigest()
+
+    assert digest(out1) == digest(out2)

@@ -256,3 +256,103 @@ def test_training_shards_shuffle(spark):
             for r in back.select("doc_id", "shard", "shuffle_rank").collect()
         }
         assert all(ours[d] == (s, r) for d, s, r in duck)
+
+
+def test_scd2_versioning_lifecycle(spark):
+    """SCD2 chain over three batches: inserts open versions, changes
+    close-and-reopen, no-ops change nothing, history is never touched;
+    point-in-time lookup returns the version valid at each instant;
+    re-applying a batch is bit-identical (idempotent)."""
+    from mongo2mysql_spark.sources.scd import (
+        scd2_apply,
+        scd2_init,
+        scd2_lookup,
+    )
+
+    snap = spark.createDataFrame(
+        [("A", "us", 10), ("B", "eu", 20), ("C", "ap", 30)],
+        "k string, region string, score int",
+    )
+    dim = scd2_init(snap, "2026-01-01 00:00:00")
+
+    # batch 1: A changes, D is new, B is a no-op repeat
+    b1 = spark.createDataFrame(
+        [
+            ("A", "eu", 11, "2026-02-01 00:00:00"),
+            ("D", "us", 40, "2026-02-01 00:00:00"),
+            ("B", "eu", 20, "2026-02-01 00:00:00"),
+        ],
+        "k string, region string, score int, eff string",
+    )
+    dim1 = scd2_apply(dim, b1, ["k"], ["region", "score"], "eff").localCheckpoint()
+
+    rows = {(r["k"], r["valid_from"].isoformat(), r["is_current"]): r.asDict()
+            for r in dim1.collect()}
+    assert len(rows) == 5  # 3 originals + A's new version + D
+    a_old = rows[("A", "2026-01-01T00:00:00", False)]
+    assert a_old["valid_to"].isoformat() == "2026-02-01T00:00:00"
+    a_new = rows[("A", "2026-02-01T00:00:00", True)]
+    assert (a_new["region"], a_new["score"]) == ("eu", 11)
+    assert rows[("B", "2026-01-01T00:00:00", True)]["valid_to"] is None  # no-op
+    assert rows[("D", "2026-02-01T00:00:00", True)]["score"] == 40
+
+    # idempotence: same batch again -> identical content
+    dim1b = scd2_apply(dim1, b1, ["k"], ["region", "score"], "eff")
+    assert sorted(map(repr, dim1.collect())) == sorted(map(repr, dim1b.collect()))
+
+    # batch 2: A changes again; duplicate rows for one key keep the latest
+    b2 = spark.createDataFrame(
+        [
+            ("A", "ap", 12, "2026-03-01 00:00:00"),
+            ("A", "xx", 99, "2026-02-15 00:00:00"),  # superseded in-batch
+        ],
+        "k string, region string, score int, eff string",
+    )
+    dim2 = scd2_apply(dim1, b2, ["k"], ["region", "score"], "eff").localCheckpoint()
+    a_versions = sorted(
+        (r["valid_from"].isoformat(), r["valid_to"] and r["valid_to"].isoformat(),
+         r["region"], r["is_current"])
+        for r in dim2.filter("k = 'A'").collect()
+    )
+    assert a_versions == [
+        ("2026-01-01T00:00:00", "2026-02-01T00:00:00", "us", False),
+        ("2026-02-01T00:00:00", "2026-03-01T00:00:00", "eu", False),
+        ("2026-03-01T00:00:00", None, "ap", True),
+    ]
+    # exactly one open version per key, intervals contiguous
+    for k in ("A", "B", "C", "D"):
+        vers = sorted(
+            (r["valid_from"], r["valid_to"]) for r in dim2.filter(f"k = '{k}'").collect()
+        )
+        assert sum(1 for _, vt in vers if vt is None) == 1
+        for (f1, t1), (f2, _) in zip(vers, vers[1:]):
+            assert t1 == f2
+
+    # point-in-time lookups bracket the A transitions
+    assert scd2_lookup(dim2, "2026-01-15 00:00:00").filter("k='A'").first()["region"] == "us"
+    assert scd2_lookup(dim2, "2026-02-15 00:00:00").filter("k='A'").first()["region"] == "eu"
+    assert scd2_lookup(dim2, "2026-03-15 00:00:00").filter("k='A'").first()["region"] == "ap"
+    # D did not exist on Jan 15
+    assert scd2_lookup(dim2, "2026-01-15 00:00:00").filter("k='D'").count() == 0
+
+
+def test_scd2_null_safe_change_detection(spark):
+    """NULL attribute values compare null-safely: NULL->NULL is a no-op,
+    NULL->value and value->NULL are real changes."""
+    from mongo2mysql_spark.sources.scd import scd2_apply, scd2_init
+
+    snap = spark.createDataFrame(
+        [("A", None), ("B", "x")], "k string, attr string"
+    )
+    dim = scd2_init(snap, "2026-01-01 00:00:00")
+    batch = spark.createDataFrame(
+        [("A", None, "2026-02-01 00:00:00"), ("B", None, "2026-02-01 00:00:00")],
+        "k string, attr string, eff string",
+    )
+    out = scd2_apply(dim, batch, ["k"], ["attr"], "eff")
+    assert out.filter("k='A'").count() == 1  # NULL == NULL: no new version
+    b = sorted(
+        ((r["attr"], r["is_current"]) for r in out.filter("k='B'").collect()),
+        key=repr,
+    )
+    assert set(b) == {(None, True), ("x", False)}  # value -> NULL: versioned
