@@ -1004,3 +1004,46 @@ def test_training_export_pipeline_composes(spark, tmp_path):
         return h.hexdigest()
 
     assert digest(out1) == digest(out2)
+
+
+# ------------------------------------------------------------------- UDTF
+
+
+def test_split_sentences_udtf_lateral_matches_python(spark):
+    """The Arrow UDTF run laterally over real documents returns exactly
+    the pure-Python reference rows, offsets index into the original
+    text, and empty/None inputs expand to zero rows."""
+    from mongo2mysql_spark.operators.udtf import (
+        register_udtfs,
+        split_sentences_py,
+    )
+    from mongo2mysql_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    register_udtfs(spark)
+    docs = load_table(spark, SF_DIR, "documents").limit(40).select("doc_id", "text")
+    docs.createOrReplaceTempView("__udtf_docs")
+    got = spark.sql(
+        "SELECT d.doc_id, s.sent_idx, s.sentence, s.start_pos, s.end_pos "
+        "FROM __udtf_docs d, LATERAL split_sentences(d.text) s"
+    ).collect()
+
+    want = []
+    for r in docs.collect():
+        for row in split_sentences_py(r["text"]):
+            want.append((r["doc_id"], *row))
+    assert sorted((g["doc_id"], g["sent_idx"], g["sentence"], g["start_pos"],
+                   g["end_pos"]) for g in got) == sorted(want)
+    assert want, "fixture docs must produce sentences"
+
+    # offsets point into the source text (terminator included)
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for doc_id, _, sentence, start, end in want[:50]:
+        assert texts[doc_id][start:end] == sentence
+
+    # degenerate inputs
+    empty = spark.sql(
+        "SELECT s.* FROM (SELECT CAST(NULL AS STRING) t UNION ALL SELECT '') x, "
+        "LATERAL split_sentences(x.t) s"
+    )
+    assert empty.count() == 0
