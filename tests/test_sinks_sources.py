@@ -188,3 +188,52 @@ def test_mongodb_pipeline_and_sampling_options():
     )
     assert opts["sampleSize"] == "50"
     assert opts["aggregation.pipeline"] == '[{"$match": {"archived": false}}]'
+
+
+def test_evolution_idempotent_and_never_drops():
+    """Re-running evolution with an identical inferred schema emits zero
+    statements; a column that disappears from a later batch is never
+    dropped (destination schemas only grow — the reference never removes
+    a column once created, Porter.php:86-123)."""
+    from mongo2mysql_spark.plans.ddl import evolve_schema_sql
+
+    existing = {"_id": "varchar(50)", "a": "int", "b": "text"}
+    # identical re-run: nothing to do
+    assert evolve_schema_sql("t", existing, dict(existing), ("_id",)) == []
+    # 'b' absent from the new batch, 'c' new: only the ADD is emitted
+    stmts = evolve_schema_sql("t", existing, {"_id": "varchar(50)", "a": "int", "c": "double"})
+    assert stmts == ["ALTER TABLE `t` ADD COLUMN `c` double"]
+    assert not any("DROP" in s for s in stmts)
+
+
+def test_create_without_primary_key_and_reserved_words():
+    """Tables with no PK create cleanly, and reserved-word identifiers
+    (`order`, `group`) are backtick-quoted everywhere."""
+    from mongo2mysql_spark.plans.ddl import alter_table_sql, create_table_sql
+
+    sql = create_table_sql("order", {"group": "int", "select": "text"})
+    assert "PRIMARY KEY" not in sql
+    assert "`order`" in sql and "`group`" in sql and "`select`" in sql
+
+    stmts = alter_table_sql("order", add={"from": "int"}, modify={"group": "bigint"})
+    assert stmts == [
+        "ALTER TABLE `order` ADD COLUMN `from` int",
+        "ALTER TABLE `order` MODIFY COLUMN `group` bigint",
+    ]
+
+
+def test_evolution_widen_is_directional():
+    """MODIFY targets come from the widening lattice: an int column
+    seeing text widens to text, but a text column seeing int stays text
+    (never narrows), and varchar widths only grow."""
+    from mongo2mysql_spark.plans.ddl import evolve_schema_sql
+
+    up = evolve_schema_sql("t", {"x": "int"}, {"x": "text"})
+    assert up == ["ALTER TABLE `t` MODIFY COLUMN `x` text"]
+    down = evolve_schema_sql("t", {"x": "text"}, {"x": "int"})
+    assert down == []
+    widths = evolve_schema_sql(
+        "t", {"s": "varchar(50)"}, {"s": "varchar(255)"}
+    )
+    assert widths == ["ALTER TABLE `t` MODIFY COLUMN `s` varchar(255)"]
+    assert evolve_schema_sql("t", {"s": "varchar(255)"}, {"s": "varchar(50)"}) == []
