@@ -356,3 +356,53 @@ def test_scd2_null_safe_change_detection(spark):
         key=repr,
     )
     assert set(b) == {(None, True), ("x", False)}  # value -> NULL: versioned
+
+
+def test_scd2_random_batches_match_python_reference(spark):
+    """Five seeded-random change batches over a small key space: the
+    Spark SCD2 chain equals a step-by-step pure-Python SCD2 applied to
+    the same batches (full version history, open flags, and interval
+    bounds)."""
+    import random
+
+    from mongo2mysql_spark.sources.scd import scd2_apply, scd2_init
+
+    rng = random.Random(42)
+    keys = [f"k{i}" for i in range(8)]
+    t0 = "2026-01-01 00:00:00"
+    snap_rows = [(k, rng.randint(0, 3)) for k in keys[:5]]
+
+    dim = scd2_init(
+        spark.createDataFrame(snap_rows, "k string, v int"), t0
+    ).localCheckpoint()
+    # python reference: per key, list of [v, from, to_or_None]
+    hist = {k: [[v, t0, None]] for k, v in snap_rows}
+
+    for b in range(1, 6):
+        eff = f"2026-0{b + 1}-01 00:00:00"
+        batch_rows = [(k, rng.randint(0, 3), eff)
+                      for k in rng.sample(keys, rng.randint(1, 6))]
+        dim = scd2_apply(
+            dim,
+            spark.createDataFrame(batch_rows, "k string, v int, eff string"),
+            ["k"], ["v"], "eff",
+        ).localCheckpoint()
+        for k, v, _ in batch_rows:
+            if k not in hist:
+                hist[k] = [[v, eff, None]]
+            elif hist[k][-1][0] != v:
+                hist[k][-1][2] = eff
+                hist[k].append([v, eff, None])
+
+    got = sorted(
+        (r["k"], r["v"], r["valid_from"].isoformat(sep=" "),
+         r["valid_to"].isoformat(sep=" ") if r["valid_to"] else None,
+         r["is_current"])
+        for r in dim.collect()
+    )
+    want = sorted(
+        (k, v, frm, to, to is None)
+        for k, versions in hist.items()
+        for v, frm, to in versions
+    )
+    assert got == want

@@ -840,3 +840,74 @@ def test_profile_table_null_and_array_columns(spark):
     # HLL++ default rsd is 5%; 1000 distinct ids must land well inside
     assert abs(got["id"]["n_distinct"] - 1000) <= 100
     assert got["id"]["null_frac"] == 0.0
+
+
+def test_snapshot_diff_statuses_and_pruned_shuffle(spark):
+    """Diff of two perturbed document snapshots: statuses match a
+    Python reference computed from the raw rows; a type-only change and
+    a value<->NULL change both register; and the join plan never
+    carries the wide text column (fingerprints shuffle, not documents)."""
+    from pyspark.sql import functions as F
+
+    from mongo2mysql_spark.operators.diffing import (
+        changed_rows,
+        snapshot_diff,
+        snapshot_diff_summary,
+    )
+    from mongo2mysql_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text", "lang")
+    old = docs.filter("doc_id < 400")  # 0..399
+    new = (
+        docs.filter("doc_id >= 20")    # 20..499: 0..19 removed, 400..499 added
+        .withColumn(
+            "text",
+            F.when(F.col("doc_id") % 50 == 0, F.concat(F.col("text"), F.lit(" EDIT")))
+            .otherwise(F.col("text")),
+        )
+    )
+    got = {r["doc_id"]: r["status"] for r in snapshot_diff(old, new, ["doc_id"]).collect()}
+
+    for i in range(0, 20):
+        assert got[i] == "removed", i
+    for i in range(400, 500):
+        assert got[i] == "added", i
+    for i in range(20, 400):
+        assert got[i] == ("changed" if i % 50 == 0 else "unchanged"), i
+
+    summary = {r["status"]: r["n"] for r in
+               snapshot_diff_summary(old, new, ["doc_id"]).collect()}
+    assert summary == {
+        "removed": 20,
+        "added": 100,
+        "changed": sum(1 for i in range(20, 400) if i % 50 == 0),
+        "unchanged": sum(1 for i in range(20, 400) if i % 50 != 0),
+    }
+
+    # changed_rows fetches full new-side rows for added+changed only
+    ch = changed_rows(old, new, ["doc_id"])
+    assert ch.count() == summary["added"] + summary["changed"]
+    assert set(ch.columns) == {"doc_id", "text", "lang", "status"}
+
+    # the diff join itself must not shuffle the text column
+    plan = snapshot_diff(old, new, ["doc_id"])._jdf.queryExecution().executedPlan().toString()
+    import re as _re
+    exchanges = [m for m in plan.splitlines() if "Exchange" in m]
+    assert exchanges, "expected a shuffle on the key"
+    assert not any("text" in l for l in exchanges), exchanges
+
+
+def test_snapshot_diff_null_and_type_sensitivity(spark):
+    from mongo2mysql_spark.operators.diffing import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", None), (2, "b", "x"), (3, None, "y")],
+        "k int, c1 string, c2 string",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", None), (2, "b", None), (3, "", "y")],
+        "k int, c1 string, c2 string",
+    )
+    got = {r["k"]: r["status"] for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "changed"}  # NULL vs "" differ
