@@ -911,3 +911,67 @@ def test_snapshot_diff_null_and_type_sensitivity(spark):
     )
     got = {r["k"]: r["status"] for r in snapshot_diff(old, new, ["k"]).collect()}
     assert got == {1: "unchanged", 2: "changed", 3: "changed"}  # NULL vs "" differ
+
+
+def test_rolling_zscore_matches_python_and_flags_planted_spike(spark):
+    """Rolling z-score on real events vs a pure-Python trailing-window
+    reference; a planted 100x spike is flagged while its neighbors are
+    not, and the spike does not poison its own baseline (the frame
+    excludes the current row)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from mongo2mysql_spark.operators.anomaly import rolling_zscore
+    from mongo2mysql_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .filter("user_id < 40")
+        .select("user_id", "event_id", "ts", "value")
+    )
+    # plant one enormous spike per user on their 25th event
+    w25 = ev.withColumn(
+        "value",
+        F.when(F.col("event_id") % 997 == 0, F.col("value") * 100 + 1e6).otherwise(
+            F.col("value")
+        ),
+    )
+    out = rolling_zscore(
+        w25, ["user_id"], "ts", "value", window=20, min_points=5,
+        threshold=3.0, tiebreak_cols=["event_id"],
+    ).collect()
+
+    # python reference
+    series: dict[int, list] = {}
+    for r in sorted(out, key=lambda r: (r["user_id"], r["ts"], r["event_id"])):
+        series.setdefault(r["user_id"], []).append(r)
+    n_checked = n_anom = 0
+    for uid, rows in series.items():
+        vals = [r["value"] for r in rows]
+        for i, r in enumerate(rows):
+            prev = vals[max(0, i - 20):i]
+            if len(prev) < 5:
+                assert r["zscore"] is None and not r["is_anomaly"], (uid, i)
+                continue
+            mean = sum(prev) / len(prev)
+            var = sum((x - mean) ** 2 for x in prev) / len(prev)
+            if var <= 0:
+                assert r["zscore"] is None
+                continue
+            want = (r["value"] - mean) / math.sqrt(var)
+            assert abs(r["zscore"] - want) < 1e-6 * max(1, abs(want)), (uid, i)
+            assert r["is_anomaly"] == (abs(want) > 3.0)
+            n_checked += 1
+            n_anom += r["is_anomaly"]
+    assert n_checked > 300
+    # every planted spike with a warmed-up window is flagged
+    planted = [
+        r for r in out
+        if r["event_id"] % 997 == 0 and r["zscore"] is not None
+    ]
+    assert planted and all(r["is_anomaly"] for r in planted)
+    # anomalies are rare outside the plants (self-masking would flag many)
+    others = [r for r in out if r["event_id"] % 997 != 0 and r["is_anomaly"]]
+    assert len(others) < n_checked * 0.05

@@ -321,3 +321,30 @@ def test_registry_schema_stable_across_scale_factors(spark):
         if s1 != s2:
             problems.append(f"{name}: sf0.001={s1.simpleString()[:120]} vs sf0.01={s2.simpleString()[:120]}")
     assert not problems, "\n".join(problems)
+
+
+def test_dynamic_partition_pruning_fires_on_partitioned_join(spark, tmp_path):
+    """A hive-partitioned fact joined to a filtered dim must plan a
+    dynamic-pruning subquery on the partition column — at 100 TB this is
+    what keeps a star join from scanning every date/tenant directory
+    when the dim filter only selects a few."""
+    from pyspark.sql import functions as F
+
+    from mongo2mysql_spark.sources.lake import write_partitioned
+    from mongo2mysql_spark.sources.parquet import load_table
+
+    orders = load_table(spark, SF_DIR, "orders")
+    path = str(tmp_path / "orders_by_status")
+    write_partitioned(orders, path, ["o_orderstatus"])
+
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [("F", "final"), ("O", "open"), ("P", "pending")], "status string, label string"
+    )
+    j = fact.join(
+        dim.filter(F.col("label") == "final"), fact.o_orderstatus == dim.status
+    )
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
+    # and the result is the pruned slice
+    assert j.count() == orders.filter("o_orderstatus = 'F'").count()
