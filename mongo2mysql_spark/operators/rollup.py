@@ -86,3 +86,78 @@ def hypertable_rollup(
     for leg in legs[1:]:
         out = out.unionByName(leg)
     return out
+
+
+# -------------------------------------------- incremental refresh
+
+
+def rollup_partials(
+    df: DataFrame, ts_col: str, group_cols: list[str], value: Column,
+    finest: str = "hour",
+) -> DataFrame:
+    """Finest-level mergeable partials ``(bucket, *group_cols, __n, __s)``
+    for one batch of raw rows — the unit of incremental refresh."""
+    return df.groupBy(
+        F.date_trunc(finest, F.col(ts_col)).alias("bucket"), *group_cols
+    ).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(value.cast(DEC)).alias("__s"),
+    )
+
+
+def rollup_merge(store: DataFrame | None, batch_partials: DataFrame,
+                 group_cols: list[str]) -> DataFrame:
+    """Merge a batch's partials into the persisted partial store.
+
+    COUNT and the decimal SUM are algebraic: merging is a re-sum per
+    (bucket, group), bit-identical to aggregating the union of all raw
+    rows ever seen (asserted in tests).  This is the continuous-
+    aggregate refresh: each new ingest batch costs ONE aggregation of
+    the batch plus one merge shuffled at partial (not raw) cardinality —
+    the raw history is never rescanned.  At scale the store lives as a
+    date-partitioned parquet table and the merge rides
+    ``lake.merge_into_partitioned`` so only the dates the batch touches
+    are rewritten (late data lands in its own bucket's partition).
+    """
+    if store is None:
+        return batch_partials
+    return (
+        store.unionByName(batch_partials)
+        .groupBy("bucket", *group_cols)
+        .agg(F.sum("__n").alias("__n"), F.sum("__s").alias("__s"))
+    )
+
+
+def rollup_levels_from_partials(
+    store: DataFrame, group_cols: list[str],
+    levels: tuple[str, ...] = ("hour", "day", "week"),
+) -> DataFrame:
+    """The tagged multi-granularity union (same output contract as
+    ``hypertable_rollup``) computed from a partial store instead of raw
+    rows — coarser levels re-aggregate the finest partials exactly as
+    the one-shot path does."""
+    order = {g: i for i, g in enumerate(SUPPORTED_CHAINS)}
+    if any(g not in order for g in levels):
+        raise ValueError(f"unsupported granularity in {levels}")
+    if list(levels) != sorted(levels, key=order.__getitem__):
+        raise ValueError("levels must be ordered fine -> coarse")
+    partials = {levels[0]: store}
+    for lvl in levels[1:]:
+        prev = partials[list(partials)[-1]]
+        partials[lvl] = prev.groupBy(
+            F.date_trunc(lvl, F.col("bucket")).alias("bucket"), *group_cols
+        ).agg(F.sum("__n").alias("__n"), F.sum("__s").alias("__s"))
+    legs = [
+        p.select(
+            F.lit(lvl).alias("granularity"),
+            "bucket",
+            *group_cols,
+            F.col("__n").alias("n_rows"),
+            F.round(F.col("__s"), 4).cast("double").alias("sum_val"),
+        )
+        for lvl, p in partials.items()
+    ]
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out

@@ -975,3 +975,84 @@ def test_rolling_zscore_matches_python_and_flags_planted_spike(spark):
     # anomalies are rare outside the plants (self-masking would flag many)
     others = [r for r in out if r["event_id"] % 997 != 0 and r["is_anomaly"]]
     assert len(others) < n_checked * 0.05
+
+
+def test_rollup_incremental_refresh_equals_one_shot(spark, tmp_path):
+    """Feeding events in three out-of-order batches through the
+    partial-store refresh yields EXACTLY the one-shot hypertable rollup
+    (decimal partials merge associatively), and a persisted store merged
+    via the partition-scoped lake merge only rewrites touched dates."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mongo2mysql_spark.operators.rollup import (
+        hypertable_rollup,
+        rollup_levels_from_partials,
+        rollup_merge,
+        rollup_partials,
+    )
+    from mongo2mysql_spark.sources import load_table
+    from mongo2mysql_spark.sources.lake import merge_into_partitioned
+    from tests.conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events")
+    want = sorted(
+        map(
+            repr,
+            hypertable_rollup(
+                ev, "ts", ["event_type"], F.col("value"), ("hour", "day", "week")
+            ).collect(),
+        )
+    )
+
+    # 3 disjoint batches, deliberately NOT in time order (late data)
+    batches = [
+        ev.filter("event_id % 3 = 1"),
+        ev.filter("event_id % 3 = 0"),
+        ev.filter("event_id % 3 = 2"),
+    ]
+    store = None
+    for b in batches:
+        store = rollup_merge(
+            store, rollup_partials(b, "ts", ["event_type"], F.col("value")),
+            ["event_type"],
+        ).localCheckpoint()
+    got = sorted(
+        map(
+            repr,
+            rollup_levels_from_partials(store, ["event_type"]).collect(),
+        )
+    )
+    assert got == want
+
+    # persisted store: second batch's merge touches only its own dates
+    path = str(tmp_path / "partial_store")
+    with_date = lambda df: df.withColumn("d", F.to_date("bucket"))  # noqa: E731
+    p0 = rollup_partials(batches[0], "ts", ["event_type"], F.col("value"))
+    with_date(p0).write.partitionBy("d").parquet(path)
+    all_dirs = {d for d in os.listdir(path) if d.startswith("d=")}
+
+    p1 = rollup_partials(
+        batches[1].filter(F.col("ts") < "2024-01-03"), "ts", ["event_type"],
+        F.col("value"),
+    )
+    # materialize before the directory swap below invalidates the lazy
+    # scan of the pre-merge store
+    merged_store = rollup_merge(
+        spark.read.parquet(path).drop("d"), p1, ["event_type"]
+    ).localCheckpoint()
+    touched = merge_into_partitioned(
+        spark, path, with_date(
+            merged_store.join(
+                p1.select(F.to_date("bucket").alias("__td")).distinct(),
+                F.to_date("bucket") == F.col("__td"),
+            ).drop("__td")
+        ),
+        ["bucket", "event_type"], "d",
+    )
+    assert touched and set(f"d={t}" for t in touched) < all_dirs
+    # store on disk now equals the merged logical store
+    back = spark.read.parquet(path).drop("d")
+    assert sorted(map(repr, back.select("bucket", "event_type", "__n").collect())) == \
+        sorted(map(repr, merged_store.select("bucket", "event_type", "__n").collect()))
