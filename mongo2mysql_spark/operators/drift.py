@@ -1,0 +1,117 @@
+"""Distribution-drift report between two dataset versions (extension
+layer; pairs with ``operators/diffing`` — diff says WHICH rows changed,
+drift says whether the DATA as a whole moved).
+
+Before swapping training corpus v(N+1) in for v(N), a pipeline checks
+that the distributions it was tuned on haven't shifted: document
+lengths, quality scores, per-language mixes.  The standard scalar is
+the Population Stability Index over a fixed bucketing:
+
+    PSI = Σ_b (p_new(b) - p_old(b)) · ln(p_new(b) / p_old(b))
+
+with the conventional reading: < 0.1 stable, 0.1-0.25 moderate shift,
+> 0.25 action needed.
+
+Bucketing contract: bucket edges come from the OLD (baseline) side's
+quantiles — both sides are histogrammed against the same fixed edges,
+so the comparison is apples-to-apples and the new side needs no
+quantile pass.  Plan shape per column: one ``approxQuantile`` on the
+baseline (driver gets ~n_buckets doubles), then ONE aggregation pass
+per side computing every column's bucket counts together (the same
+fused-aggregate trick as ``operators/profile``) — two scans total
+regardless of column count, no join, no shuffle beyond the aggregate.
+Empty buckets are Laplace-smoothed so the log is defined.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _bucket_edges(df: DataFrame, col: str, n_buckets: int,
+                  relative_error: float = 0.001) -> list[float]:
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    edges = df.approxQuantile(col, qs, relative_error)
+    # dedupe (heavy point masses can repeat an edge) while keeping order
+    out: list[float] = []
+    for e in edges:
+        if not out or e > out[-1]:
+            out.append(e)
+    return out
+
+
+def _bucket_expr(col: str, edges: list[float]):
+    b = F.lit(0)
+    for i, e in enumerate(edges):
+        b = F.when(F.col(col) > F.lit(e), F.lit(i + 1)).otherwise(b)
+    # NULLs get their own bucket (-1): a null-rate change is drift too
+    return F.when(F.col(col).isNull(), F.lit(-1)).otherwise(b)
+
+
+def _bucket_counts(df: DataFrame, cols_edges: dict[str, list[float]]) -> dict[str, dict[int, int]]:
+    """One fused aggregation pass: per column, a map bucket->count."""
+    aggs = []
+    for c, edges in cols_edges.items():
+        aggs.append(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col(f"__b_{c}"), F.col(f"__n_{c}")))
+            ).alias(c)
+        )
+    staged = df.select(
+        *[_bucket_expr(c, e).alias(f"__b_{c}") for c, e in cols_edges.items()]
+    )
+    # single groupBy per column would be N shuffles; instead count each
+    # column's buckets in one pass via posexplode of (col, bucket) pairs
+    melted = staged.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(c).alias("col"), F.col(f"__b_{c}").alias("bucket"))
+                    for c in cols_edges
+                ]
+            )
+        ).alias("e")
+    ).select("e.col", "e.bucket")
+    rows = melted.groupBy("col", "bucket").agg(F.count(F.lit(1)).alias("n")).collect()
+    out: dict[str, dict[int, int]] = {c: {} for c in cols_edges}
+    for r in rows:
+        out[r["col"]][r["bucket"]] = r["n"]
+    return out
+
+
+def psi_report(
+    old: DataFrame,
+    new: DataFrame,
+    cols: list[str],
+    n_buckets: int = 10,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """One row per column: ``(column, psi, n_buckets, verdict)``.
+
+    Edges are the baseline's quantiles; both sides' bucket counts come
+    from one fused pass each.  ``smoothing`` is the Laplace add-count
+    per bucket (keeps ln defined when a bucket empties on one side).
+    """
+    edges = {c: _bucket_edges(old, c, n_buckets) for c in cols}
+    counts_old = _bucket_counts(old, edges)
+    counts_new = _bucket_counts(new, edges)
+
+    rows = []
+    for c in cols:
+        buckets = sorted(set(counts_old[c]) | set(counts_new[c]))
+        n_o = sum(counts_old[c].values()) + smoothing * len(buckets)
+        n_n = sum(counts_new[c].values()) + smoothing * len(buckets)
+        psi = 0.0
+        for b in buckets:
+            po = (counts_old[c].get(b, 0) + smoothing) / n_o
+            pn = (counts_new[c].get(b, 0) + smoothing) / n_n
+            psi += (pn - po) * math.log(pn / po)
+        verdict = "stable" if psi < 0.1 else ("moderate" if psi <= 0.25 else "shifted")
+        rows.append((c, float(psi), len(buckets), verdict))
+    spark = old.sparkSession
+    return spark.createDataFrame(
+        rows, "column string, psi double, n_buckets int, verdict string"
+    )
