@@ -134,3 +134,99 @@ def _replay(word, merges: list[tuple[str, str, int]]):
     for left, right, _ in merges:
         sym = _fuse_pair(sym, left, right)
     return sym
+
+
+# -------------------------------------------------- vocab + id encoding
+
+
+def build_vocab(encoded: DataFrame, sym_col: str = "bpe_symbols") -> DataFrame:
+    """Token-id table ``(token, token_id)`` from an encoded corpus:
+    ids are contiguous 0..V-1, assigned by corpus frequency (desc) with
+    lexicographic tiebreak — fully deterministic, GPT-2-style
+    frequency-ranked ids.
+
+    The window runs over the VOCABULARY table (bounded — ~10^5 rows at
+    any corpus size), not the corpus, so the single-partition ranking
+    window is safe by construction; the corpus-sized work is the one
+    explode+count pass."""
+    from pyspark.sql import Window
+
+    counts = (
+        encoded.select(F.explode(F.col(sym_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    w = Window.orderBy(F.col("__n").desc(), F.col("token"))
+    return counts.select(
+        "token", (F.row_number().over(w) - 1).cast("long").alias("token_id")
+    )
+
+
+def encode_ids(
+    encoded: DataFrame,
+    vocab: DataFrame,
+    id_col: str,
+    sym_col: str = "bpe_symbols",
+    out_col: str = "token_ids",
+) -> DataFrame:
+    """Symbols -> id arrays, distributed: posexplode the symbol axis,
+    broadcast-join the vocabulary, re-assemble in position order.  One
+    shuffle (the groupBy re-assembly); the vocab is broadcast, never a
+    driver-side map literal.  Unknown symbols (text outside the
+    training distribution) fail loudly via an inner-join row-count
+    contract rather than silently dropping tokens — callers extend the
+    vocab or pre-filter."""
+    melted = encoded.select(
+        F.col(id_col), F.posexplode(F.col(sym_col)).alias("__pos", "token")
+    )
+    joined = melted.join(F.broadcast(vocab), "token", "inner")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__pos"), F.col("token_id")))
+            ).alias("__pairs")
+        )
+        .select(
+            id_col,
+            F.transform(F.col("__pairs"), lambda p: p.getField("token_id")).alias(
+                out_col
+            ),
+        )
+    )
+
+
+def decode_ids(
+    ids_df: DataFrame,
+    vocab: DataFrame,
+    id_col: str,
+    ids_col: str = "token_ids",
+    out_col: str = "text",
+) -> DataFrame:
+    """Inverse of ``encode_ids`` + symbol concatenation: id arrays back
+    to the original text (lossless round trip — asserted in tests).
+    Same plan shape: posexplode, broadcast join, ordered re-assembly."""
+    melted = ids_df.select(
+        F.col(id_col), F.posexplode(F.col(ids_col)).alias("__pos", "token_id")
+    )
+    joined = melted.join(F.broadcast(vocab), "token_id", "inner")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__pos"), F.col("token")))
+            ).alias("__pairs")
+        )
+        .select(
+            id_col,
+            F.rtrim(
+                F.replace(
+                    F.concat_ws(
+                        "", F.transform(F.col("__pairs"), lambda p: p.getField("token"))
+                    ),
+                    F.lit(END),
+                    F.lit(" "),
+                )
+            ).alias(out_col),
+        )
+    )

@@ -1047,3 +1047,54 @@ def test_split_sentences_udtf_lateral_matches_python(spark):
         "LATERAL split_sentences(x.t) s"
     )
     assert empty.count() == 0
+
+
+def test_bpe_ids_round_trip_and_vocab_ranking(spark):
+    """Vocabulary ids are contiguous, frequency-ranked, deterministic;
+    encode_ids -> decode_ids round-trips the original text losslessly
+    over real documents."""
+    from pyspark.sql import functions as F
+
+    from mongo2mysql_spark.operators.bpe import (
+        apply_merges,
+        build_vocab,
+        decode_ids,
+        encode_ids,
+        learn_merges,
+        word_freq_table,
+    )
+    from mongo2mysql_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    docs = (
+        load_table(spark, SF_DIR, "documents")
+        .limit(60)
+        .select("doc_id", F.regexp_replace("text", r"\s+", " ").alias("text"))
+        .select("doc_id", F.trim("text").alias("text"))
+    )
+    merges = learn_merges(word_freq_table(docs), n_merges=10)
+    encoded = apply_merges(docs, merges).localCheckpoint()
+    vocab = build_vocab(encoded).localCheckpoint()
+
+    v = sorted((r["token_id"], r["token"]) for r in vocab.collect())
+    assert [i for i, _ in v] == list(range(len(v)))  # contiguous 0..V-1
+    # frequency-ranked: id order equals (count desc, token asc)
+    counts = {
+        r["token"]: r["n"]
+        for r in encoded.select(F.explode("bpe_symbols").alias("token"))
+        .groupBy("token").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert [t for _, t in v] == [t for t, _ in ranked]
+
+    ids = encode_ids(encoded, vocab, "doc_id").localCheckpoint()
+    # conservation: every doc encodes, token counts preserved
+    assert ids.count() == encoded.count()
+    n_sym = encoded.select(F.sum(F.size("bpe_symbols"))).first()[0]
+    n_ids = ids.select(F.sum(F.size("token_ids"))).first()[0]
+    assert n_sym == n_ids
+
+    back = decode_ids(ids, vocab, "doc_id")
+    orig = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for r in back.collect():
+        assert r["text"] == orig[r["doc_id"]], r["doc_id"]
