@@ -74,3 +74,45 @@ def pack_sequences(
         )
         .drop(cum, "__last_end")
     )
+
+
+def pack_manifest(
+    packed: DataFrame,
+    n_tokens_col: str,
+    seq_len: int,
+    id_cols: list[str] | str = "doc_id",
+) -> DataFrame:
+    """Invert the doc→span mapping into the per-sequence manifest a
+    training loader reads: one row per (sequence, contributing doc)
+    with the exact slice — ``seq_id``, the doc's token range
+    [``doc_start``, ``doc_start + n_tok``) and where it lands inside
+    the sequence (``seq_offset``).
+
+    ``packed`` is the output of ``pack_sequences`` (needs ``first_seq/
+    first_offset/last_seq``).  Plan shape: one ``sequence()`` explode
+    (a doc expands to the sequences it touches — bounded by
+    doc_len/seq_len + 1 rows) and NO shuffle beyond what a downstream
+    ``groupBy(seq_id)`` adds; all arithmetic is integer, bit-exact.
+    Zero-token docs are excluded (they occupy no tokens).
+    """
+    if isinstance(id_cols, str):
+        id_cols = [id_cols]
+    n = F.col(n_tokens_col).cast("long")
+    cum_before = F.col("first_seq") * seq_len + F.col("first_offset")
+    exploded = (
+        packed.filter(n > 0)
+        .withColumn("__cum", cum_before)
+        .withColumn(
+            "seq_id", F.explode(F.sequence(F.col("first_seq"), F.col("last_seq")))
+        )
+    )
+    seq_start_tok = F.col("seq_id") * seq_len          # global index of seq start
+    doc_lo = F.greatest(seq_start_tok, F.col("__cum"))  # slice start, global
+    doc_hi = F.least(seq_start_tok + seq_len, F.col("__cum") + n)
+    return exploded.select(
+        "seq_id",
+        *id_cols,
+        (doc_lo - F.col("__cum")).alias("doc_start"),
+        (doc_hi - doc_lo).cast("int").alias("n_tok"),
+        (doc_lo - seq_start_tok).cast("int").alias("seq_offset"),
+    )

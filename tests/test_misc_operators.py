@@ -1121,3 +1121,62 @@ def test_psi_drift_report_matches_python_and_verdicts(spark):
         for b in buckets
     )
     assert abs(shift["psi"] - want) < 1e-9
+
+
+def test_pack_manifest_tiles_sequences_exactly(spark):
+    """The per-sequence manifest tiles every sequence wall-to-wall:
+    full sequences sum to exactly seq_len with contiguous offsets, each
+    doc's slices are contiguous and conserve its token count, and the
+    manifest agrees with a Python replay of the packed stream."""
+    from pyspark.sql import functions as F
+
+    from mongo2mysql_spark.operators.packing import pack_manifest, pack_sequences
+    from mongo2mysql_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    L = 512
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    packed = pack_sequences(docs, "n_tok", "doc_id", seq_len=L)
+    man = pack_manifest(packed, "n_tok", L).collect()
+
+    by_seq: dict[int, list] = {}
+    by_doc: dict[int, list] = {}
+    for r in man:
+        by_seq.setdefault(r["seq_id"], []).append(r)
+        by_doc.setdefault(r["doc_id"], []).append(r)
+
+    last_seq = max(by_seq)
+    for sid, rows in by_seq.items():
+        rows.sort(key=lambda r: r["seq_offset"])
+        total = sum(r["n_tok"] for r in rows)
+        if sid < last_seq:
+            assert total == L, sid
+        # offsets tile without gaps or overlaps
+        pos = rows[0]["seq_offset"]
+        assert pos == 0 or sid == 0  # every seq starts filled from 0
+        for r in rows:
+            assert r["seq_offset"] == pos, (sid, r)
+            pos += r["n_tok"]
+
+    n_tok = {r["doc_id"]: r["n_tok"] for r in docs.collect()}
+    for did, rows in by_doc.items():
+        rows.sort(key=lambda r: r["doc_start"])
+        assert sum(r["n_tok"] for r in rows) == n_tok[did]
+        assert rows[0]["doc_start"] == 0
+        pos = 0
+        for r in rows:
+            assert r["doc_start"] == pos
+            pos += r["n_tok"]
+
+    # python replay: concatenate docs in id order and slice
+    stream = []
+    for r in sorted(docs.collect(), key=lambda r: r["doc_id"]):
+        stream.extend([r["doc_id"]] * r["n_tok"])
+    for sid, rows in by_seq.items():
+        want = stream[sid * L : (sid + 1) * L]
+        got = []
+        for r in sorted(rows, key=lambda r: r["seq_offset"]):
+            got.extend([r["doc_id"]] * r["n_tok"])
+        assert got == want, sid
