@@ -97,3 +97,71 @@ def semantic_dedup(
         )
         .withColumn("is_kept", F.col("id") == F.col("group_id"))
     )
+
+
+# ----------------------------------- random-projection LSH blocking
+
+
+def rp_lsh_bits(vec, n_bits: int = 16, seed: int = 0):
+    """Signed-random-projection signature (Charikar 2002 SimHash for
+    real vectors): bit j is the sign of <v, h_j> where hyperplane
+    h_j's components are deterministic ±1 pseudo-randoms derived from
+    ``xxhash64(seed, j, dim_index)`` — no RNG object, so the signature
+    is reproducible across runs, partitions, and engines.
+
+    Pure column expression (transform + aggregate per bit — all
+    whole-stage-codegen): cost is n_bits × dim multiply-adds per row,
+    one narrow pass, no shuffle.
+    """
+    bits = F.lit(0).cast("long")
+    for j in range(n_bits):
+        # ±1 per (seed, bit, position): cheap xxhash parity
+        proj = F.aggregate(
+            F.transform(
+                vec,
+                lambda x, i: x.cast("double")
+                * (
+                    (F.xxhash64(F.lit(seed), F.lit(j), i) % 2 == 0).cast("int") * 2 - 1
+                ).cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits = bits + F.when(proj >= 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0))
+    return bits
+
+
+def rp_lsh_neardup_pairs(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    min_cosine: float = 0.9,
+    n_bits: int = 12,
+    seeds: tuple[int, ...] = (0, 1),
+) -> DataFrame:
+    """Cosine near-dup pairs via random-projection bucket blocking —
+    the iteration-free alternative to the k-means blocks: vectors
+    agreeing on all ``n_bits`` signs of one projection table land in a
+    bucket; pairs are scored exactly within buckets only.  Multiple
+    ``seeds`` are independent hash tables OR-ed together (standard LSH
+    amplification — collision probability per table is
+    (1 - θ/π)^n_bits, so tables sum recall while each stays cheap).
+    Bucket sizes concentrate at N/2^n_bits: pick n_bits ~ log2(N) the
+    same way stride tracks √N for the k-means path.
+    """
+    pair_frames = []
+    for s in seeds:
+        with_bucket = corpus.select(
+            F.col(id_col), F.col(vec_col),
+            rp_lsh_bits(F.col(vec_col), n_bits, seed=s).alias("__bucket"),
+        )
+        pair_frames.append(
+            embedding_neardup_pairs(
+                with_bucket, id_col, vec_col, block_col="__bucket",
+                min_cosine=min_cosine,
+            )
+        )
+    out = pair_frames[0]
+    for p in pair_frames[1:]:
+        out = out.unionByName(p)
+    return out.dropDuplicates(["id_1", "id_2"])

@@ -1098,3 +1098,65 @@ def test_bpe_ids_round_trip_and_vocab_ranking(spark):
     orig = {r["doc_id"]: r["text"] for r in docs.collect()}
     for r in back.collect():
         assert r["text"] == orig[r["doc_id"]], r["doc_id"]
+
+
+def test_rp_lsh_neardup_recall_and_determinism(spark):
+    """Random-projection LSH blocking: identical vectors always collide
+    (recall 1.0 on exact dups), adding hash tables never loses pairs
+    (LSH amplification), signatures are repartition-stable, and every
+    emitted pair is a true pair (exactness within buckets)."""
+    from pyspark.sql import functions as F
+
+    from mongo2mysql_spark.operators.dedup import embedding_neardup_pairs
+    from mongo2mysql_spark.operators.semdedup import (
+        rp_lsh_bits,
+        rp_lsh_neardup_pairs,
+    )
+    from mongo2mysql_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    e = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    base = e.filter("vec_id < 300")
+    planted = base.filter("vec_id % 40 = 0").select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    corpus = base.union(planted).localCheckpoint()
+
+    # ground truth: all true pairs at the threshold (single-block call)
+    truth = {
+        (r["id_1"], r["id_2"])
+        for r in embedding_neardup_pairs(
+            corpus.withColumn("__all", F.lit(1)), "vec_id", "embedding",
+            block_col="__all", min_cosine=0.95,
+        ).collect()
+    }
+    exact_dups = {(v, v + 100000) for v in range(0, 300, 40)}
+    assert exact_dups <= truth
+
+    got1 = {
+        (r["id_1"], r["id_2"])
+        for r in rp_lsh_neardup_pairs(
+            corpus, "vec_id", "embedding", min_cosine=0.95, n_bits=8, seeds=(0,)
+        ).collect()
+    }
+    got3 = {
+        (r["id_1"], r["id_2"])
+        for r in rp_lsh_neardup_pairs(
+            corpus, "vec_id", "embedding", min_cosine=0.95, n_bits=8, seeds=(0, 1, 2)
+        ).collect()
+    }
+    # exact dups: identical vector -> identical signature -> same bucket
+    assert exact_dups <= got1
+    # soundness: LSH pairs are a subset of the truth (scored exactly)
+    assert got1 <= truth and got3 <= truth
+    # amplification: more tables never lose pairs
+    assert got1 <= got3
+
+    # signatures are partition-independent
+    sig = lambda df: sorted(  # noqa: E731
+        (r["vec_id"], r["b"])
+        for r in df.select(
+            "vec_id", rp_lsh_bits(F.col("embedding"), 8, seed=0).alias("b")
+        ).collect()
+    )
+    assert sig(corpus) == sig(corpus.repartition(13))
