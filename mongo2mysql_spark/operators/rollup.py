@@ -93,16 +93,29 @@ def hypertable_rollup(
 
 def rollup_partials(
     df: DataFrame, ts_col: str, group_cols: list[str], value: Column,
-    finest: str = "hour",
+    finest: str = "hour", distinct_col: str | None = None,
 ) -> DataFrame:
-    """Finest-level mergeable partials ``(bucket, *group_cols, __n, __s)``
-    for one batch of raw rows — the unit of incremental refresh."""
-    return df.groupBy(
-        F.date_trunc(finest, F.col(ts_col)).alias("bucket"), *group_cols
-    ).agg(
+    """Finest-level mergeable partials ``(bucket, *group_cols, __n, __s
+    [, __hll])`` for one batch of raw rows — the unit of incremental
+    refresh.
+
+    ``distinct_col`` extends the partials with a DataSketches HLL
+    binary (``hll_sketch_agg``): exact COUNT DISTINCT is the one
+    aggregate the module docstring excludes from re-aggregation, but
+    the SKETCH is algebraic — ``hll_union_agg`` of partial sketches is
+    byte-identical to sketching the whole history (asserted in tests) —
+    so "distinct users per hour/day/week" rides the same
+    never-rescan-raw refresh as counts and sums.
+    """
+    aggs = [
         F.count(F.lit(1)).alias("__n"),
         F.sum(value.cast(DEC)).alias("__s"),
-    )
+    ]
+    if distinct_col is not None:
+        aggs.append(F.hll_sketch_agg(distinct_col).alias("__hll"))
+    return df.groupBy(
+        F.date_trunc(finest, F.col(ts_col)).alias("bucket"), *group_cols
+    ).agg(*aggs)
 
 
 def rollup_merge(store: DataFrame | None, batch_partials: DataFrame,
@@ -121,10 +134,13 @@ def rollup_merge(store: DataFrame | None, batch_partials: DataFrame,
     """
     if store is None:
         return batch_partials
+    aggs = [F.sum("__n").alias("__n"), F.sum("__s").alias("__s")]
+    if "__hll" in batch_partials.columns:
+        aggs.append(F.hll_union_agg("__hll").alias("__hll"))
     return (
         store.unionByName(batch_partials)
         .groupBy("bucket", *group_cols)
-        .agg(F.sum("__n").alias("__n"), F.sum("__s").alias("__s"))
+        .agg(*aggs)
     )
 
 
@@ -141,12 +157,16 @@ def rollup_levels_from_partials(
         raise ValueError(f"unsupported granularity in {levels}")
     if list(levels) != sorted(levels, key=order.__getitem__):
         raise ValueError("levels must be ordered fine -> coarse")
+    has_hll = "__hll" in store.columns
+    aggs = [F.sum("__n").alias("__n"), F.sum("__s").alias("__s")]
+    if has_hll:
+        aggs.append(F.hll_union_agg("__hll").alias("__hll"))
     partials = {levels[0]: store}
     for lvl in levels[1:]:
         prev = partials[list(partials)[-1]]
         partials[lvl] = prev.groupBy(
             F.date_trunc(lvl, F.col("bucket")).alias("bucket"), *group_cols
-        ).agg(F.sum("__n").alias("__n"), F.sum("__s").alias("__s"))
+        ).agg(*aggs)
     legs = [
         p.select(
             F.lit(lvl).alias("granularity"),
@@ -154,6 +174,11 @@ def rollup_levels_from_partials(
             *group_cols,
             F.col("__n").alias("n_rows"),
             F.round(F.col("__s"), 4).cast("double").alias("sum_val"),
+            *(
+                [F.hll_sketch_estimate(F.col("__hll")).alias("n_distinct")]
+                if has_hll
+                else []
+            ),
         )
         for lvl, p in partials.items()
     ]

@@ -1180,3 +1180,52 @@ def test_pack_manifest_tiles_sequences_exactly(spark):
         for r in sorted(rows, key=lambda r: r["seq_offset"]):
             got.extend([r["doc_id"]] * r["n_tok"])
         assert got == want, sid
+
+
+def test_rollup_distinct_sketch_partials_reaggregate_exactly(spark):
+    """HLL-extended partials: merging three out-of-order batches and
+    rolling up to coarser levels gives the SAME distinct estimate as a
+    one-shot sketch over all raw rows (sketch-union associativity), and
+    the estimate tracks the exact distinct count within HLL tolerance."""
+    from pyspark.sql import functions as F
+
+    from mongo2mysql_spark.operators.rollup import (
+        rollup_levels_from_partials,
+        rollup_merge,
+        rollup_partials,
+    )
+    from mongo2mysql_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events")
+    batches = [ev.filter(f"event_id % 3 = {i}") for i in (1, 0, 2)]
+    store = None
+    for b in batches:
+        store = rollup_merge(
+            store,
+            rollup_partials(b, "ts", ["event_type"], F.col("value"),
+                            distinct_col="user_id"),
+            ["event_type"],
+        ).localCheckpoint()
+    got = rollup_levels_from_partials(store, ["event_type"], ("hour", "day", "week"))
+
+    one_shot_store = rollup_partials(
+        ev, "ts", ["event_type"], F.col("value"), distinct_col="user_id"
+    )
+    want = rollup_levels_from_partials(
+        one_shot_store, ["event_type"], ("hour", "day", "week")
+    )
+    g = sorted(map(repr, got.collect()))
+    w = sorted(map(repr, want.collect()))
+    assert g == w
+
+    # accuracy: weekly per-type estimate within HLL tolerance of exact
+    exact = {
+        (r["bucket"], r["event_type"]): r["d"]
+        for r in ev.groupBy(
+            F.date_trunc("week", "ts").alias("bucket"), "event_type"
+        ).agg(F.count_distinct("user_id").alias("d")).collect()
+    }
+    for r in got.filter("granularity = 'week'").collect():
+        e = exact[(r["bucket"], r["event_type"])]
+        assert abs(r["n_distinct"] - e) <= max(3, 0.05 * e), (r, e)
