@@ -1,0 +1,142 @@
+"""Product-level pipeline API: one callable from raw documents to a
+training-ready sharded corpus (extension layer; the orchestration
+counterpart of ``porter.SparkPorter`` for the LLM-data side — the
+reference's run-all driver shape, Porter.php:508-511, applied to the
+corpus-building operators).
+
+Every stage is one of the engine's tested operators; this module only
+composes them and reports what each stage did.  The whole pipeline is
+lazily planned per stage, so Catalyst fuses the score+filter+dedup+
+split chain into a single scan+shuffle before anything materializes;
+the stage counts in the report are the pipeline's telemetry actions
+(one count per stage — the logging a production run wants anyway).
+
+Scale: the only corpus-wide shuffles are the dedup rank, the optional
+LSH banding, and the shard write — each individually audited in its
+own module.  BPE learning runs on the word-frequency table (vocabulary
+-sized); packing uses the two-phase prefix sum; nothing collects the
+corpus.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mongo2mysql_spark.functions.text import (
+    dup_token_fraction,
+    fingerprint,
+    quality_score,
+    tokens,
+)
+from mongo2mysql_spark.operators.bpe import (
+    apply_merges,
+    learn_merges,
+    word_freq_table,
+)
+from mongo2mysql_spark.operators.dedup import dedup_exact
+from mongo2mysql_spark.operators.decontam import remove_contaminated
+from mongo2mysql_spark.operators.packing import pack_sequences
+from mongo2mysql_spark.operators.sampling import hash_split
+from mongo2mysql_spark.sources.lake import write_training_shards
+
+
+@dataclass
+class CorpusConfig:
+    min_quality: float = 0.3
+    min_tokens: int = 20
+    max_dup_fraction: float = 0.65
+    decontam_ngram: int = 8
+    n_merges: int = 0          # 0 = whitespace token counts (no BPE pass)
+    bpe_sample_docs: int = 200  # docs used to learn merges (vocab needs a sample)
+    seq_len: int = 2048
+    n_shards: int = 8
+    splits: tuple[float, float] = (0.8, 0.1)  # train, val (test = remainder)
+    shuffle_salt: str = "shuffle"
+
+
+def build_training_corpus(
+    docs: DataFrame,
+    out_dir: str,
+    benchmark: DataFrame | None = None,
+    config: CorpusConfig | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """documents → filter → dedup → (decontam) → split → tokenize →
+    pack → shard write; returns the per-stage report dict.
+
+    Output layout under ``out_dir``: ``train/`` (sharded, shuffled,
+    with token counts and packed-sequence spans), ``val/`` and
+    ``test/`` (plain parquet), plus the report's numbers as the caller's
+    log line.  Deterministic end to end: same input + config → byte-
+    identical shards (salted-hash split/shuffle, rank-based dedup,
+    replayed BPE merges).
+    """
+    cfg = config or CorpusConfig()
+    report: dict = {"input_docs": docs.count()}
+
+    toks = tokens(F.col(text_col))
+    scored = docs.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.size(toks).alias("n_tokens"),
+        quality_score(toks, F.col(text_col)).alias("quality"),
+        dup_token_fraction(toks).alias("dup_frac"),
+        fingerprint(toks).alias("__fp"),
+    )
+    kept = scored.filter(
+        (F.col("quality") >= cfg.min_quality)
+        & (F.col("n_tokens") >= cfg.min_tokens)
+        & (F.col("dup_frac") <= cfg.max_dup_fraction)
+    )
+    report["after_quality_filter"] = kept.count()
+
+    deduped = dedup_exact(kept, ["__fp"], id_col).drop("__fp")
+    report["after_exact_dedup"] = deduped.count()
+
+    if benchmark is not None:
+        deduped = remove_contaminated(
+            deduped, benchmark, id_col=id_col, text_col=text_col,
+            n=cfg.decontam_ngram,
+        )
+        report["after_decontam"] = deduped.count()
+
+    train_frac, val_frac = cfg.splits
+    with_split = deduped.withColumn(
+        "split", hash_split(F.col(id_col), train_frac, val_frac)
+    ).persist()
+    train = with_split.filter("split = 'train'").drop("split")
+    report["train_docs"] = train.count()
+    report["val_docs"] = with_split.filter("split = 'val'").count()
+    report["test_docs"] = with_split.filter("split = 'test'").count()
+
+    if cfg.n_merges > 0:
+        merges = learn_merges(
+            word_freq_table(train.limit(cfg.bpe_sample_docs), text_col),
+            n_merges=cfg.n_merges,
+        )
+        report["bpe_merges"] = len(merges)
+        train = apply_merges(train, merges, text_col).withColumn(
+            "n_train_tokens", F.size("bpe_symbols")
+        ).drop("bpe_symbols")
+    else:
+        train = train.withColumn("n_train_tokens", F.col("n_tokens"))
+
+    packed = pack_sequences(train, "n_train_tokens", id_col, seq_len=cfg.seq_len)
+    report["n_sequences"] = packed.agg(F.max("last_seq")).first()[0] + 1
+
+    write_training_shards(
+        packed, os.path.join(out_dir, "train"), id_col,
+        n_shards=cfg.n_shards, salt=cfg.shuffle_salt,
+    )
+    for name in ("val", "test"):
+        with_split.filter(F.col("split") == name).drop("split").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out_dir, name))
+    with_split.unpersist()
+    report["n_shards"] = cfg.n_shards
+    return report

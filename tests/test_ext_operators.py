@@ -1160,3 +1160,61 @@ def test_rp_lsh_neardup_recall_and_determinism(spark):
         ).collect()
     )
     assert sig(corpus) == sig(corpus.repartition(13))
+
+
+def test_build_training_corpus_api(spark, tmp_path):
+    """The one-call pipeline API: report counts are monotone through the
+    filter/dedup/decontam stages, splits partition the kept set, the
+    sharded train output round-trips with every train doc exactly once,
+    and the same config reproduces byte-identical output."""
+    from mongo2mysql_spark.pipelines import CorpusConfig, build_training_corpus
+    from mongo2mysql_spark.sources import load_table
+    from mongo2mysql_spark.sources.lake import parquet_files
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    bench = docs.filter("doc_id % 97 = 0").limit(5)
+    cfg = CorpusConfig(seq_len=256, n_shards=4, n_merges=4, bpe_sample_docs=40)
+
+    out1 = str(tmp_path / "corpus1")
+    report = build_training_corpus(docs, out1, benchmark=bench, config=cfg)
+
+    assert (
+        report["input_docs"]
+        >= report["after_quality_filter"]
+        >= report["after_exact_dedup"]
+        >= report["after_decontam"]
+    )
+    kept = report["after_decontam"]
+    assert report["train_docs"] + report["val_docs"] + report["test_docs"] == kept
+    assert report["bpe_merges"] == 4 and report["n_sequences"] > 0
+
+    train = spark.read.parquet(f"{out1}/train")
+    assert train.count() == report["train_docs"]
+    assert train.select("doc_id").distinct().count() == report["train_docs"]
+    assert {"n_train_tokens", "first_seq", "last_seq", "shard"} <= set(train.columns)
+    val = spark.read.parquet(f"{out1}/val")
+    assert val.count() == report["val_docs"]
+
+    # determinism: full rerun → identical shard bytes
+    import hashlib
+
+    out2 = str(tmp_path / "corpus2")
+    report2 = build_training_corpus(docs, out2, benchmark=bench, config=cfg)
+    assert report2 == report
+
+    import os
+
+    def digest(path):
+        # keyed by shard directory, not file name (file names embed
+        # task-attempt uuids; the CONTENT is the determinism contract)
+        h = hashlib.sha256()
+        for f in sorted(
+            parquet_files(path),
+            key=lambda f: os.path.dirname(os.path.relpath(f, path)),
+        ):
+            h.update(os.path.dirname(os.path.relpath(f, path)).encode())
+            h.update(open(f, "rb").read())
+        return h.hexdigest()
+
+    assert digest(f"{out1}/train") == digest(f"{out2}/train")
