@@ -348,3 +348,40 @@ def test_dynamic_partition_pruning_fires_on_partitioned_join(spark, tmp_path):
     assert "dynamicpruning" in plan.lower(), plan
     # and the result is the pruned slice
     assert j.count() == orders.filter("o_orderstatus = 'F'").count()
+
+
+def test_new_operator_plans_have_no_cartesian_or_global_window(spark):
+    """Plan-shape sweep over the round's new operators: no
+    CartesianProduct anywhere, no single-reducer (empty-partition)
+    window, and the anomaly scorer plans exactly one exchange (the
+    per-key shuffle)."""
+    from pyspark.sql import functions as F
+
+    from mongo2mysql_spark.operators.anomaly import rolling_zscore
+    from mongo2mysql_spark.operators.diffing import snapshot_diff
+    from mongo2mysql_spark.operators.profile import profile_table
+    from mongo2mysql_spark.operators.semdedup import semantic_dedup_pairs
+    from mongo2mysql_spark.sources.parquet import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    emb = load_table(spark, SF_DIR, "embeddings")
+    docs = load_table(spark, SF_DIR, "documents")
+
+    frames = {
+        "anomaly": rolling_zscore(
+            ev, ["user_id"], "ts", "value", tiebreak_cols=["event_id"]
+        ),
+        "semdedup_pairs": semantic_dedup_pairs(
+            emb.select("vec_id", "embedding"), "vec_id", "embedding",
+            kmeans_iters=1,
+        ),
+        "profile": profile_table(ev),
+        "diff": snapshot_diff(docs.limit(400), docs, ["doc_id"]),
+    }
+    for name, df in frames.items():
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        assert "Window [" not in plan or "windowspecdefinition()" not in plan, name
+
+    anomaly_plan = frames["anomaly"]._jdf.queryExecution().executedPlan().toString()
+    assert anomaly_plan.count("Exchange") == 1, anomaly_plan
