@@ -406,3 +406,72 @@ def test_scd2_random_batches_match_python_reference(spark):
         for v, frm, to in versions
     )
     assert got == want
+
+
+def test_versioned_table_time_travel_rollback_vacuum(spark, tmp_path):
+    """Versioned parquet table: snapshot isolation (a reader pinned to
+    v0 is untouched by later commits), append/overwrite semantics per
+    version, rollback restores an old file set as a NEW version, vacuum
+    removes only unreferenced data dirs, and snapshot_diff works across
+    two versions without copying."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mongo2mysql_spark.operators.diffing import snapshot_diff_summary
+    from mongo2mysql_spark.sources.versioned import (
+        commit,
+        current_version,
+        read_version,
+        rollback,
+        vacuum,
+    )
+
+    table = str(tmp_path / "docs_v")
+    base = spark.range(100).select("id", (F.col("id") * 2).alias("v"))
+    assert commit(base, table) == 0
+    assert commit(spark.range(100, 150).select("id", (F.col("id") * 2).alias("v")),
+                  table, mode="append") == 1
+    assert commit(spark.range(50).select("id", (F.col("id") * 3).alias("v")),
+                  table, mode="overwrite") == 2
+    assert current_version(table) == 2
+
+    v0 = read_version(spark, table, 0)
+    assert v0.count() == 100
+    assert read_version(spark, table, 1).count() == 150
+    assert read_version(spark, table).count() == 50  # latest = overwrite
+
+    # snapshot isolation: the v0 frame still reads 100 rows after later commits
+    assert v0.count() == 100
+
+    # diff two pinned versions without copying either
+    summary = {
+        r["status"]: r["n"]
+        for r in snapshot_diff_summary(
+            read_version(spark, table, 1), read_version(spark, table, 2), ["id"]
+        ).collect()
+    }
+    # id=0: 0*2 == 0*3, genuinely unchanged
+    assert summary["removed"] == 100 and summary["changed"] == 49
+    assert summary["unchanged"] == 1
+
+    # rollback to v1 is a new version with v1's content
+    assert rollback(table, 1) == 3
+    assert read_version(spark, table).count() == 150
+    assert read_version(spark, table, 2).count() == 50  # history intact
+
+    # vacuum keeping the last 2 versions (v2, v3): v0/v1 manifests go,
+    # but v3 (rollback) references v0+v1 data dirs, so only the
+    # overwrite commit's dir that v2 references is kept via v2... all
+    # referenced -> nothing removed with keep_last=2
+    removed = vacuum(table, keep_last=2)
+    assert removed == []
+    assert read_version(spark, table).count() == 150
+    # drop everything but the head: v2's dir becomes unreferenced
+    removed = vacuum(table, keep_last=1)
+    assert len(removed) == 1
+    assert read_version(spark, table).count() == 150
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        read_version(spark, table, 0)
