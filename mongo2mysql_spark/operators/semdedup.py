@@ -75,6 +75,7 @@ def semantic_dedup(
     init_stride: int = 97,
     kmeans_iters: int = 4,
     centroids: DataFrame | None = None,
+    blocking: str = "kmeans",
 ) -> DataFrame:
     """Per-id keep verdict: ``(id, group_id, is_kept)``.
 
@@ -83,10 +84,21 @@ def semantic_dedup(
     the one representative per group.  ``corpus.filter(is_kept)`` is the
     deduplicated corpus; the dropped fraction is SemDeDup's headline
     metric.
+
+    ``blocking`` picks the candidate-generation backend: ``"kmeans"``
+    (learned clusters — better recall near cluster cores, costs Lloyd
+    iterations) or ``"rp_lsh"`` (signed-random-projection buckets —
+    iteration-free, recall tuned by table count).  Both feed the same
+    exact within-block scoring, components, and keeper selection.
     """
-    pairs = semantic_dedup_pairs(
-        corpus, id_col, vec_col, min_cosine, init_stride, kmeans_iters, centroids
-    )
+    if blocking == "kmeans":
+        pairs = semantic_dedup_pairs(
+            corpus, id_col, vec_col, min_cosine, init_stride, kmeans_iters, centroids
+        )
+    elif blocking == "rp_lsh":
+        pairs = rp_lsh_neardup_pairs(corpus, id_col, vec_col, min_cosine)
+    else:
+        raise ValueError(f"unknown blocking backend: {blocking!r}")
     comp = connected_components(pairs, "id_1", "id_2")
     ids = corpus.select(F.col(id_col).alias("id"))
     return (

@@ -90,11 +90,29 @@ def commit(df: DataFrame, table: str, mode: str = "append") -> int:
         "commit_id": commit_id,
         "files": files,
     }
-    tmp = _manifest_path(table, version) + f".tmp.{commit_id}"
+    _publish_manifest(table, version, manifest)
+    return version
+
+
+def _publish_manifest(table: str, version: int, manifest: dict) -> None:
+    """Exclusive publication: ``os.link`` fails if the target exists
+    (unlike ``os.rename``, which silently replaces), so two writers
+    racing for the same version get one winner and one
+    ``FileExistsError`` — losers retry on top of the new head instead
+    of clobbering it."""
+    final = _manifest_path(table, version)
+    tmp = final + f".tmp.{manifest['commit_id']}"
     with open(tmp, "w") as fh:
         json.dump(manifest, fh)
-    os.rename(tmp, _manifest_path(table, version))
-    return version
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        raise FileExistsError(
+            f"concurrent commit: version {version} of {table} already exists; "
+            "re-read the head and retry"
+        ) from None
+    finally:
+        os.remove(tmp)
 
 
 def read_version(
@@ -124,10 +142,7 @@ def rollback(table: str, to_version: int) -> int:
         "commit_id": uuid.uuid4().hex[:12],
         "files": old["files"],
     }
-    tmp = _manifest_path(table, version) + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump(manifest, fh)
-    os.rename(tmp, _manifest_path(table, version))
+    _publish_manifest(table, version, manifest)
     return version
 
 

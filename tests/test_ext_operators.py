@@ -1218,3 +1218,35 @@ def test_build_training_corpus_api(spark, tmp_path):
         return h.hexdigest()
 
     assert digest(f"{out1}/train") == digest(f"{out2}/train")
+
+
+def test_semantic_dedup_rp_lsh_backend(spark):
+    """The rp_lsh blocking backend drops planted exact duplicates just
+    like the kmeans backend, through the same verdict contract."""
+    from pyspark.sql import functions as F
+
+    from mongo2mysql_spark.operators.semdedup import semantic_dedup
+    from mongo2mysql_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    e = load_table(spark, SF_DIR, "embeddings").filter("vec_id < 200").select(
+        "vec_id", "embedding"
+    )
+    planted = e.filter("vec_id % 40 = 0").select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    corpus = e.union(planted)
+    out = {
+        r["id"]: (r["group_id"], r["is_kept"])
+        for r in semantic_dedup(
+            corpus, "vec_id", "embedding", min_cosine=0.999, blocking="rp_lsh"
+        ).collect()
+    }
+    for r in planted.collect():
+        src = r["vec_id"] - 100000
+        assert out[r["vec_id"]] == (src, False)
+        assert out[src] == (src, True)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="blocking"):
+        semantic_dedup(corpus, "vec_id", "embedding", blocking="nope")

@@ -475,3 +475,36 @@ def test_versioned_table_time_travel_rollback_vacuum(spark, tmp_path):
 
     with _pytest.raises(FileNotFoundError):
         read_version(spark, table, 0)
+
+
+def test_versioned_concurrent_commit_raises(spark, tmp_path):
+    """Two writers racing for the same version: exclusive manifest
+    publication makes the loser raise instead of clobbering the head."""
+    import json
+    import os
+
+    import pytest as _pytest
+
+    from mongo2mysql_spark.sources.versioned import commit, read_version
+
+    table = str(tmp_path / "race")
+    commit(spark.range(10), table)
+    # simulate a racing writer that published v1 between our
+    # current_version() read and our manifest publication
+    race = os.path.join(table, "_versions", "v1.json")
+    with open(race, "w") as fh:
+        json.dump({"version": 1, "parent": 0, "mode": "append",
+                   "commit_id": "racer", "files": []}, fh)
+
+    # our commit computes version 1 too -> must fail loudly
+    import mongo2mysql_spark.sources.versioned as V
+
+    orig = V.current_version
+    V.current_version = lambda t: 0  # pretend we read the stale head
+    try:
+        with _pytest.raises(FileExistsError, match="concurrent"):
+            commit(spark.range(5), table, mode="append")
+    finally:
+        V.current_version = orig
+    # the racer's manifest is untouched and the table still reads
+    assert read_version(spark, table, 0).count() == 10
