@@ -115,3 +115,58 @@ def psi_report(
     return spark.createDataFrame(
         rows, "column string, psi double, n_buckets int, verdict string"
     )
+
+
+def psi_report_categorical(
+    old: DataFrame,
+    new: DataFrame,
+    cols: list[str],
+    top_k: int = 20,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """PSI over categorical columns (language mix, source mix, license
+    tags): buckets are the BASELINE's ``top_k`` most frequent values —
+    everything else (and anything newly appearing) folds into
+    ``__other__``, NULL stays its own bucket — so the bucketing is
+    fixed by the baseline exactly like the numeric path's quantile
+    edges.  One groupBy per side per column at category cardinality;
+    same smoothing and verdict bands as ``psi_report``.
+    """
+    rows = []
+    for c in cols:
+        top = [
+            r[0]
+            for r in old.filter(F.col(c).isNotNull())
+            .groupBy(c).count()
+            .orderBy(F.col("count").desc(), F.col(c))
+            .limit(top_k)
+            .collect()
+        ]
+        bucket = (
+            F.when(F.col(c).isNull(), F.lit("__null__"))
+            .when(F.col(c).isin(top), F.col(c).cast("string"))
+            .otherwise(F.lit("__other__"))
+        )
+
+        def counts(df):
+            return {
+                r["b"]: r["n"]
+                for r in df.select(bucket.alias("b"))
+                .groupBy("b").agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+
+        co, cn = counts(old), counts(new)
+        buckets = sorted(set(co) | set(cn))
+        n_o = sum(co.values()) + smoothing * len(buckets)
+        n_n = sum(cn.values()) + smoothing * len(buckets)
+        psi = 0.0
+        for b in buckets:
+            po = (co.get(b, 0) + smoothing) / n_o
+            pn = (cn.get(b, 0) + smoothing) / n_n
+            psi += (pn - po) * math.log(pn / po)
+        verdict = "stable" if psi < 0.1 else ("moderate" if psi <= 0.25 else "shifted")
+        rows.append((c, float(psi), len(buckets), verdict))
+    return old.sparkSession.createDataFrame(
+        rows, "column string, psi double, n_buckets int, verdict string"
+    )

@@ -1229,3 +1229,35 @@ def test_rollup_distinct_sketch_partials_reaggregate_exactly(spark):
     for r in got.filter("granularity = 'week'").collect():
         e = exact[(r["bucket"], r["event_type"])]
         assert abs(r["n_distinct"] - e) <= max(3, 0.05 * e), (r, e)
+
+
+def test_psi_categorical_language_mix(spark):
+    """Categorical PSI on the documents language column: two random
+    halves are stable; dropping a whole language and inflating another
+    is flagged as shifted; a category unseen in the baseline folds into
+    __other__ and still registers."""
+    from pyspark.sql import functions as F
+
+    from mongo2mysql_spark.operators.drift import psi_report_categorical
+    from mongo2mysql_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "lang")
+    old = docs.filter("doc_id % 2 = 0")
+    same = docs.filter("doc_id % 2 = 1")
+    assert psi_report_categorical(old, same, ["lang"]).first()["verdict"] == "stable"
+
+    langs = [r[0] for r in old.groupBy("lang").count()
+             .orderBy(F.desc("count")).collect()]
+    major = langs[0]
+    skewed = same.withColumn(
+        "lang", F.when(F.col("lang") == major, F.lit(langs[-1])).otherwise(F.col("lang"))
+    )
+    r = psi_report_categorical(old, skewed, ["lang"]).first()
+    assert r["verdict"] == "shifted" and r["psi"] > 0.25
+
+    novel = same.withColumn(
+        "lang", F.when(F.col("doc_id") % 3 == 0, F.lit("zz_new")).otherwise(F.col("lang"))
+    )
+    r2 = psi_report_categorical(old, novel, ["lang"]).first()
+    assert r2["psi"] > 0.1  # a third of rows moving to __other__ is drift
