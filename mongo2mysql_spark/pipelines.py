@@ -49,6 +49,8 @@ class CorpusConfig:
     min_quality: float = 0.3
     min_tokens: int = 20
     max_dup_fraction: float = 0.65
+    near_dedup: bool = False          # MinHash-LSH near-dup pass after exact
+    near_dedup_min_jaccard: float = 0.7
     decontam_ngram: int = 8
     n_merges: int = 0          # 0 = whitespace token counts (no BPE pass)
     bpe_sample_docs: int = 200  # docs used to learn merges (vocab needs a sample)
@@ -97,6 +99,30 @@ def build_training_corpus(
 
     deduped = dedup_exact(kept, ["__fp"], id_col).drop("__fp")
     report["after_exact_dedup"] = deduped.count()
+
+    if cfg.near_dedup:
+        # MinHash-LSH candidate pairs -> connected components -> keep the
+        # min-id representative of each near-dup group (same keeper
+        # contract as exact dedup; banding keeps this far from all-pairs)
+        from mongo2mysql_spark.functions.text import word_shingles
+        from mongo2mysql_spark.operators.components import connected_components
+        from mongo2mysql_spark.operators.dedup import (
+            lsh_candidate_pairs,
+            minhash_signature,
+        )
+
+        sig = minhash_signature(
+            deduped, id_col, word_shingles(tokens(F.col(text_col)), 3)
+        )
+        pairs = lsh_candidate_pairs(
+            sig, id_col, min_est_jaccard=cfg.near_dedup_min_jaccard
+        )
+        comp = connected_components(pairs, "id_1", "id_2")
+        drop = comp.filter(F.col("id") != F.col("component")).select(
+            F.col("id").alias(id_col)
+        )
+        deduped = deduped.join(drop, id_col, "left_anti")
+        report["after_near_dedup"] = deduped.count()
 
     if benchmark is not None:
         deduped = remove_contaminated(

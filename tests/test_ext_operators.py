@@ -1250,3 +1250,39 @@ def test_semantic_dedup_rp_lsh_backend(spark):
 
     with _pytest.raises(ValueError, match="blocking"):
         semantic_dedup(corpus, "vec_id", "embedding", blocking="nope")
+
+
+def test_build_training_corpus_near_dedup_stage(spark, tmp_path):
+    """With near_dedup on, planted near-duplicate documents (one word
+    changed) are collapsed to their min-id representative while the
+    exact-dedup-only run keeps them."""
+    from pyspark.sql import functions as F
+
+    from mongo2mysql_spark.pipelines import CorpusConfig, build_training_corpus
+    from mongo2mysql_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text").limit(200)
+    near = docs.filter("doc_id % 20 = 0").select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" shifted")).alias("text"),
+    )
+    corpus = docs.union(near)
+
+    off = build_training_corpus(
+        corpus, str(tmp_path / "off"),
+        config=CorpusConfig(near_dedup=False, seq_len=256, n_shards=2),
+    )
+    on = build_training_corpus(
+        corpus, str(tmp_path / "on"),
+        config=CorpusConfig(near_dedup=True, near_dedup_min_jaccard=0.6,
+                            seq_len=256, n_shards=2),
+    )
+    assert "after_near_dedup" in on
+    assert on["after_near_dedup"] < on["after_exact_dedup"]
+    assert on["after_exact_dedup"] == off["after_exact_dedup"]
+    # every survivor set is a subset of the exact-dedup set; planted
+    # copies are what got dropped
+    dropped = on["after_exact_dedup"] - on["after_near_dedup"]
+    n_planted_kept = near.count()
+    assert 0 < dropped <= n_planted_kept + 5  # plants (minus any filtered)
