@@ -173,13 +173,23 @@ def encode_ids(
     broadcast-join the vocabulary, re-assemble in position order.  One
     shuffle (the groupBy re-assembly); the vocab is broadcast, never a
     driver-side map literal.  Unknown symbols (text outside the
-    training distribution) fail loudly via an inner-join row-count
-    contract rather than silently dropping tokens — callers extend the
-    vocab or pre-filter."""
+    training distribution) fail loudly: the vocab is LEFT-joined and a
+    null ``token_id`` raises at execution time via ``raise_error`` —
+    no token is ever silently dropped mid-sequence, and the check costs
+    zero extra passes (vs. a row-count contract, which would rescan the
+    corpus twice) — callers extend the vocab or pre-filter."""
     melted = encoded.select(
         F.col(id_col), F.posexplode(F.col(sym_col)).alias("__pos", "token")
     )
-    joined = melted.join(F.broadcast(vocab), "token", "inner")
+    joined = melted.join(F.broadcast(vocab), "token", "left").withColumn(
+        "token_id",
+        F.when(
+            F.col("token_id").isNull(),
+            F.raise_error(
+                F.concat(F.lit("encode_ids: unknown BPE symbol "), F.col("token"))
+            ).cast("long"),
+        ).otherwise(F.col("token_id")),
+    )
     return (
         joined.groupBy(id_col)
         .agg(

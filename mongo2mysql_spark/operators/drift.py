@@ -53,13 +53,6 @@ def _bucket_expr(col: str, edges: list[float]):
 
 def _bucket_counts(df: DataFrame, cols_edges: dict[str, list[float]]) -> dict[str, dict[int, int]]:
     """One fused aggregation pass: per column, a map bucket->count."""
-    aggs = []
-    for c, edges in cols_edges.items():
-        aggs.append(
-            F.map_from_entries(
-                F.collect_list(F.struct(F.col(f"__b_{c}"), F.col(f"__n_{c}")))
-            ).alias(c)
-        )
     staged = df.select(
         *[_bucket_expr(c, e).alias(f"__b_{c}") for c, e in cols_edges.items()]
     )

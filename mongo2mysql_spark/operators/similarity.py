@@ -75,19 +75,25 @@ def topk_bruteforce_arrow(
     corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str, k: int = 10,
     include_self: bool = False,
 ) -> DataFrame:
-    """Vectorized brute-force top-k: numpy matmul over Arrow batches.
+    """Vectorized brute-force top-k: numpy matmul over Arrow batches,
+    exact fold re-score on the survivors — bit-identical to
+    :func:`topk_bruteforce` (same oracle contract), at matmul cost.
 
-    Same semantics as :func:`topk_bruteforce` (cosine rounded to 6
-    decimals, (cosine DESC, id) tiebreak) but the scoring kernel is a
-    ``mapInPandas`` batch matmul instead of interpreted per-pair folds —
-    the throughput path when queries are numerous or vectors wide
-    (~10× on 64-dim embeddings; the expression fold remains the
-    bit-exact oracle contract).
+    Two phases:
 
-    Shape: queries are collected (small by contract) and broadcast as a
-    dense matrix; each corpus Arrow batch computes a B×Q cosine block
-    and emits only its LOCAL top-k per query, so the final global top-k
-    aggregates ≈ batches×Q×k rows — never the full N×Q score matrix.
+    1. PRUNE (``mapInPandas`` kernel): queries are collected (small by
+       contract) and broadcast as a dense matrix; each corpus Arrow
+       batch computes a B×Q cosine block and keeps, per query, every
+       candidate whose matmul cosine is within ``1e-5`` of the batch's
+       k-th best.  Emission is ≈ batches×Q×k rows (+ boundary ties) —
+       never the N×Q score matrix.  The slack covers the only way
+       float64 matmul and the sequential fold can disagree: a value
+       sitting within float-error of a 1e-6 rounding boundary.
+    2. RE-SCORE (expressions): the surviving candidates (vectors ride
+       along from the kernel, no corpus rejoin — i.e. no second corpus
+       pass) are re-scored with the exact ``dot_seq`` fold and ranked
+       with the same (rounded cosine DESC, id) window as the fold path,
+       so the final rows are bit-identical to ``topk_bruteforce``.
     """
     import numpy as np
 
@@ -98,9 +104,11 @@ def topk_bruteforce_arrow(
     bq = corpus.sparkSession.sparkContext.broadcast((q_ids, q_mat, q_norm))
 
     id_type = dict(corpus.dtypes)[id_col]
-    out_schema = f"query_id {id_type}, neighbor_id {id_type}, cosine double"
+    out_schema = (
+        f"query_id {id_type}, neighbor_id {id_type}, __nvec array<double>"
+    )
 
-    def score(batches):
+    def prune(batches):
         import pandas as pd
 
         ids_q, mat_q, norm_q = bq.value
@@ -108,9 +116,10 @@ def topk_bruteforce_arrow(
             if pdf.empty:
                 continue
             ids = pdf[id_col].to_numpy()
-            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            vecs = list(pdf[vec_col])
+            mat = np.array(vecs, dtype=np.float64)
             norms = np.linalg.norm(mat, axis=1)
-            cos = np.round(mat @ mat_q.T / np.outer(norms, norm_q), 6)  # B×Q
+            cos = mat @ mat_q.T / np.outer(norms, norm_q)  # B×Q, unrounded
             parts = []
             for qi, qid in enumerate(ids_q):
                 col = cos[:, qi]
@@ -120,25 +129,42 @@ def topk_bruteforce_arrow(
                 cand_idx = np.flatnonzero(keep)
                 if len(cand_idx) == 0:
                     continue
-                # local top-k: order by (-cosine, id) — same tiebreak as
-                # the window in the global phase
-                order = np.lexsort((ids[cand_idx], -col[cand_idx]))[:k]
-                sel = cand_idx[order]
+                vals = col[cand_idx]
+                if len(vals) > k:
+                    kth = np.partition(vals, -k)[-k]
+                    sel = cand_idx[vals >= kth - 1e-5]
+                else:
+                    sel = cand_idx
                 parts.append(
                     pd.DataFrame(
                         {
                             "query_id": np.full(len(sel), qid),
                             "neighbor_id": ids[sel],
-                            "cosine": col[sel],
+                            "__nvec": [np.asarray(vecs[i], dtype=np.float64)
+                                       for i in sel],
                         }
                     )
                 )
             if parts:
                 yield pd.concat(parts, ignore_index=True)
 
-    partials = corpus.select(id_col, vec_col).mapInPandas(score, out_schema)
+    partials = corpus.select(id_col, vec_col).mapInPandas(prune, out_schema)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        norm_seq(F.col(vec_col)).alias("__qnorm"),
+    )
+    scored = partials.join(F.broadcast(q), "query_id").select(
+        "query_id",
+        "neighbor_id",
+        _pair_cosine(
+            dot_seq(F.col("__qvec"), F.col("__nvec")),
+            F.col("__qnorm"),
+            norm_seq(F.col("__nvec")),
+        ).alias("cosine"),
+    )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
-    return partials.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
 def assign_centroids(

@@ -81,6 +81,18 @@ def build_training_corpus(
     cfg = config or CorpusConfig()
     report: dict = {"input_docs": docs.count()}
 
+    # Stage results are persisted before their telemetry count so each
+    # count is a cache scan, not a re-execution of the whole upstream
+    # scan+score+dedup chain (at 100 TB the un-persisted version pays
+    # one full corpus pass per stage count).  Everything persisted here
+    # is unpersisted before return.
+    _cached: list[DataFrame] = []
+
+    def _stage(df: DataFrame) -> DataFrame:
+        df.persist()
+        _cached.append(df)
+        return df
+
     toks = tokens(F.col(text_col))
     scored = docs.select(
         F.col(id_col),
@@ -90,14 +102,16 @@ def build_training_corpus(
         dup_token_fraction(toks).alias("dup_frac"),
         fingerprint(toks).alias("__fp"),
     )
-    kept = scored.filter(
-        (F.col("quality") >= cfg.min_quality)
-        & (F.col("n_tokens") >= cfg.min_tokens)
-        & (F.col("dup_frac") <= cfg.max_dup_fraction)
+    kept = _stage(
+        scored.filter(
+            (F.col("quality") >= cfg.min_quality)
+            & (F.col("n_tokens") >= cfg.min_tokens)
+            & (F.col("dup_frac") <= cfg.max_dup_fraction)
+        )
     )
     report["after_quality_filter"] = kept.count()
 
-    deduped = dedup_exact(kept, ["__fp"], id_col).drop("__fp")
+    deduped = _stage(dedup_exact(kept, ["__fp"], id_col).drop("__fp"))
     report["after_exact_dedup"] = deduped.count()
 
     if cfg.near_dedup:
@@ -121,13 +135,15 @@ def build_training_corpus(
         drop = comp.filter(F.col("id") != F.col("component")).select(
             F.col("id").alias(id_col)
         )
-        deduped = deduped.join(drop, id_col, "left_anti")
+        deduped = _stage(deduped.join(drop, id_col, "left_anti"))
         report["after_near_dedup"] = deduped.count()
 
     if benchmark is not None:
-        deduped = remove_contaminated(
-            deduped, benchmark, id_col=id_col, text_col=text_col,
-            n=cfg.decontam_ngram,
+        deduped = _stage(
+            remove_contaminated(
+                deduped, benchmark, id_col=id_col, text_col=text_col,
+                n=cfg.decontam_ngram,
+            )
         )
         report["after_decontam"] = deduped.count()
 
@@ -141,8 +157,17 @@ def build_training_corpus(
     report["test_docs"] = with_split.filter("split = 'test'").count()
 
     if cfg.n_merges > 0:
+        # Deterministic sample: rank by a salted hash of the doc id, not
+        # an unordered LIMIT — the learned vocabulary is identical under
+        # any partition layout (repartition(7) ≡ default, tested).
+        bpe_sample = (
+            train.orderBy(
+                F.xxhash64(F.col(id_col), F.lit("bpe_sample")), F.col(id_col)
+            )
+            .limit(cfg.bpe_sample_docs)
+        )
         merges = learn_merges(
-            word_freq_table(train.limit(cfg.bpe_sample_docs), text_col),
+            word_freq_table(bpe_sample, text_col),
             n_merges=cfg.n_merges,
         )
         report["bpe_merges"] = len(merges)
@@ -153,7 +178,11 @@ def build_training_corpus(
         train = train.withColumn("n_train_tokens", F.col("n_tokens"))
 
     packed = pack_sequences(train, "n_train_tokens", id_col, seq_len=cfg.seq_len)
-    report["n_sequences"] = packed.agg(F.max("last_seq")).first()[0] + 1
+    # coalesce: an empty train split (everything filtered/deduped away)
+    # reports n_sequences = 0 instead of crashing on None + 1
+    report["n_sequences"] = packed.agg(
+        F.coalesce(F.max("last_seq") + 1, F.lit(0)).alias("n")
+    ).first()["n"]
 
     write_training_shards(
         packed, os.path.join(out_dir, "train"), id_col,
@@ -164,5 +193,7 @@ def build_training_corpus(
             "overwrite"
         ).parquet(os.path.join(out_dir, name))
     with_split.unpersist()
+    for df in _cached:
+        df.unpersist()
     report["n_shards"] = cfg.n_shards
     return report

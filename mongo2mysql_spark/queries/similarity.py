@@ -29,9 +29,7 @@ def _cos(a: str, b: str) -> str:
     return f"ROUND({sql_dot(a, b)} / ({sql_norm(a)} * {sql_norm(b)}), 6)"
 
 
-@register(
-    "ann_topk_bruteforce",
-    f"""
+_BRUTEFORCE_ORACLE = f"""
     WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
                WHERE vec_id < {N_QUERIES}),
     scored AS (
@@ -43,7 +41,12 @@ def _cos(a: str, b: str) -> str:
                                        ORDER BY cosine DESC, neighbor_id) AS rank
           FROM scored)
     WHERE rank <= 10
-    """,
+    """
+
+
+@register(
+    "ann_topk_bruteforce",
+    _BRUTEFORCE_ORACLE,
     doc="exact cosine top-10 per query vector (broadcast queries, corpus streams).",
 )
 def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -101,16 +104,16 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_topk_arrow",
-    None,  # rows-only by design: the numpy float64 matmul can differ from
-    # the decimal fold in the last bit at a 1e-6 rounding boundary, so the
-    # hash contract stays with ann_topk_bruteforce; tests/test_ext_operators
-    # asserts this path row-for-row equal to the fold path at sf0.001.
+    _BRUTEFORCE_ORACLE,  # identical output contract to ann_topk_bruteforce:
+    # the matmul only PRUNES (with 1e-5 slack); the surviving candidates are
+    # re-scored with the same dot_seq fold the oracle mirrors, so the hash
+    # check is as strict here as on the fold path.
     doc=(
         "vectorized ANN fast path — the 100 TB throughput variant of "
-        "ann_topk_bruteforce: Arrow mapInPandas batch matmul (numpy) with "
-        "local top-k pruning per batch, so the global phase aggregates "
-        "~batches*Q*k rows, never the N*Q score matrix.  Same semantics "
-        "(cosine rounded to 6 decimals, (cosine DESC, id) tiebreak)."
+        "ann_topk_bruteforce: Arrow mapInPandas batch matmul (numpy) prunes "
+        "to ~batches*Q*k candidates (never the N*Q score matrix), then the "
+        "exact sequential fold re-scores the survivors — bit-identical "
+        "output (cosine rounded to 6 decimals, (cosine DESC, id) tiebreak)."
     ),
 )
 def ann_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:

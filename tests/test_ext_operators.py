@@ -1286,3 +1286,81 @@ def test_build_training_corpus_near_dedup_stage(spark, tmp_path):
     dropped = on["after_exact_dedup"] - on["after_near_dedup"]
     n_planted_kept = near.count()
     assert 0 < dropped <= n_planted_kept + 5  # plants (minus any filtered)
+
+
+def test_bpe_sample_partition_independent(spark, tmp_path):
+    """The BPE learning sample is selected by salted-hash rank, not an
+    unordered LIMIT — a repartition(7)ed input learns the identical
+    vocabulary and reports identical stage counts."""
+    from mongo2mysql_spark.pipelines import CorpusConfig, build_training_corpus
+    from mongo2mysql_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text").limit(200)
+    cfg = CorpusConfig(seq_len=256, n_shards=2, n_merges=6, bpe_sample_docs=30)
+
+    r1 = build_training_corpus(docs, str(tmp_path / "a"), config=cfg)
+    r2 = build_training_corpus(
+        docs.repartition(7), str(tmp_path / "b"), config=cfg
+    )
+    assert r1 == r2
+    t1 = spark.read.parquet(str(tmp_path / "a" / "train"))
+    t2 = spark.read.parquet(str(tmp_path / "b" / "train"))
+    cols = ["doc_id", "n_train_tokens", "first_seq", "last_seq", "shard"]
+    assert sorted(map(tuple, t1.select(*cols).collect())) == sorted(
+        map(tuple, t2.select(*cols).collect())
+    )
+
+
+def test_corpus_builder_stage_counts_single_scan(spark, tmp_path):
+    """Stage telemetry counts run against persisted stage results, not
+    re-executions of the whole upstream chain: the raw input is scanned
+    a bounded number of times (count + cache fill), not once per stage."""
+    from pyspark.sql import functions as F
+
+    from mongo2mysql_spark.pipelines import CorpusConfig, build_training_corpus
+    from mongo2mysql_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text").limit(150)
+    n_docs = docs.count()
+    scans = spark.sparkContext.accumulator(0)
+
+    def counting(batches):
+        for pdf in batches:
+            scans.add(len(pdf))
+            yield pdf
+
+    tapped = docs.mapInPandas(counting, "doc_id long, text string")
+    build_training_corpus(
+        tapped, str(tmp_path / "out"),
+        config=CorpusConfig(seq_len=256, n_shards=2),
+    )
+    # input_docs count (1x) + persisted-stage cache fill (1x); every later
+    # stage count reads a cache.  Without per-stage persistence this is
+    # 5-6x.  Allow 3x headroom for speculative/AQE re-execution.
+    assert scans.value <= 3 * n_docs, (
+        f"raw input scanned {scans.value / n_docs:.1f}x — stage counts are "
+        "re-executing the upstream chain"
+    )
+
+
+def test_bpe_encode_ids_unknown_symbol_raises(spark):
+    """Out-of-vocabulary symbols fail loudly at execution time instead
+    of being silently dropped mid-sequence (the raise_error seam in
+    encode_ids)."""
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.sql import functions as F
+
+    from mongo2mysql_spark.operators.bpe import encode_ids
+
+    encoded = spark.createDataFrame(
+        [(1, ["a</w>", "b</w>"]), (2, ["a</w>", "zz</w>"])],
+        "doc_id long, bpe_symbols array<string>",
+    )
+    vocab = spark.createDataFrame(
+        [("a</w>", 0), ("b</w>", 1)], "token string, token_id long"
+    )
+    with _pytest.raises((Py4JJavaError, Exception), match="unknown BPE symbol"):
+        encode_ids(encoded, vocab, "doc_id").collect()
