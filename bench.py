@@ -33,30 +33,26 @@ HEADLINE = [
     "events_sessionize",
     "etl_child_spill_tokens",
     "etl_route_key",
-    "dedup_minhash_lsh_pairs",
-    "dedup_ngram_jaccard_pairs",
-    "dedup_simhash",
+    "dedup_exact_hashes",
+    "dedup_pair_families",
     "dedup_connected_components",
     "sample_split_stratified",
-    "ann_topk_bruteforce",
+    "ann_topk_exact",
     "ann_topk_ivf",
-    "ann_topk_arrow",
     "decontam_profile",
     "text_winnow_fingerprints",
-    "text_pii_redact",
-    "corpus_shuffle_shards",
+    "text_profile_pii",
     "range_join_promo_revenue",
     "events_hypertable_rollup",
     "text_term_frequency",
-    "text_token_quality",
     "text_bm25_search",
-    "corpus_clean_pipeline",
+    "corpus_clean_shuffle",
     "corpus_pack_sequences",
     "streaming_windowed_counts",
     "streaming_stream_join",
     "streaming_enrich_join",
     "streaming_stateful_quota",
-    "mm_decode_stub",
+    "mm_payload_decode",
 ]
 
 

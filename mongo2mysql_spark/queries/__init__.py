@@ -43,6 +43,35 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
     return deco
 
 
+def tagged_union(branches: dict[str, DataFrame], tag_col: str = "branch") -> DataFrame:
+    """Multiplex several result frames into one driver slot: each branch
+    keeps its own typed columns, missing columns are typed NULLs, a tag
+    column says which branch a row came from.  The union schema is the
+    first-seen column order across branches; the matching oracle states
+    the same UNION ALL with ``CAST(NULL AS ...)`` fills.  This is how
+    one registry entry hash-verifies multiple operators under the
+    driver's 50-query cap (see COVERAGE.md rotation policy)."""
+    from pyspark.sql import functions as F
+
+    cols: list[tuple[str, object]] = []
+    seen: set[str] = set()
+    for df in branches.values():
+        for f in df.schema.fields:
+            if f.name not in seen:
+                seen.add(f.name)
+                cols.append((f.name, f.dataType))
+    out = None
+    for tag, df in branches.items():
+        have = set(df.columns)
+        sel = [F.lit(tag).alias(tag_col)] + [
+            F.col(n) if n in have else F.lit(None).cast(dt).alias(n)
+            for n, dt in cols
+        ]
+        part = df.select(*sel)
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
 def load_all() -> dict[str, Query]:
     """Import every query module (side effect: fills REGISTRY).
 

@@ -37,9 +37,7 @@ MIN_TOKENS = 20
 MAX_DUP_FRACTION = 0.65  # Gopher-style repetition cut
 
 
-@register(
-    "corpus_clean_pipeline",
-    f"""
+_CLEAN_SQL = f"""
     WITH toks AS (
       SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
     scored AS (
@@ -61,15 +59,9 @@ MAX_DUP_FRACTION = 0.65  # Gopher-style repetition cut
     SELECT doc_id, lang_guess, quality, n_tokens, dup_frac,
            {sql_hash_split("doc_id")} AS split
     FROM dedup WHERE rn = 1
-    """,
-    doc=(
-        "end-to-end corpus cleaning: quality + language scoring, "
-        "low-quality/short/repetitive filter (incl. Gopher-style "
-        "duplicate-token fraction), exact content dedup (token-set "
-        "fingerprint, min-doc_id representative), deterministic 80/10/10 "
-        "split — one scan, one shuffle, per-document hash-verified."
-    ),
-)
+    """
+
+
 def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = T(spark, sf_dir, "documents", fanout=True)
     t = tokens(F.col("text"))
@@ -213,19 +205,47 @@ def _shard_oracle() -> str:
 
 
 @register(
-    "corpus_shuffle_shards",
-    _shard_oracle(),
+    "corpus_clean_shuffle",
+    f"""
+    WITH clean AS ({_CLEAN_SQL}),
+    sharded AS ({_shard_oracle()})
+    SELECT 'clean' AS branch, clean.*,
+           CAST(NULL AS BIGINT) AS shard, CAST(NULL AS BIGINT) AS shuffle_rank,
+           CAST(NULL AS INTEGER) AS position
+    FROM clean
+    UNION ALL
+    SELECT 'shuffle' AS branch, doc_id,
+           CAST(NULL AS VARCHAR) AS lang_guess, CAST(NULL AS DOUBLE) AS quality,
+           CAST(NULL AS INTEGER) AS n_tokens, CAST(NULL AS DOUBLE) AS dup_frac,
+           CAST(NULL AS VARCHAR) AS split,
+           shard, shuffle_rank, position
+    FROM sharded
+    """,
     doc=(
-        "deterministic global corpus shuffle into fixed training shards "
-        "(the last stage before the trainer reads, sources/lake."
-        "write_training_shards): each record's salted-md5 48-bit rank "
-        f"gives a reproducible random position, shard = rank % {N_SHARDS} "
-        "spreads records uniformly, and within-shard order is the rank — "
-        "a full permutation with no RNG and no global sort.  One narrow "
-        "projection + one shuffle keyed on shard at any scale; same salt "
-        "=> byte-identical shards run-to-run and engine-to-engine."
+        "corpus preparation bookends, two branches in one tagged result.  "
+        "'clean': end-to-end corpus cleaning — quality + language scoring, "
+        "low-quality/short/repetitive filter (incl. Gopher-style "
+        "duplicate-token fraction), exact content dedup (token-set "
+        "fingerprint, min-doc_id representative), deterministic 80/10/10 "
+        "split — one scan, one shuffle, per-document hash-verified.  "
+        "'shuffle': deterministic global corpus shuffle into fixed "
+        "training shards (sources/lake.write_training_shards) — each "
+        "record's salted-md5 48-bit rank gives a reproducible random "
+        f"position, shard = rank % {N_SHARDS}, within-shard order is the "
+        "rank: a full permutation with no RNG and no global sort."
     ),
 )
+def corpus_clean_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mongo2mysql_spark.queries import tagged_union
+
+    return tagged_union(
+        {
+            "clean": corpus_clean_pipeline(spark, sf_dir),
+            "shuffle": corpus_shuffle_shards(spark, sf_dir),
+        }
+    )
+
+
 def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 

@@ -39,9 +39,31 @@ _SHINGLES_CTE = """
 """
 
 
+def _simhash_bits_cte(bits: int = 32) -> str:
+    """CTE chain ``simt, simh, simbits`` + the concat expr for the final
+    select (top-level WITH composability)."""
+    hexhi = "('8','9','a','b','c','d','e','f')"
+    cols = ",\n         ".join(
+        f"CASE WHEN SUM(CASE WHEN substring(h, {j + 1}, 1) IN {hexhi} THEN 1 ELSE -1 END) > 0 "
+        f"THEN '1' ELSE '0' END AS b{j}"
+        for j in range(bits)
+    )
+    return f"""
+    simt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    simh AS (SELECT doc_id, md5(tok) AS h FROM simt),
+    simbits AS (SELECT doc_id,
+         {cols}
+       FROM simh GROUP BY doc_id)
+    """
+
+
+_SIMHASH_CONCAT = " || ".join(f"b{j}" for j in range(32))
+
+
 @register(
     "dedup_exact_hashes",
-    """
+    f"""
+    WITH {_simhash_bits_cte(32)}
     SELECT 'token_set' AS method, fingerprint AS hash, doc_id, n_docs FROM (
       SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint,
              min(doc_id) AS doc_id,
@@ -55,16 +77,24 @@ _SHINGLES_CTE = """
              count(*) AS n_docs
       FROM documents
       GROUP BY 1)
+    UNION ALL
+    SELECT 'simhash32' AS method, {_SIMHASH_CONCAT} AS hash, doc_id,
+           CAST(1 AS BIGINT) AS n_docs
+    FROM simbits
     """,
     doc=(
-        "exact dedup, both hash bases in one result: token-set fingerprint "
-        "(order/duplication-insensitive) and raw sha256 content hash, each "
-        "with the deterministic min-id representative and group size.  The "
-        "sha256 branch goes through the rank-based dedup_exact operator."
+        "exact dedup + signature surface, three hash bases in one tagged "
+        "result: token-set fingerprint (order/duplication-insensitive), raw "
+        "sha256 content hash, and the per-doc 32-bit SimHash (md5-nibble "
+        "weights).  The sha256 branch runs through dedup_exact_incremental "
+        "— two id-ordered batches against a persisted key store, the "
+        "daily-ingest shape — and must reproduce the one-shot dedup_exact "
+        "answer the oracle states (operators/dedup.py:56)."
     ),
 )
 def dedup_exact_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mongo2mysql_spark.functions.text import fingerprint
+    from mongo2mysql_spark.operators.dedup import dedup_exact_incremental
 
     d = T(spark, sf_dir, "documents", fanout=True)
     fp = (
@@ -76,13 +106,30 @@ def dedup_exact_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hashed = d.withColumn("content_hash", content_hash(F.col("text")))
     counts = hashed.groupBy("content_hash").agg(F.count(F.lit(1)).alias("n_docs"))
+    # incremental path: batch 1 = ids < 250 (the smaller-id batch must be
+    # admitted first so min-id representatives match the one-shot run),
+    # batch 2 dedups against batch 1's admitted key store
+    b1 = hashed.filter(F.col("doc_id") < 250)
+    b2 = hashed.filter(F.col("doc_id") >= 250)
+    admitted1 = dedup_exact_incremental(
+        b1, b1.select("content_hash").limit(0), ["content_hash"], "doc_id"
+    )
+    admitted2 = dedup_exact_incremental(
+        b2, admitted1.select("content_hash"), ["content_hash"], "doc_id"
+    )
     ch = (
-        dedup_exact(hashed, ["content_hash"], "doc_id")
+        admitted1.unionByName(admitted2)
         .join(counts, "content_hash")
         .select(F.lit("sha256").alias("method"), F.col("content_hash").alias("hash"),
                 "doc_id", "n_docs")
     )
-    return fp.unionByName(ch)
+    sim = d.select(
+        F.lit("simhash32").alias("method"),
+        simhash_bits(tokens(F.col("text")), 32).alias("hash"),
+        "doc_id",
+        F.lit(1).cast("long").alias("n_docs"),
+    )
+    return fp.unionByName(ch).unionByName(sim)
 
 
 def _minhash_sig_sql() -> str:
@@ -137,75 +184,6 @@ def _lsh_pairs_cte() -> str:
     """
 
 
-@register(
-    "dedup_minhash_lsh_pairs",
-    f"""
-    WITH {_SHINGLES_CTE},
-    {_minhash_sig_sql()},
-    {_lsh_pairs_cte()}
-    SELECT id_1, id_2, est_jaccard FROM pairs
-    """,
-    doc=f"MinHash LSH near-dup candidates ({BANDS} bands × {K // BANDS} rows), est-Jaccard ≥ 0.5.",
-)
-def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = T(spark, sf_dir, "documents", fanout=True)
-    sig = minhash_signature(d, "doc_id", word_shingles(tokens(F.col("text")), 3), k=K)
-    return lsh_candidate_pairs(sig, "doc_id", k=K, bands=BANDS, min_est_jaccard=0.5)
-
-
-def _simhash_sql(bits: int = 32) -> str:
-    hexhi = "('8','9','a','b','c','d','e','f')"
-    cols = ",\n         ".join(
-        f"CASE WHEN SUM(CASE WHEN substring(h, {j + 1}, 1) IN {hexhi} THEN 1 ELSE -1 END) > 0 "
-        f"THEN '1' ELSE '0' END AS b{j}"
-        for j in range(bits)
-    )
-    concat = " || ".join(f"b{j}" for j in range(bits))
-    return f"""
-    WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
-    h AS (SELECT doc_id, md5(tok) AS h FROM t),
-    bits AS (SELECT doc_id,
-         {cols}
-       FROM h GROUP BY doc_id)
-    SELECT doc_id, {concat} AS simhash FROM bits
-    """
-
-
-@register(
-    "dedup_simhash",
-    _simhash_sql(32),
-    doc="32-bit SimHash signature per document (md5-nibble weights).",
-)
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = T(spark, sf_dir, "documents", fanout=True)
-    return d.select("doc_id", simhash_bits(tokens(F.col("text")), 32).alias("simhash"))
-
-
-@register(
-    "dedup_ngram_jaccard_pairs",
-    f"""
-    WITH {_SHINGLES_CTE},
-    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-    inter AS (
-      SELECT a.doc_id AS id_1, b.doc_id AS id_2, count(*) AS i
-      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-      GROUP BY 1, 2)
-    SELECT id_1, id_2,
-           ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
-    FROM inter
-    JOIN sizes sa ON sa.doc_id = id_1
-    JOIN sizes sb ON sb.doc_id = id_2
-    WHERE ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.6
-    """,
-    doc="exact 3-gram Jaccard near-dup pairs (≥ 0.6) via shingle self-join.",
-)
-def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = T(spark, sf_dir, "documents", fanout=True)
-    return ngram_jaccard_pairs(
-        d, "doc_id", word_shingles(tokens(F.col("text")), 3), min_jaccard=0.6
-    )
-
-
 def _cos_sql(a: str, b: str) -> str:
     from mongo2mysql_spark.functions.vector import sql_dot, sql_norm
 
@@ -213,20 +191,76 @@ def _cos_sql(a: str, b: str) -> str:
 
 
 @register(
-    "dedup_embedding_cosine_pairs",
+    "dedup_pair_families",
     f"""
-    WITH scored AS (
+    WITH {_SHINGLES_CTE},
+    {_minhash_sig_sql()},
+    {_lsh_pairs_cte()},
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_1, b.doc_id AS id_2, count(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    cos_scored AS (
       SELECT a.vec_id AS id_1, b.vec_id AS id_2,
              {_cos_sql('a.embedding', 'b.embedding')} AS cosine
       FROM embeddings a JOIN embeddings b
         ON a.label = b.label AND a.vec_id < b.vec_id)
-    SELECT id_1, id_2, cosine FROM scored WHERE cosine >= 0.3
+    SELECT 'minhash_lsh' AS family, id_1, id_2, est_jaccard AS score FROM pairs
+    UNION ALL
+    SELECT 'ngram_jaccard' AS family, id_1, id_2,
+           ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS score
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_1
+    JOIN sizes sb ON sb.doc_id = id_2
+    WHERE ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.6
+    UNION ALL
+    SELECT 'embedding_cosine' AS family, id_1, id_2, cosine AS score
+    FROM cos_scored WHERE cosine >= 0.3
     """,
-    doc="embedding near-dup pairs: exact-decimal cosine ≥ 0.3 within label blocks.",
+    doc=(
+        "near-dup candidate pairs, all three families in one tagged result: "
+        f"MinHash LSH ({BANDS} bands × {K // BANDS} rows, est-Jaccard ≥ 0.5), "
+        "exact 3-gram Jaccard (≥ 0.6) via shingle self-join, and exact-"
+        "decimal embedding cosine (≥ 0.3) within label blocks.  The MinHash "
+        "branch runs through lsh_incremental_pairs — an empty-store batch "
+        "plus a batch-vs-store batch whose union must equal the one-shot "
+        "banding the oracle states (operators/dedup.py:186)."
+    ),
 )
-def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_pair_families(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mongo2mysql_spark.operators.dedup import lsh_incremental_pairs
+
+    d = T(spark, sf_dir, "documents", fanout=True)
+    sig = minhash_signature(d, "doc_id", word_shingles(tokens(F.col("text")), 3), k=K)
+    sig1 = sig.filter(F.col("doc_id") % 2 == 0)
+    sig2 = sig.filter(F.col("doc_id") % 2 == 1)
+    mh = lsh_incremental_pairs(
+        sig1.limit(0), sig1, "doc_id", k=K, bands=BANDS, min_est_jaccard=0.5
+    ).unionByName(
+        lsh_incremental_pairs(
+            sig1, sig2, "doc_id", k=K, bands=BANDS, min_est_jaccard=0.5
+        )
+    )
+    ng = ngram_jaccard_pairs(
+        d, "doc_id", word_shingles(tokens(F.col("text")), 3), min_jaccard=0.6
+    )
     e = T(spark, sf_dir, "embeddings", fanout=True)
-    return embedding_neardup_pairs(e, "vec_id", "embedding", "label", min_cosine=0.3)
+    co = embedding_neardup_pairs(e, "vec_id", "embedding", "label", min_cosine=0.3)
+
+    def fam(df: DataFrame, name: str, score: str) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("family"),
+            F.col("id_1").cast("long").alias("id_1"),
+            F.col("id_2").cast("long").alias("id_2"),
+            F.col(score).cast("double").alias("score"),
+        )
+
+    return (
+        fam(mh, "minhash_lsh", "est_jaccard")
+        .unionByName(fam(ng, "ngram_jaccard", "jaccard"))
+        .unionByName(fam(co, "embedding_cosine", "cosine"))
+    )
 
 
 @register(

@@ -27,18 +27,41 @@ from mongo2mysql_spark.sources import load_table as Tb
 
 
 @register(
-    "etl_flatten_nested",
+    "etl_flatten",
     """
-    SELECT c_custkey AS _id,
+    SELECT 'struct' AS branch,
+           c_custkey AS _id,
            c_name AS profile_name,
            c_acctbal AS profile_acct_bal,
            c_mktsegment AS profile_acct_segment,
-           c_nationkey
+           c_nationkey,
+           CAST(NULL AS BIGINT) AS event_id,
+           CAST(NULL AS VARCHAR) AS event_type,
+           CAST(NULL AS BIGINT) AS props_k
     FROM customer
+    UNION ALL
+    SELECT 'json' AS branch,
+           CAST(NULL AS BIGINT) AS _id,
+           CAST(NULL AS VARCHAR) AS profile_name,
+           CAST(NULL AS DOUBLE) AS profile_acct_bal,
+           CAST(NULL AS VARCHAR) AS profile_acct_segment,
+           CAST(NULL AS INTEGER) AS c_nationkey,
+           event_id, event_type,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS props_k
+    FROM events
     """,
-    doc="A8 recursive flatten: nested struct → path-named columns (one select).",
+    doc=(
+        "flatten surface, both payload shapes in one tagged result.  "
+        "'struct': A8 recursive flatten — nested struct → path-named "
+        "columns (one select).  'json': dynamic-schema payload path "
+        "(SURVEY §7 Step 2) — JSON string column → sampled schema "
+        "inference → from_json → flattened columns."
+    ),
 )
-def etl_flatten_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+def etl_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mongo2mysql_spark.operators.dynamic import parse_json_column
+    from mongo2mysql_spark.queries import tagged_union
+
     c = Tb(spark, sf_dir, "customer")
     nested = c.select(
         F.col("c_custkey").alias("_id"),
@@ -51,7 +74,10 @@ def etl_flatten_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("profile"),
         "c_nationkey",
     )
-    return flatten(nested).parent
+    e = Tb(spark, sf_dir, "events").select("event_id", "event_type", "props")
+    return tagged_union(
+        {"struct": flatten(nested).parent, "json": parse_json_column(e, "props")}
+    )
 
 
 # --------------------------------------------------------------- array spill
@@ -297,20 +323,3 @@ def etl_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "etl_dynamic_json_flatten",
-    """
-    SELECT event_id, event_type,
-           CAST(json_extract_string(props, '$.k') AS BIGINT) AS props_k
-    FROM events
-    """,
-    doc=(
-        "dynamic-schema payload path (SURVEY §7 Step 2): JSON string column → "
-        "sampled schema inference → from_json → flattened columns."
-    ),
-)
-def etl_dynamic_json_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from mongo2mysql_spark.operators.dynamic import parse_json_column
-
-    e = Tb(spark, sf_dir, "events").select("event_id", "event_type", "props")
-    return parse_json_column(e, "props")

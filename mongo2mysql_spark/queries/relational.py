@@ -459,27 +459,6 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "join_outer_coverage",
-    """
-    SELECT 'left' AS side, o_orderkey AS key, o_custkey AS v1,
-           CAST(NULL AS BIGINT) AS v2, c_name AS label
-    FROM orders LEFT JOIN customer ON o_custkey = c_custkey
-    WHERE o_orderkey % 100 = 0
-    UNION ALL
-    SELECT 'full' AS side, CAST(n_nationkey AS BIGINT) AS key, cn AS v1,
-           sn AS v2, n_name AS label
-    FROM (SELECT c_nationkey AS ck, COUNT(*) AS cn FROM customer GROUP BY 1) c
-    FULL OUTER JOIN (SELECT s_nationkey AS sk, COUNT(*) AS sn FROM supplier GROUP BY 1) s
-      ON c.ck = s.sk
-    JOIN nation ON n_nationkey = COALESCE(c.ck, s.sk)
-    """,
-    doc=(
-        "outer-join polarities in one result, tagged by side: left outer "
-        "(fact rows preserved without a dimension match) and full outer "
-        "(two aggregates reconciled against the broadcast dimension)."
-    ),
-)
 def join_outer_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
     cust = T(spark, sf_dir, "customer")
@@ -512,19 +491,34 @@ def join_outer_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "join_semi_anti_existence",
+    "join_coverage",
     """
-    SELECT 'semi' AS side, c_custkey AS key, c_name AS name
+    SELECT 'left' AS side, o_orderkey AS key, o_custkey AS v1,
+           CAST(NULL AS BIGINT) AS v2, c_name AS label
+    FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderkey % 100 = 0
+    UNION ALL
+    SELECT 'full' AS side, CAST(n_nationkey AS BIGINT) AS key, cn AS v1,
+           sn AS v2, n_name AS label
+    FROM (SELECT c_nationkey AS ck, COUNT(*) AS cn FROM customer GROUP BY 1) c
+    FULL OUTER JOIN (SELECT s_nationkey AS sk, COUNT(*) AS sn FROM supplier GROUP BY 1) s
+      ON c.ck = s.sk
+    JOIN nation ON n_nationkey = COALESCE(c.ck, s.sk)
+    UNION ALL
+    SELECT 'semi' AS side, c_custkey AS key, CAST(NULL AS BIGINT) AS v1,
+           CAST(NULL AS BIGINT) AS v2, c_name AS label
     FROM customer c
     WHERE EXISTS (SELECT 1 FROM orders o
                   WHERE o.o_custkey = c.c_custkey
                     AND o.o_orderpriority = '1-URGENT')
     UNION ALL
-    SELECT 'anti' AS side, p_partkey AS key, p_name AS name
+    SELECT 'anti' AS side, p_partkey AS key, CAST(NULL AS BIGINT) AS v1,
+           CAST(NULL AS BIGINT) AS v2, p_name AS label
     FROM part p
     WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
     UNION ALL
-    SELECT 'q4' AS side, order_count AS key, o_orderpriority AS name
+    SELECT 'q4' AS side, order_count AS key, CAST(NULL AS BIGINT) AS v1,
+           CAST(NULL AS BIGINT) AS v2, o_orderpriority AS label
     FROM (
       SELECT o_orderpriority, COUNT(*) AS order_count
       FROM orders o
@@ -536,33 +530,39 @@ def join_outer_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY o_orderpriority)
     """,
     doc=(
-        "existence joins, three branches in one result tagged by side: "
-        "left-semi (EXISTS — customers with urgent orders), left-anti "
-        "(NOT EXISTS — parts never ordered), and TPC-H Q4 (correlated "
-        "inequality EXISTS + grouped count, count carried as key)."
+        "join polarities + existence joins, five branches in one result "
+        "tagged by side: left outer (fact rows preserved without a "
+        "dimension match), full outer (two aggregates reconciled against "
+        "the broadcast dimension), left-semi (EXISTS — customers with "
+        "urgent orders), left-anti (NOT EXISTS — parts never ordered), "
+        "and TPC-H Q4 (correlated inequality EXISTS + grouped count, "
+        "count carried as key)."
     ),
 )
-def join_semi_anti_existence(spark: SparkSession, sf_dir: str) -> DataFrame:
+def join_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    outer = join_outer_coverage(spark, sf_dir)
     c = T(spark, sf_dir, "customer")
     o = T(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    nulls = [F.lit(None).cast("long").alias("v1"), F.lit(None).cast("long").alias("v2")]
     semi = (
         c.join(o, c.c_custkey == o.o_custkey, "left_semi")
         .select(F.lit("semi").alias("side"), F.col("c_custkey").alias("key"),
-                F.col("c_name").alias("name"))
+                *nulls, F.col("c_name").alias("label"))
     )
     p = T(spark, sf_dir, "part")
     li = Tf(spark, sf_dir, "lineitem")
     anti = (
         p.join(li, p.p_partkey == li.l_partkey, "left_anti")
         .select(F.lit("anti").alias("side"), F.col("p_partkey").alias("key"),
-                F.col("p_name").alias("name"))
+                *nulls, F.col("p_name").alias("label"))
     )
     q4 = q4_order_priority(spark, sf_dir).select(
         F.lit("q4").alias("side"),
         F.col("order_count").alias("key"),
-        F.col("o_orderpriority").alias("name"),
+        *nulls,
+        F.col("o_orderpriority").alias("label"),
     )
-    return semi.unionByName(anti).unionByName(q4)
+    return outer.unionByName(semi).unionByName(anti).unionByName(q4)
 
 
 @register(
@@ -746,9 +746,7 @@ def sort_limit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "set_ops_nation_keys",
-    """
+_SET_OPS_SQL = """
     SELECT 'union' AS op, nationkey, CAST(NULL AS DOUBLE) AS bal FROM (
       SELECT c_nationkey AS nationkey FROM customer
       UNION SELECT s_nationkey FROM supplier)
@@ -768,15 +766,9 @@ def sort_limit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT c_nationkey AS nationkey, c_acctbal AS bal FROM customer
       UNION ALL BY NAME
       SELECT s_nationkey AS nationkey FROM supplier)
-    """,
-    doc=(
-        "set-operation surface in one result, tagged by op: UNION (distinct), "
-        "INTERSECT, EXCEPT, plain DISTINCT, and the schema-drift union "
-        "(unionByName(allowMissingColumns=True) — the union used when folding "
-        "collections whose inferred schemas differ, SURVEY §1.3: the supplier "
-        "side lacks `bal`, which arrives NULL)."
-    ),
-)
+    """
+
+
 def set_ops_nation_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = T(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = T(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
@@ -806,9 +798,7 @@ def set_ops_nation_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ----------------------------------------------------------- scalar functions
 
 
-@register(
-    "scalar_string_date_math",
-    r"""
+_SCALAR_SQL = r"""
     SELECT o_orderkey,
            upper(o_orderpriority) AS prio_upper,
            CAST(length(o_orderpriority) AS INTEGER) AS prio_len,
@@ -833,16 +823,58 @@ def set_ops_nation_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
            o_orderkey % 7 AS key_mod
     FROM orders
     WHERE o_orderkey % 10 = 0
+    """
+
+_SCALAR_NULLS_SQL = (
+    "CAST(NULL AS BIGINT) AS o_orderkey, CAST(NULL AS VARCHAR) AS prio_upper, "
+    "CAST(NULL AS INTEGER) AS prio_len, CAST(NULL AS INTEGER) AS prio_num, "
+    "CAST(NULL AS VARCHAR) AS prio_word, CAST(NULL AS VARCHAR) AS status_prefix, "
+    "CAST(NULL AS VARCHAR) AS status_prio, CAST(NULL AS VARCHAR) AS devoweled, "
+    "CAST(NULL AS VARCHAR) AS cust_padded, CAST(NULL AS INTEGER) AS order_year, "
+    "CAST(NULL AS INTEGER) AS order_month, CAST(NULL AS INTEGER) AS order_quarter, "
+    "CAST(NULL AS TIMESTAMP) AS month_start, CAST(NULL AS DATE) AS due_date, "
+    "CAST(NULL AS INTEGER) AS days_since_epoch_start, CAST(NULL AS VARCHAR) AS ym, "
+    "CAST(NULL AS DOUBLE) AS taxed_price, CAST(NULL AS BIGINT) AS price_floor, "
+    "CAST(NULL AS BIGINT) AS price_ceil, CAST(NULL AS DOUBLE) AS price_dev, "
+    "CAST(NULL AS DOUBLE) AS price_sqrt, CAST(NULL AS BIGINT) AS key_mod"
+)
+
+
+@register(
+    "scalar_setops",
+    f"""
+    WITH so AS ({_SET_OPS_SQL}),
+    sc AS ({_SCALAR_SQL})
+    SELECT 'setop' AS branch, so.*, {_SCALAR_NULLS_SQL} FROM so
+    UNION ALL
+    SELECT 'scalar' AS branch, CAST(NULL AS VARCHAR) AS op,
+           CAST(NULL AS INTEGER) AS nationkey, CAST(NULL AS DOUBLE) AS bal,
+           sc.* FROM sc
     """,
     doc=(
-        "scalar-function surface in one pass over orders — strings (case, "
-        "length, regex extract/replace, split, substring, concat, pad), "
-        "dates (extract, trunc, add, diff, format), math (decimal-domain "
-        "round, floor/ceil, abs, sqrt, modulo).  All whole-stage-codegen "
-        "expressions; round goes through DECIMAL because round(double) is "
-        "engine-dependent at half-way binary values."
+        "set-operation + scalar-function surfaces in one tagged result.  "
+        "'setop': UNION (distinct), INTERSECT, EXCEPT, plain DISTINCT, and "
+        "the schema-drift union (unionByName(allowMissingColumns=True) — "
+        "the union used when folding collections whose inferred schemas "
+        "differ, SURVEY §1.3).  'scalar': one pass over orders — strings "
+        "(case, length, regex extract/replace, split, substring, concat, "
+        "pad), dates (extract, trunc, add, diff, format), math (decimal-"
+        "domain round, floor/ceil, abs, sqrt, modulo); all whole-stage-"
+        "codegen expressions, round through DECIMAL because round(double) "
+        "is engine-dependent at half-way binary values."
     ),
 )
+def scalar_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mongo2mysql_spark.queries import tagged_union
+
+    return tagged_union(
+        {
+            "setop": set_ops_nation_keys(spark, sf_dir),
+            "scalar": scalar_string_date_math(spark, sf_dir),
+        }
+    )
+
+
 def scalar_string_date_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
     d = F.col("o_orderdate")

@@ -45,15 +45,28 @@ _BRUTEFORCE_ORACLE = f"""
 
 
 @register(
-    "ann_topk_bruteforce",
-    _BRUTEFORCE_ORACLE,
-    doc="exact cosine top-10 per query vector (broadcast queries, corpus streams).",
+    "ann_topk_exact",
+    f"""
+    WITH base AS ({_BRUTEFORCE_ORACLE})
+    SELECT p.path, base.* FROM base
+    CROSS JOIN (VALUES ('fold'), ('arrow')) AS p(path)
+    """,
+    doc=(
+        "exact cosine top-10 per query vector, BOTH execution paths in one "
+        "tagged result: the expression-fold plan (broadcast queries, corpus "
+        "streams) and the Arrow matmul-prune + fold-rescore fast path — "
+        "the oracle states one answer, so the hash check proves the paths "
+        "bit-identical to each other and to DuckDB."
+    ),
 )
-def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = T(spark, sf_dir, "embeddings", fanout=True)
     q = e.filter(F.col("vec_id") < N_QUERIES)
-    return topk_bruteforce(e, q, "vec_id", "embedding", k=10).select(
-        "query_id", "neighbor_id", "cosine", "rank"
+    cols = ["query_id", "neighbor_id", "cosine", "rank"]
+    fold = topk_bruteforce(e, q, "vec_id", "embedding", k=10).select(*cols)
+    arrow = topk_bruteforce_arrow(e, q, "vec_id", "embedding", k=10).select(*cols)
+    return fold.select(F.lit("fold").alias("path"), *cols).unionByName(
+        arrow.select(F.lit("arrow").alias("path"), *cols)
     )
 
 
@@ -102,26 +115,6 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "neighbor_id", "cosine", "rank")
 
 
-@register(
-    "ann_topk_arrow",
-    _BRUTEFORCE_ORACLE,  # identical output contract to ann_topk_bruteforce:
-    # the matmul only PRUNES (with 1e-5 slack); the surviving candidates are
-    # re-scored with the same dot_seq fold the oracle mirrors, so the hash
-    # check is as strict here as on the fold path.
-    doc=(
-        "vectorized ANN fast path — the 100 TB throughput variant of "
-        "ann_topk_bruteforce: Arrow mapInPandas batch matmul (numpy) prunes "
-        "to ~batches*Q*k candidates (never the N*Q score matrix), then the "
-        "exact sequential fold re-scores the survivors — bit-identical "
-        "output (cosine rounded to 6 decimals, (cosine DESC, id) tiebreak)."
-    ),
-)
-def ann_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = T(spark, sf_dir, "embeddings", fanout=True)
-    q = e.filter(F.col("vec_id") < N_QUERIES)
-    return topk_bruteforce_arrow(e, q, "vec_id", "embedding", k=10).select(
-        "query_id", "neighbor_id", "cosine", "rank"
-    )
 
 
 @register(

@@ -68,21 +68,7 @@ def _profile_sql() -> str:
     """
 
 
-@register(
-    "text_token_quality",
-    _profile_sql(),
-    doc=(
-        "per-document text profile in ONE corpus pass: token/distinct "
-        "counts, BPE-ish token count (GPT-2 split regex — the LLM token-"
-        "cost estimator), mean token length, the length-band + lexical-diversity − "
-        "punctuation-noise quality heuristic, per-language stopword-hit "
-        "ratios, and the language-ID argmax (deterministic count-desc, "
-        "lang-asc tiebreak; actual lang kept for accuracy eyeballing).  "
-        "All narrow expressions — a single scan serves token counting, "
-        "quality scoring, and language-ID at 100 TB."
-    ),
-)
-def text_token_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _text_profile_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = T(spark, sf_dir, "documents", fanout=True)
     t = tokens(F.col("text"))
     return d.select(
@@ -300,30 +286,7 @@ def _pii_redacted_sql() -> str:
     return out
 
 
-@register(
-    "text_pii_redact",
-    f"""
-    WITH p AS (SELECT doc_id, {_pii_planted_sql()} AS planted FROM documents)
-    SELECT doc_id,
-           {_pii_redacted_sql()} AS redacted,
-           CAST(len(string_split({_pii_redacted_sql()}, '<EMAIL>')) - 1 AS INTEGER)
-             AS n_emails,
-           CAST(len(string_split({_pii_redacted_sql()}, '<URL>')) - 1 AS INTEGER)
-             AS n_urls
-    FROM p
-    """,
-    doc=(
-        "PII scrub before corpus release: URLs, emails, phone-shaped and "
-        "long digit runs replaced with typed placeholders (functions/text."
-        "redact_pii — ordered, lookahead-free regexes in the Java/RE2 "
-        "shared subset, chained JVM regexp_replace, no UDF).  The scrubbed "
-        "text carries deterministic planted PII derived from doc_id "
-        "(email, id number, phone, URL appended to the real text) so the "
-        "oracle hash-verifies actual redactions on every row, plus "
-        "placeholder counts as an audit column."
-    ),
-)
-def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _pii_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mongo2mysql_spark.functions.text import redact_pii
 
     d = T(spark, sf_dir, "documents", fanout=True)
@@ -348,62 +311,143 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RATIO_LANGS = sorted(STOPWORDS)
+_PROFILE_NULLS_SQL = """
+           CAST(NULL AS VARCHAR) AS redacted,
+           CAST(NULL AS INTEGER) AS n_emails,
+           CAST(NULL AS INTEGER) AS n_urls"""
+_PII_NULLS_SQL = (
+    "CAST(NULL AS VARCHAR) AS lang, CAST(NULL AS INTEGER) AS n_tokens, "
+    "CAST(NULL AS INTEGER) AS n_bpe_tokens, CAST(NULL AS INTEGER) AS n_unique, "
+    "CAST(NULL AS DOUBLE) AS mean_token_len, CAST(NULL AS INTEGER) AS n_chars_actual, "
+    "CAST(NULL AS DOUBLE) AS quality, "
+    + ", ".join(f"CAST(NULL AS DOUBLE) AS ratio_{lang}" for lang in _RATIO_LANGS)
+    + ", CAST(NULL AS VARCHAR) AS lang_guess"
+)
+
+
+@register(
+    "text_profile_pii",
+    f"""
+    WITH prof AS ({_profile_sql()}),
+    p AS (SELECT doc_id, {_pii_planted_sql()} AS planted FROM documents)
+    SELECT 'profile' AS branch, prof.*, {_PROFILE_NULLS_SQL}
+    FROM prof
+    UNION ALL
+    SELECT 'pii' AS branch, doc_id, {_PII_NULLS_SQL},
+           {_pii_redacted_sql()} AS redacted,
+           CAST(len(string_split({_pii_redacted_sql()}, '<EMAIL>')) - 1 AS INTEGER)
+             AS n_emails,
+           CAST(len(string_split({_pii_redacted_sql()}, '<URL>')) - 1 AS INTEGER)
+             AS n_urls
+    FROM p
+    """,
+    doc=(
+        "per-document text surface, two branches in one tagged result.  "
+        "'profile': token/distinct counts, BPE-ish token count (GPT-2 "
+        "split regex), mean token length, the length-band + lexical-"
+        "diversity − punctuation-noise quality heuristic, per-language "
+        "stopword-hit ratios, and the language-ID argmax — all narrow "
+        "expressions, a single scan at 100 TB.  'pii': the corpus-release "
+        "scrub — URLs, emails, phone-shaped and long digit runs replaced "
+        "with typed placeholders (ordered, lookahead-free regexes in the "
+        "Java/RE2 shared subset, chained JVM regexp_replace, no UDF) over "
+        "deterministic planted PII so the oracle hash-verifies actual "
+        "redactions on every row."
+    ),
+)
+def text_profile_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prof = _text_profile_df(spark, sf_dir).select(
+        F.lit("profile").alias("branch"),
+        "*",
+        F.lit(None).cast("string").alias("redacted"),
+        F.lit(None).cast("int").alias("n_emails"),
+        F.lit(None).cast("int").alias("n_urls"),
+    )
+    pii = _pii_df(spark, sf_dir).select(
+        F.lit("pii").alias("branch"),
+        "doc_id",
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("int").alias("n_tokens"),
+        F.lit(None).cast("int").alias("n_bpe_tokens"),
+        F.lit(None).cast("int").alias("n_unique"),
+        F.lit(None).cast("double").alias("mean_token_len"),
+        F.lit(None).cast("int").alias("n_chars_actual"),
+        F.lit(None).cast("double").alias("quality"),
+        *[F.lit(None).cast("double").alias(f"ratio_{lang}") for lang in _RATIO_LANGS],
+        F.lit(None).cast("string").alias("lang_guess"),
+        "redacted",
+        "n_emails",
+        "n_urls",
+    )
+    return prof.unionByName(pii)
+
+
 # ------------------------------------------------------------------ multimodal
 
 
 @register(
-    "mm_payload_stats",
+    "mm_payload_decode",
     """
-    SELECT doc_id AS media_id,
+    WITH h AS (SELECT doc_id, text, sha256(text) AS h FROM documents)
+    SELECT 'payload' AS branch,
+           doc_id AS media_id,
            'text/plain' AS media_type,
            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-           sha256(text) AS checksum,  -- DuckDB sha256 takes VARCHAR; same UTF-8 bytes
-           lower(hex(encode(substring(text, 1, 8)))) AS prefix_hex
-    FROM documents
+           h AS checksum,  -- DuckDB sha256 takes VARCHAR; same UTF-8 bytes
+           lower(hex(encode(substring(text, 1, 8)))) AS prefix_hex,
+           CAST(NULL AS INTEGER) AS width,
+           CAST(NULL AS INTEGER) AS height,
+           CAST(NULL AS INTEGER) AS n_frames
+    FROM h
+    UNION ALL
+    SELECT 'decode' AS branch,
+           doc_id AS media_id,
+           'text/plain' AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           h AS checksum,
+           CAST(NULL AS VARCHAR) AS prefix_hex,
+           CAST(16 + (CAST('0x' || substr(h, 1, 4) AS INTEGER) % 4080) AS INTEGER) AS width,
+           CAST(16 + (CAST('0x' || substr(h, 5, 4) AS INTEGER) % 2144) AS INTEGER) AS height,
+           CAST(1 + (CAST('0x' || substr(h, 9, 4) AS INTEGER) % 300) AS INTEGER) AS n_frames
+    FROM h
     """,
     doc=(
-        "multimodal payload plumbing: binary column + typed metadata as pure "
-        "expressions (payload pruned for metadata-only readers)."
+        "multimodal surface, both stages in one tagged result.  'payload' "
+        "branch: binary column + typed metadata as pure expressions "
+        "(payload pruned for metadata-only readers).  'decode' branch: "
+        "Arrow mapInPandas batches over binary payloads with a "
+        "deterministic fake decoder (real decoder is the documented "
+        "NotImplementedError seam) deriving width/height/n_frames from "
+        "sha256(payload) nibbles — the oracle restates the exact metadata "
+        "in SQL and hash-verifies the full Arrow batch path."
     ),
 )
-def mm_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def mm_payload_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = T(spark, sf_dir, "documents", fanout=True)
     pf = payload_frame(
         d, F.col("doc_id"), F.encode(F.col("text"), "UTF-8"), F.lit("text/plain")
     )
-    return pf.select(
+    stats = pf.select(
+        F.lit("payload").alias("branch"),
         "media_id",
         "media_type",
         "n_bytes",
         "checksum",
         F.lower(F.hex(F.encode(F.substring(F.col("payload").cast("string"), 1, 8), "UTF-8"))).alias("prefix_hex"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("n_frames"),
     )
-
-
-@register(
-    "mm_decode_stub",
-    """
-    SELECT doc_id AS media_id,
-           'text/plain' AS media_type,
-           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-           CAST(16 + (CAST('0x' || substr(h, 1, 4) AS INTEGER) % 4080) AS INTEGER) AS width,
-           CAST(16 + (CAST('0x' || substr(h, 5, 4) AS INTEGER) % 2144) AS INTEGER) AS height,
-           CAST(1 + (CAST('0x' || substr(h, 9, 4) AS INTEGER) % 300) AS INTEGER) AS n_frames,
-           h AS checksum
-    FROM (SELECT doc_id, text, sha256(text) AS h FROM documents)
-    """,
-    doc=(
-        "multimodal decode pipeline: Arrow mapInPandas batches over binary "
-        "payloads with a deterministic fake decoder (real decoder is the "
-        "documented NotImplementedError seam).  The fake decode derives "
-        "width/height/n_frames from sha256(payload) nibbles, so the oracle "
-        "restates the exact metadata in SQL and hash-verifies the full "
-        "Arrow batch path — schema, batch iteration, values."
-    ),
-)
-def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = T(spark, sf_dir, "documents", fanout=True)
-    pf = payload_frame(
-        d, F.col("doc_id"), F.encode(F.col("text"), "UTF-8"), F.lit("text/plain")
+    decoded = decode_metadata(pf, mode="fake").select(
+        F.lit("decode").alias("branch"),
+        "media_id",
+        "media_type",
+        "n_bytes",
+        "checksum",
+        F.lit(None).cast("string").alias("prefix_hex"),
+        "width",
+        "height",
+        "n_frames",
     )
-    return decode_metadata(pf, mode="fake")
+    return stats.unionByName(decoded)

@@ -212,7 +212,7 @@ def test_bpe_pattern_parity_spark_vs_duckdb(spark):
 
 
 def test_pii_pattern_parity_spark_vs_duckdb(spark):
-    """text_pii_redact's oracle chains the SAME regexes through DuckDB
+    """text_profile_pii's pii-branch oracle chains the SAME regexes through DuckDB
     regexp_replace, so the patterns must mean the same thing to Java
     regex and RE2.  Fuzz the shared-subset claim over seeded strings
     mixing real PII shapes, near-misses, and noise."""

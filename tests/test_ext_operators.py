@@ -952,13 +952,13 @@ def test_training_export_pipeline_composes(spark, tmp_path):
         word_freq_table,
     )
     from mongo2mysql_spark.operators.packing import pack_sequences
-    from mongo2mysql_spark.queries import load_all
+    from mongo2mysql_spark.queries.corpus import corpus_clean_pipeline
     from mongo2mysql_spark.sources import load_table
     from mongo2mysql_spark.sources.lake import parquet_files, write_training_shards
     from tests.conftest import SF_DIR
 
-    # stage 1: clean — the registered pipeline (filters + dedup + split)
-    kept = load_all()["corpus_clean_pipeline"].fn(spark, SF_DIR)
+    # stage 1: clean — the pipeline behind the corpus_clean_shuffle slot
+    kept = corpus_clean_pipeline(spark, SF_DIR)
     train_ids = kept.filter("split = 'train'").select("doc_id")
     docs = load_table(spark, SF_DIR, "documents").join(train_ids, "doc_id")
     n_train = docs.count()

@@ -55,7 +55,7 @@ def test_q5_broadcasts_dimensions(spark):
 
 
 def test_semi_anti_join_strategies(spark):
-    plan = physical_plan(REGISTRY["join_semi_anti_existence"].fn(spark, SF_DIR))
+    plan = physical_plan(REGISTRY["join_coverage"].fn(spark, SF_DIR))
     assert "LeftSemi" in plan
     assert "LeftAnti" in plan
 
@@ -69,7 +69,7 @@ def test_sort_limit_is_take_ordered(spark):
 
 
 def test_flatten_has_no_shuffle(spark):
-    df = REGISTRY["etl_flatten_nested"].fn(spark, SF_DIR)
+    df = REGISTRY["etl_flatten"].fn(spark, SF_DIR)
     plan = physical_plan(df)
     assert "Exchange" not in plan  # narrow projection end-to-end
 
@@ -88,7 +88,7 @@ def test_routing_is_single_projection(spark):
 
 
 def test_bruteforce_broadcasts_queries(spark):
-    df = REGISTRY["ann_topk_bruteforce"].fn(spark, SF_DIR)
+    df = REGISTRY["ann_topk_exact"].fn(spark, SF_DIR)
     plan = physical_plan(df)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
@@ -129,7 +129,7 @@ def test_lsh_band_shuffle_is_narrow(spark):
     columns through the band join: pair dedup aggregates on (id_1,id_2)
     alone (no first(a0..) carries), and the signature frame is reused
     from cache rather than recomputed per reference."""
-    df = REGISTRY["dedup_minhash_lsh_pairs"].fn(spark, SF_DIR)
+    df = REGISTRY["dedup_pair_families"].fn(spark, SF_DIR)
     df.collect()  # finalize AQE plan
     plan = physical_plan(df)
     dedup_aggs = [
@@ -260,8 +260,8 @@ def _window_lines_missing_partition(plan: str) -> list[str]:
 # (corpus stats, query vectors, the IVF centroid table).
 _BNLJ_OK = {
     "text_bm25_search",
-    "dedup_ngram_jaccard_pairs",
-    "ann_topk_bruteforce",
+    "dedup_pair_families",
+    "ann_topk_exact",
     "ann_topk_ivf",
     "agg_approx_sketches",  # single-row merged-sketch frame cross-joined in
 }
