@@ -103,6 +103,16 @@ def ivf_recall(spark, sf_dir: str, k: int = 5) -> dict[str, float]:
             ).collect()
         }
         out[f"nprobe{nprobe}"] = round(len(ivf & bf) / len(bf), 4)
+    # the recall-floor path: smallest nprobe meeting 0.9 on a
+    # calibration sample (operators/similarity.ivf_calibrate) — the
+    # configuration a deployment should actually serve at
+    from mongo2mysql_spark.operators.similarity import ivf_calibrate
+
+    nprobe, recall = ivf_calibrate(
+        e, q, "vec_id", "embedding", k=k, centroid_stride=97, target_recall=0.9
+    )
+    out["calibrated_nprobe"] = nprobe
+    out["calibrated_recall"] = round(recall, 4)
     return out
 
 

@@ -81,14 +81,20 @@ def psi_report(
     cols: list[str],
     n_buckets: int = 10,
     smoothing: float = 0.5,
+    edges: dict[str, list[float]] | None = None,
 ) -> DataFrame:
     """One row per column: ``(column, psi, n_buckets, verdict)``.
 
-    Edges are the baseline's quantiles; both sides' bucket counts come
+    Edges default to the baseline's quantiles; pass ``edges`` (column →
+    ascending bucket boundaries) to pin them — the production-monitor
+    shape, where the reference profile fixes the buckets once and every
+    later comparison reuses them (also what makes the PSI arithmetic
+    restatable by an external oracle).  Both sides' bucket counts come
     from one fused pass each.  ``smoothing`` is the Laplace add-count
     per bucket (keeps ln defined when a bucket empties on one side).
     """
-    edges = {c: _bucket_edges(old, c, n_buckets) for c in cols}
+    if edges is None:
+        edges = {c: _bucket_edges(old, c, n_buckets) for c in cols}
     counts_old = _bucket_counts(old, edges)
     counts_new = _bucket_counts(new, edges)
 

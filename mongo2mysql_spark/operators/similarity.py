@@ -167,6 +167,61 @@ def topk_bruteforce_arrow(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def ivf_calibrate(
+    corpus: DataFrame,
+    calibration_queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    centroid_stride: int = 97,
+    centroids: DataFrame | None = None,
+    target_recall: float = 0.9,
+) -> tuple[int, float]:
+    """Pick the smallest ``nprobe`` whose recall@k meets
+    ``target_recall``, measured on the calibration queries against exact
+    brute force.  Returns ``(nprobe, measured_recall)``.
+
+    This is the recall floor the IVF deployment wants: nprobe is a
+    cost/recall LEVER, and without calibration a user silently gets
+    whatever recall the data's cluster structure allows (weakly
+    clustered embeddings need more probes than the habitual 1-2).  Run
+    once per corpus/centroid build on a small query sample — brute
+    force over the corpus × a handful of queries is one broadcast pass
+    — then serve every query at the calibrated nprobe.  At 100 TB,
+    calibrate against a corpus SAMPLE (recall estimates need only
+    sample truth) and re-calibrate when drift monitoring
+    (operators/drift.py) flags the embedding distribution.
+
+    Worst case returns nprobe = n_centroids (exhaustive — recall 1.0 by
+    construction), so the target is always reached.
+    """
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in topk_bruteforce(
+            corpus, calibration_queries, id_col, vec_col, k=k
+        ).collect()
+    }
+    if centroids is None:
+        centroids = corpus.filter(F.col(id_col) % centroid_stride == 0)
+    centroids = centroids.persist()
+    n_centroids = centroids.count()
+    recall = 0.0
+    for nprobe in range(1, n_centroids + 1):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in topk_ivf(
+                corpus, calibration_queries, id_col, vec_col,
+                k=k, nprobe=nprobe, centroids=centroids,
+            ).collect()
+        }
+        recall = len(got & truth) / max(len(truth), 1)
+        if recall >= target_recall:
+            centroids.unpersist()
+            return nprobe, recall
+    centroids.unpersist()
+    return n_centroids, recall
+
+
 def assign_centroids(
     corpus: DataFrame, centroids: DataFrame, id_col: str, vec_col: str,
     nprobe: int = 1,

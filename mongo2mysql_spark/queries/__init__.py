@@ -84,6 +84,7 @@ def load_all() -> dict[str, Query]:
     from mongo2mysql_spark.queries import (  # noqa: F401
         similarity,
         text,
+        ext,
         corpus,
         sampling,
         interval,

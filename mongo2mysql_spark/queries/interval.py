@@ -16,7 +16,6 @@ from pyspark.sql import functions as F
 
 from mongo2mysql_spark.functions.scalar import dsum, sql_dsum
 from mongo2mysql_spark.operators.rangejoin import range_join_bucketed
-from mongo2mysql_spark.operators.rollup import hypertable_rollup
 from mongo2mysql_spark.queries import register
 from mongo2mysql_spark.sources import load_table as T
 
@@ -109,15 +108,33 @@ def range_join_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type aggregates where each coarser level re-aggregates the "
         "finer level's partials — the raw table is scanned and shuffled "
         "ONCE (to hour cardinality); day and week shuffle only partials.  "
-        "The oracle states the same hierarchy in SQL CTEs."
+        "The rollup is computed through the INCREMENTAL refresh path "
+        "(operators/rollup.py:94-188): three ingest batches (event_id mod "
+        "3) each aggregate once to hour partials, merge into the partial "
+        "store at partial cardinality (raw history never rescanned), and "
+        "the multi-level union derives from the merged store — which must "
+        "be bit-identical to the one-shot hierarchy the oracle states "
+        "(COUNT and the decimal SUM are algebraic)."
     ),
 )
 def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mongo2mysql_spark.operators.rollup import (
+        rollup_levels_from_partials,
+        rollup_merge,
+        rollup_partials,
+    )
+
     e = T(spark, sf_dir, "events")
-    return hypertable_rollup(
-        e,
-        ts_col="ts",
-        group_cols=["event_type"],
-        value=F.col("value"),
-        levels=("hour", "day", "week"),
+    store = None
+    for batch_no in range(3):
+        batch = e.filter(F.col("event_id") % 3 == batch_no)
+        partials = rollup_partials(
+            batch, ts_col="ts", group_cols=["event_type"], value=F.col("value")
+        )
+        store = rollup_merge(store, partials, ["event_type"])
+    # the merged store feeds every level leg: persist it (at production
+    # scale the store IS a parquet table, so each refresh reads it once)
+    store = store.persist()
+    return rollup_levels_from_partials(
+        store, ["event_type"], levels=("hour", "day", "week")
     )

@@ -72,35 +72,33 @@ from mongo2mysql_spark.streaming.pipeline import (
     ),
 )
 def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tum = run_to_memory(tumbling_counts(stream_events(spark, sf_dir)), shuffle_partitions=8)
-    sli = run_to_memory(sliding_counts(stream_events(spark, sf_dir)), shuffle_partitions=8)
-    ses = run_to_memory(session_windows(stream_events(spark, sf_dir)), shuffle_partitions=8)
-    return (
-        tum.select(
-            F.lit("tumbling1h").alias("kind"),
-            "window_start",
-            F.col("event_type").alias("key"),
-            "n",
-            "total_value",
-        )
-        .unionByName(
-            sli.select(
-                F.lit("sliding1h30m").alias("kind"),
-                "window_start",
-                F.lit(None).cast("string").alias("key"),
-                "n",
-                F.lit(None).cast("double").alias("total_value"),
-            )
-        )
-        .unionByName(
-            ses.select(
-                F.lit("session30m").alias("kind"),
-                F.col("session_start").alias("window_start"),
-                F.col("user_id").cast("string").alias("key"),
-                F.col("n_events").alias("n"),
-                F.lit(None).cast("double").alias("total_value"),
-            )
-        )
+    # all three window shapes union into ONE streaming query (Spark 4.x
+    # supports multiple stateful aggregations on separate union
+    # branches), so the harness runs one stream execution instead of
+    # three — ~1/3 the startup/teardown and micro-batch planning cost
+    tum = tumbling_counts(stream_events(spark, sf_dir)).select(
+        F.lit("tumbling1h").alias("kind"),
+        "window_start",
+        F.col("event_type").alias("key"),
+        "n",
+        "total_value",
+    )
+    sli = sliding_counts(stream_events(spark, sf_dir)).select(
+        F.lit("sliding1h30m").alias("kind"),
+        "window_start",
+        F.lit(None).cast("string").alias("key"),
+        "n",
+        F.lit(None).cast("double").alias("total_value"),
+    )
+    ses = session_windows(stream_events(spark, sf_dir)).select(
+        F.lit("session30m").alias("kind"),
+        F.col("session_start").alias("window_start"),
+        F.col("user_id").cast("string").alias("key"),
+        F.col("n_events").alias("n"),
+        F.lit(None).cast("double").alias("total_value"),
+    )
+    return run_to_memory(
+        tum.unionByName(sli).unionByName(ses), shuffle_partitions=8
     )
 
 

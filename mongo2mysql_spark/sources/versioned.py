@@ -146,6 +146,23 @@ def rollback(table: str, to_version: int) -> int:
     return version
 
 
+def compact(spark: SparkSession, table: str) -> int:
+    """Rewrite the head version's content as one fresh commit — the
+    file-count bound for append-heavy tables.
+
+    Append commits grow the manifest by one entry per data file, and
+    every snapshot read plans over that whole list: after N appends of
+    F files each the manifest holds N·F paths (the O(files)-JSON
+    bottleneck the module docstring flags; real formats amortize it
+    with avro manifest lists).  Compaction reads the head snapshot and
+    commits it as a single ``overwrite`` — the new manifest references
+    only the rewritten files, while every historical version still
+    resolves (its data dirs remain until ``vacuum``).  Run it when the
+    manifest length passes a few thousand entries, then ``vacuum`` to
+    reclaim the superseded directories."""
+    return commit(read_version(spark, table), table, mode="overwrite")
+
+
 def vacuum(table: str, keep_last: int = 2) -> list[str]:
     """Drop manifests older than the last ``keep_last`` versions and
     delete data directories no kept version references.  Returns the

@@ -1364,3 +1364,47 @@ def test_bpe_encode_ids_unknown_symbol_raises(spark):
     )
     with _pytest.raises((Py4JJavaError, Exception), match="unknown BPE symbol"):
         encode_ids(encoded, vocab, "doc_id").collect()
+
+
+def test_ivf_calibrated_recall_floor(spark):
+    """ivf_calibrate picks the smallest nprobe meeting the 0.9 recall
+    target on the calibration sample; serving at that nprobe reproduces
+    the measured recall; and the floor holds even on this weakly
+    clustered fixture (worst case nprobe = n_centroids = exhaustive)."""
+    from pyspark.sql import functions as F
+
+    from mongo2mysql_spark.operators.similarity import (
+        ivf_calibrate,
+        topk_bruteforce,
+        topk_ivf,
+    )
+    from mongo2mysql_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    nprobe, recall = ivf_calibrate(
+        e, q, "vec_id", "embedding", k=5, centroid_stride=97, target_recall=0.9
+    )
+    assert recall >= 0.9
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in topk_bruteforce(e, q, "vec_id", "embedding", k=5).collect()
+    }
+    served = {
+        (r["query_id"], r["neighbor_id"])
+        for r in topk_ivf(
+            e, q, "vec_id", "embedding", centroid_stride=97, k=5, nprobe=nprobe
+        ).collect()
+    }
+    assert len(served & truth) / len(truth) == recall
+    # smallest: one probe fewer misses the target (unless nprobe == 1)
+    if nprobe > 1:
+        under = {
+            (r["query_id"], r["neighbor_id"])
+            for r in topk_ivf(
+                e, q, "vec_id", "embedding", centroid_stride=97, k=5,
+                nprobe=nprobe - 1,
+            ).collect()
+        }
+        assert len(under & truth) / len(truth) < 0.9

@@ -508,3 +508,78 @@ def test_versioned_concurrent_commit_raises(spark, tmp_path):
         V.current_version = orig
     # the racer's manifest is untouched and the table still reads
     assert read_version(spark, table, 0).count() == 10
+
+
+def test_versioned_manifest_compaction_bounds_file_count(spark, tmp_path):
+    """Append commits grow the manifest one entry per data file; compact
+    rewrites the head as a single commit whose manifest references only
+    the fresh files, content and history both preserved."""
+    from mongo2mysql_spark.sources.versioned import (
+        _load_manifest,
+        commit,
+        compact,
+        current_version,
+        read_version,
+    )
+
+    table = str(tmp_path / "t")
+    for i in range(4):
+        commit(
+            spark.range(i * 10, (i + 1) * 10).repartition(3),
+            table,
+            mode="append" if i else "overwrite",
+        )
+    head = current_version(table)
+    before = _load_manifest(table, head)["files"]
+    assert len(before) >= 8  # 4 commits x >=2 files each
+
+    v = compact(spark, table)
+    after = _load_manifest(table, v)["files"]
+    assert len(after) < len(before)
+    assert len({f.split("/")[1] for f in after}) == 1  # one commit dir
+    # content identical, history still resolvable
+    rows = lambda df: sorted(r["id"] for r in df.collect())  # noqa: E731
+    assert rows(read_version(spark, table, v)) == rows(read_version(spark, table, head))
+    assert rows(read_version(spark, table, 0)) == list(range(10))
+
+
+def test_upsert_commits_per_batch_before_failure(spark, tmp_path):
+    """write_upsert commits each executemany batch: rows written before a
+    mid-partition failure are durable (the unit of progress a task retry
+    resumes over — with REPLACE semantics the replay is idempotent)."""
+    import functools
+    import sqlite3
+
+    import pytest as _pytest
+
+    from mongo2mysql_spark.sources.jdbc import write_upsert
+
+    db = str(tmp_path / "partial.db")
+    conn = sqlite3.connect(db)
+    # v TEXT NOT NULL: the third row's NULL violates the constraint
+    conn.execute("CREATE TABLE docs (id INTEGER PRIMARY KEY, v TEXT NOT NULL)")
+    conn.commit()
+    conn.close()
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None)], "id long, v string"
+    ).coalesce(1).sortWithinPartitions("id")
+    with _pytest.raises(Exception):
+        write_upsert(
+            df, "docs", functools.partial(sqlite3.connect, db), batch_size=1
+        )
+    conn = sqlite3.connect(db)
+    got = sorted(conn.execute("SELECT id, v FROM docs").fetchall())
+    conn.close()
+    assert got == [(1, "a"), (2, "b")]
+
+
+def test_mongodb_reader_options_sample_and_pipeline_interaction():
+    """Option-building edge cases: custom sample size survives alongside
+    a pushed pipeline; absent pipeline leaves no stale key."""
+    from mongo2mysql_spark.sources.mongodb import reader_options
+
+    pipeline = '[{"$match": {"kind": "doc"}}, {"$project": {"_id": 1}}]'
+    opts = reader_options("mongodb://h/", "db", "c", sample_size=5, pipeline=pipeline)
+    assert opts["sampleSize"] == "5"
+    assert opts["aggregation.pipeline"] == pipeline
+    assert "aggregation.pipeline" not in reader_options("mongodb://h/", "db", "c")
