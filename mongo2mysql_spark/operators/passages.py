@@ -1,0 +1,111 @@
+"""Cross-document passage-duplicate detection (extension layer —
+training-data curation; no reference analogue, the reference's 560 LoC
+has no text surface at all).
+
+Document-level dedup (exact hash, MinHash) misses the common web-corpus
+failure mode: two DIFFERENT pages sharing a long boilerplate passage —
+a license header, a navigation block, a syndicated paragraph.  Training
+on them still memorizes the repeated span (Lee et al., "Deduplicating
+Training Data Makes Language Models Better", ACL 2022, motivates
+substring-level dedup).  A full suffix-array pass is not a DataFrame
+shape; the scalable relational equivalent is fingerprint co-occurrence:
+winnowing guarantees (Schleimer/Wilkerson/Aiken, SIGMOD 2003) that any
+shared token run of length >= w+k-1 contributes at least one shared
+fingerprint, so documents sharing >= ``min_shared`` fingerprints are
+passage-duplicate candidates, ranked by containment.
+
+Scale shape (the part that must survive 100 TB):
+
+- fingerprints are a narrow (doc_id, fp) stream — ~2/(w+1) of shingles
+  per doc, computed by pure array expressions (no shuffle, no UDF);
+- ubiquitous boilerplate fingerprints (site chrome shared by millions
+  of pages) would make the fp-join quadratic in the hottest key; the
+  ``max_fp_df`` cap drops any fingerprint appearing in more docs than
+  the cap BEFORE the self-join — identical to the shingle-df cap the
+  n-gram Jaccard path uses (operators/dedup.py), and sound for
+  *pair finding*: a dropped fp only hides pairs already connected by
+  thousands of other documents' worth of chrome, which a curation
+  pipeline handles as a boilerplate rule, not a pair list;
+- the self-join shuffles on fp (bounded fan-out after the cap), the
+  pair aggregation shuffles on (doc_a, doc_b) — two shuffles total,
+  both on high-cardinality keys.
+
+Determinism: every output column is integer arithmetic except
+``containment`` = shared/min(n_a, n_b), an int-over-int IEEE double
+division — bit-identical across engines by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mongo2mysql_spark.functions.text import shingle_hashes, tokens, winnow_mins
+
+
+def doc_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5, w: int = 4
+) -> DataFrame:
+    """(id, fp) winnowing fingerprint stream, distinct per document."""
+    return (
+        df.select(F.col(id_col), tokens(F.col(text_col)).alias("__t"))
+        .select(F.col(id_col), shingle_hashes(F.col("__t"), k).alias("__hs"))
+        .select(F.col(id_col), F.explode(winnow_mins(F.col("__hs"), w)).alias("fp"))
+    )
+
+
+def passage_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    max_fp_df: int | None = 100,
+) -> DataFrame:
+    """Document pairs sharing >= ``min_shared`` winnowing fingerprints.
+
+    Returns (doc_a, doc_b, shared_fps, n_a, n_b, containment) with
+    doc_a < doc_b; ``containment`` = shared_fps / min(n_a, n_b), the
+    fraction of the smaller document's fingerprint set that the pair
+    shares (1.0 = one document's passages are fully contained in the
+    other).  ``max_fp_df`` drops fingerprints appearing in more than
+    that many documents before pairing (boilerplate guard, see module
+    docstring); None disables the cap.
+    """
+    fps = doc_fingerprints(df, id_col, text_col, k, w)
+    sizes = fps.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_fps"))
+    if max_fp_df is not None:
+        keep = (
+            fps.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("fp_df"))
+            .filter(F.col("fp_df") <= max_fp_df)
+            .select("fp")
+        )
+        fps = fps.join(keep, "fp")
+    a = fps.select(F.col(id_col).alias("doc_a"), "fp")
+    b = fps.select(F.col(id_col).alias("doc_b"), "fp")
+    pairs = (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )
+    na = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_fps").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_fps").alias("n_b"))
+    return (
+        pairs.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared_fps",
+            "n_a",
+            "n_b",
+            (
+                F.col("shared_fps").cast("double")
+                / F.least("n_a", "n_b").cast("double")
+            ).alias("containment"),
+        )
+    )

@@ -213,6 +213,8 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 WINNOW_K, WINNOW_W = 5, 4
+# passage-dup pairing over the fingerprint stream (operators/passages.py)
+PASSAGE_MIN_SHARED, PASSAGE_MAX_FP_DF = 2, 100
 
 
 @register(
@@ -234,28 +236,60 @@ WINNOW_K, WINNOW_W = 5, 4
                  range(1, greatest(len(hs) - {WINNOW_W} + 1, 1) + 1),
                  i -> list_min(list_slice(hs, i, i + {WINNOW_W} - 1)))))
              ELSE [] END AS fps
-      FROM h)
-    SELECT doc_id, unnest(fps) AS fp FROM m
+      FROM h),
+    f AS (SELECT doc_id, unnest(fps) AS fp FROM m),
+    sizes AS (SELECT doc_id, count(*) AS n_fps FROM f GROUP BY 1),
+    kept AS (SELECT fp FROM f GROUP BY fp
+             HAVING count(*) <= {PASSAGE_MAX_FP_DF}),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_fps
+      FROM (SELECT doc_id, fp FROM f JOIN kept USING (fp)) a
+      JOIN (SELECT doc_id, fp FROM f JOIN kept USING (fp)) b USING (fp)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      HAVING count(*) >= {PASSAGE_MIN_SHARED})
+    SELECT 'fps' AS branch, doc_id, fp,
+           CAST(NULL AS BIGINT) AS doc_a, CAST(NULL AS BIGINT) AS doc_b,
+           CAST(NULL AS BIGINT) AS shared_fps,
+           CAST(NULL AS BIGINT) AS n_a, CAST(NULL AS BIGINT) AS n_b,
+           CAST(NULL AS DOUBLE) AS containment
+    FROM f
+    UNION ALL
+    SELECT 'pairs' AS branch, CAST(NULL AS BIGINT) AS doc_id,
+           CAST(NULL AS BIGINT) AS fp,
+           p.doc_a, p.doc_b, p.shared_fps,
+           sa.n_fps AS n_a, sb.n_fps AS n_b,
+           CAST(p.shared_fps AS DOUBLE)
+             / least(sa.n_fps, sb.n_fps) AS containment
+    FROM pairs p
+    JOIN sizes sa ON sa.doc_id = p.doc_a
+    JOIN sizes sb ON sb.doc_id = p.doc_b
     """,
     doc=(
-        "winnowing document fingerprints (Schleimer/Wilkerson/Aiken, "
-        f"SIGMOD 2003 — MOSS): window-of-{WINNOW_W} minima over the "
-        f"{WINNOW_K}-gram rolling-hash stream, one (doc_id, fp) row per "
-        "selected fingerprint.  Guarantees any shared token run of length "
-        f">= {WINNOW_W + WINNOW_K - 1} shares a fingerprint (position-"
-        "robust, unlike the sorted-token-set md5), selecting ~2/(w+1) of "
-        "hashes.  Pure array expression — narrow, codegen'd, no shuffle "
-        "until a downstream join groups by fp."
+        "winnowing fingerprints + passage-duplicate pairs, tagged: 'fps' "
+        "rows are the per-document fingerprint stream (Schleimer/Wilkerson/"
+        f"Aiken, SIGMOD 2003 — MOSS: window-of-{WINNOW_W} minima over the "
+        f"{WINNOW_K}-gram rolling-hash stream; any shared token run of "
+        f"length >= {WINNOW_W + WINNOW_K - 1} shares a fingerprint); "
+        "'pairs' rows are cross-document passage-dup candidates "
+        "(operators/passages.py): documents sharing >= "
+        f"{PASSAGE_MIN_SHARED} fingerprints after a df<= "
+        f"{PASSAGE_MAX_FP_DF} boilerplate cap, with containment = "
+        "shared/min(n_a,n_b) — int-over-int IEEE division, bit-exact.  "
+        "Fingerprinting is a pure array expression (no shuffle); pairing "
+        "shuffles on fp then (doc_a, doc_b), both high-cardinality."
     ),
 )
 def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mongo2mysql_spark.functions.text import shingle_hashes, winnow_mins
+    from mongo2mysql_spark.operators.passages import passage_dup_pairs
+    from mongo2mysql_spark.queries import tagged_union
 
     d = T(spark, sf_dir, "documents", fanout=True)
     # staged: tokens and the shingle-hash array each materialize as a
     # projection, so the window-min lambda slices a BOUND column instead
     # of re-deriving the whole md5 array per window (see winnow_mins)
-    return (
+    fps = (
         d.select("doc_id", tokens(F.col("text")).alias("__t"))
         .select("doc_id", shingle_hashes(F.col("__t"), WINNOW_K).alias("__hs"))
         .select(
@@ -263,6 +297,16 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(winnow_mins(F.col("__hs"), WINNOW_W)).alias("fp"),
         )
     )
+    pairs = passage_dup_pairs(
+        d,
+        "doc_id",
+        "text",
+        k=WINNOW_K,
+        w=WINNOW_W,
+        min_shared=PASSAGE_MIN_SHARED,
+        max_fp_df=PASSAGE_MAX_FP_DF,
+    )
+    return tagged_union({"fps": fps, "pairs": pairs})
 
 
 def _pii_planted_sql() -> str:

@@ -1408,3 +1408,43 @@ def test_ivf_calibrated_recall_floor(spark):
             ).collect()
         }
         assert len(under & truth) / len(truth) < 0.9
+
+
+def test_passage_dup_pairs_planted_and_capped(spark):
+    """Two documents sharing a long passage pair up; unrelated docs
+    don't; a boilerplate fingerprint present in every doc is excluded
+    by the df cap (pairs from it alone would be quadratic noise)."""
+    from mongo2mysql_spark.operators.passages import (
+        doc_fingerprints,
+        passage_dup_pairs,
+    )
+
+    passage = " ".join(f"shared{i}" for i in range(30))
+    boiler = " ".join(f"chrome{i}" for i in range(10))
+    rows = [
+        Row(doc_id=1, text=boiler + " alpha beta gamma " + passage),
+        Row(doc_id=2, text=boiler + " " + passage + " delta epsilon zeta"),
+        Row(doc_id=3, text=boiler + " " + " ".join(f"uniq3_{i}" for i in range(40))),
+        Row(doc_id=4, text=boiler + " " + " ".join(f"uniq4_{i}" for i in range(40))),
+    ]
+    df = spark.createDataFrame(rows)
+    pairs = passage_dup_pairs(
+        df, "doc_id", "text", min_shared=2, max_fp_df=3
+    ).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    assert (1, 2) in got
+    assert all(p == (1, 2) for p in got), got
+    p12 = next(r for r in pairs if (r["doc_a"], r["doc_b"]) == (1, 2))
+    # containment uses FULL per-doc fingerprint counts (pre-cap)
+    fps = doc_fingerprints(df, "doc_id", "text").collect()
+    n = {i: sum(1 for r in fps if r["doc_id"] == i) for i in (1, 2)}
+    assert p12["n_a"] == n[1] and p12["n_b"] == n[2]
+    assert p12["containment"] == p12["shared_fps"] / min(n[1], n[2])
+    # with the cap disabled, the all-doc boilerplate connects everything
+    uncapped = {
+        (r["doc_a"], r["doc_b"])
+        for r in passage_dup_pairs(
+            df, "doc_id", "text", min_shared=1, max_fp_df=None
+        ).collect()
+    }
+    assert len(uncapped) == 6  # all 4-choose-2 pairs via shared chrome
