@@ -1,0 +1,143 @@
+"""Data selection via importance resampling — DSIR (Xie et al.,
+"Data Selection for Language Models via Importance Resampling",
+NeurIPS 2023; extension layer — no reference analogue).
+
+A pretraining pipeline rarely wants uniform web data: it wants raw
+data *reweighted toward a target domain* (a curated corpus, a
+high-quality source).  DSIR's recipe, rebuilt relationally:
+
+1. featurize every document as hashed n-gram counts (unigrams +
+   bigrams hashed into ``m`` buckets — a fixed-width bag of words);
+2. fit two multinomial bucket distributions: ``p`` on the target
+   sample, ``q`` on the raw source (Laplace-smoothed);
+3. per document, the importance log-weight is
+   ``sum over its grams of log(p[bucket]/q[bucket])`` — documents
+   whose n-gram profile looks like the target score high;
+4. resample/filter on the weight (top-n, threshold, or Gumbel top-k).
+
+Scale shape: the bucket tables have at most ``m`` rows (thousands) —
+they broadcast; the per-doc scoring is ONE explode of the gram stream,
+ONE broadcast join against the log-ratio table, ONE partial-aggregating
+groupBy(doc).  Nothing in the plan grows faster than the token count,
+and the two distribution fits are plain bucket-count aggregations.
+At 100 TB, fit ``q`` on a hash-sampled slice of the corpus (the
+estimator needs bucket frequencies, not the full corpus) — the fit
+input is a parameter, not baked in.
+
+Determinism (cross-engine hash contract): bucket ids are md5-prefix
+integers (portable); counts are integers; each bucket's log-ratio is
+computed from an EXACT integer-over-integer IEEE double division,
+ln'd, then quantized to DECIMAL(18,6) — engines' ln differ by ~1 ulp
+(1e-16) against a 1e-6 grid, so the quantized table matches; per-doc
+weights are exact DECIMAL sums of quantized entries, so summation
+order cannot perturb them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mongo2mysql_spark.functions.text import tokens, word_shingles
+
+
+def hashed_grams(df: DataFrame, id_col: str, text_col: str,
+                 m: int = 4096, salt: str = "dsir") -> DataFrame:
+    """(id, bucket) stream: unigram + bigram hashed-n-gram features.
+
+    Bucket = first 8 md5 hex chars of ``salt|gram`` mod ``m`` —
+    portable (DuckDB: CAST('0x' || substr(md5(...), 1, 8) AS BIGINT));
+    one row per gram OCCURRENCE (counts matter to the multinomial).
+    """
+    toks = tokens(F.col(text_col))
+    grams = F.concat(word_shingles(toks, 1), word_shingles(toks, 2))
+    return (
+        df.select(F.col(id_col), F.explode(grams).alias("gram"))
+        .select(
+            id_col,
+            (
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit(salt + "|"), F.col("gram"))), 1, 8),
+                    16,
+                    10,
+                ).cast("long")
+                % m
+            ).alias("bucket"),
+        )
+    )
+
+
+def sql_hashed_grams(table: str, id_sql: str, text_sql: str,
+                     m: int = 4096, salt: str = "dsir") -> str:
+    """DuckDB restatement of :func:`hashed_grams` (oracle building block)."""
+    return f"""
+      SELECT {id_sql} AS id,
+             CAST('0x' || substr(md5('{salt}|' || gram), 1, 8) AS BIGINT)
+               % {m} AS bucket
+      FROM (
+        SELECT {id_sql}, unnest(
+                 list_concat(
+                   t,
+                   list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                                  i -> t[i] || ' ' || t[i + 1]))) AS gram
+        FROM (SELECT {id_sql}, string_split({text_sql}, ' ') AS t
+              FROM {table}))
+    """
+
+
+def bucket_log_ratio(
+    target_grams: DataFrame,
+    source_grams: DataFrame,
+    m: int = 4096,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Per-bucket quantized log(p_target/q_source): (bucket, llr).
+
+    Laplace-``alpha`` smoothing keeps every bucket defined; buckets
+    absent from both corpora get the (constant) smoothed-only ratio and
+    are omitted — a gram hashing there contributes log(TT_norm) which
+    is the same constant either way, and omitting keeps the table at
+    observed-bucket size.  llr is DECIMAL(18,6) — see module docstring.
+    """
+    tc = target_grams.groupBy("bucket").agg(F.count(F.lit(1)).alias("tc"))
+    sc = source_grams.groupBy("bucket").agg(F.count(F.lit(1)).alias("sc"))
+    tt = target_grams.count()
+    st = source_grams.count()
+    both = tc.join(sc, "bucket", "full").select(
+        "bucket",
+        F.coalesce("tc", F.lit(0)).alias("tc"),
+        F.coalesce("sc", F.lit(0)).alias("sc"),
+    )
+    # p = (tc+a)/(TT+a*m), q = (sc+a)/(ST+a*m); ln(p/q) via one exact
+    # double ratio (int/int division is IEEE-exact cross-engine)
+    num = (F.col("tc") + F.lit(alpha)) * F.lit(float(st + alpha * m))
+    den = (F.col("sc") + F.lit(alpha)) * F.lit(float(tt + alpha * m))
+    return both.select(
+        "bucket",
+        F.round(F.log(num / den).cast("decimal(28,8)"), 6)
+        .cast("decimal(18,6)")
+        .alias("llr"),
+    )
+
+
+def dsir_weights(
+    grams: DataFrame,
+    ratios: DataFrame,
+    id_col: str = "id",
+) -> DataFrame:
+    """Per-document importance log-weight: (id, n_grams, weight).
+
+    ``weight`` is the exact DECIMAL sum of quantized per-bucket llr over
+    the doc's gram occurrences (missing buckets contribute 0 — both
+    distributions unsmoothed-empty there, ratio constant; see
+    :func:`bucket_log_ratio`).  ``ratios`` is bucket-bounded — Spark
+    broadcasts it under AQE; the explicit hint keeps the plan shuffle-
+    free on the corpus side at any scale.
+    """
+    joined = grams.join(F.broadcast(ratios), "bucket", "left")
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(F.coalesce(F.col("llr"), F.lit(0).cast("decimal(18,6)")))
+        .cast("decimal(28,6)")
+        .alias("weight"),
+    )

@@ -103,34 +103,70 @@ SEQ_LEN = 2048
              CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
                AS cum_before
-      FROM t)
-    SELECT doc_id,
-           CAST(n_tok AS INTEGER) AS n_tokens,
-           cum_before // {SEQ_LEN} AS first_seq,
-           cum_before % {SEQ_LEN} AS first_offset,
-           (cum_before + GREATEST(n_tok, 1) - 1) // {SEQ_LEN} AS last_seq,
-           CAST((cum_before + GREATEST(n_tok, 1) - 1) // {SEQ_LEN}
-                - cum_before // {SEQ_LEN} + 1 AS INTEGER) AS n_seqs
-    FROM c
+      FROM t),
+    spans AS (
+      SELECT doc_id,
+             CAST(n_tok AS INTEGER) AS n_tokens,
+             cum_before // {SEQ_LEN} AS first_seq,
+             cum_before % {SEQ_LEN} AS first_offset,
+             (cum_before + GREATEST(n_tok, 1) - 1) // {SEQ_LEN} AS last_seq,
+             CAST((cum_before + GREATEST(n_tok, 1) - 1) // {SEQ_LEN}
+                  - cum_before // {SEQ_LEN} + 1 AS INTEGER) AS n_seqs
+      FROM c),
+    mrows AS (
+      SELECT doc_id, n_tok, cum_before,
+             unnest(generate_series(cum_before // {SEQ_LEN},
+                                    (cum_before + n_tok - 1) // {SEQ_LEN}))
+               AS seq_id
+      FROM c WHERE n_tok > 0),
+    manifest AS (
+      SELECT seq_id, doc_id,
+             GREATEST(seq_id * {SEQ_LEN}, cum_before) - cum_before AS doc_start,
+             CAST(LEAST((seq_id + 1) * {SEQ_LEN}, cum_before + n_tok)
+                  - GREATEST(seq_id * {SEQ_LEN}, cum_before) AS INTEGER)
+               AS slice_tok,
+             CAST(GREATEST(seq_id * {SEQ_LEN}, cum_before)
+                  - seq_id * {SEQ_LEN} AS INTEGER) AS seq_offset
+      FROM mrows)
+    SELECT 'spans' AS branch, doc_id, n_tokens, first_seq, first_offset,
+           last_seq, n_seqs,
+           CAST(NULL AS BIGINT) AS seq_id, CAST(NULL AS BIGINT) AS doc_start,
+           CAST(NULL AS INTEGER) AS slice_tok,
+           CAST(NULL AS INTEGER) AS seq_offset
+    FROM spans
+    UNION ALL
+    SELECT 'manifest' AS branch, doc_id, CAST(NULL AS INTEGER) AS n_tokens,
+           CAST(NULL AS BIGINT) AS first_seq, CAST(NULL AS BIGINT) AS first_offset,
+           CAST(NULL AS BIGINT) AS last_seq, CAST(NULL AS INTEGER) AS n_seqs,
+           seq_id, doc_start, slice_tok, seq_offset
+    FROM manifest
     """,
     doc=(
-        "GPT-style sequence packing: concatenate the corpus in doc_id "
-        "order and slice the token stream into training sequences of "
-        f"exactly {SEQ_LEN} tokens; per document, the sequence span it "
-        "lands in (first_seq/first_offset/last_seq/n_seqs).  The global "
+        "GPT-style sequence packing, tagged: 'spans' rows give, per "
+        "document, the training-sequence span it lands in when the "
+        "corpus token stream (doc_id order) is sliced into sequences of "
+        f"exactly {SEQ_LEN} tokens; 'manifest' rows are the loader-side "
+        "inverse (operators/packing.pack_manifest) — one row per "
+        "(sequence, contributing doc) with the exact token slice "
+        "(doc_start/slice_tok/seq_offset), i.e. what a data loader reads "
+        "to assemble sequence N without scanning the corpus.  The global "
         "exclusive prefix sum rides the two-phase scheme "
         "(operators/sequence.add_running_total_two_phase) — never a "
-        "no-partition window; the oracle states the same cumsum as a "
-        "window, fine at oracle scale.  All-integer arithmetic: "
-        "bit-exact cross-engine."
+        "no-partition window; the manifest adds one bounded sequence() "
+        "explode.  All-integer arithmetic: bit-exact cross-engine."
     ),
 )
 def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from mongo2mysql_spark.operators.packing import pack_sequences
+    from mongo2mysql_spark.operators.packing import pack_manifest, pack_sequences
+    from mongo2mysql_spark.queries import tagged_union
 
     d = T(spark, sf_dir, "documents", fanout=True)
     counted = d.select("doc_id", F.size(tokens(F.col("text"))).alias("n_tokens"))
-    return pack_sequences(counted, "n_tokens", "doc_id", SEQ_LEN)
+    packed = pack_sequences(counted, "n_tokens", "doc_id", SEQ_LEN)
+    manifest = pack_manifest(packed, "n_tokens", SEQ_LEN).withColumnRenamed(
+        "n_tok", "slice_tok"
+    )
+    return tagged_union({"spans": packed, "manifest": manifest})
 
 
 DECONTAM_N = 8

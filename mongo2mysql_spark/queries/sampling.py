@@ -26,8 +26,38 @@ from mongo2mysql_spark.operators.sampling import (
 # run): upsample en, progressively downsample the rest.
 MIX_RATES = {"en": 1.0, "de": 0.5, "es": 0.25, "fr": 0.1}
 MIX_DEFAULT = 0.05
+# DSIR (operators/dsir.py): hashed-n-gram importance weighting toward a
+# target domain — 'src0' stands in for the curated corpus.
+DSIR_M, DSIR_TARGET = 4096, "src0"
 from mongo2mysql_spark.queries import register
 from mongo2mysql_spark.sources import load_table as T
+
+
+def _dsir_oracle() -> str:
+    from mongo2mysql_spark.operators.dsir import sql_hashed_grams
+
+    g = sql_hashed_grams("documents", "doc_id", "text", m=DSIR_M)
+    return f"""
+    g AS ({g}),
+    tg AS (SELECT g.* FROM g JOIN documents d ON g.id = d.doc_id
+           WHERE d.source = '{DSIR_TARGET}'),
+    tcounts AS (SELECT bucket, count(*) AS tc FROM tg GROUP BY 1),
+    scounts AS (SELECT bucket, count(*) AS sc FROM g GROUP BY 1),
+    tot AS (SELECT (SELECT count(*) FROM tg) AS tt,
+                   (SELECT count(*) FROM g) AS st),
+    ratio AS (
+      SELECT COALESCE(t.bucket, s.bucket) AS bucket,
+             CAST(ROUND(CAST(ln(
+               ((COALESCE(tc, 0) + 1.0) * (st + 1.0 * {DSIR_M}))
+               / ((COALESCE(sc, 0) + 1.0) * (tt + 1.0 * {DSIR_M}))
+             ) AS DECIMAL(28,8)), 6) AS DECIMAL(18,6)) AS llr
+      FROM tcounts t FULL JOIN scounts s ON t.bucket = s.bucket, tot),
+    dsir AS (
+      SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+             CAST(SUM(COALESCE(llr, CAST(0 AS DECIMAL(18,6))))
+                  AS DECIMAL(28,6)) AS weight
+      FROM g LEFT JOIN ratio USING (bucket) GROUP BY 1)
+    """
 
 
 @register(
@@ -38,29 +68,55 @@ from mongo2mysql_spark.sources import load_table as T
              {sql_hash_split("doc_id")} AS split,
              {sql_hash_sample_flag("doc_id")} AS sampled,
              {sql_weighted_mixture_flag("doc_id", "lang", MIX_RATES, MIX_DEFAULT)} AS mixed
-      FROM documents)
-    SELECT split, lang,
-           CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(sampled) AS BIGINT) AS n_sampled,
-           CAST(sum(mixed) AS BIGINT) AS n_mixed,
-           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
-           min(doc_id) AS min_doc_id,
-           max(doc_id) AS max_doc_id
-    FROM labeled GROUP BY split, lang
+      FROM documents),
+    strata AS (
+      SELECT split, lang,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(sampled) AS BIGINT) AS n_sampled,
+             CAST(sum(mixed) AS BIGINT) AS n_mixed,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             min(doc_id) AS min_doc_id,
+             max(doc_id) AS max_doc_id
+      FROM labeled GROUP BY split, lang),
+    {_dsir_oracle()}
+    SELECT 'strata' AS branch, split, lang, n_docs, n_sampled, n_mixed,
+           sum_chars, min_doc_id, max_doc_id,
+           CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS n_grams,
+           CAST(NULL AS DECIMAL(28,6)) AS weight
+    FROM strata
+    UNION ALL
+    SELECT 'dsir' AS branch, CAST(NULL AS VARCHAR) AS split,
+           CAST(NULL AS VARCHAR) AS lang, CAST(NULL AS BIGINT) AS n_docs,
+           CAST(NULL AS BIGINT) AS n_sampled, CAST(NULL AS BIGINT) AS n_mixed,
+           CAST(NULL AS BIGINT) AS sum_chars, CAST(NULL AS BIGINT) AS min_doc_id,
+           CAST(NULL AS BIGINT) AS max_doc_id,
+           doc_id, n_grams, weight
+    FROM dsir
     """,
     doc=(
-        "deterministic 80/10/10 train/val/test split, a 10% sample "
-        "flag, and a per-domain data-mixing keep flag (en 1.0 / de 0.5 / "
-        "es 0.25 / fr 0.1 / default 0.05), all salted-md5 hex buckets, "
-        "audited per (split, language) stratum.  Narrow per-row expressions, one aggregation shuffle; "
-        "the split of any given document never changes with partitioning, "
-        "cluster size, or run order."
+        "sampling surface, tagged: 'strata' rows audit the deterministic "
+        "80/10/10 train/val/test split, 10% sample flag, and per-domain "
+        "data-mixing keep flag (en 1.0 / de 0.5 / es 0.25 / fr 0.1 / "
+        "default 0.05) per (split, language) stratum — salted-md5 hex "
+        "buckets, partition-stable; 'dsir' rows are per-document DSIR "
+        "importance log-weights toward the '" + DSIR_TARGET + "' domain "
+        "(operators/dsir.py, Xie et al. NeurIPS 2023): hashed uni+bigram "
+        "buckets, Laplace-smoothed target/source multinomials, weight = "
+        "exact decimal sum of 1e-6-quantized per-bucket log-ratios — "
+        "one gram explode, one broadcast join, one partial agg."
     ),
 )
 def sample_split_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mongo2mysql_spark.operators.dsir import (
+        bucket_log_ratio,
+        dsir_weights,
+        hashed_grams,
+    )
+    from mongo2mysql_spark.queries import tagged_union
+
     d = T(spark, sf_dir, "documents")
     key = F.col("doc_id")
-    return (
+    strata = (
         d.select(
             "doc_id",
             "lang",
@@ -79,3 +135,10 @@ def sample_split_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_doc_id"),
         )
     )
+    grams = hashed_grams(d, "doc_id", "text", m=DSIR_M)
+    target = hashed_grams(
+        d.filter(F.col("source") == DSIR_TARGET), "doc_id", "text", m=DSIR_M
+    )
+    ratios = bucket_log_ratio(target, grams, m=DSIR_M)
+    dsir = dsir_weights(grams, ratios, id_col="doc_id")
+    return tagged_union({"strata": strata, "dsir": dsir})

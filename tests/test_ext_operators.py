@@ -1448,3 +1448,38 @@ def test_passage_dup_pairs_planted_and_capped(spark):
         ).collect()
     }
     assert len(uncapped) == 6  # all 4-choose-2 pairs via shared chrome
+
+
+def test_dsir_weights_favor_target_like_docs(spark):
+    """DSIR (operators/dsir.py): documents whose n-gram profile matches
+    the target domain outscore off-domain documents; weights are
+    partition-layout independent (exact decimal sums)."""
+    from mongo2mysql_spark.operators.dsir import (
+        bucket_log_ratio,
+        dsir_weights,
+        hashed_grams,
+    )
+
+    med = "heart lung dose patient trial symptom clinical nurse"
+    web = "click buy cheap deal subscribe offer winner prize"
+    rows = (
+        # target sample: medical
+        [Row(doc_id=i, text=med + f" case{i}", grp="target") for i in range(10)]
+        # corpus: 5 medical-like, 5 spam-like
+        + [Row(doc_id=100 + i, text=med + f" note{i}", grp="corpus") for i in range(5)]
+        + [Row(doc_id=200 + i, text=web + f" ad{i}", grp="corpus") for i in range(5)]
+    )
+    df = spark.createDataFrame(rows)
+    corpus = df.filter(F.col("grp") == "corpus")
+    grams = hashed_grams(corpus, "doc_id", "text")
+    tgrams = hashed_grams(df.filter(F.col("grp") == "target"), "doc_id", "text")
+    ratios = bucket_log_ratio(tgrams, grams)
+    w = {r["doc_id"]: float(r["weight"])
+         for r in dsir_weights(grams, ratios, "doc_id").collect()}
+    med_ids = [100 + i for i in range(5)]
+    spam_ids = [200 + i for i in range(5)]
+    assert min(w[i] for i in med_ids) > max(w[i] for i in spam_ids)
+    # repartition stability: exact decimal sums can't drift with layout
+    w7 = {r["doc_id"]: float(r["weight"])
+          for r in dsir_weights(grams.repartition(7), ratios, "doc_id").collect()}
+    assert w == w7
