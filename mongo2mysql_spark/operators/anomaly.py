@@ -70,3 +70,71 @@ def rolling_zscore(
             F.when(z.isNotNull(), F.abs(z) > threshold).otherwise(F.lit(False)),
         )
     )
+
+
+def rolling_frame_stats(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    window: int = 20,
+    min_points: int = 5,
+    threshold: int = 3,
+    tiebreak_cols: list[str] | None = None,
+    scale: int = 6,
+) -> DataFrame:
+    """Exact-arithmetic twin of :func:`rolling_zscore` — same trailing
+    frame, same verdict, zero floating point.
+
+    The z-score test ``|v - mean| / std > t`` is equivalent (for
+    integer-quantized values) to
+    ``(n*v - sum)^2  >  t^2 * (n*sumsq - sum^2)`` — with
+    ``mean = sum/n`` and ``std = sqrt(n*sumsq - sum^2)/n`` both sides
+    of ``z^2 > t^2`` scale by ``n^2*var``: every quantity is an
+    integer, so the
+    anomaly verdict is decidable in exact decimal arithmetic with no
+    rounding anywhere.  Values are quantized to ``10^-scale`` (a
+    deterministic double→DECIMAL cast — engines agree on non-tie
+    round-to-nearest, and binary doubles never sit exactly on a decimal
+    half).  This is the hash-verifiable form the query registry runs;
+    ``rolling_zscore`` (floating mean/std, the human-readable scores)
+    must agree with it on every ready, non-constant row — asserted in
+    tests.
+
+    Plan shape is identical to rolling_zscore: one shuffle on the key,
+    one in-partition sort, O(window) state — no global window.
+    ``threshold`` is an integer number of standard deviations (the
+    exact form squares it).
+    """
+    mult = 10**scale
+    order = [F.col(order_col)] + [F.col(c) for c in (tiebreak_cols or [])]
+    w = Window.partitionBy(*key_cols).orderBy(*order).rowsBetween(-window, -1)
+    vq = (F.col(value_col).cast(f"decimal(18,{scale})") * mult).cast("long")
+    out = df.withColumn("__vq", vq)
+    n_prev = F.count("__vq").over(w)
+    s = F.coalesce(F.sum("__vq").over(w), F.lit(0)).cast("long")
+    q = F.coalesce(
+        F.sum(F.col("__vq").cast("decimal(19,0)") * F.col("__vq").cast("decimal(19,0)")).over(w),
+        F.lit(0),
+    ).cast("decimal(38,0)")
+    out = (
+        out.withColumn("n_prev", n_prev)
+        .withColumn("frame_sum_q", s)
+        .withColumn("frame_sumsq_q", q)
+    )
+    d = F.col("n_prev") * F.col("__vq") - F.col("frame_sum_q")  # n*v - sum (long, exact)
+    lhs = d.cast("decimal(19,0)") * d.cast("decimal(19,0)")
+    var_n2 = (
+        F.col("n_prev").cast("decimal(19,0)") * F.col("frame_sumsq_q")
+        - F.col("frame_sum_q").cast("decimal(19,0)") * F.col("frame_sum_q").cast("decimal(19,0)")
+    )  # n*sumsq - sum^2 (exact, >= 0)
+    ready = F.col("n_prev") >= min_points
+    return (
+        out.withColumn("is_ready", ready)
+        .withColumn("is_constant_window", ready & (var_n2 == 0))
+        .withColumn(
+            "is_anomaly",
+            ready & (var_n2 > 0) & (lhs > var_n2 * F.lit(threshold * threshold)),
+        )
+        .withColumnRenamed("__vq", "value_q")
+    )

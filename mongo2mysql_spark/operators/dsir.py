@@ -85,24 +85,37 @@ def sql_hashed_grams(table: str, id_sql: str, text_sql: str,
     """
 
 
+def bucket_counts(grams: DataFrame, id_col: str = "id") -> DataFrame:
+    """(id, bucket, cnt) — the lossless compaction of the gram stream.
+
+    Every downstream consumer (distribution fits, per-doc scoring) only
+    needs per-doc bucket multiplicities, so compute them ONCE from the
+    explode and persist THIS — it is bounded by docs × distinct buckets
+    (≤ m per doc), far smaller than the raw gram stream, and it turns
+    the whole DSIR pass into a single corpus tokenization.
+    """
+    return grams.groupBy(id_col, "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+
+
 def bucket_log_ratio(
-    target_grams: DataFrame,
-    source_grams: DataFrame,
+    target_counts: DataFrame,
+    source_counts: DataFrame,
     m: int = 4096,
     alpha: float = 1.0,
 ) -> DataFrame:
     """Per-bucket quantized log(p_target/q_source): (bucket, llr).
 
-    Laplace-``alpha`` smoothing keeps every bucket defined; buckets
-    absent from both corpora get the (constant) smoothed-only ratio and
-    are omitted — a gram hashing there contributes log(TT_norm) which
-    is the same constant either way, and omitting keeps the table at
-    observed-bucket size.  llr is DECIMAL(18,6) — see module docstring.
+    Inputs are :func:`bucket_counts` tables.  Laplace-``alpha``
+    smoothing keeps every bucket defined; buckets absent from both
+    corpora get the (constant) smoothed-only ratio and are omitted — a
+    gram hashing there contributes the same constant either way, and
+    omitting keeps the table at observed-bucket size.  llr is
+    DECIMAL(18,6) — see module docstring.
     """
-    tc = target_grams.groupBy("bucket").agg(F.count(F.lit(1)).alias("tc"))
-    sc = source_grams.groupBy("bucket").agg(F.count(F.lit(1)).alias("sc"))
-    tt = target_grams.count()
-    st = source_grams.count()
+    tc = target_counts.groupBy("bucket").agg(F.sum("cnt").alias("tc"))
+    sc = source_counts.groupBy("bucket").agg(F.sum("cnt").alias("sc"))
+    tt = target_counts.agg(F.coalesce(F.sum("cnt"), F.lit(0))).first()[0]
+    st = source_counts.agg(F.coalesce(F.sum("cnt"), F.lit(0))).first()[0]
     both = tc.join(sc, "bucket", "full").select(
         "bucket",
         F.coalesce("tc", F.lit(0)).alias("tc"),
@@ -121,23 +134,24 @@ def bucket_log_ratio(
 
 
 def dsir_weights(
-    grams: DataFrame,
+    counts: DataFrame,
     ratios: DataFrame,
     id_col: str = "id",
 ) -> DataFrame:
     """Per-document importance log-weight: (id, n_grams, weight).
 
-    ``weight`` is the exact DECIMAL sum of quantized per-bucket llr over
-    the doc's gram occurrences (missing buckets contribute 0 — both
-    distributions unsmoothed-empty there, ratio constant; see
-    :func:`bucket_log_ratio`).  ``ratios`` is bucket-bounded — Spark
-    broadcasts it under AQE; the explicit hint keeps the plan shuffle-
-    free on the corpus side at any scale.
+    ``counts`` is a :func:`bucket_counts` table; ``weight`` is the
+    exact DECIMAL sum of ``cnt × llr`` over the doc's buckets (missing
+    buckets contribute 0 — both distributions unsmoothed-empty there,
+    ratio constant; see :func:`bucket_log_ratio`).  ``ratios`` is
+    bucket-bounded — the explicit broadcast keeps the plan shuffle-free
+    on the corpus side at any scale.
     """
-    joined = grams.join(F.broadcast(ratios), "bucket", "left")
+    joined = counts.join(F.broadcast(ratios), "bucket", "left")
+    contrib = F.col("cnt").cast("decimal(10,0)") * F.coalesce(
+        F.col("llr"), F.lit(0).cast("decimal(18,6)")
+    )
     return joined.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_grams"),
-        F.sum(F.coalesce(F.col("llr"), F.lit(0).cast("decimal(18,6)")))
-        .cast("decimal(28,6)")
-        .alias("weight"),
+        F.sum("cnt").alias("n_grams"),
+        F.sum(contrib).cast("decimal(28,6)").alias("weight"),
     )

@@ -73,7 +73,11 @@ def passage_dup_pairs(
     that many documents before pairing (boilerplate guard, see module
     docstring); None disables the cap.
     """
-    fps = doc_fingerprints(df, id_col, text_col, k, w)
+    # four consumers below (sizes, the df cap, both join sides) — persist
+    # the narrow (id, fp) stream so the md5 shingle arrays are computed
+    # once per document, not four times (same pattern as the LSH
+    # signature store, operators/dedup.py:161)
+    fps = doc_fingerprints(df, id_col, text_col, k, w).persist()
     sizes = fps.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_fps"))
     if max_fp_df is not None:
         keep = (

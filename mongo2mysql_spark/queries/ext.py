@@ -100,6 +100,7 @@ def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------------------ chunking
 
 CHUNK_TOKENS = 64
+SENT_EVERY = 7  # planted sentence boundary period for the UDTF branch
 CHUNK_OVERLAP = 16
 
 
@@ -118,28 +119,104 @@ CHUNK_OVERLAP = 16
       SELECT doc_id, t,
              CAST(generate_subscripts(starts, 1) - 1 AS INTEGER) AS chunk_idx,
              CAST(unnest(starts) AS INTEGER) AS start_token
-      FROM s)
-    SELECT doc_id, chunk_idx,
-           array_to_string(list_slice(t, start_token, start_token + {CHUNK_TOKENS} - 1), ' ') AS chunk_text,
-           CAST(len(list_slice(t, start_token, start_token + {CHUNK_TOKENS} - 1)) AS INTEGER) AS n_chunk_tokens,
-           start_token
-    FROM ex
+      FROM s),
+    chunks AS (
+      SELECT doc_id, chunk_idx,
+             array_to_string(list_slice(t, start_token, start_token + {CHUNK_TOKENS} - 1), ' ') AS chunk_text,
+             CAST(len(list_slice(t, start_token, start_token + {CHUNK_TOKENS} - 1)) AS INTEGER) AS n_chunk_tokens,
+             start_token
+      FROM ex),
+    punct AS (
+      SELECT doc_id,
+             array_to_string(
+               list_transform(range(1, len(t) + 1),
+                 i -> t[i] || CASE WHEN i % {SENT_EVERY} = 0 THEN '.'
+                                   ELSE '' END), ' ') AS stext
+      FROM t),
+    parts AS (
+      SELECT doc_id,
+             list_filter(
+               list_transform(
+                 string_split_regex(stext, '[.!?]+(\\s+|$)'), p -> trim(p)),
+               p -> p <> '') AS ps
+      FROM punct),
+    sents AS (
+      SELECT doc_id,
+             CAST(generate_subscripts(ps, 1) - 1 AS INTEGER) AS sent_idx,
+             unnest(ps) AS sentence
+      FROM parts)
+    SELECT 'chunks' AS branch, doc_id, chunk_idx, chunk_text,
+           n_chunk_tokens, start_token,
+           CAST(NULL AS INTEGER) AS sent_idx, CAST(NULL AS VARCHAR) AS sentence,
+           CAST(NULL AS BOOLEAN) AS offsets_valid
+    FROM chunks
+    UNION ALL
+    SELECT 'sentences' AS branch, doc_id, CAST(NULL AS INTEGER) AS chunk_idx,
+           CAST(NULL AS VARCHAR) AS chunk_text,
+           CAST(NULL AS INTEGER) AS n_chunk_tokens,
+           CAST(NULL AS INTEGER) AS start_token,
+           sent_idx, sentence, TRUE AS offsets_valid
+    FROM sents
     """,
     doc=(
-        "document chunking (operators/chunking.py): fixed-size "
+        "document segmentation, tagged: 'chunks' rows are fixed-size "
         f"{CHUNK_TOKENS}-token windows with {CHUNK_OVERLAP}-token overlap "
-        "— the decode→chunk→embed pipeline step.  Staged tokens + one "
-        "posexplode: narrow, no shuffle, no UDF.  The oracle restates "
-        "the start-position arithmetic with DuckDB list functions."
+        "(operators/chunking.py — staged tokens + one posexplode: "
+        "narrow, no shuffle, no UDF); 'sentences' rows run the Arrow-"
+        "batched Python UDTF surface (operators/udtf.SplitSentences) as "
+        "a LATERAL table function over a deterministically punctuated "
+        f"copy of each document (a '.' after every {SENT_EVERY}th token "
+        "— the corpus itself has no sentence punctuation), emitting "
+        "(sent_idx, sentence) plus an offsets_valid verdict: the UDTF's "
+        "[start_pos, end_pos) offsets must slice the source string back "
+        "to the exact sentence (stated TRUE in the oracle, so any "
+        "offset drift hash-fails).  The oracle restates the split with "
+        "DuckDB regex functions."
     ),
 )
 def chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mongo2mysql_spark.operators.chunking import chunk_documents
+    from mongo2mysql_spark.operators.udtf import register_udtfs
+    from mongo2mysql_spark.queries import tagged_union
 
     d = T(spark, sf_dir, "documents", fanout=True)
-    return chunk_documents(
+    chunks = chunk_documents(
         d, "doc_id", "text", chunk_tokens=CHUNK_TOKENS, overlap=CHUNK_OVERLAP
     )
+    register_udtfs(spark)
+    toks = F.split(F.col("text"), " ")
+    punct = d.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                toks,
+                lambda x, i: F.concat(
+                    x,
+                    F.when((i + 1) % SENT_EVERY == 0, F.lit(".")).otherwise(
+                        F.lit("")
+                    ),
+                ),
+            ),
+            " ",
+        ).alias("stext"),
+    )
+    punct.createOrReplaceTempView("__udtf_punct_docs")
+    sents = spark.sql(
+        """
+        SELECT d.doc_id, d.stext, s.sent_idx, s.sentence,
+               s.start_pos, s.end_pos
+        FROM __udtf_punct_docs d, LATERAL split_sentences(d.stext) s
+        """
+    ).select(
+        "doc_id",
+        "sent_idx",
+        F.regexp_replace("sentence", r"[.!?]+$", "").alias("sentence"),
+        (
+            F.expr("substring(stext, start_pos + 1, end_pos - start_pos)")
+            == F.col("sentence")
+        ).alias("offsets_valid"),
+    )
+    return tagged_union({"chunks": chunks, "sentences": sents})
 
 
 # -------------------------------------------------------------- snapshot diff
@@ -516,6 +593,8 @@ def bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------- resample / gap-fill
 
 _RESAMPLE_INTERVAL = 3600
+# rolling z-score branch (operators/anomaly.rolling_frame_stats)
+_Z_WINDOW, _Z_MIN_POINTS, _Z_THRESHOLD = 20, 5, 3
 
 
 @register(
@@ -541,40 +620,106 @@ _RESAMPLE_INTERVAL = 3600
       WINDOW fwd AS (PARTITION BY key ORDER BY b
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
              bwd AS (PARTITION BY key ORDER BY b DESC
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-    SELECT key,
-           make_timestamp(b * {_RESAMPLE_INTERVAL} * 1000000) AS bucket_start,
-           COALESCE(obs_v,
-                    CASE WHEN next_b IS NOT NULL AND next_b <> prev_b
-                         THEN CAST(ROUND(CAST(prev_v + (next_v - prev_v)
-                                * (CAST(b - prev_b AS DOUBLE)
-                                   / CAST(next_b - prev_b AS DOUBLE))
-                                AS DECIMAL(30,10)), 6) AS DOUBLE)
-                         ELSE prev_v END) AS value,
-           COALESCE(n_obs, 0) AS n_obs,
-           obs_v IS NULL AS filled
-    FROM w
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    rs AS (
+      SELECT key,
+             make_timestamp(b * {_RESAMPLE_INTERVAL} * 1000000) AS bucket_start,
+             COALESCE(obs_v,
+                      CASE WHEN next_b IS NOT NULL AND next_b <> prev_b
+                           THEN CAST(ROUND(CAST(prev_v + (next_v - prev_v)
+                                  * (CAST(b - prev_b AS DOUBLE)
+                                     / CAST(next_b - prev_b AS DOUBLE))
+                                  AS DECIMAL(30,10)), 6) AS DOUBLE)
+                           ELSE prev_v END) AS value,
+             COALESCE(n_obs, 0) AS n_obs,
+             obs_v IS NULL AS filled
+      FROM w),
+    eq AS (
+      SELECT event_id, event_type AS key, CAST(ts AS TIMESTAMP) AS ts,
+             CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS value_q
+      FROM events),
+    zw AS (
+      SELECT event_id, key, value_q,
+             COUNT(value_q) OVER f AS n_prev,
+             CAST(COALESCE(SUM(value_q) OVER f, 0) AS BIGINT) AS frame_sum_q,
+             CAST(COALESCE(SUM(CAST(value_q AS HUGEINT) * value_q) OVER f, 0)
+                  AS DECIMAL(38,0)) AS frame_sumsq_q
+      FROM eq
+      WINDOW f AS (PARTITION BY key ORDER BY ts, event_id
+                   ROWS BETWEEN {_Z_WINDOW} PRECEDING AND 1 PRECEDING)),
+    zv AS (
+      SELECT event_id, key, value_q, n_prev, frame_sum_q, frame_sumsq_q,
+             n_prev >= {_Z_MIN_POINTS} AS is_ready,
+             CAST(n_prev AS HUGEINT) * CAST(frame_sumsq_q AS HUGEINT)
+               - CAST(frame_sum_q AS HUGEINT) * frame_sum_q AS var_n2,
+             CAST(n_prev AS HUGEINT) * value_q - frame_sum_q AS d
+      FROM zw)
+    SELECT 'resample' AS branch, key, bucket_start, value, n_obs, filled,
+           CAST(NULL AS BIGINT) AS event_id, CAST(NULL AS BIGINT) AS value_q,
+           CAST(NULL AS BIGINT) AS n_prev, CAST(NULL AS BIGINT) AS frame_sum_q,
+           CAST(NULL AS DECIMAL(38,0)) AS frame_sumsq_q,
+           CAST(NULL AS BOOLEAN) AS is_ready,
+           CAST(NULL AS BOOLEAN) AS is_constant_window,
+           CAST(NULL AS BOOLEAN) AS is_anomaly
+    FROM rs
+    UNION ALL
+    SELECT 'zscore' AS branch, key, CAST(NULL AS TIMESTAMP) AS bucket_start,
+           CAST(NULL AS DOUBLE) AS value, CAST(NULL AS BIGINT) AS n_obs,
+           CAST(NULL AS BOOLEAN) AS filled,
+           event_id, value_q, n_prev, frame_sum_q, frame_sumsq_q,
+           is_ready,
+           (is_ready AND var_n2 = 0) AS is_constant_window,
+           (is_ready AND var_n2 > 0
+            AND d * d > {_Z_THRESHOLD * _Z_THRESHOLD} * var_n2) AS is_anomaly
+    FROM zv
     """,
     doc=(
-        "time-series resample + gap-fill (operators/resample.py — the "
-        "time_bucket_gapfill/interpolate shape): events regularized onto "
-        "an hourly grid per event_type, empty buckets linearly "
-        "interpolated between surrounding observations (trailing edge "
-        "falls back to locf).  Grid = explode(sequence(min..max)) per "
-        "key — rows ∝ keys × span, never a cross join; both fill "
-        "directions are windows over ONE (key, bucket) partitioning.  "
-        "The oracle restates grid, averages, and interpolation with "
-        "DuckDB window functions."
+        "time-series surface, tagged: 'resample' rows are resample + "
+        "gap-fill (operators/resample.py — the time_bucket_gapfill/"
+        "interpolate shape): events regularized onto an hourly grid per "
+        "event_type, empty buckets linearly interpolated between "
+        "surrounding observations (trailing edge falls back to locf); "
+        "grid = explode(sequence(min..max)) per key — rows ∝ keys × "
+        "span, never a cross join.  'zscore' rows are per-event rolling-"
+        "window anomaly verdicts (operators/anomaly.rolling_frame_stats "
+        f"— trailing {_Z_WINDOW}-row frame excluding the current row, "
+        f"|z| > {_Z_THRESHOLD}): the exact-decimal squared-inequality "
+        "form, so frame sums and anomaly booleans hash-match bit-for-"
+        "bit; tests pin it to the floating rolling_zscore.  One shuffle "
+        "per branch, both on the series key."
     ),
 )
 def resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mongo2mysql_spark.operators.anomaly import rolling_frame_stats
     from mongo2mysql_spark.operators.resample import resample_interpolate
+    from mongo2mysql_spark.queries import tagged_union
 
     ev = T(spark, sf_dir, "events", fanout=True)
-    return resample_interpolate(
+    rs = resample_interpolate(
         ev, "event_type", "ts", "value",
         interval_seconds=_RESAMPLE_INTERVAL, method="interpolate",
     )
+    zs = rolling_frame_stats(
+        ev.select("event_type", "event_id", "ts", "value"),
+        ["event_type"],
+        "ts",
+        "value",
+        window=_Z_WINDOW,
+        min_points=_Z_MIN_POINTS,
+        threshold=_Z_THRESHOLD,
+        tiebreak_cols=["event_id"],
+    ).select(
+        F.col("event_type").alias("key"),
+        "event_id",
+        "value_q",
+        "n_prev",
+        "frame_sum_q",
+        "frame_sumsq_q",
+        "is_ready",
+        "is_constant_window",
+        "is_anomaly",
+    )
+    return tagged_union({"resample": rs, "zscore": zs})
 
 
 # ---------------------------------------------------------------- SemDeDup

@@ -108,6 +108,7 @@ def _dsir_oracle() -> str:
 )
 def sample_split_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mongo2mysql_spark.operators.dsir import (
+        bucket_counts,
         bucket_log_ratio,
         dsir_weights,
         hashed_grams,
@@ -135,10 +136,19 @@ def sample_split_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_doc_id"),
         )
     )
-    grams = hashed_grams(d, "doc_id", "text", m=DSIR_M)
-    target = hashed_grams(
-        d.filter(F.col("source") == DSIR_TARGET), "doc_id", "text", m=DSIR_M
+    # ONE corpus tokenization: the compacted (doc, bucket, cnt) table
+    # feeds both the source fit and the scoring join (persisted — far
+    # smaller than the raw gram stream); the target fit reads only the
+    # pushed-down source='src0' scan.
+    counts = bucket_counts(
+        hashed_grams(d, "doc_id", "text", m=DSIR_M), "doc_id"
+    ).persist()
+    target_counts = bucket_counts(
+        hashed_grams(
+            d.filter(F.col("source") == DSIR_TARGET), "doc_id", "text", m=DSIR_M
+        ),
+        "doc_id",
     )
-    ratios = bucket_log_ratio(target, grams, m=DSIR_M)
-    dsir = dsir_weights(grams, ratios, id_col="doc_id")
+    ratios = bucket_log_ratio(target_counts, counts, m=DSIR_M)
+    dsir = dsir_weights(counts, ratios, id_col="doc_id")
     return tagged_union({"strata": strata, "dsir": dsir})

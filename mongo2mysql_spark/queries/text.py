@@ -370,12 +370,37 @@ _PII_NULLS_SQL = (
 )
 
 
+_REP_NULLS_SQL = (
+    "CAST(NULL AS VARCHAR) AS top_gram, CAST(NULL AS BIGINT) AS top_gram_count, "
+    "CAST(NULL AS BIGINT) AS ngram_total, CAST(NULL AS DOUBLE) AS top_gram_fraction"
+)
+
+
 @register(
     "text_profile_pii",
     f"""
     WITH prof AS ({_profile_sql()}),
-    p AS (SELECT doc_id, {_pii_planted_sql()} AS planted FROM documents)
-    SELECT 'profile' AS branch, prof.*, {_PROFILE_NULLS_SQL}
+    p AS (SELECT doc_id, {_pii_planted_sql()} AS planted FROM documents),
+    grams AS (
+      SELECT doc_id, gram, count(*) AS c
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                                     i -> t[i] || ' ' || t[i + 1])) AS gram
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))
+      GROUP BY 1, 2),
+    rep AS (
+      SELECT doc_id, gram AS top_gram, CAST(c AS BIGINT) AS top_gram_count,
+             CAST(total AS BIGINT) AS ngram_total,
+             CAST(c AS DOUBLE) / CAST(total AS DOUBLE) AS top_gram_fraction
+      FROM (SELECT doc_id, gram, c,
+                   SUM(c) OVER (PARTITION BY doc_id) AS total,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY c DESC, gram) AS rn
+            FROM grams)
+      WHERE rn = 1)
+    SELECT 'profile' AS branch, prof.*, {_PROFILE_NULLS_SQL},
+           {_REP_NULLS_SQL}
     FROM prof
     UNION ALL
     SELECT 'pii' AS branch, doc_id, {_PII_NULLS_SQL},
@@ -383,8 +408,14 @@ _PII_NULLS_SQL = (
            CAST(len(string_split({_pii_redacted_sql()}, '<EMAIL>')) - 1 AS INTEGER)
              AS n_emails,
            CAST(len(string_split({_pii_redacted_sql()}, '<URL>')) - 1 AS INTEGER)
-             AS n_urls
+             AS n_urls,
+           {_REP_NULLS_SQL}
     FROM p
+    UNION ALL
+    SELECT 'repetition' AS branch, doc_id, {_PII_NULLS_SQL},
+           {_PROFILE_NULLS_SQL},
+           top_gram, top_gram_count, ngram_total, top_gram_fraction
+    FROM rep
     """,
     doc=(
         "per-document text surface, two branches in one tagged result.  "
@@ -397,34 +428,29 @@ _PII_NULLS_SQL = (
         "with typed placeholders (ordered, lookahead-free regexes in the "
         "Java/RE2 shared subset, chained JVM regexp_replace, no UDF) over "
         "deterministic planted PII so the oracle hash-verifies actual "
-        "redactions on every row."
+        "redactions on every row.  'repetition': the Gopher/MassiveText "
+        "repeated-n-gram filter signal (operators/repetition."
+        "top_ngram_fraction) — each document's modal bigram and the "
+        "fraction of its bigram stream it covers, keyed shuffles on "
+        "(doc, gram) so hot documents spread across reducers; ties "
+        "break on the lexicographically smallest gram, and the fraction "
+        "is an int-over-int IEEE division, bit-exact."
     ),
 )
 def text_profile_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
-    prof = _text_profile_df(spark, sf_dir).select(
-        F.lit("profile").alias("branch"),
-        "*",
-        F.lit(None).cast("string").alias("redacted"),
-        F.lit(None).cast("int").alias("n_emails"),
-        F.lit(None).cast("int").alias("n_urls"),
-    )
-    pii = _pii_df(spark, sf_dir).select(
-        F.lit("pii").alias("branch"),
+    from mongo2mysql_spark.operators.repetition import top_ngram_fraction
+    from mongo2mysql_spark.queries import tagged_union
+
+    prof = _text_profile_df(spark, sf_dir)
+    pii = _pii_df(spark, sf_dir)
+    d = T(spark, sf_dir, "documents", fanout=True)
+    rep = top_ngram_fraction(
+        d.select("doc_id", tokens(F.col("text")).alias("toks")),
         "doc_id",
-        F.lit(None).cast("string").alias("lang"),
-        F.lit(None).cast("int").alias("n_tokens"),
-        F.lit(None).cast("int").alias("n_bpe_tokens"),
-        F.lit(None).cast("int").alias("n_unique"),
-        F.lit(None).cast("double").alias("mean_token_len"),
-        F.lit(None).cast("int").alias("n_chars_actual"),
-        F.lit(None).cast("double").alias("quality"),
-        *[F.lit(None).cast("double").alias(f"ratio_{lang}") for lang in _RATIO_LANGS],
-        F.lit(None).cast("string").alias("lang_guess"),
-        "redacted",
-        "n_emails",
-        "n_urls",
+        "toks",
+        n=2,
     )
-    return prof.unionByName(pii)
+    return tagged_union({"profile": prof, "pii": pii, "repetition": rep})
 
 
 # ------------------------------------------------------------------ multimodal

@@ -1455,6 +1455,7 @@ def test_dsir_weights_favor_target_like_docs(spark):
     the target domain outscore off-domain documents; weights are
     partition-layout independent (exact decimal sums)."""
     from mongo2mysql_spark.operators.dsir import (
+        bucket_counts,
         bucket_log_ratio,
         dsir_weights,
         hashed_grams,
@@ -1471,15 +1472,18 @@ def test_dsir_weights_favor_target_like_docs(spark):
     )
     df = spark.createDataFrame(rows)
     corpus = df.filter(F.col("grp") == "corpus")
-    grams = hashed_grams(corpus, "doc_id", "text")
-    tgrams = hashed_grams(df.filter(F.col("grp") == "target"), "doc_id", "text")
-    ratios = bucket_log_ratio(tgrams, grams)
+    counts = bucket_counts(hashed_grams(corpus, "doc_id", "text"), "doc_id")
+    tcounts = bucket_counts(
+        hashed_grams(df.filter(F.col("grp") == "target"), "doc_id", "text"),
+        "doc_id",
+    )
+    ratios = bucket_log_ratio(tcounts, counts)
     w = {r["doc_id"]: float(r["weight"])
-         for r in dsir_weights(grams, ratios, "doc_id").collect()}
+         for r in dsir_weights(counts, ratios, "doc_id").collect()}
     med_ids = [100 + i for i in range(5)]
     spam_ids = [200 + i for i in range(5)]
     assert min(w[i] for i in med_ids) > max(w[i] for i in spam_ids)
     # repartition stability: exact decimal sums can't drift with layout
     w7 = {r["doc_id"]: float(r["weight"])
-          for r in dsir_weights(grams.repartition(7), ratios, "doc_id").collect()}
+          for r in dsir_weights(counts.repartition(7), ratios, "doc_id").collect()}
     assert w == w7

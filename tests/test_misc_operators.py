@@ -1261,3 +1261,45 @@ def test_psi_categorical_language_mix(spark):
     )
     r2 = psi_report_categorical(old, novel, ["lang"]).first()
     assert r2["psi"] > 0.1  # a third of rows moving to __other__ is drift
+
+
+def test_rolling_frame_stats_agrees_with_float_zscore(spark):
+    """The exact-decimal formulation (rolling_frame_stats) must reach
+    the same anomaly verdict as the floating rolling_zscore on every
+    ready row of real events — the squared-inequality rewrite is
+    algebraically identical, quantization aside."""
+    from pyspark.sql import functions as F
+
+    from mongo2mysql_spark.operators.anomaly import (
+        rolling_frame_stats,
+        rolling_zscore,
+    )
+    from mongo2mysql_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_type", "event_id", "ts", "value"
+    )
+    kw = dict(window=20, min_points=5, tiebreak_cols=["event_id"])
+    exact = {
+        r["event_id"]: r
+        for r in rolling_frame_stats(
+            ev, ["event_type"], "ts", "value", threshold=3, **kw
+        ).collect()
+    }
+    floaty = rolling_zscore(
+        ev, ["event_type"], "ts", "value", threshold=3.0, **kw
+    ).collect()
+    assert len(exact) == len(floaty) > 0
+    n_anom = 0
+    for r in floaty:
+        e = exact[r["event_id"]]
+        assert e["is_ready"] == (r["roll_mean"] is not None)
+        assert e["is_constant_window"] == r["is_constant_window"]
+        if r["zscore"] is not None:
+            # borderline |z| == 3 up to quantization: allow either only
+            # within a hair of the threshold
+            if abs(abs(r["zscore"]) - 3.0) > 1e-6:
+                assert e["is_anomaly"] == r["is_anomaly"], r["event_id"]
+        n_anom += int(e["is_anomaly"])
+    assert n_anom > 0  # real data has tails past 3 sigma
