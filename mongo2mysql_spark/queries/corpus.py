@@ -222,6 +222,7 @@ def decontam_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 N_SHARDS = 8
+LM_REF_SOURCE = "src0"  # reference slice the bigram LM trains on
 
 
 def _shard_oracle() -> str:
@@ -244,21 +245,61 @@ def _shard_oracle() -> str:
     "corpus_clean_shuffle",
     f"""
     WITH clean AS ({_CLEAN_SQL}),
-    sharded AS ({_shard_oracle()})
+    sharded AS ({_shard_oracle()}),
+    reft AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+             WHERE source = '{LM_REF_SOURCE}'),
+    refbg AS (
+      SELECT doc_id, t[i] || ' ' || t[i + 1] AS gram, t[i] AS w1
+      FROM reft, UNNEST(range(1, greatest(len(t) - 1, 0) + 1)) AS u(i)),
+    bgc AS (SELECT gram, count(*) AS c12 FROM refbg GROUP BY 1),
+    ugc AS (SELECT w1, count(*) AS c1 FROM refbg GROUP BY 1),
+    V AS (SELECT count(DISTINCT w) AS v
+          FROM (SELECT unnest(t) AS w FROM reft)),
+    allt AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    allbg AS (
+      SELECT doc_id, t[i] || ' ' || t[i + 1] AS gram, t[i] AS w1
+      FROM allt, UNNEST(range(1, greatest(len(t) - 1, 0) + 1)) AS u(i)),
+    scored AS (
+      SELECT a.doc_id,
+             CAST(ROUND(CAST(ln(CAST(COALESCE(b.c12, 0) + 1 AS DOUBLE)
+                                / CAST(COALESCE(u.c1, 0) + v AS DOUBLE))
+                             AS DECIMAL(28,8)), 6) AS DECIMAL(18,6)) AS logp
+      FROM allbg a
+      LEFT JOIN bgc b ON a.gram = b.gram
+      LEFT JOIN ugc u ON a.w1 = u.w1, V),
+    ppl AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_transitions,
+             CAST(SUM(logp) AS DECIMAL(28,6)) AS logprob,
+             CAST(ROUND(CAST(exp(-CAST(CAST(SUM(logp) AS DECIMAL(28,6)) AS DOUBLE)
+                                 / count(*)) AS DECIMAL(28,8)), 4) AS DOUBLE) AS ppl
+      FROM scored GROUP BY 1)
     SELECT 'clean' AS branch, clean.*,
            CAST(NULL AS BIGINT) AS shard, CAST(NULL AS BIGINT) AS shuffle_rank,
-           CAST(NULL AS INTEGER) AS position
+           CAST(NULL AS INTEGER) AS position,
+           CAST(NULL AS BIGINT) AS n_transitions,
+           CAST(NULL AS DECIMAL(28,6)) AS logprob, CAST(NULL AS DOUBLE) AS ppl
     FROM clean
     UNION ALL
     SELECT 'shuffle' AS branch, doc_id,
            CAST(NULL AS VARCHAR) AS lang_guess, CAST(NULL AS DOUBLE) AS quality,
            CAST(NULL AS INTEGER) AS n_tokens, CAST(NULL AS DOUBLE) AS dup_frac,
            CAST(NULL AS VARCHAR) AS split,
-           shard, shuffle_rank, position
+           shard, shuffle_rank, position,
+           CAST(NULL AS BIGINT) AS n_transitions,
+           CAST(NULL AS DECIMAL(28,6)) AS logprob, CAST(NULL AS DOUBLE) AS ppl
     FROM sharded
+    UNION ALL
+    SELECT 'ppl' AS branch, doc_id,
+           CAST(NULL AS VARCHAR) AS lang_guess, CAST(NULL AS DOUBLE) AS quality,
+           CAST(NULL AS INTEGER) AS n_tokens, CAST(NULL AS DOUBLE) AS dup_frac,
+           CAST(NULL AS VARCHAR) AS split,
+           CAST(NULL AS BIGINT) AS shard, CAST(NULL AS BIGINT) AS shuffle_rank,
+           CAST(NULL AS INTEGER) AS position,
+           n_transitions, logprob, ppl
+    FROM ppl
     """,
     doc=(
-        "corpus preparation bookends, two branches in one tagged result.  "
+        "corpus preparation bookends, three branches in one tagged result.  "
         "'clean': end-to-end corpus cleaning — quality + language scoring, "
         "low-quality/short/repetitive filter (incl. Gopher-style "
         "duplicate-token fraction), exact content dedup (token-set "
@@ -268,16 +309,30 @@ def _shard_oracle() -> str:
         "training shards (sources/lake.write_training_shards) — each "
         "record's salted-md5 48-bit rank gives a reproducible random "
         f"position, shard = rank % {N_SHARDS}, within-shard order is the "
-        "rank: a full permutation with no RNG and no global sort."
+        "rank: a full permutation with no RNG and no global sort.  "
+        "'ppl': CCNet-style model-based fluency (operators/lm.py, Wenzek "
+        "et al. LREC 2020) — an add-one bigram LM trained on the '"
+        f"{LM_REF_SOURCE}' reference slice scores every document "
+        "(n_transitions, exact-decimal logprob, perplexity rounded at "
+        "1e-4); bigram join shuffles on the observed-bigram key, unigram "
+        "table broadcasts, verdict hash-exact via the dsir quantization "
+        "scheme."
     ),
 )
 def corpus_clean_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mongo2mysql_spark.operators.lm import lm_perplexity, train_bigram_lm
     from mongo2mysql_spark.queries import tagged_union
 
+    d = T(spark, sf_dir, "documents", fanout=True)
+    bigrams, unigrams, vocab = train_bigram_lm(
+        d.filter(F.col("source") == LM_REF_SOURCE), "doc_id", "text"
+    )
+    ppl = lm_perplexity(d, "doc_id", "text", bigrams, unigrams, vocab)
     return tagged_union(
         {
             "clean": corpus_clean_pipeline(spark, sf_dir),
             "shuffle": corpus_shuffle_shards(spark, sf_dir),
+            "ppl": ppl,
         }
     )
 

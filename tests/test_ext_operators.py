@@ -1487,3 +1487,33 @@ def test_dsir_weights_favor_target_like_docs(spark):
     w7 = {r["doc_id"]: float(r["weight"])
           for r in dsir_weights(counts.repartition(7), ratios, "doc_id").collect()}
     assert w == w7
+
+
+def test_lm_perplexity_ranks_fluent_below_garbage(spark):
+    """Bigram-LM scoring (operators/lm.py): documents drawn from the
+    reference distribution score lower perplexity than token-salad from
+    the same vocabulary; exact-decimal logprobs are layout-stable."""
+    from mongo2mysql_spark.operators.lm import lm_perplexity, train_bigram_lm
+
+    sent = "the quick brown fox jumps over the lazy dog"
+    ref = [Row(doc_id=i, text=(sent + " ") * 3 + sent) for i in range(8)]
+    fluent = [Row(doc_id=100 + i, text=sent) for i in range(3)]
+    # same words, scrambled order -> unseen bigrams -> smoothed floor
+    salad = [
+        Row(doc_id=200 + i, text=" ".join(reversed(sent.split()))) for i in range(3)
+    ]
+    refdf = spark.createDataFrame(ref)
+    scored_df = spark.createDataFrame(fluent + salad)
+    bigrams, unigrams, vocab = train_bigram_lm(refdf, "doc_id", "text")
+    assert vocab == 8  # 'the' repeats
+    out = {r["doc_id"]: r for r in
+           lm_perplexity(scored_df, "doc_id", "text", bigrams, unigrams, vocab).collect()}
+    assert max(out[100 + i]["ppl"] for i in range(3)) < min(
+        out[200 + i]["ppl"] for i in range(3)
+    )
+    # every doc has len-1 transitions
+    assert all(r["n_transitions"] == 8 for r in out.values())
+    out7 = {r["doc_id"]: r["logprob"] for r in
+            lm_perplexity(scored_df.repartition(7), "doc_id", "text",
+                          bigrams, unigrams, vocab).collect()}
+    assert {k: v["logprob"] for k, v in out.items()} == out7
