@@ -49,8 +49,13 @@ class CorpusConfig:
     min_quality: float = 0.3
     min_tokens: int = 20
     max_dup_fraction: float = 0.65
+    max_ppl: float | None = None      # bigram-LM perplexity cap (needs lm_reference)
+    dsir_keep_frac: float | None = None  # keep top fraction by DSIR weight
     near_dedup: bool = False          # MinHash-LSH near-dup pass after exact
     near_dedup_min_jaccard: float = 0.7
+    passage_dedup: bool = False       # winnowing passage-overlap pass
+    passage_min_containment: float = 0.6
+    passage_min_shared: int = 3
     decontam_ngram: int = 8
     n_merges: int = 0          # 0 = whitespace token counts (no BPE pass)
     bpe_sample_docs: int = 200  # docs used to learn merges (vocab needs a sample)
@@ -67,8 +72,11 @@ def build_training_corpus(
     config: CorpusConfig | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    lm_reference: DataFrame | None = None,
+    dsir_target: DataFrame | None = None,
 ) -> dict:
-    """documents → filter → dedup → (decontam) → split → tokenize →
+    """documents → filter → (LM-ppl gate) → (DSIR select) → dedup →
+    (near-dedup) → (passage-dedup) → (decontam) → split → tokenize →
     pack → shard write; returns the per-stage report dict.
 
     Output layout under ``out_dir``: ``train/`` (sharded, shuffled,
@@ -111,6 +119,49 @@ def build_training_corpus(
     )
     report["after_quality_filter"] = kept.count()
 
+    if cfg.max_ppl is not None and lm_reference is not None:
+        # model-based fluency gate (CCNet shape, operators/lm.py): train
+        # the reference bigram LM, drop docs above the perplexity cap;
+        # unscorable (< 2-token) docs pass — the length filter owns them
+        from mongo2mysql_spark.operators.lm import lm_perplexity, train_bigram_lm
+
+        bg, ug, vocab = train_bigram_lm(lm_reference, id_col, text_col)
+        ppl = lm_perplexity(kept, id_col, text_col, bg, ug, vocab).select(
+            id_col, "ppl"
+        )
+        kept = _stage(
+            kept.join(ppl, id_col, "left").filter(
+                F.col("ppl").isNull() | (F.col("ppl") <= cfg.max_ppl)
+            ).drop("ppl")
+        )
+        report["after_ppl_filter"] = kept.count()
+
+    if cfg.dsir_keep_frac is not None and dsir_target is not None:
+        # DSIR selection (operators/dsir.py): keep the docs most like the
+        # target domain.  The cut is a weight threshold from an exact
+        # distributed percentile — no global sort, no driver-side top-k;
+        # ties AT the threshold all keep (documented over-selection)
+        from mongo2mysql_spark.operators.dsir import (
+            bucket_counts,
+            bucket_log_ratio,
+            dsir_weights,
+            hashed_grams,
+        )
+
+        counts = _stage(bucket_counts(hashed_grams(kept, id_col, text_col), id_col))
+        tcounts = bucket_counts(hashed_grams(dsir_target, id_col, text_col), id_col)
+        weights = _stage(
+            dsir_weights(counts, bucket_log_ratio(tcounts, counts), id_col)
+            .select(id_col, F.col("weight").cast("double").alias("__w"))
+        )
+        cut = weights.agg(
+            F.expr(f"percentile(__w, {1.0 - cfg.dsir_keep_frac})")
+        ).first()[0]
+        kept = _stage(
+            kept.join(weights.filter(F.col("__w") >= cut).drop("__w"), id_col)
+        )
+        report["after_dsir_select"] = kept.count()
+
     deduped = _stage(dedup_exact(kept, ["__fp"], id_col).drop("__fp"))
     report["after_exact_dedup"] = deduped.count()
 
@@ -137,6 +188,25 @@ def build_training_corpus(
         )
         deduped = _stage(deduped.join(drop, id_col, "left_anti"))
         report["after_near_dedup"] = deduped.count()
+
+    if cfg.passage_dedup:
+        # passage-overlap pass (operators/passages.py): documents whose
+        # winnowing fingerprints are largely contained in another's are
+        # grouped (connected components) and reduced to the min-id
+        # representative — same keeper contract as the other dedup tiers
+        from mongo2mysql_spark.operators.components import connected_components
+        from mongo2mysql_spark.operators.passages import passage_dup_pairs
+
+        ppairs = passage_dup_pairs(
+            deduped, id_col, text_col,
+            min_shared=cfg.passage_min_shared,
+        ).filter(F.col("containment") >= cfg.passage_min_containment)
+        pcomp = connected_components(ppairs, "doc_a", "doc_b")
+        pdrop = pcomp.filter(F.col("id") != F.col("component")).select(
+            F.col("id").alias(id_col)
+        )
+        deduped = _stage(deduped.join(pdrop, id_col, "left_anti"))
+        report["after_passage_dedup"] = deduped.count()
 
     if benchmark is not None:
         deduped = _stage(

@@ -120,19 +120,71 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "embedding_stats",
     f"""
-    SELECT vec_id, label,
-           CAST(len(embedding) AS INTEGER) AS dim,
-           ROUND({sql_norm('embedding')}, 6) AS l2_norm,
-           CAST(embedding[1] AS DOUBLE) AS first_component,
-           CAST(embedding[64] AS DOUBLE) AS last_component
-    FROM embeddings
+    WITH stats AS (
+      SELECT vec_id, label,
+             CAST(len(embedding) AS INTEGER) AS dim,
+             ROUND({sql_norm('embedding')}, 6) AS l2_norm,
+             CAST(embedding[1] AS DOUBLE) AS first_component,
+             CAST(embedding[64] AS DOUBLE) AS last_component
+      FROM embeddings),
+    qprep AS (
+      SELECT vec_id,
+             list_reduce(list_transform(embedding,
+                           v -> abs(CAST(v AS DOUBLE))),
+                         (a, b) -> greatest(a, b)) AS absmax
+      FROM embeddings),
+    q AS (
+      SELECT e.vec_id,
+             CASE WHEN p.absmax > 0 THEN p.absmax / 127.0 ELSE 1.0 END AS scale,
+             list_transform(e.embedding,
+               v -> CAST(round(CAST(v AS DOUBLE)
+                         / (CASE WHEN p.absmax > 0 THEN p.absmax / 127.0
+                                 ELSE 1.0 END)) AS TINYINT)) AS codes
+      FROM embeddings e JOIN qprep p ON e.vec_id = p.vec_id),
+    quant AS (
+      SELECT vec_id,
+             CAST(list_sum(list_transform(codes, c -> CAST(c AS BIGINT)))
+                  AS BIGINT) AS sum_codes,
+             CAST(list_max(list_transform(codes, c -> abs(CAST(c AS BIGINT))))
+                  AS BIGINT) AS max_abs_code,
+             CAST(ROUND(CAST(scale AS DECIMAL(28,10)), 6) AS DOUBLE) AS scale_q,
+             CAST(ROUND(CAST(
+               CAST(list_sum(list_transform(codes,
+                      c -> CAST(c AS BIGINT) * c)) AS DOUBLE) * scale * scale
+               AS DECIMAL(28,10)), 6) AS DOUBLE) AS qdot_self
+      FROM q)
+    SELECT 'stats' AS branch, stats.*,
+           CAST(NULL AS BIGINT) AS sum_codes, CAST(NULL AS BIGINT) AS max_abs_code,
+           CAST(NULL AS DOUBLE) AS scale_q, CAST(NULL AS DOUBLE) AS qdot_self
+    FROM stats
+    UNION ALL
+    SELECT 'quant' AS branch, vec_id, CAST(NULL AS INTEGER) AS label,
+           CAST(NULL AS INTEGER) AS dim, CAST(NULL AS DOUBLE) AS l2_norm,
+           CAST(NULL AS DOUBLE) AS first_component,
+           CAST(NULL AS DOUBLE) AS last_component,
+           sum_codes, max_abs_code, scale_q, qdot_self
+    FROM quant
     """,
-    doc="array-function surface over embeddings: size, L2 norm, element access.",
+    doc=(
+        "embedding array surface, tagged: 'stats' rows are size, L2 "
+        "norm, and element access; 'quant' rows drive the int8 "
+        "quantization codec (functions/vector.quantize_embedding — the "
+        "4x storage cut every large-scale ANN store applies before "
+        "index build): per vector the integer code sum, the max "
+        "absolute code (127 for every nonzero vector by construction), "
+        "the per-vector scale, and the self dot product computed on "
+        "codes (integer multiply-accumulate x scale^2, the cheap "
+        "pre-ranking kernel) — integer checks are exact, doubles are "
+        "rounded in decimal domain."
+    ),
 )
 def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mongo2mysql_spark.functions.vector import dot_quantized, quantize_embedding
+    from mongo2mysql_spark.queries import tagged_union
+
     e = T(spark, sf_dir, "embeddings", fanout=True)
     emb = F.col("embedding")
-    return e.select(
+    stats = e.select(
         "vec_id",
         "label",
         F.size(emb).alias("dim"),
@@ -140,3 +192,23 @@ def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(emb, 1).cast("double").alias("first_component"),
         F.element_at(emb, 64).cast("double").alias("last_component"),
     )
+    qe = e.select("vec_id", quantize_embedding(emb).alias("q"))
+    codes = F.col("q").getField("codes")
+    quant = qe.select(
+        "vec_id",
+        F.aggregate(
+            codes, F.lit(0).cast("long"), lambda acc, c: acc + c.cast("long")
+        ).alias("sum_codes"),
+        F.array_max(F.transform(codes, lambda c: F.abs(c.cast("long")))).alias(
+            "max_abs_code"
+        ),
+        F.round(F.col("q").getField("scale").cast("decimal(28,10)"), 6)
+        .cast("double")
+        .alias("scale_q"),
+        F.round(
+            dot_quantized(F.col("q"), F.col("q")).cast("decimal(28,10)"), 6
+        )
+        .cast("double")
+        .alias("qdot_self"),
+    )
+    return tagged_union({"stats": stats, "quant": quant})

@@ -1517,3 +1517,50 @@ def test_lm_perplexity_ranks_fluent_below_garbage(spark):
             lm_perplexity(scored_df.repartition(7), "doc_id", "text",
                           bigrams, unigrams, vocab).collect()}
     assert {k: v["logprob"] for k, v in out.items()} == out7
+
+
+def test_build_training_corpus_ppl_dsir_passage_stages(spark, tmp_path):
+    """The three round-4 optional stages of the one-call builder: the
+    LM-perplexity gate drops token-salad, DSIR selection keeps the
+    target-like fraction, passage dedup collapses near-identical
+    passage clones — and the report stays monotone through all of it."""
+    from mongo2mysql_spark.pipelines import CorpusConfig, build_training_corpus
+    from mongo2mysql_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    base = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    # passage clones: ids shifted into a reserved range, same text with
+    # a distinct suffix (exact dedup must NOT catch them; passage pass must)
+    clones = base.filter("doc_id % 50 = 0").select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" clonedmarker alpha beta")).alias("text"),
+    )
+    docs = base.unionByName(clones)
+    ref = base.filter("doc_id % 7 = 0")       # LM reference slice
+    target = base.filter("doc_id % 11 = 0")   # DSIR target domain
+
+    cfg = CorpusConfig(
+        max_ppl=1e9,            # generous cap: gate must not bite on real docs
+        dsir_keep_frac=0.5,
+        passage_dedup=True,
+        passage_min_containment=0.5,
+        passage_min_shared=2,
+        seq_len=256,
+        n_shards=2,
+    )
+    report = build_training_corpus(
+        docs, str(tmp_path / "c"), config=cfg,
+        lm_reference=ref, dsir_target=target,
+    )
+    assert (
+        report["after_quality_filter"]
+        >= report["after_ppl_filter"]
+        >= report["after_dsir_select"]
+        >= report["after_exact_dedup"]
+        >= report["after_passage_dedup"]
+    )
+    # ppl cap at 1e9 keeps everything; DSIR keeps ~half (ties may round up)
+    assert report["after_ppl_filter"] == report["after_quality_filter"]
+    assert report["after_dsir_select"] <= report["after_ppl_filter"] * 0.65
+    # at least one surviving clone pair collapsed in the passage pass
+    assert report["after_passage_dedup"] < report["after_exact_dedup"]
