@@ -44,6 +44,9 @@ HEADLINE = [
     "text_profile_pii",
     "range_join_promo_revenue",
     "events_hypertable_rollup",
+    "resample_gapfill",
+    "chunk_documents",
+    "embedding_stats",
     "text_term_frequency",
     "text_bm25_search",
     "corpus_clean_shuffle",
