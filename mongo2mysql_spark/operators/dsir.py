@@ -45,25 +45,35 @@ def hashed_grams(df: DataFrame, id_col: str, text_col: str,
                  m: int = 4096, salt: str = "dsir") -> DataFrame:
     """(id, bucket) stream: unigram + bigram hashed-n-gram features.
 
-    Bucket = first 8 md5 hex chars of ``salt|gram`` mod ``m`` —
-    portable (DuckDB: CAST('0x' || substr(md5(...), 1, 8) AS BIGINT));
-    one row per gram OCCURRENCE (counts matter to the multinomial).
+    Each TOKEN is md5-hashed once (first 8 hex chars of ``salt|token``
+    → 32-bit int, portable: DuckDB CAST('0x' || substr(md5(...), 1, 8)
+    AS BIGINT)); the unigram bucket is ``h % m`` and the bigram bucket
+    ``(h1*31 + h2) % m`` — integer combining instead of hashing every
+    bigram STRING halves the md5 work on the hot path (hashing IS the
+    dominant cost of this operator: the plan is otherwise a narrow
+    no-shuffle projection).  ``h ≤ 2^32`` so ``h1*31 + h2 < 2^38`` —
+    exact in int64 on both engines.  One row per gram OCCURRENCE
+    (counts matter to the multinomial).
     """
     toks = tokens(F.col(text_col))
-    grams = F.concat(word_shingles(toks, 1), word_shingles(toks, 2))
-    return (
-        df.select(F.col(id_col), F.explode(grams).alias("gram"))
-        .select(
-            id_col,
-            (
-                F.conv(
-                    F.substring(F.md5(F.concat(F.lit(salt + "|"), F.col("gram"))), 1, 8),
-                    16,
-                    10,
-                ).cast("long")
-                % m
-            ).alias("bucket"),
-        )
+    th = F.transform(
+        toks,
+        lambda t: F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt + "|"), t)), 1, 8), 16, 10
+        ).cast("long"),
+    )
+    staged = df.select(F.col(id_col), th.alias("__th"))
+    h = F.col("__th")
+    uni = F.transform(h, lambda x: x % m)
+    bi = F.when(
+        F.size(h) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(h) - 1),
+            lambda i: (F.element_at(h, i) * 31 + F.element_at(h, i + 1)) % m,
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    return staged.select(
+        id_col, F.explode(F.concat(uni, bi)).alias("bucket")
     )
 
 
@@ -71,17 +81,19 @@ def sql_hashed_grams(table: str, id_sql: str, text_sql: str,
                      m: int = 4096, salt: str = "dsir") -> str:
     """DuckDB restatement of :func:`hashed_grams` (oracle building block)."""
     return f"""
-      SELECT {id_sql} AS id,
-             CAST('0x' || substr(md5('{salt}|' || gram), 1, 8) AS BIGINT)
-               % {m} AS bucket
+      SELECT {id_sql} AS id, unnest(
+               list_concat(
+                 list_transform(th, x -> x % {m}),
+                 CASE WHEN len(th) >= 2 THEN
+                   list_transform(range(1, len(th)),
+                                  i -> (th[i] * 31 + th[i + 1]) % {m})
+                 ELSE [] END)) AS bucket
       FROM (
-        SELECT {id_sql}, unnest(
-                 list_concat(
-                   t,
-                   list_transform(range(1, greatest(len(t) - 1, 0) + 1),
-                                  i -> t[i] || ' ' || t[i + 1]))) AS gram
-        FROM (SELECT {id_sql}, string_split({text_sql}, ' ') AS t
-              FROM {table}))
+        SELECT {id_sql},
+               list_transform(string_split({text_sql}, ' '),
+                 t -> CAST('0x' || substr(md5('{salt}|' || t), 1, 8) AS BIGINT))
+                 AS th
+        FROM {table})
     """
 
 
