@@ -56,7 +56,69 @@ def build_parser() -> argparse.ArgumentParser:
                         "run the batch pipeline per micro-batch (foreachBatch; "
                         "availableNow trigger). Requires --source-dir and "
                         "--output-dir; output parquet accumulates per table.")
+    # one-call training-corpus builder (pipelines.build_training_corpus)
+    p.add_argument("--corpus", action="store_true",
+                   help="build a training corpus from the 'documents' "
+                        "collection instead of running the ETL export: "
+                        "filter → optional LM-ppl gate / DSIR selection / "
+                        "near+passage dedup → decontam → split → tokenize → "
+                        "pack → shard. Requires --source-dir and --output-dir.")
+    p.add_argument("--max-ppl", type=float, default=None,
+                   help="corpus: bigram-LM perplexity cap (needs --lm-ref-source)")
+    p.add_argument("--lm-ref-source", default=None,
+                   help="corpus: 'source' column value the reference LM trains on")
+    p.add_argument("--dsir-keep-frac", type=float, default=None,
+                   help="corpus: keep this top fraction by DSIR weight "
+                        "(needs --dsir-target-source)")
+    p.add_argument("--dsir-target-source", default=None,
+                   help="corpus: 'source' column value of the DSIR target domain")
+    p.add_argument("--near-dedup", action="store_true",
+                   help="corpus: MinHash-LSH near-dup pass after exact dedup")
+    p.add_argument("--passage-dedup", action="store_true",
+                   help="corpus: winnowing passage-overlap dedup pass")
+    p.add_argument("--n-merges", type=int, default=0,
+                   help="corpus: BPE merges to learn (0 = whitespace tokens)")
+    p.add_argument("--seq-len", type=int, default=2048,
+                   help="corpus: packed training-sequence length")
+    p.add_argument("--n-shards", type=int, default=8,
+                   help="corpus: shuffled output shard count")
     return p
+
+
+def _run_corpus(spark, args) -> int:
+    import json
+
+    from pyspark.sql import functions as F
+
+    from mongo2mysql_spark.pipelines import CorpusConfig, build_training_corpus
+
+    if not (args.source_dir and args.output_dir):
+        print("error: --corpus needs --source-dir and --output-dir", file=sys.stderr)
+        return 2
+    docs = load_table(spark, args.source_dir, "documents")
+    cfg = CorpusConfig(
+        max_ppl=args.max_ppl,
+        dsir_keep_frac=args.dsir_keep_frac,
+        near_dedup=args.near_dedup,
+        passage_dedup=args.passage_dedup,
+        n_merges=args.n_merges,
+        seq_len=args.seq_len,
+        n_shards=args.n_shards,
+    )
+    lm_ref = (
+        docs.filter(F.col("source") == args.lm_ref_source)
+        if args.lm_ref_source else None
+    )
+    target = (
+        docs.filter(F.col("source") == args.dsir_target_source)
+        if args.dsir_target_source else None
+    )
+    report = build_training_corpus(
+        docs.select("doc_id", "text"), args.output_dir, config=cfg,
+        lm_reference=lm_ref, dsir_target=target,
+    )
+    print(json.dumps(report))
+    return 0
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -74,6 +136,9 @@ def main(argv: list[str] | None = None) -> int:
             limit=args.limit,
         )
         porter = SparkPorter(spark, cfg)
+
+        if args.corpus:
+            return _run_corpus(spark, args)
 
         if args.stream:
             if not (args.source_dir and args.output_dir):

@@ -79,3 +79,31 @@ def test_cli_stream_mode_matches_batch(spark):
                 streamed.select(cols).exceptAll(batch.select(cols)).count() == 0
                 and batch.select(cols).exceptAll(streamed.select(cols)).count() == 0
             )
+
+
+def test_cli_corpus_mode(spark, tmp_path, capsys):
+    """--corpus runs the one-call builder over the documents collection
+    and prints the stage report as one JSON line; shards land on disk."""
+    import json
+    import os
+
+    from mongo2mysql_spark.cli import main
+
+    out = str(tmp_path / "corpus")
+    rc = main([
+        "--corpus",
+        "--source-dir", "/root/testdata/sf0.001",
+        "--output-dir", out,
+        "--dsir-keep-frac", "0.5",
+        "--dsir-target-source", "src0",
+        "--passage-dedup",
+        "--seq-len", "256",
+        "--n-shards", "2",
+    ])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["after_dsir_select"] <= report["after_quality_filter"]
+    assert report["n_shards"] == 2
+    assert os.path.isdir(os.path.join(out, "train"))
+    # missing dirs -> usage error, not a traceback
+    assert main(["--corpus"]) == 2
