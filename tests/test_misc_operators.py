@@ -1303,3 +1303,53 @@ def test_rolling_frame_stats_agrees_with_float_zscore(spark):
                 assert e["is_anomaly"] == r["is_anomaly"], r["event_id"]
         n_anom += int(e["is_anomaly"])
     assert n_anom > 0  # real data has tails past 3 sigma
+
+
+def test_rolling_frame_stats_matches_python_reference_random(spark):
+    """rolling_frame_stats vs a pure-Python exact reference over random
+    series including constant runs, planted spikes, negatives, and
+    sub-min_points keys — the integer inequality must agree everywhere
+    (no float path anywhere to drift)."""
+    import random
+
+    from pyspark.sql import Row
+
+    from mongo2mysql_spark.operators.anomaly import rolling_frame_stats
+
+    rng = random.Random(42)
+    rows = []
+    for key in range(6):
+        n = rng.choice([2, 4, 8, 40])           # includes < min_points keys
+        base = rng.choice([0.0, -50.0, 1000.0])
+        for i in range(n):
+            if key == 3:
+                v = 7.25                         # constant series
+            elif rng.random() < 0.05:
+                v = base + 5000.0                # spike
+            else:
+                v = base + rng.randint(-3, 3) * 0.5
+            rows.append(Row(k=key, seq=i, val=v))
+    df = spark.createDataFrame(rows)
+    got = {
+        (r["k"], r["seq"]): r
+        for r in rolling_frame_stats(
+            df, ["k"], "seq", "val", window=5, min_points=3, threshold=2
+        ).collect()
+    }
+    series: dict[int, list] = {}
+    for r in sorted(rows, key=lambda r: (r.k, r.seq)):
+        series.setdefault(r.k, []).append(r)
+    for k, rs in series.items():
+        vq = [round(r.val * 10**6) for r in rs]  # exact: vals are 2-dp
+        for i, r in enumerate(rs):
+            prev = vq[max(0, i - 5):i]
+            g = got[(k, r.seq)]
+            n, s, q = len(prev), sum(prev), sum(x * x for x in prev)
+            assert g["n_prev"] == n and g["frame_sum_q"] == s
+            assert int(g["frame_sumsq_q"]) == q
+            ready = n >= 3
+            var_n2 = n * q - s * s
+            assert g["is_ready"] == ready
+            assert g["is_constant_window"] == (ready and var_n2 == 0)
+            d = n * vq[i] - s
+            assert g["is_anomaly"] == (ready and var_n2 > 0 and d * d > 4 * var_n2)
