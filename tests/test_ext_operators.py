@@ -1564,3 +1564,27 @@ def test_build_training_corpus_ppl_dsir_passage_stages(spark, tmp_path):
     assert report["after_dsir_select"] <= report["after_ppl_filter"] * 0.65
     # at least one surviving clone pair collapsed in the passage pass
     assert report["after_passage_dedup"] < report["after_exact_dedup"]
+
+
+def test_ivf_quantized_prerank_matches_exact_path(spark):
+    """IVF with the int8 integer-MAC pre-rank (quantized=True) must
+    return the same neighbors as the plain IVF path — quantization only
+    chooses which candidates reach the exact re-rank, and at int8
+    precision with 4x overfetch none of the true top-k fall out."""
+    from mongo2mysql_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    kw = dict(centroid_stride=97, k=5, nprobe=2)
+    exact = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in topk_ivf(e, q, "vec_id", "embedding", **kw).collect()
+    }
+    quant = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in topk_ivf(
+            e, q, "vec_id", "embedding", quantized=True, overfetch=4, **kw
+        ).collect()
+    }
+    assert exact == quant
