@@ -1588,3 +1588,34 @@ def test_ivf_quantized_prerank_matches_exact_path(spark):
         ).collect()
     }
     assert exact == quant
+
+
+def test_temperature_mix_rates_upsample_small_domains(spark):
+    """temperature_mix_rates: T=1 reproduces natural proportions (all
+    rates equal), higher T flattens the mixture — the rarest domain's
+    keep rate rises relative to the dominant one; rates compose with
+    weighted_mixture_flag to hit the expected kept fraction."""
+    from mongo2mysql_spark.operators.sampling import (
+        temperature_mix_rates,
+        weighted_mixture_flag,
+    )
+
+    rows = (
+        [Row(doc_id=i, src="big") for i in range(800)]
+        + [Row(doc_id=1000 + i, src="mid") for i in range(150)]
+        + [Row(doc_id=2000 + i, src="small") for i in range(50)]
+    )
+    df = spark.createDataFrame(rows)
+    r1 = temperature_mix_rates(df, "src", temperature=1.0)
+    assert max(r1.values()) - min(r1.values()) < 1e-9  # natural ∝ keeps all equal
+    r5 = temperature_mix_rates(df, "src", temperature=5.0)
+    assert r5["small"] == 1.0  # largest implied rate anchors at 1.0
+    assert r5["small"] > r5["mid"] > r5["big"]
+    # with a target fraction, expected kept rows ≈ target * total
+    rt = temperature_mix_rates(df, "src", temperature=2.0, target_frac=0.3)
+    expected = sum(rt[d] * n for d, n in (("big", 800), ("mid", 150), ("small", 50)))
+    assert abs(expected - 0.3 * 1000) < 1e-6 or max(rt.values()) == 1.0
+    kept = df.select(
+        weighted_mixture_flag(F.col("doc_id"), F.col("src"), rt).alias("m")
+    ).agg(F.sum("m")).first()[0]
+    assert 0.2 * 1000 < kept < 0.45 * 1000  # hash sampler lands near target
