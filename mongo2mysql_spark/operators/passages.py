@@ -113,3 +113,127 @@ def passage_dup_pairs(
             ).alias("containment"),
         )
     )
+
+
+def doc_fingerprints_pos(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5, w: int = 4
+) -> DataFrame:
+    """(id, fp, pos) positional winnowing fingerprints.
+
+    Standard winnowing records WHERE each selected hash came from: pos
+    is the 0-based token index of the k-shingle whose hash won its
+    window (first occurrence on ties — ``array_position`` semantics,
+    deterministic).  Distinct per (fp, pos): the same hash selected by
+    several overlapping windows emits once per source position it won
+    from.  Pure array expressions, no shuffle — the positional twin of
+    :func:`doc_fingerprints` for span recovery.
+    """
+    staged = (
+        df.select(F.col(id_col), tokens(F.col(text_col)).alias("__t"))
+        .select(F.col(id_col), shingle_hashes(F.col("__t"), k).alias("__hs"))
+    )
+    h = F.col("__hs")
+    n = F.size(h)
+    anchors = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - w + 1, F.lit(1))),
+        lambda i: F.struct(
+            F.array_min(F.slice(h, i, w)).alias("fp"),
+            (F.array_position(F.slice(h, i, w), F.array_min(F.slice(h, i, w)))
+             + i - 2).cast("int").alias("pos"),  # 0-based token index
+        ),
+    )
+    sel = F.when(n > 0, F.array_distinct(anchors)).otherwise(
+        F.array().cast("array<struct<fp:bigint,pos:int>>")
+    )
+    return staged.select(
+        F.col(id_col), F.explode(sel).alias("__a")
+    ).select(id_col, F.col("__a.fp").alias("fp"), F.col("__a.pos").alias("pos"))
+
+
+def shared_passage_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    w: int = 4,
+    min_anchors: int = 2,
+    merge_gap: int = 30,
+    max_fp_df: int | None = 100,
+) -> DataFrame:
+    """Locate the duplicated region itself: per candidate pair, the
+    merged token spans of doc_a covered by shared fingerprints.
+
+    The substring-dedup step (Lee et al., ACL 2022) needs WHERE the
+    shared passage sits so the pipeline can strip the span and keep the
+    rest of the document.  Shared-fingerprint positions are exact
+    anchors inside the duplicated region (winnowing guarantees one per
+    >= w+k-1-token match); anchors within ``merge_gap`` tokens merge
+    into one span, spans with >= ``min_anchors`` anchors survive.
+    Output: (doc_a, doc_b, a_start, a_end, n_anchors) with [a_start,
+    a_end) in doc_a token coordinates (end covers the anchor's full
+    k-shingle).  Span edges are approximate to ~±(w+k) tokens — the
+    window-min selection samples ~2/(w+1) of shingles.
+
+    Scale shape: same two shuffles as :func:`passage_dup_pairs` (fp,
+    then the pair key); the per-pair anchor list is fingerprint-
+    bounded, so the merge fold is a small array op, never a window
+    over the corpus.
+    """
+    fps = doc_fingerprints_pos(df, id_col, text_col, k, w).persist()
+    if max_fp_df is not None:
+        keep = (
+            fps.groupBy("fp")
+            .agg(F.countDistinct(id_col).alias("fp_df"))
+            .filter(F.col("fp_df") <= max_fp_df)
+            .select("fp")
+        )
+        fps = fps.join(keep, "fp")
+    a = fps.select(F.col(id_col).alias("doc_a"), "fp", F.col("pos").alias("pos_a"))
+    b = fps.select(F.col(id_col).alias("doc_b"), "fp")
+    anchors = (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.array_sort(F.collect_set("pos_a")).alias("ps"))
+    )
+    # fold sorted anchor positions into (start, end, n) spans
+    span = "struct<s:int,e:int,n:int>"
+    merged = anchors.select(
+        "doc_a",
+        "doc_b",
+        F.aggregate(
+            F.col("ps"),
+            F.array().cast(f"array<{span}>"),
+            lambda acc, p: F.when(
+                (F.size(acc) > 0)
+                & (p - F.element_at(acc, -1).getField("e") <= merge_gap),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(
+                        F.struct(
+                            F.element_at(acc, -1).getField("s").alias("s"),
+                            p.alias("e"),
+                            (F.element_at(acc, -1).getField("n") + 1).alias("n"),
+                        )
+                    ),
+                ),
+            ).otherwise(
+                F.concat(
+                    acc,
+                    F.array(
+                        F.struct(p.alias("s"), p.alias("e"), F.lit(1).alias("n"))
+                    ),
+                )
+            ),
+        ).alias("spans"),
+    )
+    out = merged.select(
+        "doc_a", "doc_b", F.explode("spans").alias("sp")
+    ).select(
+        "doc_a",
+        "doc_b",
+        F.col("sp.s").alias("a_start"),
+        (F.col("sp.e") + k).alias("a_end"),  # cover the last anchor's shingle
+        F.col("sp.n").alias("n_anchors"),
+    )
+    return out.filter(F.col("n_anchors") >= min_anchors)

@@ -1619,3 +1619,59 @@ def test_temperature_mix_rates_upsample_small_domains(spark):
         weighted_mixture_flag(F.col("doc_id"), F.col("src"), rt).alias("m")
     ).agg(F.sum("m")).first()[0]
     assert 0.2 * 1000 < kept < 0.45 * 1000  # hash sampler lands near target
+
+
+def test_shared_passage_spans_locate_planted_region(spark):
+    """shared_passage_spans recovers WHERE the duplicated passage sits:
+    the merged span covers the planted region to within the documented
+    ±(w+k) slack, and disjoint shared regions yield separate spans."""
+    from mongo2mysql_spark.operators.passages import shared_passage_spans
+
+    k, w = 5, 4
+    p1 = [f"shared{i}" for i in range(30)]       # passage 1
+    p2 = [f"common{i}" for i in range(25)]        # passage 2 (disjoint)
+    pre_a = [f"ua{i}" for i in range(40)]
+    mid_a = [f"ma{i}" for i in range(50)]
+    doc_a = pre_a + p1 + mid_a + p2               # p1 at [40,70), p2 at [120,145)
+    doc_b = [f"ub{i}" for i in range(10)] + p1 + [f"vb{i}" for i in range(60)] + p2
+    rows = [
+        Row(doc_id=1, text=" ".join(doc_a)),
+        Row(doc_id=2, text=" ".join(doc_b)),
+        Row(doc_id=3, text=" ".join(f"zz{i}" for i in range(80))),
+    ]
+    spans = shared_passage_spans(
+        spark.createDataFrame(rows), "doc_id", "text",
+        k=k, w=w, min_anchors=1, merge_gap=20,
+    ).collect()
+    assert all((r["doc_a"], r["doc_b"]) == (1, 2) for r in spans)
+    slack = w + k
+    hit1 = [r for r in spans if abs(r["a_start"] - 40) <= slack
+            and abs(r["a_end"] - 70) <= slack]
+    hit2 = [r for r in spans if abs(r["a_start"] - 120) <= slack
+            and abs(r["a_end"] - 145) <= slack]
+    assert hit1 and hit2, spans
+    # nothing claims the unique middle region
+    assert not [r for r in spans if r["a_start"] > 75 and r["a_end"] < 115], spans
+
+
+def test_positional_fingerprints_agree_with_winnow_mins(spark):
+    """doc_fingerprints_pos selects exactly the same hash SET as the
+    array-expression winnow_mins path (positions are extra information,
+    never a different selection), on real documents."""
+    from mongo2mysql_spark.operators.passages import (
+        doc_fingerprints,
+        doc_fingerprints_pos,
+    )
+    from mongo2mysql_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    d = load_table(spark, SF_DIR, "documents").select("doc_id", "text").limit(50)
+    flat = {(r["doc_id"], r["fp"]) for r in doc_fingerprints(d, "doc_id", "text").collect()}
+    pos = doc_fingerprints_pos(d, "doc_id", "text").collect()
+    assert {(r["doc_id"], r["fp"]) for r in pos} == flat
+    # every recorded position points at a real shingle start
+    from mongo2mysql_spark.functions.text import shingle_hashes, tokens as toks
+    hs = {r["doc_id"]: r["h"] for r in d.select(
+        "doc_id", shingle_hashes(toks(F.col("text")), 5).alias("h")).collect()}
+    for r in pos:
+        assert hs[r["doc_id"]][r["pos"]] == r["fp"]
