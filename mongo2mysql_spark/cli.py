@@ -76,6 +76,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="corpus: MinHash-LSH near-dup pass after exact dedup")
     p.add_argument("--passage-dedup", action="store_true",
                    help="corpus: winnowing passage-overlap dedup pass")
+    p.add_argument("--passage-mode", choices=("drop", "strip"), default="drop",
+                   help="corpus: drop whole passage-dup docs, or strip the "
+                        "shared span and keep the rest (one copy survives)")
     p.add_argument("--n-merges", type=int, default=0,
                    help="corpus: BPE merges to learn (0 = whitespace tokens)")
     p.add_argument("--seq-len", type=int, default=2048,
@@ -101,6 +104,7 @@ def _run_corpus(spark, args) -> int:
         dsir_keep_frac=args.dsir_keep_frac,
         near_dedup=args.near_dedup,
         passage_dedup=args.passage_dedup,
+        passage_mode=args.passage_mode,
         n_merges=args.n_merges,
         seq_len=args.seq_len,
         n_shards=args.n_shards,

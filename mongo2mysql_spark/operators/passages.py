@@ -237,3 +237,47 @@ def shared_passage_spans(
         F.col("sp.n").alias("n_anchors"),
     )
     return out.filter(F.col("n_anchors") >= min_anchors)
+
+
+def strip_passage_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str,
+    text_col: str,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Apply substring-level dedup: remove each pair's shared span from
+    the doc_a side (doc_b keeps the corpus's one copy — exactly one
+    survivor per duplicated passage, the Lee et al. contract), keep
+    every other token.
+
+    ``spans`` is :func:`shared_passage_spans` output; all of a
+    document's spans (it may pair with many partners) merge into one
+    keep/drop mask evaluated per token — an array ``filter`` with an
+    ``exists`` probe over the doc's span list, which is pair-bounded
+    and small.  Documents with no spans pass through untouched.  Adds
+    ``n_stripped_tokens`` so the pipeline can report how much text the
+    pass removed.
+    """
+    out_col = out_col or text_col
+    per_doc = spans.groupBy(F.col("doc_a").alias(id_col)).agg(
+        F.collect_list(
+            F.struct(F.col("a_start").alias("s"), F.col("a_end").alias("e"))
+        ).alias("__spans")
+    )
+    joined = df.join(per_doc, id_col, "left")
+    toks = tokens(F.col(text_col))
+    sp = F.coalesce(
+        F.col("__spans"), F.array().cast("array<struct<s:int,e:int>>")
+    )
+    kept = F.filter(
+        toks,
+        lambda x, i: ~F.exists(
+            sp, lambda r: (i >= r.getField("s")) & (i < r.getField("e"))
+        ),
+    )
+    return joined.select(
+        *[c for c in df.columns if c != text_col],
+        F.array_join(kept, " ").alias(out_col),
+        (F.size(toks) - F.size(kept)).alias("n_stripped_tokens"),
+    )

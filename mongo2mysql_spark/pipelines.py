@@ -54,6 +54,7 @@ class CorpusConfig:
     near_dedup: bool = False          # MinHash-LSH near-dup pass after exact
     near_dedup_min_jaccard: float = 0.7
     passage_dedup: bool = False       # winnowing passage-overlap pass
+    passage_mode: str = "drop"        # 'drop' whole docs | 'strip' shared spans
     passage_min_containment: float = 0.6
     passage_min_shared: int = 3
     decontam_ngram: int = 8
@@ -189,7 +190,29 @@ def build_training_corpus(
         deduped = _stage(deduped.join(drop, id_col, "left_anti"))
         report["after_near_dedup"] = deduped.count()
 
-    if cfg.passage_dedup:
+    if cfg.passage_dedup and cfg.passage_mode == "strip":
+        # substring-level pass (operators/passages.py): locate each
+        # pair's shared region and strip it from the doc_a side — the
+        # corpus keeps exactly one copy of the passage and every
+        # document's unique content survives; docs reduced below the
+        # length floor fall out like any other short doc
+        from mongo2mysql_spark.operators.passages import (
+            shared_passage_spans,
+            strip_passage_spans,
+        )
+
+        spans = shared_passage_spans(
+            deduped, id_col, text_col, min_anchors=cfg.passage_min_shared
+        )
+        stripped = strip_passage_spans(deduped, spans, id_col, text_col)
+        deduped = _stage(
+            stripped.withColumn(
+                "n_tokens", F.size(tokens(F.col(text_col)))
+            ).filter(F.col("n_tokens") >= cfg.min_tokens)
+            .drop("n_stripped_tokens")
+        )
+        report["after_passage_strip"] = deduped.count()
+    elif cfg.passage_dedup:
         # passage-overlap pass (operators/passages.py): documents whose
         # winnowing fingerprints are largely contained in another's are
         # grouped (connected components) and reduced to the min-id

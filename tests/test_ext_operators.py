@@ -1675,3 +1675,66 @@ def test_positional_fingerprints_agree_with_winnow_mins(spark):
         "doc_id", shingle_hashes(toks(F.col("text")), 5).alias("h")).collect()}
     for r in pos:
         assert hs[r["doc_id"]][r["pos"]] == r["fp"]
+
+
+def test_strip_passage_spans_removes_one_copy(spark):
+    """strip_passage_spans: after the pass, the shared passage survives
+    in exactly one document (doc_b keeps the corpus copy), unique
+    content is untouched, and untouched docs pass through whole."""
+    from mongo2mysql_spark.operators.passages import (
+        shared_passage_spans,
+        strip_passage_spans,
+    )
+
+    passage = [f"shared{i}" for i in range(30)]
+    a_uniq = [f"ua{i}" for i in range(40)]
+    b_uniq = [f"ub{i}" for i in range(40)]
+    rows = [
+        Row(doc_id=1, text=" ".join(a_uniq + passage)),
+        Row(doc_id=2, text=" ".join(passage + b_uniq)),
+        Row(doc_id=3, text=" ".join(f"zz{i}" for i in range(60))),
+    ]
+    df = spark.createDataFrame(rows)
+    spans = shared_passage_spans(df, "doc_id", "text", min_anchors=1, merge_gap=20)
+    out = {r["doc_id"]: r for r in
+           strip_passage_spans(df, spans, "doc_id", "text").collect()}
+    t1, t2, t3 = (set(out[i]["text"].split()) for i in (1, 2, 3))
+    shared = set(passage)
+    assert shared <= t2 and out[2]["n_stripped_tokens"] == 0
+    # doc_a lost (most of) the passage but kept its unique prefix
+    assert len(t1 & shared) <= len(passage) // 3
+    assert set(a_uniq) <= t1
+    assert out[1]["n_stripped_tokens"] >= len(passage) - 9  # ±(w+k) slack
+    assert out[3]["n_stripped_tokens"] == 0 and len(t3) == 60
+
+
+def test_build_training_corpus_passage_strip_mode(spark, tmp_path):
+    """passage_mode='strip' keeps clone documents (their unique content
+    survives) while removing the duplicated span — kept-doc count stays
+    at the exact-dedup level instead of dropping whole docs."""
+    from mongo2mysql_spark.pipelines import CorpusConfig, build_training_corpus
+    from mongo2mysql_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    base = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    marker = " ".join(f"uniqmark{i}" for i in range(30))
+    clones = base.filter("doc_id % 50 = 0").select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" " + marker)).alias("text"),
+    )
+    docs = base.unionByName(clones)
+    strip = build_training_corpus(
+        docs, str(tmp_path / "strip"),
+        config=CorpusConfig(passage_dedup=True, passage_mode="strip",
+                            passage_min_shared=2, seq_len=256, n_shards=2),
+    )
+    drop = build_training_corpus(
+        docs, str(tmp_path / "drop"),
+        config=CorpusConfig(passage_dedup=True, passage_mode="drop",
+                            passage_min_shared=2, passage_min_containment=0.5,
+                            seq_len=256, n_shards=2),
+    )
+    # stripping preserves documents that drop-mode throws away whole —
+    # only docs reduced below the length floor fall out
+    assert strip["after_passage_strip"] >= drop["after_passage_dedup"]
+    assert 0 < strip["after_passage_strip"] <= strip["after_exact_dedup"]
