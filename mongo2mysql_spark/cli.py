@@ -85,7 +85,31 @@ def build_parser() -> argparse.ArgumentParser:
                    help="corpus: packed training-sequence length")
     p.add_argument("--n-shards", type=int, default=8,
                    help="corpus: shuffled output shard count")
+    p.add_argument("--explain-query", default=None, metavar="NAME",
+                   help="print the formatted physical plan of a registry "
+                        "query (see mongo2mysql_spark.queries) against "
+                        "--source-dir and exit; NAME 'list' enumerates")
     return p
+
+
+def _run_explain(spark, args) -> int:
+    from mongo2mysql_spark.queries import load_all
+
+    registry = load_all()
+    if args.explain_query == "list":
+        for name in sorted(registry):
+            print(name)
+        return 0
+    if args.explain_query not in registry:
+        print(f"error: unknown query {args.explain_query!r} "
+              f"(--explain-query list)", file=sys.stderr)
+        return 2
+    if not args.source_dir:
+        print("error: --explain-query needs --source-dir", file=sys.stderr)
+        return 2
+    df = registry[args.explain_query].fn(spark, args.source_dir)
+    df.explain("formatted")
+    return 0
 
 
 def _run_corpus(spark, args) -> int:
@@ -140,6 +164,9 @@ def main(argv: list[str] | None = None) -> int:
             limit=args.limit,
         )
         porter = SparkPorter(spark, cfg)
+
+        if args.explain_query:
+            return _run_explain(spark, args)
 
         if args.corpus:
             return _run_corpus(spark, args)

@@ -107,3 +107,18 @@ def test_cli_corpus_mode(spark, tmp_path, capsys):
     assert os.path.isdir(os.path.join(out, "train"))
     # missing dirs -> usage error, not a traceback
     assert main(["--corpus"]) == 2
+
+
+def test_cli_explain_query(spark, capsys):
+    """--explain-query prints a formatted physical plan for a registry
+    query; 'list' enumerates; unknown names fail with usage rc."""
+    from mongo2mysql_spark.cli import main
+
+    rc = main(["--explain-query", "q1_pricing_summary",
+               "--source-dir", "/root/testdata/sf0.001"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "Physical Plan" in out and "Scan parquet" in out
+    rc = main(["--explain-query", "list"])
+    names = capsys.readouterr().out.split()
+    assert rc == 0 and "q1_pricing_summary" in names and len(names) == 50
+    assert main(["--explain-query", "nope", "--source-dir", "/x"]) == 2
