@@ -281,3 +281,84 @@ def strip_passage_spans(
         F.array_join(kept, " ").alias(out_col),
         (F.size(toks) - F.size(kept)).alias("n_stripped_tokens"),
     )
+
+
+def self_repetition_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    w: int = 4,
+    min_anchors: int = 2,
+    merge_gap: int = 20,
+) -> DataFrame:
+    """Within-document repetition spans: regions that REPEAT earlier
+    content of the same document (infinite-scroll pages, templating
+    loops, copy-pasted blocks — the remover behind the
+    ``top_ngram_fraction`` / ``dup_token_fraction`` detectors).
+
+    A fingerprint selected at several positions of one document marks
+    each later occurrence as a repeat anchor (the FIRST occurrence is
+    the document's own copy and is never marked); anchors gap-merge
+    into (doc_a, doc_b=doc_a, a_start, a_end, n_anchors) spans —
+    deliberately the :func:`shared_passage_spans` schema, so
+    :func:`strip_passage_spans` applies them unchanged and a pipeline
+    can chain cross-document and self-repetition stripping.
+
+    No join at all: one fingerprint pass, one groupBy (id, fp), one
+    per-doc merge fold — cheaper than pair finding at any scale.
+    """
+    fps = doc_fingerprints_pos(df, id_col, text_col, k, w)
+    repeats = (
+        fps.groupBy(id_col, "fp")
+        .agg(F.array_sort(F.collect_set("pos")).alias("ps"))
+        .filter(F.size("ps") > 1)
+        .select(
+            id_col,
+            F.explode(F.slice(F.col("ps"), 2, F.greatest(F.size("ps") - 1, F.lit(1))))
+            .alias("pos"),
+        )
+    )
+    anchors = repeats.groupBy(id_col).agg(
+        F.array_sort(F.collect_set("pos")).alias("ps")
+    )
+    span = "struct<s:int,e:int,n:int>"
+    merged = anchors.select(
+        F.col(id_col),
+        F.aggregate(
+            F.col("ps"),
+            F.array().cast(f"array<{span}>"),
+            lambda acc, p: F.when(
+                (F.size(acc) > 0)
+                & (p - F.element_at(acc, -1).getField("e") <= merge_gap),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(
+                        F.struct(
+                            F.element_at(acc, -1).getField("s").alias("s"),
+                            p.alias("e"),
+                            (F.element_at(acc, -1).getField("n") + 1).alias("n"),
+                        )
+                    ),
+                ),
+            ).otherwise(
+                F.concat(
+                    acc,
+                    F.array(
+                        F.struct(p.alias("s"), p.alias("e"), F.lit(1).alias("n"))
+                    ),
+                )
+            ),
+        ).alias("spans"),
+    )
+    return (
+        merged.select(F.col(id_col), F.explode("spans").alias("sp"))
+        .select(
+            F.col(id_col).alias("doc_a"),
+            F.col(id_col).alias("doc_b"),
+            F.col("sp.s").alias("a_start"),
+            (F.col("sp.e") + k).alias("a_end"),
+            F.col("sp.n").alias("n_anchors"),
+        )
+        .filter(F.col("n_anchors") >= min_anchors)
+    )

@@ -1738,3 +1738,39 @@ def test_build_training_corpus_passage_strip_mode(spark, tmp_path):
     # only docs reduced below the length floor fall out
     assert strip["after_passage_strip"] >= drop["after_passage_dedup"]
     assert 0 < strip["after_passage_strip"] <= strip["after_exact_dedup"]
+
+
+def test_self_repetition_spans_strip_repeated_block(spark):
+    """self_repetition_spans marks the LATER occurrences of a repeated
+    in-document block (the first copy is never marked) and composes
+    with strip_passage_spans; a non-repetitive doc is untouched."""
+    from mongo2mysql_spark.operators.passages import (
+        self_repetition_spans,
+        strip_passage_spans,
+    )
+
+    block = [f"blk{i}" for i in range(25)]
+    uniq = [f"u{i}" for i in range(30)]
+    tail = [f"t{i}" for i in range(20)]
+    # block at [0,25), repeated at [55,80) and [100,125)
+    doc = block + uniq + block + tail + block
+    rows = [
+        Row(doc_id=1, text=" ".join(doc)),
+        Row(doc_id=2, text=" ".join(f"x{i}" for i in range(80))),
+    ]
+    df = spark.createDataFrame(rows)
+    spans = self_repetition_spans(df, "doc_id", "text", min_anchors=1)
+    got = spans.collect()
+    assert all(r["doc_a"] == 1 for r in got)
+    assert min(r["a_start"] for r in got) >= 25  # first copy never marked
+    out = {r["doc_id"]: r for r in
+           strip_passage_spans(df, spans, "doc_id", "text").collect()}
+    kept = out[1]["text"].split()
+    # the first copy survives whole; repeats lose their interior (span
+    # edges carry the documented ~±(w+k) slack, so boundary tokens of a
+    # repeat may survive) and the unique runs are untouched
+    assert kept[:25] == block
+    assert sum(1 for t in kept if t == "blk12") == 1  # block interior once
+    assert out[1]["n_stripped_tokens"] >= 20  # most of both repeats gone
+    assert set(uniq) <= set(kept) and set(tail) <= set(kept)
+    assert out[2]["n_stripped_tokens"] == 0
