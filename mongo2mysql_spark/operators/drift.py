@@ -75,6 +75,37 @@ def _bucket_counts(df: DataFrame, cols_edges: dict[str, list[float]]) -> dict[st
     return out
 
 
+_PSI_SCHEMA = (
+    "column string, psi double, n_buckets int, verdict string, "
+    "n_old long, n_new long, hist_dot long"
+)
+
+
+def _psi_row(c: str, co: dict, cn: dict, smoothing: float) -> tuple:
+    """One report row from two bucket-count maps.
+
+    Alongside the float psi and its banded verdict, emits the exact
+    integer histogram invariants (row totals and the old·new bucket
+    dot product) — these pin the bucketization bit-exactly on any
+    engine, which is what the hash gate verifies; the ln-derived psi
+    itself is only hash-checked through the verdict band (thresholds
+    0.1/0.25 sit far above any libm's 1-ulp wiggle).
+    """
+    buckets = sorted(set(co) | set(cn))
+    n_old, n_new = sum(co.values()), sum(cn.values())
+    n_o = n_old + smoothing * len(buckets)
+    n_n = n_new + smoothing * len(buckets)
+    psi = 0.0
+    hist_dot = 0
+    for b in buckets:
+        po = (co.get(b, 0) + smoothing) / n_o
+        pn = (cn.get(b, 0) + smoothing) / n_n
+        psi += (pn - po) * math.log(pn / po)
+        hist_dot += co.get(b, 0) * cn.get(b, 0)
+    verdict = "stable" if psi < 0.1 else ("moderate" if psi <= 0.25 else "shifted")
+    return (c, float(psi), len(buckets), verdict, n_old, n_new, hist_dot)
+
+
 def psi_report(
     old: DataFrame,
     new: DataFrame,
@@ -83,7 +114,8 @@ def psi_report(
     smoothing: float = 0.5,
     edges: dict[str, list[float]] | None = None,
 ) -> DataFrame:
-    """One row per column: ``(column, psi, n_buckets, verdict)``.
+    """One row per column: ``(column, psi, n_buckets, verdict, n_old,
+    n_new, hist_dot)`` — see :func:`_psi_row`.
 
     Edges default to the baseline's quantiles; pass ``edges`` (column →
     ascending bucket boundaries) to pin them — the production-monitor
@@ -100,20 +132,9 @@ def psi_report(
 
     rows = []
     for c in cols:
-        buckets = sorted(set(counts_old[c]) | set(counts_new[c]))
-        n_o = sum(counts_old[c].values()) + smoothing * len(buckets)
-        n_n = sum(counts_new[c].values()) + smoothing * len(buckets)
-        psi = 0.0
-        for b in buckets:
-            po = (counts_old[c].get(b, 0) + smoothing) / n_o
-            pn = (counts_new[c].get(b, 0) + smoothing) / n_n
-            psi += (pn - po) * math.log(pn / po)
-        verdict = "stable" if psi < 0.1 else ("moderate" if psi <= 0.25 else "shifted")
-        rows.append((c, float(psi), len(buckets), verdict))
+        rows.append(_psi_row(c, counts_old[c], counts_new[c], smoothing))
     spark = old.sparkSession
-    return spark.createDataFrame(
-        rows, "column string, psi double, n_buckets int, verdict string"
-    )
+    return spark.createDataFrame(rows, _PSI_SCHEMA)
 
 
 def psi_report_categorical(
@@ -155,17 +176,5 @@ def psi_report_categorical(
                 .collect()
             }
 
-        co, cn = counts(old), counts(new)
-        buckets = sorted(set(co) | set(cn))
-        n_o = sum(co.values()) + smoothing * len(buckets)
-        n_n = sum(cn.values()) + smoothing * len(buckets)
-        psi = 0.0
-        for b in buckets:
-            po = (co.get(b, 0) + smoothing) / n_o
-            pn = (cn.get(b, 0) + smoothing) / n_n
-            psi += (pn - po) * math.log(pn / po)
-        verdict = "stable" if psi < 0.1 else ("moderate" if psi <= 0.25 else "shifted")
-        rows.append((c, float(psi), len(buckets), verdict))
-    return old.sparkSession.createDataFrame(
-        rows, "column string, psi double, n_buckets int, verdict string"
-    )
+        rows.append(_psi_row(c, counts(old), counts(new), smoothing))
+    return old.sparkSession.createDataFrame(rows, _PSI_SCHEMA)

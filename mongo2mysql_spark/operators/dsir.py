@@ -27,10 +27,15 @@ input is a parameter, not baked in.
 Determinism (cross-engine hash contract): bucket ids are md5-prefix
 integers (portable); counts are integers; each bucket's log-ratio is
 computed from an EXACT integer-over-integer IEEE double division,
-ln'd, then quantized to DECIMAL(18,6) — engines' ln differ by ~1 ulp
-(1e-16) against a 1e-6 grid, so the quantized table matches; per-doc
-weights are exact DECIMAL sums of quantized entries, so summation
-order cannot perturb them.
+ln'd, then quantized to DECIMAL(18,6); per-doc weights are exact
+DECIMAL sums of quantized entries, so summation order cannot perturb
+them — the weight is REPRODUCIBLE run to run.  It is NOT portable
+across libm/engine builds (a 1-ulp ln difference can cross a 0.5e-6
+rounding boundary, and with ~1e5 quantized terms per query a boundary
+hit somewhere is expected — the r4 driver regression), so the hash
+gate verifies the exact integer precursors (n_grams, Σcnt×tc, Σcnt×sc
+— these pin hashing, bucketing and both fits) plus a quantized↔float
+consistency verdict; the weight itself is a serving column.
 """
 
 from __future__ import annotations
@@ -115,14 +120,20 @@ def bucket_log_ratio(
     m: int = 4096,
     alpha: float = 1.0,
 ) -> DataFrame:
-    """Per-bucket quantized log(p_target/q_source): (bucket, llr).
+    """Per-bucket quantized log(p_target/q_source):
+    (bucket, tc, sc, llr, llr_f).
 
     Inputs are :func:`bucket_counts` tables.  Laplace-``alpha``
     smoothing keeps every bucket defined; buckets absent from both
     corpora get the (constant) smoothed-only ratio and are omitted — a
     gram hashing there contributes the same constant either way, and
     omitting keeps the table at observed-bucket size.  llr is
-    DECIMAL(18,6) — see module docstring.
+    DECIMAL(18,6) (run-to-run stable); ``tc``/``sc`` are the exact
+    per-bucket integer counts and ``llr_f`` the unquantized double —
+    the hash gate verifies the integers plus a quantized↔float
+    consistency verdict, never the ln outputs themselves (a quantized
+    transcendental is reproducible but not portable across libm
+    builds — the r4 driver regression).
     """
     tc = target_counts.groupBy("bucket").agg(F.sum("cnt").alias("tc"))
     sc = source_counts.groupBy("bucket").agg(F.sum("cnt").alias("sc"))
@@ -137,11 +148,13 @@ def bucket_log_ratio(
     # double ratio (int/int division is IEEE-exact cross-engine)
     num = (F.col("tc") + F.lit(alpha)) * F.lit(float(st + alpha * m))
     den = (F.col("sc") + F.lit(alpha)) * F.lit(float(tt + alpha * m))
+    llr_f = F.log(num / den)
     return both.select(
         "bucket",
-        F.round(F.log(num / den).cast("decimal(28,8)"), 6)
-        .cast("decimal(18,6)")
-        .alias("llr"),
+        "tc",
+        "sc",
+        F.round(llr_f.cast("decimal(28,8)"), 6).cast("decimal(18,6)").alias("llr"),
+        llr_f.alias("llr_f"),
     )
 
 
@@ -150,20 +163,32 @@ def dsir_weights(
     ratios: DataFrame,
     id_col: str = "id",
 ) -> DataFrame:
-    """Per-document importance log-weight: (id, n_grams, weight).
+    """Per-document importance log-weight:
+    (id, n_grams, dot_tc, dot_sc, weight, weight_f).
 
     ``counts`` is a :func:`bucket_counts` table; ``weight`` is the
     exact DECIMAL sum of ``cnt × llr`` over the doc's buckets (missing
     buckets contribute 0 — both distributions unsmoothed-empty there,
     ratio constant; see :func:`bucket_log_ratio`).  ``ratios`` is
     bucket-bounded — the explicit broadcast keeps the plan shuffle-free
-    on the corpus side at any scale.
+    on the corpus side at any scale.  ``dot_tc``/``dot_sc``
+    (Σ cnt×tc / Σ cnt×sc, exact integers — they pin hashing, bucketing
+    and both distribution fits bit-exactly on any engine) and
+    ``weight_f`` (the unquantized double sum) exist for the hash gate's
+    integer+verdict contract; ``weight`` is the serving column.
     """
     joined = counts.join(F.broadcast(ratios), "bucket", "left")
     contrib = F.col("cnt").cast("decimal(10,0)") * F.coalesce(
         F.col("llr"), F.lit(0).cast("decimal(18,6)")
     )
+    dot = lambda c: F.sum(  # noqa: E731
+        F.col("cnt").cast("decimal(19,0)")
+        * F.coalesce(F.col(c), F.lit(0)).cast("decimal(19,0)")
+    ).cast("decimal(38,0)")
     return joined.groupBy(id_col).agg(
         F.sum("cnt").alias("n_grams"),
+        dot("tc").alias("dot_tc"),
+        dot("sc").alias("dot_sc"),
         F.sum(contrib).cast("decimal(28,6)").alias("weight"),
+        F.sum(F.col("cnt") * F.coalesce(F.col("llr_f"), F.lit(0.0))).alias("weight_f"),
     )

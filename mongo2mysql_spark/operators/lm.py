@@ -27,8 +27,13 @@ Determinism (cross-engine hash contract, same scheme as
 operators/dsir.py): every count is an integer; each transition's
 log-probability is ln of an exact int-over-int IEEE double ratio,
 quantized to DECIMAL(18,6); the per-doc total is an exact DECIMAL sum
-of quantized terms (order-free).  Perplexity is derived from that
-exact total and rounded in the decimal domain at 1e-4.
+of quantized terms (order-free, so run-to-run stable).  Perplexity is
+derived from that exact total and rounded in the decimal domain at
+1e-4.  Quantization makes logprob/ppl REPRODUCIBLE but not
+cross-libm-build portable (a 1-ulp ln difference can cross a rounding
+boundary — the r4 driver regression), so the hash gate verifies the
+exact integer precursors sum_num/sum_den plus consistency verdicts
+instead; logprob/ppl are serving columns.
 """
 
 from __future__ import annotations
@@ -76,14 +81,20 @@ def lm_perplexity(
     unigrams: DataFrame,
     vocab: int,
 ) -> DataFrame:
-    """(id, n_transitions, logprob, ppl) per scored document.
+    """(id, n_transitions, sum_num, sum_den, logprob, ppl) per scored
+    document.
 
     Unseen bigrams fall to the smoothed floor 1/(c1+V); unseen
     conditioning words to 1/V.  Documents with < 2 tokens have no
     transitions and are absent (callers left-join; null = unscorable).
     ``logprob`` is the exact DECIMAL sum of quantized per-transition
     ln P; ``ppl`` = exp(-logprob/N) rounded at 1e-4 in decimal domain.
-    """
+    ``sum_num``/``sum_den`` are the exact integer precursors
+    Σ(c12+1) / Σ(c1+V) over the document's transitions — they pin the
+    bigram join, the counts, and the smoothing mass bit-exactly on any
+    engine, which is what the hash gate verifies (the ln/exp outputs
+    themselves are never hashed: a transcendental-derived value is not
+    stable across libm builds — VERDICT r4)."""
     stream = doc_bigrams(df, id_col, text_col)
     joined = (
         stream.join(bigrams, "gram", "left")
@@ -103,12 +114,16 @@ def lm_perplexity(
     )
     agg = joined.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_transitions"),
+        F.sum(F.col("num").cast("long")).alias("sum_num"),
+        F.sum(F.col("den").cast("long")).alias("sum_den"),
         F.sum(logp).cast("decimal(28,6)").alias("logprob"),
     )
     ce = -F.col("logprob").cast("double") / F.col("n_transitions").cast("double")
     return agg.select(
         id_col,
         "n_transitions",
+        "sum_num",
+        "sum_den",
         "logprob",
         F.round(F.exp(ce).cast("decimal(28,8)"), 4).cast("double").alias("ppl"),
     )

@@ -261,23 +261,22 @@ def _shard_oracle() -> str:
       FROM allt, UNNEST(range(1, greatest(len(t) - 1, 0) + 1)) AS u(i)),
     scored AS (
       SELECT a.doc_id,
-             CAST(ROUND(CAST(ln(CAST(COALESCE(b.c12, 0) + 1 AS DOUBLE)
-                                / CAST(COALESCE(u.c1, 0) + v AS DOUBLE))
-                             AS DECIMAL(28,8)), 6) AS DECIMAL(18,6)) AS logp
+             COALESCE(b.c12, 0) + 1 AS num,
+             COALESCE(u.c1, 0) + v AS den
       FROM allbg a
       LEFT JOIN bgc b ON a.gram = b.gram
       LEFT JOIN ugc u ON a.w1 = u.w1, V),
     ppl AS (
       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_transitions,
-             CAST(SUM(logp) AS DECIMAL(28,6)) AS logprob,
-             CAST(ROUND(CAST(exp(-CAST(CAST(SUM(logp) AS DECIMAL(28,6)) AS DOUBLE)
-                                 / count(*)) AS DECIMAL(28,8)), 4) AS DOUBLE) AS ppl
+             CAST(SUM(num) AS BIGINT) AS sum_num,
+             CAST(SUM(den) AS BIGINT) AS sum_den
       FROM scored GROUP BY 1)
     SELECT 'clean' AS branch, clean.*,
            CAST(NULL AS BIGINT) AS shard, CAST(NULL AS BIGINT) AS shuffle_rank,
            CAST(NULL AS INTEGER) AS position,
            CAST(NULL AS BIGINT) AS n_transitions,
-           CAST(NULL AS DECIMAL(28,6)) AS logprob, CAST(NULL AS DOUBLE) AS ppl
+           CAST(NULL AS BIGINT) AS sum_num, CAST(NULL AS BIGINT) AS sum_den,
+           CAST(NULL AS BOOLEAN) AS lm_ok
     FROM clean
     UNION ALL
     SELECT 'shuffle' AS branch, doc_id,
@@ -286,7 +285,8 @@ def _shard_oracle() -> str:
            CAST(NULL AS VARCHAR) AS split,
            shard, shuffle_rank, position,
            CAST(NULL AS BIGINT) AS n_transitions,
-           CAST(NULL AS DECIMAL(28,6)) AS logprob, CAST(NULL AS DOUBLE) AS ppl
+           CAST(NULL AS BIGINT) AS sum_num, CAST(NULL AS BIGINT) AS sum_den,
+           CAST(NULL AS BOOLEAN) AS lm_ok
     FROM sharded
     UNION ALL
     SELECT 'ppl' AS branch, doc_id,
@@ -295,7 +295,7 @@ def _shard_oracle() -> str:
            CAST(NULL AS VARCHAR) AS split,
            CAST(NULL AS BIGINT) AS shard, CAST(NULL AS BIGINT) AS shuffle_rank,
            CAST(NULL AS INTEGER) AS position,
-           n_transitions, logprob, ppl
+           n_transitions, sum_num, sum_den, TRUE AS lm_ok
     FROM ppl
     """,
     doc=(
@@ -312,11 +312,15 @@ def _shard_oracle() -> str:
         "rank: a full permutation with no RNG and no global sort.  "
         "'ppl': CCNet-style model-based fluency (operators/lm.py, Wenzek "
         "et al. LREC 2020) — an add-one bigram LM trained on the '"
-        f"{LM_REF_SOURCE}' reference slice scores every document "
-        "(n_transitions, exact-decimal logprob, perplexity rounded at "
-        "1e-4); bigram join shuffles on the observed-bigram key, unigram "
-        "table broadcasts, verdict hash-exact via the dsir quantization "
-        "scheme."
+        f"{LM_REF_SOURCE}' reference slice scores every document; the "
+        "hash verifies the exact integer precursors of each score "
+        "(n_transitions, Σ(c12+1), Σ(c1+V) — these pin the bigram join, "
+        "counts and smoothing mass bit-exactly) plus an lm_ok "
+        "consistency verdict over the float logprob/ppl (logprob < 0, "
+        "ppl ≥ 1, exp(-logprob/n) ≈ ppl) that the oracle asserts TRUE "
+        "— no transcendental-derived hashed column (r4 lesson); bigram "
+        "join shuffles on the observed-bigram key, unigram table "
+        "broadcasts."
     ),
 )
 def corpus_clean_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -328,11 +332,33 @@ def corpus_clean_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.filter(F.col("source") == LM_REF_SOURCE), "doc_id", "text"
     )
     ppl = lm_perplexity(d, "doc_id", "text", bigrams, unigrams, vocab)
+    # hash the exact integer precursors; the float logprob/ppl enter
+    # only through the lm_ok consistency verdict (oracle states TRUE)
+    ppl_checked = ppl.select(
+        "doc_id",
+        "n_transitions",
+        "sum_num",
+        "sum_den",
+        (
+            (F.col("logprob") < 0)
+            & (F.col("ppl") >= 1.0)
+            & (
+                F.abs(
+                    F.exp(
+                        -F.col("logprob").cast("double")
+                        / F.col("n_transitions").cast("double")
+                    )
+                    - F.col("ppl")
+                )
+                <= F.col("ppl") * 1e-3 + 1e-3
+            )
+        ).alias("lm_ok"),
+    )
     return tagged_union(
         {
             "clean": corpus_clean_pipeline(spark, sf_dir),
             "shuffle": corpus_shuffle_shards(spark, sf_dir),
-            "ppl": ppl,
+            "ppl": ppl_checked,
         }
     )
 

@@ -309,12 +309,15 @@ def _psi_terms_sql(old_src: str, new_src: str, bucket: str) -> str:
     (psi, n_buckets).  ``bucket`` is an expression over the source row.
     Laplace smoothing 0.5, mirroring operators/drift.py."""
     return f"""
-      SELECT ROUND(SUM(
+      SELECT SUM(
                ((COALESCE(nc.c, 0) + 0.5) / tot.nn - (COALESCE(oc.c, 0) + 0.5) / tot.no)
                * ln(((COALESCE(nc.c, 0) + 0.5) / tot.nn)
                     / ((COALESCE(oc.c, 0) + 0.5) / tot.no))
-             ), 6) AS psi,
-             CAST(COUNT(*) AS INTEGER) AS n_buckets
+             ) AS psi,
+             CAST(COUNT(*) AS INTEGER) AS n_buckets,
+             CAST(SUM(COALESCE(oc.c, 0)) AS BIGINT) AS n_old,
+             CAST(SUM(COALESCE(nc.c, 0)) AS BIGINT) AS n_new,
+             CAST(SUM(COALESCE(oc.c, 0) * COALESCE(nc.c, 0)) AS BIGINT) AS hist_dot
       FROM (
         SELECT b FROM (SELECT {bucket} AS b FROM {old_src}) GROUP BY 1
         UNION
@@ -367,10 +370,11 @@ def _psi_oracle() -> str:
         ("categorical", "source", _psi_terms_sql(d_old, d_new, _cat_bucket_sql("source", d_old, _CAT_TOP_K))),
     ]
     selects = [
-        f"""SELECT '{kind}' AS kind, '{col}' AS column, psi, n_buckets,
+        f"""SELECT '{kind}' AS kind, '{col}' AS column, n_buckets,
             CASE WHEN psi < 0.1 THEN 'stable'
                  WHEN psi <= 0.25 THEN 'moderate'
-                 ELSE 'shifted' END AS verdict
+                 ELSE 'shifted' END AS verdict,
+            n_old, n_new, hist_dot
             FROM ({q})"""
         for kind, col, q in branches
     ]
@@ -388,7 +392,11 @@ def _psi_oracle() -> str:
         "a reference profile fixes buckets once); categorical buckets are "
         "the baseline's top-k + __other__/__null__.  Counts come from one "
         "fused melt+agg pass per side; the oracle recomputes every bucket "
-        "count and the smoothed PSI sum in SQL."
+        "count and the smoothed PSI sum in SQL.  Hash contract: the exact "
+        "histogram integers (n_old/n_new row totals, old·new bucket dot "
+        "product — they pin the bucketization) plus the banded verdict; "
+        "the raw ln-derived psi is excluded (r4 lesson: transcendental-"
+        "derived hashed values are not portable across libm builds)."
     ),
 )
 def drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -408,12 +416,16 @@ def drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = psi_report_categorical(d_old, d_new, ["lang", "source"], top_k=_CAT_TOP_K)
 
     def shape(df: DataFrame, kind: str) -> DataFrame:
+        # hash contract: exact histogram integers + the banded verdict;
+        # the ln-derived psi double itself is never hashed (r4 lesson)
         return df.select(
             F.lit(kind).alias("kind"),
             "column",
-            F.round("psi", 6).alias("psi"),
             "n_buckets",
             "verdict",
+            "n_old",
+            "n_new",
+            "hist_dot",
         )
 
     return (
@@ -603,19 +615,22 @@ _Z_WINDOW, _Z_MIN_POINTS, _Z_THRESHOLD = 20, 5, 3
     WITH obs AS (
       SELECT event_type AS key,
              CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) // {_RESAMPLE_INTERVAL} AS b,
-             ROUND(SUM(CAST(value AS DECIMAL(30,10))) / COUNT(*), 6) AS obs_v,
+             CAST(SUM(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT))
+                  AS HUGEINT) AS sum_q,
              COUNT(*) AS n_obs
       FROM events GROUP BY 1, 2),
     span AS (SELECT key, MIN(b) AS lo, MAX(b) AS hi FROM obs GROUP BY 1),
     grid AS (SELECT key, unnest(range(lo, hi + 1)) AS b FROM span),
-    j AS (SELECT g.key, g.b, o.obs_v, o.n_obs
+    j AS (SELECT g.key, g.b, o.sum_q, o.n_obs
           FROM grid g LEFT JOIN obs o USING (key, b)),
     w AS (
-      SELECT key, b, obs_v, n_obs,
-        last_value(obs_v IGNORE NULLS) OVER fwd AS prev_v,
-        last_value(CASE WHEN obs_v IS NOT NULL THEN b END IGNORE NULLS) OVER fwd AS prev_b,
-        last_value(obs_v IGNORE NULLS) OVER bwd AS next_v,
-        last_value(CASE WHEN obs_v IS NOT NULL THEN b END IGNORE NULLS) OVER bwd AS next_b
+      SELECT key, b, sum_q, n_obs,
+        last_value(sum_q IGNORE NULLS) OVER fwd AS pn,
+        last_value(n_obs IGNORE NULLS) OVER fwd AS pd,
+        last_value(CASE WHEN sum_q IS NOT NULL THEN b END IGNORE NULLS) OVER fwd AS prev_b,
+        last_value(sum_q IGNORE NULLS) OVER bwd AS nn,
+        last_value(n_obs IGNORE NULLS) OVER bwd AS nd,
+        last_value(CASE WHEN sum_q IS NOT NULL THEN b END IGNORE NULLS) OVER bwd AS next_b
       FROM j
       WINDOW fwd AS (PARTITION BY key ORDER BY b
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
@@ -624,15 +639,18 @@ _Z_WINDOW, _Z_MIN_POINTS, _Z_THRESHOLD = 20, 5, 3
     rs AS (
       SELECT key,
              make_timestamp(b * {_RESAMPLE_INTERVAL} * 1000000) AS bucket_start,
-             COALESCE(obs_v,
-                      CASE WHEN next_b IS NOT NULL AND next_b <> prev_b
-                           THEN CAST(ROUND(CAST(prev_v + (next_v - prev_v)
-                                  * (CAST(b - prev_b AS DOUBLE)
-                                     / CAST(next_b - prev_b AS DOUBLE))
-                                  AS DECIMAL(30,10)), 6) AS DOUBLE)
-                           ELSE prev_v END) AS value,
+             CAST(CASE WHEN sum_q IS NOT NULL THEN sum_q
+                       WHEN next_b IS NOT NULL AND next_b <> prev_b
+                       THEN CAST(pn AS HUGEINT) * nd * (next_b - prev_b)
+                            + (CAST(nn AS HUGEINT) * pd
+                               - CAST(pn AS HUGEINT) * nd) * (b - prev_b)
+                       ELSE pn END AS DECIMAL(38,0)) AS value_num,
+             CAST(CASE WHEN sum_q IS NOT NULL THEN n_obs
+                       WHEN next_b IS NOT NULL AND next_b <> prev_b
+                       THEN CAST(pd AS HUGEINT) * nd * (next_b - prev_b)
+                       ELSE pd END AS DECIMAL(38,0)) AS value_den,
              COALESCE(n_obs, 0) AS n_obs,
-             obs_v IS NULL AS filled
+             sum_q IS NULL AS filled
       FROM w),
     eq AS (
       SELECT event_id, event_type AS key, CAST(ts AS TIMESTAMP) AS ts,
@@ -654,7 +672,8 @@ _Z_WINDOW, _Z_MIN_POINTS, _Z_THRESHOLD = 20, 5, 3
                - CAST(frame_sum_q AS HUGEINT) * frame_sum_q AS var_n2,
              CAST(n_prev AS HUGEINT) * value_q - frame_sum_q AS d
       FROM zw)
-    SELECT 'resample' AS branch, key, bucket_start, value, n_obs, filled,
+    SELECT 'resample' AS branch, key, bucket_start, value_num, value_den,
+           n_obs, filled,
            CAST(NULL AS BIGINT) AS event_id, CAST(NULL AS BIGINT) AS value_q,
            CAST(NULL AS BIGINT) AS n_prev, CAST(NULL AS BIGINT) AS frame_sum_q,
            CAST(NULL AS DECIMAL(38,0)) AS frame_sumsq_q,
@@ -664,7 +683,9 @@ _Z_WINDOW, _Z_MIN_POINTS, _Z_THRESHOLD = 20, 5, 3
     FROM rs
     UNION ALL
     SELECT 'zscore' AS branch, key, CAST(NULL AS TIMESTAMP) AS bucket_start,
-           CAST(NULL AS DOUBLE) AS value, CAST(NULL AS BIGINT) AS n_obs,
+           CAST(NULL AS DECIMAL(38,0)) AS value_num,
+           CAST(NULL AS DECIMAL(38,0)) AS value_den,
+           CAST(NULL AS BIGINT) AS n_obs,
            CAST(NULL AS BOOLEAN) AS filled,
            event_id, value_q, n_prev, frame_sum_q, frame_sumsq_q,
            is_ready,
@@ -680,7 +701,12 @@ _Z_WINDOW, _Z_MIN_POINTS, _Z_THRESHOLD = 20, 5, 3
         "event_type, empty buckets linearly interpolated between "
         "surrounding observations (trailing edge falls back to locf); "
         "grid = explode(sequence(min..max)) per key — rows ∝ keys × "
-        "span, never a cross join.  'zscore' rows are per-event rolling-"
+        "span, never a cross join.  The interpolated value is hash-"
+        "verified as an exact integer rational value_num/value_den in "
+        "1e-6 units (the operator's own verification form — no float-"
+        "derived hashed column, per the r4 regression lesson); the "
+        "double `value` the operator serves users is derived from that "
+        "rational and excluded here.  'zscore' rows are per-event rolling-"
         "window anomaly verdicts (operators/anomaly.rolling_frame_stats "
         f"— trailing {_Z_WINDOW}-row frame excluding the current row, "
         f"|z| > {_Z_THRESHOLD}): the exact-decimal squared-inequality "
@@ -698,7 +724,7 @@ def resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     rs = resample_interpolate(
         ev, "event_type", "ts", "value",
         interval_seconds=_RESAMPLE_INTERVAL, method="interpolate",
-    )
+    ).drop("value")
     zs = rolling_frame_stats(
         ev.select("event_type", "event_id", "ts", "value"),
         ["event_type"],

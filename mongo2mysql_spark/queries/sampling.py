@@ -47,15 +47,14 @@ def _dsir_oracle() -> str:
                    (SELECT count(*) FROM g) AS st),
     ratio AS (
       SELECT COALESCE(t.bucket, s.bucket) AS bucket,
-             CAST(ROUND(CAST(ln(
-               ((COALESCE(tc, 0) + 1.0) * (st + 1.0 * {DSIR_M}))
-               / ((COALESCE(sc, 0) + 1.0) * (tt + 1.0 * {DSIR_M}))
-             ) AS DECIMAL(28,8)), 6) AS DECIMAL(18,6)) AS llr
-      FROM tcounts t FULL JOIN scounts s ON t.bucket = s.bucket, tot),
+             COALESCE(tc, 0) AS tc, COALESCE(sc, 0) AS sc
+      FROM tcounts t FULL JOIN scounts s ON t.bucket = s.bucket),
     dsir AS (
       SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS n_grams,
-             CAST(SUM(COALESCE(llr, CAST(0 AS DECIMAL(18,6))))
-                  AS DECIMAL(28,6)) AS weight
+             CAST(SUM(CAST(COALESCE(tc, 0) AS HUGEINT))
+                  AS DECIMAL(38,0)) AS dot_tc,
+             CAST(SUM(CAST(COALESCE(sc, 0) AS HUGEINT))
+                  AS DECIMAL(38,0)) AS dot_sc
       FROM g LEFT JOIN ratio USING (bucket) GROUP BY 1)
     """
 
@@ -82,7 +81,10 @@ def _dsir_oracle() -> str:
     SELECT 'strata' AS branch, split, lang, n_docs, n_sampled, n_mixed,
            sum_chars, min_doc_id, max_doc_id,
            CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS n_grams,
-           CAST(NULL AS DECIMAL(28,6)) AS weight
+           CAST(NULL AS DECIMAL(38,0)) AS dot_tc,
+           CAST(NULL AS DECIMAL(38,0)) AS dot_sc,
+           CAST(NULL AS BIGINT) AS tt, CAST(NULL AS BIGINT) AS st,
+           CAST(NULL AS BOOLEAN) AS weight_ok
     FROM strata
     UNION ALL
     SELECT 'dsir' AS branch, CAST(NULL AS VARCHAR) AS split,
@@ -90,8 +92,10 @@ def _dsir_oracle() -> str:
            CAST(NULL AS BIGINT) AS n_sampled, CAST(NULL AS BIGINT) AS n_mixed,
            CAST(NULL AS BIGINT) AS sum_chars, CAST(NULL AS BIGINT) AS min_doc_id,
            CAST(NULL AS BIGINT) AS max_doc_id,
-           doc_id, n_grams, weight
-    FROM dsir
+           doc_id, n_grams, dot_tc, dot_sc,
+           CAST(tt AS BIGINT) AS tt, CAST(st AS BIGINT) AS st,
+           TRUE AS weight_ok
+    FROM dsir, tot
     """,
     doc=(
         "sampling surface, tagged: 'strata' rows audit the deterministic "
@@ -99,11 +103,16 @@ def _dsir_oracle() -> str:
         "data-mixing keep flag (en 1.0 / de 0.5 / es 0.25 / fr 0.1 / "
         "default 0.05) per (split, language) stratum — salted-md5 hex "
         "buckets, partition-stable; 'dsir' rows are per-document DSIR "
-        "importance log-weights toward the '" + DSIR_TARGET + "' domain "
+        "importance weighting toward the '" + DSIR_TARGET + "' domain "
         "(operators/dsir.py, Xie et al. NeurIPS 2023): hashed uni+bigram "
-        "buckets, Laplace-smoothed target/source multinomials, weight = "
-        "exact decimal sum of 1e-6-quantized per-bucket log-ratios — "
-        "one gram explode, one broadcast join, one partial agg."
+        "buckets, Laplace-smoothed target/source multinomials — the hash "
+        "verifies the exact integer precursors (n_grams, Σcnt×tc, "
+        "Σcnt×sc, fit totals tt/st — these pin hashing, bucketing and "
+        "both fits bit-exactly) plus a weight_ok verdict that the "
+        "quantized-decimal weight agrees with the free-float weight "
+        "within the quantization bound (oracle asserts TRUE); the ln-"
+        "derived weight itself is never hashed (r4 lesson) — one gram "
+        "explode, one broadcast join, one partial agg."
     ),
 )
 def sample_split_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -148,7 +157,22 @@ def sample_split_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
             d.filter(F.col("source") == DSIR_TARGET), "doc_id", "text", m=DSIR_M
         ),
         "doc_id",
-    )
+    ).persist()
     ratios = bucket_log_ratio(target_counts, counts, m=DSIR_M)
-    dsir = dsir_weights(counts, ratios, id_col="doc_id")
+    tt = target_counts.agg(F.coalesce(F.sum("cnt"), F.lit(0))).first()[0]
+    st = counts.agg(F.coalesce(F.sum("cnt"), F.lit(0))).first()[0]
+    dsir = dsir_weights(counts, ratios, id_col="doc_id").select(
+        "doc_id",
+        "n_grams",
+        "dot_tc",
+        "dot_sc",
+        F.lit(int(tt)).cast("long").alias("tt"),
+        F.lit(int(st)).cast("long").alias("st"),
+        # quantized-decimal vs free-float weight: per-term quantization
+        # error ≤ 0.5e-6 × cnt, so the doc-level gap is ≤ 0.5e-6 × n_grams
+        (
+            F.abs(F.col("weight").cast("double") - F.col("weight_f"))
+            <= F.col("n_grams") * 2e-6 + 1e-6
+        ).alias("weight_ok"),
+    )
     return tagged_union({"strata": strata, "dsir": dsir})

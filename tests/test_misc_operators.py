@@ -589,9 +589,12 @@ def test_resample_interpolate_and_locf(spark):
 
 def test_resample_matches_python_reference_on_events(spark):
     """Cross-check on the real events table (purchase values per user,
-    6h buckets) against a pure-Python reference."""
+    6h buckets) against a pure-Python exact-rational reference: the
+    operator's value_num/value_den must equal the Fraction the
+    reference computes, and the served double must be num/(den*1e6)."""
     from collections import defaultdict
-    from decimal import Decimal
+    from decimal import ROUND_HALF_UP, Decimal
+    from fractions import Fraction
 
     from mongo2mysql_spark.operators.resample import resample_interpolate
     from mongo2mysql_spark.sources import load_table
@@ -600,16 +603,23 @@ def test_resample_matches_python_reference_on_events(spark):
     ev = load_table(spark, SF_DIR, "events").filter(
         (F.col("event_type") == "purchase") & (F.col("user_id") < 40)
     )
-    got = {
-        (r["key"], int(r["bucket_start"].timestamp())): (
-            round(r["value"], 6), r["n_obs"], r["filled"]
+    got = {}
+    for r in resample_interpolate(ev, "user_id", "ts", "value", 21600).collect():
+        frac = Fraction(int(r["value_num"]), int(r["value_den"]) * 10**6)
+        assert abs(r["value"] - float(frac)) < 1e-9
+        got[(r["key"], int(r["bucket_start"].timestamp()))] = (
+            frac, r["n_obs"], r["filled"]
         )
-        for r in resample_interpolate(ev, "user_id", "ts", "value", 21600).collect()
-    }
     rows = ev.select("user_id", "ts", "value").collect()
+
+    def quant(v):  # the operator's cast(decimal(18,6)) * 1e6 quantization
+        return int(
+            Decimal(str(v)).quantize(Decimal("0.000001"), ROUND_HALF_UP) * 10**6
+        )
+
     obs = defaultdict(list)
     for r in rows:
-        obs[(r["user_id"], int(r["ts"].timestamp()) // 21600)].append(r["value"])
+        obs[(r["user_id"], int(r["ts"].timestamp()) // 21600)].append(quant(r["value"]))
     want = {}
     by_key = defaultdict(list)
     for (u, b), vs in obs.items():
@@ -620,27 +630,20 @@ def test_resample_matches_python_reference_on_events(spark):
         for b in range(lo, hi + 1):
             if (u, b) in obs:
                 vs = obs[(u, b)]
-                avg = float(round(sum(Decimal(str(v)) for v in vs) / len(vs), 6))
-                want[(u, b * 21600)] = (round(avg, 6), len(vs), False)
+                want[(u, b * 21600)] = (
+                    Fraction(sum(vs), len(vs) * 10**6), len(vs), False
+                )
             else:
                 prev = max(x for x in observed if x < b)
                 nxts = [x for x in observed if x > b]
-                pv = want[(u, prev * 21600)][0]
+                pv = Fraction(sum(obs[(u, prev)]), len(obs[(u, prev)]) * 10**6)
                 if nxts:
                     nb = min(nxts)
-                    nv_vs = obs[(u, nb)]
-                    nv = float(round(sum(Decimal(str(v)) for v in nv_vs) / len(nv_vs), 6))
-                    val = float(
-                        round(
-                            Decimal(str(pv))
-                            + (Decimal(str(nv)) - Decimal(str(pv)))
-                            * (b - prev) / (nb - prev),
-                            6,
-                        )
-                    )
+                    nv = Fraction(sum(obs[(u, nb)]), len(obs[(u, nb)]) * 10**6)
+                    val = pv + (nv - pv) * Fraction(b - prev, nb - prev)
                 else:
                     val = pv
-                want[(u, b * 21600)] = (round(val, 6), 0, True)
+                want[(u, b * 21600)] = (val, 0, True)
     assert set(got) == set(want)
     mism = {k: (got[k], want[k]) for k in want if got[k] != want[k]}
     assert not mism, list(mism.items())[:3]
