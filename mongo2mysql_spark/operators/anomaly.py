@@ -122,11 +122,21 @@ def rolling_frame_stats(
         .withColumn("frame_sum_q", s)
         .withColumn("frame_sumsq_q", q)
     )
-    d = F.col("n_prev") * F.col("__vq") - F.col("frame_sum_q")  # n*v - sum (long, exact)
-    lhs = d.cast("decimal(19,0)") * d.cast("decimal(19,0)")
+    # All in decimal: n*v with v near 1e18 (|value| ~ 1e12 at scale=6)
+    # silently wraps int64, while the DuckDB oracle computes in HUGEINT
+    # — decimal keeps both engines on the same arithmetic.  Magnitude
+    # envelope: |d| ≤ 2·window·10^scale·max|value| must stay below
+    # ~1e19 for d² to fit decimal(38,0) (beyond it both sides overflow
+    # NULL rather than silently diverge); pass a smaller ``scale`` for
+    # larger value magnitudes.
+    d = (
+        F.col("n_prev").cast("decimal(5,0)") * F.col("__vq").cast("decimal(19,0)")
+        - F.col("frame_sum_q").cast("decimal(24,0)")
+    )  # n*v - sum (exact decimal)
+    lhs = d * d
     var_n2 = (
-        F.col("n_prev").cast("decimal(19,0)") * F.col("frame_sumsq_q")
-        - F.col("frame_sum_q").cast("decimal(19,0)") * F.col("frame_sum_q").cast("decimal(19,0)")
+        F.col("n_prev").cast("decimal(5,0)") * F.col("frame_sumsq_q")
+        - F.col("frame_sum_q").cast("decimal(24,0)") * F.col("frame_sum_q").cast("decimal(24,0)")
     )  # n*sumsq - sum^2 (exact, >= 0)
     ready = F.col("n_prev") >= min_points
     return (

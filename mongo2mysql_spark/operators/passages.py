@@ -76,8 +76,11 @@ def passage_dup_pairs(
     # four consumers below (sizes, the df cap, both join sides) — persist
     # the narrow (id, fp) stream so the md5 shingle arrays are computed
     # once per document, not four times (same pattern as the LSH
-    # signature store, operators/dedup.py:161)
-    fps = doc_fingerprints(df, id_col, text_col, k, w).persist()
+    # signature store, operators/dedup.py:161); released after the
+    # pair-bounded result materializes (localCheckpoint below), so a
+    # long-lived session doesn't accumulate cached blocks per call
+    cached = doc_fingerprints(df, id_col, text_col, k, w).persist()
+    fps = cached
     sizes = fps.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_fps"))
     if max_fp_df is not None:
         keep = (
@@ -98,7 +101,7 @@ def passage_dup_pairs(
     )
     na = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_fps").alias("n_a"))
     nb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_fps").alias("n_b"))
-    return (
+    out = (
         pairs.join(na, "doc_a")
         .join(nb, "doc_b")
         .select(
@@ -112,7 +115,9 @@ def passage_dup_pairs(
                 / F.least("n_a", "n_b").cast("double")
             ).alias("containment"),
         )
-    )
+    ).localCheckpoint()
+    cached.unpersist()
+    return out
 
 
 def doc_fingerprints_pos(
@@ -179,7 +184,8 @@ def shared_passage_spans(
     bounded, so the merge fold is a small array op, never a window
     over the corpus.
     """
-    fps = doc_fingerprints_pos(df, id_col, text_col, k, w).persist()
+    cached = doc_fingerprints_pos(df, id_col, text_col, k, w).persist()
+    fps = cached
     if max_fp_df is not None:
         keep = (
             fps.groupBy("fp")
@@ -236,7 +242,11 @@ def shared_passage_spans(
         (F.col("sp.e") + k).alias("a_end"),  # cover the last anchor's shingle
         F.col("sp.n").alias("n_anchors"),
     )
-    return out.filter(F.col("n_anchors") >= min_anchors)
+    # pair-bounded result: materialize it, then release the cached
+    # fingerprint stream (no per-call cache leak in long-lived sessions)
+    result = out.filter(F.col("n_anchors") >= min_anchors).localCheckpoint()
+    cached.unpersist()
+    return result
 
 
 def strip_passage_spans(

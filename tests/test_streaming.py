@@ -339,3 +339,62 @@ def test_streaming_rollup_refresh_equals_one_shot(spark, tmp_path):
     assert {key(r): (r["n_rows"], r["sum_val"]) for r in again} == {
         key(r): (r["n_rows"], r["sum_val"]) for r in batch
     }
+
+
+def test_rollup_store_epoch_replay_and_crash_safety(spark, tmp_path):
+    """The manifest store's exactly-once contract: a replayed
+    (writer, epoch) pair is a no-op (foreachBatch is at-least-once — a
+    crash between manifest publish and stream-epoch commit re-delivers
+    the batch), a DIFFERENT writer's epoch 0 applies (fresh checkpoint
+    = new epoch lineage), and a torn refresh (store dir written,
+    manifest not yet published) leaves the previous store serving."""
+    import os
+
+    from mongo2mysql_spark.operators.rollup import rollup_levels_from_partials
+    from mongo2mysql_spark.sources.parquet import load_table
+    from mongo2mysql_spark.streaming.rollup import (
+        _read_manifest,
+        read_partial_store,
+        refresh_partial_store,
+    )
+
+    store = str(tmp_path / "store")
+    ev = load_table(spark, SF, "events").limit(500).localCheckpoint()
+
+    def total():  # __n = per-(bucket, group) row count in the partial store
+        return (
+            read_partial_store(spark, store)
+            .agg(F.sum("__n").alias("n")).first()["n"]
+        )
+
+    assert refresh_partial_store(
+        ev, store, "ts", ["event_type"], "value", writer="w1", epoch=0
+    )
+    n1 = total()
+    # replay of the SAME (writer, epoch): skipped, store unchanged
+    assert not refresh_partial_store(
+        ev, store, "ts", ["event_type"], "value", writer="w1", epoch=0
+    )
+    assert total() == n1
+    # a new writer's epoch 0 (fresh checkpoint lineage) must apply
+    assert refresh_partial_store(
+        ev, store, "ts", ["event_type"], "value", writer="w2", epoch=0
+    )
+    assert total() == 2 * n1
+    # torn refresh: an orphan store dir without a manifest publish —
+    # readers still resolve the last published store, and the next
+    # successful refresh reclaims the orphan
+    manifest_before = _read_manifest(store)
+    orphan = os.path.join(store, "stores", "deadbeef0000")
+    read_partial_store(spark, store).write.parquet(orphan)
+    assert _read_manifest(store) == manifest_before
+    assert total() == 2 * n1
+    assert refresh_partial_store(
+        ev, store, "ts", ["event_type"], "value", writer="w2", epoch=1
+    )
+    assert total() == 3 * n1
+    assert not os.path.isdir(orphan)
+    # levels still serve from the merged store
+    assert rollup_levels_from_partials(
+        read_partial_store(spark, store), ["event_type"]
+    ).count() > 0
