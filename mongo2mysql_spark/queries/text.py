@@ -215,6 +215,8 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 WINNOW_K, WINNOW_W = 5, 4
 # passage-dup pairing over the fingerprint stream (operators/passages.py)
 PASSAGE_MIN_SHARED, PASSAGE_MAX_FP_DF = 2, 100
+# self-repetition span detection + stripping (operators/passages.py)
+SELFREP_MIN_ANCHORS, SELFREP_MERGE_GAP = 2, 20
 
 
 @register(
@@ -247,12 +249,61 @@ PASSAGE_MIN_SHARED, PASSAGE_MAX_FP_DF = 2, 100
       JOIN (SELECT doc_id, fp FROM f JOIN kept USING (fp)) b USING (fp)
       WHERE a.doc_id < b.doc_id
       GROUP BY 1, 2
-      HAVING count(*) >= {PASSAGE_MIN_SHARED})
+      HAVING count(*) >= {PASSAGE_MIN_SHARED}),
+    anch AS (
+      SELECT DISTINCT doc_id, a.fp AS fp, a.pos AS pos FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 range(1, greatest(len(hs) - {WINNOW_W} + 1, 1) + 1),
+                 i -> {{'fp': list_min(list_slice(hs, i, i + {WINNOW_W} - 1)),
+                       'pos': list_position(list_slice(hs, i, i + {WINNOW_W} - 1),
+                                list_min(list_slice(hs, i, i + {WINNOW_W} - 1)))
+                              + i - 2}})) AS a
+        FROM h WHERE len(hs) > 0)),
+    repeats AS (
+      SELECT DISTINCT doc_id, pos FROM (
+        SELECT doc_id, pos,
+               row_number() OVER (PARTITION BY doc_id, fp
+                                  ORDER BY pos) AS rn
+        FROM anch) WHERE rn > 1),
+    isl AS (
+      SELECT doc_id, pos,
+             SUM(CASE WHEN pos - lag_pos > {SELFREP_MERGE_GAP}
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS UNBOUNDED PRECEDING) AS island
+      FROM (SELECT doc_id, pos,
+                   lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS lag_pos
+            FROM repeats)),
+    sp AS (
+      SELECT doc_id, island, MIN(pos) AS s, MAX(pos) AS e,
+             COUNT(*) AS n_anchors
+      FROM isl GROUP BY 1, 2
+      HAVING COUNT(*) >= {SELFREP_MIN_ANCHORS}),
+    spancnt AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS INTEGER) AS n_spans,
+             CAST(MIN(s) AS INTEGER) AS span_min_start,
+             CAST(MAX(e + {WINNOW_K}) AS INTEGER) AS span_max_end,
+             CAST(SUM(e - s + {WINNOW_K}) AS INTEGER) AS n_stripped
+      FROM sp GROUP BY 1),
+    strip AS (
+      SELECT tok.doc_id,
+             CAST(len(t) AS INTEGER) AS n_before,
+             COALESCE(n_spans, 0) AS n_spans,
+             COALESCE(n_stripped, 0) AS n_stripped,
+             CAST(len(t) AS INTEGER) - COALESCE(n_stripped, 0) AS n_after,
+             span_min_start, span_max_end
+      FROM tok LEFT JOIN spancnt USING (doc_id))
     SELECT 'fps' AS branch, doc_id, fp,
            CAST(NULL AS BIGINT) AS doc_a, CAST(NULL AS BIGINT) AS doc_b,
            CAST(NULL AS BIGINT) AS shared_fps,
            CAST(NULL AS BIGINT) AS n_a, CAST(NULL AS BIGINT) AS n_b,
-           CAST(NULL AS DOUBLE) AS containment
+           CAST(NULL AS DOUBLE) AS containment,
+           CAST(NULL AS INTEGER) AS n_before, CAST(NULL AS INTEGER) AS n_spans,
+           CAST(NULL AS INTEGER) AS n_stripped, CAST(NULL AS INTEGER) AS n_after,
+           CAST(NULL AS INTEGER) AS span_min_start,
+           CAST(NULL AS INTEGER) AS span_max_end
     FROM f
     UNION ALL
     SELECT 'pairs' AS branch, CAST(NULL AS BIGINT) AS doc_id,
@@ -260,10 +311,23 @@ PASSAGE_MIN_SHARED, PASSAGE_MAX_FP_DF = 2, 100
            p.doc_a, p.doc_b, p.shared_fps,
            sa.n_fps AS n_a, sb.n_fps AS n_b,
            CAST(p.shared_fps AS DOUBLE)
-             / least(sa.n_fps, sb.n_fps) AS containment
+             / least(sa.n_fps, sb.n_fps) AS containment,
+           CAST(NULL AS INTEGER) AS n_before, CAST(NULL AS INTEGER) AS n_spans,
+           CAST(NULL AS INTEGER) AS n_stripped, CAST(NULL AS INTEGER) AS n_after,
+           CAST(NULL AS INTEGER) AS span_min_start,
+           CAST(NULL AS INTEGER) AS span_max_end
     FROM pairs p
     JOIN sizes sa ON sa.doc_id = p.doc_a
     JOIN sizes sb ON sb.doc_id = p.doc_b
+    UNION ALL
+    SELECT 'strip' AS branch, doc_id, CAST(NULL AS BIGINT) AS fp,
+           CAST(NULL AS BIGINT) AS doc_a, CAST(NULL AS BIGINT) AS doc_b,
+           CAST(NULL AS BIGINT) AS shared_fps,
+           CAST(NULL AS BIGINT) AS n_a, CAST(NULL AS BIGINT) AS n_b,
+           CAST(NULL AS DOUBLE) AS containment,
+           n_before, n_spans, n_stripped, n_after,
+           span_min_start, span_max_end
+    FROM strip
     """,
     doc=(
         "winnowing fingerprints + passage-duplicate pairs, tagged: 'fps' "
@@ -277,12 +341,26 @@ PASSAGE_MIN_SHARED, PASSAGE_MAX_FP_DF = 2, 100
         f"{PASSAGE_MAX_FP_DF} boilerplate cap, with containment = "
         "shared/min(n_a,n_b) — int-over-int IEEE division, bit-exact.  "
         "Fingerprinting is a pure array expression (no shuffle); pairing "
-        "shuffles on fp then (doc_a, doc_b), both high-cardinality."
+        "shuffles on fp then (doc_a, doc_b), both high-cardinality.  "
+        "'strip' rows drive the newest text-curation pair end-to-end "
+        "(operators/passages.self_repetition_spans + "
+        "strip_passage_spans): per document, the within-doc repetition "
+        "spans (positional winnowing anchors, later occurrences only, "
+        f"gap-merged at {SELFREP_MERGE_GAP}, >= {SELFREP_MIN_ANCHORS} "
+        "anchors) are located and STRIPPED, and the row states the "
+        "all-integer outcome — token counts before/after, stripped "
+        "count, span count and bounds; the oracle restates the whole "
+        "anchor→island→strip chain in SQL (gaps-and-islands instead of "
+        "the array fold — same merge semantics)."
     ),
 )
 def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mongo2mysql_spark.functions.text import shingle_hashes, winnow_mins
-    from mongo2mysql_spark.operators.passages import passage_dup_pairs
+    from mongo2mysql_spark.operators.passages import (
+        passage_dup_pairs,
+        self_repetition_spans,
+        strip_passage_spans,
+    )
     from mongo2mysql_spark.queries import tagged_union
 
     d = T(spark, sf_dir, "documents", fanout=True)
@@ -306,7 +384,34 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_shared=PASSAGE_MIN_SHARED,
         max_fp_df=PASSAGE_MAX_FP_DF,
     )
-    return tagged_union({"fps": fps, "pairs": pairs})
+    spans = self_repetition_spans(
+        d, "doc_id", "text",
+        k=WINNOW_K, w=WINNOW_W,
+        min_anchors=SELFREP_MIN_ANCHORS, merge_gap=SELFREP_MERGE_GAP,
+    )
+    per_doc_spans = spans.groupBy(F.col("doc_a").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("int").alias("n_spans"),
+        F.min("a_start").cast("int").alias("span_min_start"),
+        F.max("a_end").cast("int").alias("span_max_end"),
+    )
+    stripped = strip_passage_spans(
+        d.select("doc_id", "text"), spans, "doc_id", "text"
+    ).select("doc_id", F.col("n_stripped_tokens").cast("int").alias("n_stripped"))
+    strip = (
+        d.select("doc_id", F.size(tokens(F.col("text"))).alias("n_before"))
+        .join(per_doc_spans, "doc_id", "left")
+        .join(stripped, "doc_id")
+        .select(
+            "doc_id",
+            "n_before",
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            "n_stripped",
+            (F.col("n_before") - F.col("n_stripped")).alias("n_after"),
+            "span_min_start",
+            "span_max_end",
+        )
+    )
+    return tagged_union({"fps": fps, "pairs": pairs, "strip": strip})
 
 
 def _pii_planted_sql() -> str:
