@@ -270,7 +270,13 @@ def build_training_corpus(
     else:
         train = train.withColumn("n_train_tokens", F.col("n_tokens"))
 
-    packed = pack_sequences(train, "n_train_tokens", id_col, seq_len=cfg.seq_len)
+    report["train_tokens"] = int(
+        train.agg(F.coalesce(F.sum("n_train_tokens"), F.lit(0))).first()[0]
+    )
+    # persisted: both the n_sequences report action and the shard write
+    # consume packed — without the cache the second consumer re-runs the
+    # whole two-phase prefix sum over the train split
+    packed = _stage(pack_sequences(train, "n_train_tokens", id_col, seq_len=cfg.seq_len))
     # coalesce: an empty train split (everything filtered/deduped away)
     # reports n_sequences = 0 instead of crashing on None + 1
     report["n_sequences"] = packed.agg(

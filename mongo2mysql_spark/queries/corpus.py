@@ -224,6 +224,16 @@ def decontam_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_SHARDS = 8
 LM_REF_SOURCE = "src0"  # reference slice the bigram LM trains on
 
+# one-call corpus builder (pipelines.build_training_corpus) driver
+# config: every optional gate ON (ppl cap, DSIR select, passage strip,
+# decontam), BPE off (bpe_roundtrip owns that surface).  max_ppl=35
+# drops real mass at sf0.01 (~35% of kept docs) with >3e-3 margin to
+# the nearest 1e-4-quantized ppl value.
+BUILDER_MAX_PPL = 35.0
+BUILDER_DSIR_KEEP = 0.5
+BUILDER_SEQ_LEN = 512
+BUILDER_SHARDS = 4
+
 
 def _shard_oracle() -> str:
     from mongo2mysql_spark.operators.sampling import sql_shuffle_shard
@@ -320,7 +330,9 @@ def _shard_oracle() -> str:
         "ppl ≥ 1, exp(-logprob/n) ≈ ppl) that the oracle asserts TRUE "
         "— no transcendental-derived hashed column (r4 lesson); bigram "
         "join shuffles on the observed-bigram key, unigram table "
-        "broadcasts."
+        "broadcasts.  (The one-call corpus BUILDER composition is "
+        "driver-checked separately — etl_pipeline_e2e 'builder' branch, "
+        "corpus_builder_report below.)"
     ),
 )
 def corpus_clean_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -360,6 +372,92 @@ def corpus_clean_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
             "shuffle": corpus_shuffle_shards(spark, sf_dir),
             "ppl": ppl_checked,
         }
+    )
+
+
+def sql_builder_quality_count() -> str:
+    """Oracle building block: the builder's quality-filter survivor
+    count (scalar SELECT) — the same predicate as _CLEAN_SQL's kept."""
+    return f"""
+      (SELECT CAST(count(*) AS BIGINT) FROM (
+        SELECT {sql_quality()} AS quality,
+               CAST(len(t) AS INTEGER) AS n_tokens,
+               1.0 - (CAST(len(list_distinct(t)) AS DOUBLE)
+                      / CAST(GREATEST(len(t), 1) AS DOUBLE)) AS dup_frac
+        FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents))
+      WHERE quality >= {MIN_QUALITY} AND n_tokens >= {MIN_TOKENS}
+        AND dup_frac <= {MAX_DUP_FRACTION})
+    """
+
+
+def corpus_builder_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row composition audit of the one-call corpus builder.
+
+    Runs ``build_training_corpus`` with every optional stage enabled
+    against a throwaway output dir and reduces the per-stage report to
+    (a) the two counts an external oracle can restate exactly (input,
+    quality-filter survivors) and (b) boolean invariants of the
+    composition.  Every verdict is computed from Spark's own
+    deterministic counts, so a TRUE here is stable across environments;
+    the cross-engine check rides the exact counts.
+    """
+    import math
+    import shutil
+    import tempfile
+
+    from mongo2mysql_spark.pipelines import CorpusConfig, build_training_corpus
+
+    d = T(spark, sf_dir, "documents")
+    ref = d.filter(F.col("source") == LM_REF_SOURCE)
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    out_dir = tempfile.mkdtemp(prefix="corpus_builder_")
+    try:
+        r = build_training_corpus(
+            d,
+            out_dir,
+            benchmark=bench,
+            config=CorpusConfig(
+                max_ppl=BUILDER_MAX_PPL,
+                dsir_keep_frac=BUILDER_DSIR_KEEP,
+                passage_dedup=True,
+                passage_mode="strip",
+                seq_len=BUILDER_SEQ_LEN,
+                n_shards=BUILDER_SHARDS,
+            ),
+            lm_reference=ref,
+            dsir_target=ref,
+        )
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    chain = [
+        r["input_docs"],
+        r["after_quality_filter"],
+        r["after_ppl_filter"],
+        r["after_dsir_select"],
+        r["after_exact_dedup"],
+        r["after_passage_strip"],
+        r["after_decontam"],
+    ]
+    final = chain[-1]
+    n_seq, toks = r["n_sequences"], r["train_tokens"]
+    row = (
+        int(r["input_docs"]),
+        int(r["after_quality_filter"]),
+        all(a >= b for a, b in zip(chain, chain[1:])),
+        all(c > 0 for c in chain) and r["train_docs"] > 0,
+        # percentile-cut selection: kept ≈ keep_frac of its input
+        # (interpolation + decimal-weight ties allow a small band)
+        abs(r["after_dsir_select"] - BUILDER_DSIR_KEEP * r["after_ppl_filter"])
+        <= 0.05 * r["after_ppl_filter"] + 2,
+        r["train_docs"] + r["val_docs"] + r["test_docs"] == final,
+        toks > 0 and n_seq == math.ceil(toks / BUILDER_SEQ_LEN),
+        int(r["n_shards"]),
+    )
+    return spark.createDataFrame(
+        [row],
+        "b_input bigint, b_quality bigint, b_monotone boolean, "
+        "b_nonempty boolean, b_dsir_frac_ok boolean, "
+        "b_split_conserves boolean, b_packing boolean, b_shards int",
     )
 
 

@@ -267,35 +267,85 @@ def etl_schema_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------------------ pipeline
 
 
+def _builder_oracle_sql() -> str:
+    from mongo2mysql_spark.queries.corpus import (
+        BUILDER_SHARDS,
+        sql_builder_quality_count,
+    )
+
+    return f"""
+    SELECT 'builder' AS branch, CAST(NULL AS VARCHAR) AS table_name,
+           CAST(NULL AS BIGINT) AS n_rows, CAST(NULL AS INTEGER) AS n_cols,
+           CAST(NULL AS INTEGER) AS n_schema_cols,
+           (SELECT count(*) FROM documents) AS b_input,
+           {sql_builder_quality_count()} AS b_quality,
+           TRUE AS b_monotone, TRUE AS b_nonempty, TRUE AS b_dsir_frac_ok,
+           TRUE AS b_split_conserves, TRUE AS b_packing,
+           CAST({BUILDER_SHARDS} AS INTEGER) AS b_shards
+    """
+
+
+_BUILDER_NULLS_SQL = """
+           CAST(NULL AS BIGINT) AS b_input, CAST(NULL AS BIGINT) AS b_quality,
+           CAST(NULL AS BOOLEAN) AS b_monotone,
+           CAST(NULL AS BOOLEAN) AS b_nonempty,
+           CAST(NULL AS BOOLEAN) AS b_dsir_frac_ok,
+           CAST(NULL AS BOOLEAN) AS b_split_conserves,
+           CAST(NULL AS BOOLEAN) AS b_packing,
+           CAST(NULL AS INTEGER) AS b_shards"""
+
+
 @register(
     "etl_pipeline_e2e",
-    """
+    f"""
     WITH buckets AS (
       SELECT doc_id % 5 AS b, len(string_split(text, ' ')) AS nt FROM documents)
-    SELECT 'docs' AS table_name, COUNT(*) AS n_rows,
-           CAST(7 AS INTEGER) AS n_cols, CAST(7 AS INTEGER) AS n_schema_cols
+    SELECT 'porter' AS branch, 'docs' AS table_name, COUNT(*) AS n_rows,
+           CAST(7 AS INTEGER) AS n_cols, CAST(7 AS INTEGER) AS n_schema_cols,
+           {_BUILDER_NULLS_SQL}
     FROM buckets WHERE b IN (3, 4)
     UNION ALL
-    SELECT 'docs__tags', CAST(SUM(LEAST(nt, 3)) AS BIGINT), 4, 4 FROM buckets
+    SELECT 'porter', 'docs__tags', CAST(SUM(LEAST(nt, 3)) AS BIGINT), 4, 4,
+           {_BUILDER_NULLS_SQL}
+    FROM buckets
     UNION ALL
-    SELECT 'settings', COUNT(*), 7, 7 FROM buckets WHERE b = 1
+    SELECT 'porter', 'settings', COUNT(*), 7, 7, {_BUILDER_NULLS_SQL}
+    FROM buckets WHERE b = 1
     UNION ALL
-    SELECT 'tag_topics', COUNT(*), 7, 7 FROM buckets WHERE b = 0
+    SELECT 'porter', 'tag_topics', COUNT(*), 7, 7, {_BUILDER_NULLS_SQL}
+    FROM buckets WHERE b = 0
     UNION ALL
-    SELECT 'user', COUNT(*), 7, 7 FROM buckets WHERE b = 2
+    SELECT 'porter', 'user', COUNT(*), 7, 7, {_BUILDER_NULLS_SQL}
+    FROM buckets WHERE b = 2
+    UNION ALL
+    {_builder_oracle_sql()}
     """,
     doc=(
-        "A18 end-to-end porter pipeline on a synthesized nested collection: "
-        "route → flatten → spill → guards → _num → schema/DDL; returns a "
-        "per-destination-table summary.  Oracle restates the routing "
-        "(doc_id%5 → tag_topics/settings/user/docs), the tags-array spill "
-        "cardinality (min(3, token count) child rows per doc), and the "
-        "flatten/schema width contract (7 parent cols incl _id/_key/_num, "
-        "4 child cols) as direct SQL over the same source rows."
+        "the engine's two one-call drivers in one tagged slot.  "
+        "'porter' rows: A18 end-to-end porter pipeline on a synthesized "
+        "nested collection — route → flatten → spill → guards → _num → "
+        "schema/DDL; per-destination-table summary, with the oracle "
+        "restating the routing (doc_id%5 → tag_topics/settings/user/"
+        "docs), the tags-array spill cardinality (min(3, token count) "
+        "child rows per doc), and the flatten/schema width contract "
+        "(7 parent cols incl _id/_key/_num, 4 child cols) as direct SQL "
+        "over the same source rows.  'builder' row: the ONE-CALL corpus "
+        "builder (pipelines.build_training_corpus — the LLM-side "
+        "product flagship, queries/corpus.corpus_builder_report) runs "
+        "end-to-end with every gate enabled (ppl cap, DSIR top-50%, "
+        "passage strip, decontam) against a temp output dir; the oracle "
+        "restates the input and quality-filter survivor counts exactly "
+        "and asserts the composition verdicts TRUE — stage counts "
+        "monotone through ppl→dsir→dedup→strip→decontam, every stage "
+        "nonempty, DSIR kept ≈ half its input, train+val+test conserves "
+        "the final stage, and n_sequences = ceil(train_tokens/seq_len) "
+        "(the packing conservation law)."
     ),
 )
 def etl_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mongo2mysql_spark.porter import PorterConfig, SparkPorter
+    from mongo2mysql_spark.queries import tagged_union
+    from mongo2mysql_spark.queries.corpus import corpus_builder_report
 
     d = Tb(spark, sf_dir, "documents")
     uid = F.col("doc_id").cast("string")
@@ -318,8 +368,11 @@ def etl_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         for t, tdf in sorted(exp.tables.items())
     ]
     exp.unpersist()
-    return spark.createDataFrame(
+    porter = spark.createDataFrame(
         rows, "table_name string, n_rows long, n_cols int, n_schema_cols int"
+    )
+    return tagged_union(
+        {"porter": porter, "builder": corpus_builder_report(spark, sf_dir)}
     )
 
 

@@ -108,33 +108,45 @@ def range_join_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type aggregates where each coarser level re-aggregates the "
         "finer level's partials — the raw table is scanned and shuffled "
         "ONCE (to hour cardinality); day and week shuffle only partials.  "
-        "The rollup is computed through the INCREMENTAL refresh path "
-        "(operators/rollup.py:94-188): three ingest batches (event_id mod "
-        "3) each aggregate once to hour partials, merge into the partial "
-        "store at partial cardinality (raw history never rescanned), and "
-        "the multi-level union derives from the merged store — which must "
-        "be bit-identical to the one-shot hierarchy the oracle states "
-        "(COUNT and the decimal SUM are algebraic)."
+        "The rollup is computed through the STREAMING refresh path "
+        "(streaming/rollup.py): two Structured-Streaming runs over "
+        "disjoint halves of events (event_id mod 2, availableNow) each "
+        "drive the foreachBatch sink — batch → hour partials → merge at "
+        "partial cardinality → immutable store dir + atomic manifest "
+        "publish (raw history never rescanned) — and the multi-level "
+        "union is served from the store the LAST refresh published, "
+        "which must be bit-identical to the one-shot hierarchy the "
+        "oracle states (COUNT and the decimal SUM are algebraic).  One "
+        "slot therefore hash-verifies the batch rollup algebra AND the "
+        "streaming store round-trip (parquet partials, manifest swap, "
+        "epoch bookkeeping)."
     ),
 )
 def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from mongo2mysql_spark.operators.rollup import (
-        rollup_levels_from_partials,
-        rollup_merge,
-        rollup_partials,
+    import shutil
+    import tempfile
+
+    from mongo2mysql_spark.operators.rollup import rollup_levels_from_partials
+    from mongo2mysql_spark.streaming.pipeline import stream_events
+    from mongo2mysql_spark.streaming.rollup import (
+        read_partial_store,
+        streaming_rollup_refresh,
     )
 
-    e = T(spark, sf_dir, "events")
-    store = None
-    for batch_no in range(3):
-        batch = e.filter(F.col("event_id") % 3 == batch_no)
-        partials = rollup_partials(
-            batch, ts_col="ts", group_cols=["event_type"], value=F.col("value")
+    work = tempfile.mkdtemp(prefix="rollup_refresh_")
+    store_dir = f"{work}/store"
+    for batch_no in range(2):
+        q = streaming_rollup_refresh(
+            stream_events(spark, sf_dir).filter(F.col("event_id") % 2 == batch_no),
+            store_dir,
+            ts_col="ts",
+            group_cols=["event_type"],
+            value_col="value",
+            checkpoint_dir=f"{work}/ck{batch_no}",
         )
-        store = rollup_merge(store, partials, ["event_type"])
-    # the merged store feeds every level leg: persist it (at production
-    # scale the store IS a parquet table, so each refresh reads it once)
-    store = store.persist()
+        q.awaitTermination(300)
+    store = read_partial_store(spark, store_dir).localCheckpoint()
+    shutil.rmtree(work, ignore_errors=True)
     return rollup_levels_from_partials(
         store, ["event_type"], levels=("hour", "day", "week")
     )
