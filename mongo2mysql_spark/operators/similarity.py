@@ -194,6 +194,13 @@ def ivf_calibrate(
 
     Worst case returns nprobe = n_centroids (exhaustive — recall 1.0 by
     construction), so the target is always reached.
+
+    Search cost: recall@k is monotone in nprobe (a query's probed
+    bucket set only grows, and any candidate outranking a true
+    neighbor would itself be in the truth set), so the smallest
+    qualifying nprobe is found by exponential search + bisection —
+    O(log nprobe*) IVF top-k jobs instead of the linear scan's
+    O(nprobe*) (each job is a full calibration-sample search).
     """
     truth = {
         (r["query_id"], r["neighbor_id"])
@@ -205,21 +212,36 @@ def ivf_calibrate(
         centroids = corpus.filter(F.col(id_col) % centroid_stride == 0)
     centroids = centroids.persist()
     n_centroids = centroids.count()
-    recall = 0.0
-    for nprobe in range(1, n_centroids + 1):
-        got = {
-            (r["query_id"], r["neighbor_id"])
-            for r in topk_ivf(
-                corpus, calibration_queries, id_col, vec_col,
-                k=k, nprobe=nprobe, centroids=centroids,
-            ).collect()
-        }
-        recall = len(got & truth) / max(len(truth), 1)
-        if recall >= target_recall:
-            centroids.unpersist()
-            return nprobe, recall
-    centroids.unpersist()
-    return n_centroids, recall
+
+    evals: dict[int, float] = {}
+
+    def recall_at(nprobe: int) -> float:
+        if nprobe not in evals:
+            got = {
+                (r["query_id"], r["neighbor_id"])
+                for r in topk_ivf(
+                    corpus, calibration_queries, id_col, vec_col,
+                    k=k, nprobe=nprobe, centroids=centroids,
+                ).collect()
+            }
+            evals[nprobe] = len(got & truth) / max(len(truth), 1)
+        return evals[nprobe]
+
+    try:
+        lo, hi = 0, 1  # invariant: lo fails (or is 0), seek smallest pass
+        while recall_at(hi) < target_recall:
+            if hi >= n_centroids:
+                return n_centroids, recall_at(hi)
+            lo, hi = hi, min(hi * 2, n_centroids)
+        while hi - lo > 1:
+            mid = (lo + hi) // 2
+            if recall_at(mid) >= target_recall:
+                hi = mid
+            else:
+                lo = mid
+        return hi, recall_at(hi)
+    finally:
+        centroids.unpersist()
 
 
 def assign_centroids(

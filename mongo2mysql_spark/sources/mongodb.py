@@ -23,9 +23,19 @@ def reader_options(
     collection: str,
     sample_size: int = 1000,
     pipeline: str | None = None,
+    partitioner: str | None = None,
+    partition_size_mb: int | None = None,
+    read_preference: str | None = None,
 ) -> dict[str, str]:
     """Connector options for one collection read (pure, unit-testable:
-    the connector jar itself is absent in the test container)."""
+    the connector jar itself is absent in the test container).
+
+    The partitioning knobs are the 100 TB levers: ``partitioner``
+    selects the split strategy (e.g. the connector's paginate-by-count
+    vs sharded-cluster partitioners), ``partition_size_mb`` bounds the
+    bytes per Spark input split so 1000 executors each get bounded
+    work, and ``read_preference`` routes the scan to secondaries so a
+    bulk export doesn't contend with production primaries."""
     opts = {
         "connection.uri": uri,
         "database": database,
@@ -34,6 +44,12 @@ def reader_options(
     }
     if pipeline:
         opts["aggregation.pipeline"] = pipeline
+    if partitioner:
+        opts["partitioner"] = partitioner
+    if partition_size_mb is not None:
+        opts["partitioner.options.partition.size"] = f"{partition_size_mb}MB"
+    if read_preference:
+        opts["readPreference.name"] = read_preference
     return opts
 
 

@@ -1410,6 +1410,44 @@ def test_ivf_calibrated_recall_floor(spark):
         assert len(under & truth) / len(truth) < 0.9
 
 
+def test_ivf_calibrate_bisects_not_scans(spark):
+    """Calibration runs O(log nprobe*) IVF search jobs (exponential
+    search + bisection over the monotone recall curve), not the linear
+    scan's nprobe* jobs — each evaluation is a full calibration-sample
+    search, so the job count is the calibration cost."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    import mongo2mysql_spark.operators.similarity as sim
+    from mongo2mysql_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    calls = []
+    orig = sim.topk_ivf
+
+    def counting(*args, **kwargs):
+        calls.append(kwargs.get("nprobe"))
+        return orig(*args, **kwargs)
+
+    sim.topk_ivf = counting
+    try:
+        nprobe, recall = sim.ivf_calibrate(
+            e, q, "vec_id", "embedding", k=5, centroid_stride=97,
+            target_recall=0.9,
+        )
+    finally:
+        sim.topk_ivf = orig
+    assert recall >= 0.9
+    # exponential phase ≤ ceil(log2(nprobe*)) + 1 evals, bisection the
+    # same again; memoization means no nprobe is evaluated twice
+    bound = 2 * (math.ceil(math.log2(max(nprobe, 2))) + 1)
+    assert len(calls) <= bound, (nprobe, calls)
+    assert len(set(calls)) == len(calls), calls
+
+
 def test_passage_dup_pairs_planted_and_capped(spark):
     """Two documents sharing a long passage pair up; unrelated docs
     don't; a boilerplate fingerprint present in every doc is excluded

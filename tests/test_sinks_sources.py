@@ -222,6 +222,131 @@ def test_create_without_primary_key_and_reserved_words():
     ]
 
 
+def test_upsert_retry_after_partial_batch_is_idempotent(spark):
+    """The sink's crash contract (why REPLACE, not INSERT): a task that
+    dies mid-partition leaves a committed PREFIX of its batches; the
+    retry re-runs the whole partition over the same connection factory
+    and must converge to exactly-once row state — REPLACE-on-PK absorbs
+    the replayed prefix (Porter.php:207 semantics under Spark
+    speculative execution / task retry)."""
+    import functools
+
+    with tempfile.TemporaryDirectory() as tmp:
+        db = os.path.join(tmp, "t.db")
+        trip = os.path.join(tmp, "trip")  # first-attempt failure latch
+        conn = sqlite3.connect(db)
+        conn.execute("CREATE TABLE t (_id TEXT PRIMARY KEY, v INT)")
+        conn.commit()
+        conn.close()
+        factory = functools.partial(_failing_once_connect, db, trip, 2)
+        df = spark.createDataFrame(
+            [Row(_id=f"{i:03d}", v=i) for i in range(40)]
+        ).coalesce(1)
+        # attempt 1: dies after 2 committed batches (a partial prefix)
+        with pytest.raises(Exception, match="injected mid-partition failure"):
+            write_upsert(df, "t", factory, batch_size=7, max_connections=1)
+        conn = sqlite3.connect(db)
+        n_partial = conn.execute("SELECT COUNT(*) FROM t").fetchone()[0]
+        conn.close()
+        assert 0 < n_partial < 40  # the crash left real committed rows
+        # attempt 2 (the retry): same data, full partition
+        write_upsert(df, "t", factory, batch_size=7, max_connections=1)
+        conn = sqlite3.connect(db)
+        n, vsum = conn.execute("SELECT COUNT(*), SUM(v) FROM t").fetchone()
+        conn.close()
+        assert (n, vsum) == (40, sum(range(40)))
+
+
+class _FailingCursor:
+    def __init__(self, cur, trip_path, fail_after):
+        self._cur, self._trip, self._fail_after = cur, trip_path, fail_after
+        self._n = 0
+
+    def executemany(self, sql, batch):
+        assert sql.startswith("REPLACE INTO `t`")  # the idempotent form
+        if not os.path.exists(self._trip):
+            self._n += 1
+            if self._n > self._fail_after:
+                with open(self._trip, "w") as fh:
+                    fh.write("tripped")
+                raise RuntimeError("injected mid-partition failure")
+        return self._cur.executemany(sql, batch)
+
+    def __getattr__(self, name):
+        return getattr(self._cur, name)
+
+
+class _FailingConn:
+    def __init__(self, conn, trip_path, fail_after):
+        self._conn, self._trip, self._fail_after = conn, trip_path, fail_after
+
+    def cursor(self):
+        return _FailingCursor(self._conn.cursor(), self._trip, self._fail_after)
+
+    def __getattr__(self, name):
+        return getattr(self._conn, name)
+
+
+def _failing_once_connect(db, trip_path, fail_after):
+    return _FailingConn(sqlite3.connect(db), trip_path, fail_after)
+
+
+def test_upsert_statement_text_and_batch_boundaries():
+    """Recording-DBAPI check of the wire protocol: every executemany
+    carries the identical parameterized REPLACE statement, batches cut
+    at batch_size with the remainder flushed last, and one commit per
+    batch (crash granularity = one batch)."""
+    calls: list[tuple[str, int]] = []
+    commits: list[int] = []
+
+    class Cur:
+        def executemany(self, sql, batch):
+            calls.append((sql, len(batch)))
+
+    class Conn:
+        def cursor(self):
+            return Cur()
+
+        def commit(self):
+            commits.append(len(calls))
+
+        def close(self):
+            pass
+
+    from mongo2mysql_spark.sources.jdbc import write_upsert as wu
+
+    class FakeDF:
+        columns = ["_id", "v"]
+
+        def foreachPartition(self, fn):
+            fn(iter([(f"{i}", i) for i in range(10)]))
+
+    wu(FakeDF(), "t", Conn, batch_size=4)
+    assert [n for _, n in calls] == [4, 4, 2]
+    assert {s for s, _ in calls} == {"REPLACE INTO `t` (`_id`, `v`) VALUES (?, ?)"}
+    assert commits == [1, 2, 3]  # one commit after each flush
+
+
+def test_mongodb_reader_option_matrix():
+    """The 100 TB read levers land in the option dict with the public
+    connector's names, and absent knobs emit no keys at all."""
+    base = reader_options("mongodb://h:27017", "forum", "users")
+    assert "partitioner" not in base and "readPreference.name" not in base
+    full = reader_options(
+        "mongodb://h:27017", "forum", "posts",
+        sample_size=200,
+        pipeline='[{"$match": {"ok": true}}]',
+        partitioner="com.mongodb.spark.sql.connector.read.partitioner.PaginateBySizePartitioner",
+        partition_size_mb=128,
+        read_preference="secondaryPreferred",
+    )
+    assert full["sampleSize"] == "200"
+    assert full["partitioner"].endswith("PaginateBySizePartitioner")
+    assert full["partitioner.options.partition.size"] == "128MB"
+    assert full["readPreference.name"] == "secondaryPreferred"
+    assert full["aggregation.pipeline"] == '[{"$match": {"ok": true}}]'
+
+
 def test_evolution_widen_is_directional():
     """MODIFY targets come from the widening lattice: an int column
     seeing text widens to text, but a text column seeing int stays text
