@@ -62,6 +62,7 @@ def passage_dup_pairs(
     w: int = 4,
     min_shared: int = 2,
     max_fp_df: int | None = 100,
+    fps: DataFrame | None = None,
 ) -> DataFrame:
     """Document pairs sharing >= ``min_shared`` winnowing fingerprints.
 
@@ -71,7 +72,11 @@ def passage_dup_pairs(
     shares (1.0 = one document's passages are fully contained in the
     other).  ``max_fp_df`` drops fingerprints appearing in more than
     that many documents before pairing (boilerplate guard, see module
-    docstring); None disables the cap.
+    docstring); None disables the cap.  Pass ``fps`` (a precomputed
+    ``doc_fingerprints``-shaped (id, fp) stream, distinct per doc,
+    caller-owned caching) to share one fingerprinting pass across
+    several passage operators — the md5 shingle hashing is the
+    dominant cost of this family.
     """
     # four consumers below (sizes, the df cap, both join sides) — persist
     # the narrow (id, fp) stream so the md5 shingle arrays are computed
@@ -79,7 +84,10 @@ def passage_dup_pairs(
     # signature store, operators/dedup.py:161); released after the
     # pair-bounded result materializes (localCheckpoint below), so a
     # long-lived session doesn't accumulate cached blocks per call
-    cached = doc_fingerprints(df, id_col, text_col, k, w).persist()
+    owned = fps is None
+    cached = (
+        doc_fingerprints(df, id_col, text_col, k, w).persist() if owned else fps
+    )
     fps = cached
     sizes = fps.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_fps"))
     if max_fp_df is not None:
@@ -116,7 +124,8 @@ def passage_dup_pairs(
             ).alias("containment"),
         )
     ).localCheckpoint()
-    cached.unpersist()
+    if owned:
+        cached.unpersist()
     return out
 
 
@@ -164,6 +173,7 @@ def shared_passage_spans(
     min_anchors: int = 2,
     merge_gap: int = 30,
     max_fp_df: int | None = 100,
+    pos_fps: DataFrame | None = None,
 ) -> DataFrame:
     """Locate the duplicated region itself: per candidate pair, the
     merged token spans of doc_a covered by shared fingerprints.
@@ -184,7 +194,12 @@ def shared_passage_spans(
     bounded, so the merge fold is a small array op, never a window
     over the corpus.
     """
-    cached = doc_fingerprints_pos(df, id_col, text_col, k, w).persist()
+    owned = pos_fps is None
+    cached = (
+        doc_fingerprints_pos(df, id_col, text_col, k, w).persist()
+        if owned
+        else pos_fps
+    )
     fps = cached
     if max_fp_df is not None:
         keep = (
@@ -245,7 +260,8 @@ def shared_passage_spans(
     # pair-bounded result: materialize it, then release the cached
     # fingerprint stream (no per-call cache leak in long-lived sessions)
     result = out.filter(F.col("n_anchors") >= min_anchors).localCheckpoint()
-    cached.unpersist()
+    if owned:
+        cached.unpersist()
     return result
 
 
@@ -301,6 +317,7 @@ def self_repetition_spans(
     w: int = 4,
     min_anchors: int = 2,
     merge_gap: int = 20,
+    pos_fps: DataFrame | None = None,
 ) -> DataFrame:
     """Within-document repetition spans: regions that REPEAT earlier
     content of the same document (infinite-scroll pages, templating
@@ -317,8 +334,15 @@ def self_repetition_spans(
 
     No join at all: one fingerprint pass, one groupBy (id, fp), one
     per-doc merge fold — cheaper than pair finding at any scale.
+    ``pos_fps`` (a precomputed :func:`doc_fingerprints_pos` stream,
+    caller-owned) shares the fingerprinting pass with sibling passage
+    operators.
     """
-    fps = doc_fingerprints_pos(df, id_col, text_col, k, w)
+    fps = (
+        doc_fingerprints_pos(df, id_col, text_col, k, w)
+        if pos_fps is None
+        else pos_fps
+    )
     repeats = (
         fps.groupBy(id_col, "fp")
         .agg(F.array_sort(F.collect_set("pos")).alias("ps"))

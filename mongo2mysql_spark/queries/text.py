@@ -355,8 +355,8 @@ SELFREP_MIN_ANCHORS, SELFREP_MERGE_GAP = 2, 20
     ),
 )
 def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from mongo2mysql_spark.functions.text import shingle_hashes, winnow_mins
     from mongo2mysql_spark.operators.passages import (
+        doc_fingerprints_pos,
         passage_dup_pairs,
         self_repetition_spans,
         strip_passage_spans,
@@ -364,17 +364,15 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mongo2mysql_spark.queries import tagged_union
 
     d = T(spark, sf_dir, "documents", fanout=True)
-    # staged: tokens and the shingle-hash array each materialize as a
-    # projection, so the window-min lambda slices a BOUND column instead
-    # of re-deriving the whole md5 array per window (see winnow_mins)
-    fps = (
-        d.select("doc_id", tokens(F.col("text")).alias("__t"))
-        .select("doc_id", shingle_hashes(F.col("__t"), WINNOW_K).alias("__hs"))
-        .select(
-            "doc_id",
-            F.explode(winnow_mins(F.col("__hs"), WINNOW_W)).alias("fp"),
-        )
-    )
+    # ONE corpus fingerprinting pass (md5 shingle hashing dominates this
+    # whole family): the persisted positional stream feeds all three
+    # branches — the flat fps are its distinct (doc, fp) projection
+    # (window-min selection equality is pinned in tests), the pair join
+    # consumes the same projection, the self-repetition spans use the
+    # positions.  The cache is dropped by the harness clearCache between
+    # queries (same ownership as the LSH signature store).
+    pos = doc_fingerprints_pos(d, "doc_id", "text", WINNOW_K, WINNOW_W).persist()
+    fps = pos.select("doc_id", "fp").distinct()
     pairs = passage_dup_pairs(
         d,
         "doc_id",
@@ -383,11 +381,13 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         w=WINNOW_W,
         min_shared=PASSAGE_MIN_SHARED,
         max_fp_df=PASSAGE_MAX_FP_DF,
+        fps=fps,
     )
     spans = self_repetition_spans(
         d, "doc_id", "text",
         k=WINNOW_K, w=WINNOW_W,
         min_anchors=SELFREP_MIN_ANCHORS, merge_gap=SELFREP_MERGE_GAP,
+        pos_fps=pos,
     )
     per_doc_spans = spans.groupBy(F.col("doc_a").alias("doc_id")).agg(
         F.count(F.lit(1)).cast("int").alias("n_spans"),
