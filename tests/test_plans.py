@@ -192,15 +192,18 @@ def test_range_join_is_equi_join_not_nested_loop(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
-def test_hypertable_rollup_scans_raw_once(spark):
-    """Coarser levels must reuse the cached finest partial: exactly one
-    events parquet scan in the plan, and cached InMemory legs."""
+def test_hypertable_rollup_serves_from_store_not_raw(spark):
+    """The registered rollup now computes through the STREAMING refresh
+    (streaming/rollup.py): by serve time the raw events were consumed
+    by the foreachBatch runs, so the SERVING plan must contain no
+    events parquet scan at all — every union leg (hour, day, week)
+    reads the materialized partial store (the continuous-aggregate
+    contract: raw history never rescanned)."""
     df = REGISTRY["events_hypertable_rollup"].fn(spark, SF_DIR)
     plan = physical_plan(df)
-    # every union leg (hour, day, week) must read the cached hourly
-    # partial — so the raw scan executes once, even though the plan
-    # STRING prints the InMemoryRelation's definition under each leg
-    assert plan.count("InMemoryTableScan") == 3
+    assert "events" not in plan  # no raw rescan in the serving plan
+    # three legs over the checkpointed store materialization
+    assert plan.count("Scan ExistingRDD") == 3
 
 
 def test_connected_components_stars_are_equi_joins(spark):
