@@ -748,38 +748,74 @@ def resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tagged_union({"resample": rs, "zscore": zs})
 
 
-# ---------------------------------------------------------------- SemDeDup
+# ------------------------------- SemDeDup + quality classifier (model-based
+# curation family: embedding-space pruning + discriminative quality gate)
 
 _SEM_STRIDE = 40
 _SEM_OFFSET = 100000
+# classifier branch (operators/classifier.py): planted-token labels
+_CLF_PLANT_TOKENS = ("zqa", "zqb", "zqc", "zqd")
+_CLF_PLANT = " " + " ".join(_CLF_PLANT_TOKENS * 2)
+_CLF_ITERS, _CLF_L2, _CLF_TOP = 12, 1e-2, 16
+
+_CLF_NULLS = """
+           CAST(NULL AS BIGINT) AS n_train, CAST(NULL AS BIGINT) AS n_holdout,
+           CAST(NULL AS BIGINT) AS tp, CAST(NULL AS BIGINT) AS tn,
+           CAST(NULL AS BIGINT) AS fp, CAST(NULL AS BIGINT) AS fn,
+           CAST(NULL AS BOOLEAN) AS loss_ok,
+           CAST(NULL AS BOOLEAN) AS planted_top"""
 
 
 @register(
     "semdedup_planted",
     f"""
-    SELECT vec_id + {_SEM_OFFSET} AS clone_id,
+    SELECT 'semdedup' AS branch, vec_id + {_SEM_OFFSET} AS clone_id,
            TRUE AS same_group,
            FALSE AS clone_kept,
-           TRUE AS src_kept
+           TRUE AS src_kept,
+           {_CLF_NULLS}
     FROM embeddings WHERE vec_id % {_SEM_STRIDE} = 0
+    UNION ALL
+    SELECT 'classifier' AS branch, CAST(NULL AS BIGINT) AS clone_id,
+           CAST(NULL AS BOOLEAN) AS same_group,
+           CAST(NULL AS BOOLEAN) AS clone_kept,
+           CAST(NULL AS BOOLEAN) AS src_kept,
+           (SELECT count(*) FROM documents WHERE doc_id % 5 <> 0) AS n_train,
+           (SELECT count(*) FROM documents WHERE doc_id % 5 = 0) AS n_holdout,
+           (SELECT count(*) FROM documents
+            WHERE doc_id % 5 = 0 AND doc_id % 2 = 1) AS tp,
+           (SELECT count(*) FROM documents
+            WHERE doc_id % 5 = 0 AND doc_id % 2 = 0) AS tn,
+           CAST(0 AS BIGINT) AS fp, CAST(0 AS BIGINT) AS fn,
+           TRUE AS loss_ok, TRUE AS planted_top
     """,
     doc=(
-        "semantic dedup (operators/semdedup.py, SemDeDup — Abbas et al.): "
-        "k-means-blocked within-cluster cosine pairs → connected "
-        "components → min-id keeper.  The corpus is embeddings plus "
-        f"byte-identical clones (vec_id+{_SEM_OFFSET} for every "
-        f"{_SEM_STRIDE}th vector); the query returns, per planted clone, "
-        "whether it shares a dedup group with its source, and both keep "
-        "verdicts.  The oracle states the ground truth (clone grouped "
-        "with source, clone dropped, source kept) — blocking-independent "
-        "because identical vectors always land in the same cluster, and "
-        "the fixture has no natural >= 0.999-cosine pairs (verified); a "
-        "kmeans regression that split or over-merged groups would flip "
-        "these booleans."
+        "model-based curation, tagged.  'semdedup' rows: semantic dedup "
+        "(operators/semdedup.py, SemDeDup — Abbas et al.): k-means-"
+        "blocked within-cluster cosine pairs → connected components → "
+        "min-id keeper.  The corpus is embeddings plus byte-identical "
+        f"clones (vec_id+{_SEM_OFFSET} for every {_SEM_STRIDE}th "
+        "vector); per planted clone the row states whether it shares a "
+        "dedup group with its source plus both keep verdicts — the "
+        "oracle states the ground truth, blocking-independent.  "
+        "'classifier' row: the fasttext-shaped quality gate "
+        "(operators/classifier.py — GPT-3 Appendix A's discriminative "
+        "filter): documents with planted marker tokens (doc_id odd) "
+        "must be perfectly separated on a held-out fifth after "
+        f"{_CLF_ITERS} distributed logistic-regression iterations over "
+        "hashed-n-gram percent frequencies.  The oracle restates the "
+        "train/holdout sizes and the PERFECT confusion matrix from "
+        "doc_id arithmetic (fp = fn = 0 — any training or serving "
+        "regression flips real counts; holdout margins are O(1), far "
+        "above float-order noise) and asserts the loss-descent and "
+        "planted-buckets-atop-the-weight-table verdicts TRUE.  No "
+        "float is hashed; the keep decision is the sign of a linear "
+        "score."
     ),
 )
 def semdedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mongo2mysql_spark.operators.semdedup import semantic_dedup
+    from mongo2mysql_spark.queries import tagged_union
 
     e = T(spark, sf_dir, "embeddings", fanout=True).select("vec_id", "embedding")
     clones = e.filter(F.col("vec_id") % _SEM_STRIDE == 0).select(
@@ -791,7 +827,7 @@ def semdedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = verdicts.alias("c")
     s = verdicts.alias("s")
-    return (
+    sem = (
         c.filter(F.col("c.id") >= _SEM_OFFSET)
         .join(s, F.col("c.id") - _SEM_OFFSET == F.col("s.id"))
         .select(
@@ -800,4 +836,88 @@ def semdedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c.is_kept").alias("clone_kept"),
             F.col("s.is_kept").alias("src_kept"),
         )
+    )
+    return tagged_union(
+        {"semdedup": sem, "classifier": _classifier_gate_report(spark, sf_dir)}
+    )
+
+
+def _classifier_gate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row audit of the discriminative quality gate on planted
+    labels — see the registry doc above for the verification contract."""
+    import hashlib
+
+    from mongo2mysql_spark.operators.classifier import (
+        holdout_confusion,
+        loss_decreased,
+        normalized_features,
+        score_documents,
+        train_quality_classifier,
+    )
+    from mongo2mysql_spark.operators.dsir import bucket_counts, hashed_grams
+
+    d = T(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 1, F.concat("text", F.lit(_CLF_PLANT))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+        (F.col("doc_id") % 2).alias("y"),
+    )
+    feats = normalized_features(
+        bucket_counts(hashed_grams(planted, "doc_id", "text"), "doc_id"),
+        "doc_id",
+    ).persist()
+    labels = planted.select("doc_id", "y")
+    train = labels.filter(F.col("doc_id") % 5 != 0)
+    hold = labels.filter(F.col("doc_id") % 5 == 0)
+    w, bias, losses = train_quality_classifier(
+        feats.join(train.select("doc_id"), "doc_id"),
+        train,
+        "doc_id",
+        "y",
+        n_iters=_CLF_ITERS,
+        l2=_CLF_L2,
+    )
+    scored = score_documents(
+        feats.join(hold.select("doc_id"), "doc_id"), w, bias, "doc_id"
+    )
+    # feature-less docs (none in the fixtures, defensively handled)
+    # score bias-only through the left join
+    scored_all = (
+        hold.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("score", F.lit(float(bias))).alias("score"),
+        )
+        .withColumn("keep", F.col("score") > 0)
+    )
+    cm = holdout_confusion(scored_all, hold, "doc_id", "y")
+    weights = {r["bucket"]: r["w"] for r in w.collect()}
+    top = set(sorted(weights, key=weights.get, reverse=True)[:_CLF_TOP])
+
+    def bucket(tok: str) -> int:
+        return int(hashlib.md5(f"dsir|{tok}".encode()).hexdigest()[:8], 16) % 4096
+
+    planted_top = all(bucket(t) in top for t in _CLF_PLANT_TOKENS)
+    n_train, n_hold = train.count(), hold.count()
+    feats.unpersist()
+    return spark.createDataFrame(
+        [
+            (
+                n_train,
+                n_hold,
+                cm["tp"],
+                cm["tn"],
+                cm["fp"],
+                cm["fn"],
+                loss_decreased(losses),
+                planted_top,
+            )
+        ],
+        "n_train bigint, n_holdout bigint, tp bigint, tn bigint, "
+        "fp bigint, fn bigint, loss_ok boolean, planted_top boolean",
     )

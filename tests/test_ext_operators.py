@@ -1448,6 +1448,53 @@ def test_ivf_calibrate_bisects_not_scans(spark):
     assert len(set(calls)) == len(calls), calls
 
 
+def test_quality_classifier_learns_planted_signal(spark):
+    """The distributed logistic gate (operators/classifier.py) on a
+    hand-built corpus: docs carrying marker tokens are the positive
+    class; after training, a held-out set classifies perfectly, the
+    loss trace descends, and the marker buckets carry the largest
+    positive weights.  Also pins the feature contract (percent
+    frequencies sum to 100 per doc)."""
+    from pyspark.sql import functions as F
+
+    from mongo2mysql_spark.operators.classifier import (
+        holdout_confusion,
+        loss_decreased,
+        normalized_features,
+        score_documents,
+        train_quality_classifier,
+    )
+    from mongo2mysql_spark.operators.dsir import bucket_counts, hashed_grams
+
+    base = ["alpha beta gamma delta common words here", "other filler text common words"]
+    rows = []
+    for i in range(120):
+        text = base[i % 2] + f" tok{i % 7}"
+        if i % 2 == 1:
+            text += " zmark zmark"
+        rows.append((i, text, i % 2))
+    df = spark.createDataFrame(rows, "doc_id long, text string, y int")
+    feats = normalized_features(
+        bucket_counts(hashed_grams(df, "doc_id", "text"), "doc_id"), "doc_id"
+    ).persist()
+    sums = feats.groupBy("doc_id").agg(F.sum("x").alias("s")).collect()
+    assert all(abs(r["s"] - 100.0) < 1e-9 for r in sums)  # percent contract
+    train = df.filter(F.col("doc_id") % 4 != 0).select("doc_id", "y")
+    hold = df.filter(F.col("doc_id") % 4 == 0).select("doc_id", "y")
+    w, b, losses = train_quality_classifier(
+        feats.join(train.select("doc_id"), "doc_id"), train, "doc_id", "y",
+        n_iters=10, l2=1e-2,
+    )
+    assert loss_decreased(losses), losses
+    scored = score_documents(
+        feats.join(hold.select("doc_id"), "doc_id"), w, b, "doc_id"
+    )
+    cm = holdout_confusion(scored, hold, "doc_id", "y")
+    assert cm["fp"] == 0 and cm["fn"] == 0, cm
+    assert cm["tp"] + cm["tn"] == hold.count()
+    feats.unpersist()
+
+
 def test_passage_dup_pairs_planted_and_capped(spark):
     """Two documents sharing a long passage pair up; unrelated docs
     don't; a boilerplate fingerprint present in every doc is excluded
