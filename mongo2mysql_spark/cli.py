@@ -67,6 +67,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="corpus: bigram-LM perplexity cap (needs --lm-ref-source)")
     p.add_argument("--lm-ref-source", default=None,
                    help="corpus: 'source' column value the reference LM trains on")
+    p.add_argument("--clf-keep-frac", type=float, default=None,
+                   help="corpus: keep this top fraction by quality-classifier "
+                        "score (needs --clf-reference-source)")
+    p.add_argument("--clf-reference-source", default=None,
+                   help="corpus: 'source' column value of the classifier's "
+                        "high-quality reference (positives; negatives are a "
+                        "corpus sample)")
     p.add_argument("--dsir-keep-frac", type=float, default=None,
                    help="corpus: keep this top fraction by DSIR weight "
                         "(needs --dsir-target-source)")
@@ -125,6 +132,7 @@ def _run_corpus(spark, args) -> int:
     docs = load_table(spark, args.source_dir, "documents")
     cfg = CorpusConfig(
         max_ppl=args.max_ppl,
+        clf_keep_frac=args.clf_keep_frac,
         dsir_keep_frac=args.dsir_keep_frac,
         near_dedup=args.near_dedup,
         passage_dedup=args.passage_dedup,
@@ -141,9 +149,13 @@ def _run_corpus(spark, args) -> int:
         docs.filter(F.col("source") == args.dsir_target_source)
         if args.dsir_target_source else None
     )
+    clf_ref = (
+        docs.filter(F.col("source") == args.clf_reference_source)
+        if args.clf_reference_source else None
+    )
     report = build_training_corpus(
         docs.select("doc_id", "text"), args.output_dir, config=cfg,
-        lm_reference=lm_ref, dsir_target=target,
+        lm_reference=lm_ref, dsir_target=target, clf_reference=clf_ref,
     )
     print(json.dumps(report))
     return 0

@@ -50,6 +50,9 @@ class CorpusConfig:
     min_tokens: int = 20
     max_dup_fraction: float = 0.65
     max_ppl: float | None = None      # bigram-LM perplexity cap (needs lm_reference)
+    clf_keep_frac: float | None = None   # keep top fraction by classifier score
+    clf_negative_frac: float = 0.2       # corpus sample rate for negatives
+    clf_iters: int = 10                  # classifier training iterations
     dsir_keep_frac: float | None = None  # keep top fraction by DSIR weight
     near_dedup: bool = False          # MinHash-LSH near-dup pass after exact
     near_dedup_min_jaccard: float = 0.7
@@ -75,10 +78,12 @@ def build_training_corpus(
     text_col: str = "text",
     lm_reference: DataFrame | None = None,
     dsir_target: DataFrame | None = None,
+    clf_reference: DataFrame | None = None,
 ) -> dict:
-    """documents → filter → (LM-ppl gate) → (DSIR select) → dedup →
-    (near-dedup) → (passage-dedup) → (decontam) → split → tokenize →
-    pack → shard write; returns the per-stage report dict.
+    """documents → filter → (LM-ppl gate) → (classifier gate) →
+    (DSIR select) → dedup → (near-dedup) → (passage-dedup) →
+    (decontam) → split → tokenize → pack → shard write; returns the
+    per-stage report dict.
 
     Output layout under ``out_dir``: ``train/`` (sharded, shuffled,
     with token counts and packed-sequence spans), ``val/`` and
@@ -136,6 +141,66 @@ def build_training_corpus(
             ).drop("ppl")
         )
         report["after_ppl_filter"] = kept.count()
+
+    if cfg.clf_keep_frac is not None and clf_reference is not None:
+        # discriminative quality gate (operators/classifier.py — the
+        # GPT-3 Appendix-A recipe): train reference-vs-corpus-sample
+        # logistic regression on hashed-n-gram frequencies, keep the
+        # top fraction by linear score (percentile cut, ties keep).
+        # Reference ids are offset into their own space so a reference
+        # that IS a slice of the corpus can't collide with negatives.
+        from mongo2mysql_spark.operators.classifier import (
+            normalized_features,
+            score_documents,
+            train_quality_classifier,
+        )
+        from mongo2mysql_spark.operators.dsir import bucket_counts, hashed_grams
+        from mongo2mysql_spark.operators.sampling import hash_sample_flag
+
+        corpus_feats = _stage(
+            normalized_features(
+                bucket_counts(hashed_grams(kept, id_col, text_col), id_col),
+                id_col,
+            )
+        )
+        neg_ids = kept.select(id_col).filter(
+            hash_sample_flag(F.col(id_col), cfg.clf_negative_frac, salt="clfneg") == 1
+        )
+        ref_feats = normalized_features(
+            bucket_counts(
+                hashed_grams(
+                    clf_reference.select(
+                        (F.col(id_col) + F.lit(10**12)).alias(id_col),
+                        F.col(text_col),
+                    ),
+                    id_col,
+                    text_col,
+                ),
+                id_col,
+            ),
+            id_col,
+        )
+        train_feats = corpus_feats.join(neg_ids, id_col).unionByName(ref_feats)
+        train_labels = train_feats.select(id_col).distinct().withColumn(
+            "y", (F.col(id_col) >= 10**12).cast("int")
+        )
+        wdf, bias, _losses = train_quality_classifier(
+            train_feats, train_labels, id_col, "y", n_iters=cfg.clf_iters
+        )
+        clf_scores = _stage(
+            score_documents(corpus_feats, wdf, bias, id_col).select(
+                id_col, F.col("score").alias("__clf")
+            )
+        )
+        clf_cut = clf_scores.agg(
+            F.expr(f"percentile(__clf, {1.0 - cfg.clf_keep_frac})")
+        ).first()[0]
+        kept = _stage(
+            kept.join(
+                clf_scores.filter(F.col("__clf") >= clf_cut).select(id_col), id_col
+            )
+        )
+        report["after_classifier_gate"] = kept.count()
 
     if cfg.dsir_keep_frac is not None and dsir_target is not None:
         # DSIR selection (operators/dsir.py): keep the docs most like the

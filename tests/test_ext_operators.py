@@ -1651,6 +1651,31 @@ def test_build_training_corpus_ppl_dsir_passage_stages(spark, tmp_path):
     assert report["after_passage_dedup"] < report["after_exact_dedup"]
 
 
+def test_build_training_corpus_classifier_gate(spark, tmp_path):
+    """The discriminative quality gate inside the one-call builder
+    (GPT-3 recipe: reference positives vs a corpus sample as
+    negatives): with clf_keep_frac=0.5 roughly half the quality-kept
+    docs survive the gate, the stage count is monotone, and the stage
+    reports into the builder's log."""
+    from mongo2mysql_spark.pipelines import CorpusConfig, build_training_corpus
+    from mongo2mysql_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    ref = docs.filter("doc_id % 3 = 0")  # stands in for the curated slice
+    cfg = CorpusConfig(clf_keep_frac=0.5, clf_iters=6, seq_len=256, n_shards=2)
+    report = build_training_corpus(
+        docs, str(tmp_path / "c"), config=cfg, clf_reference=ref,
+    )
+    kept, gated = report["after_quality_filter"], report["after_classifier_gate"]
+    assert gated <= kept
+    # percentile cut keeps ~half (ties keep: >=; interpolation: small band)
+    assert abs(gated - 0.5 * kept) <= 0.1 * kept + 2, report
+    assert report["after_exact_dedup"] <= gated
+    assert report["train_docs"] + report["val_docs"] + report["test_docs"] == \
+        report["after_exact_dedup"]
+
+
 def test_ivf_quantized_prerank_matches_exact_path(spark):
     """IVF with the int8 integer-MAC pre-rank (quantized=True) must
     return the same neighbors as the plain IVF path — quantization only
