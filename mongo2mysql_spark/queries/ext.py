@@ -764,6 +764,11 @@ _CLF_NULLS = """
            CAST(NULL AS BIGINT) AS fp, CAST(NULL AS BIGINT) AS fn,
            CAST(NULL AS BOOLEAN) AS loss_ok,
            CAST(NULL AS BOOLEAN) AS planted_top"""
+_WHITEN_K = 16
+_WHITEN_NULLS = """
+           CAST(NULL AS BIGINT) AS n_vecs, CAST(NULL AS INTEGER) AS dim,
+           CAST(NULL AS BOOLEAN) AS identity_ok,
+           CAST(NULL AS BOOLEAN) AS trunc_ok"""
 
 
 @register(
@@ -773,7 +778,8 @@ _CLF_NULLS = """
            TRUE AS same_group,
            FALSE AS clone_kept,
            TRUE AS src_kept,
-           {_CLF_NULLS}
+           {_CLF_NULLS},
+           {_WHITEN_NULLS}
     FROM embeddings WHERE vec_id % {_SEM_STRIDE} = 0
     UNION ALL
     SELECT 'classifier' AS branch, CAST(NULL AS BIGINT) AS clone_id,
@@ -787,7 +793,17 @@ _CLF_NULLS = """
            (SELECT count(*) FROM documents
             WHERE doc_id % 5 = 0 AND doc_id % 2 = 0) AS tn,
            CAST(0 AS BIGINT) AS fp, CAST(0 AS BIGINT) AS fn,
-           TRUE AS loss_ok, TRUE AS planted_top
+           TRUE AS loss_ok, TRUE AS planted_top,
+           {_WHITEN_NULLS}
+    UNION ALL
+    SELECT 'whiten' AS branch, CAST(NULL AS BIGINT) AS clone_id,
+           CAST(NULL AS BOOLEAN) AS same_group,
+           CAST(NULL AS BOOLEAN) AS clone_kept,
+           CAST(NULL AS BOOLEAN) AS src_kept,
+           {_CLF_NULLS},
+           (SELECT count(*) FROM embeddings) AS n_vecs,
+           (SELECT CAST(MAX(len(embedding)) AS INTEGER) FROM embeddings) AS dim,
+           TRUE AS identity_ok, TRUE AS trunc_ok
     """,
     doc=(
         "model-based curation, tagged.  'semdedup' rows: semantic dedup "
@@ -810,7 +826,14 @@ _CLF_NULLS = """
         "above float-order noise) and asserts the loss-descent and "
         "planted-buckets-atop-the-weight-table verdicts TRUE.  No "
         "float is hashed; the keep decision is the sign of a linear "
-        "score."
+        "score.  'whiten' row: PCA whitening "
+        "(operators/projection.py, the IVF/PQ preprocessing): two "
+        "Arrow moment/matmul sweeps; the row verifies the operator's "
+        "ALGEBRA — whitened sample covariance = I and mean = 0 within "
+        "float tolerance (identity_ok), top-"
+        f"{_WHITEN_K} truncation strictly partial but substantive "
+        "variance (trunc_ok) — plus exact vector count and width; "
+        "LAPACK-derived projections themselves are never hashed."
     ),
 )
 def semdedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -838,7 +861,36 @@ def semdedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return tagged_union(
-        {"semdedup": sem, "classifier": _classifier_gate_report(spark, sf_dir)}
+        {
+            "semdedup": sem,
+            "classifier": _classifier_gate_report(spark, sf_dir),
+            "whiten": _whitening_report(spark, sf_dir),
+        }
+    )
+
+
+def _whitening_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row algebra audit of PCA whitening on the embeddings table
+    — see the registry doc above for the verification contract."""
+    from mongo2mysql_spark.operators.projection import pca_whiten
+
+    e = T(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    _, full = pca_whiten(e, "embedding")
+    _, trunc = pca_whiten(e, "embedding", k=_WHITEN_K)
+    identity_ok = (
+        full["max_abs_mean"] < 1e-6
+        and full["max_offdiag"] < 1e-3
+        and 0.99 < full["diag_lo"] <= full["diag_hi"] < 1.01
+        and full["explained_variance_ratio"] > 0.999
+    )
+    trunc_ok = (
+        trunc["k"] == _WHITEN_K
+        and 0.0 < trunc["explained_variance_ratio"] < 1.0
+        and trunc["max_offdiag"] < 1e-3
+    )
+    return spark.createDataFrame(
+        [(full["n"], full["dim"], identity_ok, trunc_ok)],
+        "n_vecs bigint, dim int, identity_ok boolean, trunc_ok boolean",
     )
 
 

@@ -1448,6 +1448,57 @@ def test_ivf_calibrate_bisects_not_scans(spark):
     assert len(set(calls)) == len(calls), calls
 
 
+def test_pca_whitening_algebra_and_recovery(spark):
+    """PCA whitening (operators/projection.py) on a synthetic
+    anisotropic cloud: whitened sample covariance is the identity and
+    the mean is 0 (the algebraic contract); truncation to k keeps the
+    high-variance directions (explained variance ≈ their share); the
+    fitted transform round-trips against a numpy reference."""
+    import numpy as np
+
+    from mongo2mysql_spark.operators.projection import (
+        embedding_moments,
+        pca_whiten,
+        project_embeddings,
+        whitening_matrix,
+    )
+
+    rng = np.random.default_rng(7)
+    # anisotropic: two dominant directions out of 8
+    scales = np.array([10.0, 5.0, 1.0, 1.0, 0.5, 0.5, 0.2, 0.2])
+    data = rng.normal(size=(400, 8)) * scales + np.arange(8)
+    df = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(data)],
+        "vec_id long, embedding array<double>",
+    ).repartition(5)
+
+    n, mean, cov = embedding_moments(df, "embedding")
+    assert n == 400
+    assert np.allclose(mean, data.mean(axis=0))
+    assert np.allclose(cov, np.cov(data.T, bias=True), atol=1e-8)
+
+    out, rep = pca_whiten(df, "embedding")
+    assert rep["max_abs_mean"] < 1e-9
+    assert rep["max_offdiag"] < 1e-6
+    assert 1 - 1e-6 < rep["diag_lo"] <= rep["diag_hi"] < 1 + 1e-6
+    assert out.columns == ["vec_id", "embedding", "whitened"]
+
+    _, rep2 = pca_whiten(df, "embedding", k=2)
+    top2 = np.sort(np.linalg.eigvalsh(cov))[::-1][:2].sum()
+    assert abs(rep2["explained_variance_ratio"] - top2 / cov.trace()) < 1e-9
+    assert rep2["k"] == 2
+
+    # transform parity with a pure-numpy application
+    w = whitening_matrix(cov, k=2)
+    got = {
+        r["vec_id"]: np.asarray(r["projected"])
+        for r in project_embeddings(df, "embedding", mean, w, "projected").collect()
+    }
+    want = (data - data.mean(axis=0)) @ w.T
+    for i in range(400):
+        assert np.allclose(got[i], want[i], atol=1e-9)
+
+
 def test_quality_classifier_learns_planted_signal(spark):
     """The distributed logistic gate (operators/classifier.py) on a
     hand-built corpus: docs carrying marker tokens are the positive
