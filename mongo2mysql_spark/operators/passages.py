@@ -282,8 +282,8 @@ def strip_passage_spans(
     keep/drop mask evaluated per token — an array ``filter`` with an
     ``exists`` probe over the doc's span list, which is pair-bounded
     and small.  Documents with no spans pass through untouched.  Adds
-    ``n_stripped_tokens`` so the pipeline can report how much text the
-    pass removed.
+    ``n_tokens_before`` / ``n_stripped_tokens`` so the pipeline can
+    report how much text the pass removed without re-tokenizing.
     """
     out_col = out_col or text_col
     per_doc = spans.groupBy(F.col("doc_a").alias(id_col)).agg(
@@ -305,6 +305,7 @@ def strip_passage_spans(
     return joined.select(
         *[c for c in df.columns if c != text_col],
         F.array_join(kept, " ").alias(out_col),
+        F.size(toks).alias("n_tokens_before"),
         (F.size(toks) - F.size(kept)).alias("n_stripped_tokens"),
     )
 

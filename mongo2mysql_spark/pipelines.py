@@ -272,9 +272,10 @@ def build_training_corpus(
         stripped = strip_passage_spans(deduped, spans, id_col, text_col)
         deduped = _stage(
             stripped.withColumn(
-                "n_tokens", F.size(tokens(F.col(text_col)))
+                "n_tokens",
+                F.col("n_tokens_before") - F.col("n_stripped_tokens"),
             ).filter(F.col("n_tokens") >= cfg.min_tokens)
-            .drop("n_stripped_tokens")
+            .drop("n_tokens_before", "n_stripped_tokens")
         )
         report["after_passage_strip"] = deduped.count()
     elif cfg.passage_dedup:

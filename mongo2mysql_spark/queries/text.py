@@ -396,20 +396,19 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stripped = strip_passage_spans(
         d.select("doc_id", "text"), spans, "doc_id", "text"
-    ).select("doc_id", F.col("n_stripped_tokens").cast("int").alias("n_stripped"))
-    strip = (
-        d.select("doc_id", F.size(tokens(F.col("text"))).alias("n_before"))
-        .join(per_doc_spans, "doc_id", "left")
-        .join(stripped, "doc_id")
-        .select(
-            "doc_id",
-            "n_before",
-            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
-            "n_stripped",
-            (F.col("n_before") - F.col("n_stripped")).alias("n_after"),
-            "span_min_start",
-            "span_max_end",
-        )
+    ).select(
+        "doc_id",
+        F.col("n_tokens_before").cast("int").alias("n_before"),
+        F.col("n_stripped_tokens").cast("int").alias("n_stripped"),
+    )
+    strip = stripped.join(per_doc_spans, "doc_id", "left").select(
+        "doc_id",
+        "n_before",
+        F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+        "n_stripped",
+        (F.col("n_before") - F.col("n_stripped")).alias("n_after"),
+        "span_min_start",
+        "span_max_end",
     )
     return tagged_union({"fps": fps, "pairs": pairs, "strip": strip})
 
