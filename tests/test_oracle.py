@@ -41,3 +41,33 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+# Oracles allowed to mention ln()/exp(): their transcendental output
+# feeds ONLY a banded verdict with huge margins, never a hashed value
+# (drift_psi: psi → stable/moderate/shifted bands at 0.1/0.25).
+_TRANSCENDENTAL_ALLOWLIST = {"drift_psi"}
+
+
+def test_no_transcendental_in_hashed_oracle_columns():
+    """The round-4 regression's standing guard: no oracle may compute a
+    hashed column from ln()/exp()/pow() — quantized transcendentals are
+    reproducible within one engine build but NOT portable across libm
+    builds, so they must enter the hash contract only as exact integer
+    precursors plus TRUE-asserted verdicts (see operators/dsir.py,
+    operators/lm.py, operators/resample.py docstrings).  New oracles
+    that genuinely need a banded transcendental verdict must be added
+    to the allowlist with the same margin argument as drift_psi."""
+    import re
+
+    offenders = {}
+    for name, q in REGISTRY.items():
+        if q.oracle is None or name in _TRANSCENDENTAL_ALLOWLIST:
+            continue
+        hits = re.findall(r"\b(ln|exp|pow|log|log2|log10)\s*\(", q.oracle)
+        if hits:
+            offenders[name] = sorted(set(hits))
+    assert not offenders, (
+        "transcendental calls in oracle SQL (hash-contract risk): "
+        f"{offenders}"
+    )

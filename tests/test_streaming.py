@@ -341,6 +341,49 @@ def test_streaming_rollup_refresh_equals_one_shot(spark, tmp_path):
     }
 
 
+def test_rollup_refresh_continuous_trigger(spark, tmp_path):
+    """The ADVICE-r4 trigger parameter: with processingTime the sink
+    runs as a LIVE continuous refresh (not a drain-and-stop catch-up).
+    The query must stay active across trigger fires, absorb the backlog
+    into the manifest store, and serve the same totals as a one-shot
+    aggregation once stopped."""
+    import time
+
+    from mongo2mysql_spark.sources.parquet import load_table
+    from mongo2mysql_spark.streaming.pipeline import stream_events
+    from mongo2mysql_spark.streaming.rollup import (
+        read_partial_store,
+        streaming_rollup_refresh,
+    )
+
+    store = str(tmp_path / "store")
+    q = streaming_rollup_refresh(
+        stream_events(spark, SF).filter(F.col("event_id") % 10 == 0),
+        store, "ts", ["event_type"], "value",
+        checkpoint_dir=str(tmp_path / "ck"),
+        trigger={"processingTime": "500 milliseconds"},
+    )
+    try:
+        want = (
+            load_table(spark, SF, "events")
+            .filter(F.col("event_id") % 10 == 0).count()
+        )
+        deadline = time.time() + 90
+        got = -1
+        while time.time() < deadline:
+            store_df = read_partial_store(spark, store)
+            if store_df is not None:
+                got = store_df.agg(F.sum("__n")).first()[0]
+                if got == want:
+                    break
+            time.sleep(1)
+        # a processingTime query keeps running after the backlog drains
+        assert q.isActive
+        assert got == want
+    finally:
+        q.stop()
+
+
 def test_rollup_store_epoch_replay_and_crash_safety(spark, tmp_path):
     """The manifest store's exactly-once contract: a replayed
     (writer, epoch) pair is a no-op (foreachBatch is at-least-once — a
