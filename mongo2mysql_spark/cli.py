@@ -92,6 +92,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="corpus: packed training-sequence length")
     p.add_argument("--n-shards", type=int, default=8,
                    help="corpus: shuffled output shard count")
+    p.add_argument("--shard-format", default="parquet",
+                   choices=("parquet", "jsonl"),
+                   help="corpus: train-shard file format")
     p.add_argument("--explain-query", default=None, metavar="NAME",
                    help="print the formatted physical plan of a registry "
                         "query (see mongo2mysql_spark.queries) against "
@@ -140,6 +143,7 @@ def _run_corpus(spark, args) -> int:
         n_merges=args.n_merges,
         seq_len=args.seq_len,
         n_shards=args.n_shards,
+        shard_format=args.shard_format,
     )
     lm_ref = (
         docs.filter(F.col("source") == args.lm_ref_source)

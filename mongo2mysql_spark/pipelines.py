@@ -65,6 +65,7 @@ class CorpusConfig:
     bpe_sample_docs: int = 200  # docs used to learn merges (vocab needs a sample)
     seq_len: int = 2048
     n_shards: int = 8
+    shard_format: str = "parquet"  # or 'jsonl' (trainer-loader streams)
     splits: tuple[float, float] = (0.8, 0.1)  # train, val (test = remainder)
     shuffle_salt: str = "shuffle"
 
@@ -351,7 +352,7 @@ def build_training_corpus(
 
     write_training_shards(
         packed, os.path.join(out_dir, "train"), id_col,
-        n_shards=cfg.n_shards, salt=cfg.shuffle_salt,
+        n_shards=cfg.n_shards, salt=cfg.shuffle_salt, fmt=cfg.shard_format,
     )
     for name in ("val", "test"):
         with_split.filter(F.col("split") == name).drop("split").write.mode(

@@ -64,6 +64,7 @@ def write_training_shards(
     n_shards: int,
     salt: str = "shuffle",
     mode: str = "overwrite",
+    fmt: str = "parquet",
 ) -> None:
     """Globally-shuffled fixed-shard training corpus write — the last
     stage of a data pipeline before the trainer reads it.
@@ -75,9 +76,15 @@ def write_training_shards(
     run-to-run, so a resumed/repeated build reproduces the exact
     training order.  The ``shuffle_rank`` column is kept in the output
     for mid-shard resume.  Cost at any scale: one narrow projection +
-    one shuffle keyed on shard."""
+    one shuffle keyed on shard.
+
+    ``fmt``: 'parquet' (analytics-friendly, default) or 'jsonl' (what
+    most trainer data loaders stream) — same layout, same ordering
+    contract either way."""
     from mongo2mysql_spark.operators.sampling import shuffle_shard
 
+    if fmt not in ("parquet", "jsonl"):
+        raise ValueError(f"unknown shard format: {fmt}")
     shard, rank = shuffle_shard(F.col(key_col), n_shards, salt)
     out = (
         df.withColumn("shard", shard)
@@ -85,7 +92,11 @@ def write_training_shards(
         .repartition(n_shards, "shard")
         .sortWithinPartitions("shard", "shuffle_rank")
     )
-    out.write.mode(mode).partitionBy("shard").parquet(path)
+    writer = out.write.mode(mode).partitionBy("shard")
+    if fmt == "parquet":
+        writer.parquet(path)
+    else:
+        writer.json(path)
 
 
 def write_clustered(

@@ -6,6 +6,7 @@ from __future__ import annotations
 import os
 import tempfile
 
+import pytest
 from pyspark.sql import functions as F
 
 from mongo2mysql_spark.sources.lake import (
@@ -256,6 +257,25 @@ def test_training_shards_shuffle(spark):
             for r in back.select("doc_id", "shard", "shuffle_rank").collect()
         }
         assert all(ours[d] == (s, r) for d, s, r in duck)
+        # jsonl variant: same layout and assignment contract, the format
+        # trainer data loaders stream
+        jpath = os.path.join(tmp, "shards_jsonl")
+        write_training_shards(
+            docs.select("doc_id", "text"), jpath, "doc_id",
+            n_shards=8, salt="s1", fmt="jsonl",
+        )
+        jback = spark.read.json(jpath)
+        assert jback.count() == n
+        assert {d for d in os.listdir(jpath) if d.startswith("shard=")} == {
+            f"shard={i}" for i in range(8)
+        }
+        jours = {
+            r["doc_id"]: (r["shard"], r["shuffle_rank"])
+            for r in jback.select("doc_id", "shard", "shuffle_rank").collect()
+        }
+        assert jours == ours
+        with pytest.raises(ValueError):
+            write_training_shards(docs, jpath, "doc_id", n_shards=8, fmt="csvish")
 
 
 def test_scd2_versioning_lifecycle(spark):
