@@ -393,8 +393,11 @@ def sql_builder_quality_count() -> str:
 def corpus_builder_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row composition audit of the one-call corpus builder.
 
-    Runs ``build_training_corpus`` with every optional stage enabled
-    against a throwaway output dir and reduces the per-stage report to
+    Runs ``build_training_corpus`` with the ppl, DSIR, passage-strip
+    and decontam gates enabled (the classifier gate has its own driver
+    row — semdedup_planted 'classifier' branch — and stays off here to
+    keep this slot's wall bounded) against a throwaway output dir and
+    reduces the per-stage report to
     (a) the two counts an external oracle can restate exactly (input,
     quality-filter survivors) and (b) boolean invariants of the
     composition.  Every verdict is computed from Spark's own
