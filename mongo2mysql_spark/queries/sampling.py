@@ -19,6 +19,7 @@ from mongo2mysql_spark.operators.sampling import (
     sql_hash_sample_flag,
     sql_hash_split,
     sql_weighted_mixture_flag,
+    stratified_fixed_n,
     weighted_mixture_flag,
 )
 
@@ -29,6 +30,8 @@ MIX_DEFAULT = 0.05
 # DSIR (operators/dsir.py): hashed-n-gram importance weighting toward a
 # target domain — 'src0' stands in for the curated corpus.
 DSIR_M, DSIR_TARGET = 4096, "src0"
+# balanced eval-slice / per-domain cap (operators/sampling.stratified_fixed_n)
+FIXED_N = 30
 from mongo2mysql_spark.queries import register
 from mongo2mysql_spark.sources import load_table as T
 
@@ -77,7 +80,16 @@ def _dsir_oracle() -> str:
              min(doc_id) AS min_doc_id,
              max(doc_id) AS max_doc_id
       FROM labeled GROUP BY split, lang),
-    {_dsir_oracle()}
+    {_dsir_oracle()},
+    fixedn AS (
+      SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               row_number() OVER (
+                 PARTITION BY lang
+                 ORDER BY md5('fixedn' || '|' || CAST(doc_id AS VARCHAR)),
+                          doc_id) AS rn
+        FROM documents)
+      WHERE rn <= {FIXED_N})
     SELECT 'strata' AS branch, split, lang, n_docs, n_sampled, n_mixed,
            sum_chars, min_doc_id, max_doc_id,
            CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS n_grams,
@@ -96,6 +108,18 @@ def _dsir_oracle() -> str:
            CAST(tt AS BIGINT) AS tt, CAST(st AS BIGINT) AS st,
            TRUE AS weight_ok
     FROM dsir, tot
+    UNION ALL
+    SELECT 'fixedn' AS branch, CAST(NULL AS VARCHAR) AS split,
+           lang, CAST(NULL AS BIGINT) AS n_docs,
+           CAST(NULL AS BIGINT) AS n_sampled, CAST(NULL AS BIGINT) AS n_mixed,
+           CAST(NULL AS BIGINT) AS sum_chars, CAST(NULL AS BIGINT) AS min_doc_id,
+           CAST(NULL AS BIGINT) AS max_doc_id,
+           doc_id, CAST(NULL AS BIGINT) AS n_grams,
+           CAST(NULL AS DECIMAL(38,0)) AS dot_tc,
+           CAST(NULL AS DECIMAL(38,0)) AS dot_sc,
+           CAST(NULL AS BIGINT) AS tt, CAST(NULL AS BIGINT) AS st,
+           CAST(NULL AS BOOLEAN) AS weight_ok
+    FROM fixedn
     """,
     doc=(
         "sampling surface, tagged: 'strata' rows audit the deterministic "
@@ -112,7 +136,13 @@ def _dsir_oracle() -> str:
         "quantized-decimal weight agrees with the free-float weight "
         "within the quantization bound (oracle asserts TRUE); the ln-"
         "derived weight itself is never hashed (r4 lesson) — one gram "
-        "explode, one broadcast join, one partial agg."
+        "explode, one broadcast join, one partial agg.  'fixedn' rows "
+        "are the balanced eval slice / per-domain hard cap "
+        f"(stratified_fixed_n: the {FIXED_N} lowest salted-md5 ranks "
+        "per language — a deterministic uniform sample of each domain, "
+        "not a LIMIT), per-document hash-verified; it runs through "
+        "operators/skew.salted_topk_per_group, so the two-phase salted "
+        "top-k skew lever sits under the driver hash gate too."
     ),
 )
 def sample_split_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -161,6 +191,9 @@ def sample_split_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratios = bucket_log_ratio(target_counts, counts, m=DSIR_M)
     tt = target_counts.agg(F.coalesce(F.sum("cnt"), F.lit(0))).first()[0]
     st = counts.agg(F.coalesce(F.sum("cnt"), F.lit(0))).first()[0]
+    fixedn = stratified_fixed_n(
+        d.select("doc_id", "lang"), ["lang"], "doc_id", n=FIXED_N
+    ).select("doc_id", "lang")
     dsir = dsir_weights(counts, ratios, id_col="doc_id").select(
         "doc_id",
         "n_grams",
@@ -175,4 +208,4 @@ def sample_split_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.col("n_grams") * 2e-6 + 1e-6
         ).alias("weight_ok"),
     )
-    return tagged_union({"strata": strata, "dsir": dsir})
+    return tagged_union({"strata": strata, "dsir": dsir, "fixedn": fixedn})
