@@ -1702,6 +1702,23 @@ def test_build_training_corpus_ppl_dsir_passage_stages(spark, tmp_path):
     assert report["after_passage_dedup"] < report["after_exact_dedup"]
 
 
+def test_build_training_corpus_survives_empty_pipeline(spark, tmp_path):
+    """Degenerate input (every doc under the token floor): all stage
+    counts report zero, packing reports zero sequences, and the builder
+    completes instead of crashing — the guard for a over-aggressive
+    filter config wiping a corpus slice."""
+    from mongo2mysql_spark.pipelines import build_training_corpus
+
+    docs = spark.createDataFrame(
+        [(i, "tiny doc") for i in range(30)], "doc_id long, text string"
+    )
+    report = build_training_corpus(docs, str(tmp_path / "c"))
+    assert report["input_docs"] == 30
+    assert report["after_quality_filter"] == 0
+    assert report["train_docs"] == report["val_docs"] == report["test_docs"] == 0
+    assert report["train_tokens"] == 0 and report["n_sequences"] == 0
+
+
 def test_build_training_corpus_classifier_gate(spark, tmp_path):
     """The discriminative quality gate inside the one-call builder
     (GPT-3 recipe: reference positives vs a corpus sample as
