@@ -46,6 +46,8 @@ from mongo2mysql_spark.sources.lake import write_training_shards
 
 @dataclass
 class CorpusConfig:
+    c4_line_clean: bool = False   # C4 line/page structural cleaning first
+    url_col: str | None = None    # with host_blocklist: drop blocked hosts
     min_quality: float = 0.3
     min_tokens: int = 20
     max_dup_fraction: float = 0.65
@@ -80,8 +82,10 @@ def build_training_corpus(
     lm_reference: DataFrame | None = None,
     dsir_target: DataFrame | None = None,
     clf_reference: DataFrame | None = None,
+    host_blocklist: DataFrame | None = None,
 ) -> dict:
-    """documents → filter → (LM-ppl gate) → (classifier gate) →
+    """documents → (host blocklist) → (C4 line clean) → filter →
+    (LM-ppl gate) → (classifier gate) →
     (DSIR select) → dedup → (near-dedup) → (passage-dedup) →
     (decontam) → split → tokenize → pack → shard write; returns the
     per-stage report dict.
@@ -107,6 +111,22 @@ def build_training_corpus(
         df.persist()
         _cached.append(df)
         return df
+
+    if host_blocklist is not None and cfg.url_col is not None:
+        # URL-level curation first (RefinedWeb §3.1): cheapest gate,
+        # runs before any text is tokenized
+        from mongo2mysql_spark.operators.urls import host_blocklist_filter
+
+        docs = _stage(host_blocklist_filter(docs, host_blocklist, cfg.url_col))
+        report["after_host_blocklist"] = docs.count()
+
+    if cfg.c4_line_clean:
+        # structural line/page cleaning before quality scoring — the
+        # C4 ordering (junk lines would otherwise skew quality stats)
+        from mongo2mysql_spark.operators.c4 import c4_keep
+
+        docs = _stage(c4_keep(docs, text_col))
+        report["after_c4_clean"] = docs.count()
 
     toks = tokens(F.col(text_col))
     scored = docs.select(

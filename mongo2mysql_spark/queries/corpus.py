@@ -171,6 +171,12 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DECONTAM_N = 8
 BENCH_STRIDE = 97  # doc_id % 97 == 0 stands in for the eval/benchmark set
+# 'bloom' branch: filter geometry (operators/bloom.py defaults) — at
+# sf0.1 the benchmark sets ~11% of the 64Ki bits, giving a real but
+# small false-positive rate, so n_bloom_hits >= exact overlap with
+# occasional strict inequality (the superset verdict has teeth)
+BLOOM_M = 1 << 16
+BLOOM_K = 3
 
 
 @register(
@@ -190,16 +196,45 @@ BENCH_STRIDE = 97  # doc_id % 97 == 0 stands in for the eval/benchmark set
     prof AS (
       SELECT e.doc_id, count(*) AS c, count(b.h) AS hits
       FROM ex e LEFT JOIN bench b ON e.h = b.h
-      GROUP BY e.doc_id)
-    SELECT d.doc_id,
+      GROUP BY e.doc_id),
+    bloompos AS (
+      SELECT DISTINCT
+             CAST('0x' || substr(md5(CAST(b.h AS VARCHAR) || '#'
+                  || CAST(j AS VARCHAR)), 1, 12) AS BIGINT) % {BLOOM_M} AS pos
+      FROM bench b, UNNEST(range(0, {BLOOM_K})) AS s(j)),
+    bprobe AS (
+      SELECT e.doc_id, e.h, count(p.pos) AS k_present
+      FROM ex e
+      CROSS JOIN UNNEST(range(0, {BLOOM_K})) AS s(j)
+      LEFT JOIN bloompos p
+        ON CAST('0x' || substr(md5(CAST(e.h AS VARCHAR) || '#'
+                || CAST(j AS VARCHAR)), 1, 12) AS BIGINT) % {BLOOM_M} = p.pos
+      GROUP BY e.doc_id, e.h),
+    bloomdoc AS (
+      SELECT doc_id,
+             count(*) FILTER (WHERE k_present = {BLOOM_K}) AS n_bloom_hits
+      FROM bprobe GROUP BY doc_id)
+    SELECT 'profile' AS branch, d.doc_id,
            coalesce(p.c, 0) AS n_shingles,
            coalesce(p.hits, 0) AS n_contaminated,
            CASE WHEN coalesce(p.c, 0) > 0
                 THEN CAST(coalesce(p.hits, 0) AS DOUBLE) / CAST(p.c AS DOUBLE)
                 ELSE 0.0 END AS contamination_frac,
-           coalesce(p.hits, 0) > 0 AS contaminated
+           coalesce(p.hits, 0) > 0 AS contaminated,
+           CAST(NULL AS BIGINT) AS n_bloom_hits,
+           CAST(NULL AS BOOLEAN) AS bloom_superset_ok
     FROM (SELECT doc_id FROM documents) d
     LEFT JOIN prof p ON d.doc_id = p.doc_id
+    UNION ALL
+    SELECT 'bloom' AS branch, d.doc_id,
+           CAST(NULL AS BIGINT) AS n_shingles,
+           CAST(NULL AS BIGINT) AS n_contaminated,
+           CAST(NULL AS DOUBLE) AS contamination_frac,
+           CAST(NULL AS BOOLEAN) AS contaminated,
+           coalesce(bd.n_bloom_hits, 0) AS n_bloom_hits,
+           TRUE AS bloom_superset_ok
+    FROM (SELECT doc_id FROM documents) d
+    LEFT JOIN bloomdoc bd ON d.doc_id = bd.doc_id
     """,
     doc=(
         "benchmark decontamination (GPT-3/Llama/Gopher-style n-gram "
@@ -210,19 +245,153 @@ BENCH_STRIDE = 97  # doc_id % 97 == 0 stands in for the eval/benchmark set
         "the benchmark's shingle-hash set is BROADCAST (eval sets are tiny "
         "next to the corpus); the corpus side is one narrow explode of "
         "48-bit integer hashes + one partially-aggregated groupBy(doc_id) — "
-        "no text on the shuffle, nothing quadratic."
+        "no text on the shuffle, nothing quadratic.  'bloom' branch: the "
+        "same membership question answered through a mergeable Bloom "
+        f"filter (operators/bloom.py, m=2^16 bits, k={BLOOM_K} md5-derived "
+        "hash functions) built from the benchmark shingles — the 100 TB "
+        "seen-set shape, where the broadcast side is m bits instead of "
+        "exact keys.  The hash verifies each document's exact "
+        "n_bloom_hits (the filter is bit-identical cross-engine) and the "
+        "oracle asserts the no-false-negative guarantee "
+        "(n_bloom_hits >= exact overlap) as a TRUE verdict."
     ),
 )
 def decontam_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mongo2mysql_spark.functions.text import shingle_hashes, tokens
+    from mongo2mysql_spark.operators.bloom import bloom_build, bloom_probe
     from mongo2mysql_spark.operators.decontam import contamination_profile
+    from mongo2mysql_spark.queries import tagged_union
 
     d = T(spark, sf_dir, "documents", fanout=True)
     bench = d.filter(F.col("doc_id") % BENCH_STRIDE == 0)
-    return contamination_profile(d, bench, n=DECONTAM_N)
+    prof = contamination_profile(d, bench, n=DECONTAM_N)
+
+    doc_sh = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(shingle_hashes(tokens(F.col("text")), DECONTAM_N))
+        ).alias("h"),
+    )
+    bench_sh = doc_sh.filter(F.col("doc_id") % BENCH_STRIDE == 0).select("h").distinct()
+    fltr = bloom_build(bench_sh, "h", m_bits=BLOOM_M, k=BLOOM_K)
+    member = bloom_probe(doc_sh, fltr, "h", m_bits=BLOOM_M, k=BLOOM_K)
+    perdoc = (
+        doc_sh.join(member, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("maybe_member"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_bloom_hits")
+        )
+    )
+    bloom_branch = (
+        d.select("doc_id")
+        .join(perdoc, "doc_id", "left")
+        .join(prof.select("doc_id", "n_contaminated"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_bloom_hits"), F.lit(0).cast("long")).alias(
+                "n_bloom_hits"
+            ),
+            (
+                F.coalesce(F.col("n_bloom_hits"), F.lit(0))
+                >= F.coalesce(F.col("n_contaminated"), F.lit(0))
+            ).alias("bloom_superset_ok"),
+        )
+    )
+    return tagged_union({"profile": prof, "bloom": bloom_branch})
 
 
 N_SHARDS = 8
 LM_REF_SOURCE = "src0"  # reference slice the bigram LM trains on
+
+# --- C4 line-cleaning branch: deterministic page synthesis ---------------
+# The corpus fixture is single-line prose with no punctuation, so the
+# 'c4' branch synthesizes a web-page-shaped copy of every document (the
+# same trick the chunk_documents 'sentences' branch uses): tokens are
+# grouped into 8-token lines, two of every three lines get terminal
+# punctuation, and doc_id-keyed boilerplate lines (javascript chrome, a
+# code line with '{', a lorem-ipsum placeholder) are planted so each C4
+# rule provably fires.  Spark and the oracle build the page from the
+# same spec, then each runs its own implementation of the rules.
+C4_LINE_TOKENS = 8
+C4_JS_LINE = "Please enable javascript to view this page."
+C4_BRACE_LINE = "if (x) { return 1; }"
+C4_LOREM_LINE = "Lorem ipsum dolor sit amet."
+
+
+def _c4_page_expr() -> F.Column:
+    """The synthesized multi-line page, as a Spark expression over
+    (doc_id, text) — mirrored verbatim by _C4_SQL_CTES."""
+    t = F.split(F.col("text"), " ")
+    n_lines = F.ceil(F.size(t) / F.lit(float(C4_LINE_TOKENS))).cast("int")
+    base = F.transform(
+        F.sequence(F.lit(0), n_lines - F.lit(1)),
+        lambda i: F.concat(
+            F.array_join(
+                F.slice(t, i * C4_LINE_TOKENS + 1, F.lit(C4_LINE_TOKENS)), " "
+            ),
+            F.when((F.col("doc_id") + i) % 3 != 0, F.lit(".")).otherwise(F.lit("")),
+        ),
+    )
+
+    def inject(mod: int, s: str) -> F.Column:
+        return F.when(F.col("doc_id") % mod == 0, F.array(F.lit(s))).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return F.array_join(
+        F.concat(
+            inject(7, C4_JS_LINE),
+            inject(11, C4_BRACE_LINE),
+            inject(13, C4_LOREM_LINE),
+            base,
+        ),
+        "\n",
+    )
+
+
+# DuckDB mirror of the synthesis + an independent restatement of the C4
+# rules (operators/c4.py defaults).  Plain string — '{' literals.
+_C4_SQL_CTES = """
+    c4t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    c4page AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0
+                  THEN ['Please enable javascript to view this page.']
+                  ELSE CAST([] AS VARCHAR[]) END
+             || CASE WHEN doc_id % 11 = 0
+                  THEN ['if (x) { return 1; }']
+                  ELSE CAST([] AS VARCHAR[]) END
+             || CASE WHEN doc_id % 13 = 0
+                  THEN ['Lorem ipsum dolor sit amet.']
+                  ELSE CAST([] AS VARCHAR[]) END
+             || list_transform(range(0, CAST(ceil(len(t) / 8.0) AS BIGINT)),
+                  i -> array_to_string(t[i * 8 + 1 : i * 8 + 8], ' ')
+                       || CASE WHEN (doc_id + i) % 3 <> 0 THEN '.' ELSE '' END)
+               AS lines
+      FROM c4t),
+    c4kept AS (
+      SELECT doc_id, lines,
+             array_to_string(lines, chr(10)) AS page,
+             list_filter(lines, l ->
+                  right(trim(l), 1) IN ('.', '!', '?', '"')
+                  AND len(string_split(trim(l), ' ')) >= 3
+                  AND NOT contains(lower(trim(l)), 'javascript')
+                  AND NOT contains(lower(trim(l)), 'cookie policy')
+                  AND NOT contains(lower(trim(l)), 'terms of use')) AS kept
+      FROM c4page),
+    c4 AS (
+      SELECT doc_id,
+             CAST(len(lines) AS INTEGER) AS n_lines,
+             CAST(len(kept) AS INTEGER) AS n_lines_kept,
+             (len(kept) >= 5
+                AND NOT contains(lower(page), 'lorem ipsum')
+                AND NOT contains(lower(page), '{')) AS page_kept,
+             CAST(length(array_to_string(kept, chr(10))) AS INTEGER) AS clean_len,
+             md5(array_to_string(kept, chr(10))) AS clean_fp
+      FROM c4kept)
+"""
 
 # one-call corpus builder (pipelines.build_training_corpus) driver
 # config: every optional gate ON (ppl cap, DSIR select, passage strip,
@@ -280,13 +449,18 @@ def _shard_oracle() -> str:
       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_transitions,
              CAST(SUM(num) AS BIGINT) AS sum_num,
              CAST(SUM(den) AS BIGINT) AS sum_den
-      FROM scored GROUP BY 1)
+      FROM scored GROUP BY 1),
+    {_C4_SQL_CTES}
     SELECT 'clean' AS branch, clean.*,
            CAST(NULL AS BIGINT) AS shard, CAST(NULL AS BIGINT) AS shuffle_rank,
            CAST(NULL AS INTEGER) AS position,
            CAST(NULL AS BIGINT) AS n_transitions,
            CAST(NULL AS BIGINT) AS sum_num, CAST(NULL AS BIGINT) AS sum_den,
-           CAST(NULL AS BOOLEAN) AS lm_ok
+           CAST(NULL AS BOOLEAN) AS lm_ok,
+           CAST(NULL AS INTEGER) AS n_lines,
+           CAST(NULL AS INTEGER) AS n_lines_kept,
+           CAST(NULL AS BOOLEAN) AS page_kept,
+           CAST(NULL AS INTEGER) AS clean_len, CAST(NULL AS VARCHAR) AS clean_fp
     FROM clean
     UNION ALL
     SELECT 'shuffle' AS branch, doc_id,
@@ -296,7 +470,11 @@ def _shard_oracle() -> str:
            shard, shuffle_rank, position,
            CAST(NULL AS BIGINT) AS n_transitions,
            CAST(NULL AS BIGINT) AS sum_num, CAST(NULL AS BIGINT) AS sum_den,
-           CAST(NULL AS BOOLEAN) AS lm_ok
+           CAST(NULL AS BOOLEAN) AS lm_ok,
+           CAST(NULL AS INTEGER) AS n_lines,
+           CAST(NULL AS INTEGER) AS n_lines_kept,
+           CAST(NULL AS BOOLEAN) AS page_kept,
+           CAST(NULL AS INTEGER) AS clean_len, CAST(NULL AS VARCHAR) AS clean_fp
     FROM sharded
     UNION ALL
     SELECT 'ppl' AS branch, doc_id,
@@ -305,8 +483,24 @@ def _shard_oracle() -> str:
            CAST(NULL AS VARCHAR) AS split,
            CAST(NULL AS BIGINT) AS shard, CAST(NULL AS BIGINT) AS shuffle_rank,
            CAST(NULL AS INTEGER) AS position,
-           n_transitions, sum_num, sum_den, TRUE AS lm_ok
+           n_transitions, sum_num, sum_den, TRUE AS lm_ok,
+           CAST(NULL AS INTEGER) AS n_lines,
+           CAST(NULL AS INTEGER) AS n_lines_kept,
+           CAST(NULL AS BOOLEAN) AS page_kept,
+           CAST(NULL AS INTEGER) AS clean_len, CAST(NULL AS VARCHAR) AS clean_fp
     FROM ppl
+    UNION ALL
+    SELECT 'c4' AS branch, doc_id,
+           CAST(NULL AS VARCHAR) AS lang_guess, CAST(NULL AS DOUBLE) AS quality,
+           CAST(NULL AS INTEGER) AS n_tokens, CAST(NULL AS DOUBLE) AS dup_frac,
+           CAST(NULL AS VARCHAR) AS split,
+           CAST(NULL AS BIGINT) AS shard, CAST(NULL AS BIGINT) AS shuffle_rank,
+           CAST(NULL AS INTEGER) AS position,
+           CAST(NULL AS BIGINT) AS n_transitions,
+           CAST(NULL AS BIGINT) AS sum_num, CAST(NULL AS BIGINT) AS sum_den,
+           CAST(NULL AS BOOLEAN) AS lm_ok,
+           n_lines, n_lines_kept, page_kept, clean_len, clean_fp
+    FROM c4
     """,
     doc=(
         "corpus preparation bookends, three branches in one tagged result.  "
@@ -330,9 +524,19 @@ def _shard_oracle() -> str:
         "ppl ≥ 1, exp(-logprob/n) ≈ ppl) that the oracle asserts TRUE "
         "— no transcendental-derived hashed column (r4 lesson); bigram "
         "join shuffles on the observed-bigram key, unigram table "
-        "broadcasts.  (The one-call corpus BUILDER composition is "
-        "driver-checked separately — etl_pipeline_e2e 'builder' branch, "
-        "corpus_builder_report below.)"
+        "broadcasts.  'c4': C4-style line-level structural cleaning "
+        "(operators/c4.py, Raffel et al. 2020 §2.2 + RefinedWeb "
+        "boilerplate rules) over a deterministically synthesized "
+        "web-page copy of each document (8-token lines, planted "
+        "javascript/brace/lorem boilerplate — see _C4_SQL_CTES): "
+        "terminal-punctuation + min-word + boilerplate line rules, "
+        "min-surviving-lines + lorem-ipsum + brace page rules; the "
+        "hash verifies per-document kept-line counts, the page verdict "
+        "and the md5 of the cleaned text, all higher-order array "
+        "expressions — narrow, no shuffle, no UDF.  (The one-call "
+        "corpus BUILDER composition is driver-checked separately — "
+        "etl_pipeline_e2e 'builder' branch, corpus_builder_report "
+        "below.)"
     ),
 )
 def corpus_clean_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -366,11 +570,23 @@ def corpus_clean_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("lm_ok"),
     )
+    from mongo2mysql_spark.operators.c4 import c4_clean
+
+    page = d.select("doc_id", _c4_page_expr().alias("text"))
+    c4 = c4_clean(page).select(
+        "doc_id",
+        "n_lines",
+        "n_lines_kept",
+        "page_kept",
+        F.length("clean_text").alias("clean_len"),
+        F.md5("clean_text").alias("clean_fp"),
+    )
     return tagged_union(
         {
             "clean": corpus_clean_pipeline(spark, sf_dir),
             "shuffle": corpus_shuffle_shards(spark, sf_dir),
             "ppl": ppl_checked,
+            "c4": c4,
         }
     )
 

@@ -60,10 +60,95 @@ def _simhash_bits_cte(bits: int = 32) -> str:
 _SIMHASH_CONCAT = " || ".join(f"b{j}" for j in range(32))
 
 
+# --- URL curation branches: deterministic URL synthesis -------------------
+# The fixture has no URL column, so the 'url_*' branches plant one per
+# document from doc_id (the text_profile_pii planted-PII trick): scheme /
+# www / host-case / trailing-slash / tracking-param / fragment variants
+# that normalize_url (operators/urls.py) must collapse.  Docs whose ids
+# agree mod 100 and share a query class collide after normalization, so
+# the dedup branch has real groups.  Spark and the oracle synthesize
+# from the same spec; each side runs its own normalization.
+def _url_expr() -> F.Column:
+    d = F.col("doc_id")
+    host = F.concat(F.lit("site"), (d % 20).cast("string"), F.lit(".example.com"))
+    return F.concat(
+        F.when(d % 2 == 0, F.lit("https://")).otherwise(F.lit("http://")),
+        F.when(d % 4 < 2, F.lit("www.")).otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.upper(host)).otherwise(host),
+        F.lit("/Articles/item"),
+        (d % 50).cast("string"),
+        F.when(d % 6 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            d % 3 == 0,
+            F.concat(F.lit("?utm_source=feed&id="), (d % 10).cast("string")),
+        )
+        .when(
+            d % 3 == 1,
+            F.concat(F.lit("?id="), (d % 10).cast("string"), F.lit("&utm_campaign=x")),
+        )
+        .otherwise(F.lit("")),
+        F.when(d % 7 == 0, F.lit("#section2")).otherwise(F.lit("")),
+    )
+
+
+_URL_SQL_CTES = r"""
+    u AS (
+      SELECT doc_id,
+        (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END)
+        || (CASE WHEN doc_id % 4 < 2 THEN 'www.' ELSE '' END)
+        || (CASE WHEN doc_id % 5 = 0
+              THEN upper('site' || CAST(doc_id % 20 AS VARCHAR) || '.example.com')
+              ELSE 'site' || CAST(doc_id % 20 AS VARCHAR) || '.example.com' END)
+        || '/Articles/item' || CAST(doc_id % 50 AS VARCHAR)
+        || (CASE WHEN doc_id % 6 = 0 THEN '/' ELSE '' END)
+        || (CASE WHEN doc_id % 3 = 0
+              THEN '?utm_source=feed&id=' || CAST(doc_id % 10 AS VARCHAR)
+              WHEN doc_id % 3 = 1
+              THEN '?id=' || CAST(doc_id % 10 AS VARCHAR) || '&utm_campaign=x'
+              ELSE '' END)
+        || (CASE WHEN doc_id % 7 = 0 THEN '#section2' ELSE '' END) AS url
+      FROM documents),
+    unorm AS (
+      SELECT doc_id,
+        regexp_replace(regexp_replace(regexp_replace(url,
+          '#.*$', ''), '^[a-zA-Z][a-zA-Z0-9+.-]*://', ''), '^www\.', '') AS s
+      FROM u),
+    uparts AS (
+      SELECT doc_id,
+             string_split(s, '?')[1] AS base,
+             CASE WHEN contains(s, '?') THEN string_split(s, '?')[2]
+                  ELSE '' END AS query
+      FROM unorm),
+    ufields AS (
+      SELECT doc_id,
+        CASE WHEN strpos(base, '/') > 0
+             THEN lower(substring(base, 1, strpos(base, '/') - 1))
+             ELSE lower(base) END AS host,
+        CASE WHEN strpos(base, '/') > 0
+             THEN regexp_replace(substring(base, strpos(base, '/'), length(base)),
+                                 '/+$', '')
+             ELSE '' END AS path,
+        list_sort(list_filter(string_split(query, '&'),
+            p -> p <> ''
+                 AND NOT starts_with(lower(string_split(p, '=')[1]), 'utm_')
+                 AND NOT list_contains(
+                       ['fbclid','gclid','msclkid','ref','mc_cid','mc_eid'],
+                       lower(string_split(p, '=')[1])))) AS params
+      FROM uparts),
+    unormed AS (
+      SELECT doc_id, host,
+             host || path ||
+             CASE WHEN len(params) > 0
+                  THEN '?' || array_to_string(params, '&') ELSE '' END AS url_norm
+      FROM ufields)
+"""
+
+
 @register(
     "dedup_exact_hashes",
     f"""
-    WITH {_simhash_bits_cte(32)}
+    WITH {_simhash_bits_cte(32)},
+    {_URL_SQL_CTES}
     SELECT 'token_set' AS method, fingerprint AS hash, doc_id, n_docs FROM (
       SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint,
              min(doc_id) AS doc_id,
@@ -81,15 +166,34 @@ _SIMHASH_CONCAT = " || ".join(f"b{j}" for j in range(32))
     SELECT 'simhash32' AS method, {_SIMHASH_CONCAT} AS hash, doc_id,
            CAST(1 AS BIGINT) AS n_docs
     FROM simbits
+    UNION ALL
+    SELECT 'url_norm' AS method, url_norm AS hash,
+           min(doc_id) AS doc_id, count(*) AS n_docs
+    FROM unormed GROUP BY url_norm
+    UNION ALL
+    SELECT 'url_host' AS method, host AS hash,
+           min(doc_id) AS doc_id, count(*) AS n_docs
+    FROM unormed GROUP BY host
+    UNION ALL
+    SELECT 'url_host_urls' AS method, host AS hash,
+           min(doc_id) AS doc_id, count(DISTINCT url_norm) AS n_docs
+    FROM unormed GROUP BY host
     """,
     doc=(
-        "exact dedup + signature surface, three hash bases in one tagged "
-        "result: token-set fingerprint (order/duplication-insensitive), raw "
-        "sha256 content hash, and the per-doc 32-bit SimHash (md5-nibble "
-        "weights).  The sha256 branch runs through dedup_exact_incremental "
-        "— two id-ordered batches against a persisted key store, the "
-        "daily-ingest shape — and must reproduce the one-shot dedup_exact "
-        "answer the oracle states (operators/dedup.py:56)."
+        "exact dedup + signature surface in one tagged result: token-set "
+        "fingerprint (order/duplication-insensitive), raw sha256 content "
+        "hash, the per-doc 32-bit SimHash (md5-nibble weights), and the "
+        "URL-curation family (operators/urls.py, RefinedWeb §3.1): "
+        "'url_norm' rows dedup a planted per-document URL after "
+        "normalization (scheme/www/fragment/tracking-param stripping, "
+        "host lowercasing, trailing-slash drop, sorted query params — "
+        "see _URL_SQL_CTES for the planted variants), 'url_host' / "
+        "'url_host_urls' rows are the host-level curation profile "
+        "(docs + distinct pages per host).  The sha256 branch runs "
+        "through dedup_exact_incremental — two id-ordered batches "
+        "against a persisted key store, the daily-ingest shape — and "
+        "must reproduce the one-shot dedup_exact answer the oracle "
+        "states (operators/dedup.py:56)."
     ),
 )
 def dedup_exact_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -129,7 +233,31 @@ def dedup_exact_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.lit(1).cast("long").alias("n_docs"),
     )
-    return fp.unionByName(ch).unionByName(sim)
+    from mongo2mysql_spark.operators.urls import host_profile, url_dedup
+
+    urls = d.select("doc_id", _url_expr().alias("url"))
+    unorm = url_dedup(urls).select(
+        F.lit("url_norm").alias("method"),
+        F.col("url_norm").alias("hash"),
+        "doc_id",
+        "n_docs",
+    )
+    hp = host_profile(urls)
+    uhost = hp.select(
+        F.lit("url_host").alias("method"), F.col("host").alias("hash"),
+        "doc_id", "n_docs",
+    )
+    uhost_urls = hp.select(
+        F.lit("url_host_urls").alias("method"), F.col("host").alias("hash"),
+        "doc_id", F.col("n_urls").alias("n_docs"),
+    )
+    return (
+        fp.unionByName(ch)
+        .unionByName(sim)
+        .unionByName(unorm)
+        .unionByName(uhost)
+        .unionByName(uhost_urls)
+    )
 
 
 def _minhash_sig_sql() -> str:

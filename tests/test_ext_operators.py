@@ -1952,3 +1952,55 @@ def test_self_repetition_spans_strip_repeated_block(spark):
     assert out[1]["n_stripped_tokens"] >= 20  # most of both repeats gone
     assert set(uniq) <= set(kept) and set(tail) <= set(kept)
     assert out[2]["n_stripped_tokens"] == 0
+
+
+def test_build_training_corpus_c4_and_blocklist_stages(spark, tmp_path):
+    """The URL host-blocklist and C4 line-clean stages compose at the
+    head of the builder: blocked hosts are gone before any text work,
+    junk pages/lines are gone before quality scoring, stage counts are
+    monotone, and the cleaned text (not the raw page) is what flows
+    into tokenize/pack."""
+    from pyspark.sql import Row
+
+    from mongo2mysql_spark.pipelines import CorpusConfig, build_training_corpus
+
+    prose = [
+        f"Sentence number {i} has plenty of words to keep around."
+        for i in range(8)
+    ]
+    good_page = "\n".join(prose)
+    junk_lines = good_page + "\nclick here now\nEnable javascript to continue browsing."
+    lorem_page = good_page + "\nLorem ipsum dolor sit amet."
+    rows = [
+        Row(doc_id=1, text=good_page, url="https://ok.com/a"),
+        Row(doc_id=2, text=junk_lines, url="https://ok.com/b"),
+        Row(doc_id=3, text=lorem_page, url="https://ok.com/c"),  # page-dropped
+        Row(doc_id=4, text=good_page + " extra", url="https://www.spam.biz/x"),
+        Row(doc_id=5, text=good_page + " more", url="http://spam.biz/y"),
+    ]
+    docs = spark.createDataFrame(rows)
+    bl = spark.createDataFrame([("spam.biz",)], "host string")
+    cfg = CorpusConfig(
+        c4_line_clean=True,
+        url_col="url",
+        min_tokens=10,
+        min_quality=0.0,
+        max_dup_fraction=1.0,  # the template prose is deliberately repetitive
+        seq_len=64,
+        n_shards=2,
+    )
+    report = build_training_corpus(
+        docs, str(tmp_path / "out"), config=cfg, host_blocklist=bl
+    )
+    assert report["input_docs"] == 5
+    assert report["after_host_blocklist"] == 3  # both spam.biz docs gone
+    assert report["after_c4_clean"] == 2  # lorem page gone
+    assert (
+        report["after_host_blocklist"]
+        >= report["after_c4_clean"]
+        >= report["after_quality_filter"]
+        >= report["after_exact_dedup"]
+    )
+    # junk lines were stripped in place before token counting: doc 2's
+    # cleaned page equals doc 1's, so exact dedup collapses them
+    assert report["after_exact_dedup"] == 1
