@@ -333,7 +333,16 @@ def _cos_sql(a: str, b: str) -> str:
       SELECT a.vec_id AS id_1, b.vec_id AS id_2,
              {_cos_sql('a.embedding', 'b.embedding')} AS cosine
       FROM embeddings a JOIN embeddings b
-        ON a.label = b.label AND a.vec_id < b.vec_id)
+        ON a.label = b.label AND a.vec_id < b.vec_id),
+    fzvals AS (
+      SELECT p_name, min(p_partkey) AS rid, count(*) AS n,
+             string_split(p_name, ' ')[2] AS blk
+      FROM part GROUP BY p_name),
+    fzpairs AS (
+      SELECT a.rid AS id_1, b.rid AS id_2,
+             levenshtein(a.p_name, b.p_name) AS d
+      FROM fzvals a JOIN fzvals b
+        ON a.blk = b.blk AND a.rid < b.rid)
     SELECT 'minhash_lsh' AS family, id_1, id_2, est_jaccard AS score FROM pairs
     UNION ALL
     SELECT 'ngram_jaccard' AS family, id_1, id_2,
@@ -345,14 +354,23 @@ def _cos_sql(a: str, b: str) -> str:
     UNION ALL
     SELECT 'embedding_cosine' AS family, id_1, id_2, cosine AS score
     FROM cos_scored WHERE cosine >= 0.3
+    UNION ALL
+    SELECT 'edit_distance' AS family, id_1, id_2, CAST(d AS DOUBLE) AS score
+    FROM fzpairs WHERE d <= 4
     """,
     doc=(
-        "near-dup candidate pairs, all three families in one tagged result: "
+        "near-dup candidate pairs, four families in one tagged result: "
         f"MinHash LSH ({BANDS} bands × {K // BANDS} rows, est-Jaccard ≥ 0.5), "
-        "exact 3-gram Jaccard (≥ 0.6) via shingle self-join, and exact-"
-        "decimal embedding cosine (≥ 0.3) within label blocks.  The MinHash "
-        "branch runs through lsh_incremental_pairs — an empty-store batch "
-        "plus a batch-vs-store batch whose union must equal the one-shot "
+        "exact 3-gram Jaccard (≥ 0.6) via shingle self-join, exact-"
+        "decimal embedding cosine (≥ 0.3) within label blocks, and "
+        "blocked Levenshtein over the DISTINCT part-name domain "
+        "(operators/dedup.fuzzy_value_pairs — the record-linkage "
+        "recipe: rows collapse to distinct values with min-id "
+        "representatives, values pair only within a blocking key "
+        "(the name's noun token), score = the exact integer edit "
+        "distance ≤ 4).  The MinHash branch runs through "
+        "lsh_incremental_pairs — an empty-store batch plus a "
+        "batch-vs-store batch whose union must equal the one-shot "
         "banding the oracle states (operators/dedup.py:186)."
     ),
 )
@@ -375,6 +393,16 @@ def dedup_pair_families(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     e = T(spark, sf_dir, "embeddings", fanout=True)
     co = embedding_neardup_pairs(e, "vec_id", "embedding", "label", min_cosine=0.3)
+    from mongo2mysql_spark.operators.dedup import fuzzy_value_pairs
+
+    part = T(spark, sf_dir, "part", fanout=True)
+    fz = fuzzy_value_pairs(
+        part,
+        "p_partkey",
+        "p_name",
+        F.element_at(F.split(F.col("p_name"), " "), 2),
+        max_dist=4,
+    ).withColumn("dist", F.col("dist").cast("double"))
 
     def fam(df: DataFrame, name: str, score: str) -> DataFrame:
         return df.select(
@@ -388,6 +416,7 @@ def dedup_pair_families(spark: SparkSession, sf_dir: str) -> DataFrame:
         fam(mh, "minhash_lsh", "est_jaccard")
         .unionByName(fam(ng, "ngram_jaccard", "jaccard"))
         .unionByName(fam(co, "embedding_cosine", "cosine"))
+        .unionByName(fam(fz, "edit_distance", "dist"))
     )
 
 

@@ -2004,3 +2004,28 @@ def test_build_training_corpus_c4_and_blocklist_stages(spark, tmp_path):
     # junk lines were stripped in place before token counting: doc 2's
     # cleaned page equals doc 1's, so exact dedup collapses them
     assert report["after_exact_dedup"] == 1
+
+
+def test_fuzzy_value_pairs_blocked_levenshtein(spark):
+    """Distinct-domain blocked edit-distance matching: misspellings of
+    the same value pair up inside their block, cross-block pairs are
+    never compared, and group sizes/representatives are exact."""
+    from pyspark.sql import Row, functions as F
+
+    from mongo2mysql_spark.operators.dedup import fuzzy_value_pairs
+
+    rows = [
+        Row(id=1, name="golden ring"),
+        Row(id=2, name="golden ring"),   # same value -> one group of 2
+        Row(id=3, name="goldan ring"),   # 1 edit away, same block (ring)
+        Row(id=4, name="golden rang"),   # different block (rang): never paired
+        Row(id=5, name="purple ring"),   # 5 edits away: beyond max_dist
+    ]
+    df = spark.createDataFrame(rows)
+    out = fuzzy_value_pairs(
+        df, "id", "name", F.element_at(F.split(F.col("name"), " "), 2), max_dist=2
+    ).collect()
+    assert len(out) == 1
+    p = out[0]
+    assert (p.id_1, p.id_2, p.dist) == (1, 3, 1)
+    assert (p.n_rows_1, p.n_rows_2) == (2, 1)
