@@ -46,6 +46,7 @@ from mongo2mysql_spark.sources.lake import write_training_shards
 
 @dataclass
 class CorpusConfig:
+    html_strip: bool = False      # HTML -> visible text before everything
     c4_line_clean: bool = False   # C4 line/page structural cleaning first
     url_col: str | None = None    # with host_blocklist: drop blocked hosts
     min_quality: float = 0.3
@@ -119,6 +120,13 @@ def build_training_corpus(
 
         docs = _stage(host_blocklist_filter(docs, host_blocklist, cfg.url_col))
         report["after_host_blocklist"] = docs.count()
+
+    if cfg.html_strip:
+        # raw-web ingestion: reduce HTML to visible text before any
+        # text statistics (a narrow projection, merges into the scan)
+        from mongo2mysql_spark.operators.html import strip_html
+
+        docs = docs.withColumn(text_col, strip_html(F.col(text_col)))
 
     if cfg.c4_line_clean:
         # structural line/page cleaning before quality scoring — the

@@ -479,6 +479,48 @@ _REP_NULLS_SQL = (
     "CAST(NULL AS BIGINT) AS ngram_total, CAST(NULL AS DOUBLE) AS top_gram_fraction"
 )
 
+_HTML_NULLS_SQL = (
+    "CAST(NULL AS VARCHAR) AS html_title, CAST(NULL AS VARCHAR) AS html_fp, "
+    "CAST(NULL AS INTEGER) AS n_chars_html"
+)
+
+# 'html' branch: deterministic page synthesis shared by both engines —
+# each document's text wrapped in an HTML page with head/script
+# machinery, entities, and a doc_id-keyed optional block; each side
+# then runs ITS OWN extractor (operators/html.py vs the RE2 chain).
+_HTML_PAGE_SQL = """
+    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+    || '</title><script>var d=' || CAST(doc_id AS VARCHAR)
+    || ';</script></head><body><h1>Doc ' || CAST(doc_id AS VARCHAR)
+    || '</h1><p>' || text || ' &amp; tail</p>'
+    || CASE WHEN doc_id % 4 = 0 THEN '<div>extra &lt;block&gt;</div>'
+            ELSE '' END
+    || '</body></html>'
+"""
+
+
+def _html_page_expr() -> F.Column:
+    d = F.col("doc_id").cast("string")
+    return F.concat(
+        F.lit("<html><head><title>Doc "), d,
+        F.lit("</title><script>var d="), d,
+        F.lit(";</script></head><body><h1>Doc "), d,
+        F.lit("</h1><p>"), F.col("text"), F.lit(" &amp; tail</p>"),
+        F.when(
+            F.col("doc_id") % 4 == 0, F.lit("<div>extra &lt;block&gt;</div>")
+        ).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+
+
+def _sql_html_exprs() -> tuple[str, str]:
+    from mongo2mysql_spark.operators.html import sql_extract_title, sql_strip_html
+
+    return sql_extract_title("page"), sql_strip_html("page")
+
+
+_SQL_HTML_TITLE, _SQL_HTML_VISIBLE = _sql_html_exprs()
+
 
 @register(
     "text_profile_pii",
@@ -502,9 +544,16 @@ _REP_NULLS_SQL = (
                    ROW_NUMBER() OVER (PARTITION BY doc_id
                                       ORDER BY c DESC, gram) AS rn
             FROM grams)
-      WHERE rn = 1)
+      WHERE rn = 1),
+    htmlsrc AS (
+      SELECT doc_id, {_HTML_PAGE_SQL} AS page FROM documents),
+    htmlx AS (
+      SELECT doc_id,
+             {_SQL_HTML_TITLE} AS html_title,
+             {_SQL_HTML_VISIBLE} AS visible
+      FROM htmlsrc)
     SELECT 'profile' AS branch, prof.*, {_PROFILE_NULLS_SQL},
-           {_REP_NULLS_SQL}
+           {_REP_NULLS_SQL}, {_HTML_NULLS_SQL}
     FROM prof
     UNION ALL
     SELECT 'pii' AS branch, doc_id, {_PII_NULLS_SQL},
@@ -513,13 +562,20 @@ _REP_NULLS_SQL = (
              AS n_emails,
            CAST(len(string_split({_pii_redacted_sql()}, '<URL>')) - 1 AS INTEGER)
              AS n_urls,
-           {_REP_NULLS_SQL}
+           {_REP_NULLS_SQL}, {_HTML_NULLS_SQL}
     FROM p
     UNION ALL
     SELECT 'repetition' AS branch, doc_id, {_PII_NULLS_SQL},
            {_PROFILE_NULLS_SQL},
-           top_gram, top_gram_count, ngram_total, top_gram_fraction
+           top_gram, top_gram_count, ngram_total, top_gram_fraction,
+           {_HTML_NULLS_SQL}
     FROM rep
+    UNION ALL
+    SELECT 'html' AS branch, doc_id, {_PII_NULLS_SQL},
+           {_PROFILE_NULLS_SQL}, {_REP_NULLS_SQL},
+           html_title, md5(visible) AS html_fp,
+           CAST(length(visible) AS INTEGER) AS n_chars_html
+    FROM htmlx
     """,
     doc=(
         "per-document text surface, two branches in one tagged result.  "
@@ -538,12 +594,20 @@ _REP_NULLS_SQL = (
         "fraction of its bigram stream it covers, keyed shuffles on "
         "(doc, gram) so hot documents spread across reducers; ties "
         "break on the lexicographically smallest gram, and the fraction "
-        "is an int-over-int IEEE division, bit-exact."
+        "is an int-over-int IEEE division, bit-exact.  'html': the "
+        "extraction stage before all of the above on real web data — "
+        "operators/html.py strips a deterministically synthesized HTML "
+        "wrapper (head/script machinery, entities, block tags) down to "
+        "visible text via a Java/RE2 shared-subset regexp chain; each "
+        "engine extracts independently and the hash compares the title, "
+        "the md5 of the visible text and its length byte-for-byte."
     ),
 )
 def text_profile_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mongo2mysql_spark.operators.repetition import top_ngram_fraction
     from mongo2mysql_spark.queries import tagged_union
+
+    from mongo2mysql_spark.operators.html import extract_title, strip_html
 
     prof = _text_profile_df(spark, sf_dir)
     pii = _pii_df(spark, sf_dir)
@@ -554,7 +618,16 @@ def text_profile_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         "toks",
         n=2,
     )
-    return tagged_union({"profile": prof, "pii": pii, "repetition": rep})
+    page = d.select("doc_id", _html_page_expr().alias("page"))
+    html = page.select(
+        "doc_id",
+        extract_title(F.col("page")).alias("html_title"),
+        F.md5(strip_html(F.col("page"))).alias("html_fp"),
+        F.length(strip_html(F.col("page"))).alias("n_chars_html"),
+    )
+    return tagged_union(
+        {"profile": prof, "pii": pii, "repetition": rep, "html": html}
+    )
 
 
 # ------------------------------------------------------------------ multimodal

@@ -1968,19 +1968,29 @@ def test_build_training_corpus_c4_and_blocklist_stages(spark, tmp_path):
         f"Sentence number {i} has plenty of words to keep around."
         for i in range(8)
     ]
-    good_page = "\n".join(prose)
-    junk_lines = good_page + "\nclick here now\nEnable javascript to continue browsing."
-    lorem_page = good_page + "\nLorem ipsum dolor sit amet."
+
+    def as_html(lines):
+        # the raw-web shape: block tags carry the line structure, plus
+        # head/script machinery that html_strip must remove
+        body = "".join(f"<p>{ln}</p>" for ln in lines)
+        return f"<html><head><script>x()</script></head><body>{body}</body></html>"
+
+    good_page = as_html(prose)
+    junk_lines = as_html(
+        prose + ["click here now", "Enable javascript to continue browsing."]
+    )
+    lorem_page = as_html(prose + ["Lorem ipsum dolor sit amet."])
     rows = [
         Row(doc_id=1, text=good_page, url="https://ok.com/a"),
         Row(doc_id=2, text=junk_lines, url="https://ok.com/b"),
         Row(doc_id=3, text=lorem_page, url="https://ok.com/c"),  # page-dropped
-        Row(doc_id=4, text=good_page + " extra", url="https://www.spam.biz/x"),
-        Row(doc_id=5, text=good_page + " more", url="http://spam.biz/y"),
+        Row(doc_id=4, text=as_html(prose + ["extra words here."]), url="https://www.spam.biz/x"),
+        Row(doc_id=5, text=as_html(prose + ["more words here."]), url="http://spam.biz/y"),
     ]
     docs = spark.createDataFrame(rows)
     bl = spark.createDataFrame([("spam.biz",)], "host string")
     cfg = CorpusConfig(
+        html_strip=True,
         c4_line_clean=True,
         url_col="url",
         min_tokens=10,
