@@ -362,3 +362,68 @@ def test_evolution_widen_is_directional():
     )
     assert widths == ["ALTER TABLE `t` MODIFY COLUMN `s` varchar(255)"]
     assert evolve_schema_sql("t", {"s": "varchar(255)"}, {"s": "varchar(50)"}) == []
+
+
+def _counting_factory(db_path, marker_dir):
+    """Picklable factory: drops one marker file per connection opened,
+    so the test can count real connection fan-in across partitions."""
+    import os
+    import sqlite3
+    import uuid
+
+    open(os.path.join(marker_dir, uuid.uuid4().hex), "w").close()
+    return sqlite3.connect(db_path, timeout=30)
+
+
+def test_upsert_max_connections_bounds_fanin(spark, tmp_path):
+    """max_connections=N coalesces before the write, so exactly N
+    connections open no matter how many input partitions — the knob
+    that keeps a 1000-task stage from opening 1000 MySQL sessions."""
+    import functools
+    import os
+    import sqlite3
+
+    from mongo2mysql_spark.sources.jdbc import write_upsert
+
+    db = str(tmp_path / "t.db")
+    marker = str(tmp_path / "conns")
+    os.makedirs(marker)
+    con = sqlite3.connect(db)
+    con.execute("CREATE TABLE t (id INTEGER PRIMARY KEY, v TEXT)")
+    con.commit()
+    con.close()
+
+    df = spark.range(0, 100, 1, 8).selectExpr("id", "CAST(id AS STRING) AS v")
+    write_upsert(
+        df,
+        "t",
+        functools.partial(_counting_factory, db, marker),
+        max_connections=2,
+        batch_size=10,
+    )
+    assert len(os.listdir(marker)) == 2  # 8 partitions -> 2 connections
+    con = sqlite3.connect(db)
+    assert con.execute("SELECT count(*), min(id), max(id) FROM t").fetchone() == (
+        100,
+        0,
+        99,
+    )
+    con.close()
+
+
+def test_list_collections_gating_without_pymongo():
+    """Collection enumeration (A1) degrades to a clear error when
+    pymongo is absent (this container), instead of an ImportError deep
+    in a job."""
+    import pytest
+
+    from mongo2mysql_spark.sources.mongodb import list_collections
+
+    try:
+        import pymongo  # noqa: F401
+
+        pytest.skip("pymongo installed; gating path not reachable")
+    except ImportError:
+        pass
+    with pytest.raises(RuntimeError, match="pymongo not installed"):
+        list_collections("mongodb://h:27017", "db")
