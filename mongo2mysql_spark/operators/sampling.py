@@ -48,6 +48,20 @@ def hash_split(key: Column, train: float = 0.8, val: float = 0.1,
     )
 
 
+def group_hash_split(group: Column, train: float = 0.8, val: float = 0.1,
+                     salt: str = "split") -> Column:
+    """Leakage-safe (group-aware) split: the split label is a function
+    of a GROUP key — host, source, author, conversation id — so every
+    row of a group lands in the same split (scikit-learn's
+    GroupShuffleSplit semantics, made deterministic).  This is the
+    standard guard against near-duplicate leakage across train/test:
+    hash-splitting by document id puts two same-site near-dups on both
+    sides of the split; hash-splitting by their group cannot.  Same
+    salted-md5 bucket primitive, so it composes with hash_split
+    (identical salt → a group's rows get the label its key would)."""
+    return hash_split(group, train, val, salt)
+
+
 def hash_sample_flag(key: Column, rate: float = 0.1, salt: str = "sample") -> Column:
     """1 if the key falls in the deterministic ``rate`` sample, else 0."""
     return F.when(_hex_bucket(key, salt) < F.lit(_threshold(rate)), 1).otherwise(0)

@@ -89,14 +89,20 @@ def _dsir_oracle() -> str:
                  ORDER BY md5('fixedn' || '|' || CAST(doc_id AS VARCHAR)),
                           doc_id) AS rn
         FROM documents)
-      WHERE rn <= {FIXED_N})
+      WHERE rn <= {FIXED_N}),
+    groupsplit AS (
+      SELECT source, {sql_hash_split("source")} AS gsplit,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+      FROM documents GROUP BY 1, 2)
     SELECT 'strata' AS branch, split, lang, n_docs, n_sampled, n_mixed,
            sum_chars, min_doc_id, max_doc_id,
            CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS n_grams,
            CAST(NULL AS DECIMAL(38,0)) AS dot_tc,
            CAST(NULL AS DECIMAL(38,0)) AS dot_sc,
            CAST(NULL AS BIGINT) AS tt, CAST(NULL AS BIGINT) AS st,
-           CAST(NULL AS BOOLEAN) AS weight_ok
+           CAST(NULL AS BOOLEAN) AS weight_ok,
+           CAST(NULL AS VARCHAR) AS source, CAST(NULL AS BOOLEAN) AS leak_free
     FROM strata
     UNION ALL
     SELECT 'dsir' AS branch, CAST(NULL AS VARCHAR) AS split,
@@ -106,7 +112,8 @@ def _dsir_oracle() -> str:
            CAST(NULL AS BIGINT) AS max_doc_id,
            doc_id, n_grams, dot_tc, dot_sc,
            CAST(tt AS BIGINT) AS tt, CAST(st AS BIGINT) AS st,
-           TRUE AS weight_ok
+           TRUE AS weight_ok,
+           CAST(NULL AS VARCHAR) AS source, CAST(NULL AS BOOLEAN) AS leak_free
     FROM dsir, tot
     UNION ALL
     SELECT 'fixedn' AS branch, CAST(NULL AS VARCHAR) AS split,
@@ -118,8 +125,21 @@ def _dsir_oracle() -> str:
            CAST(NULL AS DECIMAL(38,0)) AS dot_tc,
            CAST(NULL AS DECIMAL(38,0)) AS dot_sc,
            CAST(NULL AS BIGINT) AS tt, CAST(NULL AS BIGINT) AS st,
-           CAST(NULL AS BOOLEAN) AS weight_ok
+           CAST(NULL AS BOOLEAN) AS weight_ok,
+           CAST(NULL AS VARCHAR) AS source, CAST(NULL AS BOOLEAN) AS leak_free
     FROM fixedn
+    UNION ALL
+    SELECT 'groupsplit' AS branch, gsplit AS split,
+           CAST(NULL AS VARCHAR) AS lang, n_docs,
+           CAST(NULL AS BIGINT) AS n_sampled, CAST(NULL AS BIGINT) AS n_mixed,
+           CAST(NULL AS BIGINT) AS sum_chars, min_doc_id, max_doc_id,
+           CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS n_grams,
+           CAST(NULL AS DECIMAL(38,0)) AS dot_tc,
+           CAST(NULL AS DECIMAL(38,0)) AS dot_sc,
+           CAST(NULL AS BIGINT) AS tt, CAST(NULL AS BIGINT) AS st,
+           CAST(NULL AS BOOLEAN) AS weight_ok,
+           source, TRUE AS leak_free
+    FROM groupsplit
     """,
     doc=(
         "sampling surface, tagged: 'strata' rows audit the deterministic "
@@ -142,7 +162,14 @@ def _dsir_oracle() -> str:
         "per language — a deterministic uniform sample of each domain, "
         "not a LIMIT), per-document hash-verified; it runs through "
         "operators/skew.salted_topk_per_group, so the two-phase salted "
-        "top-k skew lever sits under the driver hash gate too."
+        "top-k skew lever sits under the driver hash gate too.  "
+        "'groupsplit' rows are the leakage-safe GROUP-aware split "
+        "(operators/sampling.group_hash_split — GroupShuffleSplit "
+        "semantics): assignment hashes the source key, so a group's "
+        "documents can never straddle train/test; Spark derives each "
+        "group's split from DOC-level labels and asserts one label per "
+        "group (leak_free, stated TRUE by the oracle), the hash pins "
+        "per-group split/counts/id-range."
     ),
 )
 def sample_split_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -208,4 +235,31 @@ def sample_split_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.col("n_grams") * 2e-6 + 1e-6
         ).alias("weight_ok"),
     )
-    return tagged_union({"strata": strata, "dsir": dsir, "fixedn": fixedn})
+    from mongo2mysql_spark.operators.sampling import group_hash_split
+
+    gs = (
+        d.select(
+            "source",
+            "doc_id",
+            group_hash_split(F.col("source")).alias("split"),
+        )
+        .groupBy("source")
+        .agg(
+            F.min("split").alias("split"),
+            F.countDistinct("split").alias("__n_labels"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .select(
+            "split",
+            "n_docs",
+            "min_doc_id",
+            "max_doc_id",
+            "source",
+            (F.col("__n_labels") == 1).alias("leak_free"),
+        )
+    )
+    return tagged_union(
+        {"strata": strata, "dsir": dsir, "fixedn": fixedn, "groupsplit": gs}
+    )

@@ -2039,3 +2039,34 @@ def test_fuzzy_value_pairs_blocked_levenshtein(spark):
     p = out[0]
     assert (p.id_1, p.id_2, p.dist) == (1, 3, 1)
     assert (p.n_rows_1, p.n_rows_2) == (2, 1)
+
+
+def test_group_hash_split_leakage_guard(spark):
+    """Group-aware split: every row of a group gets the group's label
+    (no train/test straddle), and with the same salt a group's label
+    equals what hash_split would assign its key directly."""
+    from pyspark.sql import functions as F
+
+    from mongo2mysql_spark.operators.sampling import group_hash_split, hash_split
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("host"), (F.col("id") % 37).cast("string")).alias("host"),
+    )
+    labeled = df.select(
+        "host", group_hash_split(F.col("host")).alias("s")
+    )
+    per_group = labeled.groupBy("host").agg(
+        F.countDistinct("s").alias("n"), F.min("s").alias("s")
+    )
+    assert per_group.filter("n != 1").count() == 0
+    direct = {
+        r.host: r.s
+        for r in df.select("host").distinct()
+        .select("host", hash_split(F.col("host")).alias("s")).collect()
+    }
+    for r in per_group.collect():
+        assert direct[r.host] == r.s
+    # 37 groups actually spread over the three splits
+    splits = {r.s for r in per_group.collect()}
+    assert splits == {"train", "val", "test"}
