@@ -382,14 +382,17 @@ _C4_SQL_CTES = """
                   AND NOT contains(lower(trim(l)), 'terms of use')) AS kept
       FROM c4page),
     c4 AS (
+      -- COALESCE: DuckDB's array_to_string([]) is NULL, Spark's
+      -- array_join([]) is '' — the zero-kept-lines page must hash ''
       SELECT doc_id,
              CAST(len(lines) AS INTEGER) AS n_lines,
              CAST(len(kept) AS INTEGER) AS n_lines_kept,
              (len(kept) >= 5
                 AND NOT contains(lower(page), 'lorem ipsum')
                 AND NOT contains(lower(page), '{')) AS page_kept,
-             CAST(length(array_to_string(kept, chr(10))) AS INTEGER) AS clean_len,
-             md5(array_to_string(kept, chr(10))) AS clean_fp
+             CAST(length(COALESCE(array_to_string(kept, chr(10)), ''))
+                  AS INTEGER) AS clean_len,
+             md5(COALESCE(array_to_string(kept, chr(10)), '')) AS clean_fp
       FROM c4kept)
 """
 

@@ -277,3 +277,107 @@ def compact_parquet(
 
     shutil.rmtree(backup)
     return len(parquet_files(path))
+
+
+# ------------------------------------------------- bloom file skipping
+
+
+def write_bloom_index(
+    spark: SparkSession,
+    path: str,
+    key_col: str,
+    m_bits: int = 1 << 16,
+    k: int = 3,
+) -> dict:
+    """Per-file Bloom-filter sidecar for equality-predicate file
+    skipping — the third pruning mode next to partition dirs and
+    min/max stats (Delta/Iceberg ship the same idea as per-file bloom
+    metadata): min/max stats prune RANGES but are useless for point
+    lookups on high-cardinality unclustered keys, where a tiny bloom
+    per file answers "could this file contain key X" directly.
+
+    One pass over the table: every row contributes its key's k
+    md5-derived positions (operators/bloom.bloom_position) tagged with
+    ``input_file_name()``; the distinct (file, pos) set lands in an
+    underscore-prefixed sidecar dir (``<path>/_bloom/<key>``) that
+    parquet readers ignore.  Sidecar size is bounded by
+    files × min(m, keys_per_file × k) — KBs per file at practical m.
+
+    Returns {"n_files": ..., "n_positions": ...}.
+    """
+    from mongo2mysql_spark.operators.bloom import bloom_position
+
+    df = spark.read.parquet(path).select(
+        F.input_file_name().alias("file"), F.col(key_col)
+    )
+    positions = df.select(
+        "file",
+        F.explode(
+            F.array(*[bloom_position(F.col(key_col), j, m_bits) for j in range(k)])
+        ).alias("pos"),
+    ).distinct()
+    side_dir = os.path.join(path, "_bloom", key_col)
+    positions.write.mode("overwrite").parquet(side_dir)
+    import json
+
+    meta = {
+        "m_bits": m_bits,
+        "k": k,
+        "n_files": positions.select("file").distinct().count(),
+        "n_positions": positions.count(),
+    }
+    with open(os.path.join(side_dir, "_meta.json"), "w") as fh:
+        json.dump(meta, fh)
+    return meta
+
+
+def _bloom_positions_py(value: object, k: int, m_bits: int) -> list[int]:
+    """Driver-side mirror of operators/bloom.bloom_position: md5 of
+    '<value>#<j>', first 12 hex digits, mod m.  Matches Spark's
+    CAST(value AS STRING) for ints and strings (parity-tested)."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"{value}#{j}".encode()).hexdigest()[:12], 16) % m_bits
+        for j in range(k)
+    ]
+
+
+def read_with_bloom_skip(
+    spark: SparkSession,
+    path: str,
+    key_col: str,
+    value: object,
+) -> tuple[DataFrame, dict]:
+    """Equality read ``key_col = value`` that opens only the files
+    whose bloom admits the value.  Probes the sidecar (one tiny job on
+    the (file, pos) set — never the data), reads candidate files, and
+    re-applies the exact predicate (bloom false positives are filtered
+    by the scan, never returned).  Returns (result, report) with
+    ``report = {"n_files_total", "n_files_read"}``.
+
+    No false negatives: a key present in a file always probes positive
+    (the bloom contract), so the result equals the full-scan filter.
+    """
+    import json
+
+    side_dir = os.path.join(path, "_bloom", key_col)
+    with open(os.path.join(side_dir, "_meta.json")) as fh:
+        meta = json.load(fh)
+    probes = _bloom_positions_py(value, meta["k"], meta["m_bits"])
+    side = spark.read.parquet(side_dir)
+    n_total = side.select("file").distinct().count()
+    candidates = [
+        r["file"]
+        for r in side.filter(F.col("pos").isin(probes))
+        .groupBy("file")
+        .agg(F.countDistinct("pos").alias("n"))
+        .filter(F.col("n") == len(set(probes)))
+        .collect()
+    ]
+    report = {"n_files_total": n_total, "n_files_read": len(candidates)}
+    if not candidates:
+        empty = spark.read.parquet(path).filter(F.col(key_col) == value).limit(0)
+        return empty, report
+    result = spark.read.parquet(*candidates).filter(F.col(key_col) == value)
+    return result, report

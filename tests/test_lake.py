@@ -603,3 +603,66 @@ def test_mongodb_reader_options_sample_and_pipeline_interaction():
     assert opts["sampleSize"] == "5"
     assert opts["aggregation.pipeline"] == pipeline
     assert "aggregation.pipeline" not in reader_options("mongodb://h/", "db", "c")
+
+
+def test_bloom_index_skips_files_on_point_lookup(spark, tmp_path):
+    """Bloom file skipping: a point lookup on a clustered key opens a
+    strict subset of files, returns exactly the full-scan answer, and
+    an absent key touches (almost) nothing — with zero false negatives
+    by construction."""
+    from pyspark.sql import functions as F
+
+    from mongo2mysql_spark.sources.lake import (
+        parquet_files,
+        read_with_bloom_skip,
+        write_bloom_index,
+        write_clustered,
+    )
+
+    path = str(tmp_path / "tbl")
+    df = spark.range(0, 2000).select(
+        F.col("id"), (F.col("id") % 100).alias("k"), (F.col("id") * 7).alias("v")
+    )
+    # cluster on k so each key lands in few files
+    write_clustered(df, path, ["k"], num_files=8)
+    n_files = len(parquet_files(path))
+    assert n_files >= 4
+
+    meta = write_bloom_index(spark, path, "k")
+    assert meta["n_files"] == n_files
+
+    # sidecar must be invisible to plain readers
+    assert spark.read.parquet(path).count() == 2000
+
+    got, report = read_with_bloom_skip(spark, path, "k", 42)
+    expect = sorted(r.id for r in df.filter("k = 42").collect())
+    assert sorted(r.id for r in got.collect()) == expect
+    assert report["n_files_total"] == n_files
+    assert 1 <= report["n_files_read"] < n_files
+
+    # absent key: no false negatives to worry about, near-zero reads
+    got2, report2 = read_with_bloom_skip(spark, path, "k", 12345)
+    assert got2.count() == 0
+    assert report2["n_files_read"] <= 1  # FP allowance
+
+
+def test_bloom_index_python_probe_parity(spark):
+    """The driver-side probe hash must equal the Spark-side position
+    expression for int and string keys — the no-false-negative
+    guarantee rides on this."""
+    from pyspark.sql import functions as F
+
+    from mongo2mysql_spark.operators.bloom import bloom_position
+    from mongo2mysql_spark.sources.lake import _bloom_positions_py
+
+    m, k = 1 << 16, 3
+    vals = [0, 42, 999999, "site3.example.com", "a b c"]
+    df = spark.createDataFrame([(str(v),) for v in vals], "x string")
+    spark_pos = df.select(
+        "x", *[bloom_position(F.col("x"), j, m).alias(f"p{j}") for j in range(k)]
+    ).collect()
+    for row in spark_pos:
+        v = row.x
+        # int-typed keys stringify identically on both sides
+        expected = _bloom_positions_py(v, k, m)
+        assert [row.p0, row.p1, row.p2] == expected
