@@ -198,6 +198,9 @@ PII_PATTERNS = (
     (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     # requires a separator char inside, so bare digit runs fall to <NUM>
     (r"\+?\d[\d().-]*[\s().-][\d\s().-]{4,}\d", "<PHONE>"),
+    # card-LENGTH digit runs get the typed placeholder (a regex cannot
+    # check Luhn — luhn_valid below is the validating detector)
+    (r"\b\d{13,19}\b", "<CARD>"),
     (r"\b\d{6,}\b", "<NUM>"),
 )
 
@@ -239,3 +242,44 @@ def redact_pii(text: Column) -> Column:
     for pattern, token in PII_PATTERNS:
         out = F.regexp_replace(out, pattern, token)
     return out
+
+
+def luhn_valid(digits: Column) -> Column:
+    """Luhn check (ISO/IEC 7812 mod-10) over a digit string — the
+    validator that separates real card numbers from arbitrary
+    card-length digit runs (PII_PATTERNS can only match the SHAPE).
+    From the right: every second digit doubles, doubles above 9 drop 9,
+    the total must be ≡ 0 mod 10.  Pure array expression
+    (sequence/transform/aggregate) — codegen, no UDF; `sql_luhn` is the
+    DuckDB mirror (bit-exact: all-integer)."""
+    rev = F.reverse(digits)
+    terms = F.transform(
+        F.sequence(F.lit(1), F.length(digits)),
+        lambda i: F.when(
+            i % 2 == 0,
+            F.substring(rev, i, F.lit(1)).cast("int") * 2
+            - F.when(F.substring(rev, i, F.lit(1)).cast("int") > 4, 9).otherwise(0),
+        ).otherwise(F.substring(rev, i, F.lit(1)).cast("int")),
+    )
+    total = F.aggregate(terms, F.lit(0), lambda acc, x: acc + x)
+    return (F.length(digits) > 0) & (total % 10 == 0)
+
+
+def sql_luhn(expr: str) -> str:
+    """DuckDB restatement of ``luhn_valid`` over SQL expression ``expr``."""
+    d = f"CAST(substring(reverse({expr}), i, 1) AS INT)"
+    return (
+        f"(length({expr}) > 0 AND "
+        f"list_sum(list_transform(range(1, length({expr}) + 1), i -> "
+        f"CASE WHEN i % 2 = 0 THEN {d} * 2 - CASE WHEN {d} > 4 THEN 9 ELSE 0 END "
+        f"ELSE {d} END)) % 10 = 0)"
+    )
+
+
+def count_valid_cards(text: Column) -> Column:
+    """Number of card-shaped digit runs in ``text`` that PASS the Luhn
+    check — the validating side of the <CARD> scrub (detection runs on
+    the raw text; redaction is shape-based).  One regexp extraction +
+    one array filter, no UDF."""
+    runs = F.regexp_extract_all(text, F.lit(r"\b(\d{13,19})\b"), F.lit(1))
+    return F.size(F.filter(runs, luhn_valid))

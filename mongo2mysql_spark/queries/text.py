@@ -422,6 +422,11 @@ def _pii_planted_sql() -> str:
         " || '@example.com id ' || CAST(100000 + doc_id AS VARCHAR)"
         " || ' call +1 (555) 010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
         " || ' via https://example.com/u/' || CAST(doc_id AS VARCHAR) || ' now'"
+        # card-shaped digit runs: one VALID Luhn number, one off-by-one
+        # INVALID — the Luhn detector must count 1 / 0 / 0
+        " || CASE WHEN doc_id % 3 = 0 THEN ' pay 4111111111111111 ok'"
+        "         WHEN doc_id % 3 = 1 THEN ' pay 4111111111111112 ok'"
+        "         ELSE '' END"
     )
 
 
@@ -434,8 +439,18 @@ def _pii_redacted_sql() -> str:
     return out
 
 
+def _sql_n_cards() -> str:
+    """DuckDB mirror of functions/text.count_valid_cards over `planted`."""
+    from mongo2mysql_spark.functions.text import sql_luhn
+
+    runs = r"regexp_extract_all(planted, '\b(\d{13,19})\b', 1)"
+    return (
+        f"CAST(len(list_filter({runs}, x -> {sql_luhn('x')})) AS INTEGER)"
+    )
+
+
 def _pii_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from mongo2mysql_spark.functions.text import redact_pii
+    from mongo2mysql_spark.functions.text import count_valid_cards, redact_pii
 
     d = T(spark, sf_dir, "documents", fanout=True)
     planted = F.concat(
@@ -449,6 +464,9 @@ def _pii_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(" via https://example.com/u/"),
         F.col("doc_id").cast("string"),
         F.lit(" now"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(" pay 4111111111111111 ok"))
+        .when(F.col("doc_id") % 3 == 1, F.lit(" pay 4111111111111112 ok"))
+        .otherwise(F.lit("")),
     )
     redacted = redact_pii(planted)
     return d.select(
@@ -456,6 +474,7 @@ def _pii_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         redacted.alias("redacted"),
         (F.size(F.split(redacted, "<EMAIL>", -1)) - 1).alias("n_emails"),
         (F.size(F.split(redacted, "<URL>", -1)) - 1).alias("n_urls"),
+        count_valid_cards(planted).alias("n_cards"),
     )
 
 
@@ -463,7 +482,8 @@ _RATIO_LANGS = sorted(STOPWORDS)
 _PROFILE_NULLS_SQL = """
            CAST(NULL AS VARCHAR) AS redacted,
            CAST(NULL AS INTEGER) AS n_emails,
-           CAST(NULL AS INTEGER) AS n_urls"""
+           CAST(NULL AS INTEGER) AS n_urls,
+           CAST(NULL AS INTEGER) AS n_cards"""
 _PII_NULLS_SQL = (
     "CAST(NULL AS VARCHAR) AS lang, CAST(NULL AS INTEGER) AS n_tokens, "
     "CAST(NULL AS INTEGER) AS n_bpe_tokens, CAST(NULL AS INTEGER) AS n_unique, "
@@ -562,6 +582,7 @@ _SQL_HTML_TITLE, _SQL_HTML_VISIBLE = _sql_html_exprs()
              AS n_emails,
            CAST(len(string_split({_pii_redacted_sql()}, '<URL>')) - 1 AS INTEGER)
              AS n_urls,
+           {_sql_n_cards()} AS n_cards,
            {_REP_NULLS_SQL}, {_HTML_NULLS_SQL}
     FROM p
     UNION ALL

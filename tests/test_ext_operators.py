@@ -2070,3 +2070,46 @@ def test_group_hash_split_leakage_guard(spark):
     # 37 groups actually spread over the three splits
     splits = {r.s for r in per_group.collect()}
     assert splits == {"train", "val", "test"}
+
+
+def test_luhn_card_detection_and_redaction(spark):
+    """Luhn validation separates real card numbers from card-shaped
+    runs; <CARD> redaction is shape-based and ordered before <NUM>;
+    Spark and DuckDB agree on the validator."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from mongo2mysql_spark.functions.text import (
+        count_valid_cards,
+        luhn_valid,
+        redact_pii,
+        sql_luhn,
+    )
+
+    cases = {
+        "4111111111111111": True,   # classic Visa test number
+        "4111111111111112": False,  # off-by-one check digit
+        "79927398713": True,        # the textbook Luhn example
+        "79927398710": False,
+        "5555555555554444": True,
+    }
+    df = spark.createDataFrame([(k,) for k in cases], "s string")
+    got = {r.s: r.ok for r in df.select("s", luhn_valid(F.col("s")).alias("ok")).collect()}
+    assert got == cases
+    con = duckdb.connect()
+    for s, want in cases.items():
+        assert (
+            con.execute(
+                f"SELECT {sql_luhn('s')} FROM (SELECT ? AS s)", [s]
+            ).fetchone()[0]
+            == want
+        )
+
+    text = "pay 4111111111111111 not 4111111111111112 id 123456 x"
+    tdf = spark.createDataFrame([(text,)], "t string")
+    row = tdf.select(
+        count_valid_cards(F.col("t")).alias("n"),
+        redact_pii(F.col("t")).alias("red"),
+    ).collect()[0]
+    assert row.n == 1  # only the Luhn-valid run counts
+    assert row.red == "pay <CARD> not <CARD> id <NUM> x"
