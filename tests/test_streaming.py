@@ -441,3 +441,54 @@ def test_rollup_store_epoch_replay_and_crash_safety(spark, tmp_path):
     assert rollup_levels_from_partials(
         read_partial_store(spark, store), ["event_type"]
     ).count() > 0
+
+
+def test_streaming_bloom_seenset_equals_batch_build(spark, tmp_path):
+    """Streaming Bloom seen-set maintenance: two stream runs over
+    disjoint halves of the events keys must leave the manifest store
+    holding EXACTLY the filter a one-shot bloom_build produces over all
+    keys; a same-checkpoint replay changes nothing (union idempotence +
+    epoch guard)."""
+    from mongo2mysql_spark.operators.bloom import bloom_build
+    from mongo2mysql_spark.streaming.pipeline import stream_events
+    from mongo2mysql_spark.streaming.seenset import (
+        read_bloom_store,
+        streaming_bloom_refresh,
+    )
+
+    store = str(tmp_path / "bloom")
+    for half, ck in ((0, "ck0"), (1, "ck1")):
+        q = streaming_bloom_refresh(
+            stream_events(spark, SF)
+            .filter(F.col("event_id") % 2 == half)
+            .select(F.col("user_id").alias("k")),
+            store,
+            "k",
+            checkpoint_dir=str(tmp_path / ck),
+        )
+        q.awaitTermination(120)
+
+    served = {r.pos for r in read_bloom_store(spark, store).collect()}
+    batch = {
+        r.pos
+        for r in bloom_build(
+            stream_events(spark, SF).sparkSession.read.parquet(  # batch read
+                f"{SF}/events.parquet"
+            ).select(F.col("user_id").alias("k")),
+            "k",
+        ).collect()
+    }
+    assert served == batch and len(served) > 0
+
+    # replay half 1 from the same checkpoint: store must not change
+    q = streaming_bloom_refresh(
+        stream_events(spark, SF)
+        .filter(F.col("event_id") % 2 == 1)
+        .select(F.col("user_id").alias("k")),
+        store,
+        "k",
+        checkpoint_dir=str(tmp_path / "ck1"),
+    )
+    q.awaitTermination(120)
+    again = {r.pos for r in read_bloom_store(spark, store).collect()}
+    assert again == batch
