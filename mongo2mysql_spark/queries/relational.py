@@ -492,33 +492,37 @@ def join_outer_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "join_coverage",
-    """
+    f"""
     SELECT 'left' AS side, o_orderkey AS key, o_custkey AS v1,
-           CAST(NULL AS BIGINT) AS v2, c_name AS label
+           CAST(NULL AS BIGINT) AS v2, c_name AS label,
+           CAST(NULL AS DOUBLE) AS amount
     FROM orders LEFT JOIN customer ON o_custkey = c_custkey
     WHERE o_orderkey % 100 = 0
     UNION ALL
     SELECT 'full' AS side, CAST(n_nationkey AS BIGINT) AS key, cn AS v1,
-           sn AS v2, n_name AS label
+           sn AS v2, n_name AS label, CAST(NULL AS DOUBLE) AS amount
     FROM (SELECT c_nationkey AS ck, COUNT(*) AS cn FROM customer GROUP BY 1) c
     FULL OUTER JOIN (SELECT s_nationkey AS sk, COUNT(*) AS sn FROM supplier GROUP BY 1) s
       ON c.ck = s.sk
     JOIN nation ON n_nationkey = COALESCE(c.ck, s.sk)
     UNION ALL
     SELECT 'semi' AS side, c_custkey AS key, CAST(NULL AS BIGINT) AS v1,
-           CAST(NULL AS BIGINT) AS v2, c_name AS label
+           CAST(NULL AS BIGINT) AS v2, c_name AS label,
+           CAST(NULL AS DOUBLE) AS amount
     FROM customer c
     WHERE EXISTS (SELECT 1 FROM orders o
                   WHERE o.o_custkey = c.c_custkey
                     AND o.o_orderpriority = '1-URGENT')
     UNION ALL
     SELECT 'anti' AS side, p_partkey AS key, CAST(NULL AS BIGINT) AS v1,
-           CAST(NULL AS BIGINT) AS v2, p_name AS label
+           CAST(NULL AS BIGINT) AS v2, p_name AS label,
+           CAST(NULL AS DOUBLE) AS amount
     FROM part p
     WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
     UNION ALL
     SELECT 'q4' AS side, order_count AS key, CAST(NULL AS BIGINT) AS v1,
-           CAST(NULL AS BIGINT) AS v2, o_orderpriority AS label
+           CAST(NULL AS BIGINT) AS v2, o_orderpriority AS label,
+           CAST(NULL AS DOUBLE) AS amount
     FROM (
       SELECT o_orderpriority, COUNT(*) AS order_count
       FROM orders o
@@ -528,15 +532,31 @@ def join_outer_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
                     WHERE l.l_orderkey = o.o_orderkey
                       AND l.l_shipdate > o.o_orderdate)
       GROUP BY o_orderpriority)
+    UNION ALL
+    SELECT 'q19' AS side, CAST(COUNT(*) AS BIGINT) AS key,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS v1,
+           CAST(NULL AS BIGINT) AS v2, 'q19' AS label,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS amount
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 5 AND 25
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 40
+           AND l_quantity BETWEEN 20 AND 30)
     """,
     doc=(
-        "join polarities + existence joins, five branches in one result "
+        "join polarities + existence joins, six branches in one result "
         "tagged by side: left outer (fact rows preserved without a "
         "dimension match), full outer (two aggregates reconciled against "
         "the broadcast dimension), left-semi (EXISTS — customers with "
         "urgent orders), left-anti (NOT EXISTS — parts never ordered), "
-        "and TPC-H Q4 (correlated inequality EXISTS + grouped count, "
-        "count carried as key)."
+        "TPC-H Q4 (correlated inequality EXISTS + grouped count, count "
+        "carried as key), and TPC-H Q19 (disjunctive OR-of-ANDs join "
+        "predicate mixing both sides — the classic pushdown stressor: "
+        "Catalyst must still extract the per-side disjunction so the "
+        "part/lineitem scans prefilter before the join; revenue via the "
+        "exact-decimal dsum)."
     ),
 )
 def join_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -544,25 +564,64 @@ def join_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = T(spark, sf_dir, "customer")
     o = T(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
     nulls = [F.lit(None).cast("long").alias("v1"), F.lit(None).cast("long").alias("v2")]
+    namount = F.lit(None).cast("double").alias("amount")
     semi = (
         c.join(o, c.c_custkey == o.o_custkey, "left_semi")
         .select(F.lit("semi").alias("side"), F.col("c_custkey").alias("key"),
-                *nulls, F.col("c_name").alias("label"))
+                *nulls, F.col("c_name").alias("label"), namount)
     )
     p = T(spark, sf_dir, "part")
     li = Tf(spark, sf_dir, "lineitem")
     anti = (
         p.join(li, p.p_partkey == li.l_partkey, "left_anti")
         .select(F.lit("anti").alias("side"), F.col("p_partkey").alias("key"),
-                *nulls, F.col("p_name").alias("label"))
+                *nulls, F.col("p_name").alias("label"), namount)
     )
     q4 = q4_order_priority(spark, sf_dir).select(
         F.lit("q4").alias("side"),
         F.col("order_count").alias("key"),
         *nulls,
         F.col("o_orderpriority").alias("label"),
+        namount,
     )
-    return outer.unionByName(semi).unionByName(anti).unionByName(q4)
+
+    def arm(brand: str, size_lo: int, size_hi: int, q_lo: int, q_hi: int):
+        return (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(size_lo, size_hi)
+            & F.col("l_quantity").between(q_lo, q_hi)
+        )
+
+    q19 = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .filter(
+            arm("Brand#12", 1, 15, 1, 11)
+            | arm("Brand#23", 5, 25, 10, 20)
+            | arm("Brand#3", 10, 40, 20, 30)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("key"),
+            F.countDistinct("l_partkey").alias("v1"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "amount"
+            ),
+        )
+        .select(
+            F.lit("q19").alias("side"),
+            "key",
+            "v1",
+            F.lit(None).cast("long").alias("v2"),
+            F.lit("q19").alias("label"),
+            "amount",
+        )
+    )
+    return (
+        outer.withColumn("amount", F.lit(None).cast("double"))
+        .unionByName(semi)
+        .unionByName(anti)
+        .unionByName(q4)
+        .unionByName(q19)
+    )
 
 
 @register(

@@ -388,3 +388,19 @@ def test_new_operator_plans_have_no_cartesian_or_global_window(spark):
 
     anomaly_plan = frames["anomaly"]._jdf.queryExecution().executedPlan().toString()
     assert anomaly_plan.count("Exchange") == 1, anomaly_plan
+
+
+def test_q19_disjunction_prefilters_both_sides(spark):
+    """TPC-H Q19 shape: the OR-of-ANDs join predicate mixes columns of
+    both tables, but Catalyst must still extract each side's implied
+    disjunction (CNF conversion) so part AND lineitem prefilter BEFORE
+    the join — without it the join processes both full tables."""
+    df = REGISTRY["join_coverage"].fn(spark, SF_DIR).filter("side = 'q19'")
+    plan = optimized_plan(df)
+    below_join = plan.split("Join Inner", 1)[-1]
+    # part side: brand disjunction pushed below the join
+    assert "Brand#12" in below_join and "p_size" in below_join
+    # lineitem side: quantity disjunction pushed below the join
+    assert "l_quantity" in below_join
+    # and no cartesian anywhere
+    assert "Cartesian" not in physical_plan(df)
