@@ -283,3 +283,86 @@ def count_valid_cards(text: Column) -> Column:
     one array filter, no UDF."""
     runs = F.regexp_extract_all(text, F.lit(r"\b(\d{13,19})\b"), F.lit(1))
     return F.size(F.filter(runs, luhn_valid))
+
+
+# Gopher / MassiveText document-quality rules (Rae et al. 2021,
+# Appendix A1.1) — the published heuristic battery nearly every later
+# pipeline (RefinedWeb, Dolma, FineWeb) re-implements.  The stop-word
+# arm uses Gopher's own 8-word list (distinct from the language-ID
+# STOPWORDS above).
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_flags(
+    toks: Column,
+    text: Column,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_len: float = 3.0,
+    max_mean_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_frac: float = 0.8,
+    min_stopwords: int = 2,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+) -> dict[str, Column]:
+    """The Gopher rules as named boolean columns (TRUE = passes), each
+    a pure array/string expression — narrow, codegen, no UDF, and
+    restatable in DuckDB term for term (queries/text.py oracle):
+
+    - g_words:    min_words <= word count <= max_words
+    - g_mean_len: mean word length within [min_mean_len, max_mean_len]
+    - g_symbol:   ('#' + '...') occurrences / words <= max_symbol_ratio
+    - g_alpha:    >= min_alpha_frac of words contain a letter
+    - g_stop:     >= min_stopwords DISTINCT Gopher stop words present
+    - g_bullet:   <= max_bullet_frac of lines start with a bullet
+    - g_ellipsis: <= max_ellipsis_frac of lines end with an ellipsis
+
+    ``gopher_keep`` (below) is the conjunction.  Ratios are int/int
+    IEEE divisions — bit-exact cross-engine.
+    """
+    n = F.size(toks)
+    nd = F.greatest(n, F.lit(1)).cast("double")
+    hash_count = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    dots_count = (
+        F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))
+    ) / 3
+    alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(toks), F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+        )
+    )
+    lines = F.split(text, "\n")
+    nl = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    bullets = F.size(
+        F.filter(
+            lines,
+            lambda l: F.substring(F.ltrim(l), 1, 1).isin("•", "-", "*"),
+        )
+    )
+    ellipsis = F.size(
+        F.filter(
+            lines,
+            lambda l: F.rtrim(l).endswith("...") | F.rtrim(l).endswith("…"),
+        )
+    )
+    return {
+        "g_words": (n >= min_words) & (n <= max_words),
+        "g_mean_len": mean_token_length(toks).between(min_mean_len, max_mean_len),
+        "g_symbol": ((hash_count + dots_count) / nd) <= max_symbol_ratio,
+        "g_alpha": (alpha.cast("double") / nd) >= min_alpha_frac,
+        "g_stop": stop_hits >= min_stopwords,
+        "g_bullet": (bullets.cast("double") / nl) <= max_bullet_frac,
+        "g_ellipsis": (ellipsis.cast("double") / nl) <= max_ellipsis_frac,
+    }
+
+
+def gopher_keep(toks: Column, text: Column, **kwargs) -> Column:
+    """Conjunction of every Gopher flag — the document passes the full
+    published battery."""
+    flags = gopher_flags(toks, text, **kwargs)
+    out = F.lit(True)
+    for c in flags.values():
+        out = out & c
+    return out

@@ -45,6 +45,53 @@ def sql_lang_guess(t: str = "t") -> str:
     return f"list_sort([{structs}])[1].l"
 
 
+def _gopher_sql() -> str:
+    """DuckDB restatement of functions/text.gopher_flags (defaults) over
+    the (doc_id, lang, text, t) profile subquery."""
+    from mongo2mysql_spark.functions.text import GOPHER_STOPWORDS
+
+    stop_list = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    mean_len = (
+        "(CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)"
+        " / GREATEST(len(t), 1))"
+    )
+    nd = "CAST(GREATEST(len(t), 1) AS DOUBLE)"
+    symbols = (
+        "((length(text) - length(replace(text, '#', '')))"
+        " + (length(text) - length(replace(text, '...', ''))) / 3)"
+    )
+    lines = "string_split(text, chr(10))"
+    nl = f"CAST(GREATEST(len({lines}), 1) AS DOUBLE)"
+    flags = {
+        "g_words": "len(t) BETWEEN 50 AND 100000",
+        "g_mean_len": f"{mean_len} BETWEEN 3.0 AND 10.0",
+        "g_symbol": f"({symbols} / {nd}) <= 0.1",
+        "g_alpha": (
+            "(CAST(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]')))"
+            f" AS DOUBLE) / {nd}) >= 0.8"
+        ),
+        # min_stopwords=1 here (not the published 2): the synthetic
+        # vocabulary carries only 'the' from Gopher's list, so the
+        # driver row needs the lower threshold to have discriminating
+        # signal (76% of docs pass at 1; 0% would pass at 2)
+        "g_stop": (
+            f"len(list_intersect(list_distinct(t), [{stop_list}])) >= 1"
+        ),
+        "g_bullet": (
+            f"(CAST(len(list_filter({lines}, l -> substring(ltrim(l), 1, 1)"
+            f" IN ('•', '-', '*'))) AS DOUBLE) / {nl}) <= 0.9"
+        ),
+        "g_ellipsis": (
+            f"(CAST(len(list_filter({lines}, l -> ends_with(rtrim(l), '...')"
+            f" OR ends_with(rtrim(l), '…'))) AS DOUBLE) / {nl}) <= 0.3"
+        ),
+    }
+    parts = [f"({sql}) AS {name}" for name, sql in flags.items()]
+    conj = " AND ".join(f"({sql})" for sql in flags.values())
+    parts.append(f"({conj}) AS g_keep")
+    return ",\n           ".join(parts)
+
+
 def _profile_sql() -> str:
     ratios = ",\n           ".join(
         f"CAST({_sql_lang_hits(lang)} AS DOUBLE) / GREATEST(len(t), 1) AS ratio_{lang}"
@@ -63,14 +110,18 @@ def _profile_sql() -> str:
            CAST(length(text) AS INTEGER) AS n_chars_actual,
            {sql_quality()} AS quality,
            {ratios},
-           {sql_lang_guess()} AS lang_guess
+           {sql_lang_guess()} AS lang_guess,
+           {_gopher_sql()}
     FROM (SELECT doc_id, lang, text, string_split(text, ' ') AS t FROM documents)
     """
 
 
 def _text_profile_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mongo2mysql_spark.functions.text import gopher_flags, gopher_keep
+
     d = T(spark, sf_dir, "documents", fanout=True)
     t = tokens(F.col("text"))
+    flags = gopher_flags(t, F.col("text"), min_stopwords=1)
     return d.select(
         "doc_id",
         "lang",
@@ -82,6 +133,8 @@ def _text_profile_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_score(t, F.col("text")).alias("quality"),
         *[stopword_ratio(t, lang).alias(f"ratio_{lang}") for lang in sorted(STOPWORDS)],
         lang_guess(t).alias("lang_guess"),
+        *[c.alias(name) for name, c in flags.items()],
+        gopher_keep(t, F.col("text"), min_stopwords=1).alias("g_keep"),
     )
 
 
@@ -490,7 +543,14 @@ _PII_NULLS_SQL = (
     "CAST(NULL AS DOUBLE) AS mean_token_len, CAST(NULL AS INTEGER) AS n_chars_actual, "
     "CAST(NULL AS DOUBLE) AS quality, "
     + ", ".join(f"CAST(NULL AS DOUBLE) AS ratio_{lang}" for lang in _RATIO_LANGS)
-    + ", CAST(NULL AS VARCHAR) AS lang_guess"
+    + ", CAST(NULL AS VARCHAR) AS lang_guess, "
+    + ", ".join(
+        f"CAST(NULL AS BOOLEAN) AS {g}"
+        for g in (
+            "g_words", "g_mean_len", "g_symbol", "g_alpha",
+            "g_stop", "g_bullet", "g_ellipsis", "g_keep",
+        )
+    )
 )
 
 
@@ -603,7 +663,11 @@ _SQL_HTML_TITLE, _SQL_HTML_VISIBLE = _sql_html_exprs()
         "'profile': token/distinct counts, BPE-ish token count (GPT-2 "
         "split regex), mean token length, the length-band + lexical-"
         "diversity − punctuation-noise quality heuristic, per-language "
-        "stopword-hit ratios, and the language-ID argmax — all narrow "
+        "stopword-hit ratios, the language-ID argmax, and the FULL "
+        "Gopher rule battery (functions/text.gopher_flags, Rae et al. "
+        "2021 A1.1) as 8 hashed per-document booleans (min_stopwords=1 "
+        "here — the synthetic vocabulary carries only 'the' from "
+        "Gopher's stop list) — all narrow "
         "expressions, a single scan at 100 TB.  'pii': the corpus-release "
         "scrub — URLs, emails, phone-shaped and long digit runs replaced "
         "with typed placeholders (ordered, lookahead-free regexes in the "

@@ -2113,3 +2113,42 @@ def test_luhn_card_detection_and_redaction(spark):
     ).collect()[0]
     assert row.n == 1  # only the Luhn-valid run counts
     assert row.red == "pay <CARD> not <CARD> id <NUM> x"
+
+
+def test_gopher_quality_flags(spark):
+    """Each Gopher rule (Rae et al. 2021 A1.1) fires on a document
+    crafted to violate exactly it, and a normal document passes all."""
+    from pyspark.sql import Row, functions as F
+
+    from mongo2mysql_spark.functions.text import gopher_flags, tokens
+
+    good = " ".join(
+        "the quick brown fox jumps over lazy dogs with grace and vigor".split()
+        * 6
+    )  # 72 words, all alphabetic, mean len ~4, two+ stopwords
+    rows = [
+        Row(k="good", text=good),
+        Row(k="short", text="only five words right here"),
+        Row(k="longsyms", text=" ".join(["###"] * 60)),
+        Row(k="numeric", text=" ".join(str(i) for i in range(60))),
+        Row(k="nostop", text=" ".join(f"w{i}" for i in range(60))),
+        Row(k="bullets", text="\n".join(f"- item {i} of the and" for i in range(10))),
+        Row(k="dots", text="\n".join(f"trailing {i} of the and..." for i in range(10))),
+    ]
+    df = spark.createDataFrame(rows)
+    t = tokens(F.col("text"))
+    flags = gopher_flags(t, F.col("text"))
+    out = {
+        r.k: r
+        for r in df.select("k", *[c.alias(n) for n, c in flags.items()]).collect()
+    }
+    assert all(getattr(out["good"], g) for g in
+               ("g_words", "g_mean_len", "g_symbol", "g_alpha", "g_stop",
+                "g_bullet", "g_ellipsis"))
+    assert not out["short"].g_words
+    assert not out["longsyms"].g_symbol and not out["longsyms"].g_alpha
+    assert not out["numeric"].g_alpha
+    assert not out["nostop"].g_stop
+    assert not out["bullets"].g_bullet  # 100% bullet lines > 90%
+    assert not out["dots"].g_ellipsis   # 100% ellipsis lines > 30%
+    assert out["bullets"].g_ellipsis and out["dots"].g_bullet
