@@ -95,6 +95,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--shard-format", default="parquet",
                    choices=("parquet", "jsonl"),
                    help="corpus: train-shard file format")
+    p.add_argument("--html-strip", action="store_true",
+                   help="corpus: reduce HTML to visible text before any "
+                        "text statistics (operators/html.py)")
+    p.add_argument("--c4-clean", action="store_true",
+                   help="corpus: C4 line/page structural cleaning before "
+                        "quality scoring (operators/c4.py)")
+    p.add_argument("--host-blocklist", default=None, metavar="FILE",
+                   help="corpus: newline-separated host blocklist; with "
+                        "--url-col, drops documents from blocked hosts")
+    p.add_argument("--url-col", default=None,
+                   help="corpus: URL column name for --host-blocklist")
     p.add_argument("--explain-query", default=None, metavar="NAME",
                    help="print the formatted physical plan of a registry "
                         "query (see mongo2mysql_spark.queries) against "
@@ -134,6 +145,9 @@ def _run_corpus(spark, args) -> int:
         return 2
     docs = load_table(spark, args.source_dir, "documents")
     cfg = CorpusConfig(
+        html_strip=args.html_strip,
+        c4_line_clean=args.c4_clean,
+        url_col=args.url_col,
         max_ppl=args.max_ppl,
         clf_keep_frac=args.clf_keep_frac,
         dsir_keep_frac=args.dsir_keep_frac,
@@ -157,9 +171,16 @@ def _run_corpus(spark, args) -> int:
         docs.filter(F.col("source") == args.clf_reference_source)
         if args.clf_reference_source else None
     )
+    blocklist = None
+    if args.host_blocklist:
+        with open(args.host_blocklist) as fh:
+            hosts = [ln.strip() for ln in fh if ln.strip()]
+        blocklist = spark.createDataFrame([(h,) for h in hosts], "host string")
+    cols = ["doc_id", "text"] + ([args.url_col] if args.url_col else [])
     report = build_training_corpus(
-        docs.select("doc_id", "text"), args.output_dir, config=cfg,
+        docs.select(*cols), args.output_dir, config=cfg,
         lm_reference=lm_ref, dsir_target=target, clf_reference=clf_ref,
+        host_blocklist=blocklist,
     )
     print(json.dumps(report))
     return 0
