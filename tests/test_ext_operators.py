@@ -2152,3 +2152,59 @@ def test_gopher_quality_flags(spark):
     assert not out["bullets"].g_bullet  # 100% bullet lines > 90%
     assert not out["dots"].g_ellipsis   # 100% ellipsis lines > 30%
     assert out["bullets"].g_ellipsis and out["dots"].g_bullet
+
+
+def test_contrastive_triplet_mining(spark):
+    """Triplet mining: a planted near-clone becomes its anchor's
+    positive, the hard negative sits at or below the negative band,
+    the guard band is respected, and triplets only come from sampled
+    anchors."""
+    from pyspark.sql import functions as F
+
+    from mongo2mysql_spark.operators.contrastive import mine_contrastive_triplets
+    from mongo2mysql_spark.operators.sampling import hash_sample_flag
+    from mongo2mysql_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    e = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    # plant a near-identical clone of every 10th vector (clone id offset
+    # into its own range so it is never itself sampled as an anchor)
+    clones = e.filter("vec_id % 10 = 0").select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.0001).alias("embedding"),
+    )
+    corpus = e.unionByName(clones)
+
+    trips = mine_contrastive_triplets(
+        corpus,
+        anchor_frac=0.3,
+        k=8,
+        pos_min_cos=0.95,
+        neg_max_cos=0.8,
+        nprobe=4,
+    ).collect()
+    assert len(trips) > 0
+    anchor_ids = {
+        r.vec_id
+        for r in corpus.filter(
+            hash_sample_flag(F.col("vec_id"), 0.3, salt="anchors") == 1
+        ).collect()
+    }
+    for t in trips:
+        assert t.anchor_id in anchor_ids
+        assert t.pos_cos >= 0.95 and t.neg_cos <= 0.8  # guard band holds
+        assert t.positive_id != t.anchor_id and t.negative_id != t.anchor_id
+    # planted clones: a sampled base vector with its clone retrieved must
+    # pair with it (cosine ~1 > 0.95)
+    by_anchor = {t.anchor_id: t for t in trips}
+    clone_hits = [
+        t for a, t in by_anchor.items()
+        if a % 10 == 0 and a < 1_000_000 and t.positive_id == a + 1_000_000
+    ]
+    assert len(clone_hits) > 0
+
+    # the guard band must be enforced at the API level
+    import pytest
+
+    with pytest.raises(ValueError):
+        mine_contrastive_triplets(corpus, pos_min_cos=0.5, neg_max_cos=0.8)
