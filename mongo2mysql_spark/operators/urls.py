@@ -56,7 +56,10 @@ def normalize_url(url: Column) -> Column:
     """Canonical URL string (see module docstring for the rules)."""
     s = F.regexp_replace(url, "#.*$", "")  # fragment
     s = F.regexp_replace(s, _SCHEME_RE, "")  # scheme
-    s = F.regexp_replace(s, r"^www\.", "")
+    # case-insensitive: the host is lowercased only LATER, so a
+    # case-sensitive strip here would leave 'WWW.' to become 'www.'
+    # and break idempotence (caught by the property test)
+    s = F.regexp_replace(s, r"(?i)^www\.", "")
     base = F.element_at(F.split(s, r"\?", 2), 1)
     query = F.when(s.contains("?"), F.element_at(F.split(s, r"\?", 2), 2)).otherwise(
         F.lit("")

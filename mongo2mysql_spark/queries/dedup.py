@@ -111,7 +111,7 @@ _URL_SQL_CTES = r"""
     unorm AS (
       SELECT doc_id,
         regexp_replace(regexp_replace(regexp_replace(url,
-          '#.*$', ''), '^[a-zA-Z][a-zA-Z0-9+.-]*://', ''), '^www\.', '') AS s
+          '#.*$', ''), '^[a-zA-Z][a-zA-Z0-9+.-]*://', ''), '(?i)^www\.', '') AS s
       FROM u),
     uparts AS (
       SELECT doc_id,

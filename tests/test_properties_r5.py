@@ -1,0 +1,87 @@
+"""Property tests for the round-5 curation operators — seeded random
+batches asserted in ONE Spark job each (the repo's 5-seeded-batch
+style; per-example jobs would be prohibitively slow)."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from mongo2mysql_spark.operators.c4 import c4_clean
+from mongo2mysql_spark.operators.urls import normalize_url
+from mongo2mysql_spark.functions.text import luhn_valid
+
+
+def test_normalize_url_idempotent(spark):
+    """normalize(normalize(u)) == normalize(u) over fuzzed URLs — the
+    canonical-form contract a dedup key needs."""
+    rng = random.Random(20260814)
+    schemes = ["", "http://", "https://", "HTTP://", "ftp://"]
+    hosts = ["Example.COM", "www.example.com", "a.B.example.org", "WWW.X.IO"]
+    paths = ["", "/", "/A/b", "/a/b/", "/CaseSensitive///"]
+    queries = [
+        "", "?a=1", "?utm_source=x", "?b=2&a=1", "?a=1&utm_campaign=z&fbclid=q",
+        "?ref=home&id=7",
+    ]
+    frags = ["", "#x", "#sec?fake=1"]
+    urls = [
+        rng.choice(schemes) + rng.choice(hosts) + rng.choice(paths)
+        + rng.choice(queries) + rng.choice(frags)
+        for _ in range(400)
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    once = normalize_url(F.col("u"))
+    bad = (
+        df.select(once.alias("n1"))
+        .select("n1", normalize_url(F.col("n1")).alias("n2"))
+        .filter("n1 != n2")
+    )
+    assert bad.count() == 0
+
+
+def test_luhn_exactly_one_check_digit(spark):
+    """For any digit prefix, exactly one of the ten possible final
+    digits makes the number Luhn-valid — the defining property of a
+    check digit."""
+    rng = random.Random(7)
+    prefixes = [
+        "".join(rng.choice("0123456789") for _ in range(rng.randint(11, 17)))
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame([(p,) for p in prefixes], "p string")
+    valid_count = sum(
+        F.when(luhn_valid(F.concat(F.col("p"), F.lit(str(d)))), 1).otherwise(0)
+        for d in range(10)
+    )
+    assert df.select(valid_count.alias("n")).filter("n != 1").count() == 0
+
+
+def test_c4_clean_idempotent_on_kept_text(spark):
+    """Re-cleaning a cleaned page keeps everything: kept lines survive
+    a second pass verbatim (the rules are closed over their output)."""
+    rng = random.Random(99)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "kappa"]
+
+    def line():
+        body = " ".join(rng.choice(words) for _ in range(rng.randint(1, 8)))
+        tail = rng.choice([".", "!", "?", "", " ", "..."])
+        junk = rng.choice(["", "", "", "javascript", "{"])
+        return (body + " " + junk).strip() + tail
+
+    pages = [
+        (i, "\n".join(line() for _ in range(rng.randint(1, 12))))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(pages, "doc_id long, text string")
+    once = c4_clean(df).select("doc_id", F.col("clean_text").alias("text"))
+    twice = c4_clean(once).select(
+        "doc_id", "clean_text", "n_lines", "n_lines_kept"
+    )
+    joined = once.join(twice, "doc_id")
+    assert joined.filter("text != clean_text").count() == 0
+    # every line of a cleaned page passes the line rules again
+    assert twice.filter("n_lines_kept != n_lines").filter(
+        # empty page: split('') gives one '' line that (correctly) fails
+        "clean_text != ''"
+    ).count() == 0
