@@ -85,3 +85,52 @@ def test_c4_clean_idempotent_on_kept_text(spark):
         # empty page: split('') gives one '' line that (correctly) fails
         "clean_text != ''"
     ).count() == 0
+
+
+def test_strip_html_cross_engine_parity_fuzzed(spark):
+    """Random tag soup through both extractors — any Java-regex vs RE2
+    divergence in the strip chain would hash-fail the driver's 'html'
+    branch, so hunt for it here first.  One Spark job + one DuckDB
+    scan over 300 generated pages."""
+    import duckdb
+
+    from mongo2mysql_spark.operators.html import (
+        sql_extract_title,
+        sql_strip_html,
+        strip_html,
+        extract_title,
+    )
+
+    rng = random.Random(424242)
+    frags = [
+        "plain words", "<b>bold", "</b>", "<div>", "</div>", "<DIV >x</DIV>",
+        "<script>var x='</div>';</script>", "<style>.a{b:c}</style>",
+        "<!-- note -->", "<br>", "<BR/>", "<p class='x'>para</p>",
+        "&amp;", "&lt;tag&gt;", "&quot;", "&#39;", "&nbsp;", "&amp;lt;",
+        "a < b > c", "<head><title>T1</title></head>",
+        "<title>Second</title>", "\n", "  ", "\t", "<ul><li>i</li></ul>",
+        "<h2>head</h2>", "<td>c</td></tr>", "<hr >", "<em", "em>",
+        "<p>unclosed", "<<double<<", ">>",
+    ]
+    pages = [
+        "".join(rng.choice(frags) for _ in range(rng.randint(1, 25)))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame([(i, p) for i, p in enumerate(pages)],
+                               "i long, h string")
+    got = {
+        r.i: (r.v, r.t)
+        for r in df.select(
+            "i",
+            strip_html(F.col("h")).alias("v"),
+            extract_title(F.col("h")).alias("t"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    for i, p in enumerate(pages):
+        dv, dt = con.execute(
+            f"SELECT {sql_strip_html('h')}, {sql_extract_title('h')} "
+            "FROM (SELECT ? AS h)",
+            [p],
+        ).fetchone()
+        assert got[i] == (dv, dt), (p, got[i], (dv, dt))
