@@ -378,7 +378,14 @@ def dedup_pair_families(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mongo2mysql_spark.operators.dedup import lsh_incremental_pairs
 
     d = T(spark, sf_dir, "documents", fanout=True)
-    sig = minhash_signature(d, "doc_id", word_shingles(tokens(F.col("text")), 3), k=K)
+    # ONE tokenize+shingle pass feeds both text families (the
+    # text_winnow shared-fingerprint trick): the minhash and jaccard
+    # branches explode the persisted arrays instead of each re-deriving
+    # them from raw text
+    sh = d.select(
+        "doc_id", word_shingles(tokens(F.col("text")), 3).alias("__shg")
+    ).persist()
+    sig = minhash_signature(sh, "doc_id", F.col("__shg"), k=K)
     sig1 = sig.filter(F.col("doc_id") % 2 == 0)
     sig2 = sig.filter(F.col("doc_id") % 2 == 1)
     mh = lsh_incremental_pairs(
@@ -388,9 +395,7 @@ def dedup_pair_families(spark: SparkSession, sf_dir: str) -> DataFrame:
             sig1, sig2, "doc_id", k=K, bands=BANDS, min_est_jaccard=0.5
         )
     )
-    ng = ngram_jaccard_pairs(
-        d, "doc_id", word_shingles(tokens(F.col("text")), 3), min_jaccard=0.6
-    )
+    ng = ngram_jaccard_pairs(sh, "doc_id", F.col("__shg"), min_jaccard=0.6)
     e = T(spark, sf_dir, "embeddings", fanout=True)
     co = embedding_neardup_pairs(e, "vec_id", "embedding", "label", min_cosine=0.3)
     from mongo2mysql_spark.operators.dedup import fuzzy_value_pairs
