@@ -56,3 +56,25 @@ def read_orc(
 
 def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).orc(path)
+
+
+def read_avro(
+    spark: SparkSession, path: str, schema: T.StructType | str | None = None, **options,
+) -> DataFrame:
+    """Avro collections.  Avro is Spark's external-but-official data
+    source module (spark-avro); the jar is not in this container, so
+    construction is gated with a clear remedy — same pattern as the
+    MongoDB connector (sources/mongodb.py): the code path is the
+    cluster path, the error is the local path."""
+    reader = spark.read.format("avro").options(**options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    try:
+        return reader.load(path)
+    except Exception as exc:  # pragma: no cover - depends on classpath
+        if "Failed to find data source: avro" in str(exc):
+            raise RuntimeError(
+                "spark-avro not on classpath; add "
+                "org.apache.spark:spark-avro_2.13 to spark.jars.packages"
+            ) from exc
+        raise

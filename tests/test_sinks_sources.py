@@ -427,3 +427,14 @@ def test_list_collections_gating_without_pymongo():
         pass
     with pytest.raises(RuntimeError, match="pymongo not installed"):
         list_collections("mongodb://h:27017", "db")
+
+
+def test_read_avro_gating_without_jar(spark, tmp_path):
+    """Avro reads degrade to a clear remedy when spark-avro is absent
+    (this container), instead of an opaque ClassNotFound."""
+    import pytest
+
+    from mongo2mysql_spark.sources.files import read_avro
+
+    with pytest.raises(RuntimeError, match="spark-avro not on classpath"):
+        read_avro(spark, str(tmp_path / "nope.avro"))
