@@ -138,3 +138,39 @@ def host_blocklist_filter(
         )
         .drop("__host")
     )
+
+
+def sql_normalize_url(expr: str) -> str:
+    """DuckDB restatement of ``normalize_url`` over SQL expression
+    ``expr`` — the oracle mirror (queries/dedup.py builds its CTEs from
+    this), kept next to the Spark form so the two stay in lockstep;
+    parity is fuzz-swept in tests."""
+    tracking = ", ".join(f"'{t}'" for t in TRACKING_EXACT)
+    s = (
+        f"regexp_replace(regexp_replace(regexp_replace({expr}, "
+        "'#.*$', ''), '^[a-zA-Z][a-zA-Z0-9+.-]*://', ''), "
+        r"'(?i)^www\.', '')"
+    )
+    base = f"string_split({s}, '?')[1]"
+    query = f"CASE WHEN contains({s}, '?') THEN string_split({s}, '?')[2] ELSE '' END"
+    host = (
+        f"CASE WHEN strpos({base}, '/') > 0 "
+        f"THEN lower(substring({base}, 1, strpos({base}, '/') - 1)) "
+        f"ELSE lower({base}) END"
+    )
+    path = (
+        f"CASE WHEN strpos({base}, '/') > 0 "
+        f"THEN regexp_replace(substring({base}, strpos({base}, '/'), "
+        f"length({base})), '/+$', '') ELSE '' END"
+    )
+    params = (
+        f"list_sort(list_filter(string_split({query}, '&'), "
+        "p -> p <> '' "
+        f"AND NOT starts_with(lower(string_split(p, '=')[1]), '{TRACKING_PREFIX}') "
+        f"AND NOT list_contains([{tracking}], lower(string_split(p, '=')[1]))))"
+    )
+    return (
+        f"{host} || {path} || "
+        f"CASE WHEN len({params}) > 0 "
+        f"THEN '?' || array_to_string({params}, '&') ELSE '' END"
+    )

@@ -91,7 +91,13 @@ def _url_expr() -> F.Column:
     )
 
 
-_URL_SQL_CTES = r"""
+def _url_sql_ctes() -> str:
+    """Synthesis CTE + normalization via the shared DuckDB mirror
+    (operators/urls.sql_normalize_url — one source of truth for the
+    oracle restatement; Spark↔SQL parity is fuzz-swept in tests)."""
+    from mongo2mysql_spark.operators.urls import sql_normalize_url
+
+    return f"""
     u AS (
       SELECT doc_id,
         (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END)
@@ -108,40 +114,15 @@ _URL_SQL_CTES = r"""
               ELSE '' END)
         || (CASE WHEN doc_id % 7 = 0 THEN '#section2' ELSE '' END) AS url
       FROM documents),
-    unorm AS (
-      SELECT doc_id,
-        regexp_replace(regexp_replace(regexp_replace(url,
-          '#.*$', ''), '^[a-zA-Z][a-zA-Z0-9+.-]*://', ''), '(?i)^www\.', '') AS s
-      FROM u),
-    uparts AS (
-      SELECT doc_id,
-             string_split(s, '?')[1] AS base,
-             CASE WHEN contains(s, '?') THEN string_split(s, '?')[2]
-                  ELSE '' END AS query
-      FROM unorm),
-    ufields AS (
-      SELECT doc_id,
-        CASE WHEN strpos(base, '/') > 0
-             THEN lower(substring(base, 1, strpos(base, '/') - 1))
-             ELSE lower(base) END AS host,
-        CASE WHEN strpos(base, '/') > 0
-             THEN regexp_replace(substring(base, strpos(base, '/'), length(base)),
-                                 '/+$', '')
-             ELSE '' END AS path,
-        list_sort(list_filter(string_split(query, '&'),
-            p -> p <> ''
-                 AND NOT starts_with(lower(string_split(p, '=')[1]), 'utm_')
-                 AND NOT list_contains(
-                       ['fbclid','gclid','msclkid','ref','mc_cid','mc_eid'],
-                       lower(string_split(p, '=')[1])))) AS params
-      FROM uparts),
     unormed AS (
-      SELECT doc_id, host,
-             host || path ||
-             CASE WHEN len(params) > 0
-                  THEN '?' || array_to_string(params, '&') ELSE '' END AS url_norm
-      FROM ufields)
+      SELECT doc_id,
+             string_split(string_split(url_norm, '/')[1], '?')[1] AS host,
+             url_norm
+      FROM (SELECT doc_id, {sql_normalize_url('url')} AS url_norm FROM u))
 """
+
+
+_URL_SQL_CTES = _url_sql_ctes()
 
 
 @register(

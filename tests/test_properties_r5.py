@@ -134,3 +134,39 @@ def test_strip_html_cross_engine_parity_fuzzed(spark):
             [p],
         ).fetchone()
         assert got[i] == (dv, dt), (p, got[i], (dv, dt))
+
+
+def test_normalize_url_cross_engine_parity_fuzzed(spark):
+    """Spark normalize_url vs its DuckDB mirror (sql_normalize_url —
+    the url_norm oracle's source of truth) over fuzzed URLs: any
+    divergence would hash-fail the driver's url branches."""
+    import duckdb
+
+    from mongo2mysql_spark.operators.urls import sql_normalize_url
+
+    rng = random.Random(31337)
+    pieces = {
+        "scheme": ["", "http://", "HTTPS://", "ftp://", "x-app+v1://"],
+        "www": ["", "www.", "WWW.", "wWw."],
+        "host": ["Example.COM", "a.b.C.io", "localhost", "x", "9.9.9.9"],
+        "path": ["", "/", "/a", "/A/B/c", "/x//y///", "/%20z"],
+        "query": ["", "?", "?a", "?a=1", "?B=2&a=1&a=0", "?utm_x=1&ID=2",
+                  "?fbclid=9", "?=v", "?a&&b=1"],
+        "frag": ["", "#", "#f", "#a?b=1&utm_y=2"],
+    }
+    urls = [
+        "".join(rng.choice(pieces[k]) for k in
+                ("scheme", "www", "host", "path", "query", "frag"))
+        for _ in range(400)
+    ]
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)],
+                               "i long, u string")
+    from mongo2mysql_spark.operators.urls import normalize_url
+
+    got = {r.i: r.n for r in df.select("i", normalize_url(F.col("u")).alias("n")).collect()}
+    con = duckdb.connect()
+    for i, u in enumerate(urls):
+        want = con.execute(
+            f"SELECT {sql_normalize_url('u')} FROM (SELECT ? AS u)", [u]
+        ).fetchone()[0]
+        assert got[i] == want, (u, got[i], want)
