@@ -83,11 +83,32 @@ def url_host(norm_url: Column) -> Column:
     return F.element_at(F.split(norm_url, "[/?]", 2), 1)
 
 
-def registered_domain(host: Column) -> Column:
-    """Last two dot-labels ('a.b.site.example.com' -> 'example.com') —
-    the public-suffix-list-free approximation every relational pipeline
-    uses when the PSL table isn't loaded."""
-    return F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+# common multi-part public suffixes (the high-traffic subset of the
+# public suffix list; pass the full PSL as `extra_suffixes` when loaded)
+MULTIPART_SUFFIXES = (
+    "co.uk", "org.uk", "gov.uk", "ac.uk", "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp", "co.in", "co.za", "com.br", "com.cn",
+    "com.mx", "com.tr", "co.kr", "com.sg",
+)
+
+
+def registered_domain(
+    host: Column, extra_suffixes: tuple[str, ...] = ()
+) -> Column:
+    """Registrable domain of a host ('a.b.example.com' -> 'example.com',
+    'news.x.co.uk' -> 'x.co.uk').  Uses the built-in high-traffic
+    multi-part-suffix subset of the public suffix list (extend via
+    ``extra_suffixes`` when the full PSL is loaded); everything else
+    falls back to the last two labels.  One chained-when expression —
+    no UDF, no lookup join needed at this list size."""
+    two = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    three = F.regexp_extract(host, r"([^.]+\.[^.]+\.[^.]+)$", 1)
+    out = two
+    for suffix in MULTIPART_SUFFIXES + tuple(extra_suffixes):
+        out = F.when(
+            (host == suffix) | host.endswith("." + suffix), three
+        ).otherwise(out)
+    return out
 
 
 def url_dedup(

@@ -38,16 +38,24 @@ def test_normalize_strips_noise(spark):
 
 
 def test_url_host_and_domain(spark):
-    df = spark.createDataFrame(
-        [("a.b.news.example.co",), ("example.com",)], "h string"
-    ).select(
+    cases = {
+        "a.b.news.example.co": "example.co",
+        "example.com": "example.com",
+        # multi-part public suffixes: the registrable domain is 3 labels
+        "news.bbc.co.uk": "bbc.co.uk",
+        "deep.sub.shop.com.au": "shop.com.au",
+        "x.co.jp": "x.co.jp",
+        # the bare suffix itself has no registrable domain
+        "co.uk": "",
+    }
+    df = spark.createDataFrame([(h,) for h in cases], "h string").select(
+        "h",
         url_host(F.col("h")).alias("host"),
         registered_domain(F.col("h")).alias("dom"),
     )
-    rows = df.collect()
-    assert rows[0].host == "a.b.news.example.co"
-    assert rows[0].dom == "example.co"
-    assert rows[1].dom == "example.com"
+    for r in df.collect():
+        assert r.host == r.h
+        assert r.dom == cases[r.h], (r.h, r.dom)
 
 
 def test_url_dedup_and_host_profile(spark):
