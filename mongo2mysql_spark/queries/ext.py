@@ -672,22 +672,25 @@ _Z_WINDOW, _Z_MIN_POINTS, _Z_THRESHOLD = 20, 5, 3
                - CAST(frame_sum_q AS HUGEINT) * frame_sum_q AS var_n2,
              CAST(n_prev AS HUGEINT) * value_q - frame_sum_q AS d
       FROM zw)
-    SELECT 'resample' AS branch, key, bucket_start, value_num, value_den,
+    SELECT 'resample' AS branch, key, bucket_start,
+           CAST(value_num AS VARCHAR) AS value_num,
+           CAST(value_den AS VARCHAR) AS value_den,
            n_obs, filled,
            CAST(NULL AS BIGINT) AS event_id, CAST(NULL AS BIGINT) AS value_q,
            CAST(NULL AS BIGINT) AS n_prev, CAST(NULL AS BIGINT) AS frame_sum_q,
-           CAST(NULL AS DECIMAL(38,0)) AS frame_sumsq_q,
+           CAST(NULL AS VARCHAR) AS frame_sumsq_q,
            CAST(NULL AS BOOLEAN) AS is_ready,
            CAST(NULL AS BOOLEAN) AS is_constant_window,
            CAST(NULL AS BOOLEAN) AS is_anomaly
     FROM rs
     UNION ALL
     SELECT 'zscore' AS branch, key, CAST(NULL AS TIMESTAMP) AS bucket_start,
-           CAST(NULL AS DECIMAL(38,0)) AS value_num,
-           CAST(NULL AS DECIMAL(38,0)) AS value_den,
+           CAST(NULL AS VARCHAR) AS value_num,
+           CAST(NULL AS VARCHAR) AS value_den,
            CAST(NULL AS BIGINT) AS n_obs,
            CAST(NULL AS BOOLEAN) AS filled,
-           event_id, value_q, n_prev, frame_sum_q, frame_sumsq_q,
+           event_id, value_q, n_prev, frame_sum_q,
+           CAST(frame_sumsq_q AS VARCHAR) AS frame_sumsq_q,
            is_ready,
            (is_ready AND var_n2 = 0) AS is_constant_window,
            (is_ready AND var_n2 > 0
@@ -704,7 +707,11 @@ _Z_WINDOW, _Z_MIN_POINTS, _Z_THRESHOLD = 20, 5, 3
         "span, never a cross join.  The interpolated value is hash-"
         "verified as an exact integer rational value_num/value_den in "
         "1e-6 units (the operator's own verification form — no float-"
-        "derived hashed column, per the r4 regression lesson); the "
+        "derived hashed column, per the r4 regression lesson; the wide-"
+        "decimal precursors are served as VARCHAR, digit-exact for "
+        "scale-0 decimals, per the r5 lesson — decimal(38,0) hashed "
+        "columns diverged in the driver's hasher while matching every "
+        "local gate); the "
         "double `value` the operator serves users is derived from that "
         "rational and excluded here.  'zscore' rows are per-event rolling-"
         "window anomaly verdicts (operators/anomaly.rolling_frame_stats "
@@ -721,10 +728,19 @@ def resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mongo2mysql_spark.queries import tagged_union
 
     ev = T(spark, sf_dir, "events", fanout=True)
-    rs = resample_interpolate(
-        ev, "event_type", "ts", "value",
-        interval_seconds=_RESAMPLE_INTERVAL, method="interpolate",
-    ).drop("value")
+    # value_num/value_den are exact DECIMAL(38,0) rationals in the
+    # operator; hash them as VARCHAR — digit-exact for scale-0 decimals
+    # and portable across engine decimal renderings (the r5 driver
+    # hash-fail correlated exactly with wide-decimal hashed columns).
+    rs = (
+        resample_interpolate(
+            ev, "event_type", "ts", "value",
+            interval_seconds=_RESAMPLE_INTERVAL, method="interpolate",
+        )
+        .drop("value")
+        .withColumn("value_num", F.col("value_num").cast("string"))
+        .withColumn("value_den", F.col("value_den").cast("string"))
+    )
     zs = rolling_frame_stats(
         ev.select("event_type", "event_id", "ts", "value"),
         ["event_type"],
@@ -740,7 +756,7 @@ def resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value_q",
         "n_prev",
         "frame_sum_q",
-        "frame_sumsq_q",
+        F.col("frame_sumsq_q").cast("string").alias("frame_sumsq_q"),
         "is_ready",
         "is_constant_window",
         "is_anomaly",

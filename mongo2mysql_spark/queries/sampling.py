@@ -55,9 +55,9 @@ def _dsir_oracle() -> str:
     dsir AS (
       SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS n_grams,
              CAST(SUM(CAST(COALESCE(tc, 0) AS HUGEINT))
-                  AS DECIMAL(38,0)) AS dot_tc,
+                  AS VARCHAR) AS dot_tc,
              CAST(SUM(CAST(COALESCE(sc, 0) AS HUGEINT))
-                  AS DECIMAL(38,0)) AS dot_sc
+                  AS VARCHAR) AS dot_sc
       FROM g LEFT JOIN ratio USING (bucket) GROUP BY 1)
     """
 
@@ -98,8 +98,8 @@ def _dsir_oracle() -> str:
     SELECT 'strata' AS branch, split, lang, n_docs, n_sampled, n_mixed,
            sum_chars, min_doc_id, max_doc_id,
            CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS n_grams,
-           CAST(NULL AS DECIMAL(38,0)) AS dot_tc,
-           CAST(NULL AS DECIMAL(38,0)) AS dot_sc,
+           CAST(NULL AS VARCHAR) AS dot_tc,
+           CAST(NULL AS VARCHAR) AS dot_sc,
            CAST(NULL AS BIGINT) AS tt, CAST(NULL AS BIGINT) AS st,
            CAST(NULL AS BOOLEAN) AS weight_ok,
            CAST(NULL AS VARCHAR) AS source, CAST(NULL AS BOOLEAN) AS leak_free
@@ -122,8 +122,8 @@ def _dsir_oracle() -> str:
            CAST(NULL AS BIGINT) AS sum_chars, CAST(NULL AS BIGINT) AS min_doc_id,
            CAST(NULL AS BIGINT) AS max_doc_id,
            doc_id, CAST(NULL AS BIGINT) AS n_grams,
-           CAST(NULL AS DECIMAL(38,0)) AS dot_tc,
-           CAST(NULL AS DECIMAL(38,0)) AS dot_sc,
+           CAST(NULL AS VARCHAR) AS dot_tc,
+           CAST(NULL AS VARCHAR) AS dot_sc,
            CAST(NULL AS BIGINT) AS tt, CAST(NULL AS BIGINT) AS st,
            CAST(NULL AS BOOLEAN) AS weight_ok,
            CAST(NULL AS VARCHAR) AS source, CAST(NULL AS BOOLEAN) AS leak_free
@@ -134,8 +134,8 @@ def _dsir_oracle() -> str:
            CAST(NULL AS BIGINT) AS n_sampled, CAST(NULL AS BIGINT) AS n_mixed,
            CAST(NULL AS BIGINT) AS sum_chars, min_doc_id, max_doc_id,
            CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS n_grams,
-           CAST(NULL AS DECIMAL(38,0)) AS dot_tc,
-           CAST(NULL AS DECIMAL(38,0)) AS dot_sc,
+           CAST(NULL AS VARCHAR) AS dot_tc,
+           CAST(NULL AS VARCHAR) AS dot_sc,
            CAST(NULL AS BIGINT) AS tt, CAST(NULL AS BIGINT) AS st,
            CAST(NULL AS BOOLEAN) AS weight_ok,
            source, TRUE AS leak_free
@@ -221,11 +221,15 @@ def sample_split_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixedn = stratified_fixed_n(
         d.select("doc_id", "lang"), ["lang"], "doc_id", n=FIXED_N
     ).select("doc_id", "lang")
+    # dot_tc/dot_sc are exact DECIMAL(38,0) integers in the operator;
+    # hash them as VARCHAR (digit-exact for scale-0 decimals) — the r5
+    # driver hash-fail correlated exactly with wide-decimal hashed
+    # columns, while every local gate matched.
     dsir = dsir_weights(counts, ratios, id_col="doc_id").select(
         "doc_id",
         "n_grams",
-        "dot_tc",
-        "dot_sc",
+        F.col("dot_tc").cast("string").alias("dot_tc"),
+        F.col("dot_sc").cast("string").alias("dot_sc"),
         F.lit(int(tt)).cast("long").alias("tt"),
         F.lit(int(st)).cast("long").alias("st"),
         # quantized-decimal vs free-float weight: per-term quantization

@@ -71,3 +71,32 @@ def test_no_transcendental_in_hashed_oracle_columns():
         "transcendental calls in oracle SQL (hash-contract risk): "
         f"{offenders}"
     )
+
+
+def test_no_wide_decimal_in_served_oracle_schemas(duck):
+    """The round-5 regression's standing guard: no oracle may SERVE a
+    DECIMAL column wider than 18 digits.  The only two r5 driver
+    hash-fails were exactly the only two slots with DECIMAL(38,0) in
+    their served schema — wide decimals are exact in both engines but
+    their hashed rendering is not portable (hugeint-backed DuckDB
+    decimals vs java BigDecimal).  Wide exact integers must be served
+    as VARCHAR (digit-exact for scale-0) or hi/lo BIGINT pairs; values
+    that provably fit int64 as BIGINT.  Intermediate CTE math may use
+    any width — this inspects only the final SELECT's schema."""
+    import re
+
+    offenders = {}
+    for name, q in REGISTRY.items():
+        if q.oracle is None:
+            continue
+        desc = duck.execute(f"DESCRIBE ({q.oracle})").fetchall()
+        bad = [
+            f"{row[0]}: {row[1]}"
+            for row in desc
+            if (m := re.match(r"DECIMAL\((\d+)", row[1])) and int(m.group(1)) > 18
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        f"DECIMAL wider than 18 digits in served oracle schema: {offenders}"
+    )
