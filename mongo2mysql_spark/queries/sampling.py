@@ -238,7 +238,13 @@ def sample_split_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("weight").cast("double") - F.col("weight_f"))
             <= F.col("n_grams") * 2e-6 + 1e-6
         ).alias("weight_ok"),
-    )
+    ).localCheckpoint()
+    # the doc-bounded dsir branch is materialized above, so the two
+    # count-table caches (already warmed by the tt/st actions) can be
+    # released instead of leaking into the driver's shared session (the
+    # r5 bench regression)
+    counts.unpersist()
+    target_counts.unpersist()
     from mongo2mysql_spark.operators.sampling import group_hash_split
 
     gs = (

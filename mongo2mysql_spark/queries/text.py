@@ -422,10 +422,11 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     # branches — the flat fps are its distinct (doc, fp) projection
     # (window-min selection equality is pinned in tests), the pair join
     # consumes the same projection, the self-repetition spans use the
-    # positions.  The cache is dropped by the harness clearCache between
-    # queries (same ownership as the LSH signature store).
+    # positions.  This fn owns the cache and releases it below, once
+    # every consumer is materialized — a long-lived driver session must
+    # not accumulate cached blocks per query (the r5 bench regression).
     pos = doc_fingerprints_pos(d, "doc_id", "text", WINNOW_K, WINNOW_W).persist()
-    fps = pos.select("doc_id", "fp").distinct()
+    fps = pos.select("doc_id", "fp").distinct().localCheckpoint()
     pairs = passage_dup_pairs(
         d,
         "doc_id",
@@ -442,6 +443,10 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_anchors=SELFREP_MIN_ANCHORS, merge_gap=SELFREP_MERGE_GAP,
         pos_fps=pos,
     )
+    # fps is checkpointed above and the pair/span consumers materialize
+    # internally (passages.py localCheckpoints its pair-bounded
+    # results), so the positional cache can be released here
+    pos.unpersist()
     per_doc_spans = spans.groupBy(F.col("doc_a").alias("doc_id")).agg(
         F.count(F.lit(1)).cast("int").alias("n_spans"),
         F.min("a_start").cast("int").alias("span_min_start"),

@@ -128,10 +128,26 @@ def test_lsh_band_shuffle_is_narrow(spark):
     """The LSH candidate-pair dedup must not drag the k signature
     columns through the band join: pair dedup aggregates on (id_1,id_2)
     alone (no first(a0..) carries), and the signature frame is reused
-    from cache rather than recomputed per reference."""
-    df = REGISTRY["dedup_pair_families"].fn(spark, SF_DIR)
+    from cache rather than recomputed per reference.  Inspects the
+    LAZY operator plan (materialize=False): the registry slot
+    checkpoints its pair-bounded branches, which truncates the plan the
+    driver sees."""
+    from mongo2mysql_spark.functions.text import tokens, word_shingles
+    from mongo2mysql_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signature,
+    )
+    from mongo2mysql_spark.queries.dedup import BANDS, K
+    from mongo2mysql_spark.sources import load_table as T
+
+    d = T(spark, SF_DIR, "documents")
+    sig = minhash_signature(d, "doc_id", word_shingles(tokens(F.col("text")), 3), k=K)
+    df = lsh_candidate_pairs(
+        sig, "doc_id", k=K, bands=BANDS, min_est_jaccard=0.5, materialize=False
+    )
     df.collect()  # finalize AQE plan
     plan = physical_plan(df)
+    spark.catalog.clearCache()  # materialize=False leaves the sig cache to us
     dedup_aggs = [
         line
         for line in plan.splitlines()
@@ -404,3 +420,34 @@ def test_q19_disjunction_prefilters_both_sides(spark):
     assert "l_quantity" in below_join
     # and no cartesian anywhere
     assert "Cartesian" not in physical_plan(df)
+
+
+def test_every_persist_site_has_a_release_path():
+    """The round-5 bench regression's standing guard: any non-test
+    module that persist()s a DataFrame must also contain an
+    unpersist() — a long-lived driver session runs ~50 registry
+    queries back-to-back, and never-released caches accumulated until
+    the dedup family ran 2.8-4.1x slower (BENCH_r05 vs r04).  The
+    release may be deferred (porter.py exposes an explicit
+    Result.unpersist() API its callers invoke), so the rule is
+    file-scoped; AST-based so comments mentioning persist() don't
+    count."""
+    import ast
+    import pathlib
+
+    pkg = pathlib.Path(__file__).resolve().parents[1] / "mongo2mysql_spark"
+    offenders = []
+    for path in sorted(pkg.rglob("*.py")):
+        calls = {"persist": 0, "unpersist": 0}
+        for node in ast.walk(ast.parse(path.read_text())):
+            if (
+                isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Attribute)
+                and node.func.attr in calls
+            ):
+                calls[node.func.attr] += 1
+        if calls["persist"] and not calls["unpersist"]:
+            offenders.append(str(path.relative_to(pkg)))
+    assert not offenders, (
+        f"persist() without any unpersist() release path: {offenders}"
+    )
