@@ -172,6 +172,16 @@ def _run_corpus(spark, args) -> int:
         if args.clf_reference_source else None
     )
     blocklist = None
+    if args.host_blocklist and not args.url_col:
+        # build_training_corpus applies the host filter only when it
+        # knows which column holds the URL — silently skipping it would
+        # let the user believe blocked hosts were dropped
+        print(
+            "error: --host-blocklist requires --url-col "
+            "(no URL column to derive hosts from)",
+            file=sys.stderr,
+        )
+        return 2
     if args.host_blocklist:
         with open(args.host_blocklist) as fh:
             hosts = [ln.strip() for ln in fh if ln.strip()]

@@ -99,15 +99,27 @@ def registered_domain(
     'news.x.co.uk' -> 'x.co.uk').  Uses the built-in high-traffic
     multi-part-suffix subset of the public suffix list (extend via
     ``extra_suffixes`` when the full PSL is loaded); everything else
-    falls back to the last two labels.  One chained-when expression —
-    no UDF, no lookup join needed at this list size."""
+    falls back to the last two labels.  A host that IS a listed suffix
+    has no registrable domain and passes through unchanged (so bare
+    suffixes never collapse into one '' group key), and each suffix
+    extracts len(labels)+1 trailing labels — 3+-label PSL entries
+    (e.g. 'pref.aichi.jp') work, not just the two-label built-ins.
+    One chained-when expression — no UDF, no lookup join needed at
+    this list size."""
     two = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
-    three = F.regexp_extract(host, r"([^.]+\.[^.]+\.[^.]+)$", 1)
     out = two
-    for suffix in MULTIPART_SUFFIXES + tuple(extra_suffixes):
-        out = F.when(
-            (host == suffix) | host.endswith("." + suffix), three
-        ).otherwise(out)
+    # shortest suffixes first: the when-chain's LAST writer wins, so a
+    # longer nested suffix ('x.co.uk') must wrap a shorter one ('co.uk')
+    for suffix in sorted(
+        MULTIPART_SUFFIXES + tuple(extra_suffixes), key=lambda s: s.count(".")
+    ):
+        nlabels = suffix.count(".") + 2
+        pat = r"([^.]+" + r"(?:\.[^.]+)" * (nlabels - 1) + r")$"
+        out = (
+            F.when(host == suffix, host)
+            .when(host.endswith("." + suffix), F.regexp_extract(host, pat, 1))
+            .otherwise(out)
+        )
     return out
 
 
@@ -173,7 +185,13 @@ def sql_normalize_url(expr: str) -> str:
         r"'(?i)^www\.', '')"
     )
     base = f"string_split({s}, '?')[1]"
-    query = f"CASE WHEN contains({s}, '?') THEN string_split({s}, '?')[2] ELSE '' END"
+    # everything after the FIRST '?' — mirrors Spark's split(limit=2);
+    # string_split(...)[2] would stop at a second literal '?' in a
+    # query value and silently diverge cross-engine
+    query = (
+        f"CASE WHEN strpos({s}, '?') > 0 "
+        f"THEN substring({s}, strpos({s}, '?') + 1) ELSE '' END"
+    )
     host = (
         f"CASE WHEN strpos({base}, '/') > 0 "
         f"THEN lower(substring({base}, 1, strpos({base}, '/') - 1)) "

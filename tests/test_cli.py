@@ -125,16 +125,14 @@ def test_cli_explain_query(spark, capsys):
 
 
 def test_cli_corpus_web_cleaning_flags(spark, tmp_path, capsys):
-    """--html-strip / --c4-clean / --host-blocklist plumb through to the
-    builder.  On the fixture's single-line unpunctuated word soup the
-    C4 page rules drop every document, so this also drives the
-    empty-survivor path end to end from the CLI."""
+    """--html-strip / --c4-clean plumb through to the builder.  On the
+    fixture's single-line unpunctuated word soup the C4 page rules drop
+    every document, so this also drives the empty-survivor path end to
+    end from the CLI."""
     import json
 
     from mongo2mysql_spark.cli import main
 
-    bl = tmp_path / "blocked.txt"
-    bl.write_text("spam.biz\n\nbad.example\n")
     out = str(tmp_path / "corpus")
     rc = main([
         "--corpus",
@@ -142,13 +140,29 @@ def test_cli_corpus_web_cleaning_flags(spark, tmp_path, capsys):
         "--output-dir", out,
         "--html-strip",
         "--c4-clean",
-        "--host-blocklist", str(bl),
         "--seq-len", "128",
         "--n-shards", "2",
     ])
     assert rc == 0
     report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    # no url column configured -> blocklist stage skipped (no count key)
-    assert "after_host_blocklist" not in report
     assert report["after_c4_clean"] == 0
     assert report["train_docs"] == 0 and report["n_sequences"] == 0
+
+
+def test_cli_host_blocklist_requires_url_col(spark, tmp_path, capsys):
+    """--host-blocklist without --url-col must be a usage error, not a
+    silent no-op: the builder only applies the host filter when it
+    knows the URL column, and a user passing a blocklist believes
+    blocked hosts were dropped."""
+    from mongo2mysql_spark.cli import main
+
+    bl = tmp_path / "blocked.txt"
+    bl.write_text("spam.biz\n")
+    rc = main([
+        "--corpus",
+        "--source-dir", "/root/testdata/sf0.001",
+        "--output-dir", str(tmp_path / "corpus"),
+        "--host-blocklist", str(bl),
+    ])
+    assert rc == 2
+    assert "--url-col" in capsys.readouterr().err

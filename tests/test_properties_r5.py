@@ -151,7 +151,10 @@ def test_normalize_url_cross_engine_parity_fuzzed(spark):
         "host": ["Example.COM", "a.b.C.io", "localhost", "x", "9.9.9.9"],
         "path": ["", "/", "/a", "/A/B/c", "/x//y///", "/%20z"],
         "query": ["", "?", "?a", "?a=1", "?B=2&a=1&a=0", "?utm_x=1&ID=2",
-                  "?fbclid=9", "?=v", "?a&&b=1"],
+                  "?fbclid=9", "?=v", "?a&&b=1",
+                  # literal '?' inside query values: Spark splits with
+                  # limit=2 (keeps the tail), the mirror must match
+                  "?b=1?c=2", "?x=a?b&y=1", "??"],
         "frag": ["", "#", "#f", "#a?b=1&utm_y=2"],
     }
     urls = [
