@@ -250,7 +250,12 @@ BLOOM_K = 3
         f"filter (operators/bloom.py, m=2^16 bits, k={BLOOM_K} md5-derived "
         "hash functions) built from the benchmark shingles — the 100 TB "
         "seen-set shape, where the broadcast side is m bits instead of "
-        "exact keys.  The hash verifies each document's exact "
+        "exact keys.  The served filter is maintained through the "
+        "STREAMING seen-set store (streaming/seenset.py): two "
+        "availableNow foreachBatch refreshes over disjoint benchmark "
+        "halves publish a crash-safe manifest store, and union "
+        "idempotence makes the served filter equal the one-shot build "
+        "the oracle states.  The hash verifies each document's exact "
         "n_bloom_hits (the filter is bit-identical cross-engine) and the "
         "oracle asserts the no-false-negative guarantee "
         "(n_bloom_hits >= exact overlap) as a TRUE verdict."
@@ -258,7 +263,7 @@ BLOOM_K = 3
 )
 def decontam_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mongo2mysql_spark.functions.text import shingle_hashes, tokens
-    from mongo2mysql_spark.operators.bloom import bloom_build, bloom_probe
+    from mongo2mysql_spark.operators.bloom import bloom_probe
     from mongo2mysql_spark.operators.decontam import contamination_profile
     from mongo2mysql_spark.queries import tagged_union
 
@@ -272,8 +277,52 @@ def decontam_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_distinct(shingle_hashes(tokens(F.col("text")), DECONTAM_N))
         ).alias("h"),
     )
-    bench_sh = doc_sh.filter(F.col("doc_id") % BENCH_STRIDE == 0).select("h").distinct()
-    fltr = bloom_build(bench_sh, "h", m_bits=BLOOM_M, k=BLOOM_K)
+    # the served filter comes through the STREAMING seen-set store
+    # (streaming/seenset.py): two availableNow refreshes over disjoint
+    # halves of the benchmark docs publish a manifest store whose
+    # filter must equal the one-shot bloom_build over all benchmark
+    # shingles (union idempotence — the module invariant), so the
+    # oracle below stays the one-shot restatement while the hash gate
+    # rides the incremental store round-trip.
+    import shutil
+    import tempfile
+
+    from mongo2mysql_spark.streaming.seenset import (
+        read_bloom_store,
+        streaming_bloom_refresh,
+    )
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    work = tempfile.mkdtemp(prefix="bloom_seen_")
+    try:
+        for half in (0, 1):
+            stream_docs = (
+                spark.readStream.schema(raw_schema)
+                .option("pathGlobFilter", "documents.parquet")
+                .parquet(sf_dir)
+            )
+            q = streaming_bloom_refresh(
+                stream_docs.filter(
+                    (F.col("doc_id") % BENCH_STRIDE == 0)
+                    & (F.col("doc_id") % 2 == half)
+                ).select(
+                    F.explode(
+                        F.array_distinct(
+                            shingle_hashes(tokens(F.col("text")), DECONTAM_N)
+                        )
+                    ).alias("h")
+                ),
+                f"{work}/store",
+                "h",
+                m_bits=BLOOM_M,
+                k=BLOOM_K,
+                checkpoint_dir=f"{work}/ck{half}",
+            )
+            q.awaitTermination(300)
+        # materialize before the store dir is deleted
+        fltr = read_bloom_store(spark, f"{work}/store").localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
     member = bloom_probe(doc_sh, fltr, "h", m_bits=BLOOM_M, k=BLOOM_K)
     perdoc = (
         doc_sh.join(member, "h")

@@ -24,6 +24,19 @@ N_QUERIES = 5
 STRIDE = 97
 NPROBE = 2
 
+# contrastive triplet-mining branch (operators/contrastive.py): clone
+# every TRIP_CLONE_STRIDE-th vector at +TRIP_OFFSET so hash-sampled
+# anchors with a clone partner have a guaranteed positive (cos = 1.0),
+# while natural low-cosine neighbors fill the hard-negative band.
+TRIP_CLONE_STRIDE = 20
+TRIP_OFFSET = 200000
+TRIP_FRAC = 0.25
+TRIP_K = 10
+TRIP_NPROBE = 2
+TRIP_POS_MIN = 0.95
+TRIP_NEG_MAX = 0.8
+TRIP_SALT = "anchors"
+
 
 def _cos(a: str, b: str) -> str:
     return f"ROUND({sql_dot(a, b)} / ({sql_norm(a)} * {sql_norm(b)}), 6)"
@@ -70,6 +83,68 @@ def ann_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _triplet_oracle() -> str:
+    from mongo2mysql_spark.operators.sampling import sql_hash_sample_flag
+
+    anchor_flag = sql_hash_sample_flag("vec_id", TRIP_FRAC, TRIP_SALT)
+    return f"""
+    tcorpus AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + {TRIP_OFFSET} AS vec_id, embedding FROM embeddings
+      WHERE vec_id % {TRIP_CLONE_STRIDE} = 0),
+    tcent AS (SELECT vec_id AS centroid_id, embedding AS cv FROM tcorpus
+              WHERE vec_id % {STRIDE} = 0),
+    tranked AS (
+      SELECT vec_id, centroid_id,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY ccos DESC, centroid_id) AS rn
+      FROM (SELECT t.vec_id, c.centroid_id,
+                   {_cos('t.embedding', 'c.cv')} AS ccos
+            FROM tcorpus t CROSS JOIN tcent c)),
+    tassigned AS (SELECT vec_id, centroid_id FROM tranked WHERE rn = 1),
+    tprobes AS (
+      SELECT r.vec_id AS query_id, r.centroid_id
+      FROM tranked r
+      JOIN (SELECT vec_id FROM tcorpus WHERE {anchor_flag} = 1) a
+        ON a.vec_id = r.vec_id
+      WHERE r.rn <= {TRIP_NPROBE}),
+    tqueries AS (SELECT p.query_id, p.centroid_id, t.embedding AS qv
+                 FROM tprobes p JOIN tcorpus t ON t.vec_id = p.query_id),
+    thood AS (
+      SELECT query_id, neighbor_id, cosine
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cosine DESC, neighbor_id)
+                      AS rank
+            FROM (SELECT q.query_id, a.vec_id AS neighbor_id,
+                         {_cos('q.qv', 't.embedding')} AS cosine
+                  FROM tqueries q
+                  JOIN tassigned a ON a.centroid_id = q.centroid_id
+                                  AND a.vec_id <> q.query_id
+                  JOIN tcorpus t ON t.vec_id = a.vec_id))
+      WHERE rank <= {TRIP_K}),
+    tpos AS (
+      SELECT query_id AS anchor_id, neighbor_id AS positive_id,
+             cosine AS pos_cos
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cosine DESC, neighbor_id)
+                      AS r
+            FROM thood WHERE cosine >= {TRIP_POS_MIN})
+      WHERE r = 1),
+    tneg AS (
+      SELECT query_id AS anchor_id, neighbor_id AS negative_id,
+             cosine AS neg_cos
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cosine DESC, neighbor_id)
+                      AS r
+            FROM thood WHERE cosine <= {TRIP_NEG_MAX})
+      WHERE r = 1),
+    ttrip AS (
+      SELECT p.anchor_id, p.positive_id, p.pos_cos, n.negative_id, n.neg_cos
+      FROM tpos p JOIN tneg n USING (anchor_id))
+    """
+
+
 @register(
     "ann_topk_ivf",
     f"""
@@ -94,25 +169,70 @@ def ann_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
              {_cos('q.qv', 'e.embedding')} AS cosine
       FROM queries q
       JOIN assigned a ON a.centroid_id = q.centroid_id AND a.vec_id <> q.query_id
-      JOIN embeddings e ON e.vec_id = a.vec_id)
-    SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
+      JOIN embeddings e ON e.vec_id = a.vec_id),
+    {_triplet_oracle()}
+    SELECT 'ivf' AS branch, query_id, neighbor_id, cosine,
+           CAST(rank AS INTEGER) AS rank,
+           CAST(NULL AS BIGINT) AS anchor_id,
+           CAST(NULL AS BIGINT) AS positive_id,
+           CAST(NULL AS DOUBLE) AS pos_cos,
+           CAST(NULL AS BIGINT) AS negative_id,
+           CAST(NULL AS DOUBLE) AS neg_cos
     FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                                        ORDER BY cosine DESC, neighbor_id) AS rank
           FROM scored)
     WHERE rank <= 5
+    UNION ALL
+    SELECT 'triplets' AS branch, CAST(NULL AS BIGINT) AS query_id,
+           CAST(NULL AS BIGINT) AS neighbor_id, CAST(NULL AS DOUBLE) AS cosine,
+           CAST(NULL AS INTEGER) AS rank,
+           anchor_id, positive_id, pos_cos, negative_id, neg_cos
+    FROM ttrip
     """,
     doc=(
-        "IVF ANN: deterministic stride centroids, corpus vectors in one "
-        f"inverted list each, queries probe their {NPROBE} nearest buckets "
-        "(nprobe recall lever) — the 1/C-cost scale path."
+        "similarity surface, tagged: 'ivf' rows are IVF ANN — "
+        "deterministic stride centroids, corpus vectors in one inverted "
+        f"list each, queries probe their {NPROBE} nearest buckets (nprobe "
+        "recall lever) — the 1/C-cost scale path.  'triplets' rows are "
+        "contrastive training-pair mining (operators/contrastive.py — the "
+        "SimCSE/E5 recipe): a deterministic salted-hash anchor sample over "
+        "the clone-augmented corpus, ONE IVF search per anchor, the "
+        f"neighborhood split by exact cosine into positive (≥ {TRIP_POS_MIN}"
+        f") and hard negative (≤ {TRIP_NEG_MAX}) with a guard band between "
+        "— planted clones guarantee verifiable positives at cos 1.0; cost "
+        "is |anchors| searches, never corpus², and every id/cosine is "
+        "hash-verified against the full SQL restatement."
     ),
 )
 def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mongo2mysql_spark.operators.contrastive import mine_contrastive_triplets
+    from mongo2mysql_spark.queries import tagged_union
+
     e = T(spark, sf_dir, "embeddings", fanout=True)
     q = e.filter(F.col("vec_id") < N_QUERIES)
-    return topk_ivf(
+    ivf = topk_ivf(
         e, q, "vec_id", "embedding", centroid_stride=STRIDE, k=5, nprobe=NPROBE
-    ).select("query_id", "neighbor_id", "cosine", "rank")
+    ).select(
+        "query_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank")
+    )
+    corpus = e.select("vec_id", "embedding").unionByName(
+        e.filter(F.col("vec_id") % TRIP_CLONE_STRIDE == 0).select(
+            (F.col("vec_id") + TRIP_OFFSET).alias("vec_id"), "embedding"
+        )
+    )
+    trip = mine_contrastive_triplets(
+        corpus,
+        "vec_id",
+        "embedding",
+        anchor_frac=TRIP_FRAC,
+        k=TRIP_K,
+        pos_min_cos=TRIP_POS_MIN,
+        neg_max_cos=TRIP_NEG_MAX,
+        nprobe=TRIP_NPROBE,
+        centroid_stride=STRIDE,
+        salt=TRIP_SALT,
+    )
+    return tagged_union({"ivf": ivf, "triplets": trip})
 
 
 
