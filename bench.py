@@ -63,6 +63,54 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+# Per-branch attribution for the multi-branch tagged slots (the r5
+# round-over-round deltas conflated branch growth with regressions).
+# Keyed by slot -> (tag column, branch tags).
+BRANCHED = {
+    "dedup_exact_hashes": (
+        "method",
+        ["token_set", "sha256", "simhash32", "url_norm", "url_host",
+         "url_host_urls"],
+    ),
+    "dedup_pair_families": (
+        "family",
+        ["minhash_lsh", "ngram_jaccard", "embedding_cosine", "edit_distance"],
+    ),
+    "sample_split_stratified": (
+        "branch", ["strata", "dsir", "fixedn", "groupsplit"],
+    ),
+    "text_winnow_fingerprints": ("branch", ["fps", "pairs", "strip"]),
+    "text_profile_pii": ("branch", ["profile", "pii", "repetition", "html"]),
+    "corpus_clean_shuffle": ("branch", ["clean", "shuffle", "ppl", "c4"]),
+}
+
+
+def branch_timings(spark, registry) -> dict[str, float]:
+    """One `slot.branch` timing per branch of the tagged slots, plus
+    `slot.build` for the fn call itself.  The returned union filters on
+    the literal tag, so Catalyst prunes every other leg and a LAZY
+    branch's time is its own cost; a branch the fn materialized eagerly
+    (checkpointed pairs, streaming refreshes, memoized LSH passes)
+    times near zero here — that cost sits in `slot.build`.  These keys
+    are attribution only; the headline total sums whole slots."""
+    from pyspark.sql import functions as F
+
+    out: dict[str, float] = {}
+    for slot, (tag, branches) in BRANCHED.items():
+        try:
+            t0 = time.time()
+            df = registry[slot].fn(spark, SF_DIR)
+            out[f"{slot}.build"] = round(time.time() - t0, 3)
+            for b in branches:
+                t0 = time.time()
+                materialize(df.filter(F.col(tag) == b))
+                out[f"{slot}.{b}"] = round(time.time() - t0, 3)
+        except Exception as exc:  # noqa: BLE001
+            print(f"bench: branch pass {slot} FAILED: {exc}", file=sys.stderr)
+        spark.catalog.clearCache()
+    return out
+
+
 def etl_rows_per_sec(spark, sf_dir: str) -> tuple[float, int]:
     """Porter pipeline over the three biggest tables → rows/s (compare:
     reference ≈ 2,200 rows/s, BASELINE.md)."""
@@ -189,6 +237,9 @@ def main() -> None:
         recall = {}
 
     total = round(sum(timings.values()), 3)
+    # attribution pass AFTER the total is fixed: slot.branch keys are
+    # informational and never inflate the headline number
+    timings.update(branch_timings(spark, registry))
     out = {
         "metric": "headline_query_wall_time",
         "value": total,
