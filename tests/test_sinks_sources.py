@@ -438,3 +438,96 @@ def test_read_avro_gating_without_jar(spark, tmp_path):
 
     with pytest.raises(RuntimeError, match="spark-avro not on classpath"):
         read_avro(spark, str(tmp_path / "nope.avro"))
+
+
+def test_widen_then_upsert_interleave_live(spark, tmp_path):
+    """Full rerun lifecycle on one LIVE table: CREATE -> upsert batch 1
+    -> a wider batch arrives -> evolution DDL runs -> upsert batch 2 —
+    the exact interleave the reference does per collection per run
+    (Porter.php:104-207 schema pass then data pass).  sqlite executes
+    the CREATE/ADD verbatim; MODIFY is MySQL-only syntax (sqlite is
+    dynamically typed, so the widened values land regardless) and is
+    asserted as statement text.
+    """
+    import functools
+    import sqlite3
+
+    db = str(tmp_path / "live.db")
+    factory = functools.partial(sqlite3.connect, db)
+
+    # run 1: table absent -> CREATE, then the first data pass
+    run1 = evolve_schema_sql(
+        "docs", None, {"_id": "varchar(24)", "v": "int"}, ("_id",)
+    )
+    execute_ddl(run1, factory)
+    b1 = spark.createDataFrame([("a", 1), ("b", 2)], ["_id", "v"])
+    write_upsert(b1, "docs", factory, batch_size=1)
+
+    # run 2: the next batch widened v int->double and grew a column
+    run2 = evolve_schema_sql(
+        "docs",
+        {"_id": "varchar(24)", "v": "int"},
+        {"_id": "varchar(24)", "v": "double", "note": "varchar(50)"},
+        ("_id",),
+    )
+    assert set(run2) == {
+        "ALTER TABLE `docs` ADD COLUMN `note` varchar(50)",
+        "ALTER TABLE `docs` MODIFY COLUMN `v` double",
+    }
+    execute_ddl([s for s in run2 if "ADD COLUMN" in s], factory)
+
+    # data pass 2: REPLACE an existing _id with a widened value + note,
+    # insert a fresh row; untouched rows must survive with NULL note
+    b2 = spark.createDataFrame(
+        [("a", 1.5, "updated"), ("c", 3.0, "new")], ["_id", "v", "note"]
+    )
+    write_upsert(b2, "docs", factory, batch_size=1)
+
+    conn = factory()
+    rows = dict(
+        (r[0], (r[1], r[2]))
+        for r in conn.execute("SELECT _id, v, note FROM docs ORDER BY _id")
+    )
+    conn.close()
+    assert rows == {"a": (1.5, "updated"), "b": (2, None), "c": (3.0, "new")}
+
+    # run 3 sees only the (already covered) live schema -> no DDL
+    run3 = evolve_schema_sql(
+        "docs",
+        {"_id": "varchar(24)", "v": "double", "note": "varchar(50)"},
+        {"_id": "varchar(24)", "v": "int", "note": "varchar(10)"},
+        ("_id",),
+    )
+    assert run3 == []
+
+
+def test_list_collections_against_fake_pymongo(monkeypatch):
+    """Collection enumeration (A1, Porter.php:92 listCollections) through
+    a stub pymongo module: names come back sorted and the client gets
+    the caller's URI verbatim."""
+    import sys
+    import types
+
+    from mongo2mysql_spark.sources import mongodb as mdb
+
+    seen = {}
+
+    class _FakeDB:
+        def list_collection_names(self):
+            return ["users", "posts", "comments"]
+
+    class _FakeClient:
+        def __init__(self, uri):
+            seen["uri"] = uri
+
+        def __getitem__(self, name):
+            seen["db"] = name
+            return _FakeDB()
+
+    fake = types.ModuleType("pymongo")
+    fake.MongoClient = _FakeClient
+    monkeypatch.setitem(sys.modules, "pymongo", fake)
+
+    out = mdb.list_collections("mongodb://h:27017/?replicaSet=rs0", "forum")
+    assert out == ["comments", "posts", "users"]
+    assert seen == {"uri": "mongodb://h:27017/?replicaSet=rs0", "db": "forum"}
