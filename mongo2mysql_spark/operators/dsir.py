@@ -119,6 +119,7 @@ def bucket_log_ratio(
     source_counts: DataFrame,
     m: int = 4096,
     alpha: float = 1.0,
+    totals: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Per-bucket quantized log(p_target/q_source):
     (bucket, tc, sc, llr, llr_f).
@@ -137,8 +138,13 @@ def bucket_log_ratio(
     """
     tc = target_counts.groupBy("bucket").agg(F.sum("cnt").alias("tc"))
     sc = source_counts.groupBy("bucket").agg(F.sum("cnt").alias("sc"))
-    tt = target_counts.agg(F.coalesce(F.sum("cnt"), F.lit(0))).first()[0]
-    st = source_counts.agg(F.coalesce(F.sum("cnt"), F.lit(0))).first()[0]
+    if totals is not None:
+        # caller already knows the corpus totals (e.g. from one combined
+        # action over a flagged counts table) — skip the two collects
+        tt, st = totals
+    else:
+        tt = target_counts.agg(F.coalesce(F.sum("cnt"), F.lit(0))).first()[0]
+        st = source_counts.agg(F.coalesce(F.sum("cnt"), F.lit(0))).first()[0]
     both = tc.join(sc, "bucket", "full").select(
         "bucket",
         F.coalesce("tc", F.lit(0)).alias("tc"),

@@ -203,21 +203,28 @@ def sample_split_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # ONE corpus tokenization: the compacted (doc, bucket, cnt) table
-    # feeds both the source fit and the scoring join (persisted — far
-    # smaller than the raw gram stream); the target fit reads only the
-    # pushed-down source='src0' scan.
+    # feeds the source fit, the target fit AND the scoring join.  The
+    # target fit is counts ⋈ target-doc ids (broadcast: the DSIR target
+    # is the curated corpus, orders of magnitude smaller than source) —
+    # same derivation as the oracle's `tg AS (g JOIN documents ...)`,
+    # and it avoids re-tokenizing the target slice.  All four fit
+    # totals come from ONE action over the flagged table (this was 2
+    # tokenizations + 4 collects before — the slot's whole build cost).
     counts = bucket_counts(
         hashed_grams(d, "doc_id", "text", m=DSIR_M), "doc_id"
     ).persist()
-    target_counts = bucket_counts(
-        hashed_grams(
-            d.filter(F.col("source") == DSIR_TARGET), "doc_id", "text", m=DSIR_M
-        ),
-        "doc_id",
-    ).persist()
-    ratios = bucket_log_ratio(target_counts, counts, m=DSIR_M)
-    tt = target_counts.agg(F.coalesce(F.sum("cnt"), F.lit(0))).first()[0]
-    st = counts.agg(F.coalesce(F.sum("cnt"), F.lit(0))).first()[0]
+    target_ids = (
+        d.filter(F.col("source") == DSIR_TARGET)
+        .select("doc_id")
+        .withColumn("__is_t", F.lit(True))
+    )
+    flagged = counts.join(F.broadcast(target_ids), "doc_id", "left")
+    target_counts = flagged.filter(F.col("__is_t")).drop("__is_t")
+    tt, st = flagged.agg(
+        F.coalesce(F.sum(F.when(F.col("__is_t"), F.col("cnt"))), F.lit(0)),
+        F.coalesce(F.sum("cnt"), F.lit(0)),
+    ).first()
+    ratios = bucket_log_ratio(target_counts, counts, m=DSIR_M, totals=(int(tt), int(st)))
     fixedn = stratified_fixed_n(
         d.select("doc_id", "lang"), ["lang"], "doc_id", n=FIXED_N
     ).select("doc_id", "lang")
@@ -239,12 +246,11 @@ def sample_split_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.col("n_grams") * 2e-6 + 1e-6
         ).alias("weight_ok"),
     ).localCheckpoint()
-    # the doc-bounded dsir branch is materialized above, so the two
-    # count-table caches (already warmed by the tt/st actions) can be
-    # released instead of leaking into the driver's shared session (the
-    # r5 bench regression)
+    # the doc-bounded dsir branch is materialized above, so the count
+    # table's cache (warmed by the totals action) can be released
+    # instead of leaking into the driver's shared session (the r5
+    # bench regression)
     counts.unpersist()
-    target_counts.unpersist()
     from mongo2mysql_spark.operators.sampling import group_hash_split
 
     gs = (
