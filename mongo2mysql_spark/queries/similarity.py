@@ -24,6 +24,15 @@ N_QUERIES = 5
 STRIDE = 97
 NPROBE = 2
 
+# product-quantization branch (operators/pq.py): 64-dim vectors split
+# into PQ_M subspaces, codebook = stride-sampled corpus subvectors
+# (≤ PQ_K per subspace), ADC top-PQ_TOPK + exact rescore.
+PQ_M = 8
+PQ_DSUB = 8
+PQ_STRIDE = 31
+PQ_K = 16
+PQ_TOPK = 10
+
 # contrastive triplet-mining branch (operators/contrastive.py): clone
 # every TRIP_CLONE_STRIDE-th vector at +TRIP_OFFSET so hash-sampled
 # anchors with a clone partner have a guaranteed positive (cos = 1.0),
@@ -237,6 +246,78 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def _pq_oracle() -> str:
+    from mongo2mysql_spark.operators.pq import sql_l2sq
+
+    qslice = f"e.embedding[b.j*{PQ_DSUB}+1 : b.j*{PQ_DSUB}+{PQ_DSUB}]"
+    return f"""
+    pcb AS (
+      SELECT s.j, CAST(vec_id // {PQ_STRIDE} AS INTEGER) AS cid,
+             list_transform(
+               embedding[s.j*{PQ_DSUB}+1 : s.j*{PQ_DSUB}+{PQ_DSUB}],
+               v -> CAST(v AS DOUBLE)) AS cent
+      FROM embeddings
+      CROSS JOIN (SELECT unnest(range({PQ_M})) AS j) s
+      WHERE vec_id % {PQ_STRIDE} = 0 AND vec_id < {PQ_STRIDE * PQ_K}),
+    penc AS (
+      SELECT vec_id, j, cid,
+             row_number() OVER (PARTITION BY vec_id, j
+                                ORDER BY d2, cid) AS rn
+      FROM (SELECT e.vec_id, b.j, b.cid,
+                   {sql_l2sq(qslice, 'b.cent')} AS d2
+            FROM embeddings e CROSS JOIN pcb b)),
+    pcodes AS (
+      SELECT vec_id, list(cid ORDER BY j) AS codes
+      FROM penc WHERE rn = 1 GROUP BY vec_id),
+    pcodestr AS (
+      SELECT vec_id, array_to_string(codes, '-') AS codes_str FROM pcodes),
+    pdt AS (
+      SELECT e.vec_id AS query_id, b.j, b.cid,
+             {sql_l2sq(qslice, 'b.cent')} AS d2
+      FROM embeddings e CROSS JOIN pcb b WHERE e.vec_id < {N_QUERIES}),
+    pcu AS (
+      SELECT vec_id, s.j, codes[s.j+1] AS cid
+      FROM pcodes CROSS JOIN (SELECT unnest(range({PQ_M})) AS j) s),
+    padc AS (
+      SELECT d.query_id, u.vec_id AS neighbor_id,
+             CAST(ROUND(SUM(CAST(d.d2 AS DECIMAL(30,12))), 6) AS DOUBLE)
+               AS adc_d2
+      FROM pcu u JOIN pdt d ON d.j = u.j AND d.cid = u.cid
+      WHERE u.vec_id <> d.query_id
+      GROUP BY 1, 2),
+    ptop AS (
+      SELECT query_id, neighbor_id, adc_d2, CAST(rank AS INTEGER) AS pq_rank
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY adc_d2, neighbor_id) AS rank
+            FROM padc)
+      WHERE rank <= {PQ_TOPK}),
+    psearch AS (
+      SELECT t.query_id, t.neighbor_id, t.adc_d2, t.pq_rank,
+             {_cos('qe.embedding', 'ne.embedding')} AS pq_cos
+      FROM ptop t
+      JOIN embeddings qe ON qe.vec_id = t.query_id
+      JOIN embeddings ne ON ne.vec_id = t.neighbor_id)
+    """
+
+
+_PQ_NULLS = """
+           CAST(NULL AS VARCHAR) AS codes_str,
+           CAST(NULL AS BIGINT) AS query_id,
+           CAST(NULL AS BIGINT) AS neighbor_id,
+           CAST(NULL AS DOUBLE) AS adc_d2,
+           CAST(NULL AS INTEGER) AS pq_rank,
+           CAST(NULL AS DOUBLE) AS pq_cos"""
+
+_STATS_NULLS = """
+           CAST(NULL AS INTEGER) AS label, CAST(NULL AS INTEGER) AS dim,
+           CAST(NULL AS DOUBLE) AS l2_norm,
+           CAST(NULL AS DOUBLE) AS first_component,
+           CAST(NULL AS DOUBLE) AS last_component,
+           CAST(NULL AS BIGINT) AS sum_codes,
+           CAST(NULL AS BIGINT) AS max_abs_code,
+           CAST(NULL AS DOUBLE) AS scale_q, CAST(NULL AS DOUBLE) AS qdot_self"""
+
+
 @register(
     "embedding_stats",
     f"""
@@ -272,18 +353,35 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(list_sum(list_transform(codes,
                       c -> CAST(c AS BIGINT) * c)) AS DOUBLE) * scale * scale
                AS DECIMAL(28,10)), 6) AS DOUBLE) AS qdot_self
-      FROM q)
+      FROM q),
+    {_pq_oracle()}
     SELECT 'stats' AS branch, stats.*,
            CAST(NULL AS BIGINT) AS sum_codes, CAST(NULL AS BIGINT) AS max_abs_code,
-           CAST(NULL AS DOUBLE) AS scale_q, CAST(NULL AS DOUBLE) AS qdot_self
+           CAST(NULL AS DOUBLE) AS scale_q, CAST(NULL AS DOUBLE) AS qdot_self,
+           {_PQ_NULLS}
     FROM stats
     UNION ALL
     SELECT 'quant' AS branch, vec_id, CAST(NULL AS INTEGER) AS label,
            CAST(NULL AS INTEGER) AS dim, CAST(NULL AS DOUBLE) AS l2_norm,
            CAST(NULL AS DOUBLE) AS first_component,
            CAST(NULL AS DOUBLE) AS last_component,
-           sum_codes, max_abs_code, scale_q, qdot_self
+           sum_codes, max_abs_code, scale_q, qdot_self,
+           {_PQ_NULLS}
     FROM quant
+    UNION ALL
+    SELECT 'pqcodes' AS branch, vec_id, {_STATS_NULLS},
+           codes_str,
+           CAST(NULL AS BIGINT) AS query_id,
+           CAST(NULL AS BIGINT) AS neighbor_id,
+           CAST(NULL AS DOUBLE) AS adc_d2,
+           CAST(NULL AS INTEGER) AS pq_rank,
+           CAST(NULL AS DOUBLE) AS pq_cos
+    FROM pcodestr
+    UNION ALL
+    SELECT 'pqsearch' AS branch, CAST(NULL AS BIGINT) AS vec_id, {_STATS_NULLS},
+           CAST(NULL AS VARCHAR) AS codes_str,
+           query_id, neighbor_id, adc_d2, pq_rank, pq_cos
+    FROM psearch
     """,
     doc=(
         "embedding array surface, tagged: 'stats' rows are size, L2 "
@@ -295,11 +393,28 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "the per-vector scale, and the self dot product computed on "
         "codes (integer multiply-accumulate x scale^2, the cheap "
         "pre-ranking kernel) — integer checks are exact, doubles are "
-        "rounded in decimal domain."
+        "rounded in decimal domain.  'pqcodes'/'pqsearch' rows drive "
+        "product quantization (operators/pq.py, Jégou et al. TPAMI "
+        f"2011): vectors split into {PQ_M} subspaces, each quantized to "
+        "its nearest stride-sampled codebook centroid — encode is a "
+        "map-only narrow projection (codebook rides the plan as folded "
+        "literals: NO join, NO shuffle on the corpus side), and every "
+        "code is hash-verified; 'pqsearch' rows are ADC top-"
+        f"{PQ_TOPK} per query — one (m × k) exact distance table per "
+        "query broadcast against the code scan (m small ints per "
+        "vector instead of d floats: the 32× bandwidth cut that makes "
+        "a 100 TB vector corpus scannable), decimal-accumulated "
+        "(order-free, portable), plus the exact cosine re-score of the "
+        "winners."
     ),
 )
 def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mongo2mysql_spark.functions.vector import dot_quantized, quantize_embedding
+    from mongo2mysql_spark.operators.pq import (
+        collect_codebook,
+        pq_adc_topk,
+        pq_encode,
+    )
     from mongo2mysql_spark.queries import tagged_union
 
     e = T(spark, sf_dir, "embeddings", fanout=True)
@@ -331,4 +446,31 @@ def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("qdot_self"),
     )
-    return tagged_union({"stats": stats, "quant": quant})
+    cb = collect_codebook(
+        e, "vec_id", "embedding", m_sub=PQ_M, stride=PQ_STRIDE, k_max=PQ_K
+    )
+    codes_df = pq_encode(e, "vec_id", "embedding", cb)
+    pqc = codes_df.select(
+        "vec_id",
+        F.concat_ws(
+            "-", F.transform(F.col("codes"), lambda c: c.cast("string"))
+        ).alias("codes_str"),
+    )
+    pqs = pq_adc_topk(
+        codes_df,
+        e.filter(F.col("vec_id") < N_QUERIES),
+        e,
+        "vec_id",
+        "embedding",
+        cb,
+        k=PQ_TOPK,
+    ).select(
+        "query_id",
+        "neighbor_id",
+        "adc_d2",
+        F.col("rank").alias("pq_rank"),
+        F.col("cosine").alias("pq_cos"),
+    )
+    return tagged_union(
+        {"stats": stats, "quant": quant, "pqcodes": pqc, "pqsearch": pqs}
+    )

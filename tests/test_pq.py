@@ -1,0 +1,126 @@
+"""Product-quantization operator tests (operators/pq.py).
+
+The slot-level oracle (embedding_stats 'pqcodes'/'pqsearch') verifies
+cross-engine parity; these tests verify the math itself against an
+independent numpy/decimal reference and the PQ invariants.
+"""
+
+from __future__ import annotations
+
+import math
+from decimal import Decimal
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, FloatType, LongType, StructField, StructType
+
+from mongo2mysql_spark.operators.pq import (
+    collect_codebook,
+    pq_adc_topk,
+    pq_encode,
+)
+
+DIM, M, DSUB, STRIDE, KMAX = 16, 4, 4, 3, 5
+
+
+def _vectors(spark, n=40, seed=7):
+    rng = np.random.default_rng(seed)
+    data = [
+        (i, [float(x) for x in rng.normal(size=DIM).astype(np.float32)])
+        for i in range(n)
+    ]
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+        ]
+    )
+    return spark.createDataFrame(data, schema), {
+        i: np.array(v, dtype=np.float32).astype(np.float64) for i, v in data
+    }
+
+
+def _ref_codes(vecs, cb):
+    cents = np.array(cb)
+    out = {}
+    for vid, v in vecs.items():
+        out[vid] = [
+            int(((cents[j] - v[j * DSUB : (j + 1) * DSUB]) ** 2).sum(axis=1).argmin())
+            for j in range(M)
+        ]
+    return out
+
+
+def test_pq_encode_matches_numpy_argmin(spark):
+    df, vecs = _vectors(spark)
+    cb = collect_codebook(df, "vec_id", "embedding", M, STRIDE, KMAX)
+    assert len(cb) == M and len(cb[0]) == KMAX and len(cb[0][0]) == DSUB
+    got = {r.vec_id: list(r.codes) for r in pq_encode(df, "vec_id", "embedding", cb).collect()}
+    assert got == _ref_codes(vecs, cb)
+
+
+def test_pq_adc_matches_decimal_reference_and_ranks_clone_first(spark):
+    df, vecs = _vectors(spark)
+    # plant an exact clone of vector 0: same subvectors -> same codes,
+    # and its ADC distance to query 0 is exactly q's own quantization
+    # error — it must surface at rank 1
+    clone = df.filter(F.col("vec_id") == 0).select(
+        F.lit(999).cast("long").alias("vec_id"), "embedding"
+    )
+    full = df.unionByName(clone)
+    cb = collect_codebook(full, "vec_id", "embedding", M, STRIDE, KMAX)
+    codes_df = pq_encode(full, "vec_id", "embedding", cb)
+    res = pq_adc_topk(
+        codes_df,
+        full.filter(F.col("vec_id") == 0),
+        full,
+        "vec_id",
+        "embedding",
+        cb,
+        k=5,
+    ).collect()
+    by_rank = {r.rank: r for r in res}
+    assert by_rank[1].neighbor_id == 999
+    assert by_rank[1].cosine == pytest.approx(1.0, abs=1e-6)
+
+    # decimal reference for the clone's ADC value: sum over subspaces of
+    # the query's own quantization error, per-term quantized to 1e-12
+    cents = np.array(cb)
+    q = vecs[0]
+    codes0 = _ref_codes({0: q}, cb)[0]
+    tot = Decimal(0)
+    for j, c in enumerate(codes0):
+        d = 0.0
+        sub, cent = q[j * DSUB : (j + 1) * DSUB], cents[j][c]
+        for i in range(DSUB):
+            d = d + (sub[i] - cent[i]) * (sub[i] - cent[i])
+        tot += Decimal(d).quantize(Decimal("1e-12"))
+    assert by_rank[1].adc_d2 == pytest.approx(float(round(tot, 6)), abs=1e-9)
+    # ranks are dense 1..5 and ADC-ordered
+    assert sorted(by_rank) == [1, 2, 3, 4, 5]
+    adcs = [by_rank[r].adc_d2 for r in range(1, 6)]
+    assert adcs == sorted(adcs)
+
+
+def test_pq_codebook_guards(spark):
+    df, _ = _vectors(spark, n=5)
+    with pytest.raises(ValueError, match="not divisible"):
+        collect_codebook(df, "vec_id", "embedding", 3, STRIDE, KMAX)
+    empty = df.filter(F.col("vec_id") < 0)
+    with pytest.raises(ValueError, match="empty PQ codebook"):
+        collect_codebook(empty, "vec_id", "embedding", M, STRIDE, KMAX)
+
+
+def test_pq_encode_is_shuffle_free(spark):
+    """The 100 TB contract: encode is a narrow map-only projection —
+    no Exchange anywhere in its plan."""
+    df, _ = _vectors(spark)
+    cb = collect_codebook(df, "vec_id", "embedding", M, STRIDE, KMAX)
+    plan = (
+        pq_encode(df, "vec_id", "embedding", cb)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
