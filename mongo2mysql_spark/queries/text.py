@@ -166,6 +166,47 @@ def text_term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERY_TERMS = ("spark", "hash", "join")
 _BM25_K1 = 1.2
 _BM25_B = 0.75
+# RRF hybrid-retrieval branch (operators/fusion.py): fuse the BM25 leg
+# with a dense cosine leg (query = embedding of vec RRF_QUERY_VEC,
+# standing in for an encoded query), top-RRF_DEPTH per leg, k=RRF_K.
+RRF_DEPTH = 50
+RRF_K = 60
+RRF_QUERY_VEC = 0
+
+
+def _rrf_oracle() -> str:
+    from mongo2mysql_spark.functions.vector import sql_dot, sql_norm
+    from mongo2mysql_spark.operators.fusion import sql_rrf_term
+
+    cos = (
+        f"ROUND({sql_dot('e.embedding', 'q.qv')} / "
+        f"({sql_norm('e.embedding')} * {sql_norm('q.qv')}), 6)"
+    )
+    return f"""
+    bmleg AS (
+      SELECT doc_id, rnk AS bm25_rank FROM (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rnk
+        FROM bmall)
+      WHERE rnk <= {RRF_DEPTH}),
+    denseleg AS (
+      SELECT doc_id, rnk AS cos_rank FROM (
+        SELECT e.vec_id AS doc_id,
+               row_number() OVER (ORDER BY {cos} DESC, e.vec_id) AS rnk
+        FROM embeddings e
+        CROSS JOIN (SELECT embedding AS qv FROM embeddings
+                    WHERE vec_id = {RRF_QUERY_VEC}) q)
+      WHERE rnk <= {RRF_DEPTH}),
+    fused AS (
+      SELECT doc_id,
+             CAST(bm25_rank AS INTEGER) AS bm25_rank,
+             CAST(cos_rank AS INTEGER) AS cos_rank,
+             CAST(ROUND(CAST({sql_rrf_term('bm25_rank', RRF_K)}
+                             + {sql_rrf_term('cos_rank', RRF_K)}
+                           AS DECIMAL(20,12)), 9) AS DOUBLE) AS rrf_score
+      FROM bmleg FULL JOIN denseleg USING (doc_id)),
+    rrftop AS (SELECT * FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 20)
+    """
 
 
 @register(
@@ -192,32 +233,57 @@ _BM25_B = 0.75
                 * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)
                    * (CAST(tf.dl AS DOUBLE)
                       / (CAST(stats.total_tok AS DOUBLE) / CAST(stats.n_docs AS DOUBLE))))) AS s
-      FROM tf CROSS JOIN stats JOIN dfreq ON tf.token = dfreq.token)
-    SELECT doc_id,
-           {sql_dsum('s')} AS bm25,
-           CAST(COUNT(*) AS BIGINT) AS n_terms_hit
-    FROM scored
-    GROUP BY doc_id
-    ORDER BY bm25 DESC, doc_id
-    LIMIT 20
+      FROM tf CROSS JOIN stats JOIN dfreq ON tf.token = dfreq.token),
+    bmall AS (
+      SELECT doc_id,
+             {sql_dsum('s')} AS bm25,
+             CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+      FROM scored
+      GROUP BY doc_id),
+    bmtop AS (SELECT * FROM bmall ORDER BY bm25 DESC, doc_id LIMIT 20),
+    {_rrf_oracle()}
+    SELECT 'bm25' AS branch, doc_id, bm25, n_terms_hit,
+           CAST(NULL AS INTEGER) AS bm25_rank,
+           CAST(NULL AS INTEGER) AS cos_rank,
+           CAST(NULL AS DOUBLE) AS rrf_score
+    FROM bmtop
+    UNION ALL
+    SELECT 'rrf' AS branch, doc_id, CAST(NULL AS DOUBLE) AS bm25,
+           CAST(NULL AS BIGINT) AS n_terms_hit,
+           bm25_rank, cos_rank, rrf_score
+    FROM rrftop
     """,
     doc=(
-        "keyword search: BM25 top-20 documents for the query "
-        f"{' '.join(QUERY_TERMS)!r} (k1={_BM25_K1}, b={_BM25_B}).  The idf "
-        "factor is the RATIONAL core (N-df+0.5)/(df+0.5) — per-term "
-        "monotone in the classic log idf but log-free, so the whole score "
-        "is built from IEEE-exact +,-,*,/ and is bit-identical across "
-        "engines; per-term scores are decimal-summed per document "
-        "(order-free) and ranked on the exact value with doc_id tiebreak.  "
-        "Production rankers can swap in log idf — ranking-only use does "
-        "not need cross-engine parity.  Scale shape: query-term filter "
-        "BEFORE the explode (narrow), tf+df from one exploded pass, "
-        "corpus stats from a column-pruned second scan, dims broadcast, "
-        "top-k as TakeOrderedAndProject."
+        "retrieval surface, tagged: 'bm25' rows are BM25 top-20 documents "
+        f"for the query {' '.join(QUERY_TERMS)!r} (k1={_BM25_K1}, "
+        f"b={_BM25_B}).  The idf factor is the RATIONAL core "
+        "(N-df+0.5)/(df+0.5) — per-term monotone in the classic log idf "
+        "but log-free, so the whole score is built from IEEE-exact "
+        "+,-,*,/ and is bit-identical across engines; per-term scores are "
+        "decimal-summed per document (order-free) and ranked on the exact "
+        "value with doc_id tiebreak.  Production rankers can swap in log "
+        "idf — ranking-only use does not need cross-engine parity.  Scale "
+        "shape: query-term filter BEFORE the explode (narrow), tf+df from "
+        "one exploded pass, corpus stats from a column-pruned second "
+        "scan, dims broadcast, top-k as TakeOrderedAndProject.  'rrf' "
+        "rows are Reciprocal Rank Fusion hybrid retrieval "
+        "(operators/fusion.py, Cormack et al. SIGIR 2009): the BM25 leg "
+        "fused with a dense cosine leg (query vector = embedding "
+        f"{RRF_QUERY_VEC}, standing in for an encoded query), "
+        f"score = Σ 1/({RRF_K}+rank) over top-{RRF_DEPTH} per leg.  Each "
+        "leg is a TakeOrderedAndProject top-L (never a global sort — the "
+        "row_number runs over the already-L-bounded frame), so fusion "
+        "cost is leg-sized at any corpus scale; per-leg ranks and the "
+        "decimal-rounded fused score are hash-verified."
     ),
 )
 def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
     from mongo2mysql_spark.functions.scalar import dsum
+    from mongo2mysql_spark.functions.vector import cosine_seq
+    from mongo2mysql_spark.operators.fusion import rrf_fuse
+    from mongo2mysql_spark.queries import tagged_union
 
     d = T(spark, sf_dir, "documents", fanout=True)
     t = tokens(F.col("text"))
@@ -248,15 +314,50 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * (F.col("dl").cast("double") / avgdl))
         )
     )
-    return (
+    bmall = (
         tf.join(F.broadcast(dfreq), "token")
         .crossJoin(F.broadcast(stats))
         .withColumn("s", s)
         .groupBy("doc_id")
         .agg(dsum(F.col("s")).alias("bm25"), F.count(F.lit(1)).alias("n_terms_hit"))
-        .orderBy(F.desc("bm25"), "doc_id")
+    )
+    bmtop = bmall.orderBy(F.desc("bm25"), "doc_id").limit(20)
+
+    # RRF legs: TakeOrderedAndProject bounds each leg to RRF_DEPTH rows
+    # FIRST; the unpartitioned row_number window then runs over an
+    # L-row frame, not the corpus — no global sort at any scale.
+    bmleg = (
+        bmall.orderBy(F.desc("bm25"), "doc_id")
+        .limit(RRF_DEPTH)
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.desc("bm25"), "doc_id")),
+        )
+        .select("doc_id", "rank")
+    )
+    emb = T(spark, sf_dir, "embeddings", fanout=True)
+    qv = emb.filter(F.col("vec_id") == RRF_QUERY_VEC).select(
+        F.col("embedding").alias("__qv")
+    )
+    denseleg = (
+        emb.crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            cosine_seq(F.col("embedding"), F.col("__qv")).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), "doc_id")
+        .limit(RRF_DEPTH)
+        .withColumn(
+            "rank", F.row_number().over(Window.orderBy(F.desc("cos"), "doc_id"))
+        )
+        .select("doc_id", "rank")
+    )
+    rrftop = (
+        rrf_fuse({"bm25": bmleg, "cos": denseleg}, id_col="doc_id", k=RRF_K)
+        .orderBy(F.desc("rrf_score"), "doc_id")
         .limit(20)
     )
+    return tagged_union({"bm25": bmtop, "rrf": rrftop})
 
 
 # Document fingerprinting (md5 over the sorted distinct token set,
