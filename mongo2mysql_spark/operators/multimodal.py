@@ -158,3 +158,73 @@ def sample_frames(df: DataFrame, every_nth: int = 10) -> DataFrame:
         "frame_index",
         F.explode(F.sequence(F.lit(0), F.greatest(F.col("n_frames") - 1, F.lit(0)), F.lit(every_nth))),
     )
+
+
+PATCH_SCHEMA = (
+    "media_id long, patch_ix int, patch_iy int, patch_w int, patch_h int, "
+    "patch_mean int, n_patches long"
+)
+
+
+def patchify_images(
+    df: DataFrame,
+    patch: int = 16,
+    preview: int = 4,
+    mode: str = "fake",
+) -> DataFrame:
+    """ViT-style patchify stage as ``mapInPandas``: one input image row
+    expands to one row per patch — the row-expansion shape every
+    vision-training pipeline needs between decode and the patch
+    encoder.
+
+    ``df`` must be a :func:`decode_metadata` frame (media_id, width,
+    height, checksum).  Geometry is real: a W×H image yields
+    ``ceil(W/patch) × ceil(H/patch)`` patches, edge patches truncated
+    to the remaining pixels; ``n_patches`` reports the full grid while
+    per-patch rows are emitted for the ``preview × preview`` top-left
+    window (callers bound output when auditing a corpus — drop the cap
+    on a cluster to materialize all patches).  In ``fake`` mode the
+    patch content statistic derives deterministically from
+    sha256(checksum:ix:iy) — the ``real`` seam would compute it from
+    decoded pixels."""
+    if mode == "real":  # pragma: no cover - cluster-image integration point
+        raise NotImplementedError("real patchify needs decoded pixel data")
+
+    def run(batches: Iterator) -> Iterator:
+        import hashlib
+        import math
+
+        for pdf in batches:
+            ids, ixs, iys, pws, phs, means, totals = [], [], [], [], [], [], []
+            for mid, w, h, chk in zip(
+                pdf["media_id"], pdf["width"], pdf["height"], pdf["checksum"]
+            ):
+                w, h = int(w), int(h)
+                nx, ny = math.ceil(w / patch), math.ceil(h / patch)
+                for ix in range(min(nx, preview)):
+                    for iy in range(min(ny, preview)):
+                        ids.append(int(mid))
+                        ixs.append(ix)
+                        iys.append(iy)
+                        pws.append(min(patch, w - ix * patch))
+                        phs.append(min(patch, h - iy * patch))
+                        ph = hashlib.sha256(
+                            f"{chk}:{ix}:{iy}".encode()
+                        ).hexdigest()
+                        means.append(int(ph[:4], 16) % 256)
+                        totals.append(nx * ny)
+            import pandas as pd
+
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "patch_ix": pd.Series(ixs, dtype="int32"),
+                    "patch_iy": pd.Series(iys, dtype="int32"),
+                    "patch_w": pd.Series(pws, dtype="int32"),
+                    "patch_h": pd.Series(phs, dtype="int32"),
+                    "patch_mean": pd.Series(means, dtype="int32"),
+                    "n_patches": pd.Series(totals, dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(run, schema=PATCH_SCHEMA)

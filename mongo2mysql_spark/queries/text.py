@@ -823,11 +823,45 @@ def text_profile_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------------------ multimodal
 
+# patchify branch: stride-sampled media, 16x16 patches, 4x4 preview grid
+MM_PATCH_STRIDE = 97
+MM_PATCH = 16
+MM_PREVIEW = 4
+
 
 @register(
     "mm_payload_decode",
-    """
-    WITH h AS (SELECT doc_id, text, sha256(text) AS h FROM documents)
+    f"""
+    WITH h AS (SELECT doc_id, text, sha256(text) AS h FROM documents),
+    pimg AS (
+      SELECT doc_id AS media_id, h,
+             16 + (CAST('0x' || substr(h, 1, 4) AS INTEGER) % 4080) AS width,
+             16 + (CAST('0x' || substr(h, 5, 4) AS INTEGER) % 2144) AS height
+      FROM h WHERE doc_id % {MM_PATCH_STRIDE} = 0),
+    pgrid AS (
+      SELECT media_id, h, width, height,
+             CAST(ceil(width / {MM_PATCH}.0) AS BIGINT)
+               * CAST(ceil(height / {MM_PATCH}.0) AS BIGINT) AS n_patches,
+             ix.i AS patch_ix, iy.j AS patch_iy
+      FROM pimg
+      CROSS JOIN (SELECT unnest(range({MM_PREVIEW})) AS i) ix
+      CROSS JOIN (SELECT unnest(range({MM_PREVIEW})) AS j) iy
+      WHERE ix.i < ceil(width / {MM_PATCH}.0)
+        AND iy.j < ceil(height / {MM_PATCH}.0)),
+    ppatch AS (
+      SELECT media_id,
+             CAST(patch_ix AS INTEGER) AS patch_ix,
+             CAST(patch_iy AS INTEGER) AS patch_iy,
+             CAST(LEAST({MM_PATCH}, width - patch_ix * {MM_PATCH}) AS INTEGER)
+               AS patch_w,
+             CAST(LEAST({MM_PATCH}, height - patch_iy * {MM_PATCH}) AS INTEGER)
+               AS patch_h,
+             CAST(CAST('0x' || substr(sha256(
+                    h || ':' || CAST(patch_ix AS VARCHAR)
+                      || ':' || CAST(patch_iy AS VARCHAR)), 1, 4)
+                  AS INTEGER) % 256 AS INTEGER) AS patch_mean,
+             n_patches
+      FROM pgrid)
     SELECT 'payload' AS branch,
            doc_id AS media_id,
            'text/plain' AS media_type,
@@ -836,7 +870,10 @@ def text_profile_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
            lower(hex(encode(substring(text, 1, 8)))) AS prefix_hex,
            CAST(NULL AS INTEGER) AS width,
            CAST(NULL AS INTEGER) AS height,
-           CAST(NULL AS INTEGER) AS n_frames
+           CAST(NULL AS INTEGER) AS n_frames,
+           CAST(NULL AS INTEGER) AS patch_ix, CAST(NULL AS INTEGER) AS patch_iy,
+           CAST(NULL AS INTEGER) AS patch_w, CAST(NULL AS INTEGER) AS patch_h,
+           CAST(NULL AS INTEGER) AS patch_mean, CAST(NULL AS BIGINT) AS n_patches
     FROM h
     UNION ALL
     SELECT 'decode' AS branch,
@@ -847,27 +884,51 @@ def text_profile_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(NULL AS VARCHAR) AS prefix_hex,
            CAST(16 + (CAST('0x' || substr(h, 1, 4) AS INTEGER) % 4080) AS INTEGER) AS width,
            CAST(16 + (CAST('0x' || substr(h, 5, 4) AS INTEGER) % 2144) AS INTEGER) AS height,
-           CAST(1 + (CAST('0x' || substr(h, 9, 4) AS INTEGER) % 300) AS INTEGER) AS n_frames
+           CAST(1 + (CAST('0x' || substr(h, 9, 4) AS INTEGER) % 300) AS INTEGER) AS n_frames,
+           CAST(NULL AS INTEGER) AS patch_ix, CAST(NULL AS INTEGER) AS patch_iy,
+           CAST(NULL AS INTEGER) AS patch_w, CAST(NULL AS INTEGER) AS patch_h,
+           CAST(NULL AS INTEGER) AS patch_mean, CAST(NULL AS BIGINT) AS n_patches
     FROM h
+    UNION ALL
+    SELECT 'patches' AS branch, media_id,
+           CAST(NULL AS VARCHAR) AS media_type,
+           CAST(NULL AS BIGINT) AS n_bytes,
+           CAST(NULL AS VARCHAR) AS checksum,
+           CAST(NULL AS VARCHAR) AS prefix_hex,
+           CAST(NULL AS INTEGER) AS width,
+           CAST(NULL AS INTEGER) AS height,
+           CAST(NULL AS INTEGER) AS n_frames,
+           patch_ix, patch_iy, patch_w, patch_h, patch_mean, n_patches
+    FROM ppatch
     """,
     doc=(
-        "multimodal surface, both stages in one tagged result.  'payload' "
-        "branch: binary column + typed metadata as pure expressions "
-        "(payload pruned for metadata-only readers).  'decode' branch: "
-        "Arrow mapInPandas batches over binary payloads with a "
-        "deterministic fake decoder (real decoder is the documented "
-        "NotImplementedError seam) deriving width/height/n_frames from "
-        "sha256(payload) nibbles — the oracle restates the exact metadata "
-        "in SQL and hash-verifies the full Arrow batch path."
+        "multimodal surface, tagged.  'payload' branch: binary column + "
+        "typed metadata as pure expressions (payload pruned for "
+        "metadata-only readers).  'decode' branch: Arrow mapInPandas "
+        "batches over binary payloads with a deterministic fake decoder "
+        "(real decoder is the documented NotImplementedError seam) "
+        "deriving width/height/n_frames from sha256(payload) nibbles — "
+        "the oracle restates the exact metadata in SQL and hash-verifies "
+        "the full Arrow batch path.  'patches' branch: ViT-style "
+        "patchify (operators/multimodal.patchify_images) — one image "
+        f"row expands to one row per {MM_PATCH}×{MM_PATCH} patch via a "
+        "second mapInPandas stage (the row-expansion shape between "
+        "decode and a patch encoder); grid geometry and edge-patch "
+        "truncation are real, per-patch content stats derive from the "
+        "fake decode, output bounded to a stride-sampled media subset "
+        f"and the {MM_PREVIEW}×{MM_PREVIEW} preview window (the corpus "
+        "audit shape; uncapped on a cluster)."
     ),
 )
 def mm_payload_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mongo2mysql_spark.operators.multimodal import patchify_images
+    from mongo2mysql_spark.queries import tagged_union
+
     d = T(spark, sf_dir, "documents", fanout=True)
     pf = payload_frame(
         d, F.col("doc_id"), F.encode(F.col("text"), "UTF-8"), F.lit("text/plain")
     )
     stats = pf.select(
-        F.lit("payload").alias("branch"),
         "media_id",
         "media_type",
         "n_bytes",
@@ -878,7 +939,6 @@ def mm_payload_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("int").alias("n_frames"),
     )
     decoded = decode_metadata(pf, mode="fake").select(
-        F.lit("decode").alias("branch"),
         "media_id",
         "media_type",
         "n_bytes",
@@ -888,4 +948,13 @@ def mm_payload_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "height",
         "n_frames",
     )
-    return stats.unionByName(decoded)
+    patches = patchify_images(
+        decode_metadata(
+            pf.filter(F.col("media_id") % MM_PATCH_STRIDE == 0), mode="fake"
+        ),
+        patch=MM_PATCH,
+        preview=MM_PREVIEW,
+    )
+    return tagged_union(
+        {"payload": stats, "decode": decoded, "patches": patches}
+    )

@@ -2208,3 +2208,47 @@ def test_contrastive_triplet_mining(spark):
 
     with pytest.raises(ValueError):
         mine_contrastive_triplets(corpus, pos_min_cos=0.5, neg_max_cos=0.8)
+
+
+def test_multimodal_patchify_geometry(spark):
+    """Patchify row expansion: full-grid count, preview cap, edge-patch
+    truncation, deterministic patch stats, and the real-mode seam."""
+    import math
+
+    from mongo2mysql_spark.operators.multimodal import (
+        decode_metadata,
+        patchify_images,
+    )
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").limit(10)
+    pf = payload_frame(
+        d, F.col("doc_id"), F.encode(F.col("text"), "UTF-8"), F.lit("text/plain")
+    )
+    decoded = decode_metadata(pf, mode="fake")
+    meta = {r["media_id"]: r for r in decoded.collect()}
+    rows = patchify_images(decoded, patch=16, preview=4).collect()
+    by_media: dict = {}
+    for r in rows:
+        by_media.setdefault(r["media_id"], []).append(r)
+    assert set(by_media) == set(meta)
+    for mid, prs in by_media.items():
+        w, h = meta[mid]["width"], meta[mid]["height"]
+        nx, ny = math.ceil(w / 16), math.ceil(h / 16)
+        # n_patches reports the FULL grid; emitted rows are the preview cap
+        assert all(r["n_patches"] == nx * ny for r in prs)
+        assert len(prs) == min(nx, 4) * min(ny, 4)
+        for r in prs:
+            assert r["patch_w"] == min(16, w - r["patch_ix"] * 16)
+            assert r["patch_h"] == min(16, h - r["patch_iy"] * 16)
+            assert 0 < r["patch_w"] <= 16 and 0 < r["patch_h"] <= 16
+            assert 0 <= r["patch_mean"] <= 255
+    # deterministic across runs
+    again = sorted(
+        (r["media_id"], r["patch_ix"], r["patch_iy"], r["patch_mean"])
+        for r in patchify_images(decoded, patch=16, preview=4).collect()
+    )
+    assert again == sorted(
+        (r["media_id"], r["patch_ix"], r["patch_iy"], r["patch_mean"]) for r in rows
+    )
+    with pytest.raises(NotImplementedError):
+        patchify_images(decoded, mode="real")
