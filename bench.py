@@ -82,6 +82,8 @@ BRANCHED = {
     "text_winnow_fingerprints": ("branch", ["fps", "pairs", "strip"]),
     "text_profile_pii": ("branch", ["profile", "pii", "repetition", "html"]),
     "corpus_clean_shuffle": ("branch", ["clean", "shuffle", "ppl", "c4"]),
+    "embedding_stats": ("branch", ["stats", "quant", "pqcodes", "pqsearch"]),
+    "mm_payload_decode": ("branch", ["payload", "decode", "patches"]),
 }
 
 

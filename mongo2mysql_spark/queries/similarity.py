@@ -33,6 +33,12 @@ PQ_STRIDE = 31
 PQ_K = 16
 PQ_TOPK = 10
 
+# prototype-difficulty pruning branch (operators/pruning.py): capped
+# stride centroids, keep the hardest PR_KEEP of every cluster.
+PR_STRIDE = 97
+PR_K = 32
+PR_KEEP_NUM, PR_KEEP_DEN = 7, 10
+
 # contrastive triplet-mining branch (operators/contrastive.py): clone
 # every TRIP_CLONE_STRIDE-th vector at +TRIP_OFFSET so hash-sampled
 # anchors with a clone partner have a guaranteed positive (cos = 1.0),
@@ -296,7 +302,32 @@ def _pq_oracle() -> str:
              {_cos('qe.embedding', 'ne.embedding')} AS pq_cos
       FROM ptop t
       JOIN embeddings qe ON qe.vec_id = t.query_id
-      JOIN embeddings ne ON ne.vec_id = t.neighbor_id)
+      JOIN embeddings ne ON ne.vec_id = t.neighbor_id),
+    prcent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+               WHERE vec_id % {PR_STRIDE} = 0
+                 AND vec_id < {PR_STRIDE * PR_K}),
+    prassign AS (
+      SELECT vec_id, cid, pcos FROM (
+        SELECT vec_id, cid, pcos,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY pcos DESC, cid) AS rn
+        FROM (SELECT e.vec_id, c.cid,
+                     {_cos('e.embedding', 'c.cv')} AS pcos
+              FROM embeddings e CROSS JOIN prcent c))
+      WHERE rn = 1),
+    prune AS (
+      SELECT vec_id,
+             CAST(cid AS BIGINT) AS proto_cid,
+             pcos AS proto_cos,
+             CAST(row_number() OVER (PARTITION BY cid
+                                     ORDER BY pcos ASC, vec_id)
+                  AS INTEGER) AS proto_rank,
+             CAST(count(*) OVER (PARTITION BY cid) AS BIGINT) AS cluster_n
+      FROM prassign),
+    prkeep AS (
+      SELECT *, (proto_rank * {PR_KEEP_DEN}
+                 <= {PR_KEEP_NUM} * cluster_n) AS keep_hard
+      FROM prune)
     """
 
 
@@ -307,6 +338,13 @@ _PQ_NULLS = """
            CAST(NULL AS DOUBLE) AS adc_d2,
            CAST(NULL AS INTEGER) AS pq_rank,
            CAST(NULL AS DOUBLE) AS pq_cos"""
+
+_PR_NULLS = """
+           CAST(NULL AS BIGINT) AS proto_cid,
+           CAST(NULL AS DOUBLE) AS proto_cos,
+           CAST(NULL AS INTEGER) AS proto_rank,
+           CAST(NULL AS BIGINT) AS cluster_n,
+           CAST(NULL AS BOOLEAN) AS keep_hard"""
 
 _STATS_NULLS = """
            CAST(NULL AS INTEGER) AS label, CAST(NULL AS INTEGER) AS dim,
@@ -358,7 +396,8 @@ _STATS_NULLS = """
     SELECT 'stats' AS branch, stats.*,
            CAST(NULL AS BIGINT) AS sum_codes, CAST(NULL AS BIGINT) AS max_abs_code,
            CAST(NULL AS DOUBLE) AS scale_q, CAST(NULL AS DOUBLE) AS qdot_self,
-           {_PQ_NULLS}
+           {_PQ_NULLS},
+           {_PR_NULLS}
     FROM stats
     UNION ALL
     SELECT 'quant' AS branch, vec_id, CAST(NULL AS INTEGER) AS label,
@@ -366,7 +405,8 @@ _STATS_NULLS = """
            CAST(NULL AS DOUBLE) AS first_component,
            CAST(NULL AS DOUBLE) AS last_component,
            sum_codes, max_abs_code, scale_q, qdot_self,
-           {_PQ_NULLS}
+           {_PQ_NULLS},
+           {_PR_NULLS}
     FROM quant
     UNION ALL
     SELECT 'pqcodes' AS branch, vec_id, {_STATS_NULLS},
@@ -375,13 +415,20 @@ _STATS_NULLS = """
            CAST(NULL AS BIGINT) AS neighbor_id,
            CAST(NULL AS DOUBLE) AS adc_d2,
            CAST(NULL AS INTEGER) AS pq_rank,
-           CAST(NULL AS DOUBLE) AS pq_cos
+           CAST(NULL AS DOUBLE) AS pq_cos,
+           {_PR_NULLS}
     FROM pcodestr
     UNION ALL
     SELECT 'pqsearch' AS branch, CAST(NULL AS BIGINT) AS vec_id, {_STATS_NULLS},
            CAST(NULL AS VARCHAR) AS codes_str,
-           query_id, neighbor_id, adc_d2, pq_rank, pq_cos
+           query_id, neighbor_id, adc_d2, pq_rank, pq_cos,
+           {_PR_NULLS}
     FROM psearch
+    UNION ALL
+    SELECT 'prune' AS branch, vec_id, {_STATS_NULLS},
+           {_PQ_NULLS},
+           proto_cid, proto_cos, proto_rank, cluster_n, keep_hard
+    FROM prkeep
     """,
     doc=(
         "embedding array surface, tagged: 'stats' rows are size, L2 "
@@ -405,7 +452,16 @@ _STATS_NULLS = """
         "vector instead of d floats: the 32× bandwidth cut that makes "
         "a 100 TB vector corpus scannable), decimal-accumulated "
         "(order-free, portable), plus the exact cosine re-score of the "
-        "winners."
+        "winners.  'prune' rows are prototype-difficulty data pruning "
+        "(operators/pruning.py, Sorscher et al. NeurIPS 2022): every "
+        "vector scored by cosine to its nearest capped-stride centroid, "
+        f"keep_hard retains the hardest {PR_KEEP_NUM}/{PR_KEEP_DEN} of "
+        "EVERY cluster (per-cluster rank — a global threshold would "
+        "empty whole regions); the keep rule compares integers only "
+        "(rank·den ≤ num·n) because a fractional threshold literal is "
+        "DECIMAL in DuckDB but DOUBLE in Spark.  One broadcast "
+        "assignment scan + one cluster-key shuffle; every rank, count "
+        "and flag hash-verified."
     ),
 )
 def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -471,6 +527,24 @@ def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank").alias("pq_rank"),
         F.col("cosine").alias("pq_cos"),
     )
+    from fractions import Fraction
+
+    from mongo2mysql_spark.operators.pruning import prune_prototypes
+
+    prune = prune_prototypes(
+        e,
+        "vec_id",
+        "embedding",
+        centroid_stride=PR_STRIDE,
+        k_max=PR_K,
+        keep_frac=Fraction(PR_KEEP_NUM, PR_KEEP_DEN),
+    )
     return tagged_union(
-        {"stats": stats, "quant": quant, "pqcodes": pqc, "pqsearch": pqs}
+        {
+            "stats": stats,
+            "quant": quant,
+            "pqcodes": pqc,
+            "pqsearch": pqs,
+            "prune": prune,
+        }
     )
