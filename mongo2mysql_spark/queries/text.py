@@ -271,18 +271,18 @@ def _rrf_oracle() -> str:
         "fused with a dense cosine leg (query vector = embedding "
         f"{RRF_QUERY_VEC}, standing in for an encoded query), "
         f"score = Σ 1/({RRF_K}+rank) over top-{RRF_DEPTH} per leg.  Each "
-        "leg is a TakeOrderedAndProject top-L (never a global sort — the "
-        "row_number runs over the already-L-bounded frame), so fusion "
-        "cost is leg-sized at any corpus scale; per-leg ranks and the "
+        "leg is a TakeOrderedAndProject top-L with ranks assigned inside "
+        "one aggregate over the bounded set (never a global sort or an "
+        "unpartitioned window), and fusion is a union + one hash "
+        "aggregate (a full-outer join refuses broadcast), so cost is "
+        "leg-sized at any corpus scale; per-leg ranks and the "
         "decimal-rounded fused score are hash-verified."
     ),
 )
 def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
     from mongo2mysql_spark.functions.scalar import dsum
     from mongo2mysql_spark.functions.vector import cosine_seq
-    from mongo2mysql_spark.operators.fusion import rrf_fuse
+    from mongo2mysql_spark.operators.fusion import ranked_topk, rrf_fuse
     from mongo2mysql_spark.queries import tagged_union
 
     d = T(spark, sf_dir, "documents", fanout=True)
@@ -323,35 +323,19 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bmtop = bmall.orderBy(F.desc("bm25"), "doc_id").limit(20)
 
-    # RRF legs: TakeOrderedAndProject bounds each leg to RRF_DEPTH rows
-    # FIRST; the unpartitioned row_number window then runs over an
-    # L-row frame, not the corpus — no global sort at any scale.
-    bmleg = (
-        bmall.orderBy(F.desc("bm25"), "doc_id")
-        .limit(RRF_DEPTH)
-        .withColumn(
-            "rank",
-            F.row_number().over(Window.orderBy(F.desc("bm25"), "doc_id")),
-        )
-        .select("doc_id", "rank")
-    )
+    # RRF legs: ranked_topk = TakeOrderedAndProject to RRF_DEPTH rows,
+    # ranks assigned inside one aggregate over the bounded set — no
+    # global sort, no unpartitioned window at any scale.
+    bmleg = ranked_topk(bmall, "doc_id", "bm25", RRF_DEPTH)
     emb = T(spark, sf_dir, "embeddings", fanout=True)
     qv = emb.filter(F.col("vec_id") == RRF_QUERY_VEC).select(
         F.col("embedding").alias("__qv")
     )
-    denseleg = (
-        emb.crossJoin(F.broadcast(qv))
-        .select(
-            F.col("vec_id").alias("doc_id"),
-            cosine_seq(F.col("embedding"), F.col("__qv")).alias("cos"),
-        )
-        .orderBy(F.desc("cos"), "doc_id")
-        .limit(RRF_DEPTH)
-        .withColumn(
-            "rank", F.row_number().over(Window.orderBy(F.desc("cos"), "doc_id"))
-        )
-        .select("doc_id", "rank")
+    dense = emb.crossJoin(F.broadcast(qv)).select(
+        F.col("vec_id").alias("doc_id"),
+        cosine_seq(F.col("embedding"), F.col("__qv")).alias("cos"),
     )
+    denseleg = ranked_topk(dense, "doc_id", "cos", RRF_DEPTH)
     rrftop = (
         rrf_fuse({"bm25": bmleg, "cos": denseleg}, id_col="doc_id", k=RRF_K)
         .orderBy(F.desc("rrf_score"), "doc_id")

@@ -41,3 +41,19 @@ def test_rrf_three_legs_sum(spark):
     }
     row = rrf_fuse(legs, k=10).collect()[0]
     assert row.rrf_score == pytest.approx(1 / 11 + 1 / 12 + 1 / 13, abs=1e-9)
+
+
+def test_ranked_topk_bounds_and_orders(spark):
+    from mongo2mysql_spark.operators.fusion import ranked_topk
+
+    df = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.9), (4, 0.1), (5, 0.7)], ["doc_id", "s"]
+    )
+    rows = {r.doc_id: r.rank for r in ranked_topk(df, "doc_id", "s", 3).collect()}
+    # top-3 by score desc, id-ascending tie between 2 and 3
+    assert rows == {2: 1, 3: 2, 5: 3}
+    # empty input -> empty output, no error
+    assert ranked_topk(df.filter("s > 1"), "doc_id", "s", 3).count() == 0
+    # no unpartitioned window in the plan (the reason this helper exists)
+    plan = ranked_topk(df, "doc_id", "s", 3)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan and "TakeOrderedAndProject" in plan

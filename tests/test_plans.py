@@ -283,6 +283,8 @@ _BNLJ_OK = {
     "ann_topk_exact",
     "ann_topk_ivf",
     "agg_approx_sketches",  # single-row merged-sketch frame cross-joined in
+    "embedding_stats",  # PQ ADC scan crossJoins the broadcast per-query
+    # distance-table frame (operators/pq.py) — same family as ann_topk_*
 }
 
 
