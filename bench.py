@@ -77,7 +77,7 @@ BRANCHED = {
         ["minhash_lsh", "ngram_jaccard", "embedding_cosine", "edit_distance"],
     ),
     "sample_split_stratified": (
-        "branch", ["strata", "dsir", "fixedn", "groupsplit"],
+        "branch", ["strata", "dsir", "fixedn", "groupsplit", "unimax"],
     ),
     "text_winnow_fingerprints": ("branch", ["fps", "pairs", "strip"]),
     "text_profile_pii": ("branch", ["profile", "pii", "repetition", "html"]),

@@ -32,6 +32,9 @@ MIX_DEFAULT = 0.05
 DSIR_M, DSIR_TARGET = 4096, "src0"
 # balanced eval-slice / per-domain cap (operators/sampling.stratified_fixed_n)
 FIXED_N = 30
+# UniMax waterfill (operators/unimax.py): budget = 1/2 of corpus tokens,
+# epoch cap 2 — all-integer arithmetic so the oracle restates it exactly
+UNIMAX_B_NUM, UNIMAX_B_DEN, UNIMAX_EMAX = 1, 2, 2
 from mongo2mysql_spark.queries import register
 from mongo2mysql_spark.sources import load_table as T
 
@@ -65,7 +68,7 @@ def _dsir_oracle() -> str:
 @register(
     "sample_split_stratified",
     f"""
-    WITH labeled AS (
+    WITH RECURSIVE labeled AS (
       SELECT doc_id, lang, n_chars,
              {sql_hash_split("doc_id")} AS split,
              {sql_hash_sample_flag("doc_id")} AS sampled,
@@ -94,7 +97,37 @@ def _dsir_oracle() -> str:
       SELECT source, {sql_hash_split("source")} AS gsplit,
              CAST(count(*) AS BIGINT) AS n_docs,
              min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
-      FROM documents GROUP BY 1, 2)
+      FROM documents GROUP BY 1, 2),
+    dsz AS (
+      SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+               AS n_tokens
+      FROM documents GROUP BY 1),
+    dord AS (
+      SELECT source, n_tokens,
+             row_number() OVER (ORDER BY n_tokens, source) AS i,
+             (SELECT CAST(count(*) AS BIGINT) FROM dsz) AS d,
+             (SELECT CAST(SUM(n_tokens) * {UNIMAX_B_NUM} // {UNIMAX_B_DEN}
+                          AS BIGINT) FROM dsz) AS b
+      FROM dsz),
+    wstep AS (
+      SELECT CAST(0 AS BIGINT) AS i,
+             (SELECT b FROM dord LIMIT 1) AS rem,
+             CAST(NULL AS VARCHAR) AS source,
+             CAST(NULL AS BIGINT) AS n_tokens,
+             CAST(NULL AS BIGINT) AS alloc
+      UNION ALL
+      SELECT d.i, w.rem - LEAST({UNIMAX_EMAX} * d.n_tokens,
+                                w.rem // (d.d - w.i)),
+             d.source, d.n_tokens,
+             CAST(LEAST({UNIMAX_EMAX} * d.n_tokens,
+                        w.rem // (d.d - w.i)) AS BIGINT)
+      FROM wstep w JOIN dord d ON d.i = w.i + 1),
+    unimax AS (
+      SELECT source, n_tokens, alloc AS alloc_tokens,
+             CASE WHEN n_tokens > 0
+                  THEN CAST((1000 * alloc) // n_tokens AS BIGINT)
+                  ELSE CAST(0 AS BIGINT) END AS epochs_milli
+      FROM wstep WHERE source IS NOT NULL)
     SELECT 'strata' AS branch, split, lang, n_docs, n_sampled, n_mixed,
            sum_chars, min_doc_id, max_doc_id,
            CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS n_grams,
@@ -102,7 +135,10 @@ def _dsir_oracle() -> str:
            CAST(NULL AS VARCHAR) AS dot_sc,
            CAST(NULL AS BIGINT) AS tt, CAST(NULL AS BIGINT) AS st,
            CAST(NULL AS BOOLEAN) AS weight_ok,
-           CAST(NULL AS VARCHAR) AS source, CAST(NULL AS BOOLEAN) AS leak_free
+           CAST(NULL AS VARCHAR) AS source, CAST(NULL AS BOOLEAN) AS leak_free,
+           CAST(NULL AS BIGINT) AS n_tokens,
+           CAST(NULL AS BIGINT) AS alloc_tokens,
+           CAST(NULL AS BIGINT) AS epochs_milli
     FROM strata
     UNION ALL
     SELECT 'dsir' AS branch, CAST(NULL AS VARCHAR) AS split,
@@ -113,7 +149,10 @@ def _dsir_oracle() -> str:
            doc_id, n_grams, dot_tc, dot_sc,
            CAST(tt AS BIGINT) AS tt, CAST(st AS BIGINT) AS st,
            TRUE AS weight_ok,
-           CAST(NULL AS VARCHAR) AS source, CAST(NULL AS BOOLEAN) AS leak_free
+           CAST(NULL AS VARCHAR) AS source, CAST(NULL AS BOOLEAN) AS leak_free,
+           CAST(NULL AS BIGINT) AS n_tokens,
+           CAST(NULL AS BIGINT) AS alloc_tokens,
+           CAST(NULL AS BIGINT) AS epochs_milli
     FROM dsir, tot
     UNION ALL
     SELECT 'fixedn' AS branch, CAST(NULL AS VARCHAR) AS split,
@@ -126,7 +165,10 @@ def _dsir_oracle() -> str:
            CAST(NULL AS VARCHAR) AS dot_sc,
            CAST(NULL AS BIGINT) AS tt, CAST(NULL AS BIGINT) AS st,
            CAST(NULL AS BOOLEAN) AS weight_ok,
-           CAST(NULL AS VARCHAR) AS source, CAST(NULL AS BOOLEAN) AS leak_free
+           CAST(NULL AS VARCHAR) AS source, CAST(NULL AS BOOLEAN) AS leak_free,
+           CAST(NULL AS BIGINT) AS n_tokens,
+           CAST(NULL AS BIGINT) AS alloc_tokens,
+           CAST(NULL AS BIGINT) AS epochs_milli
     FROM fixedn
     UNION ALL
     SELECT 'groupsplit' AS branch, gsplit AS split,
@@ -138,8 +180,25 @@ def _dsir_oracle() -> str:
            CAST(NULL AS VARCHAR) AS dot_sc,
            CAST(NULL AS BIGINT) AS tt, CAST(NULL AS BIGINT) AS st,
            CAST(NULL AS BOOLEAN) AS weight_ok,
-           source, TRUE AS leak_free
+           source, TRUE AS leak_free,
+           CAST(NULL AS BIGINT) AS n_tokens,
+           CAST(NULL AS BIGINT) AS alloc_tokens,
+           CAST(NULL AS BIGINT) AS epochs_milli
     FROM groupsplit
+    UNION ALL
+    SELECT 'unimax' AS branch, CAST(NULL AS VARCHAR) AS split,
+           CAST(NULL AS VARCHAR) AS lang, CAST(NULL AS BIGINT) AS n_docs,
+           CAST(NULL AS BIGINT) AS n_sampled, CAST(NULL AS BIGINT) AS n_mixed,
+           CAST(NULL AS BIGINT) AS sum_chars, CAST(NULL AS BIGINT) AS min_doc_id,
+           CAST(NULL AS BIGINT) AS max_doc_id,
+           CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS n_grams,
+           CAST(NULL AS VARCHAR) AS dot_tc,
+           CAST(NULL AS VARCHAR) AS dot_sc,
+           CAST(NULL AS BIGINT) AS tt, CAST(NULL AS BIGINT) AS st,
+           CAST(NULL AS BOOLEAN) AS weight_ok,
+           source, CAST(NULL AS BOOLEAN) AS leak_free,
+           n_tokens, alloc_tokens, epochs_milli
+    FROM unimax
     """,
     doc=(
         "sampling surface, tagged: 'strata' rows audit the deterministic "
@@ -169,7 +228,13 @@ def _dsir_oracle() -> str:
         "documents can never straddle train/test; Spark derives each "
         "group's split from DOC-level labels and asserts one label per "
         "group (leak_free, stated TRUE by the oracle), the hash pins "
-        "per-group split/counts/id-range."
+        "per-group split/counts/id-range.  'unimax' rows are the UniMax "
+        "mixing-budget waterfill (operators/unimax.py, Chung et al. ICLR "
+        "2023): smallest domains first, each gets min(e_max·size, "
+        "remaining/remaining_domains) of a half-corpus token budget — "
+        "ONE corpus aggregation then D-row driver math, all-integer, "
+        "restated exactly by a recursive-CTE oracle and hash-verified "
+        "per domain."
     ),
 )
 def sample_split_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -276,6 +341,24 @@ def sample_split_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("__n_labels") == 1).alias("leak_free"),
         )
     )
+    from fractions import Fraction
+
+    from mongo2mysql_spark.functions.text import tokens
+    from mongo2mysql_spark.operators.unimax import unimax_mixture
+
+    uni = unimax_mixture(
+        d,
+        "source",
+        F.size(tokens(F.col("text"))).cast("long"),
+        budget_frac=Fraction(UNIMAX_B_NUM, UNIMAX_B_DEN),
+        e_max=UNIMAX_EMAX,
+    )
     return tagged_union(
-        {"strata": strata, "dsir": dsir, "fixedn": fixedn, "groupsplit": gs}
+        {
+            "strata": strata,
+            "dsir": dsir,
+            "fixedn": fixedn,
+            "groupsplit": gs,
+            "unimax": uni,
+        }
     )
