@@ -169,6 +169,47 @@ def ivf_recall(spark, sf_dir: str, k: int = 5) -> dict[str, float]:
     return out
 
 
+def pq_recall(spark, sf_dir: str, k: int = 10) -> dict[str, float]:
+    """Recall of the exact cosine top-k within the PQ ADC candidate set
+    across candidate-expansion factors — the accuracy/cost lever of the
+    32x bandwidth cut (operators/pq.py), analogous to IVF's nprobe.
+    The synthetic embeddings are near-orthogonal (true top-1 cosine
+    ~0.3), so tight ADC cuts are quantization-noise-bound and the
+    deployment lever is scanning an expanded candidate set (still code
+    bytes, not floats) before the exact float re-score."""
+    from pyspark.sql import functions as F
+
+    from mongo2mysql_spark.operators.pq import (
+        collect_codebook,
+        normalize_vectors,
+        pq_adc_topk,
+        pq_encode,
+    )
+    from mongo2mysql_spark.operators.similarity import topk_bruteforce
+    from mongo2mysql_spark.sources.parquet import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    bf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in topk_bruteforce(e, q, "vec_id", "embedding", k=k).collect()
+    }
+    e_n = normalize_vectors(e, "vec_id", "embedding")
+    cb = collect_codebook(e_n, "vec_id", "embedding", m_sub=8, stride=31, k_max=16)
+    codes = pq_encode(e_n, "vec_id", "embedding", cb)
+    q_n = e_n.filter(F.col("vec_id") < 5)
+    out = {}
+    for expand in (1, 5, 10):
+        adc = {
+            (r["query_id"], r["neighbor_id"])
+            for r in pq_adc_topk(
+                codes, q_n, e, "vec_id", "embedding", cb, k=k * expand
+            ).collect()
+        }
+        out[f"expand{expand}"] = round(len(adc & bf) / len(bf), 4)
+    return out
+
+
 def main() -> None:
     os.environ.setdefault("SPARK_DRIVER_MEMORY", "32g")
     spark = build_session(app_name="mongo2mysql_spark-bench")
@@ -238,6 +279,12 @@ def main() -> None:
         failures["ivf_recall"] = f"{type(exc).__name__}: {exc}"[:500]
         recall = {}
 
+    try:
+        pqr = pq_recall(spark, SF_DIR)
+    except Exception as exc:  # noqa: BLE001
+        failures["pq_recall"] = f"{type(exc).__name__}: {exc}"[:500]
+        pqr = {}
+
     total = round(sum(timings.values()), 3)
     # attribution pass AFTER the total is fixed: slot.branch keys are
     # informational and never inflate the headline number
@@ -251,6 +298,7 @@ def main() -> None:
         "etl_rows_per_sec": round(rps, 1),
         "etl_rows": n_rows,
         "ivf_recall_at_5": recall,
+        "pq_recall_at_10": pqr,
     }
     if failures:
         out["failures"] = failures

@@ -67,6 +67,27 @@ def sql_l2sq(a: str, b: str) -> str:
     )
 
 
+def normalize_vectors(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Unit-normalize vectors (array<double>) — the standard cosine-PQ
+    recipe: on normalized vectors ``L2² = 2 − 2·cos``, so ADC becomes an
+    angular metric and PQ top-k approximates cosine top-k.  Zero vectors
+    pass through unscaled.  The division is one IEEE op per element with
+    the norm from the portable sequential fold, so the DuckDB mirror
+    (``v / nrm`` over ``sql_norm``) is bit-identical."""
+    from mongo2mysql_spark.functions.vector import norm_seq
+
+    staged = df.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__v"),
+        norm_seq(F.col(vec_col)).alias("__n"),
+    )
+    safe = F.when(F.col("__n") > 0, F.col("__n")).otherwise(F.lit(1.0))
+    return staged.select(
+        F.col(id_col),
+        F.transform("__v", lambda v: v.cast("double") / safe).alias(vec_col),
+    )
+
+
 def collect_codebook(
     vectors: DataFrame,
     id_col: str,
@@ -184,7 +205,6 @@ def pq_adc_topk(
     dt = F.array(*[_dtj(j) for j in range(m_sub)])
     qd = queries.select(
         F.col(id_col).alias("query_id"),
-        qv.alias("__qv"),
         dt.alias("__dt"),
     )
     lookups = F.zip_with(
@@ -202,7 +222,6 @@ def pq_adc_topk(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
             F.round(adc, 6).cast("double").alias("adc_d2"),
-            "__qv",
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -211,12 +230,25 @@ def pq_adc_topk(
     top = scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+    # re-score on ``vectors`` for BOTH sides (not the query frame the
+    # codes were built from): when callers encode NORMALIZED vectors
+    # for angular ADC, the cosine must still be computed raw-vs-raw so
+    # its fold is bit-identical to the oracle's raw-vector restatement
     return (
         top.join(
             vectors.select(
                 F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nv")
             ),
             "neighbor_id",
+        )
+        .join(
+            F.broadcast(
+                vectors.join(
+                    queries.select(F.col(id_col).alias("query_id")).distinct(),
+                    vectors[id_col] == F.col("query_id"),
+                ).select("query_id", F.col(vec_col).alias("__qv"))
+            ),
+            "query_id",
         )
         .select(
             "query_id",

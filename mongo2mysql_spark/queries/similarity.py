@@ -253,16 +253,26 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pq_oracle() -> str:
+    from mongo2mysql_spark.functions.vector import sql_norm
     from mongo2mysql_spark.operators.pq import sql_l2sq
 
     qslice = f"e.embedding[b.j*{PQ_DSUB}+1 : b.j*{PQ_DSUB}+{PQ_DSUB}]"
     return f"""
+    nemb AS (
+      -- unit-normalized vectors: PQ on normalized data makes ADC an
+      -- angular metric (cosine-PQ); zero vectors pass through
+      SELECT vec_id,
+             list_transform(embedding, v -> CAST(v AS DOUBLE) / nrm)
+               AS embedding
+      FROM (SELECT vec_id, embedding,
+                   CASE WHEN {sql_norm('embedding')} > 0
+                        THEN {sql_norm('embedding')}
+                        ELSE CAST(1.0 AS DOUBLE) END AS nrm
+            FROM embeddings)),
     pcb AS (
       SELECT s.j, CAST(vec_id // {PQ_STRIDE} AS INTEGER) AS cid,
-             list_transform(
-               embedding[s.j*{PQ_DSUB}+1 : s.j*{PQ_DSUB}+{PQ_DSUB}],
-               v -> CAST(v AS DOUBLE)) AS cent
-      FROM embeddings
+             embedding[s.j*{PQ_DSUB}+1 : s.j*{PQ_DSUB}+{PQ_DSUB}] AS cent
+      FROM nemb
       CROSS JOIN (SELECT unnest(range({PQ_M})) AS j) s
       WHERE vec_id % {PQ_STRIDE} = 0 AND vec_id < {PQ_STRIDE * PQ_K}),
     penc AS (
@@ -271,7 +281,7 @@ def _pq_oracle() -> str:
                                 ORDER BY d2, cid) AS rn
       FROM (SELECT e.vec_id, b.j, b.cid,
                    {sql_l2sq(qslice, 'b.cent')} AS d2
-            FROM embeddings e CROSS JOIN pcb b)),
+            FROM nemb e CROSS JOIN pcb b)),
     pcodes AS (
       SELECT vec_id, list(cid ORDER BY j) AS codes
       FROM penc WHERE rn = 1 GROUP BY vec_id),
@@ -280,7 +290,7 @@ def _pq_oracle() -> str:
     pdt AS (
       SELECT e.vec_id AS query_id, b.j, b.cid,
              {sql_l2sq(qslice, 'b.cent')} AS d2
-      FROM embeddings e CROSS JOIN pcb b WHERE e.vec_id < {N_QUERIES}),
+      FROM nemb e CROSS JOIN pcb b WHERE e.vec_id < {N_QUERIES}),
     pcu AS (
       SELECT vec_id, s.j, codes[s.j+1] AS cid
       FROM pcodes CROSS JOIN (SELECT unnest(range({PQ_M})) AS j) s),
@@ -442,7 +452,9 @@ _STATS_NULLS = """
         "pre-ranking kernel) — integer checks are exact, doubles are "
         "rounded in decimal domain.  'pqcodes'/'pqsearch' rows drive "
         "product quantization (operators/pq.py, Jégou et al. TPAMI "
-        f"2011): vectors split into {PQ_M} subspaces, each quantized to "
+        "2011): UNIT-NORMALIZED vectors (cosine-PQ — on unit vectors "
+        f"L2² = 2−2cos, so ADC is angular) split into {PQ_M} subspaces, "
+        "each quantized to "
         "its nearest stride-sampled codebook centroid — encode is a "
         "map-only narrow projection (codebook rides the plan as folded "
         "literals: NO join, NO shuffle on the corpus side), and every "
@@ -502,10 +514,15 @@ def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("qdot_self"),
     )
+    from mongo2mysql_spark.operators.pq import normalize_vectors
+
+    # cosine-PQ: encode + ADC on UNIT-NORMALIZED vectors (L2² = 2−2cos),
+    # re-score on the raw vectors (the oracle's cosine is raw-vs-raw)
+    e_n = normalize_vectors(e, "vec_id", "embedding")
     cb = collect_codebook(
-        e, "vec_id", "embedding", m_sub=PQ_M, stride=PQ_STRIDE, k_max=PQ_K
+        e_n, "vec_id", "embedding", m_sub=PQ_M, stride=PQ_STRIDE, k_max=PQ_K
     )
-    codes_df = pq_encode(e, "vec_id", "embedding", cb)
+    codes_df = pq_encode(e_n, "vec_id", "embedding", cb)
     pqc = codes_df.select(
         "vec_id",
         F.concat_ws(
@@ -514,7 +531,7 @@ def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pqs = pq_adc_topk(
         codes_df,
-        e.filter(F.col("vec_id") < N_QUERIES),
+        e_n.filter(F.col("vec_id") < N_QUERIES),
         e,
         "vec_id",
         "embedding",
