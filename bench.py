@@ -181,7 +181,6 @@ def pq_recall(spark, sf_dir: str, k: int = 10) -> dict[str, float]:
 
     from mongo2mysql_spark.operators.pq import (
         collect_codebook,
-        normalize_vectors,
         pq_adc_topk,
         pq_encode,
     )
@@ -194,16 +193,18 @@ def pq_recall(spark, sf_dir: str, k: int = 10) -> dict[str, float]:
         (r["query_id"], r["neighbor_id"])
         for r in topk_bruteforce(e, q, "vec_id", "embedding", k=k).collect()
     }
-    e_n = normalize_vectors(e, "vec_id", "embedding")
-    cb = collect_codebook(e_n, "vec_id", "embedding", m_sub=8, stride=31, k_max=16)
-    codes = pq_encode(e_n, "vec_id", "embedding", cb)
-    q_n = e_n.filter(F.col("vec_id") < 5)
+    cb = collect_codebook(
+        e, "vec_id", "embedding", m_sub=8, stride=31, k_max=16, normalize=True
+    )
+    codes = pq_encode(e, "vec_id", "embedding", cb, normalize=True)
+    q_n = e.filter(F.col("vec_id") < 5)
     out = {}
     for expand in (1, 5, 10):
         adc = {
             (r["query_id"], r["neighbor_id"])
             for r in pq_adc_topk(
-                codes, q_n, e, "vec_id", "embedding", cb, k=k * expand
+                codes, q_n, e, "vec_id", "embedding", cb, k=k * expand,
+                normalize=True,
             ).collect()
         }
         out[f"expand{expand}"] = round(len(adc & bf) / len(bf), 4)

@@ -22,7 +22,8 @@ Spark shape:
   are the real-training path and swap in without changing the plan);
 - ``collect_codebook`` is a BOUNDED collect (≤ ``k_max`` vectors);
 - encode is a map-only narrow projection: the codebook enters the plan
-  as nested array literals, so there is NO join and NO shuffle on the
+  as literal arithmetic (whole-stage-codegen'd — see
+  ``_dists_to_cents``), so there is NO join and NO shuffle on the
   corpus side — 1000 executors encode 100 TB embarrassingly parallel;
 - ADC joins the corpus codes against a BROADCAST per-query distance
   table; the only shuffle is the per-query top-k.
@@ -67,24 +68,34 @@ def sql_l2sq(a: str, b: str) -> str:
     )
 
 
-def normalize_vectors(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-    """Unit-normalize vectors (array<double>) — the standard cosine-PQ
-    recipe: on normalized vectors ``L2² = 2 − 2·cos``, so ADC becomes an
-    angular metric and PQ top-k approximates cosine top-k.  Zero vectors
-    pass through unscaled.  The division is one IEEE op per element with
-    the norm from the portable sequential fold, so the DuckDB mirror
-    (``v / nrm`` over ``sql_norm``) is bit-identical."""
-    from mongo2mysql_spark.functions.vector import norm_seq
+def _dlit(x: float) -> str:
+    """Exact DOUBLE literal text: ``repr`` is the shortest round-trip
+    decimal form, and string→double casts parse it to the identical
+    IEEE value on both engines (a bare ``0.1`` literal would be DECIMAL
+    in Spark SQL — never write those)."""
+    return f"CAST('{x!r}' AS DOUBLE)"
 
-    staged = df.select(
-        F.col(id_col),
-        F.col(vec_col).alias("__v"),
-        norm_seq(F.col(vec_col)).alias("__n"),
+
+def _norm_sql(vec: str, dim: int) -> str:
+    """Vector L2 norm as EXPLICIT SQL text (element_at + literal
+    arithmetic — codegen'd, unlike interpreted HOF lambdas),
+    bit-identical to the seeded fold ``sql_norm`` mirrors (squares are
+    never -0.0, so dropping the 0.0 seed changes nothing; ``+`` chains
+    parse left-associative, the fold order).  Zero norm falls back to
+    1.0 so zero vectors pass through normalization unscaled — same
+    guard as the oracle's ``nemb``.
+
+    Why SQL text and not Column arithmetic: building thousand-term
+    trees one ``py4j`` call at a time costs ~10 s of driver wall per
+    plan; ONE ``F.expr`` parse is milliseconds."""
+    s = " + ".join(
+        f"(CAST(element_at({vec}, {i}) AS DOUBLE) * "
+        f"CAST(element_at({vec}, {i}) AS DOUBLE))"
+        for i in range(1, dim + 1)
     )
-    safe = F.when(F.col("__n") > 0, F.col("__n")).otherwise(F.lit(1.0))
-    return staged.select(
-        F.col(id_col),
-        F.transform("__v", lambda v: v.cast("double") / safe).alias(vec_col),
+    return (
+        f"CASE WHEN SQRT({s}) > 0 THEN SQRT({s}) "
+        f"ELSE CAST(1.0 AS DOUBLE) END"
     )
 
 
@@ -95,12 +106,20 @@ def collect_codebook(
     m_sub: int,
     stride: int,
     k_max: int,
+    normalize: bool = False,
 ) -> list[list[list[float]]]:
     """``cb[j][c]`` = subvector ``j`` of the corpus vector with id
     ``c·stride`` — a deterministic codebook both engines can restate.
 
+    With ``normalize=True`` the centroids are unit-normalized in driver
+    Python (floats ARE IEEE doubles: the left-to-right sum + sqrt +
+    per-element division is bit-identical to the engine expressions) —
+    the cosine-PQ codebook.
+
     Bounded driver work: at most ``k_max`` full vectors come back
     (the codebook is index metadata, never corpus-sized)."""
+    import math
+
     rows = (
         vectors.filter(
             (F.col(id_col) % stride == 0) & (F.col(id_col) < stride * k_max)
@@ -115,28 +134,65 @@ def collect_codebook(
     if dim % m_sub:
         raise ValueError(f"dim {dim} not divisible into {m_sub} subspaces")
     dsub = dim // m_sub
+    vecs = []
+    for r in rows:
+        v = [float(x) for x in r["__v"]]
+        if normalize:
+            s = 0.0
+            for x in v:
+                s = s + x * x
+            n = math.sqrt(s)
+            if n > 0:
+                v = [x / n for x in v]
+        vecs.append(v)
     return [
-        [
-            [float(r["__v"][j * dsub + i]) for i in range(dsub)]
-            for r in rows
-        ]
+        [[v[j * dsub + i] for i in range(dsub)] for v in vecs]
         for j in range(m_sub)
     ]
 
 
-def _cb_literal(cb: list[list[list[float]]]) -> Column:
-    """Nested array literal (m × k × dsub doubles) — ConstantFolding
-    collapses it, so the codebook rides the plan, not a join."""
-    return F.array(
-        *[
-            F.array(*[F.array(*[F.lit(x) for x in cent]) for cent in subj])
-            for subj in cb
-        ]
-    )
-
-
 def _sub(vec: Column, j: int, dsub: int) -> Column:
     return F.slice(vec, j * dsub + 1, dsub)
+
+
+def _dist_sql(
+    vec: str,
+    j: int,
+    cent: list[float],
+    dsub: int,
+    nrm: str | None = None,
+) -> str:
+    """Squared L2 from subvector ``j`` to ONE literal centroid as
+    EXPLICIT SQL text (element_at + literal arithmetic) instead of a
+    zip_with/aggregate fold: higher-order functions run interpreted
+    (~µs per lambda eval — the m·k·dsub lambda count dominated encode
+    wall), while this form stays inside whole-stage codegen.  Bit
+    parity with the oracle's seeded fold holds because the seed only
+    changes ``0.0 + p₁`` vs ``p₁`` — identical unless p₁ is -0.0, and
+    squares are always +0.0.  ``nrm`` (when given, the NAME of a
+    staged norm column — see ``pq_encode``) divides each element
+    first, so normalization runs inside the same codegen stage without
+    a corpus-sized normalized intermediate."""
+    terms = []
+    for i, cval in enumerate(cent):
+        e_i = f"CAST(element_at({vec}, {j * dsub + i + 1}) AS DOUBLE)"
+        if nrm is not None:
+            e_i = f"({e_i} / {nrm})"
+        d = f"({e_i} - {_dlit(cval)})"
+        terms.append(f"({d} * {d})")
+    return " + ".join(terms)
+
+
+def _dists_to_cents(
+    vec: str,
+    j: int,
+    cents: list[list[float]],
+    dsub: int,
+    nrm: str | None = None,
+) -> list[Column]:
+    """:func:`_dist_sql` for every centroid, parsed to Columns — the
+    per-centroid form the fold↔expansion parity test pins."""
+    return [F.expr(_dist_sql(vec, j, cent, dsub, nrm)) for cent in cents]
 
 
 def pq_encode(
@@ -144,26 +200,64 @@ def pq_encode(
     id_col: str,
     vec_col: str,
     cb: list[list[list[float]]],
+    normalize: bool = False,
 ) -> DataFrame:
     """(id, codes array<int>) — map-only, shuffle-free at any scale.
 
     ``codes[j]`` is the 0-based id of the nearest subspace-``j``
-    centroid (squared L2, first-minimum tie-break)."""
+    centroid (squared L2, first-minimum tie-break).  ``normalize=True``
+    encodes the unit-normalized vector (cosine-PQ: on unit vectors
+    L2² = 2 − 2·cos) with the norm fused into the codegen expression —
+    pair it with a ``normalize=True`` codebook."""
     m_sub = len(cb)
     dsub = len(cb[0][0])
-    cbl = _cb_literal(cb)
-    vec = F.col(vec_col)
-
-    def code(j: int) -> Column:
-        dists = F.transform(
-            F.element_at(cbl, j + 1),
-            lambda cent: _l2sq_seq(_sub(vec, j, dsub), cent),
+    # Three stacked Projects, each alias a REAL column: __nrm (the
+    # norm), then one __d{j}_{c} column per (subspace, centroid)
+    # distance, then the argmin codes.  Staging matters three times
+    # over: (a) inlining the norm tree into each of the m·k·dsub
+    # distance terms builds a ~100k-node plan that stalls Catalyst
+    # (CollapseProject keeps the Projects apart because each alias is
+    # non-cheap and multiply-referenced); (b) the m·k distance columns
+    # push the middle Project past spark.sql.codegen.maxFields (100),
+    # so whole-stage codegen SKIPS fusing it — by design: fused, the
+    # m·k·dsub terms are one method that blows janino's 64 KB limit
+    # and falls back after a wasted ~1.5 s compile, while the skipped
+    # Project compiles as a row-based UnsafeProjection with per-field
+    # method splitting; (c) expressions are built as SQL text (see
+    # ``_norm_sql``) — a handful of ``F.expr`` parses instead of ~25k
+    # py4j calls (~10 s of driver wall per plan).
+    if normalize:
+        staged = vectors.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.expr(_norm_sql(vec_col, m_sub * dsub)).alias("__nrm"),
         )
-        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
-
-    return vectors.select(
+        nrm: str | None = "__nrm"
+    else:
+        staged = vectors
+        nrm = None
+    dist = staged.select(
         F.col(id_col),
-        F.array(*[code(j) for j in range(m_sub)]).alias("codes"),
+        *[
+            F.expr(_dist_sql(vec_col, j, cent, dsub, nrm)).alias(
+                f"__d{j}_{c}"
+            )
+            for j in range(m_sub)
+            for c, cent in enumerate(cb[j])
+        ],
+    )
+
+    def arr(j: int) -> str:
+        return "array(%s)" % ", ".join(
+            f"__d{j}_{c}" for c in range(len(cb[j]))
+        )
+
+    codes = ", ".join(
+        f"CAST(array_position({arr(j)}, array_min({arr(j)})) - 1 AS INT)"
+        for j in range(m_sub)
+    )
+    return dist.select(
+        F.col(id_col), F.expr(f"array({codes})").alias("codes")
     )
 
 
@@ -175,37 +269,64 @@ def pq_adc_topk(
     vec_col: str,
     cb: list[list[list[float]]],
     k: int = 10,
+    normalize: bool = False,
 ) -> DataFrame:
     """ADC top-k per query + exact cosine re-score of the winners.
 
     ``codes_df`` is :func:`pq_encode` output; ``queries`` holds
-    (id, vec) rows.  Each query's (m × k) distance table is computed
-    once as an expression and BROADCAST against the corpus codes; the
+    (id, vec) rows — a BOUNDED frame by contract (queries are the
+    client side of every PQ deployment).  Each query's (m × k)
+    distance table is computed once in driver Python — floats ARE
+    IEEE doubles, so the left-to-right fold is bit-identical to the
+    engine expressions; ``normalize=True`` unit-normalizes the query
+    first (match the encode setting) — and BROADCAST against the
+    corpus codes (the corpus side never leaves the cluster); the
     approximate distance is a decimal-accumulated sum of m lookups
     (order-free → portable), ranked ascending with id tie-breaks.
     Returns (query_id, neighbor_id, adc_d2, rank, cosine) — cosine is
-    the exact re-score on the original float vectors, the touch-few
-    second pass of every PQ deployment."""
+    the exact re-score on the original float vectors
+    (normalization-invariant, computed raw-vs-raw so the fold is
+    bit-identical to the oracle's), the touch-few second pass of every
+    PQ deployment."""
+    import math
+
+    from pyspark.sql import types as T
+
     from mongo2mysql_spark.functions.vector import cosine_seq
 
     m_sub = len(cb)
     dsub = len(cb[0][0])
-    cbl = _cb_literal(cb)
-    qv = F.col(vec_col)
-
-    # NB: a default-arg lambda (`lambda cent, _j=j: ...`) is a trap here —
-    # pyspark reads a 2-parameter HOF lambda as (element, index) and binds
-    # the second parameter to the array INDEX, shadowing the default.
-    def _dtj(j: int) -> Column:
-        return F.transform(
-            F.element_at(cbl, j + 1),
-            lambda cent: _l2sq_seq(_sub(qv, j, dsub), cent),
-        )
-
-    dt = F.array(*[_dtj(j) for j in range(m_sub)])
-    qd = queries.select(
-        F.col(id_col).alias("query_id"),
-        dt.alias("__dt"),
+    tabs = []
+    for r in queries.select(F.col(id_col), F.col(vec_col)).collect():
+        v = [float(x) for x in r[vec_col]]
+        if normalize:
+            s = 0.0
+            for x in v:
+                s = s + x * x
+            n = math.sqrt(s)
+            if n > 0:
+                v = [x / n for x in v]
+        dt = []
+        for j in range(m_sub):
+            row = []
+            for cent in cb[j]:
+                acc = 0.0
+                for i, cval in enumerate(cent):
+                    d = v[j * dsub + i] - cval
+                    acc = acc + d * d
+                row.append(acc)
+            dt.append(row)
+        tabs.append((int(r[id_col]), dt))
+    qd = queries.sparkSession.createDataFrame(
+        tabs,
+        T.StructType(
+            [
+                T.StructField("query_id", T.LongType()),
+                T.StructField(
+                    "__dt", T.ArrayType(T.ArrayType(T.DoubleType()))
+                ),
+            ]
+        ),
     )
     lookups = F.zip_with(
         F.col("codes"), F.col("__dt"), lambda c, row: F.element_at(row, c + 1)

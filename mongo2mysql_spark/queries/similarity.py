@@ -514,15 +514,21 @@ def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("qdot_self"),
     )
-    from mongo2mysql_spark.operators.pq import normalize_vectors
-
     # cosine-PQ: encode + ADC on UNIT-NORMALIZED vectors (L2² = 2−2cos),
-    # re-score on the raw vectors (the oracle's cosine is raw-vs-raw)
-    e_n = normalize_vectors(e, "vec_id", "embedding")
+    # normalization FUSED into the codegen expressions (a materialized
+    # normalized intermediate would be a corpus-sized transform — and a
+    # lazy one re-evaluates per element_at reference); re-score is on
+    # the raw vectors (the oracle's cosine is raw-vs-raw)
     cb = collect_codebook(
-        e_n, "vec_id", "embedding", m_sub=PQ_M, stride=PQ_STRIDE, k_max=PQ_K
+        e, "vec_id", "embedding",
+        m_sub=PQ_M, stride=PQ_STRIDE, k_max=PQ_K, normalize=True,
     )
-    codes_df = pq_encode(e_n, "vec_id", "embedding", cb)
+    # the encode pass feeds BOTH pq branches and re-runs per
+    # materialization of the union; checkpoint the (id, 8 ints) frame —
+    # code-table-sized, the whole point of PQ — so it runs once
+    codes_df = pq_encode(
+        e, "vec_id", "embedding", cb, normalize=True
+    ).localCheckpoint()
     pqc = codes_df.select(
         "vec_id",
         F.concat_ws(
@@ -531,12 +537,13 @@ def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pqs = pq_adc_topk(
         codes_df,
-        e_n.filter(F.col("vec_id") < N_QUERIES),
+        e.filter(F.col("vec_id") < N_QUERIES),
         e,
         "vec_id",
         "embedding",
         cb,
         k=PQ_TOPK,
+        normalize=True,
     ).select(
         "query_id",
         "neighbor_id",

@@ -124,3 +124,33 @@ def test_pq_encode_is_shuffle_free(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_expanded_distance_bit_equals_fold(spark):
+    """_dists_to_cents (codegen expansion) must be bit-identical to the
+    seeded sequential fold _l2sq_seq that sql_l2sq mirrors — this is
+    the equivalence the oracle parity rests on."""
+    from pyspark.sql.types import DoubleType
+
+    from mongo2mysql_spark.operators.pq import (
+        _dists_to_cents,
+        _l2sq_seq,
+        _sub,
+        collect_codebook,
+    )
+
+    df, _ = _vectors(spark, n=25, seed=11)
+    cb = collect_codebook(df, "vec_id", "embedding", M, STRIDE, KMAX)
+    vec = F.col("embedding")
+    checks = []
+    for j in range(M):
+        fold = [
+            _l2sq_seq(_sub(vec, j, DSUB), F.array(*[F.lit(x) for x in cent]))
+            for cent in cb[j]
+        ]
+        expanded = _dists_to_cents("embedding", j, cb[j], DSUB)
+        checks.extend(f == e for f, e in zip(fold, expanded))
+    bad = df.select(
+        sum((~c).cast("int") for c in checks).alias("n_diff")
+    ).agg(F.sum("n_diff")).collect()[0][0]
+    assert bad == 0
