@@ -183,6 +183,7 @@ def pq_recall(spark, sf_dir: str, k: int = 10) -> dict[str, float]:
         collect_codebook,
         pq_adc_topk,
         pq_encode,
+        train_codebook,
     )
     from mongo2mysql_spark.operators.similarity import topk_bruteforce
     from mongo2mysql_spark.sources.parquet import load_table
@@ -193,21 +194,30 @@ def pq_recall(spark, sf_dir: str, k: int = 10) -> dict[str, float]:
         (r["query_id"], r["neighbor_id"])
         for r in topk_bruteforce(e, q, "vec_id", "embedding", k=k).collect()
     }
-    cb = collect_codebook(
-        e, "vec_id", "embedding", m_sub=8, stride=31, k_max=16, normalize=True
-    )
-    codes = pq_encode(e, "vec_id", "embedding", cb, normalize=True)
-    q_n = e.filter(F.col("vec_id") < 5)
+    books = {
+        # the oracle-restatable stride codebook hashed slots serve, and
+        # the Lloyd-trained one a deployment would actually build
+        "stride": collect_codebook(
+            e, "vec_id", "embedding", m_sub=8, stride=31, k_max=16,
+            normalize=True,
+        ),
+        "kmeans": train_codebook(
+            e, "vec_id", "embedding", m_sub=8, stride=31, k_max=16,
+            normalize=True,
+        ),
+    }
     out = {}
-    for expand in (1, 5, 10):
-        adc = {
-            (r["query_id"], r["neighbor_id"])
-            for r in pq_adc_topk(
-                codes, q_n, e, "vec_id", "embedding", cb, k=k * expand,
-                normalize=True,
-            ).collect()
-        }
-        out[f"expand{expand}"] = round(len(adc & bf) / len(bf), 4)
+    for name, cb in books.items():
+        codes = pq_encode(e, "vec_id", "embedding", cb, normalize=True)
+        for expand in (1, 5, 10):
+            adc = {
+                (r["query_id"], r["neighbor_id"])
+                for r in pq_adc_topk(
+                    codes, q, e, "vec_id", "embedding", cb, k=k * expand,
+                    normalize=True,
+                ).collect()
+            }
+            out[f"{name}_expand{expand}"] = round(len(adc & bf) / len(bf), 4)
     return out
 
 

@@ -151,6 +151,64 @@ def collect_codebook(
     ]
 
 
+def train_codebook(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m_sub: int,
+    stride: int,
+    k_max: int,
+    sample_n: int = 2048,
+    iters: int = 10,
+    normalize: bool = False,
+) -> list[list[list[float]]]:
+    """Lloyd-refined PQ codebook (Jégou et al. TPAMI 2011 §III: the
+    per-subspace k-means that real PQ indexes train) — same shape as
+    :func:`collect_codebook`, strictly better cells.
+
+    Scale shape: training is driver-side NumPy over a BOUNDED
+    deterministic sample (``id < sample_n`` here; at 100 TB swap the
+    predicate for a hash-sample of the same size) — codebooks are
+    index metadata learned from a sample, never a corpus pass; the
+    corpus only ever sees the one map-only encode.  Deterministic:
+    stride-codebook init, argmin ties to the lowest centroid id, empty
+    clusters keep their previous centroid.
+
+    NOT oracle-restatable (float cluster means are order-sensitive
+    cross-engine) — hashed slots serve :func:`collect_codebook`; this
+    is the recall path (``bench.pq_recall`` reports both)."""
+    import numpy as np
+
+    cb0 = collect_codebook(
+        vectors, id_col, vec_col, m_sub, stride, k_max, normalize=normalize
+    )
+    dsub = len(cb0[0][0])
+    rows = (
+        vectors.filter(F.col(id_col) < sample_n)
+        .select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+        .orderBy("__id")
+        .collect()
+    )
+    x = np.array([[float(v) for v in r["__v"]] for r in rows], dtype=np.float64)
+    if normalize:
+        nrm = np.sqrt((x * x).sum(axis=1))
+        nrm[nrm == 0] = 1.0
+        x = x / nrm[:, None]
+    out = []
+    for j in range(m_sub):
+        xj = x[:, j * dsub : (j + 1) * dsub]
+        cents = np.array(cb0[j], dtype=np.float64)
+        for _ in range(iters):
+            d2 = ((xj[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)  # first minimum = lowest id
+            for c in range(len(cents)):
+                members = xj[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        out.append([[float(v) for v in cent] for cent in cents])
+    return out
+
+
 def _sub(vec: Column, j: int, dsub: int) -> Column:
     return F.slice(vec, j * dsub + 1, dsub)
 

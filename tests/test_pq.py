@@ -126,6 +126,42 @@ def test_pq_encode_is_shuffle_free(spark):
     assert "Exchange" not in plan
 
 
+def test_trained_codebook_deterministic_and_tighter(spark):
+    """train_codebook (Lloyd on a bounded driver sample) must be
+    call-to-call deterministic and produce cells no looser than its
+    stride init — measured as total quantization error (sum over the
+    sample of min squared distance per subspace)."""
+    from mongo2mysql_spark.operators.pq import train_codebook
+
+    df, vecs = _vectors(spark, n=60, seed=3)
+    cb0 = collect_codebook(df, "vec_id", "embedding", M, STRIDE, KMAX)
+    cb1 = train_codebook(
+        df, "vec_id", "embedding", M, STRIDE, KMAX, sample_n=60, iters=5
+    )
+    cb1b = train_codebook(
+        df, "vec_id", "embedding", M, STRIDE, KMAX, sample_n=60, iters=5
+    )
+    assert cb1 == cb1b
+    assert len(cb1) == M and len(cb1[0]) == KMAX and len(cb1[0][0]) == DSUB
+
+    def qerr(cb):
+        cents = np.array(cb)
+        tot = 0.0
+        for v in vecs.values():
+            for j in range(M):
+                sub = v[j * DSUB : (j + 1) * DSUB]
+                tot += ((cents[j] - sub) ** 2).sum(axis=1).min()
+        return tot
+
+    assert qerr(cb1) < qerr(cb0)
+    # the trained book drops into the same encode plan unchanged
+    got = {
+        r.vec_id: list(r.codes)
+        for r in pq_encode(df, "vec_id", "embedding", cb1).collect()
+    }
+    assert got == _ref_codes(vecs, cb1)
+
+
 def test_expanded_distance_bit_equals_fold(spark):
     """_dists_to_cents (codegen expansion) must be bit-identical to the
     seeded sequential fold _l2sq_seq that sql_l2sq mirrors — this is
