@@ -160,6 +160,74 @@ def sample_frames(df: DataFrame, every_nth: int = 10) -> DataFrame:
     )
 
 
+FRAME_SCHEMA = (
+    "media_id long, frame_idx int, start_sample long, end_sample long, "
+    "frame_rms int, n_windows long, n_samples long"
+)
+
+
+def frame_audio(
+    df: DataFrame,
+    frame_len: int = 400,
+    hop: int = 160,
+    preview: int = 6,
+    mode: str = "fake",
+) -> DataFrame:
+    """Audio framing stage as ``mapInPandas``: one input clip row
+    expands to one row per analysis window — the librosa/wav2vec
+    ``frame_length``/``hop_length`` shape (center=False) every audio
+    training pipeline needs between decode and the feature encoder.
+
+    ``df`` must be a :func:`decode_metadata` frame (media_id,
+    checksum).  Window geometry is real: a clip of ``n`` samples
+    yields ``1 + (n - frame_len) // hop`` windows (0 when
+    ``n < frame_len``), window ``i`` covering samples
+    ``[i*hop, i*hop + frame_len)``; per-window rows are emitted for
+    the first ``preview`` windows while ``n_windows`` reports the full
+    count (the corpus-audit bound — uncap on a cluster).  In ``fake``
+    mode the clip length derives deterministically from the payload
+    checksum and the per-window RMS statistic from
+    sha256(checksum:idx) — the ``real`` seam would read decoded
+    samples."""
+    if mode == "real":  # pragma: no cover - cluster-image integration point
+        raise NotImplementedError("real audio framing needs decoded samples")
+
+    def run(batches: Iterator) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, starts, ends, rmss, wins, samps = (
+                [], [], [], [], [], [], [],
+            )
+            for mid, chk in zip(pdf["media_id"], pdf["checksum"]):
+                n = 1000 + (int(chk[12:16], 16) % 100000)
+                nw = 1 + (n - frame_len) // hop if n >= frame_len else 0
+                for i in range(min(nw, preview)):
+                    ids.append(int(mid))
+                    idxs.append(i)
+                    starts.append(i * hop)
+                    ends.append(i * hop + frame_len)
+                    fh = hashlib.sha256(f"{chk}:{i}".encode()).hexdigest()
+                    rmss.append(int(fh[:4], 16) % 32768)
+                    wins.append(nw)
+                    samps.append(n)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "start_sample": pd.Series(starts, dtype="int64"),
+                    "end_sample": pd.Series(ends, dtype="int64"),
+                    "frame_rms": pd.Series(rmss, dtype="int32"),
+                    "n_windows": pd.Series(wins, dtype="int64"),
+                    "n_samples": pd.Series(samps, dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
 PATCH_SCHEMA = (
     "media_id long, patch_ix int, patch_iy int, patch_w int, patch_h int, "
     "patch_mean int, n_patches long"

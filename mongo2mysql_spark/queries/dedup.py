@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mongo2mysql_spark.functions.text import tokens, word_shingles
+from mongo2mysql_spark.queries.text import sql_quality
 from mongo2mysql_spark.operators.dedup import (
     content_hash,
     dedup_exact,
@@ -459,24 +460,56 @@ def dedup_pair_families(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
     labeled AS (
       SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component_id
-      FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
-    SELECT doc_id, component_id,
+      FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+    qual AS (
+      SELECT doc_id, {sql_quality()} AS quality
+      FROM (SELECT doc_id, text, string_split(text, ' ') AS t
+            FROM documents)),
+    ranked AS (
+      SELECT l.doc_id, l.component_id, q.quality,
+             row_number() OVER (PARTITION BY l.component_id
+                                ORDER BY q.quality DESC, l.doc_id) AS rn
+      FROM labeled l JOIN qual q USING (doc_id)),
+    canonid AS (
+      SELECT component_id, doc_id AS canon_id FROM ranked WHERE rn = 1)
+    SELECT 'closure' AS branch, doc_id, component_id,
            count(*) OVER (PARTITION BY component_id) AS cluster_size,
            CAST(CASE WHEN doc_id = component_id THEN 1 ELSE 0 END AS INTEGER)
-             AS is_representative
+             AS is_representative,
+           CAST(NULL AS DOUBLE) AS quality,
+           CAST(NULL AS BIGINT) AS canon_id,
+           CAST(NULL AS INTEGER) AS is_canon
     FROM labeled
+    UNION ALL
+    SELECT 'canon' AS branch, r.doc_id, r.component_id,
+           CAST(NULL AS BIGINT) AS cluster_size,
+           CAST(NULL AS INTEGER) AS is_representative,
+           r.quality, c.canon_id,
+           CAST(CASE WHEN r.doc_id = c.canon_id THEN 1 ELSE 0 END AS INTEGER)
+             AS is_canon
+    FROM ranked r JOIN canonid c USING (component_id)
     """,
     doc=(
-        "near-dup cluster resolution: transitive closure of the LSH pair "
-        "list via alternating large-star/small-star (operators/components), "
-        "every document labeled with its cluster's min doc_id.  The oracle "
-        "states the same closure as a recursive CTE."
+        "near-dup cluster resolution, tagged.  'closure' branch: "
+        "transitive closure of the LSH pair list via alternating "
+        "large-star/small-star (operators/components), every document "
+        "labeled with its cluster's min doc_id; the oracle states the "
+        "same closure as a recursive CTE.  'canon' branch: canonical-"
+        "representative selection (the FineWeb/SemDeDup 'keep best, not "
+        "first' step) — within each cluster the kept document is the "
+        "QUALITY argmax (tie → min doc_id), so boilerplate-ridden copies "
+        "lose to their cleanest duplicate; quality is the parity-proven "
+        "composite heuristic, ranking is one window partitioned by "
+        "component (no global sort), canon assignment one component-key "
+        "join — same keys the closure already shuffles on."
     ),
 )
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
+    from mongo2mysql_spark.functions.text import quality_score, tokens
     from mongo2mysql_spark.operators.components import connected_components
+    from mongo2mysql_spark.queries import tagged_union
 
     d = T(spark, sf_dir, "documents", fanout=True)
     # the pair list is the slot-shared memoized LSH pass (identical to
@@ -484,8 +517,11 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # equality is asserted in tests): when dedup_pair_families already
     # ran in this session, the signature + band join is not re-derived.
     pairs = _minhash_pairs(spark, sf_dir).select("id_1", "id_2")
-    comp = connected_components(pairs, "id_1", "id_2")
-    return (
+    # both branches hang off the closure — checkpoint the (id,
+    # component) table (pair-bounded, tiny) so the fixed-point iteration
+    # runs once per materialization of the union
+    comp = connected_components(pairs, "id_1", "id_2").localCheckpoint()
+    labeled = (
         d.join(comp, d.doc_id == comp.id, "left")
         .select(
             "doc_id", F.coalesce("component", F.col("doc_id")).alias("component_id")
@@ -498,3 +534,31 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") == F.col("component_id")).cast("int"),
         )
     )
+    q = d.select(
+        "doc_id", quality_score(tokens(F.col("text")), F.col("text")).alias("quality")
+    )
+    ranked = (
+        labeled.select("doc_id", "component_id")
+        .join(q, "doc_id")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("component_id").orderBy(
+                    F.col("quality").desc(), F.col("doc_id").asc()
+                )
+            ),
+        )
+    )
+    canon = ranked.join(
+        ranked.filter(F.col("rn") == 1).select(
+            "component_id", F.col("doc_id").alias("canon_id")
+        ),
+        "component_id",
+    ).select(
+        "doc_id",
+        "component_id",
+        "quality",
+        "canon_id",
+        (F.col("doc_id") == F.col("canon_id")).cast("int").alias("is_canon"),
+    )
+    return tagged_union({"closure": labeled, "canon": canon})

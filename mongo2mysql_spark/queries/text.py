@@ -811,6 +811,12 @@ def text_profile_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
 MM_PATCH_STRIDE = 97
 MM_PATCH = 16
 MM_PREVIEW = 4
+# audio framing branch: librosa-style frame/hop (center=False), one
+# row per analysis window on a stride-sampled clip subset
+MM_FRAME_STRIDE = 89
+MM_FRAME_LEN = 400
+MM_HOP = 160
+MM_FRAME_PREVIEW = 6
 
 
 @register(
@@ -845,7 +851,29 @@ MM_PREVIEW = 4
                       || ':' || CAST(patch_iy AS VARCHAR)), 1, 4)
                   AS INTEGER) % 256 AS INTEGER) AS patch_mean,
              n_patches
-      FROM pgrid)
+      FROM pgrid),
+    pwin AS (
+      SELECT doc_id AS media_id, h, n_samples,
+             CASE WHEN n_samples >= {MM_FRAME_LEN}
+                  THEN 1 + (n_samples - {MM_FRAME_LEN}) // {MM_HOP}
+                  ELSE 0 END AS n_windows
+      FROM (SELECT doc_id, h,
+                   1000 + (CAST('0x' || substr(h, 13, 4) AS INTEGER)
+                           % 100000) AS n_samples
+            FROM h WHERE doc_id % {MM_FRAME_STRIDE} = 0)),
+    pframe AS (
+      SELECT media_id,
+             CAST(fi.i AS INTEGER) AS frame_idx,
+             CAST(fi.i * {MM_HOP} AS BIGINT) AS start_sample,
+             CAST(fi.i * {MM_HOP} + {MM_FRAME_LEN} AS BIGINT) AS end_sample,
+             CAST(CAST('0x' || substr(sha256(
+                    h || ':' || CAST(fi.i AS VARCHAR)), 1, 4)
+                  AS INTEGER) % 32768 AS INTEGER) AS frame_rms,
+             CAST(n_windows AS BIGINT) AS n_windows,
+             CAST(n_samples AS BIGINT) AS n_samples
+      FROM pwin
+      CROSS JOIN (SELECT unnest(range({MM_FRAME_PREVIEW})) AS i) fi
+      WHERE fi.i < n_windows)
     SELECT 'payload' AS branch,
            doc_id AS media_id,
            'text/plain' AS media_type,
@@ -857,7 +885,13 @@ MM_PREVIEW = 4
            CAST(NULL AS INTEGER) AS n_frames,
            CAST(NULL AS INTEGER) AS patch_ix, CAST(NULL AS INTEGER) AS patch_iy,
            CAST(NULL AS INTEGER) AS patch_w, CAST(NULL AS INTEGER) AS patch_h,
-           CAST(NULL AS INTEGER) AS patch_mean, CAST(NULL AS BIGINT) AS n_patches
+           CAST(NULL AS INTEGER) AS patch_mean, CAST(NULL AS BIGINT) AS n_patches,
+           CAST(NULL AS INTEGER) AS frame_idx,
+           CAST(NULL AS BIGINT) AS start_sample,
+           CAST(NULL AS BIGINT) AS end_sample,
+           CAST(NULL AS INTEGER) AS frame_rms,
+           CAST(NULL AS BIGINT) AS n_windows,
+           CAST(NULL AS BIGINT) AS n_samples
     FROM h
     UNION ALL
     SELECT 'decode' AS branch,
@@ -871,7 +905,13 @@ MM_PREVIEW = 4
            CAST(1 + (CAST('0x' || substr(h, 9, 4) AS INTEGER) % 300) AS INTEGER) AS n_frames,
            CAST(NULL AS INTEGER) AS patch_ix, CAST(NULL AS INTEGER) AS patch_iy,
            CAST(NULL AS INTEGER) AS patch_w, CAST(NULL AS INTEGER) AS patch_h,
-           CAST(NULL AS INTEGER) AS patch_mean, CAST(NULL AS BIGINT) AS n_patches
+           CAST(NULL AS INTEGER) AS patch_mean, CAST(NULL AS BIGINT) AS n_patches,
+           CAST(NULL AS INTEGER) AS frame_idx,
+           CAST(NULL AS BIGINT) AS start_sample,
+           CAST(NULL AS BIGINT) AS end_sample,
+           CAST(NULL AS INTEGER) AS frame_rms,
+           CAST(NULL AS BIGINT) AS n_windows,
+           CAST(NULL AS BIGINT) AS n_samples
     FROM h
     UNION ALL
     SELECT 'patches' AS branch, media_id,
@@ -882,8 +922,28 @@ MM_PREVIEW = 4
            CAST(NULL AS INTEGER) AS width,
            CAST(NULL AS INTEGER) AS height,
            CAST(NULL AS INTEGER) AS n_frames,
-           patch_ix, patch_iy, patch_w, patch_h, patch_mean, n_patches
+           patch_ix, patch_iy, patch_w, patch_h, patch_mean, n_patches,
+           CAST(NULL AS INTEGER) AS frame_idx,
+           CAST(NULL AS BIGINT) AS start_sample,
+           CAST(NULL AS BIGINT) AS end_sample,
+           CAST(NULL AS INTEGER) AS frame_rms,
+           CAST(NULL AS BIGINT) AS n_windows,
+           CAST(NULL AS BIGINT) AS n_samples
     FROM ppatch
+    UNION ALL
+    SELECT 'frames' AS branch, media_id,
+           CAST(NULL AS VARCHAR) AS media_type,
+           CAST(NULL AS BIGINT) AS n_bytes,
+           CAST(NULL AS VARCHAR) AS checksum,
+           CAST(NULL AS VARCHAR) AS prefix_hex,
+           CAST(NULL AS INTEGER) AS width,
+           CAST(NULL AS INTEGER) AS height,
+           CAST(NULL AS INTEGER) AS n_frames,
+           CAST(NULL AS INTEGER) AS patch_ix, CAST(NULL AS INTEGER) AS patch_iy,
+           CAST(NULL AS INTEGER) AS patch_w, CAST(NULL AS INTEGER) AS patch_h,
+           CAST(NULL AS INTEGER) AS patch_mean, CAST(NULL AS BIGINT) AS n_patches,
+           frame_idx, start_sample, end_sample, frame_rms, n_windows, n_samples
+    FROM pframe
     """,
     doc=(
         "multimodal surface, tagged.  'payload' branch: binary column + "
@@ -901,11 +961,20 @@ MM_PREVIEW = 4
         "truncation are real, per-patch content stats derive from the "
         "fake decode, output bounded to a stride-sampled media subset "
         f"and the {MM_PREVIEW}×{MM_PREVIEW} preview window (the corpus "
-        "audit shape; uncapped on a cluster)."
+        "audit shape; uncapped on a cluster).  'frames' branch: audio "
+        "framing (operators/multimodal.frame_audio) — librosa-style "
+        f"frame_length={MM_FRAME_LEN}/hop={MM_HOP} windows "
+        "(center=False) with real geometry (1 + (n-frame)//hop "
+        "windows, window i = [i*hop, i*hop+frame)), clip length and "
+        "per-window RMS from the fake-decode seam; every emitted "
+        "window hash-verified."
     ),
 )
 def mm_payload_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from mongo2mysql_spark.operators.multimodal import patchify_images
+    from mongo2mysql_spark.operators.multimodal import (
+        frame_audio,
+        patchify_images,
+    )
     from mongo2mysql_spark.queries import tagged_union
 
     d = T(spark, sf_dir, "documents", fanout=True)
@@ -939,6 +1008,19 @@ def mm_payload_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         patch=MM_PATCH,
         preview=MM_PREVIEW,
     )
+    frames = frame_audio(
+        decode_metadata(
+            pf.filter(F.col("media_id") % MM_FRAME_STRIDE == 0), mode="fake"
+        ),
+        frame_len=MM_FRAME_LEN,
+        hop=MM_HOP,
+        preview=MM_FRAME_PREVIEW,
+    )
     return tagged_union(
-        {"payload": stats, "decode": decoded, "patches": patches}
+        {
+            "payload": stats,
+            "decode": decoded,
+            "patches": patches,
+            "frames": frames,
+        }
     )

@@ -2252,3 +2252,50 @@ def test_multimodal_patchify_geometry(spark):
     )
     with pytest.raises(NotImplementedError):
         patchify_images(decoded, mode="real")
+
+
+def test_multimodal_audio_framing_geometry(spark):
+    """frame_audio row expansion: librosa center=False window count,
+    window coverage, preview cap, Python-reference RMS parity, and the
+    real-mode seam."""
+    import hashlib
+
+    from mongo2mysql_spark.operators.multimodal import (
+        decode_metadata,
+        frame_audio,
+    )
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").limit(10)
+    pf = payload_frame(
+        d, F.col("doc_id"), F.encode(F.col("text"), "UTF-8"), F.lit("audio/wav")
+    )
+    decoded = decode_metadata(pf, mode="fake")
+    meta = {r["media_id"]: r for r in decoded.collect()}
+    rows = frame_audio(decoded, frame_len=400, hop=160, preview=6).collect()
+    by_media: dict = {}
+    for r in rows:
+        by_media.setdefault(r["media_id"], []).append(r)
+    # fake clip length always >= 1000 >= frame_len, so every clip frames
+    assert set(by_media) == set(meta)
+    for mid, frs in by_media.items():
+        chk = meta[mid]["checksum"]
+        n = 1000 + (int(chk[12:16], 16) % 100000)
+        nw = 1 + (n - 400) // 160
+        assert all(r["n_samples"] == n and r["n_windows"] == nw for r in frs)
+        assert len(frs) == min(nw, 6)
+        for r in frs:
+            assert r["start_sample"] == r["frame_idx"] * 160
+            assert r["end_sample"] == r["start_sample"] + 400
+            assert r["end_sample"] <= n  # center=False never overruns
+            ref = int(
+                hashlib.sha256(f"{chk}:{r['frame_idx']}".encode()).hexdigest()[
+                    :4
+                ],
+                16,
+            ) % 32768
+            assert r["frame_rms"] == ref
+    # a clip shorter than one frame yields zero windows (the fake
+    # n_samples ceiling is 100999, so frame_len=200k drops every clip)
+    assert frame_audio(decoded, frame_len=200_000, hop=160).count() == 0
+    with pytest.raises(NotImplementedError):
+        frame_audio(decoded, mode="real")
