@@ -201,21 +201,34 @@ def pq_recall(spark, sf_dir: str, k: int = 10) -> dict[str, float]:
             e, "vec_id", "embedding", m_sub=8, stride=31, k_max=16,
             normalize=True,
         ),
+        # 16 centroids matches the slot's 4-bit book; the trained book
+        # also widens to 64 (6-bit codes — PQ-fastscan territory), the
+        # accuracy/bandwidth point a deployment would pick: encode is
+        # still one map-only projection, ADC still m byte lookups
         "kmeans": train_codebook(
             e, "vec_id", "embedding", m_sub=8, stride=31, k_max=16,
+            normalize=True,
+        ),
+        "kmeans64": train_codebook(
+            e, "vec_id", "embedding", m_sub=8, stride=7, k_max=64,
             normalize=True,
         ),
     }
     out = {}
     for name, cb in books.items():
         codes = pq_encode(e, "vec_id", "embedding", cb, normalize=True)
+        # ONE top-(k*10) search per book; the expansion curve falls out
+        # of rank prefixes (ranks are total-ordered), so the corpus is
+        # scanned once per book instead of once per (book, expand)
+        hits = pq_adc_topk(
+            codes, q, e, "vec_id", "embedding", cb, k=k * 10,
+            normalize=True,
+        ).collect()
         for expand in (1, 5, 10):
             adc = {
                 (r["query_id"], r["neighbor_id"])
-                for r in pq_adc_topk(
-                    codes, q, e, "vec_id", "embedding", cb, k=k * expand,
-                    normalize=True,
-                ).collect()
+                for r in hits
+                if r["rank"] <= k * expand
             }
             out[f"{name}_expand{expand}"] = round(len(adc & bf) / len(bf), 4)
     return out
