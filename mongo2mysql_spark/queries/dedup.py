@@ -499,9 +499,11 @@ def dedup_pair_families(spark: SparkSession, sf_dir: str) -> DataFrame:
         "first' step) — within each cluster the kept document is the "
         "QUALITY argmax (tie → min doc_id), so boilerplate-ridden copies "
         "lose to their cleanest duplicate; quality is the parity-proven "
-        "composite heuristic, ranking is one window partitioned by "
-        "component (no global sort), canon assignment one component-key "
-        "join — same keys the closure already shuffles on."
+        "composite heuristic, the argmax is a max_by AGGREGATE over "
+        "struct(quality, -doc_id) (map-side partials — a giant "
+        "boilerplate cluster never sorts in one task), canon assignment "
+        "one component-key join — same keys the closure already "
+        "shuffles on."
     ),
 )
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -537,24 +539,18 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = d.select(
         "doc_id", quality_score(tokens(F.col("text")), F.col("text")).alias("quality")
     )
-    ranked = (
-        labeled.select("doc_id", "component_id")
-        .join(q, "doc_id")
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                W.partitionBy("component_id").orderBy(
-                    F.col("quality").desc(), F.col("doc_id").asc()
-                )
-            ),
-        )
+    lab_q = labeled.select("doc_id", "component_id").join(q, "doc_id")
+    # quality argmax as max_by over struct(quality, -doc_id) — ORDER-
+    # EQUIVALENT to the oracle's row_number()=1 (max quality, tie → min
+    # id; -doc_id is unique so no value ties) but an AGGREGATE, so it
+    # partial-aggregates map-side where a component-partitioned window
+    # would sort one giant boilerplate cluster in a single task
+    canon_ids = lab_q.groupBy("component_id").agg(
+        F.max_by(
+            "doc_id", F.struct(F.col("quality"), -F.col("doc_id"))
+        ).alias("canon_id")
     )
-    canon = ranked.join(
-        ranked.filter(F.col("rn") == 1).select(
-            "component_id", F.col("doc_id").alias("canon_id")
-        ),
-        "component_id",
-    ).select(
+    canon = lab_q.join(canon_ids, "component_id").select(
         "doc_id",
         "component_id",
         "quality",
