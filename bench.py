@@ -89,6 +89,7 @@ BRANCHED = {
         "branch", ["payload", "decode", "patches", "frames"],
     ),
     "ann_topk_ivf": ("branch", ["ivf", "triplets"]),
+    "corpus_pack_sequences": ("branch", ["spans", "manifest", "buckets"]),
     "text_bm25_search": ("branch", ["bm25", "rrf"]),
     "dedup_connected_components": ("branch", ["closure", "canon"]),
 }

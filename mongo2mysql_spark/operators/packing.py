@@ -116,3 +116,63 @@ def pack_manifest(
         (doc_hi - doc_lo).cast("int").alias("n_tok"),
         (doc_lo - seq_start_tok).cast("int").alias("seq_offset"),
     )
+
+
+def _bucket_ladder(max_len: int, min_bucket: int) -> list[int]:
+    """Ascending power-of-two bucket sizes, final rung clamped to
+    ``max_len`` (which need not be a power of two)."""
+    out, b = [], min_bucket
+    while b < max_len:
+        out.append(b)
+        b *= 2
+    out.append(max_len)
+    return out
+
+
+def length_buckets(
+    df: DataFrame,
+    n_tokens_col: str,
+    id_col: str,
+    max_len: int,
+    min_bucket: int = 16,
+) -> DataFrame:
+    """Length-bucketed batching assignment — the dynamic-batching
+    alternative to packing (fine-tuning / inference-serving batches pad
+    to a bucket size instead of splitting documents): each document goes
+    to the smallest power-of-two bucket ≥ its token count, clamped to
+    [``min_bucket``, ``max_len``]; longer documents truncate to
+    ``max_len`` with an ``overflow`` flag.  ``pad_tokens`` is the
+    per-document padding waste — sum it per bucket and you have the
+    padding-vs-packing efficiency ledger every training-data pipeline
+    budgets with.
+
+    Scale shape: a PURE narrow projection — the bucket ladder is a
+    literal comparison chain (integer-exact on both engines; no log2,
+    which would put a transcendental in the hash contract), so bucket
+    assignment fuses into the scan at any corpus size.  The per-bucket
+    rollup is the caller's one partial-aggregating groupBy."""
+    n = F.col(n_tokens_col).cast("int")
+    n_eff = F.least(n, F.lit(max_len))
+    ladder = _bucket_ladder(max_len, min_bucket)
+    bucket = F.coalesce(
+        *[F.when(n_eff <= p, F.lit(p)) for p in ladder]
+    )
+    return df.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        bucket.cast("int").alias("bucket_len"),
+        (bucket - n_eff).cast("int").alias("pad_tokens"),
+        (n > max_len).alias("overflow"),
+    )
+
+
+def sql_length_buckets(n_expr: str, max_len: int, min_bucket: int = 16) -> str:
+    """DuckDB mirror of :func:`length_buckets`'s bucket expression —
+    the same ladder, single-sourced so both engines restate identical
+    thresholds."""
+    n_eff = f"LEAST({n_expr}, {max_len})"
+    whens = " ".join(
+        f"WHEN {n_eff} <= {p} THEN {p}"
+        for p in _bucket_ladder(max_len, min_bucket)
+    )
+    return f"CASE {whens} END"

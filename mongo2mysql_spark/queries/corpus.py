@@ -29,6 +29,7 @@ from mongo2mysql_spark.functions.text import (
 from mongo2mysql_spark.operators.dedup import dedup_exact
 from mongo2mysql_spark.operators.sampling import hash_split, sql_hash_split
 from mongo2mysql_spark.queries import register
+from mongo2mysql_spark.operators.packing import sql_length_buckets
 from mongo2mysql_spark.queries.text import sql_lang_guess, sql_quality
 from mongo2mysql_spark.sources import load_table as T
 
@@ -127,19 +128,43 @@ SEQ_LEN = 2048
                AS slice_tok,
              CAST(GREATEST(seq_id * {SEQ_LEN}, cum_before)
                   - seq_id * {SEQ_LEN} AS INTEGER) AS seq_offset
-      FROM mrows)
+      FROM mrows),
+    bkt AS (
+      SELECT doc_id,
+             CAST(n_tok AS INTEGER) AS n_tokens,
+             CAST({sql_length_buckets("n_tok", SEQ_LEN)} AS INTEGER)
+               AS bucket_len,
+             CAST({sql_length_buckets("n_tok", SEQ_LEN)}
+                  - LEAST(n_tok, {SEQ_LEN}) AS INTEGER) AS pad_tokens,
+             n_tok > {SEQ_LEN} AS overflow
+      FROM t)
     SELECT 'spans' AS branch, doc_id, n_tokens, first_seq, first_offset,
            last_seq, n_seqs,
            CAST(NULL AS BIGINT) AS seq_id, CAST(NULL AS BIGINT) AS doc_start,
            CAST(NULL AS INTEGER) AS slice_tok,
-           CAST(NULL AS INTEGER) AS seq_offset
+           CAST(NULL AS INTEGER) AS seq_offset,
+           CAST(NULL AS INTEGER) AS bucket_len,
+           CAST(NULL AS INTEGER) AS pad_tokens,
+           CAST(NULL AS BOOLEAN) AS overflow
     FROM spans
     UNION ALL
     SELECT 'manifest' AS branch, doc_id, CAST(NULL AS INTEGER) AS n_tokens,
            CAST(NULL AS BIGINT) AS first_seq, CAST(NULL AS BIGINT) AS first_offset,
            CAST(NULL AS BIGINT) AS last_seq, CAST(NULL AS INTEGER) AS n_seqs,
-           seq_id, doc_start, slice_tok, seq_offset
+           seq_id, doc_start, slice_tok, seq_offset,
+           CAST(NULL AS INTEGER) AS bucket_len,
+           CAST(NULL AS INTEGER) AS pad_tokens,
+           CAST(NULL AS BOOLEAN) AS overflow
     FROM manifest
+    UNION ALL
+    SELECT 'buckets' AS branch, doc_id, n_tokens,
+           CAST(NULL AS BIGINT) AS first_seq, CAST(NULL AS BIGINT) AS first_offset,
+           CAST(NULL AS BIGINT) AS last_seq, CAST(NULL AS INTEGER) AS n_seqs,
+           CAST(NULL AS BIGINT) AS seq_id, CAST(NULL AS BIGINT) AS doc_start,
+           CAST(NULL AS INTEGER) AS slice_tok,
+           CAST(NULL AS INTEGER) AS seq_offset,
+           bucket_len, pad_tokens, overflow
+    FROM bkt
     """,
     doc=(
         "GPT-style sequence packing, tagged: 'spans' rows give, per "
@@ -153,11 +178,22 @@ SEQ_LEN = 2048
         "exclusive prefix sum rides the two-phase scheme "
         "(operators/sequence.add_running_total_two_phase) — never a "
         "no-partition window; the manifest adds one bounded sequence() "
-        "explode.  All-integer arithmetic: bit-exact cross-engine."
+        "explode.  All-integer arithmetic: bit-exact cross-engine.  "
+        "'buckets' rows are length-bucketed batching "
+        "(operators/packing.length_buckets — the dynamic-batching "
+        "alternative to packing for fine-tuning/serving): smallest "
+        "power-of-two bucket ≥ token count with per-document padding "
+        "waste and an overflow flag; the ladder is a literal integer "
+        "comparison chain (no log2 — transcendental-free hash "
+        "contract), a pure narrow projection fused into the scan."
     ),
 )
 def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from mongo2mysql_spark.operators.packing import pack_manifest, pack_sequences
+    from mongo2mysql_spark.operators.packing import (
+        length_buckets,
+        pack_manifest,
+        pack_sequences,
+    )
     from mongo2mysql_spark.queries import tagged_union
 
     d = T(spark, sf_dir, "documents", fanout=True)
@@ -166,7 +202,10 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     manifest = pack_manifest(packed, "n_tokens", SEQ_LEN).withColumnRenamed(
         "n_tok", "slice_tok"
     )
-    return tagged_union({"spans": packed, "manifest": manifest})
+    buckets = length_buckets(counted, "n_tokens", "doc_id", SEQ_LEN)
+    return tagged_union(
+        {"spans": packed, "manifest": manifest, "buckets": buckets}
+    )
 
 
 DECONTAM_N = 8

@@ -2254,6 +2254,49 @@ def test_multimodal_patchify_geometry(spark):
         patchify_images(decoded, mode="real")
 
 
+def test_length_buckets_ladder_and_waste(spark):
+    """Bucket = smallest power-of-two ≥ n (clamped), padding waste
+    exact, overflow only above max_len, assignment is a shuffle-free
+    narrow plan."""
+    from mongo2mysql_spark.operators.packing import (
+        length_buckets,
+        sql_length_buckets,
+    )
+
+    rows = [(i, n) for i, n in enumerate([0, 1, 16, 17, 100, 512, 513, 5000])]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens int")
+    got = {
+        r.doc_id: (r.bucket_len, r.pad_tokens, r.overflow)
+        for r in length_buckets(df, "n_tokens", "doc_id", 512).collect()
+    }
+    assert got == {
+        0: (16, 16, False),     # 0 tokens pads a whole min bucket
+        1: (16, 15, False),
+        2: (16, 0, False),      # exact fit
+        3: (32, 15, False),
+        4: (128, 28, False),
+        5: (512, 0, False),
+        6: (512, 0, True),      # truncated to max_len
+        7: (512, 0, True),
+    }
+    # DuckDB mirror agrees threshold-for-threshold
+    import duckdb
+
+    mirror = duckdb.sql(
+        f"SELECT {sql_length_buckets('n', 512)} FROM (VALUES (0),(1),(16),"
+        "(17),(100),(512),(513),(5000)) v(n) ORDER BY n"
+    ).fetchall()
+    assert [m[0] for m in mirror] == [16, 16, 16, 32, 128, 512, 512, 512]
+    # narrow plan: no Exchange
+    plan = (
+        length_buckets(df, "n_tokens", "doc_id", 512)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
 def test_multimodal_audio_framing_geometry(spark):
     """frame_audio row expansion: librosa center=False window count,
     window coverage, preview cap, Python-reference RMS parity, and the
