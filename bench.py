@@ -81,7 +81,9 @@ BRANCHED = {
     ),
     "text_winnow_fingerprints": ("branch", ["fps", "pairs", "strip"]),
     "text_profile_pii": ("branch", ["profile", "pii", "repetition", "html"]),
-    "corpus_clean_shuffle": ("branch", ["clean", "shuffle", "ppl", "c4"]),
+    "corpus_clean_shuffle": (
+        "branch", ["clean", "shuffle", "ppl", "c4", "curriculum"],
+    ),
     "embedding_stats": (
         "branch", ["stats", "quant", "pqcodes", "pqsearch", "prune"],
     ),

@@ -541,7 +541,27 @@ def _shard_oracle() -> str:
              CAST(SUM(num) AS BIGINT) AS sum_num,
              CAST(SUM(den) AS BIGINT) AS sum_den
       FROM scored GROUP BY 1),
-    {_C4_SQL_CTES}
+    {_C4_SQL_CTES},
+    cur_dom AS (
+      SELECT source,
+             CAST(row_number() OVER (ORDER BY source) - 1 AS INTEGER)
+               AS domain_ix
+      FROM (SELECT DISTINCT source FROM documents)),
+    cur_q AS (
+      SELECT doc_id, source, {sql_quality()} AS q
+      FROM (SELECT doc_id, source, text, string_split(text, ' ') AS t
+            FROM documents)),
+    cur_r AS (
+      SELECT doc_id, source,
+             CAST(row_number() OVER (PARTITION BY source
+                                     ORDER BY q DESC, doc_id) - 1 AS BIGINT)
+               AS intra_rank
+      FROM cur_q),
+    cur AS (
+      SELECT r.doc_id, r.source, m.domain_ix, r.intra_rank,
+             CAST(r.intra_rank * (SELECT count(*) FROM cur_dom)
+                  + m.domain_ix AS BIGINT) AS interleave_pos
+      FROM cur_r r JOIN cur_dom m USING (source))
     SELECT 'clean' AS branch, clean.*,
            CAST(NULL AS BIGINT) AS shard, CAST(NULL AS BIGINT) AS shuffle_rank,
            CAST(NULL AS INTEGER) AS position,
@@ -551,7 +571,10 @@ def _shard_oracle() -> str:
            CAST(NULL AS INTEGER) AS n_lines,
            CAST(NULL AS INTEGER) AS n_lines_kept,
            CAST(NULL AS BOOLEAN) AS page_kept,
-           CAST(NULL AS INTEGER) AS clean_len, CAST(NULL AS VARCHAR) AS clean_fp
+           CAST(NULL AS INTEGER) AS clean_len, CAST(NULL AS VARCHAR) AS clean_fp,
+           CAST(NULL AS VARCHAR) AS source, CAST(NULL AS INTEGER) AS domain_ix,
+           CAST(NULL AS BIGINT) AS intra_rank,
+           CAST(NULL AS BIGINT) AS interleave_pos
     FROM clean
     UNION ALL
     SELECT 'shuffle' AS branch, doc_id,
@@ -565,7 +588,10 @@ def _shard_oracle() -> str:
            CAST(NULL AS INTEGER) AS n_lines,
            CAST(NULL AS INTEGER) AS n_lines_kept,
            CAST(NULL AS BOOLEAN) AS page_kept,
-           CAST(NULL AS INTEGER) AS clean_len, CAST(NULL AS VARCHAR) AS clean_fp
+           CAST(NULL AS INTEGER) AS clean_len, CAST(NULL AS VARCHAR) AS clean_fp,
+           CAST(NULL AS VARCHAR) AS source, CAST(NULL AS INTEGER) AS domain_ix,
+           CAST(NULL AS BIGINT) AS intra_rank,
+           CAST(NULL AS BIGINT) AS interleave_pos
     FROM sharded
     UNION ALL
     SELECT 'ppl' AS branch, doc_id,
@@ -578,7 +604,10 @@ def _shard_oracle() -> str:
            CAST(NULL AS INTEGER) AS n_lines,
            CAST(NULL AS INTEGER) AS n_lines_kept,
            CAST(NULL AS BOOLEAN) AS page_kept,
-           CAST(NULL AS INTEGER) AS clean_len, CAST(NULL AS VARCHAR) AS clean_fp
+           CAST(NULL AS INTEGER) AS clean_len, CAST(NULL AS VARCHAR) AS clean_fp,
+           CAST(NULL AS VARCHAR) AS source, CAST(NULL AS INTEGER) AS domain_ix,
+           CAST(NULL AS BIGINT) AS intra_rank,
+           CAST(NULL AS BIGINT) AS interleave_pos
     FROM ppl
     UNION ALL
     SELECT 'c4' AS branch, doc_id,
@@ -590,8 +619,27 @@ def _shard_oracle() -> str:
            CAST(NULL AS BIGINT) AS n_transitions,
            CAST(NULL AS BIGINT) AS sum_num, CAST(NULL AS BIGINT) AS sum_den,
            CAST(NULL AS BOOLEAN) AS lm_ok,
-           n_lines, n_lines_kept, page_kept, clean_len, clean_fp
+           n_lines, n_lines_kept, page_kept, clean_len, clean_fp,
+           CAST(NULL AS VARCHAR) AS source, CAST(NULL AS INTEGER) AS domain_ix,
+           CAST(NULL AS BIGINT) AS intra_rank,
+           CAST(NULL AS BIGINT) AS interleave_pos
     FROM c4
+    UNION ALL
+    SELECT 'curriculum' AS branch, doc_id,
+           CAST(NULL AS VARCHAR) AS lang_guess, CAST(NULL AS DOUBLE) AS quality,
+           CAST(NULL AS INTEGER) AS n_tokens, CAST(NULL AS DOUBLE) AS dup_frac,
+           CAST(NULL AS VARCHAR) AS split,
+           CAST(NULL AS BIGINT) AS shard, CAST(NULL AS BIGINT) AS shuffle_rank,
+           CAST(NULL AS INTEGER) AS position,
+           CAST(NULL AS BIGINT) AS n_transitions,
+           CAST(NULL AS BIGINT) AS sum_num, CAST(NULL AS BIGINT) AS sum_den,
+           CAST(NULL AS BOOLEAN) AS lm_ok,
+           CAST(NULL AS INTEGER) AS n_lines,
+           CAST(NULL AS INTEGER) AS n_lines_kept,
+           CAST(NULL AS BOOLEAN) AS page_kept,
+           CAST(NULL AS INTEGER) AS clean_len, CAST(NULL AS VARCHAR) AS clean_fp,
+           source, domain_ix, intra_rank, interleave_pos
+    FROM cur
     """,
     doc=(
         "corpus preparation bookends, three branches in one tagged result.  "
@@ -624,7 +672,14 @@ def _shard_oracle() -> str:
         "min-surviving-lines + lorem-ipsum + brace page rules; the "
         "hash verifies per-document kept-line counts, the page verdict "
         "and the md5 of the cleaned text, all higher-order array "
-        "expressions — narrow, no shuffle, no UDF.  (The one-call "
+        "expressions — narrow, no shuffle, no UDF.  'curriculum': "
+        "domain-interleaved curriculum ordering "
+        "(operators/curriculum.py, Bengio et al. ICML 2009 ordering + "
+        "round-robin domain mixing): within-domain rank by quality "
+        "desc (tie → doc_id), interleave_pos = rank·D + domain_ix — a "
+        "deterministic TOTAL training order with NO global sort (one "
+        "domain-partitioned window + a bounded literal domain index); "
+        "every rank and position hash-verified.  (The one-call "
         "corpus BUILDER composition is driver-checked separately — "
         "etl_pipeline_e2e 'builder' branch, corpus_builder_report "
         "below.)"
@@ -672,12 +727,25 @@ def corpus_clean_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("clean_text").alias("clean_len"),
         F.md5("clean_text").alias("clean_fp"),
     )
+    from mongo2mysql_spark.operators.curriculum import curriculum_interleave
+
+    cur = curriculum_interleave(
+        d.select(
+            "doc_id",
+            "source",
+            quality_score(tokens(F.col("text")), F.col("text")).alias("__q"),
+        ),
+        "source",
+        "doc_id",
+        F.col("__q"),
+    )
     return tagged_union(
         {
             "clean": corpus_clean_pipeline(spark, sf_dir),
             "shuffle": corpus_shuffle_shards(spark, sf_dir),
             "ppl": ppl_checked,
             "c4": c4,
+            "curriculum": cur,
         }
     )
 

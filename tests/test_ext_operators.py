@@ -2254,6 +2254,47 @@ def test_multimodal_patchify_geometry(spark):
         patchify_images(decoded, mode="real")
 
 
+def test_curriculum_interleave_total_order(spark):
+    """Positions are unique (total order), the first D positions are
+    each domain's rank-0 (highest-score) doc, within-domain order is
+    score desc with id tiebreak, and the plan never funnels the corpus
+    into a single partition."""
+    from mongo2mysql_spark.operators.curriculum import curriculum_interleave
+
+    rows = [
+        (i, f"dom{i % 3}", float((i * 7) % 10) / 10.0) for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, dom string, s double")
+    out = curriculum_interleave(df, "dom", "doc_id", F.col("s")).collect()
+    assert len({r.interleave_pos for r in out}) == len(out)
+    first = {
+        r.dom: r.doc_id
+        for r in sorted(out, key=lambda r: r.interleave_pos)[:3]
+    }
+    by_dom: dict = {}
+    for i, dom, s in rows:
+        by_dom.setdefault(dom, []).append((-s, i))
+    for dom, members in by_dom.items():
+        assert first[dom] == sorted(members)[0][1]
+    # within-domain rank follows (score desc, id asc)
+    ranks = {
+        (r.dom, r.intra_rank): r.doc_id for r in out
+    }
+    for dom, members in by_dom.items():
+        for rank, (_, i) in enumerate(sorted(members)):
+            assert ranks[(dom, rank)] == i
+    # determinism + no single-partition funnel
+    again = curriculum_interleave(df, "dom", "doc_id", F.col("s")).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+    plan = (
+        curriculum_interleave(df, "dom", "doc_id", F.col("s"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange SinglePartition" not in plan
+
+
 def test_length_buckets_ladder_and_waste(spark):
     """Bucket = smallest power-of-two ≥ n (clamped), padding waste
     exact, overflow only above max_len, assignment is a shuffle-free
