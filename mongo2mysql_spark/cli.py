@@ -95,6 +95,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--shard-format", default="parquet",
                    choices=("parquet", "jsonl"),
                    help="corpus: train-shard file format")
+    p.add_argument("--bucket-report", action="store_true",
+                   help="corpus: add the length-bucket padding-waste "
+                        "ledger to the stage report (what dynamic "
+                        "batching would cost vs packing)")
     p.add_argument("--html-strip", action="store_true",
                    help="corpus: reduce HTML to visible text before any "
                         "text statistics (operators/html.py)")
@@ -156,6 +160,7 @@ def _run_corpus(spark, args) -> int:
         passage_mode=args.passage_mode,
         n_merges=args.n_merges,
         seq_len=args.seq_len,
+        bucket_report=args.bucket_report,
         n_shards=args.n_shards,
         shard_format=args.shard_format,
     )

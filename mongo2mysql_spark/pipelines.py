@@ -67,6 +67,7 @@ class CorpusConfig:
     n_merges: int = 0          # 0 = whitespace token counts (no BPE pass)
     bpe_sample_docs: int = 200  # docs used to learn merges (vocab needs a sample)
     seq_len: int = 2048
+    bucket_report: bool = False  # per-bucket padding-waste ledger in report
     n_shards: int = 8
     shard_format: str = "parquet"  # or 'jsonl' (trainer-loader streams)
     splits: tuple[float, float] = (0.8, 0.1)  # train, val (test = remainder)
@@ -368,6 +369,32 @@ def build_training_corpus(
     report["train_tokens"] = int(
         train.agg(F.coalesce(F.sum("n_train_tokens"), F.lit(0))).first()[0]
     )
+    if cfg.bucket_report:
+        # padding-waste ledger (operators/packing.length_buckets): what
+        # the same train split would cost under length-bucketed dynamic
+        # batching instead of packing — one narrow projection + one
+        # partial-aggregating groupBy, ladder-sized collect
+        from mongo2mysql_spark.operators.packing import length_buckets
+
+        ledger = (
+            length_buckets(train, "n_train_tokens", id_col, cfg.seq_len)
+            .groupBy("bucket_len")
+            .agg(
+                F.count(F.lit(1)).alias("docs"),
+                F.sum("pad_tokens").alias("pad_tokens"),
+            )
+            .collect()
+        )
+        report["length_buckets"] = {
+            int(r["bucket_len"]): {
+                "docs": int(r["docs"]),
+                "pad_tokens": int(r["pad_tokens"]),
+            }
+            for r in sorted(ledger, key=lambda r: r["bucket_len"])
+        }
+        report["padding_waste_tokens"] = sum(
+            v["pad_tokens"] for v in report["length_buckets"].values()
+        )
     # persisted: both the n_sequences report action and the shard write
     # consume packed — without the cache the second consumer re-runs the
     # whole two-phase prefix sum over the train split

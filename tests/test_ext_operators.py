@@ -1006,6 +1006,39 @@ def test_training_export_pipeline_composes(spark, tmp_path):
     assert digest(out1) == digest(out2)
 
 
+def test_builder_bucket_report_ledger(spark, tmp_path):
+    """bucket_report=True adds the padding-waste ledger: bucket doc
+    counts sum to train_docs, totals reconcile with a direct
+    length_buckets aggregation, and the option changes nothing else."""
+    from mongo2mysql_spark.pipelines import CorpusConfig, build_training_corpus
+    from mongo2mysql_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").limit(120)
+    rep = build_training_corpus(
+        docs,
+        str(tmp_path / "out"),
+        config=CorpusConfig(bucket_report=True, n_shards=2),
+    )
+    ledger = rep["length_buckets"]
+    assert sum(v["docs"] for v in ledger.values()) == rep["train_docs"]
+    assert rep["padding_waste_tokens"] == sum(
+        v["pad_tokens"] for v in ledger.values()
+    )
+    assert all(
+        k in (16, 32, 64, 128, 256, 512, 1024, 2048) for k in ledger
+    )
+    # the ledger is report-only: the shard layout matches a run without it
+    rep2 = build_training_corpus(
+        docs,
+        str(tmp_path / "out2"),
+        config=CorpusConfig(n_shards=2),
+    )
+    assert rep2["train_docs"] == rep["train_docs"]
+    assert rep2["n_sequences"] == rep["n_sequences"]
+    assert "length_buckets" not in rep2
+
+
 # ------------------------------------------------------------------- UDTF
 
 
