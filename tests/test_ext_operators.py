@@ -2287,6 +2287,29 @@ def test_multimodal_patchify_geometry(spark):
         patchify_images(decoded, mode="real")
 
 
+def test_bench_branch_map_matches_served_tags(spark):
+    """bench.BRANCHED must list real (tag column, branch values) for
+    every slot it attributes — a stale entry silently times an empty
+    filter and reads as a free branch."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from bench import BRANCHED
+    from mongo2mysql_spark.queries import load_all
+    from tests.conftest import SF_DIR
+
+    registry = load_all()
+    for slot, (tag, branches) in BRANCHED.items():
+        df = registry[slot].fn(spark, SF_DIR)
+        assert tag in df.columns, f"{slot}: tag column {tag!r} missing"
+        served = {
+            r[0] for r in df.select(tag).distinct().collect()
+        }
+        missing = set(branches) - served
+        assert not missing, f"{slot}: branches never served: {missing}"
+        spark.catalog.clearCache()
+
+
 def test_curriculum_interleave_total_order(spark):
     """Positions are unique (total order), the first D positions are
     each domain's rank-0 (highest-score) doc, within-domain order is
