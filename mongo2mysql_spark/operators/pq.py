@@ -319,6 +319,71 @@ def pq_encode(
     )
 
 
+def _query_dist_frame(
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cb: list[list[list[float]]],
+    normalize: bool,
+) -> DataFrame:
+    """(query_id, __dt): one (m × k) exact query↔centroid distance
+    table per query, computed in driver Python over the BOUNDED
+    queries frame — floats ARE IEEE doubles, so the left-to-right
+    fold + sqrt + division are bit-identical to the engine folds the
+    oracle states."""
+    import math
+
+    from pyspark.sql import types as T
+
+    m_sub = len(cb)
+    dsub = len(cb[0][0])
+    tabs = []
+    for r in queries.select(F.col(id_col), F.col(vec_col)).collect():
+        v = [float(x) for x in r[vec_col]]
+        if normalize:
+            s = 0.0
+            for x in v:
+                s = s + x * x
+            n = math.sqrt(s)
+            if n > 0:
+                v = [x / n for x in v]
+        dt = []
+        for j in range(m_sub):
+            row = []
+            for cent in cb[j]:
+                acc = 0.0
+                for i, cval in enumerate(cent):
+                    d = v[j * dsub + i] - cval
+                    acc = acc + d * d
+                row.append(acc)
+            dt.append(row)
+        tabs.append((int(r[id_col]), dt))
+    return queries.sparkSession.createDataFrame(
+        tabs,
+        T.StructType(
+            [
+                T.StructField("query_id", T.LongType()),
+                T.StructField(
+                    "__dt", T.ArrayType(T.ArrayType(T.DoubleType()))
+                ),
+            ]
+        ),
+    )
+
+
+def _adc_expr() -> Column:
+    """Asymmetric distance: m table lookups indexed by the stored
+    codes, accumulated in DECIMAL (order-free → portable)."""
+    lookups = F.zip_with(
+        F.col("codes"), F.col("__dt"), lambda c, row: F.element_at(row, c + 1)
+    )
+    return F.aggregate(
+        lookups,
+        F.lit(0).cast(_DEC),
+        lambda acc, v: (acc + v.cast(_DEC)).cast(_DEC),
+    )
+
+
 def pq_adc_topk(
     codes_df: DataFrame,
     queries: DataFrame,
@@ -346,54 +411,10 @@ def pq_adc_topk(
     (normalization-invariant, computed raw-vs-raw so the fold is
     bit-identical to the oracle's), the touch-few second pass of every
     PQ deployment."""
-    import math
-
-    from pyspark.sql import types as T
-
     from mongo2mysql_spark.functions.vector import cosine_seq
 
-    m_sub = len(cb)
-    dsub = len(cb[0][0])
-    tabs = []
-    for r in queries.select(F.col(id_col), F.col(vec_col)).collect():
-        v = [float(x) for x in r[vec_col]]
-        if normalize:
-            s = 0.0
-            for x in v:
-                s = s + x * x
-            n = math.sqrt(s)
-            if n > 0:
-                v = [x / n for x in v]
-        dt = []
-        for j in range(m_sub):
-            row = []
-            for cent in cb[j]:
-                acc = 0.0
-                for i, cval in enumerate(cent):
-                    d = v[j * dsub + i] - cval
-                    acc = acc + d * d
-                row.append(acc)
-            dt.append(row)
-        tabs.append((int(r[id_col]), dt))
-    qd = queries.sparkSession.createDataFrame(
-        tabs,
-        T.StructType(
-            [
-                T.StructField("query_id", T.LongType()),
-                T.StructField(
-                    "__dt", T.ArrayType(T.ArrayType(T.DoubleType()))
-                ),
-            ]
-        ),
-    )
-    lookups = F.zip_with(
-        F.col("codes"), F.col("__dt"), lambda c, row: F.element_at(row, c + 1)
-    )
-    adc = F.aggregate(
-        lookups,
-        F.lit(0).cast(_DEC),
-        lambda acc, v: (acc + v.cast(_DEC)).cast(_DEC),
-    )
+    qd = _query_dist_frame(queries, id_col, vec_col, cb, normalize)
+    adc = _adc_expr()
     scored = (
         codes_df.join(F.broadcast(qd))
         .filter(F.col(id_col) != F.col("query_id"))
@@ -437,3 +458,98 @@ def pq_adc_topk(
             cosine_seq(F.col("__qv"), F.col("__nv")).alias("cosine"),
         )
     )
+
+
+def pq_ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cb: list[list[list[float]]],
+    centroid_stride: int = 97,
+    nprobe: int = 2,
+    k: int = 10,
+    rerank: int = 4,
+    normalize: bool = True,
+) -> DataFrame:
+    """IVF-PQ search (Jégou et al. TPAMI 2011 §V — the FAISS
+    ``IndexIVFPQ`` shape, composed from this engine's IVF and PQ
+    operators): coarse stride centroids prune the scan to each query's
+    ``nprobe`` nearest cells, candidates inside probed cells are
+    ranked by ADC over their m-byte PQ codes, and only the top
+    ``k·rerank`` ADC candidates per query get the exact cosine
+    re-rank.  Returns (query_id, neighbor_id, adc_d2, cosine, rank) —
+    final order is the exact cosine (desc, id ties), ADC only decides
+    which candidates reach the re-rank.
+
+    The 100 TB story is MULTIPLICATIVE: IVF cuts the touched fraction
+    to ~nprobe/n_cells and PQ cuts the bytes per touched vector by
+    4·d/m — together the scan reads ~(nprobe/n_cells)·(m/4d) of the
+    raw corpus bytes, with the float vectors read only for the
+    k·rerank finalists.  ``normalize=True`` (default) makes ADC an
+    angular metric so the PQ pruning agrees with the cosine IVF cells
+    and the cosine re-rank.
+
+    Per-query candidate sets cannot duplicate: each corpus vector
+    lives in exactly one cell and a query's probe cells are distinct.
+    """
+    from mongo2mysql_spark.functions.vector import cosine_seq
+    from mongo2mysql_spark.operators.similarity import assign_centroids
+
+    centroids = corpus.filter(F.col(id_col) % centroid_stride == 0)
+    assigned = assign_centroids(corpus, centroids, id_col, vec_col).select(
+        F.col(id_col), F.col("centroid_id")
+    )
+    codes = pq_encode(corpus, id_col, vec_col, cb, normalize=normalize).join(
+        assigned, id_col
+    )
+    qd = _query_dist_frame(queries, id_col, vec_col, cb, normalize)
+    probes = assign_centroids(
+        queries, centroids, id_col, vec_col, nprobe=nprobe
+    ).select(F.col(id_col).alias("query_id"), F.col("centroid_id"))
+    qside = probes.join(qd, "query_id")
+    scored = (
+        codes.join(F.broadcast(qside), "centroid_id")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(_adc_expr(), 6).cast("double").alias("adc_d2"),
+        )
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("adc_d2").asc(), F.col("neighbor_id").asc()
+    )
+    kept = scored.withColumn("__r", F.row_number().over(w_adc)).filter(
+        F.col("__r") <= k * rerank
+    )
+    rescored = (
+        kept.join(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("__nv"),
+            ),
+            "neighbor_id",
+        )
+        .join(
+            F.broadcast(
+                queries.select(
+                    F.col(id_col).alias("query_id"),
+                    F.col(vec_col).alias("__qv"),
+                )
+            ),
+            "query_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            "adc_d2",
+            cosine_seq(F.col("__qv"), F.col("__nv")).alias("cosine"),
+        )
+    )
+    w_cos = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return rescored.withColumn(
+        "rank", F.row_number().over(w_cos).cast("int")
+    ).filter(F.col("rank") <= k)

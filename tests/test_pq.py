@@ -126,6 +126,68 @@ def test_pq_encode_is_shuffle_free(spark):
     assert "Exchange" not in plan
 
 
+def test_pq_ivf_full_probe_equals_bruteforce(spark):
+    """With every cell probed and a rerank window covering all
+    candidates, IVF-PQ degenerates to the exact search: final
+    (query, neighbor, rank) must equal topk_bruteforce — ADC then only
+    orders candidates into the re-rank, never drops one."""
+    from mongo2mysql_spark.operators.pq import pq_ivf_topk
+    from mongo2mysql_spark.operators.similarity import topk_bruteforce
+
+    df, _ = _vectors(spark, n=40, seed=5)
+    cb = collect_codebook(
+        df, "vec_id", "embedding", M, STRIDE, KMAX, normalize=True
+    )
+    q = df.filter(F.col("vec_id") < 3)
+    got = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in pq_ivf_topk(
+            df, q, "vec_id", "embedding", cb,
+            centroid_stride=3, nprobe=14, k=5, rerank=8,
+        ).collect()
+    }
+    want = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in topk_bruteforce(df, q, "vec_id", "embedding", k=5).collect()
+    }
+    assert got == want
+
+
+def test_pq_ivf_prunes_to_probed_cells(spark):
+    """nprobe=1: every returned neighbor must live in its query's
+    single probed cell — the scan-fraction guarantee of IVF; plus
+    call-to-call determinism."""
+    from mongo2mysql_spark.operators.pq import pq_ivf_topk
+    from mongo2mysql_spark.operators.similarity import assign_centroids
+
+    df, _ = _vectors(spark, n=40, seed=5)
+    cb = collect_codebook(
+        df, "vec_id", "embedding", M, STRIDE, KMAX, normalize=True
+    )
+    q = df.filter(F.col("vec_id") < 3)
+    res = pq_ivf_topk(
+        df, q, "vec_id", "embedding", cb,
+        centroid_stride=3, nprobe=1, k=5, rerank=2,
+    ).collect()
+    cents = df.filter(F.col("vec_id") % 3 == 0)
+    cell = {
+        r["vec_id"]: r["centroid_id"]
+        for r in assign_centroids(df, cents, "vec_id", "embedding").collect()
+    }
+    qcell = {
+        r["vec_id"]: r["centroid_id"]
+        for r in assign_centroids(q, cents, "vec_id", "embedding").collect()
+    }
+    assert res, "nprobe=1 search returned nothing"
+    for r in res:
+        assert cell[r.neighbor_id] == qcell[r.query_id]
+    again = pq_ivf_topk(
+        df, q, "vec_id", "embedding", cb,
+        centroid_stride=3, nprobe=1, k=5, rerank=2,
+    ).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, res))
+
+
 def test_trained_codebook_deterministic_and_tighter(spark):
     """train_codebook (Lloyd on a bounded driver sample) must be
     call-to-call deterministic and produce cells no looser than its
