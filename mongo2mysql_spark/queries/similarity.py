@@ -32,6 +32,8 @@ PQ_DSUB = 8
 PQ_STRIDE = 31
 PQ_K = 16
 PQ_TOPK = 10
+# 'ivfpq' branch: exact-rerank window (k·IVFPQ_RERANK ADC finalists)
+IVFPQ_RERANK = 4
 
 # prototype-difficulty pruning branch (operators/pruning.py): capped
 # stride centroids, keep the hardest PR_KEEP of every cluster.
@@ -160,98 +162,6 @@ def _triplet_oracle() -> str:
     """
 
 
-@register(
-    "ann_topk_ivf",
-    f"""
-    WITH cent AS (SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings
-                  WHERE vec_id % {STRIDE} = 0),
-    assign_scored AS (
-      SELECT e.vec_id, c.centroid_id,
-             {_cos('e.embedding', 'c.cv')} AS ccos
-      FROM embeddings e CROSS JOIN cent c),
-    ranked AS (
-      SELECT vec_id, centroid_id,
-             row_number() OVER (PARTITION BY vec_id
-                                ORDER BY ccos DESC, centroid_id) AS rn
-      FROM assign_scored),
-    assigned AS (SELECT vec_id, centroid_id FROM ranked WHERE rn = 1),
-    probes AS (SELECT vec_id AS query_id, centroid_id
-               FROM ranked WHERE rn <= {NPROBE} AND vec_id < {N_QUERIES}),
-    queries AS (SELECT p.query_id, p.centroid_id, e.embedding AS qv
-                FROM probes p JOIN embeddings e ON e.vec_id = p.query_id),
-    scored AS (
-      SELECT q.query_id, a.vec_id AS neighbor_id,
-             {_cos('q.qv', 'e.embedding')} AS cosine
-      FROM queries q
-      JOIN assigned a ON a.centroid_id = q.centroid_id AND a.vec_id <> q.query_id
-      JOIN embeddings e ON e.vec_id = a.vec_id),
-    {_triplet_oracle()}
-    SELECT 'ivf' AS branch, query_id, neighbor_id, cosine,
-           CAST(rank AS INTEGER) AS rank,
-           CAST(NULL AS BIGINT) AS anchor_id,
-           CAST(NULL AS BIGINT) AS positive_id,
-           CAST(NULL AS DOUBLE) AS pos_cos,
-           CAST(NULL AS BIGINT) AS negative_id,
-           CAST(NULL AS DOUBLE) AS neg_cos
-    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-                                       ORDER BY cosine DESC, neighbor_id) AS rank
-          FROM scored)
-    WHERE rank <= 5
-    UNION ALL
-    SELECT 'triplets' AS branch, CAST(NULL AS BIGINT) AS query_id,
-           CAST(NULL AS BIGINT) AS neighbor_id, CAST(NULL AS DOUBLE) AS cosine,
-           CAST(NULL AS INTEGER) AS rank,
-           anchor_id, positive_id, pos_cos, negative_id, neg_cos
-    FROM ttrip
-    """,
-    doc=(
-        "similarity surface, tagged: 'ivf' rows are IVF ANN — "
-        "deterministic stride centroids, corpus vectors in one inverted "
-        f"list each, queries probe their {NPROBE} nearest buckets (nprobe "
-        "recall lever) — the 1/C-cost scale path.  'triplets' rows are "
-        "contrastive training-pair mining (operators/contrastive.py — the "
-        "SimCSE/E5 recipe): a deterministic salted-hash anchor sample over "
-        "the clone-augmented corpus, ONE IVF search per anchor, the "
-        f"neighborhood split by exact cosine into positive (≥ {TRIP_POS_MIN}"
-        f") and hard negative (≤ {TRIP_NEG_MAX}) with a guard band between "
-        "— planted clones guarantee verifiable positives at cos 1.0; cost "
-        "is |anchors| searches, never corpus², and every id/cosine is "
-        "hash-verified against the full SQL restatement."
-    ),
-)
-def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from mongo2mysql_spark.operators.contrastive import mine_contrastive_triplets
-    from mongo2mysql_spark.queries import tagged_union
-
-    e = T(spark, sf_dir, "embeddings", fanout=True)
-    q = e.filter(F.col("vec_id") < N_QUERIES)
-    ivf = topk_ivf(
-        e, q, "vec_id", "embedding", centroid_stride=STRIDE, k=5, nprobe=NPROBE
-    ).select(
-        "query_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank")
-    )
-    corpus = e.select("vec_id", "embedding").unionByName(
-        e.filter(F.col("vec_id") % TRIP_CLONE_STRIDE == 0).select(
-            (F.col("vec_id") + TRIP_OFFSET).alias("vec_id"), "embedding"
-        )
-    )
-    trip = mine_contrastive_triplets(
-        corpus,
-        "vec_id",
-        "embedding",
-        anchor_frac=TRIP_FRAC,
-        k=TRIP_K,
-        pos_min_cos=TRIP_POS_MIN,
-        neg_max_cos=TRIP_NEG_MAX,
-        nprobe=TRIP_NPROBE,
-        centroid_stride=STRIDE,
-        salt=TRIP_SALT,
-    )
-    return tagged_union({"ivf": ivf, "triplets": trip})
-
-
-
-
 def _pq_oracle() -> str:
     from mongo2mysql_spark.functions.vector import sql_norm
     from mongo2mysql_spark.operators.pq import sql_l2sq
@@ -339,6 +249,157 @@ def _pq_oracle() -> str:
                  <= {PR_KEEP_NUM} * cluster_n) AS keep_hard
       FROM prune)
     """
+
+
+@register(
+    "ann_topk_ivf",
+    f"""
+    WITH cent AS (SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings
+                  WHERE vec_id % {STRIDE} = 0),
+    assign_scored AS (
+      SELECT e.vec_id, c.centroid_id,
+             {_cos('e.embedding', 'c.cv')} AS ccos
+      FROM embeddings e CROSS JOIN cent c),
+    ranked AS (
+      SELECT vec_id, centroid_id,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY ccos DESC, centroid_id) AS rn
+      FROM assign_scored),
+    assigned AS (SELECT vec_id, centroid_id FROM ranked WHERE rn = 1),
+    probes AS (SELECT vec_id AS query_id, centroid_id
+               FROM ranked WHERE rn <= {NPROBE} AND vec_id < {N_QUERIES}),
+    queries AS (SELECT p.query_id, p.centroid_id, e.embedding AS qv
+                FROM probes p JOIN embeddings e ON e.vec_id = p.query_id),
+    scored AS (
+      SELECT q.query_id, a.vec_id AS neighbor_id,
+             {_cos('q.qv', 'e.embedding')} AS cosine
+      FROM queries q
+      JOIN assigned a ON a.centroid_id = q.centroid_id AND a.vec_id <> q.query_id
+      JOIN embeddings e ON e.vec_id = a.vec_id),
+    {_triplet_oracle()},
+    {_pq_oracle()},
+    pivf_cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id
+      FROM probes p
+      JOIN assigned a ON a.centroid_id = p.centroid_id
+                     AND a.vec_id <> p.query_id),
+    pivf_adc AS (
+      SELECT c.query_id, c.neighbor_id,
+             CAST(ROUND(SUM(CAST(d.d2 AS DECIMAL(30,12))), 6) AS DOUBLE)
+               AS adc_d2
+      FROM pivf_cand c
+      JOIN pcu u ON u.vec_id = c.neighbor_id
+      JOIN pdt d ON d.query_id = c.query_id AND d.j = u.j AND d.cid = u.cid
+      GROUP BY 1, 2),
+    pivf_kept AS (
+      SELECT query_id, neighbor_id, adc_d2
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY adc_d2, neighbor_id) AS rr
+            FROM pivf_adc)
+      WHERE rr <= {5 * IVFPQ_RERANK}),
+    pivf AS (
+      SELECT query_id, neighbor_id, adc_d2, cosine,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id)
+                  AS INTEGER) AS rank
+      FROM (SELECT k.query_id, k.neighbor_id, k.adc_d2,
+                   {_cos('qe.embedding', 'ne.embedding')} AS cosine
+            FROM pivf_kept k
+            JOIN embeddings qe ON qe.vec_id = k.query_id
+            JOIN embeddings ne ON ne.vec_id = k.neighbor_id))
+    SELECT 'ivf' AS branch, query_id, neighbor_id, cosine,
+           CAST(rank AS INTEGER) AS rank,
+           CAST(NULL AS BIGINT) AS anchor_id,
+           CAST(NULL AS BIGINT) AS positive_id,
+           CAST(NULL AS DOUBLE) AS pos_cos,
+           CAST(NULL AS BIGINT) AS negative_id,
+           CAST(NULL AS DOUBLE) AS neg_cos,
+           CAST(NULL AS DOUBLE) AS adc_d2
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id) AS rank
+          FROM scored)
+    WHERE rank <= 5
+    UNION ALL
+    SELECT 'triplets' AS branch, CAST(NULL AS BIGINT) AS query_id,
+           CAST(NULL AS BIGINT) AS neighbor_id, CAST(NULL AS DOUBLE) AS cosine,
+           CAST(NULL AS INTEGER) AS rank,
+           anchor_id, positive_id, pos_cos, negative_id, neg_cos,
+           CAST(NULL AS DOUBLE) AS adc_d2
+    FROM ttrip
+    UNION ALL
+    SELECT 'ivfpq' AS branch, query_id, neighbor_id, cosine, rank,
+           CAST(NULL AS BIGINT) AS anchor_id,
+           CAST(NULL AS BIGINT) AS positive_id,
+           CAST(NULL AS DOUBLE) AS pos_cos,
+           CAST(NULL AS BIGINT) AS negative_id,
+           CAST(NULL AS DOUBLE) AS neg_cos,
+           adc_d2
+    FROM pivf WHERE rank <= 5
+    """,
+    doc=(
+        "similarity surface, tagged: 'ivf' rows are IVF ANN — "
+        "deterministic stride centroids, corpus vectors in one inverted "
+        f"list each, queries probe their {NPROBE} nearest buckets (nprobe "
+        "recall lever) — the 1/C-cost scale path.  'triplets' rows are "
+        "contrastive training-pair mining (operators/contrastive.py — the "
+        "SimCSE/E5 recipe): a deterministic salted-hash anchor sample over "
+        "the clone-augmented corpus, ONE IVF search per anchor, the "
+        f"neighborhood split by exact cosine into positive (≥ {TRIP_POS_MIN}"
+        f") and hard negative (≤ {TRIP_NEG_MAX}) with a guard band between "
+        "— planted clones guarantee verifiable positives at cos 1.0; cost "
+        "is |anchors| searches, never corpus², and every id/cosine is "
+        "hash-verified against the full SQL restatement.  'ivfpq' rows "
+        "are IVF-PQ search (operators/pq.pq_ivf_topk — the FAISS "
+        "IndexIVFPQ shape): probed cells × ADC over m-byte PQ codes × "
+        f"exact cosine re-rank of the top 5·{IVFPQ_RERANK} ADC "
+        "finalists; the scan reads ~(nprobe/cells)·(m/4d) of raw "
+        "corpus bytes, and every id, ADC distance and cosine is "
+        "hash-verified."
+    ),
+)
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mongo2mysql_spark.operators.contrastive import mine_contrastive_triplets
+    from mongo2mysql_spark.queries import tagged_union
+
+    e = T(spark, sf_dir, "embeddings", fanout=True)
+    q = e.filter(F.col("vec_id") < N_QUERIES)
+    ivf = topk_ivf(
+        e, q, "vec_id", "embedding", centroid_stride=STRIDE, k=5, nprobe=NPROBE
+    ).select(
+        "query_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank")
+    )
+    corpus = e.select("vec_id", "embedding").unionByName(
+        e.filter(F.col("vec_id") % TRIP_CLONE_STRIDE == 0).select(
+            (F.col("vec_id") + TRIP_OFFSET).alias("vec_id"), "embedding"
+        )
+    )
+    trip = mine_contrastive_triplets(
+        corpus,
+        "vec_id",
+        "embedding",
+        anchor_frac=TRIP_FRAC,
+        k=TRIP_K,
+        pos_min_cos=TRIP_POS_MIN,
+        neg_max_cos=TRIP_NEG_MAX,
+        nprobe=TRIP_NPROBE,
+        centroid_stride=STRIDE,
+        salt=TRIP_SALT,
+    )
+    from mongo2mysql_spark.operators.pq import collect_codebook, pq_ivf_topk
+
+    cb = collect_codebook(
+        e, "vec_id", "embedding",
+        m_sub=PQ_M, stride=PQ_STRIDE, k_max=PQ_K, normalize=True,
+    )
+    ivfpq = pq_ivf_topk(
+        e, q, "vec_id", "embedding", cb,
+        centroid_stride=STRIDE, nprobe=NPROBE, k=5,
+        rerank=IVFPQ_RERANK, normalize=True,
+    )
+    return tagged_union({"ivf": ivf, "triplets": trip, "ivfpq": ivfpq})
+
+
+
 
 
 _PQ_NULLS = """
