@@ -241,6 +241,26 @@ def pq_recall(spark, sf_dir: str, k: int = 10) -> dict[str, float]:
                 if r["rank"] <= k * expand
             }
             out[f"{name}_expand{expand}"] = round(len(adc & bf) / len(bf), 4)
+    # the production funnel end-to-end: IVF cells × PQ codes × exact
+    # rerank (operators/pq.pq_ivf_topk) with the trained 6-bit book —
+    # recall@k of the FINAL result, nprobe the recall lever
+    from mongo2mysql_spark.operators.pq import pq_ivf_topk
+
+    # encode once (checkpointed code table = the index state both
+    # nprobe points search), like a deployment would
+    codes64 = pq_encode(
+        e, "vec_id", "embedding", books["kmeans64"], normalize=True
+    ).localCheckpoint()
+    for nprobe in (2, 4):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in pq_ivf_topk(
+                e, q, "vec_id", "embedding", books["kmeans64"],
+                centroid_stride=97, nprobe=nprobe, k=k, rerank=10,
+                normalize=True, codes_df=codes64,
+            ).collect()
+        }
+        out[f"ivfpq_nprobe{nprobe}"] = round(len(got & bf) / len(bf), 4)
     return out
 
 
