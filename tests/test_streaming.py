@@ -492,3 +492,115 @@ def test_streaming_bloom_seenset_equals_batch_build(spark, tmp_path):
     q.awaitTermination(120)
     again = {r.pos for r in read_bloom_store(spark, store).collect()}
     assert again == batch
+
+
+def test_streaming_pq_store_equals_batch_encode(spark, tmp_path):
+    """Streaming PQ code-store maintenance: two stream runs over
+    disjoint halves of the embeddings must leave the manifest store
+    holding EXACTLY the code table a one-shot pq_encode produces over
+    the whole corpus; searches over the store are indistinguishable
+    from searches over a fresh encode; a same-checkpoint replay changes
+    nothing (epoch guard); a re-ingest upserts by id."""
+    import shutil
+
+    from mongo2mysql_spark.operators.pq import (
+        collect_codebook,
+        pq_adc_topk,
+        pq_encode,
+    )
+    from mongo2mysql_spark.streaming.pqstore import (
+        read_pq_store,
+        refresh_pq_store,
+        streaming_pq_refresh,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cb = collect_codebook(
+        emb, "vec_id", "embedding", m_sub=8, stride=31, k_max=16,
+        normalize=True,
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    shutil.copy(f"{SF}/embeddings.parquet", src / "part0.parquet")
+    store = str(tmp_path / "pq")
+    for half, ck in ((0, "ck0"), (1, "ck1")):
+        q = streaming_pq_refresh(
+            spark.readStream.schema(emb.schema)
+            .parquet(str(src))
+            .filter(F.col("vec_id") % 2 == half),
+            store,
+            "vec_id",
+            "embedding",
+            cb,
+            checkpoint_dir=str(tmp_path / ck),
+        )
+        q.awaitTermination(120)
+
+    served = {
+        r.vec_id: list(r.codes) for r in read_pq_store(spark, store).collect()
+    }
+    batch = {
+        r.vec_id: list(r.codes)
+        for r in pq_encode(
+            emb, "vec_id", "embedding", cb, normalize=True
+        ).collect()
+    }
+    assert served == batch and len(served) == 500
+
+    # search over the store == search over a fresh encode
+    q5 = emb.filter(F.col("vec_id") < 3)
+    res_store = sorted(
+        map(
+            tuple,
+            pq_adc_topk(
+                read_pq_store(spark, store), q5, emb, "vec_id", "embedding",
+                cb, k=5, normalize=True,
+            ).collect(),
+        )
+    )
+    res_fresh = sorted(
+        map(
+            tuple,
+            pq_adc_topk(
+                pq_encode(emb, "vec_id", "embedding", cb, normalize=True),
+                q5, emb, "vec_id", "embedding", cb, k=5, normalize=True,
+            ).collect(),
+        )
+    )
+    assert res_store == res_fresh
+
+    # replay half 1 from the same checkpoint: store must not change
+    q = streaming_pq_refresh(
+        spark.readStream.schema(emb.schema)
+        .parquet(str(src))
+        .filter(F.col("vec_id") % 2 == 1),
+        store,
+        "vec_id",
+        "embedding",
+        cb,
+        checkpoint_dir=str(tmp_path / "ck1"),
+    )
+    q.awaitTermination(120)
+    again = {
+        r.vec_id: list(r.codes) for r in read_pq_store(spark, store).collect()
+    }
+    assert again == batch
+
+    # re-ingesting corrected vectors upserts by id (reversed arrays
+    # change the codes; everyone else keeps theirs)
+    corrected = emb.filter(F.col("vec_id") < 3).select(
+        "vec_id", F.reverse(F.col("embedding")).alias("embedding")
+    )
+    assert refresh_pq_store(corrected, store, "vec_id", "embedding", cb)
+    after = {
+        r.vec_id: list(r.codes) for r in read_pq_store(spark, store).collect()
+    }
+    want_new = {
+        r.vec_id: list(r.codes)
+        for r in pq_encode(
+            corrected, "vec_id", "embedding", cb, normalize=True
+        ).collect()
+    }
+    assert len(after) == 500
+    for vid, codes in after.items():
+        assert codes == (want_new[vid] if vid < 3 else batch[vid])
