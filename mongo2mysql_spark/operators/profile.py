@@ -55,7 +55,9 @@ def profile_table(df: DataFrame, exact_distinct: bool = False) -> DataFrame:
     aggs: list = [F.count(F.lit(1)).alias("__n")]
     for f in df.schema.fields:
         c, dt = f.name, f.dataType
-        col = F.col(f"`{c}`")
+        # Spark column-ref quoting: dots need backticks, and a literal
+        # backtick in the name must double (Mongo field names allow it)
+        col = F.col("`" + c.replace("`", "``") + "`")
         aggs.append(F.count(col).alias(f"__cnt__{c}"))
         distinct = (
             F.count_distinct(col) if exact_distinct else F.approx_count_distinct(col)

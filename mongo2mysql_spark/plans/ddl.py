@@ -15,8 +15,18 @@ from __future__ import annotations
 _TYPE_NEEDS_KEY_LEN = ("text",)
 
 
+def quote_ident(name: str) -> str:
+    """MySQL identifier quoting WITH in-name backtick escaping
+    (doubling).  Mongo field names may contain almost any UTF-8 —
+    including backticks — and they flow straight into column names
+    here, so bare ``f\"`{name}`\"`` interpolation is both broken SQL
+    and an injection surface.  (sqlite accepts the same syntax, so the
+    live-sink tests cover it.)"""
+    return "`" + name.replace("`", "``") + "`"
+
+
 def _col_def(name: str, db_type: str) -> str:
-    return f"`{name}` {db_type}"
+    return f"{quote_ident(name)} {db_type}"
 
 
 def create_table_sql(table: str, schema: dict[str, str], primary_key: tuple[str, ...] = ()) -> str:
@@ -28,10 +38,14 @@ def create_table_sql(table: str, schema: dict[str, str], primary_key: tuple[str,
         pk_cols = []
         for c in primary_key:
             # MySQL needs a prefix length to index text columns
-            pk_cols.append(f"`{c}`(191)" if schema[c] in _TYPE_NEEDS_KEY_LEN else f"`{c}`")
+            pk_cols.append(
+                f"{quote_ident(c)}(191)"
+                if schema[c] in _TYPE_NEEDS_KEY_LEN
+                else quote_ident(c)
+            )
         cols.append(f"PRIMARY KEY ({', '.join(pk_cols)})")
     body = ",\n  ".join(cols)
-    return f"CREATE TABLE IF NOT EXISTS `{table}` (\n  {body}\n)"
+    return f"CREATE TABLE IF NOT EXISTS {quote_ident(table)} (\n  {body}\n)"
 
 
 def alter_table_sql(
@@ -43,9 +57,13 @@ def alter_table_sql(
     (the reference's per-row evolution, batched to one statement each)."""
     stmts = []
     for c, t in (add or {}).items():
-        stmts.append(f"ALTER TABLE `{table}` ADD COLUMN {_col_def(c, t)}")
+        stmts.append(
+            f"ALTER TABLE {quote_ident(table)} ADD COLUMN {_col_def(c, t)}"
+        )
     for c, t in (modify or {}).items():
-        stmts.append(f"ALTER TABLE `{table}` MODIFY COLUMN {_col_def(c, t)}")
+        stmts.append(
+            f"ALTER TABLE {quote_ident(table)} MODIFY COLUMN {_col_def(c, t)}"
+        )
     return stmts
 
 

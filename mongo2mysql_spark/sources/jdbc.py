@@ -31,20 +31,27 @@ from pyspark.sql import DataFrame
 
 def upsert_sql(table: str, columns: list[str], mode: str = "replace",
                paramstyle: str = "qmark") -> str:
-    """One parameterized upsert statement."""
+    """One parameterized upsert statement.  Identifiers go through
+    plans/ddl.quote_ident (backtick-doubling) — Mongo field names can
+    contain backticks and flow straight into column names here."""
+    from mongo2mysql_spark.plans.ddl import quote_ident
+
     ph = "?" if paramstyle == "qmark" else "%s"
-    collist = ", ".join(f"`{c}`" for c in columns)
+    collist = ", ".join(quote_ident(c) for c in columns)
     params = ", ".join([ph] * len(columns))
+    qt = quote_ident(table)
     if mode == "replace":
-        return f"REPLACE INTO `{table}` ({collist}) VALUES ({params})"
+        return f"REPLACE INTO {qt} ({collist}) VALUES ({params})"
     if mode == "upsert":
-        assignments = ", ".join(f"`{c}`=VALUES(`{c}`)" for c in columns)
+        assignments = ", ".join(
+            f"{quote_ident(c)}=VALUES({quote_ident(c)})" for c in columns
+        )
         return (
-            f"INSERT INTO `{table}` ({collist}) VALUES ({params}) "
+            f"INSERT INTO {qt} ({collist}) VALUES ({params}) "
             f"ON DUPLICATE KEY UPDATE {assignments}"
         )
     if mode == "append":
-        return f"INSERT INTO `{table}` ({collist}) VALUES ({params})"
+        return f"INSERT INTO {qt} ({collist}) VALUES ({params})"
     raise ValueError(f"unknown mode: {mode}")
 
 

@@ -531,3 +531,45 @@ def test_list_collections_against_fake_pymongo(monkeypatch):
     out = mdb.list_collections("mongodb://h:27017/?replicaSet=rs0", "forum")
     assert out == ["comments", "posts", "users"]
     assert seen == {"uri": "mongodb://h:27017/?replicaSet=rs0", "db": "forum"}
+
+
+def test_identifier_quoting_escapes_backticks_live():
+    """Mongo field names can contain backticks; bare f-string backtick
+    quoting emits broken/injectable SQL.  quote_ident doubles them —
+    verified as statement text AND by a live sqlite round-trip (sqlite
+    shares MySQL's backtick syntax): create a table and column both
+    containing backticks, REPLACE a row through upsert_sql, read it
+    back."""
+    import sqlite3
+
+    from mongo2mysql_spark.plans.ddl import (
+        alter_table_sql,
+        create_table_sql,
+        quote_ident,
+    )
+    from mongo2mysql_spark.sources.jdbc import upsert_sql
+
+    assert quote_ident("plain") == "`plain`"
+    assert quote_ident("we`ird") == "`we``ird`"
+    ddl = create_table_sql(
+        "ta`ble", {"_id": "bigint", "we`ird": "text"}, primary_key=("_id",)
+    )
+    assert "`ta``ble`" in ddl and "`we``ird`" in ddl
+    stmt = upsert_sql("ta`ble", ["_id", "we`ird"], mode="replace")
+    assert stmt == (
+        "REPLACE INTO `ta``ble` (`_id`, `we``ird`) VALUES (?, ?)"
+    )
+    assignments = upsert_sql("t", ["a`b"], mode="upsert")
+    assert "`a``b`=VALUES(`a``b`)" in assignments
+    for alter in alter_table_sql("ta`ble", add={"x`y": "bigint"}):
+        assert "`ta``ble`" in alter and "`x``y`" in alter
+
+    con = sqlite3.connect(":memory:")
+    # sqlite has no IF NOT EXISTS objection nor MySQL types issue for
+    # this shape; REPLACE INTO is native
+    con.execute(ddl.replace("bigint", "integer"))
+    con.execute(stmt, (1, "v`alue"))
+    con.execute(stmt, (1, "v2"))  # REPLACE on the pk
+    rows = con.execute('SELECT * FROM "ta`ble"').fetchall()
+    assert rows == [(1, "v2")]
+    con.close()
