@@ -67,6 +67,23 @@ def line_keep_expr(
     return keep
 
 
+def word_blocklist_expr(
+    text: Column, words: tuple[str, ...]
+) -> Column:
+    """C4 §2.2's "bad words" page rule, WORD-BOUNDARY exact: True when
+    no token of the lowercased page is in the blocklist.  Substring
+    matching over-blocks ("class" contains "ass"), so the page is
+    tokenized on non-alphanumeric runs and matched token-for-token —
+    one ``arrays_overlap`` against a broadcast-literal set, still a
+    narrow codegen expression.  The published recipe uses the "List of
+    Dirty, Naughty, Obscene…" list; callers pass their deployment's
+    list (this module ships none)."""
+    toks = F.split(F.lower(text), "[^a-z0-9]+")
+    return ~F.arrays_overlap(
+        toks, F.array(*[F.lit(w.lower()) for w in words])
+    )
+
+
 def _page_exprs(
     text_col: str,
     min_line_words: int,
@@ -74,6 +91,7 @@ def _page_exprs(
     terminal: tuple[str, ...],
     line_boilerplate: tuple[str, ...],
     page_boilerplate: tuple[str, ...],
+    word_blocklist: tuple[str, ...] = (),
 ) -> tuple[Column, Column, Column]:
     """(all lines, kept lines, page_kept) over ``text_col``."""
     lines = F.split(F.col(text_col), "\n")
@@ -85,6 +103,8 @@ def _page_exprs(
     page_ok = F.size(kept) >= min_kept_lines
     for marker in page_boilerplate:
         page_ok = page_ok & ~low_page.contains(marker)
+    if word_blocklist:
+        page_ok = page_ok & word_blocklist_expr(F.col(text_col), word_blocklist)
     return lines, kept, page_ok
 
 
@@ -97,6 +117,7 @@ def c4_clean(
     terminal: tuple[str, ...] = TERMINAL_PUNCT,
     line_boilerplate: tuple[str, ...] = LINE_BOILERPLATE,
     page_boilerplate: tuple[str, ...] = PAGE_BOILERPLATE,
+    word_blocklist: tuple[str, ...] = (),
 ) -> DataFrame:
     """Apply the C4 line + page rules to every document.
 
@@ -110,7 +131,7 @@ def c4_clean(
     """
     lines, kept, page_ok = _page_exprs(
         text_col, min_line_words, min_kept_lines, terminal,
-        line_boilerplate, page_boilerplate,
+        line_boilerplate, page_boilerplate, word_blocklist,
     )
     return df.select(
         F.col(id_col),
@@ -138,5 +159,6 @@ def c4_keep(
         kwargs.get("terminal", TERMINAL_PUNCT),
         kwargs.get("line_boilerplate", LINE_BOILERPLATE),
         kwargs.get("page_boilerplate", PAGE_BOILERPLATE),
+        kwargs.get("word_blocklist", ()),
     )
     return df.filter(page_ok).withColumn(text_col, F.array_join(kept, "\n"))

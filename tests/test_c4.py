@@ -77,3 +77,35 @@ def test_whitespace_tolerance(spark):
     out = c4_clean(_docs(spark, [(1, page)])).collect()[0]
     assert out.n_lines_kept == 5
     assert out.page_kept
+
+
+def test_word_blocklist_page_rule_word_boundary(spark):
+    """The bad-words page rule matches word-boundary tokens, never
+    substrings (C4 §2.2: 'class' must survive an 'ass' blocklist), is
+    case-insensitive, and composes into c4_keep as a kwarg; an empty
+    blocklist changes nothing."""
+    from mongo2mysql_spark.operators.c4 import c4_clean, c4_keep
+
+    good_line = "This sentence has plenty of words and ends properly."
+    page = lambda extra: "\n".join([good_line] * 5 + [extra])  # noqa: E731
+    rows = [
+        (0, page("The class went well and everyone learned lots today.")),
+        (1, page("What an ASS he made of himself at the meeting there.")),
+        (2, page("Nothing objectionable appears anywhere in this text.")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.page_kept
+        for r in c4_clean(df, word_blocklist=("ass",)).collect()
+    }
+    assert got == {0: True, 1: False, 2: True}
+    # empty blocklist: identical to the default rule set
+    base = {r.doc_id: r.page_kept for r in c4_clean(df).collect()}
+    noop = {
+        r.doc_id: r.page_kept for r in c4_clean(df, word_blocklist=()).collect()
+    }
+    assert noop == base == {0: True, 1: True, 2: True}
+    kept_ids = {
+        r.doc_id for r in c4_keep(df, word_blocklist=("ass",)).collect()
+    }
+    assert kept_ids == {0, 2}
