@@ -105,6 +105,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--c4-clean", action="store_true",
                    help="corpus: C4 line/page structural cleaning before "
                         "quality scoring (operators/c4.py)")
+    p.add_argument("--c4-blocklist", default=None, metavar="FILE",
+                   help="corpus: newline-separated bad-words list for the "
+                        "C4 word-boundary page rule (needs --c4-clean)")
     p.add_argument("--host-blocklist", default=None, metavar="FILE",
                    help="corpus: newline-separated host blocklist; with "
                         "--url-col, drops documents from blocked hosts")
@@ -148,9 +151,14 @@ def _run_corpus(spark, args) -> int:
         print("error: --corpus needs --source-dir and --output-dir", file=sys.stderr)
         return 2
     docs = load_table(spark, args.source_dir, "documents")
+    c4_words: tuple[str, ...] = ()
+    if args.c4_blocklist:
+        with open(args.c4_blocklist) as fh:
+            c4_words = tuple(ln.strip() for ln in fh if ln.strip())
     cfg = CorpusConfig(
         html_strip=args.html_strip,
         c4_line_clean=args.c4_clean,
+        c4_word_blocklist=c4_words,
         url_col=args.url_col,
         max_ppl=args.max_ppl,
         clf_keep_frac=args.clf_keep_frac,
@@ -176,6 +184,15 @@ def _run_corpus(spark, args) -> int:
         docs.filter(F.col("source") == args.clf_reference_source)
         if args.clf_reference_source else None
     )
+    if args.c4_blocklist and not args.c4_clean:
+        # same contract as --host-blocklist: never silently skip a
+        # filter the user asked for
+        print(
+            "error: --c4-blocklist requires --c4-clean "
+            "(the bad-words rule is part of the C4 page rules)",
+            file=sys.stderr,
+        )
+        return 2
     blocklist = None
     if args.host_blocklist and not args.url_col:
         # build_training_corpus applies the host filter only when it

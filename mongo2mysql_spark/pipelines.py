@@ -48,6 +48,7 @@ from mongo2mysql_spark.sources.lake import write_training_shards
 class CorpusConfig:
     html_strip: bool = False      # HTML -> visible text before everything
     c4_line_clean: bool = False   # C4 line/page structural cleaning first
+    c4_word_blocklist: tuple[str, ...] = ()  # C4 §2.2 bad-words page rule
     url_col: str | None = None    # with host_blocklist: drop blocked hosts
     min_quality: float = 0.3
     min_tokens: int = 20
@@ -134,7 +135,9 @@ def build_training_corpus(
         # C4 ordering (junk lines would otherwise skew quality stats)
         from mongo2mysql_spark.operators.c4 import c4_keep
 
-        docs = _stage(c4_keep(docs, text_col))
+        docs = _stage(
+            c4_keep(docs, text_col, word_blocklist=cfg.c4_word_blocklist)
+        )
         report["after_c4_clean"] = docs.count()
 
     toks = tokens(F.col(text_col))

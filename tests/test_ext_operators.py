@@ -2439,3 +2439,32 @@ def test_multimodal_audio_framing_geometry(spark):
     assert frame_audio(decoded, frame_len=200_000, hop=160).count() == 0
     with pytest.raises(NotImplementedError):
         frame_audio(decoded, mode="real")
+
+
+def test_builder_c4_word_blocklist_passthrough(spark, tmp_path):
+    """CorpusConfig.c4_word_blocklist reaches the builder's c4 stage:
+    a planted bad-word page is dropped, its clean twin survives."""
+    from mongo2mysql_spark.pipelines import CorpusConfig, build_training_corpus
+
+    line = "This sentence has plenty of words and ends properly."
+    page = "\n".join([line] * 6)
+    bad = page + "\nWhat an ass he made of himself at the meeting there."
+    rows = [(i, page if i % 2 else bad) for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    rep = build_training_corpus(
+        docs,
+        str(tmp_path / "out"),
+        config=CorpusConfig(
+            c4_line_clean=True,
+            c4_word_blocklist=("ass",),
+            min_tokens=5,
+            n_shards=2,
+        ),
+    )
+    assert rep["after_c4_clean"] == 20  # the 20 clean twins
+    rep2 = build_training_corpus(
+        docs,
+        str(tmp_path / "out2"),
+        config=CorpusConfig(c4_line_clean=True, min_tokens=5, n_shards=2),
+    )
+    assert rep2["after_c4_clean"] == 40  # no blocklist: everyone survives
