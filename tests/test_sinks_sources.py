@@ -573,3 +573,32 @@ def test_identifier_quoting_escapes_backticks_live():
     rows = con.execute('SELECT * FROM "ta`ble"').fetchall()
     assert rows == [(1, "v2")]
     con.close()
+
+
+def test_quote_ident_roundtrips_arbitrary_names():
+    """Property: any NUL-free name survives quote_ident → live sqlite
+    CREATE → pragma table_info readback byte-for-byte (Mongo field
+    names are nearly arbitrary UTF-8 and become column names)."""
+    import sqlite3
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mongo2mysql_spark.plans.ddl import quote_ident
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.text(min_size=1, max_size=40).filter(
+            lambda s: "\x00" not in s
+        )
+    )
+    def check(name):
+        con = sqlite3.connect(":memory:")
+        try:
+            con.execute(f"CREATE TABLE t ({quote_ident(name)} integer)")
+            cols = [r[1] for r in con.execute("PRAGMA table_info(t)")]
+            assert cols == [name]
+        finally:
+            con.close()
+
+    check()
