@@ -348,7 +348,7 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     # attribution pass AFTER the total is fixed: slot.branch keys are
     # informational and never inflate the headline number
-    timings.update(branch_timings(spark, registry))
+    branch_rows = branch_timings(spark, registry)
     out = {
         "metric": "headline_query_wall_time",
         "value": total,
@@ -362,7 +362,20 @@ def main() -> None:
     }
     if failures:
         out["failures"] = failures
-    print(json.dumps(out))
+    # The driver records only a bounded TAIL of stdout (BENCH_r06's
+    # headline total was truncated away by the ~90 slot.branch keys).
+    # Full output — branch attribution included — goes to a file the
+    # judge reads from disk; the LAST stdout line is the compact
+    # required JSON (slot-level queries + recall tables, no branch
+    # rows), small enough to survive the tail cap and be parsed.
+    full = dict(out)
+    full["queries"] = {**timings, **branch_rows}
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "bench_full_latest.json"), "w"
+    ) as fh:
+        json.dump(full, fh)
+    print(json.dumps(out), flush=True)
     spark.stop()
 
 
