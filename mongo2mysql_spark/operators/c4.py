@@ -71,17 +71,39 @@ def word_blocklist_expr(
     text: Column, words: tuple[str, ...]
 ) -> Column:
     """C4 §2.2's "bad words" page rule, WORD-BOUNDARY exact: True when
-    no token of the lowercased page is in the blocklist.  Substring
-    matching over-blocks ("class" contains "ass"), so the page is
-    tokenized on non-alphanumeric runs and matched token-for-token —
-    one ``arrays_overlap`` against a broadcast-literal set, still a
-    narrow codegen expression.  The published recipe uses the "List of
-    Dirty, Naughty, Obscene…" list; callers pass their deployment's
-    list (this module ships none)."""
-    toks = F.split(F.lower(text), "[^a-z0-9]+")
-    return ~F.arrays_overlap(
-        toks, F.array(*[F.lit(w.lower()) for w in words])
-    )
+    no entry of the blocklist occurs in the lowercased page.  Substring
+    matching over-blocks ("class" contains "ass"), so single-token
+    entries are matched token-for-token — the page tokenized on
+    non-alphanumeric runs, one ``arrays_overlap`` against a
+    broadcast-literal set, still a narrow codegen expression.  The
+    published recipe's LDNOOBW list also has MULTI-WORD entries
+    ("make me come"); token-for-token can never match those, so any
+    entry containing a non-alphanumeric char becomes a word-boundary
+    phrase regexp (its alphanumeric runs joined by ``[^a-z0-9]+``,
+    anchored to non-word chars or string edges) — one ``rlike`` per
+    phrase entry, and phrase lists are short."""
+    import re as _re
+
+    low = F.lower(text)
+    singles = [w.lower() for w in words if _re.fullmatch(r"[a-z0-9]+", w.lower())]
+    phrases = [w.lower() for w in words if not _re.fullmatch(r"[a-z0-9]+", w.lower())]
+    ok = F.lit(True)
+    if singles:
+        toks = F.split(low, "[^a-z0-9]+")
+        ok = ok & ~F.arrays_overlap(
+            toks, F.array(*[F.lit(w) for w in singles])
+        )
+    for p in phrases:
+        runs = [r for r in _re.split(r"[^a-z0-9]+", p) if r]
+        if not runs:
+            continue
+        pat = (
+            "(^|[^a-z0-9])"
+            + "[^a-z0-9]+".join(_re.escape(r) for r in runs)
+            + "([^a-z0-9]|$)"
+        )
+        ok = ok & ~low.rlike(pat)
+    return ok
 
 
 def _page_exprs(

@@ -40,13 +40,33 @@ def curriculum_interleave(
     ``score`` is the curriculum key (higher = earlier; ties break on
     ascending id).  ``domain_ix`` is the domain's index in the sorted
     domain list; ``interleave_pos = intra_rank · D + domain_ix``."""
-    domains = sorted(
-        r[0] for r in df.select(domain_col).distinct().collect()
+    # NULL domains sort first (Python sorted() would raise comparing
+    # None with str); an empty input yields zero domains and must not
+    # reach the no-arg F.coalesce below
+    raw = [r[0] for r in df.select(domain_col).distinct().collect()]
+    domains = ([None] if any(v is None for v in raw) else []) + sorted(
+        v for v in raw if v is not None
     )
     n_dom = len(domains)
+    if n_dom == 0:
+        return df.sparkSession.createDataFrame(
+            [],
+            df.select(
+                id_col,
+                domain_col,
+                F.lit(0).cast("int").alias("domain_ix"),
+                F.lit(0).cast("long").alias("intra_rank"),
+                F.lit(0).cast("long").alias("interleave_pos"),
+            ).schema,
+        )
     ix = F.coalesce(
         *[
-            F.when(F.col(domain_col) == v, F.lit(i))
+            F.when(
+                F.col(domain_col).isNull()
+                if v is None
+                else F.col(domain_col) == v,
+                F.lit(i),
+            )
             for i, v in enumerate(domains)
         ]
     ).cast("int")

@@ -234,7 +234,13 @@ def lsh_incremental_pairs(
     result is localCheckpoint'ed.
     """
     assert k % bands == 0
-    new_sig = new_sig.persist()
+    # ownership guard (as lsh_candidate_pairs): only persist/unpersist a
+    # frame whose storage level was NONE on entry — a caller-cached
+    # new_sig must not be silently evicted, and persist() on an
+    # already-persisted frame with a different level raises
+    new_owned = new_sig.storageLevel == StorageLevel.NONE
+    if new_owned:
+        new_sig = new_sig.persist()
     union_sig = corpus_sig.unionByName(new_sig).persist()
     melt_new = _band_melt(new_sig, id_col, k, bands)
     melt_all = _band_melt(union_sig, id_col, k, bands)
@@ -259,7 +265,8 @@ def lsh_incremental_pairs(
     if materialize:
         out = out.localCheckpoint()
         union_sig.unpersist()
-        new_sig.unpersist()
+        if new_owned:
+            new_sig.unpersist()
     return out
 
 

@@ -130,6 +130,17 @@ def collect_codebook(
     )
     if not rows:
         raise ValueError("empty PQ codebook: no vector id is a stride multiple")
+    # centroid c of the code space is id c·stride on BOTH engines (the
+    # DuckDB oracle derives cid as id // stride); a gap in the stride
+    # multiples would silently shift every positional centroid index
+    # after it and desynchronize all ADC distances cross-engine
+    got = [r["__id"] for r in rows]
+    want = [c * stride for c in range(len(rows))]
+    if got != want:
+        raise ValueError(
+            f"stride codebook ids not contiguous multiples: got {got[:8]}..., "
+            f"expected 0,{stride},..,{(len(rows) - 1) * stride}"
+        )
     dim = len(rows[0]["__v"])
     if dim % m_sub:
         raise ValueError(f"dim {dim} not divisible into {m_sub} subspaces")
@@ -424,11 +435,18 @@ def pq_adc_topk(
             F.round(adc, 6).cast("double").alias("adc_d2"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("adc_d2").asc(), F.col("neighbor_id").asc()
-    )
-    top = scored.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= k
+    # salted two-phase top-k (operators/skew.py): queries are few, so a
+    # plain per-query window funnels |corpus| rows into a handful of
+    # reducers — each salt bucket instead takes a LOCAL top-k and only
+    # buckets×k survivors per query reach the final rank.  Identical
+    # rows (the order (adc_d2, neighbor_id) is total), different plan.
+    from mongo2mysql_spark.operators.skew import salted_topk_per_group
+
+    top = salted_topk_per_group(
+        scored,
+        ["query_id"],
+        [F.col("adc_d2").asc(), F.col("neighbor_id").asc()],
+        k,
     )
     # re-score on ``vectors`` for BOTH sides (not the query frame the
     # codes were built from): when callers encode NORMALIZED vectors

@@ -58,13 +58,23 @@ def prune_prototypes(
         F.col("__cid"),
         cosine_seq(F.col(vec_col), F.col("__cv")).alias("pcos"),
     )
-    w_assign = Window.partitionBy(id_col).orderBy(
-        F.desc("pcos"), F.col("__cid").asc()
-    )
-    assigned = (
-        scored.withColumn("__rn", F.row_number().over(w_assign))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+    # argmin as a max_by AGGREGATE (the queries/dedup.py 'canon'
+    # pattern), not a row_number window: the window shuffles all
+    # k_max copies of the corpus on the id key; max_by partial-
+    # aggregates map-side so one row per (partition, id) shuffles.
+    # Ordering (coalesced pcos, −cid) ≡ (pcos DESC NULLS LAST, cid ASC).
+    assigned = scored.groupBy(id_col).agg(
+        F.max_by(
+            F.struct(F.col("__cid").alias("__cid"), F.col("pcos").alias("pcos")),
+            F.struct(
+                F.coalesce(F.col("pcos"), F.lit(float("-inf"))).alias("c"),
+                (-F.col("__cid")).alias("nc"),
+            ),
+        ).alias("__best")
+    ).select(
+        id_col,
+        F.col("__best.__cid").alias("__cid"),
+        F.col("__best.pcos").alias("pcos"),
     )
     w_rank = Window.partitionBy("__cid").orderBy(
         F.col("pcos").asc(), F.col(id_col).asc()

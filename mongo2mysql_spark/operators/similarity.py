@@ -268,13 +268,40 @@ def assign_centroids(
             F.col("__centnorm"),
         ).alias("__ccos"),
     )
+    if nprobe == 1:
+        # argmin as an AGGREGATE, not a window: row_number() over
+        # partitionBy(id) shuffles all C copies of the corpus on the id
+        # key; max_by partial-aggregates map-side, so only one row per
+        # (partition, id) reaches the shuffle — ~C× less volume.  The
+        # ordering struct (coalesced cosine, −centroid_id) reproduces
+        # the window's (cosine DESC NULLS LAST, centroid_id ASC) order
+        # exactly: −inf sinks null cosines, and −cid is unique so ties
+        # break to the smallest centroid id.  Corpus columns ride in
+        # the value struct (constant per id across the C candidates),
+        # so no rejoin against the corpus is needed.
+        others = [f for f in corpus.columns if f != id_col]
+        key = F.struct(
+            F.coalesce(F.col("__ccos"), F.lit(float("-inf"))).alias("c"),
+            (-F.col("centroid_id")).alias("nc"),
+        )
+        val = F.struct(
+            *[F.col(f).alias(f) for f in others],
+            F.col("centroid_id").alias("centroid_id"),
+        )
+        best = scored.groupBy(id_col).agg(F.max_by(val, key).alias("__best"))
+        return best.select(
+            id_col,
+            *[F.col(f"__best.{f}").alias(f) for f in others],
+            F.col("__best.centroid_id").alias("centroid_id"),
+        )
+    # nprobe > 1 is the QUERY side (bounded frame): the ranked window is
+    # fine there and the per-probe rank is part of the contract
     w = W.partitionBy(id_col).orderBy(F.desc("__ccos"), F.col("centroid_id"))
-    out = (
+    return (
         scored.withColumn("_probe", F.row_number().over(w))
         .filter(F.col("_probe") <= nprobe)
         .drop("__centvec", "__centnorm", "__vnorm", "__ccos")
     )
-    return out.drop("_probe") if nprobe == 1 else out
 
 
 def topk_ivf(

@@ -357,7 +357,15 @@ def decontam_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 k=BLOOM_K,
                 checkpoint_dir=f"{work}/ck{half}",
             )
-            q.awaitTermination(300)
+            # awaitTermination(timeout) returns False on timeout with
+            # the query STILL RUNNING — proceeding would rmtree the
+            # store under it and serve a half-built filter to the hash
+            # gate.  Stop and fail loudly instead.
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError(
+                    "bloom seen-set refresh did not drain within 300s"
+                )
         # materialize before the store dir is deleted
         fltr = read_bloom_store(spark, f"{work}/store").localCheckpoint()
     finally:

@@ -109,3 +109,29 @@ def test_word_blocklist_page_rule_word_boundary(spark):
         r.doc_id for r in c4_keep(df, word_blocklist=("ass",)).collect()
     }
     assert kept_ids == {0, 2}
+
+
+def test_word_blocklist_multiword_phrases(spark):
+    """Multi-word / punctuated blocklist entries (common in the LDNOOBW
+    list the C4 recipe cites) must match as word-boundary PHRASES —
+    token-for-token matching silently ignored them (ADVICE r6) — while
+    substrings inside larger words still never match."""
+    from mongo2mysql_spark.operators.c4 import word_blocklist_expr
+
+    rows = [
+        (0, "they sell blue pills cheap here"),        # phrase present
+        (1, "the bluebird pillow was comfortable"),    # substring only
+        (2, "blue  pills, with odd spacing count"),    # other separator
+        (3, "BLUE PILLS uppercase should match too"),
+        (4, "nothing of note in this sentence"),
+        (5, "the word ass alone still matches"),       # single entry
+        (6, "but classic assessment does not"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ok = df.select(
+        "doc_id",
+        word_blocklist_expr(F.col("text"), ("blue pills", "ass")).alias("ok"),
+    ).collect()
+    got = {r.doc_id: r.ok for r in ok}
+    assert got == {0: False, 1: True, 2: False, 3: False, 4: True,
+                   5: False, 6: True}

@@ -2468,3 +2468,61 @@ def test_builder_c4_word_blocklist_passthrough(spark, tmp_path):
         config=CorpusConfig(c4_line_clean=True, min_tokens=5, n_shards=2),
     )
     assert rep2["after_c4_clean"] == 40  # no blocklist: everyone survives
+
+
+def test_curriculum_interleave_edge_inputs(spark):
+    """Empty input returns an empty frame with the contract schema
+    (no-arg coalesce crash, ADVICE r6); NULL domains sort FIRST and get
+    a real domain_ix instead of a Python sorted() TypeError."""
+    from mongo2mysql_spark.operators.curriculum import curriculum_interleave
+
+    empty = spark.createDataFrame([], "doc_id long, dom string, s double")
+    out = curriculum_interleave(empty, "dom", "doc_id", F.col("s"))
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "doc_id", "dom", "domain_ix", "intra_rank", "interleave_pos",
+    ]
+
+    rows = [(0, None, 0.9), (1, "a", 0.5), (2, None, 0.1), (3, "b", 0.7)]
+    df = spark.createDataFrame(rows, "doc_id long, dom string, s double")
+    got = curriculum_interleave(df, "dom", "doc_id", F.col("s")).collect()
+    ix = {r.doc_id: r.domain_ix for r in got}
+    # NULL domain is index 0, then sorted real domains
+    assert ix == {0: 0, 2: 0, 1: 1, 3: 2}
+    pos = {r.doc_id: r.interleave_pos for r in got}
+    # rank-0 of each domain occupies positions 0..D-1
+    assert {pos[0], pos[1], pos[3]} == {0, 1, 2}
+    assert pos[2] == 3  # NULL-domain rank 1 → 1·3 + 0
+
+
+def test_lsh_incremental_respects_caller_cache(spark):
+    """lsh_incremental_pairs must not unpersist a signature frame the
+    CALLER cached (ownership guard, ADVICE r6) — and must still release
+    its own persists."""
+    from pyspark.storagelevel import StorageLevel
+
+    from mongo2mysql_spark.operators.dedup import (
+        lsh_incremental_pairs,
+        minhash_signature,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"common shingle text body number {i % 4} woo") for i in range(40)],
+        "doc_id long, text string",
+    )
+    shingles = F.split(F.col("text"), " ")
+    corpus_sig = minhash_signature(
+        docs.filter(F.col("doc_id") < 30), "doc_id", shingles, k=16
+    )
+    new_sig = minhash_signature(
+        docs.filter(F.col("doc_id") >= 30), "doc_id", shingles, k=16
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        new_sig.count()
+        out = lsh_incremental_pairs(corpus_sig, new_sig, "doc_id", k=16)
+        out.count()
+        # caller's cache must survive the call (and not have been
+        # re-persisted at a different level, which would have raised)
+        assert new_sig.storageLevel == StorageLevel.MEMORY_AND_DISK
+    finally:
+        new_sig.unpersist()

@@ -453,3 +453,40 @@ def test_every_persist_site_has_a_release_path():
     assert not offenders, (
         f"persist() without any unpersist() release path: {offenders}"
     )
+
+
+def test_centroid_assignment_is_aggregate_not_window(spark):
+    """Nearest-centroid assignment (IVF build side, prototype pruning)
+    must plan as a max_by AGGREGATE with map-side partials, never as a
+    row_number window over partitionBy(id) — the window shuffles all C
+    candidate copies of the corpus on the id key; the aggregate ships
+    one partial row per (partition, id) (VERDICT r6 #2)."""
+    from mongo2mysql_spark.operators.pruning import prune_prototypes
+    from mongo2mysql_spark.operators.similarity import assign_centroids
+    from mongo2mysql_spark.sources.parquet import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    cents = emb.filter(F.col("vec_id") % 97 == 0)
+
+    assigned = assign_centroids(emb, cents, "vec_id", "embedding")
+    plan = physical_plan(assigned)
+    assert "Window" not in plan, plan
+    assert "max_by" in plan
+    # partial + final aggregate pair, one shuffle between them (the
+    # other Exchange is the centroid BroadcastExchange, not a shuffle)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+    pruned = prune_prototypes(emb, "vec_id", "embedding", 97, 8)
+    # the ASSIGNMENT stage must be window-free; the per-cluster rank
+    # that follows is a legitimate partitioned window, so assert the
+    # assignment subplan via the aggregate's presence and that the only
+    # windows are the cluster-key ones
+    pplan = physical_plan(pruned)
+    assert "max_by" in pplan
+    for line in pplan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "__cid" in line, line
+
+    # query-side nprobe>1 keeps the ranked-window contract (bounded side)
+    probes = assign_centroids(emb.limit(20), cents, "vec_id", "embedding", nprobe=3)
+    assert "_probe" in probes.columns

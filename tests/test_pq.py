@@ -252,3 +252,23 @@ def test_expanded_distance_bit_equals_fold(spark):
         sum((~c).cast("int") for c in checks).alias("n_diff")
     ).agg(F.sum("n_diff")).collect()[0][0]
     assert bad == 0
+
+
+def test_pq_adc_topk_is_salted_two_phase(spark):
+    """The brute ADC per-query top-k must plan as the salted two-phase
+    rank (operators/skew.py): phase-1 windows partition on
+    (query_id, __salt) so no reducer holds a whole query's |corpus|
+    scored rows (VERDICT r6 #3)."""
+    df, _ = _vectors(spark)
+    cb = collect_codebook(df, "vec_id", "embedding", M, STRIDE, KMAX)
+    codes_df = pq_encode(df, "vec_id", "embedding", cb)
+    res = pq_adc_topk(
+        codes_df, df.limit(2), df, "vec_id", "embedding", cb, k=3
+    )
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    salted = [
+        line
+        for line in plan.splitlines()
+        if "windowspecdefinition" in line and "__salt" in line
+    ]
+    assert salted, plan
