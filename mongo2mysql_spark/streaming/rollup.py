@@ -66,7 +66,7 @@ def _publish_manifest(store_dir: str, manifest: dict) -> None:
     """Atomic single-writer publication: full temp write + one rename
     (readers see the old or the new manifest, never a torn one)."""
     path = os.path.join(store_dir, _MANIFEST)
-    tmp = path + "." + manifest["store"].split("/")[-1] + ".tmp"
+    tmp = path + "." + uuid.uuid4().hex[:12] + ".tmp"
     with open(tmp, "w") as fh:
         json.dump(manifest, fh)
     os.rename(tmp, path)

@@ -604,3 +604,81 @@ def test_streaming_pq_store_equals_batch_encode(spark, tmp_path):
     assert len(after) == 500
     for vid, codes in after.items():
         assert codes == (want_new[vid] if vid < 3 else batch[vid])
+
+
+def test_pq_store_refresh_is_append_only_and_compacts(spark, tmp_path):
+    """VERDICT r6 #1: a refresh must never read or rewrite existing
+    segments — it writes ONE new delta dir plus the manifest rename,
+    so ingest I/O is O(batch) not O(index).  compact_pq_store folds the
+    chain into a lone base without changing the resolved table."""
+    import json
+    import os
+
+    from mongo2mysql_spark.operators.pq import collect_codebook, pq_encode
+    from mongo2mysql_spark.streaming.pqstore import (
+        compact_pq_store,
+        read_pq_store,
+        refresh_pq_store,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cb = collect_codebook(
+        emb, "vec_id", "embedding", m_sub=8, stride=31, k_max=16,
+        normalize=True,
+    )
+    store = str(tmp_path / "pq")
+
+    def snapshot() -> dict[str, tuple]:
+        out = {}
+        for root, _dirs, files in os.walk(os.path.join(store, "stores")):
+            for f in files:
+                p = os.path.join(root, f)
+                out[p] = (os.path.getsize(p), os.path.getmtime(p))
+        return out
+
+    assert refresh_pq_store(
+        emb.filter(F.col("vec_id") % 2 == 0), store, "vec_id", "embedding", cb
+    )
+    before = snapshot()
+    man1 = json.load(open(os.path.join(store, "MANIFEST.json")))
+    assert len(man1["deltas"]) == 1 and man1["base"] is None
+
+    batch = emb.filter(F.col("vec_id") % 2 == 1)
+    assert refresh_pq_store(batch, store, "vec_id", "embedding", cb)
+    after = snapshot()
+    # every pre-existing file byte-stable and still present (mtime and
+    # size unchanged — nothing was rewritten), new files form exactly
+    # one new delta directory of batch-sized rows
+    for p, meta in before.items():
+        assert after[p] == meta, p
+    new_dirs = {
+        os.path.dirname(p) for p in after if p not in before
+    }
+    assert len(new_dirs) == 1
+    man2 = json.load(open(os.path.join(store, "MANIFEST.json")))
+    assert len(man2["deltas"]) == 2 and man2["deltas"][0] == man1["deltas"][0]
+    delta_rows = spark.read.parquet(new_dirs.pop()).count()
+    assert delta_rows == batch.count()
+
+    resolved = {
+        r.vec_id: list(r.codes) for r in read_pq_store(spark, store).collect()
+    }
+    want = {
+        r.vec_id: list(r.codes)
+        for r in pq_encode(emb, "vec_id", "embedding", cb, normalize=True).collect()
+    }
+    assert resolved == want
+
+    # merge-on-read resolution is an aggregate, not a window/join
+    plan = read_pq_store(spark, store)._jdf.queryExecution().executedPlan().toString()
+    assert "max_by" in plan and "Window" not in plan and "Join" not in plan
+
+    assert compact_pq_store(spark, store)
+    man3 = json.load(open(os.path.join(store, "MANIFEST.json")))
+    assert man3["deltas"] == [] and man3["base"]
+    compacted = {
+        r.vec_id: list(r.codes) for r in read_pq_store(spark, store).collect()
+    }
+    assert compacted == want
+    # nothing further to compact
+    assert not compact_pq_store(spark, store)
