@@ -8,6 +8,8 @@ sequence, bit-identical results, no unnest joins needed in the SQL.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -34,6 +36,10 @@ PQ_K = 16
 PQ_TOPK = 10
 # 'ivfpq' branch: exact-rerank window (k·IVFPQ_RERANK ADC finalists)
 IVFPQ_RERANK = 4
+# 'pqstore_*' branches: the streaming code-store is fed two disjoint
+# halves plus a corrective re-publish of every PQSTORE_UPD_MOD-th
+# vector (negated), exercising last-write-wins across the delta chain.
+PQSTORE_UPD_MOD = 10
 
 # prototype-difficulty pruning branch (operators/pruning.py): capped
 # stride centroids, keep the hardest PR_KEEP of every cluster.
@@ -83,6 +89,75 @@ def _pq_index(spark: SparkSession, sf_dir: str, e: DataFrame) -> tuple:
         ).localCheckpoint()
         _PQ_INDEX_MEMO[key] = (cb, codes)
     return _PQ_INDEX_MEMO[key]
+
+
+def _pq_store_codes(spark: SparkSession, sf_dir: str, cb) -> tuple:
+    """Drive the streaming PQ code-store end-to-end and return its
+    resolved code table as (pre-compaction, post-compaction) string
+    frames — the driver row for ``streaming/pqstore.py``.
+
+    Three availableNow refreshes feed the store: the two halves of the
+    corpus (vec_id mod 2) and a corrective re-publish of every
+    ``PQSTORE_UPD_MOD``-th vector negated.  Each refresh writes ONE new
+    delta segment (append-only — existing segments are never read or
+    rewritten, so ingest I/O is O(batch) at any index size);
+    ``read_pq_store`` resolves last-write-wins by id with a single
+    ``max_by`` over the segment ordinal, and ``compact_pq_store`` folds
+    the chain into a lone base.  Serving BOTH reads through the same
+    hashed oracle (pq_encode over the corrected corpus with the frozen
+    codebook) proves the delta-chain resolution AND the compaction are
+    bit-identical to a fresh one-shot encode."""
+    import shutil
+    import tempfile
+
+    from mongo2mysql_spark.streaming.pqstore import (
+        compact_pq_store,
+        read_pq_store,
+        streaming_pq_refresh,
+    )
+
+    schema = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).schema
+
+    def estream() -> DataFrame:
+        return (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "embeddings.parquet")
+            .parquet(sf_dir)
+        )
+
+    batches = [
+        estream().filter(F.col("vec_id") % 2 == 0),
+        estream().filter(F.col("vec_id") % 2 == 1),
+        estream()
+        .filter(F.col("vec_id") % PQSTORE_UPD_MOD == 0)
+        .withColumn("embedding", F.transform("embedding", lambda v: -v)),
+    ]
+    work = tempfile.mkdtemp(prefix="pqstore_slot_")
+    store = os.path.join(work, "store")
+    try:
+        for i, batch in enumerate(batches):
+            q = streaming_pq_refresh(
+                batch, store, "vec_id", "embedding", cb,
+                checkpoint_dir=os.path.join(work, f"ck{i}"),
+            )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError("pq store refresh did not finish in 300s")
+
+        def to_str(df: DataFrame) -> DataFrame:
+            return df.select(
+                "vec_id",
+                F.concat_ws(
+                    "-", F.transform(F.col("codes"), lambda c: c.cast("string"))
+                ).alias("codes_str"),
+            )
+
+        delta = to_str(read_pq_store(spark, store)).localCheckpoint()
+        compact_pq_store(spark, store)
+        base = to_str(read_pq_store(spark, store)).localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return delta, base
 
 
 _BRUTEFORCE_ORACLE = f"""
@@ -223,6 +298,36 @@ def _pq_oracle() -> str:
       FROM penc WHERE rn = 1 GROUP BY vec_id),
     pcodestr AS (
       SELECT vec_id, array_to_string(codes, '-') AS codes_str FROM pcodes),
+    puemb AS (
+      -- the corpus AFTER the streaming store's corrective re-publish:
+      -- every {PQSTORE_UPD_MOD}th vector replaced by its negation
+      -- (sign flip is IEEE-exact in float, so negate-then-normalize is
+      -- bit-identical across engines); the codebook stays the ORIGINAL
+      -- pcb — frozen at train time, exactly the deployed-store contract
+      SELECT vec_id,
+             CASE WHEN vec_id % {PQSTORE_UPD_MOD} = 0
+                  THEN list_transform(embedding, v -> -v)
+                  ELSE embedding END AS embedding
+      FROM embeddings),
+    punemb AS (
+      SELECT vec_id,
+             list_transform(embedding, v -> CAST(v AS DOUBLE) / nrm)
+               AS embedding
+      FROM (SELECT vec_id, embedding,
+                   CASE WHEN {sql_norm('embedding')} > 0
+                        THEN {sql_norm('embedding')}
+                        ELSE CAST(1.0 AS DOUBLE) END AS nrm
+            FROM puemb)),
+    puenc AS (
+      SELECT vec_id, j, cid,
+             row_number() OVER (PARTITION BY vec_id, j
+                                ORDER BY d2, cid) AS rn
+      FROM (SELECT e.vec_id, b.j, b.cid,
+                   {sql_l2sq(qslice, 'b.cent')} AS d2
+            FROM punemb e CROSS JOIN pcb b)),
+    pucodestr AS (
+      SELECT vec_id, array_to_string(list(cid ORDER BY j), '-') AS codes_str
+      FROM puenc WHERE rn = 1 GROUP BY vec_id),
     pdt AS (
       SELECT e.vec_id AS query_id, b.j, b.cid,
              {sql_l2sq(qslice, 'b.cent')} AS d2
@@ -519,6 +624,17 @@ _STATS_NULLS = """
            {_PR_NULLS}
     FROM psearch
     UNION ALL
+    SELECT p.branch, u.vec_id, {_STATS_NULLS},
+           u.codes_str,
+           CAST(NULL AS BIGINT) AS query_id,
+           CAST(NULL AS BIGINT) AS neighbor_id,
+           CAST(NULL AS DOUBLE) AS adc_d2,
+           CAST(NULL AS INTEGER) AS pq_rank,
+           CAST(NULL AS DOUBLE) AS pq_cos,
+           {_PR_NULLS}
+    FROM pucodestr u
+    CROSS JOIN (VALUES ('pqstore_delta'), ('pqstore_base')) AS p(branch)
+    UNION ALL
     SELECT 'prune' AS branch, vec_id, {_STATS_NULLS},
            {_PQ_NULLS},
            proto_cid, proto_cos, proto_rank, cluster_n, keep_hard
@@ -553,7 +669,16 @@ _STATS_NULLS = """
         "vector scored by cosine to its nearest capped-stride centroid, "
         f"keep_hard retains the hardest {PR_KEEP_NUM}/{PR_KEEP_DEN} of "
         "EVERY cluster (per-cluster rank — a global threshold would "
-        "empty whole regions); the keep rule compares integers only "
+        "empty whole regions); 'pqstore_delta'/'pqstore_base' rows "
+        "drive the STREAMING code-store (streaming/pqstore.py): three "
+        "availableNow refreshes (two disjoint halves + a corrective "
+        "re-publish of negated vectors) each append ONE delta segment — "
+        "never reading or rewriting existing segments, so ingest I/O is "
+        "O(batch) at any index size — and the two branches hash the "
+        "store as read through merge-on-read delta resolution (one "
+        "max_by over the segment ordinal) and again after compaction, "
+        "both bit-equal to a fresh one-shot encode of the corrected "
+        "corpus under the frozen codebook; the keep rule compares integers only "
         "(rank·den ≤ num·n) because a fractional threshold literal is "
         "DECIMAL in DuckDB but DOUBLE in Spark.  One broadcast "
         "assignment scan + one cluster-key shuffle; every rank, count "
@@ -636,6 +761,7 @@ def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         k_max=PR_K,
         keep_frac=Fraction(PR_KEEP_NUM, PR_KEEP_DEN),
     )
+    ps_delta, ps_base = _pq_store_codes(spark, sf_dir, cb)
     return tagged_union(
         {
             "stats": stats,
@@ -643,5 +769,7 @@ def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pqcodes": pqc,
             "pqsearch": pqs,
             "prune": prune,
+            "pqstore_delta": ps_delta,
+            "pqstore_base": ps_base,
         }
     )
