@@ -194,6 +194,7 @@ def pq_recall(spark, sf_dir: str, k: int = 10) -> dict[str, float]:
         pq_adc_topk,
         pq_encode,
         train_codebook,
+        train_codebook_distributed,
     )
     from mongo2mysql_spark.operators.similarity import topk_bruteforce
     from mongo2mysql_spark.sources.parquet import load_table
@@ -220,6 +221,14 @@ def pq_recall(spark, sf_dir: str, k: int = 10) -> dict[str, float]:
             normalize=True,
         ),
         "kmeans64": train_codebook(
+            e, "vec_id", "embedding", m_sub=8, stride=7, k_max=64,
+            normalize=True,
+        ),
+        # the cluster-scale trainer (mapInPandas partial-sum Lloyd over
+        # the WHOLE frame, no driver-memory bound): same 6-bit point as
+        # kmeans64 but trained on every vector — recall should match or
+        # beat the driver-sample book
+        "dist64": train_codebook_distributed(
             e, "vec_id", "embedding", m_sub=8, stride=7, k_max=64,
             normalize=True,
         ),

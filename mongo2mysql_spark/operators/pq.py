@@ -220,6 +220,119 @@ def train_codebook(
     return out
 
 
+def train_codebook_distributed(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m_sub: int,
+    stride: int,
+    k_max: int,
+    iters: int = 10,
+    normalize: bool = False,
+) -> list[list[list[float]]]:
+    """Distributed Lloyd per subspace — :func:`train_codebook` without
+    the driver-memory bound (its ``sample_n`` collect caps training
+    data at what one process holds; this trains on the WHOLE input
+    frame, so a 100 TB deployment can hand it any hash-sample that
+    fits the cluster, not the driver).
+
+    Shape per iteration (the only part that touches the corpus): one
+    Arrow ``mapInPandas`` stage assigns every subvector to its nearest
+    centroid (vectorized NumPy against the broadcast codebook) and
+    emits per-(subspace, centroid, position) partial sums — at most
+    ``m·k·dsub`` rows per task regardless of input size — which one
+    ``groupBy`` folds with map-side partials into ``m·k·dsub`` total
+    rows; the driver update divides that many doubles.  The projected
+    training frame is persisted across iterations (``iters`` passes
+    over cached columns, one source scan).
+
+    Determinism matches :func:`train_codebook` per step — stride init,
+    NumPy float64 distances, ``argmin`` ties to the lowest centroid id,
+    empty clusters keep their previous centroid — but cluster sums fold
+    in partition order, so centroids can differ from the driver trainer
+    by float ulps on multi-partition input (bit-equal on a single
+    sorted partition, pinned by test).  Like ``train_codebook`` it is
+    NOT oracle-restatable; it feeds the recall path
+    (``bench.pq_recall``)."""
+    import numpy as np
+    import pandas as pd  # noqa: F401  (mapInPandas contract)
+
+    cb0 = collect_codebook(
+        vectors, id_col, vec_col, m_sub, stride, k_max, normalize=normalize
+    )
+    k = len(cb0[0])
+    dsub = len(cb0[0][0])
+    spark = vectors.sparkSession
+    # fresh projection => always ours to cache (never a caller frame)
+    data = vectors.select(F.col(vec_col).alias("__v")).persist()
+    cents = np.array(cb0, dtype=np.float64)  # (m, k, dsub)
+    schema = "j int, cid int, pos int, s double, n bigint"
+    try:
+        for _ in range(iters):
+            bc = spark.sparkContext.broadcast(cents)
+
+            def partials(batches):
+                import numpy as _np
+                import pandas as _pd
+
+                C = bc.value
+                m, kk, ds = C.shape
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    X = _np.stack(pdf["__v"].to_numpy()).astype(_np.float64)
+                    if normalize:
+                        nrm = _np.sqrt((X * X).sum(axis=1))
+                        nrm[nrm == 0] = 1.0
+                        X = X / nrm[:, None]
+                    cols: dict[str, list] = {
+                        "j": [], "cid": [], "pos": [], "s": [], "n": []
+                    }
+                    for j in range(m):
+                        Xj = X[:, j * ds : (j + 1) * ds]
+                        d2 = ((Xj[:, None, :] - C[j][None, :, :]) ** 2).sum(
+                            axis=2
+                        )
+                        assign = d2.argmin(axis=1)  # first min = lowest cid
+                        for c in range(kk):
+                            members = Xj[assign == c]
+                            if not len(members):
+                                continue
+                            s = members.sum(axis=0)
+                            for p in range(ds):
+                                cols["j"].append(j)
+                                cols["cid"].append(c)
+                                cols["pos"].append(p)
+                                cols["s"].append(float(s[p]))
+                                cols["n"].append(len(members))
+                    yield _pd.DataFrame(cols)
+
+            agg = (
+                data.mapInPandas(partials, schema)
+                .groupBy("j", "cid", "pos")
+                .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+                .collect()
+            )
+            sums = np.zeros_like(cents)
+            counts = np.zeros((m_sub, k), dtype=np.int64)
+            for r in agg:
+                sums[r["j"], r["cid"], r["pos"]] = r["s"]
+                counts[r["j"], r["cid"]] = r["n"]
+            nxt = cents.copy()
+            nonempty = counts > 0
+            for j in range(m_sub):
+                for c in range(k):
+                    if nonempty[j, c]:
+                        nxt[j, c] = sums[j, c] / counts[j, c]
+            cents = nxt
+            bc.unpersist()
+    finally:
+        data.unpersist()
+    return [
+        [[float(v) for v in cent] for cent in cents[j]] for j in range(m_sub)
+    ]
+
+
 def _sub(vec: Column, j: int, dsub: int) -> Column:
     return F.slice(vec, j * dsub + 1, dsub)
 

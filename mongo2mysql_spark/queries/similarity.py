@@ -96,9 +96,11 @@ def _pq_store_codes(spark: SparkSession, sf_dir: str, cb) -> tuple:
     resolved code table as (pre-compaction, post-compaction) string
     frames — the driver row for ``streaming/pqstore.py``.
 
-    Three availableNow refreshes feed the store: the two halves of the
-    corpus (vec_id mod 2) and a corrective re-publish of every
-    ``PQSTORE_UPD_MOD``-th vector negated.  Each refresh writes ONE new
+    Two availableNow refreshes feed the store: the full corpus, then a
+    corrective re-publish of every ``PQSTORE_UPD_MOD``-th vector
+    negated (disjoint-delta merging is pinned by the unit tests; the
+    driver row spends its time on the update/compaction contract, the
+    part a wrong design corrupts).  Each refresh writes ONE new
     delta segment (append-only — existing segments are never read or
     rewritten, so ingest I/O is O(batch) at any index size);
     ``read_pq_store`` resolves last-write-wins by id with a single
@@ -126,8 +128,7 @@ def _pq_store_codes(spark: SparkSession, sf_dir: str, cb) -> tuple:
         )
 
     batches = [
-        estream().filter(F.col("vec_id") % 2 == 0),
-        estream().filter(F.col("vec_id") % 2 == 1),
+        estream(),
         estream()
         .filter(F.col("vec_id") % PQSTORE_UPD_MOD == 0)
         .withColumn("embedding", F.transform("embedding", lambda v: -v)),
@@ -670,9 +671,9 @@ _STATS_NULLS = """
         f"keep_hard retains the hardest {PR_KEEP_NUM}/{PR_KEEP_DEN} of "
         "EVERY cluster (per-cluster rank — a global threshold would "
         "empty whole regions); 'pqstore_delta'/'pqstore_base' rows "
-        "drive the STREAMING code-store (streaming/pqstore.py): three "
-        "availableNow refreshes (two disjoint halves + a corrective "
-        "re-publish of negated vectors) each append ONE delta segment — "
+        "drive the STREAMING code-store (streaming/pqstore.py): two "
+        "availableNow refreshes (the corpus + a corrective re-publish "
+        "of negated vectors) each append ONE delta segment — "
         "never reading or rewriting existing segments, so ingest I/O is "
         "O(batch) at any index size — and the two branches hash the "
         "store as read through merge-on-read delta resolution (one "

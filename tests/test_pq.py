@@ -224,6 +224,72 @@ def test_trained_codebook_deterministic_and_tighter(spark):
     assert got == _ref_codes(vecs, cb1)
 
 
+def test_distributed_trainer_bit_equals_driver_on_one_partition(spark):
+    """train_codebook_distributed on a single sorted partition must be
+    BIT-equal to the driver-NumPy train_codebook over the same sample:
+    both assign with float64 argmin (ties to lowest cid) and compute
+    cluster means as one pairwise NumPy sum / count, so with identical
+    member order every float op sequence matches."""
+    from mongo2mysql_spark.operators.pq import (
+        train_codebook,
+        train_codebook_distributed,
+    )
+
+    df, _ = _vectors(spark, n=60, seed=3)
+    one = df.orderBy("vec_id").coalesce(1)
+    for normalize in (False, True):
+        want = train_codebook(
+            df, "vec_id", "embedding", M, STRIDE, KMAX,
+            sample_n=60, iters=5, normalize=normalize,
+        )
+        got = train_codebook_distributed(
+            one, "vec_id", "embedding", M, STRIDE, KMAX,
+            iters=5, normalize=normalize,
+        )
+        assert got == want, f"normalize={normalize}"
+
+
+def test_distributed_trainer_multi_partition_tightens_cells(spark):
+    """Multi-partition training folds cluster sums in partition order
+    (ulp drift vs the driver trainer is allowed) but must still be
+    deterministic shape-wise, strictly tighter than the stride init,
+    and within float tolerance of the driver trainer's distortion."""
+    from mongo2mysql_spark.operators.pq import (
+        train_codebook,
+        train_codebook_distributed,
+    )
+
+    df, vecs = _vectors(spark, n=60, seed=3)
+    cb0 = collect_codebook(df, "vec_id", "embedding", M, STRIDE, KMAX)
+    cbd = train_codebook_distributed(
+        df.repartition(7), "vec_id", "embedding", M, STRIDE, KMAX, iters=5
+    )
+    cb1 = train_codebook(
+        df, "vec_id", "embedding", M, STRIDE, KMAX, sample_n=60, iters=5
+    )
+    assert len(cbd) == M and len(cbd[0]) == KMAX and len(cbd[0][0]) == DSUB
+
+    def qerr(cb):
+        cents = np.array(cb)
+        tot = 0.0
+        for v in vecs.values():
+            for j in range(M):
+                sub = v[j * DSUB : (j + 1) * DSUB]
+                tot += ((cents[j] - sub) ** 2).sum(axis=1).min()
+        return tot
+
+    assert qerr(cbd) < qerr(cb0)
+    assert abs(qerr(cbd) - qerr(cb1)) <= 1e-6 * max(qerr(cb1), 1.0)
+    # the distributed book drops into the same encode plan unchanged
+    got = {
+        r.vec_id: list(r.codes)
+        for r in pq_encode(df, "vec_id", "embedding", cbd).collect()
+    }
+    assert got == _ref_codes(vecs, cbd)
+    # training must not leak a cached frame into the shared session
+    assert not spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
 def test_expanded_distance_bit_equals_fold(spark):
     """_dists_to_cents (codegen expansion) must be bit-identical to the
     seeded sequential fold _l2sq_seq that sql_l2sq mirrors — this is
