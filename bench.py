@@ -270,6 +270,35 @@ def pq_recall(spark, sf_dir: str, k: int = 10) -> dict[str, float]:
             ).collect()
         }
         out[f"ivfpq_nprobe{nprobe}"] = round(len(got & bf) / len(bf), 4)
+
+    # OPQ at the same 6-bit point: learned rotation + codebooks
+    # (operators/pq.train_opq_distributed), searched through the
+    # UNCHANGED encode/ADC plans over the rotated frames — the recall
+    # delta vs dist64 is what the rotation buys on these embeddings
+    from mongo2mysql_spark.operators.pq import (
+        rotate_vectors,
+        train_opq_distributed,
+    )
+
+    r_opq, cb_opq = train_opq_distributed(
+        e, "vec_id", "embedding", m_sub=8, stride=7, k_max=64,
+        iters=8, normalize=True,
+    )
+    rcorpus = rotate_vectors(
+        e, "vec_id", "embedding", r_opq, normalize=True
+    ).localCheckpoint()
+    codes_opq = pq_encode(rcorpus, "vec_id", "embedding", cb_opq)
+    rq = rcorpus.filter(F.col("vec_id") < 5)
+    hits = pq_adc_topk(
+        codes_opq, rq, rcorpus, "vec_id", "embedding", cb_opq, k=k * 10
+    ).collect()
+    for expand in (1, 5, 10):
+        adc = {
+            (r["query_id"], r["neighbor_id"])
+            for r in hits
+            if r["rank"] <= k * expand
+        }
+        out[f"opq64_expand{expand}"] = round(len(adc & bf) / len(bf), 4)
     return out
 
 

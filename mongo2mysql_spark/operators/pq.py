@@ -333,6 +333,195 @@ def train_codebook_distributed(
     ]
 
 
+def rotate_vectors(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    rotation: list[list[float]],
+    normalize: bool = False,
+) -> DataFrame:
+    """Orthogonal-rotation stage (the R of OPQ): one Arrow
+    ``mapInPandas`` matmul per batch — map-only, shuffle-free, output
+    is (id, rotated float64 array).  Composes with the unrotated PQ
+    machinery: ``pq_encode(rotate_vectors(corpus, R), cb_opq)`` and
+    ``pq_adc_topk`` over rotated queries search the OPQ index with zero
+    changes to the encode/ADC plans (orthogonal R preserves norms and
+    inner products, so cosine re-scores in rotated space equal raw
+    cosines up to float ulps)."""
+    import numpy as np
+
+    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
+    R = np.asarray(rotation, dtype=np.float64)
+    id_field = vectors.schema[id_col]
+    out_schema = StructType(
+        [
+            StructField(id_col, id_field.dataType, id_field.nullable),
+            StructField(vec_col, ArrayType(DoubleType()), False),
+        ]
+    )
+    data = vectors.select(id_col, vec_col)
+
+    def rot(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = _np.stack(pdf[vec_col].to_numpy()).astype(_np.float64)
+            if normalize:
+                nrm = _np.sqrt((X * X).sum(axis=1))
+                nrm[nrm == 0] = 1.0
+                X = X / nrm[:, None]
+            Xr = X @ R
+            yield _pd.DataFrame(
+                {id_col: pdf[id_col], vec_col: list(Xr)}
+            )
+
+    return data.mapInPandas(rot, out_schema)
+
+
+def train_opq_distributed(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m_sub: int,
+    stride: int,
+    k_max: int,
+    iters: int = 8,
+    normalize: bool = False,
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """Optimized Product Quantization (Ge, He, Ke, Sun, CVPR 2013,
+    non-parametric alternation): learn an orthogonal rotation R and
+    per-subspace codebooks jointly, so subspace boundaries stop cutting
+    across correlated dimensions — the quantization-error reduction
+    plain PQ leaves on the table whenever the embedding covariance
+    isn't subspace-block-diagonal.
+
+    Returns ``(R, cb)``; encode/search compose as
+    ``pq_encode(rotate_vectors(X, R), cb)``.
+
+    Each alternation is ONE corpus pass (Arrow ``mapInPandas``): rotate
+    the batch by the broadcast R, assign every subvector to its nearest
+    centroid, and emit two kinds of bounded partials — per-(subspace,
+    centroid, position) member sums for the Lloyd update (≤ m·k·dsub
+    rows per task) and the d×d cross-covariance M = Xᵀ·X̂ between the
+    ROTATED input and its reconstruction (d² rows per task, accumulated
+    across the task's batches before emitting).  One map-side-combined
+    ``groupBy`` folds the partials; the driver update is a d×d SVD
+    (Procrustes: R ← R·U·Vᵀ where M = U·S·Vᵀ — rotating the previous
+    rotation keeps X read-once) plus m·k·dsub divisions.  The corpus is
+    never collected and never materialized rotated; training data is
+    whatever frame the caller hands in (hash-sample at 100 TB).
+
+    Deterministic for a fixed partitioning (NumPy argmin ties to the
+    lowest cid; SVD is deterministic for identical input); like the
+    other trained codebooks it is NOT oracle-restatable and feeds the
+    recall path (``bench.pq_recall`` 'opq64')."""
+    import numpy as np
+
+    cb0 = collect_codebook(
+        vectors, id_col, vec_col, m_sub, stride, k_max, normalize=normalize
+    )
+    k = len(cb0[0])
+    dsub = len(cb0[0][0])
+    dim = m_sub * dsub
+    spark = vectors.sparkSession
+    data = vectors.select(F.col(vec_col).alias("__v")).persist()
+    cents = np.array(cb0, dtype=np.float64)  # (m, k, dsub)
+    R = np.eye(dim)
+    schema = "kind string, j int, cid int, pos int, s double, n bigint"
+    try:
+        for _ in range(iters):
+            bc = spark.sparkContext.broadcast((R, cents))
+
+            def partials(batches):
+                import numpy as _np
+                import pandas as _pd
+
+                Rc, C = bc.value
+                m, kk, ds = C.shape
+                d = m * ds
+                M = _np.zeros((d, d))
+                cols: dict[str, list] = {
+                    "kind": [], "j": [], "cid": [], "pos": [], "s": [], "n": []
+                }
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    X = _np.stack(pdf["__v"].to_numpy()).astype(_np.float64)
+                    if normalize:
+                        nrm = _np.sqrt((X * X).sum(axis=1))
+                        nrm[nrm == 0] = 1.0
+                        X = X / nrm[:, None]
+                    Xr = X @ Rc
+                    Xhat = _np.empty_like(Xr)
+                    for j in range(m):
+                        Xj = Xr[:, j * ds : (j + 1) * ds]
+                        d2 = ((Xj[:, None, :] - C[j][None, :, :]) ** 2).sum(
+                            axis=2
+                        )
+                        assign = d2.argmin(axis=1)
+                        Xhat[:, j * ds : (j + 1) * ds] = C[j][assign]
+                        for c in range(kk):
+                            members = Xj[assign == c]
+                            if not len(members):
+                                continue
+                            s = members.sum(axis=0)
+                            for p in range(ds):
+                                cols["kind"].append("cb")
+                                cols["j"].append(j)
+                                cols["cid"].append(c)
+                                cols["pos"].append(p)
+                                cols["s"].append(float(s[p]))
+                                cols["n"].append(len(members))
+                    # Procrustes cross-term on the ROTATED input: we
+                    # solve for the residual rotation U·Vᵀ of Xr vs its
+                    # reconstruction, then fold it into R on the driver
+                    M += Xr.T @ Xhat
+                for i in range(d):
+                    for jj in range(d):
+                        cols["kind"].append("m")
+                        cols["j"].append(i)
+                        cols["cid"].append(jj)
+                        cols["pos"].append(0)
+                        cols["s"].append(float(M[i, jj]))
+                        cols["n"].append(0)
+                yield _pd.DataFrame(cols)
+
+            agg = (
+                data.mapInPandas(partials, schema)
+                .groupBy("kind", "j", "cid", "pos")
+                .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+                .collect()
+            )
+            sums = np.zeros_like(cents)
+            counts = np.zeros((m_sub, k), dtype=np.int64)
+            M = np.zeros((dim, dim))
+            for r in agg:
+                if r["kind"] == "cb":
+                    sums[r["j"], r["cid"], r["pos"]] = r["s"]
+                    counts[r["j"], r["cid"]] = r["n"]
+                else:
+                    M[r["j"], r["cid"]] = r["s"]
+            for j in range(m_sub):
+                for c in range(k):
+                    if counts[j, c] > 0:
+                        cents[j, c] = sums[j, c] / counts[j, c]
+            U, _S, Vt = np.linalg.svd(M)
+            # residual rotation in already-rotated space; compose so the
+            # published R always maps RAW vectors to codebook space
+            R = R @ (U @ Vt)
+            bc.unpersist()
+    finally:
+        data.unpersist()
+    return (
+        [[float(v) for v in row] for row in R],
+        [[[float(v) for v in cent] for cent in cents[j]] for j in range(m_sub)],
+    )
+
+
 def _sub(vec: Column, j: int, dsub: int) -> Column:
     return F.slice(vec, j * dsub + 1, dsub)
 

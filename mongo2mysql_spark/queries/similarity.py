@@ -87,6 +87,10 @@ def _pq_index(spark: SparkSession, sf_dir: str, e: DataFrame) -> tuple:
         codes = pq_encode(
             e, "vec_id", "embedding", cb, normalize=True
         ).localCheckpoint()
+        # single-slot cache: evict other (app, sf_dir) entries so a
+        # long session sweeping scale factors can't accumulate
+        # checkpointed code tables (same policy as dedup._PAIRS_MEMO)
+        _PQ_INDEX_MEMO.clear()
         _PQ_INDEX_MEMO[key] = (cb, codes)
     return _PQ_INDEX_MEMO[key]
 

@@ -290,6 +290,116 @@ def test_distributed_trainer_multi_partition_tightens_cells(spark):
     assert not spark.sparkContext._jsc.getPersistentRDDs().size()
 
 
+def _correlated_vectors(spark, n=200, seed=5):
+    """Vectors whose covariance is NOT subspace-block-diagonal (a dense
+    mixing matrix smears correlation across subspace boundaries) — the
+    regime where OPQ's learned rotation must beat plain PQ."""
+    rng = np.random.default_rng(seed)
+    mix = rng.normal(size=(DIM, DIM))
+    data = [
+        (
+            i,
+            [
+                float(x)
+                for x in (rng.normal(size=DIM) @ mix).astype(np.float32)
+            ],
+        )
+        for i in range(n)
+    ]
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+        ]
+    )
+    return spark.createDataFrame(data, schema), {i: v for i, v in data}
+
+
+def test_opq_rotation_orthonormal_and_tighter_on_correlated_data(spark):
+    """train_opq_distributed must return an orthonormal R, and on
+    cross-subspace-correlated data the rotated quantization error must
+    beat plain PQ trained with the same budget (Ge et al. CVPR 2013's
+    headline claim)."""
+    from mongo2mysql_spark.operators.pq import (
+        train_codebook_distributed,
+        train_opq_distributed,
+    )
+
+    df, vecs = _correlated_vectors(spark, n=200, seed=5)
+    R, cbo = train_opq_distributed(
+        df, "vec_id", "embedding", M, STRIDE, KMAX, iters=5
+    )
+    Rn = np.array(R)
+    assert Rn.shape == (DIM, DIM)
+    assert np.allclose(Rn.T @ Rn, np.eye(DIM), atol=1e-9)
+    cbp = train_codebook_distributed(
+        df, "vec_id", "embedding", M, STRIDE, KMAX, iters=5
+    )
+
+    def qerr(cb, rot=None):
+        cents = np.array(cb)
+        X = np.array([vecs[i] for i in sorted(vecs)], dtype=np.float64)
+        if rot is not None:
+            X = X @ np.array(rot)
+        tot = 0.0
+        for v in X:
+            for j in range(M):
+                sub = v[j * DSUB : (j + 1) * DSUB]
+                tot += ((cents[j] - sub) ** 2).sum(axis=1).min()
+        return tot
+
+    e_pq = qerr(cbp)
+    e_opq = qerr(cbo, rot=R)
+    assert e_opq < 0.95 * e_pq, (e_opq, e_pq)
+    # no cached frame leaked into the shared session
+    assert not spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
+def test_rotate_vectors_composes_with_pq_encode(spark):
+    """rotate_vectors must be a pure map stage whose output drops into
+    the literal-SQL encode unchanged: codes of the rotated corpus equal
+    the NumPy reference assignment of X@R."""
+    from mongo2mysql_spark.operators.pq import (
+        rotate_vectors,
+        train_opq_distributed,
+    )
+
+    df, vecs = _correlated_vectors(spark, n=60, seed=9)
+    R, cbo = train_opq_distributed(
+        df, "vec_id", "embedding", M, STRIDE, KMAX, iters=3
+    )
+    rotated = rotate_vectors(df, "vec_id", "embedding", R)
+    assert [f.name for f in rotated.schema.fields] == ["vec_id", "embedding"]
+    got = {
+        r.vec_id: list(r.codes)
+        for r in pq_encode(rotated, "vec_id", "embedding", cbo).collect()
+    }
+    Rn = np.array(R)
+    want = {}
+    cents = np.array(cbo)
+    for i, v in vecs.items():
+        xr = np.array(v, dtype=np.float64) @ Rn
+        want[i] = [
+            int(
+                ((cents[j] - xr[j * DSUB : (j + 1) * DSUB]) ** 2)
+                .sum(axis=1)
+                .argmin()
+            )
+            for j in range(M)
+        ]
+    assert got == want
+    # determinism: a second training over the same single partition
+    # reproduces R exactly
+    one = df.orderBy("vec_id").coalesce(1)
+    r1, c1 = train_opq_distributed(
+        one, "vec_id", "embedding", M, STRIDE, KMAX, iters=3
+    )
+    r2, c2 = train_opq_distributed(
+        one, "vec_id", "embedding", M, STRIDE, KMAX, iters=3
+    )
+    assert r1 == r2 and c1 == c2
+
+
 def test_expanded_distance_bit_equals_fold(spark):
     """_dists_to_cents (codegen expansion) must be bit-identical to the
     seeded sequential fold _l2sq_seq that sql_l2sq mirrors — this is
