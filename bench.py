@@ -271,6 +271,32 @@ def pq_recall(spark, sf_dir: str, k: int = 10) -> dict[str, float]:
         }
         out[f"ivfpq_nprobe{nprobe}"] = round(len(got & bf) / len(bf), 4)
 
+    # IVFADC (residual encoding, the FAISS IndexIVFPQ default): PQ
+    # codes quantize x - c(x) per cell instead of the raw vector —
+    # same bits, finer quantizer wherever cells are tight; the delta
+    # vs ivfpq_* at identical nprobe is what residual encoding buys
+    # (near-zero on these near-isotropic synthetic embeddings, large
+    # on clustered real ones — report, don't assume)
+    from mongo2mysql_spark.operators.pq import (
+        build_pq_residual_index,
+        pq_ivfadc_topk,
+    )
+
+    cells_r, cb_r, codes_r = build_pq_residual_index(
+        e, "vec_id", "embedding", m_sub=8,
+        centroid_stride=97, code_stride=7, k_max=64, train_iters=10,
+    )
+    codes_r = codes_r.localCheckpoint()
+    for nprobe in (2, 4):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in pq_ivfadc_topk(
+                e, q, "vec_id", "embedding", (cells_r, cb_r, codes_r),
+                centroid_stride=97, nprobe=nprobe, k=k, rerank=10,
+            ).collect()
+        }
+        out[f"ivfadc_nprobe{nprobe}"] = round(len(got & bf) / len(bf), 4)
+
     # OPQ at the same 6-bit point: learned rotation + codebooks
     # (operators/pq.train_opq_distributed), searched through the
     # UNCHANGED encode/ADC plans over the rotated frames — the recall

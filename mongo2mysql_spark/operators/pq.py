@@ -572,6 +572,7 @@ def pq_encode(
     vec_col: str,
     cb: list[list[list[float]]],
     normalize: bool = False,
+    keep: list[str] | None = None,
 ) -> DataFrame:
     """(id, codes array<int>) — map-only, shuffle-free at any scale.
 
@@ -579,7 +580,9 @@ def pq_encode(
     centroid (squared L2, first-minimum tie-break).  ``normalize=True``
     encodes the unit-normalized vector (cosine-PQ: on unit vectors
     L2² = 2 − 2·cos) with the norm fused into the codegen expression —
-    pair it with a ``normalize=True`` codebook."""
+    pair it with a ``normalize=True`` codebook.  ``keep`` names extra
+    input columns to carry through the projection (e.g. the IVF cell
+    id) — a passthrough, not a join."""
     m_sub = len(cb)
     dsub = len(cb[0][0])
     # Three stacked Projects, each alias a REAL column: __nrm (the
@@ -597,10 +600,12 @@ def pq_encode(
     # method splitting; (c) expressions are built as SQL text (see
     # ``_norm_sql``) — a handful of ``F.expr`` parses instead of ~25k
     # py4j calls (~10 s of driver wall per plan).
+    extra = list(keep or [])
     if normalize:
         staged = vectors.select(
             F.col(id_col),
             F.col(vec_col),
+            *[F.col(c) for c in extra],
             F.expr(_norm_sql(vec_col, m_sub * dsub)).alias("__nrm"),
         )
         nrm: str | None = "__nrm"
@@ -609,6 +614,7 @@ def pq_encode(
         nrm = None
     dist = staged.select(
         F.col(id_col),
+        *[F.col(c) for c in extra],
         *[
             F.expr(_dist_sql(vec_col, j, cent, dsub, nrm)).alias(
                 f"__d{j}_{c}"
@@ -628,7 +634,9 @@ def pq_encode(
         for j in range(m_sub)
     )
     return dist.select(
-        F.col(id_col), F.expr(f"array({codes})").alias("codes")
+        F.col(id_col),
+        *[F.col(c) for c in extra],
+        F.expr(f"array({codes})").alias("codes"),
     )
 
 
@@ -835,6 +843,211 @@ def pq_ivf_topk(
         queries, centroids, id_col, vec_col, nprobe=nprobe
     ).select(F.col(id_col).alias("query_id"), F.col("centroid_id"))
     qside = probes.join(qd, "query_id")
+    scored = (
+        codes.join(F.broadcast(qside), "centroid_id")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(_adc_expr(), 6).cast("double").alias("adc_d2"),
+        )
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("adc_d2").asc(), F.col("neighbor_id").asc()
+    )
+    kept = scored.withColumn("__r", F.row_number().over(w_adc)).filter(
+        F.col("__r") <= k * rerank
+    )
+    rescored = (
+        kept.join(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("__nv"),
+            ),
+            "neighbor_id",
+        )
+        .join(
+            F.broadcast(
+                queries.select(
+                    F.col(id_col).alias("query_id"),
+                    F.col(vec_col).alias("__qv"),
+                )
+            ),
+            "query_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            "adc_d2",
+            cosine_seq(F.col("__qv"), F.col("__nv")).alias("cosine"),
+        )
+    )
+    w_cos = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return rescored.withColumn(
+        "rank", F.row_number().over(w_cos).cast("int")
+    ).filter(F.col("rank") <= k)
+
+
+def build_pq_residual_index(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m_sub: int,
+    centroid_stride: int = 97,
+    code_stride: int = 7,
+    k_max: int = 64,
+    train_iters: int = 5,
+) -> tuple[dict[int, list[float]], list[list[list[float]]], DataFrame]:
+    """IVFADC index build (Jégou et al. TPAMI 2011 §V.B / the FAISS
+    ``IndexIVFPQ`` default): PQ codes quantize the RESIDUAL x−c(x) of
+    each vector from its coarse cell centroid, not the raw vector.
+    Residuals concentrate near the origin with far smaller spread than
+    the corpus itself, so the same m·log2(k) code bits buy a finer
+    quantizer — the recall gap between this and global-codebook IVF-PQ
+    is the standard reason production indexes encode residuals.
+
+    Plan shape (all corpus passes map-side): one broadcast
+    nearest-centroid assignment, one broadcast join to subtract the
+    cell centroid (``zip_with`` — no shuffle), a distributed-Lloyd
+    codebook fit on the residual frame
+    (:func:`train_codebook_distributed`), and one map-only
+    :func:`pq_encode` of the residuals.  Unit-normalization is staged
+    in-plan (sequential-fold norm), matching the cosine IVF cells.
+
+    Returns ``(cell_centroids, cb_res, codes_df)``: the normalized
+    cell centroids keyed by id (driver-bounded — index metadata), the
+    residual codebook, and the (id, codes, centroid_id) code table.
+    Like the trained-codebook paths this is bench/recall surface, not
+    oracle-restatable (Lloyd means are float-iterative)."""
+    from mongo2mysql_spark.operators.similarity import assign_centroids
+
+    centroids = corpus.filter(F.col(id_col) % centroid_stride == 0)
+    cent_rows = centroids.select(F.col(id_col), F.col(vec_col)).collect()
+    cells: dict[int, list[float]] = {}
+    for r in cent_rows:
+        v = [float(x) for x in r[vec_col]]
+        s = 0.0
+        for x in v:
+            s = s + x * x
+        n = s ** 0.5
+        cells[int(r[id_col])] = [x / n for x in v] if n > 0 else v
+
+    dim = len(next(iter(cells.values())))
+    # assignment carries the vector through its max_by value struct —
+    # no corpus-vs-assignment rejoin; the only join below is against
+    # the broadcast (tiny) centroid table
+    assigned = assign_centroids(
+        corpus.select(id_col, vec_col), centroids, id_col, vec_col
+    )
+    spark = corpus.sparkSession
+    from pyspark.sql import types as T
+
+    cents_df = spark.createDataFrame(
+        [(cid, vec) for cid, vec in sorted(cells.items())],
+        T.StructType(
+            [
+                T.StructField("centroid_id", T.LongType()),
+                T.StructField("__cv", T.ArrayType(T.DoubleType())),
+            ]
+        ),
+    )
+    residuals = (
+        assigned.join(F.broadcast(cents_df), "centroid_id")
+        .withColumn("__nrm", F.expr(_norm_sql(vec_col, dim)))
+        .select(
+            id_col,
+            "centroid_id",
+            F.zip_with(
+                F.transform(
+                    F.col(vec_col), lambda v: v.cast("double") / F.col("__nrm")
+                ),
+                F.col("__cv"),
+                lambda a, b: a - b,
+            ).alias("__res"),
+        )
+    )
+    cb_res = train_codebook_distributed(
+        residuals, id_col, "__res", m_sub,
+        stride=code_stride, k_max=k_max, iters=train_iters,
+    )
+    codes = pq_encode(
+        residuals, id_col, "__res", cb_res, keep=["centroid_id"]
+    )
+    return cells, cb_res, codes
+
+
+def pq_ivfadc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    index: tuple[dict[int, list[float]], list[list[list[float]]], DataFrame],
+    centroid_stride: int = 97,
+    nprobe: int = 2,
+    k: int = 10,
+    rerank: int = 4,
+) -> DataFrame:
+    """IVFADC search over a :func:`build_pq_residual_index` index.
+
+    Per probed (query, cell) pair the distance table is built from the
+    query's RESIDUAL against that cell (q−c vs the residual codebook) —
+    driver Python over the bounded queries×nprobe set, same contract
+    as ``_query_dist_frame``.  The scan side is identical to
+    :func:`pq_ivf_topk`: broadcast (query, cell, table) rows against
+    the cell-partitioned code table, ADC in decimal, top ``k·rerank``
+    per query by ADC, exact cosine re-rank of the finalists.
+    Returns (query_id, neighbor_id, adc_d2, cosine, rank)."""
+    import math
+
+    from pyspark.sql import types as T
+
+    from mongo2mysql_spark.functions.vector import cosine_seq
+    from mongo2mysql_spark.operators.similarity import assign_centroids
+
+    cells, cb_res, codes = index
+    m_sub = len(cb_res)
+    dsub = len(cb_res[0][0])
+    centroids = corpus.filter(F.col(id_col) % centroid_stride == 0)
+    probes = assign_centroids(
+        queries, centroids, id_col, vec_col, nprobe=nprobe
+    ).select(F.col(id_col).alias("query_id"), F.col("centroid_id")).collect()
+    qvecs: dict[int, list[float]] = {}
+    for r in queries.select(F.col(id_col), F.col(vec_col)).collect():
+        v = [float(x) for x in r[vec_col]]
+        s = 0.0
+        for x in v:
+            s = s + x * x
+        n = math.sqrt(s)
+        qvecs[int(r[id_col])] = [x / n for x in v] if n > 0 else v
+    qside_rows = []
+    for p in probes:
+        qid, cid = int(p["query_id"]), int(p["centroid_id"])
+        qr = [a - b for a, b in zip(qvecs[qid], cells[cid])]
+        dt = []
+        for j in range(m_sub):
+            row = []
+            for cent in cb_res[j]:
+                acc = 0.0
+                for i, cval in enumerate(cent):
+                    d = qr[j * dsub + i] - cval
+                    acc = acc + d * d
+                row.append(acc)
+            dt.append(row)
+        qside_rows.append((qid, cid, dt))
+    qside = queries.sparkSession.createDataFrame(
+        qside_rows,
+        T.StructType(
+            [
+                T.StructField("query_id", T.LongType()),
+                T.StructField("centroid_id", T.LongType()),
+                T.StructField(
+                    "__dt", T.ArrayType(T.ArrayType(T.DoubleType()))
+                ),
+            ]
+        ),
+    )
     scored = (
         codes.join(F.broadcast(qside), "centroid_id")
         .filter(F.col(id_col) != F.col("query_id"))

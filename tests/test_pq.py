@@ -400,6 +400,64 @@ def test_rotate_vectors_composes_with_pq_encode(spark):
     assert r1 == r2 and c1 == c2
 
 
+def test_ivfadc_residual_index_degenerates_to_bruteforce(spark):
+    """pq_ivfadc_topk with every cell probed and a rerank window
+    covering the corpus must return exactly the brute-force cosine
+    top-k (the final ordering is the exact re-rank; residual-ADC only
+    selects candidates), and the index must carry each vector's cell.
+    Repeat searches over the same index must be identical."""
+    from mongo2mysql_spark.operators.pq import (
+        build_pq_residual_index,
+        pq_ivfadc_topk,
+    )
+    from mongo2mysql_spark.operators.similarity import topk_bruteforce
+
+    df, _ = _vectors(spark, n=60, seed=3)
+    q = df.filter(F.col("vec_id") < 3)
+    idx = build_pq_residual_index(
+        df, "vec_id", "embedding", m_sub=M,
+        centroid_stride=9, code_stride=3, k_max=KMAX, train_iters=3,
+    )
+    cells, cb_res, codes = idx
+    assert set(cells) == {i * 9 for i in range(len(cells))}
+    ct = codes.collect()
+    assert len(ct) == 60
+    assert {r.centroid_id for r in ct} <= set(cells)
+    assert all(len(r.codes) == M for r in ct)
+
+    got = pq_ivfadc_topk(
+        df, q, "vec_id", "embedding", idx,
+        centroid_stride=9, nprobe=len(cells), k=5, rerank=60,
+    ).collect()
+    want = topk_bruteforce(df, q, "vec_id", "embedding", k=5).collect()
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    assert sorted((r["query_id"], r["rank"], r["neighbor_id"]) for r in got) == \
+        sorted((r["query_id"], r["rank"], r["neighbor_id"]) for r in want)
+
+    again = pq_ivfadc_topk(
+        df, q, "vec_id", "embedding", idx,
+        centroid_stride=9, nprobe=len(cells), k=5, rerank=60,
+    ).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, got))
+
+
+def test_pq_encode_keep_passthrough(spark):
+    """keep= must carry extra columns through the encode projection
+    without changing the codes."""
+    df, vecs = _vectors(spark, n=25, seed=11)
+    cb = collect_codebook(df, "vec_id", "embedding", M, STRIDE, KMAX)
+    tagged = df.withColumn("cell", F.col("vec_id") % 4)
+    plain = {
+        r.vec_id: list(r.codes)
+        for r in pq_encode(df, "vec_id", "embedding", cb).collect()
+    }
+    kept = pq_encode(
+        tagged, "vec_id", "embedding", cb, keep=["cell"]
+    ).collect()
+    assert {r.vec_id: list(r.codes) for r in kept} == plain
+    assert all(r.cell == r.vec_id % 4 for r in kept)
+
+
 def test_expanded_distance_bit_equals_fold(spark):
     """_dists_to_cents (codegen expansion) must be bit-identical to the
     seeded sequential fold _l2sq_seq that sql_l2sq mirrors — this is
