@@ -85,7 +85,9 @@ BRANCHED = {
         "branch", ["clean", "shuffle", "ppl", "c4", "curriculum"],
     ),
     "embedding_stats": (
-        "branch", ["stats", "quant", "pqcodes", "pqsearch", "prune"],
+        "branch",
+        ["stats", "quant", "pqcodes", "pqsearch", "prune",
+         "pqstore_delta", "pqstore_base"],
     ),
     "mm_payload_decode": (
         "branch", ["payload", "decode", "patches", "frames"],
