@@ -899,6 +899,7 @@ def build_pq_residual_index(
     code_stride: int = 7,
     k_max: int = 64,
     train_iters: int = 5,
+    train: bool = True,
 ) -> tuple[dict[int, list[float]], list[list[list[float]]], DataFrame]:
     """IVFADC index build (Jégou et al. TPAMI 2011 §V.B / the FAISS
     ``IndexIVFPQ`` default): PQ codes quantize the RESIDUAL x−c(x) of
@@ -968,10 +969,18 @@ def build_pq_residual_index(
             ).alias("__res"),
         )
     )
-    cb_res = train_codebook_distributed(
-        residuals, id_col, "__res", m_sub,
-        stride=code_stride, k_max=k_max, iters=train_iters,
-    )
+    if train:
+        cb_res = train_codebook_distributed(
+            residuals, id_col, "__res", m_sub,
+            stride=code_stride, k_max=k_max, iters=train_iters,
+        )
+    else:
+        # deterministic stride residual codebook (cid = id//stride on
+        # both engines) — the oracle-restatable variant the hashed
+        # driver branch serves; trained books are the recall path
+        cb_res = collect_codebook(
+            residuals, id_col, "__res", m_sub, code_stride, k_max
+        )
     codes = pq_encode(
         residuals, id_col, "__res", cb_res, keep=["centroid_id"]
     )

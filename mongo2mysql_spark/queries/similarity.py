@@ -387,6 +387,88 @@ def _pq_oracle() -> str:
     """
 
 
+def _ivfadc_oracle() -> str:
+    """IVFADC restatement (residual encoding with the deterministic
+    stride residual codebook): references ``nemb`` from
+    :func:`_pq_oracle` and the slot's ``assigned``/``probes`` CTEs.
+    cid = id // stride on both engines; every arithmetic step is the
+    bit-portable fold/zip chain the other PQ branches pin."""
+    from mongo2mysql_spark.operators.pq import sql_l2sq
+
+    rslice = f"r.res[b.j*{PQ_DSUB}+1 : b.j*{PQ_DSUB}+{PQ_DSUB}]"
+    qrslice = f"q.res[b.j*{PQ_DSUB}+1 : b.j*{PQ_DSUB}+{PQ_DSUB}]"
+    return f"""
+    rres AS (
+      -- residual of every corpus vector from its (normalized) cell
+      -- centroid, in normalized space: x_n - c_n elementwise
+      SELECT e.vec_id, a.centroid_id,
+             list_transform(list_zip(e.embedding, c.embedding),
+               z -> CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)) AS res
+      FROM nemb e
+      JOIN assigned a ON a.vec_id = e.vec_id
+      JOIN nemb c ON c.vec_id = a.centroid_id),
+    rcb AS (
+      SELECT s.j, CAST(vec_id // {PQ_STRIDE} AS INTEGER) AS cid,
+             res[s.j*{PQ_DSUB}+1 : s.j*{PQ_DSUB}+{PQ_DSUB}] AS cent
+      FROM rres
+      CROSS JOIN (SELECT unnest(range({PQ_M})) AS j) s
+      WHERE vec_id % {PQ_STRIDE} = 0 AND vec_id < {PQ_STRIDE * PQ_K}),
+    renc AS (
+      SELECT vec_id, j, cid,
+             row_number() OVER (PARTITION BY vec_id, j
+                                ORDER BY d2, cid) AS rn
+      FROM (SELECT r.vec_id, b.j, b.cid,
+                   {sql_l2sq(rslice, 'b.cent')} AS d2
+            FROM rres r CROSS JOIN rcb b)),
+    rcodes AS (
+      SELECT vec_id, list(cid ORDER BY j) AS codes
+      FROM renc WHERE rn = 1 GROUP BY vec_id),
+    rcu AS (
+      SELECT vec_id, s.j, codes[s.j+1] AS cid
+      FROM rcodes CROSS JOIN (SELECT unnest(range({PQ_M})) AS j) s),
+    rqres AS (
+      -- query residual PER PROBED CELL: q_n - c_n
+      SELECT p.query_id, p.centroid_id,
+             list_transform(list_zip(qe.embedding, c.embedding),
+               z -> CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)) AS res
+      FROM probes p
+      JOIN nemb qe ON qe.vec_id = p.query_id
+      JOIN nemb c ON c.vec_id = p.centroid_id),
+    rdt AS (
+      SELECT q.query_id, q.centroid_id, b.j, b.cid,
+             {sql_l2sq(qrslice, 'b.cent')} AS d2
+      FROM rqres q CROSS JOIN rcb b),
+    radc AS (
+      -- each corpus vector lives in ONE cell, so the cell-key join
+      -- both restricts candidates to probed cells and never dups
+      SELECT t.query_id, u.vec_id AS neighbor_id,
+             CAST(ROUND(SUM(CAST(t.d2 AS DECIMAL(30,12))), 6) AS DOUBLE)
+               AS adc_d2
+      FROM rres r
+      JOIN rcu u ON u.vec_id = r.vec_id
+      JOIN rdt t ON t.centroid_id = r.centroid_id
+                AND t.j = u.j AND t.cid = u.cid
+      WHERE u.vec_id <> t.query_id
+      GROUP BY 1, 2),
+    rkept AS (
+      SELECT query_id, neighbor_id, adc_d2
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY adc_d2, neighbor_id) AS rr
+            FROM radc)
+      WHERE rr <= {5 * IVFPQ_RERANK}),
+    rivfadc AS (
+      SELECT query_id, neighbor_id, adc_d2, cosine,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id)
+                  AS INTEGER) AS rank
+      FROM (SELECT k.query_id, k.neighbor_id, k.adc_d2,
+                   {_cos('qe.embedding', 'ne.embedding')} AS cosine
+            FROM rkept k
+            JOIN embeddings qe ON qe.vec_id = k.query_id
+            JOIN embeddings ne ON ne.vec_id = k.neighbor_id))
+    """
+
+
 @register(
     "ann_topk_ivf",
     f"""
@@ -442,7 +524,8 @@ def _pq_oracle() -> str:
                    {_cos('qe.embedding', 'ne.embedding')} AS cosine
             FROM pivf_kept k
             JOIN embeddings qe ON qe.vec_id = k.query_id
-            JOIN embeddings ne ON ne.vec_id = k.neighbor_id))
+            JOIN embeddings ne ON ne.vec_id = k.neighbor_id)),
+    {_ivfadc_oracle()}
     SELECT 'ivf' AS branch, query_id, neighbor_id, cosine,
            CAST(rank AS INTEGER) AS rank,
            CAST(NULL AS BIGINT) AS anchor_id,
@@ -471,6 +554,15 @@ def _pq_oracle() -> str:
            CAST(NULL AS DOUBLE) AS neg_cos,
            adc_d2
     FROM pivf WHERE rank <= 5
+    UNION ALL
+    SELECT 'ivfadc' AS branch, query_id, neighbor_id, cosine, rank,
+           CAST(NULL AS BIGINT) AS anchor_id,
+           CAST(NULL AS BIGINT) AS positive_id,
+           CAST(NULL AS DOUBLE) AS pos_cos,
+           CAST(NULL AS BIGINT) AS negative_id,
+           CAST(NULL AS DOUBLE) AS neg_cos,
+           adc_d2
+    FROM rivfadc WHERE rank <= 5
     """,
     doc=(
         "similarity surface, tagged: 'ivf' rows are IVF ANN — "
@@ -490,7 +582,14 @@ def _pq_oracle() -> str:
         f"exact cosine re-rank of the top 5·{IVFPQ_RERANK} ADC "
         "finalists; the scan reads ~(nprobe/cells)·(m/4d) of raw "
         "corpus bytes, and every id, ADC distance and cosine is "
-        "hash-verified."
+        "hash-verified.  'ivfadc' rows are the RESIDUAL-encoded "
+        "variant (operators/pq.build_pq_residual_index/pq_ivfadc_topk "
+        "— the FAISS IndexIVFPQ default layout): codes quantize "
+        "x−c(x) in normalized space with a stride residual codebook "
+        "(cid = id//stride, oracle-restatable; trained residual books "
+        "ride the bench recall path), and the query builds one "
+        "distance table PER PROBED CELL from its residual — same "
+        "decimal-ADC + exact-rerank contract, every value hashed."
     ),
 )
 def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -529,7 +628,26 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         centroid_stride=STRIDE, nprobe=NPROBE, k=5,
         rerank=IVFPQ_RERANK, normalize=True, codes_df=codes,
     )
-    return tagged_union({"ivf": ivf, "triplets": trip, "ivfpq": ivfpq})
+    from mongo2mysql_spark.operators.pq import (
+        build_pq_residual_index,
+        pq_ivfadc_topk,
+    )
+
+    # hashed IVFADC: deterministic stride residual codebook (train=False)
+    # so the oracle can restate the whole index; trained residual books
+    # are the bench recall path (bench.pq_recall 'ivfadc')
+    idx = build_pq_residual_index(
+        e, "vec_id", "embedding", m_sub=PQ_M,
+        centroid_stride=STRIDE, code_stride=PQ_STRIDE, k_max=PQ_K,
+        train=False,
+    )
+    ivfadc = pq_ivfadc_topk(
+        e, q, "vec_id", "embedding", idx,
+        centroid_stride=STRIDE, nprobe=NPROBE, k=5, rerank=IVFPQ_RERANK,
+    )
+    return tagged_union(
+        {"ivf": ivf, "triplets": trip, "ivfpq": ivfpq, "ivfadc": ivfadc}
+    )
 
 
 
