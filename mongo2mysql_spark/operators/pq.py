@@ -890,6 +890,71 @@ def pq_ivf_topk(
     ).filter(F.col("rank") <= k)
 
 
+def _residual_frame(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: DataFrame,
+    cells: dict[int, list[float]],
+) -> DataFrame:
+    """(id, centroid_id, __res): assign each vector to its nearest cell
+    (broadcast centroids carry the vector through the max_by struct —
+    no rejoin), then subtract the cell's normalized centroid from the
+    normalized vector inside one broadcast-join projection."""
+    from mongo2mysql_spark.operators.similarity import assign_centroids
+
+    dim = len(next(iter(cells.values())))
+    assigned = assign_centroids(
+        vectors.select(id_col, vec_col), centroids, id_col, vec_col
+    )
+    from pyspark.sql import types as T
+
+    cents_df = vectors.sparkSession.createDataFrame(
+        [(cid, vec) for cid, vec in sorted(cells.items())],
+        T.StructType(
+            [
+                T.StructField("centroid_id", T.LongType()),
+                T.StructField("__cv", T.ArrayType(T.DoubleType())),
+            ]
+        ),
+    )
+    return (
+        assigned.join(F.broadcast(cents_df), "centroid_id")
+        .withColumn("__nrm", F.expr(_norm_sql(vec_col, dim)))
+        .select(
+            id_col,
+            "centroid_id",
+            F.zip_with(
+                F.transform(
+                    F.col(vec_col), lambda v: v.cast("double") / F.col("__nrm")
+                ),
+                F.col("__cv"),
+                lambda a, b: a - b,
+            ).alias("__res"),
+        )
+    )
+
+
+def pq_residual_encode(
+    batch: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: DataFrame,
+    cells: dict[int, list[float]],
+    cb_res: list[list[list[float]]],
+) -> DataFrame:
+    """Frozen-index IVFADC encode stage for INGEST: assign batch
+    vectors to the FIXED cells, encode their residuals with the FROZEN
+    residual codebook — (id, centroid_id, codes), map-side end to end.
+    This is the ``encode=`` hook for the streaming code-store
+    (``streaming/pqstore.refresh_pq_store``): the index state
+    (``centroids`` frame + ``cells`` + ``cb_res`` from
+    :func:`build_pq_residual_index`) never changes between batches,
+    exactly the deployed contract."""
+    res = _residual_frame(batch, id_col, vec_col, centroids, cells)
+    return pq_encode(res, id_col, "__res", cb_res, keep=["centroid_id"])
+
+
 def build_pq_residual_index(
     corpus: DataFrame,
     id_col: str,
@@ -922,8 +987,6 @@ def build_pq_residual_index(
     residual codebook, and the (id, codes, centroid_id) code table.
     Like the trained-codebook paths this is bench/recall surface, not
     oracle-restatable (Lloyd means are float-iterative)."""
-    from mongo2mysql_spark.operators.similarity import assign_centroids
-
     centroids = corpus.filter(F.col(id_col) % centroid_stride == 0)
     cent_rows = centroids.select(F.col(id_col), F.col(vec_col)).collect()
     cells: dict[int, list[float]] = {}
@@ -935,40 +998,7 @@ def build_pq_residual_index(
         n = s ** 0.5
         cells[int(r[id_col])] = [x / n for x in v] if n > 0 else v
 
-    dim = len(next(iter(cells.values())))
-    # assignment carries the vector through its max_by value struct —
-    # no corpus-vs-assignment rejoin; the only join below is against
-    # the broadcast (tiny) centroid table
-    assigned = assign_centroids(
-        corpus.select(id_col, vec_col), centroids, id_col, vec_col
-    )
-    spark = corpus.sparkSession
-    from pyspark.sql import types as T
-
-    cents_df = spark.createDataFrame(
-        [(cid, vec) for cid, vec in sorted(cells.items())],
-        T.StructType(
-            [
-                T.StructField("centroid_id", T.LongType()),
-                T.StructField("__cv", T.ArrayType(T.DoubleType())),
-            ]
-        ),
-    )
-    residuals = (
-        assigned.join(F.broadcast(cents_df), "centroid_id")
-        .withColumn("__nrm", F.expr(_norm_sql(vec_col, dim)))
-        .select(
-            id_col,
-            "centroid_id",
-            F.zip_with(
-                F.transform(
-                    F.col(vec_col), lambda v: v.cast("double") / F.col("__nrm")
-                ),
-                F.col("__cv"),
-                lambda a, b: a - b,
-            ).alias("__res"),
-        )
-    )
+    residuals = _residual_frame(corpus, id_col, vec_col, centroids, cells)
     if train:
         cb_res = train_codebook_distributed(
             residuals, id_col, "__res", m_sub,

@@ -104,12 +104,20 @@ def refresh_pq_store(
     normalize: bool = True,
     writer: str | None = None,
     epoch: int | None = None,
+    encode=None,
 ) -> bool:
     """One incremental refresh: batch vectors → codes (map-only encode
     with the frozen codebook) → NEW delta dir → atomic manifest publish.
     Existing segments are never read or rewritten — refresh cost is the
     batch encode plus one manifest rename.  Returns False on an
-    already-applied (writer, epoch) replay."""
+    already-applied (writer, epoch) replay.
+
+    ``encode`` (optional) swaps the default :func:`pq_encode` for any
+    frozen-index-state encode stage ``batch_df -> codes frame keyed by
+    id_col`` — e.g. OPQ (``pq_encode(rotate_vectors(batch, R), cb)``)
+    or IVFADC residual codes carrying their ``centroid_id``.  The
+    store is encode-agnostic: segments, merge-on-read resolution and
+    compaction only care about the id key."""
     manifest = _read_manifest(store_dir)
     if (
         manifest is not None
@@ -121,9 +129,12 @@ def refresh_pq_store(
     ):
         return False
     new_rel = os.path.join("stores", uuid.uuid4().hex[:12])
-    pq_encode(batch_df, id_col, vec_col, cb, normalize=normalize).write.parquet(
-        os.path.join(store_dir, new_rel)
+    coded = (
+        encode(batch_df)
+        if encode is not None
+        else pq_encode(batch_df, id_col, vec_col, cb, normalize=normalize)
     )
+    coded.write.parquet(os.path.join(store_dir, new_rel))
     _publish_manifest(
         store_dir,
         {
@@ -182,12 +193,14 @@ def streaming_pq_refresh(
     normalize: bool = True,
     checkpoint_dir: str | None = None,
     trigger: dict | None = None,
+    encode=None,
 ):
     """Attach the refresh as a foreachBatch sink; returns the started
     StreamingQuery.  Trigger semantics as streaming_rollup_refresh
     (availableNow catch-up by default, processingTime for live).
     Compaction is deliberately NOT in the ingest path — schedule
-    ``compact_pq_store`` separately."""
+    ``compact_pq_store`` separately.  ``encode`` is threaded through to
+    :func:`refresh_pq_store` (OPQ/IVFADC stores)."""
     writer = (
         hashlib.sha256(os.path.abspath(checkpoint_dir).encode()).hexdigest()[:16]
         if checkpoint_dir
@@ -197,7 +210,7 @@ def streaming_pq_refresh(
     def handle(batch_df: DataFrame, epoch: int) -> None:
         refresh_pq_store(
             batch_df, store_dir, id_col, vec_col, cb,
-            normalize=normalize, writer=writer, epoch=epoch,
+            normalize=normalize, writer=writer, epoch=epoch, encode=encode,
         )
 
     writer_q = stream.writeStream.foreachBatch(handle).trigger(

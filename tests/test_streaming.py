@@ -682,3 +682,50 @@ def test_pq_store_refresh_is_append_only_and_compacts(spark, tmp_path):
     assert compacted == want
     # nothing further to compact
     assert not compact_pq_store(spark, store)
+
+
+def test_pq_store_custom_encode_serves_residual_codes(spark, tmp_path):
+    """The store must be encode-agnostic: with encode= supplying IVFADC
+    residual codes (extra centroid_id column riding the segment), any
+    refresh sequence resolves to the batch residual encode of the
+    union, and compaction preserves it."""
+    from mongo2mysql_spark.operators.pq import (
+        build_pq_residual_index,
+        pq_residual_encode,
+    )
+    from mongo2mysql_spark.streaming.pqstore import (
+        compact_pq_store,
+        read_pq_store,
+        refresh_pq_store,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cells, cb_res, want_codes = build_pq_residual_index(
+        emb, "vec_id", "embedding", m_sub=8,
+        centroid_stride=97, code_stride=31, k_max=16, train=False,
+    )
+    centroids = emb.filter(F.col("vec_id") % 97 == 0)
+
+    def encode(batch):
+        # frozen index state: fixed centroid frame + cells + codebook
+        return pq_residual_encode(
+            batch, "vec_id", "embedding", centroids, cells, cb_res
+        )
+
+    store = str(tmp_path / "res_store")
+    for half in (0, 1):
+        assert refresh_pq_store(
+            emb.filter(F.col("vec_id") % 2 == half),
+            store, "vec_id", "embedding", cb_res, encode=encode,
+        )
+
+    def as_map(df):
+        return {
+            r.vec_id: (r.centroid_id, list(r.codes)) for r in df.collect()
+        }
+
+    want = as_map(want_codes)
+    got = as_map(read_pq_store(spark, store))
+    assert got == want
+    assert compact_pq_store(spark, store)
+    assert as_map(read_pq_store(spark, store)) == want
