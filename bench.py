@@ -92,6 +92,7 @@ BRANCHED = {
     "mm_payload_decode": (
         "branch", ["payload", "decode", "patches", "frames"],
     ),
+    "ann_topk_exact": ("path", ["fold", "arrow", "hamming"]),
     "ann_topk_ivf": ("branch", ["ivf", "triplets", "ivfpq", "ivfadc"]),
     "corpus_pack_sequences": ("branch", ["spans", "manifest", "buckets"]),
     "text_bm25_search": ("branch", ["bm25", "rrf"]),

@@ -397,3 +397,79 @@ def topk_ivf(
             ).alias("cosine"),
         )
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def sign_pack_sql(
+    vec: str, dim: int, accessor: str = "element_at({v}, {i})"
+) -> tuple[str, str]:
+    """Binary (sign) quantization: two 32-bit words of sign bits as
+    EXPLICIT integer SQL text (``element > 0 → bit``).  Two words
+    because bit 63 of one 64-dim word would overflow signed BIGINT.
+    Integer-exact end to end — the one quantizer whose ENTIRE search
+    path is oracle-hashable (no float distance anywhere).  ``accessor``
+    renders 1-based element access (default Spark ``element_at``; the
+    DuckDB mirror passes ``"{v}[{i}]"`` — DuckDB's element_at is
+    MAP-only)."""
+    if dim > 64:
+        raise ValueError(f"sign_pack_sql supports dim <= 64, got {dim}")
+    half = (dim + 1) // 2
+
+    def word(lo: int, hi: int) -> str:
+        terms = [
+            f"(CASE WHEN CAST({accessor.format(v=vec, i=i + 1)} AS DOUBLE) > 0 "
+            f"THEN CAST({1 << (i - lo)} AS BIGINT) "
+            f"ELSE CAST(0 AS BIGINT) END)"
+            for i in range(lo, hi)
+        ]
+        return " + ".join(terms)
+
+    return word(0, half), word(half, dim)
+
+
+def topk_hamming(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int = 10,
+) -> DataFrame:
+    """Hamming-space ANN over sign-quantized vectors (Charikar, STOC
+    2002 SimHash family; the 'binary quantization' serving mode of
+    production vector stores): pack each vector's sign bits into two
+    integer words (one map-only projection — a 32× read cut vs float,
+    and distance becomes two XOR+popcount instructions), broadcast the
+    packed queries, rank per query by (hamming, id).
+
+    Every value in the result is integer arithmetic — ranks, distances
+    and ids all hash bit-identically cross-engine with NO decimal/float
+    contract needed.  Returns (query_id, neighbor_id, ham, rank)."""
+    w0, w1 = sign_pack_sql(vec_col, dim)
+    packed = corpus.select(
+        F.col(id_col),
+        F.expr(w0).alias("__b0"),
+        F.expr(w1).alias("__b1"),
+    )
+    qp = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.expr(w0).alias("__q0"),
+        F.expr(w1).alias("__q1"),
+    )
+    scored = (
+        packed.crossJoin(F.broadcast(qp))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            (
+                F.bit_count(F.expr("__b0 ^ __q0"))
+                + F.bit_count(F.expr("__b1 ^ __q1"))
+            ).cast("int").alias("ham"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("ham").asc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    ).filter(F.col("rank") <= k)

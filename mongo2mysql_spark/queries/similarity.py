@@ -223,29 +223,83 @@ _BRUTEFORCE_ORACLE = f"""
     """
 
 
+def _hamming_oracle() -> str:
+    from mongo2mysql_spark.operators.similarity import sign_pack_sql
+
+    w0, w1 = sign_pack_sql("embedding", 64, accessor="{v}[{i}]")
+    return f"""
+    hampack AS (
+      SELECT vec_id, {w0} AS b0, {w1} AS b1 FROM embeddings),
+    hamscore AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             CAST(bit_count(xor(q.b0, e.b0))
+                  + bit_count(xor(q.b1, e.b1)) AS INTEGER) AS ham
+      FROM hampack q JOIN hampack e ON e.vec_id <> q.vec_id
+      WHERE q.vec_id < {N_QUERIES}),
+    hamtop AS (
+      SELECT query_id, neighbor_id, ham, CAST(rank AS INTEGER) AS rank
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY ham, neighbor_id) AS rank
+            FROM hamscore)
+      WHERE rank <= 10)
+    """
+
+
 @register(
     "ann_topk_exact",
     f"""
-    WITH base AS ({_BRUTEFORCE_ORACLE})
-    SELECT p.path, base.* FROM base
+    WITH base AS ({_BRUTEFORCE_ORACLE}),
+    {_hamming_oracle()}
+    SELECT p.path, base.*, CAST(NULL AS INTEGER) AS ham FROM base
     CROSS JOIN (VALUES ('fold'), ('arrow')) AS p(path)
+    UNION ALL
+    SELECT 'hamming' AS path, query_id, neighbor_id,
+           CAST(NULL AS DOUBLE) AS cosine, rank, ham
+    FROM hamtop
     """,
     doc=(
         "exact cosine top-10 per query vector, BOTH execution paths in one "
         "tagged result: the expression-fold plan (broadcast queries, corpus "
         "streams) and the Arrow matmul-prune + fold-rescore fast path — "
         "the oracle states one answer, so the hash check proves the paths "
-        "bit-identical to each other and to DuckDB."
+        "bit-identical to each other and to DuckDB.  'hamming' rows are "
+        "binary-quantization ANN (operators/similarity.topk_hamming, the "
+        "SimHash/BQ serving mode): sign bits packed into two integer "
+        "words by a map-only projection (32× read cut vs floats; "
+        "distance = two XOR+popcount ops), top-10 per query by "
+        "(hamming, id) — every distance, rank and id is integer "
+        "arithmetic, so the whole search path hashes with no "
+        "decimal/float contract at all."
     ),
 )
 def ann_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mongo2mysql_spark.operators.similarity import topk_hamming
+
     e = T(spark, sf_dir, "embeddings", fanout=True)
     q = e.filter(F.col("vec_id") < N_QUERIES)
     cols = ["query_id", "neighbor_id", "cosine", "rank"]
     fold = topk_bruteforce(e, q, "vec_id", "embedding", k=10).select(*cols)
     arrow = topk_bruteforce_arrow(e, q, "vec_id", "embedding", k=10).select(*cols)
-    return fold.select(F.lit("fold").alias("path"), *cols).unionByName(
-        arrow.select(F.lit("arrow").alias("path"), *cols)
+    ham = topk_hamming(e, q, "vec_id", "embedding", dim=64, k=10)
+    nul_int = F.lit(None).cast("int")
+    nul_dbl = F.lit(None).cast("double")
+    return (
+        fold.select(F.lit("fold").alias("path"), *cols, nul_int.alias("ham"))
+        .unionByName(
+            arrow.select(
+                F.lit("arrow").alias("path"), *cols, nul_int.alias("ham")
+            )
+        )
+        .unionByName(
+            ham.select(
+                F.lit("hamming").alias("path"),
+                "query_id",
+                "neighbor_id",
+                nul_dbl.alias("cosine"),
+                "rank",
+                "ham",
+            )
+        )
     )
 
 

@@ -516,3 +516,29 @@ def test_pq_adc_topk_is_salted_two_phase(spark):
         if "windowspecdefinition" in line and "__salt" in line
     ]
     assert salted, plan
+
+
+def test_topk_hamming_matches_numpy_reference(spark):
+    """Sign-pack + Hamming top-k must equal an independent NumPy
+    reference (signs > 0, popcount of XOR), including the (ham, id)
+    tie-break — the whole path is integer arithmetic, so equality is
+    exact, not approximate."""
+    from mongo2mysql_spark.operators.similarity import topk_hamming
+
+    df, vecs = _vectors(spark, n=40, seed=13)
+    q = df.filter(F.col("vec_id") < 3)
+    got = {
+        (r.query_id, r.rank): (r.neighbor_id, r.ham)
+        for r in topk_hamming(df, q, "vec_id", "embedding", dim=DIM, k=5).collect()
+    }
+    bits = {i: (np.asarray(v) > 0) for i, v in vecs.items()}
+    want = {}
+    for qid in range(3):
+        scored = sorted(
+            (int((bits[qid] ^ bits[n]).sum()), n)
+            for n in vecs
+            if n != qid
+        )
+        for rank, (ham, n) in enumerate(scored[:5], start=1):
+            want[(qid, rank)] = (n, ham)
+    assert got == want
