@@ -274,6 +274,17 @@ def pq_recall(spark, sf_dir: str, k: int = 10) -> dict[str, float]:
         }
         out[f"ivfpq_nprobe{nprobe}"] = round(len(got & bf) / len(bf), 4)
 
+    # binary quantization (sign bits + Hamming): the cheapest serving
+    # mode — 2 ints/vector, integer-only distance; its recall@k vs the
+    # exact top-k is the accuracy price of the 32x read cut
+    from mongo2mysql_spark.operators.similarity import topk_hamming
+
+    ham = {
+        (r["query_id"], r["neighbor_id"])
+        for r in topk_hamming(e, q, "vec_id", "embedding", dim=64, k=k).collect()
+    }
+    out["hamming_at_k"] = round(len(ham & bf) / len(bf), 4)
+
     # IVFADC (residual encoding, the FAISS IndexIVFPQ default): PQ
     # codes quantize x - c(x) per cell instead of the raw vector —
     # same bits, finer quantizer wherever cells are tight; the delta
