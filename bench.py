@@ -92,7 +92,7 @@ BRANCHED = {
     "mm_payload_decode": (
         "branch", ["payload", "decode", "patches", "frames"],
     ),
-    "ann_topk_exact": ("path", ["fold", "arrow", "hamming"]),
+    "ann_topk_exact": ("path", ["fold", "arrow", "hamming", "bqrescore"]),
     "ann_topk_ivf": ("branch", ["ivf", "triplets", "ivfpq", "ivfadc"]),
     "corpus_pack_sequences": ("branch", ["spans", "manifest", "buckets"]),
     "text_bm25_search": ("branch", ["bm25", "rrf"]),
@@ -284,6 +284,19 @@ def pq_recall(spark, sf_dir: str, k: int = 10) -> dict[str, float]:
         for r in topk_hamming(e, q, "vec_id", "embedding", dim=64, k=k).collect()
     }
     out["hamming_at_k"] = round(len(ham & bf) / len(bf), 4)
+
+    # ...and the funnel a deployment actually serves: hamming-prune to
+    # k*10 candidates, exact rescore — recall recovered at integer-scan
+    # cost
+    from mongo2mysql_spark.operators.similarity import topk_hamming_rescore
+
+    hamr = {
+        (r["query_id"], r["neighbor_id"])
+        for r in topk_hamming_rescore(
+            e, q, "vec_id", "embedding", dim=64, k=k, overfetch=10
+        ).collect()
+    }
+    out["hamming_rescore_at_k"] = round(len(hamr & bf) / len(bf), 4)
 
     # IVFADC (residual encoding, the FAISS IndexIVFPQ default): PQ
     # codes quantize x - c(x) per cell instead of the raw vector —

@@ -473,3 +473,57 @@ def topk_hamming(
     return scored.withColumn(
         "rank", F.row_number().over(w).cast("int")
     ).filter(F.col("rank") <= k)
+
+
+def topk_hamming_rescore(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int = 10,
+    overfetch: int = 10,
+) -> DataFrame:
+    """The practical BQ serving funnel: Hamming-prune to ``k·overfetch``
+    candidates over the packed bits (integer scan — the cheap pass),
+    then exact-cosine re-rank only the finalists (float folds touch
+    k·overfetch vectors per query, never the corpus).  Same
+    prune-then-rescore shape as ``topk_ivf(quantized=True)`` and the
+    PQ rerank; overfetch is the recall lever.  Returns (query_id,
+    neighbor_id, ham, cosine, rank) — final order is the exact
+    cosine."""
+    from mongo2mysql_spark.functions.vector import cosine_seq
+
+    cand = topk_hamming(
+        corpus, queries, id_col, vec_col, dim, k=k * overfetch
+    ).select("query_id", "neighbor_id", "ham")
+    rescored = (
+        cand.join(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("__nv"),
+            ),
+            "neighbor_id",
+        )
+        .join(
+            F.broadcast(
+                queries.select(
+                    F.col(id_col).alias("query_id"),
+                    F.col(vec_col).alias("__qv"),
+                )
+            ),
+            "query_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            "ham",
+            cosine_seq(F.col("__qv"), F.col("__nv")).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return rescored.withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    ).filter(F.col("rank") <= k)

@@ -236,12 +236,26 @@ def _hamming_oracle() -> str:
                   + bit_count(xor(q.b1, e.b1)) AS INTEGER) AS ham
       FROM hampack q JOIN hampack e ON e.vec_id <> q.vec_id
       WHERE q.vec_id < {N_QUERIES}),
+    hamranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY ham, neighbor_id) AS rank
+      FROM hamscore),
     hamtop AS (
       SELECT query_id, neighbor_id, ham, CAST(rank AS INTEGER) AS rank
-      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-                                         ORDER BY ham, neighbor_id) AS rank
-            FROM hamscore)
-      WHERE rank <= 10)
+      FROM hamranked WHERE rank <= 10),
+    hamres AS (
+      -- the BQ serving funnel: hamming-prune to 10x overfetch, exact
+      -- cosine re-rank of the finalists only
+      SELECT query_id, neighbor_id, ham, cosine,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id)
+                  AS INTEGER) AS rank
+      FROM (SELECT c.query_id, c.neighbor_id, c.ham,
+                   {_cos('qe.embedding', 'ne.embedding')} AS cosine
+            FROM hamranked c
+            JOIN embeddings qe ON qe.vec_id = c.query_id
+            JOIN embeddings ne ON ne.vec_id = c.neighbor_id
+            WHERE c.rank <= 100))
     """
 
 
@@ -256,6 +270,9 @@ def _hamming_oracle() -> str:
     SELECT 'hamming' AS path, query_id, neighbor_id,
            CAST(NULL AS DOUBLE) AS cosine, rank, ham
     FROM hamtop
+    UNION ALL
+    SELECT 'bqrescore' AS path, query_id, neighbor_id, cosine, rank, ham
+    FROM hamres WHERE rank <= 10
     """,
     doc=(
         "exact cosine top-10 per query vector, BOTH execution paths in one "
@@ -269,11 +286,19 @@ def _hamming_oracle() -> str:
         "distance = two XOR+popcount ops), top-10 per query by "
         "(hamming, id) — every distance, rank and id is integer "
         "arithmetic, so the whole search path hashes with no "
-        "decimal/float contract at all."
+        "decimal/float contract at all.  'bqrescore' rows are the BQ "
+        "serving FUNNEL (topk_hamming_rescore): hamming-prune to "
+        "10·overfetch candidates over the packed bits, exact cosine "
+        "re-rank touching only the finalists — the prune-then-rescore "
+        "shape every quantized serving mode here shares (int8 IVF, PQ "
+        "rerank), with overfetch as the recall lever."
     ),
 )
 def ann_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from mongo2mysql_spark.operators.similarity import topk_hamming
+    from mongo2mysql_spark.operators.similarity import (
+        topk_hamming,
+        topk_hamming_rescore,
+    )
 
     e = T(spark, sf_dir, "embeddings", fanout=True)
     q = e.filter(F.col("vec_id") < N_QUERIES)
@@ -281,6 +306,9 @@ def ann_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold = topk_bruteforce(e, q, "vec_id", "embedding", k=10).select(*cols)
     arrow = topk_bruteforce_arrow(e, q, "vec_id", "embedding", k=10).select(*cols)
     ham = topk_hamming(e, q, "vec_id", "embedding", dim=64, k=10)
+    bqr = topk_hamming_rescore(
+        e, q, "vec_id", "embedding", dim=64, k=10, overfetch=10
+    )
     nul_int = F.lit(None).cast("int")
     nul_dbl = F.lit(None).cast("double")
     return (
@@ -296,6 +324,16 @@ def ann_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "query_id",
                 "neighbor_id",
                 nul_dbl.alias("cosine"),
+                "rank",
+                "ham",
+            )
+        )
+        .unionByName(
+            bqr.select(
+                F.lit("bqrescore").alias("path"),
+                "query_id",
+                "neighbor_id",
+                "cosine",
                 "rank",
                 "ham",
             )

@@ -542,3 +542,27 @@ def test_topk_hamming_matches_numpy_reference(spark):
         for rank, (ham, n) in enumerate(scored[:5], start=1):
             want[(qid, rank)] = (n, ham)
     assert got == want
+
+
+def test_topk_hamming_rescore_degenerates_to_bruteforce(spark):
+    """With overfetch covering the whole corpus the BQ funnel's final
+    ranking is the exact cosine top-k — hamming then only orders
+    candidates into the re-rank, never drops one."""
+    from mongo2mysql_spark.operators.similarity import (
+        topk_bruteforce,
+        topk_hamming_rescore,
+    )
+
+    df, _ = _vectors(spark, n=40, seed=13)
+    q = df.filter(F.col("vec_id") < 3)
+    got = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in topk_hamming_rescore(
+            df, q, "vec_id", "embedding", dim=DIM, k=5, overfetch=40
+        ).collect()
+    }
+    want = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in topk_bruteforce(df, q, "vec_id", "embedding", k=5).collect()
+    }
+    assert got == want
