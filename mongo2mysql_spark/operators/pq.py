@@ -43,6 +43,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from mongo2mysql_spark.operators.skew import salted_topk_per_group
+
 _DEC = "decimal(30,12)"
 
 
@@ -750,8 +752,6 @@ def pq_adc_topk(
     # reducers — each salt bucket instead takes a LOCAL top-k and only
     # buckets×k survivors per query reach the final rank.  Identical
     # rows (the order (adc_d2, neighbor_id) is total), different plan.
-    from mongo2mysql_spark.operators.skew import salted_topk_per_group
-
     top = salted_topk_per_group(
         scored,
         ["query_id"],
@@ -852,12 +852,16 @@ def pq_ivf_topk(
             F.round(_adc_expr(), 6).cast("double").alias("adc_d2"),
         )
     )
-    w_adc = Window.partitionBy("query_id").orderBy(
-        F.col("adc_d2").asc(), F.col("neighbor_id").asc()
-    )
-    kept = scored.withColumn("__r", F.row_number().over(w_adc)).filter(
-        F.col("__r") <= k * rerank
-    )
+    # salted two-phase top-k (operators/skew.py): a plain per-query
+    # window funnels all of a query's scored candidates into ONE
+    # reducer; the (adc_d2, neighbor_id) order is total, so the salted
+    # plan keeps exactly the same k·rerank candidates.
+    kept = salted_topk_per_group(
+        scored,
+        ["query_id"],
+        [F.col("adc_d2").asc(), F.col("neighbor_id").asc()],
+        k * rerank,
+    ).drop("rank")
     rescored = (
         kept.join(
             corpus.select(
@@ -1096,12 +1100,16 @@ def pq_ivfadc_topk(
             F.round(_adc_expr(), 6).cast("double").alias("adc_d2"),
         )
     )
-    w_adc = Window.partitionBy("query_id").orderBy(
-        F.col("adc_d2").asc(), F.col("neighbor_id").asc()
-    )
-    kept = scored.withColumn("__r", F.row_number().over(w_adc)).filter(
-        F.col("__r") <= k * rerank
-    )
+    # salted two-phase top-k (operators/skew.py): a plain per-query
+    # window funnels all of a query's scored candidates into ONE
+    # reducer; the (adc_d2, neighbor_id) order is total, so the salted
+    # plan keeps exactly the same k·rerank candidates.
+    kept = salted_topk_per_group(
+        scored,
+        ["query_id"],
+        [F.col("adc_d2").asc(), F.col("neighbor_id").asc()],
+        k * rerank,
+    ).drop("rank")
     rescored = (
         kept.join(
             corpus.select(

@@ -401,18 +401,19 @@ def topk_ivf(
 
 def sign_pack_sql(
     vec: str, dim: int, accessor: str = "element_at({v}, {i})"
-) -> tuple[str, str]:
-    """Binary (sign) quantization: two 32-bit words of sign bits as
-    EXPLICIT integer SQL text (``element > 0 → bit``).  Two words
-    because bit 63 of one 64-dim word would overflow signed BIGINT.
-    Integer-exact end to end — the one quantizer whose ENTIRE search
-    path is oracle-hashable (no float distance anywhere).  ``accessor``
-    renders 1-based element access (default Spark ``element_at``; the
-    DuckDB mirror passes ``"{v}[{i}]"`` — DuckDB's element_at is
-    MAP-only)."""
-    if dim > 64:
-        raise ValueError(f"sign_pack_sql supports dim <= 64, got {dim}")
-    half = (dim + 1) // 2
+) -> list[str]:
+    """Binary (sign) quantization: ``ceil(dim/32)`` words of 32 sign
+    bits each as EXPLICIT integer SQL text (``element > 0 → bit``).
+    32 bits per word (not 64) so no word ever sets bit 63 of a signed
+    BIGINT — every packed value stays non-negative in both engines.
+    Works at any embedding width (384/768/1024-dim corpora pack into
+    12/24/32 words).  Integer-exact end to end — the one quantizer
+    whose ENTIRE search path is oracle-hashable (no float distance
+    anywhere).  ``accessor`` renders 1-based element access (default
+    Spark ``element_at``; the DuckDB mirror passes ``"{v}[{i}]"`` —
+    DuckDB's element_at is MAP-only)."""
+    if dim < 1:
+        raise ValueError(f"sign_pack_sql needs dim >= 1, got {dim}")
 
     def word(lo: int, hi: int) -> str:
         terms = [
@@ -423,7 +424,7 @@ def sign_pack_sql(
         ]
         return " + ".join(terms)
 
-    return word(0, half), word(half, dim)
+    return [word(lo, min(lo + 32, dim)) for lo in range(0, dim, 32)]
 
 
 def topk_hamming(
@@ -436,43 +437,51 @@ def topk_hamming(
 ) -> DataFrame:
     """Hamming-space ANN over sign-quantized vectors (Charikar, STOC
     2002 SimHash family; the 'binary quantization' serving mode of
-    production vector stores): pack each vector's sign bits into two
-    integer words (one map-only projection — a 32× read cut vs float,
-    and distance becomes two XOR+popcount instructions), broadcast the
-    packed queries, rank per query by (hamming, id).
+    production vector stores): pack each vector's sign bits into
+    ``ceil(dim/32)`` integer words (one map-only projection — a 32×
+    read cut vs float, and distance becomes one XOR+popcount per
+    word), broadcast the packed queries, rank per query by
+    (hamming, id).
+
+    The per-query top-k rides ``salted_topk_per_group`` (two-phase:
+    local top-k per (query, salt) bucket, then re-rank the bucket
+    survivors) — a plain per-query window would funnel all N corpus
+    rows of each query through ONE reducer.  The (ham, neighbor_id)
+    order is total, so the salted plan returns exactly the plain
+    window's rows.
 
     Every value in the result is integer arithmetic — ranks, distances
     and ids all hash bit-identically cross-engine with NO decimal/float
     contract needed.  Returns (query_id, neighbor_id, ham, rank)."""
-    w0, w1 = sign_pack_sql(vec_col, dim)
+    from mongo2mysql_spark.operators.skew import salted_topk_per_group
+
+    words = sign_pack_sql(vec_col, dim)
     packed = corpus.select(
         F.col(id_col),
-        F.expr(w0).alias("__b0"),
-        F.expr(w1).alias("__b1"),
+        *[F.expr(w).alias(f"__b{i}") for i, w in enumerate(words)],
     )
     qp = queries.select(
         F.col(id_col).alias("query_id"),
-        F.expr(w0).alias("__q0"),
-        F.expr(w1).alias("__q1"),
+        *[F.expr(w).alias(f"__q{i}") for i, w in enumerate(words)],
     )
+    ham = F.bit_count(F.expr("__b0 ^ __q0"))
+    for i in range(1, len(words)):
+        ham = ham + F.bit_count(F.expr(f"__b{i} ^ __q{i}"))
     scored = (
         packed.crossJoin(F.broadcast(qp))
         .filter(F.col(id_col) != F.col("query_id"))
         .select(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
-            (
-                F.bit_count(F.expr("__b0 ^ __q0"))
-                + F.bit_count(F.expr("__b1 ^ __q1"))
-            ).cast("int").alias("ham"),
+            ham.cast("int").alias("ham"),
         )
     )
-    w = W.partitionBy("query_id").orderBy(
-        F.col("ham").asc(), F.col("neighbor_id").asc()
+    return salted_topk_per_group(
+        scored,
+        ["query_id"],
+        [F.col("ham").asc(), F.col("neighbor_id").asc()],
+        k,
     )
-    return scored.withColumn(
-        "rank", F.row_number().over(w).cast("int")
-    ).filter(F.col("rank") <= k)
 
 
 def topk_hamming_rescore(

@@ -226,14 +226,17 @@ _BRUTEFORCE_ORACLE = f"""
 def _hamming_oracle() -> str:
     from mongo2mysql_spark.operators.similarity import sign_pack_sql
 
-    w0, w1 = sign_pack_sql("embedding", 64, accessor="{v}[{i}]")
+    words = sign_pack_sql("embedding", 64, accessor="{v}[{i}]")
+    packed = ", ".join(f"{w} AS b{i}" for i, w in enumerate(words))
+    hamsum = " + ".join(
+        f"bit_count(xor(q.b{i}, e.b{i}))" for i in range(len(words))
+    )
     return f"""
     hampack AS (
-      SELECT vec_id, {w0} AS b0, {w1} AS b1 FROM embeddings),
+      SELECT vec_id, {packed} FROM embeddings),
     hamscore AS (
       SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-             CAST(bit_count(xor(q.b0, e.b0))
-                  + bit_count(xor(q.b1, e.b1)) AS INTEGER) AS ham
+             CAST({hamsum} AS INTEGER) AS ham
       FROM hampack q JOIN hampack e ON e.vec_id <> q.vec_id
       WHERE q.vec_id < {N_QUERIES}),
     hamranked AS (
