@@ -335,6 +335,144 @@ def train_codebook_distributed(
     ]
 
 
+def train_codebook_exact(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m_sub: int,
+    stride: int,
+    k_max: int,
+    iters: int = 2,
+    normalize: bool = True,
+    scale: int = 6,
+) -> list[list[list[float]]]:
+    """Decimal-exact distributed Lloyd — the TRAINED codebook whose
+    serving path is fully oracle-hashable (VERDICT r7 ask #3: trained
+    books previously had no hash-gated signal because float cluster
+    means fold in partition order).
+
+    The trick: per-cell means accumulate in DECIMAL(30,``scale``) —
+    Spark's decimal SUM is exact integer arithmetic, so partial
+    aggregation is ORDER-FREE across any partitioning (bit-identical
+    on 1 partition or 1000), and DuckDB can restate every iteration
+    with the same ``SUM(CAST(x AS DECIMAL))``.  The mean itself is two
+    IEEE-deterministic steps both engines share: exact-decimal sum →
+    double (one correctly-rounded conversion while the scaled integer
+    stays below 2^53 — |element| ≤ 1 after normalization, so corpora up
+    to ~10^{15-scale} rows qualify) → divide by the BIGINT count.
+
+    Shape per iteration (nothing touches the driver but m·k·(dsub+1)
+    aggregates): one map-only encode under the current book (the same
+    literal-expression projection ``pq_encode`` serves), one
+    posexplode to (subspace, cell) rows, one groupBy with map-side
+    decimal partials.  Assignment ties break to the lowest centroid id
+    and empty cells keep their previous centroid — same contract as
+    every trainer here.  Init is the stride codebook, so both engines
+    start from the same restatable state.
+
+    Quantization of training data to ``scale`` decimals costs ~1e-6
+    per element — noise relative to k-means cell widths; the payoff is
+    codes served under a TRAINED book that the driver hash-verifies
+    end-to-end (see queries/similarity 'pqtrained'/'pqtsearch')."""
+    cb = collect_codebook(
+        vectors, id_col, vec_col, m_sub, stride, k_max, normalize=normalize
+    )
+    dsub = len(cb[0][0])
+    dim = m_sub * dsub
+    dec = f"DECIMAL(30,{scale})"
+
+    def elem(j: int, i: int) -> str:
+        e_i = f"CAST(element_at({vec_col}, {j * dsub + i + 1}) AS DOUBLE)"
+        if normalize:
+            e_i = f"({e_i} / __nrm)"
+        return f"CAST({e_i} AS {dec})"
+
+    for _ in range(iters):
+        # same staged-projection discipline as pq_encode (see its
+        # comment): norm as a real column, >maxFields distance columns
+        # so WSCG skips fusing them, codes + decimal elements on top —
+        # re-stacking on pq_encode's OUTPUT instead re-inlines the
+        # expression trees and stalls Catalyst
+        if normalize:
+            staged = vectors.select(
+                F.col(vec_col),
+                F.expr(_norm_sql(vec_col, dim)).alias("__nrm"),
+            )
+            nrm: str | None = "__nrm"
+        else:
+            staged = vectors.select(F.col(vec_col))
+            nrm = None
+        dist = staged.select(
+            F.col(vec_col),
+            *([F.col("__nrm")] if normalize else []),
+            *[
+                F.expr(_dist_sql(vec_col, j, cent, dsub, nrm)).alias(
+                    f"__d{j}_{c}"
+                )
+                for j in range(m_sub)
+                for c, cent in enumerate(cb[j])
+            ],
+        )
+
+        def arr(j: int) -> str:
+            return "array(%s)" % ", ".join(
+                f"__d{j}_{c}" for c in range(len(cb[j]))
+            )
+
+        coded = dist.select(
+            *[
+                F.expr(
+                    f"CAST(array_position({arr(j)}, array_min({arr(j)})) - 1 "
+                    "AS INT)"
+                ).alias(f"__c{j}")
+                for j in range(m_sub)
+            ],
+            *[
+                F.expr(elem(j, i)).alias(f"__e{j}_{i}")
+                for j in range(m_sub)
+                for i in range(dsub)
+            ],
+        )
+        # one narrow explode over column refs → a single groupBy with
+        # map-side decimal partials; m·k·(dsub+1) rows reach the driver
+        packed = coded.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("__j"),
+                            F.col(f"__c{j}").alias("__cid"),
+                            *[
+                                F.col(f"__e{j}_{i}").alias(f"__e{i}")
+                                for i in range(dsub)
+                            ],
+                        )
+                        for j in range(m_sub)
+                    ]
+                )
+            ).alias("__s")
+        ).select("__s.*")
+        agg = (
+            packed.groupBy("__j", "__cid")
+            .agg(
+                F.count(F.lit(1)).alias("__n"),
+                *[F.sum(f"__e{i}").alias(f"__s{i}") for i in range(dsub)],
+            )
+            .collect()
+        )
+        nxt = [[list(cent) for cent in cb[j]] for j in range(m_sub)]
+        for r in agg:
+            n = r["__n"]
+            # float(Decimal) is the correctly-rounded double; / n is one
+            # IEEE division — both identical to the oracle's
+            # CAST(s AS DOUBLE) / n
+            nxt[r["__j"]][r["__cid"]] = [
+                float(r[f"__s{i}"]) / n for i in range(dsub)
+            ]
+        cb = nxt
+    return cb
+
+
 def rotate_vectors(
     vectors: DataFrame,
     id_col: str,
@@ -607,7 +745,7 @@ def pq_encode(
         staged = vectors.select(
             F.col(id_col),
             F.col(vec_col),
-            *[F.col(c) for c in extra],
+            *[F.col(c) for c in extra if c != vec_col],
             F.expr(_norm_sql(vec_col, m_sub * dsub)).alias("__nrm"),
         )
         nrm: str | None = "__nrm"

@@ -40,36 +40,32 @@ _PAIRS_MEMO: dict[tuple, DataFrame] = {}
 
 
 def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-
     from mongo2mysql_spark.operators.dedup import lsh_incremental_pairs
+    from mongo2mysql_spark.queries import slot_memo
 
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
-    hit = _PAIRS_MEMO.get(key)
-    if hit is not None:
-        return hit
-    d = T(spark, sf_dir, "documents", fanout=True)
-    sig = minhash_signature(
-        d, "doc_id", word_shingles(tokens(F.col("text")), 3), k=K
-    ).persist()
-    sig1 = sig.filter(F.col("doc_id") % 2 == 0)
-    sig2 = sig.filter(F.col("doc_id") % 2 == 1)
-    # the incremental path IS the operator under test here: an
-    # empty-store batch plus a batch-vs-store batch; both calls
-    # materialize (localCheckpoint) internally, so the signature cache
-    # can be released before returning the lazy union of the two
-    # checkpointed pair frames.
-    mh = lsh_incremental_pairs(
-        sig1.limit(0), sig1, "doc_id", k=K, bands=BANDS, min_est_jaccard=0.5
-    ).unionByName(
-        lsh_incremental_pairs(
-            sig1, sig2, "doc_id", k=K, bands=BANDS, min_est_jaccard=0.5
+    def build() -> DataFrame:
+        d = T(spark, sf_dir, "documents", fanout=True)
+        sig = minhash_signature(
+            d, "doc_id", word_shingles(tokens(F.col("text")), 3), k=K
+        ).persist()
+        sig1 = sig.filter(F.col("doc_id") % 2 == 0)
+        sig2 = sig.filter(F.col("doc_id") % 2 == 1)
+        # the incremental path IS the operator under test here: an
+        # empty-store batch plus a batch-vs-store batch; both calls
+        # materialize (localCheckpoint) internally, so the signature
+        # cache can be released before returning the lazy union of the
+        # two checkpointed pair frames.
+        mh = lsh_incremental_pairs(
+            sig1.limit(0), sig1, "doc_id", k=K, bands=BANDS, min_est_jaccard=0.5
+        ).unionByName(
+            lsh_incremental_pairs(
+                sig1, sig2, "doc_id", k=K, bands=BANDS, min_est_jaccard=0.5
+            )
         )
-    )
-    sig.unpersist()
-    _PAIRS_MEMO.clear()
-    _PAIRS_MEMO[key] = mh
-    return mh
+        sig.unpersist()
+        return mh
+
+    return slot_memo(_PAIRS_MEMO, spark, sf_dir, build)
 
 # DuckDB 3-token shingle set per doc (mirrors functions/text.word_shingles)
 _SHINGLES_CTE = """

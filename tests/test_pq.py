@@ -687,3 +687,67 @@ def test_ivf_pq_topks_are_salted_two_phase(spark):
     )
     salted, plan = _salted_window_lines(ivfadc)
     assert salted, plan
+
+
+def test_train_codebook_exact_partition_invariant_and_tighter(spark):
+    """The decimal-exact trainer's whole point: per-cell means
+    accumulate in exact DECIMAL, so the trained book is BIT-EQUAL under
+    any partitioning (the float trainers differ by ulps across
+    partition orders) — that is what makes a trained book
+    oracle-restatable.  And Lloyd must still tighten cells vs the
+    stride init."""
+    from mongo2mysql_spark.operators.pq import (
+        train_codebook_exact,
+    )
+
+    df, vecs = _vectors(spark, n=80, seed=23)
+    cb_a = train_codebook_exact(
+        df.repartition(2), "vec_id", "embedding", M, STRIDE, KMAX, iters=2
+    )
+    cb_b = train_codebook_exact(
+        df.repartition(11), "vec_id", "embedding", M, STRIDE, KMAX, iters=2
+    )
+    assert cb_a == cb_b, "trained book must be bit-equal across partitionings"
+
+    cb0 = collect_codebook(
+        df, "vec_id", "embedding", M, STRIDE, KMAX, normalize=True
+    )
+    X = np.array([vecs[i] for i in sorted(vecs)])
+    nrm = np.sqrt((X * X).sum(axis=1))
+    nrm[nrm == 0] = 1.0
+    X = X / nrm[:, None]
+
+    def distortion(cb):
+        tot = 0.0
+        for j in range(M):
+            Xj = X[:, j * DSUB : (j + 1) * DSUB]
+            C = np.array(cb[j])
+            tot += (
+                ((Xj[:, None, :] - C[None, :, :]) ** 2).sum(axis=2).min(axis=1).sum()
+            )
+        return tot
+
+    assert distortion(cb_a) < distortion(cb0)
+
+
+def test_train_codebook_exact_keeps_empty_cells(spark):
+    """A centroid that attracts no vectors must keep its previous
+    value (same contract as every trainer here) — with k_max near n,
+    some stride centroids are guaranteed empty after reassignment."""
+    from mongo2mysql_spark.operators.pq import train_codebook_exact
+
+    df, _ = _vectors(spark, n=30, seed=29)
+    cb0 = collect_codebook(
+        df, "vec_id", "embedding", M, 3, 10, normalize=True
+    )
+    cb1 = train_codebook_exact(
+        df, "vec_id", "embedding", M, 3, 10, iters=1
+    )
+    # shape preserved; at least one centroid must have survived
+    # unchanged in SOME subspace iff its cell emptied — we assert the
+    # weaker invariant that holds regardless: identical shape and all
+    # finite values
+    assert len(cb1) == M and all(len(cb1[j]) == 10 for j in range(M))
+    flat = [v for j in range(M) for c in cb1[j] for v in c]
+    assert all(np.isfinite(flat))
+    assert cb1 != cb0  # training moved something
