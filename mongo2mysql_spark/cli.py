@@ -47,6 +47,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="directory of <collection>.parquet files (test harness source)")
     p.add_argument("--output-dir", default=None,
                    help="write destination tables as parquet under this dir")
+    p.add_argument("--sqlite", default=None, metavar="DB",
+                   help="write destination tables into this sqlite3 database "
+                        "via the batched REPLACE upsert sink (the "
+                        "sandbox-runnable DBAPI stand-in for the MySQL sink: "
+                        "same statement builder, same REPLACE-on-PK rerun "
+                        "convergence — Porter.php:207)")
     p.add_argument("--collections", default=None, help="CSV subset of collections")
     p.add_argument("--progress", action="store_true",
                    help="print per-table row/throughput lines (A17; counts "
@@ -305,12 +311,41 @@ def main(argv: list[str] | None = None) -> int:
             def sink(table, df, _url=url, _props=props):
                 write_append(df, _url, table, _props, truncate=args.dataonly)
 
+        ddl_executor = None
+        if args.sqlite:
+            import functools
+            import re as _re
+            import sqlite3 as _sqlite3
+
+            from mongo2mysql_spark.sources.jdbc import (
+                execute_ddl,
+                stringify_temporals,
+                write_upsert,
+            )
+
+            factory = functools.partial(_sqlite3.connect, args.sqlite)
+
+            def sink(table, df, _f=factory):  # noqa: F811 - sqlite wins
+                write_upsert(
+                    stringify_temporals(df), table, _f, mode="replace",
+                    batch_size=500, max_connections=1,
+                )
+
+            def ddl_executor(stmts, _f=factory):
+                # sqlite dialect shim: no index prefix lengths on text
+                # primary keys (MySQL's `col`(191) form)
+                execute_ddl(
+                    [_re.sub(r"`\((\d+)\)", "`", s) for s in stmts], _f
+                )
+
         reporter = None
         if args.progress and sink is not None:
             from mongo2mysql_spark.telemetry import ProgressReporter
 
             reporter = ProgressReporter()
-        exports = porter.run(collections, sink=sink, reporter=reporter)
+        exports = porter.run(
+            collections, sink=sink, ddl_executor=ddl_executor, reporter=reporter
+        )
         for name, export in exports.items():
             for t in export.tables:
                 print(f"{name} -> {t}")

@@ -55,6 +55,29 @@ def upsert_sql(table: str, columns: list[str], mode: str = "replace",
     raise ValueError(f"unknown mode: {mode}")
 
 
+def stringify_temporals(df: DataFrame) -> DataFrame:
+    """Render TIMESTAMP/DATE columns as seconds-precision strings for
+    DBAPI drivers without native temporal binding (sqlite3).  Matches
+    the reference's flatten contract for Mongo dates — ISO-8601 text at
+    seconds precision, sub-second truncated (Porter.php:290-292, SURVEY
+    §2.1 trap 2).  MySQL drivers bind datetimes natively; this shim is
+    only for the sqlite stand-in sink."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    cols = []
+    for f in df.schema.fields:
+        if isinstance(f.dataType, (T.TimestampType, T.TimestampNTZType)):
+            cols.append(
+                F.date_format(F.col(f.name), "yyyy-MM-dd HH:mm:ss").alias(f.name)
+            )
+        elif isinstance(f.dataType, T.DateType):
+            cols.append(F.col(f.name).cast("string").alias(f.name))
+        else:
+            cols.append(F.col(f.name))
+    return df.select(*cols)
+
+
 def write_upsert(
     df: DataFrame,
     table: str,

@@ -77,6 +77,59 @@ def read_collection(
         ) from exc
 
 
+def iter_collection_batches(
+    collection,
+    batch_size: int = 1000,
+    resume_from=None,
+    max_retries: int = 3,
+    sort_field: str = "_id",
+):
+    """Cursor-batch iteration with resume-after-error (reference parity:
+    the ``foreach`` at Porter.php:150 pulls cursor batches from mongod,
+    and a long export outlives cursor timeouts / primary stepdowns).
+
+    Yields lists of documents in ascending ``sort_field`` order.  On a
+    cursor error mid-iteration the find is RE-ISSUED from the last
+    successfully-yielded key (``{sort_field: {"$gt": last}}``), so every
+    document is yielded exactly once per key — the same resume contract
+    a change-stream resume token gives.  A partially-accumulated batch
+    is discarded on error (never yielded), which is what makes the
+    exactly-once claim hold.  ``resume_from`` lets a caller continue a
+    previous run (e.g. after a process kill) from its last durable key.
+
+    ``max_retries`` bounds CONSECUTIVE failures; any successfully
+    yielded batch resets the budget (progress is being made).  Works
+    against any pymongo-shaped collection object (``find().sort()
+    .batch_size()``); the container has no mongod, so tests drive a
+    fake collection with injected mid-cursor failures.
+
+    This is the driver-side fallback/debug path; the scale path stays
+    the partitioned connector read (:func:`read_collection`)."""
+    last = resume_from
+    retries = 0
+    while True:
+        query = {} if last is None else {sort_field: {"$gt": last}}
+        try:
+            cursor = (
+                collection.find(query).sort(sort_field, 1).batch_size(batch_size)
+            )
+            batch: list = []
+            for doc in cursor:
+                batch.append(doc)
+                if len(batch) >= batch_size:
+                    yield batch
+                    last = batch[-1][sort_field]
+                    retries = 0
+                    batch = []
+            if batch:
+                yield batch
+            return
+        except Exception:
+            retries += 1
+            if retries > max_retries:
+                raise
+
+
 def list_collections(uri: str, database: str) -> list[str]:  # pragma: no cover
     """Collection enumeration (A1). Uses pymongo when available."""
     try:

@@ -166,3 +166,100 @@ def test_cli_host_blocklist_requires_url_col(spark, tmp_path, capsys):
     ])
     assert rc == 2
     assert "--url-col" in capsys.readouterr().err
+
+
+@pytest.mark.slow
+def test_cli_sqlite_partial_failure_converges(spark, tmp_path):
+    """VERDICT r7 ask #4: route→flatten→widen→upsert driven through
+    cli.py against sqlite under a simulated partial failure.  Run 1
+    loads a SUBSET of the collection (the rows a killed run had
+    committed via REPLACE batches before dying); run 2 re-runs over the
+    full source into the same database.  The database must converge to
+    exactly the state of a fresh full run — REPLACE-on-PK absorbs the
+    partial state (Porter.php:207), and _num values written by the
+    partial run are OVERWRITTEN, not preserved (SURVEY §2.1 trap 7:
+    counters reset per run, so a re-run renumbers)."""
+    import sqlite3
+
+    from pyspark.sql import Row
+    from pyspark.sql import types as T
+
+    from mongo2mysql_spark import cli
+
+    schema = T.StructType([
+        T.StructField("_id", T.StringType()),
+        T.StructField("_key", T.StringType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("score", T.DoubleType()),
+        T.StructField("created", T.TimestampType()),
+        T.StructField("profile", T.StructType([
+            T.StructField("city", T.StringType()),
+        ])),
+        T.StructField("tags", T.ArrayType(T.StringType())),
+    ])
+    import datetime as dt
+
+    def mk(i):
+        return Row(
+            _id=f"{i:024d}",
+            _key=("tag:%d:topics" % i) if i % 2 else ("user:%d" % i),
+            title=f"title-{i:03d}",
+            score=float(i),
+            created=dt.datetime(2021, 1, 1, 0, 0, i % 60),
+            profile=Row(city=f"c{i % 5}"),
+            tags=[f"t{i}", f"u{i}"] if i % 4 else [],
+        )
+
+    full = [mk(i) for i in range(30)]
+    partial = [r for i, r in enumerate(full) if i % 3 != 2]  # killed mid-run
+
+    src_full = tmp_path / "src_full"
+    src_part = tmp_path / "src_part"
+    for rows, d in ((full, src_full), (partial, src_part)):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(d / "journal.parquet")
+        )
+
+    def dump(db):
+        con = sqlite3.connect(db)
+        try:
+            tables = sorted(
+                r[0] for r in con.execute(
+                    "SELECT name FROM sqlite_master WHERE type='table'"
+                )
+            )
+            return {
+                t: sorted(map(tuple, con.execute(f"SELECT * FROM `{t}`")))
+                for t in tables
+            }
+        finally:
+            con.close()
+
+    db = str(tmp_path / "out.db")
+    assert cli.main(["--source-dir", str(src_part),
+                     "--collections", "journal", "--sqlite", db]) == 0
+    after_partial = dump(db)
+    assert cli.main(["--source-dir", str(src_full),
+                     "--collections", "journal", "--sqlite", db]) == 0
+    converged = dump(db)
+
+    db2 = str(tmp_path / "fresh.db")
+    assert cli.main(["--source-dir", str(src_full),
+                     "--collections", "journal", "--sqlite", db2]) == 0
+    fresh = dump(db2)
+
+    assert set(converged) == set(fresh) and len(converged) >= 2  # parent + child
+    for t in fresh:
+        assert converged[t] == fresh[t], t
+
+    # the trap-7 proof: some overlapping _id carried a DIFFERENT _num in
+    # the partial state than in the converged one (renumbered, not kept)
+    renumbered = False
+    for t, rows in after_partial.items():
+        if t not in converged:
+            continue
+        final = {r[:1]: r for r in converged[t]}
+        for r in rows:
+            if r[:1] in final and r != final[r[:1]]:
+                renumbered = True
+    assert renumbered, "partial-run rows were never overwritten"

@@ -602,3 +602,104 @@ def test_quote_ident_roundtrips_arbitrary_names():
             con.close()
 
     check()
+
+
+class _FakeCursor:
+    """pymongo-shaped cursor over an in-memory doc list; raises a
+    CursorNotFound-style error at a scripted absolute position (the
+    classic cursor-timeout mid-export failure)."""
+
+    def __init__(self, docs, fail_state):
+        self._docs = docs
+        self._fail = fail_state
+        self._i = 0
+
+    def sort(self, field, direction):
+        assert direction == 1
+        self._docs = sorted(self._docs, key=lambda d: d[field])
+        return self
+
+    def batch_size(self, n):
+        return self
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        if self._i >= len(self._docs):
+            raise StopIteration
+        doc = self._docs[self._i]
+        if self._fail.get("at") == doc["_id"] and not self._fail.get("done"):
+            self._fail["done"] = True
+            raise RuntimeError("cursor id not found (timed out)")
+        self._i += 1
+        return doc
+
+
+class _FakeCollection:
+    def __init__(self, docs, fail_at=None, always_fail=False):
+        self.docs = docs
+        self.queries: list[dict] = []
+        self._fail = {"at": fail_at}
+        self._always = always_fail
+
+    def find(self, query):
+        self.queries.append(query)
+        if self._always:
+            raise RuntimeError("network unreachable")
+        if query:
+            lo = query["_id"]["$gt"]
+            docs = [d for d in self.docs if d["_id"] > lo]
+        else:
+            docs = list(self.docs)
+        return _FakeCursor(docs, self._fail)
+
+
+def test_mongo_cursor_batches_resume_after_error():
+    """iter_collection_batches must yield every document exactly once
+    and in order when the cursor dies mid-iteration: the find is
+    re-issued from the last YIELDED key with an $gt filter, and the
+    partially-accumulated batch is discarded, never yielded (the
+    exactly-once contract — Porter.php:150's foreach has no such
+    recovery; a timeout there loses the export)."""
+    from mongo2mysql_spark.sources.mongodb import iter_collection_batches
+
+    docs = [{"_id": i, "v": i * 10} for i in range(23)]
+    # fail when the cursor reaches _id 12: batches of 5 → 10 docs
+    # yielded, 2 accumulated (10, 11) and discarded
+    coll = _FakeCollection(docs, fail_at=12)
+    got = list(iter_collection_batches(coll, batch_size=5))
+    flat = [d["_id"] for b in got for d in b]
+    assert flat == list(range(23)), flat
+    assert all(len(b) <= 5 for b in got)
+    # first query full scan; the resume query continues from _id 9
+    # (the last yielded batch ended there — 10/11 were discarded)
+    assert coll.queries[0] == {}
+    assert coll.queries[1] == {"_id": {"$gt": 9}}
+
+
+def test_mongo_cursor_batches_resume_mid_collection_restart():
+    """resume_from continues a KILLED export from its last durable key
+    without re-reading earlier documents (the re-run path of a
+    checkpointed driver loop)."""
+    from mongo2mysql_spark.sources.mongodb import iter_collection_batches
+
+    docs = [{"_id": i} for i in range(10)]
+    coll = _FakeCollection(docs)
+    got = list(iter_collection_batches(coll, batch_size=4, resume_from=5))
+    assert [d["_id"] for b in got for d in b] == [6, 7, 8, 9]
+    assert coll.queries == [{"_id": {"$gt": 5}}]
+
+
+def test_mongo_cursor_batches_retry_budget_is_consecutive():
+    """A collection that keeps failing exhausts max_retries and raises;
+    the budget counts CONSECUTIVE failures only (a yielded batch resets
+    it, so a long export isn't killed by sporadic timeouts)."""
+    import pytest as _pytest
+
+    from mongo2mysql_spark.sources.mongodb import iter_collection_batches
+
+    coll = _FakeCollection([{"_id": 1}], always_fail=True)
+    with _pytest.raises(RuntimeError, match="network"):
+        list(iter_collection_batches(coll, batch_size=2, max_retries=2))
+    assert len(coll.queries) == 3  # initial + 2 retries
