@@ -86,13 +86,14 @@ BRANCHED = {
     ),
     "embedding_stats": (
         "branch",
-        ["stats", "quant", "pqcodes", "pqsearch", "prune",
-         "pqstore_delta", "pqstore_base"],
+        ["stats", "quant", "pqcodes", "pqsearch", "pqtrained", "pqtsearch",
+         "prune", "pqstore_delta", "pqstore_base"],
     ),
     "mm_payload_decode": (
         "branch", ["payload", "decode", "patches", "frames"],
     ),
-    "ann_topk_exact": ("path", ["fold", "arrow", "hamming", "bqrescore"]),
+    "ann_topk_exact": ("path", ["fold", "arrow", "hamming", "bqrescore",
+                                "simhash", "mrl"]),
     "ann_topk_ivf": ("branch", ["ivf", "triplets", "ivfpq", "ivfadc"]),
     "corpus_pack_sequences": ("branch", ["spans", "manifest", "buckets"]),
     "text_bm25_search": ("branch", ["bm25", "rrf"]),
@@ -297,6 +298,35 @@ def pq_recall(spark, sf_dir: str, k: int = 10) -> dict[str, float]:
         ).collect()
     }
     out["hamming_rescore_at_k"] = round(len(hamr & bf) / len(bf), 4)
+
+    # wide binary quantization (r8): structured FWHT SimHash decouples
+    # signature width from the vector dimension — raw sign-packing caps
+    # at 64 bits on this corpus; 128/256-bit signatures halve/quarter
+    # relative Hamming rank noise.  The delta vs hamming_at_k is what
+    # the extra bits buy (the r7 verdict asked: report, don't assume)
+    from mongo2mysql_spark.operators.similarity import topk_simhash
+
+    for bits in (128, 256):
+        sh = {
+            (r["query_id"], r["neighbor_id"])
+            for r in topk_simhash(
+                e, q, "vec_id", "embedding", dim=64, n_bits=bits, k=k
+            ).collect()
+        }
+        out[f"simhash{bits}_at_k"] = round(len(sh & bf) / len(bf), 4)
+
+    # dimension-truncation funnel (r8, the Matryoshka serving mode):
+    # prefix-cosine prune on 16 of 64 dims (4x float read cut), exact
+    # rescore of k*10 finalists
+    from mongo2mysql_spark.operators.similarity import topk_truncated_rescore
+
+    mrl = {
+        (r["query_id"], r["neighbor_id"])
+        for r in topk_truncated_rescore(
+            e, q, "vec_id", "embedding", prefix_dim=16, k=k, overfetch=10
+        ).collect()
+    }
+    out["mrl16_rescore_at_k"] = round(len(mrl & bf) / len(bf), 4)
 
     # IVFADC (residual encoding, the FAISS IndexIVFPQ default): PQ
     # codes quantize x - c(x) per cell instead of the raw vector —

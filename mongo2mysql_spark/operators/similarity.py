@@ -484,6 +484,248 @@ def topk_hamming(
     )
 
 
+_SIMHASH_A = 1103515245
+_SIMHASH_M = 2147483647  # 2^31 − 1: products stay < 2^62 in BOTH engines
+
+
+def _simhash_sign(seed: int, j: int, i: int, dim: int) -> int:
+    """±1 hyperplane component from pure 64-bit-safe integer arithmetic
+    (multiplicative-hash parity) — deliberately NOT xxhash (Spark's
+    xxhash64 has no DuckDB equivalent): the same expression evaluates
+    identically in Python, Spark SQL and DuckDB, so SimHash signatures
+    are oracle-restatable."""
+    x = seed * 131071 + j * dim + i + 1
+    return 1 if (_SIMHASH_A * x) % _SIMHASH_M % 2 == 0 else -1
+
+
+def simhash_pack_sql(
+    proj_cols: list[str],
+) -> list[str]:
+    """Pack sign bits of (already staged) projection COLUMNS into
+    ``ceil(n_bits/32)`` integer words — same word layout as
+    :func:`sign_pack_sql` (32 bits per word, never bit 63).
+
+    Projections must be staged as real columns first (``proj_cols`` are
+    column NAMES), and each is referenced TWICE in its sign test:
+    ``(p + p) >= 0`` is IEEE-identical to ``p >= 0`` for every double
+    (doubling preserves sign for ±0/±inf and NaN stays false), but a
+    single-reference alias gets INLINED by CollapseProject — which
+    would fold all n_bits·dim projection terms into a handful of word
+    columns, un-stage the projection, and push the fused stage past
+    janino's 64 KB method limit into interpreted fallback (measured
+    ~12× slower).  The double reference keeps the staged >maxFields
+    projection a real method-split stage, exactly pq_encode's
+    discipline.  DuckDB evaluates the same text identically."""
+    words = []
+    for lo in range(0, len(proj_cols), 32):
+        chunk = proj_cols[lo : lo + 32]
+        terms = [
+            f"(CASE WHEN ({c} + {c}) >= 0 THEN CAST({1 << b} AS BIGINT) "
+            f"ELSE CAST(0 AS BIGINT) END)"
+            for b, c in enumerate(chunk)
+        ]
+        words.append(" + ".join(terms))
+    return words
+
+
+def fwht_stages(
+    vec: str,
+    dim: int,
+    n_bits: int,
+    seed: int = 0,
+    accessor: str = "element_at({v}, {i})",
+) -> list[list[tuple[str, str]]]:
+    """Structured random projections via the fast Walsh–Hadamard
+    transform: block ``t``'s ``dim`` projection values are ``H·D_t·x``
+    where ``D_t`` is a deterministic ±1 diagonal (:func:`_simhash_sign`
+    parities) and ``H`` the Hadamard matrix computed by ``log2(dim)``
+    butterfly stages — the Fast-JL / structured-spinners construction
+    (Ailon & Chazelle, STOC 2006; Andoni et al., NIPS 2015), standard
+    practice for wide-bit SimHash because it needs O(d·log d) adds per
+    block instead of O(d·bits) explicit terms.
+
+    Each stage is a list of ``(column_name, sql_text)`` where texts
+    reference only the PREVIOUS stage's names (stage 0 reads the vector
+    through ``accessor``) — so both engines evaluate the identical
+    op-for-op float chain, and every intermediate is referenced exactly
+    twice downstream (the butterfly pairing), which keeps Catalyst from
+    collapsing the staged projections back into one giant tree (the
+    explicit-term form measured 20 MB task binaries; this is ~10×
+    smaller and codegen-friendly)."""
+    if dim < 2 or dim & (dim - 1):
+        raise ValueError(f"fwht_stages needs a power-of-two dim, got {dim}")
+    if n_bits % dim:
+        raise ValueError(f"n_bits {n_bits} must be a multiple of dim {dim}")
+    blocks = n_bits // dim
+    stages: list[list[tuple[str, str]]] = []
+    s0 = []
+    for t in range(blocks):
+        for i in range(dim):
+            e = f"CAST({accessor.format(v=vec, i=i + 1)} AS DOUBLE)"
+            if _simhash_sign(seed, t, i, dim) < 0:
+                e = f"(- {e})"
+            s0.append((f"__h{t}_0_{i}", e))
+    stages.append(s0)
+    n_levels = dim.bit_length() - 1
+    for s in range(1, n_levels + 1):
+        h = 1 << (s - 1)
+        st = []
+        for t in range(blocks):
+            for i in range(dim):
+                j = i ^ h
+                a = f"__h{t}_{s - 1}_{i}"
+                b = f"__h{t}_{s - 1}_{j}"
+                st.append(
+                    (
+                        f"__h{t}_{s}_{i}",
+                        f"({a} + {b})" if (i & h) == 0 else f"({b} - {a})",
+                    )
+                )
+        stages.append(st)
+    return stages
+
+
+def topk_simhash(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_bits: int = 128,
+    k: int = 10,
+    seed: int = 0,
+) -> DataFrame:
+    """WIDE binary quantization: Hamming ANN over ``n_bits``-bit SimHash
+    signatures with ``n_bits`` decoupled from the vector dimension —
+    the production BQ mode for real corpora (raw sign-packing caps the
+    signature at dim bits; random hyperplanes buy arbitrary Hamming
+    resolution at one extra map-only projection).  E[hamming] =
+    n_bits·θ/π, so doubling n_bits halves the relative rank noise.
+
+    Plan shape: the projections are the FWHT butterfly pipeline
+    (:func:`fwht_stages` — O(d·log d) adds per block, structured-
+    spinners hyperplanes), one staged select per butterfly level, words
+    packed on top, broadcast packed queries, salted per-query top-k.
+    Like :func:`topk_hamming` the whole search path is integer-valued —
+    signatures, distances, ranks and ids all hash cross-engine (the
+    sign diagonal is engine-portable integer parities, not xxhash; the
+    butterfly float chain is op-for-op identical).  Returns
+    (query_id, neighbor_id, ham, rank)."""
+    from mongo2mysql_spark.operators.skew import salted_topk_per_group
+
+    stages = fwht_stages(vec_col, dim, n_bits, seed=seed)
+    names = [n for n, _ in stages[-1]]
+    words = simhash_pack_sql(names)
+
+    def packed(df: DataFrame, out_id: str) -> DataFrame:
+        cur = df.select(F.col(id_col).alias(out_id), F.col(vec_col))
+        for stage in stages:
+            cur = cur.select(
+                out_id, *[F.expr(txt).alias(n) for n, txt in stage]
+            )
+        tag = "b" if out_id == id_col else "q"
+        return cur.select(
+            out_id,
+            *[F.expr(w).alias(f"__{tag}{i}") for i, w in enumerate(words)],
+        )
+
+    corpus_p = packed(corpus, id_col)
+    queries_p = packed(queries, "query_id")
+    ham = F.bit_count(F.expr("__b0 ^ __q0"))
+    for i in range(1, len(words)):
+        ham = ham + F.bit_count(F.expr(f"__b{i} ^ __q{i}"))
+    scored = (
+        corpus_p.crossJoin(F.broadcast(queries_p))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            ham.cast("int").alias("ham"),
+        )
+    )
+    return salted_topk_per_group(
+        scored,
+        ["query_id"],
+        [F.col("ham").asc(), F.col("neighbor_id").asc()],
+        k,
+    )
+
+
+def topk_truncated_rescore(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    prefix_dim: int,
+    k: int = 10,
+    overfetch: int = 10,
+) -> DataFrame:
+    """Dimension-truncation ANN funnel (the Matryoshka-representation
+    serving mode: prefix dimensions carry a coarse embedding, so the
+    prune pass reads prefix_dim/dim of the float bytes): rank by exact
+    cosine over the FIRST ``prefix_dim`` components, keep k·overfetch
+    candidates per query (salted two-phase top-k — the prune scores
+    corpus×Q rows), then exact full-dimension cosine re-ranks only the
+    finalists.  With MRL-trained embeddings the prefix is a trained
+    sub-embedding; on generic embeddings it is simply a lossy prune —
+    either way the funnel shape and the read cut are identical.
+    Returns (query_id, neighbor_id, prefix_cos, cosine, rank) — final
+    order is the full-dimension cosine."""
+    from mongo2mysql_spark.functions.vector import cosine_seq
+    from mongo2mysql_spark.operators.skew import salted_topk_per_group
+
+    pre = F.slice(F.col(vec_col), 1, prefix_dim)
+    corpus_p = corpus.select(
+        F.col(id_col), pre.alias("__pv")
+    )
+    queries_p = queries.select(
+        F.col(id_col).alias("query_id"), pre.alias("__pq")
+    )
+    scored = (
+        corpus_p.crossJoin(F.broadcast(queries_p))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            cosine_seq(F.col("__pq"), F.col("__pv")).alias("prefix_cos"),
+        )
+    )
+    cand = salted_topk_per_group(
+        scored,
+        ["query_id"],
+        [F.col("prefix_cos").desc(), F.col("neighbor_id").asc()],
+        k * overfetch,
+    ).drop("rank")
+    rescored = (
+        cand.join(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nv")
+            ),
+            "neighbor_id",
+        )
+        .join(
+            F.broadcast(
+                queries.select(
+                    F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+                )
+            ),
+            "query_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            "prefix_cos",
+            cosine_seq(F.col("__qv"), F.col("__nv")).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return rescored.withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    ).filter(F.col("rank") <= k)
+
+
 def topk_hamming_rescore(
     corpus: DataFrame,
     queries: DataFrame,

@@ -247,6 +247,83 @@ _BRUTEFORCE_ORACLE = f"""
     """
 
 
+# 'simhash' branch: wide binary quantization — 128-bit SimHash over
+# the 64-dim corpus (bits > dim needs random hyperplanes; the parity
+# scheme is engine-portable integer arithmetic, so fully hashable)
+SH_BITS = 128
+# 'mrl' branch: dimension-truncation funnel — prefix-cosine prune to
+# k·MRL_OVERFETCH candidates on the first MRL_PREFIX dims, exact rescore
+MRL_PREFIX = 16
+MRL_OVERFETCH = 10
+
+
+def _simhash_oracle() -> str:
+    from mongo2mysql_spark.operators.similarity import (
+        fwht_stages,
+        simhash_pack_sql,
+    )
+
+    stages = fwht_stages("embedding", 64, SH_BITS, accessor="{v}[{i}]")
+    ctes = []
+    prev = "embeddings"
+    for s_idx, stage in enumerate(stages):
+        cols = ", ".join(f"{txt} AS {n}" for n, txt in stage)
+        ctes.append(f"shs{s_idx} AS (\n      SELECT vec_id, {cols} FROM {prev})")
+        prev = f"shs{s_idx}"
+    stage_ctes = ",\n    ".join(ctes)
+    words = simhash_pack_sql([n for n, _ in stages[-1]])
+    packed = ", ".join(f"{w} AS w{i}" for i, w in enumerate(words))
+    hamsum = " + ".join(
+        f"bit_count(xor(q.w{i}, e.w{i}))" for i in range(len(words))
+    )
+    return f"""
+    {stage_ctes},
+    shpack AS (
+      SELECT vec_id, {packed} FROM {prev}),
+    shscore AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             CAST({hamsum} AS INTEGER) AS ham
+      FROM shpack q JOIN shpack e ON e.vec_id <> q.vec_id
+      WHERE q.vec_id < {N_QUERIES}),
+    shtop AS (
+      SELECT query_id, neighbor_id, ham, CAST(rank AS INTEGER) AS rank
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY ham, neighbor_id) AS rank
+            FROM shscore)
+      WHERE rank <= 10)
+    """
+
+
+def _mrl_oracle() -> str:
+    pcos = _cos(
+        f"qe.embedding[1:{MRL_PREFIX}]", f"ne.embedding[1:{MRL_PREFIX}]"
+    )
+    return f"""
+    mscore AS (
+      SELECT qe.vec_id AS query_id, ne.vec_id AS neighbor_id,
+             {pcos} AS prefix_cos
+      FROM embeddings qe JOIN embeddings ne ON ne.vec_id <> qe.vec_id
+      WHERE qe.vec_id < {N_QUERIES}),
+    mcand AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY prefix_cos DESC, neighbor_id)
+                 AS rn
+        FROM mscore)
+      WHERE rn <= {10 * MRL_OVERFETCH}),
+    mres AS (
+      SELECT query_id, neighbor_id, cosine,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id)
+                  AS INTEGER) AS rank
+      FROM (SELECT c.query_id, c.neighbor_id,
+                   {_cos('qe.embedding', 'ne.embedding')} AS cosine
+            FROM mcand c
+            JOIN embeddings qe ON qe.vec_id = c.query_id
+            JOIN embeddings ne ON ne.vec_id = c.neighbor_id))
+    """
+
+
 def _hamming_oracle() -> str:
     from mongo2mysql_spark.operators.similarity import sign_pack_sql
 
@@ -290,7 +367,9 @@ def _hamming_oracle() -> str:
     "ann_topk_exact",
     f"""
     WITH base AS ({_BRUTEFORCE_ORACLE}),
-    {_hamming_oracle()}
+    {_hamming_oracle()},
+    {_simhash_oracle()},
+    {_mrl_oracle()}
     SELECT p.path, base.*, CAST(NULL AS INTEGER) AS ham FROM base
     CROSS JOIN (VALUES ('fold'), ('arrow')) AS p(path)
     UNION ALL
@@ -300,6 +379,14 @@ def _hamming_oracle() -> str:
     UNION ALL
     SELECT 'bqrescore' AS path, query_id, neighbor_id, cosine, rank, ham
     FROM hamres WHERE rank <= 10
+    UNION ALL
+    SELECT 'simhash' AS path, query_id, neighbor_id,
+           CAST(NULL AS DOUBLE) AS cosine, rank, ham
+    FROM shtop
+    UNION ALL
+    SELECT 'mrl' AS path, query_id, neighbor_id, cosine, rank,
+           CAST(NULL AS INTEGER) AS ham
+    FROM mres WHERE rank <= 10
     """,
     doc=(
         "exact cosine top-10 per query vector, BOTH execution paths in one "
@@ -318,13 +405,28 @@ def _hamming_oracle() -> str:
         "10·overfetch candidates over the packed bits, exact cosine "
         "re-rank touching only the finalists — the prune-then-rescore "
         "shape every quantized serving mode here shares (int8 IVF, PQ "
-        "rerank), with overfetch as the recall lever."
+        "rerank), with overfetch as the recall lever.  'simhash' rows "
+        f"are WIDE binary quantization (topk_simhash, {SH_BITS}-bit "
+        "SimHash signatures over the 64-dim corpus): random-hyperplane "
+        "projections decouple the signature width from the vector "
+        "dimension (raw sign-packing caps at dim bits), the ±1 "
+        "hyperplane components are engine-portable integer parities "
+        "(NOT xxhash) so signatures, distances and ranks all hash "
+        "cross-engine; E[hamming] = bits·θ/π, so doubling the width "
+        "halves relative rank noise.  'mrl' rows are the "
+        "dimension-truncation funnel (topk_truncated_rescore, the "
+        "Matryoshka serving mode): exact-cosine prune on the first "
+        f"{MRL_PREFIX} of 64 components (a {64 // MRL_PREFIX}× float "
+        "read cut), salted top-k·overfetch, full-dimension rescore of "
+        "the finalists only."
     ),
 )
 def ann_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mongo2mysql_spark.operators.similarity import (
         topk_hamming,
         topk_hamming_rescore,
+        topk_simhash,
+        topk_truncated_rescore,
     )
 
     e = T(spark, sf_dir, "embeddings", fanout=True)
@@ -335,6 +437,11 @@ def ann_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ham = topk_hamming(e, q, "vec_id", "embedding", dim=64, k=10)
     bqr = topk_hamming_rescore(
         e, q, "vec_id", "embedding", dim=64, k=10, overfetch=10
+    )
+    sh = topk_simhash(e, q, "vec_id", "embedding", dim=64, n_bits=SH_BITS, k=10)
+    mrl = topk_truncated_rescore(
+        e, q, "vec_id", "embedding",
+        prefix_dim=MRL_PREFIX, k=10, overfetch=MRL_OVERFETCH,
     )
     nul_int = F.lit(None).cast("int")
     nul_dbl = F.lit(None).cast("double")
@@ -363,6 +470,26 @@ def ann_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "cosine",
                 "rank",
                 "ham",
+            )
+        )
+        .unionByName(
+            sh.select(
+                F.lit("simhash").alias("path"),
+                "query_id",
+                "neighbor_id",
+                nul_dbl.alias("cosine"),
+                "rank",
+                "ham",
+            )
+        )
+        .unionByName(
+            mrl.select(
+                F.lit("mrl").alias("path"),
+                "query_id",
+                "neighbor_id",
+                "cosine",
+                "rank",
+                nul_int.alias("ham"),
             )
         )
     )

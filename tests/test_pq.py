@@ -751,3 +751,105 @@ def test_train_codebook_exact_keeps_empty_cells(spark):
     flat = [v for j in range(M) for c in cb1[j] for v in c]
     assert all(np.isfinite(flat))
     assert cb1 != cb0  # training moved something
+
+
+def _fwht_reference_bits(vecs, dim, n_bits, seed=0):
+    """Pure-Python replay of fwht_stages' exact op order (python floats
+    ARE IEEE doubles, so this is bit-identical to both engines)."""
+    from mongo2mysql_spark.operators.similarity import _simhash_sign
+
+    blocks = n_bits // dim
+    out = {}
+    for vid, v in vecs.items():
+        bits = []
+        for t in range(blocks):
+            cur = [
+                (-float(v[i]) if _simhash_sign(seed, t, i, dim) < 0 else float(v[i]))
+                for i in range(dim)
+            ]
+            h = 1
+            while h < dim:
+                nxt = [0.0] * dim
+                for i in range(dim):
+                    j = i ^ h
+                    nxt[i] = cur[i] + cur[j] if (i & h) == 0 else cur[j] - cur[i]
+                cur = nxt
+                h <<= 1
+            bits.extend(x >= 0 for x in cur)
+        out[vid] = np.array(bits)
+    return out
+
+
+def test_topk_simhash_matches_python_fwht_reference(spark):
+    """128-bit structured SimHash (FWHT butterflies over a ±1 diagonal)
+    must equal the pure-Python replay of the same op chain, including
+    (ham, id) tie-breaks — integer end-to-end, so equality is exact."""
+    from mongo2mysql_spark.operators.similarity import topk_simhash
+
+    df, vecs = _vectors(spark, n=40, seed=31)  # DIM=16
+    q = df.filter(F.col("vec_id") < 3)
+    got = {
+        (r.query_id, r.rank): (r.neighbor_id, r.ham)
+        for r in topk_simhash(
+            df, q, "vec_id", "embedding", dim=DIM, n_bits=64, k=5
+        ).collect()
+    }
+    bits = _fwht_reference_bits(vecs, DIM, 64)
+    want = {}
+    for qid in range(3):
+        scored = sorted(
+            (int((bits[qid] ^ bits[n]).sum()), n) for n in vecs if n != qid
+        )
+        for rank, (ham, n) in enumerate(scored[:5], start=1):
+            want[(qid, rank)] = (n, ham)
+    assert got == want
+
+
+def test_fwht_stages_guards_and_staged_plan(spark):
+    """fwht_stages rejects non-power-of-two dims and non-multiple bit
+    widths; the Spark plan keeps the butterfly stages STAGED (a stage
+    alias survives into the physical plan — CollapseProject didn't fold
+    the pipeline back into one giant tree) and the per-query top-k is
+    salted."""
+    from mongo2mysql_spark.operators.similarity import fwht_stages, topk_simhash
+
+    with pytest.raises(ValueError, match="power-of-two"):
+        fwht_stages("v", 48, 96)
+    with pytest.raises(ValueError, match="multiple"):
+        fwht_stages("v", 16, 40)
+
+    df, _ = _vectors(spark, n=30, seed=5)
+    q = df.filter(F.col("vec_id") < 2)
+    res = topk_simhash(df, q, "vec_id", "embedding", dim=DIM, n_bits=32, k=3)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "__h0_1_0" in plan, "butterfly stages were collapsed"
+    salted = [
+        line for line in plan.splitlines()
+        if "windowspecdefinition" in line and "__salt" in line
+    ]
+    assert salted, plan
+
+
+def test_topk_truncated_rescore_degenerates_to_bruteforce(spark):
+    """The Matryoshka funnel with overfetch covering the corpus must
+    return exactly the full-dimension brute-force top-k (prefix cosine
+    then only orders candidates into the rescore), and its prune must
+    plan as the salted two-phase top-k."""
+    from mongo2mysql_spark.operators.similarity import (
+        topk_bruteforce,
+        topk_truncated_rescore,
+    )
+
+    df, _ = _vectors(spark, n=40, seed=13)
+    q = df.filter(F.col("vec_id") < 3)
+    res = topk_truncated_rescore(
+        df, q, "vec_id", "embedding", prefix_dim=4, k=5, overfetch=40
+    )
+    got = {(r.query_id, r.rank): r.neighbor_id for r in res.collect()}
+    want = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in topk_bruteforce(df, q, "vec_id", "embedding", k=5).collect()
+    }
+    assert got == want
+    salted, plan = _salted_window_lines(res)
+    assert salted, plan
