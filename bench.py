@@ -94,7 +94,8 @@ BRANCHED = {
     ),
     "ann_topk_exact": ("path", ["fold", "arrow", "hamming", "bqrescore",
                                 "simhash", "mrl"]),
-    "ann_topk_ivf": ("branch", ["ivf", "triplets", "ivfpq", "ivfadc"]),
+    "ann_topk_ivf": ("branch", ["ivf", "ivfpart", "triplets", "ivfpq",
+                               "ivfadc"]),
     "corpus_pack_sequences": ("branch", ["spans", "manifest", "buckets"]),
     "text_bm25_search": ("branch", ["bm25", "rrf"]),
     "dedup_connected_components": ("branch", ["closure", "canon"]),

@@ -309,6 +309,7 @@ def topk_ivf(
     centroid_stride: int = 97, k: int = 5, nprobe: int = 1,
     centroids: DataFrame | None = None,
     quantized: bool = False, overfetch: int = 4,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """IVF top-k: deterministic centroids (ids ≡ 0 mod stride, or a
     pre-fitted ``centroids`` frame — pass `operators/kmeans.kmeans_fit`
@@ -325,10 +326,17 @@ def topk_ivf(
     The FINAL ordering is the exact cosine either way; quantization only
     decides which candidates reach the re-rank, so at sane overfetch the
     result matches the unquantized path (tested).  Wins at scale, where
-    the exact fold over every probed candidate dominates serving cost."""
+    the exact fold over every probed candidate dominates serving cost.
+
+    ``assigned`` (optional) is a precomputed assignment frame carrying
+    (id_col, vec_col, centroid_id) — pass it when the assignment is
+    INDEX STATE (e.g. the cell column of an IVF-partitioned store,
+    sources/ivfstore.py) so serving skips the per-search assignment
+    pass; it must have been produced against the SAME ``centroids``."""
     if centroids is None:
         centroids = corpus.filter(F.col(id_col) % centroid_stride == 0)
-    assigned = assign_centroids(corpus, centroids, id_col, vec_col)
+    if assigned is None:
+        assigned = assign_centroids(corpus, centroids, id_col, vec_col)
     q_probes = assign_centroids(
         queries, centroids, id_col, vec_col, nprobe=nprobe
     )

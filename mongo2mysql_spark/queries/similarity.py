@@ -209,6 +209,28 @@ def _pq_store_codes_memo(spark: SparkSession, sf_dir: str, cb) -> tuple:
     )
 
 
+# IVF-partitioned store path (sources/ivfstore — the index as table
+# layout), written once per (application, sf_dir): index builds are
+# write-once, probes read only their cells' directories
+_IVFPART_MEMO: dict[tuple, str] = {}
+
+
+def _ivf_store_path(spark: SparkSession, sf_dir: str, e: DataFrame) -> str:
+    import tempfile
+
+    from mongo2mysql_spark.queries import slot_memo
+    from mongo2mysql_spark.sources.ivfstore import write_ivf_store
+
+    def build() -> str:
+        path = tempfile.mkdtemp(prefix="ivfstore_") + "/ivf"
+        write_ivf_store(
+            e, path, "vec_id", "embedding", centroid_stride=STRIDE
+        )
+        return path
+
+    return slot_memo(_IVFPART_MEMO, spark, sf_dir, build)
+
+
 # TRAINED book + its code table (decimal-exact Lloyd — the hash-gated
 # trained serving path), built once per (application, sf_dir)
 _PQT_MEMO: dict[tuple, tuple] = {}
@@ -911,6 +933,19 @@ def _ivfadc_oracle() -> str:
           FROM scored)
     WHERE rank <= 5
     UNION ALL
+    SELECT 'ivfpart' AS branch, query_id, neighbor_id, cosine,
+           CAST(rank AS INTEGER) AS rank,
+           CAST(NULL AS BIGINT) AS anchor_id,
+           CAST(NULL AS BIGINT) AS positive_id,
+           CAST(NULL AS DOUBLE) AS pos_cos,
+           CAST(NULL AS BIGINT) AS negative_id,
+           CAST(NULL AS DOUBLE) AS neg_cos,
+           CAST(NULL AS DOUBLE) AS adc_d2
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id) AS rank
+          FROM scored)
+    WHERE rank <= 5
+    UNION ALL
     SELECT 'triplets' AS branch, CAST(NULL AS BIGINT) AS query_id,
            CAST(NULL AS BIGINT) AS neighbor_id, CAST(NULL AS DOUBLE) AS cosine,
            CAST(NULL AS INTEGER) AS rank,
@@ -940,7 +975,16 @@ def _ivfadc_oracle() -> str:
         "similarity surface, tagged: 'ivf' rows are IVF ANN — "
         "deterministic stride centroids, corpus vectors in one inverted "
         f"list each, queries probe their {NPROBE} nearest buckets (nprobe "
-        "recall lever) — the 1/C-cost scale path.  'triplets' rows are "
+        "recall lever) — the 1/C-cost scale path.  'ivfpart' rows are the "
+        "SAME search served from the IVF-PARTITIONED store "
+        "(sources/ivfstore.py — the index as table layout): the corpus is "
+        "written partitionBy(centroid_id) with a centroid sidecar, the "
+        "probe set reaches the FileScan as a static PartitionFilter so "
+        "only probed cells' directories are listed and read (at scale: "
+        "nprobe/n_cells of the corpus BYTES, enforced by storage), and "
+        "serving reuses the stored assignment — the oracle states the "
+        "same answer as 'ivf', so the hash proves the layout path "
+        "bit-identical to the raw path.  'triplets' rows are "
         "contrastive training-pair mining (operators/contrastive.py — the "
         "SimCSE/E5 recipe): a deterministic salted-hash anchor sample over "
         "the clone-augmented corpus, ONE IVF search per anchor, the "
@@ -1015,8 +1059,28 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, q, "vec_id", "embedding", idx,
         centroid_stride=STRIDE, nprobe=NPROBE, k=5, rerank=IVFPQ_RERANK,
     )
+    # the same IVF search served from the PARTITIONED store
+    # (sources/ivfstore): the probe reaches the FileScan as a
+    # PartitionFilter, so only probed cells' directories are read; the
+    # oracle states the same answer as 'ivf' — the hash proves layout
+    # and raw paths bit-identical
+    from mongo2mysql_spark.sources.ivfstore import topk_ivf_partitioned
+
+    ivfp = topk_ivf_partitioned(
+        spark, _ivf_store_path(spark, sf_dir, e), q, "vec_id", "embedding",
+        k=5, nprobe=NPROBE,
+    ).select(
+        "query_id", "neighbor_id", "cosine",
+        F.col("rank").cast("int").alias("rank"),
+    )
     return tagged_union(
-        {"ivf": ivf, "triplets": trip, "ivfpq": ivfpq, "ivfadc": ivfadc}
+        {
+            "ivf": ivf,
+            "ivfpart": ivfp,
+            "triplets": trip,
+            "ivfpq": ivfpq,
+            "ivfadc": ivfadc,
+        }
     )
 
 

@@ -666,3 +666,52 @@ def test_bloom_index_python_probe_parity(spark):
         # int-typed keys stringify identically on both sides
         expected = _bloom_positions_py(v, k, m)
         assert [row.p0, row.p1, row.p2] == expected
+
+
+def test_ivf_store_partition_pruned_probe(spark, tmp_path):
+    """sources/ivfstore: the IVF index realized as table layout.  A
+    probe's cell set must reach the FileScan as a PARTITION filter
+    (only the probed directories are listed/read — DataFilters stays
+    empty), and serving from the store must return exactly topk_ivf
+    over the raw corpus with the same centroids/nprobe."""
+    from pyspark.sql import functions as F
+
+    from mongo2mysql_spark.operators.similarity import topk_ivf
+    from mongo2mysql_spark.sources.ivfstore import (
+        read_centroids,
+        read_probed_cells,
+        topk_ivf_partitioned,
+        write_ivf_store,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 5)
+    path = str(tmp_path / "ivf")
+    write_ivf_store(e, path, "vec_id", "embedding", centroid_stride=97)
+
+    # self-describing store: sidecar carries the routing metadata
+    assert read_centroids(spark, path).count() == e.filter(
+        F.col("vec_id") % 97 == 0
+    ).count()
+
+    pruned = read_probed_cells(spark, path, [0, 97])
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    scan = next(l for l in plan.splitlines() if "FileScan" in l)
+    assert "PartitionFilters: [centroid_id" in scan and " IN (0,97)" in scan
+    assert "DataFilters: []" in scan, scan  # pruning, not a runtime filter
+    total = spark.read.parquet(path + "/cells").count()
+    assert 0 < pruned.count() < total  # probed slice only
+
+    got = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["cosine"])
+        for r in topk_ivf_partitioned(
+            spark, path, q, "vec_id", "embedding", k=5, nprobe=2
+        ).collect()
+    )
+    want = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["cosine"])
+        for r in topk_ivf(
+            e, q, "vec_id", "embedding", centroid_stride=97, k=5, nprobe=2
+        ).collect()
+    )
+    assert got == want
