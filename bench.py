@@ -98,7 +98,8 @@ BRANCHED = {
                                "ivfadc"]),
     "corpus_pack_sequences": ("branch", ["spans", "manifest", "buckets"]),
     "text_bm25_search": ("branch", ["bm25", "rrf"]),
-    "dedup_connected_components": ("branch", ["closure", "canon"]),
+    "dedup_connected_components": ("branch", ["closure", "canon",
+                                              "pagerank"]),
 }
 
 

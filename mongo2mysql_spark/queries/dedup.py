@@ -21,6 +21,7 @@ from mongo2mysql_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_bits,
 )
+from mongo2mysql_spark.operators.pagerank import pagerank_sql
 from mongo2mysql_spark.queries import register
 from mongo2mysql_spark.sources import load_table as T
 
@@ -467,14 +468,18 @@ def dedup_pair_families(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 ORDER BY q.quality DESC, l.doc_id) AS rn
       FROM labeled l JOIN qual q USING (doc_id)),
     canonid AS (
-      SELECT component_id, doc_id AS canon_id FROM ranked WHERE rn = 1)
+      SELECT component_id, doc_id AS canon_id FROM ranked WHERE rn = 1),
+    prnodes AS (SELECT doc_id FROM documents),
+    predges AS (SELECT a AS src, b AS dst FROM edges),
+    {pagerank_sql("prnodes", "predges", "doc_id", iters=3)}
     SELECT 'closure' AS branch, doc_id, component_id,
            count(*) OVER (PARTITION BY component_id) AS cluster_size,
            CAST(CASE WHEN doc_id = component_id THEN 1 ELSE 0 END AS INTEGER)
              AS is_representative,
            CAST(NULL AS DOUBLE) AS quality,
            CAST(NULL AS BIGINT) AS canon_id,
-           CAST(NULL AS INTEGER) AS is_canon
+           CAST(NULL AS INTEGER) AS is_canon,
+           CAST(NULL AS DOUBLE) AS pr_rank
     FROM labeled
     UNION ALL
     SELECT 'canon' AS branch, r.doc_id, r.component_id,
@@ -482,8 +487,19 @@ def dedup_pair_families(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(NULL AS INTEGER) AS is_representative,
            r.quality, c.canon_id,
            CAST(CASE WHEN r.doc_id = c.canon_id THEN 1 ELSE 0 END AS INTEGER)
-             AS is_canon
+             AS is_canon,
+           CAST(NULL AS DOUBLE) AS pr_rank
     FROM ranked r JOIN canonid c USING (component_id)
+    UNION ALL
+    SELECT 'pagerank' AS branch, node AS doc_id,
+           CAST(NULL AS BIGINT) AS component_id,
+           CAST(NULL AS BIGINT) AS cluster_size,
+           CAST(NULL AS INTEGER) AS is_representative,
+           CAST(NULL AS DOUBLE) AS quality,
+           CAST(NULL AS BIGINT) AS canon_id,
+           CAST(NULL AS INTEGER) AS is_canon,
+           CAST(ROUND(CAST(rank AS DECIMAL(28,12)), 9) AS DOUBLE) AS pr_rank
+    FROM pr3
     """,
     doc=(
         "near-dup cluster resolution, tagged.  'closure' branch: "
@@ -499,7 +515,15 @@ def dedup_pair_families(spark: SparkSession, sf_dir: str) -> DataFrame:
         "struct(quality, -doc_id) (map-side partials — a giant "
         "boilerplate cluster never sorts in one task), canon assignment "
         "one component-key join — same keys the closure already "
-        "shuffles on."
+        "shuffles on.  'pagerank' branch: duplicate-centrality prior "
+        "(operators/pagerank — Page et al. 1999 as a fixed 3-iteration "
+        "power method over the same symmetric near-dup graph): message "
+        "sums accumulate in exact DECIMAL (order-free partials at any "
+        "parallelism, same scheme as the decimal-exact PQ trainer), so "
+        "every rank hashes with no tolerance contract; per iteration "
+        "one edges-to-ranks join + one map-side-combined groupBy + one "
+        "node left-join, no windows; isolated docs settle at the "
+        "teleport mass."
     ),
 )
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -553,4 +577,24 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         "canon_id",
         (F.col("doc_id") == F.col("canon_id")).cast("int").alias("is_canon"),
     )
-    return tagged_union({"closure": labeled, "canon": canon})
+    # duplicate-centrality prior (operators/pagerank): decimal-exact
+    # PageRank over the SAME symmetric near-dup graph — a document
+    # similar to many near-dups is its cluster's backbone; isolated
+    # docs settle at the teleport mass.  Every float op is
+    # engine-portable, so the ranks hash with no tolerance contract.
+    from mongo2mysql_spark.operators.pagerank import pagerank
+
+    sym = (
+        pairs.select(F.col("id_1").alias("src"), F.col("id_2").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_2").alias("src"), F.col("id_1").alias("dst"))
+        )
+        .distinct()
+    )
+    pr = pagerank(d.select("doc_id"), sym, "doc_id", iters=3).select(
+        F.col("node").alias("doc_id"),
+        F.round(F.col("rank").cast("decimal(28,12)"), 9)
+        .cast("double")
+        .alias("pr_rank"),
+    )
+    return tagged_union({"closure": labeled, "canon": canon, "pagerank": pr})

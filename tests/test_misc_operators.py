@@ -1356,3 +1356,31 @@ def test_rolling_frame_stats_matches_python_reference_random(spark):
             assert g["is_constant_window"] == (ready and var_n2 == 0)
             d = n * vq[i] - s
             assert g["is_anomaly"] == (ready and var_n2 > 0 and d * d > 4 * var_n2)
+
+
+def test_pagerank_decimal_exact_and_partition_invariant(spark):
+    """operators/pagerank: the fixed-iteration power method must be
+    BIT-equal across partitionings (exact decimal message sums — the
+    property that makes graph centrality hashable at all), rank the
+    star hub above its leaves, hold isolated nodes at the teleport
+    mass, and keep total mass <= 1 (dangling mass is dropped, not
+    redistributed — documented variant)."""
+    from mongo2mysql_spark.operators.pagerank import pagerank
+
+    nodes = spark.createDataFrame([(i,) for i in range(8)], "id long")
+    E = [(1, 0), (2, 0), (3, 0), (4, 0), (0, 1), (5, 6)]
+    edges = spark.createDataFrame(E, "src long, dst long")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(nodes, edges, "id", iters=3).collect()
+    }
+    again = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            nodes.repartition(5), edges.repartition(3), "id", iters=3
+        ).collect()
+    }
+    assert got == again, "ranks drifted across partitionings"
+    assert got[0] > got[1] > got[2], "hub must outrank spoke outranks leaf"
+    assert abs(got[7] - 0.15 / 8) < 1e-15  # isolated node: teleport mass
+    assert sum(got.values()) <= 1.0 + 1e-12
