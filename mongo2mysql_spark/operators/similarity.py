@@ -435,6 +435,80 @@ def sign_pack_sql(
     return [word(lo, min(lo + 32, dim)) for lo in range(0, dim, 32)]
 
 
+def sign_pack(
+    df: DataFrame, id_col: str, vec_col: str, dim: int
+) -> DataFrame:
+    """(id, __w0..__wN) — raw sign bits packed to words; ONE map-only
+    projection.  This frame IS the stored BQ index in a deployment
+    (the 32× read cut comes from scanning these words instead of the
+    float vectors) — build it once at ingest, pass it to
+    :func:`topk_hamming` as ``corpus_packed``."""
+    words = sign_pack_sql(vec_col, dim)
+    return df.select(
+        F.col(id_col),
+        *[F.expr(w).alias(f"__w{i}") for i, w in enumerate(words)],
+    )
+
+
+def simhash_pack(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_bits: int,
+    seed: int = 0,
+) -> DataFrame:
+    """(id, __w0..__wN) — FWHT-SimHash signatures packed to words (see
+    :func:`fwht_stages`); the stored wide-BQ index, built once at
+    ingest and served by :func:`topk_simhash` via ``corpus_packed``."""
+    stages = fwht_stages(vec_col, dim, n_bits, seed=seed)
+    words = simhash_pack_sql([n for n, _ in stages[-1]])
+    cur = df.select(F.col(id_col), F.col(vec_col))
+    for stage in stages:
+        cur = cur.select(
+            id_col, *[F.expr(txt).alias(n) for n, txt in stage]
+        )
+    return cur.select(
+        id_col,
+        *[F.expr(w).alias(f"__w{i}") for i, w in enumerate(words)],
+    )
+
+
+def _hamming_topk_from_packed(
+    corpus_packed: DataFrame,
+    queries_packed: DataFrame,
+    id_col: str,
+    n_words: int,
+    k: int,
+) -> DataFrame:
+    """Shared Hamming rank over packed words: broadcast the packed
+    queries, XOR+popcount per word, salted per-query top-k."""
+    from mongo2mysql_spark.operators.skew import salted_topk_per_group
+
+    qp = queries_packed.select(
+        F.col(id_col).alias("query_id"),
+        *[F.col(f"__w{i}").alias(f"__q{i}") for i in range(n_words)],
+    )
+    ham = F.bit_count(F.expr("__w0 ^ __q0"))
+    for i in range(1, n_words):
+        ham = ham + F.bit_count(F.expr(f"__w{i} ^ __q{i}"))
+    scored = (
+        corpus_packed.crossJoin(F.broadcast(qp))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            ham.cast("int").alias("ham"),
+        )
+    )
+    return salted_topk_per_group(
+        scored,
+        ["query_id"],
+        [F.col("ham").asc(), F.col("neighbor_id").asc()],
+        k,
+    )
+
+
 def topk_hamming(
     corpus: DataFrame,
     queries: DataFrame,
@@ -442,6 +516,7 @@ def topk_hamming(
     vec_col: str,
     dim: int,
     k: int = 10,
+    corpus_packed: DataFrame | None = None,
 ) -> DataFrame:
     """Hamming-space ANN over sign-quantized vectors (Charikar, STOC
     2002 SimHash family; the 'binary quantization' serving mode of
@@ -460,35 +535,16 @@ def topk_hamming(
 
     Every value in the result is integer arithmetic — ranks, distances
     and ids all hash bit-identically cross-engine with NO decimal/float
-    contract needed.  Returns (query_id, neighbor_id, ham, rank)."""
-    from mongo2mysql_spark.operators.skew import salted_topk_per_group
-
-    words = sign_pack_sql(vec_col, dim)
-    packed = corpus.select(
-        F.col(id_col),
-        *[F.expr(w).alias(f"__b{i}") for i, w in enumerate(words)],
-    )
-    qp = queries.select(
-        F.col(id_col).alias("query_id"),
-        *[F.expr(w).alias(f"__q{i}") for i, w in enumerate(words)],
-    )
-    ham = F.bit_count(F.expr("__b0 ^ __q0"))
-    for i in range(1, len(words)):
-        ham = ham + F.bit_count(F.expr(f"__b{i} ^ __q{i}"))
-    scored = (
-        packed.crossJoin(F.broadcast(qp))
-        .filter(F.col(id_col) != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col(id_col).alias("neighbor_id"),
-            ham.cast("int").alias("ham"),
-        )
-    )
-    return salted_topk_per_group(
-        scored,
-        ["query_id"],
-        [F.col("ham").asc(), F.col("neighbor_id").asc()],
-        k,
+    contract needed.  ``corpus_packed`` (optional, a :func:`sign_pack`
+    frame) is the STORED index path: a deployment packs once at ingest
+    and serving scans the words, never the floats.  Returns
+    (query_id, neighbor_id, ham, rank)."""
+    n_words = (dim + 31) // 32
+    if corpus_packed is None:
+        corpus_packed = sign_pack(corpus, id_col, vec_col, dim)
+    return _hamming_topk_from_packed(
+        corpus_packed, sign_pack(queries, id_col, vec_col, dim),
+        id_col, n_words, k,
     )
 
 
@@ -602,6 +658,7 @@ def topk_simhash(
     n_bits: int = 128,
     k: int = 10,
     seed: int = 0,
+    corpus_packed: DataFrame | None = None,
 ) -> DataFrame:
     """WIDE binary quantization: Hamming ANN over ``n_bits``-bit SimHash
     signatures with ``n_bits`` decoupled from the vector dimension —
@@ -617,44 +674,18 @@ def topk_simhash(
     Like :func:`topk_hamming` the whole search path is integer-valued —
     signatures, distances, ranks and ids all hash cross-engine (the
     sign diagonal is engine-portable integer parities, not xxhash; the
-    butterfly float chain is op-for-op identical).  Returns
-    (query_id, neighbor_id, ham, rank)."""
-    from mongo2mysql_spark.operators.skew import salted_topk_per_group
-
-    stages = fwht_stages(vec_col, dim, n_bits, seed=seed)
-    names = [n for n, _ in stages[-1]]
-    words = simhash_pack_sql(names)
-
-    def packed(df: DataFrame, out_id: str) -> DataFrame:
-        cur = df.select(F.col(id_col).alias(out_id), F.col(vec_col))
-        for stage in stages:
-            cur = cur.select(
-                out_id, *[F.expr(txt).alias(n) for n, txt in stage]
-            )
-        tag = "b" if out_id == id_col else "q"
-        return cur.select(
-            out_id,
-            *[F.expr(w).alias(f"__{tag}{i}") for i, w in enumerate(words)],
-        )
-
-    corpus_p = packed(corpus, id_col)
-    queries_p = packed(queries, "query_id")
-    ham = F.bit_count(F.expr("__b0 ^ __q0"))
-    for i in range(1, len(words)):
-        ham = ham + F.bit_count(F.expr(f"__b{i} ^ __q{i}"))
-    scored = (
-        corpus_p.crossJoin(F.broadcast(queries_p))
-        .filter(F.col(id_col) != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col(id_col).alias("neighbor_id"),
-            ham.cast("int").alias("ham"),
-        )
-    )
-    return salted_topk_per_group(
-        scored,
-        ["query_id"],
-        [F.col("ham").asc(), F.col("neighbor_id").asc()],
+    butterfly float chain is op-for-op identical).  ``corpus_packed``
+    (optional, a :func:`simhash_pack` frame with the SAME
+    dim/n_bits/seed) is the STORED index path — pack once at ingest,
+    serve the words.  Returns (query_id, neighbor_id, ham, rank)."""
+    n_words = (n_bits + 31) // 32
+    if corpus_packed is None:
+        corpus_packed = simhash_pack(corpus, id_col, vec_col, dim, n_bits, seed)
+    return _hamming_topk_from_packed(
+        corpus_packed,
+        simhash_pack(queries, id_col, vec_col, dim, n_bits, seed),
+        id_col,
+        n_words,
         k,
     )
 
@@ -742,6 +773,7 @@ def topk_hamming_rescore(
     dim: int,
     k: int = 10,
     overfetch: int = 10,
+    corpus_packed: DataFrame | None = None,
 ) -> DataFrame:
     """The practical BQ serving funnel: Hamming-prune to ``k·overfetch``
     candidates over the packed bits (integer scan — the cheap pass),
@@ -754,7 +786,8 @@ def topk_hamming_rescore(
     from mongo2mysql_spark.functions.vector import cosine_seq
 
     cand = topk_hamming(
-        corpus, queries, id_col, vec_col, dim, k=k * overfetch
+        corpus, queries, id_col, vec_col, dim, k=k * overfetch,
+        corpus_packed=corpus_packed
     ).select("query_id", "neighbor_id", "ham")
     rescored = (
         cand.join(

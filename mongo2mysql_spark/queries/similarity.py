@@ -209,6 +209,27 @@ def _pq_store_codes_memo(spark: SparkSession, sf_dir: str, cb) -> tuple:
     )
 
 
+# packed BQ signatures (raw sign words + FWHT-SimHash words) — the
+# stored binary index a deployment serves from, built once per
+# (application, sf_dir)
+_BQ_MEMO: dict[tuple, tuple] = {}
+
+
+def _bq_index(spark: SparkSession, sf_dir: str, e: DataFrame) -> tuple:
+    from mongo2mysql_spark.operators.similarity import sign_pack, simhash_pack
+    from mongo2mysql_spark.queries import slot_memo
+
+    def build() -> tuple:
+        return (
+            sign_pack(e, "vec_id", "embedding", 64).localCheckpoint(),
+            simhash_pack(
+                e, "vec_id", "embedding", 64, SH_BITS
+            ).localCheckpoint(),
+        )
+
+    return slot_memo(_BQ_MEMO, spark, sf_dir, build)
+
+
 # IVF-partitioned store path (sources/ivfstore — the index as table
 # layout), written once per (application, sf_dir): index builds are
 # write-once, probes read only their cells' directories
@@ -453,14 +474,24 @@ def ann_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = T(spark, sf_dir, "embeddings", fanout=True)
     q = e.filter(F.col("vec_id") < N_QUERIES)
+    # packed BQ words are INDEX STATE (a deployment stores the words —
+    # that is the 32× read cut): built once per (app, sf_dir), serving
+    # scans them; the bounded query side packs per call
+    signs, shwords = _bq_index(spark, sf_dir, e)
     cols = ["query_id", "neighbor_id", "cosine", "rank"]
     fold = topk_bruteforce(e, q, "vec_id", "embedding", k=10).select(*cols)
     arrow = topk_bruteforce_arrow(e, q, "vec_id", "embedding", k=10).select(*cols)
-    ham = topk_hamming(e, q, "vec_id", "embedding", dim=64, k=10)
-    bqr = topk_hamming_rescore(
-        e, q, "vec_id", "embedding", dim=64, k=10, overfetch=10
+    ham = topk_hamming(
+        e, q, "vec_id", "embedding", dim=64, k=10, corpus_packed=signs
     )
-    sh = topk_simhash(e, q, "vec_id", "embedding", dim=64, n_bits=SH_BITS, k=10)
+    bqr = topk_hamming_rescore(
+        e, q, "vec_id", "embedding", dim=64, k=10, overfetch=10,
+        corpus_packed=signs,
+    )
+    sh = topk_simhash(
+        e, q, "vec_id", "embedding", dim=64, n_bits=SH_BITS, k=10,
+        corpus_packed=shwords,
+    )
     mrl = topk_truncated_rescore(
         e, q, "vec_id", "embedding",
         prefix_dim=MRL_PREFIX, k=10, overfetch=MRL_OVERFETCH,
