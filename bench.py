@@ -56,6 +56,7 @@ HEADLINE = [
     "streaming_enrich_join",
     "streaming_stateful_quota",
     "mm_payload_decode",
+    "diversify_select",
 ]
 
 
@@ -100,6 +101,7 @@ BRANCHED = {
     "text_bm25_search": ("branch", ["bm25", "rrf"]),
     "dedup_connected_components": ("branch", ["closure", "canon",
                                               "pagerank"]),
+    "diversify_select": ("branch", ["mmr", "kcenter"]),
 }
 
 

@@ -110,6 +110,7 @@ def load_all() -> dict[str, Query]:
     """
     from mongo2mysql_spark.queries import (  # noqa: F401
         similarity,
+        diversify,
         text,
         ext,
         corpus,

@@ -1,0 +1,225 @@
+"""Diversity-selection queries (extension layer): MMR-diversified
+retrieval and greedy k-center coreset selection, one tagged slot.
+
+Oracle parity: the greedy loops are UNROLLED into chained CTEs (one
+pair of argmax-resolve CTEs per pick — no recursive-CTE semantics in
+the hash contract).  Both engines resolve every argmax the same
+tie-safe way: max(score) first, then min(id) among exact-equals; the
+scores themselves are the ROUND(·,6) fold cosine / fixed-order squared
+-L2 fold, bit-identical by the functions/vector.py contract, and the
+MMR combine is two products and a subtract with literal λ on both
+sides (the Python-float λ and 1−λ are emitted via ``repr`` so the SQL
+literal parses to the same double Spark's ``F.lit`` carries).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mongo2mysql_spark.functions.vector import sql_dot, sql_norm
+from mongo2mysql_spark.operators.diversify import sql_l2sq
+from mongo2mysql_spark.queries import register
+from mongo2mysql_spark.sources import load_table as T
+
+N_QUERIES = 5
+MMR_K = 5
+MMR_OVERFETCH = 5  # candidate pool = MMR_K * MMR_OVERFETCH per query
+MMR_LAM = 0.7
+KC_K = 6
+
+
+def _cos(a: str, b: str) -> str:
+    return f"ROUND({sql_dot(a, b)} / ({sql_norm(a)} * {sql_norm(b)}), 6)"
+
+
+def _mmr_ctes(k: int, n_cand: int, lam: float) -> tuple[str, list[str]]:
+    """Unrolled MMR greedy as chained CTEs.  Returns (cte_sql, pick
+    CTE names in rank order); each pick CTE has (query_id, sid, score).
+    """
+    lam_s = f"CAST({lam!r} AS DOUBLE)"
+    oml_s = f"CAST({1.0 - lam!r} AS DOUBLE)"
+    ctes = [
+        f"""mmrscore AS MATERIALIZED (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             {_cos('q.embedding', 'e.embedding')} AS rel
+      FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+      WHERE q.vec_id < {N_QUERIES})""",
+        f"""mmrcand AS MATERIALIZED (
+      SELECT query_id, neighbor_id, rel FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY rel DESC, neighbor_id) AS rn
+        FROM mmrscore)
+      WHERE rn <= {n_cand})""",
+        f"""mmrsims AS MATERIALIZED (
+      SELECT a.query_id, a.neighbor_id AS a_id, b.neighbor_id AS b_id,
+             {_cos('ea.embedding', 'eb.embedding')} AS sim
+      FROM mmrcand a
+      JOIN mmrcand b ON b.query_id = a.query_id
+                    AND b.neighbor_id <> a.neighbor_id
+      JOIN embeddings ea ON ea.vec_id = a.neighbor_id
+      JOIN embeddings eb ON eb.vec_id = b.neighbor_id)""",
+        """mmrb1 AS MATERIALIZED (
+      SELECT query_id, max(rel) AS score FROM mmrcand GROUP BY query_id)""",
+        """mmrs1 AS MATERIALIZED (
+      SELECT c.query_id, min(c.neighbor_id) AS sid, b.score
+      FROM mmrcand c JOIN mmrb1 b ON b.query_id = c.query_id
+                                 AND c.rel = b.score
+      GROUP BY c.query_id, b.score)""",
+    ]
+    picks = ["mmrs1"]
+    sel_union = "SELECT query_id, sid FROM mmrs1"
+    for t in range(2, k + 1):
+        ctes.append(f"mmrsel{t - 1} AS MATERIALIZED ({sel_union})")
+        ctes.append(
+            f"""mmrg{t} AS MATERIALIZED (
+      SELECT s.query_id, s.a_id,
+             ({lam_s} * c.rel) - ({oml_s} * max(s.sim)) AS mmr
+      FROM mmrsims s
+      JOIN mmrsel{t - 1} x ON x.query_id = s.query_id AND x.sid = s.b_id
+      JOIN mmrcand c ON c.query_id = s.query_id AND c.neighbor_id = s.a_id
+      WHERE NOT EXISTS (SELECT 1 FROM mmrsel{t - 1} y
+                        WHERE y.query_id = s.query_id AND y.sid = s.a_id)
+      GROUP BY s.query_id, s.a_id, c.rel)"""
+        )
+        ctes.append(
+            f"""mmrb{t} AS MATERIALIZED (
+      SELECT query_id, max(mmr) AS score FROM mmrg{t} GROUP BY query_id)"""
+        )
+        ctes.append(
+            f"""mmrs{t} AS MATERIALIZED (
+      SELECT g.query_id, min(g.a_id) AS sid, b.score
+      FROM mmrg{t} g JOIN mmrb{t} b ON b.query_id = g.query_id
+                                   AND g.mmr = b.score
+      GROUP BY g.query_id, b.score)"""
+        )
+        picks.append(f"mmrs{t}")
+        sel_union += f" UNION ALL SELECT query_id, sid FROM mmrs{t}"
+    return ",\n    ".join(ctes), picks
+
+
+def _kcenter_ctes(k: int) -> tuple[str, list[str]]:
+    """Unrolled farthest-first traversal.  Returns (cte_sql, center CTE
+    names); kc1 has (sid), kc2.. have (sid, radius)."""
+    ctes = [
+        "kc1 AS MATERIALIZED (SELECT min(vec_id) AS sid FROM embeddings)",
+        f"""kd1 AS MATERIALIZED (
+      SELECT e.vec_id AS pid,
+             e.embedding AS v,
+             {sql_l2sq('e.embedding', 'c.embedding')} AS dmin
+      FROM embeddings e, embeddings c
+      WHERE c.vec_id = (SELECT sid FROM kc1))""",
+    ]
+    names = ["kc1"]
+    sel = "SELECT sid FROM kc1"
+    for t in range(2, k + 1):
+        prev = f"kd{t - 1}"
+        ctes.append(
+            f"""kb{t} AS MATERIALIZED (
+      SELECT max(dmin) AS radius FROM {prev}
+      WHERE pid NOT IN ({sel}))"""
+        )
+        ctes.append(
+            f"""kc{t} AS MATERIALIZED (
+      SELECT min(pid) AS sid, (SELECT radius FROM kb{t}) AS radius
+      FROM {prev}
+      WHERE dmin = (SELECT radius FROM kb{t})
+        AND pid NOT IN ({sel}))"""
+        )
+        names.append(f"kc{t}")
+        sel += f" UNION ALL SELECT sid FROM kc{t}"
+        if t < k:
+            ctes.append(
+                f"""kd{t} AS MATERIALIZED (
+      SELECT d.pid, d.v,
+             least(d.dmin, {sql_l2sq('d.v', 'c.embedding')}) AS dmin
+      FROM {prev} d, embeddings c
+      WHERE c.vec_id = (SELECT sid FROM kc{t}))"""
+            )
+    return ",\n    ".join(ctes), names
+
+
+def _oracle() -> str:
+    mmr_ctes, mmr_picks = _mmr_ctes(MMR_K, MMR_K * MMR_OVERFETCH, MMR_LAM)
+    kc_ctes, kc_names = _kcenter_ctes(KC_K)
+    mmr_rows = "\n    UNION ALL\n    ".join(
+        f"""SELECT 'mmr' AS branch, s.query_id, s.sid AS neighbor_id,
+           CAST({t} AS INTEGER) AS rank, c.rel AS relevance, s.score
+    FROM {name} s JOIN mmrcand c ON c.query_id = s.query_id
+                                AND c.neighbor_id = s.sid"""
+        for t, name in enumerate(mmr_picks, start=1)
+    )
+    kc_rows = [
+        """SELECT 'kcenter' AS branch, CAST(NULL AS BIGINT) AS query_id,
+           sid AS neighbor_id, CAST(1 AS INTEGER) AS rank,
+           CAST(NULL AS DOUBLE) AS relevance, CAST(NULL AS DOUBLE) AS score
+    FROM kc1"""
+    ]
+    for t, name in enumerate(kc_names[1:], start=2):
+        kc_rows.append(
+            f"""SELECT 'kcenter' AS branch, CAST(NULL AS BIGINT) AS query_id,
+           sid AS neighbor_id, CAST({t} AS INTEGER) AS rank,
+           CAST(NULL AS DOUBLE) AS relevance, radius AS score
+    FROM {name}"""
+        )
+    return f"""
+    WITH {mmr_ctes},
+    {kc_ctes}
+    {mmr_rows}
+    UNION ALL
+    {"    UNION ALL    ".join(kc_rows)}
+    """
+
+
+@register(
+    "diversify_select",
+    _oracle(),
+    doc=(
+        "diversity-aware selection, two branches in one tagged slot.  "
+        "'mmr' rows: Maximal Marginal Relevance re-ranking (Carbonell & "
+        f"Goldstein, SIGIR 1998) — top-{MMR_K} per query at "
+        f"λ={MMR_LAM} over a salted top-{MMR_K * MMR_OVERFETCH} "
+        "candidate prune; each greedy pick maximizes λ·rel − "
+        "(1−λ)·max-sim-to-selected over the bounded candidate set "
+        "(operators/diversify.mmr_topk — the standard diversification "
+        "pass of retrieval and example-selection pipelines).  'kcenter' "
+        f"rows: greedy farthest-first traversal (Gonzalez 1985), {KC_K} "
+        "centers seeded at the min id — the 2-approximate k-center "
+        "coreset selector (Sener & Savarese, ICLR 2018) for "
+        "embedding-space data pruning; 'score' carries the squared "
+        "cover radius at each pick (non-increasing).  Both greedy "
+        "loops are unrolled into chained CTEs in the oracle, every "
+        "argmax resolved max-then-min-id on both engines, so picks, "
+        "ranks, relevances and radii all hash bit-identically."
+    ),
+)
+def diversify_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mongo2mysql_spark.operators.diversify import kcenter_select, mmr_topk
+
+    e = T(spark, sf_dir, "embeddings", fanout=True)
+    q = e.filter(F.col("vec_id") < N_QUERIES)
+    mmr = mmr_topk(
+        e,
+        q,
+        "vec_id",
+        "embedding",
+        k=MMR_K,
+        overfetch=MMR_OVERFETCH,
+        lam=MMR_LAM,
+    ).select(
+        F.lit("mmr").alias("branch"),
+        "query_id",
+        "neighbor_id",
+        "rank",
+        "relevance",
+        "score",
+    )
+    kc = kcenter_select(e, "vec_id", "embedding", k=KC_K).select(
+        F.lit("kcenter").alias("branch"),
+        F.lit(None).cast("bigint").alias("query_id"),
+        F.col("center_id").alias("neighbor_id"),
+        "rank",
+        F.lit(None).cast("double").alias("relevance"),
+        F.col("radius").alias("score"),
+    )
+    return mmr.unionByName(kc)
