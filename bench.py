@@ -57,6 +57,7 @@ HEADLINE = [
     "streaming_stateful_quota",
     "mm_payload_decode",
     "diversify_select",
+    "events_funnel_retention",
 ]
 
 
@@ -102,6 +103,8 @@ BRANCHED = {
     "dedup_connected_components": ("branch", ["closure", "canon",
                                               "pagerank"]),
     "diversify_select": ("branch", ["mmr", "kcenter"]),
+    "events_funnel_retention": ("branch", ["funnel", "retention",
+                                           "transitions"]),
 }
 
 

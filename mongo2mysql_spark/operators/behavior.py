@@ -1,0 +1,170 @@
+"""Behavioral / user-journey analytics over event streams (extension
+layer — the event-analytics operator family of product-analytics
+engines; the reference's 556-LoC ETL core has no event surface).
+
+Three classic operators over an (event_id, ts, user_id, event_type)
+stream:
+
+- **Ordered funnel** (:func:`funnel_counts`): how many users performed
+  step 1, then step 2 STRICTLY AFTER their step-1 completion, then
+  step 3 after that… — the sequential-conversion query every event
+  store ships (Amplitude/Mixpanel funnels, ClickHouse
+  ``windowFunnel``).  Step ordering compares ``(ts, event_id)``
+  lexicographically so same-timestamp events can't fork engines.
+- **Retention cohorts** (:func:`retention_cohorts`): users grouped by
+  first-seen week; for each (cohort, week-offset) cell, how many were
+  active — the triangle every growth dashboard draws.
+- **Event transitions** (:func:`event_transitions`): the first-order
+  Markov transition counts between consecutive events of the same
+  user — journey mining / next-action analysis.
+
+Scale shape:
+
+- The funnel is k passes, each ``filter(event_type = step)`` (predicate
+  pushed to the scan — a step touches only its own rows) → join against
+  the previous step's per-user completion frame (user-cardinality, not
+  event-cardinality) → one map-side-combined min aggregate.  Shuffles
+  key on ``user_id`` (high-cardinality, skew-safe).  Completion frames
+  are lineage-truncated per step (each is referenced twice: next step's
+  join + its own count).
+- Retention is two aggregates over (user, week) — the DISTINCT
+  projection collapses the event stream to at most users×weeks rows
+  before the cell counts.
+- Transitions use the per-user ordered window — the same
+  high-cardinality-partition window sessionization uses; no
+  low-cardinality funnel anywhere (the tiny step-count frame at the
+  end is bounded by len(steps)).
+
+Determinism: every output is integer counts, dates, and one
+int-over-int IEEE double division per rate — bit-identical across
+engines with no decimal contract needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def funnel_counts(
+    events: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    id_col: str,
+    steps: list[str],
+) -> DataFrame:
+    """Ordered-funnel user counts: row i = users whose step-i event
+    happened strictly after their step-(i−1) completion, where a
+    completion is the lexicographic ``min((ts, id))`` over qualifying
+    events (= earliest ts, min id among its ties — the same
+    max-then-min-id resolve the diversity selectors use, so float/ts
+    ties can't fork engines).
+
+    Output: (step 1-based INT, event_type, users, denom = previous
+    step's users, rate = users/denom as IEEE double; NULLs at step 1).
+    """
+    if len(steps) < 2:
+        raise ValueError("a funnel needs at least 2 steps")
+    counts: list[DataFrame] = []
+    reached: DataFrame | None = None
+    at = F.struct(F.col(ts_col), F.col(id_col))
+    for i, step in enumerate(steps, start=1):
+        ev = events.filter(F.col(type_col) == step)
+        if reached is not None:
+            ev = ev.join(reached, user_col).filter(at > F.col("__at"))
+        reached = (
+            ev.groupBy(user_col).agg(F.min(at).alias("__at"))
+        ).localCheckpoint(eager=False)
+        counts.append(
+            reached.agg(F.count(F.lit(1)).alias("users")).select(
+                F.lit(i).alias("step"),
+                F.lit(step).alias("event_type"),
+                "users",
+            )
+        )
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    # conversion vs the previous step as a self-join on the bounded
+    # len(steps)-row frame (a lag window here would be a partitionless
+    # WindowExec — needless even when bounded)
+    prev = out.select(
+        (F.col("step") + 1).alias("step"), F.col("users").alias("denom")
+    )
+    return out.join(prev, "step", "left").select(
+        "step",
+        "event_type",
+        "users",
+        "denom",
+        F.when(
+            F.col("denom") > 0,
+            F.col("users").cast("double") / F.col("denom").cast("double"),
+        ).alias("rate"),
+    )
+
+
+def retention_cohorts(
+    events: DataFrame, user_col: str, ts_col: str
+) -> DataFrame:
+    """Weekly retention triangle: cohort = Monday-truncated week of the
+    user's first event; a (cohort, offset) cell counts users with any
+    event in cohort-week + offset.
+
+    Output: (cohort_week DATE, week_offset INT, active, cohort_size,
+    rate) — offset 0 rows have rate 1.0 by construction.
+    """
+    wk = F.date_trunc("week", F.col(ts_col)).cast("date")
+    first = events.groupBy(user_col).agg(F.min(wk).alias("cohort_week"))
+    sizes = first.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    active = (
+        events.select(F.col(user_col), wk.alias("wk"))
+        .distinct()
+        .join(first, user_col)
+    )
+    cells = active.groupBy(
+        "cohort_week",
+        (F.datediff(F.col("wk"), F.col("cohort_week")) / 7)
+        .cast("int")
+        .alias("week_offset"),
+    ).agg(F.count(F.lit(1)).alias("active"))
+    return cells.join(sizes, "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "active",
+        "cohort_size",
+        (F.col("active").cast("double") / F.col("cohort_size").cast("double"))
+        .alias("rate"),
+    )
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    id_col: str,
+) -> DataFrame:
+    """First-order Markov transition counts between a user's
+    consecutive events (ordered by (ts, id)); ``prob`` normalizes per
+    source type.  Output: (event_type, next_type, n, total, prob)."""
+    w = W.partitionBy(user_col).orderBy(ts_col, id_col)
+    pairs = events.select(
+        F.col(type_col).alias("event_type"),
+        F.lead(type_col).over(w).alias("next_type"),
+    ).filter(F.col("next_type").isNotNull())
+    counted = pairs.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = counted.groupBy("event_type").agg(F.sum("n").alias("total"))
+    return counted.join(totals, "event_type").select(
+        "event_type",
+        "next_type",
+        "n",
+        "total",
+        (F.col("n").cast("double") / F.col("total").cast("double")).alias(
+            "prob"
+        ),
+    )

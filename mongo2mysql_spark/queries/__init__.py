@@ -111,6 +111,7 @@ def load_all() -> dict[str, Query]:
     from mongo2mysql_spark.queries import (  # noqa: F401
         similarity,
         diversify,
+        behavior,
         text,
         ext,
         corpus,

@@ -1,0 +1,196 @@
+"""Behavioral-analytics queries (extension layer): ordered funnel,
+weekly retention cohorts, and Markov event transitions over the
+``events`` stream, one tagged slot.
+
+Oracle parity: everything is integer counts, Monday-truncated weeks
+and one int-over-int IEEE division per rate.  The funnel's per-step
+completion — Spark's ``min(struct(ts, event_id))`` — is restated as
+the two-phase resolve (min ts among qualifying events, then min id at
+that ts among qualifying), which is the same value by lexicographic-
+min definition; step qualification uses SQL row comparison
+``(ts, event_id) > (t, i)`` mirroring the struct comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mongo2mysql_spark.queries import register
+from mongo2mysql_spark.sources import load_table as T
+
+FUNNEL_STEPS = ["signup", "view", "click", "purchase"]
+
+
+def _funnel_ctes(steps: list[str]) -> str:
+    ctes = []
+    for i, step in enumerate(steps, start=1):
+        qualify = f"e.event_type = '{step}'"
+        joins = ""
+        if i > 1:
+            joins = f"JOIN fs{i - 1} p ON p.user_id = e.user_id"
+            qualify += " AND (e.ts, e.event_id) > (p.t, p.i)"
+        ctes.append(
+            f"""fs{i}a AS (
+      SELECT e.user_id, min(e.ts) AS t
+      FROM events e {joins}
+      WHERE {qualify}
+      GROUP BY e.user_id)"""
+        )
+        ctes.append(
+            f"""fs{i} AS (
+      SELECT e.user_id, a.t, min(e.event_id) AS i
+      FROM events e
+      JOIN fs{i}a a ON a.user_id = e.user_id AND e.ts = a.t
+      {joins}
+      WHERE {qualify}
+      GROUP BY e.user_id, a.t)"""
+        )
+    count_rows = "\n      UNION ALL ".join(
+        f"SELECT CAST({i} AS INTEGER) AS step, '{step}' AS event_type, "
+        f"count(*) AS users FROM fs{i}"
+        for i, step in enumerate(steps, start=1)
+    )
+    ctes.append(f"fcounts AS (\n      {count_rows})")
+    ctes.append(
+        """funnel AS (
+      SELECT c.step, c.event_type, c.users, p.users AS denom,
+             CASE WHEN p.users > 0
+                  THEN CAST(c.users AS DOUBLE) / CAST(p.users AS DOUBLE)
+             END AS rate
+      FROM fcounts c LEFT JOIN fcounts p ON p.step = c.step - 1)"""
+    )
+    return ",\n    ".join(ctes)
+
+
+_RETENTION_CTES = """rfirst AS (
+      SELECT user_id, min(CAST(date_trunc('week', ts) AS DATE)) AS cohort_week
+      FROM events GROUP BY user_id),
+    rsizes AS (
+      SELECT cohort_week, count(*) AS cohort_size
+      FROM rfirst GROUP BY cohort_week),
+    ractive AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+      FROM events),
+    rcells AS (
+      SELECT f.cohort_week,
+             CAST(date_diff('day', f.cohort_week, a.wk) / 7 AS INTEGER)
+               AS week_offset,
+             count(*) AS active
+      FROM ractive a JOIN rfirst f USING (user_id)
+      GROUP BY 1, 2),
+    retention AS (
+      SELECT c.cohort_week, c.week_offset, c.active, s.cohort_size,
+             CAST(c.active AS DOUBLE) / CAST(s.cohort_size AS DOUBLE) AS rate
+      FROM rcells c JOIN rsizes s USING (cohort_week))"""
+
+_TRANSITION_CTES = """tpairs AS (
+      SELECT event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events),
+    tcount AS (
+      SELECT event_type, next_type, count(*) AS n
+      FROM tpairs WHERE next_type IS NOT NULL
+      GROUP BY 1, 2),
+    ttot AS (
+      SELECT event_type, CAST(sum(n) AS BIGINT) AS tot
+      FROM tcount GROUP BY event_type),
+    transitions AS (
+      SELECT c.event_type, c.next_type, c.n, t.tot,
+             CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE) AS prob
+      FROM tcount c JOIN ttot t USING (event_type))"""
+
+
+@register(
+    "events_funnel_retention",
+    f"""
+    WITH {_funnel_ctes(FUNNEL_STEPS)},
+    {_RETENTION_CTES},
+    {_TRANSITION_CTES}
+    SELECT 'funnel' AS branch, step, event_type,
+           CAST(NULL AS VARCHAR) AS next_type,
+           CAST(NULL AS DATE) AS cohort_week,
+           CAST(NULL AS INTEGER) AS week_offset,
+           users, denom, rate
+    FROM funnel
+    UNION ALL
+    SELECT 'retention' AS branch, CAST(NULL AS INTEGER) AS step,
+           CAST(NULL AS VARCHAR) AS event_type,
+           CAST(NULL AS VARCHAR) AS next_type,
+           cohort_week, week_offset,
+           active AS users, cohort_size AS denom, rate
+    FROM retention
+    UNION ALL
+    SELECT 'transitions' AS branch, CAST(NULL AS INTEGER) AS step,
+           event_type, next_type,
+           CAST(NULL AS DATE) AS cohort_week,
+           CAST(NULL AS INTEGER) AS week_offset,
+           n AS users, tot AS denom, prob AS rate
+    FROM transitions
+    """,
+    doc=(
+        "behavioral analytics over the event stream, three branches in "
+        "one tagged slot.  'funnel' rows: the ordered conversion funnel "
+        f"{'→'.join(FUNNEL_STEPS)} (operators/behavior.funnel_counts — "
+        "step i counts users whose step-i event falls strictly after "
+        "their step-(i−1) completion, (ts, event_id)-lexicographic; the "
+        "ClickHouse-windowFunnel / product-analytics shape).  "
+        "'retention' rows: the weekly retention triangle — cohort = "
+        "Monday week of first event, cells = distinct active users per "
+        "(cohort, week offset).  'transitions' rows: first-order Markov "
+        "transition counts + per-source probabilities between a user's "
+        "consecutive events (journey mining).  All counts integer, "
+        "rates one int-over-int IEEE division — fully hashable with no "
+        "float contract."
+    ),
+)
+def events_funnel_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mongo2mysql_spark.operators.behavior import (
+        event_transitions,
+        funnel_counts,
+        retention_cohorts,
+    )
+
+    e = T(spark, sf_dir, "events")
+    nul_s = F.lit(None).cast("string")
+    nul_i = F.lit(None).cast("int")
+    nul_d = F.lit(None).cast("date")
+    fun = funnel_counts(
+        e, "user_id", "event_type", "ts", "event_id", FUNNEL_STEPS
+    ).select(
+        F.lit("funnel").alias("branch"),
+        "step",
+        "event_type",
+        nul_s.alias("next_type"),
+        nul_d.alias("cohort_week"),
+        nul_i.alias("week_offset"),
+        "users",
+        "denom",
+        "rate",
+    )
+    ret = retention_cohorts(e, "user_id", "ts").select(
+        F.lit("retention").alias("branch"),
+        nul_i.alias("step"),
+        nul_s.alias("event_type"),
+        nul_s.alias("next_type"),
+        "cohort_week",
+        "week_offset",
+        F.col("active").alias("users"),
+        F.col("cohort_size").alias("denom"),
+        "rate",
+    )
+    trans = event_transitions(
+        e, "user_id", "event_type", "ts", "event_id"
+    ).select(
+        F.lit("transitions").alias("branch"),
+        nul_i.alias("step"),
+        "event_type",
+        "next_type",
+        nul_d.alias("cohort_week"),
+        nul_i.alias("week_offset"),
+        F.col("n").alias("users"),
+        F.col("total").alias("denom"),
+        F.col("prob").alias("rate"),
+    )
+    return fun.unionByName(ret).unionByName(trans)
