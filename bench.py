@@ -56,8 +56,6 @@ HEADLINE = [
     "streaming_enrich_join",
     "streaming_stateful_quota",
     "mm_payload_decode",
-    "diversify_select",
-    "events_funnel_retention",
 ]
 
 
@@ -97,14 +95,13 @@ BRANCHED = {
     "ann_topk_exact": ("path", ["fold", "arrow", "hamming", "bqrescore",
                                 "simhash", "mrl"]),
     "ann_topk_ivf": ("branch", ["ivf", "ivfpart", "triplets", "ivfpq",
-                               "ivfadc"]),
+                               "ivfadc", "mmr", "kcenter"]),
     "corpus_pack_sequences": ("branch", ["spans", "manifest", "buckets"]),
     "text_bm25_search": ("branch", ["bm25", "rrf"]),
     "dedup_connected_components": ("branch", ["closure", "canon",
                                               "pagerank"]),
-    "diversify_select": ("branch", ["mmr", "kcenter"]),
-    "events_funnel_retention": ("branch", ["funnel", "retention",
-                                           "transitions"]),
+    "events_sessionize": ("branch", ["sessions", "funnel", "retention",
+                                     "transitions"]),
 }
 
 

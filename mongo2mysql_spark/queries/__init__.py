@@ -110,8 +110,6 @@ def load_all() -> dict[str, Query]:
     """
     from mongo2mysql_spark.queries import (  # noqa: F401
         similarity,
-        diversify,
-        behavior,
         text,
         ext,
         corpus,

@@ -1,6 +1,8 @@
-"""Behavioral-analytics queries (extension layer): ordered funnel,
+"""Behavioral-analytics branches (extension layer): ordered funnel,
 weekly retention cohorts, and Markov event transitions over the
-``events`` stream, one tagged slot.
+``events`` stream, served as branches of the `events_sessionize` slot
+(the registry holds exactly 50 entries — COVERAGE.md slot policy — so
+the event-analytics family multiplexes into one tagged slot).
 
 Oracle parity: everything is integer counts, Monday-truncated weeks
 and one int-over-int IEEE division per rate.  The funnel's per-step
@@ -13,11 +15,8 @@ min definition; step qualification uses SQL row comparison
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-
-from mongo2mysql_spark.queries import register
-from mongo2mysql_spark.sources import load_table as T
 
 FUNNEL_STEPS = ["signup", "view", "click", "purchase"]
 
@@ -102,78 +101,70 @@ _TRANSITION_CTES = """tpairs AS (
       FROM tcount c JOIN ttot t USING (event_type))"""
 
 
-@register(
-    "events_funnel_retention",
-    f"""
-    WITH {_funnel_ctes(FUNNEL_STEPS)},
-    {_RETENTION_CTES},
-    {_TRANSITION_CTES}
-    SELECT 'funnel' AS branch, step, event_type,
+_BEHAVIOR_NULLS = """CAST(NULL AS INTEGER) AS step,
+           CAST(NULL AS VARCHAR) AS event_type,
+           CAST(NULL AS VARCHAR) AS next_type,
+           CAST(NULL AS DATE) AS cohort_week,
+           CAST(NULL AS INTEGER) AS week_offset,
+           CAST(NULL AS BIGINT) AS users,
+           CAST(NULL AS BIGINT) AS denom,
+           CAST(NULL AS DOUBLE) AS rate"""
+
+_SESSION_NULLS = """CAST(NULL AS BIGINT) AS user_id,
+           CAST(NULL AS INTEGER) AS session_id,
+           CAST(NULL AS BIGINT) AS n_events,
+           CAST(NULL AS TIMESTAMP) AS session_start,
+           CAST(NULL AS TIMESTAMP) AS session_end"""
+
+
+def behavior_oracle_parts() -> tuple[str, str]:
+    """(ctes, union_legs) for splicing into `events_sessionize`'s
+    oracle (the slot multiplexes the behavioral-analytics branches —
+    COVERAGE.md slot policy; the legs fill the session columns with
+    typed NULLs and vice versa)."""
+    ctes = ",\n    ".join(
+        [_funnel_ctes(FUNNEL_STEPS), _RETENTION_CTES, _TRANSITION_CTES]
+    )
+    legs = f"""SELECT 'funnel' AS branch, {_SESSION_NULLS},
+           step, event_type,
            CAST(NULL AS VARCHAR) AS next_type,
            CAST(NULL AS DATE) AS cohort_week,
            CAST(NULL AS INTEGER) AS week_offset,
            users, denom, rate
     FROM funnel
     UNION ALL
-    SELECT 'retention' AS branch, CAST(NULL AS INTEGER) AS step,
+    SELECT 'retention' AS branch, {_SESSION_NULLS},
+           CAST(NULL AS INTEGER) AS step,
            CAST(NULL AS VARCHAR) AS event_type,
            CAST(NULL AS VARCHAR) AS next_type,
            cohort_week, week_offset,
            active AS users, cohort_size AS denom, rate
     FROM retention
     UNION ALL
-    SELECT 'transitions' AS branch, CAST(NULL AS INTEGER) AS step,
+    SELECT 'transitions' AS branch, {_SESSION_NULLS},
+           CAST(NULL AS INTEGER) AS step,
            event_type, next_type,
            CAST(NULL AS DATE) AS cohort_week,
            CAST(NULL AS INTEGER) AS week_offset,
            n AS users, tot AS denom, prob AS rate
-    FROM transitions
-    """,
-    doc=(
-        "behavioral analytics over the event stream, three branches in "
-        "one tagged slot.  'funnel' rows: the ordered conversion funnel "
-        f"{'→'.join(FUNNEL_STEPS)} (operators/behavior.funnel_counts — "
-        "step i counts users whose step-i event falls strictly after "
-        "their step-(i−1) completion, (ts, event_id)-lexicographic; the "
-        "ClickHouse-windowFunnel / product-analytics shape).  "
-        "'retention' rows: the weekly retention triangle — cohort = "
-        "Monday week of first event, cells = distinct active users per "
-        "(cohort, week offset).  'transitions' rows: first-order Markov "
-        "transition counts + per-source probabilities between a user's "
-        "consecutive events (journey mining).  All counts integer, "
-        "rates one int-over-int IEEE division — fully hashable with no "
-        "float contract."
-    ),
-)
-def events_funnel_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    FROM transitions"""
+    return ctes, legs
+
+
+def behavior_branches(e: DataFrame) -> dict[str, DataFrame]:
+    """'funnel' / 'retention' / 'transitions' frames in the
+    `events_sessionize` union shape (tagged_union supplies the session
+    columns as typed NULLs)."""
     from mongo2mysql_spark.operators.behavior import (
         event_transitions,
         funnel_counts,
         retention_cohorts,
     )
 
-    e = T(spark, sf_dir, "events")
-    nul_s = F.lit(None).cast("string")
-    nul_i = F.lit(None).cast("int")
-    nul_d = F.lit(None).cast("date")
     fun = funnel_counts(
         e, "user_id", "event_type", "ts", "event_id", FUNNEL_STEPS
-    ).select(
-        F.lit("funnel").alias("branch"),
-        "step",
-        "event_type",
-        nul_s.alias("next_type"),
-        nul_d.alias("cohort_week"),
-        nul_i.alias("week_offset"),
-        "users",
-        "denom",
-        "rate",
-    )
+    ).select("step", "event_type", "users", "denom", "rate")
     ret = retention_cohorts(e, "user_id", "ts").select(
-        F.lit("retention").alias("branch"),
-        nul_i.alias("step"),
-        nul_s.alias("event_type"),
-        nul_s.alias("next_type"),
         "cohort_week",
         "week_offset",
         F.col("active").alias("users"),
@@ -183,14 +174,10 @@ def events_funnel_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     trans = event_transitions(
         e, "user_id", "event_type", "ts", "event_id"
     ).select(
-        F.lit("transitions").alias("branch"),
-        nul_i.alias("step"),
         "event_type",
         "next_type",
-        nul_d.alias("cohort_week"),
-        nul_i.alias("week_offset"),
         F.col("n").alias("users"),
         F.col("total").alias("denom"),
         F.col("prob").alias("rate"),
     )
-    return fun.unionByName(ret).unionByName(trans)
+    return {"funnel": fun, "retention": ret, "transitions": trans}

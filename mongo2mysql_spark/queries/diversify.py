@@ -1,5 +1,8 @@
-"""Diversity-selection queries (extension layer): MMR-diversified
-retrieval and greedy k-center coreset selection, one tagged slot.
+"""Diversity-selection branches (extension layer): MMR-diversified
+retrieval and greedy k-center coreset selection, served as 'mmr' /
+'kcenter' branches of the `ann_topk_ivf` slot (the registry holds
+exactly 50 entries — COVERAGE.md slot policy — so same-family results
+multiplex into one tagged slot).
 
 Oracle parity: the greedy loops are UNROLLED into chained CTEs (one
 pair of argmax-resolve CTEs per pick — no recursive-CTE semantics in
@@ -14,13 +17,11 @@ literal parses to the same double Spark's ``F.lit`` carries).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from mongo2mysql_spark.functions.vector import sql_dot, sql_norm
 from mongo2mysql_spark.operators.diversify import sql_l2sq
-from mongo2mysql_spark.queries import register
-from mongo2mysql_spark.sources import load_table as T
 
 N_QUERIES = 5
 MMR_K = 5
@@ -171,55 +172,85 @@ def _oracle() -> str:
     """
 
 
-@register(
-    "diversify_select",
-    _oracle(),
-    doc=(
-        "diversity-aware selection, two branches in one tagged slot.  "
-        "'mmr' rows: Maximal Marginal Relevance re-ranking (Carbonell & "
-        f"Goldstein, SIGIR 1998) — top-{MMR_K} per query at "
-        f"λ={MMR_LAM} over a salted top-{MMR_K * MMR_OVERFETCH} "
-        "candidate prune; each greedy pick maximizes λ·rel − "
-        "(1−λ)·max-sim-to-selected over the bounded candidate set "
-        "(operators/diversify.mmr_topk — the standard diversification "
-        "pass of retrieval and example-selection pipelines).  'kcenter' "
-        f"rows: greedy farthest-first traversal (Gonzalez 1985), {KC_K} "
-        "centers seeded at the min id — the 2-approximate k-center "
-        "coreset selector (Sener & Savarese, ICLR 2018) for "
-        "embedding-space data pruning; 'score' carries the squared "
-        "cover radius at each pick (non-increasing).  Both greedy "
-        "loops are unrolled into chained CTEs in the oracle, every "
-        "argmax resolved max-then-min-id on both engines, so picks, "
-        "ranks, relevances and radii all hash bit-identically."
-    ),
-)
-def diversify_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+def diversify_branches(e: DataFrame) -> dict[str, DataFrame]:
+    """The two diversity branches in `ann_topk_ivf`'s union shape:
+    'mmr' maps relevance onto the slot's ``cosine`` column (it IS the
+    ROUND(·,6) query cosine) and carries the pick-time criterion in
+    ``score``; 'kcenter' is corpus-global (NULL query_id/cosine) with
+    the squared cover radius in ``score``.  Registered under
+    `ann_topk_ivf` rather than an own slot per the registry slot
+    policy (COVERAGE.md — the driver checks at most 50 entries)."""
     from mongo2mysql_spark.operators.diversify import kcenter_select, mmr_topk
 
-    e = T(spark, sf_dir, "embeddings", fanout=True)
     q = e.filter(F.col("vec_id") < N_QUERIES)
     mmr = mmr_topk(
-        e,
-        q,
-        "vec_id",
-        "embedding",
-        k=MMR_K,
-        overfetch=MMR_OVERFETCH,
-        lam=MMR_LAM,
+        e, q, "vec_id", "embedding",
+        k=MMR_K, overfetch=MMR_OVERFETCH, lam=MMR_LAM,
     ).select(
-        F.lit("mmr").alias("branch"),
         "query_id",
         "neighbor_id",
-        "rank",
-        "relevance",
+        F.col("relevance").alias("cosine"),
+        F.col("rank").cast("int").alias("rank"),
         "score",
     )
     kc = kcenter_select(e, "vec_id", "embedding", k=KC_K).select(
-        F.lit("kcenter").alias("branch"),
         F.lit(None).cast("bigint").alias("query_id"),
         F.col("center_id").alias("neighbor_id"),
-        "rank",
-        F.lit(None).cast("double").alias("relevance"),
+        F.lit(None).cast("double").alias("cosine"),
+        F.col("rank").cast("int").alias("rank"),
         F.col("radius").alias("score"),
     )
-    return mmr.unionByName(kc)
+    return {"mmr": mmr, "kcenter": kc}
+
+
+def diversify_oracle_parts() -> tuple[str, str]:
+    """(ctes, union_legs) for splicing into `ann_topk_ivf`'s oracle.
+    The legs emit the slot's shared columns; the caller appends its
+    other branches' NULL fill for ``score`` and these legs fill the
+    caller's extra columns with NULLs via the shared tail constant."""
+    mmr_ctes, mmr_picks = _mmr_ctes(MMR_K, MMR_K * MMR_OVERFETCH, MMR_LAM)
+    kc_ctes, kc_names = _kcenter_ctes(KC_K)
+    ctes = f"{mmr_ctes},\n    {kc_ctes}"
+    legs = []
+    for t, name in enumerate(mmr_picks, start=1):
+        legs.append(
+            f"""SELECT 'mmr' AS branch, s.query_id, s.sid AS neighbor_id,
+           c.rel AS cosine, CAST({t} AS INTEGER) AS rank,
+           CAST(NULL AS BIGINT) AS anchor_id,
+           CAST(NULL AS BIGINT) AS positive_id,
+           CAST(NULL AS DOUBLE) AS pos_cos,
+           CAST(NULL AS BIGINT) AS negative_id,
+           CAST(NULL AS DOUBLE) AS neg_cos,
+           CAST(NULL AS DOUBLE) AS adc_d2,
+           s.score
+    FROM {name} s JOIN mmrcand c ON c.query_id = s.query_id
+                                AND c.neighbor_id = s.sid"""
+        )
+    legs.append(
+        """SELECT 'kcenter' AS branch, CAST(NULL AS BIGINT) AS query_id,
+           sid AS neighbor_id, CAST(NULL AS DOUBLE) AS cosine,
+           CAST(1 AS INTEGER) AS rank,
+           CAST(NULL AS BIGINT) AS anchor_id,
+           CAST(NULL AS BIGINT) AS positive_id,
+           CAST(NULL AS DOUBLE) AS pos_cos,
+           CAST(NULL AS BIGINT) AS negative_id,
+           CAST(NULL AS DOUBLE) AS neg_cos,
+           CAST(NULL AS DOUBLE) AS adc_d2,
+           CAST(NULL AS DOUBLE) AS score
+    FROM kc1"""
+    )
+    for t, name in enumerate(kc_names[1:], start=2):
+        legs.append(
+            f"""SELECT 'kcenter' AS branch, CAST(NULL AS BIGINT) AS query_id,
+           sid AS neighbor_id, CAST(NULL AS DOUBLE) AS cosine,
+           CAST({t} AS INTEGER) AS rank,
+           CAST(NULL AS BIGINT) AS anchor_id,
+           CAST(NULL AS BIGINT) AS positive_id,
+           CAST(NULL AS DOUBLE) AS pos_cos,
+           CAST(NULL AS BIGINT) AS negative_id,
+           CAST(NULL AS DOUBLE) AS neg_cos,
+           CAST(NULL AS DOUBLE) AS adc_d2,
+           radius AS score
+    FROM {name}"""
+        )
+    return ctes, "\n    UNION ALL\n    ".join(legs)

@@ -743,9 +743,18 @@ def topk_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.unionByName(mins)
 
 
+from mongo2mysql_spark.queries.behavior import (
+    behavior_branches,
+    behavior_oracle_parts,
+    _BEHAVIOR_NULLS,
+)
+
+_BEH_CTES, _BEH_LEGS = behavior_oracle_parts()
+
+
 @register(
     "events_sessionize",
-    """
+    f"""
     WITH flagged AS (
       SELECT user_id, event_id, ts,
              CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
@@ -759,17 +768,39 @@ def topk_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
                                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                   AS INTEGER) AS session_id
       FROM flagged
-    )
-    SELECT user_id, session_id,
+    ),
+    {_BEH_CTES}
+    SELECT 'sessions' AS branch, user_id, session_id,
            COUNT(*) AS n_events,
            CAST(MIN(ts) AS TIMESTAMP) AS session_start,
-           CAST(MAX(ts) AS TIMESTAMP) AS session_end
+           CAST(MAX(ts) AS TIMESTAMP) AS session_end,
+           {_BEHAVIOR_NULLS}
     FROM sessions
     GROUP BY user_id, session_id
+    UNION ALL
+    {_BEH_LEGS}
     """,
-    doc="sessionization: 30-min-gap sessions via lag + running sum (batch form).",
+    doc=(
+        "event-analytics family, tagged.  'sessions' rows: 30-min-gap "
+        "sessionization via lag + running sum (batch form).  'funnel' "
+        "rows: the ordered conversion funnel signup→view→click→purchase "
+        "(operators/behavior.funnel_counts — step i counts users whose "
+        "step-i event falls strictly after their step-(i−1) completion, "
+        "completions resolved as lexicographic min((ts, event_id)) so "
+        "same-timestamp events can't fork engines; the ClickHouse-"
+        "windowFunnel / product-analytics shape).  'retention' rows: the "
+        "weekly retention triangle — cohort = Monday week of first "
+        "event, cells = distinct active users per (cohort, offset), "
+        "offsets exact day-diff/7 integers.  'transitions' rows: "
+        "first-order Markov transition counts + per-source "
+        "probabilities between a user's consecutive events (journey "
+        "mining).  Every value is integer counts, dates/timestamps, or "
+        "one int-over-int IEEE division — no float contract."
+    ),
 )
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mongo2mysql_spark.queries import tagged_union
+
     e = T(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     ms = F.unix_millis(F.col("ts"))
@@ -777,7 +808,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         (ms - F.lag(ms).over(w) > 1800000) | F.lag(ms).over(w).isNull(), 1
     ).otherwise(0)
     wf = w.rowsBetween(W.unboundedPreceding, W.currentRow)
-    return (
+    sessions = (
         e.select("user_id", "event_id", "ts", new_session.alias("new_session"))
         .withColumn("session_id", F.sum("new_session").over(wf).cast("int"))
         .groupBy("user_id", "session_id")
@@ -787,6 +818,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ts").alias("session_end"),
         )
     )
+    return tagged_union({"sessions": sessions, **behavior_branches(e)})
 
 
 # ------------------------------------------------------------- sort/limit/set

@@ -894,6 +894,14 @@ def _ivfadc_oracle() -> str:
     """
 
 
+from mongo2mysql_spark.queries.diversify import (
+    diversify_branches,
+    diversify_oracle_parts,
+)
+
+_DIV_CTES, _DIV_LEGS = diversify_oracle_parts()
+
+
 @register(
     "ann_topk_ivf",
     f"""
@@ -950,7 +958,8 @@ def _ivfadc_oracle() -> str:
             FROM pivf_kept k
             JOIN embeddings qe ON qe.vec_id = k.query_id
             JOIN embeddings ne ON ne.vec_id = k.neighbor_id)),
-    {_ivfadc_oracle()}
+    {_ivfadc_oracle()},
+    {_DIV_CTES}
     SELECT 'ivf' AS branch, query_id, neighbor_id, cosine,
            CAST(rank AS INTEGER) AS rank,
            CAST(NULL AS BIGINT) AS anchor_id,
@@ -958,7 +967,8 @@ def _ivfadc_oracle() -> str:
            CAST(NULL AS DOUBLE) AS pos_cos,
            CAST(NULL AS BIGINT) AS negative_id,
            CAST(NULL AS DOUBLE) AS neg_cos,
-           CAST(NULL AS DOUBLE) AS adc_d2
+           CAST(NULL AS DOUBLE) AS adc_d2,
+           CAST(NULL AS DOUBLE) AS score
     FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                                        ORDER BY cosine DESC, neighbor_id) AS rank
           FROM scored)
@@ -971,7 +981,8 @@ def _ivfadc_oracle() -> str:
            CAST(NULL AS DOUBLE) AS pos_cos,
            CAST(NULL AS BIGINT) AS negative_id,
            CAST(NULL AS DOUBLE) AS neg_cos,
-           CAST(NULL AS DOUBLE) AS adc_d2
+           CAST(NULL AS DOUBLE) AS adc_d2,
+           CAST(NULL AS DOUBLE) AS score
     FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                                        ORDER BY cosine DESC, neighbor_id) AS rank
           FROM scored)
@@ -981,7 +992,8 @@ def _ivfadc_oracle() -> str:
            CAST(NULL AS BIGINT) AS neighbor_id, CAST(NULL AS DOUBLE) AS cosine,
            CAST(NULL AS INTEGER) AS rank,
            anchor_id, positive_id, pos_cos, negative_id, neg_cos,
-           CAST(NULL AS DOUBLE) AS adc_d2
+           CAST(NULL AS DOUBLE) AS adc_d2,
+           CAST(NULL AS DOUBLE) AS score
     FROM ttrip
     UNION ALL
     SELECT 'ivfpq' AS branch, query_id, neighbor_id, cosine, rank,
@@ -990,7 +1002,8 @@ def _ivfadc_oracle() -> str:
            CAST(NULL AS DOUBLE) AS pos_cos,
            CAST(NULL AS BIGINT) AS negative_id,
            CAST(NULL AS DOUBLE) AS neg_cos,
-           adc_d2
+           adc_d2,
+           CAST(NULL AS DOUBLE) AS score
     FROM pivf WHERE rank <= 5
     UNION ALL
     SELECT 'ivfadc' AS branch, query_id, neighbor_id, cosine, rank,
@@ -999,8 +1012,11 @@ def _ivfadc_oracle() -> str:
            CAST(NULL AS DOUBLE) AS pos_cos,
            CAST(NULL AS BIGINT) AS negative_id,
            CAST(NULL AS DOUBLE) AS neg_cos,
-           adc_d2
+           adc_d2,
+           CAST(NULL AS DOUBLE) AS score
     FROM rivfadc WHERE rank <= 5
+    UNION ALL
+    {_DIV_LEGS}
     """,
     doc=(
         "similarity surface, tagged: 'ivf' rows are IVF ANN — "
@@ -1036,7 +1052,18 @@ def _ivfadc_oracle() -> str:
         "(cid = id//stride, oracle-restatable; trained residual books "
         "ride the bench recall path), and the query builds one "
         "distance table PER PROBED CELL from its residual — same "
-        "decimal-ADC + exact-rerank contract, every value hashed."
+        "decimal-ADC + exact-rerank contract, every value hashed.  "
+        "'mmr' rows are MMR-diversified retrieval (queries/diversify, "
+        "operators/diversify.mmr_topk — Carbonell & Goldstein SIGIR "
+        "1998): greedy λ·rel − (1−λ)·max-sim-to-selected over a salted "
+        "top-k·overfetch candidate prune, the loop unrolled into "
+        "chained CTEs in the oracle, every argmax resolved "
+        "max-then-min-id on both engines; relevance rides the cosine "
+        "column, the pick-time criterion rides 'score'.  'kcenter' "
+        "rows are greedy farthest-first k-center coreset selection "
+        "(Gonzalez 1985; Sener & Savarese ICLR 2018): corpus-global "
+        "(NULL query_id), 'score' carries the squared cover radius at "
+        "each pick — non-increasing by construction."
     ),
 )
 def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1104,6 +1131,7 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "neighbor_id", "cosine",
         F.col("rank").cast("int").alias("rank"),
     )
+    div = diversify_branches(e)
     return tagged_union(
         {
             "ivf": ivf,
@@ -1111,6 +1139,7 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "triplets": trip,
             "ivfpq": ivfpq,
             "ivfadc": ivfadc,
+            **div,
         }
     )
 
