@@ -93,7 +93,7 @@ BRANCHED = {
         "branch", ["payload", "decode", "patches", "frames"],
     ),
     "ann_topk_exact": ("path", ["fold", "arrow", "hamming", "bqrescore",
-                                "simhash", "mrl"]),
+                                "hamserve", "simhash", "mrl"]),
     "ann_topk_ivf": ("branch", ["ivf", "ivfpart", "triplets", "ivfpq",
                                "ivfadc", "mmr", "kcenter"]),
     "corpus_pack_sequences": ("branch", ["spans", "manifest", "buckets"]),

@@ -230,6 +230,62 @@ def _bq_index(spark: SparkSession, sf_dir: str, e: DataFrame) -> tuple:
     return slot_memo(_BQ_MEMO, spark, sf_dir, build)
 
 
+# streaming ANN serving (streaming/annserve.py): the 5 slot queries
+# submitted as two disjoint micro-batches against the stored BQ words,
+# result log read back through merge-on-read — the driver row proving
+# the streaming serving path ≡ the batch Hamming search bit-for-bit
+_ANNSERVE_MEMO: dict[tuple, DataFrame] = {}
+
+
+def _ann_served(spark: SparkSession, sf_dir: str, e: DataFrame) -> DataFrame:
+    from mongo2mysql_spark.queries import slot_memo
+
+    def build() -> DataFrame:
+        import shutil
+        import tempfile
+
+        from mongo2mysql_spark.streaming.annserve import (
+            read_ann_results,
+            streaming_ann_serve,
+        )
+
+        signs, _ = _bq_index(spark, sf_dir, e)
+        schema = spark.read.parquet(
+            os.path.join(sf_dir, "embeddings.parquet")
+        ).schema
+
+        def qstream() -> DataFrame:
+            return (
+                spark.readStream.schema(schema)
+                .option("pathGlobFilter", "embeddings.parquet")
+                .parquet(sf_dir)
+            )
+
+        batches = [
+            qstream().filter(F.col("vec_id") < 3),
+            qstream().filter(
+                (F.col("vec_id") >= 3) & (F.col("vec_id") < N_QUERIES)
+            ),
+        ]
+        work = tempfile.mkdtemp(prefix="annserve_slot_")
+        store = os.path.join(work, "store")
+        try:
+            for i, batch in enumerate(batches):
+                q = streaming_ann_serve(
+                    batch, store, signs, "vec_id", "embedding",
+                    dim=64, k=10,
+                    checkpoint_dir=os.path.join(work, f"ck{i}"),
+                )
+                if not q.awaitTermination(300):
+                    q.stop()
+                    raise TimeoutError("ann serve batch did not finish in 300s")
+            return read_ann_results(spark, store).localCheckpoint()
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+    return slot_memo(_ANNSERVE_MEMO, spark, sf_dir, build)
+
+
 # IVF-partitioned store path (sources/ivfstore — the index as table
 # layout), written once per (application, sf_dir): index builds are
 # write-once, probes read only their cells' directories
@@ -423,6 +479,10 @@ def _hamming_oracle() -> str:
     SELECT 'bqrescore' AS path, query_id, neighbor_id, cosine, rank, ham
     FROM hamres WHERE rank <= 10
     UNION ALL
+    SELECT 'hamserve' AS path, query_id, neighbor_id,
+           CAST(NULL AS DOUBLE) AS cosine, rank, ham
+    FROM hamtop
+    UNION ALL
     SELECT 'simhash' AS path, query_id, neighbor_id,
            CAST(NULL AS DOUBLE) AS cosine, rank, ham
     FROM shtop
@@ -448,7 +508,17 @@ def _hamming_oracle() -> str:
         "10·overfetch candidates over the packed bits, exact cosine "
         "re-rank touching only the finalists — the prune-then-rescore "
         "shape every quantized serving mode here shares (int8 IVF, PQ "
-        "rerank), with overfetch as the recall lever.  'simhash' rows "
+        "rerank), with overfetch as the recall lever.  'hamserve' rows "
+        "are the SAME Hamming answer served through the ONLINE path "
+        "(streaming/annserve.py): the 5 queries submitted as two "
+        "disjoint Structured-Streaming micro-batches against the "
+        "stored BQ words, each batch one pack + one salted Hamming "
+        "search + one O(batch) append into the crash-safe segment "
+        "store (refresh_pq_store with the search as its encode stage; "
+        "results keyed query:rank so merge-on-read serves the latest "
+        "answer per query); the oracle states the batch hamtop rows, "
+        "so the hash proves streaming serving ≡ batch search "
+        "bit-for-bit.  'simhash' rows "
         f"are WIDE binary quantization (topk_simhash, {SH_BITS}-bit "
         "SimHash signatures over the 64-dim corpus): random-hyperplane "
         "projections decouple the signature width from the vector "
@@ -521,6 +591,16 @@ def ann_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "query_id",
                 "neighbor_id",
                 "cosine",
+                "rank",
+                "ham",
+            )
+        )
+        .unionByName(
+            _ann_served(spark, sf_dir, e).select(
+                F.lit("hamserve").alias("path"),
+                "query_id",
+                "neighbor_id",
+                nul_dbl.alias("cosine"),
                 "rank",
                 "ham",
             )

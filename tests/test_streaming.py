@@ -974,3 +974,91 @@ def test_streaming_pq_refresh_bounds_chain_with_max_deltas(spark, tmp_path):
         for r in pq_encode(emb, "vec_id", "embedding", cb, normalize=True).collect()
     }
     assert served == want
+
+
+# ------------------------------------------------- streaming ANN serving
+
+
+def test_ann_serve_streaming_equals_batch_and_resubmission_wins(spark, tmp_path):
+    """streaming/annserve: (1) two disjoint query micro-batches against
+    the stored BQ words serve exactly the batch topk_hamming answer;
+    (2) re-submitting a query in a later batch supersedes its earlier
+    rows (latest-answer-per-query via the store's merge-on-read)."""
+    import shutil
+
+    from mongo2mysql_spark.operators.similarity import sign_pack, topk_hamming
+    from mongo2mysql_spark.streaming.annserve import (
+        read_ann_results,
+        streaming_ann_serve,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    signs = sign_pack(emb, "vec_id", "embedding", 64).localCheckpoint()
+    src = tmp_path / "src"
+    src.mkdir()
+    shutil.copy(f"{SF}/embeddings.parquet", src / "part0.parquet")
+    store = str(tmp_path / "serve")
+
+    def submit(flt, ck):
+        q = streaming_ann_serve(
+            spark.readStream.schema(emb.schema).parquet(str(src)).filter(flt),
+            store,
+            signs,
+            "vec_id",
+            "embedding",
+            dim=64,
+            k=5,
+            checkpoint_dir=str(tmp_path / ck),
+        )
+        assert q.awaitTermination(120)
+
+    submit(F.col("vec_id") < 2, "ck0")
+    submit((F.col("vec_id") >= 2) & (F.col("vec_id") < 4), "ck1")
+
+    served = sorted(
+        (r.query_id, r.rank, r.neighbor_id, r.ham)
+        for r in read_ann_results(spark, store).collect()
+    )
+    batch = sorted(
+        (r.query_id, r.rank, r.neighbor_id, r.ham)
+        for r in topk_hamming(
+            emb, emb.filter(F.col("vec_id") < 4), "vec_id", "embedding",
+            dim=64, k=5, corpus_packed=signs,
+        ).collect()
+    )
+    assert served == batch and len(served) == 4 * 5
+
+    # resubmit query 1 against a GROWN corpus: its rows must be
+    # superseded by the new answer, queries 0/2/3 keep their old rows
+    grown = emb.unionByName(
+        emb.filter(F.col("vec_id") == 1).select(
+            (F.col("vec_id") + 10_000).alias("vec_id"), "embedding", "label"
+        )
+    )
+    signs2 = sign_pack(grown, "vec_id", "embedding", 64).localCheckpoint()
+    q = streaming_ann_serve(
+        spark.readStream.schema(emb.schema)
+        .parquet(str(src))
+        .filter(F.col("vec_id") == 1),
+        store,
+        signs2,
+        "vec_id",
+        "embedding",
+        dim=64,
+        k=5,
+        checkpoint_dir=str(tmp_path / "ck2"),
+    )
+    assert q.awaitTermination(120)
+    after = read_ann_results(spark, store)
+    assert after.count() == 4 * 5  # still 5 rows per query
+    # the clone of query 1 (hamming 0) is now its rank-1 neighbor
+    top1 = after.filter(
+        (F.col("query_id") == 1) & (F.col("rank") == 1)
+    ).collect()[0]
+    assert top1.neighbor_id == 10_001 and top1.ham == 0
+    # an untouched query's rows are byte-identical to the first serve
+    keep = sorted(
+        (r.query_id, r.rank, r.neighbor_id, r.ham)
+        for r in after.filter(F.col("query_id") == 0).collect()
+    )
+    assert keep == [t for t in served if t[0] == 0]
