@@ -102,6 +102,7 @@ BRANCHED = {
                                               "pagerank"]),
     "events_sessionize": ("branch", ["sessions", "funnel", "retention",
                                      "transitions"]),
+    "text_term_frequency": ("branch", ["tf", "domains", "domainsizes"]),
 }
 
 

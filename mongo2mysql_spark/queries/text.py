@@ -18,6 +18,7 @@ from mongo2mysql_spark.functions.text import (
 )
 from mongo2mysql_spark.operators.multimodal import decode_metadata, payload_frame
 from mongo2mysql_spark.queries import register
+from mongo2mysql_spark.queries.domains import domains_oracle_ctes
 from mongo2mysql_spark.sources import load_table as T
 
 
@@ -140,25 +141,63 @@ def _text_profile_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_term_frequency",
-    """
-    SELECT token, n FROM (
-      SELECT tok AS token, COUNT(*) AS n
-      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
-      GROUP BY 1)
-    ORDER BY n DESC, token
-    LIMIT 50
+    f"""
+    WITH {domains_oracle_ctes()},
+    tftop AS (
+      SELECT token, n FROM (
+        SELECT tok AS token, COUNT(*) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        GROUP BY 1)
+      ORDER BY n DESC, token
+      LIMIT 50)
+    SELECT 'tf' AS branch, token, n,
+           CAST(NULL AS BIGINT) AS doc_id,
+           CAST(NULL AS BIGINT) AS domain,
+           CAST(NULL AS DOUBLE) AS d2,
+           CAST(NULL AS DOUBLE) AS share
+    FROM tftop
+    UNION ALL
+    SELECT 'domains' AS branch, CAST(NULL AS VARCHAR) AS token,
+           CAST(NULL AS BIGINT) AS n,
+           id AS doc_id, domain, d2,
+           CAST(NULL AS DOUBLE) AS share
+    FROM ddomains
+    UNION ALL
+    SELECT 'domainsizes' AS branch, CAST(NULL AS VARCHAR) AS token,
+           n_docs AS n,
+           CAST(NULL AS BIGINT) AS doc_id, domain,
+           CAST(NULL AS DOUBLE) AS d2, share
+    FROM dsizes
     """,
-    doc="global term frequency (top 50, deterministic tiebreak).",
+    doc=(
+        "text-statistics family, tagged.  'tf' rows: global term "
+        "frequency (top 50, deterministic tiebreak).  'domains' rows: "
+        "UNSUPERVISED DOMAIN DISCOVERY (operators/domains.py — the "
+        "cluster-then-balance recipe of pretraining-data mixing): "
+        "hashed unigram+bigram term frequencies densified to integer "
+        "PERMILLE profiles (length-normalized AND order-free-exact), "
+        "k-means from deterministic stride seeds with one exact Lloyd "
+        "round (integer cluster sums, one IEEE division per centroid "
+        "cell), every per-document assignment and d² hashed against "
+        "the full SQL restatement of the clustering chain.  "
+        "'domainsizes' rows: per-domain doc counts + shares — the "
+        "direct input of the mixing stages (UniMax waterfill, "
+        "temperature sampling)."
+    ),
 )
 def text_term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mongo2mysql_spark.queries import tagged_union
+    from mongo2mysql_spark.queries.domains import domains_branches
+
     d = T(spark, sf_dir, "documents", fanout=True)
-    return (
+    tf = (
         d.select(F.explode(tokens(F.col("text"))).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), "token")
         .limit(50)
     )
+    return tagged_union({"tf": tf, **domains_branches(d)})
 
 
 # ------------------------------------------------------------------ search
