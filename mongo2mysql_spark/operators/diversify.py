@@ -178,7 +178,12 @@ def mmr_candidates(
     )
     if not checkpoint:
         return cand, sims
-    return cand.localCheckpoint(eager=False), sims.localCheckpoint(eager=False)
+    # EAGER: the greedy steps reference these k times each, and a lazy
+    # checkpoint keeps the deep logical tree alive — every later step
+    # then re-ANALYZES the whole tree (measured ~6s of driver-side
+    # analyzer wall on a 5-step unroll); eager materialization makes
+    # every later plan start from a flat LogicalRDD
+    return cand.localCheckpoint(), sims.localCheckpoint()
 
 
 def mmr_topk(
@@ -202,7 +207,8 @@ def mmr_topk(
     The greedy loop is unrolled k times over the BOUNDED candidate
     frames of :func:`mmr_candidates`; each pick is localCheckpoint-ed
     (≤ Q rows) so step t's anti-join and max-sim join reference flat
-    lineage, not a 2^t expression tree.
+    lineage, not a 2^t expression tree (checkpoints are EAGER — see
+    mmr_candidates — so each step's analysis starts flat).
     """
     if not 0.0 <= lam <= 1.0:
         raise ValueError(f"lam must be in [0, 1], got {lam}")
@@ -213,7 +219,7 @@ def mmr_topk(
     picks: list[DataFrame] = []
     # step 1: argmax relevance
     p1 = _argmax_min_id(cand, ["query_id"], "rel", "neighbor_id")
-    picks.append(p1.select("query_id", "sid", "score").localCheckpoint(eager=False))
+    picks.append(p1.select("query_id", "sid", "score").localCheckpoint())
     sel = picks[0].select("query_id", "sid")
     for _ in range(1, k):
         rem = cand.join(
@@ -234,7 +240,7 @@ def mmr_topk(
         )
         p = _argmax_min_id(scored, ["query_id"], "mmr", "neighbor_id")
         picks.append(
-            p.select("query_id", "sid", "score").localCheckpoint(eager=False)
+            p.select("query_id", "sid", "score").localCheckpoint()
         )
         sel = sel.unionByName(picks[-1].select("query_id", "sid"))
 
@@ -276,9 +282,7 @@ def kcenter_select(
     step (argmax is a map-side max + one tiny equality resolve).
     """
     base = df.select(F.col(id_col).alias("pid"), F.col(vec_col).alias("__v"))
-    seed = base.groupBy().agg(F.min("pid").alias("sid")).localCheckpoint(
-        eager=False
-    )
+    seed = base.groupBy().agg(F.min("pid").alias("sid")).localCheckpoint()
     seed_vec = base.join(
         F.broadcast(seed.withColumnRenamed("sid", "pid")), "pid"
     ).select(F.col("__v").alias("__cv"))
@@ -294,11 +298,9 @@ def kcenter_select(
     ]
     selected = seed.select(F.col("sid").alias("pid"))
     for rank in range(2, k + 1):
-        cur = cur.localCheckpoint(eager=False)
+        cur = cur.localCheckpoint()
         remaining = cur.join(F.broadcast(selected), "pid", "left_anti")
-        pick = _argmax_min_id(remaining, [], "dmin", "pid").localCheckpoint(
-            eager=False
-        )
+        pick = _argmax_min_id(remaining, [], "dmin", "pid").localCheckpoint()
         rows.append(
             pick.select(
                 F.col("sid").alias("center_id"),

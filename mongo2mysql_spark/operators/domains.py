@@ -144,21 +144,23 @@ def discover_domains(
     """Full pipeline: features → stride seeds → ``iters`` Lloyd rounds
     → final assignment.  Returns (id, domain, d2); domain labels are
     seed doc ids."""
+    # EAGER checkpoints: assignment/Lloyd reference vecs (and each
+    # round's cents) repeatedly — lazy checkpoints would leave the deep
+    # logical tree to be re-analyzed at every reference (the same
+    # driver-side analyzer cost the diversify greedy measured)
     vecs = doc_permille_vectors(
         df, id_col, text_col, n_buckets=n_buckets, salt=salt
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint()
     seeds = (
         vecs.filter(F.col("id") % stride == 0)
         .orderBy("id")
         .limit(k)
         .select(F.col("id").alias("cid"), F.col("vec").alias("cvec"))
     )
-    cents = seeds.localCheckpoint(eager=False)
+    cents = seeds.localCheckpoint()
     for _ in range(iters):
         assign = assign_domains(vecs, cents)
-        cents = lloyd_update(assign, vecs, n_buckets).localCheckpoint(
-            eager=False
-        )
+        cents = lloyd_update(assign, vecs, n_buckets).localCheckpoint()
     return assign_domains(vecs, cents)
 
 

@@ -140,67 +140,47 @@ def _kcenter_ctes(k: int) -> tuple[str, list[str]]:
     return ",\n    ".join(ctes), names
 
 
-def _oracle() -> str:
-    mmr_ctes, mmr_picks = _mmr_ctes(MMR_K, MMR_K * MMR_OVERFETCH, MMR_LAM)
-    kc_ctes, kc_names = _kcenter_ctes(KC_K)
-    mmr_rows = "\n    UNION ALL\n    ".join(
-        f"""SELECT 'mmr' AS branch, s.query_id, s.sid AS neighbor_id,
-           CAST({t} AS INTEGER) AS rank, c.rel AS relevance, s.score
-    FROM {name} s JOIN mmrcand c ON c.query_id = s.query_id
-                                AND c.neighbor_id = s.sid"""
-        for t, name in enumerate(mmr_picks, start=1)
-    )
-    kc_rows = [
-        """SELECT 'kcenter' AS branch, CAST(NULL AS BIGINT) AS query_id,
-           sid AS neighbor_id, CAST(1 AS INTEGER) AS rank,
-           CAST(NULL AS DOUBLE) AS relevance, CAST(NULL AS DOUBLE) AS score
-    FROM kc1"""
-    ]
-    for t, name in enumerate(kc_names[1:], start=2):
-        kc_rows.append(
-            f"""SELECT 'kcenter' AS branch, CAST(NULL AS BIGINT) AS query_id,
-           sid AS neighbor_id, CAST({t} AS INTEGER) AS rank,
-           CAST(NULL AS DOUBLE) AS relevance, radius AS score
-    FROM {name}"""
-        )
-    return f"""
-    WITH {mmr_ctes},
-    {kc_ctes}
-    {mmr_rows}
-    UNION ALL
-    {"    UNION ALL    ".join(kc_rows)}
-    """
+_DIV_MEMO: dict[tuple, dict] = {}
 
 
-def diversify_branches(e: DataFrame) -> dict[str, DataFrame]:
+def diversify_branches(spark, sf_dir: str, e: DataFrame) -> dict[str, DataFrame]:
     """The two diversity branches in `ann_topk_ivf`'s union shape:
     'mmr' maps relevance onto the slot's ``cosine`` column (it IS the
     ROUND(·,6) query cosine) and carries the pick-time criterion in
     ``score``; 'kcenter' is corpus-global (NULL query_id/cosine) with
-    the squared cover radius in ``score``.  Registered under
+    the squared cover radius in ``score``.  Memoized per
+    (application, sf_dir) — see the build() comment.  Registered under
     `ann_topk_ivf` rather than an own slot per the registry slot
     policy (COVERAGE.md — the driver checks at most 50 entries)."""
     from mongo2mysql_spark.operators.diversify import kcenter_select, mmr_topk
+    from mongo2mysql_spark.queries import slot_memo
 
-    q = e.filter(F.col("vec_id") < N_QUERIES)
-    mmr = mmr_topk(
-        e, q, "vec_id", "embedding",
-        k=MMR_K, overfetch=MMR_OVERFETCH, lam=MMR_LAM,
-    ).select(
-        "query_id",
-        "neighbor_id",
-        F.col("relevance").alias("cosine"),
-        F.col("rank").cast("int").alias("rank"),
-        "score",
-    )
-    kc = kcenter_select(e, "vec_id", "embedding", k=KC_K).select(
-        F.lit(None).cast("bigint").alias("query_id"),
-        F.col("center_id").alias("neighbor_id"),
-        F.lit(None).cast("double").alias("cosine"),
-        F.col("rank").cast("int").alias("rank"),
-        F.col("radius").alias("score"),
-    )
-    return {"mmr": mmr, "kcenter": kc}
+    def build() -> dict:
+        q = e.filter(F.col("vec_id") < N_QUERIES)
+        mmr = mmr_topk(
+            e, q, "vec_id", "embedding",
+            k=MMR_K, overfetch=MMR_OVERFETCH, lam=MMR_LAM,
+        ).select(
+            "query_id",
+            "neighbor_id",
+            F.col("relevance").alias("cosine"),
+            F.col("rank").cast("int").alias("rank"),
+            "score",
+        )
+        kc = kcenter_select(e, "vec_id", "embedding", k=KC_K).select(
+            F.lit(None).cast("bigint").alias("query_id"),
+            F.col("center_id").alias("neighbor_id"),
+            F.lit(None).cast("double").alias("cosine"),
+            F.col("rank").cast("int").alias("rank"),
+            F.col("radius").alias("score"),
+        )
+        # selections are write-once artifacts (a deployment runs the
+        # greedy once, reads the picks many times); the unrolled greedy
+        # also costs real driver-side ANALYSIS (deep plans), so pay it
+        # once per (application, sf_dir)
+        return {"mmr": mmr.localCheckpoint(), "kcenter": kc.localCheckpoint()}
+
+    return slot_memo(_DIV_MEMO, spark, sf_dir, build)
 
 
 def diversify_oracle_parts() -> tuple[str, str]:

@@ -95,23 +95,33 @@ def domains_oracle_ctes() -> str:
     return ",\n    ".join(ctes)
 
 
-def domains_branches(d: DataFrame) -> dict[str, DataFrame]:
+_DOM_MEMO: dict[tuple, dict] = {}
+
+
+def domains_branches(spark, sf_dir: str, d: DataFrame) -> dict[str, DataFrame]:
     """'domains' (per-doc assignment) and 'domainsizes' (mixing-stage
-    shares) frames in the `text_term_frequency` union shape."""
+    shares) frames in the `text_term_frequency` union shape.  Memoized
+    per (application, sf_dir): a clustering is a write-once artifact
+    (run once, read by every mixing stage), and the multi-round plan
+    carries real driver-side analysis cost."""
     from mongo2mysql_spark.operators.domains import (
         discover_domains,
         domain_sizes,
     )
+    from mongo2mysql_spark.queries import slot_memo
 
-    assign = discover_domains(
-        d, "doc_id", "text",
-        n_buckets=DOM_BUCKETS, k=DOM_K, stride=DOM_STRIDE, iters=DOM_ITERS,
-        salt=DOM_SALT,
-    ).localCheckpoint(eager=False)
-    doms = assign.select(
-        F.col("id").alias("doc_id"), "domain", "d2"
-    )
-    sizes = domain_sizes(assign).select(
-        "domain", F.col("n_docs").alias("n"), "share"
-    )
-    return {"domains": doms, "domainsizes": sizes}
+    def build() -> dict:
+        assign = discover_domains(
+            d, "doc_id", "text",
+            n_buckets=DOM_BUCKETS, k=DOM_K, stride=DOM_STRIDE,
+            iters=DOM_ITERS, salt=DOM_SALT,
+        ).localCheckpoint()
+        doms = assign.select(
+            F.col("id").alias("doc_id"), "domain", "d2"
+        )
+        sizes = domain_sizes(assign).select(
+            "domain", F.col("n_docs").alias("n"), "share"
+        )
+        return {"domains": doms, "domainsizes": sizes}
+
+    return slot_memo(_DOM_MEMO, spark, sf_dir, build)

@@ -1211,7 +1211,7 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "neighbor_id", "cosine",
         F.col("rank").cast("int").alias("rank"),
     )
-    div = diversify_branches(e)
+    div = diversify_branches(spark, sf_dir, e)
     return tagged_union(
         {
             "ivf": ivf,

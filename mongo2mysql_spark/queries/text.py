@@ -197,7 +197,7 @@ def text_term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "token")
         .limit(50)
     )
-    return tagged_union({"tf": tf, **domains_branches(d)})
+    return tagged_union({"tf": tf, **domains_branches(spark, sf_dir, d)})
 
 
 # ------------------------------------------------------------------ search
