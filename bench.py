@@ -74,7 +74,8 @@ BRANCHED = {
     ),
     "dedup_pair_families": (
         "family",
-        ["minhash_lsh", "ngram_jaccard", "embedding_cosine", "edit_distance"],
+        ["minhash_lsh", "ppjoin_tokens", "ngram_jaccard",
+         "embedding_cosine", "edit_distance"],
     ),
     "sample_split_stratified": (
         "branch", ["strata", "dsir", "fixedn", "groupsplit", "unimax"],

@@ -1,0 +1,140 @@
+"""Exact-threshold set-similarity self-join via prefix filtering
+(PPJoin family — Xiao, Wang, Lin, Yu: "Efficient Similarity Joins for
+Near Duplicate Detection", WWW 2008; extension layer — the reference's
+556-LoC ETL core has no text surface).
+
+MinHash-LSH (operators/dedup.py) is probabilistic: it misses a
+(tunable) fraction of true pairs and emits estimate scores.  The
+prefix-filter join is EXACT for a Jaccard threshold t: order every
+document's distinct tokens by one GLOBAL rank (document frequency
+ascending, then token — rarest first), and keep only each document's
+first ``p = |x| − ceil(t·|x|) + 1`` tokens as its *prefix*.  Theorem
+(WWW 2008, Lemma 1): if J(A, B) ≥ t, the prefixes of A and B share at
+least one token under ANY global order — so the candidate set
+{pairs sharing a prefix token} is COMPLETE, and rare-first ordering
+makes it small (the join keys are, by construction, each document's
+rarest tokens).
+
+Every quantity is integer: the threshold is carried as a rational
+``t_num/t_den`` so prefix lengths (``ceil`` via integer arithmetic),
+the length filter (``t_den·|B| ≥ t_num·|A|``) and the final predicate
+(``t_den·|A∩B| ≥ t_num·|A∪B|``) never touch a float; the reported
+score is one ROUND(int/int, 6) division.  The driver oracle states the
+BRUTE-FORCE all-pairs answer, so the hash check proves the prefix
+filter loses nothing — the same same-answer-different-path gate the
+IVF-partitioned store uses.
+
+Scale shape:
+- df ranks: one token-key groupBy (vocab-sized, high-cardinality);
+- per-doc sorted sets: one shuffle on token to attach df, one
+  groupBy(id) building the sorted key array (bounded by doc length —
+  the sort is per-document, never global);
+- candidate generation: explode PREFIXES only (~(1−t)·|x|+1 keys per
+  doc) and self-join on the key — the shuffle keys are the rarest
+  tokens of each document, the exact opposite of the hot-key failure
+  mode a naive token self-join has;
+- verify: one join back to the bounded set arrays per side +
+  ``array_intersect`` per candidate pair.  Nothing is corpus².
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def token_key_sets(
+    df: DataFrame, id_col: str, toks_col
+) -> DataFrame:
+    """(id, keys, n): each document's DISTINCT tokens as sort keys
+    ``lpad(df, 10, '0') || '|' || token`` ordered rarest-first — the
+    global (document-frequency, token) rank realized as plain binary
+    string order, identical in both engines.  ``n`` = |token set|."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(toks_col)).alias("tok"),
+    )
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("__df"))
+    keyed = toks.join(dfreq, "tok").select(
+        "id",
+        F.concat_ws(
+            "|", F.lpad(F.col("__df").cast("string"), 10, "0"), F.col("tok")
+        ).alias("key"),
+    )
+    return (
+        keyed.groupBy("id")
+        .agg(F.sort_array(F.collect_list("key")).alias("keys"))
+        .select("id", "keys", F.size("keys").alias("n"))
+    )
+
+
+def _ceil_mul(n_col, t_num: int, t_den: int):
+    """ceil(t_num·n / t_den) in exact integer arithmetic."""
+    return F.expr(f"(({t_num} * {n_col}) + {t_den} - 1) DIV {t_den}")
+
+
+def ppjoin_pairs(
+    df: DataFrame,
+    id_col: str,
+    toks_col,
+    t_num: int = 3,
+    t_den: int = 5,
+) -> DataFrame:
+    """All pairs with token-set Jaccard ≥ t_num/t_den, exactly.
+
+    Output: (id_1, id_2, inter, n_1, n_2, score) with id_1 < id_2 and
+    ``score = ROUND(inter / (n_1 + n_2 − inter), 6)``.
+    """
+    if not 0 < t_num <= t_den:
+        raise ValueError(f"threshold must be in (0, 1]: {t_num}/{t_den}")
+    sets = token_key_sets(df, id_col, toks_col).localCheckpoint()
+    prefix_len = (F.col("n") - _ceil_mul("n", t_num, t_den) + 1).alias("p")
+    prefixes = sets.select(
+        "id", "n", F.explode(F.slice("keys", 1, prefix_len)).alias("key")
+    )
+    a = prefixes.select(
+        F.col("id").alias("id_1"), F.col("n").alias("n_1"), "key"
+    )
+    b = prefixes.select(
+        F.col("id").alias("id_2"), F.col("n").alias("n_2"), "key"
+    )
+    cand = (
+        a.join(b, "key")
+        .filter(F.col("id_1") < F.col("id_2"))
+        # length filter (WWW 2008 §3): |B| ∈ [t·|A|, |A|/t] — pure
+        # integer form; candidates outside it cannot reach t
+        .filter(
+            (F.lit(t_den) * F.col("n_2") >= F.lit(t_num) * F.col("n_1"))
+            & (F.lit(t_den) * F.col("n_1") >= F.lit(t_num) * F.col("n_2"))
+        )
+        .select("id_1", "id_2")
+        .distinct()
+    )
+    sa = sets.select(F.col("id").alias("id_1"), F.col("keys").alias("__ka"))
+    sb = sets.select(F.col("id").alias("id_2"), F.col("keys").alias("__kb"))
+    verified = (
+        cand.join(sa, "id_1")
+        .join(sb, "id_2")
+        .select(
+            "id_1",
+            "id_2",
+            F.size(F.array_intersect("__ka", "__kb")).alias("inter"),
+            F.size("__ka").alias("n_1"),
+            F.size("__kb").alias("n_2"),
+        )
+        .filter(
+            F.lit(t_den) * F.col("inter")
+            >= F.lit(t_num) * (F.col("n_1") + F.col("n_2") - F.col("inter"))
+        )
+    )
+    union = F.col("n_1") + F.col("n_2") - F.col("inter")
+    return verified.select(
+        "id_1",
+        "id_2",
+        "inter",
+        "n_1",
+        "n_2",
+        F.round(F.col("inter").cast("double") / union.cast("double"), 6).alias(
+            "score"
+        ),
+    )
