@@ -104,6 +104,7 @@ BRANCHED = {
     "events_sessionize": ("branch", ["sessions", "funnel", "retention",
                                      "transitions"]),
     "text_term_frequency": ("branch", ["tf", "domains", "domainsizes"]),
+    "agg_approx_sketches": ("branch", ["bounds", "kmv"]),
 }
 
 

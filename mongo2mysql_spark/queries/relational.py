@@ -283,10 +283,86 @@ def agg_histogram_price_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KMV_K = 256
+_KMV_PIVOT = "1995-06-17 00:00:00"
+_KMV_SPACE = "CAST(281474976710656 AS DOUBLE)"  # 2^48, exact
+
+_KMV_NULLS = """CAST(NULL AS VARCHAR) AS setop,
+           CAST(NULL AS DOUBLE) AS kmv_est,
+           CAST(NULL AS BIGINT) AS kmv_cnt,
+           CAST(NULL AS BIGINT) AS kmv_theta,
+           CAST(NULL AS BIGINT) AS kmv_exact,
+           CAST(NULL AS BOOLEAN) AS kmv_in_tol"""
+
+_BOUNDS_NULLS = """CAST(NULL AS BIGINT) AS exact_orders,
+           CAST(NULL AS BIGINT) AS exact_parts,
+           CAST(NULL AS DOUBLE) AS exact_p50,
+           CAST(NULL AS DOUBLE) AS exact_p90,
+           CAST(NULL AS BOOLEAN) AS within_tol_orders,
+           CAST(NULL AS BOOLEAN) AS within_tol_parts,
+           CAST(NULL AS BOOLEAN) AS within_tol_p50,
+           CAST(NULL AS BOOLEAN) AS within_tol_p90,
+           CAST(NULL AS BOOLEAN) AS within_tol_merged"""
+
+
+def _kmv_est_sql() -> str:
+    return (
+        f"CASE WHEN cnt < {_KMV_K} THEN CAST(cnt AS DOUBLE) "
+        f"ELSE (CAST({_KMV_K - 1} AS DOUBLE) * {_KMV_SPACE}) "
+        f"/ CAST(theta AS DOUBLE) END"
+    )
+
+
 @register(
     "agg_approx_sketches",
-    """
-    SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+    f"""
+    WITH kmvkeys AS MATERIALIZED (
+      SELECT CAST('0x' || substr(md5('kmv|' || CAST(l_orderkey AS VARCHAR)),
+                  1, 12) AS BIGINT) AS h,
+             max(CASE WHEN l_shipdate < TIMESTAMP '{_KMV_PIVOT}'
+                 THEN 1 ELSE 0 END) AS in_a,
+             max(CASE WHEN l_shipdate >= TIMESTAMP '{_KMV_PIVOT}'
+                 THEN 1 ELSE 0 END) AS in_b
+      FROM lineitem GROUP BY 1),
+    kmvska AS MATERIALIZED (
+      SELECT h FROM kmvkeys WHERE in_a = 1 ORDER BY h LIMIT {_KMV_K}),
+    kmvskb AS MATERIALIZED (
+      SELECT h FROM kmvkeys WHERE in_b = 1 ORDER BY h LIMIT {_KMV_K}),
+    kmvsku AS MATERIALIZED (
+      SELECT h FROM (SELECT DISTINCT h FROM
+        (SELECT h FROM kmvska UNION ALL SELECT h FROM kmvskb))
+      ORDER BY h LIMIT {_KMV_K}),
+    kmvth AS (
+      SELECT least((SELECT max(h) FROM kmvska),
+                   (SELECT max(h) FROM kmvskb)) AS theta),
+    kmvex AS (
+      SELECT CAST(sum(in_a) AS BIGINT) AS ea,
+             CAST(sum(in_b) AS BIGINT) AS eb,
+             CAST(count(*) AS BIGINT) AS eu,
+             CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ei
+      FROM kmvkeys),
+    kmvrows AS (
+      SELECT 'a' AS setop, cnt, theta, {_kmv_est_sql()} AS est,
+             (SELECT ea FROM kmvex) AS ex
+      FROM (SELECT count(*) AS cnt, max(h) AS theta FROM kmvska)
+      UNION ALL
+      SELECT 'b', cnt, theta, {_kmv_est_sql()},
+             (SELECT eb FROM kmvex)
+      FROM (SELECT count(*) AS cnt, max(h) AS theta FROM kmvskb)
+      UNION ALL
+      SELECT 'union', cnt, theta, {_kmv_est_sql()},
+             (SELECT eu FROM kmvex)
+      FROM (SELECT count(*) AS cnt, max(h) AS theta FROM kmvsku)
+      UNION ALL
+      SELECT 'intersect', cnt, theta,
+             CAST(cnt AS DOUBLE) * {_KMV_SPACE} / CAST(theta AS DOUBLE),
+             (SELECT ei FROM kmvex)
+      FROM (SELECT count(*) AS cnt, (SELECT theta FROM kmvth) AS theta
+            FROM kmvska a JOIN kmvskb b USING (h)
+            WHERE h <= (SELECT theta FROM kmvth)))
+    SELECT 'bounds' AS branch,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
            CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
            quantile_cont(l_extendedprice, 0.5) AS exact_p50,
            quantile_cont(l_extendedprice, 0.9) AS exact_p90,
@@ -294,8 +370,15 @@ def agg_histogram_price_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
            TRUE AS within_tol_parts,
            TRUE AS within_tol_p50,
            TRUE AS within_tol_p90,
-           TRUE AS within_tol_merged
+           TRUE AS within_tol_merged,
+           {_KMV_NULLS}
     FROM lineitem
+    UNION ALL
+    SELECT 'kmv' AS branch,
+           {_BOUNDS_NULLS},
+           setop, est AS kmv_est, cnt AS kmv_cnt, theta AS kmv_theta,
+           ex AS kmv_exact, TRUE AS kmv_in_tol
+    FROM kmvrows
     """,
     # Sketch ESTIMATES are engine-specific (HLL++/KLL internals), so the
     # raw approx values cannot cross-check against DuckDB.  The oracle
@@ -313,10 +396,22 @@ def agg_histogram_price_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "→ hll_union_agg → estimate): at scale, per-partition sketch "
         "partials persist alongside the data and roll up without ever "
         "rescanning raw rows — the distinct-count analogue of the "
-        "hypertable rollup."
+        "hypertable rollup.  'kmv' rows are KMV/theta sketches "
+        "(operators/kmv.py — K-minimum-values, Bar-Yossef et al. 2002; "
+        "the theta-sketch set algebra of production sketch libraries): "
+        "distinct order keys before/after a ship-date pivot sketched as "
+        f"the {_KMV_K} smallest portable md5-prefix hashes, then "
+        "ESTIMATED |A|, |B|, |A∪B| (mergeable: union built from the two "
+        "sketches alone) and |A∩B| (common samples under the joint "
+        "threshold — the set operation HLL cannot do).  Every estimate "
+        "is integer operands + one IEEE division, so unlike the HLL "
+        "verdicts, the estimates THEMSELVES hash against the DuckDB "
+        "restatement, alongside exact counterparts and error verdicts."
     ),
 )
 def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mongo2mysql_spark.queries import tagged_union
+
     li = Tf(spark, sf_dir, "lineitem")
     # mergeable partials: one HLL sketch per ship-month, merged with
     # hll_union_agg — numerically identical to sketching the whole
@@ -341,7 +436,7 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("l_extendedprice", 0.9).alias("exact_p90"),
     )
     rel = lambda a, e: F.abs(F.col(a) - F.col(e)) / F.col(e)  # noqa: E731
-    return agg.crossJoin(F.broadcast(merged)).select(
+    bounds = agg.crossJoin(F.broadcast(merged)).select(
         "exact_orders",
         "exact_parts",
         "exact_p50",
@@ -354,6 +449,65 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
             "within_tol_merged"
         ),
     )
+    # KMV branch: sketch ESTIMATES are portable integers + one IEEE
+    # division, so unlike the HLL/KLL verdicts above, est/cnt/theta are
+    # THEMSELVES hashed against the DuckDB restatement
+    from mongo2mysql_spark.operators.kmv import (
+        kmv_hash,
+        kmv_intersect_est,
+        kmv_stats,
+        kmv_union,
+    )
+
+    pivot = F.lit(_KMV_PIVOT.split(" ")[0]).cast("timestamp")
+    keys = (
+        li.select(
+            kmv_hash(F.col("l_orderkey")).alias("h"),
+            (F.col("l_shipdate") < pivot).cast("int").alias("in_a"),
+            (F.col("l_shipdate") >= pivot).cast("int").alias("in_b"),
+        )
+        .groupBy("h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+        .localCheckpoint()
+    )
+    ska = (
+        keys.filter(F.col("in_a") == 1).select("h").orderBy("h").limit(_KMV_K)
+    ).localCheckpoint()
+    skb = (
+        keys.filter(F.col("in_b") == 1).select("h").orderBy("h").limit(_KMV_K)
+    ).localCheckpoint()
+    exacts = keys.agg(
+        F.sum("in_a").alias("ea"),
+        F.sum("in_b").alias("eb"),
+        F.count(F.lit(1)).alias("eu"),
+        F.sum(
+            F.when((F.col("in_a") == 1) & (F.col("in_b") == 1), 1).otherwise(0)
+        ).alias("ei"),
+    )
+
+    def kmv_row(setop: str, stats: DataFrame, exact_col: str, tol: float):
+        return stats.crossJoin(F.broadcast(exacts)).select(
+            F.lit(setop).alias("setop"),
+            F.col("est").alias("kmv_est"),
+            F.col(stats.columns[0]).cast("long").alias("kmv_cnt"),
+            F.col("theta").alias("kmv_theta"),
+            F.col(exact_col).cast("long").alias("kmv_exact"),
+            (
+                F.abs(F.col("est") - F.col(exact_col))
+                / F.col(exact_col).cast("double")
+                <= tol
+            ).alias("kmv_in_tol"),
+        )
+
+    kmv = (
+        kmv_row("a", kmv_stats(ska, _KMV_K), "ea", 0.2)
+        .unionByName(kmv_row("b", kmv_stats(skb, _KMV_K), "eb", 0.2))
+        .unionByName(
+            kmv_row("union", kmv_stats(kmv_union(ska, skb, _KMV_K), _KMV_K), "eu", 0.2)
+        )
+        .unionByName(kmv_row("intersect", kmv_intersect_est(ska, skb), "ei", 0.35))
+    )
+    return tagged_union({"bounds": bounds, "kmv": kmv})
 
 
 # --------------------------------------------------------------------- joins

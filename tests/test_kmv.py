@@ -1,0 +1,70 @@
+"""KMV / theta sketches (operators/kmv): unsaturated exactness,
+mergeability, estimate accuracy, set-operation estimates.  Cross-engine
+estimate hashing is pinned by test_oracle (agg_approx_sketches 'kmv')."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mongo2mysql_spark.operators.kmv import (
+    kmv_intersect_est,
+    kmv_sketch,
+    kmv_stats,
+    kmv_union,
+)
+
+K = 128
+
+
+def _ids(spark, lo, hi):
+    return spark.range(lo, hi).select(F.col("id").alias("v"))
+
+
+def test_unsaturated_sketch_is_exact(spark):
+    sk = kmv_sketch(_ids(spark, 0, 50), "v", K)
+    st = kmv_stats(sk, K).collect()[0]
+    assert st.cnt == 50 and st.est == 50.0
+
+
+def test_duplicates_collapse(spark):
+    df = _ids(spark, 0, 50).unionByName(_ids(spark, 0, 50))
+    st = kmv_stats(kmv_sketch(df, "v", K), K).collect()[0]
+    assert st.cnt == 50 and st.est == 50.0
+
+
+def test_mergeable_union_equals_direct_sketch(spark):
+    a, b = _ids(spark, 0, 5000), _ids(spark, 3000, 9000)
+    direct = [
+        r.h for r in kmv_sketch(_ids(spark, 0, 9000), "v", K).orderBy("h").collect()
+    ]
+    merged = [
+        r.h
+        for r in kmv_union(
+            kmv_sketch(a, "v", K), kmv_sketch(b, "v", K), K
+        ).orderBy("h").collect()
+    ]
+    assert merged == direct  # sketch-level equality, not just estimates
+
+
+def test_estimate_accuracy_saturated(spark):
+    n = 20_000
+    st = kmv_stats(kmv_sketch(_ids(spark, 0, n), "v", K), K).collect()[0]
+    assert st.cnt == K
+    assert abs(st.est - n) / n < 3.0 / (K - 2) ** 0.5  # ~3 RSE
+
+
+def test_intersection_estimate(spark):
+    a, b = _ids(spark, 0, 8000), _ids(spark, 4000, 12000)  # overlap 4000
+    est = kmv_intersect_est(
+        kmv_sketch(a, "v", K), kmv_sketch(b, "v", K)
+    ).collect()[0]
+    assert abs(est.est - 4000) / 4000 < 0.5  # intersection RSE is wider
+    assert est.common > 0 and est.theta > 0
+
+
+def test_disjoint_intersection_is_zero(spark):
+    a, b = _ids(spark, 0, 3000), _ids(spark, 100_000, 103_000)
+    est = kmv_intersect_est(
+        kmv_sketch(a, "v", K), kmv_sketch(b, "v", K)
+    ).collect()[0]
+    assert est.common == 0 and est.est == 0.0
