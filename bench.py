@@ -101,8 +101,8 @@ BRANCHED = {
     "text_bm25_search": ("branch", ["bm25", "rrf"]),
     "dedup_connected_components": ("branch", ["closure", "canon",
                                               "pagerank"]),
-    "events_sessionize": ("branch", ["sessions", "funnel", "retention",
-                                     "transitions"]),
+    "events_sessionize": ("branch", ["sessions", "funnel", "funnelstate",
+                                     "retention", "transitions"]),
     "text_term_frequency": ("branch", ["tf", "domains", "domainsizes"]),
     "agg_approx_sketches": ("branch", ["bounds", "kmv"]),
 }

@@ -15,6 +15,10 @@ min definition; step qualification uses SQL row comparison
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -141,6 +145,14 @@ def behavior_oracle_parts() -> tuple[str, str]:
            active AS users, cohort_size AS denom, rate
     FROM retention
     UNION ALL
+    SELECT 'funnelstate' AS branch, {_SESSION_NULLS},
+           step, event_type,
+           CAST(NULL AS VARCHAR) AS next_type,
+           CAST(NULL AS DATE) AS cohort_week,
+           CAST(NULL AS INTEGER) AS week_offset,
+           users, denom, rate
+    FROM funnel
+    UNION ALL
     SELECT 'transitions' AS branch, {_SESSION_NULLS},
            CAST(NULL AS INTEGER) AS step,
            event_type, next_type,
@@ -151,10 +163,69 @@ def behavior_oracle_parts() -> tuple[str, str]:
     return ctes, legs
 
 
-def behavior_branches(e: DataFrame) -> dict[str, DataFrame]:
-    """'funnel' / 'retention' / 'transitions' frames in the
-    `events_sessionize` union shape (tagged_union supplies the session
-    columns as typed NULLs)."""
+_FUNSTATE_MEMO: dict[tuple, DataFrame] = {}
+_FUNSTATE_PIVOT = "2024-01-15"
+
+
+def _funnelstate_counts(spark, sf_dir: str, e: DataFrame) -> DataFrame:
+    """Drive the STATEFUL streaming funnel (streaming/funnel.py) over
+    the events table split into two time-ordered micro-batches, and
+    collapse the per-user stage emissions into the batch funnel's
+    count rows.  Memoized per (application, sf_dir); the oracle states
+    the batch funnel rows, so the driver hash proves per-user state
+    carried across micro-batches reproduces the batch operator
+    exactly (the 'hamserve' proof pattern, now for bespoke state)."""
+    from mongo2mysql_spark.queries import slot_memo
+
+    def build() -> DataFrame:
+        from mongo2mysql_spark.streaming.funnel import (
+            funnel_counts_from_progress,
+            streaming_funnel_progress,
+        )
+        from mongo2mysql_spark.streaming.pipeline import run_to_memory
+
+        cols = e.select("event_id", "ts", "user_id", "event_type")
+        pivot = F.lit(_FUNSTATE_PIVOT).cast("timestamp")
+        work = tempfile.mkdtemp(prefix="funnelstate_")
+        src = os.path.join(work, "in")
+        os.makedirs(src)
+        try:
+            for i, batch in enumerate(
+                (cols.filter(F.col("ts") < pivot),
+                 cols.filter(F.col("ts") >= pivot))
+            ):
+                stage_dir = os.path.join(work, f"stage{i}")
+                batch.coalesce(1).write.parquet(stage_dir)
+                part = next(
+                    n for n in os.listdir(stage_dir) if n.endswith(".parquet")
+                )
+                dst = os.path.join(src, f"{i:02d}.parquet")
+                shutil.move(os.path.join(stage_dir, part), dst)
+                # the file source orders by modification time: pin it
+                os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+            stream = (
+                spark.readStream.schema(cols.schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(src)
+            )
+            prog = streaming_funnel_progress(
+                stream, "user_id", "event_type", "ts", "event_id",
+                FUNNEL_STEPS,
+            )
+            res = run_to_memory(prog, mode="append", shuffle_partitions=8)
+            return funnel_counts_from_progress(
+                res, "user_id", FUNNEL_STEPS
+            ).localCheckpoint()
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+    return slot_memo(_FUNSTATE_MEMO, spark, sf_dir, build)
+
+
+def behavior_branches(spark, sf_dir: str, e: DataFrame) -> dict[str, DataFrame]:
+    """'funnel' / 'retention' / 'transitions' / 'funnelstate' frames in
+    the `events_sessionize` union shape (tagged_union supplies the
+    session columns as typed NULLs)."""
     from mongo2mysql_spark.operators.behavior import (
         event_transitions,
         funnel_counts,
@@ -180,4 +251,11 @@ def behavior_branches(e: DataFrame) -> dict[str, DataFrame]:
         F.col("total").alias("denom"),
         F.col("prob").alias("rate"),
     )
-    return {"funnel": fun, "retention": ret, "transitions": trans}
+    return {
+        "funnel": fun,
+        "retention": ret,
+        "transitions": trans,
+        "funnelstate": _funnelstate_counts(spark, sf_dir, e).select(
+            "step", "event_type", "users", "denom", "rate"
+        ),
+    }

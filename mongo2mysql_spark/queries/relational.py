@@ -972,7 +972,9 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ts").alias("session_end"),
         )
     )
-    return tagged_union({"sessions": sessions, **behavior_branches(e)})
+    return tagged_union(
+        {"sessions": sessions, **behavior_branches(spark, sf_dir, e)}
+    )
 
 
 # ------------------------------------------------------------- sort/limit/set

@@ -1062,3 +1062,69 @@ def test_ann_serve_streaming_equals_batch_and_resubmission_wins(spark, tmp_path)
         for r in after.filter(F.col("query_id") == 0).collect()
     )
     assert keep == [t for t in served if t[0] == 0]
+
+
+def test_streaming_funnel_state_carries_across_batches(spark, tmp_path):
+    """streaming/funnel: a user whose steps straddle the micro-batch
+    boundary still converts (state carries stage + completion across
+    batches), strict order is enforced within AND across batches, and
+    the collapsed counts equal the batch operator's."""
+    import os
+    from datetime import datetime
+
+    from mongo2mysql_spark.operators.behavior import funnel_counts
+    from mongo2mysql_spark.streaming.funnel import (
+        funnel_counts_from_progress,
+        streaming_funnel_progress,
+    )
+    from mongo2mysql_spark.streaming.pipeline import run_to_memory
+
+    steps = ["signup", "view"]
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    rows_b0 = [
+        (1, datetime(2024, 1, 1, 1), 1, "signup"),   # u1 converts across
+        (2, datetime(2024, 1, 1, 2), 2, "view"),     # u2: view BEFORE signup
+        (3, datetime(2024, 1, 1, 3), 2, "signup"),
+        (4, datetime(2024, 1, 1, 4), 3, "signup"),   # u3 converts in-batch
+        (5, datetime(2024, 1, 1, 5), 3, "view"),
+    ]
+    rows_b1 = [
+        (6, datetime(2024, 1, 2, 1), 1, "view"),     # u1 completes here
+        (7, datetime(2024, 1, 2, 2), 4, "signup"),   # u4 never views
+    ]
+    src = tmp_path / "in"
+    src.mkdir()
+    for i, rows in enumerate((rows_b0, rows_b1)):
+        df = spark.createDataFrame(rows, schema).coalesce(1)
+        stage = str(tmp_path / f"s{i}")
+        df.write.parquet(stage)
+        part = next(n for n in os.listdir(stage) if n.endswith(".parquet"))
+        dst = str(src / f"{i:02d}.parquet")
+        os.rename(os.path.join(stage, part), dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    prog = streaming_funnel_progress(
+        stream, "user_id", "event_type", "ts", "event_id", steps
+    )
+    res = run_to_memory(prog, mode="append", shuffle_partitions=4)
+    # u1 must appear in BOTH batches (stage 1 then 2) — proof the state
+    # actually crossed the micro-batch boundary
+    u1 = sorted(r.stage for r in res.filter("user_id = 1").collect())
+    assert u1 == [1, 2]
+    got = {
+        (r.step, r.users, r.denom, r.rate)
+        for r in funnel_counts_from_progress(res, "user_id", steps).collect()
+    }
+    batch = spark.createDataFrame(rows_b0 + rows_b1, schema)
+    want = {
+        (r.step, r.users, r.denom, r.rate)
+        for r in funnel_counts(
+            batch, "user_id", "event_type", "ts", "event_id", steps
+        ).collect()
+    }
+    assert got == want
+    assert (1, 4, None, None) in got and (2, 2, 4, 0.5) in got
