@@ -299,24 +299,29 @@ _BUILDER_NULLS_SQL = """
     "etl_pipeline_e2e",
     f"""
     WITH buckets AS (
-      SELECT doc_id % 5 AS b, len(string_split(text, ' ')) AS nt FROM documents)
-    SELECT 'porter' AS branch, 'docs' AS table_name, COUNT(*) AS n_rows,
-           CAST(7 AS INTEGER) AS n_cols, CAST(7 AS INTEGER) AS n_schema_cols,
+      SELECT doc_id % 5 AS b, len(string_split(text, ' ')) AS nt FROM documents),
+    porter_counts AS (
+      SELECT 'docs' AS table_name, COUNT(*) AS n_rows,
+             CAST(7 AS INTEGER) AS n_cols, CAST(7 AS INTEGER) AS n_schema_cols
+      FROM buckets WHERE b IN (3, 4)
+      UNION ALL
+      SELECT 'docs__tags', CAST(SUM(LEAST(nt, 3)) AS BIGINT), 4, 4
+      FROM buckets
+      UNION ALL
+      SELECT 'settings', COUNT(*), 7, 7 FROM buckets WHERE b = 1
+      UNION ALL
+      SELECT 'tag_topics', COUNT(*), 7, 7 FROM buckets WHERE b = 0
+      UNION ALL
+      SELECT 'user', COUNT(*), 7, 7 FROM buckets WHERE b = 2)
+    SELECT 'porter' AS branch, table_name, n_rows, n_cols, n_schema_cols,
            {_BUILDER_NULLS_SQL}
-    FROM buckets WHERE b IN (3, 4)
+    FROM porter_counts
     UNION ALL
-    SELECT 'porter', 'docs__tags', CAST(SUM(LEAST(nt, 3)) AS BIGINT), 4, 4,
+    SELECT 'telemetry' AS branch, table_name, n_rows,
+           CAST(NULL AS INTEGER) AS n_cols,
+           CAST(NULL AS INTEGER) AS n_schema_cols,
            {_BUILDER_NULLS_SQL}
-    FROM buckets
-    UNION ALL
-    SELECT 'porter', 'settings', COUNT(*), 7, 7, {_BUILDER_NULLS_SQL}
-    FROM buckets WHERE b = 1
-    UNION ALL
-    SELECT 'porter', 'tag_topics', COUNT(*), 7, 7, {_BUILDER_NULLS_SQL}
-    FROM buckets WHERE b = 0
-    UNION ALL
-    SELECT 'porter', 'user', COUNT(*), 7, 7, {_BUILDER_NULLS_SQL}
-    FROM buckets WHERE b = 2
+    FROM porter_counts
     UNION ALL
     {_builder_oracle_sql()}
     """,
@@ -363,16 +368,32 @@ def etl_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exports = SparkPorter(spark, PorterConfig()).run_to_frames({"docs": docs})
     exp = exports["docs"]
-    rows = [
-        (t, tdf.count(), len(tdf.columns), len(exp.schemas.get(t, {})))
-        for t, tdf in sorted(exp.tables.items())
-    ]
+    # A17 under the hash gate: the count action runs through the
+    # Observation-based telemetry wrapper (telemetry.py — the row count
+    # is collected BY the action's own job, no extra pass), and the
+    # observed counts are emitted as their own branch — the oracle
+    # states the same counts, so the hash verifies the telemetry path
+    from mongo2mysql_spark.telemetry import ProgressReporter
+
+    reporter = ProgressReporter(emit=lambda line: None)
+    rows, trows = [], []
+    for t, tdf in sorted(exp.tables.items()):
+        wrapped = reporter.wrap(t, tdf)
+        n = wrapped.count()
+        progress = reporter.finish(t)
+        rows.append((t, n, len(tdf.columns), len(exp.schemas.get(t, {}))))
+        trows.append((t, progress.rows))
     exp.unpersist()
     porter = spark.createDataFrame(
         rows, "table_name string, n_rows long, n_cols int, n_schema_cols int"
     )
+    telemetry = spark.createDataFrame(trows, "table_name string, n_rows long")
     return tagged_union(
-        {"porter": porter, "builder": corpus_builder_report(spark, sf_dir)}
+        {
+            "porter": porter,
+            "telemetry": telemetry,
+            "builder": corpus_builder_report(spark, sf_dir),
+        }
     )
 
 
