@@ -168,6 +168,9 @@ def domain_sizes(assign: DataFrame) -> DataFrame:
     """(domain, n_docs, share) — the mixing-stage input; share is one
     int-over-int IEEE division."""
     sizes = assign.groupBy("domain").agg(F.count(F.lit(1)).alias("n_docs"))
+    # 1-row broadcast total crossJoined in (Catalyst folds any
+    # constant-key equi-join back to the same BroadcastNestedLoopJoin,
+    # so state the shape directly; k-bounded × 1 row — never quadratic)
     total = assign.groupBy().agg(F.count(F.lit(1)).alias("__t"))
     return sizes.crossJoin(F.broadcast(total)).select(
         "domain",

@@ -499,7 +499,9 @@ def test_sessionize_gap_boundary(spark, tmp_path):
 
     out = {
         (r["user_id"], r["session_id"]): r["n_events"]
-        for r in events_sessionize(spark, str(tmp_path)).collect()
+        for r in events_sessionize(spark, str(tmp_path))
+        .filter("branch = 'sessions'")  # the slot is a tagged family now
+        .collect()
     }
     assert out == {(1, 1): 2, (1, 2): 1, (2, 1): 1}
 

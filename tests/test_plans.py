@@ -285,6 +285,8 @@ _BNLJ_OK = {
     "agg_approx_sketches",  # single-row merged-sketch frame cross-joined in
     "embedding_stats",  # PQ ADC scan crossJoins the broadcast per-query
     # distance-table frame (operators/pq.py) — same family as ann_topk_*
+    "text_term_frequency",  # domain shares crossJoin the 1-row broadcast
+    # total (operators/domains.domain_sizes) — k-bounded × 1, never quadratic
 }
 
 
