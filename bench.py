@@ -102,7 +102,7 @@ BRANCHED = {
     "dedup_connected_components": ("branch", ["closure", "canon",
                                               "pagerank"]),
     "events_sessionize": ("branch", ["sessions", "funnel", "funnelstate",
-                                     "retention", "transitions"]),
+                                     "retention", "transitions", "paths"]),
     "text_term_frequency": ("branch", ["tf", "domains", "domainsizes"]),
     "agg_approx_sketches": ("branch", ["bounds", "kmv"]),
 }

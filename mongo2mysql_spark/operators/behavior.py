@@ -168,3 +168,74 @@ def event_transitions(
             "prob"
         ),
     )
+
+
+def session_paths(
+    events: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    id_col: str,
+    gap_ms: int = 1_800_000,
+    depth: int = 4,
+    k: int = 10,
+) -> DataFrame:
+    """Top-k session journeys: each session's first ``depth`` event
+    types in (ts, id) order joined as ``a>b>c``, counted, with the
+    share CONDITIONED on the entry point (``n / sessions starting with
+    the same first event``) — P(journey | landing action), the path-
+    analysis readout next to the funnel.  Sessions use the same
+    30-min-gap rule as sessionization.
+
+    Output: (path, n, total, share), top-``k`` by (n DESC, path) — a
+    total order, so the cut is deterministic on every engine.  The
+    per-entry-point totals join on a KEYED column (no global-total
+    cartesian); the path build is one per-session ``sort_array`` over
+    bounded session rows, never a global sort.
+    """
+    w = W.partitionBy(user_col).orderBy(ts_col, id_col)
+    ms = F.unix_millis(F.col(ts_col))
+    new_session = F.when(
+        (ms - F.lag(ms).over(w) > gap_ms) | F.lag(ms).over(w).isNull(), 1
+    ).otherwise(0)
+    wf = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    sess = events.select(
+        F.col(user_col),
+        F.col(ts_col),
+        F.col(id_col),
+        F.col(type_col).alias("__t"),
+        F.sum(new_session).over(wf).alias("__sid"),
+    )
+    paths = sess.groupBy(user_col, "__sid").agg(
+        F.array_join(
+            F.slice(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct(ts_col, id_col, "__t"))
+                    ),
+                    lambda x: x.getField("__t"),
+                ),
+                1,
+                depth,
+            ),
+            ">",
+        ).alias("path")
+    )
+    counts = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n"))
+    keyed = counts.withColumn(
+        "__first", F.split(F.col("path"), ">").getItem(0)
+    )
+    totals = keyed.groupBy("__first").agg(F.sum("n").alias("total"))
+    return (
+        keyed.join(totals, "__first")
+        .select(
+            "path",
+            "n",
+            "total",
+            (F.col("n").cast("double") / F.col("total").cast("double")).alias(
+                "share"
+            ),
+        )
+        .orderBy(F.desc("n"), "path")
+        .limit(k)
+    )

@@ -23,6 +23,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 FUNNEL_STEPS = ["signup", "view", "click", "purchase"]
+PATH_DEPTH = 4
+PATH_K = 10
 
 
 def _funnel_ctes(steps: list[str]) -> str:
@@ -87,6 +89,37 @@ _RETENTION_CTES = """rfirst AS (
              CAST(c.active AS DOUBLE) / CAST(s.cohort_size AS DOUBLE) AS rate
       FROM rcells c JOIN rsizes s USING (cohort_week))"""
 
+_PATH_CTES = f"""ppathflag AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    ppathsess AS (
+      SELECT user_id, event_type, ts, event_id,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS sid
+      FROM ppathflag),
+    ppaths AS MATERIALIZED (
+      SELECT user_id, sid,
+             array_to_string(
+               list(event_type ORDER BY ts, event_id)[1:{PATH_DEPTH}], '>')
+               AS path
+      FROM ppathsess GROUP BY user_id, sid),
+    ppcnt AS MATERIALIZED (
+      SELECT path, count(*) AS n FROM ppaths GROUP BY path),
+    ppkey AS (
+      SELECT path, n, string_split(path, '>')[1] AS first FROM ppcnt),
+    pptot AS (
+      SELECT first, CAST(sum(n) AS BIGINT) AS total
+      FROM ppkey GROUP BY first),
+    pptop AS (
+      SELECT k.path, k.n, t.total,
+             CAST(k.n AS DOUBLE) / CAST(t.total AS DOUBLE) AS share
+      FROM ppkey k JOIN pptot t USING (first)
+      ORDER BY k.n DESC, k.path LIMIT {PATH_K})"""
+
 _TRANSITION_CTES = """tpairs AS (
       SELECT event_type,
              lead(event_type) OVER (PARTITION BY user_id
@@ -127,7 +160,8 @@ def behavior_oracle_parts() -> tuple[str, str]:
     COVERAGE.md slot policy; the legs fill the session columns with
     typed NULLs and vice versa)."""
     ctes = ",\n    ".join(
-        [_funnel_ctes(FUNNEL_STEPS), _RETENTION_CTES, _TRANSITION_CTES]
+        [_funnel_ctes(FUNNEL_STEPS), _RETENTION_CTES, _TRANSITION_CTES,
+         _PATH_CTES]
     )
     legs = f"""SELECT 'funnel' AS branch, {_SESSION_NULLS},
            step, event_type,
@@ -159,7 +193,16 @@ def behavior_oracle_parts() -> tuple[str, str]:
            CAST(NULL AS DATE) AS cohort_week,
            CAST(NULL AS INTEGER) AS week_offset,
            n AS users, tot AS denom, prob AS rate
-    FROM transitions"""
+    FROM transitions
+    UNION ALL
+    SELECT 'paths' AS branch, {_SESSION_NULLS},
+           CAST(NULL AS INTEGER) AS step,
+           path AS event_type,
+           CAST(NULL AS VARCHAR) AS next_type,
+           CAST(NULL AS DATE) AS cohort_week,
+           CAST(NULL AS INTEGER) AS week_offset,
+           n AS users, total AS denom, share AS rate
+    FROM pptop"""
     return ctes, legs
 
 
@@ -230,6 +273,7 @@ def behavior_branches(spark, sf_dir: str, e: DataFrame) -> dict[str, DataFrame]:
         event_transitions,
         funnel_counts,
         retention_cohorts,
+        session_paths,
     )
 
     fun = funnel_counts(
@@ -251,10 +295,20 @@ def behavior_branches(spark, sf_dir: str, e: DataFrame) -> dict[str, DataFrame]:
         F.col("total").alias("denom"),
         F.col("prob").alias("rate"),
     )
+    paths = session_paths(
+        e, "user_id", "event_type", "ts", "event_id",
+        depth=PATH_DEPTH, k=PATH_K,
+    ).select(
+        F.col("path").alias("event_type"),
+        F.col("n").alias("users"),
+        F.col("total").alias("denom"),
+        F.col("share").alias("rate"),
+    )
     return {
         "funnel": fun,
         "retention": ret,
         "transitions": trans,
+        "paths": paths,
         "funnelstate": _funnelstate_counts(spark, sf_dir, e).select(
             "step", "event_type", "users", "denom", "rate"
         ),

@@ -130,3 +130,56 @@ def test_transitions_counts_and_probs(spark):
     assert got[("view", "purchase")] == (1, 3, 1.0 / 3.0)
     assert got[("click", "view")] == (1, 1, 1.0)
     assert len(got) == 3
+
+
+def test_session_paths_entry_conditional_shares(spark):
+    from mongo2mysql_spark.operators.behavior import session_paths
+
+    # user 1: one session view>click; user 2: view>click; user 3:
+    # view>purchase; user 4: signup (own entry point) — events minutes
+    # apart so each user's pair stays inside the 30-min session gap
+    rows = [
+        (0, datetime(2024, 1, 1, 1, 0), 1, "view"),
+        (1, datetime(2024, 1, 1, 1, 5), 1, "click"),
+        (2, datetime(2024, 1, 1, 1, 0), 2, "view"),
+        (3, datetime(2024, 1, 1, 1, 5), 2, "click"),
+        (4, datetime(2024, 1, 1, 1, 0), 3, "view"),
+        (5, datetime(2024, 1, 1, 1, 5), 3, "purchase"),
+        (6, datetime(2024, 1, 1, 1, 0), 4, "signup"),
+    ]
+    got = {
+        r.path: (r.n, r.total, r.share)
+        for r in session_paths(
+            spark.createDataFrame(rows, SCHEMA),
+            "user_id", "event_type", "ts", "event_id",
+            depth=4, k=10,
+        ).collect()
+    }
+    # 'view' entry point has 3 sessions: 2 view>click + 1 view>purchase
+    assert got["view>click"] == (2, 3, 2 / 3)
+    assert got["view>purchase"] == (1, 3, 1 / 3)
+    assert got["signup"] == (1, 1, 1.0)
+
+
+def test_session_paths_gap_splits_and_depth_truncates(spark):
+    from datetime import datetime
+
+    from mongo2mysql_spark.operators.behavior import session_paths
+
+    rows = [
+        # one user, 6 rapid events -> depth-3 truncation
+        (0, datetime(2024, 1, 1, 1, 0, 0), 1, "a"),
+        (1, datetime(2024, 1, 1, 1, 1, 0), 1, "b"),
+        (2, datetime(2024, 1, 1, 1, 2, 0), 1, "c"),
+        (3, datetime(2024, 1, 1, 1, 3, 0), 1, "d"),
+        # > 30 min gap -> second session
+        (4, datetime(2024, 1, 1, 3, 0, 0), 1, "a"),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = {
+        r.path: r.n
+        for r in session_paths(
+            df, "user_id", "event_type", "ts", "event_id", depth=3, k=10
+        ).collect()
+    }
+    assert got == {"a>b>c": 1, "a": 1}
