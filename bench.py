@@ -105,6 +105,7 @@ BRANCHED = {
                                      "retention", "transitions", "paths"]),
     "text_term_frequency": ("branch", ["tf", "domains", "domainsizes"]),
     "agg_approx_sketches": ("branch", ["bounds", "kmv"]),
+    "profile_table_stats": ("branch", ["profile", "integrity"]),
 }
 
 

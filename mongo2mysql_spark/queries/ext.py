@@ -28,6 +28,8 @@ from mongo2mysql_spark.sources import load_table as T
 @register(
     "profile_table_stats",
     """
+    SELECT 'profile' AS branch, p.*, CAST(NULL AS BIGINT) AS n_orphans
+    FROM (
     WITH base AS (SELECT COUNT(*) AS n FROM documents)
     SELECT 'doc_id' AS column, 'bigint' AS dtype, n AS n_rows,
            (SELECT COUNT(doc_id) FROM documents) AS n_nonnull,
@@ -78,6 +80,109 @@ from mongo2mysql_spark.sources import load_table as T
            (SELECT ROUND(CAST(SUM(CAST(n_chars AS DECIMAL(38,8))) / COUNT(n_chars) AS DOUBLE), 6) FROM documents),
            CAST(NULL AS DOUBLE)
     FROM base
+    ) p
+    UNION ALL
+    SELECT 'integrity' AS branch, 'orders.o_custkey->customer' AS column, 'fk' AS dtype,
+           n AS n_rows, matched AS n_nonnull,
+           ROUND(CAST(n - matched AS DOUBLE)
+                 / CAST(GREATEST(n, 1) AS DOUBLE), 6) AS null_frac,
+           CAST(NULL AS BIGINT) AS n_distinct,
+           CAST(NULL AS VARCHAR) AS min_value,
+           CAST(NULL AS VARCHAR) AS max_value,
+           CAST(NULL AS DOUBLE) AS mean_value,
+           CAST(NULL AS DOUBLE) AS avg_len,
+           (n - matched) AS n_orphans
+    FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(COUNT(p.__pk) AS BIGINT) AS matched
+          FROM orders c
+          LEFT JOIN (SELECT DISTINCT c_custkey AS __pk FROM customer) p
+            ON c.o_custkey = p.__pk
+          WHERE c.o_custkey IS NOT NULL)
+    UNION ALL
+    SELECT 'integrity' AS branch, 'lineitem.l_orderkey->orders' AS column, 'fk' AS dtype,
+           n AS n_rows, matched AS n_nonnull,
+           ROUND(CAST(n - matched AS DOUBLE)
+                 / CAST(GREATEST(n, 1) AS DOUBLE), 6) AS null_frac,
+           CAST(NULL AS BIGINT) AS n_distinct,
+           CAST(NULL AS VARCHAR) AS min_value,
+           CAST(NULL AS VARCHAR) AS max_value,
+           CAST(NULL AS DOUBLE) AS mean_value,
+           CAST(NULL AS DOUBLE) AS avg_len,
+           (n - matched) AS n_orphans
+    FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(COUNT(p.__pk) AS BIGINT) AS matched
+          FROM lineitem c
+          LEFT JOIN (SELECT DISTINCT o_orderkey AS __pk FROM orders) p
+            ON c.l_orderkey = p.__pk
+          WHERE c.l_orderkey IS NOT NULL)
+    UNION ALL
+    SELECT 'integrity' AS branch, 'lineitem.l_partkey->part' AS column, 'fk' AS dtype,
+           n AS n_rows, matched AS n_nonnull,
+           ROUND(CAST(n - matched AS DOUBLE)
+                 / CAST(GREATEST(n, 1) AS DOUBLE), 6) AS null_frac,
+           CAST(NULL AS BIGINT) AS n_distinct,
+           CAST(NULL AS VARCHAR) AS min_value,
+           CAST(NULL AS VARCHAR) AS max_value,
+           CAST(NULL AS DOUBLE) AS mean_value,
+           CAST(NULL AS DOUBLE) AS avg_len,
+           (n - matched) AS n_orphans
+    FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(COUNT(p.__pk) AS BIGINT) AS matched
+          FROM lineitem c
+          LEFT JOIN (SELECT DISTINCT p_partkey AS __pk FROM part) p
+            ON c.l_partkey = p.__pk
+          WHERE c.l_partkey IS NOT NULL)
+    UNION ALL
+    SELECT 'integrity' AS branch, 'lineitem.l_suppkey->supplier' AS column, 'fk' AS dtype,
+           n AS n_rows, matched AS n_nonnull,
+           ROUND(CAST(n - matched AS DOUBLE)
+                 / CAST(GREATEST(n, 1) AS DOUBLE), 6) AS null_frac,
+           CAST(NULL AS BIGINT) AS n_distinct,
+           CAST(NULL AS VARCHAR) AS min_value,
+           CAST(NULL AS VARCHAR) AS max_value,
+           CAST(NULL AS DOUBLE) AS mean_value,
+           CAST(NULL AS DOUBLE) AS avg_len,
+           (n - matched) AS n_orphans
+    FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(COUNT(p.__pk) AS BIGINT) AS matched
+          FROM lineitem c
+          LEFT JOIN (SELECT DISTINCT s_suppkey AS __pk FROM supplier) p
+            ON c.l_suppkey = p.__pk
+          WHERE c.l_suppkey IS NOT NULL)
+    UNION ALL
+    SELECT 'integrity' AS branch, 'customer.c_nationkey->nation' AS column, 'fk' AS dtype,
+           n AS n_rows, matched AS n_nonnull,
+           ROUND(CAST(n - matched AS DOUBLE)
+                 / CAST(GREATEST(n, 1) AS DOUBLE), 6) AS null_frac,
+           CAST(NULL AS BIGINT) AS n_distinct,
+           CAST(NULL AS VARCHAR) AS min_value,
+           CAST(NULL AS VARCHAR) AS max_value,
+           CAST(NULL AS DOUBLE) AS mean_value,
+           CAST(NULL AS DOUBLE) AS avg_len,
+           (n - matched) AS n_orphans
+    FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(COUNT(p.__pk) AS BIGINT) AS matched
+          FROM customer c
+          LEFT JOIN (SELECT DISTINCT n_nationkey AS __pk FROM nation) p
+            ON c.c_nationkey = p.__pk
+          WHERE c.c_nationkey IS NOT NULL)
+    UNION ALL
+    SELECT 'integrity' AS branch, 'nation.n_regionkey->region' AS column, 'fk' AS dtype,
+           n AS n_rows, matched AS n_nonnull,
+           ROUND(CAST(n - matched AS DOUBLE)
+                 / CAST(GREATEST(n, 1) AS DOUBLE), 6) AS null_frac,
+           CAST(NULL AS BIGINT) AS n_distinct,
+           CAST(NULL AS VARCHAR) AS min_value,
+           CAST(NULL AS VARCHAR) AS max_value,
+           CAST(NULL AS DOUBLE) AS mean_value,
+           CAST(NULL AS DOUBLE) AS avg_len,
+           (n - matched) AS n_orphans
+    FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(COUNT(p.__pk) AS BIGINT) AS matched
+          FROM nation c
+          LEFT JOIN (SELECT DISTINCT r_regionkey AS __pk FROM region) p
+            ON c.n_regionkey = p.__pk
+          WHERE c.n_regionkey IS NOT NULL)
     """,
     doc=(
         "one-pass table profiler (operators/profile.py): per-column null "
@@ -90,11 +195,50 @@ from mongo2mysql_spark.sources import load_table as T
     ),
 )
 def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mongo2mysql_spark.operators.integrity import integrity_report
     from mongo2mysql_spark.operators.profile import profile_table
+    from mongo2mysql_spark.queries import tagged_union
 
     d = T(spark, sf_dir, "documents", fanout=True)
-    return profile_table(d.select("doc_id", "text", "lang", "source", "n_chars"),
-                         exact_distinct=True)
+    prof = profile_table(
+        d.select("doc_id", "text", "lang", "source", "n_chars"),
+        exact_distinct=True,
+    )
+    rels = [
+        (T(spark, sf_dir, "orders"), "o_custkey",
+         T(spark, sf_dir, "customer"), "c_custkey",
+         "orders.o_custkey->customer"),
+        (T(spark, sf_dir, "lineitem"), "l_orderkey",
+         T(spark, sf_dir, "orders"), "o_orderkey",
+         "lineitem.l_orderkey->orders"),
+        (T(spark, sf_dir, "lineitem"), "l_partkey",
+         T(spark, sf_dir, "part"), "p_partkey",
+         "lineitem.l_partkey->part"),
+        (T(spark, sf_dir, "lineitem"), "l_suppkey",
+         T(spark, sf_dir, "supplier"), "s_suppkey",
+         "lineitem.l_suppkey->supplier"),
+        (T(spark, sf_dir, "customer"), "c_nationkey",
+         T(spark, sf_dir, "nation"), "n_nationkey",
+         "customer.c_nationkey->nation"),
+        (T(spark, sf_dir, "nation"), "n_regionkey",
+         T(spark, sf_dir, "region"), "r_regionkey",
+         "nation.n_regionkey->region"),
+    ]
+    nul_s = F.lit(None).cast("string")
+    integ = integrity_report(rels).select(
+        F.col("relation").alias("column"),
+        F.lit("fk").alias("dtype"),
+        "n_rows",
+        F.col("matched").alias("n_nonnull"),
+        F.col("orphan_frac").alias("null_frac"),
+        F.lit(None).cast("bigint").alias("n_distinct"),
+        nul_s.alias("min_value"),
+        nul_s.alias("max_value"),
+        F.lit(None).cast("double").alias("mean_value"),
+        F.lit(None).cast("double").alias("avg_len"),
+        "n_orphans",
+    )
+    return tagged_union({"profile": prof, "integrity": integ})
 
 
 # ------------------------------------------------------------------ chunking

@@ -100,10 +100,13 @@ def test_approx_sketch_tolerances(spark):
     from mongo2mysql_spark.queries import load_all
     from tests.conftest import SF_DIR
 
-    row = load_all()["agg_approx_sketches"].fn(spark, SF_DIR).collect()[0]
+    df = load_all()["agg_approx_sketches"].fn(spark, SF_DIR)
+    row = df.filter("branch = 'bounds'").collect()[0]
     assert row["within_tol_orders"] and row["within_tol_parts"]
     assert row["within_tol_p50"] and row["within_tol_p90"]
     assert row["within_tol_merged"]
+    kmv = df.filter("branch = 'kmv'").collect()
+    assert len(kmv) == 4 and all(r["kmv_in_tol"] for r in kmv)
 
 
 def test_hll_sketch_partials_merge_exactly(spark):
@@ -1386,3 +1389,25 @@ def test_pagerank_decimal_exact_and_partition_invariant(spark):
     assert got[0] > got[1] > got[2], "hub must outrank spoke outranks leaf"
     assert abs(got[7] - 0.15 / 8) < 1e-15  # isolated node: teleport mass
     assert sum(got.values()) <= 1.0 + 1e-12
+
+
+def test_fk_orphan_stats_catches_planted_orphans(spark):
+    """operators/integrity: a planted dangling FK is counted; clean
+    relations report zero with fraction 0.0; NULL FKs are excluded."""
+    from mongo2mysql_spark.operators.integrity import fk_orphan_stats
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 99), (4, None)], "id bigint, fk bigint"
+    )
+    parent = spark.createDataFrame([(10,), (20,)], "pk bigint")
+    row = fk_orphan_stats(child, "fk", parent, "pk", "c->p").collect()[0]
+    assert (row.n_rows, row.matched, row.n_orphans) == (3, 2, 1)
+    assert row.orphan_frac == round(1 / 3, 6)
+    clean = fk_orphan_stats(
+        child.filter("fk = 10"), "fk", parent, "pk", "c->p"
+    ).collect()[0]
+    assert clean.n_orphans == 0 and clean.orphan_frac == 0.0
+    # duplicate parent keys must NOT explode child rows
+    dup_parent = parent.unionByName(parent)
+    dup = fk_orphan_stats(child, "fk", dup_parent, "pk", "c->p").collect()[0]
+    assert (dup.n_rows, dup.matched) == (3, 2)
