@@ -74,7 +74,7 @@ BRANCHED = {
     ),
     "dedup_pair_families": (
         "family",
-        ["minhash_lsh", "ppjoin_tokens", "ngram_jaccard",
+        ["minhash_lsh", "ppjoin_shingles", "ngram_jaccard",
          "embedding_cosine", "edit_distance"],
     ),
     "sample_split_stratified": (

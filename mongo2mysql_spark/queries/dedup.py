@@ -365,28 +365,20 @@ def _cos_sql(a: str, b: str) -> str:
              levenshtein(a.p_name, b.p_name) AS d
       FROM fzvals a JOIN fzvals b
         ON a.blk = b.blk AND a.rid < b.rid),
-    ppt AS MATERIALIZED (
-      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
-      FROM documents),
-    ppsz AS MATERIALIZED (
-      SELECT doc_id, count(*) AS n FROM ppt GROUP BY doc_id),
-    ppi AS MATERIALIZED (
-      -- BRUTE FORCE: every pair sharing any token, exact intersection;
-      -- the Spark side runs the prefix-FILTERED path, so the hash
-      -- proves the filter complete (WWW 2008 Lemma 1)
-      SELECT a.doc_id AS id_1, b.doc_id AS id_2, count(*) AS i
-      FROM ppt a JOIN ppt b ON a.tok = b.tok AND a.doc_id < b.doc_id
-      GROUP BY 1, 2),
     pppairs AS (
+      -- BRUTE FORCE over the slot's own shingle CTEs (sh/sizes/inter):
+      -- every pair sharing any 3-gram, exact intersection, integer
+      -- threshold predicate; the Spark side runs the prefix-FILTERED
+      -- path, so the hash proves the filter complete (WWW 2008 Lemma 1)
       SELECT id_1, id_2,
              ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS score
-      FROM ppi
-      JOIN ppsz sa ON sa.doc_id = id_1
-      JOIN ppsz sb ON sb.doc_id = id_2
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_1
+      JOIN sizes sb ON sb.doc_id = id_2
       WHERE 5 * i >= 3 * (sa.n + sb.n - i))
     SELECT 'minhash_lsh' AS family, id_1, id_2, est_jaccard AS score FROM pairs
     UNION ALL
-    SELECT 'ppjoin_tokens' AS family, id_1, id_2, score FROM pppairs
+    SELECT 'ppjoin_shingles' AS family, id_1, id_2, score FROM pppairs
     UNION ALL
     SELECT 'ngram_jaccard' AS family, id_1, id_2,
            ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS score
@@ -455,12 +447,21 @@ def dedup_pair_families(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from mongo2mysql_spark.operators.ppjoin import ppjoin_pairs
 
-    # exact-threshold set-similarity join: the prefix-FILTERED path
-    # runs here, the oracle states brute force — hash = completeness
-    pp = ppjoin_pairs(d, "doc_id", tokens(F.col("text")), t_num=3, t_den=5)
+    # exact-threshold set-similarity join over the SAME 3-gram shingle
+    # sets as the ngram branch: the prefix-FILTERED path runs here, the
+    # oracle states brute force — hash = completeness.  Shingles (not
+    # unigrams) are the prefix filter's intended regime: the feature
+    # space is vocab³, so document frequencies are low and the
+    # rare-first prefixes actually prune (a unigram variant measured
+    # ~quadratic on this corpus's narrow synthetic vocabulary — every
+    # prefix token was common, candidates ≈ all pairs)
+    sh2 = d.select(
+        "doc_id", word_shingles(tokens(F.col("text")), 3).alias("__shg")
+    )
+    pp = ppjoin_pairs(sh2, "doc_id", F.col("__shg"), t_num=3, t_den=5)
     return (
         fam(mh, "minhash_lsh", "est_jaccard")
-        .unionByName(fam(pp, "ppjoin_tokens", "score"))
+        .unionByName(fam(pp, "ppjoin_shingles", "score"))
         .unionByName(fam(ng, "ngram_jaccard", "jaccard"))
         .unionByName(fam(co, "embedding_cosine", "cosine"))
         .unionByName(fam(fz, "edit_distance", "dist"))
