@@ -423,7 +423,6 @@ def dedup_pair_families(spark: SparkSession, sf_dir: str) -> DataFrame:
     ng = ngram_jaccard_pairs(
         sh, "doc_id", F.col("__shg"), min_jaccard=0.6
     ).localCheckpoint()
-    sh.unpersist()
     e = T(spark, sf_dir, "embeddings", fanout=True)
     co = embedding_neardup_pairs(e, "vec_id", "embedding", "label", min_cosine=0.3)
     from mongo2mysql_spark.operators.dedup import fuzzy_value_pairs
@@ -454,11 +453,12 @@ def dedup_pair_families(spark: SparkSession, sf_dir: str) -> DataFrame:
     # space is vocab³, so document frequencies are low and the
     # rare-first prefixes actually prune (a unigram variant measured
     # ~quadratic on this corpus's narrow synthetic vocabulary — every
-    # prefix token was common, candidates ≈ all pairs)
-    sh2 = d.select(
-        "doc_id", word_shingles(tokens(F.col("text")), 3).alias("__shg")
-    )
-    pp = ppjoin_pairs(sh2, "doc_id", F.col("__shg"), t_num=3, t_den=5)
+    # prefix token was common, candidates ≈ all pairs).  Reuses the
+    # persisted `sh` frame the ngram branch just scanned (the eager
+    # key-set checkpoint inside ppjoin_pairs materializes against the
+    # cache, before the unpersist below).
+    pp = ppjoin_pairs(sh, "doc_id", F.col("__shg"), t_num=3, t_den=5)
+    sh.unpersist()
     return (
         fam(mh, "minhash_lsh", "est_jaccard")
         .unionByName(fam(pp, "ppjoin_shingles", "score"))
