@@ -106,6 +106,7 @@ BRANCHED = {
     "text_term_frequency": ("branch", ["tf", "domains", "domainsizes"]),
     "agg_approx_sketches": ("branch", ["bounds", "kmv"]),
     "profile_table_stats": ("branch", ["profile", "integrity"]),
+    "range_join_promo_revenue": ("branch", ["point", "overlap"]),
 }
 
 

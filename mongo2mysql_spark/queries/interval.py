@@ -41,25 +41,62 @@ def _promos(spark: SparkSession) -> DataFrame:
     WITH promos AS (
       SELECT i AS promo_id, i*37 AS start_day, i*37 + 10 + (i*7) % 50 AS end_day
       FROM range({N_PROMOS}) t(i)
-    )
-    SELECT promo_id, start_day, end_day,
+    ),
+    rints AS (
+      SELECT datediff('day', DATE '{PROMO_EPOCH}', CAST(l_shipdate AS DATE))
+               AS ship_day,
+             datediff('day', DATE '{PROMO_EPOCH}', CAST(l_shipdate AS DATE))
+               + 1 + (l_orderkey * 3 + l_linenumber * 7) % 28 AS rcpt_day
+      FROM lineitem),
+    ovl AS (
+      -- BRUTE-FORCE interval×interval overlap; the Spark side runs the
+      -- bin-fragmented equi-join, so the hash proves that plan complete
+      SELECT p.promo_id, p.start_day, p.end_day, COUNT(*) AS n,
+             CAST(SUM(LEAST(p.end_day, r.rcpt_day)
+                      - GREATEST(p.start_day, r.ship_day) + 1) AS BIGINT)
+               AS odays
+      FROM promos p JOIN rints r
+        ON r.ship_day <= p.end_day AND r.rcpt_day >= p.start_day
+      GROUP BY 1, 2, 3)
+    SELECT 'point' AS branch, promo_id, start_day, end_day,
            COUNT(*) AS n_orders,
-           {sql_dsum('o_totalprice')} AS revenue
+           {sql_dsum('o_totalprice')} AS revenue,
+           CAST(NULL AS BIGINT) AS overlap_days
     FROM promos JOIN orders
       ON datediff('day', DATE '{PROMO_EPOCH}', CAST(o_orderdate AS DATE))
          BETWEEN start_day AND end_day
-    GROUP BY 1, 2, 3
+    GROUP BY 2, 3, 4
+    UNION ALL
+    SELECT 'overlap' AS branch, promo_id, start_day, end_day,
+           n AS n_orders, CAST(NULL AS DOUBLE) AS revenue,
+           odays AS overlap_days
+    FROM ovl
     """,
     doc=(
-        "range join (point-in-interval): orders attributed to overlapping "
-        "promo windows.  Spark plans the naive inequality join as a "
-        "nested loop (O(n*m)); operators/rangejoin.py buckets the day "
-        "domain and equi-joins on bucket id — shuffle-partitionable on "
-        "both sides, exact-predicate re-check after.  The DuckDB oracle "
-        "states the naive BETWEEN join."
+        "interval joins, two branches in one tagged slot.  'point' rows: "
+        "range join (point-in-interval) — orders attributed to "
+        "overlapping promo windows.  Spark plans the naive inequality "
+        "join as a nested loop (O(n*m)); operators/rangejoin.py buckets "
+        "the day domain and equi-joins on bucket id — "
+        "shuffle-partitionable on both sides, exact-predicate re-check "
+        "after.  'overlap' rows: interval × INTERVAL overlap join "
+        "(operators/rangejoin.interval_overlap_join_binned — the bin-"
+        "fragmentation technique of temporal/genomic joins): synthetic "
+        "shipping windows [ship_day, ship_day+1+(key algebra)%28] vs "
+        "promo windows, both sides fragmented into aligned day bins, "
+        "equi-join on bin + exact re-check, each true pair emitted from "
+        "exactly ONE canonical bin (greatest(start)'s bin — both sides "
+        "provably fragment into it) so no dedup shuffle exists; per "
+        "promo: overlapping-shipment count and total overlap days, all "
+        "integer.  The DuckDB oracle states both joins naively."
     ),
 )
 def range_join_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mongo2mysql_spark.operators.rangejoin import (
+        interval_overlap_join_binned,
+    )
+    from mongo2mysql_spark.queries import tagged_union
+
     orders = T(spark, sf_dir, "orders").select(
         "o_totalprice",
         F.datediff(
@@ -74,10 +111,35 @@ def range_join_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         end_col="end_day",
         bucket_width=32,  # ~median promo length: ~2 bucket rows per promo
     )
-    return joined.groupBy("promo_id", "start_day", "end_day").agg(
+    point = joined.groupBy("promo_id", "start_day", "end_day").agg(
         F.count(F.lit(1)).alias("n_orders"),
         dsum(F.col("o_totalprice")).alias("revenue"),
     )
+    li = T(spark, sf_dir, "lineitem")
+    ship = F.datediff(
+        F.col("l_shipdate").cast("date"), F.lit(PROMO_EPOCH).cast("date")
+    )
+    ivals = li.select(
+        ship.alias("ship_day"),
+        (
+            ship
+            + 1
+            + (F.col("l_orderkey") * 3 + F.col("l_linenumber") * 7) % 28
+        ).alias("rcpt_day"),
+    )
+    ov = interval_overlap_join_binned(
+        ivals, _promos(spark), "ship_day", "rcpt_day",
+        "start_day", "end_day", bin_width=64,
+    )
+    overlap = ov.groupBy("promo_id", "start_day", "end_day").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(
+            F.least("end_day", "rcpt_day")
+            - F.greatest("start_day", "ship_day")
+            + 1
+        ).alias("overlap_days"),
+    )
+    return tagged_union({"point": point, "overlap": overlap})
 
 
 @register(

@@ -49,3 +49,68 @@ def test_prune_assignment_is_nearest_centroid(spark):
         assert r.proto_cos == 1.0
         assert r.proto_rank == r.cluster_n
         assert not r.keep_hard  # most prototypical -> pruned
+
+
+# ------------------------------------------- interval overlap join (binned)
+
+
+def test_interval_overlap_join_equals_bruteforce(spark):
+    """operators/rangejoin.interval_overlap_join_binned: the
+    bin-fragmented plan returns EXACTLY the brute-force overlap pairs
+    at several bin widths (including widths smaller and larger than
+    every interval), with each pair emitted exactly once."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from mongo2mysql_spark.operators.rangejoin import (
+        interval_overlap_join_binned,
+    )
+
+    lrows = [(i, s, s + ln) for i, (s, ln) in enumerate(
+        [(0, 5), (10, 1), (63, 2), (64, 0), (100, 40), (-30, 25), (-130, 5)]
+    )]
+    rrows = [(j, s, s + ln) for j, (s, ln) in enumerate(
+        [(3, 4), (11, 0), (60, 10), (90, 60), (-20, 3), (-200, 500)]
+    )]
+    left = spark.createDataFrame(lrows, "lid int, ls long, le long")
+    right = spark.createDataFrame(rrows, "rid int, rs long, re long")
+    want = sorted(
+        (li, rj)
+        for (li, ls, le), (rj, rs, re) in itertools.product(lrows, rrows)
+        if ls <= re and le >= rs
+    )
+    assert want  # non-trivial fixture
+    for width in (1, 7, 64, 1000):
+        got = sorted(
+            (r.lid, r.rid)
+            for r in interval_overlap_join_binned(
+                left, right, "ls", "le", "rs", "re", bin_width=width
+            ).collect()
+        )
+        assert got == want, f"width={width}"
+
+
+def test_interval_overlap_join_no_nested_loop(spark):
+    """The binned plan must not contain BroadcastNestedLoopJoin or
+    CartesianProduct — the whole point of the fragmentation."""
+    from pyspark.sql import functions as F
+
+    from mongo2mysql_spark.operators.rangejoin import (
+        interval_overlap_join_binned,
+    )
+
+    left = spark.range(100).select(
+        F.col("id").alias("lid"), (F.col("id") * 3).alias("ls"),
+        (F.col("id") * 3 + 10).alias("le"),
+    )
+    right = spark.range(20).select(
+        F.col("id").alias("rid"), (F.col("id") * 11).alias("rs"),
+        (F.col("id") * 11 + 5).alias("re"),
+    )
+    plan = (
+        interval_overlap_join_binned(left, right, "ls", "le", "rs", "re", 16)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
