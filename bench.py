@@ -98,7 +98,7 @@ BRANCHED = {
     "ann_topk_ivf": ("branch", ["ivf", "ivfpart", "triplets", "ivfpq",
                                "ivfadc", "mmr", "kcenter"]),
     "corpus_pack_sequences": ("branch", ["spans", "manifest", "buckets"]),
-    "text_bm25_search": ("branch", ["bm25", "rrf"]),
+    "text_bm25_search": ("branch", ["bm25", "rrf", "phrase"]),
     "dedup_connected_components": ("branch", ["closure", "canon",
                                               "pagerank"]),
     "events_sessionize": ("branch", ["sessions", "funnel", "funnelstate",

@@ -203,6 +203,8 @@ def text_term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------------------ search
 
 QUERY_TERMS = ("spark", "hash", "join")
+PHRASE = ("table", "hash")  # a real bigram of the corpus (top-10 by count)
+PHRASE_K = 20
 _BM25_K1 = 1.2
 _BM25_B = 0.75
 # RRF hybrid-retrieval branch (operators/fusion.py): fuse the BM25 leg
@@ -280,7 +282,19 @@ def _rrf_oracle() -> str:
       FROM scored
       GROUP BY doc_id),
     bmtop AS (SELECT * FROM bmall ORDER BY bm25 DESC, doc_id LIMIT 20),
-    {_rrf_oracle()}
+    {_rrf_oracle()},
+    phcnt AS (
+      -- NAIVE per-document phrase scan; the Spark side answers from
+      -- positional postings with aligned-offset joins, so the hash
+      -- proves the index path finds exactly the naive matches
+      SELECT doc_id,
+             CAST(len([i for i in range(1, len(t))
+                       if t[i] = '{PHRASE[0]}' AND t[i+1] = '{PHRASE[1]}'])
+                  AS BIGINT) AS n_hits
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+    phtop AS (
+      SELECT doc_id, n_hits FROM phcnt WHERE n_hits > 0
+      ORDER BY n_hits DESC, doc_id LIMIT {PHRASE_K})
     SELECT 'bm25' AS branch, doc_id, bm25, n_terms_hit,
            CAST(NULL AS INTEGER) AS bm25_rank,
            CAST(NULL AS INTEGER) AS cos_rank,
@@ -291,6 +305,13 @@ def _rrf_oracle() -> str:
            CAST(NULL AS BIGINT) AS n_terms_hit,
            bm25_rank, cos_rank, rrf_score
     FROM rrftop
+    UNION ALL
+    SELECT 'phrase' AS branch, doc_id, CAST(NULL AS DOUBLE) AS bm25,
+           n_hits AS n_terms_hit,
+           CAST(NULL AS INTEGER) AS bm25_rank,
+           CAST(NULL AS INTEGER) AS cos_rank,
+           CAST(NULL AS DOUBLE) AS rrf_score
+    FROM phtop
     """,
     doc=(
         "retrieval surface, tagged: 'bm25' rows are BM25 top-20 documents "
@@ -380,7 +401,12 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rrf_score"), "doc_id")
         .limit(20)
     )
-    return tagged_union({"bm25": bmtop, "rrf": rrftop})
+    from mongo2mysql_spark.operators.phrase import phrase_match_counts
+
+    ph = phrase_match_counts(
+        d, "doc_id", tokens(F.col("text")), list(PHRASE), k=PHRASE_K
+    ).select("doc_id", F.col("n_hits").alias("n_terms_hit"))
+    return tagged_union({"bm25": bmtop, "rrf": rrftop, "phrase": ph})
 
 
 # Document fingerprinting (md5 over the sorted distinct token set,

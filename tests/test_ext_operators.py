@@ -2526,3 +2526,40 @@ def test_lsh_incremental_respects_caller_cache(spark):
         assert new_sig.storageLevel == StorageLevel.MEMORY_AND_DISK
     finally:
         new_sig.unpersist()
+
+
+def test_phrase_search_positional_semantics(spark):
+    """operators/phrase: exact adjacency (not bag-of-words), occurrence
+    counting, multi-term chains, and the deterministic top-k cut."""
+    from pyspark.sql import functions as F
+
+    from mongo2mysql_spark.functions.text import tokens
+    from mongo2mysql_spark.operators.phrase import phrase_match_counts
+
+    df = spark.createDataFrame(
+        [
+            (1, "new york new york city"),        # 2 hits of 'new york'
+            (2, "york new"),                       # both terms, wrong order
+            (3, "new haven york"),                 # both terms, not adjacent
+            (4, "a new york b"),                   # 1 hit
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r.doc_id: r.n_hits
+        for r in phrase_match_counts(
+            df, "doc_id", tokens(F.col("text")), ["new", "york"], k=10
+        ).collect()
+    }
+    assert got == {1: 2, 4: 1}
+    tri = {
+        r.doc_id: r.n_hits
+        for r in phrase_match_counts(
+            df, "doc_id", tokens(F.col("text")), ["new", "york", "city"], k=10
+        ).collect()
+    }
+    assert tri == {1: 1}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        phrase_match_counts(df, "doc_id", tokens(F.col("text")), [], k=5)
