@@ -187,11 +187,18 @@ def session_paths(
     analysis readout next to the funnel.  Sessions use the same
     30-min-gap rule as sessionization.
 
-    Output: (path, n, total, share), top-``k`` by (n DESC, path) — a
-    total order, so the cut is deterministic on every engine.  The
-    per-entry-point totals join on a KEYED column (no global-total
-    cartesian); the path build is one per-session ``sort_array`` over
-    bounded session rows, never a global sort.
+    Output: (path, n, total, share), top-``k`` by (n DESC, path,
+    first-event) — a total order, so the cut is deterministic on every
+    engine.  The per-entry-point totals join on a KEYED column (no
+    global-total cartesian); the path build is one per-session
+    ``sort_array`` over bounded session rows, never a global sort.
+
+    The entry point is carried as ITS OWN COLUMN from the session
+    aggregation (lexicographic min over (ts, id, type) structs — the
+    same (ts, id) order the path uses), NOT recovered by re-splitting
+    the joined path string: an event type that itself contains the
+    ``>`` delimiter would make the split disagree with the true first
+    event and silently mis-attribute per-entry totals.
     """
     w = W.partitionBy(user_col).orderBy(ts_col, id_col)
     ms = F.unix_millis(F.col(ts_col))
@@ -219,15 +226,17 @@ def session_paths(
                 depth,
             ),
             ">",
-        ).alias("path")
+        ).alias("path"),
+        F.min(F.struct(ts_col, id_col, "__t"))
+        .getField("__t")
+        .alias("__first"),
     )
-    counts = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n"))
-    keyed = counts.withColumn(
-        "__first", F.split(F.col("path"), ">").getItem(0)
+    counts = paths.groupBy("path", "__first").agg(
+        F.count(F.lit(1)).alias("n")
     )
-    totals = keyed.groupBy("__first").agg(F.sum("n").alias("total"))
+    totals = counts.groupBy("__first").agg(F.sum("n").alias("total"))
     return (
-        keyed.join(totals, "__first")
+        counts.join(totals, "__first")
         .select(
             "path",
             "n",
@@ -235,7 +244,9 @@ def session_paths(
             (F.col("n").cast("double") / F.col("total").cast("double")).alias(
                 "share"
             ),
+            F.col("__first"),
         )
-        .orderBy(F.desc("n"), "path")
+        .orderBy(F.desc("n"), "path", "__first")
         .limit(k)
+        .drop("__first")
     )

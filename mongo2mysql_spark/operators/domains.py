@@ -158,6 +158,17 @@ def discover_domains(
         .select(F.col("id").alias("cid"), F.col("vec").alias("cvec"))
     )
     cents = seeds.localCheckpoint()
+    # Seed underflow is SILENT otherwise: fewer than k ids divisible by
+    # stride (or non-numeric ids filtering everything) would cluster
+    # into fewer domains than requested, and the oracle — which mirrors
+    # the same seed rule — could never flag it.  The count is driver-
+    # side but bounded: cents is a ≤k-row checkpointed frame.
+    n_seeds = cents.count()
+    if n_seeds < k:
+        raise ValueError(
+            f"discover_domains: only {n_seeds} seed docs satisfy "
+            f"id % {stride} == 0 — need k={k}; lower `stride` or `k`"
+        )
     for _ in range(iters):
         assign = assign_domains(vecs, cents)
         cents = lloyd_update(assign, vecs, n_buckets).localCheckpoint()

@@ -85,9 +85,13 @@ def kmv_union(a: DataFrame, b: DataFrame, k: int) -> DataFrame:
 
 def kmv_intersect_est(a: DataFrame, b: DataFrame) -> DataFrame:
     """1-row (common, theta, est) intersection estimate at the common
-    threshold θ' = min(θ_a, θ_b): samples below θ' are a uniform
-    hash-space sample of EACH set, so their overlap count over θ'
-    estimates |A ∩ B|."""
+    threshold θ' = min(θ_a, θ_b): samples strictly below θ' are a
+    uniform hash-space sample of EACH set, so their overlap count over
+    θ' estimates |A ∩ B|.  The threshold hash itself is EXCLUDED
+    (h < θ', not ≤): θ' is the K-th order statistic of whichever
+    sketch supplied it, not a uniform draw below itself — counting it
+    biased the estimate up by ~est/common, and made this estimator
+    inconsistent with ``kmv_stats``'s (K−1)/θ exclusive convention."""
     ta = a.agg(F.max("h").alias("__ta"))
     tb = b.agg(F.max("h").alias("__tb"))
     theta = (
@@ -97,7 +101,7 @@ def kmv_intersect_est(a: DataFrame, b: DataFrame) -> DataFrame:
     common = (
         a.join(b, "h")
         .crossJoin(F.broadcast(theta))
-        .filter(F.col("h") <= F.col("theta"))
+        .filter(F.col("h") < F.col("theta"))
         .groupBy("theta")
         .agg(F.count(F.lit(1)).alias("common"))
     )

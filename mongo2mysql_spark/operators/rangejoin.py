@@ -74,6 +74,19 @@ def range_join_bucketed(
     return pts.join(ivl, on="__bucket", how="inner").filter(exact).drop("__bucket")
 
 
+def floor_bin_expr(expr: str, width: int) -> str:
+    """Exact integer FLOOR division as a SQL expression.  ``DIV``
+    truncates toward zero, which would give bin 0 a double width
+    spanning (-width, width) — a non-uniform grid for negative
+    coordinates that inflates candidate pairs at the zero crossing.
+    Pure integer arithmetic (no double division), so it is exact over
+    the whole BIGINT domain."""
+    return (
+        f"(({expr}) DIV {width} - (CASE WHEN ({expr}) % {width} != 0 "
+        f"AND ({expr}) < 0 THEN 1 ELSE 0 END))"
+    )
+
+
 def interval_overlap_join_binned(
     left: DataFrame,
     right: DataFrame,
@@ -86,7 +99,9 @@ def interval_overlap_join_binned(
     """Interval × interval OVERLAP join (``l_start <= r_end AND
     l_end >= r_start``, all bounds inclusive) without a nested loop:
     both sides fragment their intervals into aligned integer bins
-    (``bound DIV bin_width``), pairs equi-join on the bin, the exact
+    (FLOOR(bound / bin_width) — floor, not truncating DIV, so the grid
+    stays uniform across the zero crossing), pairs equi-join on the
+    bin, the exact
     predicate re-checks, and each true pair is emitted from exactly ONE
     bin — the canonical bin of ``greatest(l_start, r_start)``, which
     both sides provably fragmented into — so no distinct/dedup shuffle
@@ -109,7 +124,8 @@ def interval_overlap_join_binned(
     def bins(lo: str, hi: str) -> Column:
         return F.explode(
             F.sequence(
-                F.expr(f"{lo} DIV {bin_width}"), F.expr(f"{hi} DIV {bin_width}")
+                F.expr(floor_bin_expr(lo, bin_width)),
+                F.expr(floor_bin_expr(hi, bin_width)),
             )
         )
 
@@ -122,7 +138,9 @@ def interval_overlap_join_binned(
         )
         .filter(
             F.col("__bin")
-            == F.expr(f"greatest({l_start}, {r_start}) DIV {bin_width}")
+            == F.expr(
+                floor_bin_expr(f"greatest({l_start}, {r_start})", bin_width)
+            )
         )
         .drop("__bin")
     )

@@ -105,20 +105,20 @@ _PATH_CTES = f"""ppathflag AS (
       SELECT user_id, sid,
              array_to_string(
                list(event_type ORDER BY ts, event_id)[1:{PATH_DEPTH}], '>')
-               AS path
+               AS path,
+             (list(event_type ORDER BY ts, event_id))[1] AS first
       FROM ppathsess GROUP BY user_id, sid),
     ppcnt AS MATERIALIZED (
-      SELECT path, count(*) AS n FROM ppaths GROUP BY path),
-    ppkey AS (
-      SELECT path, n, string_split(path, '>')[1] AS first FROM ppcnt),
+      SELECT path, first, count(*) AS n
+      FROM ppaths GROUP BY path, first),
     pptot AS (
       SELECT first, CAST(sum(n) AS BIGINT) AS total
-      FROM ppkey GROUP BY first),
+      FROM ppcnt GROUP BY first),
     pptop AS (
       SELECT k.path, k.n, t.total,
              CAST(k.n AS DOUBLE) / CAST(t.total AS DOUBLE) AS share
-      FROM ppkey k JOIN pptot t USING (first)
-      ORDER BY k.n DESC, k.path LIMIT {PATH_K})"""
+      FROM ppcnt k JOIN pptot t USING (first)
+      ORDER BY k.n DESC, k.path, k.first LIMIT {PATH_K})"""
 
 _TRANSITION_CTES = """tpairs AS (
       SELECT event_type,

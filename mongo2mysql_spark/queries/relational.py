@@ -360,7 +360,7 @@ def _kmv_est_sql() -> str:
              (SELECT ei FROM kmvex)
       FROM (SELECT count(*) AS cnt, (SELECT theta FROM kmvth) AS theta
             FROM kmvska a JOIN kmvskb b USING (h)
-            WHERE h <= (SELECT theta FROM kmvth)))
+            WHERE h < (SELECT theta FROM kmvth)))
     SELECT 'bounds' AS branch,
            CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
            CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,

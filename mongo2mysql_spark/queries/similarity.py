@@ -26,6 +26,14 @@ N_QUERIES = 5
 STRIDE = 97
 NPROBE = 2
 
+# Embedding dimensionality of the corpus — the ONE constant every
+# dim-dependent plan (sign_pack of stored words AND of streamed query
+# batches, FWHT SimHash stages, MRL prefix ratio, last-component
+# accessors) derives from, so the stored index and the query-side pack
+# can never silently disagree.  _bq_index validates it against the
+# actual array length at index-build time and fails fast on drift.
+EMB_DIM = 64
+
 # product-quantization branch (operators/pq.py): 64-dim vectors split
 # into PQ_M subspaces, codebook = stride-sampled corpus subvectors
 # (≤ PQ_K per subspace), ADC top-PQ_TOPK + exact rescore.
@@ -220,10 +228,16 @@ def _bq_index(spark: SparkSession, sf_dir: str, e: DataFrame) -> tuple:
     from mongo2mysql_spark.queries import slot_memo
 
     def build() -> tuple:
+        actual = e.select(F.size("embedding").alias("d")).first()["d"]
+        if actual != EMB_DIM:
+            raise ValueError(
+                f"embeddings dim {actual} != EMB_DIM {EMB_DIM} — "
+                "update queries.similarity.EMB_DIM"
+            )
         return (
-            sign_pack(e, "vec_id", "embedding", 64).localCheckpoint(),
+            sign_pack(e, "vec_id", "embedding", EMB_DIM).localCheckpoint(),
             simhash_pack(
-                e, "vec_id", "embedding", 64, SH_BITS
+                e, "vec_id", "embedding", EMB_DIM, SH_BITS
             ).localCheckpoint(),
         )
 
@@ -273,7 +287,7 @@ def _ann_served(spark: SparkSession, sf_dir: str, e: DataFrame) -> DataFrame:
             for i, batch in enumerate(batches):
                 q = streaming_ann_serve(
                     batch, store, signs, "vec_id", "embedding",
-                    dim=64, k=10,
+                    dim=EMB_DIM, k=10,
                     checkpoint_dir=os.path.join(work, f"ck{i}"),
                 )
                 if not q.awaitTermination(300):
@@ -362,7 +376,7 @@ def _simhash_oracle() -> str:
         simhash_pack_sql,
     )
 
-    stages = fwht_stages("embedding", 64, SH_BITS, accessor="{v}[{i}]")
+    stages = fwht_stages("embedding", EMB_DIM, SH_BITS, accessor="{v}[{i}]")
     ctes = []
     prev = "embeddings"
     for s_idx, stage in enumerate(stages):
@@ -426,7 +440,7 @@ def _mrl_oracle() -> str:
 def _hamming_oracle() -> str:
     from mongo2mysql_spark.operators.similarity import sign_pack_sql
 
-    words = sign_pack_sql("embedding", 64, accessor="{v}[{i}]")
+    words = sign_pack_sql("embedding", EMB_DIM, accessor="{v}[{i}]")
     packed = ", ".join(f"{w} AS b{i}" for i, w in enumerate(words))
     hamsum = " + ".join(
         f"bit_count(xor(q.b{i}, e.b{i}))" for i in range(len(words))
@@ -520,7 +534,7 @@ def _hamming_oracle() -> str:
         "so the hash proves streaming serving ≡ batch search "
         "bit-for-bit.  'simhash' rows "
         f"are WIDE binary quantization (topk_simhash, {SH_BITS}-bit "
-        "SimHash signatures over the 64-dim corpus): random-hyperplane "
+        f"SimHash signatures over the {EMB_DIM}-dim corpus): random-hyperplane "
         "projections decouple the signature width from the vector "
         "dimension (raw sign-packing caps at dim bits), the ±1 "
         "hyperplane components are engine-portable integer parities "
@@ -529,7 +543,7 @@ def _hamming_oracle() -> str:
         "halves relative rank noise.  'mrl' rows are the "
         "dimension-truncation funnel (topk_truncated_rescore, the "
         "Matryoshka serving mode): exact-cosine prune on the first "
-        f"{MRL_PREFIX} of 64 components (a {64 // MRL_PREFIX}× float "
+        f"{MRL_PREFIX} of {EMB_DIM} components (a {EMB_DIM // MRL_PREFIX}× float "
         "read cut), salted top-k·overfetch, full-dimension rescore of "
         "the finalists only."
     ),
@@ -552,14 +566,14 @@ def ann_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold = topk_bruteforce(e, q, "vec_id", "embedding", k=10).select(*cols)
     arrow = topk_bruteforce_arrow(e, q, "vec_id", "embedding", k=10).select(*cols)
     ham = topk_hamming(
-        e, q, "vec_id", "embedding", dim=64, k=10, corpus_packed=signs
+        e, q, "vec_id", "embedding", dim=EMB_DIM, k=10, corpus_packed=signs
     )
     bqr = topk_hamming_rescore(
-        e, q, "vec_id", "embedding", dim=64, k=10, overfetch=10,
+        e, q, "vec_id", "embedding", dim=EMB_DIM, k=10, overfetch=10,
         corpus_packed=signs,
     )
     sh = topk_simhash(
-        e, q, "vec_id", "embedding", dim=64, n_bits=SH_BITS, k=10,
+        e, q, "vec_id", "embedding", dim=EMB_DIM, n_bits=SH_BITS, k=10,
         corpus_packed=shwords,
     )
     mrl = topk_truncated_rescore(
@@ -1260,7 +1274,7 @@ _STATS_NULLS = """
              CAST(len(embedding) AS INTEGER) AS dim,
              ROUND({sql_norm('embedding')}, 6) AS l2_norm,
              CAST(embedding[1] AS DOUBLE) AS first_component,
-             CAST(embedding[64] AS DOUBLE) AS last_component
+             CAST(embedding[{EMB_DIM}] AS DOUBLE) AS last_component
       FROM embeddings),
     qprep AS (
       SELECT vec_id,
@@ -1411,7 +1425,7 @@ def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(emb).alias("dim"),
         F.round(norm_seq(emb), 6).alias("l2_norm"),
         F.element_at(emb, 1).cast("double").alias("first_component"),
-        F.element_at(emb, 64).cast("double").alias("last_component"),
+        F.element_at(emb, EMB_DIM).cast("double").alias("last_component"),
     )
     qe = e.select("vec_id", quantize_embedding(emb).alias("q"))
     codes = F.col("q").getField("codes")

@@ -161,6 +161,43 @@ def test_session_paths_entry_conditional_shares(spark):
     assert got["signup"] == (1, 1, 1.0)
 
 
+def test_session_paths_delimiter_in_event_type(spark):
+    """An event type CONTAINING the '>' join delimiter must still
+    attribute per-entry totals by the true first event, not by a
+    re-split of the joined path (the old implementation split
+    'a>b' entries into an 'a' entry point)."""
+    from mongo2mysql_spark.operators.behavior import session_paths
+
+    rows = [
+        # user 1+2: sessions entering at the literal type 'a>b'
+        (0, datetime(2024, 1, 1, 1, 0), 1, "a>b"),
+        (1, datetime(2024, 1, 1, 1, 5), 1, "c"),
+        (2, datetime(2024, 1, 1, 1, 0), 2, "a>b"),
+        # user 3: a session entering at plain 'a' — a DIFFERENT entry
+        # point that the path-split heuristic would have merged with
+        # the 'a>b' entries above
+        (3, datetime(2024, 1, 1, 1, 0), 3, "a"),
+        (4, datetime(2024, 1, 1, 1, 5), 3, "b>c"),
+    ]
+    got = {
+        (r.path, r.n, r.total, r.share)
+        for r in session_paths(
+            spark.createDataFrame(rows, SCHEMA),
+            "user_id", "event_type", "ts", "event_id",
+            depth=4, k=10,
+        ).collect()
+    }
+    # users 1 and 3 produce the SAME joined string 'a>b>c' from
+    # different type sequences (['a>b','c'] vs ['a','b>c']) — they
+    # must keep separate entry-point attributions: entry 'a>b' owns
+    # 2 sessions (users 1+2), entry 'a' owns 1 (user 3).
+    assert got == {
+        ("a>b>c", 1, 2, 0.5),   # user 1, entry 'a>b'
+        ("a>b", 1, 2, 0.5),     # user 2, entry 'a>b'
+        ("a>b>c", 1, 1, 1.0),   # user 3, entry 'a'
+    }
+
+
 def test_session_paths_gap_splits_and_depth_truncates(spark):
     from datetime import datetime
 

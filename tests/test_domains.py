@@ -60,6 +60,20 @@ def test_planted_vocabulary_clusters_recovered(spark):
     assert sorted(sizes.values()) == [5, 5]
 
 
+def test_seed_underflow_raises(spark):
+    """Fewer than k docs with id % stride == 0 must raise, not silently
+    cluster into fewer domains (the oracle mirrors the seed rule, so a
+    silent underflow would be invisible to the hash gate)."""
+    import pytest
+
+    rows = [(i, "some text here") for i in range(1, 8)]  # ids 1..7
+    with pytest.raises(ValueError, match="seed docs"):
+        discover_domains(
+            _docs(spark, rows), "doc_id", "text",
+            n_buckets=8, k=3, stride=5, iters=1,  # only id 5 qualifies
+        )
+
+
 def test_assignment_partition_invariant(spark):
     rows = [
         (i, f"term{i % 3} filler common word term{i % 3} extra{i % 7}")

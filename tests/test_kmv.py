@@ -62,6 +62,20 @@ def test_intersection_estimate(spark):
     assert est.common > 0 and est.theta > 0
 
 
+def test_self_intersection_matches_stats_convention(spark):
+    """A ∩ A under the exclusive threshold: common = K−1 samples
+    strictly below θ, so the intersection estimate equals kmv_stats's
+    (K−1)·2^48/θ exactly — the two estimators share one convention.
+    (The old ≤-threshold counted θ itself: common = K, est biased up
+    by exactly one sample's worth.)"""
+    sk = kmv_sketch(_ids(spark, 0, 20_000), "v", K)
+    st = kmv_stats(sk, K).collect()[0]
+    est = kmv_intersect_est(sk, sk).collect()[0]
+    assert st.cnt == K  # saturated, so stats uses the (K−1)/θ branch
+    assert est.common == K - 1
+    assert est.est == st.est
+
+
 def test_disjoint_intersection_is_zero(spark):
     a, b = _ids(spark, 0, 3000), _ids(spark, 100_000, 103_000)
     est = kmv_intersect_est(

@@ -91,6 +91,33 @@ def test_interval_overlap_join_equals_bruteforce(spark):
         assert got == want, f"width={width}"
 
 
+def test_floor_bin_expr_is_uniform_grid(spark):
+    """floor_bin_expr must be exact FLOOR division (a uniform grid):
+    truncating DIV gave bin 0 a double width spanning (-w, w) — non-
+    aligned for negative coordinates, inflating candidates near zero."""
+    from pyspark.sql import functions as F
+
+    from mongo2mysql_spark.operators.rangejoin import floor_bin_expr
+
+    vals = list(range(-25, 26))
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    for w in (1, 7, 10):
+        got = {
+            r.x: r.b
+            for r in df.select(
+                "x", F.expr(floor_bin_expr("x", w)).alias("b")
+            ).collect()
+        }
+        assert got == {v: v // w for v in vals}, f"width={w}"
+        # grid uniformity: every bin covers exactly w consecutive ints
+        from collections import Counter
+
+        widths = Counter(got.values())
+        inner = {b: c for b, c in widths.items()
+                 if b not in (min(widths), max(widths))}  # edge bins clip
+        assert set(inner.values()) <= {w}
+
+
 def test_interval_overlap_join_no_nested_loop(spark):
     """The binned plan must not contain BroadcastNestedLoopJoin or
     CartesianProduct — the whole point of the fragmentation."""
