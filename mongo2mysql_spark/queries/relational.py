@@ -425,16 +425,25 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    agg = li.agg(
+    # SPLIT aggregations, not one 8-function agg: mixing two exact
+    # DISTINCTs with percentile/HLL buffers in a single Aggregate made
+    # Catalyst plan an Expand (every row replicated per distinct group)
+    # and carry the sketch buffers through it — measured 38 s at sf0.1
+    # vs ≤4 s for every piece below in isolation (~10× blowup, and the
+    # Expand triples the scan at 100 TB).  Four independent two-phase
+    # aggregates produce bit-identical values; the 1-row results
+    # broadcast-join back together.
+    apx = li.agg(
         F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
-        F.countDistinct("l_orderkey").alias("exact_orders"),
         F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
-        F.countDistinct("l_partkey").alias("exact_parts"),
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_p50"),
-        F.percentile("l_extendedprice", 0.5).alias("exact_p50"),
         F.percentile_approx("l_extendedprice", 0.9, 10000).alias("approx_p90"),
+        F.percentile("l_extendedprice", 0.5).alias("exact_p50"),
         F.percentile("l_extendedprice", 0.9).alias("exact_p90"),
     )
+    eo = li.agg(F.countDistinct("l_orderkey").alias("exact_orders"))
+    ep = li.agg(F.countDistinct("l_partkey").alias("exact_parts"))
+    agg = apx.crossJoin(F.broadcast(eo)).crossJoin(F.broadcast(ep))
     rel = lambda a, e: F.abs(F.col(a) - F.col(e)) / F.col(e)  # noqa: E731
     bounds = agg.crossJoin(F.broadcast(merged)).select(
         "exact_orders",
