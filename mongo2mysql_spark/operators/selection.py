@@ -1,0 +1,141 @@
+"""Exact distributed quantile selection — interpolated percentiles
+without a single-reducer value buffer.
+
+Spark's exact ``percentile`` aggregate collects EVERY value of the
+group into one aggregation buffer (an in-memory counts map on a single
+final-aggregation task), which is exactly the thing that dies first on
+a 100 TB column.  The scalable classical alternative is two-phase
+rank selection (the histogram form of Munro-Paterson / the
+``SELECT``-by-bucketing used by every warehouse's exact-median path):
+
+1. ONE aggregation pass builds a coarse histogram (``groupBy`` on an
+   integer bucket of the value — map-side combined, bounded by the
+   value domain's granularity, NOT by row count);
+2. a cumulative walk over the (small) histogram locates, for each
+   requested rank, its bucket and the rank offset inside that bucket;
+3. ONE narrow second pass reads back only the rows of the hit buckets
+   (a pushed-down range predicate — parquet row-group min/max statistics
+   prune the rescan) and picks the target order statistics with a
+   per-bucket sort that only ever sees one bucket's rows.
+
+Interpolation then follows the same IEEE arithmetic Spark's
+``percentile`` and DuckDB's ``quantile_cont`` use —
+``v0 + f·(v1 − v0)`` at position ``h = (n−1)·q`` (probed bit-equal in
+tests) — so the result is bit-identical to the built-in aggregate while
+every stage stays partition-parallel with bounded task state.
+
+Reference parity: the reference (vanilla/mongo2mysql, 556-LoC ETL) has
+no aggregation surface; extension layer.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def exact_quantiles(
+    df: DataFrame,
+    col: str,
+    qs: dict[str, float],
+    bucket_expr: str | None = None,
+) -> DataFrame:
+    """1-row DataFrame with one column per entry of ``qs``
+    (name → quantile in [0, 1]), each the EXACT interpolated quantile
+    of ``df[col]`` (nulls ignored) — bit-identical to
+    ``F.percentile(col, q)`` but computed by two bounded passes instead
+    of one unbounded aggregation buffer.
+
+    ``bucket_expr`` is a SQL expression over ``{c}`` producing an
+    integral coarse bucket (default ``FLOOR({c})``); its only
+    correctness requirement is monotonicity in the value.  Bucket
+    granularity trades histogram size against second-pass selectivity.
+    """
+    if not qs:
+        raise ValueError("qs must be non-empty")
+    if any(not 0.0 <= q <= 1.0 for q in qs.values()):
+        raise ValueError(f"quantiles must be in [0, 1]: {qs}")
+    spark = df.sparkSession
+    bexpr = (bucket_expr or "FLOOR({c})").format(c=col)
+    vals = df.filter(F.col(col).isNotNull()).select(
+        F.col(col).alias("__v"), F.expr(bexpr).cast("long").alias("__b")
+    )
+
+    n = vals.count()
+    if n == 0:
+        return spark.createDataFrame(
+            [tuple(None for _ in qs)],
+            ", ".join(f"{name} double" for name in qs),
+        )
+
+    # driver-side rank math: IEEE double, the same ops Spark's
+    # percentile runs ((n-1)*q; floor; fraction) — Python floats ARE
+    # IEEE doubles, so h/f here equal the JVM's bit-for-bit
+    needed: dict[int, None] = {}
+    plan: dict[str, tuple[int, int, float]] = {}
+    for name, q in qs.items():
+        h = (n - 1) * q
+        lo = math.floor(h)
+        r0 = lo + 1                      # 1-based rank of the lower value
+        r1 = min(r0 + 1, n)
+        plan[name] = (r0, r1, h - lo)
+        needed[r0] = None
+        needed[r1] = None
+    ranks = sorted(needed)
+
+    # phase 1: coarse histogram — bounded by value-domain granularity,
+    # so the cumulative window below is a bounded single partition
+    # (documented contract, same class as the vocab-sized df-rank sort
+    # in operators/ppjoin.py)
+    hist = vals.groupBy("__b").agg(F.count(F.lit(1)).alias("__c"))
+    cum = hist.select(
+        "__b",
+        "__c",
+        F.sum("__c").over(
+            W.orderBy("__b").rowsBetween(W.unboundedPreceding, W.currentRow)
+        ).alias("__cum"),
+    ).localCheckpoint()  # bounded frame; reused once per distinct rank
+    # locate each rank's bucket + in-bucket offset; ≤ len(ranks) rows
+    locs = {}
+    for r in ranks:
+        row = (
+            cum.filter(F.col("__cum") >= r)
+            .orderBy("__b")
+            .limit(1)
+            .collect()[0]
+        )
+        locs[r] = (row["__b"], r - (row["__cum"] - row["__c"]))
+
+    # phase 2: narrow re-read of ONLY the hit buckets (range predicate
+    # reaches the scan), per-bucket sort bounded by bucket size
+    hit_buckets = sorted({b for b, _ in locs.values()})
+    picked = (
+        vals.filter(F.col("__b").isin(hit_buckets))
+        .select(
+            "__v",
+            "__b",
+            F.row_number()
+            .over(W.partitionBy("__b").orderBy("__v"))
+            .alias("__rn"),
+        )
+    )
+    want = {(b, off) for b, off in locs.values()}
+    cond = None
+    for b, off in sorted(want):
+        term = (F.col("__b") == b) & (F.col("__rn") == off)
+        cond = term if cond is None else (cond | term)
+    got = picked.filter(cond).collect()  # ≤ 2·len(qs) rows
+    val_at = {(row["__b"], row["__rn"]): row["__v"] for row in got}
+    by_rank = {r: val_at[locs[r]] for r in ranks}
+
+    out = {}
+    for name, (r0, r1, f) in plan.items():
+        v0, v1 = by_rank[r0], by_rank[r1]
+        out[name] = v0 + f * (v1 - v0)
+    return spark.createDataFrame(
+        [tuple(out[name] for name in qs)],
+        ", ".join(f"{name} double" for name in qs),
+    )

@@ -438,12 +438,25 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_p50"),
         F.percentile_approx("l_extendedprice", 0.9, 10000).alias("approx_p90"),
-        F.percentile("l_extendedprice", 0.5).alias("exact_p50"),
-        F.percentile("l_extendedprice", 0.9).alias("exact_p90"),
     )
     eo = li.agg(F.countDistinct("l_orderkey").alias("exact_orders"))
     ep = li.agg(F.countDistinct("l_partkey").alias("exact_parts"))
-    agg = apx.crossJoin(F.broadcast(eo)).crossJoin(F.broadcast(ep))
+    # exact percentiles via two-phase histogram rank selection
+    # (operators/selection.py) instead of F.percentile's single-task
+    # value buffer — bit-identical to the built-in aggregate (pinned by
+    # test_selection), so the oracle's quantile_cont still hashes it,
+    # and the hash now gates the SCALE path (the same same-answer-
+    # different-path contract the IVF store and ppjoin slots use)
+    from mongo2mysql_spark.operators.selection import exact_quantiles
+
+    pct = exact_quantiles(
+        li, "l_extendedprice", {"exact_p50": 0.5, "exact_p90": 0.9}
+    )
+    agg = (
+        apx.crossJoin(F.broadcast(eo))
+        .crossJoin(F.broadcast(ep))
+        .crossJoin(F.broadcast(pct))
+    )
     rel = lambda a, e: F.abs(F.col(a) - F.col(e)) / F.col(e)  # noqa: E731
     bounds = agg.crossJoin(F.broadcast(merged)).select(
         "exact_orders",
