@@ -22,6 +22,7 @@ from mongo2mysql_spark.operators.dedup import (
     simhash_bits,
 )
 from mongo2mysql_spark.operators.pagerank import pagerank_sql
+from mongo2mysql_spark.operators.triangles import triangle_sql
 from mongo2mysql_spark.queries import register
 from mongo2mysql_spark.sources import load_table as T
 
@@ -499,7 +500,8 @@ def dedup_pair_families(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT component_id, doc_id AS canon_id FROM ranked WHERE rn = 1),
     prnodes AS (SELECT doc_id FROM documents),
     predges AS (SELECT a AS src, b AS dst FROM edges),
-    {pagerank_sql("prnodes", "predges", "doc_id", iters=3)}
+    {pagerank_sql("prnodes", "predges", "doc_id", iters=3)},
+    {triangle_sql("prnodes", "pairs", "doc_id")}
     SELECT 'closure' AS branch, doc_id, component_id,
            count(*) OVER (PARTITION BY component_id) AS cluster_size,
            CAST(CASE WHEN doc_id = component_id THEN 1 ELSE 0 END AS INTEGER)
@@ -507,7 +509,10 @@ def dedup_pair_families(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(NULL AS DOUBLE) AS quality,
            CAST(NULL AS BIGINT) AS canon_id,
            CAST(NULL AS INTEGER) AS is_canon,
-           CAST(NULL AS DOUBLE) AS pr_rank
+           CAST(NULL AS DOUBLE) AS pr_rank,
+           CAST(NULL AS BIGINT) AS degree,
+           CAST(NULL AS BIGINT) AS tri_count,
+           CAST(NULL AS DOUBLE) AS clust_coeff
     FROM labeled
     UNION ALL
     SELECT 'canon' AS branch, r.doc_id, r.component_id,
@@ -516,7 +521,10 @@ def dedup_pair_families(spark: SparkSession, sf_dir: str) -> DataFrame:
            r.quality, c.canon_id,
            CAST(CASE WHEN r.doc_id = c.canon_id THEN 1 ELSE 0 END AS INTEGER)
              AS is_canon,
-           CAST(NULL AS DOUBLE) AS pr_rank
+           CAST(NULL AS DOUBLE) AS pr_rank,
+           CAST(NULL AS BIGINT) AS degree,
+           CAST(NULL AS BIGINT) AS tri_count,
+           CAST(NULL AS DOUBLE) AS clust_coeff
     FROM ranked r JOIN canonid c USING (component_id)
     UNION ALL
     SELECT 'pagerank' AS branch, node AS doc_id,
@@ -526,8 +534,22 @@ def dedup_pair_families(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(NULL AS DOUBLE) AS quality,
            CAST(NULL AS BIGINT) AS canon_id,
            CAST(NULL AS INTEGER) AS is_canon,
-           CAST(ROUND(CAST(rank AS DECIMAL(28,12)), 9) AS DOUBLE) AS pr_rank
+           CAST(ROUND(CAST(rank AS DECIMAL(28,12)), 9) AS DOUBLE) AS pr_rank,
+           CAST(NULL AS BIGINT) AS degree,
+           CAST(NULL AS BIGINT) AS tri_count,
+           CAST(NULL AS DOUBLE) AS clust_coeff
     FROM pr3
+    UNION ALL
+    SELECT 'triangles' AS branch, node AS doc_id,
+           CAST(NULL AS BIGINT) AS component_id,
+           CAST(NULL AS BIGINT) AS cluster_size,
+           CAST(NULL AS INTEGER) AS is_representative,
+           CAST(NULL AS DOUBLE) AS quality,
+           CAST(NULL AS BIGINT) AS canon_id,
+           CAST(NULL AS INTEGER) AS is_canon,
+           CAST(NULL AS DOUBLE) AS pr_rank,
+           degree, tri_count, clust_coeff
+    FROM tristats
     """,
     doc=(
         "near-dup cluster resolution, tagged.  'closure' branch: "
@@ -551,7 +573,15 @@ def dedup_pair_families(spark: SparkSession, sf_dir: str) -> DataFrame:
         "every rank hashes with no tolerance contract; per iteration "
         "one edges-to-ranks join + one map-side-combined groupBy + one "
         "node left-join, no windows; isolated docs settle at the "
-        "teleport mass."
+        "teleport mass.  'triangles' branch: per-document triangle "
+        "participation + clustering coefficient over the same graph "
+        "(operators/triangles — Suri & Vassilvitskii WWW 2011 degree "
+        "orientation: every edge directed from its (degree, id)-smaller "
+        "endpoint, wedges generated only at each triangle's minimum "
+        "node and closed by one equi-join, so no hub ever fans out "
+        "deg² wedge rows under one key and each triangle counts exactly "
+        "once with no distinct) — the density signal that separates a "
+        "chained borderline cluster from a clique of true duplicates."
     ),
 )
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -625,4 +655,15 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("pr_rank"),
     )
-    return tagged_union({"closure": labeled, "canon": canon, "pagerank": pr})
+    # triangle participation (operators/triangles): density signal over
+    # the same pair graph — the closure says WHICH docs cluster, the
+    # triangle count says whether the cluster is a clique of true
+    # duplicates or a thin chain of borderline matches
+    from mongo2mysql_spark.operators.triangles import node_triangle_stats
+
+    tri = node_triangle_stats(d.select("doc_id"), pairs, "doc_id").select(
+        F.col("node").alias("doc_id"), "degree", "tri_count", "clust_coeff"
+    )
+    return tagged_union(
+        {"closure": labeled, "canon": canon, "pagerank": pr, "triangles": tri}
+    )
