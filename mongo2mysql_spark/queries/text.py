@@ -16,6 +16,7 @@ from mongo2mysql_spark.functions.text import (
     stopword_ratio,
     tokens,
 )
+from mongo2mysql_spark.operators.keyness import keyness_sql
 from mongo2mysql_spark.operators.multimodal import decode_metadata, payload_frame
 from mongo2mysql_spark.queries import register
 from mongo2mysql_spark.queries.domains import domains_oracle_ctes
@@ -143,6 +144,8 @@ def _text_profile_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_term_frequency",
     f"""
     WITH {domains_oracle_ctes()},
+    {keyness_sql("documents", "lang", "string_split(text, ' ')",
+                 min_count=5, min_ratio=3, k=10)},
     tftop AS (
       SELECT token, n FROM (
         SELECT tok AS token, COUNT(*) AS n
@@ -154,20 +157,40 @@ def _text_profile_df(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(NULL AS BIGINT) AS doc_id,
            CAST(NULL AS BIGINT) AS domain,
            CAST(NULL AS DOUBLE) AS d2,
-           CAST(NULL AS DOUBLE) AS share
+           CAST(NULL AS DOUBLE) AS share,
+           CAST(NULL AS VARCHAR) AS label,
+           CAST(NULL AS BIGINT) AS n_rest,
+           CAST(NULL AS DOUBLE) AS keyness,
+           CAST(NULL AS INTEGER) AS rank
     FROM tftop
     UNION ALL
     SELECT 'domains' AS branch, CAST(NULL AS VARCHAR) AS token,
            CAST(NULL AS BIGINT) AS n,
            id AS doc_id, domain, d2,
-           CAST(NULL AS DOUBLE) AS share
+           CAST(NULL AS DOUBLE) AS share,
+           CAST(NULL AS VARCHAR) AS label,
+           CAST(NULL AS BIGINT) AS n_rest,
+           CAST(NULL AS DOUBLE) AS keyness,
+           CAST(NULL AS INTEGER) AS rank
     FROM ddomains
     UNION ALL
     SELECT 'domainsizes' AS branch, CAST(NULL AS VARCHAR) AS token,
            n_docs AS n,
            CAST(NULL AS BIGINT) AS doc_id, domain,
-           CAST(NULL AS DOUBLE) AS d2, share
+           CAST(NULL AS DOUBLE) AS d2, share,
+           CAST(NULL AS VARCHAR) AS label,
+           CAST(NULL AS BIGINT) AS n_rest,
+           CAST(NULL AS DOUBLE) AS keyness,
+           CAST(NULL AS INTEGER) AS rank
     FROM dsizes
+    UNION ALL
+    SELECT 'keyness' AS branch, token, n,
+           CAST(NULL AS BIGINT) AS doc_id,
+           CAST(NULL AS BIGINT) AS domain,
+           CAST(NULL AS DOUBLE) AS d2,
+           CAST(NULL AS DOUBLE) AS share,
+           label, n_rest, keyness, rank
+    FROM keytop
     """,
     doc=(
         "text-statistics family, tagged.  'tf' rows: global term "
@@ -182,10 +205,16 @@ def _text_profile_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         "the full SQL restatement of the clustering chain.  "
         "'domainsizes' rows: per-domain doc counts + shares — the "
         "direct input of the mixing stages (UniMax waterfill, "
-        "temperature sampling)."
+        "temperature sampling).  'keyness' rows: distinctive terms per "
+        "language label (operators/keyness — the corpus-linguistics "
+        "keyness readout in its ratio form: in-label token rate over "
+        "smoothed rest-of-corpus rate; selection and ordering are "
+        "exact integer cross-multiplications, the reported score one "
+        "IEEE division, top-k per label salted)."
     ),
 )
 def text_term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mongo2mysql_spark.operators.keyness import keyness_terms
     from mongo2mysql_spark.queries import tagged_union
     from mongo2mysql_spark.queries.domains import domains_branches
 
@@ -197,7 +226,12 @@ def text_term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "token")
         .limit(50)
     )
-    return tagged_union({"tf": tf, **domains_branches(spark, sf_dir, d)})
+    key = keyness_terms(
+        d, "lang", tokens(F.col("text")), min_count=5, min_ratio=3, k=10
+    )
+    return tagged_union(
+        {"tf": tf, **domains_branches(spark, sf_dir, d), "keyness": key}
+    )
 
 
 # ------------------------------------------------------------------ search
