@@ -19,6 +19,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mongo2mysql_spark.operators.forecast import seasonal_backtest_sql
 from mongo2mysql_spark.queries import register
 from mongo2mysql_spark.sources import load_table as T
 
@@ -751,12 +752,28 @@ def bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RESAMPLE_INTERVAL = 3600
 # rolling z-score branch (operators/anomaly.rolling_frame_stats)
 _Z_WINDOW, _Z_MIN_POINTS, _Z_THRESHOLD = 20, 5, 3
+# seasonal-naive forecast/backtest branches (operators/forecast)
+_FC_SPLIT_NUM, _FC_SPLIT_DEN = 3, 4
+# typed NULLs for the resample/zscore columns inside the forecast legs
+_TS_FC_NULLS = """CAST(NULL AS TIMESTAMP) AS bucket_start,
+           CAST(NULL AS VARCHAR) AS value_num,
+           CAST(NULL AS VARCHAR) AS value_den,
+           CAST(NULL AS BIGINT) AS n_obs,
+           CAST(NULL AS BOOLEAN) AS filled,
+           CAST(NULL AS BIGINT) AS event_id, CAST(NULL AS BIGINT) AS value_q,
+           CAST(NULL AS BIGINT) AS n_prev, CAST(NULL AS BIGINT) AS frame_sum_q,
+           CAST(NULL AS VARCHAR) AS frame_sumsq_q,
+           CAST(NULL AS BOOLEAN) AS is_ready,
+           CAST(NULL AS BOOLEAN) AS is_constant_window,
+           CAST(NULL AS BOOLEAN) AS is_anomaly"""
 
 
 @register(
     "resample_gapfill",
     f"""
-    WITH obs AS (
+    WITH {seasonal_backtest_sql("events", "event_type", "ts",
+                                _FC_SPLIT_NUM, _FC_SPLIT_DEN)},
+    obs AS (
       SELECT event_type AS key,
              CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) // {_RESAMPLE_INTERVAL} AS b,
              CAST(SUM(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT))
@@ -825,7 +842,14 @@ _Z_WINDOW, _Z_MIN_POINTS, _Z_THRESHOLD = 20, 5, 3
            CAST(NULL AS VARCHAR) AS frame_sumsq_q,
            CAST(NULL AS BOOLEAN) AS is_ready,
            CAST(NULL AS BOOLEAN) AS is_constant_window,
-           CAST(NULL AS BOOLEAN) AS is_anomaly
+           CAST(NULL AS BOOLEAN) AS is_anomaly,
+           CAST(NULL AS INTEGER) AS hod,
+           CAST(NULL AS BIGINT) AS train_cnt,
+           CAST(NULL AS BIGINT) AS n_train_hours,
+           CAST(NULL AS DOUBLE) AS pred,
+           CAST(NULL AS BIGINT) AS n_test_hours,
+           CAST(NULL AS BIGINT) AS total_actual,
+           CAST(NULL AS DOUBLE) AS mae
     FROM rs
     UNION ALL
     SELECT 'zscore' AS branch, key, CAST(NULL AS TIMESTAMP) AS bucket_start,
@@ -838,8 +862,30 @@ _Z_WINDOW, _Z_MIN_POINTS, _Z_THRESHOLD = 20, 5, 3
            is_ready,
            (is_ready AND var_n2 = 0) AS is_constant_window,
            (is_ready AND var_n2 > 0
-            AND d * d > {_Z_THRESHOLD * _Z_THRESHOLD} * var_n2) AS is_anomaly
+            AND d * d > {_Z_THRESHOLD * _Z_THRESHOLD} * var_n2) AS is_anomaly,
+           CAST(NULL AS INTEGER) AS hod,
+           CAST(NULL AS BIGINT) AS train_cnt,
+           CAST(NULL AS BIGINT) AS n_train_hours,
+           CAST(NULL AS DOUBLE) AS pred,
+           CAST(NULL AS BIGINT) AS n_test_hours,
+           CAST(NULL AS BIGINT) AS total_actual,
+           CAST(NULL AS DOUBLE) AS mae
     FROM zv
+    UNION ALL
+    SELECT 'forecast' AS branch, key, {_TS_FC_NULLS},
+           hod, train_cnt, n_train_hours, pred,
+           CAST(NULL AS BIGINT) AS n_test_hours,
+           CAST(NULL AS BIGINT) AS total_actual,
+           CAST(NULL AS DOUBLE) AS mae
+    FROM fcast
+    UNION ALL
+    SELECT 'backtest' AS branch, key, {_TS_FC_NULLS},
+           CAST(NULL AS INTEGER) AS hod,
+           CAST(NULL AS BIGINT) AS train_cnt,
+           CAST(NULL AS BIGINT) AS n_train_hours,
+           CAST(NULL AS DOUBLE) AS pred,
+           n_test_hours, total_actual, mae
+    FROM fback
     """,
     doc=(
         "time-series surface, tagged: 'resample' rows are resample + "
@@ -863,7 +909,15 @@ _Z_WINDOW, _Z_MIN_POINTS, _Z_THRESHOLD = 20, 5, 3
         f"|z| > {_Z_THRESHOLD}): the exact-decimal squared-inequality "
         "form, so frame sums and anomaly booleans hash-match bit-for-"
         "bit; tests pin it to the floating rolling_zscore.  One shuffle "
-        "per branch, both on the series key."
+        "per branch, both on the series key.  'forecast'/'backtest' "
+        "rows: seasonal-naive hourly forecasting with an exact MAE "
+        "backtest (operators/forecast — fit per-(series, hour-of-day) "
+        "mean counts on the first "
+        f"{_FC_SPLIT_NUM}/{_FC_SPLIT_DEN} of the span, score the rest; "
+        "the expected-hour grid makes silent hours count as zeros in "
+        "both fit and test; prediction is one IEEE division of exact "
+        "integers and MAE accumulates through the order-free decimal "
+        "dsum, so rates AND errors hash bit-for-bit)."
     ),
 )
 def resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -905,7 +959,15 @@ def resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_constant_window",
         "is_anomaly",
     )
-    return tagged_union({"resample": rs, "zscore": zs})
+    from mongo2mysql_spark.operators.forecast import seasonal_backtest
+
+    fc, bt = seasonal_backtest(
+        ev, "event_type", "ts",
+        split_frac_num=_FC_SPLIT_NUM, split_frac_den=_FC_SPLIT_DEN,
+    )
+    return tagged_union(
+        {"resample": rs, "zscore": zs, "forecast": fc, "backtest": bt}
+    )
 
 
 # ------------------------------- SemDeDup + quality classifier (model-based
