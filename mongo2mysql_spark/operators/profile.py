@@ -23,7 +23,7 @@ documented as the non-scale path).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -117,3 +117,80 @@ def profile_table(df: DataFrame, exact_distinct: bool = False) -> DataFrame:
             )
         )
     return one.select(F.explode(F.array(*reports)).alias("r")).select("r.*")
+
+
+def heavy_keys(df: DataFrame, col: str, k: int = 10) -> DataFrame:
+    """Key-distribution skew profile of one column: the top-``k``
+    heaviest keys with exact counts and two shuffle-planning ratios —
+    ``hot_frac`` (the key's share of all rows) and ``skew_ratio`` (how
+    many times the uniform per-key share it carries,
+    ``n · n_distinct / total``).  The readout that decides whether a
+    join/agg on this key needs salting or AQE skew handling BEFORE the
+    job runs — skew_ratio ≈ 1 is uniform, ≫ 1 is a hot key.
+
+    Scale shape: one map-side-combined groupBy to key cardinality; the
+    global top-k is orderBy+limit (TakeOrderedAndProject — per-partition
+    partial top-k, no single-reducer window); the 1-row totals frame
+    broadcasts back.  Counts are exact integers; each ratio is IEEE
+    arithmetic over exact integer operands, so rows hash bit-for-bit
+    against a SQL restatement.
+
+    Output: (column, key, key_n, n_rows, n_distinct, hot_frac,
+    skew_ratio, rank) — key rendered as string so profiles of different
+    column types union.
+    """
+    cnt = (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(F.col(col).cast("string").alias("key"))
+        .agg(F.count(F.lit(1)).alias("key_n"))
+    )
+    stats = cnt.agg(
+        F.sum("key_n").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_distinct"),
+    )
+    top = (
+        cnt.orderBy(F.desc("key_n"), "key")
+        .limit(k)
+        .crossJoin(F.broadcast(stats))
+    )
+    return top.select(
+        F.lit(col).alias("column"),
+        "key",
+        F.col("key_n").cast("long").alias("key_n"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        (F.col("key_n").cast("double") / F.col("n_rows").cast("double"))
+        .alias("hot_frac"),
+        (
+            (F.col("key_n").cast("double") * F.col("n_distinct").cast("double"))
+            / F.col("n_rows").cast("double")
+        ).alias("skew_ratio"),
+        # rank window runs over the ALREADY-limited k-row frame — a
+        # bounded single partition, not a corpus-sized one
+        F.row_number()
+        .over(Window.orderBy(F.desc("key_n"), "key"))
+        .cast("int")
+        .alias("rank"),
+    )
+
+
+def heavy_keys_sql(table: str, col: str, k: int = 10) -> str:
+    """DuckDB restatement of :func:`heavy_keys` as a SELECT (caller
+    wraps/unions); identical arithmetic, (key_n DESC, key) total order."""
+    return f"""
+      SELECT '{col}' AS "column", key,
+             CAST(key_n AS BIGINT) AS key_n,
+             CAST(n_rows AS BIGINT) AS n_rows,
+             CAST(n_distinct AS BIGINT) AS n_distinct,
+             CAST(key_n AS DOUBLE) / CAST(n_rows AS DOUBLE) AS hot_frac,
+             (CAST(key_n AS DOUBLE) * CAST(n_distinct AS DOUBLE))
+               / CAST(n_rows AS DOUBLE) AS skew_ratio,
+             CAST(row_number() OVER (ORDER BY key_n DESC, key)
+                  AS INTEGER) AS rank
+      FROM (
+        SELECT key, key_n,
+               CAST(SUM(key_n) OVER () AS BIGINT) AS n_rows,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n_distinct
+        FROM (SELECT CAST({col} AS VARCHAR) AS key, count(*) AS key_n
+              FROM {table} WHERE {col} IS NOT NULL GROUP BY 1))
+      ORDER BY key_n DESC, key LIMIT {k}"""

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mongo2mysql_spark.operators.forecast import seasonal_backtest_sql
+from mongo2mysql_spark.operators.profile import heavy_keys_sql
 from mongo2mysql_spark.queries import register
 from mongo2mysql_spark.sources import load_table as T
 
@@ -29,7 +30,11 @@ from mongo2mysql_spark.sources import load_table as T
 @register(
     "profile_table_stats",
     """
-    SELECT 'profile' AS branch, p.*, CAST(NULL AS BIGINT) AS n_orphans
+    SELECT 'profile' AS branch, p.*, CAST(NULL AS BIGINT) AS n_orphans,
+           CAST(NULL AS VARCHAR) AS key, CAST(NULL AS BIGINT) AS key_n,
+           CAST(NULL AS DOUBLE) AS hot_frac,
+           CAST(NULL AS DOUBLE) AS skew_ratio,
+           CAST(NULL AS INTEGER) AS rank
     FROM (
     WITH base AS (SELECT COUNT(*) AS n FROM documents)
     SELECT 'doc_id' AS column, 'bigint' AS dtype, n AS n_rows,
@@ -92,7 +97,11 @@ from mongo2mysql_spark.sources import load_table as T
            CAST(NULL AS VARCHAR) AS max_value,
            CAST(NULL AS DOUBLE) AS mean_value,
            CAST(NULL AS DOUBLE) AS avg_len,
-           (n - matched) AS n_orphans
+           (n - matched) AS n_orphans,
+           CAST(NULL AS VARCHAR) AS key, CAST(NULL AS BIGINT) AS key_n,
+           CAST(NULL AS DOUBLE) AS hot_frac,
+           CAST(NULL AS DOUBLE) AS skew_ratio,
+           CAST(NULL AS INTEGER) AS rank
     FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n,
                  CAST(COUNT(p.__pk) AS BIGINT) AS matched
           FROM orders c
@@ -109,7 +118,11 @@ from mongo2mysql_spark.sources import load_table as T
            CAST(NULL AS VARCHAR) AS max_value,
            CAST(NULL AS DOUBLE) AS mean_value,
            CAST(NULL AS DOUBLE) AS avg_len,
-           (n - matched) AS n_orphans
+           (n - matched) AS n_orphans,
+           CAST(NULL AS VARCHAR) AS key, CAST(NULL AS BIGINT) AS key_n,
+           CAST(NULL AS DOUBLE) AS hot_frac,
+           CAST(NULL AS DOUBLE) AS skew_ratio,
+           CAST(NULL AS INTEGER) AS rank
     FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n,
                  CAST(COUNT(p.__pk) AS BIGINT) AS matched
           FROM lineitem c
@@ -126,7 +139,11 @@ from mongo2mysql_spark.sources import load_table as T
            CAST(NULL AS VARCHAR) AS max_value,
            CAST(NULL AS DOUBLE) AS mean_value,
            CAST(NULL AS DOUBLE) AS avg_len,
-           (n - matched) AS n_orphans
+           (n - matched) AS n_orphans,
+           CAST(NULL AS VARCHAR) AS key, CAST(NULL AS BIGINT) AS key_n,
+           CAST(NULL AS DOUBLE) AS hot_frac,
+           CAST(NULL AS DOUBLE) AS skew_ratio,
+           CAST(NULL AS INTEGER) AS rank
     FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n,
                  CAST(COUNT(p.__pk) AS BIGINT) AS matched
           FROM lineitem c
@@ -143,7 +160,11 @@ from mongo2mysql_spark.sources import load_table as T
            CAST(NULL AS VARCHAR) AS max_value,
            CAST(NULL AS DOUBLE) AS mean_value,
            CAST(NULL AS DOUBLE) AS avg_len,
-           (n - matched) AS n_orphans
+           (n - matched) AS n_orphans,
+           CAST(NULL AS VARCHAR) AS key, CAST(NULL AS BIGINT) AS key_n,
+           CAST(NULL AS DOUBLE) AS hot_frac,
+           CAST(NULL AS DOUBLE) AS skew_ratio,
+           CAST(NULL AS INTEGER) AS rank
     FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n,
                  CAST(COUNT(p.__pk) AS BIGINT) AS matched
           FROM lineitem c
@@ -160,7 +181,11 @@ from mongo2mysql_spark.sources import load_table as T
            CAST(NULL AS VARCHAR) AS max_value,
            CAST(NULL AS DOUBLE) AS mean_value,
            CAST(NULL AS DOUBLE) AS avg_len,
-           (n - matched) AS n_orphans
+           (n - matched) AS n_orphans,
+           CAST(NULL AS VARCHAR) AS key, CAST(NULL AS BIGINT) AS key_n,
+           CAST(NULL AS DOUBLE) AS hot_frac,
+           CAST(NULL AS DOUBLE) AS skew_ratio,
+           CAST(NULL AS INTEGER) AS rank
     FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n,
                  CAST(COUNT(p.__pk) AS BIGINT) AS matched
           FROM customer c
@@ -177,13 +202,41 @@ from mongo2mysql_spark.sources import load_table as T
            CAST(NULL AS VARCHAR) AS max_value,
            CAST(NULL AS DOUBLE) AS mean_value,
            CAST(NULL AS DOUBLE) AS avg_len,
-           (n - matched) AS n_orphans
+           (n - matched) AS n_orphans,
+           CAST(NULL AS VARCHAR) AS key, CAST(NULL AS BIGINT) AS key_n,
+           CAST(NULL AS DOUBLE) AS hot_frac,
+           CAST(NULL AS DOUBLE) AS skew_ratio,
+           CAST(NULL AS INTEGER) AS rank
     FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n,
                  CAST(COUNT(p.__pk) AS BIGINT) AS matched
           FROM nation c
           LEFT JOIN (SELECT DISTINCT r_regionkey AS __pk FROM region) p
             ON c.n_regionkey = p.__pk
           WHERE c.n_regionkey IS NOT NULL)
+    UNION ALL
+    SELECT 'skew' AS branch, "column", CAST(NULL AS VARCHAR) AS dtype, n_rows,
+           CAST(NULL AS BIGINT) AS n_nonnull,
+           CAST(NULL AS DOUBLE) AS null_frac,
+           n_distinct,
+           CAST(NULL AS VARCHAR) AS min_value,
+           CAST(NULL AS VARCHAR) AS max_value,
+           CAST(NULL AS DOUBLE) AS mean_value,
+           CAST(NULL AS DOUBLE) AS avg_len,
+           CAST(NULL AS BIGINT) AS n_orphans,
+           key, key_n, hot_frac, skew_ratio, rank
+    FROM (""" + heavy_keys_sql("events", "event_type", k=10) + """)
+    UNION ALL
+    SELECT 'skew' AS branch, "column", CAST(NULL AS VARCHAR) AS dtype, n_rows,
+           CAST(NULL AS BIGINT) AS n_nonnull,
+           CAST(NULL AS DOUBLE) AS null_frac,
+           n_distinct,
+           CAST(NULL AS VARCHAR) AS min_value,
+           CAST(NULL AS VARCHAR) AS max_value,
+           CAST(NULL AS DOUBLE) AS mean_value,
+           CAST(NULL AS DOUBLE) AS avg_len,
+           CAST(NULL AS BIGINT) AS n_orphans,
+           key, key_n, hot_frac, skew_ratio, rank
+    FROM (""" + heavy_keys_sql("lineitem", "l_suppkey", k=10) + """)
     """,
     doc=(
         "one-pass table profiler (operators/profile.py): per-column null "
@@ -192,7 +245,15 @@ from mongo2mysql_spark.sources import load_table as T
         "a metadata-cheap unpivot.  exact_distinct=True here so the "
         "oracle states the same counts; production defaults to HLL "
         "partials (the only option at 100 TB).  The oracle recomputes "
-        "every stat naively per column."
+        "every stat naively per column.  'skew' rows: key-distribution "
+        "skew profile (operators/profile.heavy_keys) — top-10 heaviest "
+        "keys of a Zipfian low-cardinality column (events.event_type) "
+        "and a high-cardinality one (lineitem.l_suppkey) with exact "
+        "counts, hot_frac and skew_ratio (n x n_distinct / total, the "
+        "times-uniform-share measure): the pre-flight readout that "
+        "decides whether a join/agg key needs salting or AQE skew "
+        "handling; top-k is TakeOrderedAndProject, never a global "
+        "window."
     ),
 )
 def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -239,7 +300,20 @@ def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("avg_len"),
         "n_orphans",
     )
-    return tagged_union({"profile": prof, "integrity": integ})
+    # key-distribution skew profile (operators/profile.heavy_keys): the
+    # pre-flight readout that decides salting/AQE-skew handling for a
+    # planned join/agg key — one Zipfian low-cardinality key and one
+    # high-cardinality key
+    from mongo2mysql_spark.operators.profile import heavy_keys
+
+    ev = T(spark, sf_dir, "events", fanout=True)
+    li = T(spark, sf_dir, "lineitem", fanout=True)
+    skew = heavy_keys(ev, "event_type", k=10).unionByName(
+        heavy_keys(li, "l_suppkey", k=10)
+    )
+    return tagged_union(
+        {"profile": prof, "integrity": integ, "skew": skew}
+    )
 
 
 # ------------------------------------------------------------------ chunking
