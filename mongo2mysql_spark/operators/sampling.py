@@ -21,7 +21,7 @@ every assignment independently (use one salt per experiment).
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 BUCKETS = 256  # two hex chars
@@ -205,3 +205,82 @@ def temperature_mix_rates(
     else:
         scale = target_frac * total / sum(raw[d] * counts[d] for d in counts)
     return {d: min(1.0, raw[d] * scale) for d in sorted(counts)}
+
+
+def systematic_weighted_select(
+    df: "DataFrame",  # noqa: F821 - forward ref, imported below
+    weight_col: str,
+    order_cols: "list[str] | str",
+    k: int,
+) -> "DataFrame":
+    """Deterministic weight-proportional selection of exactly ``k``
+    sample slots — the transcendental-free counterpart of weighted
+    reservoir sampling (A-ES/Gumbel tricks need exp/ln, which the
+    cross-engine hash contract forbids).
+
+    Classic systematic (fractional-interval) sampling: lay the rows out
+    on the cumulative-weight axis in ``order_cols`` order and drop a
+    sample point at every multiple of ``total/k``.  Row i with weight w
+    and exclusive prefix sum c owns the interval [c, c+w); the number
+    of sample points inside it is
+
+        picks_i = floor((c + w)·k / total) − floor(c·k / total)
+
+    — pure integer arithmetic (requires ``k · total`` inside BIGINT; at
+    k=10³ and 10¹² corpus tokens that is 10¹⁵ ≪ 2⁶³).  Σ picks = k
+    exactly; E[picks_i] ∝ w under any fixed order; a row heavier than
+    total/k is picked multiple times (epochs, exactly like UniMax's
+    integer epoch allocation).
+
+    Scale shape: the prefix sum is the two-phase range-partition scheme
+    (operators/sequence.add_running_total_two_phase — never a
+    no-partition window); the 1-row total broadcasts back; everything
+    else is a narrow projection.
+
+    Output: input columns + ``cum_before`` (BIGINT), ``picks``
+    (INTEGER), ``selected`` (BOOLEAN = picks ≥ 1).
+    """
+    from mongo2mysql_spark.operators.sequence import (
+        add_running_total_two_phase,
+    )
+
+    if k <= 0:
+        raise ValueError(f"k must be positive: {k}")
+    cum = add_running_total_two_phase(
+        df, weight_col, order_cols, out_col="cum_before", exclusive=True
+    )
+    total = df.agg(F.sum(F.col(weight_col).cast("long")).alias("__total"))
+    w = F.col(weight_col).cast("long")
+    picks = F.expr(
+        f"((cum_before + CAST({weight_col} AS BIGINT)) * {k}) DIV __total"
+    ) - F.expr(f"(cum_before * {k}) DIV __total")
+    return (
+        cum.crossJoin(F.broadcast(total))
+        .withColumn("picks", picks.cast("int"))
+        .withColumn("selected", F.col("picks") >= 1)
+        .drop("__total")
+    )
+
+
+def sql_systematic_weighted_select(
+    table: str, id_col: str, weight_expr: str, k: int
+) -> str:
+    """DuckDB restatement of :func:`systematic_weighted_select` over
+    ``table`` ordered by ``id_col``; emits CTE ``syssel(<id>, w,
+    cum_before, picks, selected)``."""
+    return f"""sysw AS (
+      SELECT {id_col}, CAST({weight_expr} AS BIGINT) AS w FROM {table}),
+    syscum AS (
+      SELECT {id_col}, w,
+             CAST(COALESCE(SUM(w) OVER (ORDER BY {id_col}
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS cum_before,
+             CAST(SUM(w) OVER () AS BIGINT) AS total
+      FROM sysw),
+    syssel AS (
+      SELECT {id_col}, w, cum_before,
+             CAST(((cum_before + w) * {k}) // total
+                  - (cum_before * {k}) // total AS INTEGER) AS picks,
+             ((cum_before + w) * {k}) // total
+               - (cum_before * {k}) // total >= 1 AS selected
+      FROM syscum)"""

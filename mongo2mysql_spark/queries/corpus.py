@@ -27,7 +27,11 @@ from mongo2mysql_spark.functions.text import (
     tokens,
 )
 from mongo2mysql_spark.operators.dedup import dedup_exact
-from mongo2mysql_spark.operators.sampling import hash_split, sql_hash_split
+from mongo2mysql_spark.operators.sampling import (
+    hash_split,
+    sql_hash_split,
+    sql_systematic_weighted_select,
+)
 from mongo2mysql_spark.queries import register
 from mongo2mysql_spark.operators.packing import sql_length_buckets
 from mongo2mysql_spark.queries.text import sql_lang_guess, sql_quality
@@ -91,6 +95,9 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SEQ_LEN = 2048
+# 'syssample' branch: weight-proportional systematic selection — k
+# sample slots over the cumulative token axis (operators/sampling)
+SYS_K = 100
 
 
 @register(
@@ -137,7 +144,8 @@ SEQ_LEN = 2048
              CAST({sql_length_buckets("n_tok", SEQ_LEN)}
                   - LEAST(n_tok, {SEQ_LEN}) AS INTEGER) AS pad_tokens,
              n_tok > {SEQ_LEN} AS overflow
-      FROM t)
+      FROM t),
+    {sql_systematic_weighted_select("t", "doc_id", "n_tok", SYS_K)}
     SELECT 'spans' AS branch, doc_id, n_tokens, first_seq, first_offset,
            last_seq, n_seqs,
            CAST(NULL AS BIGINT) AS seq_id, CAST(NULL AS BIGINT) AS doc_start,
@@ -145,7 +153,10 @@ SEQ_LEN = 2048
            CAST(NULL AS INTEGER) AS seq_offset,
            CAST(NULL AS INTEGER) AS bucket_len,
            CAST(NULL AS INTEGER) AS pad_tokens,
-           CAST(NULL AS BOOLEAN) AS overflow
+           CAST(NULL AS BOOLEAN) AS overflow,
+           CAST(NULL AS BIGINT) AS cum_before,
+           CAST(NULL AS INTEGER) AS picks,
+           CAST(NULL AS BOOLEAN) AS selected
     FROM spans
     UNION ALL
     SELECT 'manifest' AS branch, doc_id, CAST(NULL AS INTEGER) AS n_tokens,
@@ -154,7 +165,10 @@ SEQ_LEN = 2048
            seq_id, doc_start, slice_tok, seq_offset,
            CAST(NULL AS INTEGER) AS bucket_len,
            CAST(NULL AS INTEGER) AS pad_tokens,
-           CAST(NULL AS BOOLEAN) AS overflow
+           CAST(NULL AS BOOLEAN) AS overflow,
+           CAST(NULL AS BIGINT) AS cum_before,
+           CAST(NULL AS INTEGER) AS picks,
+           CAST(NULL AS BOOLEAN) AS selected
     FROM manifest
     UNION ALL
     SELECT 'buckets' AS branch, doc_id, n_tokens,
@@ -163,8 +177,24 @@ SEQ_LEN = 2048
            CAST(NULL AS BIGINT) AS seq_id, CAST(NULL AS BIGINT) AS doc_start,
            CAST(NULL AS INTEGER) AS slice_tok,
            CAST(NULL AS INTEGER) AS seq_offset,
-           bucket_len, pad_tokens, overflow
+           bucket_len, pad_tokens, overflow,
+           CAST(NULL AS BIGINT) AS cum_before,
+           CAST(NULL AS INTEGER) AS picks,
+           CAST(NULL AS BOOLEAN) AS selected
     FROM bkt
+    UNION ALL
+    SELECT 'syssample' AS branch, doc_id,
+           CAST(w AS INTEGER) AS n_tokens,
+           CAST(NULL AS BIGINT) AS first_seq, CAST(NULL AS BIGINT) AS first_offset,
+           CAST(NULL AS BIGINT) AS last_seq, CAST(NULL AS INTEGER) AS n_seqs,
+           CAST(NULL AS BIGINT) AS seq_id, CAST(NULL AS BIGINT) AS doc_start,
+           CAST(NULL AS INTEGER) AS slice_tok,
+           CAST(NULL AS INTEGER) AS seq_offset,
+           CAST(NULL AS INTEGER) AS bucket_len,
+           CAST(NULL AS INTEGER) AS pad_tokens,
+           CAST(NULL AS BOOLEAN) AS overflow,
+           cum_before, picks, selected
+    FROM syssel
     """,
     doc=(
         "GPT-style sequence packing, tagged: 'spans' rows give, per "
@@ -185,7 +215,15 @@ SEQ_LEN = 2048
         "power-of-two bucket ≥ token count with per-document padding "
         "waste and an overflow flag; the ladder is a literal integer "
         "comparison chain (no log2 — transcendental-free hash "
-        "contract), a pure narrow projection fused into the scan."
+        "contract), a pure narrow projection fused into the scan.  "
+        "'syssample' rows are weight-proportional SYSTEMATIC selection "
+        f"(operators/sampling.systematic_weighted_select, k={SYS_K}): "
+        "a sample point at every total/k along the cumulative token "
+        "axis — the transcendental-free counterpart of weighted "
+        "reservoir sampling (Gumbel/A-ES need exp/ln); picks_i = "
+        "floor((c+w)k/total) − floor(ck/total), pure integer, Σpicks "
+        "exactly k, heavy docs get multiple slots (epochs); rides the "
+        "same two-phase prefix sum as the packing branches."
     ),
 )
 def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -203,8 +241,20 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tok", "slice_tok"
     )
     buckets = length_buckets(counted, "n_tokens", "doc_id", SEQ_LEN)
+    from mongo2mysql_spark.operators.sampling import (
+        systematic_weighted_select,
+    )
+
+    sys_sel = systematic_weighted_select(
+        counted, "n_tokens", "doc_id", SYS_K
+    ).select("doc_id", "n_tokens", "cum_before", "picks", "selected")
     return tagged_union(
-        {"spans": packed, "manifest": manifest, "buckets": buckets}
+        {
+            "spans": packed,
+            "manifest": manifest,
+            "buckets": buckets,
+            "syssample": sys_sel,
+        }
     )
 
 
