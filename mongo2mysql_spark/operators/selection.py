@@ -19,10 +19,13 @@ rank selection (the histogram form of Munro-Paterson / the
    per-bucket sort that only ever sees one bucket's rows.
 
 Interpolation then follows the same IEEE arithmetic Spark's
-``percentile`` and DuckDB's ``quantile_cont`` use —
-``v0 + f·(v1 − v0)`` at position ``h = (n−1)·q`` (probed bit-equal in
-tests) — so the result is bit-identical to the built-in aggregate while
-every stage stays partition-parallel with bounded task state.
+``percentile`` and DuckDB's ``quantile_cont`` use — the TWO-SIDED lerp
+``(higher − h)·v0 + (h − lower)·v1`` at position ``h = (n−1)·q``
+(Spark's ``Percentile.getPercentile``; the one-sided
+``v0 + f·(v1 − v0)`` form agrees on most inputs but diverges in the
+last bit on others — caught by the sf0.001 hash gate) — so the result
+is bit-identical to the built-in aggregate while every stage stays
+partition-parallel with bounded task state.
 
 Reference parity: the reference (vanilla/mongo2mysql, 556-LoC ETL) has
 no aggregation surface; extension layer.
@@ -75,13 +78,13 @@ def exact_quantiles(
     # percentile runs ((n-1)*q; floor; fraction) — Python floats ARE
     # IEEE doubles, so h/f here equal the JVM's bit-for-bit
     needed: dict[int, None] = {}
-    plan: dict[str, tuple[int, int, float]] = {}
+    plan: dict[str, tuple[int, int, float, int]] = {}
     for name, q in qs.items():
         h = (n - 1) * q
         lo = math.floor(h)
         r0 = lo + 1                      # 1-based rank of the lower value
         r1 = min(r0 + 1, n)
-        plan[name] = (r0, r1, h - lo)
+        plan[name] = (r0, r1, h, lo)
         needed[r0] = None
         needed[r1] = None
     ranks = sorted(needed)
@@ -132,9 +135,16 @@ def exact_quantiles(
     by_rank = {r: val_at[locs[r]] for r in ranks}
 
     out = {}
-    for name, (r0, r1, f) in plan.items():
+    for name, (r0, r1, h, lo) in plan.items():
         v0, v1 = by_rank[r0], by_rank[r1]
-        out[name] = v0 + f * (v1 - v0)
+        # Spark's Percentile.getPercentile verbatim: higher == lower
+        # returns the key untouched, else the two-sided lerp in this
+        # exact operand order (Python floats ARE IEEE doubles)
+        higher = float(math.ceil(h))
+        lower = float(lo)
+        out[name] = (
+            v0 if higher == lower else (higher - h) * v0 + (h - lower) * v1
+        )
     return spark.createDataFrame(
         [tuple(out[name] for name in qs)],
         ", ".join(f"{name} double" for name in qs),

@@ -31,7 +31,8 @@ def test_exact_quantiles_matches_python_reference(spark):
         h = (n - 1) * q
         lo = math.floor(h)
         v0, v1 = s[lo], s[min(lo + 1, n - 1)]
-        want = v0 + (h - lo) * (v1 - v0)
+        hi = float(math.ceil(h))
+        want = v0 if hi == float(lo) else (hi - h) * v0 + (h - float(lo)) * v1
         assert getattr(got, name) == want, name
 
 
