@@ -23,7 +23,7 @@ documented as the non-scale path).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -130,7 +130,11 @@ def heavy_keys(df: DataFrame, col: str, k: int = 10) -> DataFrame:
 
     Scale shape: one map-side-combined groupBy to key cardinality; the
     global top-k is orderBy+limit (TakeOrderedAndProject — per-partition
-    partial top-k, no single-reducer window); the 1-row totals frame
+    partial top-k, no single-reducer window; a constant-group salted
+    window is no alternative: Catalyst folds a constant partition
+    column out of the spec, leaving a global window); rank over the
+    ≤k survivors is a broadcast count-before join on the k-row frame
+    (k² ≤ 100 comparisons, not a window); the 1-row totals frame
     broadcasts back.  Counts are exact integers; each ratio is IEEE
     arithmetic over exact integer operands, so rows hash bit-for-bit
     against a SQL restatement.
@@ -148,12 +152,20 @@ def heavy_keys(df: DataFrame, col: str, k: int = 10) -> DataFrame:
         F.sum("key_n").alias("n_rows"),
         F.count(F.lit(1)).alias("n_distinct"),
     )
-    top = (
-        cnt.orderBy(F.desc("key_n"), "key")
-        .limit(k)
+    top = cnt.orderBy(F.desc("key_n"), "key").limit(k)
+    others = top.select(
+        F.col("key_n").alias("__bn"), F.col("key").alias("__bk")
+    )
+    before = (F.col("__bn") > F.col("key_n")) | (
+        (F.col("__bn") == F.col("key_n")) & (F.col("__bk") < F.col("key"))
+    )
+    ranked = (
+        top.join(F.broadcast(others), before, "left")
+        .groupBy("key", "key_n")
+        .agg((F.count("__bk") + 1).cast("int").alias("rank"))
         .crossJoin(F.broadcast(stats))
     )
-    return top.select(
+    return ranked.select(
         F.lit(col).alias("column"),
         "key",
         F.col("key_n").cast("long").alias("key_n"),
@@ -165,12 +177,7 @@ def heavy_keys(df: DataFrame, col: str, k: int = 10) -> DataFrame:
             (F.col("key_n").cast("double") * F.col("n_distinct").cast("double"))
             / F.col("n_rows").cast("double")
         ).alias("skew_ratio"),
-        # rank window runs over the ALREADY-limited k-row frame — a
-        # bounded single partition, not a corpus-sized one
-        F.row_number()
-        .over(Window.orderBy(F.desc("key_n"), "key"))
-        .cast("int")
-        .alias("rank"),
+        "rank",
     )
 
 

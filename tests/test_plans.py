@@ -287,6 +287,11 @@ _BNLJ_OK = {
     # distance-table frame (operators/pq.py) — same family as ann_topk_*
     "text_term_frequency",  # domain shares crossJoin the 1-row broadcast
     # total (operators/domains.domain_sizes) — k-bounded × 1, never quadratic
+    "profile_table_stats",  # heavy_keys crossJoins its 1-row totals frame
+    "corpus_pack_sequences",  # systematic_weighted_select crossJoins the
+    # 1-row weight total
+    "resample_gapfill",  # seasonal_backtest crossJoins the 1-row span/split
+    # frame (and the per-key hour grid explodes from it)
 }
 
 
