@@ -317,14 +317,20 @@ def test_registry_sweep_no_cartesian_no_global_window(spark):
 
 
 def test_winnow_staging_survives_optimizer(spark):
-    """text_winnow_fingerprints stages tokens and the shingle-hash array
-    as their own projections so the window-min lambda slices a bound
-    column.  If CollapseProject ever re-inlines them (alias vanishing
-    from the optimized plan), the md5 array is rebuilt once per window —
-    an O(n^2)-per-document regression measured at 17x wall time."""
-    from mongo2mysql_spark.queries.text import text_winnow_fingerprints
+    """The winnowing fingerprint pass stages tokens and the shingle-hash
+    array as their own projections so the window-min lambda slices a
+    bound column.  If CollapseProject ever re-inlines them (alias
+    vanishing from the optimized plan), the md5 array is rebuilt once
+    per window — an O(n^2)-per-document regression measured at 17x wall
+    time.  (Asserted on the operator plan directly: the slot now serves
+    slot_memo'd checkpoints, so its own optimized plan is checkpoint
+    scans.)"""
+    from mongo2mysql_spark.operators.passages import doc_fingerprints_pos
+    from mongo2mysql_spark.queries.text import WINNOW_K, WINNOW_W
+    from mongo2mysql_spark.sources import load_table
 
-    df = text_winnow_fingerprints(spark, SF_DIR)
+    d = load_table(spark, SF_DIR, "documents")
+    df = doc_fingerprints_pos(d, "doc_id", "text", WINNOW_K, WINNOW_W)
     optimized = df._jdf.queryExecution().optimizedPlan().toString()
     assert "__hs" in optimized, "hash-array staging collapsed into the consumer"
     assert "__t" in optimized, "token staging collapsed into the consumer"
