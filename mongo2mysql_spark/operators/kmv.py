@@ -118,3 +118,62 @@ def kmv_intersect_est(a: DataFrame, b: DataFrame) -> DataFrame:
             ).alias("est"),
         )
     )
+
+
+def kmv_tuple_sketch(
+    df: DataFrame, col: str, k: int, salt: str = "kmv"
+) -> DataFrame:
+    """Tuple sketch (the theta-sketch-with-summaries of production
+    sketch libraries): the K smallest distinct key hashes, each
+    CARRYING its row count — a uniform hash-space sample of the key
+    domain with per-key multiplicities.  (h, cnt) frame of ≤ K rows.
+
+    Build shape: one map-side-combined groupBy to key cardinality, then
+    TakeOrderedAndProject (per-partition partial top-K) — no full sort,
+    no corpus-sized shuffle."""
+    return (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(kmv_hash(F.col(col), salt).alias("h"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("h")
+        .limit(k)
+    )
+
+
+def kmv_join_size_est(a: DataFrame, b: DataFrame) -> DataFrame:
+    """1-row (common, theta, sum_products, est) equi-join cardinality
+    estimate from two tuple sketches alone — the query-planner readout
+    (join reordering, broadcast-vs-shuffle decisions) that neither HLL
+    nor a plain KMV can give, because |A ⋈ B| = Σ_key cntA·cntB needs
+    per-key multiplicities.
+
+    Keys strictly below θ' = min(θ_a, θ_b) are a uniform sample of the
+    key domain at rate θ'/2⁴⁸ (exclusive threshold — same convention as
+    :func:`kmv_intersect_est`), so
+    ``est = Σ_{common h < θ'} cntA·cntB · 2⁴⁸ / θ'``.
+    All integer operands; the estimate is ONE double product + ONE IEEE
+    division, so it hashes bit-for-bit cross-engine."""
+    ta = a.agg(F.max("h").alias("__ta"))
+    tb = b.agg(F.max("h").alias("__tb"))
+    theta = ta.crossJoin(tb).select(F.least("__ta", "__tb").alias("theta"))
+    bb = b.select(F.col("h"), F.col("cnt").alias("__cnt_b"))
+    common = (
+        a.join(bb, "h")
+        .crossJoin(F.broadcast(theta))
+        .filter(F.col("h") < F.col("theta"))
+        .groupBy("theta")
+        .agg(
+            F.count(F.lit(1)).alias("common"),
+            F.sum(F.col("cnt") * F.col("__cnt_b")).alias("sum_products"),
+        )
+    )
+    return theta.join(common, "theta", "left").select(
+        F.coalesce("common", F.lit(0)).alias("common"),
+        "theta",
+        F.coalesce("sum_products", F.lit(0)).cast("long").alias("sum_products"),
+        (
+            F.coalesce("sum_products", F.lit(0)).cast("double")
+            * F.lit(HASH_SPACE)
+            / F.col("theta").cast("double")
+        ).alias("est"),
+    )

@@ -8,8 +8,10 @@ from pyspark.sql import functions as F
 
 from mongo2mysql_spark.operators.kmv import (
     kmv_intersect_est,
+    kmv_join_size_est,
     kmv_sketch,
     kmv_stats,
+    kmv_tuple_sketch,
     kmv_union,
 )
 
@@ -82,3 +84,48 @@ def test_disjoint_intersection_is_zero(spark):
         kmv_sketch(a, "v", K), kmv_sketch(b, "v", K)
     ).collect()[0]
     assert est.common == 0 and est.est == 0.0
+
+
+def _keyed(spark, lo, hi, copies):
+    """keys lo..hi-1, each repeated `copies` times."""
+    return (
+        spark.range(lo, hi)
+        .select(F.col("id").alias("v"))
+        .withColumn("__c", F.explode(F.sequence(F.lit(1), F.lit(copies))))
+        .drop("__c")
+    )
+
+
+def test_tuple_sketch_carries_counts(spark):
+    sk = kmv_tuple_sketch(_keyed(spark, 0, 50, 3), "v", K)
+    rows = sk.collect()
+    assert len(rows) == 50 and all(r.cnt == 3 for r in rows)
+
+
+def test_join_size_estimate_accuracy(spark):
+    # A: keys 0..7999 x2 rows; B: keys 4000..11999 x3 rows
+    # true join size = 4000 overlapping keys x 2 x 3 = 24000
+    a = kmv_tuple_sketch(_keyed(spark, 0, 8000, 2), "v", K)
+    b = kmv_tuple_sketch(_keyed(spark, 4000, 12000, 3), "v", K)
+    est = kmv_join_size_est(a, b).collect()[0]
+    assert est.common > 0
+    assert abs(est.est - 24000) / 24000 < 0.5  # sampled-overlap RSE band
+
+
+def test_join_size_exact_under_unsaturated_sketches(spark):
+    # both sketches unsaturated -> every key sampled BUT the estimate
+    # still divides by theta (the max sampled hash), so assert the
+    # sum_products side exactly: all 30 common keys present, 2*5=10 each
+    a = kmv_tuple_sketch(_keyed(spark, 0, 30, 2), "v", K)
+    b = kmv_tuple_sketch(_keyed(spark, 0, 30, 5), "v", K)
+    est = kmv_join_size_est(a, b).collect()[0]
+    # exclusive threshold drops exactly the theta key itself
+    assert est.common == 29
+    assert est.sum_products == 29 * 10
+
+
+def test_join_size_disjoint_is_zero(spark):
+    a = kmv_tuple_sketch(_keyed(spark, 0, 3000, 2), "v", K)
+    b = kmv_tuple_sketch(_keyed(spark, 50_000, 53_000, 2), "v", K)
+    est = kmv_join_size_est(a, b).collect()[0]
+    assert est.common == 0 and est.sum_products == 0 and est.est == 0.0
