@@ -19,7 +19,9 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mongo2mysql_spark.operators.bars import ohlc_bars_sql
 from mongo2mysql_spark.operators.forecast import seasonal_backtest_sql
+from mongo2mysql_spark.operators.trend import hourly_trend_sql
 from mongo2mysql_spark.operators.profile import heavy_keys_sql
 from mongo2mysql_spark.queries import register
 from mongo2mysql_spark.sources import load_table as T
@@ -840,6 +842,19 @@ _TS_FC_NULLS = """CAST(NULL AS TIMESTAMP) AS bucket_start,
            CAST(NULL AS BOOLEAN) AS is_ready,
            CAST(NULL AS BOOLEAN) AS is_constant_window,
            CAST(NULL AS BOOLEAN) AS is_anomaly"""
+# typed NULLs for the OHLC-bar columns inside every non-ohlc leg
+_OHLC_NULLS = """CAST(NULL AS BIGINT) AS open_q,
+           CAST(NULL AS BIGINT) AS high_q, CAST(NULL AS BIGINT) AS low_q,
+           CAST(NULL AS BIGINT) AS close_q, CAST(NULL AS BIGINT) AS range_q,
+           CAST(NULL AS BIGINT) AS gain_q, CAST(NULL AS BIGINT) AS sum_q,
+           CAST(NULL AS DOUBLE) AS mean_value"""
+# typed NULLs for the OLS-trend columns inside every non-trend leg
+_TREND_NULLS = """CAST(NULL AS BIGINT) AS lo_hour,
+           CAST(NULL AS BIGINT) AS n_hours, CAST(NULL AS BIGINT) AS total_cnt,
+           CAST(NULL AS VARCHAR) AS slope_num,
+           CAST(NULL AS VARCHAR) AS slope_den,
+           CAST(NULL AS DOUBLE) AS slope,
+           CAST(NULL AS DOUBLE) AS intercept"""
 
 
 @register(
@@ -847,6 +862,9 @@ _TS_FC_NULLS = """CAST(NULL AS TIMESTAMP) AS bucket_start,
     f"""
     WITH {seasonal_backtest_sql("events", "event_type", "ts",
                                 _FC_SPLIT_NUM, _FC_SPLIT_DEN)},
+    {ohlc_bars_sql("events", "event_type", "ts", "value", "event_id",
+                   _RESAMPLE_INTERVAL)},
+    {hourly_trend_sql("events", "event_type", "ts")},
     obs AS (
       SELECT event_type AS key,
              CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) // {_RESAMPLE_INTERVAL} AS b,
@@ -923,7 +941,9 @@ _TS_FC_NULLS = """CAST(NULL AS TIMESTAMP) AS bucket_start,
            CAST(NULL AS DOUBLE) AS pred,
            CAST(NULL AS BIGINT) AS n_test_hours,
            CAST(NULL AS BIGINT) AS total_actual,
-           CAST(NULL AS DOUBLE) AS mae
+           CAST(NULL AS DOUBLE) AS mae,
+           {_OHLC_NULLS},
+           {_TREND_NULLS}
     FROM rs
     UNION ALL
     SELECT 'zscore' AS branch, key, CAST(NULL AS TIMESTAMP) AS bucket_start,
@@ -943,14 +963,18 @@ _TS_FC_NULLS = """CAST(NULL AS TIMESTAMP) AS bucket_start,
            CAST(NULL AS DOUBLE) AS pred,
            CAST(NULL AS BIGINT) AS n_test_hours,
            CAST(NULL AS BIGINT) AS total_actual,
-           CAST(NULL AS DOUBLE) AS mae
+           CAST(NULL AS DOUBLE) AS mae,
+           {_OHLC_NULLS},
+           {_TREND_NULLS}
     FROM zv
     UNION ALL
     SELECT 'forecast' AS branch, key, {_TS_FC_NULLS},
            hod, train_cnt, n_train_hours, pred,
            CAST(NULL AS BIGINT) AS n_test_hours,
            CAST(NULL AS BIGINT) AS total_actual,
-           CAST(NULL AS DOUBLE) AS mae
+           CAST(NULL AS DOUBLE) AS mae,
+           {_OHLC_NULLS},
+           {_TREND_NULLS}
     FROM fcast
     UNION ALL
     SELECT 'backtest' AS branch, key, {_TS_FC_NULLS},
@@ -958,8 +982,46 @@ _TS_FC_NULLS = """CAST(NULL AS TIMESTAMP) AS bucket_start,
            CAST(NULL AS BIGINT) AS train_cnt,
            CAST(NULL AS BIGINT) AS n_train_hours,
            CAST(NULL AS DOUBLE) AS pred,
-           n_test_hours, total_actual, mae
+           n_test_hours, total_actual, mae,
+           {_OHLC_NULLS},
+           {_TREND_NULLS}
     FROM fback
+    UNION ALL
+    SELECT 'ohlc' AS branch, key, bucket_start,
+           CAST(NULL AS VARCHAR) AS value_num,
+           CAST(NULL AS VARCHAR) AS value_den,
+           n_obs,
+           CAST(NULL AS BOOLEAN) AS filled,
+           CAST(NULL AS BIGINT) AS event_id, CAST(NULL AS BIGINT) AS value_q,
+           CAST(NULL AS BIGINT) AS n_prev, CAST(NULL AS BIGINT) AS frame_sum_q,
+           CAST(NULL AS VARCHAR) AS frame_sumsq_q,
+           CAST(NULL AS BOOLEAN) AS is_ready,
+           CAST(NULL AS BOOLEAN) AS is_constant_window,
+           CAST(NULL AS BOOLEAN) AS is_anomaly,
+           CAST(NULL AS INTEGER) AS hod,
+           CAST(NULL AS BIGINT) AS train_cnt,
+           CAST(NULL AS BIGINT) AS n_train_hours,
+           CAST(NULL AS DOUBLE) AS pred,
+           CAST(NULL AS BIGINT) AS n_test_hours,
+           CAST(NULL AS BIGINT) AS total_actual,
+           CAST(NULL AS DOUBLE) AS mae,
+           open_q, high_q, low_q, close_q, range_q, gain_q, sum_q,
+           mean_value,
+           {_TREND_NULLS}
+    FROM obars
+    UNION ALL
+    SELECT 'trend' AS branch, key, {_TS_FC_NULLS},
+           CAST(NULL AS INTEGER) AS hod,
+           CAST(NULL AS BIGINT) AS train_cnt,
+           CAST(NULL AS BIGINT) AS n_train_hours,
+           CAST(NULL AS DOUBLE) AS pred,
+           CAST(NULL AS BIGINT) AS n_test_hours,
+           CAST(NULL AS BIGINT) AS total_actual,
+           CAST(NULL AS DOUBLE) AS mae,
+           {_OHLC_NULLS},
+           lo_hour, n_hours, total_cnt, slope_num, slope_den, slope,
+           intercept
+    FROM htrend
     """,
     doc=(
         "time-series surface, tagged: 'resample' rows are resample + "
@@ -991,7 +1053,22 @@ _TS_FC_NULLS = """CAST(NULL AS TIMESTAMP) AS bucket_start,
         "the expected-hour grid makes silent hours count as zeros in "
         "both fit and test; prediction is one IEEE division of exact "
         "integers and MAE accumulates through the order-free decimal "
-        "dsum, so rates AND errors hash bit-for-bit)."
+        "dsum, so rates AND errors hash bit-for-bit).  'ohlc' rows: "
+        "OHLC time-bar downsampling (operators/bars — the kdb/"
+        "TimescaleDB candlestick shape): per (event_type, hour) the "
+        "open/high/low/close of the 1e-6-quantized value, open/close "
+        "as min_by/max_by over the lexicographic (ts, event_id) struct "
+        "— an AGGREGATE, map-side partials, never a bucket-partitioned "
+        "row_number window; one narrow scan, one hash aggregate, the "
+        "only float served is sum_q/(n·10^6) — one IEEE division.  "
+        "'trend' rows: exact per-series OLS over hourly counts "
+        "(operators/trend): silent hours count as zeros WITHOUT a grid "
+        "— zero cells contribute nothing to Σy/Σxy and the x-sums over "
+        "the contiguous span have closed forms, so the whole fit is "
+        "hourly cells → one per-key aggregate; slope_num/slope_den are "
+        "exact DECIMAL(38,0) normal-equation integers (hashed as "
+        "VARCHAR per the r5 wide-decimal lesson), slope/intercept one "
+        "IEEE division each."
     ),
 )
 def resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1033,14 +1110,27 @@ def resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_constant_window",
         "is_anomaly",
     )
+    from mongo2mysql_spark.operators.bars import ohlc_bars
     from mongo2mysql_spark.operators.forecast import seasonal_backtest
+    from mongo2mysql_spark.operators.trend import hourly_trend
 
     fc, bt = seasonal_backtest(
         ev, "event_type", "ts",
         split_frac_num=_FC_SPLIT_NUM, split_frac_den=_FC_SPLIT_DEN,
     )
+    oh = ohlc_bars(
+        ev, "event_type", "ts", "value", "event_id",
+        interval_seconds=_RESAMPLE_INTERVAL,
+    )
     return tagged_union(
-        {"resample": rs, "zscore": zs, "forecast": fc, "backtest": bt}
+        {
+            "resample": rs,
+            "zscore": zs,
+            "forecast": fc,
+            "backtest": bt,
+            "ohlc": oh,
+            "trend": hourly_trend(ev, "event_type", "ts"),
+        }
     )
 
 
