@@ -964,42 +964,83 @@ def window_functions_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from mongo2mysql_spark.operators.basket import association_rules_sql
+
+# basket branch (operators/basket): Apriori pair rules over order
+# baskets; thresholds sized so the sf0.01 gate carries a few thousand
+# qualifying pairs
+_BK_MIN_ITEM, _BK_MIN_PAIR = 5, 2
+_BASKET_NULLS = """CAST(NULL AS BIGINT) AS item_a,
+           CAST(NULL AS BIGINT) AS item_b, CAST(NULL AS BIGINT) AS n_a,
+           CAST(NULL AS BIGINT) AS n_b, CAST(NULL AS BIGINT) AS n_ab,
+           CAST(NULL AS BIGINT) AS n_baskets,
+           CAST(NULL AS DOUBLE) AS conf_a2b,
+           CAST(NULL AS DOUBLE) AS conf_b2a,
+           CAST(NULL AS DOUBLE) AS lift"""
+
+
 @register(
     "topk_parts_per_brand",
-    """
-    SELECT 'topk' AS op, p_brand, p_partkey, p_retailprice
+    f"""
+    WITH {association_rules_sql("lineitem", "l_orderkey", "l_partkey",
+                                _BK_MIN_ITEM, _BK_MIN_PAIR)}
+    SELECT 'topk' AS op, p_brand, p_partkey, p_retailprice,
+           {_BASKET_NULLS}
     FROM (SELECT p_brand, p_partkey, p_retailprice,
                  row_number() OVER (PARTITION BY p_brand
                                     ORDER BY p_retailprice DESC, p_partkey) AS rn
           FROM part)
     WHERE rn <= 3
     UNION ALL
-    SELECT 'min' AS op, p_brand, p_partkey, p_retailprice
+    SELECT 'min' AS op, p_brand, p_partkey, p_retailprice,
+           {_BASKET_NULLS}
     FROM part p
     WHERE p_retailprice = (SELECT MIN(p2.p_retailprice) FROM part p2
                            WHERE p2.p_brand = p.p_brand)
+    UNION ALL
+    SELECT 'basket' AS op, CAST(NULL AS VARCHAR) AS p_brand,
+           CAST(NULL AS BIGINT) AS p_partkey,
+           CAST(NULL AS DOUBLE) AS p_retailprice,
+           item_a, item_b, n_a, n_b, n_ab, n_baskets,
+           conf_a2b, conf_b2a, lift
+    FROM brules
     """,
     doc=(
-        "per-group extremes, two branches tagged by op: top-k per group "
+        "per-group extremes, branches tagged by op: top-k per group "
         "(deterministic tiebreak on key) via the salted two-phase operator "
         "— ~25 brands would otherwise mean ~25 reducers sorting the whole "
         "table at scale, results equal the plain window — and the "
-        "correlated scalar subquery (cheapest part per brand, all ties)."
+        "correlated scalar subquery (cheapest part per brand, all ties).  "
+        "'basket' rows: market-basket association rules (operators/basket "
+        "— Agrawal & Srikant VLDB 1994 restricted to pairs): DISTINCT "
+        "(order, part) baskets, the Apriori prune FIRST (infrequent items "
+        "broadcast-filtered before any pair is generated), pair self-join "
+        "keyed on the basket (per-basket O(k²) in basket size, no item "
+        "hot key), integer support qualification; conf_a2b/conf_b2a/lift "
+        "each ONE IEEE division of exact integers — lift staged as "
+        "n_ab·N over n_a·n_b."
     ),
 )
 def topk_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mongo2mysql_spark.operators.basket import association_rules
     from mongo2mysql_spark.operators.skew import salted_topk_per_group
+    from mongo2mysql_spark.queries import tagged_union
 
     p = T(spark, sf_dir, "part")
     topk = salted_topk_per_group(
         p, ["p_brand"], [F.desc("p_retailprice"), F.col("p_partkey")], k=3
-    ).select(
-        F.lit("topk").alias("op"), "p_brand", "p_partkey", "p_retailprice"
-    )
+    ).select("p_brand", "p_partkey", "p_retailprice")
     mins = subquery_min_per_group(spark, sf_dir).select(
-        F.lit("min").alias("op"), "p_brand", "p_partkey", "p_retailprice"
+        "p_brand", "p_partkey", "p_retailprice"
     )
-    return topk.unionByName(mins)
+    li = T(spark, sf_dir, "lineitem")
+    rules = association_rules(
+        li, "l_orderkey", "l_partkey",
+        min_item_count=_BK_MIN_ITEM, min_pair_count=_BK_MIN_PAIR,
+    )
+    return tagged_union(
+        {"topk": topk, "min": mins, "basket": rules}, tag_col="op"
+    )
 
 
 from mongo2mysql_spark.queries.behavior import (

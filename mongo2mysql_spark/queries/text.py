@@ -16,6 +16,7 @@ from mongo2mysql_spark.functions.text import (
     stopword_ratio,
     tokens,
 )
+from mongo2mysql_spark.operators.collocations import dice_collocations_sql
 from mongo2mysql_spark.operators.keyness import keyness_sql
 from mongo2mysql_spark.operators.multimodal import decode_metadata, payload_frame
 from mongo2mysql_spark.queries import register
@@ -140,12 +141,20 @@ def _text_profile_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# collocations branch (operators/collocations): thresholds sized so the
+# near-uniform synthetic vocabulary still yields a stable associated
+# tail (~400 pairs) at every gate SF
+_COLL_MIN_PAIR, _COLL_NUM, _COLL_DEN = 5, 1, 30
+
+
 @register(
     "text_term_frequency",
     f"""
     WITH {domains_oracle_ctes()},
     {keyness_sql("documents", "lang", "string_split(text, ' ')",
                  min_count=5, min_ratio=3, k=10)},
+    {dice_collocations_sql("documents", "string_split(text, ' ')",
+                           _COLL_MIN_PAIR, _COLL_NUM, _COLL_DEN)},
     tftop AS (
       SELECT token, n FROM (
         SELECT tok AS token, COUNT(*) AS n
@@ -161,7 +170,10 @@ def _text_profile_df(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(NULL AS VARCHAR) AS label,
            CAST(NULL AS BIGINT) AS n_rest,
            CAST(NULL AS DOUBLE) AS keyness,
-           CAST(NULL AS INTEGER) AS rank
+           CAST(NULL AS INTEGER) AS rank,
+           CAST(NULL AS VARCHAR) AS w1, CAST(NULL AS VARCHAR) AS w2,
+           CAST(NULL AS BIGINT) AS n_xy, CAST(NULL AS BIGINT) AS n_x,
+           CAST(NULL AS BIGINT) AS n_y, CAST(NULL AS DOUBLE) AS dice
     FROM tftop
     UNION ALL
     SELECT 'domains' AS branch, CAST(NULL AS VARCHAR) AS token,
@@ -171,7 +183,10 @@ def _text_profile_df(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(NULL AS VARCHAR) AS label,
            CAST(NULL AS BIGINT) AS n_rest,
            CAST(NULL AS DOUBLE) AS keyness,
-           CAST(NULL AS INTEGER) AS rank
+           CAST(NULL AS INTEGER) AS rank,
+           CAST(NULL AS VARCHAR) AS w1, CAST(NULL AS VARCHAR) AS w2,
+           CAST(NULL AS BIGINT) AS n_xy, CAST(NULL AS BIGINT) AS n_x,
+           CAST(NULL AS BIGINT) AS n_y, CAST(NULL AS DOUBLE) AS dice
     FROM ddomains
     UNION ALL
     SELECT 'domainsizes' AS branch, CAST(NULL AS VARCHAR) AS token,
@@ -181,7 +196,10 @@ def _text_profile_df(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(NULL AS VARCHAR) AS label,
            CAST(NULL AS BIGINT) AS n_rest,
            CAST(NULL AS DOUBLE) AS keyness,
-           CAST(NULL AS INTEGER) AS rank
+           CAST(NULL AS INTEGER) AS rank,
+           CAST(NULL AS VARCHAR) AS w1, CAST(NULL AS VARCHAR) AS w2,
+           CAST(NULL AS BIGINT) AS n_xy, CAST(NULL AS BIGINT) AS n_x,
+           CAST(NULL AS BIGINT) AS n_y, CAST(NULL AS DOUBLE) AS dice
     FROM dsizes
     UNION ALL
     SELECT 'keyness' AS branch, token, n,
@@ -189,8 +207,24 @@ def _text_profile_df(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(NULL AS BIGINT) AS domain,
            CAST(NULL AS DOUBLE) AS d2,
            CAST(NULL AS DOUBLE) AS share,
-           label, n_rest, keyness, rank
+           label, n_rest, keyness, rank,
+           CAST(NULL AS VARCHAR) AS w1, CAST(NULL AS VARCHAR) AS w2,
+           CAST(NULL AS BIGINT) AS n_xy, CAST(NULL AS BIGINT) AS n_x,
+           CAST(NULL AS BIGINT) AS n_y, CAST(NULL AS DOUBLE) AS dice
     FROM keytop
+    UNION ALL
+    SELECT 'collocations' AS branch, CAST(NULL AS VARCHAR) AS token,
+           CAST(NULL AS BIGINT) AS n,
+           CAST(NULL AS BIGINT) AS doc_id,
+           CAST(NULL AS BIGINT) AS domain,
+           CAST(NULL AS DOUBLE) AS d2,
+           CAST(NULL AS DOUBLE) AS share,
+           CAST(NULL AS VARCHAR) AS label,
+           CAST(NULL AS BIGINT) AS n_rest,
+           CAST(NULL AS DOUBLE) AS keyness,
+           CAST(NULL AS INTEGER) AS rank,
+           w1, w2, n_xy, n_x, n_y, dice
+    FROM colloc
     """,
     doc=(
         "text-statistics family, tagged.  'tf' rows: global term "
@@ -210,10 +244,17 @@ def _text_profile_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         "keyness readout in its ratio form: in-label token rate over "
         "smoothed rest-of-corpus rate; selection and ordering are "
         "exact integer cross-multiplications, the reported score one "
-        "IEEE division, top-k per label salted)."
+        "IEEE division, top-k per label salted).  'collocations' rows: "
+        "adjacent-token collocation extraction (operators/collocations "
+        "— the MWE/phrase-mining readout in Dice form, PMI's ln being "
+        "barred from hash-gated columns): bigrams via transform("
+        "sequence) with 1-based element_at on BOTH engines, integer "
+        "cross-multiplied dice qualification, the served dice one IEEE "
+        "division of exact integers."
     ),
 )
 def text_term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mongo2mysql_spark.operators.collocations import dice_collocations
     from mongo2mysql_spark.operators.keyness import keyness_terms
     from mongo2mysql_spark.queries import tagged_union
     from mongo2mysql_spark.queries.domains import domains_branches
@@ -229,8 +270,17 @@ def text_term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = keyness_terms(
         d, "lang", tokens(F.col("text")), min_count=5, min_ratio=3, k=10
     )
+    coll = dice_collocations(
+        d, tokens(F.col("text")), min_pair=_COLL_MIN_PAIR,
+        min_dice_num=_COLL_NUM, min_dice_den=_COLL_DEN,
+    )
     return tagged_union(
-        {"tf": tf, **domains_branches(spark, sf_dir, d), "keyness": key}
+        {
+            "tf": tf,
+            **domains_branches(spark, sf_dir, d),
+            "keyness": key,
+            "collocations": coll,
+        }
     )
 
 

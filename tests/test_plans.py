@@ -292,6 +292,8 @@ _BNLJ_OK = {
     # 1-row weight total
     "resample_gapfill",  # seasonal_backtest crossJoins the 1-row span/split
     # frame (and the per-key hour grid explodes from it)
+    "topk_parts_per_brand",  # association_rules crossJoins the 1-row
+    # basket-count frame (operators/basket) — pair-bounded × 1
 }
 
 
