@@ -122,3 +122,89 @@ def connected_components(
         .select("id", F.col("id").alias("component"))
     )
     return members.union(roots)
+
+
+def incremental_components(
+    labels: DataFrame,
+    new_edges: DataFrame,
+    src: str = "id_1",
+    dst: str = "id_2",
+    max_rounds: int = 30,
+) -> DataFrame:
+    """Maintain a connected-components labeling under an edge batch —
+    the DELTA path of streaming near-dup graph maintenance.
+
+    ``labels`` is an existing (id, component) frame where each
+    component label is the min node id of its members (exactly what
+    ``connected_components`` emits; unlisted nodes are implicit
+    singletons).  ``new_edges`` is the incoming pair batch.  Returns
+    the updated (id, component) labeling, EQUAL to batch
+    ``connected_components`` over old ∪ new edges (asserted by the
+    registered branch's same-answer-different-path oracle) — without
+    ever re-reading the old edge set:
+
+    - each new edge contracts to (comp(u), comp(v)) via two left joins
+      against the labeling (unlabeled endpoints stand as themselves),
+      so the closure re-runs on a graph of size O(|batch|), not
+      O(|history|);
+    - because every existing label IS the min member id of its old
+      component, the contracted closure's min-label choice equals the
+      true min over the merged components' members — the incremental
+      answer is bit-identical to the batch answer, not just
+      isomorphic;
+    - the relabel is one keyed join of the labeling against the
+      (components-touched)-bounded mapping, plus the batch's own new
+      nodes.
+
+    At 100 TB this is the difference between O(|ΔE|) per refresh and
+    re-closing a trillion-edge graph every batch.
+    """
+    e = (
+        new_edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    lab_u = labels.select(
+        F.col("id").alias("u"), F.col("component").alias("cu")
+    )
+    lab_v = labels.select(
+        F.col("id").alias("v"), F.col("component").alias("cv")
+    )
+    contracted = (
+        e.join(lab_u, "u", "left")
+        .join(lab_v, "v", "left")
+        .select(
+            F.coalesce("cu", "u").alias("id_1"),
+            F.coalesce("cv", "v").alias("id_2"),
+        )
+    )
+    # the delta closure: O(|batch|) nodes/edges regardless of history
+    mapping = connected_components(
+        contracted, "id_1", "id_2", max_rounds=max_rounds
+    ).localCheckpoint(eager=False)
+    relabeled = (
+        labels.join(
+            mapping.select(
+                F.col("id").alias("component"),
+                F.col("component").alias("__new"),
+            ),
+            "component",
+            "left",
+        )
+        .select(
+            "id", F.coalesce("__new", F.col("component")).alias("component")
+        )
+    )
+    # nodes first seen in this batch: their contracted stand-in is the
+    # node id itself; absent from the mapping means still a singleton
+    # (self-loop-only batch edges), which callers treat as implicit
+    new_nodes = (
+        e.select(F.col("u").alias("id"))
+        .union(e.select(F.col("v").alias("id")))
+        .distinct()
+        .join(labels.select("id"), "id", "left_anti")
+    )
+    new_labeled = new_nodes.join(mapping, "id", "left").select(
+        "id", F.coalesce("component", F.col("id")).alias("component")
+    )
+    return relabeled.unionByName(new_labeled)

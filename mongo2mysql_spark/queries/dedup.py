@@ -568,6 +568,18 @@ def dedup_pair_families(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(NULL AS DOUBLE) AS pr_rank,
            degree, tri_count, clust_coeff
     FROM tristats
+    UNION ALL
+    SELECT 'incclosure' AS branch, doc_id, component_id,
+           CAST(NULL AS BIGINT) AS cluster_size,
+           CAST(NULL AS INTEGER) AS is_representative,
+           CAST(NULL AS DOUBLE) AS quality,
+           CAST(NULL AS BIGINT) AS canon_id,
+           CAST(NULL AS INTEGER) AS is_canon,
+           CAST(NULL AS DOUBLE) AS pr_rank,
+           CAST(NULL AS BIGINT) AS degree,
+           CAST(NULL AS BIGINT) AS tri_count,
+           CAST(NULL AS DOUBLE) AS clust_coeff
+    FROM labeled
     """,
     doc=(
         "near-dup cluster resolution, tagged.  'closure' branch: "
@@ -599,7 +611,18 @@ def dedup_pair_families(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node and closed by one equi-join, so no hub ever fans out "
         "deg² wedge rows under one key and each triangle counts exactly "
         "once with no distinct) — the density signal that separates a "
-        "chained borderline cluster from a clique of true duplicates."
+        "chained borderline cluster from a clique of true duplicates.  "
+        "'incclosure' branch: INCREMENTAL closure maintenance "
+        "(operators/components.incremental_components — the delta path "
+        "of streaming near-dup graph upkeep): half the pair list is "
+        "closed, the other half folds in as an edge batch contracted "
+        "through the existing labeling (each new edge maps to its "
+        "endpoints' component labels, so the delta closure runs on "
+        "O(batch) nodes, never re-reading history); because every "
+        "label is its component's min member id, the incremental "
+        "answer is BIT-IDENTICAL to the batch closure — which is "
+        "exactly what the oracle states (same-answer-different-path, "
+        "the IVF-store gate pattern)."
     ),
 )
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -621,11 +644,22 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # closure's fixed point is a chain of eager jobs, and PageRank's
     # 3 join+agg iterations / the triangle wedge join re-ran on every
     # materialization of the union (bench passes, branch attribution)
+    from mongo2mysql_spark.operators.components import incremental_components
     from mongo2mysql_spark.operators.pagerank import pagerank
     from mongo2mysql_spark.operators.triangles import node_triangle_stats
 
     def build_graph_artifacts() -> tuple:
         comp_ = connected_components(pairs, "id_1", "id_2").localCheckpoint()
+        # incremental maintenance replay: close half the pair list, fold
+        # the other half as an edge batch through the delta path
+        # (operators/components.incremental_components) — the branch's
+        # oracle states the BATCH closure, so the hash proves the
+        # incremental answer bit-identical to re-closing from scratch
+        h1 = pairs.filter((F.col("id_1") + F.col("id_2")) % 2 == 0)
+        h2 = pairs.filter((F.col("id_1") + F.col("id_2")) % 2 != 0)
+        inc_ = incremental_components(
+            connected_components(h1, "id_1", "id_2"), h2
+        ).localCheckpoint()
         sym = (
             pairs.select(F.col("id_1").alias("src"), F.col("id_2").alias("dst"))
             .unionByName(
@@ -644,9 +678,9 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         tri_ = node_triangle_stats(d.select("doc_id"), pairs, "doc_id").select(
             F.col("node").alias("doc_id"), "degree", "tri_count", "clust_coeff"
         ).localCheckpoint()
-        return comp_, pr_, tri_
+        return comp_, pr_, tri_, inc_
 
-    comp, pr, tri = slot_memo(
+    comp, pr, tri, inc = slot_memo(
         _CLOSURE_MEMO, spark, sf_dir, build_graph_artifacts
     )
     labeled = (
@@ -689,6 +723,16 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # says WHICH docs cluster, the triangle count says whether the
     # cluster is a clique of true duplicates or a thin chain of
     # borderline matches.  Both served from the memoized checkpoints.
+    inc_labeled = d.join(inc, d.doc_id == inc.id, "left").select(
+        "doc_id",
+        F.coalesce("component", F.col("doc_id")).alias("component_id"),
+    )
     return tagged_union(
-        {"closure": labeled, "canon": canon, "pagerank": pr, "triangles": tri}
+        {
+            "closure": labeled,
+            "canon": canon,
+            "pagerank": pr,
+            "triangles": tri,
+            "incclosure": inc_labeled,
+        }
     )

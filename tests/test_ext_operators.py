@@ -298,6 +298,92 @@ def test_connected_components_empty(spark):
     assert connected_components(df, "id_1", "id_2").count() == 0
 
 
+def _labels_of(df):
+    return {r["id"]: r["component"] for r in df.collect()}
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_incremental_components_equal_batch(spark, seed):
+    """Split a random edge list into 3 batches; closing batch 1 then
+    folding 2 and 3 incrementally must produce the exact batch answer
+    over all edges — the same-answer-different-path contract the
+    registered 'incclosure' branch hashes."""
+    import random
+
+    from mongo2mysql_spark.operators.components import (
+        connected_components,
+        incremental_components,
+    )
+
+    rng = random.Random(seed)
+    edges = [
+        (rng.randrange(0, 60), rng.randrange(0, 60)) for _ in range(80)
+    ]
+    edges = [e for e in edges if e[0] != e[1]]
+    thirds = [edges[0::3], edges[1::3], edges[2::3]]
+    sch = "id_1: long, id_2: long"
+    labels = connected_components(
+        spark.createDataFrame(thirds[0], sch), "id_1", "id_2"
+    )
+    for batch in thirds[1:]:
+        labels = incremental_components(
+            labels, spark.createDataFrame(batch, sch)
+        )
+    batch_all = connected_components(
+        spark.createDataFrame(edges, sch), "id_1", "id_2"
+    )
+    got, want = _labels_of(labels), _labels_of(batch_all)
+    # incremental keeps singleton rows for nodes whose edges all fell
+    # in one batch-internal component; batch omits edgeless nodes —
+    # compare on the batch node set and check the extras are self-labels
+    assert {k: got[k] for k in want} == want
+    assert all(got[k] == k for k in set(got) - set(want))
+
+
+def test_incremental_merge_of_two_old_components(spark):
+    from mongo2mysql_spark.operators.components import (
+        connected_components,
+        incremental_components,
+    )
+
+    sch = "id_1: long, id_2: long"
+    labels = connected_components(
+        spark.createDataFrame([(1, 2), (10, 11)], sch), "id_1", "id_2"
+    )
+    # one bridging edge between members (not roots) of the two comps
+    out = _labels_of(
+        incremental_components(
+            labels, spark.createDataFrame([(2, 11)], sch)
+        )
+    )
+    assert out == {1: 1, 2: 1, 10: 1, 11: 1}
+    # a new node with a SMALLER id than every old label becomes the root
+    out2 = _labels_of(
+        incremental_components(
+            labels, spark.createDataFrame([(0, 11)], sch)
+        )
+    )
+    assert out2 == {1: 1, 2: 1, 0: 0, 10: 0, 11: 0}
+
+
+def test_incremental_batch_inside_one_component_is_noop(spark):
+    from mongo2mysql_spark.operators.components import (
+        connected_components,
+        incremental_components,
+    )
+
+    sch = "id_1: long, id_2: long"
+    labels = connected_components(
+        spark.createDataFrame([(1, 2), (2, 3)], sch), "id_1", "id_2"
+    )
+    out = _labels_of(
+        incremental_components(
+            labels, spark.createDataFrame([(1, 3), (3, 2)], sch)
+        )
+    )
+    assert out == {1: 1, 2: 1, 3: 1}
+
+
 # ------------------------------------------------------- hash sampling
 
 
