@@ -1128,3 +1128,91 @@ def test_streaming_funnel_state_carries_across_batches(spark, tmp_path):
     }
     assert got == want
     assert (1, 4, None, None) in got and (2, 2, 4, 0.5) in got
+
+
+def test_join_view_incremental_equals_batch(spark, tmp_path):
+    """Interleaved a/b insert batches folded through the aggregate-
+    pushdown IVM store must serve the exact batch join-aggregate —
+    counters bounded by keys, never by history."""
+    from mongo2mysql_spark.sources.parquet import load_table
+    from mongo2mysql_spark.streaming.joinview import (
+        read_join_view,
+        streaming_join_view_refresh,
+    )
+
+    store = str(tmp_path / "jv")
+    # side a: 'view' events (key user, group hour-of-day);
+    # side b: 'purchase' events (key user, value)
+    runs = [
+        ("a", F.col("event_type") == "view", 0),
+        ("b", F.col("event_type") == "purchase", 0),
+        ("a", F.col("event_type") == "view", 1),
+        ("b", F.col("event_type") == "purchase", 1),
+    ]
+    for i, (side, pred, half) in enumerate(runs):
+        s = (
+            stream_events(spark, SF)
+            .filter(pred & (F.col("event_id") % 2 == half))
+            .withColumn("grp", F.hour("ts"))
+        )
+        q = streaming_join_view_refresh(
+            s, store, side, "user_id",
+            group_col="grp", value_col="value",
+            checkpoint_dir=str(tmp_path / f"ck{i}"),
+        )
+        q.awaitTermination(120)
+    served = {
+        r["grp"]: (int(r["n_pairs"]), int(r["pair_sum_q"]))
+        for r in read_join_view(spark, store).collect()
+    }
+    ev = load_table(spark, SF, "events")
+    a = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("k"), F.hour("ts").alias("grp")
+    )
+    b = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("k"),
+        (F.col("value").cast("decimal(18,6)") * 1000000)
+        .cast("long")
+        .alias("vq"),
+    )
+    batch = {
+        r["grp"]: (r["n"], r["s"])
+        for r in a.join(b, "k")
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("vq").cast("long").alias("s"),
+        )
+        .collect()
+    }
+    assert served == batch and len(served) > 0
+
+
+def test_join_view_epoch_replay_guard(spark, tmp_path):
+    from mongo2mysql_spark.streaming.joinview import (
+        read_join_view,
+        refresh_join_view,
+    )
+
+    store = str(tmp_path / "jv")
+    a = spark.createDataFrame([(1, 10), (2, 10)], "k long, grp long")
+    b = spark.createDataFrame([(1, 2.5)], "k long, v double")
+    assert refresh_join_view(a, store, "a", "k", group_col="grp",
+                             writer="w", epoch=0)
+    assert refresh_join_view(b, store, "b", "k", value_col="v",
+                             writer="w", epoch=1)
+    first = {(r["grp"], int(r["n_pairs"]), int(r["pair_sum_q"]))
+             for r in read_join_view(spark, store).collect()}
+    assert first == {(10, 1, 2_500_000)}
+    # replayed epoch (same writer) must be a no-op
+    assert not refresh_join_view(b, store, "b", "k", value_col="v",
+                                 writer="w", epoch=1)
+    again = {(r["grp"], int(r["n_pairs"]), int(r["pair_sum_q"]))
+             for r in read_join_view(spark, store).collect()}
+    assert again == first
+    # a DIFFERENT writer (fresh checkpoint lineage) applies from 0
+    assert refresh_join_view(b, store, "b", "k", value_col="v",
+                             writer="w2", epoch=0)
+    doubled = {(r["grp"], int(r["n_pairs"]), int(r["pair_sum_q"]))
+               for r in read_join_view(spark, store).collect()}
+    assert doubled == {(10, 2, 5_000_000)}
