@@ -149,3 +149,90 @@ def exact_quantiles(
         [tuple(out[name] for name in qs)],
         ", ".join(f"{name} double" for name in qs),
     )
+
+
+def equi_depth_histogram(
+    df: DataFrame,
+    col: str,
+    n_buckets: int = 8,
+    bucket_expr: str | None = None,
+) -> DataFrame:
+    """Equi-depth (equal-height) histogram — the ANALYZE-TABLE
+    statistic optimizers use for selectivity estimation on skewed
+    columns, where equi-WIDTH histograms collapse into one hot bar.
+
+    Boundaries are the exact interpolated ``i/n_buckets`` quantiles
+    (``exact_quantiles`` — bit-identical to ``F.percentile`` and to
+    DuckDB's ``quantile_cont``, so the boundary doubles themselves are
+    hash-portable), assignment is the half-open rule "smallest i with
+    v < b_{i+1}, else the last bucket" as a literal comparison chain
+    (deterministic on identical doubles in both engines), and counts
+    are one map-side-combined aggregate.  Three bounded passes total:
+    the quantile pass's coarse histogram + narrow re-read, then one
+    counting scan.  Empty buckets (duplicate boundaries on heavy
+    values) are served with n_bucket = 0, not dropped.
+
+    Returns (bucket, lo, hi, n_bucket) with n_buckets rows.
+    """
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    spark = df.sparkSession
+    qs = {f"q{i}": i / n_buckets for i in range(n_buckets + 1)}
+    row = exact_quantiles(df, col, qs, bucket_expr).first()
+    bounds = [row[f"q{i}"] for i in range(n_buckets + 1)]
+    if bounds[0] is None:
+        return spark.createDataFrame(
+            [], "bucket int, lo double, hi double, n_bucket long"
+        )
+    v = F.col(col)
+    assign = F.lit(n_buckets - 1)
+    for i in reversed(range(n_buckets - 1)):
+        assign = F.when(v < F.lit(bounds[i + 1]), F.lit(i)).otherwise(assign)
+    counts = (
+        df.filter(v.isNotNull())
+        .groupBy(assign.cast("int").alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    )
+    shell = spark.createDataFrame(
+        [(i, bounds[i], bounds[i + 1]) for i in range(n_buckets)],
+        "bucket int, lo double, hi double",
+    )
+    return (
+        F.broadcast(shell)
+        .join(counts, "bucket", "left")
+        .select(
+            "bucket", "lo", "hi",
+            F.coalesce("__n", F.lit(0)).cast("long").alias("n_bucket"),
+        )
+    )
+
+
+def equi_depth_histogram_sql(
+    source_cte: str, col: str, n_buckets: int = 8, prefix: str = "h"
+) -> str:
+    """DuckDB restatement; a final CTE ``<prefix>ist(bucket, lo, hi,
+    n_bucket)``.  ``quantile_cont`` interpolates exactly like Spark's
+    ``percentile`` (the contract ``exact_quantiles`` is pinned to), so
+    the boundary doubles and the comparison chain agree bit-for-bit."""
+    probs = ", ".join(str(i / n_buckets) for i in range(n_buckets + 1))
+    chain = " ".join(
+        f"WHEN v < qs[{i + 2}] THEN {i}" for i in range(n_buckets - 1)
+    )
+    x = prefix
+    return f"""{x}q AS (
+      SELECT quantile_cont({col}, [{probs}]) AS qs
+      FROM {source_cte} WHERE {col} IS NOT NULL),
+    {x}shell AS (
+      SELECT CAST(i AS INTEGER) AS bucket, qs[i + 1] AS lo, qs[i + 2] AS hi
+      FROM (SELECT unnest(generate_series(0, {n_buckets - 1})) AS i)
+      CROSS JOIN {x}q),
+    {x}assign AS (
+      SELECT CASE {chain} ELSE {n_buckets - 1} END AS bucket
+      FROM (SELECT {col} AS v FROM {source_cte} WHERE {col} IS NOT NULL)
+      CROSS JOIN {x}q),
+    {x}ist AS (
+      SELECT s.bucket, s.lo, s.hi,
+             CAST(COALESCE(c.n, 0) AS BIGINT) AS n_bucket
+      FROM {x}shell s
+      LEFT JOIN (SELECT bucket, count(*) AS n FROM {x}assign GROUP BY 1) c
+        USING (bucket))"""

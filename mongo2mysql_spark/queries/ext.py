@@ -23,10 +23,16 @@ from mongo2mysql_spark.operators.bars import ohlc_bars_sql
 from mongo2mysql_spark.operators.forecast import seasonal_backtest_sql
 from mongo2mysql_spark.operators.trend import hourly_trend_sql
 from mongo2mysql_spark.operators.profile import heavy_keys_sql
+from mongo2mysql_spark.operators.selection import equi_depth_histogram_sql
 from mongo2mysql_spark.queries import register
 from mongo2mysql_spark.sources import load_table as T
 
 # ------------------------------------------------------------------ profiler
+
+
+# histogram branch (operators/selection.equi_depth_histogram): the
+# ANALYZE-TABLE equi-depth statistic at 8 buckets
+_HIST_BUCKETS = 8
 
 
 @register(
@@ -36,7 +42,9 @@ from mongo2mysql_spark.sources import load_table as T
            CAST(NULL AS VARCHAR) AS key, CAST(NULL AS BIGINT) AS key_n,
            CAST(NULL AS DOUBLE) AS hot_frac,
            CAST(NULL AS DOUBLE) AS skew_ratio,
-           CAST(NULL AS INTEGER) AS rank
+           CAST(NULL AS INTEGER) AS rank,
+           CAST(NULL AS INTEGER) AS bucket, CAST(NULL AS DOUBLE) AS lo,
+           CAST(NULL AS DOUBLE) AS hi, CAST(NULL AS BIGINT) AS n_bucket
     FROM (
     WITH base AS (SELECT COUNT(*) AS n FROM documents)
     SELECT 'doc_id' AS column, 'bigint' AS dtype, n AS n_rows,
@@ -103,7 +111,9 @@ from mongo2mysql_spark.sources import load_table as T
            CAST(NULL AS VARCHAR) AS key, CAST(NULL AS BIGINT) AS key_n,
            CAST(NULL AS DOUBLE) AS hot_frac,
            CAST(NULL AS DOUBLE) AS skew_ratio,
-           CAST(NULL AS INTEGER) AS rank
+           CAST(NULL AS INTEGER) AS rank,
+           CAST(NULL AS INTEGER) AS bucket, CAST(NULL AS DOUBLE) AS lo,
+           CAST(NULL AS DOUBLE) AS hi, CAST(NULL AS BIGINT) AS n_bucket
     FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n,
                  CAST(COUNT(p.__pk) AS BIGINT) AS matched
           FROM orders c
@@ -124,7 +134,9 @@ from mongo2mysql_spark.sources import load_table as T
            CAST(NULL AS VARCHAR) AS key, CAST(NULL AS BIGINT) AS key_n,
            CAST(NULL AS DOUBLE) AS hot_frac,
            CAST(NULL AS DOUBLE) AS skew_ratio,
-           CAST(NULL AS INTEGER) AS rank
+           CAST(NULL AS INTEGER) AS rank,
+           CAST(NULL AS INTEGER) AS bucket, CAST(NULL AS DOUBLE) AS lo,
+           CAST(NULL AS DOUBLE) AS hi, CAST(NULL AS BIGINT) AS n_bucket
     FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n,
                  CAST(COUNT(p.__pk) AS BIGINT) AS matched
           FROM lineitem c
@@ -145,7 +157,9 @@ from mongo2mysql_spark.sources import load_table as T
            CAST(NULL AS VARCHAR) AS key, CAST(NULL AS BIGINT) AS key_n,
            CAST(NULL AS DOUBLE) AS hot_frac,
            CAST(NULL AS DOUBLE) AS skew_ratio,
-           CAST(NULL AS INTEGER) AS rank
+           CAST(NULL AS INTEGER) AS rank,
+           CAST(NULL AS INTEGER) AS bucket, CAST(NULL AS DOUBLE) AS lo,
+           CAST(NULL AS DOUBLE) AS hi, CAST(NULL AS BIGINT) AS n_bucket
     FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n,
                  CAST(COUNT(p.__pk) AS BIGINT) AS matched
           FROM lineitem c
@@ -166,7 +180,9 @@ from mongo2mysql_spark.sources import load_table as T
            CAST(NULL AS VARCHAR) AS key, CAST(NULL AS BIGINT) AS key_n,
            CAST(NULL AS DOUBLE) AS hot_frac,
            CAST(NULL AS DOUBLE) AS skew_ratio,
-           CAST(NULL AS INTEGER) AS rank
+           CAST(NULL AS INTEGER) AS rank,
+           CAST(NULL AS INTEGER) AS bucket, CAST(NULL AS DOUBLE) AS lo,
+           CAST(NULL AS DOUBLE) AS hi, CAST(NULL AS BIGINT) AS n_bucket
     FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n,
                  CAST(COUNT(p.__pk) AS BIGINT) AS matched
           FROM lineitem c
@@ -187,7 +203,9 @@ from mongo2mysql_spark.sources import load_table as T
            CAST(NULL AS VARCHAR) AS key, CAST(NULL AS BIGINT) AS key_n,
            CAST(NULL AS DOUBLE) AS hot_frac,
            CAST(NULL AS DOUBLE) AS skew_ratio,
-           CAST(NULL AS INTEGER) AS rank
+           CAST(NULL AS INTEGER) AS rank,
+           CAST(NULL AS INTEGER) AS bucket, CAST(NULL AS DOUBLE) AS lo,
+           CAST(NULL AS DOUBLE) AS hi, CAST(NULL AS BIGINT) AS n_bucket
     FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n,
                  CAST(COUNT(p.__pk) AS BIGINT) AS matched
           FROM customer c
@@ -208,7 +226,9 @@ from mongo2mysql_spark.sources import load_table as T
            CAST(NULL AS VARCHAR) AS key, CAST(NULL AS BIGINT) AS key_n,
            CAST(NULL AS DOUBLE) AS hot_frac,
            CAST(NULL AS DOUBLE) AS skew_ratio,
-           CAST(NULL AS INTEGER) AS rank
+           CAST(NULL AS INTEGER) AS rank,
+           CAST(NULL AS INTEGER) AS bucket, CAST(NULL AS DOUBLE) AS lo,
+           CAST(NULL AS DOUBLE) AS hi, CAST(NULL AS BIGINT) AS n_bucket
     FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n,
                  CAST(COUNT(p.__pk) AS BIGINT) AS matched
           FROM nation c
@@ -225,7 +245,9 @@ from mongo2mysql_spark.sources import load_table as T
            CAST(NULL AS DOUBLE) AS mean_value,
            CAST(NULL AS DOUBLE) AS avg_len,
            CAST(NULL AS BIGINT) AS n_orphans,
-           key, key_n, hot_frac, skew_ratio, rank
+           key, key_n, hot_frac, skew_ratio, rank,
+           CAST(NULL AS INTEGER) AS bucket, CAST(NULL AS DOUBLE) AS lo,
+           CAST(NULL AS DOUBLE) AS hi, CAST(NULL AS BIGINT) AS n_bucket
     FROM (""" + heavy_keys_sql("events", "event_type", k=10) + """)
     UNION ALL
     SELECT 'skew' AS branch, "column", CAST(NULL AS VARCHAR) AS dtype, n_rows,
@@ -237,8 +259,34 @@ from mongo2mysql_spark.sources import load_table as T
            CAST(NULL AS DOUBLE) AS mean_value,
            CAST(NULL AS DOUBLE) AS avg_len,
            CAST(NULL AS BIGINT) AS n_orphans,
-           key, key_n, hot_frac, skew_ratio, rank
+           key, key_n, hot_frac, skew_ratio, rank,
+           CAST(NULL AS INTEGER) AS bucket, CAST(NULL AS DOUBLE) AS lo,
+           CAST(NULL AS DOUBLE) AS hi, CAST(NULL AS BIGINT) AS n_bucket
     FROM (""" + heavy_keys_sql("lineitem", "l_suppkey", k=10) + """)
+    UNION ALL
+    SELECT 'histogram' AS branch, "column", CAST(NULL AS VARCHAR) AS dtype,
+           CAST(NULL AS BIGINT) AS n_rows,
+           CAST(NULL AS BIGINT) AS n_nonnull,
+           CAST(NULL AS DOUBLE) AS null_frac,
+           CAST(NULL AS BIGINT) AS n_distinct,
+           CAST(NULL AS VARCHAR) AS min_value,
+           CAST(NULL AS VARCHAR) AS max_value,
+           CAST(NULL AS DOUBLE) AS mean_value,
+           CAST(NULL AS DOUBLE) AS avg_len,
+           CAST(NULL AS BIGINT) AS n_orphans,
+           CAST(NULL AS VARCHAR) AS key, CAST(NULL AS BIGINT) AS key_n,
+           CAST(NULL AS DOUBLE) AS hot_frac,
+           CAST(NULL AS DOUBLE) AS skew_ratio,
+           CAST(NULL AS INTEGER) AS rank,
+           bucket, lo, hi, n_bucket
+    FROM (
+      WITH """ + equi_depth_histogram_sql("lineitem", "l_extendedprice",
+                                          _HIST_BUCKETS, prefix="he") + """,
+      """ + equi_depth_histogram_sql("orders", "o_totalprice",
+                                     _HIST_BUCKETS, prefix="ho") + """
+      SELECT 'lineitem.l_extendedprice' AS "column", * FROM heist
+      UNION ALL
+      SELECT 'orders.o_totalprice' AS "column", * FROM hoist)
     """,
     doc=(
         "one-pass table profiler (operators/profile.py): per-column null "
@@ -255,7 +303,15 @@ from mongo2mysql_spark.sources import load_table as T
         "times-uniform-share measure): the pre-flight readout that "
         "decides whether a join/agg key needs salting or AQE skew "
         "handling; top-k is TakeOrderedAndProject, never a global "
-        "window."
+        "window.  'histogram' rows: equi-depth histograms "
+        "(operators/selection.equi_depth_histogram — the ANALYZE-TABLE "
+        "selectivity statistic, where equi-width bars collapse on "
+        "skew): boundaries are the exact interpolated i/8 quantiles "
+        "served by exact_quantiles (bit-identical to F.percentile AND "
+        "to DuckDB quantile_cont, so the boundary DOUBLES hash), "
+        "assignment is a literal half-open comparison chain, counts "
+        "one map-side-combined scan; empty buckets from duplicate "
+        "boundaries are zero-filled, never dropped."
     ),
 )
 def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -313,8 +369,25 @@ def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     skew = heavy_keys(ev, "event_type", k=10).unionByName(
         heavy_keys(li, "l_suppkey", k=10)
     )
+    # equi-depth histograms (operators/selection.equi_depth_histogram):
+    # the ANALYZE-TABLE selectivity statistic — boundary doubles come
+    # from exact_quantiles (bit-identical to quantile_cont), counts from
+    # one literal-comparison-chain scan
+    from mongo2mysql_spark.operators.selection import equi_depth_histogram
+
+    hist = (
+        equi_depth_histogram(li, "l_extendedprice", _HIST_BUCKETS)
+        .select(F.lit("lineitem.l_extendedprice").alias("column"), "*")
+        .unionByName(
+            equi_depth_histogram(
+                T(spark, sf_dir, "orders", fanout=True),
+                "o_totalprice",
+                _HIST_BUCKETS,
+            ).select(F.lit("orders.o_totalprice").alias("column"), "*")
+        )
+    )
     return tagged_union(
-        {"profile": prof, "integrity": integ, "skew": skew}
+        {"profile": prof, "integrity": integ, "skew": skew, "histogram": hist}
     )
 
 

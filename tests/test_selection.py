@@ -69,3 +69,67 @@ def test_empty_and_validation(spark):
         exact_quantiles(df, "v", {})
     with pytest.raises(ValueError):
         exact_quantiles(df, "v", {"p": 1.5})
+
+
+def test_equi_depth_histogram_conservation_and_oracle(spark, tmp_path):
+    """Counts conserve, boundaries are the exact quantiles, and the
+    DuckDB restatement matches bit-for-bit on a skewed column."""
+    import random
+
+    import duckdb
+
+    from mongo2mysql_spark.operators.selection import (
+        equi_depth_histogram,
+        equi_depth_histogram_sql,
+    )
+
+    rng = random.Random(41)
+    # Zipf-ish: a heavy value repeated, plus a smooth tail
+    vals = [7.5] * 400 + [rng.uniform(0, 100) for _ in range(600)]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    pq = str(tmp_path / "x.parquet")
+    df.write.mode("overwrite").parquet(pq)
+    got = sorted(
+        tuple(r) for r in equi_depth_histogram(df, "x", 8).collect()
+    )
+    assert sum(r[3] for r in got) == len(vals)
+    assert [r[0] for r in got] == list(range(8))
+    duck = duckdb.connect()
+    duck.execute(
+        f"CREATE VIEW t AS SELECT * FROM parquet_scan('{pq}/*.parquet')"
+    )
+    sql = (
+        "WITH "
+        + equi_depth_histogram_sql("t", "x", 8)
+        + " SELECT bucket, lo, hi, n_bucket FROM hist ORDER BY bucket"
+    )
+    want = [tuple(r) for r in duck.execute(sql).fetchall()]
+    assert got == want
+
+
+def test_equi_depth_histogram_duplicate_boundaries_zero_fill(spark):
+    from mongo2mysql_spark.operators.selection import equi_depth_histogram
+
+    # one value dominates: several quantile boundaries coincide, so the
+    # buckets between equal boundaries must be served with 0, not lost
+    df = spark.createDataFrame(
+        [(5.0,)] * 90 + [(1.0,), (9.0,)], "x double"
+    )
+    rows = equi_depth_histogram(df, "x", 4).collect()
+    assert len(rows) == 4
+    assert sum(r.n_bucket for r in rows) == 92
+    assert any(r.n_bucket == 0 for r in rows)
+    # half-open rule: every row's boundaries are monotone
+    for r in rows:
+        assert r.lo <= r.hi
+
+
+def test_equi_depth_histogram_empty_and_guard(spark):
+    import pytest as _pytest
+
+    from mongo2mysql_spark.operators.selection import equi_depth_histogram
+
+    empty = spark.createDataFrame([], "x double")
+    assert equi_depth_histogram(empty, "x", 4).count() == 0
+    with _pytest.raises(ValueError):
+        equi_depth_histogram(empty, "x", 0)
