@@ -236,3 +236,170 @@ def equi_depth_histogram_sql(
       FROM {x}shell s
       LEFT JOIN (SELECT bucket, count(*) AS n FROM {x}assign GROUP BY 1) c
         USING (bucket))"""
+
+
+def grouped_exact_quantiles(
+    df: DataFrame,
+    key_cols: list[str],
+    col: str,
+    qs: dict[str, float],
+    bucket_expr: str | None = None,
+) -> DataFrame:
+    """PER-GROUP exact interpolated quantiles without per-group value
+    buffers — the grouped form of :func:`exact_quantiles`.
+
+    ``F.percentile(col, q)`` under ``groupBy`` collects every value of
+    a group into one aggregation buffer: a hot group at 100 TB is a
+    single-task OOM.  This runs the same histogram-locate-reread plan
+    entirely as DataFrame ops with NO driver loop over groups:
+
+    - phase 1: (key, coarse-bucket) counts — map-side combined; the
+      per-key cumulative window's partitions are bounded by the
+      VALUE-DOMAIN granularity per key, never by row count (the
+      exact_quantiles contract, per key);
+    - rank targets h = (n−1)·q resolve per key as columns (IEEE double
+      ops identical to Spark's Percentile and DuckDB quantile_cont);
+    - each rank locates its bucket with a min_by AGGREGATE over the
+      (rank-reachable) cumulative rows — no second window;
+    - phase 2: one semi-joined re-read of ONLY hit (key, bucket) pairs,
+      per-(key, bucket) row_number bounded by bucket size;
+    - the two-sided lerp runs in columns, operand order exactly
+      Spark's Percentile.getPercentile — results are bit-identical to
+      the buffered built-in, which the round gate exploits: the slot
+      serves THIS path under an unchanged quantile_cont oracle.
+
+    Returns one row per key: (*key_cols, <name> double per ``qs``).
+    """
+    from pyspark.sql import Window as W
+
+    if not qs:
+        raise ValueError("qs must be non-empty")
+    if any(not 0.0 <= q <= 1.0 for q in qs.values()):
+        raise ValueError(f"quantiles must be in [0, 1]: {qs}")
+    bexpr = (bucket_expr or "FLOOR({c})").format(c=col)
+    keys = [F.col(k) for k in key_cols]
+    vals = df.filter(F.col(col).isNotNull()).select(
+        *keys, F.col(col).alias("__v"), F.expr(bexpr).cast("long").alias("__b")
+    )
+    hist = vals.groupBy(*key_cols, "__b").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    cum = hist.select(
+        *key_cols,
+        "__b",
+        "__c",
+        F.sum("__c")
+        .over(
+            W.partitionBy(*key_cols)
+            .orderBy("__b")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        .alias("__cum"),
+    ).localCheckpoint(eager=False)
+    n = hist.groupBy(*key_cols).agg(F.sum("__c").cast("long").alias("__n"))
+    # rank targets per (key, quantile name): h, and the two 1-based
+    # ranks whose values interpolate it
+    name_q = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(name).alias("__name"), F.lit(q).alias("__q")
+                )
+                for name, q in qs.items()
+            ]
+        )
+    ).alias("__nq")
+    targets = (
+        n.select(*key_cols, "__n", name_q)
+        .select(
+            *key_cols,
+            "__n",
+            F.col("__nq.__name").alias("__name"),
+            ((F.col("__n") - 1).cast("double") * F.col("__nq.__q")).alias(
+                "__h"
+            ),
+        )
+        .select(
+            *key_cols,
+            "__name",
+            "__h",
+            (F.floor("__h") + 1).cast("long").alias("__r0"),
+            F.least(F.floor("__h") + 2, F.col("__n")).cast("long").alias(
+                "__r1"
+            ),
+        )
+        .localCheckpoint(eager=False)
+    )
+    ranks = (
+        targets.select(*key_cols, F.col("__r0").alias("__r"))
+        .union(targets.select(*key_cols, F.col("__r1").alias("__r")))
+        .distinct()
+    )
+    # locate each rank's bucket: min_by over the rank-reachable rows —
+    # per key this fans out (distinct buckets × distinct ranks), both
+    # bounded (granularity × 2·|qs|)
+    loc = (
+        ranks.join(cum, key_cols)
+        .filter(F.col("__cum") >= F.col("__r"))
+        .groupBy(*key_cols, "__r")
+        .agg(
+            F.min_by(
+                F.struct("__b", "__cum", "__c"), F.col("__b")
+            ).alias("__hit")
+        )
+        .select(
+            *key_cols,
+            "__r",
+            F.col("__hit.__b").alias("__b"),
+            (
+                F.col("__r") - (F.col("__hit.__cum") - F.col("__hit.__c"))
+            ).alias("__rn"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    hits = loc.select(*key_cols, "__b").distinct()
+    picked = (
+        vals.join(hits, key_cols + ["__b"], "left_semi")
+        .select(
+            *key_cols,
+            "__b",
+            "__v",
+            F.row_number()
+            .over(W.partitionBy(*key_cols, "__b").orderBy("__v"))
+            .alias("__rn"),
+        )
+    )
+    vals_at = loc.join(picked, key_cols + ["__b", "__rn"]).select(
+        *key_cols, "__r", "__v"
+    )
+    t0 = targets.join(
+        vals_at.select(
+            *key_cols,
+            F.col("__r").alias("__r0"),
+            F.col("__v").alias("__v0"),
+        ),
+        key_cols + ["__r0"],
+    )
+    t01 = t0.join(
+        vals_at.select(
+            *key_cols,
+            F.col("__r").alias("__r1"),
+            F.col("__v").alias("__v1"),
+        ),
+        key_cols + ["__r1"],
+    )
+    higher = F.ceil("__h").cast("double")
+    lower = F.floor("__h").cast("double")
+    lerp = F.when(higher == lower, F.col("__v0")).otherwise(
+        (higher - F.col("__h")) * F.col("__v0")
+        + (F.col("__h") - lower) * F.col("__v1")
+    )
+    per_name = t01.select(*key_cols, "__name", lerp.alias("__val"))
+    return per_name.groupBy(*key_cols).agg(
+        *[
+            F.max(F.when(F.col("__name") == name, F.col("__val"))).alias(
+                name
+            )
+            for name in qs
+        ]
+    )

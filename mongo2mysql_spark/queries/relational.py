@@ -153,14 +153,23 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc=(
         "count / distinct-count / min / max / integer sum plus exact "
         "percentiles (sort-based linear interpolation — deterministic and "
-        "engine-identical) over one group key, one grouped pass; "
-        "approx_percentile is the 100 TB path, covered with a relative-"
-        "error verdict by agg_approx_sketches."
+        "engine-identical) over one group key.  The percentiles are "
+        "SERVED by operators/selection.grouped_exact_quantiles — the "
+        "grouped histogram-locate-reread plan with NO per-group value "
+        "buffer (F.percentile under groupBy collects a hot group into "
+        "one task's aggregation buffer; this is bounded by value-domain "
+        "granularity per key instead) — bit-identical to the built-in, "
+        "so the unchanged quantile_cont oracle hashes the scale path "
+        "(the same same-answer-different-path gate the global 'bounds' "
+        "percentiles ride).  approx_percentile is covered with a "
+        "relative-error verdict by agg_approx_sketches."
     ),
 )
 def agg_stats_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mongo2mysql_spark.operators.selection import grouped_exact_quantiles
+
     li = Tf(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    base = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("l_orderkey").alias("n_orders"),
         F.min("l_quantity").alias("min_qty"),
@@ -168,10 +177,14 @@ def agg_stats_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("l_linenumber").cast("long")).alias("sum_linenumber"),
         F.min("l_shipdate").alias("first_ship"),
         F.max("l_shipdate").alias("last_ship"),
-        F.percentile("l_extendedprice", 0.5).alias("p50"),
-        F.percentile("l_extendedprice", 0.9).alias("p90"),
-        F.median("l_quantity").alias("med_qty"),
     )
+    qprice = grouped_exact_quantiles(
+        li, ["l_returnflag"], "l_extendedprice", {"p50": 0.5, "p90": 0.9}
+    )
+    qqty = grouped_exact_quantiles(
+        li, ["l_returnflag"], "l_quantity", {"med_qty": 0.5}
+    )
+    return base.join(qprice, "l_returnflag").join(qqty, "l_returnflag")
 
 
 @register(

@@ -133,3 +133,62 @@ def test_equi_depth_histogram_empty_and_guard(spark):
     assert equi_depth_histogram(empty, "x", 4).count() == 0
     with _pytest.raises(ValueError):
         equi_depth_histogram(empty, "x", 0)
+
+
+def test_grouped_exact_quantiles_bit_equal_builtin(spark):
+    """The grouped histogram-locate-reread plan must equal
+    F.percentile-under-groupBy BIT-for-bit — duplicates, negatives,
+    skewed group sizes, and a singleton group included."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from mongo2mysql_spark.operators.selection import grouped_exact_quantiles
+
+    rng = random.Random(53)
+    rows = []
+    for g, size in (("a", 997), ("b", 40), ("c", 1), ("d", 3)):
+        for _ in range(size):
+            v = rng.choice(
+                [rng.uniform(-500, 500), float(rng.randrange(-5, 5)), -7.25]
+            )
+            rows.append((g, v))
+    df = spark.createDataFrame(rows, "g string, v double")
+    qs = {"p01": 0.01, "p50": 0.5, "p90": 0.9, "p100": 1.0, "p0": 0.0}
+    got = {
+        r.g: tuple(r[n] for n in qs)
+        for r in grouped_exact_quantiles(df, ["g"], "v", qs).collect()
+    }
+    want = {
+        r.g: tuple(r[n] for n in qs)
+        for r in df.groupBy("g")
+        .agg(*[F.percentile("v", q).alias(n) for n, q in qs.items()])
+        .collect()
+    }
+    assert got == want and set(got) == {"a", "b", "c", "d"}
+
+
+def test_grouped_exact_quantiles_nulls_and_granularity(spark):
+    from pyspark.sql import functions as F
+
+    from mongo2mysql_spark.operators.selection import grouped_exact_quantiles
+
+    rows = [("a", 1.0), ("a", None), ("a", 3.0), ("b", None)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {
+        r.g: r.med
+        for r in grouped_exact_quantiles(
+            df, ["g"], "v", {"med": 0.5}
+        ).collect()
+    }
+    # nulls ignored; the all-null group is simply absent
+    assert got == {"a": 2.0}
+    # a coarser bucket expression changes nothing but the second-pass
+    # selectivity
+    got2 = {
+        r.g: r.med
+        for r in grouped_exact_quantiles(
+            df, ["g"], "v", {"med": 0.5}, bucket_expr="FLOOR({c} / 100)"
+        ).collect()
+    }
+    assert got2 == got
