@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from mongo2mysql_spark.operators.selection import grouped_exact_quantiles
+
 
 def rolling_zscore(
     df: DataFrame,
@@ -147,4 +149,52 @@ def rolling_frame_stats(
             ready & (var_n2 > 0) & (lhs > var_n2 * F.lit(threshold * threshold)),
         )
         .withColumnRenamed("__vq", "value_q")
+    )
+
+
+def mad_outliers(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    id_cols: list[str],
+    k: int = 5,
+) -> DataFrame:
+    """Median/MAD robust outlier detection per series — the global
+    robust complement of the rolling z-score above (mean/std are
+    dragged by the very outliers they're meant to flag; the median and
+    the median absolute deviation have a 50% breakdown point).
+
+    Both medians come from ``grouped_exact_quantiles`` (bit-identical
+    to the engines' interpolated quantiles, no per-group value
+    buffer), the deviation is one IEEE subtract + abs of portable
+    doubles, and the verdict ``|v − med| > k·mad`` is a float
+    comparison of identical operands in both engines — so every
+    column hash-gates.  ``is_degenerate`` marks mad = 0 series
+    (constant-majority), where the k·mad rule is vacuous — callers
+    fall back to ``abs_dev > 0`` there, mirroring the rolling
+    z-score's constant-window flag.
+
+    Plan: two grouped-quantile passes + two broadcast-sized key joins
+    + one map-only verdict projection.  Returns one row per input row:
+    (*id_cols, *key_cols, value, med, mad, abs_dev, is_degenerate,
+    is_mad_outlier).
+    """
+    med = grouped_exact_quantiles(df, key_cols, value_col, {"med": 0.5})
+    dev = df.select(*id_cols, *key_cols, F.col(value_col).alias("value")).join(
+        med, key_cols
+    ).withColumn("abs_dev", F.abs(F.col("value") - F.col("med")))
+    mad = grouped_exact_quantiles(dev, key_cols, "abs_dev", {"mad": 0.5})
+    out = dev.join(mad, key_cols)
+    return out.select(
+        *id_cols,
+        *key_cols,
+        "value",
+        "med",
+        "mad",
+        "abs_dev",
+        (F.col("mad") == 0.0).alias("is_degenerate"),
+        (
+            (F.col("mad") > 0.0)
+            & (F.col("abs_dev") > F.lit(float(k)) * F.col("mad"))
+        ).alias("is_mad_outlier"),
     )

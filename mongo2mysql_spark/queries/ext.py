@@ -921,6 +921,14 @@ _OHLC_NULLS = """CAST(NULL AS BIGINT) AS open_q,
            CAST(NULL AS BIGINT) AS close_q, CAST(NULL AS BIGINT) AS range_q,
            CAST(NULL AS BIGINT) AS gain_q, CAST(NULL AS BIGINT) AS sum_q,
            CAST(NULL AS DOUBLE) AS mean_value"""
+# MAD robust-outlier branch (operators/anomaly.mad_outliers)
+_MAD_K = 5
+# typed NULLs for the MAD columns inside every non-mad leg
+_MAD_NULLS = """CAST(NULL AS DOUBLE) AS raw_value,
+           CAST(NULL AS DOUBLE) AS med, CAST(NULL AS DOUBLE) AS mad,
+           CAST(NULL AS DOUBLE) AS abs_dev,
+           CAST(NULL AS BOOLEAN) AS is_degenerate,
+           CAST(NULL AS BOOLEAN) AS is_mad_outlier"""
 # typed NULLs for the OLS-trend columns inside every non-trend leg
 _TREND_NULLS = """CAST(NULL AS BIGINT) AS lo_hour,
            CAST(NULL AS BIGINT) AS n_hours, CAST(NULL AS BIGINT) AS total_cnt,
@@ -938,6 +946,18 @@ _TREND_NULLS = """CAST(NULL AS BIGINT) AS lo_hour,
     {ohlc_bars_sql("events", "event_type", "ts", "value", "event_id",
                    _RESAMPLE_INTERVAL)},
     {hourly_trend_sql("events", "event_type", "ts")},
+    mmed AS (SELECT event_type AS key, quantile_cont(value, 0.5) AS med
+             FROM events GROUP BY 1),
+    mdev AS (SELECT e.event_id, e.event_type AS key, e.value AS raw_value,
+                    m.med, abs(e.value - m.med) AS abs_dev
+             FROM events e JOIN mmed m ON m.key = e.event_type),
+    mmad AS (SELECT key, quantile_cont(abs_dev, 0.5) AS mad
+             FROM mdev GROUP BY 1),
+    mout AS (SELECT d.event_id, d.key, d.raw_value, d.med, a.mad, d.abs_dev,
+                    a.mad = 0 AS is_degenerate,
+                    a.mad > 0 AND d.abs_dev > {_MAD_K} * a.mad
+                      AS is_mad_outlier
+             FROM mdev d JOIN mmad a USING (key)),
     obs AS (
       SELECT event_type AS key,
              CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) // {_RESAMPLE_INTERVAL} AS b,
@@ -1016,7 +1036,8 @@ _TREND_NULLS = """CAST(NULL AS BIGINT) AS lo_hour,
            CAST(NULL AS BIGINT) AS total_actual,
            CAST(NULL AS DOUBLE) AS mae,
            {_OHLC_NULLS},
-           {_TREND_NULLS}
+           {_TREND_NULLS},
+           {_MAD_NULLS}
     FROM rs
     UNION ALL
     SELECT 'zscore' AS branch, key, CAST(NULL AS TIMESTAMP) AS bucket_start,
@@ -1038,7 +1059,8 @@ _TREND_NULLS = """CAST(NULL AS BIGINT) AS lo_hour,
            CAST(NULL AS BIGINT) AS total_actual,
            CAST(NULL AS DOUBLE) AS mae,
            {_OHLC_NULLS},
-           {_TREND_NULLS}
+           {_TREND_NULLS},
+           {_MAD_NULLS}
     FROM zv
     UNION ALL
     SELECT 'forecast' AS branch, key, {_TS_FC_NULLS},
@@ -1047,7 +1069,8 @@ _TREND_NULLS = """CAST(NULL AS BIGINT) AS lo_hour,
            CAST(NULL AS BIGINT) AS total_actual,
            CAST(NULL AS DOUBLE) AS mae,
            {_OHLC_NULLS},
-           {_TREND_NULLS}
+           {_TREND_NULLS},
+           {_MAD_NULLS}
     FROM fcast
     UNION ALL
     SELECT 'backtest' AS branch, key, {_TS_FC_NULLS},
@@ -1057,7 +1080,8 @@ _TREND_NULLS = """CAST(NULL AS BIGINT) AS lo_hour,
            CAST(NULL AS DOUBLE) AS pred,
            n_test_hours, total_actual, mae,
            {_OHLC_NULLS},
-           {_TREND_NULLS}
+           {_TREND_NULLS},
+           {_MAD_NULLS}
     FROM fback
     UNION ALL
     SELECT 'ohlc' AS branch, key, bucket_start,
@@ -1080,7 +1104,8 @@ _TREND_NULLS = """CAST(NULL AS BIGINT) AS lo_hour,
            CAST(NULL AS DOUBLE) AS mae,
            open_q, high_q, low_q, close_q, range_q, gain_q, sum_q,
            mean_value,
-           {_TREND_NULLS}
+           {_TREND_NULLS},
+           {_MAD_NULLS}
     FROM obars
     UNION ALL
     SELECT 'trend' AS branch, key, {_TS_FC_NULLS},
@@ -1093,8 +1118,33 @@ _TREND_NULLS = """CAST(NULL AS BIGINT) AS lo_hour,
            CAST(NULL AS DOUBLE) AS mae,
            {_OHLC_NULLS},
            lo_hour, n_hours, total_cnt, slope_num, slope_den, slope,
-           intercept
+           intercept,
+           {_MAD_NULLS}
     FROM htrend
+    UNION ALL
+    SELECT 'mad' AS branch, key,
+           CAST(NULL AS TIMESTAMP) AS bucket_start,
+           CAST(NULL AS VARCHAR) AS value_num,
+           CAST(NULL AS VARCHAR) AS value_den,
+           CAST(NULL AS BIGINT) AS n_obs,
+           CAST(NULL AS BOOLEAN) AS filled,
+           event_id, CAST(NULL AS BIGINT) AS value_q,
+           CAST(NULL AS BIGINT) AS n_prev, CAST(NULL AS BIGINT) AS frame_sum_q,
+           CAST(NULL AS VARCHAR) AS frame_sumsq_q,
+           CAST(NULL AS BOOLEAN) AS is_ready,
+           CAST(NULL AS BOOLEAN) AS is_constant_window,
+           CAST(NULL AS BOOLEAN) AS is_anomaly,
+           CAST(NULL AS INTEGER) AS hod,
+           CAST(NULL AS BIGINT) AS train_cnt,
+           CAST(NULL AS BIGINT) AS n_train_hours,
+           CAST(NULL AS DOUBLE) AS pred,
+           CAST(NULL AS BIGINT) AS n_test_hours,
+           CAST(NULL AS BIGINT) AS total_actual,
+           CAST(NULL AS DOUBLE) AS mae,
+           {_OHLC_NULLS},
+           {_TREND_NULLS},
+           raw_value, med, mad, abs_dev, is_degenerate, is_mad_outlier
+    FROM mout
     """,
     doc=(
         "time-series surface, tagged: 'resample' rows are resample + "
@@ -1141,7 +1191,15 @@ _TREND_NULLS = """CAST(NULL AS BIGINT) AS lo_hour,
         "hourly cells → one per-key aggregate; slope_num/slope_den are "
         "exact DECIMAL(38,0) normal-equation integers (hashed as "
         "VARCHAR per the r5 wide-decimal lesson), slope/intercept one "
-        "IEEE division each."
+        "IEEE division each.  'mad' rows: median/MAD robust outliers "
+        "per series (operators/anomaly.mad_outliers — the 50%-"
+        "breakdown complement of the rolling z-score, whose mean/std "
+        "are dragged by the outliers themselves): both medians served "
+        "by grouped_exact_quantiles (bit-identical to quantile_cont, "
+        "no per-group buffer), deviation one IEEE subtract+abs, "
+        "verdict |v−med| > k·mad a float comparison of identical "
+        "operands; mad = 0 series flagged degenerate instead of "
+        "silently vacuous."
     ),
 )
 def resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1183,6 +1241,7 @@ def resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_constant_window",
         "is_anomaly",
     )
+    from mongo2mysql_spark.operators.anomaly import mad_outliers
     from mongo2mysql_spark.operators.bars import ohlc_bars
     from mongo2mysql_spark.operators.forecast import seasonal_backtest
     from mongo2mysql_spark.operators.trend import hourly_trend
@@ -1203,6 +1262,14 @@ def resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             "backtest": bt,
             "ohlc": oh,
             "trend": hourly_trend(ev, "event_type", "ts"),
+            "mad": mad_outliers(
+                ev.select("event_type", "event_id", "value"),
+                ["event_type"], "value", ["event_id"], k=_MAD_K,
+            ).select(
+                F.col("event_type").alias("key"), "event_id",
+                F.col("value").alias("raw_value"),
+                "med", "mad", "abs_dev", "is_degenerate", "is_mad_outlier",
+            ),
         }
     )
 

@@ -192,3 +192,30 @@ def test_grouped_exact_quantiles_nulls_and_granularity(spark):
         ).collect()
     }
     assert got2 == got
+
+
+def test_mad_outliers_planted_and_degenerate(spark):
+    """A planted spike is flagged, the median doesn't move (robustness
+    — a mean/std rule at the same k would also fire, but MAD's
+    operands ignore the spike entirely), and a constant-majority
+    series reports degenerate instead of a vacuous verdict."""
+    from mongo2mysql_spark.operators.anomaly import mad_outliers
+
+    rows = (
+        [(i, "s", float(10 + (i % 5))) for i in range(40)]
+        + [(99, "s", 500.0)]                     # the spike
+        + [(i, "c", 3.0) for i in range(100, 130)]
+        + [(999, "c", 4.0)]                      # lone deviation, mad=0
+    )
+    df = spark.createDataFrame(rows, "event_id long, k string, v double")
+    out = {
+        r.event_id: r
+        for r in mad_outliers(df, ["k"], "v", ["event_id"], k=5).collect()
+    }
+    assert out[99].is_mad_outlier and not out[99].is_degenerate
+    assert out[99].med == 12.0  # spike did not drag the median
+    flagged = [e for e, r in out.items() if r.is_mad_outlier]
+    assert flagged == [99]
+    # constant-majority series: mad = 0 -> degenerate, never outlier
+    assert out[999].is_degenerate and not out[999].is_mad_outlier
+    assert out[999].mad == 0.0 and out[999].abs_dev == 1.0
