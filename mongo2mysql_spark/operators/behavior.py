@@ -250,3 +250,46 @@ def session_paths(
         .limit(k)
         .drop("__first")
     )
+
+
+def conversion_latency(
+    df: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    id_col: str,
+    from_type: str,
+    to_type: str,
+) -> DataFrame:
+    """Per-user time-to-convert: the gap between a user's FIRST
+    ``from_type`` event and their first ``to_type`` event strictly
+    after it — the product-analytics latency readout next to the
+    ordered funnel (which reports WHO converts; this reports HOW FAST).
+
+    Completions resolve as lexicographic ``min(struct(ts, id))`` — the
+    funnel's tie discipline, so same-ts events cannot fork engines —
+    and the latency is an exact integer millisecond difference.  Plan:
+    two pushed event-type filter scans, one user-keyed join, map-side-
+    combined min aggregates; no windows.
+
+    Returns (user, latency_ms) for converting users only.
+    """
+    first_from = (
+        df.filter(F.col(type_col) == from_type)
+        .groupBy(user_col)
+        .agg(F.min(F.struct(F.col(ts_col), F.col(id_col))).alias("__v"))
+    )
+    first_to = (
+        df.filter(F.col(type_col) == to_type)
+        .join(first_from, user_col)
+        .filter(F.struct(F.col(ts_col), F.col(id_col)) > F.col("__v"))
+        .groupBy(user_col, "__v")
+        .agg(F.min(F.struct(F.col(ts_col), F.col(id_col))).alias("__p"))
+    )
+    return first_to.select(
+        F.col(user_col).alias("user_id"),
+        (
+            F.unix_millis(F.col(f"__p.{ts_col}"))
+            - F.unix_millis(F.col(f"__v.{ts_col}"))
+        ).cast("long").alias("latency_ms"),
+    )

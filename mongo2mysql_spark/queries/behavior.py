@@ -138,6 +138,37 @@ _TRANSITION_CTES = """tpairs AS (
       FROM tcount c JOIN ttot t USING (event_type))"""
 
 
+_LATENCY_CTES = """lv1 AS (
+      SELECT user_id, min(ts) AS t FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+    lv AS (
+      SELECT e.user_id, a.t, min(e.event_id) AS i
+      FROM events e JOIN lv1 a ON a.user_id = e.user_id AND e.ts = a.t
+      WHERE e.event_type = 'view' GROUP BY e.user_id, a.t),
+    lp1 AS (
+      SELECT e.user_id, min(e.ts) AS t
+      FROM events e JOIN lv v ON v.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND (e.ts, e.event_id) > (v.t, v.i)
+      GROUP BY e.user_id),
+    lp AS (
+      SELECT e.user_id, a.t, min(e.event_id) AS i
+      FROM events e
+      JOIN lp1 a ON a.user_id = e.user_id AND e.ts = a.t
+      JOIN lv v ON v.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND (e.ts, e.event_id) > (v.t, v.i)
+      GROUP BY e.user_id, a.t),
+    lat AS (
+      SELECT p.user_id,
+             CAST(epoch_ms(CAST(p.t AS TIMESTAMP))
+                  - epoch_ms(CAST(v.t AS TIMESTAMP)) AS BIGINT) AS latency_ms
+      FROM lp p JOIN lv v USING (user_id)),
+    latdist AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_conv,
+             quantile_cont(CAST(latency_ms AS DOUBLE), 0.5) AS lat_p50,
+             quantile_cont(CAST(latency_ms AS DOUBLE), 0.9) AS lat_p90
+      FROM lat)"""
+
+
 _BEHAVIOR_NULLS = """CAST(NULL AS INTEGER) AS step,
            CAST(NULL AS VARCHAR) AS event_type,
            CAST(NULL AS VARCHAR) AS next_type,
@@ -145,7 +176,14 @@ _BEHAVIOR_NULLS = """CAST(NULL AS INTEGER) AS step,
            CAST(NULL AS INTEGER) AS week_offset,
            CAST(NULL AS BIGINT) AS users,
            CAST(NULL AS BIGINT) AS denom,
-           CAST(NULL AS DOUBLE) AS rate"""
+           CAST(NULL AS DOUBLE) AS rate,
+           CAST(NULL AS BIGINT) AS latency_ms,
+           CAST(NULL AS DOUBLE) AS lat_p50,
+           CAST(NULL AS DOUBLE) AS lat_p90"""
+
+_LAT_NULLS = """CAST(NULL AS BIGINT) AS latency_ms,
+           CAST(NULL AS DOUBLE) AS lat_p50,
+           CAST(NULL AS DOUBLE) AS lat_p90"""
 
 _SESSION_NULLS = """CAST(NULL AS BIGINT) AS user_id,
            CAST(NULL AS INTEGER) AS session_id,
@@ -161,14 +199,23 @@ def behavior_oracle_parts() -> tuple[str, str]:
     typed NULLs and vice versa)."""
     ctes = ",\n    ".join(
         [_funnel_ctes(FUNNEL_STEPS), _RETENTION_CTES, _TRANSITION_CTES,
-         _PATH_CTES]
+         _PATH_CTES, _LATENCY_CTES]
     )
+    _BEH_BASE_NULLS = """CAST(NULL AS INTEGER) AS step,
+           CAST(NULL AS VARCHAR) AS event_type,
+           CAST(NULL AS VARCHAR) AS next_type,
+           CAST(NULL AS DATE) AS cohort_week,
+           CAST(NULL AS INTEGER) AS week_offset,
+           CAST(NULL AS BIGINT) AS users,
+           CAST(NULL AS BIGINT) AS denom,
+           CAST(NULL AS DOUBLE) AS rate"""
     legs = f"""SELECT 'funnel' AS branch, {_SESSION_NULLS},
            step, event_type,
            CAST(NULL AS VARCHAR) AS next_type,
            CAST(NULL AS DATE) AS cohort_week,
            CAST(NULL AS INTEGER) AS week_offset,
-           users, denom, rate
+           users, denom, rate,
+           {_LAT_NULLS}
     FROM funnel
     UNION ALL
     SELECT 'retention' AS branch, {_SESSION_NULLS},
@@ -176,7 +223,8 @@ def behavior_oracle_parts() -> tuple[str, str]:
            CAST(NULL AS VARCHAR) AS event_type,
            CAST(NULL AS VARCHAR) AS next_type,
            cohort_week, week_offset,
-           active AS users, cohort_size AS denom, rate
+           active AS users, cohort_size AS denom, rate,
+           {_LAT_NULLS}
     FROM retention
     UNION ALL
     SELECT 'funnelstate' AS branch, {_SESSION_NULLS},
@@ -184,7 +232,8 @@ def behavior_oracle_parts() -> tuple[str, str]:
            CAST(NULL AS VARCHAR) AS next_type,
            CAST(NULL AS DATE) AS cohort_week,
            CAST(NULL AS INTEGER) AS week_offset,
-           users, denom, rate
+           users, denom, rate,
+           {_LAT_NULLS}
     FROM funnel
     UNION ALL
     SELECT 'transitions' AS branch, {_SESSION_NULLS},
@@ -192,7 +241,8 @@ def behavior_oracle_parts() -> tuple[str, str]:
            event_type, next_type,
            CAST(NULL AS DATE) AS cohort_week,
            CAST(NULL AS INTEGER) AS week_offset,
-           n AS users, tot AS denom, prob AS rate
+           n AS users, tot AS denom, prob AS rate,
+           {_LAT_NULLS}
     FROM transitions
     UNION ALL
     SELECT 'paths' AS branch, {_SESSION_NULLS},
@@ -201,8 +251,34 @@ def behavior_oracle_parts() -> tuple[str, str]:
            CAST(NULL AS VARCHAR) AS next_type,
            CAST(NULL AS DATE) AS cohort_week,
            CAST(NULL AS INTEGER) AS week_offset,
-           n AS users, total AS denom, share AS rate
-    FROM pptop"""
+           n AS users, total AS denom, share AS rate,
+           {_LAT_NULLS}
+    FROM pptop
+    UNION ALL
+    SELECT 'latency' AS branch,
+           user_id,
+           CAST(NULL AS INTEGER) AS session_id,
+           CAST(NULL AS BIGINT) AS n_events,
+           CAST(NULL AS TIMESTAMP) AS session_start,
+           CAST(NULL AS TIMESTAMP) AS session_end,
+           {_BEH_BASE_NULLS},
+           latency_ms,
+           CAST(NULL AS DOUBLE) AS lat_p50,
+           CAST(NULL AS DOUBLE) AS lat_p90
+    FROM lat
+    UNION ALL
+    SELECT 'latdist' AS branch, {_SESSION_NULLS},
+           CAST(NULL AS INTEGER) AS step,
+           CAST(NULL AS VARCHAR) AS event_type,
+           CAST(NULL AS VARCHAR) AS next_type,
+           CAST(NULL AS DATE) AS cohort_week,
+           CAST(NULL AS INTEGER) AS week_offset,
+           n_conv AS users,
+           CAST(NULL AS BIGINT) AS denom,
+           CAST(NULL AS DOUBLE) AS rate,
+           CAST(NULL AS BIGINT) AS latency_ms,
+           lat_p50, lat_p90
+    FROM latdist"""
     return ctes, legs
 
 
@@ -304,6 +380,26 @@ def behavior_branches(spark, sf_dir: str, e: DataFrame) -> dict[str, DataFrame]:
         F.col("total").alias("denom"),
         F.col("share").alias("rate"),
     )
+    # conversion latency (operators/behavior.conversion_latency) + its
+    # distribution summary: p50/p90 via exact_quantiles (bit-identical
+    # to quantile_cont), combined with the count on a literal key so
+    # the 1-row x 1-row combine plans as a broadcast HASH join (the
+    # slot is in the plan sweep; no nested-loop allowlisting needed)
+    from mongo2mysql_spark.operators.behavior import conversion_latency
+    from mongo2mysql_spark.operators.selection import exact_quantiles
+
+    lat = conversion_latency(
+        e, "user_id", "event_type", "ts", "event_id", "view", "purchase"
+    )
+    qdist = exact_quantiles(
+        lat.select(F.col("latency_ms").cast("double").alias("__lm")),
+        "__lm",
+        {"lat_p50": 0.5, "lat_p90": 0.9},
+    ).withColumn("__k", F.lit(1))
+    ndist = lat.agg(F.count(F.lit(1)).cast("long").alias("users")).withColumn(
+        "__k", F.lit(1)
+    )
+    latdist = ndist.join(qdist, "__k").select("users", "lat_p50", "lat_p90")
     return {
         "funnel": fun,
         "retention": ret,
@@ -312,4 +408,6 @@ def behavior_branches(spark, sf_dir: str, e: DataFrame) -> dict[str, DataFrame]:
         "funnelstate": _funnelstate_counts(spark, sf_dir, e).select(
             "step", "event_type", "users", "denom", "rate"
         ),
+        "latency": lat.select("user_id", "latency_ms"),
+        "latdist": latdist,
     }

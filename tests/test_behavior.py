@@ -220,3 +220,40 @@ def test_session_paths_gap_splits_and_depth_truncates(spark):
         ).collect()
     }
     assert got == {"a>b>c": 1, "a": 1}
+
+
+def test_conversion_latency_strict_after_and_ties(spark):
+    """First view -> first purchase STRICTLY after it; same-ts events
+    resolve by event_id (the funnel's lexicographic-min discipline);
+    non-converters are absent."""
+    from datetime import datetime
+
+    from mongo2mysql_spark.operators.behavior import conversion_latency
+
+    t0 = datetime(2024, 3, 1, 10, 0, 0)
+    t1 = datetime(2024, 3, 1, 10, 0, 30)
+    t2 = datetime(2024, 3, 1, 11, 0, 0)
+    rows = [
+        # user 1: view at t0, purchases at t1 and t2 -> latency 30s
+        (1, t0, 1, "view"), (2, t1, 1, "purchase"), (3, t2, 1, "purchase"),
+        # user 2: purchase BEFORE the first view only -> no conversion
+        (4, t0, 2, "purchase"), (5, t1, 2, "view"),
+        # user 3: purchase at the SAME ts as the view, larger id ->
+        # struct (ts, id) > (ts, id_view) holds, latency 0
+        (6, t0, 3, "view"), (7, t0, 3, "purchase"),
+        # user 4: purchase same ts, SMALLER id -> not strictly after
+        (9, t0, 4, "view"), (8, t0, 4, "purchase"),
+        # user 5: views only
+        (10, t0, 5, "view"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got = {
+        r.user_id: r.latency_ms
+        for r in conversion_latency(
+            df, "user_id", "event_type", "ts", "event_id",
+            "view", "purchase",
+        ).collect()
+    }
+    assert got == {1: 30_000, 3: 0}
