@@ -97,16 +97,25 @@ BRANCHED = {
                                 "hamserve", "simhash", "mrl"]),
     "ann_topk_ivf": ("branch", ["ivf", "ivfpart", "triplets", "ivfpq",
                                "ivfadc", "mmr", "kcenter"]),
-    "corpus_pack_sequences": ("branch", ["spans", "manifest", "buckets"]),
+    "corpus_pack_sequences": ("branch", ["spans", "manifest", "buckets",
+                                         "syssample"]),
     "text_bm25_search": ("branch", ["bm25", "rrf", "phrase"]),
     "dedup_connected_components": ("branch", ["closure", "canon",
-                                              "pagerank"]),
+                                              "pagerank", "triangles",
+                                              "incclosure"]),
     "events_sessionize": ("branch", ["sessions", "funnel", "funnelstate",
-                                     "retention", "transitions", "paths"]),
-    "text_term_frequency": ("branch", ["tf", "domains", "domainsizes"]),
-    "agg_approx_sketches": ("branch", ["bounds", "kmv"]),
-    "profile_table_stats": ("branch", ["profile", "integrity"]),
+                                     "retention", "transitions", "paths",
+                                     "latency", "latdist"]),
+    "text_term_frequency": ("branch", ["tf", "domains", "domainsizes",
+                                       "keyness", "collocations"]),
+    "agg_approx_sketches": ("branch", ["bounds", "kmv", "joinest"]),
+    "profile_table_stats": ("branch", ["profile", "integrity", "skew",
+                                       "histogram"]),
     "range_join_promo_revenue": ("branch", ["point", "overlap"]),
+    "resample_gapfill": ("branch", ["resample", "zscore", "forecast",
+                                    "backtest", "ohlc", "trend", "mad"]),
+    "streaming_enrich_join": ("branch", ["enrich", "joinview"]),
+    "topk_parts_per_brand": ("op", ["topk", "min", "basket"]),
 }
 
 

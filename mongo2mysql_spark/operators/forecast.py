@@ -54,7 +54,11 @@ def seasonal_backtest(
         events.select(F.col(key_col).alias("key"), hours.alias("h"))
         .groupBy("key", "h")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .localCheckpoint()  # hour-cardinality frame; feeds span/keys/fit
+        # hour-cardinality frame; feeds span/keys/fit.  LAZY: an eager
+        # checkpoint here runs a materializing job on every fn() CALL
+        # (driver-sim plan builds, per-branch bench attribution) even
+        # when the caller never executes the forecast branches
+        .localCheckpoint(eager=False)
     )
     span = cells.agg(F.min("h").alias("lo"), F.max("h").alias("hi")).select(
         "lo",
