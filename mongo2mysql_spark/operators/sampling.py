@@ -284,3 +284,49 @@ def sql_systematic_weighted_select(
              ((cum_before + w) * {k}) // total
                - (cum_before * {k}) // total >= 1 AS selected
       FROM syscum)"""
+
+
+def mix_gini(
+    df: DataFrame, group_col: str, label_col: str
+) -> DataFrame:
+    """Gini diversity of the label mix per group — the shard-balance
+    readout of a shuffled training corpus (a good shuffle gives every
+    shard near-equal domain diversity; a bad one produces low-Gini
+    shards that train on one domain for a whole pass).
+
+    Entropy needs ln (barred from hash-gated columns); Gini impurity
+    carries the same diversity signal in the integer form
+
+        gini = (tot² − Σ n_d²) / tot²
+
+    — numerator and denominator exact integers (DECIMAL(38,0) here,
+    HUGEINT in the DuckDB restatement), the served float ONE IEEE
+    division.  Plan: two map-side-combined hash aggregates, nothing
+    group×group.
+
+    Returns (group_col, n_rows, n_labels, gini); a single-label group
+    reports gini = 0.
+    """
+    cnt = df.groupBy(group_col, label_col).agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    dec = "decimal(38,0)"
+    per = cnt.groupBy(group_col).agg(
+        F.sum("__n").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_labels"),
+        F.sum(F.col("__n").cast("decimal(19,0)") * F.col("__n")).cast(dec)
+        .alias("__sumsq"),
+    )
+    tot2 = (
+        F.col("n_rows").cast("decimal(19,0)")
+        * F.col("n_rows").cast("decimal(19,0)")
+    ).cast(dec)
+    return per.select(
+        group_col,
+        "n_rows",
+        "n_labels",
+        (
+            (tot2 - F.col("__sumsq")).cast("double")
+            / tot2.cast("double")
+        ).alias("gini"),
+    )

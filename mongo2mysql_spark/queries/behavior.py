@@ -382,9 +382,10 @@ def behavior_branches(spark, sf_dir: str, e: DataFrame) -> dict[str, DataFrame]:
     )
     # conversion latency (operators/behavior.conversion_latency) + its
     # distribution summary: p50/p90 via exact_quantiles (bit-identical
-    # to quantile_cont), combined with the count on a literal key so
-    # the 1-row x 1-row combine plans as a broadcast HASH join (the
-    # slot is in the plan sweep; no nested-loop allowlisting needed)
+    # to quantile_cont) cross-joined with the 1-row converter count —
+    # the house-allowlisted 1-row broadcast crossJoin (a literal join
+    # key does NOT stay a hash join: Catalyst constant-folds it to a
+    # trivially-true condition and plans the nested loop anyway)
     from mongo2mysql_spark.operators.behavior import conversion_latency
     from mongo2mysql_spark.operators.selection import exact_quantiles
 
@@ -395,11 +396,11 @@ def behavior_branches(spark, sf_dir: str, e: DataFrame) -> dict[str, DataFrame]:
         lat.select(F.col("latency_ms").cast("double").alias("__lm")),
         "__lm",
         {"lat_p50": 0.5, "lat_p90": 0.9},
-    ).withColumn("__k", F.lit(1))
-    ndist = lat.agg(F.count(F.lit(1)).cast("long").alias("users")).withColumn(
-        "__k", F.lit(1)
     )
-    latdist = ndist.join(qdist, "__k").select("users", "lat_p50", "lat_p90")
+    ndist = lat.agg(F.count(F.lit(1)).cast("long").alias("users"))
+    latdist = ndist.crossJoin(F.broadcast(qdist)).select(
+        "users", "lat_p50", "lat_p90"
+    )
     return {
         "funnel": fun,
         "retention": ret,

@@ -574,6 +574,17 @@ def _shard_oracle() -> str:
     f"""
     WITH clean AS ({_CLEAN_SQL}),
     sharded AS ({_shard_oracle()}),
+    gmix AS (
+      SELECT shard,
+             CAST(sum(n) AS BIGINT) AS n_docs,
+             CAST(count(*) AS BIGINT) AS n_labels,
+             CAST(CAST(sum(n) AS HUGEINT) * sum(n)
+                  - sum(CAST(n AS HUGEINT) * n) AS DOUBLE)
+               / CAST(CAST(sum(n) AS HUGEINT) * sum(n) AS DOUBLE) AS gini
+      FROM (SELECT s.shard, d.source, count(*) AS n
+            FROM sharded s JOIN documents d USING (doc_id)
+            GROUP BY 1, 2)
+      GROUP BY shard),
     reft AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
              WHERE source = '{LM_REF_SOURCE}'),
     refbg AS (
@@ -632,7 +643,10 @@ def _shard_oracle() -> str:
            CAST(NULL AS INTEGER) AS clean_len, CAST(NULL AS VARCHAR) AS clean_fp,
            CAST(NULL AS VARCHAR) AS source, CAST(NULL AS INTEGER) AS domain_ix,
            CAST(NULL AS BIGINT) AS intra_rank,
-           CAST(NULL AS BIGINT) AS interleave_pos
+           CAST(NULL AS BIGINT) AS interleave_pos,
+           CAST(NULL AS BIGINT) AS n_docs,
+           CAST(NULL AS BIGINT) AS n_labels,
+           CAST(NULL AS DOUBLE) AS gini
     FROM clean
     UNION ALL
     SELECT 'shuffle' AS branch, doc_id,
@@ -649,7 +663,10 @@ def _shard_oracle() -> str:
            CAST(NULL AS INTEGER) AS clean_len, CAST(NULL AS VARCHAR) AS clean_fp,
            CAST(NULL AS VARCHAR) AS source, CAST(NULL AS INTEGER) AS domain_ix,
            CAST(NULL AS BIGINT) AS intra_rank,
-           CAST(NULL AS BIGINT) AS interleave_pos
+           CAST(NULL AS BIGINT) AS interleave_pos,
+           CAST(NULL AS BIGINT) AS n_docs,
+           CAST(NULL AS BIGINT) AS n_labels,
+           CAST(NULL AS DOUBLE) AS gini
     FROM sharded
     UNION ALL
     SELECT 'ppl' AS branch, doc_id,
@@ -665,7 +682,10 @@ def _shard_oracle() -> str:
            CAST(NULL AS INTEGER) AS clean_len, CAST(NULL AS VARCHAR) AS clean_fp,
            CAST(NULL AS VARCHAR) AS source, CAST(NULL AS INTEGER) AS domain_ix,
            CAST(NULL AS BIGINT) AS intra_rank,
-           CAST(NULL AS BIGINT) AS interleave_pos
+           CAST(NULL AS BIGINT) AS interleave_pos,
+           CAST(NULL AS BIGINT) AS n_docs,
+           CAST(NULL AS BIGINT) AS n_labels,
+           CAST(NULL AS DOUBLE) AS gini
     FROM ppl
     UNION ALL
     SELECT 'c4' AS branch, doc_id,
@@ -680,7 +700,10 @@ def _shard_oracle() -> str:
            n_lines, n_lines_kept, page_kept, clean_len, clean_fp,
            CAST(NULL AS VARCHAR) AS source, CAST(NULL AS INTEGER) AS domain_ix,
            CAST(NULL AS BIGINT) AS intra_rank,
-           CAST(NULL AS BIGINT) AS interleave_pos
+           CAST(NULL AS BIGINT) AS interleave_pos,
+           CAST(NULL AS BIGINT) AS n_docs,
+           CAST(NULL AS BIGINT) AS n_labels,
+           CAST(NULL AS DOUBLE) AS gini
     FROM c4
     UNION ALL
     SELECT 'curriculum' AS branch, doc_id,
@@ -696,8 +719,30 @@ def _shard_oracle() -> str:
            CAST(NULL AS INTEGER) AS n_lines_kept,
            CAST(NULL AS BOOLEAN) AS page_kept,
            CAST(NULL AS INTEGER) AS clean_len, CAST(NULL AS VARCHAR) AS clean_fp,
-           source, domain_ix, intra_rank, interleave_pos
+           source, domain_ix, intra_rank, interleave_pos,
+           CAST(NULL AS BIGINT) AS n_docs,
+           CAST(NULL AS BIGINT) AS n_labels,
+           CAST(NULL AS DOUBLE) AS gini
     FROM cur
+    UNION ALL
+    SELECT 'mixgini' AS branch, CAST(NULL AS BIGINT) AS doc_id,
+           CAST(NULL AS VARCHAR) AS lang_guess, CAST(NULL AS DOUBLE) AS quality,
+           CAST(NULL AS INTEGER) AS n_tokens, CAST(NULL AS DOUBLE) AS dup_frac,
+           CAST(NULL AS VARCHAR) AS split,
+           shard, CAST(NULL AS BIGINT) AS shuffle_rank,
+           CAST(NULL AS INTEGER) AS position,
+           CAST(NULL AS BIGINT) AS n_transitions,
+           CAST(NULL AS BIGINT) AS sum_num, CAST(NULL AS BIGINT) AS sum_den,
+           CAST(NULL AS BOOLEAN) AS lm_ok,
+           CAST(NULL AS INTEGER) AS n_lines,
+           CAST(NULL AS INTEGER) AS n_lines_kept,
+           CAST(NULL AS BOOLEAN) AS page_kept,
+           CAST(NULL AS INTEGER) AS clean_len, CAST(NULL AS VARCHAR) AS clean_fp,
+           CAST(NULL AS VARCHAR) AS source, CAST(NULL AS INTEGER) AS domain_ix,
+           CAST(NULL AS BIGINT) AS intra_rank,
+           CAST(NULL AS BIGINT) AS interleave_pos,
+           n_docs, n_labels, gini
+    FROM gmix
     """,
     doc=(
         "corpus preparation bookends, three branches in one tagged result.  "
@@ -797,13 +842,28 @@ def corpus_clean_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("__q"),
     )
+    # shard-balance readout (operators/sampling.mix_gini): Gini
+    # diversity of each shard's source mix — entropy's ln is barred
+    # from hash-gated columns; the integer Gini form carries the same
+    # signal with one IEEE division
+    from mongo2mysql_spark.operators.sampling import mix_gini
+
+    sharded = corpus_shuffle_shards(spark, sf_dir)
+    gini = mix_gini(
+        sharded.select("doc_id", "shard").join(
+            d.select("doc_id", "source"), "doc_id"
+        ),
+        "shard",
+        "source",
+    ).select("shard", F.col("n_rows").alias("n_docs"), "n_labels", "gini")
     return tagged_union(
         {
             "clean": corpus_clean_pipeline(spark, sf_dir),
-            "shuffle": corpus_shuffle_shards(spark, sf_dir),
+            "shuffle": sharded,
             "ppl": ppl_checked,
             "c4": c4,
             "curriculum": cur,
+            "mixgini": gini,
         }
     )
 

@@ -1107,8 +1107,16 @@ _BEH_CTES, _BEH_LEGS = behavior_oracle_parts()
         "offsets exact day-diff/7 integers.  'transitions' rows: "
         "first-order Markov transition counts + per-source "
         "probabilities between a user's consecutive events (journey "
-        "mining).  Every value is integer counts, dates/timestamps, or "
-        "one int-over-int IEEE division — no float contract."
+        "mining).  'latency' rows: per-user conversion latency "
+        "(operators/behavior.conversion_latency — first view to first "
+        "purchase strictly after it, lexicographic min((ts, event_id)) "
+        "completions, exact integer milliseconds).  'latdist' rows: "
+        "the latency distribution — converter count + p50/p90 via "
+        "exact_quantiles (bit-identical to the oracle's "
+        "quantile_cont); 1-row × 1-row broadcast crossJoin, "
+        "allowlisted.  Every other value is integer counts, "
+        "dates/timestamps, or one int-over-int IEEE division — no "
+        "float contract beyond the quantile parity."
     ),
 )
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -294,6 +294,8 @@ _BNLJ_OK = {
     # frame (and the per-key hour grid explodes from it)
     "topk_parts_per_brand",  # association_rules crossJoins the 1-row
     # basket-count frame (operators/basket) — pair-bounded × 1
+    "events_sessionize",  # the latdist branch crossJoins the 1-row
+    # converter count with the 1-row exact-quantile frame (1 × 1)
 }
 
 

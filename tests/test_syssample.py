@@ -82,3 +82,21 @@ def test_sql_restatement_matches(spark):
     )
     want = sorted(tuple(r) for r in con.execute(sql).fetchall())
     assert got == want
+
+
+def test_mix_gini_hand_checked_and_degenerate(spark):
+    """Gini = (tot² − Σn²)/tot²: hand-checked mixed group, single-label
+    group at 0, and the even-mix maximum (1 − 1/k)."""
+    from mongo2mysql_spark.operators.sampling import mix_gini
+
+    rows = (
+        [(0, "a")] * 2 + [(0, "b")] * 2          # even mix of 2 -> 1/2
+        + [(1, "a")] * 5                          # single label -> 0
+        + [(2, "a")] * 3 + [(2, "b")] * 1         # 1 - (9+1)/16 = 3/8
+    )
+    df = spark.createDataFrame(rows, "g long, lab string")
+    got = {r.g: (r.n_rows, r.n_labels, r.gini)
+           for r in mix_gini(df, "g", "lab").collect()}
+    assert got[0] == (4, 2, 0.5)
+    assert got[1] == (5, 1, 0.0)
+    assert got[2] == (4, 2, (16 - 10) / 16)
