@@ -178,3 +178,124 @@ def psi_report_categorical(
 
         rows.append(_psi_row(c, counts(old), counts(new), smoothing))
     return old.sparkSession.createDataFrame(rows, _PSI_SCHEMA)
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    order_col: str,
+    id_col: str,
+    slack_q: int,
+    threshold_q: int,
+    scale: int = 6,
+) -> DataFrame:
+    """Page 1954 one-sided (upper) CUSUM per series — the sequential
+    change-point detector that complements PSI above: PSI compares two
+    fixed populations, CUSUM watches an ORDERED stream and flags the
+    point where the level shifts upward.
+
+    The textbook recurrence s_i = max(0, s_{i-1} + (x_i − target − k))
+    looks inherently sequential, but it has the associative prefix
+    form
+
+        s_i = p_i − min(0, min_{j≤i} p_j),   p = prefix sum of
+                                              (x_q − target_q − slack_q)
+
+    so the whole detector is ONE key-partitioned window carrying a
+    running sum and a running min — the rolling-z-score plan shape, no
+    driver loop, no UDF.  Everything is exact integer arithmetic in
+    1e-``scale`` units: values quantize once (the house double→DECIMAL
+    cast), target_q is the per-key floor mean (exact integer division
+    of exact integers), and the alarm ``s > threshold_q`` is an
+    integer comparison — every column hash-gates with no float
+    contract at all.
+
+    Returns one row per input row: (*key_cols, id, value_q, target_q,
+    cusum_s, is_alarm), ordered semantics by (order_col, id).
+    """
+    from pyspark.sql import Window as W
+
+    mult = 10**scale
+    vq = (F.col(value_col).cast(f"decimal(18,{scale})") * mult).cast("long")
+    base = df.select(
+        *key_cols,
+        F.col(order_col).alias("__o"),
+        F.col(id_col).alias("id"),
+        vq.alias("value_q"),
+    )
+    per_key = base.groupBy(*key_cols).agg(
+        F.sum(F.col("value_q").cast("decimal(30,0)")).alias("__tot"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    # exact integer floor division (decimal / rounds half-up — not a
+    # floor; DIV on the decimal pair is the portable floor)
+    target = per_key.select(
+        *key_cols,
+        F.expr("CAST(__tot DIV __n AS BIGINT)").alias("target_q"),
+    )
+    w = (
+        W.partitionBy(*key_cols)
+        .orderBy("__o", "id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    d = (
+        F.col("value_q").cast("decimal(30,0)")
+        - F.col("target_q")
+        - F.lit(slack_q)
+    )
+    scored = base.join(target, key_cols).withColumn(
+        "__p", F.sum(d).over(w).cast("decimal(30,0)")
+    )
+    s = F.col("__p") - F.least(F.lit(0).cast("decimal(30,0)"), F.min("__p").over(w))
+    return scored.select(
+        *key_cols,
+        "id",
+        "value_q",
+        "target_q",
+        s.cast("long").alias("cusum_s"),
+        (s > F.lit(threshold_q)).alias("is_alarm"),
+    )
+
+
+def cusum_sql(
+    events_cte: str,
+    key_col: str,
+    value_col: str,
+    order_col: str,
+    id_col: str,
+    slack_q: int,
+    threshold_q: int,
+    scale: int = 6,
+) -> str:
+    """DuckDB restatement; a final CTE ``cusum(key, id, value_q,
+    target_q, cusum_s, is_alarm)`` with the identical prefix-form
+    arithmetic (HUGEINT running sums, ``//`` floor mean)."""
+    mult = 10**scale
+    return f"""cbase AS (
+      SELECT {key_col} AS key, {order_col} AS o, {id_col} AS id,
+             CAST(CAST({value_col} AS DECIMAL(18,{scale})) * {mult}
+                  AS BIGINT) AS value_q
+      FROM {events_cte}),
+    ctarget AS (
+      SELECT key,
+             CAST(CAST(SUM(CAST(value_q AS HUGEINT)) AS HUGEINT)
+                  // count(*) AS BIGINT) AS target_q
+      FROM cbase GROUP BY key),
+    cpre AS (
+      SELECT b.key, b.o, b.id, b.value_q, t.target_q,
+             SUM(CAST(b.value_q AS HUGEINT) - t.target_q - {slack_q})
+               OVER (PARTITION BY b.key ORDER BY b.o, b.id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+      FROM cbase b JOIN ctarget t USING (key)),
+    cmin AS (
+      SELECT key, id, value_q, target_q, p,
+             MIN(p) OVER (PARTITION BY key ORDER BY o, id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS mn
+      FROM cpre),
+    cusum AS (
+      SELECT key, id, value_q, target_q,
+             CAST(p - LEAST(CAST(0 AS HUGEINT), mn) AS BIGINT) AS cusum_s,
+             p - LEAST(CAST(0 AS HUGEINT), mn) > {threshold_q} AS is_alarm
+      FROM cmin)"""

@@ -652,6 +652,12 @@ def _cat_bucket_sql(col: str, baseline_src: str, top_k: int) -> str:
     )
 
 
+# cusum branch (operators/drift.cusum_changepoints): Page 1954 in
+# 1e-6 units — slack 10.0, alarm threshold 500.0
+_CUSUM_SLACK_Q = 10_000_000
+_CUSUM_THRESHOLD_Q = 500_000_000
+
+
 def _psi_oracle() -> str:
     ev_old = "(SELECT value FROM events WHERE event_id % 2 = 0) AS s"
     ev_new = "(SELECT value FROM events WHERE event_id % 2 = 1) AS s"
@@ -668,11 +674,28 @@ def _psi_oracle() -> str:
             CASE WHEN psi < 0.1 THEN 'stable'
                  WHEN psi <= 0.25 THEN 'moderate'
                  ELSE 'shifted' END AS verdict,
-            n_old, n_new, hist_dot
+            n_old, n_new, hist_dot,
+            CAST(NULL AS BIGINT) AS id,
+            CAST(NULL AS BIGINT) AS value_q,
+            CAST(NULL AS BIGINT) AS target_q,
+            CAST(NULL AS BIGINT) AS cusum_s,
+            CAST(NULL AS BOOLEAN) AS is_alarm
             FROM ({q})"""
         for kind, col, q in branches
     ]
-    return "\nUNION ALL\n".join(selects)
+    from mongo2mysql_spark.operators.drift import cusum_sql
+
+    cusum_leg = f"""SELECT 'cusum' AS kind, key AS column,
+            CAST(NULL AS INTEGER) AS n_buckets,
+            CAST(NULL AS VARCHAR) AS verdict,
+            CAST(NULL AS BIGINT) AS n_old, CAST(NULL AS BIGINT) AS n_new,
+            CAST(NULL AS BIGINT) AS hist_dot,
+            id, value_q, target_q, cusum_s, is_alarm
+            FROM (WITH {cusum_sql("events", "event_type", "value", "ts",
+                                  "event_id", _CUSUM_SLACK_Q,
+                                  _CUSUM_THRESHOLD_Q)}
+                  SELECT * FROM cusum)"""
+    return "\nUNION ALL\n".join(selects + [cusum_leg])
 
 
 @register(
@@ -690,11 +713,24 @@ def _psi_oracle() -> str:
         "histogram integers (n_old/n_new row totals, old·new bucket dot "
         "product — they pin the bucketization) plus the banded verdict; "
         "the raw ln-derived psi is excluded (r4 lesson: transcendental-"
-        "derived hashed values are not portable across libm builds)."
+        "derived hashed values are not portable across libm builds).  "
+        "'cusum' rows: Page 1954 sequential change-point detection per "
+        "event_type (operators/drift.cusum_changepoints) — PSI compares "
+        "two fixed populations, CUSUM watches the ORDERED stream: the "
+        "recurrence max(0, s+(x−target−k)) rewritten to its associative "
+        "prefix form s = p − min(0, running-min p), so the detector is "
+        "one key-partitioned window carrying a running sum and a "
+        "running min; all exact integers in 1e-6 units (target = per-"
+        "key floor mean), every s and alarm verdict hashed with no "
+        "float contract at all."
     ),
 )
 def drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from mongo2mysql_spark.operators.drift import psi_report, psi_report_categorical
+    from mongo2mysql_spark.operators.drift import (
+        cusum_changepoints,
+        psi_report,
+        psi_report_categorical,
+    )
 
     ev = T(spark, sf_dir, "events", fanout=True)
     num_ev = psi_report(
@@ -722,11 +758,28 @@ def drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hist_dot",
         )
 
-    return (
+    cus = cusum_changepoints(
+        ev, ["event_type"], "value", "ts", "event_id",
+        slack_q=_CUSUM_SLACK_Q, threshold_q=_CUSUM_THRESHOLD_Q,
+    ).select(
+        F.lit("cusum").alias("kind"),
+        F.col("event_type").alias("column"),
+        F.lit(None).cast("int").alias("n_buckets"),
+        F.lit(None).cast("string").alias("verdict"),
+        F.lit(None).cast("long").alias("n_old"),
+        F.lit(None).cast("long").alias("n_new"),
+        F.lit(None).cast("long").alias("hist_dot"),
+        "id", "value_q", "target_q", "cusum_s", "is_alarm",
+    )
+    psi = (
         shape(num_ev, "numeric")
         .unionByName(shape(num_doc, "numeric"))
         .unionByName(shape(cat, "categorical"))
     )
+    for c, t in (("id", "long"), ("value_q", "long"), ("target_q", "long"),
+                 ("cusum_s", "long"), ("is_alarm", "boolean")):
+        psi = psi.withColumn(c, F.lit(None).cast(t))
+    return psi.unionByName(cus)
 
 
 # -------------------------------------------------------------------- SCD2

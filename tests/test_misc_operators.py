@@ -1411,3 +1411,39 @@ def test_fk_orphan_stats_catches_planted_orphans(spark):
     dup_parent = parent.unionByName(parent)
     dup = fk_orphan_stats(child, "fk", dup_parent, "pk", "c->p").collect()[0]
     assert (dup.n_rows, dup.matched) == (3, 2)
+
+
+def test_cusum_planted_level_shift(spark):
+    """Page-CUSUM in prefix form: quiet before a planted upward level
+    shift, alarming shortly after it, and equal to the textbook
+    sequential recurrence computed driver-side."""
+    from datetime import datetime, timedelta
+
+    from mongo2mysql_spark.operators.drift import cusum_changepoints
+
+    base = datetime(2024, 3, 1)
+    vals = [10.0] * 50 + [20.0] * 50
+    rows = [
+        (i, base + timedelta(minutes=i), "a", v) for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, k string, v double"
+    )
+    slack_q, thr_q = 2_000_000, 50_000_000
+    out = {
+        r.id: r
+        for r in cusum_changepoints(
+            df, ["k"], "v", "ts", "event_id",
+            slack_q=slack_q, threshold_q=thr_q,
+        ).collect()
+    }
+    # textbook recurrence, exact integers
+    target_q = sum(int(v * 1_000_000) for v in vals) // len(vals)
+    s, expect = 0, {}
+    for i, v in enumerate(vals):
+        s = max(0, s + int(v * 1_000_000) - target_q - slack_q)
+        expect[i] = (s, s > thr_q)
+    assert {i: (r.cusum_s, r.is_alarm) for i, r in out.items()} == expect
+    assert not any(a for i, (s_, a) in expect.items() if i < 50)
+    assert any(a for i, (s_, a) in expect.items() if i >= 50)
+    assert out[0].target_q == target_q
