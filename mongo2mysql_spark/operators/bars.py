@@ -123,3 +123,130 @@ def ohlc_bars_sql(
              CAST(sum(vq) AS DOUBLE)
                / CAST(count(*) * {mult} AS DOUBLE) AS mean_value
       FROM oq GROUP BY key, b)"""
+
+
+def twap_bars(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    id_col: str,
+    interval_seconds: int = 3600,
+    scale: int = 6,
+) -> DataFrame:
+    """Time-weighted average per (key, bucket) — TimescaleDB's
+    ``time_weight('locf')`` shape, the correct mean for irregularly
+    sampled state series where the plain mean over-weights chatty
+    periods (ohlc_bars' mean_value weights every OBSERVATION equally;
+    this weights every SECOND).
+
+    Each observation holds its value until the next observation or the
+    bucket end, whichever is first (bucket-local LOCF — weights never
+    cross buckets, so the aggregate stays per-bucket decomposable):
+
+        twap = Σ w_i · v_i / Σ w_i,   w_i = min(next_ts, bucket_end) − ts_i
+
+    Values quantize once to 10^-scale, weights are exact integer
+    seconds, so the rational twap_num/twap_den hash-verifies digit-
+    exact and the served ``twap`` is one IEEE division.  Plan: one
+    key-partitioned lead() window (the sessionize shape) + one hash
+    aggregate on (key, bucket).  A lone observation exactly at the
+    bucket boundary yields den = 0 → twap NULL in both engines.
+
+    Returns (key, bucket_start, n_obs, twap_num, twap_den, twap).
+    """
+    from pyspark.sql import Window as W
+
+    mult = 10**scale
+    epoch = F.unix_timestamp(F.col(ts_col)).cast("long")
+    vq = (F.col(value_col).cast(f"decimal(18,{scale})") * mult).cast("long")
+    nxt = F.lead("__e").over(
+        W.partitionBy("key").orderBy(ts_col, id_col)
+    )
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(ts_col),
+        F.col(id_col),
+        epoch.alias("__e"),
+        vq.alias("__vq"),
+    ).withColumn("__next", nxt)
+    b = (F.col("__e") / interval_seconds).cast("long")
+    bucket_end = (b + 1) * interval_seconds
+    wt = (
+        F.least(F.coalesce("__next", bucket_end), bucket_end) - F.col("__e")
+    ).cast("long")
+    bars = (
+        base.select(
+            "key",
+            b.alias("__b"),
+            wt.alias("__w"),
+            "__vq",
+        )
+        .groupBy("key", "__b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_obs"),
+            F.sum(
+                F.col("__w").cast("decimal(19,0)") * F.col("__vq")
+            ).cast("decimal(38,0)").alias("__num"),
+            F.sum("__w").cast("long").alias("twap_den"),
+        )
+    )
+    return bars.select(
+        "key",
+        F.timestamp_seconds(F.col("__b") * interval_seconds).alias(
+            "bucket_start"
+        ),
+        "n_obs",
+        F.col("__num").cast("string").alias("twap_num"),
+        "twap_den",
+        F.when(
+            F.col("twap_den") > 0,
+            F.col("__num").cast("double")
+            / (F.col("twap_den").cast("decimal(19,0)") * mult).cast("double"),
+        ).alias("twap"),
+    )
+
+
+def twap_bars_sql(
+    events_cte: str,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    id_col: str,
+    interval_seconds: int = 3600,
+    scale: int = 6,
+) -> str:
+    """DuckDB restatement; a final CTE ``tbars(key, bucket_start,
+    n_obs, twap_num, twap_den, twap)`` with the identical chain."""
+    mult = 10**scale
+    return f"""tb0 AS (
+      SELECT {key_col} AS key,
+             CAST(floor(epoch(CAST({ts_col} AS TIMESTAMP))) AS BIGINT) AS e,
+             CAST(CAST({value_col} AS DECIMAL(18,{scale})) * {mult}
+                  AS BIGINT) AS vq,
+             lead(CAST(floor(epoch(CAST({ts_col} AS TIMESTAMP))) AS BIGINT))
+               OVER (PARTITION BY {key_col}
+                     ORDER BY CAST({ts_col} AS TIMESTAMP), {id_col})
+               AS next_e
+      FROM {events_cte}),
+    tb1 AS (
+      SELECT key, e // {interval_seconds} AS b, vq,
+             LEAST(COALESCE(next_e, (e // {interval_seconds} + 1)
+                                    * {interval_seconds}),
+                   (e // {interval_seconds} + 1) * {interval_seconds}) - e
+               AS w
+      FROM tb0),
+    tbars AS (
+      SELECT key,
+             make_timestamp(b * {interval_seconds} * 1000000)
+               AS bucket_start,
+             CAST(count(*) AS BIGINT) AS n_obs,
+             CAST(CAST(SUM(CAST(w AS HUGEINT) * vq) AS DECIMAL(38,0))
+                  AS VARCHAR) AS twap_num,
+             CAST(SUM(w) AS BIGINT) AS twap_den,
+             CASE WHEN SUM(w) > 0
+                  THEN CAST(CAST(SUM(CAST(w AS HUGEINT) * vq)
+                                 AS DECIMAL(38,0)) AS DOUBLE)
+                       / CAST(CAST(SUM(w) AS HUGEINT) * {mult} AS DOUBLE)
+             END AS twap
+      FROM tb1 GROUP BY key, b)"""

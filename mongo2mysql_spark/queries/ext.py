@@ -19,7 +19,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mongo2mysql_spark.operators.bars import ohlc_bars_sql
+from mongo2mysql_spark.operators.bars import ohlc_bars_sql, twap_bars_sql
 from mongo2mysql_spark.operators.forecast import seasonal_backtest_sql
 from mongo2mysql_spark.operators.trend import hourly_trend_sql
 from mongo2mysql_spark.operators.profile import heavy_keys_sql
@@ -982,6 +982,10 @@ _MAD_NULLS = """CAST(NULL AS DOUBLE) AS raw_value,
            CAST(NULL AS DOUBLE) AS abs_dev,
            CAST(NULL AS BOOLEAN) AS is_degenerate,
            CAST(NULL AS BOOLEAN) AS is_mad_outlier"""
+# typed NULLs for the TWAP columns inside every non-twap leg
+_TWAP_NULLS = """CAST(NULL AS VARCHAR) AS twap_num,
+           CAST(NULL AS BIGINT) AS twap_den,
+           CAST(NULL AS DOUBLE) AS twap"""
 # typed NULLs for the OLS-trend columns inside every non-trend leg
 _TREND_NULLS = """CAST(NULL AS BIGINT) AS lo_hour,
            CAST(NULL AS BIGINT) AS n_hours, CAST(NULL AS BIGINT) AS total_cnt,
@@ -999,6 +1003,8 @@ _TREND_NULLS = """CAST(NULL AS BIGINT) AS lo_hour,
     {ohlc_bars_sql("events", "event_type", "ts", "value", "event_id",
                    _RESAMPLE_INTERVAL)},
     {hourly_trend_sql("events", "event_type", "ts")},
+    {twap_bars_sql("events", "event_type", "ts", "value", "event_id",
+                   _RESAMPLE_INTERVAL)},
     mmed AS (SELECT event_type AS key, quantile_cont(value, 0.5) AS med
              FROM events GROUP BY 1),
     mdev AS (SELECT e.event_id, e.event_type AS key, e.value AS raw_value,
@@ -1090,7 +1096,8 @@ _TREND_NULLS = """CAST(NULL AS BIGINT) AS lo_hour,
            CAST(NULL AS DOUBLE) AS mae,
            {_OHLC_NULLS},
            {_TREND_NULLS},
-           {_MAD_NULLS}
+           {_MAD_NULLS},
+           {_TWAP_NULLS}
     FROM rs
     UNION ALL
     SELECT 'zscore' AS branch, key, CAST(NULL AS TIMESTAMP) AS bucket_start,
@@ -1113,7 +1120,8 @@ _TREND_NULLS = """CAST(NULL AS BIGINT) AS lo_hour,
            CAST(NULL AS DOUBLE) AS mae,
            {_OHLC_NULLS},
            {_TREND_NULLS},
-           {_MAD_NULLS}
+           {_MAD_NULLS},
+           {_TWAP_NULLS}
     FROM zv
     UNION ALL
     SELECT 'forecast' AS branch, key, {_TS_FC_NULLS},
@@ -1123,7 +1131,8 @@ _TREND_NULLS = """CAST(NULL AS BIGINT) AS lo_hour,
            CAST(NULL AS DOUBLE) AS mae,
            {_OHLC_NULLS},
            {_TREND_NULLS},
-           {_MAD_NULLS}
+           {_MAD_NULLS},
+           {_TWAP_NULLS}
     FROM fcast
     UNION ALL
     SELECT 'backtest' AS branch, key, {_TS_FC_NULLS},
@@ -1134,7 +1143,8 @@ _TREND_NULLS = """CAST(NULL AS BIGINT) AS lo_hour,
            n_test_hours, total_actual, mae,
            {_OHLC_NULLS},
            {_TREND_NULLS},
-           {_MAD_NULLS}
+           {_MAD_NULLS},
+           {_TWAP_NULLS}
     FROM fback
     UNION ALL
     SELECT 'ohlc' AS branch, key, bucket_start,
@@ -1158,7 +1168,8 @@ _TREND_NULLS = """CAST(NULL AS BIGINT) AS lo_hour,
            open_q, high_q, low_q, close_q, range_q, gain_q, sum_q,
            mean_value,
            {_TREND_NULLS},
-           {_MAD_NULLS}
+           {_MAD_NULLS},
+           {_TWAP_NULLS}
     FROM obars
     UNION ALL
     SELECT 'trend' AS branch, key, {_TS_FC_NULLS},
@@ -1172,7 +1183,8 @@ _TREND_NULLS = """CAST(NULL AS BIGINT) AS lo_hour,
            {_OHLC_NULLS},
            lo_hour, n_hours, total_cnt, slope_num, slope_den, slope,
            intercept,
-           {_MAD_NULLS}
+           {_MAD_NULLS},
+           {_TWAP_NULLS}
     FROM htrend
     UNION ALL
     SELECT 'mad' AS branch, key,
@@ -1196,8 +1208,33 @@ _TREND_NULLS = """CAST(NULL AS BIGINT) AS lo_hour,
            CAST(NULL AS DOUBLE) AS mae,
            {_OHLC_NULLS},
            {_TREND_NULLS},
-           raw_value, med, mad, abs_dev, is_degenerate, is_mad_outlier
+           raw_value, med, mad, abs_dev, is_degenerate, is_mad_outlier,
+           {_TWAP_NULLS}
     FROM mout
+    UNION ALL
+    SELECT 'twap' AS branch, key, bucket_start,
+           CAST(NULL AS VARCHAR) AS value_num,
+           CAST(NULL AS VARCHAR) AS value_den,
+           n_obs,
+           CAST(NULL AS BOOLEAN) AS filled,
+           CAST(NULL AS BIGINT) AS event_id, CAST(NULL AS BIGINT) AS value_q,
+           CAST(NULL AS BIGINT) AS n_prev, CAST(NULL AS BIGINT) AS frame_sum_q,
+           CAST(NULL AS VARCHAR) AS frame_sumsq_q,
+           CAST(NULL AS BOOLEAN) AS is_ready,
+           CAST(NULL AS BOOLEAN) AS is_constant_window,
+           CAST(NULL AS BOOLEAN) AS is_anomaly,
+           CAST(NULL AS INTEGER) AS hod,
+           CAST(NULL AS BIGINT) AS train_cnt,
+           CAST(NULL AS BIGINT) AS n_train_hours,
+           CAST(NULL AS DOUBLE) AS pred,
+           CAST(NULL AS BIGINT) AS n_test_hours,
+           CAST(NULL AS BIGINT) AS total_actual,
+           CAST(NULL AS DOUBLE) AS mae,
+           {_OHLC_NULLS},
+           {_TREND_NULLS},
+           {_MAD_NULLS},
+           twap_num, twap_den, twap
+    FROM tbars
     """,
     doc=(
         "time-series surface, tagged: 'resample' rows are resample + "
@@ -1252,7 +1289,14 @@ _TREND_NULLS = """CAST(NULL AS BIGINT) AS lo_hour,
         "no per-group buffer), deviation one IEEE subtract+abs, "
         "verdict |v−med| > k·mad a float comparison of identical "
         "operands; mad = 0 series flagged degenerate instead of "
-        "silently vacuous."
+        "silently vacuous.  'twap' rows: time-weighted averages per "
+        "(series, hour) (operators/bars.twap_bars — the TimescaleDB "
+        "time_weight('locf') shape): each observation holds its value "
+        "until the next one or the bucket end (bucket-local, so the "
+        "aggregate stays per-bucket decomposable); weights exact "
+        "integer seconds, twap_num/twap_den a digit-exact rational, "
+        "twap one IEEE division; one lead() window + one hash "
+        "aggregate."
     ),
 )
 def resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1295,7 +1339,7 @@ def resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_anomaly",
     )
     from mongo2mysql_spark.operators.anomaly import mad_outliers
-    from mongo2mysql_spark.operators.bars import ohlc_bars
+    from mongo2mysql_spark.operators.bars import ohlc_bars, twap_bars
     from mongo2mysql_spark.operators.forecast import seasonal_backtest
     from mongo2mysql_spark.operators.trend import hourly_trend
 
@@ -1315,6 +1359,10 @@ def resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             "backtest": bt,
             "ohlc": oh,
             "trend": hourly_trend(ev, "event_type", "ts"),
+            "twap": twap_bars(
+                ev, "event_type", "ts", "value", "event_id",
+                interval_seconds=_RESAMPLE_INTERVAL,
+            ),
             "mad": mad_outliers(
                 ev.select("event_type", "event_id", "value"),
                 ["event_type"], "value", ["event_id"], k=_MAD_K,

@@ -123,3 +123,69 @@ def test_restatement_equality_random_stream(spark, tmp_path):
     )
     want = [tuple(r) for r in duck.execute(sql).fetchall()]
     assert got == want
+
+
+def test_twap_weights_time_not_observations(spark):
+    """A value held for 50 minutes dominates one held for 10, whatever
+    the observation counts say; weights truncate at the bucket end and
+    the last holder runs to it."""
+    from datetime import datetime, timedelta
+
+    from mongo2mysql_spark.operators.bars import twap_bars
+
+    base = datetime(2024, 3, 1, 10, 0, 0)
+    rows = [
+        (1, base, "a", 100.0),                       # held 10 min
+        (2, base + timedelta(minutes=10), "a", 0.0), # held 50 min to end
+    ]
+    df = spark.createDataFrame(rows, SCHEMA.replace("event_type", "k"))
+    out = twap_bars(df, "k", "ts", "value", "event_id").collect()[0]
+    # twap = (600s*100 + 3000s*0) / 3600s = 16.666...
+    assert out.twap_den == 3600
+    assert int(out.twap_num) == 600 * 100_000_000
+    assert out.twap == (600 * 100_000_000) / (3600 * 1_000_000)
+    assert out.n_obs == 2
+    # plain mean would say 50.0 — the whole point of the operator
+    assert abs(out.twap - 50.0) > 30
+
+
+def test_twap_restatement_equality(spark, tmp_path):
+    import random
+    from datetime import datetime, timedelta
+
+    import duckdb
+
+    from mongo2mysql_spark.operators.bars import twap_bars, twap_bars_sql
+
+    base = datetime(2024, 3, 1)
+    rng = random.Random(61)
+    rows = [
+        (
+            i,
+            base + timedelta(seconds=rng.randrange(0, 3 * 86400)),
+            rng.choice(["x", "y"]),
+            round(rng.uniform(-100, 100), 4),
+        )
+        for i in range(800)
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    pq = str(tmp_path / "ev.parquet")
+    df.write.mode("overwrite").parquet(pq)
+    got = sorted(
+        (r.key, r.bucket_start, r.n_obs, r.twap_num, r.twap_den, r.twap)
+        for r in twap_bars(
+            df, "event_type", "ts", "value", "event_id"
+        ).collect()
+    )
+    duck = duckdb.connect()
+    duck.execute(
+        f"CREATE VIEW ev AS SELECT * FROM parquet_scan('{pq}/*.parquet')"
+    )
+    sql = (
+        "WITH "
+        + twap_bars_sql("ev", "event_type", "ts", "value", "event_id")
+        + """ SELECT key, bucket_start, n_obs, twap_num, twap_den, twap
+              FROM tbars ORDER BY key, bucket_start"""
+    )
+    want = [tuple(r) for r in duck.execute(sql).fetchall()]
+    assert got == want and len(got) > 50
