@@ -190,3 +190,86 @@ def rollup_levels_from_partials(
     for leg in legs[1:]:
         out = out.unionByName(leg)
     return out
+
+
+def sliding_distinct(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    user_col: str,
+    window_hours: int = 24,
+    interval_seconds: int = 3600,
+) -> DataFrame:
+    """Exact sliding-window distinct count — the DAU/WAU shape: per
+    (key, hour) the number of DISTINCT users active in the trailing
+    ``window_hours`` ending at that hour.
+
+    Sliding distinct does not decompose into mergeable partials the way
+    SUM/COUNT do (the hypertable rollup's algebra) — the standard exact
+    answer is the COVERED-WINDOW EXPANSION: dedup the stream to
+    (key, user, hour) cells first (the only corpus-sized shuffle), then
+    each cell votes in the ``window_hours`` windows it covers and a
+    count-distinct per (key, window) finishes.  Cost is cells ×
+    window_hours — bounded by ACTIVITY (distinct user-hours), never by
+    raw event count, and k is a constant.  The approximate alternative
+    at extreme scale is merging the hour-level HLL partials the sketch
+    slot already serves; this is the exact path.
+
+    Windows with no activity are absent (deterministic in both
+    engines).  Returns (key, window_start, n_active).
+    """
+    h = F.floor(F.unix_timestamp(F.col(ts_col)) / interval_seconds).cast(
+        "long"
+    )
+    cells = (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.col(user_col).alias("user"),
+            h.alias("__h"),
+        )
+        .distinct()
+    )
+    covered = cells.select(
+        "key",
+        "user",
+        F.explode(
+            F.sequence(F.col("__h"), F.col("__h") + (window_hours - 1))
+        ).alias("__wh"),
+    )
+    return (
+        covered.groupBy("key", "__wh")
+        .agg(F.countDistinct("user").cast("long").alias("n_active"))
+        .select(
+            "key",
+            F.timestamp_seconds(F.col("__wh") * interval_seconds).alias(
+                "window_start"
+            ),
+            "n_active",
+        )
+    )
+
+
+def sliding_distinct_sql(
+    events_cte: str,
+    key_col: str,
+    ts_col: str,
+    user_col: str,
+    window_hours: int = 24,
+    interval_seconds: int = 3600,
+) -> str:
+    """DuckDB restatement; a final CTE ``sdau(key, window_start,
+    n_active)`` with the identical covered-window expansion."""
+    return f"""scells AS (
+      SELECT DISTINCT {key_col} AS key, {user_col} AS u,
+             CAST(floor(epoch(CAST({ts_col} AS TIMESTAMP))) AS BIGINT)
+               // {interval_seconds} AS h
+      FROM {events_cte}),
+    scover AS (
+      SELECT key, u, unnest(range(h, h + {window_hours})) AS wh
+      FROM scells),
+    sdau AS (
+      SELECT key,
+             make_timestamp(wh * {interval_seconds} * 1000000)
+               AS window_start,
+             CAST(count(DISTINCT u) AS BIGINT) AS n_active
+      FROM scover GROUP BY key, wh)"""

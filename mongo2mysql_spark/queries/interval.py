@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from mongo2mysql_spark.functions.scalar import dsum, sql_dsum
 from mongo2mysql_spark.operators.rangejoin import range_join_bucketed
+from mongo2mysql_spark.operators.rollup import sliding_distinct_sql
 from mongo2mysql_spark.queries import register
 from mongo2mysql_spark.sources import load_table as T
 
@@ -142,10 +143,17 @@ def range_join_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tagged_union({"point": point, "overlap": overlap})
 
 
+# sliding-distinct branch (operators/rollup.sliding_distinct): exact
+# trailing-24h distinct users per (event_type, hour)
+_SLIDE_HOURS = 24
+
+
 @register(
     "events_hypertable_rollup",
-    """
-    WITH hourly AS (
+    f"""
+    WITH {sliding_distinct_sql("events", "event_type", "ts", "user_id",
+                               _SLIDE_HOURS)},
+    hourly AS (
       SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket, event_type,
              COUNT(*) AS n, SUM(CAST(value AS DECIMAL(30,10))) AS s
       FROM events GROUP BY 1, 2
@@ -164,6 +172,9 @@ def range_join_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'day', CAST(bucket AS TIMESTAMP), event_type, n, CAST(ROUND(s, 4) AS DOUBLE) FROM daily
     UNION ALL
     SELECT 'week', CAST(bucket AS TIMESTAMP), event_type, n, CAST(ROUND(s, 4) AS DOUBLE) FROM weekly
+    UNION ALL
+    SELECT 'sliding24h', window_start, key, n_active,
+           CAST(NULL AS DOUBLE) FROM sdau
     """,
     doc=(
         "hypertable rollup (continuous-aggregate shape): hour/day/week "
@@ -181,14 +192,26 @@ def range_join_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "oracle states (COUNT and the decimal SUM are algebraic).  One "
         "slot therefore hash-verifies the batch rollup algebra AND the "
         "streaming store round-trip (parquet partials, manifest swap, "
-        "epoch bookkeeping)."
+        "epoch bookkeeping).  'sliding24h' rows: exact sliding-window "
+        "distinct users per (event_type, hour) — the DAU shape "
+        "(operators/rollup.sliding_distinct): sliding DISTINCT does not "
+        "decompose into mergeable partials like the SUM/COUNT rollup "
+        "above, so the exact path is the covered-window expansion — "
+        "dedup to (key, user, hour) activity cells (the only corpus-"
+        "sized shuffle), each cell votes in the 24 windows it covers, "
+        "one count-distinct per window; cost is activity-cells × 24, "
+        "never raw-event × 24.  The HLL hour-partial merge the sketch "
+        "slot serves is the approximate alternative at extreme scale."
     ),
 )
 def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from mongo2mysql_spark.operators.rollup import rollup_levels_from_partials
+    from mongo2mysql_spark.operators.rollup import (
+        rollup_levels_from_partials,
+        sliding_distinct,
+    )
     from mongo2mysql_spark.streaming.pipeline import stream_events
     from mongo2mysql_spark.streaming.rollup import (
         read_partial_store,
@@ -209,6 +232,17 @@ def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination(300)
     store = read_partial_store(spark, store_dir).localCheckpoint()
     shutil.rmtree(work, ignore_errors=True)
-    return rollup_levels_from_partials(
+    levels = rollup_levels_from_partials(
         store, ["event_type"], levels=("hour", "day", "week")
     )
+    dau = sliding_distinct(
+        T(spark, sf_dir, "events", fanout=True),
+        "event_type", "ts", "user_id", window_hours=_SLIDE_HOURS,
+    ).select(
+        F.lit("sliding24h").alias("granularity"),
+        F.col("window_start").alias("bucket"),
+        F.col("key").alias("event_type"),
+        F.col("n_active").alias("n_rows"),
+        F.lit(None).cast("double").alias("sum_val"),
+    )
+    return levels.unionByName(dau)

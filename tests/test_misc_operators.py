@@ -1447,3 +1447,49 @@ def test_cusum_planted_level_shift(spark):
     assert not any(a for i, (s_, a) in expect.items() if i < 50)
     assert any(a for i, (s_, a) in expect.items() if i >= 50)
     assert out[0].target_q == target_q
+
+
+def test_sliding_distinct_matches_bruteforce(spark):
+    """Covered-window expansion equals the brute-force trailing-window
+    distinct count; re-appearing users count once per window."""
+    import random
+    from datetime import datetime, timedelta
+
+    from mongo2mysql_spark.operators.rollup import sliding_distinct
+
+    base = datetime(2024, 3, 1)
+    rng = random.Random(71)
+    rows = [
+        (
+            i,
+            base + timedelta(hours=rng.randrange(0, 60),
+                             minutes=rng.randrange(60)),
+            rng.randrange(8),
+            rng.choice(["a", "b"]),
+        )
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    K = 4
+    got = {
+        (r.key, r.window_start): r.n_active
+        for r in sliding_distinct(
+            df, "event_type", "ts", "user_id", window_hours=K
+        ).collect()
+    }
+    # brute force over hours
+    acts: dict = {}
+    for _i, ts, u, k in rows:
+        h = int(ts.timestamp()) // 3600
+        acts.setdefault(k, set()).add((u, h))
+    expect = {}
+    for k, cells in acts.items():
+        hours = {h for _u, h in cells}
+        for wh in range(min(hours), max(hours) + K):
+            users = {u for u, h in cells if wh - K < h <= wh}
+            if users:
+                expect[(k, datetime.utcfromtimestamp(wh * 3600))] = len(users)
+    got_n = {(k, w.replace(tzinfo=None)): n for (k, w), n in got.items()}
+    assert got_n == expect
