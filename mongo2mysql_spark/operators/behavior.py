@@ -53,6 +53,7 @@ def funnel_counts(
     ts_col: str,
     id_col: str,
     steps: list[str],
+    within_ms: int | None = None,
 ) -> DataFrame:
     """Ordered-funnel user counts: row i = users whose step-i event
     happened strictly after their step-(i−1) completion, where a
@@ -60,6 +61,15 @@ def funnel_counts(
     events (= earliest ts, min id among its ties — the same
     max-then-min-id resolve the diversity selectors use, so float/ts
     ties can't fork engines).
+
+    ``within_ms`` adds the windowFunnel-style time constraint: every
+    later step must also land within ``within_ms`` of the user's
+    step-1 completion (first-touch attribution window).  This is the
+    deterministic first-anchor variant — the anchor is the FIRST
+    step-1 completion, not ClickHouse's max-level search over all
+    anchors — documented as such; completions stay lexicographic
+    minima so the constrained funnel hash-gates exactly like the
+    unconstrained one.
 
     Output: (step 1-based INT, event_type, users, denom = previous
     step's users, rate = users/denom as IEEE double; NULLs at step 1).
@@ -73,9 +83,21 @@ def funnel_counts(
         ev = events.filter(F.col(type_col) == step)
         if reached is not None:
             ev = ev.join(reached, user_col).filter(at > F.col("__at"))
-        reached = (
-            ev.groupBy(user_col).agg(F.min(at).alias("__at"))
-        ).localCheckpoint(eager=False)
+            if within_ms is not None:
+                ev = ev.filter(
+                    F.unix_millis(F.col(ts_col))
+                    <= F.col("__anchor_ms") + within_ms
+                )
+        agg = ev.groupBy(user_col).agg(F.min(at).alias("__at"))
+        if i == 1:
+            agg = agg.withColumn(
+                "__anchor_ms", F.unix_millis(F.col(f"__at.{ts_col}"))
+            )
+        elif within_ms is not None:
+            agg = agg.join(
+                reached.select(user_col, "__anchor_ms"), user_col
+            )
+        reached = agg.localCheckpoint(eager=False)
         counts.append(
             reached.agg(F.count(F.lit(1)).alias("users")).select(
                 F.lit(i).alias("step"),

@@ -23,47 +23,66 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 FUNNEL_STEPS = ["signup", "view", "click", "purchase"]
+FUNNEL_WINDOW_MS = 86_400_000  # windowFunnel bound: 24h from step 1
 PATH_DEPTH = 4
 PATH_K = 10
 
 
-def _funnel_ctes(steps: list[str]) -> str:
+def _funnel_ctes(
+    steps: list[str], prefix: str = "fs", within_ms: int | None = None
+) -> str:
+    """Two-phase lexicographic-min funnel chain; ``within_ms`` adds the
+    windowFunnel time bound against the step-1 completion (the anchor
+    is threaded through every fs CTE as ``anchor_ms``)."""
+    x = prefix
     ctes = []
     for i, step in enumerate(steps, start=1):
         qualify = f"e.event_type = '{step}'"
         joins = ""
         if i > 1:
-            joins = f"JOIN fs{i - 1} p ON p.user_id = e.user_id"
+            joins = f"JOIN {x}{i - 1} p ON p.user_id = e.user_id"
             qualify += " AND (e.ts, e.event_id) > (p.t, p.i)"
+            if within_ms is not None:
+                qualify += (
+                    f" AND epoch_ms(CAST(e.ts AS TIMESTAMP))"
+                    f" <= p.anchor_ms + {within_ms}"
+                )
+        anchor = (
+            "epoch_ms(CAST(a.t AS TIMESTAMP)) AS anchor_ms"
+            if i == 1
+            else "p.anchor_ms"
+        )
+        group_anchor = "" if i == 1 else ", p.anchor_ms"
         ctes.append(
-            f"""fs{i}a AS (
+            f"""{x}{i}a AS (
       SELECT e.user_id, min(e.ts) AS t
       FROM events e {joins}
       WHERE {qualify}
       GROUP BY e.user_id)"""
         )
         ctes.append(
-            f"""fs{i} AS (
-      SELECT e.user_id, a.t, min(e.event_id) AS i
+            f"""{x}{i} AS (
+      SELECT e.user_id, a.t, min(e.event_id) AS i, {anchor}
       FROM events e
-      JOIN fs{i}a a ON a.user_id = e.user_id AND e.ts = a.t
+      JOIN {x}{i}a a ON a.user_id = e.user_id AND e.ts = a.t
       {joins}
       WHERE {qualify}
-      GROUP BY e.user_id, a.t)"""
+      GROUP BY e.user_id, a.t{group_anchor})"""
         )
     count_rows = "\n      UNION ALL ".join(
         f"SELECT CAST({i} AS INTEGER) AS step, '{step}' AS event_type, "
-        f"count(*) AS users FROM fs{i}"
+        f"count(*) AS users FROM {x}{i}"
         for i, step in enumerate(steps, start=1)
     )
-    ctes.append(f"fcounts AS (\n      {count_rows})")
+    ctes.append(f"{x}counts AS (\n      {count_rows})")
+    final = "funnel" if x == "fs" else f"{x}funnel"
     ctes.append(
-        """funnel AS (
+        f"""{final} AS (
       SELECT c.step, c.event_type, c.users, p.users AS denom,
              CASE WHEN p.users > 0
                   THEN CAST(c.users AS DOUBLE) / CAST(p.users AS DOUBLE)
              END AS rate
-      FROM fcounts c LEFT JOIN fcounts p ON p.step = c.step - 1)"""
+      FROM {x}counts c LEFT JOIN {x}counts p ON p.step = c.step - 1)"""
     )
     return ",\n    ".join(ctes)
 
@@ -198,7 +217,10 @@ def behavior_oracle_parts() -> tuple[str, str]:
     COVERAGE.md slot policy; the legs fill the session columns with
     typed NULLs and vice versa)."""
     ctes = ",\n    ".join(
-        [_funnel_ctes(FUNNEL_STEPS), _RETENTION_CTES, _TRANSITION_CTES,
+        [_funnel_ctes(FUNNEL_STEPS),
+         _funnel_ctes(FUNNEL_STEPS, prefix="fw",
+                      within_ms=FUNNEL_WINDOW_MS),
+         _RETENTION_CTES, _TRANSITION_CTES,
          _PATH_CTES, _LATENCY_CTES]
     )
     _BEH_BASE_NULLS = """CAST(NULL AS INTEGER) AS step,
@@ -226,6 +248,15 @@ def behavior_oracle_parts() -> tuple[str, str]:
            active AS users, cohort_size AS denom, rate,
            {_LAT_NULLS}
     FROM retention
+    UNION ALL
+    SELECT 'funnelwin' AS branch, {_SESSION_NULLS},
+           step, event_type,
+           CAST(NULL AS VARCHAR) AS next_type,
+           CAST(NULL AS DATE) AS cohort_week,
+           CAST(NULL AS INTEGER) AS week_offset,
+           users, denom, rate,
+           {_LAT_NULLS}
+    FROM fwfunnel
     UNION ALL
     SELECT 'funnelstate' AS branch, {_SESSION_NULLS},
            step, event_type,
@@ -355,6 +386,10 @@ def behavior_branches(spark, sf_dir: str, e: DataFrame) -> dict[str, DataFrame]:
     fun = funnel_counts(
         e, "user_id", "event_type", "ts", "event_id", FUNNEL_STEPS
     ).select("step", "event_type", "users", "denom", "rate")
+    funwin = funnel_counts(
+        e, "user_id", "event_type", "ts", "event_id", FUNNEL_STEPS,
+        within_ms=FUNNEL_WINDOW_MS,
+    ).select("step", "event_type", "users", "denom", "rate")
     ret = retention_cohorts(e, "user_id", "ts").select(
         "cohort_week",
         "week_offset",
@@ -403,6 +438,7 @@ def behavior_branches(spark, sf_dir: str, e: DataFrame) -> dict[str, DataFrame]:
     )
     return {
         "funnel": fun,
+        "funnelwin": funwin,
         "retention": ret,
         "transitions": trans,
         "paths": paths,

@@ -257,3 +257,38 @@ def test_conversion_latency_strict_after_and_ties(spark):
         ).collect()
     }
     assert got == {1: 30_000, 3: 0}
+
+
+def test_funnel_within_window_excludes_late_steps(spark):
+    """windowFunnel bound: steps after the previous completion but
+    outside the step-1 anchor window do not count; the unconstrained
+    funnel still counts them."""
+    from datetime import datetime, timedelta
+
+    from mongo2mysql_spark.operators.behavior import funnel_counts
+
+    t0 = datetime(2024, 3, 1, 10, 0, 0)
+    rows = [
+        # user 1 completes a->b within the hour
+        (1, t0, 1, "a"), (2, t0 + timedelta(minutes=30), 1, "b"),
+        # user 2 completes a->b two hours after the anchor
+        (3, t0, 2, "a"), (4, t0 + timedelta(hours=2), 2, "b"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    plain = {
+        r.step: r.users
+        for r in funnel_counts(
+            df, "user_id", "event_type", "ts", "event_id", ["a", "b"]
+        ).collect()
+    }
+    windowed = {
+        r.step: r.users
+        for r in funnel_counts(
+            df, "user_id", "event_type", "ts", "event_id", ["a", "b"],
+            within_ms=3_600_000,
+        ).collect()
+    }
+    assert plain == {1: 2, 2: 2}
+    assert windowed == {1: 2, 2: 1}
