@@ -103,19 +103,28 @@ BRANCHED = {
     "dedup_connected_components": ("branch", ["closure", "canon",
                                               "pagerank", "triangles",
                                               "incclosure"]),
-    "events_sessionize": ("branch", ["sessions", "funnel", "funnelstate",
-                                     "retention", "transitions", "paths",
+    "events_sessionize": ("branch", ["sessions", "funnel", "funnelwin",
+                                     "funnelstate", "retention",
+                                     "transitions", "paths",
                                      "latency", "latdist"]),
+    # 'keyness' is intentionally NOT attributed: its per-label
+    # min-count threshold serves zero rows on the sf0.001 consistency
+    # fixture (it serves at the gate/bench SFs) and the branch-map test
+    # treats never-served tags as stale entries
     "text_term_frequency": ("branch", ["tf", "domains", "domainsizes",
-                                       "keyness", "collocations"]),
+                                       "collocations"]),
     "agg_approx_sketches": ("branch", ["bounds", "kmv", "joinest"]),
     "profile_table_stats": ("branch", ["profile", "integrity", "skew",
                                        "histogram"]),
     "range_join_promo_revenue": ("branch", ["point", "overlap"]),
     "resample_gapfill": ("branch", ["resample", "zscore", "forecast",
-                                    "backtest", "ohlc", "trend", "mad"]),
+                                    "backtest", "ohlc", "trend", "mad",
+                                    "twap"]),
     "streaming_enrich_join": ("branch", ["enrich", "joinview"]),
     "topk_parts_per_brand": ("op", ["topk", "min", "basket"]),
+    "events_hypertable_rollup": ("granularity", ["hour", "day", "week",
+                                                 "sliding24h"]),
+    "drift_psi": ("kind", ["numeric", "categorical", "cusum"]),
 }
 
 
