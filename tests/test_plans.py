@@ -209,17 +209,20 @@ def test_range_join_is_equi_join_not_nested_loop(spark):
 
 
 def test_hypertable_rollup_serves_from_store_not_raw(spark):
-    """The registered rollup now computes through the STREAMING refresh
+    """The registered rollup computes through the STREAMING refresh
     (streaming/rollup.py): by serve time the raw events were consumed
-    by the foreachBatch runs, so the SERVING plan must contain no
-    events parquet scan at all — every union leg (hour, day, week)
-    reads the materialized partial store (the continuous-aggregate
-    contract: raw history never rescanned)."""
+    by the foreachBatch runs, so the hour/day/week legs must read the
+    materialized partial store, never the raw table (the continuous-
+    aggregate contract).  The 'sliding24h' leg is the documented
+    exception: sliding DISTINCT has no mergeable-partial store (the
+    partials hold no user identities), so that ONE leg scans events —
+    exactly one raw scan in the whole serving plan."""
     df = REGISTRY["events_hypertable_rollup"].fn(spark, SF_DIR)
     plan = physical_plan(df)
-    assert "events" not in plan  # no raw rescan in the serving plan
-    # three legs over the checkpointed store materialization
+    # three rollup legs over the checkpointed store materialization
     assert plan.count("Scan ExistingRDD") == 3
+    # exactly one events parquet scan: the sliding-distinct leg
+    assert plan.count("events.parquet") == 1
 
 
 def test_connected_components_stars_are_equi_joins(spark):
