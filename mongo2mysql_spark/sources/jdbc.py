@@ -149,3 +149,51 @@ def execute_ddl(statements: list[str], connection_factory: Callable[[], object])
         conn.commit()
     finally:
         conn.close()
+
+
+def plan_read_partitions(
+    lo: int,
+    hi: int,
+    num_partitions: int,
+    key_col: str,
+    extra_predicate: str | None = None,
+) -> list[str]:
+    """Partition predicates for a parallel JDBC source read — the
+    planner behind ``spark.read.jdbc(partitionColumn=...)``, exposed so
+    custom readers (and the mongo exporter's SQL-side mirror) can plan
+    reads over any connector: ``num_partitions`` contiguous key ranges
+    covering [lo, hi] with every boundary computed by the SAME integer
+    stride arithmetic Spark uses (stride = (hi − lo) DIV n; the last
+    partition absorbs the remainder, the first and last ranges are
+    open-ended so rows OUTSIDE the sampled min/max still land in a
+    partition — a reader that drops them silently loses late inserts).
+
+    Each returned string is a WHERE-clause fragment; a reader runs one
+    query per fragment in parallel.  ``extra_predicate`` is ANDed onto
+    every fragment (pushdown of the caller's filter).
+    """
+    if num_partitions < 1:
+        raise ValueError(f"num_partitions must be >= 1, got {num_partitions}")
+    if hi < lo:
+        raise ValueError(f"hi < lo: [{lo}, {hi}]")
+    extra = f" AND ({extra_predicate})" if extra_predicate else ""
+    if num_partitions == 1 or hi == lo:
+        return [f"1=1{extra}" if extra else "1=1"]
+    stride = (hi - lo) // num_partitions
+    if stride == 0:
+        stride = 1
+        num_partitions = (hi - lo) or 1
+    preds = []
+    bound = lo
+    for i in range(num_partitions):
+        nxt = bound + stride
+        if i == 0:
+            preds.append(f"{key_col} < {nxt}{extra}")
+        elif i == num_partitions - 1:
+            preds.append(f"{key_col} >= {bound}{extra}")
+        else:
+            preds.append(
+                f"{key_col} >= {bound} AND {key_col} < {nxt}{extra}"
+            )
+        bound = nxt
+    return preds

@@ -703,3 +703,49 @@ def test_mongo_cursor_batches_retry_budget_is_consecutive():
     with _pytest.raises(RuntimeError, match="network"):
         list(iter_collection_batches(coll, batch_size=2, max_retries=2))
     assert len(coll.queries) == 3  # initial + 2 retries
+
+
+def test_plan_read_partitions_covers_every_row():
+    """Partition predicates are a disjoint cover of the integers:
+    every key (including keys OUTSIDE the sampled [lo, hi]) matches
+    exactly one fragment — the late-insert guarantee."""
+    import sqlite3
+
+    from mongo2mysql_spark.sources.jdbc import plan_read_partitions
+
+    preds = plan_read_partitions(0, 1000, 7, "k")
+    assert len(preds) == 7
+    con = sqlite3.connect(":memory:")
+    con.execute("CREATE TABLE t (k INTEGER)")
+    keys = list(range(-50, 1100, 7)) + [0, 1000, -1, 1001]
+    con.executemany("INSERT INTO t VALUES (?)", [(k,) for k in keys])
+    total = 0
+    for p in preds:
+        total += con.execute(f"SELECT count(*) FROM t WHERE {p}").fetchone()[0]
+    assert total == len(keys)  # disjoint AND complete
+    # every key matches exactly one predicate
+    multi = con.execute(
+        "SELECT count(*) FROM t WHERE "
+        + " AND ".join(f"({p})" for p in preds[:2])
+    ).fetchone()[0]
+    assert multi == 0
+
+
+def test_plan_read_partitions_edges_and_pushdown():
+    from mongo2mysql_spark.sources.jdbc import plan_read_partitions
+
+    # degenerate range and single partition collapse to catch-all
+    assert plan_read_partitions(5, 5, 4, "k") == ["1=1"]
+    assert plan_read_partitions(0, 10, 1, "k") == ["1=1"]
+    # stride-0 (more partitions than keys) degrades to per-key ranges
+    preds = plan_read_partitions(0, 3, 10, "k")
+    assert len(preds) == 3
+    # extra predicate lands on every fragment
+    preds = plan_read_partitions(0, 100, 3, "k", "src = 'a'")
+    assert all("src = 'a'" in p for p in preds)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        plan_read_partitions(0, 10, 0, "k")
+    with _pytest.raises(ValueError):
+        plan_read_partitions(10, 0, 2, "k")
