@@ -315,3 +315,84 @@ def conversion_latency(
             - F.unix_millis(F.col(f"__v.{ts_col}"))
         ).cast("long").alias("latency_ms"),
     )
+
+
+def funnel_max_level(
+    events: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    id_col: str,
+    steps: list[str],
+    within_ms: int,
+) -> DataFrame:
+    """ClickHouse ``windowFunnel`` MAX-LEVEL semantics: per user, the
+    maximum step count L reachable by ANY chain of events matching
+    ``steps[0..L-1]`` in strictly increasing ``(ts, id)`` order with
+    the whole chain inside ``within_ms`` of its OWN first event.
+
+    This is the re-entrant-user complement of
+    :func:`funnel_counts(within_ms=)`: that one anchors at the user's
+    FIRST step-1 completion (deterministic first-touch attribution);
+    ClickHouse searches over ALL step-1 anchors for the deepest chain,
+    so a user whose first session stalls but whose second converts
+    still scores the full level.
+
+    Plan: every step-1 event is an anchor; each later step advances
+    every live anchor to its EARLIEST qualifying next event (greedy —
+    optimal for a fixed anchor by the exchange argument: taking the
+    lexicographic-min qualifying event never forecloses a longer
+    chain, so greedy-per-anchor ∨ anchors ≡ the existence optimum,
+    which is exactly what the slot's oracle states as independent
+    k-way EXISTS joins).  Each advance is one user-keyed join of the
+    anchor frame (user × live anchors) against the step's pushed-
+    filter scan plus a map-side-combined min — shuffles key on the
+    high-cardinality user column.  Per-user cost is anchors ×
+    step-events (the windowFunnel cost model everywhere); the time
+    bound prunes anchors as it advances.
+
+    Returns (user_id, level INT) for every user with >= 1 step-1
+    event; level in [1, len(steps)].
+    """
+    if len(steps) < 2:
+        raise ValueError("a funnel needs at least 2 steps")
+    at = F.struct(F.col(ts_col), F.col(id_col))
+    user = F.col(user_col)
+    frontier = (
+        events.filter(F.col(type_col) == steps[0])
+        .select(
+            user.alias("user_id"),
+            at.alias("__at"),
+            F.unix_millis(F.col(ts_col)).alias("__a_ms"),
+        )
+        # anchor identity = the step-1 event itself; __at advances
+        .withColumn("__anchor", F.col("__at"))
+    )
+    reached = [frontier.select("user_id").distinct()
+               .select("user_id", F.lit(1).alias("level"))]
+    for i, step in enumerate(steps[1:], start=2):
+        ev = events.filter(F.col(type_col) == step).select(
+            user.alias("user_id"),
+            at.alias("__e"),
+            F.unix_millis(F.col(ts_col)).alias("__e_ms"),
+        )
+        frontier = (
+            frontier.join(ev, "user_id")
+            .filter(
+                (F.col("__e") > F.col("__at"))
+                & (F.col("__e_ms") <= F.col("__a_ms") + within_ms)
+            )
+            .groupBy("user_id", "__anchor", "__a_ms")
+            .agg(F.min("__e").alias("__at"))
+            .localCheckpoint(eager=False)
+        )
+        reached.append(
+            frontier.select("user_id").distinct()
+            .select("user_id", F.lit(i).alias("level"))
+        )
+    out = reached[0]
+    for r in reached[1:]:
+        out = out.unionByName(r)
+    return out.groupBy("user_id").agg(
+        F.max("level").cast("int").alias("level")
+    )

@@ -35,9 +35,33 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
+
+
+def rescan_predicate(value_col: str, ranges: list[tuple]) -> Column:
+    """The phase-2 rescan filter as a predicate on the RAW value
+    column: an OR of closed ranges ``lo <= v <= hi``, one per hit
+    bucket, each [lo, hi] the bucket's OBSERVED min/max from the
+    phase-1 histogram.  Because the comparisons are plain attribute
+    references (not the derived ``FLOOR(v)`` bucket, which Spark
+    cannot convert to a parquet filter), they reach the scan as
+    PushedFilters and prune row-groups by their min/max statistics —
+    the property ``tests/test_plans.py`` asserts.  Under the monotone
+    bucket contract the range union selects EXACTLY the hit buckets'
+    rows: if blo <= v <= bhi for bucket b's observed extremes, then
+    bucket(blo) <= bucket(v) <= bucket(bhi) forces bucket(v) == b.
+    """
+    pred = None
+    for lo, hi in ranges:
+        term = (F.col(value_col) >= F.lit(lo)) & (
+            F.col(value_col) <= F.lit(hi)
+        )
+        pred = term if pred is None else (pred | term)
+    if pred is None:
+        raise ValueError("rescan needs at least one hit-bucket range")
+    return pred
 
 
 def exact_quantiles(
@@ -93,16 +117,23 @@ def exact_quantiles(
     # so the cumulative window below is a bounded single partition
     # (documented contract, same class as the vocab-sized df-rank sort
     # in operators/ppjoin.py)
-    hist = vals.groupBy("__b").agg(F.count(F.lit(1)).alias("__c"))
+    hist = vals.groupBy("__b").agg(
+        F.count(F.lit(1)).alias("__c"),
+        F.min("__v").alias("__blo"),
+        F.max("__v").alias("__bhi"),
+    )
     cum = hist.select(
         "__b",
         "__c",
+        "__blo",
+        "__bhi",
         F.sum("__c").over(
             W.orderBy("__b").rowsBetween(W.unboundedPreceding, W.currentRow)
         ).alias("__cum"),
     ).localCheckpoint()  # bounded frame; reused once per distinct rank
     # locate each rank's bucket + in-bucket offset; ≤ len(ranks) rows
     locs = {}
+    brange = {}
     for r in ranks:
         row = (
             cum.filter(F.col("__cum") >= r)
@@ -111,12 +142,21 @@ def exact_quantiles(
             .collect()[0]
         )
         locs[r] = (row["__b"], r - (row["__cum"] - row["__c"]))
+        brange[row["__b"]] = (row["__blo"], row["__bhi"])
 
-    # phase 2: narrow re-read of ONLY the hit buckets (range predicate
-    # reaches the scan), per-bucket sort bounded by bucket size
+    # phase 2: narrow re-read of ONLY the hit buckets.  The filter is
+    # expressed on the RAW column as an OR of observed [min, max]
+    # ranges (rescan_predicate) — an attribute-reference predicate
+    # Spark CAN convert to parquet filters, so row-group min/max stats
+    # prune the rescan (FLOOR(col) IN (...) would evaluate post-scan
+    # and re-read the whole column).  Per-bucket sort bounded by
+    # bucket size.
     hit_buckets = sorted({b for b, _ in locs.values()})
     picked = (
-        vals.filter(F.col("__b").isin(hit_buckets))
+        vals.filter(
+            rescan_predicate("__v", [brange[b] for b in hit_buckets])
+            & F.col("__b").isin(hit_buckets)
+        )
         .select(
             "__v",
             "__b",
@@ -214,10 +254,19 @@ def equi_depth_histogram_sql(
     n_bucket)``.  ``quantile_cont`` interpolates exactly like Spark's
     ``percentile`` (the contract ``exact_quantiles`` is pinned to), so
     the boundary doubles and the comparison chain agree bit-for-bit."""
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     probs = ", ".join(str(i / n_buckets) for i in range(n_buckets + 1))
-    chain = " ".join(
-        f"WHEN v < qs[{i + 2}] THEN {i}" for i in range(n_buckets - 1)
-    )
+    if n_buckets == 1:
+        # an empty WHEN chain ("CASE ELSE 0 END") is a DuckDB parse
+        # error; with one bucket every row lands in bucket 0 — mirror
+        # the DataFrame side, which accepts n_buckets == 1
+        assign_expr = "0"
+    else:
+        chain = " ".join(
+            f"WHEN v < qs[{i + 2}] THEN {i}" for i in range(n_buckets - 1)
+        )
+        assign_expr = f"CASE {chain} ELSE {n_buckets - 1} END"
     x = prefix
     return f"""{x}q AS (
       SELECT quantile_cont({col}, [{probs}]) AS qs
@@ -227,7 +276,7 @@ def equi_depth_histogram_sql(
       FROM (SELECT unnest(generate_series(0, {n_buckets - 1})) AS i)
       CROSS JOIN {x}q),
     {x}assign AS (
-      SELECT CASE {chain} ELSE {n_buckets - 1} END AS bucket
+      SELECT {assign_expr} AS bucket
       FROM (SELECT {col} AS v FROM {source_cte} WHERE {col} IS NOT NULL)
       CROSS JOIN {x}q),
     {x}ist AS (
@@ -282,12 +331,16 @@ def grouped_exact_quantiles(
         *keys, F.col(col).alias("__v"), F.expr(bexpr).cast("long").alias("__b")
     )
     hist = vals.groupBy(*key_cols, "__b").agg(
-        F.count(F.lit(1)).alias("__c")
+        F.count(F.lit(1)).alias("__c"),
+        F.min("__v").alias("__blo"),
+        F.max("__v").alias("__bhi"),
     )
     cum = hist.select(
         *key_cols,
         "__b",
         "__c",
+        "__blo",
+        "__bhi",
         F.sum("__c")
         .over(
             W.partitionBy(*key_cols)
@@ -358,8 +411,32 @@ def grouped_exact_quantiles(
         .localCheckpoint(eager=False)
     )
     hits = loc.select(*key_cols, "__b").distinct()
+    # global value-range prune for the rescan: the union of the hit
+    # (key, bucket) pairs' observed [min, max] collapses to ONE closed
+    # range [glo, ghi] (1-row collect — bounded).  It is a SUPERSET of
+    # the semi-join's selection, expressed on the raw column so it
+    # reaches the parquet scan as a pushed BETWEEN (row-group pruning);
+    # the semi-join then does the exact per-(key, bucket) selection —
+    # results are unchanged, the rescan just stops reading row-groups
+    # entirely outside every hit bucket.
+    gb = (
+        loc.join(
+            # cum (not hist): both sides are localCheckpointed, so this
+            # 1-row bound collect reuses the phase-1 materialization the
+            # final plan also reads — no extra raw scan
+            cum.select(*key_cols, "__b", "__blo", "__bhi"),
+            key_cols + ["__b"],
+        )
+        .agg(F.min("__blo").alias("glo"), F.max("__bhi").alias("ghi"))
+        .first()
+    )
+    pruned = vals
+    if gb is not None and gb["glo"] is not None:
+        pruned = vals.filter(
+            rescan_predicate("__v", [(gb["glo"], gb["ghi"])])
+        )
     picked = (
-        vals.join(hits, key_cols + ["__b"], "left_semi")
+        pruned.join(hits, key_cols + ["__b"], "left_semi")
         .select(
             *key_cols,
             "__b",

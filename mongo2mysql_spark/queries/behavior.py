@@ -87,6 +87,51 @@ def _funnel_ctes(
     return ",\n    ".join(ctes)
 
 
+def _funnel_max_ctes(
+    steps: list[str], within_ms: int, prefix: str = "fm"
+) -> str:
+    """ClickHouse windowFunnel MAX-LEVEL restated as pure EXISTENCE:
+    level >= L iff an L-way join finds a strictly-(ts, id)-increasing
+    chain whose last event is within ``within_ms`` of its first (the
+    earlier links are then inside the window by transitivity).  This
+    is deliberately NOT the Spark side's greedy-anchor advance — the
+    hash match proves greedy-per-anchor ∨ anchors ≡ the existence
+    optimum (the exchange argument, machine-checked per row).  Final
+    CTE: ``funnelmax(user_id, level)``."""
+    x = prefix
+    ctes = []
+    for i, s in enumerate(steps, start=1):
+        ctes.append(
+            f"""{x}e{i} AS (
+      SELECT user_id, ts, event_id,
+             epoch_ms(CAST(ts AS TIMESTAMP)) AS ms
+      FROM events WHERE event_type = '{s}')"""
+        )
+    legs = [f"SELECT DISTINCT user_id, 1 AS level FROM {x}e1"]
+    for lvl in range(2, len(steps) + 1):
+        joins = "\n      ".join(
+            f"JOIN {x}e{j} t{j} ON t{j}.user_id = t1.user_id"
+            for j in range(2, lvl + 1)
+        )
+        chain = " AND ".join(
+            f"(t{j}.ts, t{j}.event_id) > (t{j - 1}.ts, t{j - 1}.event_id)"
+            for j in range(2, lvl + 1)
+        )
+        legs.append(
+            f"""SELECT DISTINCT t1.user_id, {lvl} AS level
+      FROM {x}e1 t1
+      {joins}
+      WHERE {chain} AND t{lvl}.ms <= t1.ms + {within_ms}"""
+        )
+    union = "\n      UNION ALL ".join(legs)
+    ctes.append(
+        f"""funnelmax AS (
+      SELECT user_id, CAST(max(level) AS INTEGER) AS level
+      FROM ({union}) GROUP BY user_id)"""
+    )
+    return ",\n    ".join(ctes)
+
+
 _RETENTION_CTES = """rfirst AS (
       SELECT user_id, min(CAST(date_trunc('week', ts) AS DATE)) AS cohort_week
       FROM events GROUP BY user_id),
@@ -220,6 +265,7 @@ def behavior_oracle_parts() -> tuple[str, str]:
         [_funnel_ctes(FUNNEL_STEPS),
          _funnel_ctes(FUNNEL_STEPS, prefix="fw",
                       within_ms=FUNNEL_WINDOW_MS),
+         _funnel_max_ctes(FUNNEL_STEPS, FUNNEL_WINDOW_MS),
          _RETENTION_CTES, _TRANSITION_CTES,
          _PATH_CTES, _LATENCY_CTES]
     )
@@ -297,6 +343,23 @@ def behavior_oracle_parts() -> tuple[str, str]:
            CAST(NULL AS DOUBLE) AS lat_p50,
            CAST(NULL AS DOUBLE) AS lat_p90
     FROM lat
+    UNION ALL
+    SELECT 'funnelmax' AS branch,
+           user_id,
+           CAST(NULL AS INTEGER) AS session_id,
+           CAST(NULL AS BIGINT) AS n_events,
+           CAST(NULL AS TIMESTAMP) AS session_start,
+           CAST(NULL AS TIMESTAMP) AS session_end,
+           level AS step,
+           CAST(NULL AS VARCHAR) AS event_type,
+           CAST(NULL AS VARCHAR) AS next_type,
+           CAST(NULL AS DATE) AS cohort_week,
+           CAST(NULL AS INTEGER) AS week_offset,
+           CAST(NULL AS BIGINT) AS users,
+           CAST(NULL AS BIGINT) AS denom,
+           CAST(NULL AS DOUBLE) AS rate,
+           {_LAT_NULLS}
+    FROM funnelmax
     UNION ALL
     SELECT 'latdist' AS branch, {_SESSION_NULLS},
            CAST(NULL AS INTEGER) AS step,
@@ -379,6 +442,7 @@ def behavior_branches(spark, sf_dir: str, e: DataFrame) -> dict[str, DataFrame]:
     from mongo2mysql_spark.operators.behavior import (
         event_transitions,
         funnel_counts,
+        funnel_max_level,
         retention_cohorts,
         session_paths,
     )
@@ -447,4 +511,14 @@ def behavior_branches(spark, sf_dir: str, e: DataFrame) -> dict[str, DataFrame]:
         ),
         "latency": lat.select("user_id", "latency_ms"),
         "latdist": latdist,
+        # ClickHouse windowFunnel max-level semantics (all anchors
+        # searched — the re-entrant-user complement of 'funnelwin''s
+        # deterministic first-anchor variant); level rides the step
+        # column, per-user rows hash against an INDEPENDENT existence
+        # restatement (k-way chain joins), so the greedy-anchor
+        # advance is machine-proved equal to the existence optimum
+        "funnelmax": funnel_max_level(
+            e, "user_id", "event_type", "ts", "event_id",
+            FUNNEL_STEPS, within_ms=FUNNEL_WINDOW_MS,
+        ).select("user_id", F.col("level").alias("step")),
     }

@@ -184,7 +184,12 @@ def agg_stats_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
     qqty = grouped_exact_quantiles(
         li, ["l_returnflag"], "l_quantity", {"med_qty": 0.5}
     )
-    return base.join(qprice, "l_returnflag").join(qqty, "l_returnflag")
+    # LEFT joins: a group whose price/qty values are all NULL has no
+    # quantile row; it must survive with NULL percentiles (matching the
+    # previous F.percentile behavior), not vanish from the result
+    return base.join(qprice, "l_returnflag", "left").join(
+        qqty, "l_returnflag", "left"
+    )
 
 
 @register(

@@ -183,6 +183,13 @@ def plan_read_partitions(
     if stride == 0:
         stride = 1
         num_partitions = (hi - lo) or 1
+    if num_partitions == 1:
+        # hi-lo == 1 collapsed the plan to one fragment: the single
+        # fragment must be the SAME catch-all the early branch emits —
+        # a lone "key < lo+1" fragment would drop every row >= lo+1
+        # (including hi itself and late inserts), violating the
+        # open-ended coverage contract documented above
+        return [f"1=1{extra}" if extra else "1=1"]
     preds = []
     bound = lo
     for i in range(num_partitions):
@@ -197,3 +204,60 @@ def plan_read_partitions(
             )
         bound = nxt
     return preds
+
+
+def read_partitioned(
+    spark,
+    table: str,
+    columns: list[str],
+    schema: str,
+    predicates: list[str],
+    connection_factory: Callable[[], object],
+    fetch_size: int = 10_000,
+) -> DataFrame:
+    """EXECUTE a partitioned read plan in parallel: one task per
+    WHERE-clause fragment (``plan_read_partitions`` output), each task
+    opening its OWN DBAPI connection on the executor and streaming its
+    fragment's rows in ``fetch_size`` batches — the execution half of
+    ``spark.read.jdbc(partitionColumn=...)``, for any DBAPI connector
+    (tests drive it against sqlite; the planner's disjoint-cover
+    contract means the union of fragments is exactly the table).
+
+    ``connection_factory`` must be picklable to executors (a module-
+    level function or ``functools.partial`` over a path/DSN — NOT an
+    open connection: connections don't serialize, and per-task opening
+    is what makes retries/speculation safe for a read).  ``schema`` is
+    the explicit result schema (DDL string) — inference would collect
+    rows on the driver.
+
+    Scale: fragment count bounds concurrent connections; each task's
+    memory is one fetchmany batch, never the fragment.
+    """
+    from mongo2mysql_spark.plans.ddl import quote_ident
+
+    if not predicates:
+        raise ValueError("need at least one partition predicate")
+    collist = ", ".join(quote_ident(c) for c in columns)
+    frags = list(predicates)
+
+    def fetch(idx_iter):
+        for i in idx_iter:
+            conn = connection_factory()
+            try:
+                cur = conn.cursor()
+                cur.execute(
+                    f"SELECT {collist} FROM {quote_ident(table)} "
+                    f"WHERE {frags[i]}"
+                )
+                while True:
+                    rows = cur.fetchmany(fetch_size)
+                    if not rows:
+                        break
+                    yield from (tuple(r) for r in rows)
+            finally:
+                conn.close()
+
+    rdd = spark.sparkContext.parallelize(
+        range(len(frags)), len(frags)
+    ).mapPartitions(fetch)
+    return spark.createDataFrame(rdd, schema)

@@ -107,13 +107,26 @@ def refresh_join_view(
         raise ValueError(f"side must be 'a' or 'b', got {side!r}")
     spark = batch_df.sparkSession
     manifest = _read_manifest(store_dir)
+    # Per-WRITER replay guard: the two sides of the view are distinct
+    # writers (each derives its identity from its own checkpoint dir),
+    # so a single (writer, last_epoch) pair fails open when refreshes
+    # interleave — A applies epoch N, B commits (manifest now remembers
+    # only B), A's retried epoch N would double-apply its delta.  The
+    # manifest therefore keeps a {writer: last_epoch} MAP covering every
+    # writer ever seen.  Sides must still not refresh CONCURRENTLY: the
+    # manifest swap is a read-modify-write (documented contract; a
+    # foreachBatch per side serializes naturally because each side's
+    # micro-batches are sequential and interleavings between sides are
+    # guarded by the map, not by timing).
+    epochs = dict((manifest or {}).get("epochs") or {})
+    if manifest is not None and not epochs and manifest.get("writer"):
+        # legacy single-pair manifests upgrade in place
+        epochs = {manifest["writer"]: manifest.get("last_epoch")}
     if (
-        manifest is not None
-        and epoch is not None
+        epoch is not None
         and writer is not None
-        and manifest.get("writer") == writer
-        and manifest.get("last_epoch") is not None
-        and epoch <= manifest["last_epoch"]
+        and epochs.get(writer) is not None
+        and epoch <= epochs[writer]
     ):
         return False
     astate = _load(spark, store_dir, manifest, "astate")
@@ -177,12 +190,15 @@ def refresh_join_view(
             # the merges read the OLD version's parquet lazily while the
             # new version is written elsewhere — immutable-dir contract
             df.write.parquet(os.path.join(base, name))
+    if writer is not None:
+        epochs[writer] = epoch
     _publish_manifest(
         store_dir,
         {
             "store": new_rel,
             "writer": writer,
             "last_epoch": epoch,
+            "epochs": epochs,
             "previous": manifest["store"] if manifest else None,
         },
     )

@@ -292,3 +292,128 @@ def test_funnel_within_window_excludes_late_steps(spark):
     }
     assert plain == {1: 2, 2: 2}
     assert windowed == {1: 2, 2: 1}
+
+
+def test_funnel_max_level_reentrant_user_beats_first_anchor(spark):
+    """The ClickHouse max-level search: a user whose FIRST step-1
+    session stalls but whose SECOND converts scores the full level —
+    funnel_counts(within_ms=)'s first-anchor variant undercounts that
+    user by design (its documented deviation)."""
+    from datetime import datetime, timedelta
+
+    from mongo2mysql_spark.operators.behavior import (
+        funnel_counts,
+        funnel_max_level,
+    )
+
+    t0 = datetime(2024, 3, 1, 10, 0, 0)
+    w = 3_600_000  # 1h
+    rows = [
+        # user 1: anchor #1 at 10:00 — 'b' never lands inside its hour;
+        # anchor #2 at 13:00 converts a->b->c within the hour
+        (1, t0, 1, "a"),
+        (2, t0 + timedelta(hours=3), 1, "a"),
+        (3, t0 + timedelta(hours=3, minutes=10), 1, "b"),
+        (4, t0 + timedelta(hours=3, minutes=20), 1, "c"),
+        # user 2: only a lonely step-1
+        (5, t0, 2, "a"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    levels = {
+        r["user_id"]: r["level"]
+        for r in funnel_max_level(
+            df, "user_id", "event_type", "ts", "event_id",
+            ["a", "b", "c"], within_ms=w,
+        ).collect()
+    }
+    assert levels == {1: 3, 2: 1}
+    # the first-anchor variant stalls user 1 at level 1
+    first_anchor = {
+        r.step: r.users
+        for r in funnel_counts(
+            df, "user_id", "event_type", "ts", "event_id",
+            ["a", "b", "c"], within_ms=w,
+        ).collect()
+    }
+    assert first_anchor[2] == 0
+
+
+def test_funnel_max_level_greedy_equals_bruteforce(spark):
+    """Greedy-per-anchor == existence optimum (the exchange argument),
+    pinned against a driver-side brute force over random event sets."""
+    import itertools
+    import random
+    from datetime import datetime, timedelta
+
+    from mongo2mysql_spark.operators.behavior import funnel_max_level
+
+    random.seed(42)
+    steps = ["a", "b", "c"]
+    w_ms = 45 * 60 * 1000
+    t0 = datetime(2024, 5, 1)
+    rows = []
+    eid = 0
+    for u in range(25):
+        for _ in range(random.randint(1, 12)):
+            rows.append(
+                (
+                    eid,
+                    t0 + timedelta(minutes=random.randint(0, 300)),
+                    u,
+                    random.choice(steps),
+                )
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got = {
+        r["user_id"]: r["level"]
+        for r in funnel_max_level(
+            df, "user_id", "event_type", "ts", "event_id", steps, w_ms
+        ).collect()
+    }
+
+    # brute force: max L with ANY strictly-(ts, id)-increasing chain
+    # inside the window of its own first event
+    by_user: dict[int, list] = {}
+    for eid_, ts, u, t in rows:
+        by_user.setdefault(u, []).append((ts, eid_, t))
+    want = {}
+    for u, evs in by_user.items():
+        best = 0
+        for L in range(1, len(steps) + 1):
+            pools = [
+                [(ts, i) for ts, i, t in evs if t == steps[j]]
+                for j in range(L)
+            ]
+            found = False
+            for combo in itertools.product(*pools):
+                if all(
+                    combo[j] > combo[j - 1] for j in range(1, L)
+                ) and (
+                    combo[-1][0] - combo[0][0]
+                ).total_seconds() * 1000 <= w_ms:
+                    found = True
+                    break
+            if found:
+                best = L
+            else:
+                break
+        if best:
+            want[u] = best
+    assert got == want
+
+
+def test_funnel_max_level_rejects_single_step(spark):
+    from mongo2mysql_spark.operators.behavior import funnel_max_level
+
+    df = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    with pytest.raises(ValueError):
+        funnel_max_level(
+            df, "user_id", "event_type", "ts", "event_id", ["a"], 1000
+        )

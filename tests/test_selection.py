@@ -219,3 +219,88 @@ def test_mad_outliers_planted_and_degenerate(spark):
     # constant-majority series: mad = 0 -> degenerate, never outlier
     assert out[999].is_degenerate and not out[999].is_mad_outlier
     assert out[999].mad == 0.0 and out[999].abs_dev == 1.0
+
+
+def test_rescan_predicate_reaches_parquet_scan(spark, tmp_path):
+    """The phase-2 rescan filter is expressed on the RAW column as an
+    OR of observed [min, max] ranges, so it converts to parquet
+    PushedFilters (row-group pruning) — the r9 VERDICT finding: a
+    FLOOR(col)-IN(...) filter evaluates post-scan and re-reads the
+    whole column."""
+    from mongo2mysql_spark.operators.selection import rescan_predicate
+
+    p = str(tmp_path / "vals")
+    _df(spark, [float(i) for i in range(1000)]).write.parquet(p)
+    scan = spark.read.parquet(p).filter(
+        rescan_predicate("v", [(12.0, 13.5), (800.0, 801.25)])
+    )
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(v,12.0)" in plan
+    assert "LessThanOrEqual(v,13.5)" in plan
+    # and the filter is exact: only the in-range rows survive
+    got = sorted(r["v"] for r in scan.collect())
+    assert got == [12.0, 13.0, 800.0, 801.0]
+    with pytest.raises(ValueError):
+        rescan_predicate("v", [])
+
+
+def test_exact_quantiles_bit_equal_on_parquet_source(spark, tmp_path):
+    """End-to-end on a real parquet source (the pushdown path the plan
+    test asserts): still bit-identical to F.percentile."""
+    random.seed(77)
+    vals = [random.uniform(-100.0, 100.0) for _ in range(2000)]
+    p = str(tmp_path / "pq")
+    _df(spark, vals).write.parquet(p)
+    df = spark.read.parquet(p)
+    want = df.agg(
+        F.percentile("v", 0.25).alias("q25"),
+        F.percentile("v", 0.975).alias("q975"),
+    ).collect()[0]
+    got = exact_quantiles(df, "v", {"q25": 0.25, "q975": 0.975}).collect()[0]
+    assert got["q25"] == want["q25"]
+    assert got["q975"] == want["q975"]
+
+
+def test_equi_depth_histogram_sql_single_bucket(spark):
+    """n_buckets == 1 must be valid in BOTH restatements (the r9
+    ADVICE boundary divergence: the SQL helper emitted an empty WHEN
+    chain, a DuckDB parse error)."""
+    import duckdb
+
+    from mongo2mysql_spark.operators.selection import (
+        equi_depth_histogram,
+        equi_depth_histogram_sql,
+    )
+
+    vals = [float(i) for i in range(50)]
+    df_rows = equi_depth_histogram(_df(spark, vals), "v", n_buckets=1).collect()
+    assert len(df_rows) == 1 and df_rows[0]["n_bucket"] == 50
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE src AS SELECT unnest(range(50)) * 1.0 AS v")
+    cte = equi_depth_histogram_sql("src", "v", n_buckets=1)
+    sql_rows = con.execute(
+        f"WITH {cte} SELECT * FROM hist ORDER BY bucket"
+    ).fetchall()
+    assert len(sql_rows) == 1 and sql_rows[0][3] == 50
+    assert df_rows[0]["lo"] == sql_rows[0][1]
+    assert df_rows[0]["hi"] == sql_rows[0][2]
+    with pytest.raises(ValueError):
+        equi_depth_histogram_sql("src", "v", n_buckets=0)
+
+
+def test_grouped_quantiles_all_null_group_survives_left_join(spark):
+    """A group whose measured column is entirely NULL has no quantile
+    row; consumers (agg_stats_by_returnflag) LEFT-join so the group
+    survives with NULL percentiles instead of vanishing (r9 ADVICE)."""
+    from mongo2mysql_spark.operators.selection import grouped_exact_quantiles
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", None)], "k string, v double"
+    )
+    base = df.groupBy("k").count()
+    q = grouped_exact_quantiles(df, ["k"], "v", {"p50": 0.5})
+    out = {r["k"]: r["p50"] for r in base.join(q, "k", "left").collect()}
+    assert set(out) == {"a", "b"}
+    assert out["a"] == 2.0 and out["b"] is None

@@ -749,3 +749,88 @@ def test_plan_read_partitions_edges_and_pushdown():
         plan_read_partitions(0, 10, 0, "k")
     with _pytest.raises(ValueError):
         plan_read_partitions(10, 0, 2, "k")
+
+
+def test_plan_read_partitions_unit_range_collapses_to_catchall():
+    """hi - lo == 1 with num_partitions >= 2: the stride-0 adjustment
+    collapses the plan to ONE fragment, which must be the catch-all —
+    a lone 'k < lo+1' fragment drops hi itself and every late insert
+    (the r9 ADVICE finding)."""
+    import sqlite3
+
+    from mongo2mysql_spark.sources.jdbc import plan_read_partitions
+
+    for n in (2, 3, 16):
+        assert plan_read_partitions(5, 6, n, "k") == ["1=1"]
+    assert plan_read_partitions(5, 6, 3, "k", "src = 'a'") == [
+        "1=1 AND (src = 'a')"
+    ]
+    # end-to-end: rows at lo, hi AND outside the sampled range all land
+    con = sqlite3.connect(":memory:")
+    con.execute("CREATE TABLE t (k INTEGER)")
+    con.executemany("INSERT INTO t VALUES (?)", [(k,) for k in (4, 5, 6, 7)])
+    preds = plan_read_partitions(5, 6, 3, "k")
+    total = sum(
+        con.execute(f"SELECT count(*) FROM t WHERE {p}").fetchone()[0]
+        for p in preds
+    )
+    assert total == 4
+
+
+def _sqlite_connect(path):
+    import sqlite3
+
+    return sqlite3.connect(path)
+
+
+def test_read_partitioned_executes_fragments_in_parallel(spark, tmp_path):
+    """read_partitioned EXECUTES a partition plan: one Spark task per
+    fragment, each opening its own sqlite connection on the executor;
+    the union of fragments is exactly the table (late inserts outside
+    the sampled [lo, hi] included), and the fragment count is the RDD
+    partition count."""
+    import functools
+    import sqlite3
+
+    from mongo2mysql_spark.sources.jdbc import (
+        plan_read_partitions,
+        read_partitioned,
+    )
+
+    db = str(tmp_path / "src.db")
+    con = sqlite3.connect(db)
+    con.execute("CREATE TABLE t (k INTEGER, v TEXT)")
+    rows = [(k, f"v{k}") for k in range(0, 1000, 3)]
+    # late inserts OUTSIDE the planner's sampled [lo, hi]
+    rows += [(-7, "early"), (2024, "late")]
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    con.commit()
+    con.close()
+
+    preds = plan_read_partitions(0, 999, 4, "k")
+    df = read_partitioned(
+        spark,
+        "t",
+        ["k", "v"],
+        "k long, v string",
+        preds,
+        functools.partial(_sqlite_connect, db),
+        fetch_size=64,
+    )
+    assert df.rdd.getNumPartitions() == 4
+    got = {(r["k"], r["v"]) for r in df.collect()}
+    assert got == set(rows)
+    # single-fragment plan (degenerate range) also round-trips
+    df1 = read_partitioned(
+        spark, "t", ["k"], "k long",
+        plan_read_partitions(5, 6, 3, "k"),
+        functools.partial(_sqlite_connect, db),
+    )
+    assert df1.count() == len(rows)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        read_partitioned(
+            spark, "t", ["k"], "k long", [],
+            functools.partial(_sqlite_connect, db),
+        )

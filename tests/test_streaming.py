@@ -1216,3 +1216,41 @@ def test_join_view_epoch_replay_guard(spark, tmp_path):
     doubled = {(r["grp"], int(r["n_pairs"]), int(r["pair_sum_q"]))
                for r in read_join_view(spark, store).collect()}
     assert doubled == {(10, 2, 5_000_000)}
+
+
+def test_join_view_interleaved_writer_replay_guard(spark, tmp_path):
+    """Two-sided interleaving: A applies its epoch, B commits (manifest
+    last-writer becomes B), then A's SAME epoch is replayed by a
+    foreachBatch retry.  A last-(writer, epoch)-pair guard fails open
+    here and double-applies A's delta; the per-writer epoch MAP must
+    reject it."""
+    from mongo2mysql_spark.streaming.joinview import (
+        read_join_view,
+        refresh_join_view,
+    )
+
+    store = str(tmp_path / "jv")
+    a = spark.createDataFrame([(1, 10)], "k long, grp long")
+    b = spark.createDataFrame([(1, 2.5)], "k long, v double")
+    assert refresh_join_view(a, store, "a", "k", group_col="grp",
+                             writer="wa", epoch=0)
+    assert refresh_join_view(b, store, "b", "k", value_col="v",
+                             writer="wb", epoch=0)
+    first = {(r["grp"], int(r["n_pairs"]), int(r["pair_sum_q"]))
+             for r in read_join_view(spark, store).collect()}
+    assert first == {(10, 1, 2_500_000)}
+    # A's retried epoch 0 arrives AFTER B took the manifest: no-op
+    assert not refresh_join_view(a, store, "a", "k", group_col="grp",
+                                 writer="wa", epoch=0)
+    # and B's retried epoch 0 likewise
+    assert not refresh_join_view(b, store, "b", "k", value_col="v",
+                                 writer="wb", epoch=0)
+    again = {(r["grp"], int(r["n_pairs"]), int(r["pair_sum_q"]))
+             for r in read_join_view(spark, store).collect()}
+    assert again == first
+    # genuinely NEW epochs on both writers still apply
+    assert refresh_join_view(b, store, "b", "k", value_col="v",
+                             writer="wb", epoch=1)
+    doubled = {(r["grp"], int(r["n_pairs"]), int(r["pair_sum_q"]))
+               for r in read_join_view(spark, store).collect()}
+    assert doubled == {(10, 2, 5_000_000)}
