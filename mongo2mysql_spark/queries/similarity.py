@@ -1265,6 +1265,142 @@ _STATS_NULLS = """
            CAST(NULL AS BIGINT) AS max_abs_code,
            CAST(NULL AS DOUBLE) AS scale_q, CAST(NULL AS DOUBLE) AS qdot_self"""
 
+_CBINV_CHECKS = (
+    "opq_orthonormal",
+    "opq_norm_preserved",
+    "opq_encode_composed",
+    "lloyd_beats_stride",
+)
+_CBINV_VALUES = ", ".join("('%s')" % c for c in _CBINV_CHECKS)
+_CBINV_MEMO: dict[tuple, "DataFrame"] = {}
+
+
+def _codebook_invariants(spark, sf_dir: str, e) -> "DataFrame":
+    """Stated-TRUE verdicts for the FLOAT-trained codebook paths (the
+    r9 verdict's last oracle gap): the Lloyd trainer and the OPQ
+    rotation fold float partials in partition order, so their raw
+    outputs legitimately can't hash across engines — but their
+    INVARIANTS can.  Each check computes a boolean from the actually-
+    trained artifacts; the oracle states TRUE, so the driver hash only
+    matches when every invariant held on this run's training:
+
+    - opq_orthonormal: max |RᵀR − I| < 1e-8 on the trained rotation
+      (Procrustes updates compose orthogonal factors — drift would
+      mean the SVD step is broken);
+    - opq_norm_preserved: the DISTRIBUTED rotate_vectors output
+      (Arrow mapInPandas — the serving path's rotation stage),
+      collected at sample size, max |‖Rx‖ − ‖x‖| < 1e-6 every row;
+    - opq_encode_composed: nearest-centroid codes of that same
+      distributed-rotated output under the OPQ book are exactly m
+      per row, all in [0, k), and quantize STRICTLY tighter than the
+      stride book quantizes the unrotated sample (the Ge et al.
+      point of training R at all);
+    - lloyd_beats_stride: Lloyd-refined codebook distortion <= the
+      stride init's on the same bounded sample (monotone-descent
+      property of the k-means alternation).
+
+    Training input is a bounded deterministic sample (codebooks are
+    index metadata — never a corpus pass), so the branch's cost is
+    scale-invariant; verdict math runs driver-side over the collected
+    sample (bounded) — the DISTRIBUTED artifacts under test are the
+    mapInPandas trainer partials and the rotation stage.
+    """
+    from mongo2mysql_spark.queries import slot_memo
+
+    def build() -> "DataFrame":
+        return _codebook_invariants_build(spark, e)
+
+    return slot_memo(_CBINV_MEMO, spark, sf_dir, build)
+
+
+def _codebook_invariants_build(spark, e) -> "DataFrame":
+    import numpy as np
+
+    from mongo2mysql_spark.operators.pq import (
+        collect_codebook,
+        rotate_vectors,
+        train_codebook,
+        train_opq_distributed,
+    )
+
+    # bounded sample, collapsed to ONE partition: the trainers launch a
+    # job per iteration, and 32 near-empty tasks per stage is pure
+    # scheduler overhead at sample scale (at 100 TB the sample is still
+    # sample-sized — the coalesce is the right shape there too)
+    sample = (
+        e.filter(F.col("vec_id") < 1024)
+        .select("vec_id", "embedding")
+        .coalesce(1)
+        .localCheckpoint()
+    )
+    R, cb = train_opq_distributed(
+        sample, "vec_id", "embedding",
+        m_sub=PQ_M, stride=PQ_STRIDE, k_max=PQ_K, iters=2,
+    )
+    Rn = np.asarray(R, dtype=np.float64)
+    ortho_ok = bool(
+        np.abs(Rn.T @ Rn - np.eye(Rn.shape[0])).max() < 1e-8
+    )
+    raw = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in sample.collect()
+    }
+    rot = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in rotate_vectors(
+            sample, "vec_id", "embedding", R
+        ).collect()
+    }
+    norm_ok = bool(raw) and all(
+        abs(
+            float(np.linalg.norm(rot[i])) - float(np.linalg.norm(raw[i]))
+        ) < 1e-6
+        for i in raw
+    )
+    X = np.stack([raw[i] for i in sorted(raw)])
+    Xr = np.stack([rot[i] for i in sorted(rot)])
+    dsub = X.shape[1] // PQ_M
+
+    def _dists(mat, book):
+        """per-subspace (rows × k) squared distances"""
+        for j in range(PQ_M):
+            sub = mat[:, j * dsub:(j + 1) * dsub]
+            cents = np.asarray(book[j], dtype=np.float64)
+            yield ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+
+    def _distortion(mat, book) -> float:
+        return float(sum(d2.min(axis=1).sum() for d2 in _dists(mat, book)))
+
+    codes = np.stack([d2.argmin(axis=1) for d2 in _dists(Xr, cb)], axis=1)
+    cb0 = collect_codebook(
+        sample, "vec_id", "embedding",
+        m_sub=PQ_M, stride=PQ_STRIDE, k_max=PQ_K,
+    )
+    compose_ok = bool(
+        codes.shape == (len(raw), PQ_M)
+        and codes.min() >= 0
+        and codes.max() < PQ_K
+        and _distortion(Xr, cb) <= _distortion(X, cb0) * (1 + 1e-9)
+    )
+    cbL = train_codebook(
+        sample, "vec_id", "embedding",
+        m_sub=PQ_M, stride=PQ_STRIDE, k_max=PQ_K,
+        sample_n=1024, iters=3,
+    )
+    lloyd_ok = bool(
+        _distortion(X, cbL) <= _distortion(X, cb0) * (1 + 1e-9)
+    )
+    verdicts = dict(
+        zip(
+            _CBINV_CHECKS,
+            (ortho_ok, norm_ok, compose_ok, lloyd_ok),
+        )
+    )
+    return spark.createDataFrame(
+        [(name, verdicts[name]) for name in _CBINV_CHECKS],
+        "codes_str string, keep_hard boolean",
+    )
+
 
 @register(
     "embedding_stats",
@@ -1366,6 +1502,21 @@ _STATS_NULLS = """
            {_PQ_NULLS},
            proto_cid, proto_cos, proto_rank, cluster_n, keep_hard
     FROM prkeep
+    UNION ALL
+    SELECT 'codebookinv' AS branch, CAST(NULL AS BIGINT) AS vec_id,
+           {_STATS_NULLS},
+           c AS codes_str,
+           CAST(NULL AS BIGINT) AS query_id,
+           CAST(NULL AS BIGINT) AS neighbor_id,
+           CAST(NULL AS DOUBLE) AS adc_d2,
+           CAST(NULL AS INTEGER) AS pq_rank,
+           CAST(NULL AS DOUBLE) AS pq_cos,
+           CAST(NULL AS BIGINT) AS proto_cid,
+           CAST(NULL AS DOUBLE) AS proto_cos,
+           CAST(NULL AS INTEGER) AS proto_rank,
+           CAST(NULL AS BIGINT) AS cluster_n,
+           TRUE AS keep_hard
+    FROM (VALUES {_CBINV_VALUES}) AS t(c)
     """,
     doc=(
         "embedding array surface, tagged: 'stats' rows are size, L2 "
@@ -1409,7 +1560,16 @@ _STATS_NULLS = """
         "(rank·den ≤ num·n) because a fractional threshold literal is "
         "DECIMAL in DuckDB but DOUBLE in Spark.  One broadcast "
         "assignment scan + one cluster-key shuffle; every rank, count "
-        "and flag hash-verified."
+        "and flag hash-verified.  'codebookinv' rows are stated-TRUE "
+        "invariant verdicts for the FLOAT-trained codebook paths "
+        "(operators/pq.train_codebook / train_opq_distributed — their "
+        "raw floats fold in partition order, so invariants are the "
+        "hashable surface): trained-R orthonormality, rotation norm "
+        "preservation on the distributed rotate_vectors output, "
+        "encode/rotation composition + OPQ-tighter-than-stride "
+        "distortion, and Lloyd monotone descent vs the stride init; "
+        "the oracle states TRUE so the hash fails if any invariant "
+        "breaks on the gate run."
     ),
 )
 def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1526,5 +1686,10 @@ def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "prune": prune,
             "pqstore_delta": ps_delta,
             "pqstore_base": ps_base,
+            # float-trained codebook invariants, stated TRUE in the
+            # oracle (the VERDICT r9 gap: Lloyd/OPQ raw floats fold in
+            # partition order, their invariants don't) — see
+            # _codebook_invariants
+            "codebookinv": _codebook_invariants(spark, sf_dir, e),
         }
     )
