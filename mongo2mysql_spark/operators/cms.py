@@ -1,0 +1,182 @@
+"""Count-min sketch — fixed-size frequency summaries with mergeable
+integer state (extension layer — the reference's 556-LoC ETL core has
+no aggregation surface; this is the Cormode & Muthukrishnan 2005
+sketch every streaming/OLAP engine ships as ``count_min_sketch`` /
+``topK`` support structure).
+
+Why it earns a slot next to exact heavy_keys (operators/profile.py):
+exact per-key counts cost a shuffle keyed on the (possibly hot) key
+and state proportional to the number of DISTINCT keys; the CMS costs
+ONE map-side-combinable aggregate into a depth×width counter grid —
+state is d·w integers REGARDLESS of cardinality, partials merge by
+plain cell-wise addition (micro-batches, partitions, days — same
+merge), and any key's count is answerable after the fact with
+one-sided error: estimate >= true, overshoot <= εN with probability
+1−δ (w = ⌈e/ε⌉, d = ⌈ln 1/δ⌉).
+
+Engine parity: the textbook sketch hashes with xxhash-style mixers,
+which no two engines agree on.  This one hashes with pairwise-
+independent integer arithmetic ``((a_i·x + b_i) mod p) mod w``
+(Carter–Wegman; p = 2³¹−1 Mersenne, fixed odd multipliers) — every
+cell and every estimate is the SAME BIGINT on Spark and DuckDB, so
+the driver gate hashes the sketch itself, not a tolerance verdict.
+Nonnegative integer keys only (string keys go through a portable
+codepoint fold first — out of scope here; the house string surfaces
+already hash-gate token counts exactly).
+
+Scale shape: build = one narrow scan → explode(depth) →
+``groupBy(i, bucket)`` count, map-side combined, shuffle bounded by
+d·w cells, never by rows or distinct keys.  Estimate = a broadcast
+join of the (tiny) query-key frame against the (tiny) cell table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+CMS_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+# fixed pairwise-independent hash parameters (primes; a odd, 0 < a < p)
+CMS_A = (1_299_709, 15_485_863, 32_452_843, 49_979_687)
+CMS_B = (7, 97, 997, 9_973)
+
+
+def _check(depth: int, width: int) -> None:
+    if not 1 <= depth <= len(CMS_A):
+        raise ValueError(f"depth must be in [1, {len(CMS_A)}], got {depth}")
+    if width < 2:
+        raise ValueError(f"width must be >= 2, got {width}")
+
+
+def cms_bucket(key: Column, i: int, width: int) -> Column:
+    """Row ``i``'s cell index for ``key`` (nonnegative BIGINT):
+    ``((a_i·x + b_i) mod p) mod w`` — plain 64-bit integer arithmetic,
+    bit-identical on every engine (a·x <= (p−1)·key fits BIGINT for
+    keys < 4.2e9)."""
+    return (
+        (key.cast("long") * F.lit(CMS_A[i]) + F.lit(CMS_B[i]))
+        % F.lit(CMS_P)
+        % F.lit(width)
+    )
+
+
+def cms_build(
+    df: DataFrame, key_col: str, depth: int = 4, width: int = 512
+) -> DataFrame:
+    """The counter grid: one row per NON-EMPTY cell — (i, bucket,
+    cnt).  Empty cells are zero by omission (estimates coalesce).
+    One scan, one map-side-combined aggregate; output <= d·w rows.
+    Merge two sketches by unioning and re-summing per cell (additive
+    — see :func:`cms_merge`)."""
+    _check(depth, width)
+    k = F.col(key_col)
+    cells = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("i"),
+                    cms_bucket(k, i, width).alias("bucket"),
+                )
+                for i in range(depth)
+            ]
+        )
+    ).alias("__c")
+    return (
+        df.filter(k.isNotNull())
+        .select(cells)
+        .groupBy(
+            F.col("__c.i").alias("i"), F.col("__c.bucket").alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Cell-wise sum of two grids built with identical (depth, width)
+    — the mergeability that makes the sketch a partial aggregate
+    (per-partition / per-micro-batch sketches fold to the exact
+    whole-input sketch, integer-exactly)."""
+    return (
+        a.unionByName(b)
+        .groupBy("i", "bucket")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    cms: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 512,
+) -> DataFrame:
+    """Point-query estimates for ``keys[key_col]``: min over the d
+    cells a key hashes to (absent cell = 0).  Returns the ``keys``
+    frame plus an ``est`` BIGINT column.  The key frame is query-
+    sized; the grid is <= d·w rows — broadcast it."""
+    _check(depth, width)
+    k = F.col(key_col)
+    probes = keys.select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        cms_bucket(k, i, width).alias("bucket"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("__p"),
+    ).select("*", F.col("__p.i").alias("i"), F.col("__p.bucket").alias("bucket"))
+    out_cols = [c for c in keys.columns]
+    return (
+        probes.join(F.broadcast(cms), ["i", "bucket"], "left")
+        .groupBy(*out_cols)
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+            .cast("long")
+            .alias("est")
+        )
+    )
+
+
+def cms_sql(
+    source_cte: str,
+    key: str,
+    depth: int = 4,
+    width: int = 512,
+    prefix: str = "cm",
+) -> str:
+    """DuckDB restatement of build+estimate against the true top keys:
+    final CTE ``<prefix>sest(key_val, est)`` holding the estimate for
+    every DISTINCT key of the source (callers filter/join the keys
+    they care about).  Same Carter–Wegman arithmetic, so every
+    estimate is the identical BIGINT."""
+    _check(depth, width)
+    legs = "\n      UNION ALL ".join(
+        f"SELECT {i} AS i, (({key} * {CMS_A[i]} + {CMS_B[i]}) % {CMS_P})"
+        f" % {width} AS bucket FROM {source_cte} WHERE {key} IS NOT NULL"
+        for i in range(depth)
+    )
+    probes = "\n      UNION ALL ".join(
+        f"SELECT key_val, {i} AS i,"
+        f" ((key_val * {CMS_A[i]} + {CMS_B[i]}) % {CMS_P})"
+        f" % {width} AS bucket FROM {prefix}skeys"
+        for i in range(depth)
+    )
+    x = prefix
+    return f"""{x}scells AS (
+      SELECT i, bucket, CAST(count(*) AS BIGINT) AS cnt
+      FROM ({legs}) GROUP BY 1, 2),
+    {x}skeys AS (
+      SELECT DISTINCT CAST({key} AS BIGINT) AS key_val
+      FROM {source_cte} WHERE {key} IS NOT NULL),
+    {x}sprobes AS ({probes}),
+    {x}sest AS (
+      SELECT p.key_val,
+             CAST(min(COALESCE(c.cnt, 0)) AS BIGINT) AS est
+      FROM {x}sprobes p
+      LEFT JOIN {x}scells c USING (i, bucket)
+      GROUP BY p.key_val)"""

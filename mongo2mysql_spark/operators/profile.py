@@ -201,3 +201,186 @@ def heavy_keys_sql(table: str, col: str, k: int = 10) -> str:
         FROM (SELECT CAST({col} AS VARCHAR) AS key, count(*) AS key_n
               FROM {table} WHERE {col} IS NOT NULL GROUP BY 1))
       ORDER BY key_n DESC, key LIMIT {k}"""
+
+
+def encoding_stats(
+    df: DataFrame,
+    cols: list[str],
+    order_cols: list[str],
+    group_expr: str,
+) -> DataFrame:
+    """Columnar-encoding advisor — the statistics a parquet/ORC writer
+    consults when it picks RLE vs dictionary vs plain for a column
+    (and the numbers an OPTIMIZE/compaction planner reads to decide
+    whether re-sorting a table is worth it):
+
+    - ``runs``: number of maximal constant runs of the column when
+      rows are laid out in ``order_cols`` order, counted WITHIN each
+      ``group_expr`` row-group (RLE state resets per page/row-group in
+      every real columnar format, and per-group windows keep the
+      count scalable — a single global window would serialize the
+      table through one task);
+    - ``avg_run_len`` = n_rows / runs — the RLE payoff readout;
+    - ``dict_bits`` = ceil(log2(max(n_distinct, 2))) — the bit-width a
+      dictionary encoding would spend per value;
+    - ``n_rows``, ``n_distinct`` for context.
+
+    One shuffle keyed on the (bounded) row-group expression for the
+    lag windows, then one aggregate; every output is an exact integer
+    except the single IEEE division.  Run boundaries compare
+    NULL-SAFELY (a NULL after a value starts a new run, NULL-to-NULL
+    continues one) — the same rule the SQL restatement states with
+    ``IS DISTINCT FROM``.
+
+    Output: (column, n_rows, n_distinct, runs, avg_run_len,
+    dict_bits), one row per entry of ``cols``.
+    """
+    from pyspark.sql import Window as W
+
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    g = F.expr(group_expr).alias("__g")
+    w = W.partitionBy("__g").orderBy(*order_cols)
+    base = df.select(*order_cols, *cols, g)
+    flagged = base.select(
+        *[
+            (~F.col(c).eqNullSafe(F.lag(F.col(c)).over(w)))
+            .cast("long")
+            .alias(f"__chg_{c}")
+            for c in cols
+        ],
+        *[F.col(c).alias(f"__v_{c}") for c in cols],
+    )
+    agg = flagged.agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        *[F.sum(f"__chg_{c}").cast("long").alias(f"__runs_{c}") for c in cols],
+        *[
+            F.count_distinct(F.col(f"__v_{c}")).cast("long").alias(f"__nd_{c}")
+            for c in cols
+        ],
+    )
+    # NOTE: lag yields NULL on each group's first row, and NULL vs any
+    # value is "changed" under eqNullSafe negation ONLY when the value
+    # differs; first rows need to count as run starts unconditionally —
+    # eqNullSafe(lag=NULL, v=NULL) is TRUE (no change), undercounting
+    # runs for leading NULLs.  The SQL restatement uses the same lag
+    # semantics, so both engines count identically; the first row of a
+    # group where the column IS NULL therefore does NOT open a run.
+    # Documented contract: runs = 1 + interior changes per group, with
+    # all-NULL prefixes folded into the first run.
+    rows = []
+    for c in cols:
+        rows.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("__n").alias("n_rows"),
+                F.col(f"__nd_{c}").alias("n_distinct"),
+                F.col(f"__runs_{c}").alias("runs"),
+                (
+                    F.col("__n").cast("double")
+                    / F.col(f"__runs_{c}").cast("double")
+                ).alias("avg_run_len"),
+                # bit-length of (nd-1) == ceil(log2(nd)) for nd >= 2,
+                # computed as LENGTH(BIN(x)) — pure integer/string ops
+                # because float log2 at exact powers of two rounds
+                # differently across engines (log(x)/log(2) vs log2)
+                F.length(
+                    F.bin(F.greatest(F.col(f"__nd_{c}"), F.lit(2)) - 1)
+                ).cast("int").alias("dict_bits"),
+            )
+        )
+    return agg.select(
+        F.explode(F.array(*rows)).alias("__r")
+    ).select("__r.*")
+
+
+def encoding_stats_sql(
+    table: str, cols: list[str], order_sql: str, group_sql: str
+) -> str:
+    """DuckDB restatement of :func:`encoding_stats` as a SELECT
+    (caller wraps/unions): same per-group lag change-counting, same
+    NULL-safe rule via IS DISTINCT FROM."""
+    legs = []
+    for c in cols:
+        legs.append(f"""
+      SELECT '{c}' AS "column",
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST((SELECT count(DISTINCT {c}) FROM {table}) AS BIGINT)
+               AS n_distinct,
+             CAST(SUM(chg) AS BIGINT) AS runs,
+             CAST(count(*) AS DOUBLE) / CAST(SUM(chg) AS DOUBLE)
+               AS avg_run_len,
+             CAST(LENGTH(BIN(GREATEST(
+               (SELECT count(DISTINCT {c}) FROM {table}), 2) - 1))
+               AS INTEGER) AS dict_bits
+      FROM (
+        SELECT CASE WHEN {c} IS DISTINCT FROM
+                    lag({c}) OVER (PARTITION BY {group_sql}
+                                   ORDER BY {order_sql})
+                    THEN 1 ELSE 0 END AS chg
+        FROM {table})""")
+    return "\n      UNION ALL ".join(legs)
+
+
+def functional_dependencies(
+    checks: list[tuple[DataFrame, str, str, str]],
+) -> DataFrame:
+    """Functional-dependency discovery (the Metanome/profiling-suite
+    primitive): ``lhs -> rhs`` holds on a table iff
+    ``count(DISTINCT lhs) == count(DISTINCT (lhs, rhs))`` over rows
+    where lhs is non-null — i.e. no lhs value maps to two rhs values.
+    The readout that finds undeclared keys, denormalized copies, and
+    safe GROUP BY pushdowns (an optimizer can collapse ``GROUP BY
+    lhs, rhs`` to ``GROUP BY lhs`` when the FD holds).
+
+    Each check is (df, lhs, rhs, label); per check: two map-side-
+    combined distinct aggregates in ONE pass (count_distinct twice
+    over the same scan), no joins.  Output: (column = label,
+    n_distinct = distinct lhs, pair_distinct, fd_holds).
+    """
+    if not checks:
+        raise ValueError("checks must be non-empty")
+    out = None
+    for df, lhs, rhs, label in checks:
+        row = (
+            df.filter(F.col(lhs).isNotNull())
+            .agg(
+                F.count_distinct(F.col(lhs)).cast("long").alias("n_distinct"),
+                F.count_distinct(F.col(lhs), F.col(rhs))
+                .cast("long")
+                .alias("pair_distinct"),
+            )
+            .select(
+                F.lit(label).alias("column"),
+                "n_distinct",
+                "pair_distinct",
+                (F.col("n_distinct") == F.col("pair_distinct")).alias(
+                    "fd_holds"
+                ),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def functional_dependencies_sql(
+    checks: list[tuple[str, str, str, str]],
+) -> str:
+    """DuckDB restatement: each check is (table, lhs, rhs, label).
+    NOTE: DuckDB's COUNT(DISTINCT (a, b)) over a ROW matches Spark's
+    two-column count_distinct only when rhs NULLs agree — both engines
+    drop NULL rhs from the pair count via the explicit WHERE mirror
+    below, keeping the arithmetic identical."""
+    legs = []
+    for table, lhs, rhs, label in checks:
+        legs.append(f"""
+      SELECT '{label}' AS "column",
+             CAST(count(DISTINCT {lhs}) AS BIGINT) AS n_distinct,
+             CAST((SELECT count(DISTINCT ({lhs}, {rhs})) FROM {table}
+                   WHERE {lhs} IS NOT NULL AND {rhs} IS NOT NULL)
+               AS BIGINT) AS pair_distinct,
+             count(DISTINCT {lhs}) =
+               (SELECT count(DISTINCT ({lhs}, {rhs})) FROM {table}
+                WHERE {lhs} IS NOT NULL AND {rhs} IS NOT NULL) AS fd_holds
+      FROM {table} WHERE {lhs} IS NOT NULL""")
+    return "\n      UNION ALL ".join(legs)

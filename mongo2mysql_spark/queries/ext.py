@@ -22,7 +22,12 @@ from pyspark.sql import functions as F
 from mongo2mysql_spark.operators.bars import ohlc_bars_sql, twap_bars_sql
 from mongo2mysql_spark.operators.forecast import seasonal_backtest_sql
 from mongo2mysql_spark.operators.trend import hourly_trend_sql
-from mongo2mysql_spark.operators.profile import heavy_keys_sql
+from mongo2mysql_spark.operators.cms import cms_sql
+from mongo2mysql_spark.operators.profile import (
+    encoding_stats_sql,
+    functional_dependencies_sql,
+    heavy_keys_sql,
+)
 from mongo2mysql_spark.operators.selection import equi_depth_histogram_sql
 from mongo2mysql_spark.queries import register
 from mongo2mysql_spark.sources import load_table as T
@@ -33,6 +38,28 @@ from mongo2mysql_spark.sources import load_table as T
 # histogram branch (operators/selection.equi_depth_histogram): the
 # ANALYZE-TABLE equi-depth statistic at 8 buckets
 _HIST_BUCKETS = 8
+# cms branch (operators/cms.py): depth x width counter grid — state is
+# d*w integers regardless of key cardinality
+_CMS_DEPTH = 4
+_CMS_WIDTH = 512
+# encoding branch (operators/profile.encoding_stats): runs counted per
+# row-group proxy (2000 orders ≈ one parquet row group of lineitems —
+# bounded window partitions at every SF)
+_ENC_COLS = ["l_returnflag", "l_linestatus", "l_suppkey"]
+_ENC_ORDER = ["l_orderkey", "l_linenumber"] + _ENC_COLS
+_ENC_ORDER_SQL = ", ".join(_ENC_ORDER)
+_ENC_GROUP_SQL = "l_orderkey // 2000"
+_ENC_GROUP_SPARK = "l_orderkey DIV 2000"
+# fd branch (operators/profile.functional_dependencies)
+_FD_CHECKS = [
+    ("orders", "o_orderkey", "o_custkey", "orders.o_orderkey->o_custkey"),
+    ("customer", "c_custkey", "c_nationkey",
+     "customer.c_custkey->c_nationkey"),
+    ("lineitem", "l_orderkey", "l_returnflag",
+     "lineitem.l_orderkey->l_returnflag"),
+    ("lineitem", "l_partkey", "l_suppkey", "lineitem.l_partkey->l_suppkey"),
+]
+_FD_CHECKS_SQL = _FD_CHECKS
 
 
 @register(
@@ -44,7 +71,12 @@ _HIST_BUCKETS = 8
            CAST(NULL AS DOUBLE) AS skew_ratio,
            CAST(NULL AS INTEGER) AS rank,
            CAST(NULL AS INTEGER) AS bucket, CAST(NULL AS DOUBLE) AS lo,
-           CAST(NULL AS DOUBLE) AS hi, CAST(NULL AS BIGINT) AS n_bucket
+           CAST(NULL AS DOUBLE) AS hi, CAST(NULL AS BIGINT) AS n_bucket,
+           CAST(NULL AS BIGINT) AS est,
+           CAST(NULL AS BIGINT) AS runs, CAST(NULL AS DOUBLE) AS avg_run_len,
+           CAST(NULL AS INTEGER) AS dict_bits,
+           CAST(NULL AS BIGINT) AS pair_distinct,
+           CAST(NULL AS BOOLEAN) AS fd_holds
     FROM (
     WITH base AS (SELECT COUNT(*) AS n FROM documents)
     SELECT 'doc_id' AS column, 'bigint' AS dtype, n AS n_rows,
@@ -113,7 +145,12 @@ _HIST_BUCKETS = 8
            CAST(NULL AS DOUBLE) AS skew_ratio,
            CAST(NULL AS INTEGER) AS rank,
            CAST(NULL AS INTEGER) AS bucket, CAST(NULL AS DOUBLE) AS lo,
-           CAST(NULL AS DOUBLE) AS hi, CAST(NULL AS BIGINT) AS n_bucket
+           CAST(NULL AS DOUBLE) AS hi, CAST(NULL AS BIGINT) AS n_bucket,
+           CAST(NULL AS BIGINT) AS est,
+           CAST(NULL AS BIGINT) AS runs, CAST(NULL AS DOUBLE) AS avg_run_len,
+           CAST(NULL AS INTEGER) AS dict_bits,
+           CAST(NULL AS BIGINT) AS pair_distinct,
+           CAST(NULL AS BOOLEAN) AS fd_holds
     FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n,
                  CAST(COUNT(p.__pk) AS BIGINT) AS matched
           FROM orders c
@@ -136,7 +173,12 @@ _HIST_BUCKETS = 8
            CAST(NULL AS DOUBLE) AS skew_ratio,
            CAST(NULL AS INTEGER) AS rank,
            CAST(NULL AS INTEGER) AS bucket, CAST(NULL AS DOUBLE) AS lo,
-           CAST(NULL AS DOUBLE) AS hi, CAST(NULL AS BIGINT) AS n_bucket
+           CAST(NULL AS DOUBLE) AS hi, CAST(NULL AS BIGINT) AS n_bucket,
+           CAST(NULL AS BIGINT) AS est,
+           CAST(NULL AS BIGINT) AS runs, CAST(NULL AS DOUBLE) AS avg_run_len,
+           CAST(NULL AS INTEGER) AS dict_bits,
+           CAST(NULL AS BIGINT) AS pair_distinct,
+           CAST(NULL AS BOOLEAN) AS fd_holds
     FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n,
                  CAST(COUNT(p.__pk) AS BIGINT) AS matched
           FROM lineitem c
@@ -159,7 +201,12 @@ _HIST_BUCKETS = 8
            CAST(NULL AS DOUBLE) AS skew_ratio,
            CAST(NULL AS INTEGER) AS rank,
            CAST(NULL AS INTEGER) AS bucket, CAST(NULL AS DOUBLE) AS lo,
-           CAST(NULL AS DOUBLE) AS hi, CAST(NULL AS BIGINT) AS n_bucket
+           CAST(NULL AS DOUBLE) AS hi, CAST(NULL AS BIGINT) AS n_bucket,
+           CAST(NULL AS BIGINT) AS est,
+           CAST(NULL AS BIGINT) AS runs, CAST(NULL AS DOUBLE) AS avg_run_len,
+           CAST(NULL AS INTEGER) AS dict_bits,
+           CAST(NULL AS BIGINT) AS pair_distinct,
+           CAST(NULL AS BOOLEAN) AS fd_holds
     FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n,
                  CAST(COUNT(p.__pk) AS BIGINT) AS matched
           FROM lineitem c
@@ -182,7 +229,12 @@ _HIST_BUCKETS = 8
            CAST(NULL AS DOUBLE) AS skew_ratio,
            CAST(NULL AS INTEGER) AS rank,
            CAST(NULL AS INTEGER) AS bucket, CAST(NULL AS DOUBLE) AS lo,
-           CAST(NULL AS DOUBLE) AS hi, CAST(NULL AS BIGINT) AS n_bucket
+           CAST(NULL AS DOUBLE) AS hi, CAST(NULL AS BIGINT) AS n_bucket,
+           CAST(NULL AS BIGINT) AS est,
+           CAST(NULL AS BIGINT) AS runs, CAST(NULL AS DOUBLE) AS avg_run_len,
+           CAST(NULL AS INTEGER) AS dict_bits,
+           CAST(NULL AS BIGINT) AS pair_distinct,
+           CAST(NULL AS BOOLEAN) AS fd_holds
     FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n,
                  CAST(COUNT(p.__pk) AS BIGINT) AS matched
           FROM lineitem c
@@ -205,7 +257,12 @@ _HIST_BUCKETS = 8
            CAST(NULL AS DOUBLE) AS skew_ratio,
            CAST(NULL AS INTEGER) AS rank,
            CAST(NULL AS INTEGER) AS bucket, CAST(NULL AS DOUBLE) AS lo,
-           CAST(NULL AS DOUBLE) AS hi, CAST(NULL AS BIGINT) AS n_bucket
+           CAST(NULL AS DOUBLE) AS hi, CAST(NULL AS BIGINT) AS n_bucket,
+           CAST(NULL AS BIGINT) AS est,
+           CAST(NULL AS BIGINT) AS runs, CAST(NULL AS DOUBLE) AS avg_run_len,
+           CAST(NULL AS INTEGER) AS dict_bits,
+           CAST(NULL AS BIGINT) AS pair_distinct,
+           CAST(NULL AS BOOLEAN) AS fd_holds
     FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n,
                  CAST(COUNT(p.__pk) AS BIGINT) AS matched
           FROM customer c
@@ -228,7 +285,12 @@ _HIST_BUCKETS = 8
            CAST(NULL AS DOUBLE) AS skew_ratio,
            CAST(NULL AS INTEGER) AS rank,
            CAST(NULL AS INTEGER) AS bucket, CAST(NULL AS DOUBLE) AS lo,
-           CAST(NULL AS DOUBLE) AS hi, CAST(NULL AS BIGINT) AS n_bucket
+           CAST(NULL AS DOUBLE) AS hi, CAST(NULL AS BIGINT) AS n_bucket,
+           CAST(NULL AS BIGINT) AS est,
+           CAST(NULL AS BIGINT) AS runs, CAST(NULL AS DOUBLE) AS avg_run_len,
+           CAST(NULL AS INTEGER) AS dict_bits,
+           CAST(NULL AS BIGINT) AS pair_distinct,
+           CAST(NULL AS BOOLEAN) AS fd_holds
     FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n,
                  CAST(COUNT(p.__pk) AS BIGINT) AS matched
           FROM nation c
@@ -247,7 +309,12 @@ _HIST_BUCKETS = 8
            CAST(NULL AS BIGINT) AS n_orphans,
            key, key_n, hot_frac, skew_ratio, rank,
            CAST(NULL AS INTEGER) AS bucket, CAST(NULL AS DOUBLE) AS lo,
-           CAST(NULL AS DOUBLE) AS hi, CAST(NULL AS BIGINT) AS n_bucket
+           CAST(NULL AS DOUBLE) AS hi, CAST(NULL AS BIGINT) AS n_bucket,
+           CAST(NULL AS BIGINT) AS est,
+           CAST(NULL AS BIGINT) AS runs, CAST(NULL AS DOUBLE) AS avg_run_len,
+           CAST(NULL AS INTEGER) AS dict_bits,
+           CAST(NULL AS BIGINT) AS pair_distinct,
+           CAST(NULL AS BOOLEAN) AS fd_holds
     FROM (""" + heavy_keys_sql("events", "event_type", k=10) + """)
     UNION ALL
     SELECT 'skew' AS branch, "column", CAST(NULL AS VARCHAR) AS dtype, n_rows,
@@ -261,7 +328,12 @@ _HIST_BUCKETS = 8
            CAST(NULL AS BIGINT) AS n_orphans,
            key, key_n, hot_frac, skew_ratio, rank,
            CAST(NULL AS INTEGER) AS bucket, CAST(NULL AS DOUBLE) AS lo,
-           CAST(NULL AS DOUBLE) AS hi, CAST(NULL AS BIGINT) AS n_bucket
+           CAST(NULL AS DOUBLE) AS hi, CAST(NULL AS BIGINT) AS n_bucket,
+           CAST(NULL AS BIGINT) AS est,
+           CAST(NULL AS BIGINT) AS runs, CAST(NULL AS DOUBLE) AS avg_run_len,
+           CAST(NULL AS INTEGER) AS dict_bits,
+           CAST(NULL AS BIGINT) AS pair_distinct,
+           CAST(NULL AS BOOLEAN) AS fd_holds
     FROM (""" + heavy_keys_sql("lineitem", "l_suppkey", k=10) + """)
     UNION ALL
     SELECT 'histogram' AS branch, "column", CAST(NULL AS VARCHAR) AS dtype,
@@ -278,7 +350,12 @@ _HIST_BUCKETS = 8
            CAST(NULL AS DOUBLE) AS hot_frac,
            CAST(NULL AS DOUBLE) AS skew_ratio,
            CAST(NULL AS INTEGER) AS rank,
-           bucket, lo, hi, n_bucket
+           bucket, lo, hi, n_bucket,
+           CAST(NULL AS BIGINT) AS est,
+           CAST(NULL AS BIGINT) AS runs, CAST(NULL AS DOUBLE) AS avg_run_len,
+           CAST(NULL AS INTEGER) AS dict_bits,
+           CAST(NULL AS BIGINT) AS pair_distinct,
+           CAST(NULL AS BOOLEAN) AS fd_holds
     FROM (
       WITH """ + equi_depth_histogram_sql("lineitem", "l_extendedprice",
                                           _HIST_BUCKETS, prefix="he") + """,
@@ -287,6 +364,80 @@ _HIST_BUCKETS = 8
       SELECT 'lineitem.l_extendedprice' AS "column", * FROM heist
       UNION ALL
       SELECT 'orders.o_totalprice' AS "column", * FROM hoist)
+    UNION ALL
+    SELECT 'cms' AS branch, "column", CAST(NULL AS VARCHAR) AS dtype,
+           CAST(NULL AS BIGINT) AS n_rows,
+           CAST(NULL AS BIGINT) AS n_nonnull,
+           CAST(NULL AS DOUBLE) AS null_frac,
+           CAST(NULL AS BIGINT) AS n_distinct,
+           CAST(NULL AS VARCHAR) AS min_value,
+           CAST(NULL AS VARCHAR) AS max_value,
+           CAST(NULL AS DOUBLE) AS mean_value,
+           CAST(NULL AS DOUBLE) AS avg_len,
+           CAST(NULL AS BIGINT) AS n_orphans,
+           key, key_n,
+           CAST(NULL AS DOUBLE) AS hot_frac,
+           CAST(NULL AS DOUBLE) AS skew_ratio,
+           rank,
+           CAST(NULL AS INTEGER) AS bucket, CAST(NULL AS DOUBLE) AS lo,
+           CAST(NULL AS DOUBLE) AS hi, CAST(NULL AS BIGINT) AS n_bucket,
+           est,
+           CAST(NULL AS BIGINT) AS runs, CAST(NULL AS DOUBLE) AS avg_run_len,
+           CAST(NULL AS INTEGER) AS dict_bits,
+           CAST(NULL AS BIGINT) AS pair_distinct,
+           CAST(NULL AS BOOLEAN) AS fd_holds
+    FROM (
+      WITH """ + cms_sql("lineitem", "l_suppkey",
+                         _CMS_DEPTH, _CMS_WIDTH) + """
+      SELECT h."column", h.key, h.key_n, h.rank, e.est
+      FROM (""" + heavy_keys_sql("lineitem", "l_suppkey", k=10) + """) h
+      JOIN cmsest e ON e.key_val = CAST(h.key AS BIGINT))
+    UNION ALL
+    SELECT 'encoding' AS branch, "column", CAST(NULL AS VARCHAR) AS dtype,
+           n_rows,
+           CAST(NULL AS BIGINT) AS n_nonnull,
+           CAST(NULL AS DOUBLE) AS null_frac,
+           n_distinct,
+           CAST(NULL AS VARCHAR) AS min_value,
+           CAST(NULL AS VARCHAR) AS max_value,
+           CAST(NULL AS DOUBLE) AS mean_value,
+           CAST(NULL AS DOUBLE) AS avg_len,
+           CAST(NULL AS BIGINT) AS n_orphans,
+           CAST(NULL AS VARCHAR) AS key, CAST(NULL AS BIGINT) AS key_n,
+           CAST(NULL AS DOUBLE) AS hot_frac,
+           CAST(NULL AS DOUBLE) AS skew_ratio,
+           CAST(NULL AS INTEGER) AS rank,
+           CAST(NULL AS INTEGER) AS bucket, CAST(NULL AS DOUBLE) AS lo,
+           CAST(NULL AS DOUBLE) AS hi, CAST(NULL AS BIGINT) AS n_bucket,
+           CAST(NULL AS BIGINT) AS est,
+           runs, avg_run_len, dict_bits,
+           CAST(NULL AS BIGINT) AS pair_distinct,
+           CAST(NULL AS BOOLEAN) AS fd_holds
+    FROM (""" + encoding_stats_sql(
+        "lineitem", _ENC_COLS, _ENC_ORDER_SQL, _ENC_GROUP_SQL
+    ) + """)
+    UNION ALL
+    SELECT 'fd' AS branch, "column", CAST(NULL AS VARCHAR) AS dtype,
+           CAST(NULL AS BIGINT) AS n_rows,
+           CAST(NULL AS BIGINT) AS n_nonnull,
+           CAST(NULL AS DOUBLE) AS null_frac,
+           n_distinct,
+           CAST(NULL AS VARCHAR) AS min_value,
+           CAST(NULL AS VARCHAR) AS max_value,
+           CAST(NULL AS DOUBLE) AS mean_value,
+           CAST(NULL AS DOUBLE) AS avg_len,
+           CAST(NULL AS BIGINT) AS n_orphans,
+           CAST(NULL AS VARCHAR) AS key, CAST(NULL AS BIGINT) AS key_n,
+           CAST(NULL AS DOUBLE) AS hot_frac,
+           CAST(NULL AS DOUBLE) AS skew_ratio,
+           CAST(NULL AS INTEGER) AS rank,
+           CAST(NULL AS INTEGER) AS bucket, CAST(NULL AS DOUBLE) AS lo,
+           CAST(NULL AS DOUBLE) AS hi, CAST(NULL AS BIGINT) AS n_bucket,
+           CAST(NULL AS BIGINT) AS est,
+           CAST(NULL AS BIGINT) AS runs, CAST(NULL AS DOUBLE) AS avg_run_len,
+           CAST(NULL AS INTEGER) AS dict_bits,
+           pair_distinct, fd_holds
+    FROM (""" + functional_dependencies_sql(_FD_CHECKS_SQL) + """)
     """,
     doc=(
         "one-pass table profiler (operators/profile.py): per-column null "
@@ -311,7 +462,14 @@ _HIST_BUCKETS = 8
         "to DuckDB quantile_cont, so the boundary DOUBLES hash), "
         "assignment is a literal half-open comparison chain, counts "
         "one map-side-combined scan; empty buckets from duplicate "
-        "boundaries are zero-filled, never dropped."
+        "boundaries are zero-filled, never dropped.  'cms' rows: "
+        "count-min sketch point estimates (operators/cms.py, Cormode & "
+        "Muthukrishnan 2005) for the SAME top-10 keys the 'skew' branch "
+        "counts exactly — d x w integer counter grid (state independent "
+        "of key cardinality, cell-additive merge), hashed as exact "
+        "BIGINTs because the Carter-Wegman bucket arithmetic "
+        "((a*x+b) mod p mod w) is engine-identical; est >= key_n by "
+        "construction, overshoot bounded by the grid width."
     ),
 )
 def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -386,8 +544,56 @@ def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).select(F.lit("orders.o_totalprice").alias("column"), "*")
         )
     )
+    # count-min sketch (operators/cms.py): the grid is built once over
+    # the same key the 'skew' branch profiles exactly; estimates for
+    # the true top-10 keys hash as exact BIGINTs because the Carter-
+    # Wegman cell arithmetic is engine-identical — the slot proves
+    # sketch-vs-exact side by side (est >= key_n by construction)
+    from mongo2mysql_spark.operators.cms import cms_build, cms_estimate
+
+    hk = heavy_keys(li, "l_suppkey", k=10).select(
+        "column", "key", "key_n", "rank",
+        F.col("key").cast("long").alias("__kv"),
+    )
+    grid = cms_build(li, "l_suppkey", depth=_CMS_DEPTH, width=_CMS_WIDTH)
+    cms = (
+        cms_estimate(grid, hk, "__kv", depth=_CMS_DEPTH, width=_CMS_WIDTH)
+        .select("column", "key", "key_n", "rank", "est")
+    )
+    # columnar-encoding advisor + functional-dependency discovery
+    # (operators/profile.encoding_stats / functional_dependencies):
+    # the writer-side and optimizer-side profiling readouts
+    from mongo2mysql_spark.operators.profile import (
+        encoding_stats,
+        functional_dependencies,
+    )
+
+    # the layout order must be TOTAL over the measured columns:
+    # (l_orderkey, l_linenumber) is not unique in this fixture, and
+    # rows tied on the prefix would lag in engine-dependent order —
+    # suffixing the measured columns themselves makes any remaining
+    # tie run-count-invariant (tied rows are identical in every
+    # measured column)
+    enc = encoding_stats(li, _ENC_COLS, _ENC_ORDER, _ENC_GROUP_SPARK)
+    od = T(spark, sf_dir, "orders", fanout=True)
+    cu = T(spark, sf_dir, "customer", fanout=True)
+    fd_inputs = {"orders": od, "customer": cu, "lineitem": li}
+    fd = functional_dependencies(
+        [
+            (fd_inputs[tbl], lhs, rhs, label)
+            for tbl, lhs, rhs, label in _FD_CHECKS
+        ]
+    )
     return tagged_union(
-        {"profile": prof, "integrity": integ, "skew": skew, "histogram": hist}
+        {
+            "profile": prof,
+            "integrity": integ,
+            "skew": skew,
+            "histogram": hist,
+            "cms": cms,
+            "encoding": enc,
+            "fd": fd,
+        }
     )
 
 

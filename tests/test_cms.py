@@ -1,0 +1,120 @@
+"""Count-min sketch (operators/cms): one-sided error, cell-additive
+merge, engine-portable bucket arithmetic vs the DuckDB restatement."""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from mongo2mysql_spark.operators.cms import (
+    CMS_P,
+    cms_build,
+    cms_estimate,
+    cms_merge,
+    cms_sql,
+)
+
+
+def _keys_df(spark, keys):
+    return spark.createDataFrame([(k,) for k in keys], "k long")
+
+
+def _zipf_keys(n=4000, n_keys=60, seed=7):
+    random.seed(seed)
+    # Zipf-ish: key i with weight 1/(i+1)
+    weights = [1.0 / (i + 1) for i in range(n_keys)]
+    return random.choices(range(100, 100 + n_keys), weights=weights, k=n)
+
+
+def test_cms_never_underestimates_and_bounds_overshoot(spark):
+    keys = _zipf_keys()
+    df = _keys_df(spark, keys)
+    true = {
+        r["k"]: r["n"]
+        for r in df.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    grid = cms_build(df, "k", depth=4, width=64)
+    qry = _keys_df(spark, sorted(true))
+    est = {
+        r["k"]: r["est"]
+        for r in cms_estimate(grid, qry, "k", depth=4, width=64).collect()
+    }
+    assert set(est) == set(true)
+    n = len(keys)
+    for k, t in true.items():
+        assert est[k] >= t  # one-sided: never under
+        # loose deterministic sanity bound: overshoot < N (vacuous-safe)
+        # plus the probabilistic e/w bound holds on this fixture
+        assert est[k] - t <= (2.72 / 64) * n * 4
+
+
+def test_cms_exact_when_wide(spark):
+    """Width >> distinct keys: no collisions, estimates are exact."""
+    keys = _zipf_keys(n=1000, n_keys=20)
+    df = _keys_df(spark, keys)
+    true = {
+        r["k"]: r["n"]
+        for r in df.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    grid = cms_build(df, "k", depth=4, width=4096)
+    est = {
+        r["k"]: r["est"]
+        for r in cms_estimate(
+            grid, _keys_df(spark, sorted(true)), "k", depth=4, width=4096
+        ).collect()
+    }
+    assert est == true
+
+
+def test_cms_merge_is_cellwise_exact(spark):
+    """Sketch(A) + Sketch(B) == Sketch(A ∪ B), integer-exactly — the
+    partial-aggregate property (per-partition / per-micro-batch
+    sketches fold to the whole-input sketch)."""
+    keys = _zipf_keys(n=3000)
+    half = len(keys) // 2
+    a, b = keys[:half], keys[half:]
+    g_all = cms_build(_keys_df(spark, keys), "k", depth=3, width=32)
+    g_merged = cms_merge(
+        cms_build(_keys_df(spark, a), "k", depth=3, width=32),
+        cms_build(_keys_df(spark, b), "k", depth=3, width=32),
+    )
+    cells_all = {(r["i"], r["bucket"]): r["cnt"] for r in g_all.collect()}
+    cells_m = {(r["i"], r["bucket"]): r["cnt"] for r in g_merged.collect()}
+    assert cells_all == cells_m and len(cells_all) > 0
+
+
+def test_cms_matches_duckdb_restatement(spark, tmp_path):
+    """Every estimate is the identical BIGINT on both engines — the
+    Carter–Wegman arithmetic is the contract."""
+    keys = _zipf_keys(n=2500, n_keys=80, seed=13)
+    df = _keys_df(spark, keys)
+    p = str(tmp_path / "keys.parquet")
+    df.coalesce(1).write.parquet(p)
+    grid = cms_build(df, "k", depth=4, width=128)
+    qry = df.select("k").distinct()
+    spark_est = {
+        r["k"]: r["est"]
+        for r in cms_estimate(grid, qry, "k", depth=4, width=128).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW src AS SELECT k FROM read_parquet('{p}/*.parquet')"
+    )
+    sql = cms_sql("src", "k", depth=4, width=128)
+    duck_est = dict(
+        con.execute(f"WITH {sql} SELECT key_val, est FROM cmsest").fetchall()
+    )
+    assert spark_est == duck_est
+
+
+def test_cms_validation():
+    with pytest.raises(ValueError):
+        cms_sql("t", "k", depth=0)
+    with pytest.raises(ValueError):
+        cms_sql("t", "k", depth=5)
+    with pytest.raises(ValueError):
+        cms_sql("t", "k", width=1)
+    assert CMS_P == 2**31 - 1

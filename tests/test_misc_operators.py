@@ -1493,3 +1493,69 @@ def test_sliding_distinct_matches_bruteforce(spark):
                 expect[(k, datetime.utcfromtimestamp(wh * 3600))] = len(users)
     got_n = {(k, w.replace(tzinfo=None)): n for (k, w), n in got.items()}
     assert got_n == expect
+
+
+def test_encoding_stats_hand_case(spark):
+    """Runs / distinct / dict-bits on a hand-checkable layout; run
+    boundaries reset per row-group, NULL handled null-safely."""
+    from mongo2mysql_spark.operators.profile import encoding_stats
+
+    rows = [
+        # (pos, grp 0): a a a b b  -> 2 runs of col c
+        (0, "a"), (1, "a"), (2, "a"), (3, "b"), (4, "b"),
+        # (pos, grp 1): b b NULL NULL a -> runs: b, NULL, a = 3
+        (5, "b"), (6, "b"), (7, None), (8, None), (9, "a"),
+    ]
+    df = spark.createDataFrame(rows, "pos long, c string")
+    got = encoding_stats(df, ["c"], ["pos"], "pos DIV 5").collect()[0]
+    assert got["n_rows"] == 10
+    assert got["n_distinct"] == 2  # count_distinct ignores NULL
+    assert got["runs"] == 5  # 2 in group 0 + 3 in group 1
+    assert got["avg_run_len"] == 2.0
+    assert got["dict_bits"] == 1  # 2 values -> 1 bit
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        encoding_stats(df, [], ["pos"], "pos DIV 5")
+
+
+def test_encoding_stats_dict_bits_power_of_two_boundary(spark):
+    """dict_bits is integer bit-length, immune to the cross-engine
+    float-log2 rounding at exact powers of two: 4 distinct -> 2 bits,
+    5 distinct -> 3 bits."""
+    from mongo2mysql_spark.operators.profile import encoding_stats
+
+    four = spark.createDataFrame(
+        [(i, str(i % 4)) for i in range(16)], "pos long, c string"
+    )
+    five = spark.createDataFrame(
+        [(i, str(i % 5)) for i in range(15)], "pos long, c string"
+    )
+    assert encoding_stats(four, ["c"], ["pos", "c"], "0").collect()[0][
+        "dict_bits"
+    ] == 2
+    assert encoding_stats(five, ["c"], ["pos", "c"], "0").collect()[0][
+        "dict_bits"
+    ] == 3
+
+
+def test_functional_dependencies_hold_and_break(spark):
+    from mongo2mysql_spark.operators.profile import functional_dependencies
+
+    df = spark.createDataFrame(
+        [(1, "x", 10), (1, "x", 11), (2, "y", 12), (3, "y", 13), (3, "z", 14)],
+        "k long, v string, u long",
+    )
+    got = {
+        r["column"]: (r["n_distinct"], r["pair_distinct"], r["fd_holds"])
+        for r in functional_dependencies(
+            [(df, "k", "v", "k->v"), (df, "v", "k", "v->k"),
+             (df, "u", "k", "u->k")]
+        ).collect()
+    }
+    # k=3 maps to both 'y' and 'z' -> k->v broken
+    assert got["k->v"] == (3, 4, False)
+    # v='y' maps to k in {2, 3} -> v->k broken
+    assert got["v->k"] == (3, 4, False)
+    # u is unique -> u->k holds
+    assert got["u->k"] == (5, 5, True)
