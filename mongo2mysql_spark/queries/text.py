@@ -18,6 +18,11 @@ from mongo2mysql_spark.functions.text import (
 )
 from mongo2mysql_spark.operators.collocations import dice_collocations_sql
 from mongo2mysql_spark.operators.keyness import keyness_sql
+from mongo2mysql_spark.operators.novelty import (
+    heaps_growth_sql,
+    ngram_novelty_sql,
+)
+from mongo2mysql_spark.operators.postings import posting_compression_sql
 from mongo2mysql_spark.operators.multimodal import decode_metadata, payload_frame
 from mongo2mysql_spark.queries import register
 from mongo2mysql_spark.queries.domains import domains_oracle_ctes
@@ -145,6 +150,11 @@ def _text_profile_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 # near-uniform synthetic vocabulary still yields a stable associated
 # tail (~400 pairs) at every gate SF
 _COLL_MIN_PAIR, _COLL_NUM, _COLL_DEN = 5, 1, 30
+# novelty/heaps branches (operators/novelty.py)
+_NOVELTY_N = 3
+_HEAPS_CHECKPOINTS = 10
+# postings branch (operators/postings.py)
+_POSTINGS_K = 30
 
 
 @register(
@@ -155,6 +165,10 @@ _COLL_MIN_PAIR, _COLL_NUM, _COLL_DEN = 5, 1, 30
                  min_count=5, min_ratio=3, k=10)},
     {dice_collocations_sql("documents", "string_split(text, ' ')",
                            _COLL_MIN_PAIR, _COLL_NUM, _COLL_DEN)},
+    {ngram_novelty_sql("documents", "doc_id", "string_split(text, ' ')",
+                       n=_NOVELTY_N)},
+    {heaps_growth_sql("documents", "doc_id", "string_split(text, ' ')",
+                      checkpoints=_HEAPS_CHECKPOINTS)},
     tftop AS (
       SELECT token, n FROM (
         SELECT tok AS token, COUNT(*) AS n
@@ -173,7 +187,10 @@ _COLL_MIN_PAIR, _COLL_NUM, _COLL_DEN = 5, 1, 30
            CAST(NULL AS INTEGER) AS rank,
            CAST(NULL AS VARCHAR) AS w1, CAST(NULL AS VARCHAR) AS w2,
            CAST(NULL AS BIGINT) AS n_xy, CAST(NULL AS BIGINT) AS n_x,
-           CAST(NULL AS BIGINT) AS n_y, CAST(NULL AS DOUBLE) AS dice
+           CAST(NULL AS BIGINT) AS n_y, CAST(NULL AS DOUBLE) AS dice,
+           CAST(NULL AS BIGINT) AS n_novel,
+           CAST(NULL AS DOUBLE) AS novelty,
+           CAST(NULL AS BIGINT) AS vocab
     FROM tftop
     UNION ALL
     SELECT 'domains' AS branch, CAST(NULL AS VARCHAR) AS token,
@@ -186,7 +203,10 @@ _COLL_MIN_PAIR, _COLL_NUM, _COLL_DEN = 5, 1, 30
            CAST(NULL AS INTEGER) AS rank,
            CAST(NULL AS VARCHAR) AS w1, CAST(NULL AS VARCHAR) AS w2,
            CAST(NULL AS BIGINT) AS n_xy, CAST(NULL AS BIGINT) AS n_x,
-           CAST(NULL AS BIGINT) AS n_y, CAST(NULL AS DOUBLE) AS dice
+           CAST(NULL AS BIGINT) AS n_y, CAST(NULL AS DOUBLE) AS dice,
+           CAST(NULL AS BIGINT) AS n_novel,
+           CAST(NULL AS DOUBLE) AS novelty,
+           CAST(NULL AS BIGINT) AS vocab
     FROM ddomains
     UNION ALL
     SELECT 'domainsizes' AS branch, CAST(NULL AS VARCHAR) AS token,
@@ -199,7 +219,10 @@ _COLL_MIN_PAIR, _COLL_NUM, _COLL_DEN = 5, 1, 30
            CAST(NULL AS INTEGER) AS rank,
            CAST(NULL AS VARCHAR) AS w1, CAST(NULL AS VARCHAR) AS w2,
            CAST(NULL AS BIGINT) AS n_xy, CAST(NULL AS BIGINT) AS n_x,
-           CAST(NULL AS BIGINT) AS n_y, CAST(NULL AS DOUBLE) AS dice
+           CAST(NULL AS BIGINT) AS n_y, CAST(NULL AS DOUBLE) AS dice,
+           CAST(NULL AS BIGINT) AS n_novel,
+           CAST(NULL AS DOUBLE) AS novelty,
+           CAST(NULL AS BIGINT) AS vocab
     FROM dsizes
     UNION ALL
     SELECT 'keyness' AS branch, token, n,
@@ -210,7 +233,10 @@ _COLL_MIN_PAIR, _COLL_NUM, _COLL_DEN = 5, 1, 30
            label, n_rest, keyness, rank,
            CAST(NULL AS VARCHAR) AS w1, CAST(NULL AS VARCHAR) AS w2,
            CAST(NULL AS BIGINT) AS n_xy, CAST(NULL AS BIGINT) AS n_x,
-           CAST(NULL AS BIGINT) AS n_y, CAST(NULL AS DOUBLE) AS dice
+           CAST(NULL AS BIGINT) AS n_y, CAST(NULL AS DOUBLE) AS dice,
+           CAST(NULL AS BIGINT) AS n_novel,
+           CAST(NULL AS DOUBLE) AS novelty,
+           CAST(NULL AS BIGINT) AS vocab
     FROM keytop
     UNION ALL
     SELECT 'collocations' AS branch, CAST(NULL AS VARCHAR) AS token,
@@ -223,8 +249,46 @@ _COLL_MIN_PAIR, _COLL_NUM, _COLL_DEN = 5, 1, 30
            CAST(NULL AS BIGINT) AS n_rest,
            CAST(NULL AS DOUBLE) AS keyness,
            CAST(NULL AS INTEGER) AS rank,
-           w1, w2, n_xy, n_x, n_y, dice
+           w1, w2, n_xy, n_x, n_y, dice,
+           CAST(NULL AS BIGINT) AS n_novel,
+           CAST(NULL AS DOUBLE) AS novelty,
+           CAST(NULL AS BIGINT) AS vocab
     FROM colloc
+    UNION ALL
+    SELECT 'novelty' AS branch, CAST(NULL AS VARCHAR) AS token,
+           n_grams AS n,
+           id AS doc_id,
+           CAST(NULL AS BIGINT) AS domain,
+           CAST(NULL AS DOUBLE) AS d2,
+           CAST(NULL AS DOUBLE) AS share,
+           CAST(NULL AS VARCHAR) AS label,
+           CAST(NULL AS BIGINT) AS n_rest,
+           CAST(NULL AS DOUBLE) AS keyness,
+           CAST(NULL AS INTEGER) AS rank,
+           CAST(NULL AS VARCHAR) AS w1, CAST(NULL AS VARCHAR) AS w2,
+           CAST(NULL AS BIGINT) AS n_xy, CAST(NULL AS BIGINT) AS n_x,
+           CAST(NULL AS BIGINT) AS n_y, CAST(NULL AS DOUBLE) AS dice,
+           n_novel, novelty,
+           CAST(NULL AS BIGINT) AS vocab
+    FROM nvout
+    UNION ALL
+    SELECT 'heaps' AS branch, CAST(NULL AS VARCHAR) AS token,
+           tokens_seen AS n,
+           id_max AS doc_id,
+           CAST(NULL AS BIGINT) AS domain,
+           CAST(NULL AS DOUBLE) AS d2,
+           CAST(NULL AS DOUBLE) AS share,
+           CAST(NULL AS VARCHAR) AS label,
+           CAST(NULL AS BIGINT) AS n_rest,
+           CAST(NULL AS DOUBLE) AS keyness,
+           checkpoint AS rank,
+           CAST(NULL AS VARCHAR) AS w1, CAST(NULL AS VARCHAR) AS w2,
+           CAST(NULL AS BIGINT) AS n_xy, CAST(NULL AS BIGINT) AS n_x,
+           CAST(NULL AS BIGINT) AS n_y, CAST(NULL AS DOUBLE) AS dice,
+           CAST(NULL AS BIGINT) AS n_novel,
+           CAST(NULL AS DOUBLE) AS novelty,
+           vocab
+    FROM hpout
     """,
     doc=(
         "text-statistics family, tagged.  'tf' rows: global term "
@@ -250,7 +314,17 @@ _COLL_MIN_PAIR, _COLL_NUM, _COLL_DEN = 5, 1, 30
         "barred from hash-gated columns): bigrams via transform("
         "sequence) with 1-based element_at on BOTH engines, integer "
         "cross-multiplied dice qualification, the served dice one IEEE "
-        "division of exact integers."
+        "division of exact integers.  'novelty' rows: per-document "
+        "n-gram novelty (operators/novelty.ngram_novelty) — the "
+        "fraction of a doc's distinct trigrams first seen HERE by "
+        "min-id order; the templated-boilerplate readout MinHash "
+        "family dedup misses (no single near-dup twin), one gram-keyed "
+        "min(id) aggregate + one join back, short docs (0, 0, NULL).  "
+        "'heaps' rows: Heaps-law vocabulary growth "
+        "(operators/novelty.heaps_growth) — vocab and token totals at "
+        "10 id-domain checkpoints (integer-DIV thresholds: a double "
+        "divide + BIGINT cast rounds in DuckDB but truncates in "
+        "Spark); the V(N) flattening that says a source is mined out."
     ),
 )
 def text_term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -274,12 +348,38 @@ def text_term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, tokens(F.col("text")), min_pair=_COLL_MIN_PAIR,
         min_dice_num=_COLL_NUM, min_dice_den=_COLL_DEN,
     )
+    # redundancy-growth readouts (operators/novelty.py): per-doc
+    # n-gram novelty (what MinHash dedup misses — templated text with
+    # no single near-dup twin) and the Heaps-law vocabulary curve
+    from mongo2mysql_spark.operators.novelty import (
+        heaps_growth,
+        ngram_novelty,
+    )
+
+    nov = ngram_novelty(
+        d, "doc_id", tokens(F.col("text")), n=_NOVELTY_N
+    ).select(
+        F.col("id").alias("doc_id"),
+        F.col("n_grams").alias("n"),
+        "n_novel",
+        "novelty",
+    )
+    hp = heaps_growth(
+        d, "doc_id", tokens(F.col("text")), checkpoints=_HEAPS_CHECKPOINTS
+    ).select(
+        F.col("checkpoint").alias("rank"),
+        F.col("id_max").alias("doc_id"),
+        F.col("tokens_seen").alias("n"),
+        "vocab",
+    )
     return tagged_union(
         {
             "tf": tf,
             **domains_branches(spark, sf_dir, d),
             "keyness": key,
             "collocations": coll,
+            "novelty": nov,
+            "heaps": hp,
         }
     )
 
@@ -378,24 +478,50 @@ def _rrf_oracle() -> str:
       FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
     phtop AS (
       SELECT doc_id, n_hits FROM phcnt WHERE n_hits > 0
-      ORDER BY n_hits DESC, doc_id LIMIT {PHRASE_K})
+      ORDER BY n_hits DESC, doc_id LIMIT {PHRASE_K}),
+    {posting_compression_sql("documents", "doc_id",
+                             "string_split(text, ' ')", k=_POSTINGS_K)}
     SELECT 'bm25' AS branch, doc_id, bm25, n_terms_hit,
            CAST(NULL AS INTEGER) AS bm25_rank,
            CAST(NULL AS INTEGER) AS cos_rank,
-           CAST(NULL AS DOUBLE) AS rrf_score
+           CAST(NULL AS DOUBLE) AS rrf_score,
+           CAST(NULL AS VARCHAR) AS token,
+           CAST(NULL AS BIGINT) AS df,
+           CAST(NULL AS BIGINT) AS bytes_delta,
+           CAST(NULL AS BIGINT) AS bytes_plain,
+           CAST(NULL AS DOUBLE) AS ratio
     FROM bmtop
     UNION ALL
     SELECT 'rrf' AS branch, doc_id, CAST(NULL AS DOUBLE) AS bm25,
            CAST(NULL AS BIGINT) AS n_terms_hit,
-           bm25_rank, cos_rank, rrf_score
+           bm25_rank, cos_rank, rrf_score,
+           CAST(NULL AS VARCHAR) AS token,
+           CAST(NULL AS BIGINT) AS df,
+           CAST(NULL AS BIGINT) AS bytes_delta,
+           CAST(NULL AS BIGINT) AS bytes_plain,
+           CAST(NULL AS DOUBLE) AS ratio
     FROM rrftop
     UNION ALL
     SELECT 'phrase' AS branch, doc_id, CAST(NULL AS DOUBLE) AS bm25,
            n_hits AS n_terms_hit,
            CAST(NULL AS INTEGER) AS bm25_rank,
            CAST(NULL AS INTEGER) AS cos_rank,
-           CAST(NULL AS DOUBLE) AS rrf_score
+           CAST(NULL AS DOUBLE) AS rrf_score,
+           CAST(NULL AS VARCHAR) AS token,
+           CAST(NULL AS BIGINT) AS df,
+           CAST(NULL AS BIGINT) AS bytes_delta,
+           CAST(NULL AS BIGINT) AS bytes_plain,
+           CAST(NULL AS DOUBLE) AS ratio
     FROM phtop
+    UNION ALL
+    SELECT 'postings' AS branch, CAST(NULL AS BIGINT) AS doc_id,
+           CAST(NULL AS DOUBLE) AS bm25,
+           CAST(NULL AS BIGINT) AS n_terms_hit,
+           CAST(NULL AS INTEGER) AS bm25_rank,
+           CAST(NULL AS INTEGER) AS cos_rank,
+           CAST(NULL AS DOUBLE) AS rrf_score,
+           token, df, bytes_delta, bytes_plain, ratio
+    FROM pcout
     """,
     doc=(
         "retrieval surface, tagged: 'bm25' rows are BM25 top-20 documents "
@@ -420,7 +546,15 @@ def _rrf_oracle() -> str:
         "unpartitioned window), and fusion is a union + one hash "
         "aggregate (a full-outer join refuses broadcast), so cost is "
         "leg-sized at any corpus scale; per-leg ranks and the "
-        "decimal-rounded fused score are hash-verified."
+        "decimal-rounded fused score are hash-verified.  'postings' "
+        "rows: inverted-index storage planning "
+        "(operators/postings.posting_compression — the Lucene-style "
+        "delta+varint codec estimate): per top-df term, exact byte "
+        "cost of gap-coded postings vs plain int64, all integer "
+        "arithmetic (varint length is a >=2^k step chain), gaps via "
+        "lag over the per-term window (bounded by the posting list "
+        "the index materializes anyway; stop-word-scale lists shard "
+        "by id-range per the segmented layout)."
     ),
 )
 def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -490,7 +624,17 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ph = phrase_match_counts(
         d, "doc_id", tokens(F.col("text")), list(PHRASE), k=PHRASE_K
     ).select("doc_id", F.col("n_hits").alias("n_terms_hit"))
-    return tagged_union({"bm25": bmtop, "rrf": rrftop, "phrase": ph})
+    # index storage planning (operators/postings.py): exact
+    # delta+varint byte costs of the top-df posting lists — the codec
+    # decision the index builder makes before writing segments
+    from mongo2mysql_spark.operators.postings import posting_compression
+
+    pc = posting_compression(
+        d, "doc_id", tokens(F.col("text")), k=_POSTINGS_K
+    )
+    return tagged_union(
+        {"bm25": bmtop, "rrf": rrftop, "phrase": ph, "postings": pc}
+    )
 
 
 # Document fingerprinting (md5 over the sorted distinct token set,

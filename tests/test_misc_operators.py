@@ -1559,3 +1559,92 @@ def test_functional_dependencies_hold_and_break(spark):
     assert got["v->k"] == (3, 4, False)
     # u is unique -> u->k holds
     assert got["u->k"] == (5, 5, True)
+
+
+def test_ngram_novelty_hand_case(spark):
+    """First-occurrence attribution by min id; short docs emit
+    (0, 0, NULL); copies score zero novelty."""
+    from mongo2mysql_spark.operators.novelty import ngram_novelty
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),      # grams: abc, bcd — both novel
+            (2, "a b c"),        # abc seen in doc 1 -> 0/1
+            (3, "x y z a b c"),  # xyz, yza, zab novel; abc old -> 3/4
+            (4, "q r"),          # too short -> no grams
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["id"]: (r["n_grams"], r["n_novel"], r["novelty"])
+        for r in ngram_novelty(
+            docs, "doc_id", F.split(F.col("text"), " "), n=3
+        ).collect()
+    }
+    assert got[1] == (2, 2, 1.0)
+    assert got[2] == (1, 0, 0.0)
+    assert got[3] == (4, 3, 0.75)
+    assert got[4] == (0, 0, None)
+
+
+def test_heaps_growth_monotone_and_exact(spark):
+    """Vocabulary and token counts at each checkpoint match a naive
+    prefix scan; both curves are monotone."""
+    from mongo2mysql_spark.operators.novelty import heaps_growth
+
+    rows = [
+        (10, "a b c"),
+        (20, "a b d"),
+        (30, "e"),
+        (40, "a e f g"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["checkpoint"]: (r["id_max"], r["tokens_seen"], r["vocab"])
+        for r in heaps_growth(
+            docs, "doc_id", F.split(F.col("text"), " "), checkpoints=4
+        ).collect()
+    }
+    # thresholds: 40*i DIV 4 = 10, 20, 30, 40
+    assert got[1] == (10, 3, 3)   # a b c
+    assert got[2] == (20, 6, 4)   # + a b d
+    assert got[3] == (30, 7, 5)   # + e
+    assert got[4] == (40, 11, 7)  # + a e f g
+    toks = [v[1] for _, v in sorted(got.items())]
+    voc = [v[2] for _, v in sorted(got.items())]
+    assert toks == sorted(toks) and voc == sorted(voc)
+
+
+def test_posting_compression_hand_case(spark):
+    """Exact varint byte accounting on a hand-built posting list,
+    including the first-gap id+1 rule and a 2-byte gap."""
+    from mongo2mysql_spark.operators.postings import posting_compression
+
+    # token 'a' in docs 0, 5, 200 -> gaps 1, 5, 195: 1 + 1 + 2 bytes
+    # token 'b' in docs 100, 300 -> gaps 101, 200: 1 + 2 bytes
+    rows = [(0, "a"), (5, "a"), (200, "a"), (100, "b"), (300, "b x")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["token"]: (r["df"], r["bytes_delta"], r["bytes_plain"], r["ratio"])
+        for r in posting_compression(
+            docs, "doc_id", F.split(F.col("text"), " "), k=10
+        ).collect()
+    }
+    assert got["a"] == (3, 4, 24, 4 / 24)
+    # gap 200 >= 128 -> 2 bytes
+    assert got["b"] == (2, 3, 16, 3 / 16)
+    assert got["x"][0] == 1
+
+
+def test_posting_compression_duplicate_tokens_count_once(spark):
+    """Postings are DISTINCT (token, doc): repeated occurrences inside
+    one doc do not inflate df or bytes."""
+    from mongo2mysql_spark.operators.postings import posting_compression
+
+    docs = spark.createDataFrame(
+        [(1, "a a a"), (2, "a")], "doc_id long, text string"
+    )
+    got = posting_compression(
+        docs, "doc_id", F.split(F.col("text"), " "), k=5
+    ).collect()
+    assert len(got) == 1 and got[0]["df"] == 2 and got[0]["bytes_delta"] == 2
