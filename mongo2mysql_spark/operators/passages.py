@@ -397,3 +397,137 @@ def self_repetition_spans(
         )
         .filter(F.col("n_anchors") >= min_anchors)
     )
+
+
+def exact_dup_spans(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+) -> DataFrame:
+    """EXACT duplicated-k-gram span marking — the Lee et al. ACL 2022
+    ExactSubstr semantic at token-gram granularity, complementing the
+    winnowing paths above: winnowing SAMPLES fingerprints (a shared
+    run shorter than w+k−1 can be missed), this marks EVERY token
+    position covered by a k-gram that occurs more than once in the
+    whole corpus (across documents OR within one), then gap-merges
+    hits into maximal spans — exactly the spans a substring-dedup
+    remover strips.
+
+    Plan: positional k-grams (one narrow pass, pure array exprs) →
+    one gram-keyed count (map-side combined; the corpus-scale shuffle
+    — the relational stand-in for the suffix array, same join key a
+    distributed suffix-array build would shuffle on) → semi-join hits
+    back → per-doc gap-merge via ONE lag window (partitions bounded by
+    a document's gram count).  All integers.
+
+    Output: one row per document — (id, n_before = token count,
+    n_spans, n_dup_tokens = Σ span lengths, n_after = n_before −
+    n_dup_tokens, span_min_start, span_max_end); zero-span docs have
+    0/0/n_before and NULL bounds.
+    """
+    from pyspark.sql import Window as W
+
+    from mongo2mysql_spark.operators.novelty import _grams
+
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    toks = tokens(F.col(text_col))
+    base = docs.select(
+        F.col(id_col).alias("id"), F.size(toks).alias("n_before"),
+        _grams(toks, k).alias("__g"),
+    )
+    pos = base.select(
+        "id", F.posexplode("__g").alias("pos", "gram")
+    )
+    dup = (
+        pos.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") > 1)
+        .select("gram")
+    )
+    hits = pos.join(dup, "gram", "left_semi")
+    w = W.partitionBy("id").orderBy("pos")
+    isl = hits.select(
+        "id",
+        "pos",
+        F.sum(
+            (
+                F.col("pos") - F.coalesce(F.lag("pos").over(w), F.lit(-k - 1))
+                > k
+            ).cast("int")
+        )
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("island"),
+    )
+    spans = isl.groupBy("id", "island").agg(
+        F.min("pos").alias("s"), F.max("pos").alias("e")
+    )
+    per_doc = spans.groupBy("id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + k).cast("int").alias("n_dup_tokens"),
+        F.min("s").cast("int").alias("span_min_start"),
+        (F.max("e") + k).cast("int").alias("span_max_end"),
+    )
+    return base.select("id", "n_before").join(per_doc, "id", "left").select(
+        "id",
+        F.col("n_before").cast("int").alias("n_before"),
+        F.coalesce("n_spans", F.lit(0)).cast("int").alias("n_spans"),
+        F.coalesce("n_dup_tokens", F.lit(0)).cast("int").alias(
+            "n_dup_tokens"
+        ),
+        (F.col("n_before") - F.coalesce("n_dup_tokens", F.lit(0)))
+        .cast("int")
+        .alias("n_after"),
+        "span_min_start",
+        "span_max_end",
+    )
+
+
+def exact_dup_spans_sql(
+    table: str, id_col: str, text_col: str, k: int = 8, prefix: str = "es"
+) -> str:
+    """DuckDB restatement; final CTE ``<prefix>out(id, n_before,
+    n_spans, n_dup_tokens, n_after, span_min_start, span_max_end)``."""
+    x = prefix
+    return f"""{x}t AS (
+      SELECT {id_col} AS id, string_split({text_col}, ' ') AS t
+      FROM {table}),
+    {x}i AS (
+      SELECT id, t,
+             unnest(generate_series(1, greatest(len(t) - {k - 1}, 0))) AS i
+      FROM {x}t),
+    {x}p AS (
+      SELECT id, i - 1 AS pos,
+             array_to_string(t[i:i+{k - 1}], ' ') AS gram
+      FROM {x}i),
+    {x}dup AS (SELECT gram FROM {x}p GROUP BY gram HAVING count(*) > 1),
+    {x}hit AS (SELECT p.id, p.pos FROM {x}p p JOIN {x}dup USING (gram)),
+    {x}isl AS (
+      SELECT id, pos,
+             SUM(CASE WHEN pos - COALESCE(lag_pos, {-k - 1}) > {k}
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY id ORDER BY pos
+                     ROWS UNBOUNDED PRECEDING) AS island
+      FROM (SELECT id, pos,
+                   lag(pos) OVER (PARTITION BY id ORDER BY pos) AS lag_pos
+            FROM {x}hit)),
+    {x}sp AS (
+      SELECT id, island, MIN(pos) AS s, MAX(pos) AS e
+      FROM {x}isl GROUP BY 1, 2),
+    {x}doc AS (
+      SELECT id,
+             CAST(COUNT(*) AS INTEGER) AS n_spans,
+             CAST(SUM(e - s + {k}) AS INTEGER) AS n_dup_tokens,
+             CAST(MIN(s) AS INTEGER) AS span_min_start,
+             CAST(MAX(e) + {k} AS INTEGER) AS span_max_end
+      FROM {x}sp GROUP BY 1),
+    {x}out AS (
+      SELECT b.id,
+             CAST(len(b.t) AS INTEGER) AS n_before,
+             COALESCE(d.n_spans, 0) AS n_spans,
+             COALESCE(d.n_dup_tokens, 0) AS n_dup_tokens,
+             CAST(len(b.t) - COALESCE(d.n_dup_tokens, 0) AS INTEGER)
+               AS n_after,
+             d.span_min_start, d.span_max_end
+      FROM {x}t b LEFT JOIN {x}doc d USING (id))"""

@@ -22,6 +22,7 @@ from mongo2mysql_spark.operators.novelty import (
     heaps_growth_sql,
     ngram_novelty_sql,
 )
+from mongo2mysql_spark.operators.passages import exact_dup_spans_sql
 from mongo2mysql_spark.operators.postings import posting_compression_sql
 from mongo2mysql_spark.operators.multimodal import decode_metadata, payload_frame
 from mongo2mysql_spark.queries import register
@@ -651,6 +652,8 @@ _WINNOW_MEMO: dict[tuple, tuple] = {}
 PASSAGE_MIN_SHARED, PASSAGE_MAX_FP_DF = 2, 100
 # self-repetition span detection + stripping (operators/passages.py)
 SELFREP_MIN_ANCHORS, SELFREP_MERGE_GAP = 2, 20
+# exact duplicated-k-gram spans (operators/passages.exact_dup_spans)
+_EXACT_SPAN_K = 8
 
 
 @register(
@@ -728,7 +731,8 @@ SELFREP_MIN_ANCHORS, SELFREP_MERGE_GAP = 2, 20
              COALESCE(n_stripped, 0) AS n_stripped,
              CAST(len(t) AS INTEGER) - COALESCE(n_stripped, 0) AS n_after,
              span_min_start, span_max_end
-      FROM tok LEFT JOIN spancnt USING (doc_id))
+      FROM tok LEFT JOIN spancnt USING (doc_id)),
+    {exact_dup_spans_sql("documents", "doc_id", "text", k=_EXACT_SPAN_K)}
     SELECT 'fps' AS branch, doc_id, fp,
            CAST(NULL AS BIGINT) AS doc_a, CAST(NULL AS BIGINT) AS doc_b,
            CAST(NULL AS BIGINT) AS shared_fps,
@@ -762,6 +766,15 @@ SELFREP_MIN_ANCHORS, SELFREP_MERGE_GAP = 2, 20
            n_before, n_spans, n_stripped, n_after,
            span_min_start, span_max_end
     FROM strip
+    UNION ALL
+    SELECT 'exactspans' AS branch, id AS doc_id, CAST(NULL AS BIGINT) AS fp,
+           CAST(NULL AS BIGINT) AS doc_a, CAST(NULL AS BIGINT) AS doc_b,
+           CAST(NULL AS BIGINT) AS shared_fps,
+           CAST(NULL AS BIGINT) AS n_a, CAST(NULL AS BIGINT) AS n_b,
+           CAST(NULL AS DOUBLE) AS containment,
+           n_before, n_spans, n_dup_tokens AS n_stripped, n_after,
+           span_min_start, span_max_end
+    FROM esout
     """,
     doc=(
         "winnowing fingerprints + passage-duplicate pairs, tagged: 'fps' "
@@ -785,7 +798,16 @@ SELFREP_MIN_ANCHORS, SELFREP_MERGE_GAP = 2, 20
         "all-integer outcome — token counts before/after, stripped "
         "count, span count and bounds; the oracle restates the whole "
         "anchor→island→strip chain in SQL (gaps-and-islands instead of "
-        "the array fold — same merge semantics)."
+        "the array fold — same merge semantics).  'exactspans' rows: "
+        "EXACT duplicated-k-gram spans "
+        "(operators/passages.exact_dup_spans — the Lee et al. "
+        "ExactSubstr semantic at gram granularity): every position "
+        "covered by a corpus-repeated 8-gram (across docs OR within "
+        "one), gap-merged per doc; winnowing SAMPLES fingerprints and "
+        "can miss runs shorter than w+k-1 — this is its exact "
+        "complement, one gram-keyed count (the relational stand-in "
+        "for the suffix array) + semi-join back + one bounded lag "
+        "window, all integers."
     ),
 )
 def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -860,7 +882,24 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         "span_min_start",
         "span_max_end",
     )
-    return tagged_union({"fps": fps, "pairs": pairs, "strip": strip})
+    # EXACT duplicated-k-gram spans (operators/passages.exact_dup_spans
+    # — ExactSubstr at gram granularity): every position covered by a
+    # corpus-repeated k-gram, gap-merged; the sampled winnowing spans'
+    # exact complement, riding the same strip column family
+    from mongo2mysql_spark.operators.passages import exact_dup_spans
+
+    es = exact_dup_spans(d, "doc_id", "text", k=_EXACT_SPAN_K).select(
+        F.col("id").alias("doc_id"),
+        "n_before",
+        "n_spans",
+        F.col("n_dup_tokens").alias("n_stripped"),
+        "n_after",
+        "span_min_start",
+        "span_max_end",
+    )
+    return tagged_union(
+        {"fps": fps, "pairs": pairs, "strip": strip, "exactspans": es}
+    )
 
 
 def _pii_planted_sql() -> str:

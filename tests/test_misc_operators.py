@@ -1648,3 +1648,48 @@ def test_posting_compression_duplicate_tokens_count_once(spark):
         docs, "doc_id", F.split(F.col("text"), " "), k=5
     ).collect()
     assert len(got) == 1 and got[0]["df"] == 2 and got[0]["bytes_delta"] == 2
+
+
+def test_exact_dup_spans_hand_case(spark):
+    """A planted 4-gram shared by two docs (and repeated within one)
+    is marked and gap-merged; unique text is untouched."""
+    from mongo2mysql_spark.operators.passages import exact_dup_spans
+
+    shared = "w x y z"
+    docs = spark.createDataFrame(
+        [
+            (1, f"a b c {shared} d e f"),
+            (2, f"p q {shared} r s"),
+            # doc 3: the shared run twice, back to back -> ONE merged span
+            (3, f"{shared} {shared}"),
+            (4, "entirely unique tokens here only once"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["id"]: (
+            r["n_before"], r["n_spans"], r["n_dup_tokens"], r["n_after"],
+            r["span_min_start"], r["span_max_end"],
+        )
+        for r in exact_dup_spans(docs, "doc_id", "text", k=4).collect()
+    }
+    # doc 1: tokens 3-6 are the shared gram -> one span of 4 tokens
+    assert got[1] == (10, 1, 4, 6, 3, 7)
+    # doc 2: tokens 2-5
+    assert got[2] == (8, 1, 4, 4, 2, 6)
+    # doc 3: positions 0..4 all start a repeated 4-gram ("z w x y" spans
+    # the seam and also repeats? no — but 0 and 4 both hit, gap 4 <= k
+    # -> merged into one span covering the whole doc)
+    assert got[3][1] == 1 and got[3][2] == 8 and got[3][3] == 0
+    # doc 4: nothing repeated
+    assert got[4] == (6, 0, 0, 6, None, None)
+
+
+def test_exact_dup_spans_rejects_small_k(spark):
+    from mongo2mysql_spark.operators.passages import exact_dup_spans
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        exact_dup_spans(df, "doc_id", "text", k=1)
