@@ -22,6 +22,7 @@ from mongo2mysql_spark.operators.dedup import (
     simhash_bits,
 )
 from mongo2mysql_spark.operators.pagerank import pagerank_sql
+from mongo2mysql_spark.operators.labelprop import label_propagation_sql
 from mongo2mysql_spark.operators.triangles import triangle_sql
 from mongo2mysql_spark.queries import register
 from mongo2mysql_spark.sources import load_table as T
@@ -45,6 +46,13 @@ _SHINGLE_PAIRS_MEMO: dict[tuple, tuple] = {}
 # (closure, pagerank, triangle) doc-bounded artifact frames shared
 # across materializations of dedup_connected_components
 _CLOSURE_MEMO: dict[tuple, tuple] = {}
+
+# label propagation over the near-dup graph (operators/labelprop.py):
+# seeds deterministically corrupted (doc_id % MOD -> 'zz') so the
+# branch demonstrably REPAIRS labels inside dup families rather than
+# passing vacuously
+_LPA_ITERS = 2
+_LPA_CORRUPT_MOD = 3
 
 
 def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -519,7 +527,13 @@ def dedup_pair_families(spark: SparkSession, sf_dir: str) -> DataFrame:
     prnodes AS (SELECT doc_id FROM documents),
     predges AS (SELECT a AS src, b AS dst FROM edges),
     {pagerank_sql("prnodes", "predges", "doc_id", iters=3)},
-    {triangle_sql("prnodes", "pairs", "doc_id")}
+    {triangle_sql("prnodes", "pairs", "doc_id")},
+    lpseed AS (
+      SELECT doc_id AS id,
+             CASE WHEN doc_id % {_LPA_CORRUPT_MOD} = 0 THEN 'zz'
+                  ELSE lang END AS label
+      FROM documents),
+    {label_propagation_sql("lpseed", "predges", iters=_LPA_ITERS)}
     SELECT 'closure' AS branch, doc_id, component_id,
            count(*) OVER (PARTITION BY component_id) AS cluster_size,
            CAST(CASE WHEN doc_id = component_id THEN 1 ELSE 0 END AS INTEGER)
@@ -530,7 +544,9 @@ def dedup_pair_families(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(NULL AS DOUBLE) AS pr_rank,
            CAST(NULL AS BIGINT) AS degree,
            CAST(NULL AS BIGINT) AS tri_count,
-           CAST(NULL AS DOUBLE) AS clust_coeff
+           CAST(NULL AS DOUBLE) AS clust_coeff,
+           CAST(NULL AS VARCHAR) AS lang_seed,
+           CAST(NULL AS VARCHAR) AS lang_prop
     FROM labeled
     UNION ALL
     SELECT 'canon' AS branch, r.doc_id, r.component_id,
@@ -542,7 +558,9 @@ def dedup_pair_families(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(NULL AS DOUBLE) AS pr_rank,
            CAST(NULL AS BIGINT) AS degree,
            CAST(NULL AS BIGINT) AS tri_count,
-           CAST(NULL AS DOUBLE) AS clust_coeff
+           CAST(NULL AS DOUBLE) AS clust_coeff,
+           CAST(NULL AS VARCHAR) AS lang_seed,
+           CAST(NULL AS VARCHAR) AS lang_prop
     FROM ranked r JOIN canonid c USING (component_id)
     UNION ALL
     SELECT 'pagerank' AS branch, node AS doc_id,
@@ -555,7 +573,9 @@ def dedup_pair_families(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(ROUND(CAST(rank AS DECIMAL(28,12)), 9) AS DOUBLE) AS pr_rank,
            CAST(NULL AS BIGINT) AS degree,
            CAST(NULL AS BIGINT) AS tri_count,
-           CAST(NULL AS DOUBLE) AS clust_coeff
+           CAST(NULL AS DOUBLE) AS clust_coeff,
+           CAST(NULL AS VARCHAR) AS lang_seed,
+           CAST(NULL AS VARCHAR) AS lang_prop
     FROM pr3
     UNION ALL
     SELECT 'triangles' AS branch, node AS doc_id,
@@ -566,7 +586,9 @@ def dedup_pair_families(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(NULL AS BIGINT) AS canon_id,
            CAST(NULL AS INTEGER) AS is_canon,
            CAST(NULL AS DOUBLE) AS pr_rank,
-           degree, tri_count, clust_coeff
+           degree, tri_count, clust_coeff,
+           CAST(NULL AS VARCHAR) AS lang_seed,
+           CAST(NULL AS VARCHAR) AS lang_prop
     FROM tristats
     UNION ALL
     SELECT 'incclosure' AS branch, doc_id, component_id,
@@ -578,8 +600,24 @@ def dedup_pair_families(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(NULL AS DOUBLE) AS pr_rank,
            CAST(NULL AS BIGINT) AS degree,
            CAST(NULL AS BIGINT) AS tri_count,
-           CAST(NULL AS DOUBLE) AS clust_coeff
+           CAST(NULL AS DOUBLE) AS clust_coeff,
+           CAST(NULL AS VARCHAR) AS lang_seed,
+           CAST(NULL AS VARCHAR) AS lang_prop
     FROM labeled
+    UNION ALL
+    SELECT 'labelprop' AS branch, s.id AS doc_id,
+           CAST(NULL AS BIGINT) AS component_id,
+           CAST(NULL AS BIGINT) AS cluster_size,
+           CAST(NULL AS INTEGER) AS is_representative,
+           CAST(NULL AS DOUBLE) AS quality,
+           CAST(NULL AS BIGINT) AS canon_id,
+           CAST(NULL AS INTEGER) AS is_canon,
+           CAST(NULL AS DOUBLE) AS pr_rank,
+           CAST(NULL AS BIGINT) AS degree,
+           CAST(NULL AS BIGINT) AS tri_count,
+           CAST(NULL AS DOUBLE) AS clust_coeff,
+           s.label AS lang_seed, f.label AS lang_prop
+    FROM lpseed s JOIN lp{_LPA_ITERS} f USING (id)
     """,
     doc=(
         "near-dup cluster resolution, tagged.  'closure' branch: "
@@ -622,7 +660,17 @@ def dedup_pair_families(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label is its component's min member id, the incremental "
         "answer is BIT-IDENTICAL to the batch closure — which is "
         "exactly what the oracle states (same-answer-different-path, "
-        "the IVF-store gate pattern)."
+        "the IVF-store gate pattern).  'labelprop' branch: synchronous "
+        "label propagation (operators/labelprop — Raghavan et al. 2007 "
+        "made deterministic): per-doc language labels, deterministically "
+        "corrupted (doc_id % 3 -> 'zz'), smoothed over the same "
+        "symmetric near-dup graph for 2 rounds — corrupted members of "
+        "dup families are REPAIRED by their neighbors' majority while "
+        "isolated docs keep their seed; self-inclusive voting (own "
+        "label counts once — without it 2-cliques oscillate on 1-1 "
+        "ties), argmax max-count-then-min-label, per round one "
+        "edge-keyed join + one map-side count + a two-phase argmax, no "
+        "windows; the oracle unrolls both rounds."
     ),
 )
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -678,9 +726,31 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         tri_ = node_triangle_stats(d.select("doc_id"), pairs, "doc_id").select(
             F.col("node").alias("doc_id"), "degree", "tri_count", "clust_coeff"
         ).localCheckpoint()
-        return comp_, pr_, tri_, inc_
+        # label propagation (operators/labelprop): seeds corrupted
+        # deterministically (doc_id % MOD -> 'zz') so the branch
+        # demonstrably REPAIRS language labels inside dup families —
+        # two synchronous rounds over the same memoized sym edges
+        from mongo2mysql_spark.operators.labelprop import label_propagation
 
-    comp, pr, tri, inc = slot_memo(
+        seeds_ = d.select(
+            F.col("doc_id").alias("id"),
+            F.when(F.col("doc_id") % _LPA_CORRUPT_MOD == 0, F.lit("zz"))
+            .otherwise(F.col("lang"))
+            .alias("label"),
+        )
+        lp_ = (
+            seeds_.withColumnRenamed("label", "lang_seed")
+            .join(
+                label_propagation(seeds_, sym, iters=_LPA_ITERS)
+                .withColumnRenamed("label", "lang_prop"),
+                "id",
+            )
+            .select(F.col("id").alias("doc_id"), "lang_seed", "lang_prop")
+            .localCheckpoint()
+        )
+        return comp_, pr_, tri_, inc_, lp_
+
+    comp, pr, tri, inc, lp = slot_memo(
         _CLOSURE_MEMO, spark, sf_dir, build_graph_artifacts
     )
     labeled = (
@@ -734,5 +804,6 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pagerank": pr,
             "triangles": tri,
             "incclosure": inc_labeled,
+            "labelprop": lp,
         }
     )

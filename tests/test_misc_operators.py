@@ -1693,3 +1693,77 @@ def test_exact_dup_spans_rejects_small_k(spark):
 
     with _pytest.raises(ValueError):
         exact_dup_spans(df, "doc_id", "text", k=1)
+
+
+def test_label_propagation_repairs_minority_and_keeps_isolated(spark):
+    from mongo2mysql_spark.operators.labelprop import label_propagation
+
+    labels = spark.createDataFrame(
+        [(1, "en"), (2, "en"), (3, "de"), (4, "fr")],
+        "id long, label string",
+    )
+    # triangle 1-2-3 (majority en), node 4 isolated
+    pairs = [(1, 2), (2, 3), (1, 3)]
+    edges = spark.createDataFrame(
+        pairs + [(b, a) for a, b in pairs], "src long, dst long"
+    )
+    got = {
+        r["id"]: r["label"]
+        for r in label_propagation(labels, edges, iters=2).collect()
+    }
+    # node 3's neighbors are en,en -> repaired; 4 keeps fr
+    assert got[3] == "en" and got[4] == "fr"
+    assert got[1] == "en" and got[2] == "en"
+
+
+def test_label_propagation_tie_resolves_lexicographically(spark):
+    from mongo2mysql_spark.operators.labelprop import label_propagation
+
+    labels = spark.createDataFrame(
+        [(1, "b"), (2, "a"), (3, "c")], "id long, label string"
+    )
+    # node 3 has neighbors 1 (b) and 2 (a): 1-1 tie -> 'a' wins
+    pairs = [(3, 1), (3, 2)]
+    edges = spark.createDataFrame(
+        pairs + [(b, a) for a, b in pairs], "src long, dst long"
+    )
+    got = {
+        r["id"]: r["label"]
+        for r in label_propagation(labels, edges, iters=1).collect()
+    }
+    assert got[3] == "a"
+    # self-inclusive: 1 votes {b(self), c} tie -> 'b'; 2 votes
+    # {a(self), c} tie -> 'a'
+    assert got[1] == "b" and got[2] == "a"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        label_propagation(labels, edges, iters=0)
+
+
+def test_label_propagation_synchronous_rounds(spark):
+    """Round 2 uses ROUND-1 labels, not a mix — a chain a-b-c shifts
+    labels one hop per round."""
+    from mongo2mysql_spark.operators.labelprop import label_propagation
+
+    labels = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "z")], "id long, label string"
+    )
+    pairs = [(1, 2), (2, 3)]
+    edges = spark.createDataFrame(
+        pairs + [(b, a) for a, b in pairs], "src long, dst long"
+    )
+    r1 = {
+        r["id"]: r["label"]
+        for r in label_propagation(labels, edges, iters=1).collect()
+    }
+    # self-inclusive round 1: node 1 {x(self), y} -> 'x'; node 2
+    # {y(self), x, z} 3-way tie -> 'x'; node 3 {z(self), y} -> 'y'
+    assert r1 == {1: "x", 2: "x", 3: "y"}
+    r2 = {
+        r["id"]: r["label"]
+        for r in label_propagation(labels, edges, iters=2).collect()
+    }
+    # from r1 synchronously: 1 {x, x} -> x; 2 {x, x, y} -> x;
+    # 3 {y(self), 2's ROUND-1 'x'} tie -> x
+    assert r2 == {1: "x", 2: "x", 3: "x"}
