@@ -154,6 +154,9 @@ _COLL_MIN_PAIR, _COLL_NUM, _COLL_DEN = 5, 1, 30
 # novelty/heaps branches (operators/novelty.py)
 _NOVELTY_N = 3
 _HEAPS_CHECKPOINTS = 10
+# doc-bounded artifact frames shared across materializations
+_TFX_MEMO: dict[tuple, tuple] = {}
+_POSTINGS_MEMO: dict[tuple, "DataFrame"] = {}
 # postings branch (operators/postings.py)
 _POSTINGS_K = 30
 
@@ -351,28 +354,36 @@ def text_term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # redundancy-growth readouts (operators/novelty.py): per-doc
     # n-gram novelty (what MinHash dedup misses — templated text with
-    # no single near-dup twin) and the Heaps-law vocabulary curve
+    # no single near-dup twin) and the Heaps-law vocabulary curve —
+    # doc-bounded artifacts, slot-memoized (pass 1 pays the gram
+    # shuffle, later materializations serve the checkpoints)
     from mongo2mysql_spark.operators.novelty import (
         heaps_growth,
         ngram_novelty,
     )
+    from mongo2mysql_spark.queries import slot_memo
 
-    nov = ngram_novelty(
-        d, "doc_id", tokens(F.col("text")), n=_NOVELTY_N
-    ).select(
-        F.col("id").alias("doc_id"),
-        F.col("n_grams").alias("n"),
-        "n_novel",
-        "novelty",
-    )
-    hp = heaps_growth(
-        d, "doc_id", tokens(F.col("text")), checkpoints=_HEAPS_CHECKPOINTS
-    ).select(
-        F.col("checkpoint").alias("rank"),
-        F.col("id_max").alias("doc_id"),
-        F.col("tokens_seen").alias("n"),
-        "vocab",
-    )
+    def build_tfx() -> tuple:
+        nov_ = ngram_novelty(
+            d, "doc_id", tokens(F.col("text")), n=_NOVELTY_N
+        ).select(
+            F.col("id").alias("doc_id"),
+            F.col("n_grams").alias("n"),
+            "n_novel",
+            "novelty",
+        ).localCheckpoint()
+        hp_ = heaps_growth(
+            d, "doc_id", tokens(F.col("text")),
+            checkpoints=_HEAPS_CHECKPOINTS,
+        ).select(
+            F.col("checkpoint").alias("rank"),
+            F.col("id_max").alias("doc_id"),
+            F.col("tokens_seen").alias("n"),
+            "vocab",
+        ).localCheckpoint()
+        return nov_, hp_
+
+    nov, hp = slot_memo(_TFX_MEMO, spark, sf_dir, build_tfx)
     return tagged_union(
         {
             "tf": tf,
@@ -629,9 +640,15 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # delta+varint byte costs of the top-df posting lists — the codec
     # decision the index builder makes before writing segments
     from mongo2mysql_spark.operators.postings import posting_compression
+    from mongo2mysql_spark.queries import slot_memo
 
-    pc = posting_compression(
-        d, "doc_id", tokens(F.col("text")), k=_POSTINGS_K
+    pc = slot_memo(
+        _POSTINGS_MEMO,
+        spark,
+        sf_dir,
+        lambda: posting_compression(
+            d, "doc_id", tokens(F.col("text")), k=_POSTINGS_K
+        ).localCheckpoint(),
     )
     return tagged_union(
         {"bm25": bmtop, "rrf": rrftop, "phrase": ph, "postings": pc}
@@ -858,9 +875,19 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         # materialize internally (passages.py localCheckpoints its
         # pair-bounded results), so the positional cache can go
         pos.unpersist()
-        return fps_, pairs_, spans_
+        # EXACT duplicated-k-gram spans (operators/passages.
+        # exact_dup_spans — ExactSubstr at gram granularity): doc-
+        # bounded artifact, built once with the other winnow artifacts
+        from mongo2mysql_spark.operators.passages import exact_dup_spans
 
-    fps, pairs, spans = slot_memo(_WINNOW_MEMO, spark, sf_dir, build_winnow)
+        es_ = exact_dup_spans(
+            d, "doc_id", "text", k=_EXACT_SPAN_K
+        ).localCheckpoint()
+        return fps_, pairs_, spans_, es_
+
+    fps, pairs, spans, es_art = slot_memo(
+        _WINNOW_MEMO, spark, sf_dir, build_winnow
+    )
     per_doc_spans = spans.groupBy(F.col("doc_a").alias("doc_id")).agg(
         F.count(F.lit(1)).cast("int").alias("n_spans"),
         F.min("a_start").cast("int").alias("span_min_start"),
@@ -882,13 +909,10 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         "span_min_start",
         "span_max_end",
     )
-    # EXACT duplicated-k-gram spans (operators/passages.exact_dup_spans
-    # — ExactSubstr at gram granularity): every position covered by a
-    # corpus-repeated k-gram, gap-merged; the sampled winnowing spans'
-    # exact complement, riding the same strip column family
-    from mongo2mysql_spark.operators.passages import exact_dup_spans
-
-    es = exact_dup_spans(d, "doc_id", "text", k=_EXACT_SPAN_K).select(
+    # every position covered by a corpus-repeated k-gram, gap-merged;
+    # the sampled winnowing spans' exact complement, riding the same
+    # strip column family (artifact built in build_winnow above)
+    es = es_art.select(
         F.col("id").alias("doc_id"),
         "n_before",
         "n_spans",
