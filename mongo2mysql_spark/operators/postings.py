@@ -47,30 +47,71 @@ def posting_compression(
     id_col: str,
     tokens_col: Column,
     k: int = 30,
+    shard_span: int | None = None,
 ) -> DataFrame:
     """Top-``k`` terms by document frequency with exact delta+varint
     byte costs: (token, df, bytes_delta, bytes_plain = 8·df, ratio =
     bytes_delta / bytes_plain).  First gap is ``id + 1`` (ids may be
-    0) — the self-delimiting convention a fresh segment writes.
+     0) — the self-delimiting convention a fresh segment writes.
     Top-k orders (df DESC, token): a total order, deterministic cut.
-    """
+
+    ``shard_span`` selects the SEGMENTED build — the 100 TB shape a
+    stop-word posting list needs: in-shard gaps come from a window
+    partitioned by (token, id DIV span) whose partitions are bounded
+    by the span (never by a term's df), and shard-boundary gaps are
+    reconstructed from a per-(token, shard) min/max aggregate plus
+    one lag over the SHARD LIST (bounded by id-domain/span, not by
+    postings).  The gap MULTISET is identical to the single-window
+    build's — same deltas, same boundary ids — so byte costs are
+    bit-equal by construction (unit-tested, and the slot serves this
+    path under the unchanged naive-window oracle: the
+    same-answer-different-path gate)."""
     from pyspark.sql import Window as W
 
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    if shard_span is not None and shard_span < 1:
+        raise ValueError(f"shard_span must be >= 1, got {shard_span}")
     post = (
         docs.select(
             F.col(id_col).alias("id"), F.explode(tokens_col).alias("token")
         )
         .distinct()
     )
-    w = W.partitionBy("token").orderBy("id")
-    gap = F.coalesce(
-        F.col("id") - F.lag("id").over(w), F.col("id") + F.lit(1)
-    )
+    if shard_span is None:
+        w = W.partitionBy("token").orderBy("id")
+        gaps = post.select(
+            "token",
+            F.coalesce(
+                F.col("id") - F.lag("id").over(w), F.col("id") + F.lit(1)
+            ).alias("__gap"),
+        )
+    else:
+        sh = post.withColumn(
+            "__s", F.expr(f"id DIV {shard_span}")
+        )
+        win = W.partitionBy("token", "__s").orderBy("id")
+        inner = (
+            sh.select(
+                "token",
+                (F.col("id") - F.lag("id").over(win)).alias("__gap"),
+            )
+            .filter(F.col("__gap").isNotNull())
+        )
+        bounds = sh.groupBy("token", "__s").agg(
+            F.min("id").alias("__first"), F.max("id").alias("__last")
+        )
+        wsh = W.partitionBy("token").orderBy("__s")
+        boundary = bounds.select(
+            "token",
+            F.coalesce(
+                F.col("__first") - F.lag("__last").over(wsh),
+                F.col("__first") + F.lit(1),
+            ).alias("__gap"),
+        )
+        gaps = inner.unionByName(boundary)
     per = (
-        post.select("token", gap.alias("__gap"))
-        .groupBy("token")
+        gaps.groupBy("token")
         .agg(
             F.count(F.lit(1)).cast("long").alias("df"),
             F.sum(_varint_len(F.col("__gap")))

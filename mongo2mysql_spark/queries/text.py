@@ -157,8 +157,10 @@ _HEAPS_CHECKPOINTS = 10
 # doc-bounded artifact frames shared across materializations
 _TFX_MEMO: dict[tuple, tuple] = {}
 _POSTINGS_MEMO: dict[tuple, "DataFrame"] = {}
-# postings branch (operators/postings.py)
+# postings branch (operators/postings.py): segmented build, 64-id
+# shards — window partitions bounded by the span, never by a term's df
 _POSTINGS_K = 30
+_POSTINGS_SHARD_SPAN = 64
 
 
 @register(
@@ -646,8 +648,12 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         _POSTINGS_MEMO,
         spark,
         sf_dir,
+        # SEGMENTED build (shard_span): the 100 TB stop-word shape —
+        # the unchanged naive-window oracle hashes it bit-equal
+        # (same-answer-different-path gate)
         lambda: posting_compression(
-            d, "doc_id", tokens(F.col("text")), k=_POSTINGS_K
+            d, "doc_id", tokens(F.col("text")), k=_POSTINGS_K,
+            shard_span=_POSTINGS_SHARD_SPAN,
         ).localCheckpoint(),
     )
     return tagged_union(

@@ -1767,3 +1767,44 @@ def test_label_propagation_synchronous_rounds(spark):
     # from r1 synchronously: 1 {x, x} -> x; 2 {x, x, y} -> x;
     # 3 {y(self), 2's ROUND-1 'x'} tie -> x
     assert r2 == {1: "x", 2: "x", 3: "x"}
+
+
+def test_posting_compression_sharded_equals_single_window(spark):
+    """The segmented build (bounded window partitions + boundary-gap
+    reconstruction) produces the IDENTICAL byte accounting as the
+    naive per-term window — the same-answer-different-path contract
+    the slot rides."""
+    import random
+
+    from mongo2mysql_spark.operators.postings import posting_compression
+
+    random.seed(5)
+    rows = []
+    for doc in random.sample(range(0, 3000), 400):
+        toks = " ".join(
+            random.choice("alpha beta gamma delta common".split())
+            for _ in range(6)
+        )
+        rows.append((doc, toks))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    base = {
+        r["token"]: (r["df"], r["bytes_delta"])
+        for r in posting_compression(
+            docs, "doc_id", F.split(F.col("text"), " "), k=50
+        ).collect()
+    }
+    for span in (1, 7, 64, 10_000):
+        sharded = {
+            r["token"]: (r["df"], r["bytes_delta"])
+            for r in posting_compression(
+                docs, "doc_id", F.split(F.col("text"), " "), k=50,
+                shard_span=span,
+            ).collect()
+        }
+        assert sharded == base, f"span={span}"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        posting_compression(
+            docs, "doc_id", F.split(F.col("text"), " "), shard_span=0
+        )
