@@ -62,6 +62,62 @@ _FD_CHECKS = [
 _FD_CHECKS_SQL = _FD_CHECKS
 
 
+_CMSSTREAM_MEMO: dict[tuple, "DataFrame"] = {}
+
+
+def _cms_stream_frame(spark: SparkSession, sf_dir: str, hk) -> DataFrame:
+    """Drive the streaming CMS store end-to-end: three availableNow
+    runs over orderkey-sliced lineitem streams fold their grids into
+    one store (distinct checkpoint dirs => distinct writers, each
+    replay-guarded), then the TOP-10 keys' estimates are answered from
+    the FOLDED grid — hash-gated against the same Carter-Wegman batch
+    restatement the 'cms' branch rides, so the hash proves
+    stream-folded ≡ one-shot batch bit-for-bit (the joinview/pqstore
+    same-answer-different-path pattern)."""
+    import os
+    import shutil
+    import tempfile
+
+    from mongo2mysql_spark.operators.cms import cms_estimate
+    from mongo2mysql_spark.streaming.cmsstore import (
+        read_cms_store,
+        streaming_cms_refresh,
+    )
+
+    work = tempfile.mkdtemp(prefix="cmsstore_slot_")
+    store = os.path.join(work, "store")
+    os.makedirs(store)
+    try:
+        path = os.path.join(sf_dir, "lineitem.parquet")
+        raw_schema = spark.read.parquet(path).schema
+        for i in range(3):
+            st = (
+                spark.readStream.schema(raw_schema)
+                .option("pathGlobFilter", "lineitem.parquet")
+                .parquet(sf_dir)
+                .filter(F.col("l_orderkey") % 3 == i)
+                .select("l_suppkey")
+            )
+            q = streaming_cms_refresh(
+                st, store, "l_suppkey",
+                depth=_CMS_DEPTH, width=_CMS_WIDTH,
+                checkpoint_dir=os.path.join(work, f"ck{i}"),
+            )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError("cms-store refresh did not finish")
+        grid = read_cms_store(spark, store)
+        return (
+            cms_estimate(grid, hk, "__kv",
+                         depth=_CMS_DEPTH, width=_CMS_WIDTH)
+            .select("column", "key", "key_n", "rank", "est")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+
 @register(
     "profile_table_stats",
     """
@@ -393,6 +449,36 @@ _FD_CHECKS_SQL = _FD_CHECKS
       FROM (""" + heavy_keys_sql("lineitem", "l_suppkey", k=10) + """) h
       JOIN cmsest e ON e.key_val = CAST(h.key AS BIGINT))
     UNION ALL
+    SELECT 'cmsstream' AS branch, "column", CAST(NULL AS VARCHAR) AS dtype,
+           CAST(NULL AS BIGINT) AS n_rows,
+           CAST(NULL AS BIGINT) AS n_nonnull,
+           CAST(NULL AS DOUBLE) AS null_frac,
+           CAST(NULL AS BIGINT) AS n_distinct,
+           CAST(NULL AS VARCHAR) AS min_value,
+           CAST(NULL AS VARCHAR) AS max_value,
+           CAST(NULL AS DOUBLE) AS mean_value,
+           CAST(NULL AS DOUBLE) AS avg_len,
+           CAST(NULL AS BIGINT) AS n_orphans,
+           key, key_n,
+           CAST(NULL AS DOUBLE) AS hot_frac,
+           CAST(NULL AS DOUBLE) AS skew_ratio,
+           rank,
+           CAST(NULL AS INTEGER) AS bucket, CAST(NULL AS DOUBLE) AS lo,
+           CAST(NULL AS DOUBLE) AS hi, CAST(NULL AS BIGINT) AS n_bucket,
+           est,
+           CAST(NULL AS BIGINT) AS runs, CAST(NULL AS DOUBLE) AS avg_run_len,
+           CAST(NULL AS INTEGER) AS dict_bits,
+           CAST(NULL AS BIGINT) AS pair_distinct,
+           CAST(NULL AS BOOLEAN) AS fd_holds
+    FROM (
+      -- the STREAMING store's folded grid must answer bit-identically
+      -- to the one-shot batch sketch, i.e. to this same restatement
+      WITH """ + cms_sql("lineitem", "l_suppkey",
+                         _CMS_DEPTH, _CMS_WIDTH, prefix="cs") + """
+      SELECT h."column", h.key, h.key_n, h.rank, e.est
+      FROM (""" + heavy_keys_sql("lineitem", "l_suppkey", k=10) + """) h
+      JOIN cssest e ON e.key_val = CAST(h.key AS BIGINT))
+    UNION ALL
     SELECT 'encoding' AS branch, "column", CAST(NULL AS VARCHAR) AS dtype,
            n_rows,
            CAST(NULL AS BIGINT) AS n_nonnull,
@@ -469,7 +555,29 @@ _FD_CHECKS_SQL = _FD_CHECKS
         "of key cardinality, cell-additive merge), hashed as exact "
         "BIGINTs because the Carter-Wegman bucket arithmetic "
         "((a*x+b) mod p mod w) is engine-identical; est >= key_n by "
-        "construction, overshoot bounded by the grid width."
+        "construction, overshoot bounded by the grid width.  "
+        "'cmsstream' rows: the STREAMING count-min store "
+        "(streaming/cmsstore.py) — three availableNow runs over "
+        "orderkey-sliced lineitem streams fold their grids cell-"
+        "additively into one store (immutable versions + atomic "
+        "manifest + per-writer epoch replay guard), and the top-10 "
+        "estimates answered from the FOLDED grid hash against the "
+        "same batch restatement: stream-folded == one-shot sketch "
+        "bit-for-bit (the joinview/pqstore same-answer-different-path "
+        "gate, here for the mergeable-sketch state shape — O(d*w) "
+        "work and state per refresh at any batch size or history).  "
+        "'encoding' rows: columnar-encoding advisor "
+        "(operators/profile.encoding_stats): RLE run counts per "
+        "row-group proxy (bounded window partitions), avg run length, "
+        "dictionary bit-width as integer bit-length (float log2 "
+        "rounds differently across engines at exact powers of two); "
+        "layout order suffixed with the measured columns so ties in "
+        "the non-unique prefix are run-count-invariant.  'fd' rows: "
+        "functional-dependency discovery "
+        "(operators/profile.functional_dependencies): lhs->rhs holds "
+        "iff distinct(lhs) == distinct(lhs, rhs) — undeclared keys, "
+        "denormalized copies, safe GROUP BY collapses; two map-side "
+        "distinct aggregates per check, no joins."
     ),
 )
 def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -584,6 +692,12 @@ def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             for tbl, lhs, rhs, label in _FD_CHECKS
         ]
     )
+    from mongo2mysql_spark.queries import slot_memo
+
+    cmsst = slot_memo(
+        _CMSSTREAM_MEMO, spark, sf_dir,
+        lambda: _cms_stream_frame(spark, sf_dir, hk),
+    )
     return tagged_union(
         {
             "profile": prof,
@@ -591,6 +705,7 @@ def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "skew": skew,
             "histogram": hist,
             "cms": cms,
+            "cmsstream": cmsst,
             "encoding": enc,
             "fd": fd,
         }

@@ -118,3 +118,41 @@ def test_cms_validation():
     with pytest.raises(ValueError):
         cms_sql("t", "k", width=1)
     assert CMS_P == 2**31 - 1
+
+
+def test_cms_store_folds_equal_oneshot_and_guard_replays(spark, tmp_path):
+    """Batches folded through the store == the one-shot grid,
+    integer-exactly; a replayed (writer, epoch) is a no-op; distinct
+    writers guard independently (per-writer epoch map)."""
+    from mongo2mysql_spark.streaming.cmsstore import (
+        read_cms_store,
+        refresh_cms_store,
+    )
+
+    keys = _zipf_keys(n=2000, seed=3)
+    store = str(tmp_path / "cms")
+    import os
+
+    os.makedirs(store)
+    thirds = [keys[0::3], keys[1::3], keys[2::3]]
+    for i, part in enumerate(thirds):
+        assert refresh_cms_store(
+            _keys_df(spark, part), store, "k",
+            depth=3, width=64, writer=f"w{i}", epoch=0,
+        )
+    # replay every writer's epoch 0: all no-ops
+    for i, part in enumerate(thirds):
+        assert not refresh_cms_store(
+            _keys_df(spark, part), store, "k",
+            depth=3, width=64, writer=f"w{i}", epoch=0,
+        )
+    folded = {
+        (r["i"], r["bucket"]): r["cnt"]
+        for r in read_cms_store(spark, store).collect()
+    }
+    oneshot = {
+        (r["i"], r["bucket"]): r["cnt"]
+        for r in cms_build(_keys_df(spark, keys), "k",
+                           depth=3, width=64).collect()
+    }
+    assert folded == oneshot and len(folded) > 0
