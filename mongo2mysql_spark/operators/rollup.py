@@ -273,3 +273,61 @@ def sliding_distinct_sql(
                AS window_start,
              CAST(count(DISTINCT u) AS BIGINT) AS n_active
       FROM scover GROUP BY key, wh)"""
+
+
+def sliding_distinct_hll(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    user_col: str,
+    window_hours: int = 24,
+    interval_seconds: int = 3600,
+    lgk: int = 12,
+) -> DataFrame:
+    """The EXTREME-SCALE alternative :func:`sliding_distinct`'s
+    docstring promises, as code: per (key, hour) DataSketches HLL
+    partials of the user column, each partial voting in the
+    ``window_hours`` windows it covers, one ``hll_union_agg`` +
+    estimate per window.
+
+    Why this is the 100 TB path: the exact covered-window expansion
+    costs activity-cells × k rows through the shuffle AND an exact
+    count-distinct per window; here the per-hour state is ONE
+    fixed-size sketch (duplicate-insensitive, so the (key, user, hour)
+    dedup shuffle disappears entirely — raw events fold map-side into
+    hour sketches), and window cost is k sketch unions instead of a
+    set union.  Estimates carry the HLL ±~1.6% (lgk=12) relative
+    error; the registered branch therefore serves exact counts WITH a
+    tolerance verdict (stated TRUE in the oracle), never a hashed
+    estimate — the agg_approx_sketches contract.
+
+    Returns (key, window_start, n_est DOUBLE).
+    """
+    h = F.floor(
+        F.unix_timestamp(F.col(ts_col)) / interval_seconds
+    ).cast("long")
+    sketches = (
+        df.select(F.col(key_col).alias("key"), F.col(user_col).alias("u"), h.alias("__h"))
+        .groupBy("key", "__h")
+        .agg(F.hll_sketch_agg("u", F.lit(lgk)).alias("__sk"))
+    )
+    covered = sketches.select(
+        "key",
+        "__sk",
+        F.explode(
+            F.sequence(F.col("__h"), F.col("__h") + (window_hours - 1))
+        ).alias("__wh"),
+    )
+    return (
+        covered.groupBy("key", "__wh")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("__sk")).alias("n_est")
+        )
+        .select(
+            "key",
+            F.timestamp_seconds(F.col("__wh") * interval_seconds).alias(
+                "window_start"
+            ),
+            F.col("n_est").cast("double").alias("n_est"),
+        )
+    )

@@ -175,6 +175,9 @@ _SLIDE_HOURS = 24
     UNION ALL
     SELECT 'sliding24h', window_start, key, n_active,
            CAST(NULL AS DOUBLE) FROM sdau
+    UNION ALL
+    SELECT 'sliding24h_hll', window_start, key, n_active,
+           CAST(1.0 AS DOUBLE) FROM sdau
     """,
     doc=(
         "hypertable rollup (continuous-aggregate shape): hour/day/week "
@@ -200,8 +203,15 @@ _SLIDE_HOURS = 24
         "dedup to (key, user, hour) activity cells (the only corpus-"
         "sized shuffle), each cell votes in the 24 windows it covers, "
         "one count-distinct per window; cost is activity-cells × 24, "
-        "never raw-event × 24.  The HLL hour-partial merge the sketch "
-        "slot serves is the approximate alternative at extreme scale."
+        "never raw-event × 24.  'sliding24h_hll' rows: the HLL "
+        "hour-partial ALTERNATIVE as code "
+        "(operators/rollup.sliding_distinct_hll): per (key, hour) ONE "
+        "fixed-size DataSketches sketch (duplicate-insensitive, so the "
+        "activity-cell dedup shuffle disappears — the true 100 TB "
+        "path), k sketch unions per window; exact counts ride n_rows "
+        "under the unchanged sdau restatement and sum_val carries the "
+        "max(10, 8%)-tolerance verdict stated 1.0 in the oracle — the "
+        "agg_approx_sketches contract for float sketch estimates."
     ),
 )
 def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -235,14 +245,46 @@ def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     levels = rollup_levels_from_partials(
         store, ["event_type"], levels=("hour", "day", "week")
     )
-    dau = sliding_distinct(
-        T(spark, sf_dir, "events", fanout=True),
-        "event_type", "ts", "user_id", window_hours=_SLIDE_HOURS,
-    ).select(
+    ev = T(spark, sf_dir, "events", fanout=True)
+    sd = sliding_distinct(
+        ev, "event_type", "ts", "user_id", window_hours=_SLIDE_HOURS,
+    )
+    dau = sd.select(
         F.lit("sliding24h").alias("granularity"),
         F.col("window_start").alias("bucket"),
         F.col("key").alias("event_type"),
         F.col("n_active").alias("n_rows"),
         F.lit(None).cast("double").alias("sum_val"),
     )
-    return levels.unionByName(dau)
+    # the HLL hour-partial alternative, SERVED with a tolerance verdict
+    # (operators/rollup.sliding_distinct_hll): exact counts ride n_rows
+    # (hashing against the same sdau restatement), sum_val carries the
+    # within-tolerance verdict the oracle states as 1.0 — the
+    # agg_approx_sketches contract for float sketch estimates; an
+    # estimate drifting past max(10, 8%) flips the row to 0.0 and the
+    # hash fails
+    from mongo2mysql_spark.operators.rollup import sliding_distinct_hll
+
+    est = sliding_distinct_hll(
+        ev, "event_type", "ts", "user_id", window_hours=_SLIDE_HOURS,
+    )
+    tol = F.greatest(
+        F.lit(10.0), F.col("n_active").cast("double") * 0.08
+    )
+    hll = (
+        sd.join(est, ["key", "window_start"])
+        .select(
+            F.lit("sliding24h_hll").alias("granularity"),
+            F.col("window_start").alias("bucket"),
+            F.col("key").alias("event_type"),
+            F.col("n_active").alias("n_rows"),
+            F.when(
+                F.abs(F.col("n_est") - F.col("n_active").cast("double"))
+                <= tol,
+                F.lit(1.0),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("sum_val"),
+        )
+    )
+    return levels.unionByName(dau).unionByName(hll)

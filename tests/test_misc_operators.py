@@ -1808,3 +1808,49 @@ def test_posting_compression_sharded_equals_single_window(spark):
         posting_compression(
             docs, "doc_id", F.split(F.col("text"), " "), shard_span=0
         )
+
+
+def test_sliding_distinct_hll_tracks_exact(spark):
+    """The HLL hour-partial path estimates every exact window within
+    the branch tolerance (max(10, 8%)) on the fixture-scale stream,
+    and is duplicate-insensitive (no dedup shuffle needed)."""
+    from datetime import datetime, timedelta
+    import random
+
+    from mongo2mysql_spark.operators.rollup import (
+        sliding_distinct,
+        sliding_distinct_hll,
+    )
+
+    random.seed(11)
+    t0 = datetime(2024, 6, 1)
+    rows = []
+    for i in range(4000):
+        rows.append(
+            (
+                i,
+                t0 + timedelta(minutes=random.randint(0, 72 * 60)),
+                random.randint(1, 300),
+                random.choice(["a", "b"]),
+            )
+        )
+    # duplicates: every event twice (HLL must not double-count)
+    rows += [(i + 10_000, ts, u, k) for i, ts, u, k in rows[:1000]]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    exact = {
+        (r["key"], r["window_start"]): r["n_active"]
+        for r in sliding_distinct(
+            df, "event_type", "ts", "user_id", window_hours=6
+        ).collect()
+    }
+    est = {
+        (r["key"], r["window_start"]): r["n_est"]
+        for r in sliding_distinct_hll(
+            df, "event_type", "ts", "user_id", window_hours=6
+        ).collect()
+    }
+    assert set(est) == set(exact)
+    for k, n in exact.items():
+        assert abs(est[k] - n) <= max(10.0, 0.08 * n), (k, n, est[k])
