@@ -463,3 +463,99 @@ def fuzzy_value_pairs(
         )
         .filter(F.col("dist") <= max_dist)
     )
+
+
+def lsh_plan(spark, n_hashes: int = 16, s_steps: int = 19) -> "DataFrame":
+    """LSH banding planner — the (bands × rows) s-curve every MinHash
+    deployment consults before indexing: for each factorization
+    ``n_hashes = b·r`` and each similarity ``s`` on a 1/(s_steps+1)
+    grid, the candidate probability ``P = 1 − (1 − s^r)^b``.  Steep
+    curves near the target threshold mean clean separation; the
+    planner row set IS the index advisor's decision table (pick the
+    (b, r) whose curve crosses 0.5 nearest your threshold).
+
+    Exactness contract: P is computed in 1e-6 INTEGER fixed point by
+    repeated multiply-floor-divide folds — float ``pow`` is libm- and
+    engine-dependent at the last bit, but the integer chain is
+    bit-identical everywhere, so every p6 hashes.  The quantization
+    error (≤ ~(r+b) µunits) is irrelevant for planning.
+
+    Returns (bands, rows_per_band, s6, p6, p) — s6/p6 the fixed-point
+    integers, p one IEEE division for human use.
+    """
+    from pyspark.sql import functions as F
+
+    if n_hashes < 1:
+        raise ValueError(f"n_hashes must be >= 1, got {n_hashes}")
+    if s_steps < 1:
+        raise ValueError(f"s_steps must be >= 1, got {s_steps}")
+    if 1_000_000 % (s_steps + 1) != 0:
+        raise ValueError(
+            f"s_steps + 1 must divide 1e6 for an exact grid, got {s_steps}"
+        )
+    unit = 1_000_000 // (s_steps + 1)
+    factors = [
+        (b, n_hashes // b) for b in range(1, n_hashes + 1)
+        if n_hashes % b == 0
+    ]
+    grid = (
+        spark.createDataFrame(factors, "bands int, rows_per_band int")
+        .select(
+            "*",
+            F.explode(F.sequence(F.lit(1), F.lit(s_steps))).alias("__si"),
+        )
+        .withColumn("s6", (F.col("__si") * unit).cast("long"))
+    )
+    L = F.lit(1_000_000).cast("long")
+
+    def fold_pow(base, times):
+        """base^times in 1e-6 fixed point: ``times`` multiply-floor
+        steps from 1e6 (the floor is exact integer arithmetic — a
+        plain double divide could round UP across an integer
+        boundary where DuckDB's ``//`` floors)."""
+        def step(acc, _):
+            prod = acc * base
+            return ((prod - prod % L) / L).cast("long")
+
+        return F.aggregate(F.sequence(F.lit(1), times), L, step)
+
+    inner = fold_pow(F.col("s6"), F.col("rows_per_band"))
+    outer = fold_pow(L - inner, F.col("bands"))
+    return grid.select(
+        "bands",
+        "rows_per_band",
+        "s6",
+        (L - outer).alias("p6"),
+        ((L - outer).cast("double") / F.lit(1_000_000.0)).alias("p"),
+    )
+
+
+def lsh_plan_sql(n_hashes: int = 16, s_steps: int = 19) -> str:
+    """DuckDB restatement; final CTE ``lshplan(bands, rows_per_band,
+    s6, p6, p)`` — the identical multiply-floor chain (list_reduce
+    seeded with 1e6, ``//`` floor division)."""
+    unit = 1_000_000 // (s_steps + 1)
+    factors = ", ".join(
+        f"({b}, {n_hashes // b})" for b in range(1, n_hashes + 1)
+        if n_hashes % b == 0
+    )
+
+    def fold(base, times):
+        return (
+            f"list_reduce(list_prepend(CAST(1000000 AS BIGINT), "
+            f"list_transform(generate_series(1, {times}), "
+            f"__x -> CAST({base} AS BIGINT))), "
+            f"(__a, __b) -> (__a * __b) // 1000000)"
+        )
+
+    inner = fold("s6", "rows_per_band")
+    outer = fold(f"1000000 - {inner}", "bands")
+    return f"""lshgrid AS (
+      SELECT bands, rows_per_band, CAST(si * {unit} AS BIGINT) AS s6
+      FROM (VALUES {factors}) AS f(bands, rows_per_band)
+      CROSS JOIN (SELECT unnest(generate_series(1, {s_steps})) AS si)),
+    lshplan AS (
+      SELECT bands, rows_per_band, s6,
+             CAST(1000000 - {outer} AS BIGINT) AS p6,
+             CAST(1000000 - {outer} AS DOUBLE) / 1000000.0 AS p
+      FROM lshgrid)"""

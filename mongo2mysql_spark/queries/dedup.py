@@ -17,6 +17,7 @@ from mongo2mysql_spark.operators.dedup import (
     content_hash,
     dedup_exact,
     embedding_neardup_pairs,
+    lsh_plan_sql,
     minhash_signature,
     ngram_jaccard_pairs,
     simhash_bits,
@@ -361,6 +362,7 @@ def _cos_sql(a: str, b: str) -> str:
     WITH {_SHINGLES_CTE},
     {_minhash_sig_sql()},
     {_lsh_pairs_cte()},
+    {lsh_plan_sql(K)},
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS id_1, b.doc_id AS id_2, count(*) AS i
@@ -391,22 +393,31 @@ def _cos_sql(a: str, b: str) -> str:
       JOIN sizes sa ON sa.doc_id = id_1
       JOIN sizes sb ON sb.doc_id = id_2
       WHERE 5 * i >= 3 * (sa.n + sb.n - i))
-    SELECT 'minhash_lsh' AS family, id_1, id_2, est_jaccard AS score FROM pairs
+    SELECT 'minhash_lsh' AS family, id_1, id_2, est_jaccard AS score,
+           CAST(NULL AS BIGINT) AS s6, CAST(NULL AS BIGINT) AS p6 FROM pairs
     UNION ALL
-    SELECT 'ppjoin_shingles' AS family, id_1, id_2, score FROM pppairs
+    SELECT 'ppjoin_shingles' AS family, id_1, id_2, score,
+           CAST(NULL AS BIGINT) AS s6, CAST(NULL AS BIGINT) AS p6 FROM pppairs
     UNION ALL
     SELECT 'ngram_jaccard' AS family, id_1, id_2,
-           ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS score
+           ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS score,
+           CAST(NULL AS BIGINT) AS s6, CAST(NULL AS BIGINT) AS p6
     FROM inter
     JOIN sizes sa ON sa.doc_id = id_1
     JOIN sizes sb ON sb.doc_id = id_2
     WHERE ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.6
     UNION ALL
-    SELECT 'embedding_cosine' AS family, id_1, id_2, cosine AS score
+    SELECT 'embedding_cosine' AS family, id_1, id_2, cosine AS score,
+           CAST(NULL AS BIGINT) AS s6, CAST(NULL AS BIGINT) AS p6
     FROM cos_scored WHERE cosine >= 0.3
     UNION ALL
-    SELECT 'edit_distance' AS family, id_1, id_2, CAST(d AS DOUBLE) AS score
+    SELECT 'edit_distance' AS family, id_1, id_2, CAST(d AS DOUBLE) AS score,
+           CAST(NULL AS BIGINT) AS s6, CAST(NULL AS BIGINT) AS p6
     FROM fzpairs WHERE d <= 4
+    UNION ALL
+    SELECT 'lshplan' AS family, CAST(bands AS BIGINT) AS id_1,
+           CAST(rows_per_band AS BIGINT) AS id_2, p AS score, s6, p6
+    FROM lshplan
     """,
     doc=(
         "near-dup candidate pairs, four families in one tagged result: "
@@ -421,7 +432,15 @@ def _cos_sql(a: str, b: str) -> str:
         "distance ≤ 4).  The MinHash branch runs through "
         "lsh_incremental_pairs — an empty-store batch plus a "
         "batch-vs-store batch whose union must equal the one-shot "
-        "banding the oracle states (operators/dedup.py:186)."
+        "banding the oracle states (operators/dedup.py:186).  "
+        "'lshplan' rows: the banding PLANNER for this slot's own "
+        "signature budget (operators/dedup.lsh_plan) — the full "
+        "(bands × rows, s) candidate-probability decision table "
+        "1 − (1 − s^r)^b in exact 1e-6 integer fixed point "
+        "(multiply-floor folds; float pow is libm/engine-dependent at "
+        "the last bit, the integer chain hashes bit-for-bit); the "
+        "index advisor every MinHash deployment consults before "
+        "picking (b, r)."
     ),
 )
 def dedup_pair_families(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -486,12 +505,27 @@ def dedup_pair_families(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vocab³, so document frequencies are low and the rare-first
     # prefixes actually prune — a unigram variant measured ~quadratic
     # on this corpus's narrow synthetic vocabulary)
+    # LSH banding planner (operators/dedup.lsh_plan): the s-curve
+    # decision table for THIS slot's own signature budget K — every
+    # (bands, rows, s) probability an exact 1e-6 fixed-point integer,
+    # so the curve itself hashes (float pow is libm-dependent)
+    from mongo2mysql_spark.operators.dedup import lsh_plan
+
+    plan = lsh_plan(spark, n_hashes=K).select(
+        F.lit("lshplan").alias("family"),
+        F.col("bands").cast("long").alias("id_1"),
+        F.col("rows_per_band").cast("long").alias("id_2"),
+        F.col("p").alias("score"),
+        "s6",
+        "p6",
+    )
     return (
         fam(mh, "minhash_lsh", "est_jaccard")
         .unionByName(fam(pp, "ppjoin_shingles", "score"))
         .unionByName(fam(ng, "ngram_jaccard", "jaccard"))
         .unionByName(fam(co, "embedding_cosine", "cosine"))
         .unionByName(fam(fz, "edit_distance", "dist"))
+        .unionByName(plan, allowMissingColumns=True)
     )
 
 

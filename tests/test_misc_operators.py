@@ -1854,3 +1854,30 @@ def test_sliding_distinct_hll_tracks_exact(spark):
     assert set(est) == set(exact)
     for k, n in exact.items():
         assert abs(est[k] - n) <= max(10.0, 0.08 * n), (k, n, est[k])
+
+
+def test_lsh_plan_fixed_point_curve(spark):
+    """The banding s-curve in exact 1e-6 fixed point: matches the
+    closed-form float curve within quantization, is monotone in s,
+    and b=1/r=n vs b=n/r=1 behave as AND- / OR-amplification."""
+    from mongo2mysql_spark.operators.dedup import lsh_plan
+
+    rows = lsh_plan(spark, n_hashes=16).collect()
+    assert len(rows) == 5 * 19
+    by = {(r["bands"], r["rows_per_band"], r["s6"]): r["p6"] for r in rows}
+    # closed form check at (8, 2, s=0.5): 1-(1-0.25)^8 = 0.8998871...
+    assert abs(by[(8, 2, 500_000)] - 899_887) <= 2
+    # monotone in s for every factorization
+    for b in (1, 2, 4, 8, 16):
+        ps = [by[(b, 16 // b, i * 50_000)] for i in range(1, 20)]
+        assert ps == sorted(ps)
+    # AND-only (1 band, 16 rows) is tiny at s=0.9: 0.9^16 ~ 0.185
+    assert abs(by[(1, 16, 900_000)] - 185_302) <= 20
+    # OR-only (16 bands, 1 row) is near 1 at s=0.5: 1-0.5^16
+    assert by[(16, 1, 500_000)] >= 999_900
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        lsh_plan(spark, n_hashes=0)
+    with _pytest.raises(ValueError):
+        lsh_plan(spark, s_steps=18)  # 19 does not divide 1e6
