@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from mongo2mysql_spark.functions.scalar import davg, dmul, dsum, sql_davg, sql_dsum
+from mongo2mysql_spark.operators.histjoin import hist_join_estimate_sql
 from mongo2mysql_spark.queries import register
 from mongo2mysql_spark.sources import load_table as T
 
@@ -305,6 +306,8 @@ _KMV_K = 256
 _KMV_PIVOT = "1995-06-17 00:00:00"
 _KMV_SPACE = "CAST(281474976710656 AS DOUBLE)"  # 2^48, exact
 
+# histogram join-size branch (operators/histjoin.py)
+_HJ_BUCKETS = 16
 _KMV_NULLS = """CAST(NULL AS VARCHAR) AS setop,
            CAST(NULL AS DOUBLE) AS kmv_est,
            CAST(NULL AS BIGINT) AS kmv_cnt,
@@ -403,7 +406,9 @@ def _kmv_est_sql() -> str:
                    (SELECT max(h) FROM jskb)) AS th),
     jexact AS (
       SELECT CAST(count(*) AS BIGINT) AS ex
-      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+    {hist_join_estimate_sql("orders", "o_custkey",
+                            "customer", "c_custkey", _HJ_BUCKETS)}
     SELECT 'bounds' AS branch,
            CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
            CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
@@ -438,6 +443,18 @@ def _kmv_est_sql() -> str:
              (SELECT th FROM jth) AS th
       FROM jska a JOIN jskb b USING (h)
       WHERE h < (SELECT th FROM jth))
+    UNION ALL
+    SELECT 'histjoinest' AS branch,
+           {_BOUNDS_NULLS},
+           CASE WHEN bucket = -1 THEN 'htotal'
+                ELSE 'hbucket' || CAST(bucket AS VARCHAR) END AS setop,
+           est AS kmv_est,
+           n_a AS kmv_cnt,
+           d_a AS kmv_theta,
+           CASE WHEN bucket = -1 THEN exact ELSE d_b END AS kmv_exact,
+           CASE WHEN bucket = -1 THEN TRUE END AS kmv_in_tol,
+           n_b AS kmv_sumprod
+    FROM hjout
     """,
     # Sketch ESTIMATES are engine-specific (HLL++/KLL internals), so the
     # raw approx values cannot cross-check against DuckDB.  The oracle
@@ -476,7 +493,16 @@ def _kmv_est_sql() -> str:
         "which neither HLL nor plain KMV holds; measured 1-13% error "
         f"across the gate SFs, verdict tolerance {_JE_TOL}; the common "
         "count, threshold, integer Σ-products AND the estimate itself "
-        "all hash cross-engine."
+        "all hash cross-engine.  'histjoinest' rows: HISTOGRAM join-"
+        "size estimation (operators/histjoin.py — Selinger per-bucket "
+        "n_a·n_b/max(d_a,d_b) on shared integer bucket boundaries), "
+        "completing the planner triangle: exact / sketch / histogram "
+        "(zero table contact at estimation time — the ANALYZE-stats "
+        "path).  Per-bucket terms are scaled-integer floor divisions "
+        "and the total is an ORDER-FREE integer sum, so all 16 bucket "
+        "rows AND the total estimate hash; on this PK-FK join the "
+        "formula is near-exact and the total row states a "
+        "max(10, 2%) verdict."
     ),
 )
 def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -630,7 +656,41 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("kmv_in_tol"),
         F.col("sum_products").alias("kmv_sumprod"),
     )
-    return tagged_union({"bounds": bounds, "kmv": kmv, "joinest": joinest})
+    # histogram join-size estimate (operators/histjoin.py): the
+    # System-R statistics path next to the tuple sketch — per-bucket
+    # n*n/max(d,d) terms in scaled-integer arithmetic so even the
+    # TOTAL (an order-free integer sum) hashes; the PK-FK case makes
+    # the formula near-exact, and the total row states a
+    # max(10, 2%) verdict
+    from mongo2mysql_spark.operators.histjoin import hist_join_estimate
+
+    hj = hist_join_estimate(o, "o_custkey", cust, "c_custkey",
+                            n_buckets=_HJ_BUCKETS)
+    hj_tol = F.greatest(F.lit(10.0), F.col("exact").cast("double") * 0.02)
+    histjoinest = hj.select(
+        F.when(F.col("bucket") == -1, F.lit("htotal"))
+        .otherwise(F.concat(F.lit("hbucket"), F.col("bucket").cast("string")))
+        .alias("setop"),
+        F.col("est").alias("kmv_est"),
+        F.col("n_a").alias("kmv_cnt"),
+        F.col("d_a").alias("kmv_theta"),
+        F.when(F.col("bucket") == -1, F.col("exact"))
+        .otherwise(F.col("d_b"))
+        .alias("kmv_exact"),
+        F.when(
+            F.col("bucket") == -1,
+            F.abs(F.col("est") - F.col("exact").cast("double")) <= hj_tol,
+        ).alias("kmv_in_tol"),
+        F.col("n_b").alias("kmv_sumprod"),
+    )
+    return tagged_union(
+        {
+            "bounds": bounds,
+            "kmv": kmv,
+            "joinest": joinest,
+            "histjoinest": histjoinest,
+        }
+    )
 
 
 # --------------------------------------------------------------------- joins

@@ -350,7 +350,7 @@ def test_funnel_max_level_greedy_equals_bruteforce(spark):
     from mongo2mysql_spark.operators.behavior import funnel_max_level
 
     random.seed(42)
-    steps = ["a", "b", "c"]
+    steps = ["a", "b", "c", "d"]
     w_ms = 45 * 60 * 1000
     t0 = datetime(2024, 5, 1)
     rows = []

@@ -1881,3 +1881,55 @@ def test_lsh_plan_fixed_point_curve(spark):
         lsh_plan(spark, n_hashes=0)
     with _pytest.raises(ValueError):
         lsh_plan(spark, s_steps=18)  # 19 does not divide 1e6
+
+
+def test_hist_join_estimate_pk_fk_near_exact(spark):
+    """Shared-boundary histogram estimate: exact on a PK-FK join
+    (n_b == d_b per bucket collapses the formula to sum n_a), sane on
+    a skewed many-to-many, and the scaled-integer total equals the
+    sum of bucket terms."""
+    import random
+
+    from mongo2mysql_spark.operators.histjoin import hist_join_estimate
+
+    random.seed(9)
+    fk = spark.createDataFrame(
+        [(random.randint(0, 199),) for _ in range(3000)], "k long"
+    )
+    pk = spark.createDataFrame([(i,) for i in range(200)], "k long")
+    rows = hist_join_estimate(fk, "k", pk, "k", n_buckets=8).collect()
+    total = [r for r in rows if r["bucket"] == -1][0]
+    assert total["exact"] == 3000
+    assert abs(total["est"] - 3000) < 1.0  # PK-FK: near-exact
+    bucket_sum = sum(r["est"] for r in rows if r["bucket"] != -1)
+    assert abs(bucket_sum - total["est"]) < 1e-3
+    # many-to-many with skew: estimate within 2x of exact here
+    mm_a = spark.createDataFrame(
+        [(random.choice([1, 1, 1, 2, 50]),) for _ in range(500)], "k long"
+    )
+    mm_b = spark.createDataFrame(
+        [(random.choice([1, 2, 2, 50, 51]),) for _ in range(500)], "k long"
+    )
+    mm = hist_join_estimate(mm_a, "k", mm_b, "k", n_buckets=4).collect()
+    t = [r for r in mm if r["bucket"] == -1][0]
+    assert t["exact"] > 0 and 0.5 <= t["est"] / t["exact"] <= 2.0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        hist_join_estimate(fk, "k", pk, "k", n_buckets=0)
+
+
+def test_hist_join_estimate_empty_and_disjoint(spark):
+    from mongo2mysql_spark.operators.histjoin import hist_join_estimate
+
+    empty = spark.createDataFrame([], "k long")
+    rows = hist_join_estimate(empty, "k", empty, "k").collect()
+    assert rows[0]["est"] == 0.0
+    a = spark.createDataFrame([(1,), (2,)], "k long")
+    b = spark.createDataFrame([(100,), (101,)], "k long")
+    t = [
+        r
+        for r in hist_join_estimate(a, "k", b, "k", n_buckets=4).collect()
+        if r["bucket"] == -1
+    ][0]
+    assert t["exact"] == 0 and t["est"] == 0.0
