@@ -213,16 +213,20 @@ def test_hypertable_rollup_serves_from_store_not_raw(spark):
     (streaming/rollup.py): by serve time the raw events were consumed
     by the foreachBatch runs, so the hour/day/week legs must read the
     materialized partial store, never the raw table (the continuous-
-    aggregate contract).  The 'sliding24h' leg is the documented
+    aggregate contract).  The sliding-DAU legs are the documented
     exception: sliding DISTINCT has no mergeable-partial store (the
-    partials hold no user identities), so that ONE leg scans events —
-    exactly one raw scan in the whole serving plan."""
+    partials hold no user identities), so the exact 'sliding24h' leg
+    scans events, the exact frame is re-read by the 'sliding24h_hll'
+    verdict join, and the HLL sketch build scans once more — exactly
+    THREE raw scans, all attributable to the DAU family, none to the
+    rollup legs."""
     df = REGISTRY["events_hypertable_rollup"].fn(spark, SF_DIR)
     plan = physical_plan(df)
     # three rollup legs over the checkpointed store materialization
     assert plan.count("Scan ExistingRDD") == 3
-    # exactly one events parquet scan: the sliding-distinct leg
-    assert plan.count("events.parquet") == 1
+    # raw events scans: exact DAU leg + its reuse in the hll verdict
+    # join + the hll sketch build — the rollup legs contribute zero
+    assert plan.count("events.parquet") == 3
 
 
 def test_connected_components_stars_are_equi_joins(spark):
