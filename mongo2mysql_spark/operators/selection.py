@@ -480,3 +480,127 @@ def grouped_exact_quantiles(
             for name in qs
         ]
     )
+
+
+def selectivity_estimate(
+    df: DataFrame,
+    col: str,
+    ranges: list[tuple[float, float, str]],
+    n_buckets: int = 8,
+) -> DataFrame:
+    """Range-predicate selectivity estimation FROM the equi-depth
+    histogram — what the ANALYZE statistic exists for: the optimizer
+    costs ``lo <= x < hi`` as Σ over buckets of
+    ``n_bucket · overlap_fraction`` (uniformity assumed only WITHIN a
+    bucket; equi-depth bounds the error by the two boundary buckets'
+    mass, where equi-width collapses on skew).
+
+    Engine parity: bucket boundaries come from :func:`exact_quantiles`
+    (bit-identical doubles on both engines), overlap fractions are
+    identical IEEE ops on those doubles, and the per-range total runs
+    through the order-free decimal ``dsum`` — so the ESTIMATE itself
+    hashes, no tolerance verdict needed.  The exact count rides along
+    as the verification column (one conditional-aggregate pass for
+    all ranges — production reads the estimate precisely to skip that
+    scan).
+
+    Returns (label, est DOUBLE, exact BIGINT), one row per range,
+    ranges half-open [lo, hi).
+    """
+    from mongo2mysql_spark.functions.scalar import dsum
+
+    if not ranges:
+        raise ValueError("ranges must be non-empty")
+    hist = equi_depth_histogram(df, col, n_buckets)
+    spark = df.sparkSession
+    rdf = spark.createDataFrame(
+        [(label, float(qlo), float(qhi)) for qlo, qhi, label in ranges],
+        "label string, qlo double, qhi double",
+    )
+    width = F.col("hi") - F.col("lo")
+    ov = F.least(F.col("qhi"), F.col("hi")) - F.greatest(
+        F.col("qlo"), F.col("lo")
+    )
+    frac = F.when(
+        width > 0,
+        F.greatest(F.least(ov / width, F.lit(1.0)), F.lit(0.0)),
+    ).otherwise(
+        # zero-width bucket = point mass at lo (duplicate boundaries
+        # on a heavy value): counted fully iff the point is in range
+        F.when(
+            (F.col("lo") >= F.col("qlo")) & (F.col("lo") < F.col("qhi")),
+            F.lit(1.0),
+        ).otherwise(F.lit(0.0))
+    )
+    est = (
+        F.broadcast(rdf)
+        .crossJoin(hist)
+        .groupBy("label")
+        .agg(dsum(F.col("n_bucket").cast("double") * frac).alias("est"))
+    )
+    v = F.col(col)
+    ex_row = df.agg(
+        *[
+            F.sum(((v >= qlo) & (v < qhi)).cast("long"))
+            .cast("long")
+            .alias(label)
+            for qlo, qhi, label in ranges
+        ]
+    )
+    ex = ex_row.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(label).alias("label"),
+                        F.coalesce(F.col(label), F.lit(0)).alias("exact"),
+                    )
+                    for _, _, label in ranges
+                ]
+            )
+        ).alias("__e")
+    ).select("__e.label", "__e.exact")
+    return est.join(ex, "label")
+
+
+def selectivity_estimate_sql(
+    source_cte: str,
+    col: str,
+    hist_cte: str,
+    ranges: list[tuple[float, float, str]],
+    prefix: str = "se",
+) -> str:
+    """DuckDB restatement against an existing equi-depth CTE
+    ``hist_cte(bucket, lo, hi, n_bucket)``; final CTE
+    ``<prefix>lout(label, est, exact)`` — identical overlap
+    arithmetic, identical decimal sum."""
+    if not ranges:
+        raise ValueError("ranges must be non-empty")
+    x = prefix
+    vals = ", ".join(
+        f"('{label}', CAST({qlo} AS DOUBLE), CAST({qhi} AS DOUBLE))"
+        for qlo, qhi, label in ranges
+    )
+    ex_legs = "\n      UNION ALL ".join(
+        f"SELECT '{label}' AS label, CAST(COALESCE(SUM(CASE WHEN {col} >= {qlo}"
+        f" AND {col} < {qhi} THEN 1 ELSE 0 END), 0) AS BIGINT) AS exact"
+        f" FROM {source_cte}"
+        for qlo, qhi, label in ranges
+    )
+    return f"""{x}lr AS (
+      SELECT * FROM (VALUES {vals}) AS t(label, qlo, qhi)),
+    {x}lest AS (
+      SELECT label,
+             CAST(ROUND(SUM(CAST(CAST(n_bucket AS DOUBLE) *
+               (CASE WHEN hi - lo > 0
+                     THEN GREATEST(LEAST(
+                            (LEAST(qhi, hi) - GREATEST(qlo, lo))
+                            / (hi - lo), 1.0), 0.0)
+                     WHEN lo >= qlo AND lo < qhi THEN 1.0
+                     ELSE 0.0 END) AS DECIMAL(30,10))), 4) AS DOUBLE)
+               AS est
+      FROM {x}lr CROSS JOIN {hist_cte}
+      GROUP BY label),
+    {x}lex AS ({ex_legs}),
+    {x}lout AS (
+      SELECT label, est, exact FROM {x}lest JOIN {x}lex USING (label))"""

@@ -28,7 +28,10 @@ from mongo2mysql_spark.operators.profile import (
     functional_dependencies_sql,
     heavy_keys_sql,
 )
-from mongo2mysql_spark.operators.selection import equi_depth_histogram_sql
+from mongo2mysql_spark.operators.selection import (
+    equi_depth_histogram_sql,
+    selectivity_estimate_sql,
+)
 from mongo2mysql_spark.queries import register
 from mongo2mysql_spark.sources import load_table as T
 
@@ -42,6 +45,13 @@ _HIST_BUCKETS = 8
 # d*w integers regardless of key cardinality
 _CMS_DEPTH = 4
 _CMS_WIDTH = 512
+# selest branch (operators/selection.selectivity_estimate): half-open
+# ranges over l_extendedprice — low/mid/top slices of the price domain
+_SEL_RANGES = [
+    (0.0, 20000.0, "price_low"),
+    (20000.0, 60000.0, "price_mid"),
+    (90000.0, 200000.0, "price_top"),
+]
 # encoding branch (operators/profile.encoding_stats): runs counted per
 # row-group proxy (2000 orders ≈ one parquet row group of lineitems —
 # bounded window partitions at every SF)
@@ -524,6 +534,35 @@ def _cms_stream_frame(spark: SparkSession, sf_dir: str, hk) -> DataFrame:
            CAST(NULL AS INTEGER) AS dict_bits,
            pair_distinct, fd_holds
     FROM (""" + functional_dependencies_sql(_FD_CHECKS_SQL) + """)
+    UNION ALL
+    SELECT 'selest' AS branch, 'lineitem.l_extendedprice' AS "column",
+           CAST(NULL AS VARCHAR) AS dtype,
+           exact AS n_rows,
+           CAST(NULL AS BIGINT) AS n_nonnull,
+           CAST(NULL AS DOUBLE) AS null_frac,
+           CAST(NULL AS BIGINT) AS n_distinct,
+           CAST(NULL AS VARCHAR) AS min_value,
+           CAST(NULL AS VARCHAR) AS max_value,
+           est AS mean_value,
+           CAST(NULL AS DOUBLE) AS avg_len,
+           CAST(NULL AS BIGINT) AS n_orphans,
+           label AS key, CAST(NULL AS BIGINT) AS key_n,
+           CAST(NULL AS DOUBLE) AS hot_frac,
+           CAST(NULL AS DOUBLE) AS skew_ratio,
+           CAST(NULL AS INTEGER) AS rank,
+           CAST(NULL AS INTEGER) AS bucket, CAST(NULL AS DOUBLE) AS lo,
+           CAST(NULL AS DOUBLE) AS hi, CAST(NULL AS BIGINT) AS n_bucket,
+           CAST(NULL AS BIGINT) AS est,
+           CAST(NULL AS BIGINT) AS runs, CAST(NULL AS DOUBLE) AS avg_run_len,
+           CAST(NULL AS INTEGER) AS dict_bits,
+           CAST(NULL AS BIGINT) AS pair_distinct,
+           CAST(NULL AS BOOLEAN) AS fd_holds
+    FROM (
+      WITH """ + equi_depth_histogram_sql("lineitem", "l_extendedprice",
+                                          _HIST_BUCKETS, prefix="sh") + """,
+      """ + selectivity_estimate_sql("lineitem", "l_extendedprice",
+                                     "shist", _SEL_RANGES) + """
+      SELECT label, est, exact FROM selout)
     """,
     doc=(
         "one-pass table profiler (operators/profile.py): per-column null "
@@ -577,7 +616,15 @@ def _cms_stream_frame(spark: SparkSession, sf_dir: str, hk) -> DataFrame:
         "(operators/profile.functional_dependencies): lhs->rhs holds "
         "iff distinct(lhs) == distinct(lhs, rhs) — undeclared keys, "
         "denormalized copies, safe GROUP BY collapses; two map-side "
-        "distinct aggregates per check, no joins."
+        "distinct aggregates per check, no joins.  'selest' rows: "
+        "range-predicate selectivity FROM the equi-depth histogram "
+        "(operators/selection.selectivity_estimate — what the ANALYZE "
+        "statistic exists for): est = sum over buckets of n_bucket x "
+        "overlap fraction; boundaries are bit-identical doubles, "
+        "fractions identical IEEE ops, the total an order-free decimal "
+        "dsum — so the ESTIMATE itself hashes (key = range label, "
+        "mean_value = estimate, n_rows = the exact verification "
+        "count)."
     ),
 )
 def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -692,6 +739,21 @@ def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             for tbl, lhs, rhs, label in _FD_CHECKS
         ]
     )
+    # histogram-driven range selectivity (operators/selection.
+    # selectivity_estimate): the USE of the ANALYZE statistic — the
+    # estimate itself hashes (boundaries are bit-identical doubles,
+    # overlap fractions identical IEEE ops, total via order-free dsum);
+    # exact counts ride along as the verification column
+    from mongo2mysql_spark.operators.selection import selectivity_estimate
+
+    sel = selectivity_estimate(
+        li, "l_extendedprice", _SEL_RANGES, _HIST_BUCKETS
+    ).select(
+        F.lit("lineitem.l_extendedprice").alias("column"),
+        F.col("label").alias("key"),
+        F.col("exact").alias("n_rows"),
+        F.col("est").alias("mean_value"),
+    )
     from mongo2mysql_spark.queries import slot_memo
 
     cmsst = slot_memo(
@@ -708,6 +770,7 @@ def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cmsstream": cmsst,
             "encoding": enc,
             "fd": fd,
+            "selest": sel,
         }
     )
 

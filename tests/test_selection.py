@@ -304,3 +304,35 @@ def test_grouped_quantiles_all_null_group_survives_left_join(spark):
     out = {r["k"]: r["p50"] for r in base.join(q, "k", "left").collect()}
     assert set(out) == {"a", "b"}
     assert out["a"] == 2.0 and out["b"] is None
+
+
+def test_selectivity_estimate_tracks_exact_and_edges(spark):
+    """Equi-depth-based range selectivity: near-exact on uniform data,
+    clamps outside the domain, and full-domain ranges estimate ~N."""
+    from mongo2mysql_spark.operators.selection import selectivity_estimate
+
+    vals = [float(i) for i in range(1000)]
+    df = _df(spark, vals)
+    got = {
+        r["label"]: (r["est"], r["exact"])
+        for r in selectivity_estimate(
+            df,
+            "v",
+            [
+                (0.0, 250.0, "q1"),
+                (250.0, 750.0, "mid"),
+                (2000.0, 3000.0, "outside"),
+                (-100.0, 5000.0, "all"),
+            ],
+            n_buckets=8,
+        ).collect()
+    }
+    assert got["outside"] == (0.0, 0)
+    assert got["all"][1] == 1000 and abs(got["all"][0] - 1000) < 1e-6
+    # uniform data: estimates within a bucket's mass of exact
+    assert abs(got["q1"][0] - got["q1"][1]) <= 125 + 1
+    assert abs(got["mid"][0] - got["mid"][1]) <= 250 + 1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        selectivity_estimate(df, "v", [])
