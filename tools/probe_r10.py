@@ -147,6 +147,32 @@ def main() -> None:
             ev10, "user_id", "event_type", "ts", "event_id", steps,
             86_400_000)),
     )
+    # wave 2
+    from mongo2mysql_spark.operators.histjoin import hist_join_estimate
+    from mongo2mysql_spark.operators.rollup import sliding_distinct_hll
+    from mongo2mysql_spark.operators.selection import selectivity_estimate
+
+    od1 = load_table(spark, SF, "orders").localCheckpoint()
+    cu1 = load_table(spark, SF, "customer").localCheckpoint()
+    od10 = replicate(od1, 10, []).localCheckpoint()
+    run(
+        "hist_join_estimate",
+        lambda: noop(hist_join_estimate(od1, "o_custkey", cu1, "c_custkey")),
+        lambda: noop(hist_join_estimate(od10, "o_custkey", cu1, "c_custkey")),
+    )
+    run(
+        "sliding_distinct_hll(24h)",
+        lambda: noop(sliding_distinct_hll(ev1, "event_type", "ts",
+                                          "user_id")),
+        lambda: noop(sliding_distinct_hll(ev10, "event_type", "ts",
+                                          "user_id")),
+    )
+    ranges = [(0.0, 20000.0, "lo"), (20000.0, 60000.0, "mid")]
+    run(
+        "selectivity_estimate",
+        lambda: noop(selectivity_estimate(li1, "l_extendedprice", ranges)),
+        lambda: noop(selectivity_estimate(li10, "l_extendedprice", ranges)),
+    )
     spark.stop()
 
 
