@@ -179,12 +179,18 @@ def mad_outliers(
     (*id_cols, *key_cols, value, med, mad, abs_dev, is_degenerate,
     is_mad_outlier).
     """
+    # LEFT joins: grouped_exact_quantiles drops groups whose values
+    # are ALL NULL (it filters non-null before histogramming), but the
+    # input rows of such a group must survive with NULL med/mad — the
+    # SQL restatement's GROUP BY emits a NULL-median row for them and
+    # its joins keep every input row (same class as the r9
+    # queries/relational.py:187 inner-join drop)
     med = grouped_exact_quantiles(df, key_cols, value_col, {"med": 0.5})
     dev = df.select(*id_cols, *key_cols, F.col(value_col).alias("value")).join(
-        med, key_cols
+        med, key_cols, "left"
     ).withColumn("abs_dev", F.abs(F.col("value") - F.col("med")))
     mad = grouped_exact_quantiles(dev, key_cols, "abs_dev", {"mad": 0.5})
-    out = dev.join(mad, key_cols)
+    out = dev.join(mad, key_cols, "left")
     return out.select(
         *id_cols,
         *key_cols,

@@ -48,13 +48,28 @@ def _check(depth: int, width: int) -> None:
         raise ValueError(f"width must be >= 2, got {width}")
 
 
+CMS_KEY_MAX = 4_294_967_295  # a_i·x must fit BIGINT: keys < ~4.2e9
+
+
 def cms_bucket(key: Column, i: int, width: int) -> Column:
     """Row ``i``'s cell index for ``key`` (nonnegative BIGINT):
     ``((a_i·x + b_i) mod p) mod w`` — plain 64-bit integer arithmetic,
     bit-identical on every engine (a·x <= (p−1)·key fits BIGINT for
-    keys < 4.2e9)."""
+    keys <= CMS_KEY_MAX).  The key domain is ENFORCED at runtime: a
+    negative key would index negative buckets (silently consistent on
+    both engines but outside the stated contract) and a key past
+    CMS_KEY_MAX overflows a_i·x differently per engine (Spark wraps
+    BIGINT, DuckDB raises) — both fail loudly here instead of
+    diverging.  String keys go through :func:`cms_fold_key` first."""
+    k = key.cast("long")
+    guard = F.assert_true(
+        (k >= 0) & (k <= F.lit(CMS_KEY_MAX)),
+        F.concat(
+            F.lit(f"cms key outside [0, {CMS_KEY_MAX}]: "), k.cast("string")
+        ),
+    )
     return (
-        (key.cast("long") * F.lit(CMS_A[i]) + F.lit(CMS_B[i]))
+        (F.when(guard.isNull(), k) * F.lit(CMS_A[i]) + F.lit(CMS_B[i]))
         % F.lit(CMS_P)
         % F.lit(width)
     )

@@ -44,11 +44,15 @@ def hist_join_estimate(
     b: DataFrame,
     key_b: str,
     n_buckets: int = 16,
-    with_exact: bool = True,
+    with_exact: bool = False,
 ) -> DataFrame:
     """Per-bucket rows (bucket, n_a, d_a, n_b, d_b, est) plus one
     total row (bucket = -1) carrying the summed estimate and — when
-    ``with_exact`` — the true join count for verification."""
+    ``with_exact`` — the true join count for verification.
+
+    ``with_exact`` defaults to FALSE: the exact column runs the full
+    join the estimator exists to avoid — production costing never
+    wants it; the round gate passes ``with_exact=True`` explicitly."""
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     ka = a.filter(F.col(key_a).isNotNull()).select(
@@ -134,6 +138,133 @@ def hist_join_estimate(
     return out if with_exact else out.drop("exact")
 
 
+def analyze_key_stats(
+    df: DataFrame,
+    key_col: str,
+    n_buckets: int = 16,
+    lo: int = 0,
+    hi: int = 2**31 - 1,
+) -> DataFrame:
+    """The persisted ANALYZE artifact for one table's join key: the
+    per-bucket (n, d) statistics :func:`hist_join_estimate` derives on
+    the fly, computed ONCE over a FIXED caller-declared key domain
+    ``[lo, hi]`` so that independently-analyzed tables bucket on
+    shared boundaries (data-derived domains would misalign).  Keys
+    outside the declared domain clamp into the edge buckets (the
+    open-ended first/last ranges of the read planner's contract —
+    rows are never dropped from the statistics).
+
+    One map-side-combined aggregate per call; output is <= n_buckets
+    rows plus the domain metadata repeated per row — write it with
+    ``df.write.parquet(path)`` next to the table and serve every
+    subsequent estimate from the stored stats with ZERO table contact
+    (:func:`hist_join_estimate_from_stats`).
+
+    Returns (bucket, n, d, lo, hi, n_buckets).
+    """
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    if hi < lo:
+        raise ValueError(f"hi < lo: [{lo}, {hi}]")
+    span = hi - lo + 1
+    k = F.col(key_col).cast("long")
+    bexpr = F.greatest(
+        F.lit(0),
+        F.least(
+            F.lit(n_buckets - 1),
+            F.expr(f"CAST(({key_col} - {lo}) * {n_buckets} DIV {span} AS INT)"),
+        ),
+    )
+    return (
+        df.filter(k.isNotNull())
+        .select(k.alias("__k"), bexpr.cast("int").alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.count_distinct(F.col("__k")).cast("long").alias("d"),
+        )
+        .select(
+            "bucket", "n", "d",
+            F.lit(lo).cast("long").alias("lo"),
+            F.lit(hi).cast("long").alias("hi"),
+            F.lit(n_buckets).cast("int").alias("n_buckets"),
+        )
+    )
+
+
+def hist_join_estimate_from_stats(
+    stats_a: DataFrame, stats_b: DataFrame
+) -> DataFrame:
+    """Serve the join-size estimate purely from two persisted
+    :func:`analyze_key_stats` artifacts — what the docstring's System-R
+    story promises: the optimizer costs the join from stored
+    statistics, touching NEITHER table.  Input frames are <= n_buckets
+    rows each; the whole plan is one bucket-keyed full-outer join of
+    two tiny frames plus a 1-row metadata cross-check.
+
+    Raises ``ValueError`` when the two artifacts were analyzed with
+    different (lo, hi, n_buckets) — misaligned boundaries would make
+    the per-bucket formula silently meaningless.
+
+    Output schema matches ``hist_join_estimate(..., with_exact=False)``:
+    per-bucket rows plus the bucket = -1 total row.
+    """
+    meta_a = stats_a.select("lo", "hi", "n_buckets").distinct().collect()
+    meta_b = stats_b.select("lo", "hi", "n_buckets").distinct().collect()
+    if len(meta_a) != 1 or len(meta_b) != 1 or tuple(meta_a[0]) != tuple(meta_b[0]):
+        raise ValueError(
+            f"stats domains differ or are inconsistent: "
+            f"a={[tuple(m) for m in meta_a]} b={[tuple(m) for m in meta_b]}"
+        )
+    ha = stats_a.select(
+        "bucket", F.col("n").alias("n_a"), F.col("d").alias("d_a")
+    )
+    hb = stats_b.select(
+        "bucket", F.col("n").alias("n_b"), F.col("d").alias("d_b")
+    )
+    per = (
+        ha.join(hb, "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce("n_a", F.lit(0)).alias("n_a"),
+            F.coalesce("d_a", F.lit(0)).alias("d_a"),
+            F.coalesce("n_b", F.lit(0)).alias("n_b"),
+            F.coalesce("d_b", F.lit(0)).alias("d_b"),
+        )
+        .withColumn(
+            "__est6",
+            F.when(
+                F.greatest("d_a", "d_b") > 0,
+                F.expr(
+                    f"n_a * n_b * {_SCALE}"
+                    f" DIV greatest(d_a, d_b)"
+                ),
+            ).otherwise(F.lit(0)).cast("long"),
+        )
+    )
+    buckets = per.select(
+        "bucket", "n_a", "d_a", "n_b", "d_b",
+        (F.col("__est6").cast("double") / _SCALE).alias("est"),
+    )
+    total = per.agg(
+        F.sum("n_a").cast("long").alias("n_a"),
+        F.sum("d_a").cast("long").alias("d_a"),
+        F.sum("n_b").cast("long").alias("n_b"),
+        F.sum("d_b").cast("long").alias("d_b"),
+        F.sum("__est6").cast("long").alias("__t6"),
+    ).select(
+        F.lit(-1).alias("bucket"),
+        F.coalesce("n_a", F.lit(0)).alias("n_a"),
+        F.coalesce("d_a", F.lit(0)).alias("d_a"),
+        F.coalesce("n_b", F.lit(0)).alias("n_b"),
+        F.coalesce("d_b", F.lit(0)).alias("d_b"),
+        F.coalesce(
+            F.col("__t6").cast("double") / _SCALE, F.lit(0.0)
+        ).alias("est"),
+    )
+    return buckets.unionByName(total)
+
+
 def hist_join_estimate_sql(
     table_a: str,
     key_a: str,
@@ -183,9 +314,14 @@ def hist_join_estimate_sql(
              CAST(NULL AS BIGINT) AS exact
       FROM {x}per
       UNION ALL
+      -- COALESCE: SUM over the zero-bucket (empty-input) edge is NULL
+      -- in SQL while the Spark path special-cases empties to a
+      -- zero-filled total row — both engines must emit zeros there
       SELECT -1,
-             CAST(SUM(n_a) AS BIGINT), CAST(SUM(d_a) AS BIGINT),
-             CAST(SUM(n_b) AS BIGINT), CAST(SUM(d_b) AS BIGINT),
-             CAST(SUM(est6) AS DOUBLE) / {_SCALE},
+             CAST(COALESCE(SUM(n_a), 0) AS BIGINT),
+             CAST(COALESCE(SUM(d_a), 0) AS BIGINT),
+             CAST(COALESCE(SUM(n_b), 0) AS BIGINT),
+             CAST(COALESCE(SUM(d_b), 0) AS BIGINT),
+             CAST(COALESCE(SUM(est6), 0) AS DOUBLE) / {_SCALE},
              (SELECT ex FROM {x}exact)
       FROM {x}per)"""

@@ -276,9 +276,14 @@ def encoding_stats(
                 F.col("__n").alias("n_rows"),
                 F.col(f"__nd_{c}").alias("n_distinct"),
                 F.col(f"__runs_{c}").alias("runs"),
-                (
+                # runs can be 0 (all-NULL column: leading NULLs open no
+                # run per the documented contract) — x/0 is NULL in
+                # Spark but IEEE inf in recent DuckDB, so both engines
+                # serve an explicit NULL for the zero-run edge
+                F.when(
+                    F.col(f"__runs_{c}") > 0,
                     F.col("__n").cast("double")
-                    / F.col(f"__runs_{c}").cast("double")
+                    / F.col(f"__runs_{c}").cast("double"),
                 ).alias("avg_run_len"),
                 # bit-length of (nd-1) == ceil(log2(nd)) for nd >= 2,
                 # computed as LENGTH(BIN(x)) — pure integer/string ops
@@ -308,8 +313,9 @@ def encoding_stats_sql(
              CAST((SELECT count(DISTINCT {c}) FROM {table}) AS BIGINT)
                AS n_distinct,
              CAST(SUM(chg) AS BIGINT) AS runs,
-             CAST(count(*) AS DOUBLE) / CAST(SUM(chg) AS DOUBLE)
-               AS avg_run_len,
+             CASE WHEN SUM(chg) > 0
+                  THEN CAST(count(*) AS DOUBLE) / CAST(SUM(chg) AS DOUBLE)
+                  ELSE NULL END AS avg_run_len,
              CAST(LENGTH(BIN(GREATEST(
                (SELECT count(DISTINCT {c}) FROM {table}), 2) - 1))
                AS INTEGER) AS dict_bits

@@ -217,7 +217,13 @@ def sliding_distinct(
 
     Windows with no activity are absent (deterministic in both
     engines).  Returns (key, window_start, n_active).
+
+    ``window_hours`` means HOURS regardless of ``interval_seconds``:
+    each cell votes in ``window_hours*3600 // interval_seconds``
+    trailing intervals (at the default 3600 s interval that is exactly
+    ``window_hours`` steps, the original behavior).
     """
+    steps = max(1, (window_hours * 3600) // interval_seconds)
     h = F.floor(F.unix_timestamp(F.col(ts_col)) / interval_seconds).cast(
         "long"
     )
@@ -233,7 +239,7 @@ def sliding_distinct(
         "key",
         "user",
         F.explode(
-            F.sequence(F.col("__h"), F.col("__h") + (window_hours - 1))
+            F.sequence(F.col("__h"), F.col("__h") + (steps - 1))
         ).alias("__wh"),
     )
     return (
@@ -258,14 +264,16 @@ def sliding_distinct_sql(
     interval_seconds: int = 3600,
 ) -> str:
     """DuckDB restatement; a final CTE ``sdau(key, window_start,
-    n_active)`` with the identical covered-window expansion."""
+    n_active)`` with the identical covered-window expansion (and the
+    identical hours→intervals step derivation)."""
+    steps = max(1, (window_hours * 3600) // interval_seconds)
     return f"""scells AS (
       SELECT DISTINCT {key_col} AS key, {user_col} AS u,
              CAST(floor(epoch(CAST({ts_col} AS TIMESTAMP))) AS BIGINT)
                // {interval_seconds} AS h
       FROM {events_cte}),
     scover AS (
-      SELECT key, u, unnest(range(h, h + {window_hours})) AS wh
+      SELECT key, u, unnest(range(h, h + {steps})) AS wh
       FROM scells),
     sdau AS (
       SELECT key,
@@ -302,7 +310,11 @@ def sliding_distinct_hll(
     estimate — the agg_approx_sketches contract.
 
     Returns (key, window_start, n_est DOUBLE).
+
+    ``window_hours`` means HOURS regardless of ``interval_seconds``
+    (step count derived as in :func:`sliding_distinct`).
     """
+    steps = max(1, (window_hours * 3600) // interval_seconds)
     h = F.floor(
         F.unix_timestamp(F.col(ts_col)) / interval_seconds
     ).cast("long")
@@ -315,7 +327,7 @@ def sliding_distinct_hll(
         "key",
         "__sk",
         F.explode(
-            F.sequence(F.col("__h"), F.col("__h") + (window_hours - 1))
+            F.sequence(F.col("__h"), F.col("__h") + (steps - 1))
         ).alias("__wh"),
     )
     return (

@@ -269,8 +269,14 @@ def equi_depth_histogram_sql(
         assign_expr = f"CASE {chain} ELSE {n_buckets - 1} END"
     x = prefix
     return f"""{x}q AS (
-      SELECT quantile_cont({col}, [{probs}]) AS qs
-      FROM {source_cte} WHERE {col} IS NOT NULL),
+      -- qs IS NOT NULL: over an empty/all-NULL column quantile_cont
+      -- yields one NULL-list row, which would fan the shell out to
+      -- n_buckets NULL-bound rows while the DataFrame side serves an
+      -- EMPTY frame — filtering the NULL list makes both emit 0 rows
+      SELECT qs FROM (
+        SELECT quantile_cont({col}, [{probs}]) AS qs
+        FROM {source_cte} WHERE {col} IS NOT NULL)
+      WHERE qs IS NOT NULL),
     {x}shell AS (
       SELECT CAST(i AS INTEGER) AS bucket, qs[i + 1] AS lo, qs[i + 2] AS hi
       FROM (SELECT unnest(generate_series(0, {n_buckets - 1})) AS i)

@@ -62,7 +62,14 @@ def refresh_cms_store(
 ) -> bool:
     """Fold one insert batch into the stored grid.  Returns False on
     an already-applied (writer, epoch) replay (per-writer epoch map —
-    the joinview guard)."""
+    the joinview guard).
+
+    Serialization contract (same as joinview.py): refreshes must not
+    run concurrently — the manifest read-modify-write is a plain
+    read-then-publish, so two concurrent refreshers would each fold
+    onto the same base grid and the second publish would silently drop
+    the first's delta.  One folding driver per store; replay safety
+    (the epoch guard) covers restarts, not concurrency."""
     spark = batch_df.sparkSession
     manifest = _read_manifest(store_dir)
     epochs = dict((manifest or {}).get("epochs") or {})
@@ -78,7 +85,10 @@ def refresh_cms_store(
     grid = delta if old is None else cms_merge(old, delta)
     new_rel = os.path.join("stores", uuid.uuid4().hex[:12])
     grid.write.parquet(os.path.join(store_dir, new_rel, "grid"))
-    if writer is not None:
+    # record only real epochs: epochs[writer]=None would make the
+    # replay guard never trip for that writer while still mutating
+    # the manifest entry
+    if writer is not None and epoch is not None:
         epochs[writer] = epoch
     _publish_manifest(
         store_dir,
