@@ -664,8 +664,10 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     # max(10, 2%) verdict
     from mongo2mysql_spark.operators.histjoin import hist_join_estimate
 
+    # with_exact=True EXPLICITLY: the gate needs the verification
+    # column; the API default is the cheap estimate-only path
     hj = hist_join_estimate(o, "o_custkey", cust, "c_custkey",
-                            n_buckets=_HJ_BUCKETS)
+                            n_buckets=_HJ_BUCKETS, with_exact=True)
     hj_tol = F.greatest(F.lit(10.0), F.col("exact").cast("double") * 0.02)
     histjoinest = hj.select(
         F.when(F.col("bucket") == -1, F.lit("htotal"))

@@ -1897,7 +1897,8 @@ def test_hist_join_estimate_pk_fk_near_exact(spark):
         [(random.randint(0, 199),) for _ in range(3000)], "k long"
     )
     pk = spark.createDataFrame([(i,) for i in range(200)], "k long")
-    rows = hist_join_estimate(fk, "k", pk, "k", n_buckets=8).collect()
+    rows = hist_join_estimate(fk, "k", pk, "k", n_buckets=8,
+                              with_exact=True).collect()
     total = [r for r in rows if r["bucket"] == -1][0]
     assert total["exact"] == 3000
     assert abs(total["est"] - 3000) < 1.0  # PK-FK: near-exact
@@ -1910,7 +1911,8 @@ def test_hist_join_estimate_pk_fk_near_exact(spark):
     mm_b = spark.createDataFrame(
         [(random.choice([1, 2, 2, 50, 51]),) for _ in range(500)], "k long"
     )
-    mm = hist_join_estimate(mm_a, "k", mm_b, "k", n_buckets=4).collect()
+    mm = hist_join_estimate(mm_a, "k", mm_b, "k", n_buckets=4,
+                            with_exact=True).collect()
     t = [r for r in mm if r["bucket"] == -1][0]
     assert t["exact"] > 0 and 0.5 <= t["est"] / t["exact"] <= 2.0
     import pytest as _pytest
@@ -1929,7 +1931,8 @@ def test_hist_join_estimate_empty_and_disjoint(spark):
     b = spark.createDataFrame([(100,), (101,)], "k long")
     t = [
         r
-        for r in hist_join_estimate(a, "k", b, "k", n_buckets=4).collect()
+        for r in hist_join_estimate(a, "k", b, "k", n_buckets=4,
+                                    with_exact=True).collect()
         if r["bucket"] == -1
     ][0]
     assert t["exact"] == 0 and t["est"] == 0.0
