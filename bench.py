@@ -115,7 +115,9 @@ BRANCHED = {
                                        "collocations"]),
     "agg_approx_sketches": ("branch", ["bounds", "kmv", "joinest"]),
     "profile_table_stats": ("branch", ["profile", "integrity", "skew",
-                                       "histogram"]),
+                                       "histogram", "cms", "cmsstr",
+                                       "cmsstream", "encoding", "fd",
+                                       "selest"]),
     "range_join_promo_revenue": ("branch", ["point", "overlap"]),
     "resample_gapfill": ("branch", ["resample", "zscore", "forecast",
                                     "backtest", "ohlc", "trend", "mad",

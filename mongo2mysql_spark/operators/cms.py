@@ -20,9 +20,9 @@ independent integer arithmetic ``((a_i·x + b_i) mod p) mod w``
 (Carter–Wegman; p = 2³¹−1 Mersenne, fixed odd multipliers) — every
 cell and every estimate is the SAME BIGINT on Spark and DuckDB, so
 the driver gate hashes the sketch itself, not a tolerance verdict.
-Nonnegative integer keys only (string keys go through a portable
-codepoint fold first — out of scope here; the house string surfaces
-already hash-gate token counts exactly).
+Nonnegative integer keys only, ENFORCED in :func:`cms_bucket`;
+string keys go through :func:`cms_fold_key` first — a fixed-unroll
+codepoint polynomial that is the identical BIGINT on both engines.
 
 Scale shape: build = one narrow scan → explode(depth) →
 ``groupBy(i, bucket)`` count, map-side combined, shuffle bounded by
@@ -73,6 +73,58 @@ def cms_bucket(key: Column, i: int, width: int) -> Column:
         % F.lit(CMS_P)
         % F.lit(width)
     )
+
+
+CMS_FOLD_PREFIX = 16  # characters of the key that enter the fold
+CMS_FOLD_BASE = 131
+
+
+def _fold_weights(prefix_len: int) -> list[int]:
+    # W_j = base^(prefix_len - j) mod p, j 1-based — precomputed in
+    # Python so both engines evaluate pure integer multiply-adds
+    return [
+        pow(CMS_FOLD_BASE, prefix_len - j, CMS_P)
+        for j in range(1, prefix_len + 1)
+    ]
+
+
+def cms_fold_key(col: Column, prefix_len: int = CMS_FOLD_PREFIX) -> Column:
+    """Portable string → nonnegative-BIGINT fold, the documented entry
+    point for string-keyed sketches (tokens, URLs, event types):
+    ``(Σ_{j=1..L} cp_j · W_j + len) mod p`` where ``cp_j`` is the
+    Unicode codepoint of character j (0 past the end — ``ascii`` of an
+    empty substring is 0 on BOTH engines, verified), ``W_j`` are fixed
+    ``131^(L−j) mod p`` weights and ``len`` is the character length.
+    Every term is plain 64-bit integer arithmetic (max |sum| ≈ 16 ·
+    0x10FFFF · p < 2^56), so the fold — and therefore every bucket and
+    estimate downstream — is the identical BIGINT on Spark and DuckDB
+    (:func:`cms_fold_key_sql` is the restatement).
+
+    Keys agreeing on the first ``prefix_len`` characters AND length
+    collide by design — the prefix contract of a fixed-unroll fold; at
+    the default 16 chars that is the usual token/URL-host regime.
+    Output is in [0, p) ⊂ the :func:`cms_bucket` key domain.  NULL
+    strings fold to NULL (filtered by the builders).
+    """
+    w = _fold_weights(prefix_len)
+    total = F.length(col).cast("long")
+    for j in range(prefix_len):
+        total = total + (
+            F.ascii(F.substring(col, j + 1, 1)).cast("long") * F.lit(w[j])
+        )
+    return total % F.lit(CMS_P)
+
+
+def cms_fold_key_sql(expr: str, prefix_len: int = CMS_FOLD_PREFIX) -> str:
+    """DuckDB restatement of :func:`cms_fold_key` — same weights, same
+    codepoint/length semantics (``ascii``/``substr``/``length`` agree
+    engine-for-engine, including ascii('') = 0)."""
+    w = _fold_weights(prefix_len)
+    terms = " + ".join(
+        f"ascii(substr({expr}, {j + 1}, 1)) * CAST({w[j]} AS BIGINT)"
+        for j in range(prefix_len)
+    )
+    return f"((CAST(length({expr}) AS BIGINT) + {terms}) % {CMS_P})"
 
 
 def cms_build(

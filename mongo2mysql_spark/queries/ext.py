@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from mongo2mysql_spark.operators.bars import ohlc_bars_sql, twap_bars_sql
 from mongo2mysql_spark.operators.forecast import seasonal_backtest_sql
 from mongo2mysql_spark.operators.trend import hourly_trend_sql
-from mongo2mysql_spark.operators.cms import cms_sql
+from mongo2mysql_spark.operators.cms import cms_fold_key_sql, cms_sql
 from mongo2mysql_spark.operators.profile import (
     encoding_stats_sql,
     functional_dependencies_sql,
@@ -459,6 +459,38 @@ def _cms_stream_frame(spark: SparkSession, sf_dir: str, hk) -> DataFrame:
       FROM (""" + heavy_keys_sql("lineitem", "l_suppkey", k=10) + """) h
       JOIN cmsest e ON e.key_val = CAST(h.key AS BIGINT))
     UNION ALL
+    SELECT 'cmsstr' AS branch, "column", CAST(NULL AS VARCHAR) AS dtype,
+           CAST(NULL AS BIGINT) AS n_rows,
+           CAST(NULL AS BIGINT) AS n_nonnull,
+           CAST(NULL AS DOUBLE) AS null_frac,
+           CAST(NULL AS BIGINT) AS n_distinct,
+           CAST(NULL AS VARCHAR) AS min_value,
+           CAST(NULL AS VARCHAR) AS max_value,
+           CAST(NULL AS DOUBLE) AS mean_value,
+           CAST(NULL AS DOUBLE) AS avg_len,
+           CAST(NULL AS BIGINT) AS n_orphans,
+           key, key_n,
+           CAST(NULL AS DOUBLE) AS hot_frac,
+           CAST(NULL AS DOUBLE) AS skew_ratio,
+           rank,
+           CAST(NULL AS INTEGER) AS bucket, CAST(NULL AS DOUBLE) AS lo,
+           CAST(NULL AS DOUBLE) AS hi, CAST(NULL AS BIGINT) AS n_bucket,
+           est,
+           CAST(NULL AS BIGINT) AS runs, CAST(NULL AS DOUBLE) AS avg_run_len,
+           CAST(NULL AS INTEGER) AS dict_bits,
+           CAST(NULL AS BIGINT) AS pair_distinct,
+           CAST(NULL AS BOOLEAN) AS fd_holds
+    FROM (
+      -- STRING-keyed sketch: the same Carter-Wegman grid over the
+      -- portable codepoint fold (operators/cms.cms_fold_key) of the
+      -- Zipfian string key the 'skew' branch profiles exactly
+      WITH """ + cms_sql("events", cms_fold_key_sql("event_type"),
+                         _CMS_DEPTH, _CMS_WIDTH, prefix="cf") + """
+      SELECT h."column", h.key, h.key_n, h.rank, e.est
+      FROM (""" + heavy_keys_sql("events", "event_type", k=10) + """) h
+      JOIN cfsest e ON e.key_val = """
+    + cms_fold_key_sql("h.key") + """)
+    UNION ALL
     SELECT 'cmsstream' AS branch, "column", CAST(NULL AS VARCHAR) AS dtype,
            CAST(NULL AS BIGINT) AS n_rows,
            CAST(NULL AS BIGINT) AS n_nonnull,
@@ -595,6 +627,13 @@ def _cms_stream_frame(spark: SparkSession, sf_dir: str, hk) -> DataFrame:
         "BIGINTs because the Carter-Wegman bucket arithmetic "
         "((a*x+b) mod p mod w) is engine-identical; est >= key_n by "
         "construction, overshoot bounded by the grid width.  "
+        "'cmsstr' rows: the STRING-keyed form of the same sketch over "
+        "events.event_type via the portable codepoint fold "
+        "(operators/cms.cms_fold_key: sum of cp_j*131^(L-j) + length "
+        "mod p, fixed 16-char unroll — identical BIGINT on both "
+        "engines, so string-keyed estimates hash exactly too): the "
+        "token/URL/event-type use case the integer key domain cannot "
+        "serve directly.  "
         "'cmsstream' rows: the STREAMING count-min store "
         "(streaming/cmsstore.py) — three availableNow runs over "
         "orderkey-sliced lineitem streams fold their grids cell-"
@@ -715,6 +754,27 @@ def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         cms_estimate(grid, hk, "__kv", depth=_CMS_DEPTH, width=_CMS_WIDTH)
         .select("column", "key", "key_n", "rank", "est")
     )
+    # string-keyed CMS ('cmsstr'): the same sketch over the Zipfian
+    # STRING key the 'skew' branch profiles (events.event_type), keyed
+    # through the portable codepoint fold (operators/cms.cms_fold_key)
+    # — the token/URL/event-type use case the integer branch cannot
+    # serve; estimates still hash as exact BIGINTs because the fold
+    # and the bucket arithmetic are engine-identical
+    from mongo2mysql_spark.operators.cms import cms_fold_key
+
+    hk_ev = heavy_keys(ev, "event_type", k=10).select(
+        "column", "key", "key_n", "rank",
+        cms_fold_key(F.col("key")).alias("__kv"),
+    )
+    grid_s = cms_build(
+        ev.select(cms_fold_key(F.col("event_type")).alias("__k")),
+        "__k", depth=_CMS_DEPTH, width=_CMS_WIDTH,
+    )
+    cmsstr = (
+        cms_estimate(grid_s, hk_ev, "__kv",
+                     depth=_CMS_DEPTH, width=_CMS_WIDTH)
+        .select("column", "key", "key_n", "rank", "est")
+    )
     # columnar-encoding advisor + functional-dependency discovery
     # (operators/profile.encoding_stats / functional_dependencies):
     # the writer-side and optimizer-side profiling readouts
@@ -767,6 +827,7 @@ def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "skew": skew,
             "histogram": hist,
             "cms": cms,
+            "cmsstr": cmsstr,
             "cmsstream": cmsst,
             "encoding": enc,
             "fd": fd,

@@ -156,3 +156,60 @@ def test_cms_store_folds_equal_oneshot_and_guard_replays(spark, tmp_path):
                            depth=3, width=64).collect()
     }
     assert folded == oneshot and len(folded) > 0
+
+
+def test_cms_fold_key_matches_duckdb_and_feeds_sketch(spark, tmp_path):
+    """The string fold is the identical BIGINT on both engines
+    (unicode, empty, prefix-collision cases), lands inside the
+    cms_bucket key domain, and string-keyed estimates through it are
+    engine-identical."""
+    from mongo2mysql_spark.operators.cms import (
+        CMS_KEY_MAX,
+        cms_fold_key,
+        cms_fold_key_sql,
+    )
+
+    vals = ["", "a", "ab", "ba", "purchase", "page_view", "café",
+            "日本語のテキスト", "x" * 40, "x" * 39 + "y",
+            "0123456789abcdef" + "tail1", "0123456789abcdef" + "tail2"]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    p = str(tmp_path / "folds.parquet")
+    df.coalesce(1).write.parquet(p)
+    got = {
+        r["s"]: r["f"]
+        for r in df.select("s", cms_fold_key(F.col("s")).alias("f")).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW src AS SELECT s FROM read_parquet('{p}/*.parquet')"
+    )
+    want = dict(
+        con.execute(
+            f"SELECT s, {cms_fold_key_sql('s')} FROM src"
+        ).fetchall()
+    )
+    assert got == want
+    assert all(0 <= f <= CMS_KEY_MAX for f in got.values())
+    # same-16-char-prefix strings with the same length DO collide (the
+    # documented prefix contract); differing lengths do not
+    assert got["0123456789abcdef" + "tail1"] == got["0123456789abcdef" + "tail2"]
+    assert got["x" * 40] != got["a"]
+    # end-to-end: string-keyed build+estimate is engine-identical
+    folded = df.select(cms_fold_key(F.col("s")).alias("k"))
+    grid = cms_build(folded, "k", depth=3, width=64)
+    est = {
+        r["s"]: r["est"]
+        for r in cms_estimate(
+            grid,
+            df.select("s", cms_fold_key(F.col("s")).alias("k")),
+            "k", depth=3, width=64,
+        ).collect()
+    }
+    sql = cms_sql("src", cms_fold_key_sql("s"), depth=3, width=64)
+    duck_est = dict(
+        con.execute(
+            f"WITH {sql} SELECT s, est FROM src "
+            f"JOIN cmsest ON key_val = {cms_fold_key_sql('s')}"
+        ).fetchall()
+    )
+    assert est == duck_est
