@@ -151,6 +151,24 @@ def execute_ddl(statements: list[str], connection_factory: Callable[[], object])
         conn.close()
 
 
+def fragment_layout(lo: int, hi: int, num_fragments: int) -> tuple[int, int]:
+    """The shared (fragment count, stride) arithmetic behind BOTH the
+    read planner and the parallel upsert executor — fragment i covers
+    ``[lo + i·stride, lo + (i+1)·stride)`` with the first and last
+    ranges open-ended.  stride = (hi − lo) DIV n (Spark's own
+    partitionColumn arithmetic); degenerate spans collapse to one
+    fragment.  Keeping one implementation means a read plan and a
+    write plan over the same key domain agree boundary-for-boundary.
+    """
+    if num_fragments == 1 or hi == lo:
+        return 1, max(1, hi - lo)
+    stride = (hi - lo) // num_fragments
+    if stride == 0:
+        stride = 1
+        num_fragments = (hi - lo) or 1
+    return num_fragments, stride
+
+
 def plan_read_partitions(
     lo: int,
     hi: int,
@@ -177,16 +195,11 @@ def plan_read_partitions(
     if hi < lo:
         raise ValueError(f"hi < lo: [{lo}, {hi}]")
     extra = f" AND ({extra_predicate})" if extra_predicate else ""
-    if num_partitions == 1 or hi == lo:
-        return [f"1=1{extra}" if extra else "1=1"]
-    stride = (hi - lo) // num_partitions
-    if stride == 0:
-        stride = 1
-        num_partitions = (hi - lo) or 1
+    num_partitions, stride = fragment_layout(lo, hi, num_partitions)
     if num_partitions == 1:
-        # hi-lo == 1 collapsed the plan to one fragment: the single
-        # fragment must be the SAME catch-all the early branch emits —
-        # a lone "key < lo+1" fragment would drop every row >= lo+1
+        # collapsed plans (explicit n=1, hi == lo, or hi-lo == 1 after
+        # the stride floor) must be the SAME catch-all — a lone
+        # "key < lo+1" fragment would drop every row >= lo+1
         # (including hi itself and late inserts), violating the
         # open-ended coverage contract documented above
         return [f"1=1{extra}" if extra else "1=1"]
@@ -204,6 +217,102 @@ def plan_read_partitions(
             )
         bound = nxt
     return preds
+
+
+def write_upsert_partitioned(
+    df: DataFrame,
+    table: str,
+    key_col: str,
+    connection_factory: Callable[[], object],
+    num_fragments: int = 8,
+    mode: str = "replace",
+    batch_size: int = 1000,
+    paramstyle: str = "qmark",
+) -> int:
+    """EXECUTE a fragment-planned parallel upsert: the write-side twin
+    of :func:`read_partitioned`.  The destination-key domain [lo, hi]
+    (one bounded 1-row collect) is split by :func:`fragment_layout` —
+    the SAME stride arithmetic the read planner uses — and each
+    fragment becomes exactly ONE Spark task (identity-partitioned by
+    fragment index, not hash — no two fragments share a task, no
+    fragment splits across tasks) that opens its own DBAPI connection
+    and writes ``batch_size``-row ``executemany`` batches of
+    ``REPLACE INTO`` / ``ON DUPLICATE KEY UPDATE``
+    (Porter.php:207/266 semantics).
+
+    Why fragment by KEY RANGE rather than letting ``foreachPartition``
+    write whatever partitioning the upstream plan left: (a) connection
+    count is exactly the fragment count; (b) each task touches a
+    contiguous PK range, so InnoDB-style PK-range locks never contend
+    across tasks and page splits stay local — the write-side analogue
+    of partition-pruned reads; (c) a killed-and-retried task re-writes
+    exactly its own key range, and REPLACE-on-PK makes that retry
+    idempotent (the same guarantee that makes the reference's rerun
+    safe, and what makes a side-effecting sink safe under speculative
+    execution).
+
+    NULL keys route to fragment 0 (they violate a PK anyway — the
+    sink surfaces the constraint error rather than dropping rows
+    silently).  Returns the fragment count actually used.
+    """
+    columns = list(df.columns)
+    if key_col not in columns:
+        raise ValueError(f"key_col {key_col!r} not in columns {columns}")
+    if num_fragments < 1:
+        raise ValueError(f"num_fragments must be >= 1, got {num_fragments}")
+    sql = upsert_sql(table, columns, mode=mode, paramstyle=paramstyle)
+    from pyspark.sql import functions as F
+
+    dom = df.agg(
+        F.min(F.col(key_col).cast("long")).alias("lo"),
+        F.max(F.col(key_col).cast("long")).alias("hi"),
+    ).first()
+    lo, hi = dom["lo"], dom["hi"]
+    if lo is None:
+        # no non-NULL keys: either truly empty (nothing to write) or
+        # all-NULL keys — one fragment handles both without a plan
+        n, stride = 1, 1
+    else:
+        n, stride = fragment_layout(int(lo), int(hi), num_fragments)
+        lo = int(lo)
+
+    def assign(row) -> tuple[int, tuple]:
+        k = row[key_col]
+        frag = 0
+        if n > 1 and k is not None:
+            frag = min(n - 1, max(0, (int(k) - lo) // stride))
+        return (frag, tuple(row[c] for c in columns))
+
+    def _write_partition(pairs: Iterator) -> None:
+        conn = None
+        try:
+            batch = []
+            cur = None
+            for _frag, vals in pairs:
+                if conn is None:  # connect lazily: empty tasks open nothing
+                    conn = connection_factory()
+                    cur = conn.cursor()
+                batch.append(vals)
+                if len(batch) >= batch_size:
+                    cur.executemany(sql, batch)
+                    conn.commit()
+                    batch = []
+            if batch:
+                cur.executemany(sql, batch)
+                conn.commit()
+        finally:
+            if conn is not None:
+                conn.close()
+
+    (
+        df.rdd.map(assign)
+        # identity partitioner: fragment i IS task i (portable_hash
+        # would fold two fragments into one task and leave others
+        # empty, breaking the one-connection-per-fragment contract)
+        .partitionBy(n, partitionFunc=lambda frag: frag)
+        .foreachPartition(_write_partition)
+    )
+    return n
 
 
 def read_partitioned(

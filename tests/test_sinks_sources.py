@@ -834,3 +834,161 @@ def test_read_partitioned_executes_fragments_in_parallel(spark, tmp_path):
             spark, "t", ["k"], "k long", [],
             functools.partial(_sqlite_connect, db),
         )
+
+
+def _sqlite_connect_busywait(path):
+    import sqlite3
+
+    # parallel fragments contend on sqlite's single writer lock; the
+    # busy timeout makes tasks queue instead of erroring (MySQL has no
+    # such constraint — fragments write disjoint PK ranges in parallel)
+    return sqlite3.connect(path, timeout=30)
+
+
+def test_write_upsert_partitioned_equals_sequential(spark, tmp_path):
+    """Fragment-parallel upsert == sequential write_upsert: same final
+    table state, one fragment per Spark task (identity partitioner),
+    late re-upserts REPLACE in place."""
+    import functools
+
+    from mongo2mysql_spark.sources.jdbc import (
+        write_upsert,
+        write_upsert_partitioned,
+    )
+
+    rows = [Row(_id=i, v=f"v{i}") for i in range(0, 500, 3)]
+    df = spark.createDataFrame(rows)
+    dbs = {}
+    for name in ("par", "seq"):
+        db = str(tmp_path / f"{name}.db")
+        con = sqlite3.connect(db)
+        con.execute("CREATE TABLE t (_id INTEGER PRIMARY KEY, v TEXT)")
+        con.commit()
+        con.close()
+        dbs[name] = db
+    n = write_upsert_partitioned(
+        df, "t", "_id",
+        functools.partial(_sqlite_connect_busywait, dbs["par"]),
+        num_fragments=4, batch_size=16,
+    )
+    assert n == 4
+    write_upsert(
+        df, "t", functools.partial(_sqlite_connect_busywait, dbs["seq"]),
+        batch_size=16, max_connections=1,
+    )
+    got = {}
+    for name, db in dbs.items():
+        con = sqlite3.connect(db)
+        got[name] = set(con.execute("SELECT _id, v FROM t").fetchall())
+        con.close()
+    assert got["par"] == got["seq"] == {(r._id, r.v) for r in rows}
+    # re-upsert with changed values: REPLACE converges, no duplicates
+    df2 = spark.createDataFrame([Row(_id=i, v=f"w{i}") for i in range(0, 500, 3)])
+    write_upsert_partitioned(
+        df2, "t", "_id",
+        functools.partial(_sqlite_connect_busywait, dbs["par"]),
+        num_fragments=4, batch_size=16,
+    )
+    con = sqlite3.connect(dbs["par"])
+    upd = set(con.execute("SELECT _id, v FROM t").fetchall())
+    con.close()
+    assert upd == {(r._id, r.v) for r in df2.collect()}
+
+
+def test_write_upsert_partitioned_killed_fragment_retry_converges(spark, tmp_path):
+    """The A15 retry contract on the fragment executor: a fragment
+    killed mid-write leaves a committed prefix; re-running the same
+    partitioned upsert converges to exactly-once row state (REPLACE
+    idempotence over the fragment's own key range — Porter.php:207
+    semantics under task retry)."""
+    import functools
+
+    from mongo2mysql_spark.sources.jdbc import write_upsert_partitioned
+
+    db = str(tmp_path / "t.db")
+    trip = str(tmp_path / "trip")
+    con = sqlite3.connect(db)
+    con.execute("CREATE TABLE t (_id TEXT PRIMARY KEY, v INT)")
+    con.commit()
+    con.close()
+    factory = functools.partial(_failing_once_connect, db, trip, 2)
+    df = spark.createDataFrame([Row(_id=f"{i:03d}", v=i) for i in range(60)])
+    # string PK: key_col cast to long is NULL -> single fragment, the
+    # all-NULL domain path (numeric-PK fragmenting is the test above)
+    with pytest.raises(Exception, match="injected mid-partition failure"):
+        write_upsert_partitioned(
+            df.coalesce(1), "t", "_id", factory,
+            num_fragments=1, batch_size=7,
+        )
+    con = sqlite3.connect(db)
+    n_partial = con.execute("SELECT COUNT(*) FROM t").fetchone()[0]
+    con.close()
+    assert 0 < n_partial < 60  # real committed prefix survived the kill
+    write_upsert_partitioned(
+        df.coalesce(1), "t", "_id", factory, num_fragments=1, batch_size=7
+    )
+    con = sqlite3.connect(db)
+    n, vsum = con.execute("SELECT COUNT(*), SUM(v) FROM t").fetchone()
+    con.close()
+    assert (n, vsum) == (60, sum(range(60)))
+
+
+def test_write_upsert_partitioned_fragment_layout_contract(spark, tmp_path):
+    """Fragment boundaries agree with the read planner (shared
+    fragment_layout): every row lands in the fragment whose read
+    predicate selects it; degenerate domains collapse to one fragment;
+    empty frames write nothing and open no connection."""
+    import functools
+
+    from mongo2mysql_spark.sources.jdbc import (
+        fragment_layout,
+        plan_read_partitions,
+        write_upsert_partitioned,
+    )
+
+    assert fragment_layout(5, 5, 8) == (1, 1)
+    assert fragment_layout(5, 6, 3)[0] == 1
+    n, stride = fragment_layout(0, 999, 4)
+    assert (n, stride) == (4, 249)
+    # cross-check: the executor's clamp assigns each key to the same
+    # fragment index whose planner predicate matches it
+    preds = plan_read_partitions(0, 999, 4, "k")
+    con = sqlite3.connect(":memory:")
+    con.execute("CREATE TABLE probe (k INTEGER)")
+    for k in (0, 248, 249, 500, 996, 999):
+        con.execute("DELETE FROM probe")
+        con.execute("INSERT INTO probe VALUES (?)", (k,))
+        sql_frag = [
+            i for i, p in enumerate(preds)
+            if con.execute(f"SELECT count(*) FROM probe WHERE {p}").fetchone()[0]
+        ]
+        clamp = min(n - 1, max(0, k // stride))
+        assert sql_frag == [clamp]
+    con.close()
+    # degenerate: single-key domain still writes everything
+    db = str(tmp_path / "one.db")
+    c = sqlite3.connect(db)
+    c.execute("CREATE TABLE t (_id INTEGER PRIMARY KEY, v TEXT)")
+    c.commit()
+    c.close()
+    df = spark.createDataFrame([Row(_id=7, v="a")])
+    assert write_upsert_partitioned(
+        df, "t", "_id", functools.partial(_sqlite_connect_busywait, db),
+        num_fragments=8,
+    ) == 1
+    c = sqlite3.connect(db)
+    assert c.execute("SELECT _id, v FROM t").fetchall() == [(7, "a")]
+    c.close()
+    # empty frame: no fragments beyond the catch-all, no rows written
+    empty = spark.createDataFrame([], "_id long, v string")
+    assert write_upsert_partitioned(
+        empty, "t", "_id", functools.partial(_sqlite_connect_busywait, db)
+    ) == 1
+    c = sqlite3.connect(db)
+    assert c.execute("SELECT COUNT(*) FROM t").fetchone()[0] == 1
+    c.close()
+    with pytest.raises(ValueError):
+        write_upsert_partitioned(
+            empty, "t", "nope",
+            functools.partial(_sqlite_connect_busywait, db),
+        )
