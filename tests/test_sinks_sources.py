@@ -992,3 +992,90 @@ def test_write_upsert_partitioned_fragment_layout_contract(spark, tmp_path):
             empty, "t", "nope",
             functools.partial(_sqlite_connect_busywait, db),
         )
+
+
+def test_mongo_export_e2e_cursor_death_exactly_once(spark, tmp_path):
+    """The full reference loop under failure, end to end: fake-pymongo
+    cursor batches -> porter pipeline -> sqlite REPLACE upsert, with
+    (a) a cursor death mid-walk (auto-resumed via the $gt re-issue)
+    and (b) a process kill between batches (resumed via resume_from at
+    the sink's last durable key).  Every parent and child row lands
+    EXACTLY once per key — the Porter.php:138-150 contract the
+    reference itself loses on a timeout."""
+    import functools
+    import json
+
+    from mongo2mysql_spark.porter import PorterConfig, SparkPorter
+    from mongo2mysql_spark.sources.jdbc import execute_ddl, write_upsert
+    from mongo2mysql_spark.sources.mongodb import iter_collection_batches
+
+    docs = [
+        {"_id": i, "v": i * 10, "meta": {"lang": "en" if i % 2 else "fr"},
+         "tokens": [f"t{i}a", f"t{i}b"]}
+        for i in range(23)
+    ]
+    db = str(tmp_path / "dst.db")
+    factory = functools.partial(_sqlite_connect_busywait, db)
+    porter = SparkPorter(spark, PorterConfig())
+
+    def batch_df(batch):
+        return spark.read.json(
+            spark.sparkContext.parallelize([json.dumps(d) for d in batch])
+        )
+
+    def sink_batch(batch, ddl_done):
+        export = porter.export_collection(batch_df(batch), "c")
+        if not ddl_done:
+            execute_ddl(export.ddl, factory)
+        for t, tdf in export.tables.items():
+            write_upsert(tdf, t, factory, max_connections=1)
+        export.unpersist()
+        return set(export.tables)
+
+    # ---- phase 1: cursor dies at _id 12; the iterator re-issues the
+    # find from the last yielded key.  Simulate a PROCESS kill too:
+    # stop consuming after 3 sunk batches.
+    coll = _FakeCollection(docs, fail_at=12)
+    tables, ddl_done, sunk = set(), False, 0
+    for batch in iter_collection_batches(coll, batch_size=5):
+        tables |= sink_batch(batch, ddl_done)
+        ddl_done = True
+        sunk += 1
+        if sunk == 3:
+            break  # the kill
+    assert coll.queries[0] == {} and coll.queries[1] == {"_id": {"$gt": 9}}
+    con = sqlite3.connect(db)
+    durable = con.execute("SELECT MAX(_id) FROM c").fetchone()[0]
+    n_partial = con.execute("SELECT COUNT(*) FROM c").fetchone()[0]
+    con.close()
+    assert 0 < n_partial < len(docs) and durable is not None
+
+    # ---- phase 2: the restarted export resumes from the last durable
+    # key; overlap (a re-upserted batch) is absorbed by REPLACE
+    coll2 = _FakeCollection(docs)
+    for batch in iter_collection_batches(
+        coll2, batch_size=5, resume_from=durable
+    ):
+        tables |= sink_batch(batch, ddl_done=True)
+    assert coll2.queries[0] == {"_id": {"$gt": durable}}
+
+    con = sqlite3.connect(db)
+    parent = con.execute(
+        "SELECT _id, v, meta_lang FROM c ORDER BY _id"
+    ).fetchall()
+    child_tbl = [t for t in tables if t != "c"]
+    assert len(child_tbl) == 1  # the tokens spill
+    kids = con.execute(
+        f"SELECT _parentid, _index, tokens FROM `{child_tbl[0]}` "
+        f"ORDER BY _parentid, _index"
+    ).fetchall()
+    con.close()
+    # exactly once per key, values intact
+    assert [r[0] for r in parent] == list(range(23))
+    assert all(r[1] == r[0] * 10 for r in parent)
+    assert all(r[2] == ("en" if r[0] % 2 else "fr") for r in parent)
+    assert len(kids) == 23 * 2
+    assert {(p, i) for p, i, _ in kids} == {
+        (p, i) for p in range(23) for i in (0, 1)
+    }
+    assert all(v == f"t{p}{'ab'[i]}" for p, i, v in kids)
