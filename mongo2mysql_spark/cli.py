@@ -119,6 +119,17 @@ def build_parser() -> argparse.ArgumentParser:
                         "--url-col, drops documents from blocked hosts")
     p.add_argument("--url-col", default=None,
                    help="corpus: URL column name for --host-blocklist")
+    p.add_argument("--analyze", default=None, metavar="SPECS",
+                   help="CSV of table.key specs (e.g. "
+                        "'orders.o_custkey,customer.c_custkey'): compute "
+                        "persisted ANALYZE key-histogram artifacts "
+                        "(operators/histjoin.analyze_key_stats) over a "
+                        "SHARED key domain into "
+                        "--output-dir/_stats/<table>.<key>/ — join-size "
+                        "estimates are then served from the stored stats "
+                        "with zero table contact")
+    p.add_argument("--analyze-buckets", type=int, default=16,
+                   help="bucket count for --analyze histograms")
     p.add_argument("--explain-query", default=None, metavar="NAME",
                    help="print the formatted physical plan of a registry "
                         "query (see mongo2mysql_spark.queries) against "
@@ -143,6 +154,57 @@ def _run_explain(spark, args) -> int:
         return 2
     df = registry[args.explain_query].fn(spark, args.source_dir)
     df.explain("formatted")
+    return 0
+
+
+def _run_analyze(spark, args) -> int:
+    """ANALYZE pass: persisted key-histogram statistics for the named
+    table.key specs, all bucketed over ONE shared declared domain (the
+    union [min, max] of every listed key) so any pair of artifacts is
+    estimate-joinable (operators/histjoin.hist_join_estimate_from_stats).
+    Writes one parquet artifact per spec plus a JSON summary line."""
+    import json
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from mongo2mysql_spark.operators.histjoin import analyze_key_stats
+
+    if not (args.source_dir and args.output_dir):
+        print("error: --analyze needs --source-dir and --output-dir",
+              file=sys.stderr)
+        return 2
+    specs = []
+    for raw in args.analyze.split(","):
+        table, _, key = raw.strip().partition(".")
+        if not key:
+            print(f"error: --analyze spec {raw!r} is not table.key",
+                  file=sys.stderr)
+            return 2
+        specs.append((table, key))
+    frames = {t: load_table(spark, args.source_dir, t)
+              for t in {t for t, _ in specs}}
+    # shared declared domain: one bounded 1-row aggregate over the
+    # union of all listed keys
+    keys = None
+    for t, k in specs:
+        leg = frames[t].select(F.col(k).cast("long").alias("k"))
+        keys = leg if keys is None else keys.unionByName(leg)
+    dom = keys.agg(F.min("k").alias("lo"), F.max("k").alias("hi")).first()
+    if dom["lo"] is None:
+        print("error: no non-NULL keys in any listed spec", file=sys.stderr)
+        return 2
+    lo, hi = int(dom["lo"]), int(dom["hi"])
+    summary = {"lo": lo, "hi": hi, "n_buckets": args.analyze_buckets,
+               "artifacts": {}}
+    for t, k in specs:
+        stats = analyze_key_stats(
+            frames[t], k, n_buckets=args.analyze_buckets, lo=lo, hi=hi
+        )
+        path = _os.path.join(args.output_dir, "_stats", f"{t}.{k}")
+        stats.write.mode("overwrite").parquet(path)
+        summary["artifacts"][f"{t}.{k}"] = path
+    print(json.dumps({"analyze": summary}))
     return 0
 
 
@@ -242,6 +304,9 @@ def main(argv: list[str] | None = None) -> int:
 
         if args.explain_query:
             return _run_explain(spark, args)
+
+        if args.analyze:
+            return _run_analyze(spark, args)
 
         if args.corpus:
             return _run_corpus(spark, args)

@@ -455,6 +455,18 @@ def _kmv_est_sql() -> str:
            CASE WHEN bucket = -1 THEN TRUE END AS kmv_in_tol,
            n_b AS kmv_sumprod
     FROM hjout
+    UNION ALL
+    SELECT 'histstats' AS branch,
+           {_BOUNDS_NULLS},
+           CASE WHEN bucket = -1 THEN 'stotal'
+                ELSE 'sbucket' || CAST(bucket AS VARCHAR) END AS setop,
+           est AS kmv_est,
+           n_a AS kmv_cnt,
+           d_a AS kmv_theta,
+           d_b AS kmv_exact,
+           CAST(NULL AS BOOLEAN) AS kmv_in_tol,
+           n_b AS kmv_sumprod
+    FROM hjout
     """,
     # Sketch ESTIMATES are engine-specific (HLL++/KLL internals), so the
     # raw approx values cannot cross-check against DuckDB.  The oracle
@@ -496,7 +508,14 @@ def _kmv_est_sql() -> str:
         "all hash cross-engine.  'histjoinest' rows: HISTOGRAM join-"
         "size estimation (operators/histjoin.py — Selinger per-bucket "
         "n_a·n_b/max(d_a,d_b) on shared integer bucket boundaries), "
-        "completing the planner triangle: exact / sketch / histogram "
+        "completing the planner triangle: exact / sketch / histogram.  "
+        "'histstats' rows: the SAME per-bucket estimates served from "
+        "persisted-ANALYZE artifacts (operators/histjoin."
+        "analyze_key_stats -> hist_join_estimate_from_stats): per-table "
+        "bucket stats over a shared declared domain, estimate computed "
+        "with ZERO table contact; stats-served values hash against the "
+        "identical restatement — the same-answer-different-path gate "
+        "for the optimizer-statistics state shape "
         "(zero table contact at estimation time — the ANALYZE-stats "
         "path).  Per-bucket terms are scaled-integer floor divisions "
         "and the total is an ORDER-FREE integer sum, so all 16 bucket "
@@ -685,12 +704,49 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("kmv_in_tol"),
         F.col("n_b").alias("kmv_sumprod"),
     )
+    # 'histstats': the SAME estimate served from ANALYZE artifacts
+    # (operators/histjoin.analyze_key_stats -> hist_join_estimate_from_
+    # stats) — per-table bucket stats computed independently over the
+    # shared declared domain, joined with ZERO table contact at
+    # estimation time.  Stats-served values must equal the on-the-fly
+    # path bucket-for-bucket, so the unchanged hjout restatement hashes
+    # them — the same-answer-different-path gate (cmsstream's pattern,
+    # here for the optimizer-statistics state shape).  The parquet
+    # persistence roundtrip is proven in tests/test_r11_fixes.py.
+    from mongo2mysql_spark.operators.histjoin import (
+        analyze_key_stats,
+        hist_join_estimate_from_stats,
+    )
+
+    dom = (
+        o.select(F.col("o_custkey").cast("long").alias("k"))
+        .unionByName(cust.select(F.col("c_custkey").cast("long").alias("k")))
+        .agg(F.min("k").alias("lo"), F.max("k").alias("hi"))
+        .first()
+    )
+    sa = analyze_key_stats(o, "o_custkey", _HJ_BUCKETS,
+                           lo=int(dom["lo"]), hi=int(dom["hi"]))
+    sb = analyze_key_stats(cust, "c_custkey", _HJ_BUCKETS,
+                           lo=int(dom["lo"]), hi=int(dom["hi"]))
+    hs = hist_join_estimate_from_stats(sa, sb)
+    histstats = hs.select(
+        F.when(F.col("bucket") == -1, F.lit("stotal"))
+        .otherwise(F.concat(F.lit("sbucket"), F.col("bucket").cast("string")))
+        .alias("setop"),
+        F.col("est").alias("kmv_est"),
+        F.col("n_a").alias("kmv_cnt"),
+        F.col("d_a").alias("kmv_theta"),
+        F.col("d_b").alias("kmv_exact"),
+        F.lit(None).cast("boolean").alias("kmv_in_tol"),
+        F.col("n_b").alias("kmv_sumprod"),
+    )
     return tagged_union(
         {
             "bounds": bounds,
             "kmv": kmv,
             "joinest": joinest,
             "histjoinest": histjoinest,
+            "histstats": histstats,
         }
     )
 

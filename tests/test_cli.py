@@ -263,3 +263,44 @@ def test_cli_sqlite_partial_failure_converges(spark, tmp_path):
             if r[:1] in final and r != final[r[:1]]:
                 renumbered = True
     assert renumbered, "partial-run rows were never overwritten"
+
+
+def test_cli_analyze_writes_joinable_stats(spark, tmp_path, capsys):
+    """--analyze persists per-table key-histogram artifacts over a
+    SHARED domain; estimates served from the stored parquet equal the
+    on-the-fly estimator with zero table contact."""
+    import json
+
+    from mongo2mysql_spark.cli import main
+    from mongo2mysql_spark.operators.histjoin import (
+        hist_join_estimate,
+        hist_join_estimate_from_stats,
+    )
+    from mongo2mysql_spark.sources.parquet import load_table
+
+    out = str(tmp_path / "out")
+    rc = main([
+        "--analyze", "orders.o_custkey,customer.c_custkey",
+        "--source-dir", "/root/testdata/sf0.001",
+        "--output-dir", out,
+    ])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    arts = summary["analyze"]["artifacts"]
+    sa = spark.read.parquet(arts["orders.o_custkey"])
+    sb = spark.read.parquet(arts["customer.c_custkey"])
+    got = {
+        r["bucket"]: (r["n_a"], r["d_a"], r["n_b"], r["d_b"], r["est"])
+        for r in hist_join_estimate_from_stats(sa, sb).collect()
+    }
+    o = load_table(spark, "/root/testdata/sf0.001", "orders")
+    c = load_table(spark, "/root/testdata/sf0.001", "customer")
+    ref = {
+        r["bucket"]: (r["n_a"], r["d_a"], r["n_b"], r["d_b"], r["est"])
+        for r in hist_join_estimate(o, "o_custkey", c, "c_custkey").collect()
+    }
+    assert got == ref
+    # malformed spec and missing dirs are clean errors
+    assert main(["--analyze", "orders", "--source-dir", "x",
+                 "--output-dir", out]) == 2
+    assert main(["--analyze", "orders.o_custkey"]) == 2
