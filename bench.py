@@ -112,9 +112,10 @@ BRANCHED = {
                                               "pagerank", "triangles",
                                               "incclosure"]),
     "events_sessionize": ("branch", ["sessions", "funnel", "funnelwin",
-                                     "funnelstate", "retention",
-                                     "transitions", "paths",
-                                     "latency", "latdist"]),
+                                     "funnelmax", "funnelstate",
+                                     "retention", "transitions", "paths",
+                                     "latency", "latdist",
+                                     "attribution"]),
     # 'keyness' is intentionally NOT attributed: its per-label
     # min-count threshold serves zero rows on the sf0.001 consistency
     # fixture (it serves at the gate/bench SFs) and the branch-map test

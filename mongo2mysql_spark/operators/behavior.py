@@ -317,6 +317,80 @@ def conversion_latency(
     )
 
 
+def attribution_credit(
+    df: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    id_col: str,
+    touch_type: str,
+    convert_type: str,
+    within_ms: int,
+) -> DataFrame:
+    """Marketing-attribution credit assignment — the standard
+    first-touch / last-touch / linear models in one pass: for every
+    conversion, the touches by the same user strictly before it (the
+    funnel's lexicographic ``(ts, id)`` order, so same-ts events cannot
+    fork engines) and within ``within_ms`` of it share the credit.
+
+    One row per (touch, conversion) pair:
+    ``(user_id, touch_id, purchase_id, n_touches, is_first, is_last,
+    credit)`` where ``is_first``/``is_last`` mark the first-touch and
+    last-touch models' winners (lexicographic min/max over the
+    window's touches) and ``credit`` = 1/n_touches is the linear
+    model's share — exact integers everywhere, one IEEE division.
+
+    Plan: two pushed event-type filter scans, one user-keyed join
+    bounded by per-user activity × the time window, one grouped
+    min/max/count per conversion, one keyed join back.  No windows —
+    a hot user bounds a task by its own (touches × conversions), never
+    by the corpus.
+    """
+    t = df.filter(F.col(type_col) == touch_type).select(
+        F.col(user_col).alias("user_id"),
+        F.col(ts_col).alias("__t_ts"),
+        F.col(id_col).alias("__t_id"),
+    )
+    p = df.filter(F.col(type_col) == convert_type).select(
+        F.col(user_col).alias("user_id"),
+        F.col(ts_col).alias("__p_ts"),
+        F.col(id_col).alias("__p_id"),
+    )
+    pairs = t.join(p, "user_id").filter(
+        (
+            F.struct(F.col("__t_ts"), F.col("__t_id"))
+            < F.struct(F.col("__p_ts"), F.col("__p_id"))
+        )
+        & (
+            F.unix_millis(F.col("__p_ts")) - F.unix_millis(F.col("__t_ts"))
+            <= F.lit(within_ms)
+        )
+    )
+    stats = pairs.groupBy("user_id", "__p_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_touches"),
+        F.min(F.struct(F.col("__t_ts"), F.col("__t_id"))).alias("__first"),
+        F.max(F.struct(F.col("__t_ts"), F.col("__t_id"))).alias("__last"),
+    )
+    return (
+        pairs.join(stats, ["user_id", "__p_id"])
+        .select(
+            "user_id",
+            F.col("__t_id").alias("touch_id"),
+            F.col("__p_id").alias("purchase_id"),
+            "n_touches",
+            (
+                (F.col("__t_ts") == F.col("__first.__t_ts"))
+                & (F.col("__t_id") == F.col("__first.__t_id"))
+            ).alias("is_first"),
+            (
+                (F.col("__t_ts") == F.col("__last.__t_ts"))
+                & (F.col("__t_id") == F.col("__last.__t_id"))
+            ).alias("is_last"),
+            (F.lit(1.0) / F.col("n_touches").cast("double")).alias("credit"),
+        )
+    )
+
+
 def funnel_max_level(
     events: DataFrame,
     user_col: str,

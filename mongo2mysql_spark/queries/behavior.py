@@ -232,8 +232,58 @@ _LATENCY_CTES = """lv1 AS (
              quantile_cont(CAST(latency_ms AS DOUBLE), 0.9) AS lat_p90
       FROM lat)"""
 
+# Attribution models (operators/behavior.attribution_credit): per
+# (touch, conversion) pair within the window, first/last flags via the
+# funnel's two-phase lexicographic min/max restatement, linear credit
+# one IEEE division.  Window bound shared with the funnel (24h).
+_ATTR_CTES = """atch AS (
+      SELECT user_id, ts, event_id FROM events
+      WHERE event_type = 'view'),
+    acnv AS (
+      SELECT user_id, ts AS p_ts, event_id AS p_id FROM events
+      WHERE event_type = 'purchase'),
+    apair AS (
+      SELECT t.user_id, t.ts, t.event_id, c.p_ts, c.p_id
+      FROM atch t JOIN acnv c ON c.user_id = t.user_id
+      WHERE (t.ts, t.event_id) < (c.p_ts, c.p_id)
+        AND epoch_ms(CAST(c.p_ts AS TIMESTAMP))
+            - epoch_ms(CAST(t.ts AS TIMESTAMP)) <= 86400000),
+    asts AS (
+      SELECT user_id, p_id, CAST(count(*) AS BIGINT) AS n_touches,
+             min(ts) AS f_ts, max(ts) AS l_ts
+      FROM apair GROUP BY 1, 2),
+    afid AS (
+      SELECT a.user_id, a.p_id, min(e.event_id) AS f_id
+      FROM apair e
+      JOIN asts a ON a.user_id = e.user_id AND a.p_id = e.p_id
+                 AND e.ts = a.f_ts
+      GROUP BY 1, 2),
+    alid AS (
+      SELECT a.user_id, a.p_id, max(e.event_id) AS l_id
+      FROM apair e
+      JOIN asts a ON a.user_id = e.user_id AND a.p_id = e.p_id
+                 AND e.ts = a.l_ts
+      GROUP BY 1, 2),
+    attrib AS (
+      SELECT e.user_id, e.event_id AS touch_id, e.p_id AS purchase_id,
+             s.n_touches,
+             e.ts = s.f_ts AND e.event_id = f.f_id AS is_first,
+             e.ts = s.l_ts AND e.event_id = l.l_id AS is_last,
+             CAST(1.0 AS DOUBLE) / CAST(s.n_touches AS DOUBLE) AS credit
+      FROM apair e
+      JOIN asts s ON s.user_id = e.user_id AND s.p_id = e.p_id
+      JOIN afid f ON f.user_id = e.user_id AND f.p_id = e.p_id
+      JOIN alid l ON l.user_id = e.user_id AND l.p_id = e.p_id)"""
 
-_BEHAVIOR_NULLS = """CAST(NULL AS INTEGER) AS step,
+
+_ATTR_NULLS = """CAST(NULL AS BIGINT) AS touch_id,
+           CAST(NULL AS BIGINT) AS purchase_id,
+           CAST(NULL AS BIGINT) AS n_touches,
+           CAST(NULL AS BOOLEAN) AS is_first,
+           CAST(NULL AS BOOLEAN) AS is_last,
+           CAST(NULL AS DOUBLE) AS credit"""
+
+_BEHAVIOR_NULLS = f"""CAST(NULL AS INTEGER) AS step,
            CAST(NULL AS VARCHAR) AS event_type,
            CAST(NULL AS VARCHAR) AS next_type,
            CAST(NULL AS DATE) AS cohort_week,
@@ -243,11 +293,15 @@ _BEHAVIOR_NULLS = """CAST(NULL AS INTEGER) AS step,
            CAST(NULL AS DOUBLE) AS rate,
            CAST(NULL AS BIGINT) AS latency_ms,
            CAST(NULL AS DOUBLE) AS lat_p50,
-           CAST(NULL AS DOUBLE) AS lat_p90"""
+           CAST(NULL AS DOUBLE) AS lat_p90,
+           {_ATTR_NULLS}"""
 
-_LAT_NULLS = """CAST(NULL AS BIGINT) AS latency_ms,
+_LAT_BARE_NULLS = """CAST(NULL AS BIGINT) AS latency_ms,
            CAST(NULL AS DOUBLE) AS lat_p50,
            CAST(NULL AS DOUBLE) AS lat_p90"""
+
+_LAT_NULLS = f"""{_LAT_BARE_NULLS},
+           {_ATTR_NULLS}"""
 
 _SESSION_NULLS = """CAST(NULL AS BIGINT) AS user_id,
            CAST(NULL AS INTEGER) AS session_id,
@@ -267,7 +321,7 @@ def behavior_oracle_parts() -> tuple[str, str]:
                       within_ms=FUNNEL_WINDOW_MS),
          _funnel_max_ctes(FUNNEL_STEPS, FUNNEL_WINDOW_MS),
          _RETENTION_CTES, _TRANSITION_CTES,
-         _PATH_CTES, _LATENCY_CTES]
+         _PATH_CTES, _LATENCY_CTES, _ATTR_CTES]
     )
     _BEH_BASE_NULLS = """CAST(NULL AS INTEGER) AS step,
            CAST(NULL AS VARCHAR) AS event_type,
@@ -341,7 +395,8 @@ def behavior_oracle_parts() -> tuple[str, str]:
            {_BEH_BASE_NULLS},
            latency_ms,
            CAST(NULL AS DOUBLE) AS lat_p50,
-           CAST(NULL AS DOUBLE) AS lat_p90
+           CAST(NULL AS DOUBLE) AS lat_p90,
+           {_ATTR_NULLS}
     FROM lat
     UNION ALL
     SELECT 'funnelmax' AS branch,
@@ -371,8 +426,20 @@ def behavior_oracle_parts() -> tuple[str, str]:
            CAST(NULL AS BIGINT) AS denom,
            CAST(NULL AS DOUBLE) AS rate,
            CAST(NULL AS BIGINT) AS latency_ms,
-           lat_p50, lat_p90
-    FROM latdist"""
+           lat_p50, lat_p90,
+           {_ATTR_NULLS}
+    FROM latdist
+    UNION ALL
+    SELECT 'attribution' AS branch,
+           user_id,
+           CAST(NULL AS INTEGER) AS session_id,
+           CAST(NULL AS BIGINT) AS n_events,
+           CAST(NULL AS TIMESTAMP) AS session_start,
+           CAST(NULL AS TIMESTAMP) AS session_end,
+           {_BEH_BASE_NULLS},
+           {_LAT_BARE_NULLS},
+           touch_id, purchase_id, n_touches, is_first, is_last, credit
+    FROM attrib"""
     return ctes, legs
 
 
@@ -502,9 +569,21 @@ def behavior_branches(spark, sf_dir: str, e: DataFrame) -> dict[str, DataFrame]:
     latdist = ndist.crossJoin(F.broadcast(qdist)).select(
         "users", "lat_p50", "lat_p90"
     )
+    # attribution models (operators/behavior.attribution_credit):
+    # first/last-touch flags + linear credit per (touch, conversion)
+    # pair inside the funnel's 24h window — exact integers + booleans,
+    # one IEEE division for the linear share
+    from mongo2mysql_spark.operators.behavior import attribution_credit
+
+    attr = attribution_credit(
+        e, "user_id", "event_type", "ts", "event_id",
+        "view", "purchase", within_ms=FUNNEL_WINDOW_MS,
+    ).select("user_id", "touch_id", "purchase_id", "n_touches",
+             "is_first", "is_last", "credit")
     return {
         "funnel": fun,
         "funnelwin": funwin,
+        "attribution": attr,
         "retention": ret,
         "transitions": trans,
         "paths": paths,

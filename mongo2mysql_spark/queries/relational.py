@@ -1237,7 +1237,14 @@ _BEH_CTES, _BEH_LEGS = behavior_oracle_parts()
         "the latency distribution — converter count + p50/p90 via "
         "exact_quantiles (bit-identical to the oracle's "
         "quantile_cont); 1-row × 1-row broadcast crossJoin, "
-        "allowlisted.  Every other value is integer counts, "
+        "allowlisted.  'attribution' rows: marketing-attribution "
+        "credit (operators/behavior.attribution_credit) — per (touch, "
+        "conversion) pair inside the funnel's 24h window, first-touch/"
+        "last-touch winners via the funnel's lexicographic (ts, id) "
+        "min/max discipline and linear credit = 1/n_touches (exact "
+        "integers + booleans, one IEEE division); user-keyed join + "
+        "grouped min/max/count, no windows.  Every other value is "
+        "integer counts, "
         "dates/timestamps, or one int-over-int IEEE division — no "
         "float contract beyond the quantile parity."
     ),

@@ -417,3 +417,49 @@ def test_funnel_max_level_rejects_single_step(spark):
         funnel_max_level(
             df, "user_id", "event_type", "ts", "event_id", ["a"], 1000
         )
+
+
+def test_attribution_credit_models(spark):
+    """First/last/linear attribution on a hand case: multi-touch
+    shares split 1/n, the window excludes stale touches, touches after
+    the conversion never credit, same-ts ties resolve by id (the
+    funnel's lexicographic discipline), and every conversion's linear
+    credits sum to 1."""
+    from mongo2mysql_spark.operators.behavior import attribution_credit
+
+    rows = [
+        # u1: three views then a purchase; one view is outside the 1h
+        # window, one view is AFTER the purchase
+        (1, "u1", "view", "2024-01-01 00:00:00"),   # outside window
+        (2, "u1", "view", "2024-01-01 02:30:00"),   # first in window
+        (3, "u1", "view", "2024-01-01 02:45:00"),   # last in window
+        (5, "u1", "purchase", "2024-01-01 03:00:00"),
+        (6, "u1", "view", "2024-01-01 03:30:00"),   # after conversion
+        # u2: two same-ts views -> id breaks the first/last tie
+        (7, "u2", "view", "2024-01-02 00:00:00"),
+        (8, "u2", "view", "2024-01-02 00:00:00"),
+        (9, "u2", "purchase", "2024-01-02 00:30:00"),
+        # u3: purchase with no touch -> absent
+        (10, "u3", "purchase", "2024-01-03 00:00:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id string, event_type string, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = attribution_credit(
+        df, "user_id", "event_type", "ts", "event_id",
+        "view", "purchase", within_ms=3_600_000,
+    )
+    by_touch = {(r["user_id"], r["touch_id"]): r for r in got.collect()}
+    assert set(by_touch) == {("u1", 2), ("u1", 3), ("u2", 7), ("u2", 8)}
+    assert by_touch[("u1", 2)]["is_first"] and not by_touch[("u1", 2)]["is_last"]
+    assert by_touch[("u1", 3)]["is_last"] and not by_touch[("u1", 3)]["is_first"]
+    assert by_touch[("u1", 2)]["credit"] == 0.5
+    # same-ts tie: min id is first, max id is last
+    assert by_touch[("u2", 7)]["is_first"] and not by_touch[("u2", 7)]["is_last"]
+    assert by_touch[("u2", 8)]["is_last"] and not by_touch[("u2", 8)]["is_first"]
+    # linear credits sum to 1 per conversion
+    sums = {
+        r["purchase_id"]: r["s"]
+        for r in got.groupBy("purchase_id").agg(F.sum("credit").alias("s")).collect()
+    }
+    assert sums == {5: 1.0, 9: 1.0}
