@@ -123,7 +123,8 @@ BRANCHED = {
     "text_term_frequency": ("branch", ["tf", "domains", "domainsizes",
                                        "collocations"]),
     "agg_approx_sketches": ("branch", ["bounds", "kmv", "joinest",
-                                       "histjoinest", "histstats"]),
+                                       "histjoinest", "histstats",
+                                       "joinorder"]),
     "profile_table_stats": ("branch", ["profile", "integrity", "skew",
                                        "histogram", "cms", "cmsstr",
                                        "cmsstream", "encoding", "fd",

@@ -1,0 +1,284 @@
+"""Selinger join-order enumeration costed purely from ANALYZE
+statistics — the CONSUMER of the planner-statistics readout set
+(skew profile → equi-depth histogram → selectivity estimate →
+histogram join-size estimate → persisted ANALYZE artifacts → THIS):
+given a chain of tables and their join keys, enumerate the dynamic-
+programming lattice of connected sub-plans (Selinger et al. 1979,
+the System-R algorithm every cost-based optimizer descends from) and
+pick, per subset, the cheapest split under the C_out cost model
+(cost = Σ intermediate result sizes — the standard join-ordering
+benchmark metric, Neumann & Radke ICDE 2018 use the same).
+
+Everything is EXACT integer arithmetic so the chosen plan and every
+cost hash across engines:
+
+- per-edge join-size estimates are the histjoin operator's scaled-
+  integer bucket terms (``n_a·n_b·10^6 DIV max(d_a, d_b)`` summed —
+  an order-free integer);
+- subset cardinalities compose by a CANONICAL right-extension
+  recurrence with integer floor at each step::
+
+      est(t_i..t_j) = est(t_i..t_{j-1}) · est6(e_{j-1})
+                      DIV (10^6 · rows(t_{j-1}))
+
+  (the |t_j| factor of the textbook selectivity product cancels
+  against est6's denominator) — both engines floor at the same
+  points, so the integers agree bit for bit;
+- DP: cost(single) = 0, cost(S) = min over chain cuts of
+  cost(left) + cost(right) + est(S), ties broken by the SMALLEST cut
+  index (stated as an ordered CASE chain in the restatement).
+
+The planner touches the base tables only for the bounded ANALYZE
+aggregates (≤ n_buckets rows per table side + one count per table) —
+at 100 TB those statistics are computed once by the `--analyze` pass
+and served from parquet; the DP itself is driver-side arithmetic
+over a few dozen integers, exactly where a real optimizer runs it.
+
+Chains only (the common FK-path shape; connected subsets of a chain
+are intervals, so the lattice is O(k²) with O(k) splits each).
+Bushy plans over general graphs reduce to the same recurrences with
+a subset lattice — out of scope here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_SCALE = 1_000_000
+
+
+def _edge_est6(
+    a: DataFrame, key_a: str, b: DataFrame, key_b: str, n_buckets: int
+) -> int:
+    """The edge's scaled-integer join-size estimate Σ n_a·n_b·10^6 DIV
+    max(d_a, d_b) over shared buckets — computed from the SAME
+    per-table bucket statistics ``analyze_key_stats`` persists, here
+    collected (≤ n_buckets rows per side) and folded in exact Python
+    integers.  Empty edges estimate 0."""
+    from mongo2mysql_spark.operators.histjoin import analyze_key_stats
+
+    dom = (
+        a.select(F.col(key_a).cast("long").alias("k"))
+        .unionByName(b.select(F.col(key_b).cast("long").alias("k")))
+        .agg(F.min("k").alias("lo"), F.max("k").alias("hi"))
+        .first()
+    )
+    if dom["lo"] is None:
+        return 0
+    lo, hi = int(dom["lo"]), int(dom["hi"])
+    sa = {
+        r["bucket"]: (r["n"], r["d"])
+        for r in analyze_key_stats(a, key_a, n_buckets, lo=lo, hi=hi).collect()
+    }
+    sb = {
+        r["bucket"]: (r["n"], r["d"])
+        for r in analyze_key_stats(b, key_b, n_buckets, lo=lo, hi=hi).collect()
+    }
+    total = 0
+    for bkt in set(sa) & set(sb):
+        n_a, d_a = sa[bkt]
+        n_b, d_b = sb[bkt]
+        if max(d_a, d_b) > 0:
+            total += (n_a * n_b * _SCALE) // max(d_a, d_b)
+    return total
+
+
+def chain_join_plan(
+    spark,
+    tables: list[tuple[str, DataFrame]],
+    edges: list[tuple[str, str]],
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Run the DP over ``tables`` (chain order; (short_name, df)) and
+    ``edges`` (``edges[i]`` = (key on tables[i], key on tables[i+1])).
+
+    Returns one row per composite interval subset:
+    ``(subset, plan, est_rows, best_cost, n_tables)`` where ``plan``
+    is ``"<subset>=<left>+<right>"`` for the chosen split.
+    """
+    if len(edges) != len(tables) - 1 or len(tables) < 2:
+        raise ValueError("need k tables and k-1 chain edges, k >= 2")
+    names = [n for n, _ in tables]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate table names: {names}")
+    rows = [df.count() for _, df in tables]
+    est6 = [
+        _edge_est6(tables[i][1], ka, tables[i + 1][1], kb, n_buckets)
+        for i, (ka, kb) in enumerate(edges)
+    ]
+    k = len(tables)
+
+    def label(i: int, j: int) -> str:
+        return "".join(names[i : j + 1])
+
+    est: dict[tuple[int, int], int] = {(i, i): rows[i] for i in range(k)}
+    for j in range(1, k):
+        for i in range(j - 1, -1, -1):
+            if i == j - 1:
+                est[(i, j)] = est6[i] // _SCALE
+            else:
+                est[(i, j)] = (est[(i, j - 1)] * est6[j - 1]) // (
+                    _SCALE * rows[j - 1]
+                )
+    cost: dict[tuple[int, int], int] = {(i, i): 0 for i in range(k)}
+    split: dict[tuple[int, int], int] = {}
+    for length in range(2, k + 1):
+        for i in range(0, k - length + 1):
+            j = i + length - 1
+            best, best_cut = None, None
+            for cut in range(i, j):
+                c = cost[(i, cut)] + cost[(cut + 1, j)] + est[(i, j)]
+                if best is None or c < best:  # strict: smallest cut wins ties
+                    best, best_cut = c, cut
+            cost[(i, j)] = best
+            split[(i, j)] = best_cut
+    out = []
+    for length in range(2, k + 1):
+        for i in range(0, k - length + 1):
+            j = i + length - 1
+            cut = split[(i, j)]
+            out.append(
+                (
+                    label(i, j),
+                    f"{label(i, j)}={label(i, cut)}+{label(cut + 1, j)}",
+                    est[(i, j)],
+                    cost[(i, j)],
+                    length,
+                )
+            )
+    return spark.createDataFrame(
+        out,
+        "subset string, plan string, est_rows long, best_cost long,"
+        " n_tables int",
+    )
+
+
+def chain_join_plan_sql(
+    tables: list[tuple[str, str]],
+    edges: list[tuple[str, str]],
+    n_buckets: int = 16,
+    prefix: str = "jo",
+) -> str:
+    """DuckDB restatement: per-edge shared-boundary bucket statistics
+    (the histjoin arithmetic, HUGEINT products), the same canonical
+    right-extension cardinality recurrence with ``//`` floors at the
+    same points, and the DP unrolled over the interval lattice in
+    topological order — split ties resolved by an ordered CASE chain
+    (smallest cut first).  ``tables`` is (sql_table, short_name) in
+    chain order.  Final CTE ``<prefix>plan(subset, plan, est_rows,
+    best_cost, n_tables)``."""
+    if len(edges) != len(tables) - 1 or len(tables) < 2:
+        raise ValueError("need k tables and k-1 chain edges, k >= 2")
+    x = prefix
+    names = [s for _, s in tables]
+    k = len(tables)
+    ctes = []
+    for t, s in tables:
+        ctes.append(
+            f"{x}n_{s} AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM {t})"
+        )
+    for i, (ka, kb) in enumerate(edges):
+        ta, sa = tables[i]
+        tb, sb = tables[i + 1]
+        e = f"{x}e{i}"
+        ctes.append(f"""{e}ka AS (
+      SELECT CAST({ka} AS BIGINT) AS k FROM {ta} WHERE {ka} IS NOT NULL),
+    {e}kb AS (
+      SELECT CAST({kb} AS BIGINT) AS k FROM {tb} WHERE {kb} IS NOT NULL),
+    {e}dom AS (
+      SELECT min(k) AS lo, max(k) - min(k) + 1 AS span
+      FROM (SELECT k FROM {e}ka UNION ALL SELECT k FROM {e}kb)),
+    {e}ha AS (
+      SELECT CAST((k - d.lo) * {n_buckets} // d.span AS INTEGER) AS bucket,
+             CAST(count(*) AS BIGINT) AS n_a,
+             CAST(count(DISTINCT k) AS BIGINT) AS d_a
+      FROM {e}ka CROSS JOIN {e}dom d GROUP BY 1),
+    {e}hb AS (
+      SELECT CAST((k - d.lo) * {n_buckets} // d.span AS INTEGER) AS bucket,
+             CAST(count(*) AS BIGINT) AS n_b,
+             CAST(count(DISTINCT k) AS BIGINT) AS d_b
+      FROM {e}kb CROSS JOIN {e}dom d GROUP BY 1),
+    {e}t6 AS (
+      SELECT CAST(COALESCE(SUM(
+               CASE WHEN GREATEST(d_a, d_b) > 0
+                    THEN (CAST(n_a AS HUGEINT) * n_b * {_SCALE})
+                         // GREATEST(d_a, d_b)
+                    ELSE 0 END), 0) AS HUGEINT) AS t6
+      FROM {e}ha a JOIN {e}hb b USING (bucket))""")
+
+    def lbl(i: int, j: int) -> str:
+        return "".join(names[i : j + 1])
+
+    # cardinality recurrence CTEs in topological (length) order
+    for length in range(2, k + 1):
+        for i in range(0, k - length + 1):
+            j = i + length - 1
+            if length == 2:
+                expr = f"(SELECT t6 FROM {x}e{i}t6) // {_SCALE}"
+            else:
+                expr = (
+                    f"(SELECT est FROM {x}est_{lbl(i, j - 1)})"
+                    f" * (SELECT t6 FROM {x}e{j - 1}t6)"
+                    f" // ({_SCALE} * (SELECT n FROM {x}n_{names[j - 1]}))"
+                )
+            ctes.append(
+                f"{x}est_{lbl(i, j)} AS (SELECT CAST({expr} AS HUGEINT) AS est)"
+            )
+    # DP cost CTEs; singleton costs are literal 0
+    for length in range(2, k + 1):
+        for i in range(0, k - length + 1):
+            j = i + length - 1
+            alts = []
+            for cut in range(i, j):
+                left = (
+                    "CAST(0 AS HUGEINT)"
+                    if cut == i
+                    else f"(SELECT cost FROM {x}cost_{lbl(i, cut)})"
+                )
+                right = (
+                    "CAST(0 AS HUGEINT)"
+                    if cut + 1 == j
+                    else f"(SELECT cost FROM {x}cost_{lbl(cut + 1, j)})"
+                )
+                alts.append(
+                    f"{left} + {right} + (SELECT est FROM {x}est_{lbl(i, j)})"
+                )
+            best = f"LEAST({', '.join(alts)})" if len(alts) > 1 else alts[0]
+            # smallest-cut tiebreak: ordered CASE, <= against later cuts
+            cases = []
+            for ci, cut in enumerate(range(i, j)):
+                plan = f"'{lbl(i, j)}={lbl(i, cut)}+{lbl(cut + 1, j)}'"
+                if ci == len(alts) - 1:
+                    cases.append(f"ELSE {plan}")
+                else:
+                    conds = " AND ".join(
+                        f"({alts[ci]}) <= ({alts[cj]})"
+                        for cj in range(ci + 1, len(alts))
+                    )
+                    cases.append(f"WHEN {conds} THEN {plan}")
+            plan_expr = (
+                f"CASE {' '.join(cases)} END" if len(alts) > 1
+                else f"'{lbl(i, j)}={lbl(i, i)}+{lbl(i + 1, j)}'"
+            )
+            ctes.append(
+                f"{x}cost_{lbl(i, j)} AS (SELECT CAST({best} AS HUGEINT)"
+                f" AS cost, {plan_expr} AS plan)"
+            )
+    legs = []
+    for length in range(2, k + 1):
+        for i in range(0, k - length + 1):
+            j = i + length - 1
+            s = lbl(i, j)
+            legs.append(
+                f"SELECT '{s}' AS subset,"
+                f" (SELECT plan FROM {x}cost_{s}) AS plan,"
+                f" CAST((SELECT est FROM {x}est_{s}) AS BIGINT) AS est_rows,"
+                f" CAST((SELECT cost FROM {x}cost_{s}) AS BIGINT)"
+                f" AS best_cost,"
+                f" CAST({length} AS INTEGER) AS n_tables"
+            )
+    ctes.append(
+        f"{x}plan AS (\n      " + "\n      UNION ALL ".join(legs) + ")"
+    )
+    return ",\n    ".join(ctes)

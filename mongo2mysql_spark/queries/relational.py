@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from mongo2mysql_spark.functions.scalar import davg, dmul, dsum, sql_davg, sql_dsum
 from mongo2mysql_spark.operators.histjoin import hist_join_estimate_sql
+from mongo2mysql_spark.operators.joinorder import chain_join_plan_sql
 from mongo2mysql_spark.queries import register
 from mongo2mysql_spark.sources import load_table as T
 
@@ -408,7 +409,14 @@ def _kmv_est_sql() -> str:
       SELECT CAST(count(*) AS BIGINT) AS ex
       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
     {hist_join_estimate_sql("orders", "o_custkey",
-                            "customer", "c_custkey", _HJ_BUCKETS)}
+                            "customer", "c_custkey", _HJ_BUCKETS)},
+    {chain_join_plan_sql(
+        [("customer", "c"), ("orders", "o"), ("lineitem", "l"),
+         ("part", "p")],
+        [("c_custkey", "o_custkey"), ("o_orderkey", "l_orderkey"),
+         ("l_partkey", "p_partkey")],
+        _HJ_BUCKETS,
+    )}
     SELECT 'bounds' AS branch,
            CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
            CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
@@ -467,6 +475,17 @@ def _kmv_est_sql() -> str:
            CAST(NULL AS BOOLEAN) AS kmv_in_tol,
            n_b AS kmv_sumprod
     FROM hjout
+    UNION ALL
+    SELECT 'joinorder' AS branch,
+           {_BOUNDS_NULLS},
+           plan AS setop,
+           CAST(est_rows AS DOUBLE) AS kmv_est,
+           best_cost AS kmv_cnt,
+           CAST(n_tables AS BIGINT) AS kmv_theta,
+           CAST(NULL AS BIGINT) AS kmv_exact,
+           CAST(NULL AS BOOLEAN) AS kmv_in_tol,
+           CAST(NULL AS BIGINT) AS kmv_sumprod
+    FROM joplan
     """,
     # Sketch ESTIMATES are engine-specific (HLL++/KLL internals), so the
     # raw approx values cannot cross-check against DuckDB.  The oracle
@@ -515,7 +534,17 @@ def _kmv_est_sql() -> str:
         "bucket stats over a shared declared domain, estimate computed "
         "with ZERO table contact; stats-served values hash against the "
         "identical restatement — the same-answer-different-path gate "
-        "for the optimizer-statistics state shape "
+        "for the optimizer-statistics state shape.  'joinorder' rows: "
+        "Selinger join-order enumeration (operators/joinorder.py, "
+        "System-R 1979) over the customer-orders-lineitem-part FK "
+        "chain, costed PURELY from the same ANALYZE statistics — per "
+        "interval subset the cardinality (canonical right-extension "
+        "recurrence over the scaled-integer bucket terms, floors at "
+        "identical points on both engines), the C_out cost (DP min "
+        "over chain cuts, smallest-cut tiebreak), and the chosen "
+        "split, all hashed against an unrolled interval-lattice "
+        "restatement — the statistics readouts' CONSUMER: the planner "
+        "decision itself is machine-proven engine-identical "
         "(zero table contact at estimation time — the ANALYZE-stats "
         "path).  Per-bucket terms are scaled-integer floor divisions "
         "and the total is an ORDER-FREE integer sum, so all 16 bucket "
@@ -740,6 +769,31 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("boolean").alias("kmv_in_tol"),
         F.col("n_b").alias("kmv_sumprod"),
     )
+    # 'joinorder': the Selinger DP over the customer-orders-lineitem-
+    # part FK chain, costed purely from the same ANALYZE statistics —
+    # the CONSUMER the planner readouts exist for.  Every subset's
+    # estimate, C_out cost, and chosen split hash against the unrolled
+    # interval-lattice restatement (exact integer recurrence with
+    # identical floor points on both engines).
+    from mongo2mysql_spark.operators.joinorder import chain_join_plan
+
+    part = T(spark, sf_dir, "part")
+    jp = chain_join_plan(
+        spark,
+        [("c", cust), ("o", o), ("l", li), ("p", part)],
+        [("c_custkey", "o_custkey"), ("o_orderkey", "l_orderkey"),
+         ("l_partkey", "p_partkey")],
+        n_buckets=_HJ_BUCKETS,
+    )
+    joinorder = jp.select(
+        F.col("plan").alias("setop"),
+        F.col("est_rows").cast("double").alias("kmv_est"),
+        F.col("best_cost").alias("kmv_cnt"),
+        F.col("n_tables").cast("long").alias("kmv_theta"),
+        F.lit(None).cast("long").alias("kmv_exact"),
+        F.lit(None).cast("boolean").alias("kmv_in_tol"),
+        F.lit(None).cast("long").alias("kmv_sumprod"),
+    )
     return tagged_union(
         {
             "bounds": bounds,
@@ -747,6 +801,7 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
             "joinest": joinest,
             "histjoinest": histjoinest,
             "histstats": histstats,
+            "joinorder": joinorder,
         }
     )
 

@@ -1,0 +1,99 @@
+"""Selinger join-order DP from ANALYZE statistics
+(operators/joinorder): estimate/cost/plan parity with the DuckDB
+restatement, chain semantics, and determinism."""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pytest
+
+from tests.oracle_utils import compare
+
+
+def _chain_frames(spark, tmp_path, n_a=400, n_b=2000, n_c=6000, n_d=300):
+    """A FK chain a(id) <- b(a_id, id) <- c(b_id, id) -> d(id): skewed
+    fanouts so the cheapest order is not the input order."""
+    random.seed(11)
+    a = spark.createDataFrame([(i,) for i in range(n_a)], "a_id long")
+    b = spark.createDataFrame(
+        [(i, random.randint(0, n_a - 1)) for i in range(n_b)],
+        "b_id long, a_ref long",
+    )
+    c = spark.createDataFrame(
+        [(i, random.randint(0, n_b - 1), random.randint(0, n_d - 1))
+         for i in range(n_c)],
+        "c_id long, b_ref long, d_ref long",
+    )
+    d = spark.createDataFrame([(i,) for i in range(n_d)], "d_id long")
+    paths = {}
+    for name, df in (("ta", a), ("tb", b), ("tc", c), ("td", d)):
+        p = str(tmp_path / name)
+        df.write.parquet(p)
+        paths[name] = p
+    return (a, b, c, d), paths
+
+
+def test_chain_join_plan_matches_duckdb(spark, tmp_path):
+    from mongo2mysql_spark.operators.joinorder import (
+        chain_join_plan,
+        chain_join_plan_sql,
+    )
+
+    (a, b, c, d), paths = _chain_frames(spark, tmp_path)
+    got = chain_join_plan(
+        spark,
+        [("a", a), ("b", b), ("c", c), ("d", d)],
+        [("a_id", "a_ref"), ("b_id", "b_ref"), ("d_ref", "d_id")],
+        n_buckets=8,
+    )
+    con = duckdb.connect()
+    for name, p in paths.items():
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}/*.parquet')"
+        )
+    sql = chain_join_plan_sql(
+        [("ta", "a"), ("tb", "b"), ("tc", "c"), ("td", "d")],
+        [("a_id", "a_ref"), ("b_id", "b_ref"), ("d_ref", "d_id")],
+        n_buckets=8,
+    )
+    assert not compare(got, con, f"WITH {sql} SELECT * FROM joplan")
+    rows = {r["subset"]: r for r in got.collect()}
+    # the lattice: every interval subset present, 6 composites for k=4
+    assert set(rows) == {"ab", "bc", "cd", "abc", "bcd", "abcd"}
+    # PK-FK chains: near-exact pairwise estimates (b has one a_ref per
+    # row -> |a join b| ~ |b|)
+    assert abs(rows["ab"]["est_rows"] - 2000) <= 20
+    assert abs(rows["bc"]["est_rows"] - 6000) <= 600
+    # cost model sanity: the full plan's cost >= its own est_rows and
+    # every composite's plan names a valid split of itself
+    for s, r in rows.items():
+        assert r["best_cost"] >= r["est_rows"]
+        left, right = r["plan"].split("=")[1].split("+")
+        assert left + right == s
+
+
+def test_chain_join_plan_validation_and_determinism(spark, tmp_path):
+    from mongo2mysql_spark.operators.joinorder import chain_join_plan
+
+    (a, b, c, d), _ = _chain_frames(spark, tmp_path, 50, 200, 400, 30)
+    with pytest.raises(ValueError):
+        chain_join_plan(spark, [("a", a)], [])
+    with pytest.raises(ValueError):
+        chain_join_plan(spark, [("a", a), ("a", b)], [("a_id", "a_ref")])
+    one = {
+        r["subset"]: (r["plan"], r["est_rows"], r["best_cost"])
+        for r in chain_join_plan(
+            spark, [("a", a), ("b", b), ("c", c)],
+            [("a_id", "a_ref"), ("b_id", "b_ref")], n_buckets=4,
+        ).collect()
+    }
+    two = {
+        r["subset"]: (r["plan"], r["est_rows"], r["best_cost"])
+        for r in chain_join_plan(
+            spark, [("a", a), ("b", b), ("c", c)],
+            [("a_id", "a_ref"), ("b_id", "b_ref")], n_buckets=4,
+        ).collect()
+    }
+    assert one == two and set(one) == {"ab", "bc", "abc"}
