@@ -117,6 +117,10 @@ def chain_join_plan(
         for i in range(j - 1, -1, -1):
             if i == j - 1:
                 est[(i, j)] = est6[i] // _SCALE
+            elif rows[j - 1] == 0:
+                # an empty bridge table empties every superset; the
+                # recurrence's denominator would divide by zero
+                est[(i, j)] = 0
             else:
                 est[(i, j)] = (est[(i, j - 1)] * est6[j - 1]) // (
                     _SCALE * rows[j - 1]
@@ -217,10 +221,14 @@ def chain_join_plan_sql(
             if length == 2:
                 expr = f"(SELECT t6 FROM {x}e{i}t6) // {_SCALE}"
             else:
+                # empty-bridge guard mirrors the Python recurrence
                 expr = (
-                    f"(SELECT est FROM {x}est_{lbl(i, j - 1)})"
+                    f"CASE WHEN (SELECT n FROM {x}n_{names[j - 1]}) = 0"
+                    f" THEN 0 ELSE"
+                    f" (SELECT est FROM {x}est_{lbl(i, j - 1)})"
                     f" * (SELECT t6 FROM {x}e{j - 1}t6)"
                     f" // ({_SCALE} * (SELECT n FROM {x}n_{names[j - 1]}))"
+                    f" END"
                 )
             ctes.append(
                 f"{x}est_{lbl(i, j)} AS (SELECT CAST({expr} AS HUGEINT) AS est)"

@@ -97,3 +97,40 @@ def test_chain_join_plan_validation_and_determinism(spark, tmp_path):
         ).collect()
     }
     assert one == two and set(one) == {"ab", "bc", "abc"}
+
+
+def test_chain_join_plan_empty_bridge_table(spark, tmp_path):
+    """An empty middle table zeroes every superset estimate instead of
+    dividing by zero — on BOTH engines."""
+    import duckdb as _duckdb
+
+    from mongo2mysql_spark.operators.joinorder import (
+        chain_join_plan,
+        chain_join_plan_sql,
+    )
+
+    a = spark.createDataFrame([(i,) for i in range(10)], "a_id long")
+    b = spark.createDataFrame([], "b_id long, a_ref long")
+    c = spark.createDataFrame([(i, i % 7) for i in range(30)],
+                              "c_id long, b_ref long")
+    got = chain_join_plan(
+        spark, [("a", a), ("b", b), ("c", c)],
+        [("a_id", "a_ref"), ("b_id", "b_ref")], n_buckets=4,
+    )
+    rows = {r["subset"]: r for r in got.collect()}
+    assert rows["ab"]["est_rows"] == 0 and rows["abc"]["est_rows"] == 0
+    paths = {}
+    for name, df in (("ea", a), ("eb", b), ("ec", c)):
+        p = str(tmp_path / name)
+        df.write.parquet(p)
+        paths[name] = p
+    con = _duckdb.connect()
+    for name, p in paths.items():
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}/*.parquet')"
+        )
+    sql = chain_join_plan_sql(
+        [("ea", "a"), ("eb", "b"), ("ec", "c")],
+        [("a_id", "a_ref"), ("b_id", "b_ref")], n_buckets=4,
+    )
+    assert not compare(got, con, f"WITH {sql} SELECT * FROM joplan")
