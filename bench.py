@@ -484,11 +484,21 @@ def main() -> None:
     # adaptive third sample: a slot whose two interleaved samples
     # disagree by >25% was hit by a co-tenant burst in one of them —
     # one more sample makes the min robust to a burst spanning a whole
-    # pass, at the cost of re-running only the noisy slots
+    # pass, at the cost of re-running only the noisy slots.  A FAILED
+    # third attempt must not discard the two good samples the slot
+    # already earned (the robustness pass must never reduce
+    # robustness): restore them and drop the failure record.
     for name in list(samples):
-        ss = samples[name]
+        ss = list(samples[name])
         if len(ss) == 2 and min(ss) > 0 and (max(ss) - min(ss)) / min(ss) > 0.25:
             run_once(name)
+            if name in failures:
+                print(
+                    f"bench: {name} third sample failed; keeping the two "
+                    f"good passes", file=sys.stderr,
+                )
+                failures.pop(name)
+                samples[name] = ss
     timings = {n: round(min(ss), 3) for n, ss in samples.items()}
 
     try:

@@ -62,8 +62,12 @@ def cms_bucket(key: Column, i: int, width: int) -> Column:
     BIGINT, DuckDB raises) — both fail loudly here instead of
     diverging.  String keys go through :func:`cms_fold_key` first."""
     k = key.cast("long")
+    # NULL-safe: a NULL key passes through as a NULL bucket (missing
+    # the estimate join and coalescing to 0, the pre-guard behavior) —
+    # assert_true treats a NULL condition as failure, so NULLs must be
+    # allowed explicitly or cms_estimate dies on any NULL query key
     guard = F.assert_true(
-        (k >= 0) & (k <= F.lit(CMS_KEY_MAX)),
+        k.isNull() | ((k >= 0) & (k <= F.lit(CMS_KEY_MAX))),
         F.concat(
             F.lit(f"cms key outside [0, {CMS_KEY_MAX}]: "), k.cast("string")
         ),

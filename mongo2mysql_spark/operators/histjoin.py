@@ -38,6 +38,35 @@ from pyspark.sql import functions as F
 _SCALE = 1_000_000
 
 
+def _bucket_union_est(ha: DataFrame, hb: DataFrame) -> DataFrame:
+    """The shared per-bucket estimate frame both DataFrame paths build:
+    full-outer join of (bucket, n_a, d_a) × (bucket, n_b, d_b),
+    zero-coalesced, plus the scaled-integer Selinger term ``__est6`` =
+    n_a·n_b·10^6 DIV max(d_a, d_b).  ONE implementation so the
+    on-the-fly and stats-served paths cannot drift (their cross-path
+    hash gate depends on bit-identical terms)."""
+    return (
+        ha.join(hb, "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce("n_a", F.lit(0)).alias("n_a"),
+            F.coalesce("d_a", F.lit(0)).alias("d_a"),
+            F.coalesce("n_b", F.lit(0)).alias("n_b"),
+            F.coalesce("d_b", F.lit(0)).alias("d_b"),
+        )
+        .withColumn(
+            "__est6",
+            F.when(
+                F.greatest("d_a", "d_b") > 0,
+                F.expr(
+                    f"n_a * n_b * {_SCALE}"
+                    f" DIV greatest(d_a, d_b)"
+                ),
+            ).otherwise(F.lit(0)).cast("long"),
+        )
+    )
+
+
 def hist_join_estimate(
     a: DataFrame,
     key_a: str,
@@ -91,26 +120,7 @@ def hist_join_estimate(
 
     ha = h(ka, "n_a", "d_a")
     hb = h(kb, "n_b", "d_b")
-    per = (
-        ha.join(hb, "bucket", "full_outer")
-        .select(
-            "bucket",
-            F.coalesce("n_a", F.lit(0)).alias("n_a"),
-            F.coalesce("d_a", F.lit(0)).alias("d_a"),
-            F.coalesce("n_b", F.lit(0)).alias("n_b"),
-            F.coalesce("d_b", F.lit(0)).alias("d_b"),
-        )
-        .withColumn(
-            "__est6",
-            F.when(
-                F.greatest("d_a", "d_b") > 0,
-                F.expr(
-                    f"n_a * n_b * {_SCALE}"
-                    f" DIV greatest(d_a, d_b)"
-                ),
-            ).otherwise(F.lit(0)).cast("long"),
-        )
-    )
+    per = _bucket_union_est(ha, hb)
     buckets = per.select(
         "bucket", "n_a", "d_a", "n_b", "d_b",
         (F.col("__est6").cast("double") / _SCALE).alias("est"),
@@ -168,11 +178,17 @@ def analyze_key_stats(
         raise ValueError(f"hi < lo: [{lo}, {hi}]")
     span = hi - lo + 1
     k = F.col(key_col).cast("long")
+    # bucket from the BIGINT-cast key: a 32-bit key column would wrap
+    # (key-lo)*n_buckets in int arithmetic and clamp everything into
+    # bucket 0 while the SQL restatements compute the cast correctly
     bexpr = F.greatest(
         F.lit(0),
         F.least(
             F.lit(n_buckets - 1),
-            F.expr(f"CAST(({key_col} - {lo}) * {n_buckets} DIV {span} AS INT)"),
+            F.expr(
+                f"CAST((CAST({key_col} AS BIGINT) - {lo}) * {n_buckets}"
+                f" DIV {span} AS INT)"
+            ),
         ),
     )
     return (
@@ -211,6 +227,15 @@ def hist_join_estimate_from_stats(
     """
     meta_a = stats_a.select("lo", "hi", "n_buckets").distinct().collect()
     meta_b = stats_b.select("lo", "hi", "n_buckets").distinct().collect()
+    if len(meta_a) == 0 or len(meta_b) == 0:
+        # an empty artifact (empty or all-NULL-key table) estimates 0 —
+        # the same zero-filled total row hist_join_estimate serves on
+        # the empty edge, not an error (no domain to validate)
+        spark = stats_a.sparkSession
+        return spark.createDataFrame(
+            [(-1, 0, 0, 0, 0, 0.0)],
+            "bucket int, n_a long, d_a long, n_b long, d_b long, est double",
+        )
     if len(meta_a) != 1 or len(meta_b) != 1 or tuple(meta_a[0]) != tuple(meta_b[0]):
         raise ValueError(
             f"stats domains differ or are inconsistent: "
@@ -222,26 +247,7 @@ def hist_join_estimate_from_stats(
     hb = stats_b.select(
         "bucket", F.col("n").alias("n_b"), F.col("d").alias("d_b")
     )
-    per = (
-        ha.join(hb, "bucket", "full_outer")
-        .select(
-            "bucket",
-            F.coalesce("n_a", F.lit(0)).alias("n_a"),
-            F.coalesce("d_a", F.lit(0)).alias("d_a"),
-            F.coalesce("n_b", F.lit(0)).alias("n_b"),
-            F.coalesce("d_b", F.lit(0)).alias("d_b"),
-        )
-        .withColumn(
-            "__est6",
-            F.when(
-                F.greatest("d_a", "d_b") > 0,
-                F.expr(
-                    f"n_a * n_b * {_SCALE}"
-                    f" DIV greatest(d_a, d_b)"
-                ),
-            ).otherwise(F.lit(0)).cast("long"),
-        )
-    )
+    per = _bucket_union_est(ha, hb)
     buckets = per.select(
         "bucket", "n_a", "d_a", "n_b", "d_b",
         (F.col("__est6").cast("double") / _SCALE).alias("est"),

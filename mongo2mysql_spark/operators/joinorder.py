@@ -48,6 +48,24 @@ from pyspark.sql import functions as F
 _SCALE = 1_000_000
 
 
+def _check_labels(names: list[str]) -> None:
+    """Interval labels are bare name concatenations; distinct intervals
+    must not collide (names like ['ab','c','a','bc'] would both label
+    'abc'), because the labels are CTE names in the restatement and the
+    output's subset keys."""
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate table names: {names}")
+    k = len(names)
+    labels = [
+        "".join(names[i : j + 1]) for i in range(k) for j in range(i, k)
+    ]
+    if len(set(labels)) != len(labels):
+        raise ValueError(
+            f"interval labels collide for names {names}; use short names "
+            f"whose concatenations are unambiguous"
+        )
+
+
 def _edge_est6(
     a: DataFrame, key_a: str, b: DataFrame, key_b: str, n_buckets: int
 ) -> int:
@@ -100,8 +118,7 @@ def chain_join_plan(
     if len(edges) != len(tables) - 1 or len(tables) < 2:
         raise ValueError("need k tables and k-1 chain edges, k >= 2")
     names = [n for n, _ in tables]
-    if len(set(names)) != len(names):
-        raise ValueError(f"duplicate table names: {names}")
+    _check_labels(names)
     rows = [df.count() for _, df in tables]
     est6 = [
         _edge_est6(tables[i][1], ka, tables[i + 1][1], kb, n_buckets)
@@ -176,6 +193,7 @@ def chain_join_plan_sql(
         raise ValueError("need k tables and k-1 chain edges, k >= 2")
     x = prefix
     names = [s for _, s in tables]
+    _check_labels(names)
     k = len(tables)
     ctes = []
     for t, s in tables:

@@ -753,10 +753,12 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("k").alias("lo"), F.max("k").alias("hi"))
         .first()
     )
-    sa = analyze_key_stats(o, "o_custkey", _HJ_BUCKETS,
-                           lo=int(dom["lo"]), hi=int(dom["hi"]))
-    sb = analyze_key_stats(cust, "c_custkey", _HJ_BUCKETS,
-                           lo=int(dom["lo"]), hi=int(dom["hi"]))
+    # empty-domain edge: declared domain [0, 0] still yields empty
+    # artifacts, and from_stats serves its zero-filled total row
+    d_lo = int(dom["lo"]) if dom["lo"] is not None else 0
+    d_hi = int(dom["hi"]) if dom["hi"] is not None else 0
+    sa = analyze_key_stats(o, "o_custkey", _HJ_BUCKETS, lo=d_lo, hi=d_hi)
+    sb = analyze_key_stats(cust, "c_custkey", _HJ_BUCKETS, lo=d_lo, hi=d_hi)
     hs = hist_join_estimate_from_stats(sa, sb)
     histstats = hs.select(
         F.when(F.col("bucket") == -1, F.lit("stotal"))

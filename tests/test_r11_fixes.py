@@ -292,3 +292,76 @@ def test_equi_depth_histogram_sql_unchanged_on_populated_column(spark, tmp_path)
     _duck_view(con, "t", p)
     sql = equi_depth_histogram_sql("t", "v", n_buckets=8)
     assert not compare(got, con, f"WITH {sql} SELECT * FROM hist")
+
+
+# ---------------------------------------------- self-review regressions
+
+
+def test_analyze_key_stats_int32_key_no_wrap(spark):
+    """A 32-bit key column must bucket via BIGINT arithmetic:
+    (key-lo)*n_buckets beyond 2^31 would wrap in int math and clamp
+    everything into bucket 0, silently diverging from the SQL
+    restatements."""
+    from mongo2mysql_spark.operators.histjoin import analyze_key_stats
+
+    df = spark.createDataFrame(
+        [(200_000_000,), (2_000_000_000,)], "k int"
+    )
+    rows = {r["bucket"]: r["n"] for r in analyze_key_stats(
+        df, "k", n_buckets=16, lo=0, hi=2**31 - 1
+    ).collect()}
+    # 200M*16 // 2^31 = 1;  2e9*16 // 2^31 = 14
+    assert rows == {1: 1, 14: 1}
+
+
+def test_hist_join_from_stats_empty_artifact_estimates_zero(spark):
+    """An empty ANALYZE artifact (empty/all-NULL-key table) estimates
+    0 via the zero-filled total row — the hist_join_estimate empty-edge
+    contract — instead of raising."""
+    from mongo2mysql_spark.operators.histjoin import (
+        analyze_key_stats,
+        hist_join_estimate_from_stats,
+    )
+
+    empty = spark.createDataFrame([], "k long")
+    full = spark.createDataFrame([(i,) for i in range(20)], "k long")
+    se = analyze_key_stats(empty, "k", 4, lo=0, hi=19)
+    sf_ = analyze_key_stats(full, "k", 4, lo=0, hi=19)
+    for a, b in ((se, sf_), (sf_, se), (se, se)):
+        rows = hist_join_estimate_from_stats(a, b).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert (r["bucket"], r["n_a"], r["d_a"], r["n_b"], r["d_b"],
+                r["est"]) == (-1, 0, 0, 0, 0, 0.0)
+
+
+def test_cms_estimate_null_query_key_serves_zero(spark):
+    """A NULL query key passes the domain guard (NULL-safe) and
+    estimates 0 — the pre-guard behavior, not a crash."""
+    from mongo2mysql_spark.operators.cms import cms_build, cms_estimate
+
+    df = spark.createDataFrame([(1,), (1,), (2,)], "k long")
+    grid = cms_build(df, "k", depth=2, width=32)
+    qry = spark.createDataFrame([(1,), (None,)], "k long")
+    est = {r["k"]: r["est"] for r in
+           cms_estimate(grid, qry, "k", depth=2, width=32).collect()}
+    assert est[1] == 2 and est[None] == 0
+
+
+def test_joinorder_rejects_colliding_interval_labels(spark):
+    from mongo2mysql_spark.operators.joinorder import (
+        chain_join_plan,
+        chain_join_plan_sql,
+    )
+
+    a = spark.createDataFrame([(1,)], "x long")
+    with pytest.raises(ValueError, match="collide"):
+        chain_join_plan(
+            spark, [("ab", a), ("c", a), ("a", a), ("bc", a)],
+            [("x", "x"), ("x", "x"), ("x", "x")],
+        )
+    with pytest.raises(ValueError, match="collide"):
+        chain_join_plan_sql(
+            [("t1", "ab"), ("t2", "c"), ("t3", "a"), ("t4", "bc")],
+            [("x", "x"), ("x", "x"), ("x", "x")],
+        )

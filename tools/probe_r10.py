@@ -157,8 +157,10 @@ def main() -> None:
     od10 = replicate(od1, 10, []).localCheckpoint()
     run(
         "hist_join_estimate",
-        lambda: noop(hist_join_estimate(od1, "o_custkey", cu1, "c_custkey")),
-        lambda: noop(hist_join_estimate(od10, "o_custkey", cu1, "c_custkey")),
+        lambda: noop(hist_join_estimate(od1, "o_custkey", cu1,
+                                        "c_custkey", with_exact=True)),
+        lambda: noop(hist_join_estimate(od10, "o_custkey", cu1,
+                                        "c_custkey", with_exact=True)),
     )
     run(
         "sliding_distinct_hll(24h)",
