@@ -124,7 +124,7 @@ BRANCHED = {
                                        "collocations"]),
     "agg_approx_sketches": ("branch", ["bounds", "kmv", "joinest",
                                        "histjoinest", "histstats",
-                                       "joinorder"]),
+                                       "joinorder", "starorder"]),
     "profile_table_stats": ("branch", ["profile", "integrity", "skew",
                                        "histogram", "cms", "cmsstr",
                                        "cmsstream", "encoding", "fd",

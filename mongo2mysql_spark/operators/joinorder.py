@@ -175,6 +175,204 @@ def chain_join_plan(
     )
 
 
+def star_join_plan(
+    spark,
+    fact: tuple[str, DataFrame],
+    dims: list[tuple[str, DataFrame, str, str]],
+    n_buckets: int = 16,
+) -> DataFrame:
+    """The star-schema form of the DP — the warehouse shape chain
+    plans don't cover: one fact table, k dimensions each joined to the
+    fact on its own FK (dims share no edges, so every connected subset
+    is fact + a dim subset and LEFT-DEEP enumeration is COMPLETE: any
+    connected split must peel exactly one dimension).
+
+    ``fact`` = (short_name, df); each dim = (short_name, df, fact_key,
+    dim_key).  Cardinalities compose by the canonical INPUT-ORDER fold
+    (each dim's |D| cancels against its est6 denominator, leaving
+    ``est·est6_d DIV (10^6·|fact|)`` per added dim — floors at fixed
+    points, both engines agree); cost is C_out with min-over-peeled-dim
+    and first-dim-wins ties.  The chosen order therefore surfaces the
+    classic optimizer readout: most-selective dimension first.
+
+    Returns one row per non-empty dim subset:
+    ``(subset, plan, est_rows, best_cost, n_tables)``.
+    """
+    if not dims:
+        raise ValueError("need at least one dimension")
+    fname, fdf = fact
+    names = [fname] + [d[0] for d in dims]
+    _check_labels(names)
+    rows_fact = fdf.count()
+    est6 = [
+        _edge_est6(fdf, fk, ddf, dk, n_buckets)
+        for _, ddf, fk, dk in dims
+    ]
+    k = len(dims)
+    subsets = []
+    for mask in range(1, 1 << k):
+        subsets.append(tuple(i for i in range(k) if mask & (1 << i)))
+    subsets.sort(key=lambda s: (len(s), s))
+
+    def lbl(subset: tuple[int, ...]) -> str:
+        return fname + "".join(dims[i][0] for i in subset)
+
+    est: dict[tuple[int, ...], int] = {(): rows_fact}
+    for s in subsets:
+        prev = s[:-1]
+        last = s[-1]
+        if not prev:
+            est[s] = est6[last] // _SCALE
+        elif rows_fact == 0:
+            est[s] = 0
+        else:
+            est[s] = (est[prev] * est6[last]) // (_SCALE * rows_fact)
+    cost: dict[tuple[int, ...], int] = {(): 0}
+    peel: dict[tuple[int, ...], int] = {}
+    for s in subsets:
+        best, best_d = None, None
+        for d in s:  # input order; first dim wins ties (strict <)
+            rest = tuple(i for i in s if i != d)
+            c = cost[rest] + est[s]
+            if best is None or c < best:
+                best, best_d = c, d
+        cost[s] = best
+        peel[s] = best_d
+    out = []
+    for s in subsets:
+        d = peel[s]
+        rest = tuple(i for i in s if i != d)
+        out.append(
+            (
+                lbl(s),
+                f"{lbl(s)}={lbl(rest)}+{dims[d][0]}",
+                est[s],
+                cost[s],
+                1 + len(s),
+            )
+        )
+    return spark.createDataFrame(
+        out,
+        "subset string, plan string, est_rows long, best_cost long,"
+        " n_tables int",
+    )
+
+
+def star_join_plan_sql(
+    fact: tuple[str, str],
+    dims: list[tuple[str, str, str, str]],
+    n_buckets: int = 16,
+    prefix: str = "so",
+) -> str:
+    """DuckDB restatement of :func:`star_join_plan` — same edge
+    statistics, same input-order cardinality fold, same peel-one-dim
+    DP with ordered-CASE tiebreak.  ``fact`` = (sql_table, short);
+    dims = (sql_table, short, fact_key, dim_key).  Final CTE
+    ``<prefix>plan(subset, plan, est_rows, best_cost, n_tables)``."""
+    if not dims:
+        raise ValueError("need at least one dimension")
+    x = prefix
+    ftable, fname = fact
+    names = [fname] + [d[1] for d in dims]
+    _check_labels(names)
+    k = len(dims)
+    ctes = [
+        f"{x}nf AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM {ftable})"
+    ]
+    for i, (dtable, _s, fk, dk) in enumerate(dims):
+        e = f"{x}e{i}"
+        ctes.append(f"""{e}ka AS (
+      SELECT CAST({fk} AS BIGINT) AS k FROM {ftable} WHERE {fk} IS NOT NULL),
+    {e}kb AS (
+      SELECT CAST({dk} AS BIGINT) AS k FROM {dtable} WHERE {dk} IS NOT NULL),
+    {e}dom AS (
+      SELECT min(k) AS lo, max(k) - min(k) + 1 AS span
+      FROM (SELECT k FROM {e}ka UNION ALL SELECT k FROM {e}kb)),
+    {e}ha AS (
+      SELECT CAST((k - d.lo) * {n_buckets} // d.span AS INTEGER) AS bucket,
+             CAST(count(*) AS BIGINT) AS n_a,
+             CAST(count(DISTINCT k) AS BIGINT) AS d_a
+      FROM {e}ka CROSS JOIN {e}dom d GROUP BY 1),
+    {e}hb AS (
+      SELECT CAST((k - d.lo) * {n_buckets} // d.span AS INTEGER) AS bucket,
+             CAST(count(*) AS BIGINT) AS n_b,
+             CAST(count(DISTINCT k) AS BIGINT) AS d_b
+      FROM {e}kb CROSS JOIN {e}dom d GROUP BY 1),
+    {e}t6 AS (
+      SELECT CAST(COALESCE(SUM(
+               CASE WHEN GREATEST(d_a, d_b) > 0
+                    THEN (CAST(n_a AS HUGEINT) * n_b * {_SCALE})
+                         // GREATEST(d_a, d_b)
+                    ELSE 0 END), 0) AS HUGEINT) AS t6
+      FROM {e}ha a JOIN {e}hb b USING (bucket))""")
+    subsets = []
+    for mask in range(1, 1 << k):
+        subsets.append(tuple(i for i in range(k) if mask & (1 << i)))
+    subsets.sort(key=lambda s: (len(s), s))
+
+    def lbl(subset: tuple[int, ...]) -> str:
+        return fname + "".join(dims[i][1] for i in subset)
+
+    for s in subsets:
+        prev = s[:-1]
+        last = s[-1]
+        if not prev:
+            expr = f"(SELECT t6 FROM {x}e{last}t6) // {_SCALE}"
+        else:
+            expr = (
+                f"CASE WHEN (SELECT n FROM {x}nf) = 0 THEN 0 ELSE"
+                f" (SELECT est FROM {x}est_{lbl(prev)})"
+                f" * (SELECT t6 FROM {x}e{last}t6)"
+                f" // ({_SCALE} * (SELECT n FROM {x}nf)) END"
+            )
+        ctes.append(
+            f"{x}est_{lbl(s)} AS (SELECT CAST({expr} AS HUGEINT) AS est)"
+        )
+    for s in subsets:
+        alts, plans = [], []
+        for d in s:
+            rest = tuple(i for i in s if i != d)
+            left = (
+                "CAST(0 AS HUGEINT)" if not rest
+                else f"(SELECT cost FROM {x}cost_{lbl(rest)})"
+            )
+            alts.append(f"{left} + (SELECT est FROM {x}est_{lbl(s)})")
+            plans.append(f"'{lbl(s)}={lbl(rest)}+{dims[d][1]}'")
+        best = f"LEAST({', '.join(alts)})" if len(alts) > 1 else alts[0]
+        if len(alts) == 1:
+            plan_expr = plans[0]
+        else:
+            cases = []
+            for ci in range(len(alts)):
+                if ci == len(alts) - 1:
+                    cases.append(f"ELSE {plans[ci]}")
+                else:
+                    conds = " AND ".join(
+                        f"({alts[ci]}) <= ({alts[cj]})"
+                        for cj in range(ci + 1, len(alts))
+                    )
+                    cases.append(f"WHEN {conds} THEN {plans[ci]}")
+            plan_expr = f"CASE {' '.join(cases)} END"
+        ctes.append(
+            f"{x}cost_{lbl(s)} AS (SELECT CAST({best} AS HUGEINT) AS cost,"
+            f" {plan_expr} AS plan)"
+        )
+    legs = []
+    for s in subsets:
+        sl = lbl(s)
+        legs.append(
+            f"SELECT '{sl}' AS subset,"
+            f" (SELECT plan FROM {x}cost_{sl}) AS plan,"
+            f" CAST((SELECT est FROM {x}est_{sl}) AS BIGINT) AS est_rows,"
+            f" CAST((SELECT cost FROM {x}cost_{sl}) AS BIGINT) AS best_cost,"
+            f" CAST({1 + len(s)} AS INTEGER) AS n_tables"
+        )
+    ctes.append(
+        f"{x}plan AS (\n      " + "\n      UNION ALL ".join(legs) + ")"
+    )
+    return ",\n    ".join(ctes)
+
+
 def chain_join_plan_sql(
     tables: list[tuple[str, str]],
     edges: list[tuple[str, str]],

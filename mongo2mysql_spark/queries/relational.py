@@ -28,7 +28,10 @@ from pyspark.sql import functions as F
 
 from mongo2mysql_spark.functions.scalar import davg, dmul, dsum, sql_davg, sql_dsum
 from mongo2mysql_spark.operators.histjoin import hist_join_estimate_sql
-from mongo2mysql_spark.operators.joinorder import chain_join_plan_sql
+from mongo2mysql_spark.operators.joinorder import (
+    chain_join_plan_sql,
+    star_join_plan_sql,
+)
 from mongo2mysql_spark.queries import register
 from mongo2mysql_spark.sources import load_table as T
 
@@ -416,6 +419,13 @@ def _kmv_est_sql() -> str:
         [("c_custkey", "o_custkey"), ("o_orderkey", "l_orderkey"),
          ("l_partkey", "p_partkey")],
         _HJ_BUCKETS,
+    )},
+    {star_join_plan_sql(
+        ("lineitem", "l"),
+        [("part", "p", "l_partkey", "p_partkey"),
+         ("supplier", "s", "l_suppkey", "s_suppkey"),
+         ("orders", "o", "l_orderkey", "o_orderkey")],
+        _HJ_BUCKETS,
     )}
     SELECT 'bounds' AS branch,
            CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
@@ -486,6 +496,17 @@ def _kmv_est_sql() -> str:
            CAST(NULL AS BOOLEAN) AS kmv_in_tol,
            CAST(NULL AS BIGINT) AS kmv_sumprod
     FROM joplan
+    UNION ALL
+    SELECT 'starorder' AS branch,
+           {_BOUNDS_NULLS},
+           plan AS setop,
+           CAST(est_rows AS DOUBLE) AS kmv_est,
+           best_cost AS kmv_cnt,
+           CAST(n_tables AS BIGINT) AS kmv_theta,
+           CAST(NULL AS BIGINT) AS kmv_exact,
+           CAST(NULL AS BOOLEAN) AS kmv_in_tol,
+           CAST(NULL AS BIGINT) AS kmv_sumprod
+    FROM soplan
     """,
     # Sketch ESTIMATES are engine-specific (HLL++/KLL internals), so the
     # raw approx values cannot cross-check against DuckDB.  The oracle
@@ -544,7 +565,13 @@ def _kmv_est_sql() -> str:
         "over chain cuts, smallest-cut tiebreak), and the chosen "
         "split, all hashed against an unrolled interval-lattice "
         "restatement — the statistics readouts' CONSUMER: the planner "
-        "decision itself is machine-proven engine-identical "
+        "decision itself is machine-proven engine-identical.  "
+        "'starorder' rows: the star-schema form (lineitem fact x "
+        "part/supplier/orders dims — the warehouse shape where "
+        "left-deep enumeration is COMPLETE because dims connect only "
+        "through the fact): the full dim-subset lattice's estimates, "
+        "C_out costs, and peel order hash likewise; the chosen order "
+        "surfaces most-selective-dimension-first "
         "(zero table contact at estimation time — the ANALYZE-stats "
         "path).  Per-bucket terms are scaled-integer floor divisions "
         "and the total is an ORDER-FREE integer sum, so all 16 bucket "
@@ -796,6 +823,30 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("boolean").alias("kmv_in_tol"),
         F.lit(None).cast("long").alias("kmv_sumprod"),
     )
+    # 'starorder': the star-schema DP (lineitem fact × part/supplier/
+    # orders dims) — the warehouse shape where left-deep enumeration is
+    # COMPLETE (dims connect only through the fact); the chosen order
+    # surfaces most-selective-dimension-first, and the whole dim-subset
+    # lattice hashes against the unrolled restatement
+    from mongo2mysql_spark.operators.joinorder import star_join_plan
+
+    supp = T(spark, sf_dir, "supplier")
+    sp = star_join_plan(
+        spark, ("l", li),
+        [("p", part, "l_partkey", "p_partkey"),
+         ("s", supp, "l_suppkey", "s_suppkey"),
+         ("o", o, "l_orderkey", "o_orderkey")],
+        n_buckets=_HJ_BUCKETS,
+    )
+    starorder = sp.select(
+        F.col("plan").alias("setop"),
+        F.col("est_rows").cast("double").alias("kmv_est"),
+        F.col("best_cost").alias("kmv_cnt"),
+        F.col("n_tables").cast("long").alias("kmv_theta"),
+        F.lit(None).cast("long").alias("kmv_exact"),
+        F.lit(None).cast("boolean").alias("kmv_in_tol"),
+        F.lit(None).cast("long").alias("kmv_sumprod"),
+    )
     return tagged_union(
         {
             "bounds": bounds,
@@ -804,6 +855,7 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
             "histjoinest": histjoinest,
             "histstats": histstats,
             "joinorder": joinorder,
+            "starorder": starorder,
         }
     )
 

@@ -134,3 +134,93 @@ def test_chain_join_plan_empty_bridge_table(spark, tmp_path):
         [("a_id", "a_ref"), ("b_id", "b_ref")], n_buckets=4,
     )
     assert not compare(got, con, f"WITH {sql} SELECT * FROM joplan")
+
+
+def test_star_join_plan_matches_duckdb_and_orders_selective_first(spark, tmp_path):
+    """Star DP parity with the restatement, full dim-subset lattice,
+    and the optimizer readout: the cheapest order peels the most
+    selective dimension first (its intermediate shrinks every later
+    prefix)."""
+    import duckdb as _duckdb
+
+    from mongo2mysql_spark.operators.joinorder import (
+        star_join_plan,
+        star_join_plan_sql,
+    )
+
+    random.seed(23)
+    # fact: 6000 rows; dim x selective (only 10% of fact keys match),
+    # dim y full match, dim z full match with duplicates (fan-out 2)
+    fact = spark.createDataFrame(
+        [(i, random.randint(0, 499), random.randint(0, 99),
+          random.randint(0, 49)) for i in range(6000)],
+        "f_id long, x_ref long, y_ref long, z_ref long",
+    )
+    dx = spark.createDataFrame([(i,) for i in range(50)], "x_id long")
+    dy = spark.createDataFrame([(i,) for i in range(100)], "y_id long")
+    dz = spark.createDataFrame(
+        [(i % 50,) for i in range(100)], "z_id long"
+    )
+    got = star_join_plan(
+        spark, ("f", fact),
+        [("x", dx, "x_ref", "x_id"), ("y", dy, "y_ref", "y_id"),
+         ("z", dz, "z_ref", "z_id")],
+        n_buckets=8,
+    )
+    paths = {}
+    for name, df in (("sf", fact), ("sx", dx), ("sy", dy), ("sz", dz)):
+        p = str(tmp_path / name)
+        df.write.parquet(p)
+        paths[name] = p
+    con = _duckdb.connect()
+    for name, p in paths.items():
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}/*.parquet')"
+        )
+    sql = star_join_plan_sql(
+        ("sf", "f"),
+        [("sx", "x", "x_ref", "x_id"), ("sy", "y", "y_ref", "y_id"),
+         ("sz", "z", "z_ref", "z_id")],
+        n_buckets=8,
+    )
+    assert not compare(got, con, f"WITH {sql} SELECT * FROM soplan")
+    rows = {r["subset"]: r for r in got.collect()}
+    assert set(rows) == {"fx", "fy", "fz", "fxy", "fxz", "fyz", "fxyz"}
+    # selectivity sanity: joining x keeps ~10% of fact rows, y ~100%,
+    # z ~200% (fan-out 2)
+    assert rows["fx"]["est_rows"] < 0.25 * 6000
+    assert 0.7 * 6000 < rows["fy"]["est_rows"] < 1.3 * 6000
+    assert rows["fz"]["est_rows"] > 1.5 * 6000
+    # the full plan's FIRST join is the selective dim: peeling order
+    # (read bottom-up) must end at fx — i.e. cost(fxyz) was built on a
+    # prefix chain whose 2-subset is fx
+    chain = "fxyz"
+    seen = []
+    while chain != "f":
+        plan = rows[chain]["plan"] if chain in rows else None
+        left = plan.split("=")[1].split("+")[0]
+        seen.append(chain)
+        chain = left
+    assert seen[-1] == "fx"
+    # per-subset cost >= est and plans split validly
+    for s, r in rows.items():
+        assert r["best_cost"] >= r["est_rows"]
+        left, d = r["plan"].split("=")[1].split("+")
+        assert set(left + d) == set(s) and len(left + d) == len(s)
+
+
+def test_star_join_plan_validation(spark):
+    from mongo2mysql_spark.operators.joinorder import (
+        star_join_plan,
+        star_join_plan_sql,
+    )
+
+    a = spark.createDataFrame([(1,)], "x long")
+    with pytest.raises(ValueError):
+        star_join_plan(spark, ("f", a), [])
+    with pytest.raises(ValueError, match="collide"):
+        star_join_plan_sql(
+            ("t", "f"),
+            [("t1", "ab", "x", "x"), ("t2", "c", "x", "x"),
+             ("t3", "a", "x", "x"), ("t4", "bc", "x", "x")],
+        )
