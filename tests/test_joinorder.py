@@ -224,3 +224,32 @@ def test_star_join_plan_validation(spark):
             [("t1", "ab", "x", "x"), ("t2", "c", "x", "x"),
              ("t3", "a", "x", "x"), ("t4", "bc", "x", "x")],
         )
+
+
+def test_chain_estimates_track_true_multiway_join_sizes(spark, tmp_path):
+    """The composed (floored) multi-way estimates stay within a small
+    factor of the TRUE join counts on FK-shaped data — the property
+    that makes the DP's plan choice meaningful, not just portable."""
+    from mongo2mysql_spark.operators.joinorder import chain_join_plan
+
+    (a, b, c, d), _ = _chain_frames(spark, tmp_path)
+    rows = {
+        r["subset"]: r["est_rows"]
+        for r in chain_join_plan(
+            spark,
+            [("a", a), ("b", b), ("c", c), ("d", d)],
+            [("a_id", "a_ref"), ("b_id", "b_ref"), ("d_ref", "d_id")],
+            n_buckets=8,
+        ).collect()
+    }
+    ab = a.join(b, a["a_id"] == b["a_ref"])
+    abc = ab.join(c, b["b_id"] == c["b_ref"])
+    abcd = abc.join(d, c["d_ref"] == d["d_id"])
+    for subset, true_n in (
+        ("abc", abc.count()),
+        ("abcd", abcd.count()),
+    ):
+        est = rows[subset]
+        assert true_n > 0
+        # FK chains with mild skew: composed estimate within 2x
+        assert 0.5 <= est / true_n <= 2.0, (subset, est, true_n)
