@@ -202,6 +202,21 @@ def main() -> None:
         )
         record({"family": "mad_quantiles", "scale": scale,
                 "rows_in": 100_000 * scale, **m})
+        # --- attribution credit (r11): user-keyed touch x conversion
+        # join — replication multiplies USERS (ids offset), so per-user
+        # activity stays fixed and the join should scale linearly
+        from mongo2mysql_spark.operators.behavior import attribution_credit
+
+        eva = replicate(ev, ["event_id", "user_id"], scale)
+        m = measure(
+            spark, f"attribution@{scale}",
+            lambda e=eva: attribution_credit(
+                e, "user_id", "event_type", "ts", "event_id",
+                "view", "purchase", within_ms=86_400_000,
+            ).count(),
+        )
+        record({"family": "attribution", "scale": scale,
+                "rows_in": 100_000 * scale, **m})
         spark.catalog.clearCache()
 
     # markdown table for COVERAGE.md
