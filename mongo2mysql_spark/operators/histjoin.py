@@ -178,18 +178,21 @@ def analyze_key_stats(
         raise ValueError(f"hi < lo: [{lo}, {hi}]")
     span = hi - lo + 1
     k = F.col(key_col).cast("long")
-    # bucket from the BIGINT-cast key: a 32-bit key column would wrap
-    # (key-lo)*n_buckets in int arithmetic and clamp everything into
-    # bucket 0 while the SQL restatements compute the cast correctly
-    bexpr = F.greatest(
-        F.lit(0),
-        F.least(
-            F.lit(n_buckets - 1),
-            F.expr(
-                f"CAST((CAST({key_col} AS BIGINT) - {lo}) * {n_buckets}"
-                f" DIV {span} AS INT)"
-            ),
-        ),
+    # Clamp the KEY into [lo, hi] BEFORE the multiply, then bucket: a
+    # key far outside the declared domain would overflow (k-lo)*
+    # n_buckets in BIGINT — Spark wraps silently and the old
+    # bucket-level clamp then landed e.g. a huge positive key (wrapped
+    # negative) in bucket 0 instead of n_buckets-1, quietly skewing the
+    # persisted stats (and ANSI/DuckDB would raise on the same
+    # expression).  With the key clamped first the product is bounded
+    # by span*n_buckets, and the result is identical for in-domain
+    # keys (the clamp is the identity there).  Out-of-domain keys
+    # still land in the edge buckets — the open-ended first/last
+    # ranges of the read planner's contract.
+    bexpr = F.expr(
+        f"CAST((GREATEST(CAST({lo} AS BIGINT), LEAST(CAST({hi} AS BIGINT),"
+        f" CAST({key_col} AS BIGINT))) - {lo}) * {n_buckets}"
+        f" DIV {span} AS INT)"
     )
     return (
         df.filter(k.isNotNull())
@@ -227,15 +230,33 @@ def hist_join_estimate_from_stats(
     """
     meta_a = stats_a.select("lo", "hi", "n_buckets").distinct().collect()
     meta_b = stats_b.select("lo", "hi", "n_buckets").distinct().collect()
-    if len(meta_a) == 0 or len(meta_b) == 0:
-        # an empty artifact (empty or all-NULL-key table) estimates 0 —
-        # the same zero-filled total row hist_join_estimate serves on
-        # the empty edge, not an error (no domain to validate)
+    if len(meta_a) == 0 and len(meta_b) == 0:
+        # BOTH artifacts empty (empty or all-NULL-key tables): estimate
+        # 0 — the same zero-filled total row hist_join_estimate serves
+        # on the empty edge, not an error (no domain to validate)
         spark = stats_a.sparkSession
         return spark.createDataFrame(
             [(-1, 0, 0, 0, 0, 0.0)],
             "bucket int, n_a long, d_a long, n_b long, d_b long, est double",
         )
+    if len(meta_a) == 0 or len(meta_b) == 0:
+        # exactly ONE empty artifact: the on-the-fly estimator still
+        # emits the non-empty side's per-bucket n/d rows (its zero-row
+        # edge needs BOTH sides empty), so the stats-served path must
+        # too — an empty-SIDE stats frame over the other side's
+        # declared domain runs the normal full-outer path below, and
+        # the output matches hist_join_estimate(with_exact=False)
+        # bucket for bucket (every est is 0, counts survive)
+        nonempty, meta = (
+            (stats_b, meta_b) if len(meta_a) == 0 else (stats_a, meta_a)
+        )
+        synth = nonempty.sparkSession.createDataFrame(
+            [], "bucket int, n long, d long, lo long, hi long, n_buckets int"
+        )
+        if len(meta_a) == 0:
+            stats_a, meta_a = synth, meta
+        else:
+            stats_b, meta_b = synth, meta
     if len(meta_a) != 1 or len(meta_b) != 1 or tuple(meta_a[0]) != tuple(meta_b[0]):
         raise ValueError(
             f"stats domains differ or are inconsistent: "

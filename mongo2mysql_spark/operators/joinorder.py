@@ -66,6 +66,32 @@ def _check_labels(names: list[str]) -> None:
         )
 
 
+def _check_star_labels(fname: str, dim_names: list[str]) -> None:
+    """The star form labels ARBITRARY dim subsets (fname + input-order
+    concatenation over each mask), not just contiguous intervals, so
+    the interval check misses non-contiguous collisions (e.g. dims
+    ['a','zz','b','ab']: subsets {a,b} and {ab} both label 'fab') —
+    which would duplicate subset keys in the Spark output and CTE
+    names (a hard binder error) in the SQL restatement.  Enumerate
+    every subset label and reject duplicates."""
+    names = [fname] + dim_names
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate table names: {names}")
+    k = len(dim_names)
+    if k > 16:
+        raise ValueError(f"too many dimensions for subset enumeration: {k}")
+    labels = [
+        fname
+        + "".join(dim_names[i] for i in range(k) if mask & (1 << i))
+        for mask in range(1, 1 << k)
+    ]
+    if len(set(labels)) != len(labels):
+        raise ValueError(
+            f"star subset labels collide for dims {dim_names}; use short "
+            f"names whose subset concatenations are unambiguous"
+        )
+
+
 def _edge_est6(
     a: DataFrame, key_a: str, b: DataFrame, key_b: str, n_buckets: int
 ) -> int:
@@ -201,8 +227,7 @@ def star_join_plan(
     if not dims:
         raise ValueError("need at least one dimension")
     fname, fdf = fact
-    names = [fname] + [d[0] for d in dims]
-    _check_labels(names)
+    _check_star_labels(fname, [d[0] for d in dims])
     rows_fact = fdf.count()
     est6 = [
         _edge_est6(fdf, fk, ddf, dk, n_buckets)
@@ -273,8 +298,7 @@ def star_join_plan_sql(
         raise ValueError("need at least one dimension")
     x = prefix
     ftable, fname = fact
-    names = [fname] + [d[1] for d in dims]
-    _check_labels(names)
+    _check_star_labels(fname, [d[1] for d in dims])
     k = len(dims)
     ctes = [
         f"{x}nf AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM {ftable})"

@@ -235,8 +235,11 @@ _LATENCY_CTES = """lv1 AS (
 # Attribution models (operators/behavior.attribution_credit): per
 # (touch, conversion) pair within the window, first/last flags via the
 # funnel's two-phase lexicographic min/max restatement, linear credit
-# one IEEE division.  Window bound shared with the funnel (24h).
-_ATTR_CTES = """atch AS (
+# one IEEE division.  Window bound shared with the funnel — the SAME
+# FUNNEL_WINDOW_MS constant the Spark branch passes is interpolated
+# here (a hardcoded 86400000 would silently desync the restatement
+# from the branch if the constant ever changed).
+_ATTR_CTES = f"""atch AS (
       SELECT user_id, ts, event_id FROM events
       WHERE event_type = 'view'),
     acnv AS (
@@ -247,7 +250,7 @@ _ATTR_CTES = """atch AS (
       FROM atch t JOIN acnv c ON c.user_id = t.user_id
       WHERE (t.ts, t.event_id) < (c.p_ts, c.p_id)
         AND epoch_ms(CAST(c.p_ts AS TIMESTAMP))
-            - epoch_ms(CAST(t.ts AS TIMESTAMP)) <= 86400000),
+            - epoch_ms(CAST(t.ts AS TIMESTAMP)) <= {FUNNEL_WINDOW_MS}),
     asts AS (
       SELECT user_id, p_id, CAST(count(*) AS BIGINT) AS n_touches,
              min(ts) AS f_ts, max(ts) AS l_ts

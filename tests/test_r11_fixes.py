@@ -315,9 +315,12 @@ def test_analyze_key_stats_int32_key_no_wrap(spark):
 
 
 def test_hist_join_from_stats_empty_artifact_estimates_zero(spark):
-    """An empty ANALYZE artifact (empty/all-NULL-key table) estimates
-    0 via the zero-filled total row — the hist_join_estimate empty-edge
-    contract — instead of raising."""
+    """Empty ANALYZE artifacts (empty/all-NULL-key tables) estimate 0
+    instead of raising.  BOTH empty → the single zero-filled total row
+    (the hist_join_estimate empty-edge contract); exactly ONE empty →
+    the non-empty side's per-bucket n/d rows with est 0 (matching the
+    on-the-fly estimator, whose zero-row edge needs both sides empty —
+    the r11 ADVICE fix, pinned end-to-end in test_r12_fixes)."""
     from mongo2mysql_spark.operators.histjoin import (
         analyze_key_stats,
         hist_join_estimate_from_stats,
@@ -327,12 +330,17 @@ def test_hist_join_from_stats_empty_artifact_estimates_zero(spark):
     full = spark.createDataFrame([(i,) for i in range(20)], "k long")
     se = analyze_key_stats(empty, "k", 4, lo=0, hi=19)
     sf_ = analyze_key_stats(full, "k", 4, lo=0, hi=19)
-    for a, b in ((se, sf_), (sf_, se), (se, se)):
-        rows = hist_join_estimate_from_stats(a, b).collect()
-        assert len(rows) == 1
-        r = rows[0]
-        assert (r["bucket"], r["n_a"], r["d_a"], r["n_b"], r["d_b"],
-                r["est"]) == (-1, 0, 0, 0, 0, 0.0)
+    rows = hist_join_estimate_from_stats(se, se).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["bucket"], r["n_a"], r["d_a"], r["n_b"], r["d_b"],
+            r["est"]) == (-1, 0, 0, 0, 0, 0.0)
+    for a, b, n_col in ((se, sf_, "n_b"), (sf_, se, "n_a")):
+        got = {r["bucket"]: r for r in
+               hist_join_estimate_from_stats(a, b).collect()}
+        assert set(got) == {-1, 0, 1, 2, 3}  # 4 buckets + total
+        assert all(r["est"] == 0.0 for r in got.values())
+        assert got[-1][n_col] == 20
 
 
 def test_cms_estimate_null_query_key_serves_zero(spark):
