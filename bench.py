@@ -124,7 +124,8 @@ BRANCHED = {
                                        "collocations"]),
     "agg_approx_sketches": ("branch", ["bounds", "kmv", "joinest",
                                        "histjoinest", "histstats",
-                                       "joinorder", "starorder"]),
+                                       "joinorder", "starorder",
+                                       "joinexec"]),
     "profile_table_stats": ("branch", ["profile", "integrity", "skew",
                                        "histogram", "cms", "cmsstr",
                                        "cmsstream", "encoding", "fd",

@@ -1,0 +1,141 @@
+"""EXECUTE the DP-chosen join order — the physical consumer that turns
+six rounds of optimizer-statistics readouts (skew profile → histogram
+→ selectivity → histogram join estimate → ANALYZE artifacts → the
+Selinger chain/star DPs, operators/joinorder.py) into an optimizer
+that ACTS: the multi-way join is BUILT in the order the DP chose, and
+every broadcast decision derives from the DP's cardinality estimates
+instead of Spark's file-size `autoBroadcastJoinThreshold` guess
+(estimates survive filters and joins; file sizes don't).
+
+Why this matters on Spark: Catalyst does NOT reorder joins unless CBO
+join-reorder is enabled (off by default, and its ANALYZE stats live in
+a metastore this engine doesn't require), so the DataFrame join order
+a caller declares IS the physical order — which makes "execute the
+plan the DP chose" a pure plan-construction exercise: fold the chosen
+split/peel structure into `.join()` calls and attach `F.broadcast`
+hints where the ESTIMATED build side fits.  AQE can still improve the
+residue at runtime (skew splits, local shuffle readers); what it
+cannot do is un-pick a bad join order — exactly the decision the DP
+owns (Selinger et al. 1979; cost model C_out as in Neumann & Radke,
+ICDE 2018).
+
+Extension layer: the 556-LoC reference ETL (`src/Porter.php`) has no
+join surface at all; this is the §2-Part-B/north-star engine work.
+
+Scale shape: the executor adds ZERO jobs of its own — the statistics
+were collected by the ANALYZE pass (bounded aggregates), the DP is
+driver-side integer arithmetic, and the output is one declarative
+plan.  Broadcast hints cut the k-1 shuffles of a left-deep chain down
+to shuffles on only the genuinely-large sides; at 100 TB the
+difference between fact-first and dim-first orders is the difference
+between shuffling the fact table once and shuffling it k-1 times.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Estimated build-side rows below which the side is broadcast.  ~1e5
+# rows of typical dimension width is ~10 MB — Spark's own default
+# autoBroadcastJoinThreshold operating point, but decided from the
+# DP's row ESTIMATES rather than on-disk file sizes.
+BROADCAST_ROWS = 100_000
+
+
+def chain_plan_tree(
+    names: list[str], split: dict[tuple[int, int], int]
+) -> tuple:
+    """The chosen join TREE as nested (left, right) tuples of table
+    names — what tests assert the physical plan against, and the
+    human-readable readout of the executed structure."""
+
+    def build(i: int, j: int):
+        if i == j:
+            return names[i]
+        cut = split[(i, j)]
+        return (build(i, cut), build(cut + 1, j))
+
+    return build(0, len(names) - 1)
+
+
+def execute_chain_plan(
+    tables: list[tuple[str, DataFrame]],
+    edges: list[tuple[str, str]],
+    est: dict[tuple[int, int], int],
+    split: dict[tuple[int, int], int],
+    broadcast_rows: int = BROADCAST_ROWS,
+) -> DataFrame:
+    """Build the chain join following the DP's chosen splits.
+
+    ``est``/``split`` are :func:`joinorder.chain_plan_dp` output — the
+    SAME integers the hashed 'joinorder' plan rows state, so the
+    executed structure is the proven-engine-identical decision, not a
+    re-derivation.  At each composite join the smaller ESTIMATED side
+    is broadcast when it fits ``broadcast_rows`` (ties prefer the
+    right/build side, the conventional hash-join build arm).
+
+    Joining interval [i..cut] with [cut+1..j] uses edge ``cut`` — the
+    one chain edge that crosses the split (interval connectivity
+    guarantees it exists and is unique).
+    """
+    if len(edges) != len(tables) - 1 or len(tables) < 2:
+        raise ValueError("need k tables and k-1 chain edges, k >= 2")
+
+    def build(i: int, j: int) -> DataFrame:
+        if i == j:
+            return tables[i][1]
+        cut = split[(i, j)]
+        left = build(i, cut)
+        right = build(cut + 1, j)
+        ka, kb = edges[cut]
+        le, re_ = est[(i, cut)], est[(cut + 1, j)]
+        if re_ <= broadcast_rows and re_ <= le:
+            right = F.broadcast(right)
+        elif le <= broadcast_rows:
+            left = F.broadcast(left)
+        return left.join(right, F.col(ka) == F.col(kb))
+
+    return build(0, len(tables) - 1)
+
+
+def star_peel_sequence(
+    k: int, peel: dict[tuple[int, ...], int]
+) -> list[int]:
+    """Unroll the star DP's peel map into the dim JOIN order (first
+    joined → last joined): ``peel[s]`` is the dim joined LAST within
+    subset ``s``, so walking full-set → empty and reversing yields the
+    left-deep build order (most-selective dimension first under the
+    C_out model)."""
+    seq: list[int] = []
+    s = tuple(range(k))
+    while s:
+        d = peel[s]
+        seq.append(d)
+        s = tuple(i for i in s if i != d)
+    seq.reverse()
+    return seq
+
+
+def execute_star_plan(
+    fact: tuple[str, DataFrame],
+    dims: list[tuple[str, DataFrame, str, str]],
+    peel: dict[tuple[int, ...], int],
+    dim_rows: list[int] | None = None,
+    broadcast_rows: int = BROADCAST_ROWS,
+) -> DataFrame:
+    """Build the left-deep star join in the DP's peel order (fact
+    first, then each dimension in :func:`star_peel_sequence` order —
+    the q5-shaped warehouse plan).  Each dimension is broadcast when
+    its cardinality fits ``broadcast_rows``; ``dim_rows`` supplies the
+    counts (the ANALYZE pass already knows them — pass them to keep
+    the executor job-free; None falls back to counting).
+    """
+    if dim_rows is None:
+        dim_rows = [ddf.count() for _, ddf, _fk, _dk in dims]
+    out = fact[1]
+    for d in star_peel_sequence(len(dims), peel):
+        _name, ddf, fk, dk = dims[d]
+        side = F.broadcast(ddf) if dim_rows[d] <= broadcast_rows else ddf
+        out = out.join(side, F.col(fk) == F.col(dk))
+    return out

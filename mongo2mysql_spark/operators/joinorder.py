@@ -128,33 +128,21 @@ def _edge_est6(
     return total
 
 
-def chain_join_plan(
-    spark,
-    tables: list[tuple[str, DataFrame]],
-    edges: list[tuple[str, str]],
-    n_buckets: int = 16,
-) -> DataFrame:
-    """Run the DP over ``tables`` (chain order; (short_name, df)) and
-    ``edges`` (``edges[i]`` = (key on tables[i], key on tables[i+1])).
+def chain_plan_dp(
+    rows: list[int], est6: list[int]
+) -> tuple[
+    dict[tuple[int, int], int],
+    dict[tuple[int, int], int],
+    dict[tuple[int, int], int],
+]:
+    """The pure-integer chain DP over precomputed statistics — the
+    arithmetic heart of :func:`chain_join_plan`, exposed so the
+    EXECUTOR (operators/joinexec.py) consumes the identical (est,
+    cost, split) the hashed plan rows state.  ``rows[i]`` is table i's
+    cardinality; ``est6[i]`` is edge i's scaled-integer estimate.
 
-    Returns one row per composite interval subset:
-    ``(subset, plan, est_rows, best_cost, n_tables)`` where ``plan``
-    is ``"<subset>=<left>+<right>"`` for the chosen split.
-    """
-    if len(edges) != len(tables) - 1 or len(tables) < 2:
-        raise ValueError("need k tables and k-1 chain edges, k >= 2")
-    names = [n for n, _ in tables]
-    _check_labels(names)
-    rows = [df.count() for _, df in tables]
-    est6 = [
-        _edge_est6(tables[i][1], ka, tables[i + 1][1], kb, n_buckets)
-        for i, (ka, kb) in enumerate(edges)
-    ]
-    k = len(tables)
-
-    def label(i: int, j: int) -> str:
-        return "".join(names[i : j + 1])
-
+    Returns ``(est, cost, split)`` keyed by interval (i, j)."""
+    k = len(rows)
     est: dict[tuple[int, int], int] = {(i, i): rows[i] for i in range(k)}
     for j in range(1, k):
         for i in range(j - 1, -1, -1):
@@ -180,6 +168,57 @@ def chain_join_plan(
                     best, best_cut = c, cut
             cost[(i, j)] = best
             split[(i, j)] = best_cut
+    return est, cost, split
+
+
+def chain_join_stats(
+    tables: list[tuple[str, DataFrame]],
+    edges: list[tuple[str, str]],
+    n_buckets: int = 16,
+    edge_est6=None,
+) -> tuple[list[int], list[int]]:
+    """Collect the (rows, est6) statistics the chain DP runs on — one
+    count per table plus one :func:`_edge_est6` per edge.  ``edge_est6``
+    optionally overrides the estimator (e.g. a memoizing wrapper so a
+    slot computing several plans over shared edges pays each edge
+    once)."""
+    fn = edge_est6 or _edge_est6
+    rows = [df.count() for _, df in tables]
+    est6 = [
+        fn(tables[i][1], ka, tables[i + 1][1], kb, n_buckets)
+        for i, (ka, kb) in enumerate(edges)
+    ]
+    return rows, est6
+
+
+def chain_join_plan(
+    spark,
+    tables: list[tuple[str, DataFrame]],
+    edges: list[tuple[str, str]],
+    n_buckets: int = 16,
+    stats: tuple[list[int], list[int]] | None = None,
+) -> DataFrame:
+    """Run the DP over ``tables`` (chain order; (short_name, df)) and
+    ``edges`` (``edges[i]`` = (key on tables[i], key on tables[i+1])).
+
+    Returns one row per composite interval subset:
+    ``(subset, plan, est_rows, best_cost, n_tables)`` where ``plan``
+    is ``"<subset>=<left>+<right>"`` for the chosen split.
+    ``stats`` optionally supplies precomputed (rows, est6) from
+    :func:`chain_join_stats` so a caller that also EXECUTES the plan
+    derives both from one statistics pass.
+    """
+    if len(edges) != len(tables) - 1 or len(tables) < 2:
+        raise ValueError("need k tables and k-1 chain edges, k >= 2")
+    names = [n for n, _ in tables]
+    _check_labels(names)
+    rows, est6 = stats or chain_join_stats(tables, edges, n_buckets)
+    k = len(tables)
+
+    def label(i: int, j: int) -> str:
+        return "".join(names[i : j + 1])
+
+    est, cost, split = chain_plan_dp(rows, est6)
     out = []
     for length in range(2, k + 1):
         for i in range(0, k - length + 1):
@@ -201,47 +240,31 @@ def chain_join_plan(
     )
 
 
-def star_join_plan(
-    spark,
-    fact: tuple[str, DataFrame],
-    dims: list[tuple[str, DataFrame, str, str]],
-    n_buckets: int = 16,
-) -> DataFrame:
-    """The star-schema form of the DP — the warehouse shape chain
-    plans don't cover: one fact table, k dimensions each joined to the
-    fact on its own FK (dims share no edges, so every connected subset
-    is fact + a dim subset and LEFT-DEEP enumeration is COMPLETE: any
-    connected split must peel exactly one dimension).
-
-    ``fact`` = (short_name, df); each dim = (short_name, df, fact_key,
-    dim_key).  Cardinalities compose by the canonical INPUT-ORDER fold
-    (each dim's |D| cancels against its est6 denominator, leaving
-    ``est·est6_d DIV (10^6·|fact|)`` per added dim — floors at fixed
-    points, both engines agree); cost is C_out with min-over-peeled-dim
-    and first-dim-wins ties.  The chosen order therefore surfaces the
-    classic optimizer readout: most-selective dimension first.
-
-    Returns one row per non-empty dim subset:
-    ``(subset, plan, est_rows, best_cost, n_tables)``.
-    """
-    if not dims:
-        raise ValueError("need at least one dimension")
-    fname, fdf = fact
-    _check_star_labels(fname, [d[0] for d in dims])
-    rows_fact = fdf.count()
-    est6 = [
-        _edge_est6(fdf, fk, ddf, dk, n_buckets)
-        for _, ddf, fk, dk in dims
-    ]
-    k = len(dims)
+def star_subsets(k: int) -> list[tuple[int, ...]]:
+    """Every non-empty dim subset in (size, lexicographic) order — the
+    shared enumeration order of the Spark planner, the SQL generator,
+    and the executor."""
     subsets = []
     for mask in range(1, 1 << k):
         subsets.append(tuple(i for i in range(k) if mask & (1 << i)))
     subsets.sort(key=lambda s: (len(s), s))
+    return subsets
 
-    def lbl(subset: tuple[int, ...]) -> str:
-        return fname + "".join(dims[i][0] for i in subset)
 
+def star_plan_dp(
+    rows_fact: int, est6: list[int]
+) -> tuple[
+    dict[tuple[int, ...], int],
+    dict[tuple[int, ...], int],
+    dict[tuple[int, ...], int],
+]:
+    """The pure-integer star DP over precomputed statistics (the
+    executor-shared heart of :func:`star_join_plan`, like
+    :func:`chain_plan_dp` for chains).  Returns ``(est, cost, peel)``
+    keyed by dim-index subset; ``peel[s]`` is the dim joined LAST in
+    subset ``s``'s cheapest left-deep plan."""
+    k = len(est6)
+    subsets = star_subsets(k)
     est: dict[tuple[int, ...], int] = {(): rows_fact}
     for s in subsets:
         prev = s[:-1]
@@ -263,6 +286,60 @@ def star_join_plan(
                 best, best_d = c, d
         cost[s] = best
         peel[s] = best_d
+    return est, cost, peel
+
+
+def star_join_stats(
+    fact: tuple[str, DataFrame],
+    dims: list[tuple[str, DataFrame, str, str]],
+    n_buckets: int = 16,
+    edge_est6=None,
+) -> tuple[int, list[int]]:
+    """(fact rows, per-dim est6) for the star DP; ``edge_est6``
+    optionally overrides the estimator (memoizing wrapper)."""
+    fn = edge_est6 or _edge_est6
+    return (
+        fact[1].count(),
+        [fn(fact[1], fk, ddf, dk, n_buckets) for _, ddf, fk, dk in dims],
+    )
+
+
+def star_join_plan(
+    spark,
+    fact: tuple[str, DataFrame],
+    dims: list[tuple[str, DataFrame, str, str]],
+    n_buckets: int = 16,
+    stats: tuple[int, list[int]] | None = None,
+) -> DataFrame:
+    """The star-schema form of the DP — the warehouse shape chain
+    plans don't cover: one fact table, k dimensions each joined to the
+    fact on its own FK (dims share no edges, so every connected subset
+    is fact + a dim subset and LEFT-DEEP enumeration is COMPLETE: any
+    connected split must peel exactly one dimension).
+
+    ``fact`` = (short_name, df); each dim = (short_name, df, fact_key,
+    dim_key).  Cardinalities compose by the canonical INPUT-ORDER fold
+    (each dim's |D| cancels against its est6 denominator, leaving
+    ``est·est6_d DIV (10^6·|fact|)`` per added dim — floors at fixed
+    points, both engines agree); cost is C_out with min-over-peeled-dim
+    and first-dim-wins ties.  The chosen order therefore surfaces the
+    classic optimizer readout: most-selective dimension first.
+
+    Returns one row per non-empty dim subset:
+    ``(subset, plan, est_rows, best_cost, n_tables)``.
+    """
+    if not dims:
+        raise ValueError("need at least one dimension")
+    fname, _fdf = fact
+    _check_star_labels(fname, [d[0] for d in dims])
+    rows_fact, est6 = stats or star_join_stats(fact, dims, n_buckets)
+    k = len(dims)
+    subsets = star_subsets(k)
+
+    def lbl(subset: tuple[int, ...]) -> str:
+        return fname + "".join(dims[i][0] for i in subset)
+
+    est, cost, peel = star_plan_dp(rows_fact, est6)
     out = []
     for s in subsets:
         d = peel[s]
@@ -329,10 +406,7 @@ def star_join_plan_sql(
                          // GREATEST(d_a, d_b)
                     ELSE 0 END), 0) AS HUGEINT) AS t6
       FROM {e}ha a JOIN {e}hb b USING (bucket))""")
-    subsets = []
-    for mask in range(1, 1 << k):
-        subsets.append(tuple(i for i in range(k) if mask & (1 << i)))
-    subsets.sort(key=lambda s: (len(s), s))
+    subsets = star_subsets(k)
 
     def lbl(subset: tuple[int, ...]) -> str:
         return fname + "".join(dims[i][1] for i in subset)

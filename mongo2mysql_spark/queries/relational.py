@@ -507,6 +507,32 @@ def _kmv_est_sql() -> str:
            CAST(NULL AS BOOLEAN) AS kmv_in_tol,
            CAST(NULL AS BIGINT) AS kmv_sumprod
     FROM soplan
+    UNION ALL
+    SELECT 'joinexec' AS branch,
+           {_BOUNDS_NULLS},
+           'x' || l_returnflag AS setop,
+           {sql_dsum('l_extendedprice')} AS kmv_est,
+           CAST(count(*) AS BIGINT) AS kmv_cnt,
+           CAST(NULL AS BIGINT) AS kmv_theta,
+           CAST(NULL AS BIGINT) AS kmv_exact,
+           CAST(NULL AS BOOLEAN) AS kmv_in_tol,
+           CAST(NULL AS BIGINT) AS kmv_sumprod
+    FROM customer
+    JOIN orders ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN part ON p_partkey = l_partkey
+    GROUP BY l_returnflag
+    UNION ALL
+    SELECT 'joinexec' AS branch,
+           {_BOUNDS_NULLS},
+           'xplan=' || plan AS setop,
+           CAST(NULL AS DOUBLE) AS kmv_est,
+           CAST(NULL AS BIGINT) AS kmv_cnt,
+           CAST(NULL AS BIGINT) AS kmv_theta,
+           CAST(NULL AS BIGINT) AS kmv_exact,
+           CAST(NULL AS BOOLEAN) AS kmv_in_tol,
+           CAST(NULL AS BIGINT) AS kmv_sumprod
+    FROM joplan WHERE subset = 'colp'
     """,
     # Sketch ESTIMATES are engine-specific (HLL++/KLL internals), so the
     # raw approx values cannot cross-check against DuckDB.  The oracle
@@ -573,7 +599,17 @@ def _kmv_est_sql() -> str:
         "C_out costs, and peel order hash likewise; the chosen order "
         "surfaces most-selective-dimension-first "
         "(zero table contact at estimation time — the ANALYZE-stats "
-        "path).  Per-bucket terms are scaled-integer floor divisions "
+        "path).  'joinexec' rows (r12): the EXECUTOR — operators/"
+        "joinexec.py builds the 4-way chain join in the 'joinorder' "
+        "rows' chosen split structure (same statistics pass, so the "
+        "executed order is literally the hashed decision) with every "
+        "broadcast hint derived from the DP's row estimates instead "
+        "of file sizes; the grouped exact-decimal revenue answer "
+        "hashes against a plain-SQL restatement and the 'xplan=' row "
+        "re-states the decision it was served through — join-tree "
+        "structure and build-side broadcasts are plan-asserted in "
+        "tests/test_joinexec.py.  "
+        "Per-bucket terms are scaled-integer floor divisions "
         "and the total is an ORDER-FREE integer sum, so all 16 bucket "
         "rows AND the total estimate hash; on this PK-FK join the "
         "formula is near-exact and the total row states a "
@@ -804,15 +840,22 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     # estimate, C_out cost, and chosen split hash against the unrolled
     # interval-lattice restatement (exact integer recurrence with
     # identical floor points on both engines).
-    from mongo2mysql_spark.operators.joinorder import chain_join_plan
+    from mongo2mysql_spark.operators.joinorder import (
+        chain_join_plan,
+        chain_join_stats,
+        chain_plan_dp,
+    )
 
     part = T(spark, sf_dir, "part")
+    chain_tables = [("c", cust), ("o", o), ("l", li), ("p", part)]
+    chain_edges = [("c_custkey", "o_custkey"), ("o_orderkey", "l_orderkey"),
+                   ("l_partkey", "p_partkey")]
+    # ONE statistics pass feeds both the hashed plan rows and the
+    # executor below — the executed order IS the hashed decision
+    cstats = chain_join_stats(chain_tables, chain_edges, _HJ_BUCKETS)
     jp = chain_join_plan(
-        spark,
-        [("c", cust), ("o", o), ("l", li), ("p", part)],
-        [("c_custkey", "o_custkey"), ("o_orderkey", "l_orderkey"),
-         ("l_partkey", "p_partkey")],
-        n_buckets=_HJ_BUCKETS,
+        spark, chain_tables, chain_edges, n_buckets=_HJ_BUCKETS,
+        stats=cstats,
     )
     joinorder = jp.select(
         F.col("plan").alias("setop"),
@@ -847,6 +890,53 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("boolean").alias("kmv_in_tol"),
         F.lit(None).cast("long").alias("kmv_sumprod"),
     )
+    # 'joinexec': EXECUTE the chain plan the DP chose — the physical
+    # consumer (operators/joinexec.py) that closes the loop from
+    # statistics to plan to DataFrame: the 4-way join is BUILT in the
+    # 'joinorder' rows' chosen split structure (same cstats integers,
+    # so the executed order is the hashed decision, not a re-derivation)
+    # with broadcast hints derived from the DP's row estimates; the
+    # grouped dsum answer hashes against a plain-SQL restatement (same
+    # answer by construction — inner joins commute; what the DP buys is
+    # the intermediate sizes, probed chosen-vs-worst in COVERAGE.md),
+    # and an 'xplan=' row re-states the decision it was served through.
+    # Structure + broadcast-side plan assertions: tests/test_joinexec.py.
+    from mongo2mysql_spark.functions.scalar import dsum as _dsum
+    from mongo2mysql_spark.operators.joinexec import execute_chain_plan
+
+    cest, _ccost, csplit = chain_plan_dp(*cstats)
+    executed = execute_chain_plan(chain_tables, chain_edges, cest, csplit)
+    xnulls = [
+        F.lit(None).cast("long").alias("kmv_theta"),
+        F.lit(None).cast("long").alias("kmv_exact"),
+        F.lit(None).cast("boolean").alias("kmv_in_tol"),
+        F.lit(None).cast("long").alias("kmv_sumprod"),
+    ]
+    xrows = (
+        executed.groupBy("l_returnflag")
+        .agg(
+            _dsum(F.col("l_extendedprice")).alias("kmv_est"),
+            F.count(F.lit(1)).cast("long").alias("kmv_cnt"),
+        )
+        .select(
+            F.concat(F.lit("x"), F.col("l_returnflag")).alias("setop"),
+            "kmv_est", "kmv_cnt", *xnulls,
+        )
+    )
+    cnames = [n for n, _ in chain_tables]
+    ccut = csplit[(0, len(cnames) - 1)]
+    clbl = lambda i, j: "".join(cnames[i : j + 1])  # noqa: E731
+    cplan = (
+        f"{clbl(0, len(cnames) - 1)}="
+        f"{clbl(0, ccut)}+{clbl(ccut + 1, len(cnames) - 1)}"
+    )
+    xplan = spark.range(1).select(
+        F.lit(f"xplan={cplan}").alias("setop"),
+        F.lit(None).cast("double").alias("kmv_est"),
+        F.lit(None).cast("long").alias("kmv_cnt"),
+        *xnulls,
+    )
+    joinexec = xrows.unionByName(xplan)
     return tagged_union(
         {
             "bounds": bounds,
@@ -856,6 +946,7 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
             "histstats": histstats,
             "joinorder": joinorder,
             "starorder": starorder,
+            "joinexec": joinexec,
         }
     )
 
