@@ -125,7 +125,7 @@ BRANCHED = {
     "agg_approx_sketches": ("branch", ["bounds", "kmv", "joinest",
                                        "histjoinest", "histstats",
                                        "joinorder", "starorder",
-                                       "joinexec"]),
+                                       "snowflake", "joinexec"]),
     "profile_table_stats": ("branch", ["profile", "integrity", "skew",
                                        "histogram", "cms", "cmsstr",
                                        "cmsstream", "encoding", "fd",

@@ -604,3 +604,459 @@ def chain_join_plan_sql(
         f"{x}plan AS (\n      " + "\n      UNION ALL ".join(legs) + ")"
     )
     return ",\n    ".join(ctes)
+
+
+# ------------------------------------------------------------------ snowflake
+
+
+def _edge_t6_sql(
+    e: str, ta: str, ka: str, tb: str, kb: str, n_buckets: int
+) -> str:
+    """The shared-boundary bucket-statistics CTE block every generator
+    in this module unrolls per edge, ending in ``<e>t6`` — the SQL twin
+    of :func:`_edge_est6`."""
+    return f"""{e}ka AS (
+      SELECT CAST({ka} AS BIGINT) AS k FROM {ta} WHERE {ka} IS NOT NULL),
+    {e}kb AS (
+      SELECT CAST({kb} AS BIGINT) AS k FROM {tb} WHERE {kb} IS NOT NULL),
+    {e}dom AS (
+      SELECT min(k) AS lo, max(k) - min(k) + 1 AS span
+      FROM (SELECT k FROM {e}ka UNION ALL SELECT k FROM {e}kb)),
+    {e}ha AS (
+      SELECT CAST((k - d.lo) * {n_buckets} // d.span AS INTEGER) AS bucket,
+             CAST(count(*) AS BIGINT) AS n_a,
+             CAST(count(DISTINCT k) AS BIGINT) AS d_a
+      FROM {e}ka CROSS JOIN {e}dom d GROUP BY 1),
+    {e}hb AS (
+      SELECT CAST((k - d.lo) * {n_buckets} // d.span AS INTEGER) AS bucket,
+             CAST(count(*) AS BIGINT) AS n_b,
+             CAST(count(DISTINCT k) AS BIGINT) AS d_b
+      FROM {e}kb CROSS JOIN {e}dom d GROUP BY 1),
+    {e}t6 AS (
+      SELECT CAST(COALESCE(SUM(
+               CASE WHEN GREATEST(d_a, d_b) > 0
+                    THEN (CAST(n_a AS HUGEINT) * n_b * {_SCALE})
+                         // GREATEST(d_a, d_b)
+                    ELSE 0 END), 0) AS HUGEINT) AS t6
+      FROM {e}ha a JOIN {e}hb b USING (bucket))"""
+
+
+def _check_snowflake_labels(
+    fname: str, chain_names: list[list[str]]
+) -> None:
+    """Every label the snowflake plan emits — internal chain intervals,
+    fact-rooted proper prefixes, and star subsets over full chains —
+    must be pairwise distinct (they are subset keys in the output and
+    CTE names in the restatement)."""
+    flat = [fname] + [n for c in chain_names for n in c]
+    if len(set(flat)) != len(flat):
+        raise ValueError(f"duplicate table names: {flat}")
+    labels: list[str] = []
+    for names in chain_names:
+        m = len(names)
+        labels.extend(
+            "".join(names[i : j + 1])
+            for i in range(m)
+            for j in range(i + 1, m)
+        )
+        labels.extend(
+            fname + "".join(names[: p]) for p in range(1, m)
+        )
+    k = len(chain_names)
+    if k > 16:
+        raise ValueError(f"too many chains for subset enumeration: {k}")
+    clabels = ["".join(names) for names in chain_names]
+    labels.extend(
+        fname + "".join(clabels[i] for i in s) for s in star_subsets(k)
+    )
+    if len(set(labels)) != len(labels):
+        dupes = sorted({l for l in labels if labels.count(l) > 1})
+        raise ValueError(
+            f"snowflake labels collide: {dupes}; use short names whose "
+            f"concatenations are unambiguous"
+        )
+
+
+def snowflake_join_stats(
+    fact: tuple[str, DataFrame],
+    chains: list[list[tuple[str, DataFrame, str, str]]],
+    n_buckets: int = 16,
+    edge_est6=None,
+) -> dict:
+    """Collect the statistics the snowflake DP runs on: the fact count
+    plus, per chain, the member counts, the fact-edge est6, and each
+    within-chain edge's est6.  Chain element i is (name, df,
+    parent_key, own_key): ``parent_key`` names a column on the PARENT
+    (the fact for element 0, element i-1's table otherwise) and
+    ``own_key`` the matching column on this table."""
+    fn = edge_est6 or _edge_est6
+    _fname, fdf = fact
+    out = {"rows_fact": fdf.count(), "chains": []}
+    for chain in chains:
+        rows = [df.count() for _n, df, _pk, _ok in chain]
+        n0, d0, pk0, ok0 = chain[0]
+        fe6 = fn(fdf, pk0, d0, ok0, n_buckets)
+        we6 = [
+            fn(chain[i - 1][1], chain[i][2], chain[i][1], chain[i][3],
+               n_buckets)
+            for i in range(1, len(chain))
+        ]
+        out["chains"].append(
+            {"rows": rows, "fact_est6": fe6, "within_est6": we6}
+        )
+    return out
+
+
+def snowflake_plan_dp(stats: dict) -> dict:
+    """The pure-integer snowflake DP: COMPOSE the two existing DPs
+    (the decomposition of DP over connected subgraphs — DPccp,
+    Moerkotte & Neumann, VLDB 2006 — specialized to the snowflake
+    topology, where every connected subgraph is the fact plus per-arm
+    prefixes, so arm-internal and arm-order choices separate):
+
+    1. each arm runs the CHAIN DP on its own tables (its internal
+       C_out cost ``c_int`` and best split — the arm is built as its
+       own bushy subtree);
+    2. the fact-rooted PATH recurrence prices every arm prefix hanging
+       off the fact (the chain cardinality recurrence with the fact as
+       t0) — its full-length value is the arm's effective est6 for
+       step 3, and the proper prefixes are emitted readouts;
+    3. the STAR DP peels whole (collapsed) arms onto the fact, each
+       peel paying the arm's internal cost once:
+       ``cost(S) = min_d cost(S−d) + c_int(d) + est(S)``.
+
+    All floors at fixed points (both engines agree bit for bit).
+    Returns {"path_est", "path_cost", "internal", "est", "cost",
+    "peel"} — path_* indexed [chain][prefix_len-1], internal[chain] =
+    (est, cost, split) dicts or None for single-table arms.
+    """
+    rows_fact = stats["rows_fact"]
+    path_e6: list[list[int]] = []  # fact-rooted prefix ests, x10^6 scale
+    path_est: list[list[int]] = []
+    path_cost: list[list[int]] = []
+    internal: list[tuple | None] = []
+    c_int: list[int] = []
+    for ch in stats["chains"]:
+        rows_c, fe6, we6 = ch["rows"], ch["fact_est6"], ch["within_est6"]
+        m = len(rows_c)
+        # the path recurrence stays in the x10^6 SCALE until consumed
+        # (one floor per within-edge step, none at the fact edge) — so
+        # a single-table arm's effective est6 IS its fact-edge est6 and
+        # the star fold below floors at exactly star_plan_dp's points:
+        # the singleton-arm degeneracy to star_join_plan is bit-exact
+        pe6 = [fe6]
+        for p in range(2, m + 1):
+            bridge = rows_c[p - 2]
+            pe6.append(
+                0 if bridge == 0
+                else (pe6[-1] * we6[p - 2]) // (_SCALE * bridge)
+            )
+        path_e6.append(pe6)
+        pe = [v // _SCALE for v in pe6]
+        path_est.append(pe)
+        path_cost.append([sum(pe[: q + 1]) for q in range(m)])
+        if m >= 2:
+            idp = chain_plan_dp(rows_c, we6)
+            internal.append(idp)
+            c_int.append(idp[1][(0, m - 1)])
+        else:
+            internal.append(None)
+            c_int.append(0)
+    k = len(stats["chains"])
+    subsets = star_subsets(k)
+    est: dict[tuple[int, ...], int] = {(): rows_fact}
+    for s in subsets:
+        prev, last = s[:-1], s[-1]
+        full6 = path_e6[last][-1]
+        if not prev:
+            est[s] = full6 // _SCALE
+        elif rows_fact == 0:
+            est[s] = 0
+        else:
+            est[s] = (est[prev] * full6) // (_SCALE * rows_fact)
+    cost: dict[tuple[int, ...], int] = {(): 0}
+    peel: dict[tuple[int, ...], int] = {}
+    for s in subsets:
+        best, best_d = None, None
+        for d in s:  # input order; first arm wins ties (strict <)
+            rest = tuple(i for i in s if i != d)
+            c = cost[rest] + c_int[d] + est[s]
+            if best is None or c < best:
+                best, best_d = c, d
+        cost[s] = best
+        peel[s] = best_d
+    return {
+        "path_e6": path_e6,
+        "path_est": path_est,
+        "path_cost": path_cost,
+        "internal": internal,
+        "c_int": c_int,
+        "est": est,
+        "cost": cost,
+        "peel": peel,
+    }
+
+
+def snowflake_join_plan(
+    spark,
+    fact: tuple[str, DataFrame],
+    chains: list[list[tuple[str, DataFrame, str, str]]],
+    n_buckets: int = 16,
+    stats: dict | None = None,
+) -> DataFrame:
+    """The snowflake form of the join-order DP — dimension arms with
+    their own sub-dimensions (the TPC-H topology:
+    region←nation←customer/supplier), the shape between the chain and
+    the star.  Emits the FULL hashed lattice:
+
+    - per arm, the internal chain-DP interval rows (the arm built as
+      its own subtree — label: arm table names, no fact prefix);
+    - per arm, the fact-rooted PROPER prefix estimates (label: fact
+      name + prefix names; the full-length prefix IS the star
+      singleton row, emitted once there);
+    - the star lattice over whole arms (label: fact name + the
+      concatenated names of each member arm), costs carrying each
+      member arm's internal C_out exactly once.
+
+    With every arm a single table this degenerates to
+    :func:`star_join_plan` rows exactly (c_int = 0, path = edge) —
+    the composition invariant tests pin.  Algorithm: DPccp (Moerkotte
+    & Neumann, VLDB 2006) specialized to snowflake connectivity; cost
+    model C_out (Neumann & Radke, ICDE 2018).
+
+    Returns (subset, plan, est_rows, best_cost, n_tables) like the
+    chain and star planners.
+    """
+    if not chains:
+        raise ValueError("need at least one dimension arm")
+    fname, _fdf = fact
+    chain_names = [[e[0] for e in ch] for ch in chains]
+    _check_snowflake_labels(fname, chain_names)
+    stats = stats or snowflake_join_stats(fact, chains, n_buckets)
+    dp = snowflake_plan_dp(stats)
+    out = []
+    # 1. arm-internal interval rows
+    for ci, names in enumerate(chain_names):
+        if dp["internal"][ci] is None:
+            continue
+        iest, icost, isplit = dp["internal"][ci]
+        m = len(names)
+
+        def ilbl(i: int, j: int) -> str:
+            return "".join(names[i : j + 1])
+
+        for length in range(2, m + 1):
+            for i in range(0, m - length + 1):
+                j = i + length - 1
+                cut = isplit[(i, j)]
+                out.append(
+                    (
+                        ilbl(i, j),
+                        f"{ilbl(i, j)}={ilbl(i, cut)}+{ilbl(cut + 1, j)}",
+                        iest[(i, j)],
+                        icost[(i, j)],
+                        length,
+                    )
+                )
+    # 2. fact-rooted proper prefixes
+    for ci, names in enumerate(chain_names):
+        for p in range(1, len(names)):
+            lbl_p = fname + "".join(names[:p])
+            prev = fname + "".join(names[: p - 1]) if p > 1 else fname
+            out.append(
+                (
+                    lbl_p,
+                    f"{lbl_p}={prev}+{names[p - 1]}",
+                    dp["path_est"][ci][p - 1],
+                    dp["path_cost"][ci][p - 1],
+                    p + 1,
+                )
+            )
+    # 3. star lattice over whole arms
+    clabels = ["".join(n) for n in chain_names]
+
+    def slbl(s: tuple[int, ...]) -> str:
+        return fname + "".join(clabels[i] for i in s)
+
+    for s in star_subsets(len(chains)):
+        d = dp["peel"][s]
+        rest = tuple(i for i in s if i != d)
+        out.append(
+            (
+                slbl(s),
+                f"{slbl(s)}={slbl(rest)}+{clabels[d]}",
+                dp["est"][s],
+                dp["cost"][s],
+                1 + sum(len(chain_names[i]) for i in s),
+            )
+        )
+    return spark.createDataFrame(
+        out,
+        "subset string, plan string, est_rows long, best_cost long,"
+        " n_tables int",
+    )
+
+
+def snowflake_join_plan_sql(
+    fact: tuple[str, str],
+    chains: list[list[tuple[str, str, str, str]]],
+    n_buckets: int = 16,
+    prefix: str = "sn",
+) -> str:
+    """DuckDB restatement of :func:`snowflake_join_plan`: per-arm
+    chain-DP CTEs (via :func:`chain_join_plan_sql`), fact-rooted path
+    recurrence CTEs, and the arm-peel star DP with internal costs and
+    the ordered-CASE tiebreak, unrolled over the same lattice.
+    ``fact`` = (sql_table, short); chain element = (sql_table, short,
+    parent_key, own_key).  Final CTE
+    ``<prefix>plan(subset, plan, est_rows, best_cost, n_tables)``."""
+    if not chains:
+        raise ValueError("need at least one dimension arm")
+    x = prefix
+    ftable, fname = fact
+    chain_names = [[e[1] for e in ch] for ch in chains]
+    _check_snowflake_labels(fname, chain_names)
+    k = len(chains)
+    ctes = [
+        f"{x}nf AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM {ftable})"
+    ]
+    # per-arm: bridge counts, fact+within edge stats, path recurrence,
+    # internal chain DP
+    for ci, ch in enumerate(chains):
+        names = chain_names[ci]
+        m = len(ch)
+        for (tbl, short, _pk, _ok) in ch:
+            ctes.append(
+                f"{x}n_{short} AS (SELECT CAST(count(*) AS HUGEINT) AS n"
+                f" FROM {tbl})"
+            )
+        ctes.append(
+            _edge_t6_sql(f"{x}f{ci}", ftable, ch[0][2], ch[0][0],
+                         ch[0][3], n_buckets)
+        )
+        for i in range(1, m):
+            ctes.append(
+                _edge_t6_sql(f"{x}w{ci}x{i}", ch[i - 1][0], ch[i][2],
+                             ch[i][0], ch[i][3], n_buckets)
+            )
+        # path recurrence in the x10^6 scale (matches snowflake_plan_dp:
+        # floors only at within-edge steps, so single-table arms keep
+        # their raw fact-edge est6 for the star fold)
+        for p in range(1, m + 1):
+            if p == 1:
+                expr = f"(SELECT t6 FROM {x}f{ci}t6)"
+            else:
+                bridge = names[p - 2]
+                expr = (
+                    f"CASE WHEN (SELECT n FROM {x}n_{bridge}) = 0 THEN 0"
+                    f" ELSE (SELECT e6 FROM {x}pe{ci}x{p - 1})"
+                    f" * (SELECT t6 FROM {x}w{ci}x{p - 1}t6)"
+                    f" // ({_SCALE} * (SELECT n FROM {x}n_{bridge})) END"
+                )
+            ctes.append(
+                f"{x}pe{ci}x{p} AS (SELECT CAST({expr} AS HUGEINT) AS e6)"
+            )
+        if m >= 2:
+            ctes.append(
+                chain_join_plan_sql(
+                    [(tbl, short) for tbl, short, _pk, _ok in ch],
+                    [(ch[i + 1][2], ch[i + 1][3])
+                     for i in range(m - 1)],
+                    n_buckets,
+                    prefix=f"{x}c{ci}x",
+                )
+            )
+    clabels = ["".join(n) for n in chain_names]
+
+    def slbl(s: tuple[int, ...]) -> str:
+        return fname + "".join(clabels[i] for i in s)
+
+    def cint(ci: int) -> str:
+        if len(chains[ci]) < 2:
+            return "CAST(0 AS HUGEINT)"
+        return f"(SELECT cost FROM {x}c{ci}xcost_{clabels[ci]})"
+
+    subsets = star_subsets(k)
+    for s in subsets:
+        prev, last = s[:-1], s[-1]
+        full6 = f"(SELECT e6 FROM {x}pe{last}x{len(chains[last])})"
+        if not prev:
+            expr = f"{full6} // {_SCALE}"
+        else:
+            expr = (
+                f"CASE WHEN (SELECT n FROM {x}nf) = 0 THEN 0 ELSE"
+                f" (SELECT est FROM {x}est_{slbl(prev)}) * {full6}"
+                f" // ({_SCALE} * (SELECT n FROM {x}nf)) END"
+            )
+        ctes.append(
+            f"{x}est_{slbl(s)} AS (SELECT CAST({expr} AS HUGEINT) AS est)"
+        )
+    for s in subsets:
+        alts, plans = [], []
+        for d in s:
+            rest = tuple(i for i in s if i != d)
+            left = (
+                "CAST(0 AS HUGEINT)" if not rest
+                else f"(SELECT cost FROM {x}cost_{slbl(rest)})"
+            )
+            alts.append(
+                f"{left} + {cint(d)} + (SELECT est FROM {x}est_{slbl(s)})"
+            )
+            plans.append(f"'{slbl(s)}={slbl(rest)}+{clabels[d]}'")
+        best = f"LEAST({', '.join(alts)})" if len(alts) > 1 else alts[0]
+        if len(alts) == 1:
+            plan_expr = plans[0]
+        else:
+            cases = []
+            for ci_ in range(len(alts)):
+                if ci_ == len(alts) - 1:
+                    cases.append(f"ELSE {plans[ci_]}")
+                else:
+                    conds = " AND ".join(
+                        f"({alts[ci_]}) <= ({alts[cj]})"
+                        for cj in range(ci_ + 1, len(alts))
+                    )
+                    cases.append(f"WHEN {conds} THEN {plans[ci_]}")
+            plan_expr = f"CASE {' '.join(cases)} END"
+        ctes.append(
+            f"{x}cost_{slbl(s)} AS (SELECT CAST({best} AS HUGEINT) AS cost,"
+            f" {plan_expr} AS plan)"
+        )
+    legs = []
+    for ci, ch in enumerate(chains):
+        if len(ch) >= 2:
+            legs.append(
+                f"SELECT subset, plan, est_rows, best_cost, n_tables"
+                f" FROM {x}c{ci}xplan"
+            )
+    for ci, names in enumerate(chain_names):
+        for p in range(1, len(names)):
+            lbl_p = fname + "".join(names[:p])
+            prev = fname + "".join(names[: p - 1]) if p > 1 else fname
+            csum = " + ".join(
+                f"((SELECT e6 FROM {x}pe{ci}x{q}) // {_SCALE})"
+                for q in range(1, p + 1)
+            )
+            legs.append(
+                f"SELECT '{lbl_p}' AS subset,"
+                f" '{lbl_p}={prev}+{names[p - 1]}' AS plan,"
+                f" CAST((SELECT e6 FROM {x}pe{ci}x{p}) // {_SCALE}"
+                f" AS BIGINT) AS est_rows,"
+                f" CAST({csum} AS BIGINT) AS best_cost,"
+                f" CAST({p + 1} AS INTEGER) AS n_tables"
+            )
+    for s in subsets:
+        sl = slbl(s)
+        n_tab = 1 + sum(len(chain_names[i]) for i in s)
+        legs.append(
+            f"SELECT '{sl}' AS subset,"
+            f" (SELECT plan FROM {x}cost_{sl}) AS plan,"
+            f" CAST((SELECT est FROM {x}est_{sl}) AS BIGINT) AS est_rows,"
+            f" CAST((SELECT cost FROM {x}cost_{sl}) AS BIGINT)"
+            f" AS best_cost,"
+            f" CAST({n_tab} AS INTEGER) AS n_tables"
+        )
+    ctes.append(
+        f"{x}plan AS (\n      " + "\n      UNION ALL ".join(legs) + ")"
+    )
+    return ",\n    ".join(ctes)

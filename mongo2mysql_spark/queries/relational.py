@@ -30,6 +30,7 @@ from mongo2mysql_spark.functions.scalar import davg, dmul, dsum, sql_davg, sql_d
 from mongo2mysql_spark.operators.histjoin import hist_join_estimate_sql
 from mongo2mysql_spark.operators.joinorder import (
     chain_join_plan_sql,
+    snowflake_join_plan_sql,
     star_join_plan_sql,
 )
 from mongo2mysql_spark.queries import register
@@ -426,6 +427,15 @@ def _kmv_est_sql() -> str:
          ("supplier", "s", "l_suppkey", "s_suppkey"),
          ("orders", "o", "l_orderkey", "o_orderkey")],
         _HJ_BUCKETS,
+    )},
+    {snowflake_join_plan_sql(
+        ("lineitem", "l"),
+        [[("orders", "o", "l_orderkey", "o_orderkey"),
+          ("customer", "c", "o_custkey", "c_custkey")],
+         [("supplier", "s", "l_suppkey", "s_suppkey"),
+          ("nation", "n", "s_nationkey", "n_nationkey")],
+         [("part", "p", "l_partkey", "p_partkey")]],
+        _HJ_BUCKETS,
     )}
     SELECT 'bounds' AS branch,
            CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
@@ -507,6 +517,17 @@ def _kmv_est_sql() -> str:
            CAST(NULL AS BOOLEAN) AS kmv_in_tol,
            CAST(NULL AS BIGINT) AS kmv_sumprod
     FROM soplan
+    UNION ALL
+    SELECT 'snowflake' AS branch,
+           {_BOUNDS_NULLS},
+           plan AS setop,
+           CAST(est_rows AS DOUBLE) AS kmv_est,
+           best_cost AS kmv_cnt,
+           CAST(n_tables AS BIGINT) AS kmv_theta,
+           CAST(NULL AS BIGINT) AS kmv_exact,
+           CAST(NULL AS BOOLEAN) AS kmv_in_tol,
+           CAST(NULL AS BIGINT) AS kmv_sumprod
+    FROM snplan
     UNION ALL
     SELECT 'joinexec' AS branch,
            {_BOUNDS_NULLS},
@@ -599,7 +620,19 @@ def _kmv_est_sql() -> str:
         "C_out costs, and peel order hash likewise; the chosen order "
         "surfaces most-selective-dimension-first "
         "(zero table contact at estimation time — the ANALYZE-stats "
-        "path).  'joinexec' rows (r12): the EXECUTOR — operators/"
+        "path).  'snowflake' rows (r12): the COMPOSITION of the two "
+        "DPs over the real TPC-H snowflake topology (lineitem fact, "
+        "arms orders<-customer and supplier<-nation, part dim — "
+        "operators/joinorder.snowflake_join_plan; DPccp, Moerkotte & "
+        "Neumann VLDB 2006, specialized to snowflake connectivity "
+        "where arm-internal and arm-order choices separate): per arm "
+        "the internal chain-DP intervals, the fact-rooted x10^6-"
+        "scaled prefix estimates, and the arm-peel star lattice whose "
+        "costs carry each arm's internal C_out exactly once — all "
+        "hashed against the unrolled restatement, and the whole form "
+        "degenerates bit-exactly to 'starorder' on single-table arms "
+        "(tests/test_snowflake.py).  "
+        "'joinexec' rows (r12): the EXECUTOR — operators/"
         "joinexec.py builds the 4-way chain join in the 'joinorder' "
         "rows' chosen split structure (same statistics pass, so the "
         "executed order is literally the hashed decision) with every "
@@ -841,10 +874,24 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     # interval-lattice restatement (exact integer recurrence with
     # identical floor points on both engines).
     from mongo2mysql_spark.operators.joinorder import (
+        _edge_est6,
         chain_join_plan,
         chain_join_stats,
         chain_plan_dp,
     )
+
+    # edge-statistics memo shared by the chain/star/snowflake planners
+    # and the executor: est6 is symmetric in its sides, and the three
+    # fixtures overlap on (o,l), (l,p), (l,s), (c,o) — 11 edge
+    # computations collapse to 5 (each edge = a domain agg + two
+    # bounded ANALYZE collects)
+    _ememo: dict = {}
+
+    def eest(a, ka, b, kb, nb):
+        key = (frozenset(((id(a), ka), (id(b), kb))), nb)
+        if key not in _ememo:
+            _ememo[key] = _edge_est6(a, ka, b, kb, nb)
+        return _ememo[key]
 
     part = T(spark, sf_dir, "part")
     chain_tables = [("c", cust), ("o", o), ("l", li), ("p", part)]
@@ -852,7 +899,8 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ("l_partkey", "p_partkey")]
     # ONE statistics pass feeds both the hashed plan rows and the
     # executor below — the executed order IS the hashed decision
-    cstats = chain_join_stats(chain_tables, chain_edges, _HJ_BUCKETS)
+    cstats = chain_join_stats(chain_tables, chain_edges, _HJ_BUCKETS,
+                              edge_est6=eest)
     jp = chain_join_plan(
         spark, chain_tables, chain_edges, n_buckets=_HJ_BUCKETS,
         stats=cstats,
@@ -871,17 +919,55 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     # COMPLETE (dims connect only through the fact); the chosen order
     # surfaces most-selective-dimension-first, and the whole dim-subset
     # lattice hashes against the unrolled restatement
-    from mongo2mysql_spark.operators.joinorder import star_join_plan
+    from mongo2mysql_spark.operators.joinorder import (
+        star_join_plan,
+        star_join_stats,
+    )
 
     supp = T(spark, sf_dir, "supplier")
+    star_dims = [("p", part, "l_partkey", "p_partkey"),
+                 ("s", supp, "l_suppkey", "s_suppkey"),
+                 ("o", o, "l_orderkey", "o_orderkey")]
     sp = star_join_plan(
-        spark, ("l", li),
-        [("p", part, "l_partkey", "p_partkey"),
-         ("s", supp, "l_suppkey", "s_suppkey"),
-         ("o", o, "l_orderkey", "o_orderkey")],
-        n_buckets=_HJ_BUCKETS,
+        spark, ("l", li), star_dims, n_buckets=_HJ_BUCKETS,
+        stats=star_join_stats(("l", li), star_dims, _HJ_BUCKETS,
+                              edge_est6=eest),
     )
     starorder = sp.select(
+        F.col("plan").alias("setop"),
+        F.col("est_rows").cast("double").alias("kmv_est"),
+        F.col("best_cost").alias("kmv_cnt"),
+        F.col("n_tables").cast("long").alias("kmv_theta"),
+        F.lit(None).cast("long").alias("kmv_exact"),
+        F.lit(None).cast("boolean").alias("kmv_in_tol"),
+        F.lit(None).cast("long").alias("kmv_sumprod"),
+    )
+    # 'snowflake' (r12): the composition of the two DPs over the
+    # actual TPC-H snowflake topology — lineitem fact with arms
+    # orders←customer and supplier←nation plus the part dimension
+    # (operators/joinorder.snowflake_join_plan, DPccp specialized to
+    # snowflake connectivity): each arm's internal chain DP, the
+    # fact-rooted prefix estimates, and the arm-peel star lattice with
+    # internal costs all hash against the unrolled restatement
+    from mongo2mysql_spark.operators.joinorder import (
+        snowflake_join_plan,
+        snowflake_join_stats,
+    )
+
+    nation = T(spark, sf_dir, "nation")
+    snchains = [
+        [("o", o, "l_orderkey", "o_orderkey"),
+         ("c", cust, "o_custkey", "c_custkey")],
+        [("s", supp, "l_suppkey", "s_suppkey"),
+         ("n", nation, "s_nationkey", "n_nationkey")],
+        [("p", part, "l_partkey", "p_partkey")],
+    ]
+    snp = snowflake_join_plan(
+        spark, ("l", li), snchains, n_buckets=_HJ_BUCKETS,
+        stats=snowflake_join_stats(("l", li), snchains, _HJ_BUCKETS,
+                                   edge_est6=eest),
+    )
+    snowflake = snp.select(
         F.col("plan").alias("setop"),
         F.col("est_rows").cast("double").alias("kmv_est"),
         F.col("best_cost").alias("kmv_cnt"),
@@ -946,6 +1032,7 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
             "histstats": histstats,
             "joinorder": joinorder,
             "starorder": starorder,
+            "snowflake": snowflake,
             "joinexec": joinexec,
         }
     )

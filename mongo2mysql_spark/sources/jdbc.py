@@ -228,6 +228,7 @@ def write_upsert_partitioned(
     mode: str = "replace",
     batch_size: int = 1000,
     paramstyle: str = "qmark",
+    key_domain: tuple[int, int] | None = None,
 ) -> int:
     """EXECUTE a fragment-planned parallel upsert: the write-side twin
     of :func:`read_partitioned`.  The destination-key domain [lo, hi]
@@ -254,6 +255,17 @@ def write_upsert_partitioned(
     NULL keys route to fragment 0 (they violate a PK anyway — the
     sink surfaces the constraint error rather than dropping rows
     silently).  Returns the fragment count actually used.
+
+    ``key_domain`` = (lo, hi) lets the caller supply the key bounds it
+    already knows (the porter's schema pass / the export's high-water
+    bookkeeping see every key anyway) — then the input is scanned
+    EXACTLY ONCE, by the write.  Without it the domain agg would run
+    one job over ``df`` and the fragment write would recompute the
+    full upstream lineage (flatten/route pipelines — real cost at
+    export scale), so the frame is persisted across the two passes and
+    released after the write.  Keys outside a supplied domain still
+    land in the open-ended first/last fragments (same contract as the
+    read planner).
     """
     columns = list(df.columns)
     if key_col not in columns:
@@ -263,11 +275,19 @@ def write_upsert_partitioned(
     sql = upsert_sql(table, columns, mode=mode, paramstyle=paramstyle)
     from pyspark.sql import functions as F
 
-    dom = df.agg(
-        F.min(F.col(key_col).cast("long")).alias("lo"),
-        F.max(F.col(key_col).cast("long")).alias("hi"),
-    ).first()
-    lo, hi = dom["lo"], dom["hi"]
+    persisted = False
+    if key_domain is not None:
+        lo, hi = int(key_domain[0]), int(key_domain[1])
+        if hi < lo:
+            raise ValueError(f"key_domain hi < lo: {key_domain}")
+    else:
+        df = df.persist()
+        persisted = True
+        dom = df.agg(
+            F.min(F.col(key_col).cast("long")).alias("lo"),
+            F.max(F.col(key_col).cast("long")).alias("hi"),
+        ).first()
+        lo, hi = dom["lo"], dom["hi"]
     if lo is None:
         # no non-NULL keys: either truly empty (nothing to write) or
         # all-NULL keys — one fragment handles both without a plan
@@ -304,14 +324,18 @@ def write_upsert_partitioned(
             if conn is not None:
                 conn.close()
 
-    (
-        df.rdd.map(assign)
-        # identity partitioner: fragment i IS task i (portable_hash
-        # would fold two fragments into one task and leave others
-        # empty, breaking the one-connection-per-fragment contract)
-        .partitionBy(n, partitionFunc=lambda frag: frag)
-        .foreachPartition(_write_partition)
-    )
+    try:
+        (
+            df.rdd.map(assign)
+            # identity partitioner: fragment i IS task i (portable_hash
+            # would fold two fragments into one task and leave others
+            # empty, breaking the one-connection-per-fragment contract)
+            .partitionBy(n, partitionFunc=lambda frag: frag)
+            .foreachPartition(_write_partition)
+        )
+    finally:
+        if persisted:
+            df.unpersist()
     return n
 
 
