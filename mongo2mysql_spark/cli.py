@@ -57,6 +57,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--progress", action="store_true",
                    help="print per-table row/throughput lines (A17; counts "
                         "ride the sink action, no extra scan)")
+    p.add_argument("--incremental", action="store_true",
+                   help="CDC-shaped sync (sync.py): export only "
+                        "documents past the sink's durable MAX(_id) "
+                        "high-water mark — the reference rewalks the "
+                        "whole collection on rerun (Porter.php:508-511). "
+                        "Requires --mongo-uri, --mdbname and --sqlite "
+                        "(or a MySQL destination on a real deployment).")
     p.add_argument("--stream", action="store_true",
                    help="replay each collection as a bounded file stream and "
                         "run the batch pipeline per micro-batch (foreachBatch; "
@@ -310,6 +317,49 @@ def main(argv: list[str] | None = None) -> int:
 
         if args.corpus:
             return _run_corpus(spark, args)
+
+        if args.incremental:
+            if not (args.mongo_uri and args.mdbname and args.sqlite):
+                print(
+                    "error: --incremental needs --mongo-uri, --mdbname "
+                    "and --sqlite",
+                    file=sys.stderr,
+                )
+                return 2
+            import functools
+            import re as _re
+            import sqlite3 as _sqlite3
+
+            import pymongo  # gated: absent in the test container
+
+            from mongo2mysql_spark.sources.jdbc import execute_ddl
+            from mongo2mysql_spark.sync import incremental_export
+
+            client = pymongo.MongoClient(args.mongo_uri)
+            db = client[args.mdbname]
+            names = (
+                args.collections.split(",") if args.collections
+                else sorted(db.list_collection_names())
+            )
+            factory = functools.partial(_sqlite3.connect, args.sqlite)
+
+            def inc_ddl(stmts, _f=factory):
+                # same sqlite dialect shim as the batch sink path
+                execute_ddl(
+                    [_re.sub(r"`\((\d+)\)", "`", s) for s in stmts], _f
+                )
+
+            for n in names:
+                r = incremental_export(
+                    spark, db[n], n, porter, factory,
+                    ddl_executor=inc_ddl,
+                )
+                frm = r["resumed_from"]
+                print(
+                    f"{n} [incremental] +{r['docs']} docs "
+                    f"(from {'scratch' if frm is None else f'_id>{frm}'})"
+                )
+            return 0
 
         if args.stream:
             if not (args.source_dir and args.output_dir):

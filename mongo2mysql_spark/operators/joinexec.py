@@ -117,6 +117,66 @@ def star_peel_sequence(
     return seq
 
 
+def snowflake_plan_tree(
+    fname: str,
+    chain_names: list[list[str]],
+    dp: dict,
+) -> tuple:
+    """The executed snowflake structure as nested tuples: the fact
+    joined with each (internally-structured) arm subtree in peel
+    order — what tests assert the physical plan against."""
+    out = fname
+    for ci in star_peel_sequence(len(chain_names), dp["peel"]):
+        names = chain_names[ci]
+        if dp["internal"][ci] is None:
+            arm = names[0]
+        else:
+            _e, _c, isplit = dp["internal"][ci]
+            arm = chain_plan_tree(names, isplit)
+        out = (out, arm)
+    return out
+
+
+def execute_snowflake_plan(
+    fact: tuple[str, DataFrame],
+    chains: list[list[tuple[str, DataFrame, str, str]]],
+    stats: dict,
+    dp: dict,
+    broadcast_rows: int = BROADCAST_ROWS,
+) -> DataFrame:
+    """Execute the snowflake plan the composed DP chose
+    (joinorder.snowflake_plan_dp): each arm is built as its own
+    subtree in its internal chain-DP order (the bushy shape the DP
+    costed), then the arms join onto the fact in peel order.  An arm
+    whose ESTIMATED joined cardinality (the internal DP's full-
+    interval estimate; its own row count for single-table arms) fits
+    ``broadcast_rows`` is broadcast — the snowflake-specific win: the
+    pre-joined dimension arm broadcasts as ONE unit, so the fact is
+    never shuffled for any arm that fits (the star-transformation
+    plan warehouses hand-write, derived here from statistics)."""
+    out = fact[1]
+    for ci in star_peel_sequence(len(chains), dp["peel"]):
+        ch = chains[ci]
+        if dp["internal"][ci] is None:
+            arm = ch[0][1]
+            arm_est = stats["chains"][ci]["rows"][0]
+        else:
+            iest, _ic, isplit = dp["internal"][ci]
+            arm_tables = [(n, df) for n, df, _pk, _ok in ch]
+            arm_edges = [
+                (ch[i + 1][2], ch[i + 1][3]) for i in range(len(ch) - 1)
+            ]
+            arm = execute_chain_plan(
+                arm_tables, arm_edges, iest, isplit,
+                broadcast_rows=broadcast_rows,
+            )
+            arm_est = iest[(0, len(ch) - 1)]
+        if arm_est <= broadcast_rows:
+            arm = F.broadcast(arm)
+        out = out.join(arm, F.col(ch[0][2]) == F.col(ch[0][3]))
+    return out
+
+
 def execute_star_plan(
     fact: tuple[str, DataFrame],
     dims: list[tuple[str, DataFrame, str, str]],

@@ -42,10 +42,24 @@ a subset lattice — out of scope here.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 _SCALE = 1_000_000
+
+
+def _materialize_ctes(ctes: str) -> str:
+    """Mark every generated CTE MATERIALIZED: the join-order
+    restatements are DAGs of tiny scalar CTEs referenced from many
+    cost alternatives, and DuckDB INLINES plain CTEs per reference —
+    at the snowflake form's fan-in (cost CTEs referencing cost/est/
+    arm-DP subtrees, plus the executor leg referencing the final plan
+    CTE a second time) inlining turns a few-dozen-row computation into
+    minutes of planner/executor blowup.  Every definition here is
+    uncorrelated, so materialization is semantics-preserving."""
+    return re.sub(r"(\w) AS \(", r"\1 AS MATERIALIZED (", ctes)
 
 
 def _check_labels(names: list[str]) -> None:
@@ -468,7 +482,7 @@ def star_join_plan_sql(
     ctes.append(
         f"{x}plan AS (\n      " + "\n      UNION ALL ".join(legs) + ")"
     )
-    return ",\n    ".join(ctes)
+    return _materialize_ctes(",\n    ".join(ctes))
 
 
 def chain_join_plan_sql(
@@ -603,7 +617,7 @@ def chain_join_plan_sql(
     ctes.append(
         f"{x}plan AS (\n      " + "\n      UNION ALL ".join(legs) + ")"
     )
-    return ",\n    ".join(ctes)
+    return _materialize_ctes(",\n    ".join(ctes))
 
 
 # ------------------------------------------------------------------ snowflake
@@ -803,6 +817,7 @@ def snowflake_join_plan(
     chains: list[list[tuple[str, DataFrame, str, str]]],
     n_buckets: int = 16,
     stats: dict | None = None,
+    dp: dict | None = None,
 ) -> DataFrame:
     """The snowflake form of the join-order DP — dimension arms with
     their own sub-dimensions (the TPC-H topology:
@@ -833,7 +848,7 @@ def snowflake_join_plan(
     chain_names = [[e[0] for e in ch] for ch in chains]
     _check_snowflake_labels(fname, chain_names)
     stats = stats or snowflake_join_stats(fact, chains, n_buckets)
-    dp = snowflake_plan_dp(stats)
+    dp = dp or snowflake_plan_dp(stats)
     out = []
     # 1. arm-internal interval rows
     for ci, names in enumerate(chain_names):
@@ -1059,4 +1074,4 @@ def snowflake_join_plan_sql(
     ctes.append(
         f"{x}plan AS (\n      " + "\n      UNION ALL ".join(legs) + ")"
     )
-    return ",\n    ".join(ctes)
+    return _materialize_ctes(",\n    ".join(ctes))

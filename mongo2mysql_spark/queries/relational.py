@@ -554,6 +554,34 @@ def _kmv_est_sql() -> str:
            CAST(NULL AS BOOLEAN) AS kmv_in_tol,
            CAST(NULL AS BIGINT) AS kmv_sumprod
     FROM joplan WHERE subset = 'colp'
+    UNION ALL
+    SELECT 'joinexec' AS branch,
+           {_BOUNDS_NULLS},
+           'sn:' || n_name AS setop,
+           {sql_dsum('l_extendedprice')} AS kmv_est,
+           CAST(count(*) AS BIGINT) AS kmv_cnt,
+           CAST(NULL AS BIGINT) AS kmv_theta,
+           CAST(NULL AS BIGINT) AS kmv_exact,
+           CAST(NULL AS BOOLEAN) AS kmv_in_tol,
+           CAST(NULL AS BIGINT) AS kmv_sumprod
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    JOIN part ON p_partkey = l_partkey
+    GROUP BY n_name
+    UNION ALL
+    SELECT 'joinexec' AS branch,
+           {_BOUNDS_NULLS},
+           'snplan=' || plan AS setop,
+           CAST(NULL AS DOUBLE) AS kmv_est,
+           CAST(NULL AS BIGINT) AS kmv_cnt,
+           CAST(NULL AS BIGINT) AS kmv_theta,
+           CAST(NULL AS BIGINT) AS kmv_exact,
+           CAST(NULL AS BOOLEAN) AS kmv_in_tol,
+           CAST(NULL AS BIGINT) AS kmv_sumprod
+    FROM snplan WHERE subset = 'locsnp'
     """,
     # Sketch ESTIMATES are engine-specific (HLL++/KLL internals), so the
     # raw approx values cannot cross-check against DuckDB.  The oracle
@@ -639,7 +667,12 @@ def _kmv_est_sql() -> str:
         "broadcast hint derived from the DP's row estimates instead "
         "of file sizes; the grouped exact-decimal revenue answer "
         "hashes against a plain-SQL restatement and the 'xplan=' row "
-        "re-states the decision it was served through — join-tree "
+        "re-states the decision it was served through; 'sn:' rows are "
+        "the SNOWFLAKE executor on the same slot fixture — the "
+        "q5-shaped 6-table join served through the composed DP's "
+        "structure (arms built as their own subtrees, estimate-fit "
+        "arms broadcast as one unit), revenue-by-nation hashed with "
+        "an 'snplan=' decision row — join-tree "
         "structure and build-side broadcasts are plan-asserted in "
         "tests/test_joinexec.py.  "
         "Per-bucket terms are scaled-integer floor divisions "
@@ -954,6 +987,8 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         snowflake_join_stats,
     )
 
+    from mongo2mysql_spark.operators.joinorder import snowflake_plan_dp
+
     nation = T(spark, sf_dir, "nation")
     snchains = [
         [("o", o, "l_orderkey", "o_orderkey"),
@@ -962,10 +997,12 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
          ("n", nation, "s_nationkey", "n_nationkey")],
         [("p", part, "l_partkey", "p_partkey")],
     ]
+    snstats = snowflake_join_stats(("l", li), snchains, _HJ_BUCKETS,
+                                   edge_est6=eest)
+    sndp = snowflake_plan_dp(snstats)
     snp = snowflake_join_plan(
         spark, ("l", li), snchains, n_buckets=_HJ_BUCKETS,
-        stats=snowflake_join_stats(("l", li), snchains, _HJ_BUCKETS,
-                                   edge_est6=eest),
+        stats=snstats, dp=sndp,
     )
     snowflake = snp.select(
         F.col("plan").alias("setop"),
@@ -1022,7 +1059,47 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("kmv_cnt"),
         *xnulls,
     )
-    joinexec = xrows.unionByName(xplan)
+    # ...and the SNOWFLAKE executor (r12): the q5-shaped 6-table join
+    # (lineitem with the orders<-customer and supplier<-nation arms +
+    # part) served through the composed DP's chosen structure — arms
+    # built as their own subtrees in internal-DP order, arms whose
+    # ESTIMATED joined cardinality fits broadcast as one unit (the
+    # star-transformation plan, derived from statistics); grouped
+    # revenue by nation hashes vs a plain-SQL restatement, 'snplan='
+    # restates the peel decision it was served through
+    from mongo2mysql_spark.operators.joinexec import (
+        execute_snowflake_plan,
+    )
+
+    executed_sn = execute_snowflake_plan(("l", li), snchains, snstats,
+                                         sndp)
+    snrows = (
+        executed_sn.groupBy("n_name")
+        .agg(
+            _dsum(F.col("l_extendedprice")).alias("kmv_est"),
+            F.count(F.lit(1)).cast("long").alias("kmv_cnt"),
+        )
+        .select(
+            F.concat(F.lit("sn:"), F.col("n_name")).alias("setop"),
+            "kmv_est", "kmv_cnt", *xnulls,
+        )
+    )
+    snclabels = ["".join(e[0] for e in ch) for ch in snchains]
+    snfull = tuple(range(len(snchains)))
+    snd = sndp["peel"][snfull]
+    snrest = tuple(i for i in snfull if i != snd)
+    snlbl = lambda s: "l" + "".join(snclabels[i] for i in s)  # noqa: E731
+    snplan_row = spark.range(1).select(
+        F.lit(
+            f"snplan={snlbl(snfull)}={snlbl(snrest)}+{snclabels[snd]}"
+        ).alias("setop"),
+        F.lit(None).cast("double").alias("kmv_est"),
+        F.lit(None).cast("long").alias("kmv_cnt"),
+        *xnulls,
+    )
+    joinexec = xrows.unionByName(xplan).unionByName(snrows).unionByName(
+        snplan_row
+    )
     return tagged_union(
         {
             "bounds": bounds,

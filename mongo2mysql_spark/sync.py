@@ -84,6 +84,7 @@ def incremental_export(
     batch_size: int = 1000,
     id_col: str = "_id",
     batch_df: Callable[[list[dict]], DataFrame] | None = None,
+    ddl_executor: Callable[[list[str]], None] | None = None,
 ) -> dict:
     """Sync ``collection`` into the sink incrementally: read the
     sink's high-water key, export only documents past it through the
@@ -95,9 +96,15 @@ def incremental_export(
     every statement is ``CREATE TABLE IF NOT EXISTS`` (plans/ddl.py),
     so reruns and already-present tables are no-ops, and a child table
     that first appears in NEW documents is still created.
+    ``ddl_executor`` overrides how those statements run (e.g. the
+    CLI's sqlite dialect shim); the default executes them over
+    ``connection_factory``.
     """
     hw = sink_high_water(connection_factory, collection_name, id_col)
     make_df = batch_df or (lambda b: _default_batch_df(spark, b))
+    run_ddl = ddl_executor or (
+        lambda stmts: execute_ddl(stmts, connection_factory)
+    )
     ddl_done = False
     n_docs = 0
     tables: set[str] = set()
@@ -107,7 +114,7 @@ def incremental_export(
     ):
         export = porter.export_collection(make_df(batch), collection_name)
         if not ddl_done and export.ddl:
-            execute_ddl(export.ddl, connection_factory)
+            run_ddl(export.ddl)
             ddl_done = True
         for t, tdf in export.tables.items():
             write_upsert(tdf, t, connection_factory, max_connections=1)

@@ -304,3 +304,57 @@ def test_cli_analyze_writes_joinable_stats(spark, tmp_path, capsys):
     assert main(["--analyze", "orders", "--source-dir", "x",
                  "--output-dir", out]) == 2
     assert main(["--analyze", "orders.o_custkey"]) == 2
+
+
+@pytest.mark.slow
+def test_cli_incremental_sync_fake_pymongo(spark, tmp_path, monkeypatch):
+    """--incremental drives sync.incremental_export end to end: first
+    run exports everything, a rerun after new documents reads ONLY the
+    tail past the sink's MAX(_id), and missing args error cleanly."""
+    import sqlite3
+    import sys as _sys
+    import types
+
+    from tests.test_sinks_sources import _FakeCollection
+
+    docs = [{"_id": i, "v": i * 2} for i in range(12)]
+    coll = _FakeCollection(docs)
+
+    class _DB:
+        def list_collection_names(self):
+            return ["c"]
+
+        def __getitem__(self, name):
+            assert name == "c"
+            return coll
+
+    class _Client:
+        def __init__(self, uri):
+            assert uri == "mongodb://fake"
+
+        def __getitem__(self, name):
+            assert name == "d"
+            return _DB()
+
+    fake = types.ModuleType("pymongo")
+    fake.MongoClient = _Client
+    monkeypatch.setitem(_sys.modules, "pymongo", fake)
+
+    from mongo2mysql_spark.cli import main
+
+    db = str(tmp_path / "inc.db")
+    args = ["--mongo-uri", "mongodb://fake", "--mdbname", "d",
+            "--sqlite", db, "--incremental"]
+    assert main(args) == 0
+    assert coll.queries == [{}]
+
+    docs.extend({"_id": i, "v": i * 2} for i in range(12, 15))
+    assert main(args) == 0
+    assert coll.queries[-1] == {"_id": {"$gt": 11}}
+
+    con = sqlite3.connect(db)
+    got = con.execute("SELECT count(*), max(_id) FROM c").fetchone()
+    con.close()
+    assert got == (15, 14)
+
+    assert main(["--incremental"]) == 2

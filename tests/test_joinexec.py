@@ -195,3 +195,57 @@ def test_execute_star_plan_peel_order_and_broadcasts(spark, tmp_path):
                                   broadcast_rows=50)
         tight_plan = tight._jdf.queryExecution().executedPlan().toString()
         assert tight_plan.count("BroadcastHashJoin") == 2, tight_plan
+
+
+def test_execute_snowflake_plan_structure_and_answer(spark, tmp_path):
+    """The snowflake executor builds each arm as its own subtree in
+    the arm's internal DP order, joins arms onto the fact in peel
+    order, broadcasts arms whose ESTIMATED joined cardinality fits —
+    and returns the same multiset as the naive declaration order."""
+    from mongo2mysql_spark.operators.joinexec import (
+        execute_snowflake_plan,
+        snowflake_plan_tree,
+    )
+    from mongo2mysql_spark.operators.joinorder import (
+        snowflake_join_stats,
+        snowflake_plan_dp,
+    )
+
+    fact = spark.createDataFrame(
+        [(1 + i % 50, 1 + i % 20) for i in range(400)],
+        "fo long, fp long",
+    )
+    o = spark.createDataFrame(
+        [(k, 1 + k % 10) for k in range(1, 51)], "ok long, ock long"
+    )
+    c = spark.createDataFrame([(k,) for k in range(1, 4)], "ck long")
+    p = spark.createDataFrame([(k,) for k in range(1, 21)], "pk long")
+    chains = [
+        [("o", o, "fo", "ok"), ("c", c, "ock", "ck")],
+        [("p", p, "fp", "pk")],
+    ]
+    stats = snowflake_join_stats(("f", fact), chains, n_buckets=4)
+    dp = snowflake_plan_dp(stats)
+    tree = snowflake_plan_tree("f", [["o", "c"], ["p"]], dp)
+
+    markers = {"f": "fo#", "o": "ok#", "c": "ck#", "p": "pk#"}
+    with _no_auto_broadcast(spark):
+        got = execute_snowflake_plan(("f", fact), chains, stats, dp)
+        assert _logical_join_tree(got, markers) == tree
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        # every arm (and the o⋈c internal join) fits the threshold
+        assert plan.count("BroadcastHashJoin") == 3, plan
+        naive = (
+            fact.join(o, F.col("fo") == F.col("ok"))
+            .join(c, F.col("ock") == F.col("ck"))
+            .join(p, F.col("fp") == F.col("pk"))
+        )
+        cols = sorted(naive.columns)
+        assert sorted(map(tuple, got.select(*cols).collect())) == sorted(
+            map(tuple, naive.select(*cols).collect())
+        )
+        # an arm past the threshold is NOT broadcast as a unit
+        tight = execute_snowflake_plan(("f", fact), chains, stats, dp,
+                                       broadcast_rows=10)
+        tplan = tight._jdf.queryExecution().executedPlan().toString()
+        assert tplan.count("BroadcastHashJoin") < 3, tplan
