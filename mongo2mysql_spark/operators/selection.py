@@ -130,17 +130,28 @@ def exact_quantiles(
         F.sum("__c").over(
             W.orderBy("__b").rowsBetween(W.unboundedPreceding, W.currentRow)
         ).alias("__cum"),
-    ).localCheckpoint()  # bounded frame; reused once per distinct rank
-    # locate each rank's bucket + in-bucket offset; ≤ len(ranks) rows
+    )
+    # locate EVERY rank's bucket + in-bucket offset in ONE job: the
+    # bounded rank frame broadcast-joins the histogram on __cum >= __r
+    # and min_by picks each rank's first qualifying bucket — the same
+    # "smallest __b with __cum >= r" each per-rank filter+limit(1)
+    # computed, but 1 job instead of one PER DISTINCT RANK (≤ 2·|qs|
+    # driver-coordinated jobs; at 9 quantiles that was 18 small jobs
+    # and the dominant cost of the whole operator)
+    rdf = spark.createDataFrame([(r,) for r in ranks], "__r long")
+    hit = F.struct("__b", "__c", "__cum", "__blo", "__bhi")
+    loc_rows = (
+        F.broadcast(rdf)
+        .join(cum, F.col("__cum") >= F.col("__r"))
+        .groupBy("__r")
+        .agg(F.min_by(hit, F.col("__b")).alias("__hit"))
+        .select("__r", "__hit.*")
+        .collect()
+    )
     locs = {}
     brange = {}
-    for r in ranks:
-        row = (
-            cum.filter(F.col("__cum") >= r)
-            .orderBy("__b")
-            .limit(1)
-            .collect()[0]
-        )
+    for row in loc_rows:
+        r = row["__r"]
         locs[r] = (row["__b"], r - (row["__cum"] - row["__c"]))
         brange[row["__b"]] = (row["__blo"], row["__bhi"])
 
@@ -493,6 +504,7 @@ def selectivity_estimate(
     col: str,
     ranges: list[tuple[float, float, str]],
     n_buckets: int = 8,
+    hist: DataFrame | None = None,
 ) -> DataFrame:
     """Range-predicate selectivity estimation FROM the equi-depth
     histogram — what the ANALYZE statistic exists for: the optimizer
@@ -517,7 +529,12 @@ def selectivity_estimate(
 
     if not ranges:
         raise ValueError("ranges must be non-empty")
-    hist = equi_depth_histogram(df, col, n_buckets)
+    if hist is None:
+        hist = equi_depth_histogram(df, col, n_buckets)
+    # else: the caller already holds this column's ANALYZE histogram —
+    # exactly how a real optimizer consumes the statistic (computed
+    # once, costed many times); the quantile pass is the expensive
+    # part, so sharing it is the point
     spark = df.sparkSession
     rdf = spark.createDataFrame(
         [(label, float(qlo), float(qhi)) for qlo, qhi, label in ranges],

@@ -743,8 +743,15 @@ def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one literal-comparison-chain scan
     from mongo2mysql_spark.operators.selection import equi_depth_histogram
 
+    # the lineitem price histogram is built ONCE (localCheckpoint: the
+    # exact_quantiles pass is the slot's single most expensive build
+    # job) and consumed by BOTH the 'histogram' branch and the 'selest'
+    # selectivity estimator below — the ANALYZE-statistic reuse shape
+    hist_li = equi_depth_histogram(
+        li, "l_extendedprice", _HIST_BUCKETS
+    ).localCheckpoint()
     hist = (
-        equi_depth_histogram(li, "l_extendedprice", _HIST_BUCKETS)
+        hist_li
         .select(F.lit("lineitem.l_extendedprice").alias("column"), "*")
         .unionByName(
             equi_depth_histogram(
@@ -823,7 +830,7 @@ def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mongo2mysql_spark.operators.selection import selectivity_estimate
 
     sel = selectivity_estimate(
-        li, "l_extendedprice", _SEL_RANGES, _HIST_BUCKETS
+        li, "l_extendedprice", _SEL_RANGES, _HIST_BUCKETS, hist=hist_li
     ).select(
         F.lit("lineitem.l_extendedprice").alias("column"),
         F.col("label").alias("key"),
