@@ -125,7 +125,8 @@ BRANCHED = {
     "agg_approx_sketches": ("branch", ["bounds", "kmv", "joinest",
                                        "histjoinest", "histstats",
                                        "joinorder", "starorder",
-                                       "snowflake", "joinexec"]),
+                                       "snowflake", "graphorder",
+                                       "joinexec"]),
     "profile_table_stats": ("branch", ["profile", "integrity", "skew",
                                        "histogram", "cms", "cmsstr",
                                        "cmsstream", "encoding", "fd",

@@ -199,3 +199,65 @@ def execute_star_plan(
         side = F.broadcast(ddf) if dim_rows[d] <= broadcast_rows else ddf
         out = out.join(side, F.col(fk) == F.col(dk))
     return out
+
+
+def graph_plan_tree(
+    names: list[str], split: dict[int, int], mask: int | None = None
+) -> tuple | str:
+    """The general-graph DP's chosen join tree as nested (left, right)
+    tuples of table names — the bushy structure tests assert the
+    physical plan against."""
+    if mask is None:
+        mask = (1 << len(names)) - 1
+    if mask & (mask - 1) == 0:
+        return names[mask.bit_length() - 1]
+    s1 = split[mask]
+    return (
+        graph_plan_tree(names, split, s1),
+        graph_plan_tree(names, split, mask ^ s1),
+    )
+
+
+def execute_graph_plan(
+    tables: list[tuple[str, DataFrame]],
+    edges: list[tuple[int, int, str, str]],
+    est: dict[int, int],
+    split: dict[int, int],
+    broadcast_rows: int = BROADCAST_ROWS,
+) -> DataFrame:
+    """Build the general-graph join following the DP's chosen csg-cmp
+    splits (:func:`joinorder.graph_plan_dp` output — the same integers
+    the hashed 'graphorder' rows state).  At each composite join EVERY
+    edge crossing the split is applied as one conjunct — on cyclic
+    graphs (the true q5 topology) the cycle-closing edge therefore
+    lands as a join-time filter exactly where the DP costed it,
+    instead of being dropped (snowflake) or deferred to a post-join
+    WHERE (the plan Catalyst is handed never builds the unfiltered
+    intermediate).  The smaller ESTIMATED side is broadcast when it
+    fits ``broadcast_rows`` (ties prefer the right/build side)."""
+    epairs = [(u, v) for u, v, _ku, _kv in edges]
+
+    def build(mask: int) -> DataFrame:
+        if mask & (mask - 1) == 0:
+            return tables[mask.bit_length() - 1][1]
+        s1 = split[mask]
+        s2 = mask ^ s1
+        left = build(s1)
+        right = build(s2)
+        conds = [
+            F.col(ku) == F.col(kv)
+            for (u, v), (_u, _v, ku, kv) in zip(epairs, edges)
+            if (s1 >> u & 1 and s2 >> v & 1)
+            or (s2 >> u & 1 and s1 >> v & 1)
+        ]
+        cond = conds[0]
+        for c in conds[1:]:
+            cond = cond & c
+        le, re_ = est[s1], est[s2]
+        if re_ <= broadcast_rows and re_ <= le:
+            right = F.broadcast(right)
+        elif le <= broadcast_rows:
+            left = F.broadcast(left)
+        return left.join(right, cond)
+
+    return build((1 << len(tables)) - 1)

@@ -1075,3 +1075,385 @@ def snowflake_join_plan_sql(
         f"{x}plan AS (\n      " + "\n      UNION ALL ".join(legs) + ")"
     )
     return _materialize_ctes(",\n    ".join(ctes))
+
+
+# ------------------------------------------------------------- general graph
+
+
+def graph_adjacency(k: int, epairs: list[tuple[int, int]]) -> list[int]:
+    """Adjacency bitmasks for ``k`` vertices and undirected edge index
+    pairs (u < v required — the canonical edge orientation every
+    consumer of this module shares)."""
+    adj = [0] * k
+    for u, v in epairs:
+        if not (0 <= u < v < k):
+            raise ValueError(f"edge ({u}, {v}) must satisfy 0 <= u < v < k")
+        adj[u] |= 1 << v
+        adj[v] |= 1 << u
+    return adj
+
+
+def _mask_connected(mask: int, adj: list[int]) -> bool:
+    if mask == 0:
+        return False
+    seen = frontier = mask & -mask
+    while frontier:
+        nxt, m = 0, frontier
+        while m:
+            b = m & -m
+            m ^= b
+            nxt |= adj[b.bit_length() - 1] & mask & ~seen
+        seen |= nxt
+        frontier = nxt
+    return seen == mask
+
+
+def graph_connected_masks(
+    k: int, epairs: list[tuple[int, int]]
+) -> list[int]:
+    """Every connected vertex subset as a bitmask, in (size, mask)
+    order — the shared enumeration order of the Spark planner, the SQL
+    generator, and the executor."""
+    adj = graph_adjacency(k, epairs)
+    masks = [m for m in range(1, 1 << k) if _mask_connected(m, adj)]
+    masks.sort(key=lambda m: (bin(m).count("1"), m))
+    return masks
+
+
+def graph_splits(
+    mask: int, epairs: list[tuple[int, int]], adj: list[int]
+) -> list[tuple[int, int]]:
+    """The csg-cmp split candidates of a connected subset: proper
+    bipartitions (S1, S2) with S1 carrying the lowest vertex (each
+    unordered split enumerated once), BOTH sides induced-connected, and
+    at least one edge crossing (no cross products — DPccp's join-pair
+    condition, Moerkotte & Neumann VLDB 2006).  Ordered by increasing
+    S1 mask — the tiebreak order (smallest left mask first-wins, the
+    general form of the chain DP's smallest-cut rule)."""
+    low = mask & -mask
+    out = []
+    s1 = (mask - 1) & mask
+    while s1:
+        if s1 & low:
+            s2 = mask ^ s1
+            if (
+                _mask_connected(s1, adj)
+                and _mask_connected(s2, adj)
+                and any(
+                    (s1 >> u & 1 and s2 >> v & 1)
+                    or (s2 >> u & 1 and s1 >> v & 1)
+                    for u, v in epairs
+                )
+            ):
+                out.append((s1, s2))
+        s1 = (s1 - 1) & mask
+    out.reverse()  # submask walk runs descending; candidates ascend
+    return out
+
+
+def _closing_edges(
+    mask: int, epairs: list[tuple[int, int]]
+) -> tuple[int, int, list[tuple[int, int]]]:
+    """(max vertex v, prev mask, [(edge_idx, u)]) — the canonical
+    est-recursion step: remove the highest vertex; the listed edges
+    (ascending input index) are those joining v back to the rest."""
+    v = mask.bit_length() - 1
+    prev = mask ^ (1 << v)
+    closing = [
+        (i, u) for i, (u, w) in enumerate(epairs)
+        if w == v and (prev >> u) & 1
+    ]
+    return v, prev, closing
+
+
+def graph_est_fold(
+    rows: list[int], epairs: list[tuple[int, int]], est6: list[int]
+) -> dict[int, int]:
+    """Cardinality estimates for EVERY non-empty subset by the
+    canonical max-vertex fold: est(S) starts from est(S−v)·rows[v]
+    (v the highest vertex) and applies each edge closing into v, in
+    edge input order, as ``·est6[e] DIV (10^6·rows[u]·rows[v])`` —
+    exact integer floors at fixed points, so both engines agree bit
+    for bit.  Because ``(k·x) DIV (k·y) = x DIV y``, on chain
+    intervals this equals :func:`chain_plan_dp`'s right-extension
+    recurrence EXACTLY, and on star subsets :func:`star_plan_dp`'s
+    input-order fold — the degeneracy tests pin both.  Disconnected
+    subsets fold with no closing edges (a cross-product estimate);
+    they are never emitted or costed, but the recursion passes through
+    them."""
+    k = len(rows)
+    est: dict[int, int] = {0: 1}
+    for mask in range(1, 1 << k):
+        v, prev, closing = _closing_edges(mask, epairs)
+        acc = est[prev] * rows[v]
+        for i, u in closing:
+            if rows[u] == 0 or rows[v] == 0:
+                acc = 0
+            else:
+                acc = (acc * est6[i]) // (_SCALE * rows[u] * rows[v])
+        est[mask] = acc
+    return est
+
+
+def graph_plan_dp(
+    rows: list[int],
+    epairs: list[tuple[int, int]],
+    est6: list[int],
+) -> tuple[dict[int, int], dict[int, int], dict[int, int]]:
+    """The pure-integer DP over a GENERAL connected query graph —
+    cycles included (DPsub enumeration of DPccp's csg-cmp pairs; cost
+    model C_out): cost(singleton) = 0, cost(S) = min over
+    :func:`graph_splits` of cost(S1) + cost(S2) + est(S), ties broken
+    by the smallest S1 mask (strict <).  Returns ``(est, cost, split)``
+    keyed by subset mask; ``split[S]`` is the chosen S1.
+
+    Degeneracies (tests/test_graphorder.py): on a path graph this IS
+    :func:`chain_plan_dp` bit for bit (est, cost, AND chosen splits —
+    smallest-S1-mask generalizes smallest-cut); on a star graph est
+    and cost match :func:`star_plan_dp` bit for bit, and the peel
+    agrees whenever the optimum is unique (the mask order enumerates
+    peeled dims in the opposite direction, so exact cost TIES may
+    resolve to a different — equally cheap — dim)."""
+    k = len(rows)
+    adj = graph_adjacency(k, epairs)
+    est = graph_est_fold(rows, epairs, est6)
+    cost: dict[int, int] = {}
+    split: dict[int, int] = {}
+    for mask in graph_connected_masks(k, epairs):
+        if mask & (mask - 1) == 0:
+            cost[mask] = 0
+            continue
+        best, best_s1 = None, None
+        for s1, s2 in graph_splits(mask, epairs, adj):
+            c = cost[s1] + cost[s2] + est[mask]
+            if best is None or c < best:
+                best, best_s1 = c, s1
+        if best is None:
+            raise ValueError(
+                f"connected subset {mask:b} has no connected split — "
+                f"graph is not well-formed"
+            )
+        cost[mask] = best
+        split[mask] = best_s1
+    return est, cost, split
+
+
+def _graph_label(mask: int, names: list[str]) -> str:
+    return "".join(n for i, n in enumerate(names) if mask >> i & 1)
+
+
+def _check_graph_labels(
+    names: list[str], epairs: list[tuple[int, int]]
+) -> None:
+    """Every connected subset's label (input-order name concatenation)
+    is an output subset key and appears in plan strings; reject
+    collisions the way the star/snowflake checks do."""
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate table names: {names}")
+    k = len(names)
+    if k > 12:
+        raise ValueError(f"too many tables for subset enumeration: {k}")
+    labels = [
+        _graph_label(m, names) for m in graph_connected_masks(k, epairs)
+    ]
+    if len(set(labels)) != len(labels):
+        dupes = sorted({l for l in labels if labels.count(l) > 1})
+        raise ValueError(
+            f"graph subset labels collide: {dupes}; use short names "
+            f"whose concatenations are unambiguous"
+        )
+
+
+def graph_join_stats(
+    tables: list[tuple[str, DataFrame]],
+    edges: list[tuple[int, int, str, str]],
+    n_buckets: int = 16,
+    edge_est6=None,
+) -> tuple[list[int], list[int]]:
+    """(per-table rows, per-edge est6) for the general-graph DP.  Edge
+    = (table index u, table index v, key on u, key on v), u < v."""
+    fn = edge_est6 or _edge_est6
+    rows = [df.count() for _, df in tables]
+    est6 = [
+        fn(tables[u][1], ku, tables[v][1], kv, n_buckets)
+        for u, v, ku, kv in edges
+    ]
+    return rows, est6
+
+
+def graph_join_plan(
+    spark,
+    tables: list[tuple[str, DataFrame]],
+    edges: list[tuple[int, int, str, str]],
+    n_buckets: int = 16,
+    stats: tuple[list[int], list[int]] | None = None,
+    dp: tuple[dict, dict, dict] | None = None,
+) -> DataFrame:
+    """Join-order enumeration over a GENERAL connected query graph —
+    the form the chain/star/snowflake planners specialize (their
+    docstrings scope bushy general-graph plans out; this closes that
+    scope): arbitrary connectivity including CYCLES, e.g. the TRUE
+    TPC-H q5 topology where customer and supplier must share a nation
+    — two edges into the same table closing a 5-cycle, which no
+    chain, star, or snowflake decomposition can represent (the
+    snowflake fixture drops the customer-nation edge; this planner
+    carries it, and the executor applies it as a join conjunction).
+
+    Emits one row per connected subset with >= 2 tables, in (size,
+    mask) order: ``(subset, plan, est_rows, best_cost, n_tables)``
+    with ``plan = "<subset>=<S1>+<S2>"`` for the chosen csg-cmp
+    split.  All integers from :func:`graph_plan_dp` — engine-identical
+    by construction, hashed against :func:`graph_join_plan_sql`.
+
+    Scale shape: statistics are the same bounded ANALYZE aggregates
+    the other planners read (≤ n_buckets rows per table side per
+    edge); the DP is driver-side arithmetic over at most 3^k
+    csg-cmp pairs (81 for the 6-table q5 graph) — exactly where a
+    real optimizer runs it.
+    """
+    if len(tables) < 2 or not edges:
+        raise ValueError("need >= 2 tables and >= 1 edge")
+    names = [n for n, _ in tables]
+    epairs = [(u, v) for u, v, _ku, _kv in edges]
+    k = len(tables)
+    adj = graph_adjacency(k, epairs)
+    if not _mask_connected((1 << k) - 1, adj):
+        raise ValueError("query graph must be connected")
+    _check_graph_labels(names, epairs)
+    rows, est6 = stats or graph_join_stats(tables, edges, n_buckets)
+    est, cost, split = dp or graph_plan_dp(rows, epairs, est6)
+    out = []
+    for mask in graph_connected_masks(k, epairs):
+        if mask & (mask - 1) == 0:
+            continue
+        s1 = split[mask]
+        s2 = mask ^ s1
+        lbl = _graph_label(mask, names)
+        out.append(
+            (
+                lbl,
+                f"{lbl}={_graph_label(s1, names)}+{_graph_label(s2, names)}",
+                est[mask],
+                cost[mask],
+                bin(mask).count("1"),
+            )
+        )
+    return spark.createDataFrame(
+        out,
+        "subset string, plan string, est_rows long, best_cost long,"
+        " n_tables int",
+    )
+
+
+def graph_join_plan_sql(
+    tables: list[tuple[str, str]],
+    edges: list[tuple[int, int, str, str]],
+    n_buckets: int = 16,
+    prefix: str = "gr",
+) -> str:
+    """DuckDB restatement of :func:`graph_join_plan`: per-edge shared-
+    boundary bucket statistics, the max-vertex cardinality fold
+    unrolled per subset MASK (CTE names are mask numbers, so label
+    text never constrains the lattice), and the csg-cmp DP with the
+    ordered-CASE smallest-S1-mask tiebreak.  ``tables`` =
+    (sql_table, short_name); edge = (u, v, key_u, key_v).  Final CTE
+    ``<prefix>plan(subset, plan, est_rows, best_cost, n_tables)``."""
+    if len(tables) < 2 or not edges:
+        raise ValueError("need >= 2 tables and >= 1 edge")
+    x = prefix
+    names = [s for _, s in tables]
+    epairs = [(u, v) for u, v, _ku, _kv in edges]
+    k = len(tables)
+    adj = graph_adjacency(k, epairs)
+    if not _mask_connected((1 << k) - 1, adj):
+        raise ValueError("query graph must be connected")
+    _check_graph_labels(names, epairs)
+    ctes = []
+    for t, s in tables:
+        ctes.append(
+            f"{x}n_{s} AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM {t})"
+        )
+    for i, (u, v, ku, kv) in enumerate(edges):
+        ctes.append(
+            _edge_t6_sql(f"{x}e{i}", tables[u][0], ku, tables[v][0], kv,
+                         n_buckets)
+        )
+
+    def n_of(i: int) -> str:
+        return f"(SELECT n FROM {x}n_{names[i]})"
+
+    # est CTEs for every non-empty mask in mask order (the recursion
+    # visits disconnected intermediates; est(0) = 1 inlined)
+    for mask in range(1, 1 << k):
+        v, prev, closing = _closing_edges(mask, epairs)
+        base = "CAST(1 AS HUGEINT)" if prev == 0 else (
+            f"(SELECT est FROM {x}est_m{prev})"
+        )
+        expr = f"{base} * {n_of(v)}"
+        for i, u in closing:
+            expr = (
+                f"CASE WHEN {n_of(u)} = 0 OR {n_of(v)} = 0 THEN 0"
+                f" ELSE ({expr}) * (SELECT t6 FROM {x}e{i}t6)"
+                f" // ({_SCALE} * {n_of(u)} * {n_of(v)}) END"
+            )
+        ctes.append(
+            f"{x}est_m{mask} AS (SELECT CAST({expr} AS HUGEINT) AS est)"
+        )
+    conn = graph_connected_masks(k, epairs)
+    for mask in conn:
+        if mask & (mask - 1) == 0:
+            continue
+        alts, plans = [], []
+        for s1, s2 in graph_splits(mask, epairs, adj):
+            left = (
+                "CAST(0 AS HUGEINT)" if s1 & (s1 - 1) == 0
+                else f"(SELECT cost FROM {x}cost_m{s1})"
+            )
+            right = (
+                "CAST(0 AS HUGEINT)" if s2 & (s2 - 1) == 0
+                else f"(SELECT cost FROM {x}cost_m{s2})"
+            )
+            alts.append(
+                f"{left} + {right} + (SELECT est FROM {x}est_m{mask})"
+            )
+            plans.append(
+                f"'{_graph_label(mask, names)}"
+                f"={_graph_label(s1, names)}+{_graph_label(s2, names)}'"
+            )
+        best = f"LEAST({', '.join(alts)})" if len(alts) > 1 else alts[0]
+        if len(alts) == 1:
+            plan_expr = plans[0]
+        else:
+            cases = []
+            for ci in range(len(alts)):
+                if ci == len(alts) - 1:
+                    cases.append(f"ELSE {plans[ci]}")
+                else:
+                    conds = " AND ".join(
+                        f"({alts[ci]}) <= ({alts[cj]})"
+                        for cj in range(ci + 1, len(alts))
+                    )
+                    cases.append(f"WHEN {conds} THEN {plans[ci]}")
+            plan_expr = f"CASE {' '.join(cases)} END"
+        ctes.append(
+            f"{x}cost_m{mask} AS (SELECT CAST({best} AS HUGEINT) AS cost,"
+            f" {plan_expr} AS plan)"
+        )
+    legs = []
+    for mask in conn:
+        if mask & (mask - 1) == 0:
+            continue
+        lbl = _graph_label(mask, names)
+        legs.append(
+            f"SELECT '{lbl}' AS subset,"
+            f" (SELECT plan FROM {x}cost_m{mask}) AS plan,"
+            f" CAST((SELECT est FROM {x}est_m{mask}) AS BIGINT)"
+            f" AS est_rows,"
+            f" CAST((SELECT cost FROM {x}cost_m{mask}) AS BIGINT)"
+            f" AS best_cost,"
+            f" CAST({bin(mask).count('1')} AS INTEGER) AS n_tables"
+        )
+    ctes.append(
+        f"{x}plan AS (\n      " + "\n      UNION ALL ".join(legs) + ")"
+    )
+    return _materialize_ctes(",\n    ".join(ctes))

@@ -30,6 +30,7 @@ from mongo2mysql_spark.functions.scalar import davg, dmul, dsum, sql_davg, sql_d
 from mongo2mysql_spark.operators.histjoin import hist_join_estimate_sql
 from mongo2mysql_spark.operators.joinorder import (
     chain_join_plan_sql,
+    graph_join_plan_sql,
     snowflake_join_plan_sql,
     star_join_plan_sql,
 )
@@ -436,6 +437,17 @@ def _kmv_est_sql() -> str:
           ("nation", "n", "s_nationkey", "n_nationkey")],
          [("part", "p", "l_partkey", "p_partkey")]],
         _HJ_BUCKETS,
+    )},
+    {graph_join_plan_sql(
+        [("customer", "c"), ("orders", "o"), ("lineitem", "l"),
+         ("supplier", "s"), ("nation", "n"), ("region", "r")],
+        [(0, 1, "c_custkey", "o_custkey"),
+         (1, 2, "o_orderkey", "l_orderkey"),
+         (2, 3, "l_suppkey", "s_suppkey"),
+         (0, 4, "c_nationkey", "n_nationkey"),
+         (3, 4, "s_nationkey", "n_nationkey"),
+         (4, 5, "n_regionkey", "r_regionkey")],
+        _HJ_BUCKETS,
     )}
     SELECT 'bounds' AS branch,
            CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
@@ -529,6 +541,17 @@ def _kmv_est_sql() -> str:
            CAST(NULL AS BIGINT) AS kmv_sumprod
     FROM snplan
     UNION ALL
+    SELECT 'graphorder' AS branch,
+           {_BOUNDS_NULLS},
+           plan AS setop,
+           CAST(est_rows AS DOUBLE) AS kmv_est,
+           best_cost AS kmv_cnt,
+           CAST(n_tables AS BIGINT) AS kmv_theta,
+           CAST(NULL AS BIGINT) AS kmv_exact,
+           CAST(NULL AS BOOLEAN) AS kmv_in_tol,
+           CAST(NULL AS BIGINT) AS kmv_sumprod
+    FROM grplan
+    UNION ALL
     SELECT 'joinexec' AS branch,
            {_BOUNDS_NULLS},
            'x' || l_returnflag AS setop,
@@ -582,6 +605,34 @@ def _kmv_est_sql() -> str:
            CAST(NULL AS BOOLEAN) AS kmv_in_tol,
            CAST(NULL AS BIGINT) AS kmv_sumprod
     FROM snplan WHERE subset = 'locsnp'
+    UNION ALL
+    SELECT 'joinexec' AS branch,
+           {_BOUNDS_NULLS},
+           'g:' || n_name AS setop,
+           {sql_dsum('l_extendedprice')} AS kmv_est,
+           CAST(count(*) AS BIGINT) AS kmv_cnt,
+           CAST(NULL AS BIGINT) AS kmv_theta,
+           CAST(NULL AS BIGINT) AS kmv_exact,
+           CAST(NULL AS BOOLEAN) AS kmv_in_tol,
+           CAST(NULL AS BIGINT) AS kmv_sumprod
+    FROM customer
+    JOIN orders ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = c_nationkey AND n_nationkey = s_nationkey
+    JOIN region ON r_regionkey = n_regionkey
+    GROUP BY n_name
+    UNION ALL
+    SELECT 'joinexec' AS branch,
+           {_BOUNDS_NULLS},
+           'gplan=' || plan AS setop,
+           CAST(NULL AS DOUBLE) AS kmv_est,
+           CAST(NULL AS BIGINT) AS kmv_cnt,
+           CAST(NULL AS BIGINT) AS kmv_theta,
+           CAST(NULL AS BIGINT) AS kmv_exact,
+           CAST(NULL AS BOOLEAN) AS kmv_in_tol,
+           CAST(NULL AS BIGINT) AS kmv_sumprod
+    FROM grplan WHERE subset = 'colsnr'
     """,
     # Sketch ESTIMATES are engine-specific (HLL++/KLL internals), so the
     # raw approx values cannot cross-check against DuckDB.  The oracle
@@ -660,6 +711,19 @@ def _kmv_est_sql() -> str:
         "hashed against the unrolled restatement, and the whole form "
         "degenerates bit-exactly to 'starorder' on single-table arms "
         "(tests/test_snowflake.py).  "
+        "'graphorder' rows (r12): the GENERAL-graph DP the other three "
+        "specialize (operators/joinorder.graph_join_plan — DPsub "
+        "enumeration of DPccp's csg-cmp pairs; both split sides "
+        "induced-connected, at least one crossing edge, smallest-left-"
+        "mask tiebreak) over the TRUE q5 topology: customer and "
+        "supplier BOTH join nation, closing the c-o-l-s-n 5-cycle the "
+        "snowflake form must drop, plus the nation-region tail.  "
+        "Cardinalities come from the canonical max-vertex fold (each "
+        "cycle-closing edge one more scaled-integer floor division), "
+        "bit-exactly degenerate to the chain DP (est, cost, splits) "
+        "and star DP (est, cost) — tests/test_graphorder.py; all 27 "
+        "connected subsets hash against the mask-unrolled "
+        "restatement.  "
         "'joinexec' rows (r12): the EXECUTOR — operators/"
         "joinexec.py builds the 4-way chain join in the 'joinorder' "
         "rows' chosen split structure (same statistics pass, so the "
@@ -672,9 +736,15 @@ def _kmv_est_sql() -> str:
         "q5-shaped 6-table join served through the composed DP's "
         "structure (arms built as their own subtrees, estimate-fit "
         "arms broadcast as one unit), revenue-by-nation hashed with "
-        "an 'snplan=' decision row — join-tree "
+        "an 'snplan=' decision row; 'g:' rows are the GENERAL-graph "
+        "executor on the cyclic fixture — every edge crossing a "
+        "chosen split applied as one join conjunct, so the cycle edge "
+        "lands exactly where the DP costed it instead of as a "
+        "post-join filter (revenue-by-nation where customer and "
+        "supplier share the nation, hashed vs a two-condition plain-"
+        "SQL restatement, 'gplan=' decision row) — join-tree "
         "structure and build-side broadcasts are plan-asserted in "
-        "tests/test_joinexec.py.  "
+        "tests/test_joinexec.py and tests/test_graphorder.py.  "
         "Per-bucket terms are scaled-integer floor divisions "
         "and the total is an ORDER-FREE integer sum, so all 16 bucket "
         "rows AND the total estimate hash; on this PK-FK join the "
@@ -1097,8 +1167,98 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("kmv_cnt"),
         *xnulls,
     )
-    joinexec = xrows.unionByName(xplan).unionByName(snrows).unionByName(
-        snplan_row
+    # 'graphorder' (r12): the GENERAL-graph DP — the form the chain/
+    # star/snowflake planners specialize, over the TRUE q5 topology
+    # including the cycle the snowflake fixture must drop: customer
+    # and supplier each join nation, closing the c-o-l-s-n 5-cycle,
+    # plus the n-r tail (operators/joinorder.graph_join_plan; DPsub
+    # enumeration of DPccp's csg-cmp pairs, Moerkotte & Neumann VLDB
+    # 2006; C_out).  All 27 connected subsets' estimates, costs, and
+    # chosen splits hash against the mask-unrolled restatement; the
+    # degeneracy to the chain and star DPs is bit-exact
+    # (tests/test_graphorder.py).
+    from mongo2mysql_spark.operators.joinorder import (
+        _graph_label,
+        graph_join_plan,
+        graph_plan_dp,
+    )
+
+    region = T(spark, sf_dir, "region")
+    gtables = [("c", cust), ("o", o), ("l", li), ("s", supp),
+               ("n", nation), ("r", region)]
+    gedges = [
+        (0, 1, "c_custkey", "o_custkey"),
+        (1, 2, "o_orderkey", "l_orderkey"),
+        (2, 3, "l_suppkey", "s_suppkey"),
+        (0, 4, "c_nationkey", "n_nationkey"),
+        (3, 4, "s_nationkey", "n_nationkey"),
+        (4, 5, "n_regionkey", "r_regionkey"),
+    ]
+    # rows reuse the counts the chain/snowflake stats already paid;
+    # est6 goes through the same edge memo (c-o, o-l, l-s, s-n shared)
+    grows = [
+        cstats[0][0], cstats[0][1], cstats[0][2],
+        snstats["chains"][1]["rows"][0],
+        snstats["chains"][1]["rows"][1],
+        region.count(),
+    ]
+    gest6 = [
+        eest(gtables[u][1], ku, gtables[v][1], kv, _HJ_BUCKETS)
+        for u, v, ku, kv in gedges
+    ]
+    gepairs = [(u, v) for u, v, _ku, _kv in gedges]
+    gdp = graph_plan_dp(grows, gepairs, gest6)
+    gp = graph_join_plan(
+        spark, gtables, gedges, n_buckets=_HJ_BUCKETS,
+        stats=(grows, gest6), dp=gdp,
+    )
+    graphorder = gp.select(
+        F.col("plan").alias("setop"),
+        F.col("est_rows").cast("double").alias("kmv_est"),
+        F.col("best_cost").alias("kmv_cnt"),
+        F.col("n_tables").cast("long").alias("kmv_theta"),
+        F.lit(None).cast("long").alias("kmv_exact"),
+        F.lit(None).cast("boolean").alias("kmv_in_tol"),
+        F.lit(None).cast("long").alias("kmv_sumprod"),
+    )
+    # ...and the GRAPH executor: the 6-table cyclic join served
+    # through the DP's chosen bushy structure, every crossing edge a
+    # join conjunct — the cycle edge (customer-nation) lands exactly
+    # where the DP costed it instead of as a post-join filter;
+    # revenue-by-nation hashes vs a plain-SQL restatement carrying
+    # both nation conditions, 'gplan=' restates the chosen split
+    from mongo2mysql_spark.operators.joinexec import execute_graph_plan
+
+    gest, _gcost, gsplit = gdp
+    executed_g = execute_graph_plan(gtables, gedges, gest, gsplit)
+    grows_exec = (
+        executed_g.groupBy("n_name")
+        .agg(
+            _dsum(F.col("l_extendedprice")).alias("kmv_est"),
+            F.count(F.lit(1)).cast("long").alias("kmv_cnt"),
+        )
+        .select(
+            F.concat(F.lit("g:"), F.col("n_name")).alias("setop"),
+            "kmv_est", "kmv_cnt", *xnulls,
+        )
+    )
+    gnames = [n for n, _ in gtables]
+    gfull = (1 << len(gnames)) - 1
+    gs1 = gsplit[gfull]
+    gplan_row = spark.range(1).select(
+        F.lit(
+            f"gplan={_graph_label(gfull, gnames)}"
+            f"={_graph_label(gs1, gnames)}"
+            f"+{_graph_label(gfull ^ gs1, gnames)}"
+        ).alias("setop"),
+        F.lit(None).cast("double").alias("kmv_est"),
+        F.lit(None).cast("long").alias("kmv_cnt"),
+        *xnulls,
+    )
+    joinexec = (
+        xrows.unionByName(xplan).unionByName(snrows)
+        .unionByName(snplan_row).unionByName(grows_exec)
+        .unionByName(gplan_row)
     )
     return tagged_union(
         {
@@ -1110,6 +1270,7 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
             "joinorder": joinorder,
             "starorder": starorder,
             "snowflake": snowflake,
+            "graphorder": graphorder,
             "joinexec": joinexec,
         }
     )
