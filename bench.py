@@ -86,7 +86,8 @@ BRANCHED = {
          "embedding_cosine", "edit_distance"],
     ),
     "sample_split_stratified": (
-        "branch", ["strata", "dsir", "fixedn", "groupsplit", "unimax"],
+        "branch",
+        ["strata", "dsir", "fixedn", "groupsplit", "unimax", "priority"],
     ),
     "text_winnow_fingerprints": ("branch", ["fps", "pairs", "strip"]),
     "text_profile_pii": ("branch", ["profile", "pii", "repetition", "html"]),

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mongo2mysql_spark.operators.priority import priority_sample_sql
 from mongo2mysql_spark.operators.sampling import (
     hash_sample_flag,
     hash_split,
@@ -32,6 +33,9 @@ MIX_DEFAULT = 0.05
 DSIR_M, DSIR_TARGET = 4096, "src0"
 # balanced eval-slice / per-domain cap (operators/sampling.stratified_fixed_n)
 FIXED_N = 30
+# priority sampling (operators/priority.py): k weighted samples per
+# language, weight = n_chars
+PRIO_K = 12
 # UniMax waterfill (operators/unimax.py): budget = 1/2 of corpus tokens,
 # epoch cap 2 — all-integer arithmetic so the oracle restates it exactly
 UNIMAX_B_NUM, UNIMAX_B_DEN, UNIMAX_EMAX = 1, 2, 2
@@ -133,7 +137,12 @@ def _dsir_oracle() -> str:
              CASE WHEN n_tokens > 0
                   THEN CAST((1000 * alloc) // n_tokens AS BIGINT)
                   ELSE CAST(0 AS BIGINT) END AS epochs_milli
-      FROM wstep WHERE source IS NOT NULL)
+      FROM wstep WHERE source IS NOT NULL),
+    {priority_sample_sql("documents", "doc_id", "n_chars", PRIO_K,
+                         ["lang"], prefix="pr")},
+    prtot AS (
+      SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS tw
+      FROM documents GROUP BY 1)
     SELECT 'strata' AS branch, split, lang, n_docs, n_sampled, n_mixed,
            sum_chars, min_doc_id, max_doc_id,
            CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS n_grams,
@@ -205,6 +214,43 @@ def _dsir_oracle() -> str:
            source, CAST(NULL AS BOOLEAN) AS leak_free,
            n_tokens, alloc_tokens, epochs_milli
     FROM unimax
+    UNION ALL
+    SELECT 'priority' AS branch, CAST(NULL AS VARCHAR) AS split,
+           lang, CAST(prank AS BIGINT) AS n_docs,
+           CAST(NULL AS BIGINT) AS n_sampled,
+           CAST(NULL AS BIGINT) AS n_mixed,
+           w AS sum_chars, q AS min_doc_id, tau AS max_doc_id,
+           key AS doc_id, CAST(NULL AS BIGINT) AS n_grams,
+           CAST(NULL AS VARCHAR) AS dot_tc,
+           CAST(NULL AS VARCHAR) AS dot_sc,
+           CAST(NULL AS BIGINT) AS tt, CAST(NULL AS BIGINT) AS st,
+           CAST(NULL AS BOOLEAN) AS weight_ok,
+           CAST(NULL AS VARCHAR) AS source,
+           CAST(NULL AS BOOLEAN) AS leak_free,
+           CAST(NULL AS BIGINT) AS n_tokens,
+           west AS alloc_tokens,
+           CAST(NULL AS BIGINT) AS epochs_milli
+    FROM prsample
+    UNION ALL
+    SELECT 'priority' AS branch, CAST(NULL AS VARCHAR) AS split,
+           s.lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(NULL AS BIGINT) AS n_sampled,
+           CAST(NULL AS BIGINT) AS n_mixed,
+           t.tw AS sum_chars, CAST(NULL AS BIGINT) AS min_doc_id,
+           s.tau AS max_doc_id,
+           CAST(NULL AS BIGINT) AS doc_id,
+           CAST(NULL AS BIGINT) AS n_grams,
+           CAST(SUM(CAST(s.west AS HUGEINT)) AS VARCHAR) AS dot_tc,
+           CAST(NULL AS VARCHAR) AS dot_sc,
+           CAST(NULL AS BIGINT) AS tt, CAST(NULL AS BIGINT) AS st,
+           CAST(NULL AS BOOLEAN) AS weight_ok,
+           CAST(NULL AS VARCHAR) AS source,
+           CAST(NULL AS BOOLEAN) AS leak_free,
+           CAST(NULL AS BIGINT) AS n_tokens,
+           CAST(NULL AS BIGINT) AS alloc_tokens,
+           CAST(NULL AS BIGINT) AS epochs_milli
+    FROM prsample s JOIN prtot t USING (lang)
+    GROUP BY s.lang, s.tau, t.tw
     """,
     doc=(
         "sampling surface, tagged: 'strata' rows audit the deterministic "
@@ -240,7 +286,21 @@ def _dsir_oracle() -> str:
         "remaining/remaining_domains) of a half-corpus token budget — "
         "ONE corpus aggregation then D-row driver math, all-integer, "
         "restated exactly by a recursive-CTE oracle and hash-verified "
-        "per domain."
+        "per domain.  'priority' rows (r12) are PRIORITY SAMPLING "
+        "(operators/priority.py — Duffield, Lund & Thorup, JACM 2007): "
+        f"the {PRIO_K} highest-priority docs per language, weight = "
+        "n_chars, priority w/alpha derandomized as the scaled integer "
+        "(w<<40) DIV (salted-28-bit-md5+1) — sample membership, every "
+        "priority, the (k+1)-th-priority threshold tau, and the "
+        "unbiased-estimator terms max(w<<12, tau) all hash bit-exactly "
+        "(item rows: n_docs=rank, sum_chars=w, min_doc_id=q, "
+        "max_doc_id=tau, alloc_tokens=west; summary row per language: "
+        "n_docs=|sample|, sum_chars=true total weight, dot_tc=Σwest "
+        "digit-exact — Σwest/2^12 estimates that total, unbiasedness "
+        "pinned over 400 salts in tests/test_priority.py).  Ranking "
+        "rides the two-phase salted top-k (no single-reducer window); "
+        "the weighted sample answers subset-sum queries at 100 TB "
+        "without rescanning — the weighted complement to 'fixedn'."
     ),
 )
 def sample_split_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -377,6 +437,50 @@ def sample_split_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
             e_max=UNIMAX_EMAX,
         ),
     )
+    # 'priority' (r12): priority sampling (operators/priority.py —
+    # Duffield/Lund/Thorup JACM 2007, derandomized): the PRIO_K
+    # highest-priority docs per language, weighted by n_chars.  Column
+    # reuse (tagged-union discipline): item rows carry n_docs=prank,
+    # sum_chars=w, min_doc_id=q, max_doc_id=tau, alloc_tokens=west;
+    # the per-language summary row carries n_docs=|sample|,
+    # sum_chars=the language's TRUE total weight, max_doc_id=tau and
+    # dot_tc=Σwest as digit-exact VARCHAR — Σwest/2^12 is the
+    # unbiased estimate of that true total, so the hash pins the
+    # whole estimator pipeline, not just membership.
+    from mongo2mysql_spark.operators.priority import priority_sample
+
+    ps = priority_sample(
+        d.select("doc_id", "lang", "n_chars"), "doc_id", "n_chars",
+        PRIO_K, group_cols=["lang"],
+    )
+    prio_items = ps.select(
+        "lang",
+        F.col("prank").cast("long").alias("n_docs"),
+        F.col("w").alias("sum_chars"),
+        F.col("q").alias("min_doc_id"),
+        F.col("tau").alias("max_doc_id"),
+        F.col("key").alias("doc_id"),
+        F.col("west").alias("alloc_tokens"),
+    )
+    prtot = d.groupBy("lang").agg(
+        F.sum(F.col("n_chars").cast("long")).alias("sum_chars")
+    )
+    prio_sum = (
+        ps.groupBy("lang", "tau")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("west").cast("decimal(38,0)")).alias("__ws"),
+        )
+        .join(F.broadcast(prtot), "lang")
+        .select(
+            "lang",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            "sum_chars",
+            F.col("tau").alias("max_doc_id"),
+            F.col("__ws").cast("string").alias("dot_tc"),
+        )
+    )
+    prio = prio_items.unionByName(prio_sum, allowMissingColumns=True)
     return tagged_union(
         {
             "strata": strata,
@@ -384,5 +488,6 @@ def sample_split_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fixedn": fixedn,
             "groupsplit": gs,
             "unimax": uni,
+            "priority": prio,
         }
     )
