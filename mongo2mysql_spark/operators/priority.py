@@ -88,8 +88,19 @@ def priority_sample(
     the salt space).  Weights outside (0, 2^20] fail loudly at action
     time — the same runtime-enforced domain discipline as the CMS key
     fold."""
-    from mongo2mysql_spark.operators.skew import salted_topk_per_group
+    base = _priority_base(df, key_col, weight_col, group_cols, salt)
+    return _priority_finalize(base, k, group_cols or [])
 
+
+def _priority_base(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    group_cols: list[str] | None,
+    salt: str,
+) -> DataFrame:
+    """The (group..., key, w, q) precursor frame — validated weight
+    plus the scaled-integer priority."""
     group_cols = group_cols or []
     w = F.col(weight_col).cast("long")
     w_ok = F.when((w > 0) & (w <= W_MAX), w).otherwise(
@@ -102,18 +113,41 @@ def priority_sample(
             )
         )
     )
-    h = priority_hash(F.col(key_col), salt)
-    base = df.select(
+    return df.select(
         *group_cols,
         F.col(key_col).alias("key"),
         w_ok.alias("w"),
         F.expr(f"(CAST({weight_col} AS BIGINT) * {1 << P_SHIFT})"
                f" div ({sql_ph_spark(key_col, salt)} + 1)").alias("q"),
     )
+
+
+def _priority_ranked(
+    base: DataFrame, k1: int, group_cols: list[str]
+) -> DataFrame:
+    """Top-``k1`` of a (group..., key, w, q) frame by (q desc, key),
+    with ``prank``.  Grouped ranking rides the two-phase salted
+    top-k; the global form is TakeOrderedAndProject + a re-rank of
+    the k1 survivors on one tiny partition."""
+    from mongo2mysql_spark.operators.skew import salted_topk_per_group
+
     order = [F.col("q").desc(), F.col("key")]
     if group_cols:
-        ranked = salted_topk_per_group(base, group_cols, order, k + 1)
-        ranked = ranked.withColumnRenamed("rank", "prank")
+        return salted_topk_per_group(
+            base, group_cols, order, k1
+        ).withColumnRenamed("rank", "prank")
+    from pyspark.sql import Window as W
+
+    return base.orderBy(*order).limit(k1).withColumn(
+        "prank", F.row_number().over(W.orderBy(*order))
+    )
+
+
+def _priority_finalize(
+    base: DataFrame, k: int, group_cols: list[str]
+) -> DataFrame:
+    ranked = _priority_ranked(base, k + 1, group_cols)
+    if group_cols:
         tau = ranked.filter(F.col("prank") == k + 1).select(
             *group_cols, F.col("q").alias("tau")
         )
@@ -122,13 +156,6 @@ def priority_sample(
             .join(F.broadcast(tau), group_cols, "left")
         )
     else:
-        from pyspark.sql import Window as W
-
-        # global top-(k+1) is TakeOrderedAndProject (no full sort);
-        # the k+1 survivors re-rank on one tiny partition
-        ranked = base.orderBy(*order).limit(k + 1).withColumn(
-            "prank", F.row_number().over(W.orderBy(*order))
-        )
         # always-one-row threshold frame (NULL when the input fits
         # entirely) — a filter+crossJoin would drop every row then
         tau = ranked.agg(
@@ -144,6 +171,45 @@ def priority_sample(
         "west",
         F.greatest(F.col("w") * F.lit(1 << E_SHIFT), F.col("tau")),
     )
+
+
+def priority_sketch(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    group_cols: list[str] | None = None,
+    salt: str = "prio",
+) -> DataFrame:
+    """The MERGEABLE state of a k-sample: the top-(k+1) rows per group
+    as (group..., key, w, q) — k+1, not k, because the threshold
+    witness must survive merging.  Any element ranked <= k+1 in a
+    union is ranked <= k+1 in its own part (at most k union elements
+    beat it), so the union's top-(k+1) is contained in the union of
+    part sketches — :func:`priority_merge` over DISJOINT parts is
+    therefore EXACTLY :func:`priority_sample` of the concatenation,
+    bit for bit (tests/test_priority.py pins it).  At 100 TB this is
+    the point: per-partition/per-day sketches of k+1 rows each merge
+    without rescanning anything."""
+    base = _priority_base(df, key_col, weight_col, group_cols, salt)
+    return _priority_ranked(base, k + 1, group_cols or []).drop("prank")
+
+
+def priority_merge(
+    sketches: list[DataFrame], k: int,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Merge :func:`priority_sketch` frames over DISJOINT key sets
+    into the finished sample (same schema as :func:`priority_sample`).
+    Exact by the containment argument on the sketch docstring; inputs
+    are |groups|·(k+1)-row frames, so the merge never touches base
+    data."""
+    if not sketches:
+        raise ValueError("need at least one sketch")
+    u = sketches[0]
+    for s in sketches[1:]:
+        u = u.unionByName(s)
+    return _priority_finalize(u, k, group_cols or [])
 
 
 def sql_ph_spark(key_col: str, salt: str) -> str:
