@@ -177,3 +177,46 @@ def test_priority_sketch_merge_equals_one_shot(spark):
         assert sorted(map(tuple, merged.collect())) == sorted(
             map(tuple, one_shot.collect())
         ), gc
+
+
+def test_prio_store_fold_equals_one_shot(spark, tmp_path):
+    """The streaming store (streaming/priostore.py): three disjoint
+    batch folds == the one-shot sample bit for bit; replay of an
+    applied (writer, epoch) is a no-op; empty store reads None."""
+    from mongo2mysql_spark.operators.priority import priority_sample
+    from mongo2mysql_spark.streaming.priostore import (
+        prio_store_sample,
+        read_prio_store,
+        refresh_prio_store,
+    )
+
+    store = str(tmp_path / "store")
+    import os
+
+    os.makedirs(store)
+    assert read_prio_store(spark, store) is None
+    assert prio_store_sample(spark, store, k=9) is None
+
+    rows = [(i, w, "g%d" % (i % 2)) for i, w in _ITEMS]
+    df = spark.createDataFrame(rows, "doc_id long, w long, grp string")
+    for r in range(3):
+        assert refresh_prio_store(
+            df.filter(F.col("doc_id") % 3 == r),
+            store, "doc_id", "w", k=9, group_cols=["grp"],
+            writer=f"w{r}", epoch=0,
+        )
+    # replay guard
+    assert not refresh_prio_store(
+        df.filter(F.col("doc_id") % 3 == 0),
+        store, "doc_id", "w", k=9, group_cols=["grp"],
+        writer="w0", epoch=0,
+    )
+    served = prio_store_sample(spark, store, k=9, group_cols=["grp"])
+    one_shot = priority_sample(df, "doc_id", "w", k=9,
+                               group_cols=["grp"])
+    assert sorted(map(tuple, served.collect())) == sorted(
+        map(tuple, one_shot.collect())
+    )
+    # stored state is bounded: top-(k+1) rows per group
+    state = read_prio_store(spark, store)
+    assert state.count() <= 2 * 10
