@@ -137,7 +137,7 @@ BRANCHED = {
                                     "backtest", "ohlc", "trend", "mad",
                                     "twap"]),
     "streaming_enrich_join": ("branch", ["enrich", "joinview"]),
-    "topk_parts_per_brand": ("op", ["topk", "min", "basket"]),
+    "topk_parts_per_brand": ("op", ["topk", "min", "basket", "zorder"]),
     "events_hypertable_rollup": ("granularity", ["hour", "day", "week",
                                                  "sliding24h"]),
     "drift_psi": ("kind", ["numeric", "categorical", "cusum"]),

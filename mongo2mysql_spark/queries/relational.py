@@ -1631,6 +1631,18 @@ from mongo2mysql_spark.operators.basket import association_rules_sql
 # baskets; thresholds sized so the sf0.01 gate carries a few thousand
 # qualifying pairs
 _BK_MIN_ITEM, _BK_MIN_PAIR = 5, 2
+# z-order layout readout (operators/zorder.py): lineitem keyed by
+# (l_partkey, l_suppkey), each range-normalized to 10 bits before
+# interleaving; 64 zone-map buckets; the planted 2-D predicate box
+# (raw domain) is valid at every gate SF
+_ZO_BITS, _ZO_BUCKETS = 10, 64
+_ZO_BOX = (20, 150, 2, 7)          # selective in both dimensions
+_ZO_BOX1 = (0, 1 << 20, 2, 7)      # second-column-only predicate
+from mongo2mysql_spark.operators.zorder import (  # noqa: E402
+    sql_prune_counts,
+    sql_z_bucket_stats,
+)
+
 _BASKET_NULLS = """CAST(NULL AS BIGINT) AS item_a,
            CAST(NULL AS BIGINT) AS item_b, CAST(NULL AS BIGINT) AS n_a,
            CAST(NULL AS BIGINT) AS n_b, CAST(NULL AS BIGINT) AS n_ab,
@@ -1644,7 +1656,11 @@ _BASKET_NULLS = """CAST(NULL AS BIGINT) AS item_a,
     "topk_parts_per_brand",
     f"""
     WITH {association_rules_sql("lineitem", "l_orderkey", "l_partkey",
-                                _BK_MIN_ITEM, _BK_MIN_PAIR)}
+                                _BK_MIN_ITEM, _BK_MIN_PAIR)},
+    {sql_z_bucket_stats("lineitem", ["l_partkey", "l_suppkey"],
+                        _ZO_BITS, _ZO_BUCKETS)},
+    {sql_prune_counts("zbstats", *_ZO_BOX)},
+    {sql_prune_counts("zbstats", *_ZO_BOX1, prefix="zq")}
     SELECT 'topk' AS op, p_brand, p_partkey, p_retailprice,
            {_BASKET_NULLS}
     FROM (SELECT p_brand, p_partkey, p_retailprice,
@@ -1665,6 +1681,40 @@ _BASKET_NULLS = """CAST(NULL AS BIGINT) AS item_a,
            item_a, item_b, n_a, n_b, n_ab, n_baskets,
            conf_a2b, conf_b2a, lift
     FROM brules
+    UNION ALL
+    SELECT 'zorder' AS op, layout AS p_brand,
+           CAST(bucket AS BIGINT) AS p_partkey,
+           CAST(NULL AS DOUBLE) AS p_retailprice,
+           min0 AS item_a, max0 AS item_b, min1 AS n_a, max1 AS n_b,
+           n AS n_ab, CAST(NULL AS BIGINT) AS n_baskets,
+           CAST(NULL AS DOUBLE) AS conf_a2b,
+           CAST(NULL AS DOUBLE) AS conf_b2a,
+           CAST(NULL AS DOUBLE) AS lift
+    FROM zbstats
+    UNION ALL
+    SELECT 'zorder' AS op, 'prune:' || layout AS p_brand,
+           CAST(NULL AS BIGINT) AS p_partkey,
+           CAST(NULL AS DOUBLE) AS p_retailprice,
+           CAST(NULL AS BIGINT) AS item_a,
+           CAST(NULL AS BIGINT) AS item_b,
+           buckets_read AS n_a, CAST(NULL AS BIGINT) AS n_b,
+           rows_read AS n_ab, n_buckets AS n_baskets,
+           CAST(NULL AS DOUBLE) AS conf_a2b,
+           CAST(NULL AS DOUBLE) AS conf_b2a,
+           CAST(NULL AS DOUBLE) AS lift
+    FROM zpcounts
+    UNION ALL
+    SELECT 'zorder' AS op, 'prunec1:' || layout AS p_brand,
+           CAST(NULL AS BIGINT) AS p_partkey,
+           CAST(NULL AS DOUBLE) AS p_retailprice,
+           CAST(NULL AS BIGINT) AS item_a,
+           CAST(NULL AS BIGINT) AS item_b,
+           buckets_read AS n_a, CAST(NULL AS BIGINT) AS n_b,
+           rows_read AS n_ab, n_buckets AS n_baskets,
+           CAST(NULL AS DOUBLE) AS conf_a2b,
+           CAST(NULL AS DOUBLE) AS conf_b2a,
+           CAST(NULL AS DOUBLE) AS lift
+    FROM zqcounts
     """,
     doc=(
         "per-group extremes, branches tagged by op: top-k per group "
@@ -1679,7 +1729,25 @@ _BASKET_NULLS = """CAST(NULL AS BIGINT) AS item_a,
         "keyed on the basket (per-basket O(k²) in basket size, no item "
         "hot key), integer support qualification; conf_a2b/conf_b2a/lift "
         "each ONE IEEE division of exact integers — lift staged as "
-        "n_ab·N over n_a·n_b."
+        "n_ab·N over n_a·n_b.  'zorder' rows (r12): Z-ORDER (Morton) "
+        "multi-dim clustering readout (operators/zorder.py; Morton "
+        "1966 / UB-tree, Bayer 1997 — the lakehouse data-skipping "
+        "layout): lineitem keyed by interleaving (l_partkey, "
+        "l_suppkey), each RANGE-NORMALIZED to 10 bits first (raw "
+        "interleave with unequal domains wastes the top bits on the "
+        "narrow column's constant zeros and degenerates to coarse "
+        "linear — measured before normalizing) — the Morton key is "
+        "pure integer shift/and arithmetic, bit-identical in DuckDB — "
+        "then per-bucket zone-map boxes (count, min/max of BOTH raw "
+        "columns) for the z layout NEXT TO the leading-column linear "
+        "layout, and two verdict rows per layout: 'prune:' (a 2-D "
+        "predicate box) and 'prunec1:' (suppkey-only — the case "
+        "linear CANNOT prune: at sf0.1 linear reads all 64 buckets / "
+        "600k rows, z reads 8 / 74.7k).  The hashed claim is the "
+        "layout decision itself (cluster_by_z is the write side: "
+        "repartitionByRange on the Morton key; tests/test_zorder.py "
+        "pins tight per-partition boxes in BOTH dims, reference/"
+        "DuckDB bit parity, and the pruning win)."
     ),
 )
 def topk_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1699,8 +1767,47 @@ def topk_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         li, "l_orderkey", "l_partkey",
         min_item_count=_BK_MIN_ITEM, min_pair_count=_BK_MIN_PAIR,
     )
+    # 'zorder' (r12): the Morton-clustering zone-map readout
+    # (operators/zorder.py) — per-bucket min/max boxes under the z
+    # layout AND the leading-column linear layout, plus the pruning
+    # verdict for the planted 2-D predicate box.  Column reuse:
+    # p_brand=layout ('z'/'linear'/'prune:<layout>'), p_partkey=bucket,
+    # item_a/item_b=min/max partkey, n_a/n_b=min/max suppkey (prune
+    # rows: n_a=buckets_read, n_ab=rows_read, n_baskets=n_buckets).
+    from mongo2mysql_spark.operators.zorder import (
+        prune_counts,
+        z_bucket_stats,
+    )
+
+    zstats = z_bucket_stats(
+        li.select("l_partkey", "l_suppkey"),
+        ["l_partkey", "l_suppkey"], _ZO_BITS, _ZO_BUCKETS,
+    )
+    zrows = zstats.select(
+        F.col("layout").alias("p_brand"),
+        F.col("bucket").alias("p_partkey"),
+        F.col("min0").alias("item_a"),
+        F.col("max0").alias("item_b"),
+        F.col("min1").alias("n_a"),
+        F.col("max1").alias("n_b"),
+        F.col("n").alias("n_ab"),
+    )
+    def zverdict(box, label):
+        return prune_counts(zstats, *box).select(
+            F.concat(F.lit(label), F.col("layout")).alias("p_brand"),
+            F.col("buckets_read").alias("n_a"),
+            F.col("rows_read").alias("n_ab"),
+            F.col("n_buckets").alias("n_baskets"),
+        )
+
+    zorder = zrows.unionByName(
+        zverdict(_ZO_BOX, "prune:"), allowMissingColumns=True
+    ).unionByName(
+        zverdict(_ZO_BOX1, "prunec1:"), allowMissingColumns=True
+    )
     return tagged_union(
-        {"topk": topk, "min": mins, "basket": rules}, tag_col="op"
+        {"topk": topk, "min": mins, "basket": rules, "zorder": zorder},
+        tag_col="op",
     )
 
 

@@ -1,0 +1,131 @@
+"""Z-order clustering (operators/zorder.py): Morton-key bit parity
+against a python reference and DuckDB, the clustered write's tight
+per-partition boxes, the z-vs-linear pruning win on a planted grid,
+and validation."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from tests.oracle_utils import compare
+
+
+def _ref_z(vals, bits: int) -> int:
+    n = len(vals)
+    z = 0
+    for b in range(bits):
+        for j, v in enumerate(vals):
+            z |= ((v >> b) & 1) << (b * n + j)
+    return z
+
+
+def test_z_value_matches_reference_and_duckdb(spark, tmp_path):
+    from mongo2mysql_spark.operators.zorder import sql_z_value, z_value
+
+    rows = [((i * 131) % 1024, (i * 577) % 1024) for i in range(300)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    p = str(tmp_path / "zv")
+    df.write.parquet(p)
+    got = spark.read.parquet(p).select(
+        "a", "b", z_value([F.col("a"), F.col("b")], 10).alias("z")
+    )
+    for r in got.collect():
+        assert r["z"] == _ref_z((r["a"], r["b"]), 10)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW zv AS SELECT * FROM read_parquet('{p}/*.parquet')"
+    )
+    sql = (
+        f"SELECT a, b, {sql_z_value(['a', 'b'], 10)} AS z FROM zv"
+    )
+    assert not compare(got, con, sql)
+
+
+def test_cluster_by_z_bounds_both_columns(spark):
+    """After cluster_by_z every partition's min/max box is tight in
+    BOTH columns (quadtree cells), while a linear sort leaves the
+    second column's span full-range in every partition."""
+    from mongo2mysql_spark.operators.zorder import cluster_by_z
+
+    rows = [(x, y) for x in range(64) for y in range(64)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    clustered = cluster_by_z(df, ["x", "y"], bits=6, n_files=16)
+    boxes = (
+        clustered.select(
+            F.spark_partition_id().alias("p"), "x", "y"
+        )
+        .groupBy("p")
+        .agg(
+            (F.max("x") - F.min("x")).alias("sx"),
+            (F.max("y") - F.min("y")).alias("sy"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    assert sum(r["n"] for r in boxes) == 64 * 64
+    # every partition bounds BOTH dimensions well under the full range
+    assert max(r["sx"] for r in boxes) <= 31
+    assert max(r["sy"] for r in boxes) <= 31
+    linear = (
+        df.repartitionByRange(16, "x")
+        .select(F.spark_partition_id().alias("p"), "y")
+        .groupBy("p")
+        .agg((F.max("y") - F.min("y")).alias("sy"))
+        .collect()
+    )
+    assert min(r["sy"] for r in linear) == 63  # y unbounded everywhere
+
+
+def test_z_bucket_stats_and_prune_match_duckdb(spark, tmp_path):
+    from mongo2mysql_spark.operators.zorder import (
+        prune_counts,
+        sql_prune_counts,
+        sql_z_bucket_stats,
+        z_bucket_stats,
+    )
+
+    rows = [((i * 131) % 1024, (i * 577) % 1024) for i in range(2000)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    p = str(tmp_path / "zs")
+    df.write.parquet(p)
+    src = spark.read.parquet(p)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW zs AS SELECT * FROM read_parquet('{p}/*.parquet')"
+    )
+    stats = z_bucket_stats(src, ["a", "b"], bits=10, n_buckets=64)
+    stats_sql = sql_z_bucket_stats("zs", ["a", "b"], 10, 64)
+    assert not compare(
+        stats, con, f"WITH {stats_sql} SELECT * FROM zbstats"
+    )
+    pruned = prune_counts(stats, 100, 200, 300, 400)
+    prune_sql = sql_prune_counts("zbstats", 100, 200, 300, 400)
+    assert not compare(
+        pruned, con,
+        f"WITH {stats_sql}, {prune_sql} SELECT * FROM zpcounts",
+    )
+    # the pruning win: the 2-D predicate reads fewer buckets under z
+    got = {r["layout"]: r for r in pruned.collect()}
+    assert got["z"]["buckets_read"] < got["linear"]["buckets_read"]
+
+
+def test_z_value_domain_and_arity_validation(spark):
+    from mongo2mysql_spark.operators.zorder import (
+        sql_z_value,
+        z_bucket_stats,
+        z_value,
+    )
+
+    df = spark.createDataFrame([(5000, 1)], "a long, b long")
+    with pytest.raises(Exception, match="out of"):
+        df.select(
+            z_value([F.col("a"), F.col("b")], 10).alias("z")
+        ).collect()
+    with pytest.raises(ValueError, match="bits"):
+        z_value([F.col("a"), F.col("b")], 32)
+    with pytest.raises(ValueError, match="bits"):
+        sql_z_value(["a", "b", "c"], 21)
+    with pytest.raises(ValueError, match="power of two"):
+        z_bucket_stats(df, ["a", "b"], bits=10, n_buckets=48)
