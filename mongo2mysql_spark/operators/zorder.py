@@ -97,6 +97,31 @@ def cluster_by_z(
     )
 
 
+def _norm_base(df: DataFrame, cols: list[str], bits: int) -> DataFrame:
+    """(c0, c1, nc0, nc1): raw pair + the range-normalized pair in
+    [0, 2^bits) — shared by the z and Hilbert stats."""
+    dom = df.agg(
+        F.min(F.col(cols[0]).cast("long")).alias("__lo0"),
+        (F.max(F.col(cols[0]).cast("long"))
+         - F.min(F.col(cols[0]).cast("long")) + 1).alias("__sp0"),
+        F.min(F.col(cols[1]).cast("long")).alias("__lo1"),
+        (F.max(F.col(cols[1]).cast("long"))
+         - F.min(F.col(cols[1]).cast("long")) + 1).alias("__sp1"),
+    )
+    return (
+        df.select(
+            F.col(cols[0]).cast("long").alias("c0"),
+            F.col(cols[1]).cast("long").alias("c1"),
+        )
+        .crossJoin(F.broadcast(dom))
+        .selectExpr(
+            "c0", "c1",
+            f"((c0 - __lo0) * {1 << bits}) div __sp0 as nc0",
+            f"((c1 - __lo1) * {1 << bits}) div __sp1 as nc1",
+        )
+    )
+
+
 def z_bucket_stats(
     df: DataFrame, cols: list[str], bits: int, n_buckets: int
 ) -> DataFrame:
@@ -124,26 +149,7 @@ def z_bucket_stats(
         raise ValueError(f"n_buckets must be a power of two: {n_buckets}")
     shift = n * bits - (n_buckets - 1).bit_length()
     lshift = bits - (n_buckets - 1).bit_length()
-    dom = df.agg(
-        F.min(F.col(cols[0]).cast("long")).alias("__lo0"),
-        (F.max(F.col(cols[0]).cast("long"))
-         - F.min(F.col(cols[0]).cast("long")) + 1).alias("__sp0"),
-        F.min(F.col(cols[1]).cast("long")).alias("__lo1"),
-        (F.max(F.col(cols[1]).cast("long"))
-         - F.min(F.col(cols[1]).cast("long")) + 1).alias("__sp1"),
-    )
-    base = (
-        df.select(
-            F.col(cols[0]).cast("long").alias("c0"),
-            F.col(cols[1]).cast("long").alias("c1"),
-        )
-        .crossJoin(F.broadcast(dom))
-        .selectExpr(
-            "c0", "c1",
-            f"((c0 - __lo0) * {1 << bits}) div __sp0 as nc0",
-            f"((c1 - __lo1) * {1 << bits}) div __sp1 as nc1",
-        )
-    )
+    base = _norm_base(df, cols, bits)
     z = z_value([F.col("nc0"), F.col("nc1")], bits)
     zb = base.select(
         F.lit("z").alias("layout"),
@@ -252,3 +258,180 @@ def sql_prune_counts(
              CAST(SUM(CASE WHEN {hit} THEN n ELSE 0 END) AS BIGINT)
                AS rows_read
       FROM {stats_cte} GROUP BY layout)"""
+
+
+# ------------------------------------------------------------------ hilbert
+
+
+def _hilbert_step(s: int) -> tuple[str, str, str]:
+    """One Hilbert xy→d iteration (the classic bit-level walk with
+    quadrant rotation) over state columns __hx/__hy/__hd, as
+    DIALECT-FREE SQL (CASE + bitwise AND + arithmetic — the same text
+    runs on Spark SQL and DuckDB).  ``(3·rx) XOR ry`` is unrolled to
+    a CASE so no engine-specific xor spelling is needed."""
+    rx = f"(CASE WHEN (__hx & {s}) > 0 THEN 1 ELSE 0 END)"
+    ry = f"(CASE WHEN (__hy & {s}) > 0 THEN 1 ELSE 0 END)"
+    dadd = (
+        f"(CASE WHEN {rx} = 0 AND {ry} = 0 THEN 0"
+        f" WHEN {rx} = 0 THEN 1"
+        f" WHEN {ry} = 0 THEN 3 ELSE 2 END)"
+    )
+    hx = (
+        f"(CASE WHEN {ry} = 1 THEN __hx"
+        f" WHEN {rx} = 1 THEN {s - 1} - __hy ELSE __hy END)"
+    )
+    hy = (
+        f"(CASE WHEN {ry} = 1 THEN __hy"
+        f" WHEN {rx} = 1 THEN {s - 1} - __hx ELSE __hx END)"
+    )
+    hd = f"__hd + {s * s} * {dadd}"
+    return hx, hy, hd
+
+
+def hilbert_ref(x: int, y: int, bits: int) -> int:
+    """Pure-python reference of the same walk (tests pin the SQL
+    against it)."""
+    d = 0
+    s = 1 << (bits - 1)
+    while s > 0:
+        rx = 1 if x & s else 0
+        ry = 1 if y & s else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s >>= 1
+    return d
+
+
+def with_hilbert(
+    df: DataFrame, xcol: str, ycol: str, bits: int, out: str = "hd"
+) -> DataFrame:
+    """Append the Hilbert index of (xcol, ycol) — both already in
+    [0, 2^bits) — as ``out``: ``bits`` chained selects carrying the
+    (x, y, d) state, each step one fixed-size expression (no nesting
+    blowup)."""
+    base_cols = df.columns
+    cur = df.selectExpr(
+        *base_cols,
+        f"CAST({xcol} AS BIGINT) AS __hx",
+        f"CAST({ycol} AS BIGINT) AS __hy",
+        "CAST(0 AS BIGINT) AS __hd",
+    )
+    for b in range(bits - 1, -1, -1):
+        hx, hy, hd = _hilbert_step(1 << b)
+        cur = cur.selectExpr(
+            *base_cols,
+            f"{hx} AS __hx",
+            f"{hy} AS __hy",
+            f"{hd} AS __hd",
+        )
+    return cur.selectExpr(*base_cols, f"__hd AS {out}")
+
+
+def sql_with_hilbert(
+    base_cte: str, pass_cols: list[str], xcol: str, ycol: str,
+    bits: int, prefix: str = "hb", out: str = "hd",
+) -> str:
+    """DuckDB twin of :func:`with_hilbert` as a chain of CTEs over
+    ``base_cte``; ends in ``<prefix>{bits}(pass_cols..., <out>)`` —
+    the SAME step expressions, so the walk is engine-identical."""
+    x = prefix
+    cols = ", ".join(pass_cols)
+    ctes = [
+        f"{x}0 AS (SELECT {cols}, CAST({xcol} AS BIGINT) AS __hx,"
+        f" CAST({ycol} AS BIGINT) AS __hy,"
+        f" CAST(0 AS BIGINT) AS __hd FROM {base_cte})"
+    ]
+    step = 0
+    for b in range(bits - 1, -1, -1):
+        hx, hy, hd = _hilbert_step(1 << b)
+        step += 1
+        ctes.append(
+            f"{x}{step} AS (SELECT {cols}, {hx} AS __hx, {hy} AS __hy,"
+            f" {hd} AS __hd FROM {x}{step - 1})"
+        )
+    ctes.append(
+        f"{x}{bits + 1} AS (SELECT {cols}, __hd AS {out} FROM {x}{bits})"
+    )
+    return ",\n    ".join(ctes)
+
+
+def hilbert_bucket_stats(
+    df: DataFrame, cols: list[str], bits: int, n_buckets: int
+) -> DataFrame:
+    """Zone-map boxes under the HILBERT layout — same output shape as
+    :func:`z_bucket_stats` with layout = 'hilbert' (union them and one
+    :func:`prune_counts` call compares all layouts).  Hilbert's
+    unit-step locality (consecutive indexes are grid neighbors —
+    pinned in tests on the reference walk) gives boxes at least as
+    tight as Morton's, whose curve jumps across the grid at quadrant
+    seams."""
+    n = len(cols)
+    if n != 2:
+        raise ValueError("hilbert_bucket_stats compares 2-column layouts")
+    if n_buckets < 2 or n_buckets & (n_buckets - 1):
+        raise ValueError(f"n_buckets must be a power of two: {n_buckets}")
+    shift = 2 * bits - (n_buckets - 1).bit_length()
+    base = with_hilbert(
+        _norm_base(df, cols, bits), "nc0", "nc1", bits, out="hd"
+    )
+    return (
+        base.select(
+            F.lit("hilbert").alias("layout"),
+            F.shiftright(F.col("hd"), shift).cast("long").alias("bucket"),
+            "c0", "c1",
+        )
+        .groupBy("layout", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("c0").alias("min0"),
+            F.max("c0").alias("max0"),
+            F.min("c1").alias("min1"),
+            F.max("c1").alias("max1"),
+        )
+    )
+
+
+def sql_hilbert_bucket_stats(
+    source_sql: str, cols_sql: list[str], bits: int, n_buckets: int,
+    prefix: str = "hb",
+) -> str:
+    """DuckDB twin of :func:`hilbert_bucket_stats`; ends in
+    ``<prefix>stats(layout, bucket, n, min0, max0, min1, max1)``.
+    Reuses the same normalization CTE shape as the z restatement
+    (its own prefix, so the two can coexist in one WITH list)."""
+    n = len(cols_sql)
+    if n != 2:
+        raise ValueError("hilbert_bucket_stats compares 2-column layouts")
+    if n_buckets < 2 or n_buckets & (n_buckets - 1):
+        raise ValueError(f"n_buckets must be a power of two: {n_buckets}")
+    x = prefix
+    shift = 2 * bits - (n_buckets - 1).bit_length()
+    c0, c1 = cols_sql
+    walk = sql_with_hilbert(
+        f"{x}base", ["c0", "c1"], "nc0", "nc1", bits,
+        prefix=f"{x}w", out="hd",
+    )
+    return f"""{x}dom AS (
+      SELECT CAST(min({c0}) AS BIGINT) AS lo0,
+             CAST(max({c0}) - min({c0}) + 1 AS BIGINT) AS sp0,
+             CAST(min({c1}) AS BIGINT) AS lo1,
+             CAST(max({c1}) - min({c1}) + 1 AS BIGINT) AS sp1
+      FROM {source_sql}),
+    {x}base AS (
+      SELECT CAST({c0} AS BIGINT) AS c0, CAST({c1} AS BIGINT) AS c1,
+             ((CAST({c0} AS BIGINT) - d.lo0) * {1 << bits}) // d.sp0
+               AS nc0,
+             ((CAST({c1} AS BIGINT) - d.lo1) * {1 << bits}) // d.sp1
+               AS nc1
+      FROM {source_sql} CROSS JOIN {x}dom d),
+    {walk},
+    {x}stats AS (
+      SELECT 'hilbert' AS layout, (hd >> {shift}) AS bucket,
+             CAST(count(*) AS BIGINT) AS n,
+             min(c0) AS min0, max(c0) AS max0,
+             min(c1) AS min1, max(c1) AS max1
+      FROM {x}w{bits + 1} GROUP BY 1, 2)"""

@@ -1639,6 +1639,7 @@ _ZO_BITS, _ZO_BUCKETS = 10, 64
 _ZO_BOX = (20, 150, 2, 7)          # selective in both dimensions
 _ZO_BOX1 = (0, 1 << 20, 2, 7)      # second-column-only predicate
 from mongo2mysql_spark.operators.zorder import (  # noqa: E402
+    sql_hilbert_bucket_stats,
     sql_prune_counts,
     sql_z_bucket_stats,
 )
@@ -1659,8 +1660,11 @@ _BASKET_NULLS = """CAST(NULL AS BIGINT) AS item_a,
                                 _BK_MIN_ITEM, _BK_MIN_PAIR)},
     {sql_z_bucket_stats("lineitem", ["l_partkey", "l_suppkey"],
                         _ZO_BITS, _ZO_BUCKETS)},
-    {sql_prune_counts("zbstats", *_ZO_BOX)},
-    {sql_prune_counts("zbstats", *_ZO_BOX1, prefix="zq")}
+    {sql_hilbert_bucket_stats("lineitem", ["l_partkey", "l_suppkey"],
+                              _ZO_BITS, _ZO_BUCKETS)},
+    zall AS (SELECT * FROM zbstats UNION ALL SELECT * FROM hbstats),
+    {sql_prune_counts("zall", *_ZO_BOX)},
+    {sql_prune_counts("zall", *_ZO_BOX1, prefix="zq")}
     SELECT 'topk' AS op, p_brand, p_partkey, p_retailprice,
            {_BASKET_NULLS}
     FROM (SELECT p_brand, p_partkey, p_retailprice,
@@ -1690,7 +1694,7 @@ _BASKET_NULLS = """CAST(NULL AS BIGINT) AS item_a,
            CAST(NULL AS DOUBLE) AS conf_a2b,
            CAST(NULL AS DOUBLE) AS conf_b2a,
            CAST(NULL AS DOUBLE) AS lift
-    FROM zbstats
+    FROM zall
     UNION ALL
     SELECT 'zorder' AS op, 'prune:' || layout AS p_brand,
            CAST(NULL AS BIGINT) AS p_partkey,
@@ -1739,11 +1743,15 @@ _BASKET_NULLS = """CAST(NULL AS BIGINT) AS item_a,
         "linear — measured before normalizing) — the Morton key is "
         "pure integer shift/and arithmetic, bit-identical in DuckDB — "
         "then per-bucket zone-map boxes (count, min/max of BOTH raw "
-        "columns) for the z layout NEXT TO the leading-column linear "
-        "layout, and two verdict rows per layout: 'prune:' (a 2-D "
-        "predicate box) and 'prunec1:' (suppkey-only — the case "
-        "linear CANNOT prune: at sf0.1 linear reads all 64 buckets / "
-        "600k rows, z reads 8 / 74.7k).  The hashed claim is the "
+        "columns) for THREE layouts — z, the leading-column linear "
+        "sort, and the HILBERT curve (the same bit walk both engines "
+        "run: dialect-free CASE/bitwise step expressions chained "
+        "per bit; unit-step locality pinned on the reference walk, "
+        "hilbert reads <= z buckets in tests) — and two verdict rows "
+        "per layout: 'prune:' (a 2-D predicate box) and 'prunec1:' "
+        "(suppkey-only — the case linear CANNOT prune: at sf0.1 "
+        "linear reads all 64 buckets / 600k rows, z and hilbert read "
+        "8 / 74.7k).  The hashed claim is the "
         "layout decision itself (cluster_by_z is the write side: "
         "repartitionByRange on the Morton key; tests/test_zorder.py "
         "pins tight per-partition boxes in BOTH dims, reference/"
@@ -1775,6 +1783,7 @@ def topk_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     # item_a/item_b=min/max partkey, n_a/n_b=min/max suppkey (prune
     # rows: n_a=buckets_read, n_ab=rows_read, n_baskets=n_buckets).
     from mongo2mysql_spark.operators.zorder import (
+        hilbert_bucket_stats,
         prune_counts,
         z_bucket_stats,
     )
@@ -1782,7 +1791,10 @@ def topk_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     zstats = z_bucket_stats(
         li.select("l_partkey", "l_suppkey"),
         ["l_partkey", "l_suppkey"], _ZO_BITS, _ZO_BUCKETS,
-    )
+    ).unionByName(hilbert_bucket_stats(
+        li.select("l_partkey", "l_suppkey"),
+        ["l_partkey", "l_suppkey"], _ZO_BITS, _ZO_BUCKETS,
+    ))
     zrows = zstats.select(
         F.col("layout").alias("p_brand"),
         F.col("bucket").alias("p_partkey"),

@@ -129,3 +129,79 @@ def test_z_value_domain_and_arity_validation(spark):
         sql_z_value(["a", "b", "c"], 21)
     with pytest.raises(ValueError, match="power of two"):
         z_bucket_stats(df, ["a", "b"], bits=10, n_buckets=48)
+
+
+def test_hilbert_reference_bijective_unit_step():
+    """The reference walk is a bijection onto [0, 4^bits) whose
+    consecutive indexes are GRID NEIGHBORS (Manhattan distance 1) —
+    the locality property Morton lacks at quadrant seams."""
+    from mongo2mysql_spark.operators.zorder import hilbert_ref
+
+    b = 4
+    cells = {}
+    for x in range(1 << b):
+        for y in range(1 << b):
+            cells[hilbert_ref(x, y, b)] = (x, y)
+    assert sorted(cells) == list(range(4 ** b))
+    for d in range(4 ** b - 1):
+        (x1, y1), (x2, y2) = cells[d], cells[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1
+
+
+def test_with_hilbert_matches_reference_and_duckdb(spark, tmp_path):
+    from mongo2mysql_spark.operators.zorder import (
+        hilbert_ref,
+        sql_with_hilbert,
+        with_hilbert,
+    )
+
+    rows = [((i * 131) % 256, (i * 577) % 256) for i in range(400)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    p = str(tmp_path / "hv")
+    df.write.parquet(p)
+    got = with_hilbert(spark.read.parquet(p), "a", "b", 8, out="hd")
+    for r in got.collect():
+        assert r["hd"] == hilbert_ref(r["a"], r["b"], 8)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW hv AS SELECT * FROM read_parquet('{p}/*.parquet')"
+    )
+    walk = sql_with_hilbert("hv", ["a", "b"], "a", "b", 8, prefix="hw")
+    assert not compare(
+        got, con, f"WITH {walk} SELECT a, b, hd FROM hw9"
+    )
+
+
+def test_hilbert_stats_match_duckdb_and_prune_at_least_as_well(
+    spark, tmp_path
+):
+    from mongo2mysql_spark.operators.zorder import (
+        hilbert_bucket_stats,
+        prune_counts,
+        sql_hilbert_bucket_stats,
+        z_bucket_stats,
+    )
+
+    rows = [((i * 131) % 1024, (i * 577) % 1024) for i in range(2000)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    p = str(tmp_path / "hs")
+    df.write.parquet(p)
+    src = spark.read.parquet(p)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW hs AS SELECT * FROM read_parquet('{p}/*.parquet')"
+    )
+    hstats = hilbert_bucket_stats(src, ["a", "b"], bits=10, n_buckets=64)
+    hsql = sql_hilbert_bucket_stats("hs", ["a", "b"], 10, 64)
+    assert not compare(
+        hstats, con, f"WITH {hsql} SELECT * FROM hbstats"
+    )
+    # pruning: hilbert reads no more buckets than z on the 2-D box
+    zstats = z_bucket_stats(src, ["a", "b"], bits=10, n_buckets=64)
+    both = prune_counts(
+        zstats.unionByName(hstats), 100, 200, 300, 400
+    )
+    got = {r["layout"]: r for r in both.collect()}
+    assert (
+        got["hilbert"]["buckets_read"] <= got["z"]["buckets_read"]
+    ), got
