@@ -435,3 +435,20 @@ def sql_hilbert_bucket_stats(
              min(c0) AS min0, max(c0) AS max0,
              min(c1) AS min1, max(c1) AS max1
       FROM {x}w{bits + 1} GROUP BY 1, 2)"""
+
+
+def cluster_by_hilbert(
+    df: DataFrame, cols: list[str], bits: int, n_files: int
+) -> DataFrame:
+    """The Hilbert write-side layout — :func:`cluster_by_z` with the
+    Hilbert index as the range-partition key.  ``cols`` must already
+    be in [0, 2^bits) (normalize with the same range recipe the stats
+    use); two columns only (the walk is 2-D)."""
+    if len(cols) != 2:
+        raise ValueError("cluster_by_hilbert is 2-D")
+    keyed = with_hilbert(df, cols[0], cols[1], bits, out="__h")
+    return (
+        keyed.repartitionByRange(n_files, "__h")
+        .sortWithinPartitions("__h")
+        .drop("__h")
+    )

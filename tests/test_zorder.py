@@ -205,3 +205,26 @@ def test_hilbert_stats_match_duckdb_and_prune_at_least_as_well(
     assert (
         got["hilbert"]["buckets_read"] <= got["z"]["buckets_read"]
     ), got
+
+
+def test_cluster_by_hilbert_bounds_both_columns(spark):
+    """Hilbert clustering bounds both dimensions per partition, like
+    z (and unlike a linear sort) — same grid fixture as the z test."""
+    from mongo2mysql_spark.operators.zorder import cluster_by_hilbert
+
+    rows = [(x, y) for x in range(64) for y in range(64)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    clustered = cluster_by_hilbert(df, ["x", "y"], bits=6, n_files=16)
+    boxes = (
+        clustered.select(F.spark_partition_id().alias("p"), "x", "y")
+        .groupBy("p")
+        .agg(
+            (F.max("x") - F.min("x")).alias("sx"),
+            (F.max("y") - F.min("y")).alias("sy"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    assert sum(r["n"] for r in boxes) == 64 * 64
+    assert max(r["sx"] for r in boxes) <= 31
+    assert max(r["sy"] for r in boxes) <= 31

@@ -72,7 +72,10 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    from mongo2mysql_spark.operators.zorder import cluster_by_z
+    from mongo2mysql_spark.operators.zorder import (
+        cluster_by_hilbert,
+        cluster_by_z,
+    )
     from mongo2mysql_spark.sources.parquet import load_table
 
     li = load_table(spark, SF_DIR, "lineitem").select(
@@ -95,6 +98,8 @@ def main() -> None:
     layouts = {
         "zorder": cluster_by_z(nli, ["npk", "nsk"], bits=10,
                                n_files=N_FILES),
+        "hilbert": cluster_by_hilbert(nli, ["npk", "nsk"], bits=10,
+                                      n_files=N_FILES),
         "linear": nli.repartitionByRange(N_FILES, "l_partkey")
         .sortWithinPartitions("l_partkey"),
         "unclustered": nli.repartition(N_FILES),
