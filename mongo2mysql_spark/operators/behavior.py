@@ -97,7 +97,7 @@ def funnel_counts(
             agg = agg.join(
                 reached.select(user_col, "__anchor_ms"), user_col
             )
-        reached = agg.localCheckpoint(eager=False)
+        reached = agg.persist()
         counts.append(
             reached.agg(F.count(F.lit(1)).alias("users")).select(
                 F.lit(i).alias("step"),
@@ -458,7 +458,7 @@ def funnel_max_level(
             )
             .groupBy("user_id", "__anchor", "__a_ms")
             .agg(F.min("__e").alias("__at"))
-            .localCheckpoint(eager=False)
+            .persist()
         )
         reached.append(
             frontier.select("user_id").distinct()

@@ -54,10 +54,13 @@ def seasonal_backtest(
         events.select(F.col(key_col).alias("key"), hours.alias("h"))
         .groupBy("key", "h")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        # hour-cardinality frame; feeds span/keys/fit.  LAZY: an eager
-        # checkpoint here runs a materializing job on every fn() CALL
-        # (driver-sim plan builds, per-branch bench attribution) even
-        # when the caller never executes the forecast branches
+        # hour-cardinality frame; feeds span/keys/fit (3 concurrent
+        # consumers).  localCheckpoint(eager=False) materializes the
+        # stage once at call time (under AQE even a "lazy" checkpoint
+        # resolves and runs its stages immediately); a persist() here
+        # measured WORSE: the three consumers race the first cache
+        # fill inside one materialization and each recomputes the
+        # aggregation (r12 probe: resample_gapfill 12.6 -> 21.8 s)
         .localCheckpoint(eager=False)
     )
     span = cells.agg(F.min("h").alias("lo"), F.max("h").alias("hi")).select(

@@ -366,7 +366,11 @@ def grouped_exact_quantiles(
         )
         .alias("__cum"),
     ).localCheckpoint(eager=False)
-    n = hist.groupBy(*key_cols).agg(F.sum("__c").cast("long").alias("__n"))
+    # n from the CHECKPOINTED cum, not from hist: the final cumulative
+    # count per key IS the key's total (max of a running sum of counts,
+    # bit-identical to re-summing __c) — deriving it from cum reads the
+    # phase-1 RDD instead of re-scanning the raw input a second time
+    n = cum.groupBy(*key_cols).agg(F.max("__cum").cast("long").alias("__n"))
     # rank targets per (key, quantile name): h, and the two 1-based
     # ranks whose values interpolate it
     name_q = F.explode(
@@ -463,9 +467,12 @@ def grouped_exact_quantiles(
             .alias("__rn"),
         )
     )
+    # checkpoint: vals_at (<= 2*|qs| rows per key) is consumed by BOTH
+    # the __r0 and __r1 joins below — without it the rescan subtree
+    # (a full re-read of the raw input + per-bucket window) runs twice
     vals_at = loc.join(picked, key_cols + ["__b", "__rn"]).select(
         *key_cols, "__r", "__v"
-    )
+    ).localCheckpoint(eager=False)
     t0 = targets.join(
         vals_at.select(
             *key_cols,

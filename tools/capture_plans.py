@@ -1,0 +1,46 @@
+"""Write .explain("formatted") for named headline slots to
+plans/r12/<slot>_<suffix>.txt (r12 deliverable: plan evidence for every
+touched query).
+
+Usage: python tools/capture_plans.py <suffix> slot [slot ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from mongo2mysql_spark.queries import load_all  # noqa: E402
+from mongo2mysql_spark.session import build_session  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       "plans", "r12")
+
+
+def main() -> None:
+    suffix, slots = sys.argv[1], sys.argv[2:]
+    os.makedirs(OUT_DIR, exist_ok=True)
+    spark = build_session(
+        app_name="capture_plans",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = load_all()
+    for slot in slots:
+        df = registry[slot].fn(spark, SF_DIR)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        path = os.path.join(OUT_DIR, f"{slot}_{suffix}.txt")
+        with open(path, "w") as fh:
+            fh.write(plan)
+        print(f"wrote {path} ({len(plan)} chars)", flush=True)
+        spark.catalog.clearCache()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
