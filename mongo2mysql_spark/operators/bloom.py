@@ -99,3 +99,40 @@ def bloom_probe(
         .groupBy(key_col)
         .agg((F.count("__in") == k).alias("maybe_member"))
     )
+
+
+def bloom_hit_counts(
+    candidates: DataFrame,
+    bloom: DataFrame,
+    id_col: str,
+    key_col: str,
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Per ``id_col``: how many of its (distinct-per-id) ``key_col``
+    values are possibly in the filter — in ONE pass over the candidate
+    stream.  Equivalent to ``candidates JOIN bloom_probe(candidates)
+    ON key GROUP BY id`` when each id's keys are distinct (tested), but
+    without materializing the candidate stream twice: the k positions
+    explode inline, the filter broadcast-joins, and two partial-
+    aggregated groupBys ((id, key) then id) reduce — no distinct-key
+    shuffle, no key-join shuffle.  Output: (id_col, n_hits)."""
+    exploded = candidates.select(
+        F.col(id_col),
+        F.col(key_col),
+        F.explode(
+            F.array(*[bloom_position(F.col(key_col), j, m_bits) for j in range(k)])
+        ).alias("pos"),
+    )
+    marked = bloom.withColumn("__in", F.lit(1))
+    return (
+        exploded.join(F.broadcast(marked), "pos", "left")
+        .groupBy(id_col, key_col)
+        .agg((F.count("__in") == k).alias("__member"))
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.when(F.col("__member"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_hits")
+        )
+    )

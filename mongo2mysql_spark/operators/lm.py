@@ -53,24 +53,29 @@ def doc_bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def train_bigram_lm(
-    ref: DataFrame, id_col: str, text_col: str
-) -> tuple[DataFrame, DataFrame, int]:
+    ref: DataFrame, id_col: str, text_col: str, lazy_vocab: bool = False
+) -> tuple[DataFrame, DataFrame, "int | DataFrame"]:
     """Fit the reference model: (bigram_counts, unigram_counts, V).
 
     ``bigram_counts`` = (gram, c12); ``unigram_counts`` = (w1, c1) over
     CONDITIONING positions (every token that starts a bigram — the
     denominator of the conditional); ``V`` = reference vocabulary size
     (distinct tokens), the add-one smoothing mass.
+
+    ``lazy_vocab=True`` returns V as a 1-row DataFrame (column ``__V``)
+    instead of an eager int — no driver job runs at train time; the
+    scorer folds it in through a broadcast cross join.  Same counts
+    either way.
     """
     bg = doc_bigrams(ref, id_col, text_col)
     bigrams = bg.groupBy("gram").agg(F.count(F.lit(1)).alias("c12"))
     unigrams = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    vocab = (
-        ref.select(F.explode(tokens(F.col(text_col))).alias("w"))
-        .agg(F.countDistinct("w"))
-        .first()[0]
-    )
-    return bigrams, unigrams, int(vocab)
+    vocab_agg = ref.select(
+        F.explode(tokens(F.col(text_col))).alias("w")
+    ).agg(F.countDistinct("w").alias("__V"))
+    if lazy_vocab:
+        return bigrams, unigrams, vocab_agg
+    return bigrams, unigrams, int(vocab_agg.first()[0])
 
 
 def lm_perplexity(
@@ -96,15 +101,23 @@ def lm_perplexity(
     themselves are never hashed: a transcendental-derived value is not
     stable across libm builds — VERDICT r4)."""
     stream = doc_bigrams(df, id_col, text_col)
-    joined = (
-        stream.join(bigrams, "gram", "left")
-        .join(F.broadcast(unigrams), "w1", "left")
-        .select(
+    joined = stream.join(bigrams, "gram", "left").join(
+        F.broadcast(unigrams), "w1", "left"
+    )
+    if isinstance(vocab, DataFrame):
+        # lazy smoothing mass: 1-row (__V) frame broadcast-cross-joined
+        # in — arithmetic identical to the int literal
+        joined = joined.crossJoin(F.broadcast(vocab)).select(
+            id_col,
+            (F.coalesce("c12", F.lit(0)) + 1).alias("num"),
+            (F.coalesce("c1", F.lit(0)) + F.col("__V")).alias("den"),
+        )
+    else:
+        joined = joined.select(
             id_col,
             (F.coalesce("c12", F.lit(0)) + 1).alias("num"),
             (F.coalesce("c1", F.lit(0)) + vocab).alias("den"),
         )
-    )
     logp = (
         F.round(
             F.log(F.col("num").cast("double") / F.col("den").cast("double"))

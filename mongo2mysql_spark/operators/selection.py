@@ -91,7 +91,25 @@ def exact_quantiles(
         F.col(col).alias("__v"), F.expr(bexpr).cast("long").alias("__b")
     )
 
-    n = vals.count()
+    # phase 1: coarse histogram — bounded by value-domain granularity
+    # (documented contract, same class as the vocab-sized df-rank sort
+    # in operators/ppjoin.py), collected ONCE: the total count, the
+    # rank math AND every rank's bucket location are derived from it
+    # in the driver.  This replaces THREE eager actions (a full-scan
+    # count, a rank-locating join collect, and the window that needed
+    # a bounded single partition anyway) with ONE job over one scan —
+    # under AQE each extra action was fanning out into several jobs.
+    hist_rows = sorted(
+        vals.groupBy("__b")
+        .agg(
+            F.count(F.lit(1)).alias("__c"),
+            F.min("__v").alias("__blo"),
+            F.max("__v").alias("__bhi"),
+        )
+        .collect(),
+        key=lambda r: r["__b"],
+    )
+    n = sum(r["__c"] for r in hist_rows)
     if n == 0:
         return spark.createDataFrame(
             [tuple(None for _ in qs)],
@@ -113,47 +131,23 @@ def exact_quantiles(
         needed[r1] = None
     ranks = sorted(needed)
 
-    # phase 1: coarse histogram — bounded by value-domain granularity,
-    # so the cumulative window below is a bounded single partition
-    # (documented contract, same class as the vocab-sized df-rank sort
-    # in operators/ppjoin.py)
-    hist = vals.groupBy("__b").agg(
-        F.count(F.lit(1)).alias("__c"),
-        F.min("__v").alias("__blo"),
-        F.max("__v").alias("__bhi"),
-    )
-    cum = hist.select(
-        "__b",
-        "__c",
-        "__blo",
-        "__bhi",
-        F.sum("__c").over(
-            W.orderBy("__b").rowsBetween(W.unboundedPreceding, W.currentRow)
-        ).alias("__cum"),
-    )
-    # locate EVERY rank's bucket + in-bucket offset in ONE job: the
-    # bounded rank frame broadcast-joins the histogram on __cum >= __r
-    # and min_by picks each rank's first qualifying bucket — the same
-    # "smallest __b with __cum >= r" each per-rank filter+limit(1)
-    # computed, but 1 job instead of one PER DISTINCT RANK (≤ 2·|qs|
-    # driver-coordinated jobs; at 9 quantiles that was 18 small jobs
-    # and the dominant cost of the whole operator)
-    rdf = spark.createDataFrame([(r,) for r in ranks], "__r long")
-    hit = F.struct("__b", "__c", "__cum", "__blo", "__bhi")
-    loc_rows = (
-        F.broadcast(rdf)
-        .join(cum, F.col("__cum") >= F.col("__r"))
-        .groupBy("__r")
-        .agg(F.min_by(hit, F.col("__b")).alias("__hit"))
-        .select("__r", "__hit.*")
-        .collect()
-    )
+    # locate each rank: smallest __b whose cumulative count reaches it
+    # (the same walk the rank-join computed, now over the collected
+    # histogram), offset = rank minus the preceding buckets' total
     locs = {}
     brange = {}
-    for row in loc_rows:
-        r = row["__r"]
-        locs[r] = (row["__b"], r - (row["__cum"] - row["__c"]))
-        brange[row["__b"]] = (row["__blo"], row["__bhi"])
+    ri = 0
+    cum_before = 0
+    for row in hist_rows:
+        cum_here = cum_before + row["__c"]
+        while ri < len(ranks) and ranks[ri] <= cum_here:
+            r = ranks[ri]
+            locs[r] = (row["__b"], r - cum_before)
+            brange[row["__b"]] = (row["__blo"], row["__bhi"])
+            ri += 1
+        cum_before = cum_here
+        if ri == len(ranks):
+            break
 
     # phase 2: narrow re-read of ONLY the hit buckets.  The filter is
     # expressed on the RAW column as an OR of observed [min, max]

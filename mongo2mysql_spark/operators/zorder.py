@@ -395,6 +395,62 @@ def hilbert_bucket_stats(
     )
 
 
+def layout_bucket_stats(
+    df: DataFrame, cols: list[str], bits: int, n_buckets: int
+) -> DataFrame:
+    """All three layouts' zone-map boxes in ONE pass: row-identical to
+    ``z_bucket_stats(df, ...) UNION hilbert_bucket_stats(df, ...)``
+    (tested), but the input is scanned once — the shared normalized
+    base (+ Hilbert walk) fans out to the three (layout, bucket) tags
+    via a narrow explode, and one map-side-combined groupBy aggregates
+    all layouts together.  The separate operators scan ``df`` twice
+    per layout family (domain aggregate + main pass, 6 scans for the
+    z/linear/hilbert comparison this fuses — measured as the dominant
+    build cost of the zorder readout slot)."""
+    n = len(cols)
+    if n != 2:
+        raise ValueError("layout_bucket_stats compares 2-column layouts")
+    if n_buckets < 2 or n_buckets & (n_buckets - 1):
+        raise ValueError(f"n_buckets must be a power of two: {n_buckets}")
+    shift = n * bits - (n_buckets - 1).bit_length()
+    lshift = bits - (n_buckets - 1).bit_length()
+    base = with_hilbert(
+        _norm_base(df, cols, bits), "nc0", "nc1", bits, out="hd"
+    )
+    z = z_value([F.col("nc0"), F.col("nc1")], bits)
+    tagged = base.select(
+        "c0",
+        "c1",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("z").alias("layout"),
+                    F.shiftright(z, shift).cast("long").alias("bucket"),
+                ),
+                F.struct(
+                    F.lit("linear").alias("layout"),
+                    F.shiftright(F.col("nc0"), lshift)
+                    .cast("long")
+                    .alias("bucket"),
+                ),
+                F.struct(
+                    F.lit("hilbert").alias("layout"),
+                    F.shiftright(F.col("hd"), shift)
+                    .cast("long")
+                    .alias("bucket"),
+                ),
+            )
+        ).alias("__lb"),
+    ).select("c0", "c1", F.col("__lb.layout"), F.col("__lb.bucket"))
+    return tagged.groupBy("layout", "bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("c0").alias("min0"),
+        F.max("c0").alias("max0"),
+        F.min("c1").alias("min1"),
+        F.max("c1").alias("max1"),
+    )
+
+
 def sql_hilbert_bucket_stats(
     source_sql: str, cols_sql: list[str], bits: int, n_buckets: int,
     prefix: str = "hb",

@@ -352,13 +352,16 @@ BLOOM_K = 3
 )
 def decontam_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mongo2mysql_spark.functions.text import shingle_hashes, tokens
-    from mongo2mysql_spark.operators.bloom import bloom_probe
+    from mongo2mysql_spark.operators.bloom import bloom_hit_counts
     from mongo2mysql_spark.operators.decontam import contamination_profile
     from mongo2mysql_spark.queries import tagged_union
 
     d = T(spark, sf_dir, "documents", fanout=True)
     bench = d.filter(F.col("doc_id") % BENCH_STRIDE == 0)
-    prof = contamination_profile(d, bench, n=DECONTAM_N)
+    # persist: prof feeds BOTH the 'profile' branch and the
+    # bloom_superset_ok join below — without it the contamination
+    # shingle join runs twice per materialization
+    prof = contamination_profile(d, bench, n=DECONTAM_N).persist()
 
     doc_sh = d.select(
         "doc_id",
@@ -420,16 +423,15 @@ def decontam_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         fltr = read_bloom_store(spark, f"{work}/store").localCheckpoint()
     finally:
         shutil.rmtree(work, ignore_errors=True)
-    member = bloom_probe(doc_sh, fltr, "h", m_bits=BLOOM_M, k=BLOOM_K)
-    perdoc = (
-        doc_sh.join(member, "h")
-        .groupBy("doc_id")
-        .agg(
-            F.sum(F.when(F.col("maybe_member"), 1).otherwise(0))
-            .cast("long")
-            .alias("n_bloom_hits")
-        )
-    )
+    # one-pass membership (operators/bloom.bloom_hit_counts): the old
+    # probe-then-join shape computed doc_sh (a full corpus shingle
+    # explode) TWICE — once for the distinct-h probe, once to join the
+    # verdicts back; per-doc shingles are already distinct
+    # (array_distinct above), so per-(doc,h) membership == per-h
+    # membership and one scan suffices
+    perdoc = bloom_hit_counts(
+        doc_sh, fltr, "doc_id", "h", m_bits=BLOOM_M, k=BLOOM_K
+    ).withColumnRenamed("n_hits", "n_bloom_hits")
     bloom_branch = (
         d.select("doc_id")
         .join(perdoc, "doc_id", "left")
@@ -793,8 +795,11 @@ def corpus_clean_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mongo2mysql_spark.queries import tagged_union
 
     d = T(spark, sf_dir, "documents", fanout=True)
+    # lazy_vocab: the V count rides as a broadcast 1-row frame instead
+    # of an eager .first() job on every fn() build
     bigrams, unigrams, vocab = train_bigram_lm(
-        d.filter(F.col("source") == LM_REF_SOURCE), "doc_id", "text"
+        d.filter(F.col("source") == LM_REF_SOURCE), "doc_id", "text",
+        lazy_vocab=True,
     )
     ppl = lm_perplexity(d, "doc_id", "text", bigrams, unigrams, vocab)
     # hash the exact integer precursors; the float logprob/ppl enter
@@ -848,7 +853,10 @@ def corpus_clean_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     # signal with one IEEE division
     from mongo2mysql_spark.operators.sampling import mix_gini
 
-    sharded = corpus_shuffle_shards(spark, sf_dir)
+    # persist: the sharded permutation feeds BOTH the 'shuffle' branch
+    # and the gini join below — without it the salted-md5 rank pass
+    # over the corpus runs twice per materialization
+    sharded = corpus_shuffle_shards(spark, sf_dir).persist()
     gini = mix_gini(
         sharded.select("doc_id", "shard").join(
             d.select("doc_id", "source"), "doc_id"

@@ -1783,18 +1783,18 @@ def topk_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     # item_a/item_b=min/max partkey, n_a/n_b=min/max suppkey (prune
     # rows: n_a=buckets_read, n_ab=rows_read, n_baskets=n_buckets).
     from mongo2mysql_spark.operators.zorder import (
-        hilbert_bucket_stats,
+        layout_bucket_stats,
         prune_counts,
-        z_bucket_stats,
     )
 
-    zstats = z_bucket_stats(
+    # fused single-pass stats (layout_bucket_stats: row-identical to
+    # z UNION hilbert but ONE lineitem scan instead of six), then
+    # checkpoint: the <= 3 layouts x 64 buckets frame feeds the
+    # 'zorder' stat rows AND two prune_counts verdicts (3 consumers)
+    zstats = layout_bucket_stats(
         li.select("l_partkey", "l_suppkey"),
         ["l_partkey", "l_suppkey"], _ZO_BITS, _ZO_BUCKETS,
-    ).unionByName(hilbert_bucket_stats(
-        li.select("l_partkey", "l_suppkey"),
-        ["l_partkey", "l_suppkey"], _ZO_BITS, _ZO_BUCKETS,
-    ))
+    ).localCheckpoint()
     zrows = zstats.select(
         F.col("layout").alias("p_brand"),
         F.col("bucket").alias("p_partkey"),

@@ -45,6 +45,39 @@ def test_merge_equals_union_build(spark):
     assert direct.exceptAll(merged).count() == 0
 
 
+def test_hit_counts_match_probe_join_composition(spark):
+    """bloom_hit_counts (the one-pass per-id form the decontam slot
+    serves) equals the probe-then-join composition it replaced, on a
+    stream with per-id-distinct keys, members and non-members mixed."""
+    from mongo2mysql_spark.operators.bloom import bloom_hit_counts
+
+    fltr = bloom_build(_keys(spark, 0, 200), "k", m_bits=M, k=K)
+    # 30 ids x 40 distinct keys each; roughly half inside the build set
+    cand = spark.range(1200).select(
+        (F.col("id") % 30).alias("i"),
+        ((F.col("id") * 7919) % 400).cast("string").alias("k"),
+    ).distinct()
+    got = {
+        (r["i"], r["n_hits"])
+        for r in bloom_hit_counts(
+            cand, fltr, "i", "k", m_bits=M, k=K
+        ).collect()
+    }
+    member = bloom_probe(cand, fltr, "k", m_bits=M, k=K)
+    want = {
+        (r["i"], r["n"])
+        for r in cand.join(member, "k")
+        .groupBy("i")
+        .agg(
+            F.sum(F.when(F.col("maybe_member"), 1).otherwise(0))
+            .cast("long")
+            .alias("n")
+        )
+        .collect()
+    }
+    assert got == want
+
+
 def test_filter_is_broadcast_sized(spark):
     fltr = bloom_build(_keys(spark, 0, 500), "k", m_bits=M, k=K)
     n = fltr.count()

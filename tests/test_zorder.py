@@ -111,6 +111,32 @@ def test_z_bucket_stats_and_prune_match_duckdb(spark, tmp_path):
     assert got["z"]["buckets_read"] < got["linear"]["buckets_read"]
 
 
+def test_layout_bucket_stats_equals_separate_union(spark):
+    """The fused single-pass layout_bucket_stats (one scan, all three
+    layouts) is row-identical to z_bucket_stats UNION
+    hilbert_bucket_stats over the same input — the equivalence the
+    zorder readout slot's optimization rests on."""
+    from mongo2mysql_spark.operators.zorder import (
+        hilbert_bucket_stats,
+        layout_bucket_stats,
+        z_bucket_stats,
+    )
+
+    rows = [((i * 131) % 1024, (i * 577) % 1024) for i in range(2000)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    fused = layout_bucket_stats(df, ["a", "b"], bits=10, n_buckets=64)
+    sep = z_bucket_stats(df, ["a", "b"], bits=10, n_buckets=64).unionByName(
+        hilbert_bucket_stats(df, ["a", "b"], bits=10, n_buckets=64)
+    )
+    assert fused.schema == sep.schema
+    key = lambda r: (r["layout"], r["bucket"])  # noqa: E731
+    got = sorted(map(tuple, fused.collect()), key=lambda t: (t[0], t[1]))
+    want = sorted(map(tuple, sep.collect()), key=lambda t: (t[0], t[1]))
+    assert got == want
+    with pytest.raises(ValueError, match="power of two"):
+        layout_bucket_stats(df, ["a", "b"], bits=10, n_buckets=48)
+
+
 def test_z_value_domain_and_arity_validation(spark):
     from mongo2mysql_spark.operators.zorder import (
         sql_z_value,
