@@ -212,7 +212,8 @@ def analyze_key_stats(
 
 
 def hist_join_estimate_from_stats(
-    stats_a: DataFrame, stats_b: DataFrame
+    stats_a: DataFrame, stats_b: DataFrame,
+    assume_meta: "tuple[int, int, int] | None" = None,
 ) -> DataFrame:
     """Serve the join-size estimate purely from two persisted
     :func:`analyze_key_stats` artifacts — what the docstring's System-R
@@ -223,11 +224,45 @@ def hist_join_estimate_from_stats(
 
     Raises ``ValueError`` when the two artifacts were analyzed with
     different (lo, hi, n_buckets) — misaligned boundaries would make
-    the per-bucket formula silently meaningless.
-
-    Output schema matches ``hist_join_estimate(..., with_exact=False)``:
-    per-bucket rows plus the bucket = -1 total row.
+    the per-bucket formula silently meaningless.  A caller that built
+    BOTH artifacts itself with the same declared domain can pass that
+    domain as ``assume_meta=(lo, hi, n_buckets)`` to skip the
+    validation collects (they eagerly ran both stats aggregates just
+    to read metadata); the served rows are identical either way — the
+    empty-artifact branches below only ever substitute an EMPTY frame
+    of the same schema, which is exactly what an empty side already
+    is, so the lazy full-outer path computes the same rows, including
+    the zero-filled total when both sides are empty.
     """
+    if assume_meta is not None:
+        ha = stats_a.select(
+            "bucket", F.col("n").alias("n_a"), F.col("d").alias("d_a")
+        )
+        hb = stats_b.select(
+            "bucket", F.col("n").alias("n_b"), F.col("d").alias("d_b")
+        )
+        per = _bucket_union_est(ha, hb)
+        buckets = per.select(
+            "bucket", "n_a", "d_a", "n_b", "d_b",
+            (F.col("__est6").cast("double") / _SCALE).alias("est"),
+        )
+        total = per.agg(
+            F.sum("n_a").cast("long").alias("n_a"),
+            F.sum("d_a").cast("long").alias("d_a"),
+            F.sum("n_b").cast("long").alias("n_b"),
+            F.sum("d_b").cast("long").alias("d_b"),
+            F.sum("__est6").cast("long").alias("__t6"),
+        ).select(
+            F.lit(-1).alias("bucket"),
+            F.coalesce("n_a", F.lit(0)).alias("n_a"),
+            F.coalesce("d_a", F.lit(0)).alias("d_a"),
+            F.coalesce("n_b", F.lit(0)).alias("n_b"),
+            F.coalesce("d_b", F.lit(0)).alias("d_b"),
+            F.coalesce(
+                F.col("__t6").cast("double") / _SCALE, F.lit(0.0)
+            ).alias("est"),
+        )
+        return buckets.unionByName(total)
     meta_a = stats_a.select("lo", "hi", "n_buckets").distinct().collect()
     meta_b = stats_b.select("lo", "hi", "n_buckets").distinct().collect()
     if len(meta_a) == 0 and len(meta_b) == 0:

@@ -113,26 +113,45 @@ def _edge_est6(
     max(d_a, d_b) over shared buckets — computed from the SAME
     per-table bucket statistics ``analyze_key_stats`` persists, here
     collected (≤ n_buckets rows per side) and folded in exact Python
-    integers.  Empty edges estimate 0."""
-    from mongo2mysql_spark.operators.histjoin import analyze_key_stats
+    integers.  Empty edges estimate 0.
 
-    dom = (
-        a.select(F.col(key_a).cast("long").alias("k"))
-        .unionByName(b.select(F.col(key_b).cast("long").alias("k")))
-        .agg(F.min("k").alias("lo"), F.max("k").alias("hi"))
-        .first()
+    One driver action per edge: the shared [lo, hi] domain rides as a
+    broadcast 1-row aggregate and both sides' bucket stats come back
+    in a single side-tagged collect — same clamp/bucket arithmetic as
+    ``analyze_key_stats`` (BIGINT column refs instead of literals), so
+    the per-bucket (n, d) integers are identical to the three-action
+    form this replaces (domain .first() + two stats collects, the
+    dominant eager build cost of the join-order planning slot)."""
+    keys = (
+        a.filter(F.col(key_a).isNotNull())
+        .select(F.col(key_a).cast("long").alias("__k"),
+                F.lit(0).alias("__side"))
+        .unionByName(
+            b.filter(F.col(key_b).isNotNull())
+            .select(F.col(key_b).cast("long").alias("__k"),
+                    F.lit(1).alias("__side"))
+        )
     )
-    if dom["lo"] is None:
-        return 0
-    lo, hi = int(dom["lo"]), int(dom["hi"])
-    sa = {
-        r["bucket"]: (r["n"], r["d"])
-        for r in analyze_key_stats(a, key_a, n_buckets, lo=lo, hi=hi).collect()
-    }
-    sb = {
-        r["bucket"]: (r["n"], r["d"])
-        for r in analyze_key_stats(b, key_b, n_buckets, lo=lo, hi=hi).collect()
-    }
+    dom = keys.agg(F.min("__k").alias("__lo"), F.max("__k").alias("__hi"))
+    rows = (
+        keys.crossJoin(F.broadcast(dom))
+        .select(
+            "__side",
+            "__k",
+            F.expr(
+                f"CAST((GREATEST(__lo, LEAST(__hi, __k)) - __lo)"
+                f" * {n_buckets} DIV (__hi - __lo + 1) AS INT)"
+            ).alias("bucket"),
+        )
+        .groupBy("__side", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.count_distinct(F.col("__k")).cast("long").alias("d"),
+        )
+        .collect()
+    )
+    sa = {r["bucket"]: (r["n"], r["d"]) for r in rows if r["__side"] == 0}
+    sb = {r["bucket"]: (r["n"], r["d"]) for r in rows if r["__side"] == 1}
     total = 0
     for bkt in set(sa) & set(sb):
         n_a, d_a = sa[bkt]
@@ -190,14 +209,17 @@ def chain_join_stats(
     edges: list[tuple[str, str]],
     n_buckets: int = 16,
     edge_est6=None,
+    count_fn=None,
 ) -> tuple[list[int], list[int]]:
     """Collect the (rows, est6) statistics the chain DP runs on — one
     count per table plus one :func:`_edge_est6` per edge.  ``edge_est6``
     optionally overrides the estimator (e.g. a memoizing wrapper so a
     slot computing several plans over shared edges pays each edge
-    once)."""
+    once); ``count_fn(name, df)`` likewise overrides the row counter
+    (a memoizing wrapper where several planners share tables)."""
     fn = edge_est6 or _edge_est6
-    rows = [df.count() for _, df in tables]
+    cnt = count_fn or (lambda _n, df: df.count())
+    rows = [cnt(name, df) for name, df in tables]
     est6 = [
         fn(tables[i][1], ka, tables[i + 1][1], kb, n_buckets)
         for i, (ka, kb) in enumerate(edges)
@@ -308,12 +330,15 @@ def star_join_stats(
     dims: list[tuple[str, DataFrame, str, str]],
     n_buckets: int = 16,
     edge_est6=None,
+    count_fn=None,
 ) -> tuple[int, list[int]]:
-    """(fact rows, per-dim est6) for the star DP; ``edge_est6``
-    optionally overrides the estimator (memoizing wrapper)."""
+    """(fact rows, per-dim est6) for the star DP; ``edge_est6`` /
+    ``count_fn`` optionally override the estimator / row counter
+    (memoizing wrappers)."""
     fn = edge_est6 or _edge_est6
+    cnt = count_fn or (lambda _n, df: df.count())
     return (
-        fact[1].count(),
+        cnt(fact[0], fact[1]),
         [fn(fact[1], fk, ddf, dk, n_buckets) for _, ddf, fk, dk in dims],
     )
 
@@ -696,18 +721,22 @@ def snowflake_join_stats(
     chains: list[list[tuple[str, DataFrame, str, str]]],
     n_buckets: int = 16,
     edge_est6=None,
+    count_fn=None,
 ) -> dict:
     """Collect the statistics the snowflake DP runs on: the fact count
     plus, per chain, the member counts, the fact-edge est6, and each
     within-chain edge's est6.  Chain element i is (name, df,
     parent_key, own_key): ``parent_key`` names a column on the PARENT
     (the fact for element 0, element i-1's table otherwise) and
-    ``own_key`` the matching column on this table."""
+    ``own_key`` the matching column on this table.  ``edge_est6`` /
+    ``count_fn`` optionally override the estimator / row counter
+    (memoizing wrappers)."""
     fn = edge_est6 or _edge_est6
-    _fname, fdf = fact
-    out = {"rows_fact": fdf.count(), "chains": []}
+    cnt = count_fn or (lambda _n, df: df.count())
+    fname, fdf = fact
+    out = {"rows_fact": cnt(fname, fdf), "chains": []}
     for chain in chains:
-        rows = [df.count() for _n, df, _pk, _ok in chain]
+        rows = [cnt(n, df) for n, df, _pk, _ok in chain]
         n0, d0, pk0, ok0 = chain[0]
         fe6 = fn(fdf, pk0, d0, ok0, n_buckets)
         we6 = [

@@ -958,7 +958,12 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     d_hi = int(dom["hi"]) if dom["hi"] is not None else 0
     sa = analyze_key_stats(o, "o_custkey", _HJ_BUCKETS, lo=d_lo, hi=d_hi)
     sb = analyze_key_stats(cust, "c_custkey", _HJ_BUCKETS, lo=d_lo, hi=d_hi)
-    hs = hist_join_estimate_from_stats(sa, sb)
+    # assume_meta: both artifacts are built right here with the same
+    # declared domain — skips two eager validation collects that each
+    # ran a full stats aggregate at build time just to read metadata
+    hs = hist_join_estimate_from_stats(
+        sa, sb, assume_meta=(d_lo, d_hi, _HJ_BUCKETS)
+    )
     histstats = hs.select(
         F.when(F.col("bucket") == -1, F.lit("stotal"))
         .otherwise(F.concat(F.lit("sbucket"), F.col("bucket").cast("string")))
@@ -996,6 +1001,16 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
             _ememo[key] = _edge_est6(a, ka, b, kb, nb)
         return _ememo[key]
 
+    # row-count memo beside the edge memo: the chain/star/snowflake/
+    # graph planners share tables (lineitem counted 3x, orders and
+    # customer 2x each without it) — one count job per distinct table
+    _cmemo: dict = {}
+
+    def ccount(name, df):
+        if name not in _cmemo:
+            _cmemo[name] = df.count()
+        return _cmemo[name]
+
     part = T(spark, sf_dir, "part")
     chain_tables = [("c", cust), ("o", o), ("l", li), ("p", part)]
     chain_edges = [("c_custkey", "o_custkey"), ("o_orderkey", "l_orderkey"),
@@ -1003,7 +1018,7 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE statistics pass feeds both the hashed plan rows and the
     # executor below — the executed order IS the hashed decision
     cstats = chain_join_stats(chain_tables, chain_edges, _HJ_BUCKETS,
-                              edge_est6=eest)
+                              edge_est6=eest, count_fn=ccount)
     jp = chain_join_plan(
         spark, chain_tables, chain_edges, n_buckets=_HJ_BUCKETS,
         stats=cstats,
@@ -1034,7 +1049,7 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     sp = star_join_plan(
         spark, ("l", li), star_dims, n_buckets=_HJ_BUCKETS,
         stats=star_join_stats(("l", li), star_dims, _HJ_BUCKETS,
-                              edge_est6=eest),
+                              edge_est6=eest, count_fn=ccount),
     )
     starorder = sp.select(
         F.col("plan").alias("setop"),
@@ -1068,7 +1083,7 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("p", part, "l_partkey", "p_partkey")],
     ]
     snstats = snowflake_join_stats(("l", li), snchains, _HJ_BUCKETS,
-                                   edge_est6=eest)
+                                   edge_est6=eest, count_fn=ccount)
     sndp = snowflake_plan_dp(snstats)
     snp = snowflake_join_plan(
         spark, ("l", li), snchains, n_buckets=_HJ_BUCKETS,
@@ -1200,7 +1215,7 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         cstats[0][0], cstats[0][1], cstats[0][2],
         snstats["chains"][1]["rows"][0],
         snstats["chains"][1]["rows"][1],
-        region.count(),
+        ccount("r", region),
     ]
     gest6 = [
         eest(gtables[u][1], ku, gtables[v][1], kv, _HJ_BUCKETS)

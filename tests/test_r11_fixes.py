@@ -94,6 +94,32 @@ def test_hist_join_estimate_from_persisted_stats(spark, tmp_path):
     st = analyze_key_stats(wide, "k", n_buckets=4, lo=0, hi=99)
     rows = {r["bucket"]: r["n"] for r in st.collect()}
     assert sum(rows.values()) == 3 and rows[0] == 2 and rows[3] == 1
+    # assume_meta (r12): the caller-asserted-domain fast path skips the
+    # validation collects but serves identical rows — including the
+    # one-empty-side and both-empty edges the default path special-cases
+    fast = {
+        r["bucket"]: (r["n_a"], r["d_a"], r["n_b"], r["d_b"], r["est"])
+        for r in hist_join_estimate_from_stats(
+            sa, sb, assume_meta=(0, 199, 8)
+        ).collect()
+    }
+    assert fast == ref
+    empty = analyze_key_stats(
+        spark.createDataFrame([], "k long"), "k", n_buckets=8, lo=0, hi=199
+    )
+    for lhs, rhs in ((sa, empty), (empty, empty)):
+        want = sorted(
+            map(tuple, hist_join_estimate_from_stats(lhs, rhs).collect())
+        )
+        got_f = sorted(
+            map(
+                tuple,
+                hist_join_estimate_from_stats(
+                    lhs, rhs, assume_meta=(0, 199, 8)
+                ).collect(),
+            )
+        )
+        assert got_f == want
 
 
 # ------------------------------------------------------- CMS key guard
