@@ -62,31 +62,31 @@ def decode_metadata(df: DataFrame, mode: str = "fake") -> DataFrame:
         )
 
     def run(batches: Iterator) -> Iterator:
-        # deterministic pseudo-decode: metadata derived from payload
-        # bytes — stands in for PIL.Image.open / soundfile.read
-        import hashlib
-
+        # deterministic pseudo-decode: metadata derived from the
+        # payload's sha256 — which payload_frame ALREADY computed in
+        # the JVM as `checksum` (F.sha2 emits the same lowercase hex
+        # hashlib would), so the kernel reads the 64-char digest and
+        # the JVM n_bytes instead of re-hashing the raw bytes.  The
+        # payload column never crosses the Arrow boundary in fake
+        # mode: the real-decode seam is where the bytes would ship.
         for pdf in batches:
-            out = pdf[["media_id", "media_type"]].copy()
-            n_bytes, widths, heights, frames, checks = [], [], [], [], []
-            for payload in pdf["payload"]:
-                b = bytes(payload)
-                h = hashlib.sha256(b).hexdigest()
-                n_bytes.append(len(b))
+            out = pdf[["media_id", "media_type", "n_bytes"]].copy()
+            widths, heights, frames = [], [], []
+            for h in pdf["checksum"]:
                 widths.append(16 + (int(h[:4], 16) % 4080))
                 heights.append(16 + (int(h[4:8], 16) % 2144))
                 frames.append(1 + (int(h[8:12], 16) % 300))
-                checks.append(h)
-            out["n_bytes"] = n_bytes
             out["width"] = widths
             out["height"] = heights
             out["n_frames"] = frames
-            out["checksum"] = checks
+            out["checksum"] = pdf["checksum"]
             yield out[
                 ["media_id", "media_type", "n_bytes", "width", "height", "n_frames", "checksum"]
             ]
 
-    return df.mapInPandas(run, schema=DECODED_SCHEMA)
+    return df.select(
+        "media_id", "media_type", "n_bytes", "checksum"
+    ).mapInPandas(run, schema=DECODED_SCHEMA)
 
 
 RESIZED_SCHEMA = "media_id long, out_width int, out_height int, resized binary"
