@@ -45,6 +45,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from mongo2mysql_spark.cachereg import slot_persist
+
 
 def funnel_counts(
     events: DataFrame,
@@ -97,7 +99,7 @@ def funnel_counts(
             agg = agg.join(
                 reached.select(user_col, "__anchor_ms"), user_col
             )
-        reached = agg.persist()
+        reached = slot_persist(("funnel_counts", i, within_ms), agg)
         counts.append(
             reached.agg(F.count(F.lit(1)).alias("users")).select(
                 F.lit(i).alias("step"),
@@ -458,8 +460,8 @@ def funnel_max_level(
             )
             .groupBy("user_id", "__anchor", "__a_ms")
             .agg(F.min("__e").alias("__at"))
-            .persist()
         )
+        frontier = slot_persist(("funnel_max_level", i, within_ms), frontier)
         reached.append(
             frontier.select("user_id").distinct()
             .select("user_id", F.lit(i).alias("level"))

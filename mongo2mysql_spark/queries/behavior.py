@@ -560,13 +560,19 @@ def behavior_branches(spark, sf_dir: str, e: DataFrame) -> dict[str, DataFrame]:
     from mongo2mysql_spark.operators.behavior import conversion_latency
     from mongo2mysql_spark.operators.selection import exact_quantiles
 
-    # persist: bounded one-row-per-converter frame consumed ~5x (the
-    # three eager exact_quantiles jobs, the converter count, and the
-    # 'latency'/'latdist' union legs) — without it every consumer
-    # re-runs the two event scans + user-keyed join underneath
-    lat = conversion_latency(
-        e, "user_id", "event_type", "ts", "event_id", "view", "purchase"
-    ).persist()
+    # persist (deferred release via cachereg): bounded one-row-per-
+    # converter frame consumed ~5x (the three eager exact_quantiles
+    # jobs, the converter count, and the 'latency'/'latdist' union
+    # legs) — without it every consumer re-runs the two event scans +
+    # user-keyed join underneath
+    from mongo2mysql_spark.cachereg import slot_persist
+
+    lat = slot_persist(
+        ("behavior.lat",),
+        conversion_latency(
+            e, "user_id", "event_type", "ts", "event_id", "view", "purchase"
+        ),
+    )
     qdist = exact_quantiles(
         lat.select(F.col("latency_ms").cast("double").alias("__lm")),
         "__lm",

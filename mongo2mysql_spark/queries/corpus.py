@@ -358,10 +358,14 @@ def decontam_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = T(spark, sf_dir, "documents", fanout=True)
     bench = d.filter(F.col("doc_id") % BENCH_STRIDE == 0)
-    # persist: prof feeds BOTH the 'profile' branch and the
-    # bloom_superset_ok join below — without it the contamination
-    # shingle join runs twice per materialization
-    prof = contamination_profile(d, bench, n=DECONTAM_N).persist()
+    # persist (deferred release via cachereg): prof feeds BOTH the
+    # 'profile' branch and the bloom_superset_ok join below — without
+    # it the contamination shingle join runs twice per materialization
+    from mongo2mysql_spark.cachereg import slot_persist
+
+    prof = slot_persist(
+        ("decontam.profile",), contamination_profile(d, bench, n=DECONTAM_N)
+    )
 
     doc_sh = d.select(
         "doc_id",
@@ -853,10 +857,15 @@ def corpus_clean_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     # signal with one IEEE division
     from mongo2mysql_spark.operators.sampling import mix_gini
 
-    # persist: the sharded permutation feeds BOTH the 'shuffle' branch
-    # and the gini join below — without it the salted-md5 rank pass
-    # over the corpus runs twice per materialization
-    sharded = corpus_shuffle_shards(spark, sf_dir).persist()
+    # persist (deferred release via cachereg): the sharded permutation
+    # feeds BOTH the 'shuffle' branch and the gini join below — without
+    # it the salted-md5 rank pass over the corpus runs twice per
+    # materialization
+    from mongo2mysql_spark.cachereg import slot_persist
+
+    sharded = slot_persist(
+        ("corpus.sharded",), corpus_shuffle_shards(spark, sf_dir)
+    )
     gini = mix_gini(
         sharded.select("doc_id", "shard").join(
             d.select("doc_id", "source"), "doc_id"

@@ -246,12 +246,18 @@ def dedup_exact_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("token_set").alias("method"), F.col("fingerprint").alias("hash"),
                 "doc_id", "n_docs")
     )
-    # project to the two columns downstream needs, then persist: the
-    # (doc_id, sha256) frame feeds THREE consumers (counts, batch 1,
-    # batch 2) — without it the full-text hash pass ran three times
-    hashed = d.select(
-        "doc_id", content_hash(F.col("text")).alias("content_hash")
-    ).persist()
+    # project to the two columns downstream needs, then persist with
+    # deferred release (cachereg): the (doc_id, sha256) frame feeds
+    # THREE consumers (counts, batch 1, batch 2) — without it the
+    # full-text hash pass ran three times
+    from mongo2mysql_spark.cachereg import slot_persist
+
+    hashed = slot_persist(
+        ("dedup.content_hash",),
+        d.select(
+            "doc_id", content_hash(F.col("text")).alias("content_hash")
+        ),
+    )
     counts = hashed.groupBy("content_hash").agg(F.count(F.lit(1)).alias("n_docs"))
     # incremental path: batch 1 = ids < 250 (the smaller-id batch must be
     # admitted first so min-id representatives match the one-shot run),
@@ -285,8 +291,9 @@ def dedup_exact_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_docs",
     )
-    # persist: host-bounded aggregate serving two branch projections
-    hp = host_profile(urls).persist()
+    # persist (deferred release): host-bounded aggregate serving two
+    # branch projections
+    hp = slot_persist(("dedup.host_profile",), host_profile(urls))
     uhost = hp.select(
         F.lit("url_host").alias("method"), F.col("host").alias("hash"),
         "doc_id", "n_docs",

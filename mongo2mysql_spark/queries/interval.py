@@ -246,13 +246,19 @@ def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         store, ["event_type"], levels=("hour", "day", "week")
     )
     ev = T(spark, sf_dir, "events", fanout=True)
-    # persist: sd (bounded keys x windows rows) feeds BOTH the
-    # 'sliding24h' leg and the 'sliding24h_hll' verdict join — without
-    # it the covered-window expansion (the slot's one corpus-sized
-    # shuffle) runs twice per materialization
-    sd = sliding_distinct(
-        ev, "event_type", "ts", "user_id", window_hours=_SLIDE_HOURS,
-    ).persist()
+    # persist (deferred release via cachereg): sd (bounded keys x
+    # windows rows) feeds BOTH the 'sliding24h' leg and the
+    # 'sliding24h_hll' verdict join — without it the covered-window
+    # expansion (the slot's one corpus-sized shuffle) runs twice per
+    # materialization
+    from mongo2mysql_spark.cachereg import slot_persist
+
+    sd = slot_persist(
+        ("interval.sliding_dau",),
+        sliding_distinct(
+            ev, "event_type", "ts", "user_id", window_hours=_SLIDE_HOURS,
+        ),
+    )
     dau = sd.select(
         F.lit("sliding24h").alias("granularity"),
         F.col("window_start").alias("bucket"),

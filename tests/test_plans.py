@@ -303,6 +303,11 @@ _BNLJ_OK = {
     # basket-count frame (operators/basket) — pair-bounded × 1
     "events_sessionize",  # the latdist branch crossJoins the 1-row
     # converter count with the 1-row exact-quantile frame (1 × 1)
+    "corpus_clean_shuffle",  # lm_perplexity folds the broadcast 1-row
+    # vocabulary-size frame in with a cross join (r12 lazy_vocab —
+    # replaces the eager .first() the old path ran per build)
+    "etl_pipeline_e2e",  # the builder's ppl gate uses the same
+    # lazy-vocab 1-row cross join through pipelines.build_training_corpus
 }
 
 
@@ -446,6 +451,26 @@ def test_q19_disjunction_prefilters_both_sides(spark):
     assert "l_quantity" in below_join
     # and no cartesian anywhere
     assert "Cartesian" not in physical_plan(df)
+
+
+def test_slot_persist_releases_previous_generation(spark):
+    """cachereg.slot_persist (r12): rebuilding a slot releases the
+    previous build's cache under the same key — at most one live
+    generation per call site, the invariant the persist-release guard
+    below exists to protect."""
+    from mongo2mysql_spark.cachereg import _REGISTRY, slot_persist
+
+    key = ("test.slot_persist",)
+    a = slot_persist(key, spark.range(10))
+    a.count()
+    assert a.storageLevel.useMemory
+    b = slot_persist(key, spark.range(20))
+    assert not a.storageLevel.useMemory  # previous generation released
+    assert _REGISTRY[key] is b
+    b.count()
+    assert b.storageLevel.useMemory
+    slot_persist(key, spark.range(5))  # cleanup for later tests
+    _REGISTRY.pop(key).unpersist()
 
 
 def test_every_persist_site_has_a_release_path():
