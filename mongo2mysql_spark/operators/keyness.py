@@ -44,16 +44,26 @@ def keyness_terms(
     min_count: int = 5,
     min_ratio: int = 3,
     k: int = 10,
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """Top-``k`` distinctive terms per label: terms with ≥ ``min_count``
     in-label occurrences whose in-label rate is ≥ ``min_ratio``× their
     smoothed rest-of-corpus rate, ranked by (n DESC, token).
 
+    ``counts`` lets a caller that already holds the (label, token, n)
+    occurrence aggregate (built exactly as the explode+groupBy below
+    would) pass it in, so one tokenize pass over the corpus can feed
+    both this and a plain term-frequency readout.
+
     Output: (label, token, n, n_rest, keyness, rank)."""
-    toks = df.select(
-        F.col(label_col).alias("label"), F.explode(toks_col).alias("token")
-    )
-    cnt = toks.groupBy("label", "token").agg(F.count(F.lit(1)).alias("n"))
+    if counts is not None:
+        cnt = counts
+    else:
+        toks = df.select(
+            F.col(label_col).alias("label"),
+            F.explode(toks_col).alias("token"),
+        )
+        cnt = toks.groupBy("label", "token").agg(F.count(F.lit(1)).alias("n"))
     ltot = cnt.groupBy("label").agg(F.sum("n").alias("tot_l"))
     ttot = cnt.groupBy("token").agg(F.sum("n").alias("n_all"))
     gtot = cnt.groupBy().agg(F.sum("n").alias("tot_all"))

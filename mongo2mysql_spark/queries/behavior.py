@@ -519,13 +519,72 @@ def behavior_branches(spark, sf_dir: str, e: DataFrame) -> dict[str, DataFrame]:
         session_paths,
     )
 
-    fun = funnel_counts(
-        e, "user_id", "event_type", "ts", "event_id", FUNNEL_STEPS
-    ).select("step", "event_type", "users", "denom", "rate")
-    funwin = funnel_counts(
-        e, "user_id", "event_type", "ts", "event_id", FUNNEL_STEPS,
-        within_ms=FUNNEL_WINDOW_MS,
-    ).select("step", "event_type", "users", "denom", "rate")
+    from mongo2mysql_spark.cachereg import slot_persist
+    from mongo2mysql_spark.operators.behavior import (
+        attribution_credit,
+        conversion_latency,
+    )
+    from mongo2mysql_spark.operators.selection import exact_quantiles
+    from mongo2mysql_spark.queries import parallel_branches
+
+    def _latpair():
+        # conversion latency + its distribution summary: p50/p90 via
+        # exact_quantiles (bit-identical to quantile_cont) cross-joined
+        # with the 1-row converter count — the house-allowlisted 1-row
+        # broadcast crossJoin.  persist (deferred release via
+        # cachereg): bounded one-row-per-converter frame consumed ~5x
+        # (the quantile collect, the converter count, and the
+        # 'latency'/'latdist' union legs)
+        lat = slot_persist(
+            ("behavior.lat",),
+            conversion_latency(
+                e, "user_id", "event_type", "ts", "event_id",
+                "view", "purchase",
+            ),
+        )
+        qdist = exact_quantiles(
+            lat.select(F.col("latency_ms").cast("double").alias("__lm")),
+            "__lm",
+            {"lat_p50": 0.5, "lat_p90": 0.9},
+        )
+        ndist = lat.agg(F.count(F.lit(1)).cast("long").alias("users"))
+        latdist = ndist.crossJoin(F.broadcast(qdist)).select(
+            "users", "lat_p50", "lat_p90"
+        )
+        return lat, latdist
+
+    # the two memoized builders (funnelstate: a streaming store
+    # round-trip; funnelmax: eager anchor-advance checkpoints) and the
+    # latency chain's quantile collect are the slot's cold build wall —
+    # overlap them and the lazy branch constructions from a thread
+    # pool (guide §2.6); frames and memo contents are unchanged
+    _bb = parallel_branches(
+        {
+            "latpair": _latpair,
+            "fun": lambda: funnel_counts(
+                e, "user_id", "event_type", "ts", "event_id", FUNNEL_STEPS
+            ).select("step", "event_type", "users", "denom", "rate"),
+            "funwin": lambda: funnel_counts(
+                e, "user_id", "event_type", "ts", "event_id", FUNNEL_STEPS,
+                within_ms=FUNNEL_WINDOW_MS,
+            ).select("step", "event_type", "users", "denom", "rate"),
+            "funnelstate": lambda: _funnelstate_counts(spark, sf_dir, e)
+            .select("step", "event_type", "users", "denom", "rate"),
+            "funnelmax": lambda: slot_memo(
+                _FUNMAX_MEMO,
+                spark,
+                sf_dir,
+                lambda: funnel_max_level(
+                    e, "user_id", "event_type", "ts", "event_id",
+                    FUNNEL_STEPS, within_ms=FUNNEL_WINDOW_MS,
+                )
+                .select("user_id", F.col("level").alias("step"))
+                .localCheckpoint(),
+            ),
+        }
+    )
+    fun = _bb["fun"]
+    funwin = _bb["funwin"]
     ret = retention_cohorts(e, "user_id", "ts").select(
         "cohort_week",
         "week_offset",
@@ -551,43 +610,11 @@ def behavior_branches(spark, sf_dir: str, e: DataFrame) -> dict[str, DataFrame]:
         F.col("total").alias("denom"),
         F.col("share").alias("rate"),
     )
-    # conversion latency (operators/behavior.conversion_latency) + its
-    # distribution summary: p50/p90 via exact_quantiles (bit-identical
-    # to quantile_cont) cross-joined with the 1-row converter count —
-    # the house-allowlisted 1-row broadcast crossJoin (a literal join
-    # key does NOT stay a hash join: Catalyst constant-folds it to a
-    # trivially-true condition and plans the nested loop anyway)
-    from mongo2mysql_spark.operators.behavior import conversion_latency
-    from mongo2mysql_spark.operators.selection import exact_quantiles
-
-    # persist (deferred release via cachereg): bounded one-row-per-
-    # converter frame consumed ~5x (the three eager exact_quantiles
-    # jobs, the converter count, and the 'latency'/'latdist' union
-    # legs) — without it every consumer re-runs the two event scans +
-    # user-keyed join underneath
-    from mongo2mysql_spark.cachereg import slot_persist
-
-    lat = slot_persist(
-        ("behavior.lat",),
-        conversion_latency(
-            e, "user_id", "event_type", "ts", "event_id", "view", "purchase"
-        ),
-    )
-    qdist = exact_quantiles(
-        lat.select(F.col("latency_ms").cast("double").alias("__lm")),
-        "__lm",
-        {"lat_p50": 0.5, "lat_p90": 0.9},
-    )
-    ndist = lat.agg(F.count(F.lit(1)).cast("long").alias("users"))
-    latdist = ndist.crossJoin(F.broadcast(qdist)).select(
-        "users", "lat_p50", "lat_p90"
-    )
+    lat, latdist = _bb["latpair"]
     # attribution models (operators/behavior.attribution_credit):
     # first/last-touch flags + linear credit per (touch, conversion)
     # pair inside the funnel's 24h window — exact integers + booleans,
     # one IEEE division for the linear share
-    from mongo2mysql_spark.operators.behavior import attribution_credit
-
     attr = attribution_credit(
         e, "user_id", "event_type", "ts", "event_id",
         "view", "purchase", within_ms=FUNNEL_WINDOW_MS,
@@ -600,9 +627,7 @@ def behavior_branches(spark, sf_dir: str, e: DataFrame) -> dict[str, DataFrame]:
         "retention": ret,
         "transitions": trans,
         "paths": paths,
-        "funnelstate": _funnelstate_counts(spark, sf_dir, e).select(
-            "step", "event_type", "users", "denom", "rate"
-        ),
+        "funnelstate": _bb["funnelstate"],
         "latency": lat.select("user_id", "latency_ms"),
         "latdist": latdist,
         # ClickHouse windowFunnel max-level semantics (all anchors
@@ -614,15 +639,5 @@ def behavior_branches(spark, sf_dir: str, e: DataFrame) -> dict[str, DataFrame]:
         # user-bounded artifact frame — slot-memoized like funnelstate
         # (pass 1 pays the anchor advances, later materializations
         # serve the checkpoint)
-        "funnelmax": slot_memo(
-            _FUNMAX_MEMO,
-            spark,
-            sf_dir,
-            lambda: funnel_max_level(
-                e, "user_id", "event_type", "ts", "event_id",
-                FUNNEL_STEPS, within_ms=FUNNEL_WINDOW_MS,
-            )
-            .select("user_id", F.col("level").alias("step"))
-            .localCheckpoint(),
-        ),
+        "funnelmax": _bb["funnelmax"],
     }

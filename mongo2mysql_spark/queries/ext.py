@@ -685,7 +685,7 @@ def _cms_stream_frame(spark: SparkSession, sf_dir: str, hk) -> DataFrame:
 def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mongo2mysql_spark.operators.integrity import integrity_report
     from mongo2mysql_spark.operators.profile import profile_table
-    from mongo2mysql_spark.queries import tagged_union
+    from mongo2mysql_spark.queries import parallel_branches, tagged_union
 
     d = T(spark, sf_dir, "documents", fanout=True)
     prof = profile_table(
@@ -741,24 +741,42 @@ def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the ANALYZE-TABLE selectivity statistic — boundary doubles come
     # from exact_quantiles (bit-identical to quantile_cont), counts from
     # one literal-comparison-chain scan
+    from mongo2mysql_spark.operators.cms import cms_build, cms_estimate
     from mongo2mysql_spark.operators.selection import equi_depth_histogram
+    from mongo2mysql_spark.queries import slot_memo
 
-    # the lineitem price histogram is built ONCE (localCheckpoint: the
-    # exact_quantiles pass is the slot's single most expensive build
-    # job) and consumed by BOTH the 'histogram' branch and the 'selest'
-    # selectivity estimator below — the ANALYZE-statistic reuse shape
-    hist_li = equi_depth_histogram(
-        li, "l_extendedprice", _HIST_BUCKETS
-    ).localCheckpoint()
+    hk = heavy_keys(li, "l_suppkey", k=10).select(
+        "column", "key", "key_n", "rank",
+        F.col("key").cast("long").alias("__kv"),
+    )
+    # the slot's only eager build work is the two equi-depth histogram
+    # chains (one driver collect + first() each) and the cold cmsstream
+    # store build — overlap them from a thread pool (guide §2.6); the
+    # lineitem histogram is built ONCE (localCheckpoint) and consumed
+    # by BOTH the 'histogram' branch and the 'selest' estimator below
+    _eager = parallel_branches(
+        {
+            "histli": lambda: equi_depth_histogram(
+                li, "l_extendedprice", _HIST_BUCKETS
+            ).localCheckpoint(),
+            "histod": lambda: equi_depth_histogram(
+                T(spark, sf_dir, "orders", fanout=True),
+                "o_totalprice",
+                _HIST_BUCKETS,
+            ),
+            "cmsst": lambda: slot_memo(
+                _CMSSTREAM_MEMO, spark, sf_dir,
+                lambda: _cms_stream_frame(spark, sf_dir, hk),
+            ),
+        }
+    )
+    hist_li = _eager["histli"]
     hist = (
         hist_li
         .select(F.lit("lineitem.l_extendedprice").alias("column"), "*")
         .unionByName(
-            equi_depth_histogram(
-                T(spark, sf_dir, "orders", fanout=True),
-                "o_totalprice",
-                _HIST_BUCKETS,
-            ).select(F.lit("orders.o_totalprice").alias("column"), "*")
+            _eager["histod"]
+            .select(F.lit("orders.o_totalprice").alias("column"), "*")
         )
     )
     # count-min sketch (operators/cms.py): the grid is built once over
@@ -766,12 +784,6 @@ def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the true top-10 keys hash as exact BIGINTs because the Carter-
     # Wegman cell arithmetic is engine-identical — the slot proves
     # sketch-vs-exact side by side (est >= key_n by construction)
-    from mongo2mysql_spark.operators.cms import cms_build, cms_estimate
-
-    hk = heavy_keys(li, "l_suppkey", k=10).select(
-        "column", "key", "key_n", "rank",
-        F.col("key").cast("long").alias("__kv"),
-    )
     grid = cms_build(li, "l_suppkey", depth=_CMS_DEPTH, width=_CMS_WIDTH)
     cms = (
         cms_estimate(grid, hk, "__kv", depth=_CMS_DEPTH, width=_CMS_WIDTH)
@@ -837,12 +849,7 @@ def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("exact").alias("n_rows"),
         F.col("est").alias("mean_value"),
     )
-    from mongo2mysql_spark.queries import slot_memo
-
-    cmsst = slot_memo(
-        _CMSSTREAM_MEMO, spark, sf_dir,
-        lambda: _cms_stream_frame(spark, sf_dir, hk),
-    )
+    cmsst = _eager["cmsst"]
     return tagged_union(
         {
             "profile": prof,
@@ -1810,28 +1817,28 @@ def resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mongo2mysql_spark.operators.bars import ohlc_bars, twap_bars
     from mongo2mysql_spark.operators.forecast import seasonal_backtest
     from mongo2mysql_spark.operators.trend import hourly_trend
+    from mongo2mysql_spark.queries import parallel_branches
 
-    fc, bt = seasonal_backtest(
-        ev, "event_type", "ts",
-        split_frac_num=_FC_SPLIT_NUM, split_frac_den=_FC_SPLIT_DEN,
-    )
-    oh = ohlc_bars(
-        ev, "event_type", "ts", "value", "event_id",
-        interval_seconds=_RESAMPLE_INTERVAL,
-    )
-    return tagged_union(
+    # the forecast/backtest and mad builders run eager driver actions
+    # (checkpointed quantile phases, bound collects); constructing the
+    # independent branches from a thread pool overlaps those jobs
+    # (guide §2.6) — the frames themselves are unchanged
+    built = parallel_branches(
         {
-            "resample": rs,
-            "zscore": zs,
-            "forecast": fc,
-            "backtest": bt,
-            "ohlc": oh,
-            "trend": hourly_trend(ev, "event_type", "ts"),
-            "twap": twap_bars(
+            "fcbt": lambda: seasonal_backtest(
+                ev, "event_type", "ts",
+                split_frac_num=_FC_SPLIT_NUM, split_frac_den=_FC_SPLIT_DEN,
+            ),
+            "ohlc": lambda: ohlc_bars(
                 ev, "event_type", "ts", "value", "event_id",
                 interval_seconds=_RESAMPLE_INTERVAL,
             ),
-            "mad": mad_outliers(
+            "trend": lambda: hourly_trend(ev, "event_type", "ts"),
+            "twap": lambda: twap_bars(
+                ev, "event_type", "ts", "value", "event_id",
+                interval_seconds=_RESAMPLE_INTERVAL,
+            ),
+            "mad": lambda: mad_outliers(
                 ev.select("event_type", "event_id", "value"),
                 ["event_type"], "value", ["event_id"], k=_MAD_K,
             ).select(
@@ -1839,6 +1846,19 @@ def resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("value").alias("raw_value"),
                 "med", "mad", "abs_dev", "is_degenerate", "is_mad_outlier",
             ),
+        }
+    )
+    fc, bt = built["fcbt"]
+    return tagged_union(
+        {
+            "resample": rs,
+            "zscore": zs,
+            "forecast": fc,
+            "backtest": bt,
+            "ohlc": built["ohlc"],
+            "trend": built["trend"],
+            "twap": built["twap"],
+            "mad": built["mad"],
         }
     )
 

@@ -792,9 +792,155 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     # different-path contract the IVF store and ppjoin slots use)
     from mongo2mysql_spark.operators.selection import exact_quantiles
 
-    pct = exact_quantiles(
-        li, "l_extendedprice", {"exact_p50": 0.5, "exact_p90": 0.9}
+    # ---- shared table handles + planner fixtures, hoisted so every
+    # eager build action in this slot (quantile collect, KMV sketch
+    # checkpoints, domain agg, and the four planners' ANALYZE passes)
+    # can run overlapped from one thread pool (guide §2.6) instead of
+    # as ~20 serial driver barriers.  The values are identical — the
+    # pool only changes job submission order.
+    from mongo2mysql_spark.operators.histjoin import analyze_key_stats
+    from mongo2mysql_spark.operators.joinorder import (
+        _edge_est6,
+        chain_join_plan,
+        chain_join_stats,
+        chain_plan_dp,
+        snowflake_join_stats,
+        star_join_stats,
     )
+    from mongo2mysql_spark.operators.kmv import (
+        kmv_hash,
+        kmv_intersect_est,
+        kmv_join_size_est,
+        kmv_stats,
+        kmv_tuple_sketch,
+        kmv_union,
+    )
+    from mongo2mysql_spark.queries import parallel_branches
+
+    o = T(spark, sf_dir, "orders")
+    cust = T(spark, sf_dir, "customer")
+    part = T(spark, sf_dir, "part")
+    supp = T(spark, sf_dir, "supplier")
+    nation = T(spark, sf_dir, "nation")
+    region = T(spark, sf_dir, "region")
+
+    # edge-statistics memo shared by the chain/star/snowflake/graph
+    # planners and the executors: est6 is symmetric in its sides, and
+    # the fixtures overlap on (o,l), (l,p), (l,s), (c,o) — the edge
+    # computations collapse to one per distinct edge (each = a domain
+    # agg + two bounded ANALYZE collects).  Per-key locks make the
+    # memos safe under the threaded gatherers (first caller computes,
+    # overlapping callers wait — still one job per edge/table).
+    import threading as _th
+
+    _memo_guard = _th.Lock()
+    _key_locks: dict = {}
+
+    def _locked(memo: dict, key, compute):
+        if key in memo:
+            return memo[key]
+        with _memo_guard:
+            lk = _key_locks.setdefault(("k", id(memo), key), _th.Lock())
+        with lk:
+            if key not in memo:
+                memo[key] = compute()
+        return memo[key]
+
+    _ememo: dict = {}
+
+    def eest(a, ka, b, kb, nb):
+        key = (frozenset(((id(a), ka), (id(b), kb))), nb)
+        return _locked(_ememo, key, lambda: _edge_est6(a, ka, b, kb, nb))
+
+    # row-count memo beside the edge memo: the planners share tables
+    # (lineitem counted 3x, orders and customer 2x each without it) —
+    # one count job per distinct table
+    _cmemo: dict = {}
+
+    def ccount(name, df):
+        return _locked(_cmemo, name, df.count)
+
+    chain_tables = [("c", cust), ("o", o), ("l", li), ("p", part)]
+    chain_edges = [("c_custkey", "o_custkey"), ("o_orderkey", "l_orderkey"),
+                   ("l_partkey", "p_partkey")]
+    star_dims = [("p", part, "l_partkey", "p_partkey"),
+                 ("s", supp, "l_suppkey", "s_suppkey"),
+                 ("o", o, "l_orderkey", "o_orderkey")]
+    snchains = [
+        [("o", o, "l_orderkey", "o_orderkey"),
+         ("c", cust, "o_custkey", "c_custkey")],
+        [("s", supp, "l_suppkey", "s_suppkey"),
+         ("n", nation, "s_nationkey", "n_nationkey")],
+        [("p", part, "l_partkey", "p_partkey")],
+    ]
+
+    pivot = F.lit(_KMV_PIVOT.split(" ")[0]).cast("timestamp")
+
+    def _kmv3():
+        keys = (
+            li.select(
+                kmv_hash(F.col("l_orderkey")).alias("h"),
+                (F.col("l_shipdate") < pivot).cast("int").alias("in_a"),
+                (F.col("l_shipdate") >= pivot).cast("int").alias("in_b"),
+            )
+            .groupBy("h")
+            .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+            .localCheckpoint()
+        )
+        ska = (
+            keys.filter(F.col("in_a") == 1).select("h").orderBy("h")
+            .limit(_KMV_K)
+        ).localCheckpoint()
+        skb = (
+            keys.filter(F.col("in_b") == 1).select("h").orderBy("h")
+            .limit(_KMV_K)
+        ).localCheckpoint()
+        return keys, ska, skb
+
+    _eg = parallel_branches(
+        {
+            "pct": lambda: exact_quantiles(
+                li, "l_extendedprice",
+                {"exact_p50": 0.5, "exact_p90": 0.9},
+            ),
+            "kmv3": _kmv3,
+            "tsk": lambda: (
+                kmv_tuple_sketch(o, "o_custkey", _KMV_K).localCheckpoint(),
+                kmv_tuple_sketch(cust, "c_custkey", _KMV_K).localCheckpoint(),
+            ),
+            "dom": lambda: (
+                o.select(F.col("o_custkey").cast("long").alias("k"))
+                .unionByName(
+                    cust.select(F.col("c_custkey").cast("long").alias("k"))
+                )
+                .agg(F.min("k").alias("lo"), F.max("k").alias("hi"))
+                .first()
+            ),
+            "cstats": lambda: chain_join_stats(
+                chain_tables, chain_edges, _HJ_BUCKETS,
+                edge_est6=eest, count_fn=ccount,
+            ),
+            "sstats": lambda: star_join_stats(
+                ("l", li), star_dims, _HJ_BUCKETS,
+                edge_est6=eest, count_fn=ccount,
+            ),
+            "snstats": lambda: snowflake_join_stats(
+                ("l", li), snchains, _HJ_BUCKETS,
+                edge_est6=eest, count_fn=ccount,
+            ),
+            # the two graph-only edges + the region count, so the
+            # graph section below is a pure memo read
+            "gextra": lambda: (
+                eest(cust, "c_nationkey", nation, "n_nationkey",
+                     _HJ_BUCKETS),
+                eest(nation, "n_regionkey", region, "r_regionkey",
+                     _HJ_BUCKETS),
+                ccount("r", region),
+            ),
+        },
+        max_workers=6,
+    )
+    pct = _eg["pct"]
     agg = (
         apx.crossJoin(F.broadcast(eo))
         .crossJoin(F.broadcast(ep))
@@ -817,30 +963,7 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     # KMV branch: sketch ESTIMATES are portable integers + one IEEE
     # division, so unlike the HLL/KLL verdicts above, est/cnt/theta are
     # THEMSELVES hashed against the DuckDB restatement
-    from mongo2mysql_spark.operators.kmv import (
-        kmv_hash,
-        kmv_intersect_est,
-        kmv_stats,
-        kmv_union,
-    )
-
-    pivot = F.lit(_KMV_PIVOT.split(" ")[0]).cast("timestamp")
-    keys = (
-        li.select(
-            kmv_hash(F.col("l_orderkey")).alias("h"),
-            (F.col("l_shipdate") < pivot).cast("int").alias("in_a"),
-            (F.col("l_shipdate") >= pivot).cast("int").alias("in_b"),
-        )
-        .groupBy("h")
-        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
-        .localCheckpoint()
-    )
-    ska = (
-        keys.filter(F.col("in_a") == 1).select("h").orderBy("h").limit(_KMV_K)
-    ).localCheckpoint()
-    skb = (
-        keys.filter(F.col("in_b") == 1).select("h").orderBy("h").limit(_KMV_K)
-    ).localCheckpoint()
+    keys, ska, skb = _eg["kmv3"]
     exacts = keys.agg(
         F.sum("in_a").alias("ea"),
         F.sum("in_b").alias("eb"),
@@ -876,17 +999,7 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the query-planner readout — |orders ⋈ customer| estimated from two
     # K-row sketches carrying per-key multiplicities, never touching the
     # join itself; the exact count rides along for the verdict
-    from mongo2mysql_spark.operators.kmv import (
-        kmv_join_size_est,
-        kmv_tuple_sketch,
-    )
-
-    o = T(spark, sf_dir, "orders")
-    cust = T(spark, sf_dir, "customer")
-    je = kmv_join_size_est(
-        kmv_tuple_sketch(o, "o_custkey", _KMV_K).localCheckpoint(),
-        kmv_tuple_sketch(cust, "c_custkey", _KMV_K).localCheckpoint(),
-    )
+    je = kmv_join_size_est(*_eg["tsk"])
     jexact = o.join(cust, o.o_custkey == cust.c_custkey).agg(
         F.count(F.lit(1)).alias("__ex")
     )
@@ -942,16 +1055,10 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     # here for the optimizer-statistics state shape).  The parquet
     # persistence roundtrip is proven in tests/test_r11_fixes.py.
     from mongo2mysql_spark.operators.histjoin import (
-        analyze_key_stats,
         hist_join_estimate_from_stats,
     )
 
-    dom = (
-        o.select(F.col("o_custkey").cast("long").alias("k"))
-        .unionByName(cust.select(F.col("c_custkey").cast("long").alias("k")))
-        .agg(F.min("k").alias("lo"), F.max("k").alias("hi"))
-        .first()
-    )
+    dom = _eg["dom"]
     # empty-domain edge: declared domain [0, 0] still yields empty
     # artifacts, and from_stats serves its zero-filled total row
     d_lo = int(dom["lo"]) if dom["lo"] is not None else 0
@@ -981,44 +1088,10 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     # estimate, C_out cost, and chosen split hash against the unrolled
     # interval-lattice restatement (exact integer recurrence with
     # identical floor points on both engines).
-    from mongo2mysql_spark.operators.joinorder import (
-        _edge_est6,
-        chain_join_plan,
-        chain_join_stats,
-        chain_plan_dp,
-    )
-
-    # edge-statistics memo shared by the chain/star/snowflake planners
-    # and the executor: est6 is symmetric in its sides, and the three
-    # fixtures overlap on (o,l), (l,p), (l,s), (c,o) — 11 edge
-    # computations collapse to 5 (each edge = a domain agg + two
-    # bounded ANALYZE collects)
-    _ememo: dict = {}
-
-    def eest(a, ka, b, kb, nb):
-        key = (frozenset(((id(a), ka), (id(b), kb))), nb)
-        if key not in _ememo:
-            _ememo[key] = _edge_est6(a, ka, b, kb, nb)
-        return _ememo[key]
-
-    # row-count memo beside the edge memo: the chain/star/snowflake/
-    # graph planners share tables (lineitem counted 3x, orders and
-    # customer 2x each without it) — one count job per distinct table
-    _cmemo: dict = {}
-
-    def ccount(name, df):
-        if name not in _cmemo:
-            _cmemo[name] = df.count()
-        return _cmemo[name]
-
-    part = T(spark, sf_dir, "part")
-    chain_tables = [("c", cust), ("o", o), ("l", li), ("p", part)]
-    chain_edges = [("c_custkey", "o_custkey"), ("o_orderkey", "l_orderkey"),
-                   ("l_partkey", "p_partkey")]
-    # ONE statistics pass feeds both the hashed plan rows and the
-    # executor below — the executed order IS the hashed decision
-    cstats = chain_join_stats(chain_tables, chain_edges, _HJ_BUCKETS,
-                              edge_est6=eest, count_fn=ccount)
+    # ONE statistics pass (pooled above) feeds both the hashed plan
+    # rows and the executor below — the executed order IS the hashed
+    # decision
+    cstats = _eg["cstats"]
     jp = chain_join_plan(
         spark, chain_tables, chain_edges, n_buckets=_HJ_BUCKETS,
         stats=cstats,
@@ -1037,19 +1110,11 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     # COMPLETE (dims connect only through the fact); the chosen order
     # surfaces most-selective-dimension-first, and the whole dim-subset
     # lattice hashes against the unrolled restatement
-    from mongo2mysql_spark.operators.joinorder import (
-        star_join_plan,
-        star_join_stats,
-    )
+    from mongo2mysql_spark.operators.joinorder import star_join_plan
 
-    supp = T(spark, sf_dir, "supplier")
-    star_dims = [("p", part, "l_partkey", "p_partkey"),
-                 ("s", supp, "l_suppkey", "s_suppkey"),
-                 ("o", o, "l_orderkey", "o_orderkey")]
     sp = star_join_plan(
         spark, ("l", li), star_dims, n_buckets=_HJ_BUCKETS,
-        stats=star_join_stats(("l", li), star_dims, _HJ_BUCKETS,
-                              edge_est6=eest, count_fn=ccount),
+        stats=_eg["sstats"],
     )
     starorder = sp.select(
         F.col("plan").alias("setop"),
@@ -1069,21 +1134,10 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     # internal costs all hash against the unrolled restatement
     from mongo2mysql_spark.operators.joinorder import (
         snowflake_join_plan,
-        snowflake_join_stats,
+        snowflake_plan_dp,
     )
 
-    from mongo2mysql_spark.operators.joinorder import snowflake_plan_dp
-
-    nation = T(spark, sf_dir, "nation")
-    snchains = [
-        [("o", o, "l_orderkey", "o_orderkey"),
-         ("c", cust, "o_custkey", "c_custkey")],
-        [("s", supp, "l_suppkey", "s_suppkey"),
-         ("n", nation, "s_nationkey", "n_nationkey")],
-        [("p", part, "l_partkey", "p_partkey")],
-    ]
-    snstats = snowflake_join_stats(("l", li), snchains, _HJ_BUCKETS,
-                                   edge_est6=eest, count_fn=ccount)
+    snstats = _eg["snstats"]
     sndp = snowflake_plan_dp(snstats)
     snp = snowflake_join_plan(
         spark, ("l", li), snchains, n_buckets=_HJ_BUCKETS,
@@ -1198,7 +1252,6 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         graph_plan_dp,
     )
 
-    region = T(spark, sf_dir, "region")
     gtables = [("c", cust), ("o", o), ("l", li), ("s", supp),
                ("n", nation), ("r", region)]
     gedges = [

@@ -556,30 +556,54 @@ def ann_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         topk_truncated_rescore,
     )
 
+    from mongo2mysql_spark.queries import parallel_branches
+
     e = T(spark, sf_dir, "embeddings", fanout=True)
     q = e.filter(F.col("vec_id") < N_QUERIES)
+    cols = ["query_id", "neighbor_id", "cosine", "rank"]
+
     # packed BQ words are INDEX STATE (a deployment stores the words —
     # that is the 32× read cut): built once per (app, sf_dir), serving
-    # scans them; the bounded query side packs per call
-    signs, shwords = _bq_index(spark, sf_dir, e)
-    cols = ["query_id", "neighbor_id", "cosine", "rank"]
-    fold = topk_bruteforce(e, q, "vec_id", "embedding", k=10).select(*cols)
-    arrow = topk_bruteforce_arrow(e, q, "vec_id", "embedding", k=10).select(*cols)
-    ham = topk_hamming(
-        e, q, "vec_id", "embedding", dim=EMB_DIM, k=10, corpus_packed=signs
+    # scans them; the bounded query side packs per call.  The builders
+    # run from a thread pool (guide §2.6): the arrow path's query
+    # collect, the memoized BQ-index checkpoints, and the streaming
+    # serve round-trip overlap instead of queueing as serial barriers.
+    def _bq_paths():
+        signs, shwords = _bq_index(spark, sf_dir, e)
+        ham = topk_hamming(
+            e, q, "vec_id", "embedding", dim=EMB_DIM, k=10,
+            corpus_packed=signs,
+        )
+        bqr = topk_hamming_rescore(
+            e, q, "vec_id", "embedding", dim=EMB_DIM, k=10, overfetch=10,
+            corpus_packed=signs,
+        )
+        sh = topk_simhash(
+            e, q, "vec_id", "embedding", dim=EMB_DIM, n_bits=SH_BITS, k=10,
+            corpus_packed=shwords,
+        )
+        return ham, bqr, sh
+
+    _ab = parallel_branches(
+        {
+            "fold": lambda: topk_bruteforce(
+                e, q, "vec_id", "embedding", k=10
+            ).select(*cols),
+            "arrow": lambda: topk_bruteforce_arrow(
+                e, q, "vec_id", "embedding", k=10
+            ).select(*cols),
+            "bq": _bq_paths,
+            "mrl": lambda: topk_truncated_rescore(
+                e, q, "vec_id", "embedding",
+                prefix_dim=MRL_PREFIX, k=10, overfetch=MRL_OVERFETCH,
+            ),
+            "served": lambda: _ann_served(spark, sf_dir, e),
+        }
     )
-    bqr = topk_hamming_rescore(
-        e, q, "vec_id", "embedding", dim=EMB_DIM, k=10, overfetch=10,
-        corpus_packed=signs,
-    )
-    sh = topk_simhash(
-        e, q, "vec_id", "embedding", dim=EMB_DIM, n_bits=SH_BITS, k=10,
-        corpus_packed=shwords,
-    )
-    mrl = topk_truncated_rescore(
-        e, q, "vec_id", "embedding",
-        prefix_dim=MRL_PREFIX, k=10, overfetch=MRL_OVERFETCH,
-    )
+    fold = _ab["fold"]
+    arrow = _ab["arrow"]
+    ham, bqr, sh = _ab["bq"]
+    mrl = _ab["mrl"]
     nul_int = F.lit(None).cast("int")
     nul_dbl = F.lit(None).cast("double")
     return (
@@ -610,7 +634,7 @@ def ann_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .unionByName(
-            _ann_served(spark, sf_dir, e).select(
+            _ab["served"].select(
                 F.lit("hamserve").alias("path"),
                 "query_id",
                 "neighbor_id",
@@ -1164,6 +1188,10 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mongo2mysql_spark.operators.contrastive import mine_contrastive_triplets
     from mongo2mysql_spark.queries import tagged_union
 
+    from mongo2mysql_spark.operators.pq import pq_ivf_topk, pq_ivfadc_topk
+    from mongo2mysql_spark.queries import parallel_branches, slot_memo
+    from mongo2mysql_spark.sources.ivfstore import topk_ivf_partitioned
+
     e = T(spark, sf_dir, "embeddings", fanout=True)
     q = e.filter(F.col("vec_id") < N_QUERIES)
     ivf = topk_ivf(
@@ -1171,7 +1199,6 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "query_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank")
     )
-    from mongo2mysql_spark.queries import slot_memo
 
     def mine() -> DataFrame:
         corpus = e.select("vec_id", "embedding").unionByName(
@@ -1192,23 +1219,31 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             salt=TRIP_SALT,
         ).localCheckpoint()
 
-    trip = slot_memo(_TRIPLETS_MEMO, spark, sf_dir, mine)
-    from mongo2mysql_spark.operators.pq import pq_ivf_topk
-
-    cb, codes = _pq_index(spark, sf_dir, e)
+    # the four write-once index artifacts (mined triplets, PQ book +
+    # codes, IVFADC residual index, partitioned IVF store) are
+    # independent memoized builds — construct them from a thread pool
+    # (guide §2.6) so a cold pass overlaps their trainer/write jobs
+    _ib = parallel_branches(
+        {
+            "trip": lambda: slot_memo(_TRIPLETS_MEMO, spark, sf_dir, mine),
+            "pq": lambda: _pq_index(spark, sf_dir, e),
+            "adc": lambda: _ivfadc_index(spark, sf_dir, e),
+            "store": lambda: _ivf_store_path(spark, sf_dir, e),
+            "div": lambda: diversify_branches(spark, sf_dir, e),
+        }
+    )
+    trip = _ib["trip"]
+    cb, codes = _ib["pq"]
     ivfpq = pq_ivf_topk(
         e, q, "vec_id", "embedding", cb,
         centroid_stride=STRIDE, nprobe=NPROBE, k=5,
         rerank=IVFPQ_RERANK, normalize=True, codes_df=codes,
     )
-    from mongo2mysql_spark.operators.pq import pq_ivfadc_topk
-
     # hashed IVFADC: deterministic stride residual codebook (train=False
     # inside the memoized build) so the oracle can restate the whole
     # index; trained residual books are the bench recall path
-    idx = _ivfadc_index(spark, sf_dir, e)
     ivfadc = pq_ivfadc_topk(
-        e, q, "vec_id", "embedding", idx,
+        e, q, "vec_id", "embedding", _ib["adc"],
         centroid_stride=STRIDE, nprobe=NPROBE, k=5, rerank=IVFPQ_RERANK,
     )
     # the same IVF search served from the PARTITIONED store
@@ -1216,16 +1251,14 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # PartitionFilter, so only probed cells' directories are read; the
     # oracle states the same answer as 'ivf' — the hash proves layout
     # and raw paths bit-identical
-    from mongo2mysql_spark.sources.ivfstore import topk_ivf_partitioned
-
     ivfp = topk_ivf_partitioned(
-        spark, _ivf_store_path(spark, sf_dir, e), q, "vec_id", "embedding",
+        spark, _ib["store"], q, "vec_id", "embedding",
         k=5, nprobe=NPROBE,
     ).select(
         "query_id", "neighbor_id", "cosine",
         F.col("rank").cast("int").alias("rank"),
     )
-    div = diversify_branches(spark, sf_dir, e)
+    div = _ib["div"]
     return tagged_union(
         {
             "ivf": ivf,
@@ -1613,7 +1646,23 @@ def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the raw vectors (the oracle's cosine is raw-vs-raw).  The
     # codebook + checkpointed code table are the slot-shared memoized
     # PQ index (ann_topk_ivf's ivfpq branch searches the same codes).
-    cb, codes_df = _pq_index(spark, sf_dir, e)
+    # The stride-book chain (index -> store codes) and the trained
+    # Lloyd book are independent memoized builds — overlap them from a
+    # thread pool (guide §2.6)
+    from mongo2mysql_spark.queries import parallel_branches
+
+    def _pq_chain():
+        cb, codes_df = _pq_index(spark, sf_dir, e)
+        ps_delta, ps_base = _pq_store_codes_memo(spark, sf_dir, cb)
+        return cb, codes_df, ps_delta, ps_base
+
+    _eb = parallel_branches(
+        {
+            "pqchain": _pq_chain,
+            "pqt": lambda: _pqt_index(spark, sf_dir, e),
+        }
+    )
+    cb, codes_df, ps_delta, ps_base = _eb["pqchain"]
     pqc = codes_df.select(
         "vec_id",
         F.concat_ws(
@@ -1648,11 +1697,10 @@ def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         k_max=PR_K,
         keep_frac=Fraction(PR_KEEP_NUM, PR_KEEP_DEN),
     )
-    ps_delta, ps_base = _pq_store_codes_memo(spark, sf_dir, cb)
     # the TRAINED serving path (VERDICT r7 ask #3): codes + ADC search
     # under the decimal-exact Lloyd book — same serving operators, a
     # learned codebook, every value still driver-hashed
-    cb_t, codes_t = _pqt_index(spark, sf_dir, e)
+    cb_t, codes_t = _eb["pqt"]
     pqt = codes_t.select(
         "vec_id",
         F.concat_ws(

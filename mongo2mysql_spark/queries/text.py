@@ -340,15 +340,28 @@ def text_term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mongo2mysql_spark.queries.domains import domains_branches
 
     d = T(spark, sf_dir, "documents", fanout=True)
-    tf = (
-        d.select(F.explode(tokens(F.col("text"))).alias("token"))
-        .groupBy("token")
+    # ONE tokenize+explode pass feeds both the tf and keyness legs: the
+    # (label, token, n) aggregate is vocab×langs-bounded, so an eager
+    # checkpoint is cheap and the tf counts fall out of it exactly
+    # (sum over labels of per-label counts == count over all docs).
+    cnt = (
+        d.select(
+            F.col("lang").alias("label"),
+            F.explode(tokens(F.col("text"))).alias("token"),
+        )
+        .groupBy("label", "token")
         .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
+    tf = (
+        cnt.groupBy("token")
+        .agg(F.sum("n").alias("n"))
         .orderBy(F.desc("n"), "token")
         .limit(50)
     )
     key = keyness_terms(
-        d, "lang", tokens(F.col("text")), min_count=5, min_ratio=3, k=10
+        d, "lang", tokens(F.col("text")), min_count=5, min_ratio=3, k=10,
+        counts=cnt,
     )
     coll = dice_collocations(
         d, tokens(F.col("text")), min_pair=_COLL_MIN_PAIR,

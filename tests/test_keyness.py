@@ -51,6 +51,54 @@ def test_keyness_value_is_smoothed_ratio(spark):
     assert res["x"].keyness == (5 / 6) / ((0 + 1) / 6)
 
 
+def test_precomputed_counts_match_inline_path(spark):
+    # the r12 tf/keyness fusion: a caller-supplied (label, token, n)
+    # aggregate must serve the exact rows the inline explode path does,
+    # and the tf readout derived from the same aggregate must equal the
+    # direct corpus-wide count.
+    rows = [
+        (0, "a", "alpha alpha alpha alpha alpha beta common common"),
+        (1, "a", "alpha alpha alpha alpha alpha common common common"),
+        (2, "b", "gamma gamma gamma gamma gamma common common common"),
+        (3, "b", "delta common common delta delta delta delta common"),
+    ]
+    d = _docs(spark, rows)
+    cnt = (
+        d.select(
+            F.col("lang").alias("label"),
+            F.explode(tokens(F.col("text"))).alias("token"),
+        )
+        .groupBy("label", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    inline = sorted(
+        tuple(r)
+        for r in keyness_terms(
+            d, "lang", tokens(F.col("text")), min_count=4, min_ratio=2, k=3
+        ).collect()
+    )
+    served = sorted(
+        tuple(r)
+        for r in keyness_terms(
+            d, "lang", tokens(F.col("text")), min_count=4, min_ratio=2, k=3,
+            counts=cnt,
+        ).collect()
+    )
+    assert inline == served and inline
+    tf_direct = sorted(
+        tuple(r)
+        for r in d.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    tf_fused = sorted(
+        tuple(r)
+        for r in cnt.groupBy("token").agg(F.sum("n").alias("n")).collect()
+    )
+    assert tf_direct == tf_fused
+
+
 def test_sql_restatement_matches(spark):
     rows = [
         (0, "a", "alpha alpha alpha alpha alpha beta common common"),
