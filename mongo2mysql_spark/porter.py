@@ -161,7 +161,27 @@ class SparkPorter:
     # ------------------------------------------------------------------- run
 
     def run_to_frames(self, collections: dict[str, DataFrame]) -> dict[str, CollectionExport]:
-        return {name: self.export_collection(df, name) for name, df in collections.items()}
+        """Exports are independent per collection; each one runs eager
+        schema-inference jobs, so building them from a small thread
+        pool overlaps those driver barriers (the exports themselves
+        are unchanged).  ``SPARK_GRAFT_BUILD_THREADS=1`` restores the
+        serial loop."""
+        import os
+        from concurrent.futures import ThreadPoolExecutor
+
+        items = list(collections.items())
+        env = os.environ.get("SPARK_GRAFT_BUILD_THREADS")
+        workers = min(4, len(items))
+        if env and env.isdigit():
+            workers = max(1, min(int(env), len(items)))
+        if workers <= 1 or len(items) <= 1:
+            return {name: self.export_collection(df, name) for name, df in items}
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            futs = [
+                (name, pool.submit(self.export_collection, df, name))
+                for name, df in items
+            ]
+            return {name: f.result() for name, f in futs}
 
     def run(
         self,

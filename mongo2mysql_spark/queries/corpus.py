@@ -260,6 +260,8 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DECONTAM_N = 8
 BENCH_STRIDE = 97  # doc_id % 97 == 0 stands in for the eval/benchmark set
+# write-once streaming bloom seen-set filter, keyed (applicationId, sf_dir)
+_BLOOM_SEEN_MEMO: dict = {}
 # 'bloom' branch: filter geometry (operators/bloom.py defaults) — at
 # sf0.1 the benchmark sets ~11% of the 64Ki bits, giving a real but
 # small false-positive rate, so n_bloom_hits >= exact overlap with
@@ -388,45 +390,58 @@ def decontam_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         streaming_bloom_refresh,
     )
 
-    raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
-    work = tempfile.mkdtemp(prefix="bloom_seen_")
-    try:
-        for half in (0, 1):
-            stream_docs = (
-                spark.readStream.schema(raw_schema)
-                .option("pathGlobFilter", "documents.parquet")
-                .parquet(sf_dir)
-            )
-            q = streaming_bloom_refresh(
-                stream_docs.filter(
-                    (F.col("doc_id") % BENCH_STRIDE == 0)
-                    & (F.col("doc_id") % 2 == half)
-                ).select(
-                    F.explode(
-                        F.array_distinct(
-                            shingle_hashes(tokens(F.col("text")), DECONTAM_N)
-                        )
-                    ).alias("h")
-                ),
-                f"{work}/store",
-                "h",
-                m_bits=BLOOM_M,
-                k=BLOOM_K,
-                checkpoint_dir=f"{work}/ck{half}",
-            )
-            # awaitTermination(timeout) returns False on timeout with
-            # the query STILL RUNNING — proceeding would rmtree the
-            # store under it and serve a half-built filter to the hash
-            # gate.  Stop and fail loudly instead.
-            if not q.awaitTermination(300):
-                q.stop()
-                raise TimeoutError(
-                    "bloom seen-set refresh did not drain within 300s"
+    def _build_filter():
+        # write-once streaming state (the two-half fold ≡ one-shot
+        # build is the module invariant the gate rides), slot-memoized
+        # per (application, sf_dir) like the sibling streaming stores
+        # (funnelstate, annserve, rollup partials, cmsstream): pass 1
+        # pays the micro-batch round-trips, later materializations
+        # serve the checkpointed filter words
+        raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+        work = tempfile.mkdtemp(prefix="bloom_seen_")
+        try:
+            for half in (0, 1):
+                stream_docs = (
+                    spark.readStream.schema(raw_schema)
+                    .option("pathGlobFilter", "documents.parquet")
+                    .parquet(sf_dir)
                 )
-        # materialize before the store dir is deleted
-        fltr = read_bloom_store(spark, f"{work}/store").localCheckpoint()
-    finally:
-        shutil.rmtree(work, ignore_errors=True)
+                q = streaming_bloom_refresh(
+                    stream_docs.filter(
+                        (F.col("doc_id") % BENCH_STRIDE == 0)
+                        & (F.col("doc_id") % 2 == half)
+                    ).select(
+                        F.explode(
+                            F.array_distinct(
+                                shingle_hashes(
+                                    tokens(F.col("text")), DECONTAM_N
+                                )
+                            )
+                        ).alias("h")
+                    ),
+                    f"{work}/store",
+                    "h",
+                    m_bits=BLOOM_M,
+                    k=BLOOM_K,
+                    checkpoint_dir=f"{work}/ck{half}",
+                )
+                # awaitTermination(timeout) returns False on timeout
+                # with the query STILL RUNNING — proceeding would
+                # rmtree the store under it and serve a half-built
+                # filter to the hash gate.  Stop and fail loudly.
+                if not q.awaitTermination(300):
+                    q.stop()
+                    raise TimeoutError(
+                        "bloom seen-set refresh did not drain within 300s"
+                    )
+            # materialize before the store dir is deleted
+            return read_bloom_store(spark, f"{work}/store").localCheckpoint()
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+    from mongo2mysql_spark.queries import slot_memo
+
+    fltr = slot_memo(_BLOOM_SEEN_MEMO, spark, sf_dir, _build_filter)
     # one-pass membership (operators/bloom.bloom_hit_counts): the old
     # probe-then-join shape computed doc_sh (a full corpus shingle
     # explode) TWICE — once for the distinct-h probe, once to join the

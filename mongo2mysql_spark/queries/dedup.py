@@ -458,20 +458,13 @@ def _cos_sql(a: str, b: str) -> str:
 )
 def dedup_pair_families(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = T(spark, sf_dir, "documents", fanout=True)
-    # minhash pairs come from the slot-shared (memoized) LSH pass; the
-    # jaccard branch caches its shingle arrays across the explode /
-    # sizes / self-join consumers and RELEASES them once the
-    # pair-bounded result is checkpointed (the r5 leak: this fn cached
-    # the shingle arrays into the driver's 31-query session forever)
-    mh = _minhash_pairs(spark, sf_dir)
-
     # ngram + ppjoin are pair-bounded eager checkpoints derived from
     # the same shingle pass — build them ONCE per (application, sf_dir)
     # (slot_memo): every later materialization of this union (bench
     # best-of-2, branch attribution, repeat driver reads) serves the
     # checkpointed pair lists instead of re-running two corpus passes
     from mongo2mysql_spark.operators.ppjoin import ppjoin_pairs
-    from mongo2mysql_spark.queries import slot_memo
+    from mongo2mysql_spark.queries import parallel_branches, slot_memo
 
     def build_shingle_pairs() -> tuple:
         sh = d.select(
@@ -492,7 +485,21 @@ def dedup_pair_families(spark: SparkSession, sf_dir: str) -> DataFrame:
         sh.unpersist()
         return ng_, pp_
 
-    ng, pp = slot_memo(_SHINGLE_PAIRS_MEMO, spark, sf_dir, build_shingle_pairs)
+    # the two memoized cold builds (the LSH signature pass and the
+    # shingle ngram/ppjoin pair checkpoints — the r5-leak-guarded
+    # persists stay inside their builder) are independent; a cold pass
+    # overlaps them from the thread pool (guide §2.6).  minhash pairs
+    # come from the slot-shared memoized LSH pass.
+    _dp = parallel_branches(
+        {
+            "mh": lambda: _minhash_pairs(spark, sf_dir),
+            "shp": lambda: slot_memo(
+                _SHINGLE_PAIRS_MEMO, spark, sf_dir, build_shingle_pairs
+            ),
+        }
+    )
+    mh = _dp["mh"]
+    ng, pp = _dp["shp"]
     e = T(spark, sf_dir, "embeddings", fanout=True)
     co = embedding_neardup_pairs(e, "vec_id", "embedding", "label", min_cosine=0.3)
     from mongo2mysql_spark.operators.dedup import fuzzy_value_pairs
@@ -744,17 +751,8 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mongo2mysql_spark.operators.triangles import node_triangle_stats
 
     def build_graph_artifacts() -> tuple:
-        comp_ = connected_components(pairs, "id_1", "id_2").localCheckpoint()
-        # incremental maintenance replay: close half the pair list, fold
-        # the other half as an edge batch through the delta path
-        # (operators/components.incremental_components) — the branch's
-        # oracle states the BATCH closure, so the hash proves the
-        # incremental answer bit-identical to re-closing from scratch
-        h1 = pairs.filter((F.col("id_1") + F.col("id_2")) % 2 == 0)
-        h2 = pairs.filter((F.col("id_1") + F.col("id_2")) % 2 != 0)
-        inc_ = incremental_components(
-            connected_components(h1, "id_1", "id_2"), h2
-        ).localCheckpoint()
+        from mongo2mysql_spark.queries import parallel_branches
+
         sym = (
             pairs.select(F.col("id_1").alias("src"), F.col("id_2").alias("dst"))
             .unionByName(
@@ -764,38 +762,74 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .distinct()
         )
-        pr_ = pagerank(d.select("doc_id"), sym, "doc_id", iters=3).select(
-            F.col("node").alias("doc_id"),
-            F.round(F.col("rank").cast("decimal(28,12)"), 9)
-            .cast("double")
-            .alias("pr_rank"),
-        ).localCheckpoint()
-        tri_ = node_triangle_stats(d.select("doc_id"), pairs, "doc_id").select(
-            F.col("node").alias("doc_id"), "degree", "tri_count", "clust_coeff"
-        ).localCheckpoint()
-        # label propagation (operators/labelprop): seeds corrupted
-        # deterministically (doc_id % MOD -> 'zz') so the branch
-        # demonstrably REPAIRS language labels inside dup families —
-        # two synchronous rounds over the same memoized sym edges
-        from mongo2mysql_spark.operators.labelprop import label_propagation
 
-        seeds_ = d.select(
-            F.col("doc_id").alias("id"),
-            F.when(F.col("doc_id") % _LPA_CORRUPT_MOD == 0, F.lit("zz"))
-            .otherwise(F.col("lang"))
-            .alias("label"),
-        )
-        lp_ = (
-            seeds_.withColumnRenamed("label", "lang_seed")
-            .join(
-                label_propagation(seeds_, sym, iters=_LPA_ITERS)
-                .withColumnRenamed("label", "lang_prop"),
-                "id",
+        def _inc():
+            # incremental maintenance replay: close half the pair list,
+            # fold the other half as an edge batch through the delta
+            # path (operators/components.incremental_components) — the
+            # branch's oracle states the BATCH closure, so the hash
+            # proves the incremental answer bit-identical to re-closing
+            # from scratch
+            h1 = pairs.filter((F.col("id_1") + F.col("id_2")) % 2 == 0)
+            h2 = pairs.filter((F.col("id_1") + F.col("id_2")) % 2 != 0)
+            return incremental_components(
+                connected_components(h1, "id_1", "id_2"), h2
+            ).localCheckpoint()
+
+        def _lp():
+            # label propagation (operators/labelprop): seeds corrupted
+            # deterministically (doc_id % MOD -> 'zz') so the branch
+            # demonstrably REPAIRS language labels inside dup families
+            # — two synchronous rounds over the same memoized sym edges
+            from mongo2mysql_spark.operators.labelprop import (
+                label_propagation,
             )
-            .select(F.col("id").alias("doc_id"), "lang_seed", "lang_prop")
-            .localCheckpoint()
+
+            seeds_ = d.select(
+                F.col("doc_id").alias("id"),
+                F.when(F.col("doc_id") % _LPA_CORRUPT_MOD == 0, F.lit("zz"))
+                .otherwise(F.col("lang"))
+                .alias("label"),
+            )
+            return (
+                seeds_.withColumnRenamed("label", "lang_seed")
+                .join(
+                    label_propagation(seeds_, sym, iters=_LPA_ITERS)
+                    .withColumnRenamed("label", "lang_prop"),
+                    "id",
+                )
+                .select(F.col("id").alias("doc_id"), "lang_seed", "lang_prop")
+                .localCheckpoint()
+            )
+
+        # the five artifacts are independent eager-job chains over the
+        # same (already checkpointed) pair graph — overlap their
+        # fixed-point/iteration jobs from the thread pool (guide §2.6)
+        g = parallel_branches(
+            {
+                "comp": lambda: connected_components(
+                    pairs, "id_1", "id_2"
+                ).localCheckpoint(),
+                "inc": _inc,
+                "pr": lambda: pagerank(
+                    d.select("doc_id"), sym, "doc_id", iters=3
+                ).select(
+                    F.col("node").alias("doc_id"),
+                    F.round(F.col("rank").cast("decimal(28,12)"), 9)
+                    .cast("double")
+                    .alias("pr_rank"),
+                ).localCheckpoint(),
+                "tri": lambda: node_triangle_stats(
+                    d.select("doc_id"), pairs, "doc_id"
+                ).select(
+                    F.col("node").alias("doc_id"), "degree", "tri_count",
+                    "clust_coeff",
+                ).localCheckpoint(),
+                "lp": _lp,
+            },
+            max_workers=5,
         )
-        return comp_, pr_, tri_, inc_, lp_
+        return g["comp"], g["pr"], g["tri"], g["inc"], g["lp"]
 
     comp, pr, tri, inc, lp = slot_memo(
         _CLOSURE_MEMO, spark, sf_dir, build_graph_artifacts
