@@ -297,10 +297,6 @@ def streaming_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.sum("prop_k").alias("k_sum"))
         .select(F.col("w.start").alias("window_start"), "c_mktsegment", "n", "k_sum")
     )
-    jv = slot_memo(
-        _JOINVIEW_MEMO, spark, sf_dir,
-        lambda: _join_view_frame(spark, sf_dir),
-    )
     # 'bloomjoin' (r12): the runtime semi-join filter
     # (operators/bloomjoin.py) on this slot's own join shape — the
     # BUILDING-segment customers' keys summarized into 512 62-bit
@@ -324,7 +320,23 @@ def streaming_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey")
     )
     words_df = bloom_build(bcust, "c_custkey", _BJ_WORDS, _BJ_K)
-    words = bloom_words_array(words_df, _BJ_WORDS)
+    # the enrich stream's availableNow round-trip, the memoized
+    # join-view store (cold), and the bloom words collect are the
+    # slot's eager build work — overlap them (guide §2.6)
+    from mongo2mysql_spark.queries import parallel_branches
+
+    _se = parallel_branches(
+        {
+            "enrich": lambda: run_to_memory(agg, shuffle_partitions=8),
+            "jv": lambda: slot_memo(
+                _JOINVIEW_MEMO, spark, sf_dir,
+                lambda: _join_view_frame(spark, sf_dir),
+            ),
+            "words": lambda: bloom_words_array(words_df, _BJ_WORDS),
+        }
+    )
+    jv = _se["jv"]
+    words = _se["words"]
     evb = _lt(spark, sf_dir, "events").select("user_id", "value")
     passed = evb.filter(
         bloom_might_contain(F.col("user_id"), words, _BJ_K)
@@ -368,7 +380,7 @@ def streaming_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return tagged_union(
         {
-            "enrich": run_to_memory(agg, shuffle_partitions=8),
+            "enrich": _se["enrich"],
             "joinview": jv,
             "bloomjoin": bj,
         }
