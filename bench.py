@@ -575,11 +575,14 @@ def main() -> None:
     full["samples"] = {n: [round(x, 3) for x in ss]
                        for n, ss in samples.items()}
     payload = json.dumps(full).encode()
-    with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     "bench_full_latest.json"), "wb"
-    ) as fh:
-        fh.write(payload)
+    here = os.path.dirname(os.path.abspath(__file__))
+    # archive per run AND keep the latest-pointer file (VERDICT r12 #7:
+    # a later bench run overwrote bench_full_latest.json, orphaning the
+    # earlier run's printed branches_sha — the per-run copy keeps every
+    # printed sha verifiable); identical bytes, same sha chain
+    for fname in ("bench_full_latest.json", f"bench_full_{run_id}.json"):
+        with open(os.path.join(here, fname), "wb") as fh:
+            fh.write(payload)
     out["run_id"] = run_id
     out["branches_sha"] = hashlib.sha256(payload).hexdigest()[:16]
     # stop BEFORE printing: shutdown log lines after the JSON would eat

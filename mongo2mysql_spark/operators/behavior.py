@@ -45,8 +45,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from mongo2mysql_spark.cachereg import slot_persist
-
 
 def funnel_counts(
     events: DataFrame,
@@ -99,7 +97,15 @@ def funnel_counts(
             agg = agg.join(
                 reached.select(user_col, "__anchor_ms"), user_col
             )
-        reached = slot_persist(("funnel_counts", i, within_ms), agg)
+        # r11 shape, restored after the round-12 driver bench refuted
+        # the lazy slot_persist conversion (5.7 → 35.9 s at 32 cores):
+        # a lazy persist defers to the sink, where AQE materializes the
+        # union's per-step count subtrees concurrently and the unfilled
+        # caches race — each subtree recomputes the whole frontier
+        # chain beneath it, worst with MORE cores.  The lazy
+        # localCheckpoint resolves at first plan access, i.e. each
+        # frontier materializes exactly once, serially, at build.
+        reached = agg.localCheckpoint(eager=False)
         counts.append(
             reached.agg(F.count(F.lit(1)).alias("users")).select(
                 F.lit(i).alias("step"),
@@ -461,7 +467,9 @@ def funnel_max_level(
             .groupBy("user_id", "__anchor", "__a_ms")
             .agg(F.min("__e").alias("__at"))
         )
-        frontier = slot_persist(("funnel_max_level", i, within_ms), frontier)
+        # same revert as funnel_counts: lineage-truncate each frontier
+        # once at build instead of racing lazy caches under the sink
+        frontier = frontier.localCheckpoint(eager=False)
         reached.append(
             frontier.select("user_id").distinct()
             .select("user_id", F.lit(i).alias("level"))

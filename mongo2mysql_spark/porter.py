@@ -161,27 +161,32 @@ class SparkPorter:
     # ------------------------------------------------------------------- run
 
     def run_to_frames(self, collections: dict[str, DataFrame]) -> dict[str, CollectionExport]:
-        """Exports are independent per collection; each one runs eager
-        schema-inference jobs, so building them from a small thread
-        pool overlaps those driver barriers (the exports themselves
-        are unchanged).  ``SPARK_GRAFT_BUILD_THREADS=1`` restores the
-        serial loop."""
+        """Exports are independent per collection and run SERIALLY by
+        default.  Round-12 threaded them (guide §2.6); the round-12
+        driver bench refuted it on cold idle local[32]: the ETL figure
+        fell 830k → 662k rows/s at 32 cores while hitting 1.50M at 8 —
+        concurrent exports fight for the one local executor.  On a
+        real multi-executor cluster overlapping the eager
+        schema-inference barriers back-fills stage tails:
+        ``SPARK_GRAFT_BUILD_THREADS=N`` (N>1) opts in."""
         import os
-        from concurrent.futures import ThreadPoolExecutor
 
         items = list(collections.items())
         env = os.environ.get("SPARK_GRAFT_BUILD_THREADS")
-        workers = min(4, len(items))
+        workers = 1
         if env and env.isdigit():
             workers = max(1, min(int(env), len(items)))
         if workers <= 1 or len(items) <= 1:
             return {name: self.export_collection(df, name) for name, df in items}
-        with ThreadPoolExecutor(max_workers=workers) as pool:
-            futs = [
-                (name, pool.submit(self.export_collection, df, name))
+        from mongo2mysql_spark.queries import parallel_branches
+
+        return parallel_branches(
+            {
+                name: (lambda d=df, n=name: self.export_collection(d, n))
                 for name, df in items
-            ]
-            return {name: f.result() for name, f in futs}
+            },
+            max_workers=workers,
+        )
 
     def run(
         self,

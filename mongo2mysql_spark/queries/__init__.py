@@ -67,49 +67,87 @@ def slot_memo(memo: dict, spark: SparkSession, sf_dir: str, build: Callable[[], 
     shape a deployment has (index built once, searched many times).
 
     Thread-safe: concurrent branch builders (parallel_branches) may hit
-    the same memo; a per-memo lock makes the miss-build run once."""
+    the same memo; a per-memo lock makes the miss-build run once.  Every
+    return path hands back a value captured while it was provably in the
+    memo — the unlocked ``memo[key]`` fast path raced a concurrent
+    builder's ``memo.clear()`` for a DIFFERENT key (ADVICE r12)."""
     import os
 
     key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
-    if key in memo:
-        return memo[key]
+    _MISS = object()
+    val = memo.get(key, _MISS)
+    if val is not _MISS:
+        return val
     with _MEMO_LOCKS_GUARD:
         lock = _MEMO_LOCKS.setdefault(id(memo), _threading.Lock())
     with lock:
-        if key not in memo:
+        val = memo.get(key, _MISS)
+        if val is _MISS:
             val = build()
             memo.clear()
             memo[key] = val
-    return memo[key]
+        return val
 
 
 def parallel_branches(
-    builders: dict[str, Callable[[], DataFrame]], max_workers: int = 4
+    builders: dict[str, Callable[[], DataFrame]], max_workers: int = 1
 ) -> dict[str, DataFrame]:
-    """Construct independent branch frames of a multi-branch slot from
-    a small driver thread pool (guide §2.6: actions are only sequential
-    because driver code calls them sequentially).  Several branch
-    builders run eager driver actions during construction (quantile
-    phase-1 checkpoints, bound collects, funnel frontiers); overlapping
-    them back-fills executors idled by each other's scheduling
-    barriers.  The FRAMES are unchanged — only the order in which
-    their build-time jobs are submitted — and the returned dict
-    preserves ``builders``'s insertion order, so tagged_union's
-    first-seen column order is exactly the sequential one.
+    """Construct independent branch frames of a multi-branch slot,
+    SERIALLY by default.
 
-    ``SPARK_GRAFT_BUILD_THREADS`` overrides the pool width (1 = build
-    serially — the A/B lever and the conservative fallback)."""
+    Round-12 shipped this with a 4-wide driver thread pool (guide
+    §2.6); the round-12 driver bench refuted it on cold idle local[32]:
+    concurrent trainer/store/checkpoint jobs fight for the same local
+    executor and the whole suite ANTI-SCALED (events_sessionize 5.7 →
+    35.9 s, ann_topk_ivf 0.345x, total faster at 8 cores than 32).
+    The serial default restores the r11 behavior the driver measured
+    as strictly better; ``SPARK_GRAFT_BUILD_THREADS=N`` (N>1) remains
+    as an explicit opt-in for real multi-executor clusters where
+    overlapping independent jobs back-fills the stage tail (guide §2.6
+    recommends 2-3 in flight — never enough to fight for executors).
+
+    When the pool IS enabled: workers run as inheritable-thread
+    targets (JVM thread-locals like job descriptions propagate, per
+    the guide), failures surface as soon as they happen
+    (as_completed, ADVICE r12), and the returned dict preserves
+    ``builders``'s insertion order so tagged_union's first-seen column
+    order is exactly the sequential one."""
     import os
-    from concurrent.futures import ThreadPoolExecutor
+    from concurrent.futures import FIRST_EXCEPTION, ThreadPoolExecutor, wait
 
     env = os.environ.get("SPARK_GRAFT_BUILD_THREADS")
     if env and env.isdigit():
         max_workers = max(1, int(env))
-    if max_workers == 1:
+    if max_workers == 1 or len(builders) <= 1:
         return {tag: fn() for tag, fn in builders.items()}
+
+    def _wrap(fn):
+        # JVM thread-local inheritance for driver threads (guide §2.6);
+        # a no-op when no Spark context is live (plain unit tests).
+        try:
+            from pyspark import SparkContext
+            from pyspark.util import inheritable_thread_target
+
+            if SparkContext._active_spark_context is None:
+                return fn
+            import warnings
+
+            with warnings.catch_warnings():
+                # "Tags will not be inherited" — tags are unused here
+                warnings.simplefilter("ignore", UserWarning)
+                return inheritable_thread_target(fn)
+        except Exception:  # noqa: BLE001 - wrapping is best-effort
+            return fn
+
     with ThreadPoolExecutor(max_workers=max_workers) as pool:
-        futs = [(tag, pool.submit(fn)) for tag, fn in builders.items()]
-        return {tag: f.result() for tag, f in futs}
+        futs = {tag: pool.submit(_wrap(fn)) for tag, fn in builders.items()}
+        done, not_done = wait(futs.values(), return_when=FIRST_EXCEPTION)
+        for f in done:  # surface the FIRST actual failure, not insertion order
+            if f.exception() is not None:
+                for nd in not_done:
+                    nd.cancel()
+                raise f.exception()
+        return {tag: f.result() for tag, f in futs.items()}
 
 
 def tagged_union(branches: dict[str, DataFrame], tag_col: str = "branch") -> DataFrame:

@@ -553,11 +553,17 @@ def behavior_branches(spark, sf_dir: str, e: DataFrame) -> dict[str, DataFrame]:
         )
         return lat, latdist
 
-    # the two memoized builders (funnelstate: a streaming store
-    # round-trip; funnelmax: eager anchor-advance checkpoints) and the
-    # latency chain's quantile collect are the slot's cold build wall —
-    # overlap them and the lazy branch constructions from a thread
-    # pool (guide §2.6); frames and memo contents are unchanged
+    # The funnelstate streaming round-trip mutates the session
+    # shuffle-partitions conf (run_to_memory state-store sizing) — it
+    # runs first, alone, so no sibling builder can checkpoint under
+    # the transient 8-partition conf (VERDICT r12 #2).  The remaining
+    # builders (funnel frontiers' eager checkpoints, the funnelmax
+    # memo, the latency quantile collect) run serially by default;
+    # SPARK_GRAFT_BUILD_THREADS>1 opts in to overlapping them on a
+    # real multi-executor cluster.
+    funnelstate = _funnelstate_counts(spark, sf_dir, e).select(
+        "step", "event_type", "users", "denom", "rate"
+    )
     _bb = parallel_branches(
         {
             "latpair": _latpair,
@@ -568,8 +574,6 @@ def behavior_branches(spark, sf_dir: str, e: DataFrame) -> dict[str, DataFrame]:
                 e, "user_id", "event_type", "ts", "event_id", FUNNEL_STEPS,
                 within_ms=FUNNEL_WINDOW_MS,
             ).select("step", "event_type", "users", "denom", "rate"),
-            "funnelstate": lambda: _funnelstate_counts(spark, sf_dir, e)
-            .select("step", "event_type", "users", "denom", "rate"),
             "funnelmax": lambda: slot_memo(
                 _FUNMAX_MEMO,
                 spark,
@@ -627,7 +631,7 @@ def behavior_branches(spark, sf_dir: str, e: DataFrame) -> dict[str, DataFrame]:
         "retention": ret,
         "transitions": trans,
         "paths": paths,
-        "funnelstate": _bb["funnelstate"],
+        "funnelstate": funnelstate,
         "latency": lat.select("user_id", "latency_ms"),
         "latdist": latdist,
         # ClickHouse windowFunnel max-level semantics (all anchors

@@ -19,11 +19,21 @@ from __future__ import annotations
 import itertools
 import os
 import tempfile
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _MEM_COUNTER = itertools.count()
+
+# run_to_memory mutates the session-global spark.sql.shuffle.partitions
+# around the bounded stream replay; overlapping calls from driver
+# threads (SPARK_GRAFT_BUILD_THREADS>1) would race the save/restore and
+# could leave the session at the override permanently (ADVICE r12).
+# One reentrant module lock serializes the whole mutate/run/restore
+# window; builds are serial by default, so this only gates the opt-in
+# threaded path.
+_CONF_LOCK = threading.RLock()
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -159,22 +169,25 @@ def run_to_memory(
     while a production deployment sizes it up with ingest volume."""
     spark = agg.sparkSession
     name = f"__stream_out_{next(_MEM_COUNTER)}"
-    saved = spark.conf.get("spark.sql.shuffle.partitions")
-    if shuffle_partitions:
-        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
-    try:
-        q = (
-            agg.writeStream.outputMode(mode)
-            .format("memory")
-            .queryName(name)
-            .start()
-        )
+    with _CONF_LOCK:
+        saved = spark.conf.get("spark.sql.shuffle.partitions")
+        if shuffle_partitions:
+            spark.conf.set(
+                "spark.sql.shuffle.partitions", str(shuffle_partitions)
+            )
         try:
-            q.processAllAvailable()
+            q = (
+                agg.writeStream.outputMode(mode)
+                .format("memory")
+                .queryName(name)
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
         finally:
-            q.stop()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", saved)
+            spark.conf.set("spark.sql.shuffle.partitions", saved)
     return spark.table(name)
 
 

@@ -17,7 +17,7 @@ from mongo2mysql_spark.session import build_session  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                       "plans", "r12")
+                       "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r13"))
 
 
 def main() -> None:
