@@ -749,16 +749,16 @@ def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "column", "key", "key_n", "rank",
         F.col("key").cast("long").alias("__kv"),
     )
-    # the slot's only eager build work is the two equi-depth histogram
-    # chains (one driver collect + first() each) and the cold cmsstream
-    # store build — overlap them from a thread pool (guide §2.6); the
-    # lineitem histogram is built ONCE (localCheckpoint) and consumed
-    # by BOTH the 'histogram' branch and the 'selest' estimator below
+    # the slot's eager build work: the two equi-depth histogram chains
+    # (r13: each is now 3 bounded driver actions over ONE full scan —
+    # the per-materialization counting re-scan is gone and the served
+    # histogram is an n-bucket local table, so no checkpoint is needed
+    # for the two consumers) and the cold cmsstream store build
     _eager = parallel_branches(
         {
             "histli": lambda: equi_depth_histogram(
                 li, "l_extendedprice", _HIST_BUCKETS
-            ).localCheckpoint(),
+            ),
             "histod": lambda: equi_depth_histogram(
                 T(spark, sf_dir, "orders", fanout=True),
                 "o_totalprice",

@@ -124,6 +124,54 @@ def test_equi_depth_histogram_duplicate_boundaries_zero_fill(spark):
         assert r.lo <= r.hi
 
 
+def test_equi_depth_histogram_counts_match_literal_chain(spark):
+    """r13: counts are derived from the coarse histogram + one narrow
+    straddle rescan instead of a full counting scan — they must equal
+    the old literal-comparison-chain assignment EXACTLY, including on
+    duplicate-heavy data where boundaries coincide with hot values."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from mongo2mysql_spark.operators.selection import equi_depth_histogram
+
+    rng = random.Random(1213)
+    cases = [
+        [7.5] * 400 + [rng.uniform(0, 100) for _ in range(600)],
+        [5.0] * 90 + [1.0, 9.0],
+        [float(i) for i in range(1, 33)],           # boundaries interpolated
+        [0.25] * 10 + [0.75] * 10,                  # sub-integer: one FLOOR bucket
+        [rng.gauss(0, 1) for _ in range(500)],      # negative buckets
+    ]
+    for n_buckets in (1, 4, 8):
+        for vals in cases:
+            df = spark.createDataFrame([(v,) for v in vals], "x double")
+            got = {
+                r["bucket"]: (r["lo"], r["hi"], r["n_bucket"])
+                for r in equi_depth_histogram(df, "x", n_buckets).collect()
+            }
+            bounds = [got[i][0] for i in range(n_buckets)] + [
+                got[n_buckets - 1][1]
+            ]
+            # the pre-r13 counting pass, verbatim
+            v = F.col("x")
+            assign = F.lit(n_buckets - 1)
+            for i in reversed(range(n_buckets - 1)):
+                assign = F.when(v < F.lit(bounds[i + 1]), F.lit(i)).otherwise(assign)
+            chain = {
+                r["b"]: r["n"]
+                for r in df.filter(v.isNotNull())
+                .groupBy(assign.cast("int").alias("b"))
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            for i in range(n_buckets):
+                assert got[i][2] == chain.get(i, 0), (
+                    f"bucket {i} of {n_buckets}: derived {got[i][2]} != "
+                    f"chain {chain.get(i, 0)} (case len {len(vals)})"
+                )
+
+
 def test_equi_depth_histogram_empty_and_guard(spark):
     import pytest as _pytest
 
