@@ -192,42 +192,20 @@ def rollup_levels_from_partials(
     return out
 
 
-def sliding_distinct(
+def activity_cells(
     df: DataFrame,
     key_col: str,
     ts_col: str,
     user_col: str,
-    window_hours: int = 24,
     interval_seconds: int = 3600,
 ) -> DataFrame:
-    """Exact sliding-window distinct count — the DAU/WAU shape: per
-    (key, hour) the number of DISTINCT users active in the trailing
-    ``window_hours`` ending at that hour.
-
-    Sliding distinct does not decompose into mergeable partials the way
-    SUM/COUNT do (the hypertable rollup's algebra) — the standard exact
-    answer is the COVERED-WINDOW EXPANSION: dedup the stream to
-    (key, user, hour) cells first (the only corpus-sized shuffle), then
-    each cell votes in the ``window_hours`` windows it covers and a
-    count-distinct per (key, window) finishes.  Cost is cells ×
-    window_hours — bounded by ACTIVITY (distinct user-hours), never by
-    raw event count, and k is a constant.  The approximate alternative
-    at extreme scale is merging the hour-level HLL partials the sketch
-    slot already serves; this is the exact path.
-
-    Windows with no activity are absent (deterministic in both
-    engines).  Returns (key, window_start, n_active).
-
-    ``window_hours`` means HOURS regardless of ``interval_seconds``:
-    each cell votes in ``window_hours*3600 // interval_seconds``
-    trailing intervals (at the default 3600 s interval that is exactly
-    ``window_hours`` steps, the original behavior).
-    """
-    steps = max(1, (window_hours * 3600) // interval_seconds)
+    """(key, user, __h) distinct activity cells — the shared dedup both
+    sliding-distinct paths start from (one corpus scan + one shuffle,
+    bounded by ACTIVITY, never raw event count)."""
     h = F.floor(F.unix_timestamp(F.col(ts_col)) / interval_seconds).cast(
         "long"
     )
-    cells = (
+    return (
         df.select(
             F.col(key_col).alias("key"),
             F.col(user_col).alias("user"),
@@ -235,22 +213,125 @@ def sliding_distinct(
         )
         .distinct()
     )
-    covered = cells.select(
-        "key",
-        "user",
-        F.explode(
-            F.sequence(F.col("__h"), F.col("__h") + (steps - 1))
-        ).alias("__wh"),
+
+
+def sliding_distinct(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    user_col: str,
+    window_hours: int = 24,
+    interval_seconds: int = 3600,
+    cells: DataFrame | None = None,
+) -> DataFrame:
+    """Exact sliding-window distinct count — the DAU/WAU shape: per
+    (key, hour) the number of DISTINCT users active in the trailing
+    ``window_hours`` ending at that hour.
+
+    Sliding distinct does not decompose into mergeable partials the way
+    SUM/COUNT do (the hypertable rollup's algebra).  The textbook exact
+    answer is the covered-window expansion (each (key, user, hour)
+    activity cell votes in the k windows it covers, count-distinct per
+    window) — cells × k rows through the shuffle plus a two-phase
+    distinct aggregate.  r13 replaces it with exact INTERVAL DELTA
+    ENCODING (guide §2.3 "shuffle fewer bytes"): a user's covered
+    windows are the union of [h, h+k-1] runs, so per (key, user) the
+    sorted activity hours merge into runs (gap > k splits), each run
+    contributes +1 at its first window and −1 one past its last, the
+    per-(key, window) delta sum cumulates into the distinct count, and
+    constant-count stretches between changepoints re-expand through
+    ``sequence`` only at OUTPUT size.  Rows through the shuffles drop
+    from cells × k to ≤ 2 × runs ≤ 2 × cells (24× fewer at the default
+    day window), the count-distinct expand disappears, and the
+    changepoint frame entering the per-key running sum is bounded by
+    keys × time-span intervals — never by users.  Same exact integers:
+    runs are disjoint per user, so the delta sum at window w is
+    precisely the number of users whose coverage contains w
+    (equivalence pinned against the expansion form by
+    ``test_sliding_distinct_delta_equals_expansion``).
+
+    ``cells`` lets a caller that already holds the
+    :func:`activity_cells` frame (e.g. to share it with the HLL path)
+    pass it in; it must have been built with the same
+    ``interval_seconds``.
+
+    Windows with no activity are absent (deterministic in both
+    engines).  Returns (key, window_start, n_active).
+
+    ``window_hours`` means HOURS regardless of ``interval_seconds``:
+    each cell covers ``window_hours*3600 // interval_seconds``
+    trailing intervals (at the default 3600 s interval that is exactly
+    ``window_hours`` steps, the original behavior).
+    """
+    from pyspark.sql import Window as W
+
+    steps = max(1, (window_hours * 3600) // interval_seconds)
+    if cells is None:
+        cells = activity_cells(df, key_col, ts_col, user_col, interval_seconds)
+    # per (key, user): sorted activity hours -> merged coverage runs
+    # (hour count per user is bounded by the data's time span)
+    hs = cells.groupBy("key", "user").agg(
+        F.sort_array(F.collect_set("__h")).alias("__hs")
     )
+    empty_runs = F.expr("CAST(array() AS array<struct<s:bigint,e:bigint>>)")
+
+    def _merge(acc, x):
+        last = F.element_at(acc, -1)
+        first = F.array(F.struct(x.alias("s"), x.alias("e")))
+        grown = F.concat(
+            F.slice(acc, 1, F.size(acc) - 1),
+            F.array(F.struct(last["s"].alias("s"), x.alias("e"))),
+        )
+        appended = F.concat(acc, first)
+        return (
+            F.when(F.size(acc) == 0, first)
+            # runs [.., e+steps-1] and [x, ..] touch iff x <= e + steps
+            .when(x - last["e"] <= F.lit(steps), grown)
+            .otherwise(appended)
+        )
+
+    runs = hs.select(
+        "key", F.explode(F.aggregate("__hs", empty_runs, _merge)).alias("__r")
+    )
+    deltas = runs.select(
+        "key",
+        F.explode(
+            F.array(
+                F.struct(F.col("__r.s").alias("wh"), F.lit(1).alias("d")),
+                F.struct(
+                    (F.col("__r.e") + steps).alias("wh"),
+                    F.lit(-1).alias("d"),
+                ),
+            )
+        ).alias("__cd"),
+    ).select("key", F.col("__cd.wh").alias("__wh"), F.col("__cd.d").alias("__d"))
+    # changepoints: keys x distinct interval indices — bounded by the
+    # time span, so the per-key running sum below is a tiny window
+    cp = deltas.groupBy("key", "__wh").agg(F.sum("__d").alias("__d"))
+    w = W.partitionBy("key").orderBy("__wh")
+    stepped = cp.select(
+        "key",
+        "__wh",
+        F.sum("__d").over(w.rowsBetween(W.unboundedPreceding, 0)).alias("__n"),
+        F.lead("__wh").over(w).alias("__next"),
+    )
+    # the final changepoint per key always cumulates to 0 (every +1 has
+    # its -1), so every surviving row has a successor to expand toward
     return (
-        covered.groupBy("key", "__wh")
-        .agg(F.countDistinct("user").cast("long").alias("n_active"))
+        stepped.filter(F.col("__n") > 0)
         .select(
             "key",
-            F.timestamp_seconds(F.col("__wh") * interval_seconds).alias(
+            F.explode(
+                F.sequence(F.col("__wh"), F.col("__next") - 1)
+            ).alias("__w"),
+            F.col("__n"),
+        )
+        .select(
+            "key",
+            F.timestamp_seconds(F.col("__w") * interval_seconds).alias(
                 "window_start"
             ),
-            "n_active",
+            F.col("__n").cast("long").alias("n_active"),
         )
     )
 
@@ -291,12 +372,20 @@ def sliding_distinct_hll(
     window_hours: int = 24,
     interval_seconds: int = 3600,
     lgk: int = 12,
+    cells: DataFrame | None = None,
 ) -> DataFrame:
     """The EXTREME-SCALE alternative :func:`sliding_distinct`'s
     docstring promises, as code: per (key, hour) DataSketches HLL
     partials of the user column, each partial voting in the
     ``window_hours`` windows it covers, one ``hll_union_agg`` +
     estimate per window.
+
+    ``cells`` optionally feeds the hour sketches from an existing
+    :func:`activity_cells` frame instead of re-scanning ``df`` — HLL
+    updates are idempotent (a duplicate item never changes the sketch
+    state), so sketches built from deduped (key, user, hour) cells are
+    identical to sketches built from the raw stream; a caller serving
+    BOTH paths shares one scan+dedup.
 
     Why this is the 100 TB path: the exact covered-window expansion
     costs activity-cells × k rows through the shuffle AND an exact
@@ -315,12 +404,17 @@ def sliding_distinct_hll(
     (step count derived as in :func:`sliding_distinct`).
     """
     steps = max(1, (window_hours * 3600) // interval_seconds)
-    h = F.floor(
-        F.unix_timestamp(F.col(ts_col)) / interval_seconds
-    ).cast("long")
+    if cells is not None:
+        src = cells.select("key", F.col("user").alias("u"), "__h")
+    else:
+        h = F.floor(
+            F.unix_timestamp(F.col(ts_col)) / interval_seconds
+        ).cast("long")
+        src = df.select(
+            F.col(key_col).alias("key"), F.col(user_col).alias("u"), h.alias("__h")
+        )
     sketches = (
-        df.select(F.col(key_col).alias("key"), F.col(user_col).alias("u"), h.alias("__h"))
-        .groupBy("key", "__h")
+        src.groupBy("key", "__h")
         .agg(F.hll_sketch_agg("u", F.lit(lgk)).alias("__sk"))
     )
     covered = sketches.select(

@@ -262,17 +262,24 @@ def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         store, ["event_type"], levels=("hour", "day", "week")
     )
     ev = T(spark, sf_dir, "events", fanout=True)
-    # persist (deferred release via cachereg): sd (bounded keys x
-    # windows rows) feeds BOTH the 'sliding24h' leg and the
-    # 'sliding24h_hll' verdict join — without it the covered-window
-    # expansion (the slot's one corpus-sized shuffle) runs twice per
-    # materialization
+    # persist (deferred release via cachereg): the activity-cell dedup
+    # (the slot's one corpus-sized shuffle) is shared by BOTH sliding
+    # paths (r13 — HLL sketches are duplicate-insensitive, so building
+    # them from cells is bit-identical and saves the second raw scan),
+    # and sd (bounded keys x windows rows) feeds BOTH the 'sliding24h'
+    # leg and the HLL verdict join
     from mongo2mysql_spark.cachereg import slot_persist
+    from mongo2mysql_spark.operators.rollup import activity_cells
 
+    cells = slot_persist(
+        ("interval.sliding_cells",),
+        activity_cells(ev, "event_type", "ts", "user_id"),
+    )
     sd = slot_persist(
         ("interval.sliding_dau",),
         sliding_distinct(
             ev, "event_type", "ts", "user_id", window_hours=_SLIDE_HOURS,
+            cells=cells,
         ),
     )
     dau = sd.select(
@@ -293,6 +300,7 @@ def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     est = sliding_distinct_hll(
         ev, "event_type", "ts", "user_id", window_hours=_SLIDE_HOURS,
+        cells=cells,
     )
     tol = F.greatest(
         F.lit(10.0), F.col("n_active").cast("double") * 0.08

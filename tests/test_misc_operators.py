@@ -1495,6 +1495,102 @@ def test_sliding_distinct_matches_bruteforce(spark):
     assert got_n == expect
 
 
+def test_sliding_distinct_delta_equals_expansion(spark):
+    """r13: the interval-delta-encoded sliding distinct must equal the
+    covered-window EXPANSION form (cells x k explode + countDistinct)
+    row-for-row — including run-merge edges (gaps of exactly k and
+    k+1), multi-key, non-default interval_seconds, and the shared
+    activity_cells path (with the HLL branch fed from the same
+    cells)."""
+    import random
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    from mongo2mysql_spark.operators.rollup import (
+        activity_cells,
+        sliding_distinct,
+        sliding_distinct_hll,
+    )
+
+    base = datetime(2024, 3, 1)
+    rng = random.Random(137)
+    rows = [
+        (
+            i,
+            base + timedelta(hours=rng.randrange(0, 200),
+                             minutes=rng.randrange(60)),
+            rng.randrange(12),
+            rng.choice(["a", "b", "c"]),
+        )
+        for i in range(500)
+    ]
+    # deterministic gap edges: one user active at hours 0, k, k+1, 2k+2
+    rows += [
+        (10_000 + j, base + timedelta(hours=hh), 99, "a")
+        for j, hh in enumerate((0, 4, 5, 10))
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    for window_hours, interval in ((4, 3600), (24, 3600), (4, 7200)):
+        steps = max(1, (window_hours * 3600) // interval)
+        cells = activity_cells(df, "event_type", "ts", "user_id", interval)
+        expansion = {
+            (r["key"], r["window_start"]): r["n_active"]
+            for r in cells.select(
+                "key",
+                "user",
+                F.explode(
+                    F.sequence(F.col("__h"), F.col("__h") + (steps - 1))
+                ).alias("__wh"),
+            )
+            .groupBy("key", "__wh")
+            .agg(F.countDistinct("user").cast("long").alias("n_active"))
+            .select(
+                "key",
+                F.timestamp_seconds(F.col("__wh") * interval).alias(
+                    "window_start"
+                ),
+                "n_active",
+            )
+            .collect()
+        }
+        got = {
+            (r["key"], r["window_start"]): r["n_active"]
+            for r in sliding_distinct(
+                df, "event_type", "ts", "user_id",
+                window_hours=window_hours, interval_seconds=interval,
+            ).collect()
+        }
+        assert got == expansion, (window_hours, interval)
+        # shared-cells path identical
+        got_cells = {
+            (r["key"], r["window_start"]): r["n_active"]
+            for r in sliding_distinct(
+                df, "event_type", "ts", "user_id",
+                window_hours=window_hours, interval_seconds=interval,
+                cells=cells,
+            ).collect()
+        }
+        assert got_cells == expansion, (window_hours, interval)
+    # HLL from shared cells == HLL from raw (duplicate-insensitive)
+    cells = activity_cells(df, "event_type", "ts", "user_id", 3600)
+    raw = {
+        (r["key"], r["window_start"]): r["n_est"]
+        for r in sliding_distinct_hll(
+            df, "event_type", "ts", "user_id", window_hours=4
+        ).collect()
+    }
+    shared = {
+        (r["key"], r["window_start"]): r["n_est"]
+        for r in sliding_distinct_hll(
+            df, "event_type", "ts", "user_id", window_hours=4, cells=cells
+        ).collect()
+    }
+    assert raw == shared
+
+
 def test_encoding_stats_hand_case(spark):
     """Runs / distinct / dict-bits on a hand-checkable layout; run
     boundaries reset per row-group, NULL handled null-safely."""
