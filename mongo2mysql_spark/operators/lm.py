@@ -53,7 +53,8 @@ def doc_bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def train_bigram_lm(
-    ref: DataFrame, id_col: str, text_col: str, lazy_vocab: bool = False
+    ref: DataFrame, id_col: str, text_col: str, lazy_vocab: bool = False,
+    fused: bool = False,
 ) -> tuple[DataFrame, DataFrame, "int | DataFrame"]:
     """Fit the reference model: (bigram_counts, unigram_counts, V).
 
@@ -66,10 +67,24 @@ def train_bigram_lm(
     instead of an eager int — no driver job runs at train time; the
     scorer folds it in through a broadcast cross join.  Same counts
     either way.
+
+    ``fused=True`` (r13, the tf/keyness pattern): the conditioning-
+    position unigram counts are BY DEFINITION the bigram counts summed
+    per leading word (both count bigram occurrences), so the bigram
+    aggregate is lineage-truncated once and the unigram table derives
+    from it — the reference corpus is tokenized ONCE instead of twice
+    per materialization.  Identical integers either way (pinned by
+    ``test_fused_unigrams_equal_direct``).
     """
     bg = doc_bigrams(ref, id_col, text_col)
     bigrams = bg.groupBy("gram").agg(F.count(F.lit(1)).alias("c12"))
-    unigrams = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    if fused:
+        bigrams = bigrams.localCheckpoint(eager=False)
+        unigrams = bigrams.groupBy(
+            F.split(F.col("gram"), " ").getItem(0).alias("w1")
+        ).agg(F.sum("c12").cast("long").alias("c1"))
+    else:
+        unigrams = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     vocab_agg = ref.select(
         F.explode(tokens(F.col(text_col))).alias("w")
     ).agg(F.countDistinct("w").alias("__V"))

@@ -165,7 +165,7 @@ def build_training_corpus(
         from mongo2mysql_spark.operators.lm import lm_perplexity, train_bigram_lm
 
         bg, ug, vocab = train_bigram_lm(
-            lm_reference, id_col, text_col, lazy_vocab=True
+            lm_reference, id_col, text_col, lazy_vocab=True, fused=True
         )
         ppl = lm_perplexity(kept, id_col, text_col, bg, ug, vocab).select(
             id_col, "ppl"

@@ -816,9 +816,12 @@ def corpus_clean_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = T(spark, sf_dir, "documents", fanout=True)
     # lazy_vocab: the V count rides as a broadcast 1-row frame instead
     # of an eager .first() job on every fn() build
+    # fused=True (r13): unigram counts derive from the lineage-
+    # truncated bigram aggregate — one reference tokenize per
+    # materialization instead of two
     bigrams, unigrams, vocab = train_bigram_lm(
         d.filter(F.col("source") == LM_REF_SOURCE), "doc_id", "text",
-        lazy_vocab=True,
+        lazy_vocab=True, fused=True,
     )
     ppl = lm_perplexity(d, "doc_id", "text", bigrams, unigrams, vocab)
     # hash the exact integer precursors; the float logprob/ppl enter

@@ -1168,6 +1168,7 @@ def test_split_sentences_udtf_lateral_matches_python(spark):
     assert empty.count() == 0
 
 
+@pytest.mark.slow
 def test_bpe_ids_round_trip_and_vocab_ranking(spark):
     """Vocabulary ids are contiguous, frequency-ranked, deterministic;
     encode_ids -> decode_ids round-trips the original text losslessly
@@ -1281,6 +1282,7 @@ def test_rp_lsh_neardup_recall_and_determinism(spark):
     assert sig(corpus) == sig(corpus.repartition(13))
 
 
+@pytest.mark.slow
 def test_build_training_corpus_api(spark, tmp_path):
     """The one-call pipeline API: report counts are monotone through the
     filter/dedup/decontam stages, splits partition the kept set, the
@@ -1407,6 +1409,7 @@ def test_build_training_corpus_near_dedup_stage(spark, tmp_path):
     assert 0 < dropped <= n_planted_kept + 5  # plants (minus any filtered)
 
 
+@pytest.mark.slow
 def test_bpe_sample_partition_independent(spark, tmp_path):
     """The BPE learning sample is selected by salted-hash rank, not an
     unordered LIMIT — a repartition(7)ed input learns the identical
@@ -1485,6 +1488,7 @@ def test_bpe_encode_ids_unknown_symbol_raises(spark):
         encode_ids(encoded, vocab, "doc_id").collect()
 
 
+@pytest.mark.slow
 def test_ivf_calibrated_recall_floor(spark):
     """ivf_calibrate picks the smallest nprobe meeting the 0.9 recall
     target on the calibration sample; serving at that nprobe reproduces
@@ -1529,6 +1533,7 @@ def test_ivf_calibrated_recall_floor(spark):
         assert len(under & truth) / len(truth) < 0.9
 
 
+@pytest.mark.slow
 def test_ivf_calibrate_bisects_not_scans(spark):
     """Calibration runs O(log nprobe*) IVF search jobs (exponential
     search + bisection over the monotone recall curve), not the linear
@@ -1618,6 +1623,7 @@ def test_pca_whitening_algebra_and_recovery(spark):
         assert np.allclose(got[i], want[i], atol=1e-9)
 
 
+@pytest.mark.slow
 def test_quality_classifier_learns_planted_signal(spark):
     """The distributed logistic gate (operators/classifier.py) on a
     hand-built corpus: docs carrying marker tokens are the positive
@@ -1774,6 +1780,36 @@ def test_lm_perplexity_ranks_fluent_below_garbage(spark):
     assert {k: v["logprob"] for k, v in out.items()} == out7
 
 
+def test_fused_unigrams_equal_direct(spark):
+    """r13: fused=True derives the conditioning-position unigram counts
+    from the bigram aggregate (sum of c12 per leading word) — must be
+    row-identical to the direct tokenize+count, and perplexity output
+    must be bit-identical through either table."""
+    from mongo2mysql_spark.operators.lm import lm_perplexity, train_bigram_lm
+
+    sent = "the quick brown fox jumps over the lazy dog"
+    ref = [Row(doc_id=i, text=(sent + " ") * (1 + i % 3) + sent) for i in range(8)]
+    ref += [Row(doc_id=50, text="solo")]  # single-token doc: no bigrams
+    refdf = spark.createDataFrame(ref)
+    scored = spark.createDataFrame(
+        [Row(doc_id=100, text=sent),
+         Row(doc_id=101, text=" ".join(reversed(sent.split())))]
+    )
+    bg_d, ug_d, v_d = train_bigram_lm(refdf, "doc_id", "text")
+    bg_f, ug_f, v_f = train_bigram_lm(refdf, "doc_id", "text", fused=True)
+    assert v_d == v_f
+    assert sorted(map(tuple, ug_d.collect())) == sorted(map(tuple, ug_f.collect()))
+    assert sorted(map(tuple, bg_d.collect())) == sorted(map(tuple, bg_f.collect()))
+    direct = sorted(
+        map(tuple, lm_perplexity(scored, "doc_id", "text", bg_d, ug_d, v_d).collect())
+    )
+    fused = sorted(
+        map(tuple, lm_perplexity(scored, "doc_id", "text", bg_f, ug_f, v_f).collect())
+    )
+    assert direct == fused
+
+
+@pytest.mark.slow
 def test_build_training_corpus_ppl_dsir_passage_stages(spark, tmp_path):
     """The three round-4 optional stages of the one-call builder: the
     LM-perplexity gate drops token-salad, DSIR selection keeps the
@@ -1838,6 +1874,7 @@ def test_build_training_corpus_survives_empty_pipeline(spark, tmp_path):
     assert report["train_tokens"] == 0 and report["n_sequences"] == 0
 
 
+@pytest.mark.slow
 def test_build_training_corpus_classifier_gate(spark, tmp_path):
     """The discriminative quality gate inside the one-call builder
     (GPT-3 recipe: reference positives vs a corpus sample as
@@ -2005,6 +2042,7 @@ def test_strip_passage_spans_removes_one_copy(spark):
     assert out[3]["n_stripped_tokens"] == 0 and len(t3) == 60
 
 
+@pytest.mark.slow
 def test_build_training_corpus_passage_strip_mode(spark, tmp_path):
     """passage_mode='strip' keeps clone documents (their unique content
     survives) while removing the duplicated span — kept-doc count stays
@@ -2373,6 +2411,7 @@ def test_multimodal_patchify_geometry(spark):
         patchify_images(decoded, mode="real")
 
 
+@pytest.mark.slow
 def test_bench_branch_map_matches_served_tags(spark):
     """bench.BRANCHED must list real (tag column, branch values) for
     every slot it attributes — a stale entry silently times an empty
