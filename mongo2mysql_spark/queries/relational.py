@@ -185,8 +185,12 @@ def agg_stats_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_shipdate").alias("first_ship"),
         F.max("l_shipdate").alias("last_ship"),
     )
+    # /256 coarse bucket: shrinks the per-key phase-1 histogram ~256x
+    # on the wide price domain; identical quantiles (granularity
+    # invariance contract)
     qprice = grouped_exact_quantiles(
-        li, ["l_returnflag"], "l_extendedprice", {"p50": 0.5, "p90": 0.9}
+        li, ["l_returnflag"], "l_extendedprice", {"p50": 0.5, "p90": 0.9},
+        bucket_expr="FLOOR({c} / 256)",
     )
     qqty = grouped_exact_quantiles(
         li, ["l_returnflag"], "l_quantity", {"med_qty": 0.5}
@@ -899,9 +903,13 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _eg = parallel_branches(
         {
+            # /256 coarse bucket: ~256x smaller phase-1 collect on the
+            # ~1e5-distinct-FLOOR price column, identical quantiles
+            # (granularity invariance is the kernel's contract)
             "pct": lambda: exact_quantiles(
                 li, "l_extendedprice",
                 {"exact_p50": 0.5, "exact_p90": 0.9},
+                bucket_expr="FLOOR({c} / 256)",
             ),
             "kmv3": _kmv3,
             "tsk": lambda: (
