@@ -272,6 +272,7 @@ def test_porter_end_to_end(spark, docs):
     assert exp.schemas["user"]["title"] == "text"
 
 
+@pytest.mark.slow
 def test_porter_skip_and_wide(spark, docs):
     porter = SparkPorter(spark, PorterConfig(skip={"tag_topics"}))
     exp = porter.run_to_frames({"docs": docs})["docs"]

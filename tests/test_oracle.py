@@ -22,7 +22,23 @@ def duck():
     con.close()
 
 
-@pytest.mark.parametrize("name", sorted(REGISTRY))
+# the heaviest sf0.001 replays (>20 s each) carry the slow marker: the
+# driver's own sf0.01 correctness gate covers every slot anyway, and
+# the full suite (including slow) is run and recorded at each round
+# close — see pytest.ini
+_SLOW_SLOTS = {
+    "etl_pipeline_e2e", "semdedup_planted", "dedup_connected_components",
+    "agg_approx_sketches",
+}
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        pytest.param(n, marks=pytest.mark.slow) if n in _SLOW_SLOTS else n
+        for n in sorted(REGISTRY)
+    ],
+)
 def test_query_matches_oracle(name, spark, duck):
     q = REGISTRY[name]
     df = q.fn(spark, SF_DIR)

@@ -311,6 +311,7 @@ _BNLJ_OK = {
 }
 
 
+@pytest.mark.slow
 def test_registry_sweep_no_cartesian_no_global_window(spark):
     """Every registered query must plan without a CartesianProduct and
     without an unpartitioned (single-reducer) Window — the two plan
@@ -352,6 +353,7 @@ def test_winnow_staging_survives_optimizer(spark):
     assert "__t" in optimized, "token staging collapsed into the consumer"
 
 
+@pytest.mark.slow
 def test_registry_schema_stable_across_scale_factors(spark):
     """Every registered query must produce the SAME schema at sf0.001
     and sf0.01 — a schema that drifts with data scale (pivot value

@@ -411,6 +411,7 @@ def test_rotate_vectors_composes_with_pq_encode(spark):
     assert r1 == r2 and c1 == c2
 
 
+@pytest.mark.slow
 def test_ivfadc_residual_index_degenerates_to_bruteforce(spark):
     """pq_ivfadc_topk with every cell probed and a rerank window
     covering the corpus must return exactly the brute-force cosine

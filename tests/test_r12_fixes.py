@@ -194,6 +194,7 @@ def test_write_upsert_partitioned_scans_upstream_once(spark, tmp_path):
 # ------------------------------------------------ incremental mongo sync
 
 
+@pytest.mark.slow
 def test_incremental_export_reads_only_new_docs(spark, tmp_path):
     """The CDC-shaped sync (mongo2mysql_spark/sync.py): a second export
     after N new documents must READ only those N from the source

@@ -124,6 +124,7 @@ def test_equi_depth_histogram_duplicate_boundaries_zero_fill(spark):
         assert r.lo <= r.hi
 
 
+@pytest.mark.slow
 def test_equi_depth_histogram_counts_match_literal_chain(spark):
     """r13: counts are derived from the coarse histogram + one narrow
     straddle rescan instead of a full counting scan — they must equal

@@ -994,6 +994,7 @@ def test_write_upsert_partitioned_fragment_layout_contract(spark, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_mongo_export_e2e_cursor_death_exactly_once(spark, tmp_path):
     """The full reference loop under failure, end to end: fake-pymongo
     cursor batches -> porter pipeline -> sqlite REPLACE upsert, with

@@ -8,6 +8,8 @@ import os
 import sqlite3
 import tempfile
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from mongo2mysql_spark.streaming.pipeline import (
@@ -125,6 +127,7 @@ def test_stream_static_enrich_matches_batch_join(spark):
     assert sorted(map(repr, got)) == sorted(map(repr, batch))
 
 
+@pytest.mark.slow
 def test_stream_stream_interval_join_matches_batch(spark):
     """Bounded stream-stream interval join equals the batch interval
     join, and both inputs are watermarked (state eviction wired)."""
@@ -494,6 +497,7 @@ def test_streaming_bloom_seenset_equals_batch_build(spark, tmp_path):
     assert again == batch
 
 
+@pytest.mark.slow
 def test_streaming_pq_store_equals_batch_encode(spark, tmp_path):
     """Streaming PQ code-store maintenance: two stream runs over
     disjoint halves of the embeddings must leave the manifest store
@@ -923,6 +927,7 @@ def test_pq_store_two_cycle_reclaim(spark, tmp_path):
     assert read_pq_store(spark, store).count() == emb.count()
 
 
+@pytest.mark.slow
 def test_streaming_pq_refresh_bounds_chain_with_max_deltas(spark, tmp_path):
     """VERDICT r7 ask #6: a LONG refresh chain (20 micro-batches) under
     ``max_deltas`` stays read-correct and auto-compacts — the final
@@ -979,6 +984,7 @@ def test_streaming_pq_refresh_bounds_chain_with_max_deltas(spark, tmp_path):
 # ------------------------------------------------- streaming ANN serving
 
 
+@pytest.mark.slow
 def test_ann_serve_streaming_equals_batch_and_resubmission_wins(spark, tmp_path):
     """streaming/annserve: (1) two disjoint query micro-batches against
     the stored BQ words serve exactly the batch topk_hamming answer;
@@ -1064,6 +1070,7 @@ def test_ann_serve_streaming_equals_batch_and_resubmission_wins(spark, tmp_path)
     assert keep == [t for t in served if t[0] == 0]
 
 
+@pytest.mark.slow
 def test_streaming_funnel_state_carries_across_batches(spark, tmp_path):
     """streaming/funnel: a user whose steps straddle the micro-batch
     boundary still converts (state carries stage + completion across
