@@ -444,9 +444,8 @@ def sign_pack(
     float vectors) — build it once at ingest, pass it to
     :func:`topk_hamming` as ``corpus_packed``."""
     words = sign_pack_sql(vec_col, dim)
-    return df.select(
-        F.col(id_col),
-        *[F.expr(w).alias(f"__w{i}") for i, w in enumerate(words)],
+    return df.selectExpr(
+        id_col, *[f"{w} AS __w{i}" for i, w in enumerate(words)]
     )
 
 
@@ -464,13 +463,16 @@ def simhash_pack(
     stages = fwht_stages(vec_col, dim, n_bits, seed=seed)
     words = simhash_pack_sql([n for n, _ in stages[-1]])
     cur = df.select(F.col(id_col), F.col(vec_col))
+    # selectExpr, not per-column F.expr().alias(): a 256-bit pack is
+    # ~1,800 stage expressions, and building them as Column objects
+    # costs two py4j round-trips EACH (~3 s of driver chatter per plan
+    # construction, paid on every query-side pack).  One selectExpr per
+    # stage ships the same expression texts as a single string batch —
+    # the parsed plan (Project over Alias) is identical.
     for stage in stages:
-        cur = cur.select(
-            id_col, *[F.expr(txt).alias(n) for n, txt in stage]
-        )
-    return cur.select(
-        id_col,
-        *[F.expr(w).alias(f"__w{i}") for i, w in enumerate(words)],
+        cur = cur.selectExpr(id_col, *[f"{txt} AS {n}" for n, txt in stage])
+    return cur.selectExpr(
+        id_col, *[f"{w} AS __w{i}" for i, w in enumerate(words)]
     )
 
 
